@@ -1,0 +1,135 @@
+"""Analyzer: tokenize → lowercase → (optional) stopword filter → (optional) stem.
+
+Spark-native twin of the reference's Lucene analyzer chain
+(``io.anserini.analysis.DefaultEnglishAnalyzer`` configured at reference
+``capreolus/index/anserini.py:17-20,45-50`` and
+``capreolus/tokenizer/anserini.py:17-32``).  The whole chain runs
+batch-vectorized over ``pandas.Series`` so it can sit inside Arrow
+``pandas_udf`` / ``mapInPandas`` stages — no per-row Python in the Spark plan.
+
+Conventions (calibrated against the reference's committed golden tests,
+see SURVEY.md §6.3):
+
+* tokens: maximal runs of word characters (``\\w+``), lowercased —
+  an ASCII/underscore approximation of Lucene's StandardTokenizer
+  (UAX#29 treats ``_`` as ExtendNumLet, i.e. joining).
+* ``dl`` (document length used by BM25) counts ALL tokens *before*
+  stopword filtering.
+* stopwords: Lucene's default English stop set (33 words) — the set
+  used by ``DefaultEnglishAnalyzer`` when stopword removal is enabled
+  (reference ``capreolus/index/anserini.py:49-50``: stopwords are
+  removed unless ``indexstops=True``).
+* stemmer: ``porter`` (default) or ``none``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+
+from .porter import porter_stem
+
+# Lucene org.apache.lucene.analysis.en.EnglishAnalyzer default stop set
+# (public constant ENGLISH_STOP_WORDS_SET; 33 words).
+LUCENE_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+TOKEN_PATTERN = r"\w+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+STEMMERS = ("porter", "none")
+
+# process-wide stem memo — vocabulary is Zipfian, so hit rate is high and
+# the per-batch unique()-then-map pattern below touches each surface form
+# once per executor.
+_STEM_CACHE: dict[str, str] = {}
+
+
+def stem_token(token: str, stemmer: str = "porter") -> str:
+    if stemmer == "none":
+        return token
+    cached = _STEM_CACHE.get(token)
+    if cached is None:
+        cached = _STEM_CACHE[token] = porter_stem(token)
+    return cached
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Lowercased word tokens of one string (driver-side helper)."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def analyze_text(
+    text: str, stemmer: str = "porter", remove_stops: bool = True
+) -> list[str]:
+    """Full analyzer chain for one string (queries are analyzed with the
+    same chain as documents — reference ``searcher/anserini.py:62-67``)."""
+    toks = tokenize_text(text)
+    if remove_stops:
+        toks = [t for t in toks if t not in LUCENE_STOP_WORDS]
+    if stemmer != "none":
+        toks = [stem_token(t, stemmer) for t in toks]
+    return toks
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized tokenize+lowercase over a batch (Arrow-friendly)."""
+    return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+
+
+def analyze_series(
+    texts: pd.Series, stemmer: str = "porter", remove_stops: bool = True
+) -> tuple[pd.Series, pd.Series]:
+    """Analyze a batch of documents.
+
+    Returns ``(terms, dl)`` where ``terms`` is a Series of lists of
+    indexed terms (stop-filtered, stemmed) and ``dl`` the pre-filter
+    token count per document (the BM25 length convention, SURVEY §6.3).
+
+    Tokenization is pandas-vectorized; stemming maps each *unique*
+    surface form in the batch once through a process-wide memo.
+    """
+    token_lists = tokenize_series(texts)
+    dl = token_lists.map(len).astype("int64")
+
+    if remove_stops:
+        stops = LUCENE_STOP_WORDS
+        token_lists = token_lists.map(
+            lambda toks: [t for t in toks if t not in stops]
+        )
+    if stemmer != "none":
+        cache = _STEM_CACHE
+        def _stem_list(toks: list[str]) -> list[str]:
+            out = []
+            for t in toks:
+                s = cache.get(t)
+                if s is None:
+                    s = cache[t] = porter_stem(t)
+                out.append(s)
+            return out
+        token_lists = token_lists.map(_stem_list)
+    return token_lists, dl
+
+
+def analyze_queries(
+    queries: Iterable[tuple[str, str]],
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    max_terms: int = 1020,
+) -> dict[str, list[str]]:
+    """Driver-side query analysis: ``[(qid, text)] -> {qid: [terms]}``.
+
+    ``max_terms`` mirrors the reference's 1020-word clamp guarding
+    Lucene's TooManyClauses (``benchmark/codesearchnet.py:118-124``).
+    """
+    out = {}
+    for qid, text in queries:
+        terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+        out[str(qid)] = terms[:max_terms]
+    return out

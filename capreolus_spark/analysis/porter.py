@@ -1,0 +1,198 @@
+"""Pure-Python Porter stemmer (M.F. Porter, "An algorithm for suffix
+stripping", Program 14(3) 1980 — public-domain algorithm).
+
+This replaces the reference's JVM-side Lucene ``PorterStemFilter``
+(used via ``io.anserini.analysis.DefaultEnglishAnalyzer``; see
+reference ``capreolus/tokenizer/anserini.py:17-32``).  The committed
+golden tokens pinned by the reference tests
+(``capreolus/index/tests/test_index.py:20-37`` and
+``capreolus/searcher/tests/test_searcher.py:52-63``) require e.g.
+``dummy -> dummi``, ``greetings -> greet``; those pairs are asserted in
+``tests/test_analysis.py``.
+
+Implementation follows the original published rule set (steps 1a-5b).
+Words shorter than 3 characters are returned unchanged, matching the
+classic reference implementations.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return True if i == 0 else not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences in [C](VC)^m[V]."""
+    n = len(stem)
+    i = 0
+    while i < n and _is_cons(stem, i):
+        i += 1
+    m = 0
+    while i < n:
+        # consume vowels
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(stem: str) -> bool:
+    return (
+        len(stem) >= 2
+        and stem[-1] == stem[-2]
+        and _is_cons(stem, len(stem) - 1)
+    )
+
+
+def _cvc(stem: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(stem) < 3:
+        return False
+    n = len(stem)
+    return (
+        _is_cons(stem, n - 3)
+        and not _is_cons(stem, n - 2)
+        and _is_cons(stem, n - 1)
+        and stem[-1] not in "wxy"
+    )
+
+
+def _step1ab(w: str) -> str:
+    # 1a
+    if w.endswith("s"):
+        if w.endswith("sses"):
+            w = w[:-2]
+        elif w.endswith("ies"):
+            w = w[:-2]
+        elif not w.endswith("ss"):
+            w = w[:-1]
+    # 1b
+    extra = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            extra = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            extra = True
+    if extra:
+        if w.endswith(("at", "bl", "iz")):
+            w = w + "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w = w + "e"
+    return w
+
+
+def _step1c(w: str) -> str:
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        return w[:-1] + "i"
+    return w
+
+
+_STEP2 = (
+    ("ational", "ate"),
+    ("tional", "tion"),
+    ("enci", "ence"),
+    ("anci", "ance"),
+    ("izer", "ize"),
+    ("abli", "able"),
+    ("alli", "al"),
+    ("entli", "ent"),
+    ("eli", "e"),
+    ("ousli", "ous"),
+    ("ization", "ize"),
+    ("ation", "ate"),
+    ("ator", "ate"),
+    ("alism", "al"),
+    ("iveness", "ive"),
+    ("fulness", "ful"),
+    ("ousness", "ous"),
+    ("aliti", "al"),
+    ("iviti", "ive"),
+    ("biliti", "ble"),
+)
+
+_STEP3 = (
+    ("icate", "ic"),
+    ("ative", ""),
+    ("alize", "al"),
+    ("iciti", "ic"),
+    ("ical", "ic"),
+    ("ful", ""),
+    ("ness", ""),
+)
+
+_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def _rule_list(w: str, rules, min_measure: int) -> str:
+    for suffix, repl in rules:
+        if w.endswith(suffix):
+            stem = w[: len(w) - len(suffix)]
+            if _measure(stem) > min_measure - 1:
+                return stem + repl
+            return w
+    return w
+
+
+def _step4(w: str) -> str:
+    for suffix in _STEP4:
+        if w.endswith(suffix):
+            stem = w[: len(w) - len(suffix)]
+            if _measure(stem) > 1:
+                if suffix == "ion" and not stem.endswith(("s", "t")):
+                    return w
+                return stem
+            return w
+    return w
+
+
+def _step5(w: str) -> str:
+    # 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # 5b
+    if w.endswith("ll") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def porter_stem(word: str) -> str:
+    """Stem a single lowercase word with the original Porter algorithm."""
+    if len(word) < 3:
+        return word
+    w = _step1ab(word)
+    w = _step1c(w)
+    w = _rule_list(w, _STEP2, 1)
+    w = _rule_list(w, _STEP3, 1)
+    w = _step4(w)
+    w = _step5(w)
+    return w

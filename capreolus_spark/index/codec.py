@@ -1,0 +1,100 @@
+"""Delta + varint (LEB128) posting-list codec, numpy-vectorized.
+
+Replaces the opaque Lucene postings format behind the reference's index
+directory (``capreolus/index/anserini.py:22-71``).  A posting run for one
+``(term, range)`` cell is two binary columns:
+
+* ``docnos``: strictly increasing int64 doc numbers, delta-encoded
+  (first value absolute, rest gaps) then LEB128 varint-packed.
+* ``tfs``: term frequencies (>=1), varint-packed as ``tf - 1`` so the
+  overwhelmingly common tf=1 costs one byte of payload ``0``.
+
+Both encode/decode paths are vectorized numpy (no per-element Python
+loops): byte lengths are computed with threshold comparisons, payload
+bytes scattered/gathered with masked shifts.  Round-trip is exact for
+any uint64 input; property-tested in ``tests/test_codec.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64 bits / 7
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array → bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # nbytes[i] = number of 7-bit groups needed (>=1)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    for j in range(_MAX_VARINT_BYTES):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        pos = offsets[:-1][mask] + j
+        payload = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[pos] = payload.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    values = np.zeros(ends.size, dtype=np.uint64)
+    payload = (raw & 0x7F).astype(np.uint64)
+    maxlen = int(lengths.max())
+    for j in range(maxlen):
+        mask = lengths > j
+        values[mask] |= payload[starts[mask] + j] << np.uint64(7 * j)
+    return values
+
+
+def encode_postings(docnos: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode one posting run (docnos strictly increasing, tfs >= 1)."""
+    d = np.ascontiguousarray(docnos, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    if d.size:
+        deltas = np.empty_like(d)
+        deltas[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=deltas[1:])
+        if d.size > 1 and deltas[1:].min() <= 0:
+            raise ValueError("docnos must be strictly increasing")
+    else:
+        deltas = d
+    return (
+        encode_varint(deltas.astype(np.uint64)),
+        encode_varint((t - 1).astype(np.uint64)),
+    )
+
+
+def decode_postings(docnos_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one posting run → (docnos int64, tfs int64)."""
+    deltas = decode_varint(docnos_buf).astype(np.int64)
+    docnos = np.cumsum(deltas)
+    tfs = decode_varint(tfs_buf).astype(np.int64) + 1
+    return docnos, tfs
+
+
+def encode_int32_array(values: np.ndarray) -> bytes:
+    """Fixed-width little-endian int32 pack (used for per-range dl arrays)."""
+    return np.ascontiguousarray(values, dtype="<i4").tobytes()
+
+
+def decode_int32_array(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<i4").astype(np.int64)

@@ -1,0 +1,143 @@
+import pandas as pd
+
+from capreolus_spark.analysis import (
+    LUCENE_STOP_WORDS,
+    analyze_queries,
+    analyze_series,
+    analyze_text,
+    tokenize_text,
+)
+from capreolus_spark.analysis.porter import porter_stem
+
+# Golden tokens pinned by the reference's committed tests
+# (capreolus/index/tests/test_index.py:20-37,
+#  capreolus/searcher/tests/test_searcher.py:52-63 — dummy corpus).
+DOC1 = "Dummy Dummy Dummy Hello world, greetings from outer space!"
+DOC2 = "Dummy LessDummy Hello world, greetings from outer space!"
+
+
+def test_porter_golden_pairs():
+    pairs = {
+        "dummy": "dummi",
+        "lessdummy": "lessdummi",
+        "greetings": "greet",
+        "hello": "hello",
+        "world": "world",
+        "outer": "outer",
+        "space": "space",
+        # classic published examples (Porter 1980)
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "bled": "bled",
+        "motoring": "motor",
+        "sing": "sing",
+        "conflated": "conflat",
+        "troubled": "troubl",
+        "sized": "size",
+        "hopping": "hop",
+        "tanned": "tan",
+        "falling": "fall",
+        "hissing": "hiss",
+        "fizzed": "fizz",
+        "failing": "fail",
+        "filing": "file",
+        "happy": "happi",
+        "sky": "sky",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "valenci": "valenc",
+        "digitizer": "digit",
+        "vietnamization": "vietnam",
+        "predication": "predic",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "decisiveness": "decis",
+        "hopefulness": "hope",
+        "callousness": "callous",
+        "formaliti": "formal",
+        "sensitiviti": "sensit",
+        "sensibiliti": "sensibl",
+        "triplicate": "triplic",
+        "formative": "form",
+        "formalize": "formal",
+        "electriciti": "electr",
+        "electrical": "electr",
+        "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv",
+        "allowance": "allow",
+        "inference": "infer",
+        "airliner": "airlin",
+        "gyroscopic": "gyroscop",
+        "adjustable": "adjust",
+        "defensible": "defens",
+        "irritant": "irrit",
+        "replacement": "replac",
+        "adjustment": "adjust",
+        "dependent": "depend",
+        "adoption": "adopt",
+        "homologou": "homolog",
+        "communism": "commun",
+        "activate": "activ",
+        "angulariti": "angular",
+        "homologous": "homolog",
+        "effective": "effect",
+        "bowdlerize": "bowdler",
+        "probate": "probat",
+        "rate": "rate",
+        "cease": "ceas",
+        "controll": "control",
+        "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in pairs.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_stop_set_is_lucene_default():
+    assert len(LUCENE_STOP_WORDS) == 33
+    assert "the" in LUCENE_STOP_WORDS
+    assert "from" not in LUCENE_STOP_WORDS
+
+
+def test_tokenize_basic():
+    assert tokenize_text("Hello world, greetings!") == ["hello", "world", "greetings"]
+    assert tokenize_text("") == []
+    assert tokenize_text("   \n\t ") == []
+    assert tokenize_text("foo_bar x2 πλ") == ["foo_bar", "x2", "πλ"]
+
+
+def test_analyze_dummy_docs_golden():
+    terms, dl = analyze_series(pd.Series([DOC1, DOC2]))
+    assert list(dl) == [9, 8]  # pre-stopword-filter token counts (SURVEY §6.3)
+    assert list(terms[0]) == ["dummi"] * 3 + ["hello", "world", "greet", "from", "outer", "space"]
+    assert list(terms[1]) == ["dummi", "lessdummi", "hello", "world", "greet", "from", "outer", "space"]
+
+
+def test_analyze_removes_stopwords_counts_prefilter_dl():
+    terms, dl = analyze_series(pd.Series(["the quick brown fox is a fox"]))
+    assert int(dl[0]) == 7
+    assert list(terms[0]) == ["quick", "brown", "fox", "fox"]
+
+
+def test_analyze_text_query_matches_series():
+    assert analyze_text("Dummy doc") == ["dummi", "doc"]
+    assert analyze_text("Dummy doc", stemmer="none") == ["dummy", "doc"]
+
+
+def test_analyze_queries_clamp():
+    q = analyze_queries([("301", "Dummy doc"), ("302", "x " * 3000)], max_terms=1020)
+    assert q["301"] == ["dummi", "doc"]
+    assert len(q["302"]) == 1020
+
+
+def test_empty_and_null_content():
+    terms, dl = analyze_series(pd.Series(["", None, "   "]))
+    assert list(dl) == [0, 0, 0]
+    assert all(len(t) == 0 for t in terms)

@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from capreolus_spark.index.codec import (
+    decode_int32_array,
+    decode_postings,
+    decode_varint,
+    encode_int32_array,
+    encode_postings,
+    encode_varint,
+)
+
+
+def test_varint_known_values():
+    v = np.array([0, 1, 127, 128, 300, 2**32, 2**63], dtype=np.uint64)
+    buf = encode_varint(v)
+    assert encode_varint(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert encode_varint(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert encode_varint(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert encode_varint(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    np.testing.assert_array_equal(decode_varint(buf), v)
+
+
+def test_varint_empty():
+    assert encode_varint(np.empty(0, dtype=np.uint64)) == b""
+    assert decode_varint(b"").size == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+def test_varint_roundtrip(values):
+    v = np.array(values, dtype=np.uint64)
+    np.testing.assert_array_equal(decode_varint(encode_varint(v)), v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=300, unique=True),
+    st.data(),
+)
+def test_postings_roundtrip(docnos, data):
+    docnos = np.array(sorted(docnos), dtype=np.int64)
+    tfs = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=10**6),
+                min_size=len(docnos),
+                max_size=len(docnos),
+            )
+        ),
+        dtype=np.int64,
+    )
+    dbuf, tbuf = encode_postings(docnos, tfs)
+    d2, t2 = decode_postings(dbuf, tbuf)
+    np.testing.assert_array_equal(d2, docnos)
+    np.testing.assert_array_equal(t2, tfs)
+
+
+def test_postings_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 2], dtype=np.int64), np.array([1, 1], dtype=np.int64))
+
+
+def test_postings_compression_is_compact():
+    # dense gaps + tf=1 should cost ~2 bytes/posting
+    docnos = np.arange(0, 10000, dtype=np.int64)
+    tfs = np.ones(10000, dtype=np.int64)
+    dbuf, tbuf = encode_postings(docnos, tfs)
+    assert len(dbuf) + len(tbuf) <= 2 * 10000
+
+
+def test_int32_array_roundtrip():
+    v = np.array([0, 1, 2**31 - 1, 42], dtype=np.int64)
+    np.testing.assert_array_equal(decode_int32_array(encode_int32_array(v)), v)
