@@ -1,0 +1,58 @@
+"""Engine configuration objects.
+
+Mirrors the reference's ConfigOption surface (``capreolus/index/anserini.py:17-20``,
+``capreolus/searcher/anserini.py:152-158``) as plain frozen dataclasses; the
+config dict doubles as the cache key for on-disk artifacts, like the
+reference's config-derived cache paths (``capreolus/index/__init__.py:19-33``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build-time configuration.
+
+    * ``stemmer`` / ``indexstops`` mirror reference ``index/anserini.py:18-19``
+      (``indexstops=False`` means stopwords are removed from postings).
+    * ``range_size``: docs per docno-range. A range is both the salt for the
+      posting-build shuffle (groupBy ``(term, range_id)`` bounds every group
+      to ``range_size`` postings, defusing stopword skew) and the unit of
+      document-sharded query execution (each range is scored independently).
+    * ``num_doc_partitions``: partitions for the deterministic docno
+      assignment shuffle; 0 → ``2 * defaultParallelism``.
+    * ``store_contents`` mirrors Anserini's ``-storeContents``
+      (reference ``index/anserini.py:52-57``).
+    """
+
+    stemmer: str = "porter"
+    indexstops: bool = False
+    store_contents: bool = True
+    range_size: int = 1 << 17
+    num_doc_partitions: int = 0
+    postings_partitions: int = 0
+
+    def analyzer_kwargs(self) -> dict:
+        return {"stemmer": self.stemmer, "remove_stops": not self.indexstops}
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexConfig":
+        return cls(**json.loads(s))
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Query-time scoring configuration (reference ``searcher/anserini.py:155-158``)."""
+
+    k1: float = 0.9
+    b: float = 0.4
+    hits: int = 1000
+
+
+DEFAULT_TAG = "capreolus_spark"

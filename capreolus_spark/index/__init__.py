@@ -1,0 +1,155 @@
+"""Inverted-index API.
+
+Spark-native twin of the reference's ``AnseriniIndex`` surface
+(``capreolus/index/anserini.py``): ``create_index``/``exists`` idempotency
+(``capreolus/index/__init__.py:19-33``), point lookups ``get_df`` /
+``get_idf`` / ``get_doc`` / ``get_docs`` (``index/anserini.py:73-114``),
+and collection stats (``numdocs`` at ``index/anserini.py:100-114``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from .build import Manifest, build_index, make_docid_column
+
+__all__ = ["InvertedIndex", "build_index", "make_docid_column", "IndexConfig"]
+
+_STAGES = ("docmap", "tokens", "ranges", "postings", "dict", "stats")
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._stats: dict | None = None
+        self._config: IndexConfig | None = None
+
+    # -------------------------------------------------- build / existence
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        index_dir: str,
+        config: IndexConfig | None = None,
+    ) -> "InvertedIndex":
+        """Build if missing (no-op when the manifest marks all stages done,
+        mirroring reference ``index/__init__.py:26-33``)."""
+        idx = cls(spark, index_dir)
+        if not idx.exists():
+            build_index(spark, corpus, index_dir, config)
+        return idx
+
+    def exists(self) -> bool:
+        if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+            return False
+        manifest = Manifest(self.index_dir)
+        return all(manifest.stage_done(s) for s in _STAGES)
+
+    @property
+    def config(self) -> IndexConfig:
+        if self._config is None:
+            manifest = Manifest(self.index_dir)
+            self._config = IndexConfig.from_json(manifest.data["config"])
+        return self._config
+
+    # -------------------------------------------------- tables
+
+    def _tbl(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, name))
+
+    def docs_df(self) -> DataFrame:
+        return self._tbl("docmap")
+
+    def postings_df(self) -> DataFrame:
+        return self._tbl("postings")
+
+    def ranges_df(self) -> DataFrame:
+        return self._tbl("ranges")
+
+    def dict_df(self) -> DataFrame:
+        return self._tbl("dict")
+
+    # -------------------------------------------------- stats & lookups
+
+    def stats(self) -> dict:
+        if self._stats is None:
+            with open(os.path.join(self.index_dir, "stats.json")) as f:
+                self._stats = json.load(f)
+        return self._stats
+
+    @property
+    def numdocs(self) -> int:
+        return int(self.stats()["n_docs"])
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.stats()["avg_dl"])
+
+    def get_df(self, term: str) -> int:
+        """Document frequency of an *analyzed* term (reference
+        ``index/anserini.py:86-91``; 0 for unseen terms)."""
+        rows = self.dict_df().filter(F.col("term") == term).select("df").collect()
+        return int(rows[0]["df"]) if rows else 0
+
+    def get_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = (
+            self.dict_df()
+            .filter(F.col("term").isin(list(set(terms))))
+            .select("term", "df")
+            .collect()
+        )
+        out = {t: 0 for t in terms}
+        out.update({r["term"]: int(r["df"]) for r in rows})
+        return out
+
+    def get_idf(self, term: str) -> float:
+        """idf = ln(1 + (N - df + 0.5)/(df + 0.5)), floored at 0
+        (reference ``index/anserini.py:93-98``; golden
+        ``index/tests/test_index.py:35-37``)."""
+        return self.idf_from_df(self.get_df(term))
+
+    def idf_from_df(self, df: int) -> float:
+        n = self.numdocs
+        return max(0.0, math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+    def get_doc(self, docid: str) -> str | None:
+        """Stored contents by docid (reference ``index/anserini.py:78-84``)."""
+        rows = (
+            self.docs_df().filter(F.col("docid") == docid).select("content").collect()
+        )
+        return rows[0]["content"] if rows else None
+
+    def get_docs(self, docids: list[str]) -> list[str]:
+        rows = (
+            self.docs_df()
+            .filter(F.col("docid").isin(docids))
+            .select("docid", "content")
+            .collect()
+        )
+        by_id = {r["docid"]: r["content"] for r in rows}
+        return [by_id.get(d) for d in docids]
+
+    def verify_content_integrity(self, corpus: DataFrame) -> int:
+        """Per-row invariant from BASELINE input_hint: sha256(content) of every
+        indexed row equals the source's.  Returns the number of mismatched or
+        missing rows (0 == intact)."""
+        src = corpus.select(
+            F.col("docid"), F.sha2(F.col("content"), 256).alias("src_sha")
+        )
+        joined = self.docs_df().select("docid", "sha256").join(src, "docid", "full")
+        return joined.filter(
+            F.col("sha256").isNull()
+            | F.col("src_sha").isNull()
+            | (F.col("sha256") != F.col("src_sha"))
+        ).count()

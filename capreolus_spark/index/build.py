@@ -1,0 +1,366 @@
+"""Distributed inverted-index build.
+
+From-scratch Spark-native replacement for the reference's Lucene delegation
+(``capreolus/index/anserini.py:22-71`` shells out to
+``io.anserini.index.IndexCollection``).  Dataflow (SURVEY.md §3.4):
+
+  corpus ──repartition(docid)──▶ docmap   (dense-per-partition docno, sha256)
+  docmap ──mapInPandas tokenize──▶ tokens  (docno, term, tf, is_stop)
+  tokens ──groupBy(docno)──▶ doclens ──groupBy(range)──▶ ranges (dl arrays)
+  tokens ──groupBy(term, range)──▶ postings (delta+varint blocks + block-max)
+  postings meta ──groupBy(term)──▶ dict (df, cf, max_tf)
+
+Skew handling: the posting build never groups on bare ``term``.  Grouping on
+``(term, range_id)`` is the salting scheme the north star requires — a
+stopword-heavy term splits into one bounded group (≤ ``range_size`` docs)
+per docno-range, so no single reducer ever sees a whole stopword posting
+list.  Global per-term stats (df/cf) come from the tiny per-range metadata
+rows via an ordinary partial-aggregating ``groupBy(term)``.
+
+docno assignment is single-pass and deterministic: rows are hash-partitioned
+by docid, sorted by docid within each partition, and numbered
+``pid * PARTITION_CAPACITY + local_index``.  docnos are dense within a
+partition (ranges align to partitions because ``PARTITION_CAPACITY`` is a
+multiple of ``range_size``), which keeps per-range dl arrays dense without a
+global count job — no second pass over 100 TB of corpus.
+
+Every stage commits a manifest entry (per-output-file row counts + wall-ms
+metrics) and is skipped when already committed — the Spark twin of the
+reference's ``done``-file idempotency (``capreolus/index/__init__.py:22-33``,
+atomic tmp+rename as in ``capreolus/utils/caching.py:14-36``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from itertools import chain
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis import LUCENE_STOP_WORDS, stem_token, tokenize_series
+from ..config import IndexConfig
+from .codec import encode_int32_array, encode_postings
+
+# Max docs one input partition may hold; multiple of every legal range_size.
+PARTITION_CAPACITY = 1 << 34
+
+TOKENS_SCHEMA = "docno long, term string, tf long, is_stop boolean"
+DOCMAP_SCHEMA_BASE = "docid string, docno long, sha256 string"
+RANGES_SCHEMA = (
+    "range_id long, base_docno long, n_slots long, n_docs long, "
+    "min_dl long, sum_dl long, dls binary"
+)
+POSTINGS_SCHEMA = (
+    "term string, range_id long, df_range long, cf_range long, "
+    "max_tf int, docnos binary, tfs binary"
+)
+
+
+# ---------------------------------------------------------------- manifest
+
+class Manifest:
+    """Stage-level checkpoint manifest with per-file lineage + metrics."""
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, "manifest.json")
+        self.data = {"stages": {}, "config": None}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    def stage_done(self, stage: str) -> bool:
+        return self.data["stages"].get(stage, {}).get("done", False)
+
+    def commit_stage(self, stage: str, **info) -> None:
+        entry = dict(info)
+        entry["done"] = True
+        entry["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        self.data["stages"][stage] = entry
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic commit (cf. utils/caching.py:14-36)
+
+
+def _parquet_lineage(path: str) -> list[dict]:
+    """Per-output-file row counts from parquet footers (lineage record)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _, names in os.walk(path):
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                fp = os.path.join(root, name)
+                files.append(
+                    {
+                        "file": os.path.relpath(fp, path),
+                        "rows": pq.ParquetFile(fp).metadata.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+    return files
+
+
+# ---------------------------------------------------------------- stages
+
+def make_docid_column(df: DataFrame) -> DataFrame:
+    """corpus(repo,path,commit,...) → add docid = repo@commit:path
+    (stable unique key per BASELINE input_hint / FIXTURES.md §1)."""
+    return df.withColumn(
+        "docid", F.concat_ws("", F.col("repo"), F.lit("@"), F.col("commit"), F.lit(":"), F.col("path"))
+    )
+
+
+def _assign_docnos(df: DataFrame, num_partitions: int) -> DataFrame:
+    # docmap always carries content: it doubles as the docstore
+    # (Anserini -storeContents, reference index/anserini.py:52-57) and is
+    # the tokenize stage's input.
+    cols = ["docid", "docno", "sha256", "content"]
+    schema = DOCMAP_SCHEMA_BASE + ", content string"
+
+    part = (
+        df.select("docid", "content")
+        .withColumn("sha256", F.sha2(F.col("content"), 256))
+        .repartition(num_partitions, F.col("docid"))
+        .sortWithinPartitions("docid")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            base = int(pdf["_pid"].iloc[0]) * PARTITION_CAPACITY
+            if local + n > PARTITION_CAPACITY:
+                raise ValueError("partition exceeds PARTITION_CAPACITY")
+            pdf = pdf.assign(docno=base + np.arange(local, local + n, dtype=np.int64))
+            local += n
+            yield pdf[cols]
+
+    return part.mapInPandas(assign, schema=schema)
+
+
+def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
+    stemmer = config.stemmer
+    remove_stops = not config.indexstops
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokenize_series(pdf["content"])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            docnos = np.repeat(pdf["docno"].to_numpy(dtype=np.int64), lens)
+            flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+            tl = pd.DataFrame({"docno": docnos, "tok": flat})
+
+            if remove_stops:
+                stop_mask = tl["tok"].isin(LUCENE_STOP_WORDS).to_numpy()
+                indexed = tl[~stop_mask]
+                stops = tl[stop_mask]
+            else:
+                indexed = tl
+                stops = tl.iloc[0:0]
+
+            out = []
+            if len(indexed):
+                if stemmer != "none":
+                    uniq = pd.unique(indexed["tok"])
+                    mapping = {t: stem_token(t, stemmer) for t in uniq}
+                    terms = indexed["tok"].map(mapping)
+                else:
+                    terms = indexed["tok"]
+                counts = (
+                    pd.DataFrame({"docno": indexed["docno"].values, "term": terms.values})
+                    .groupby(["docno", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
+                counts["is_stop"] = False
+                out.append(counts)
+            if len(stops):
+                scounts = stops.groupby("docno", sort=False).size().reset_index(name="tf")
+                scounts["term"] = None
+                scounts["is_stop"] = True
+                out.append(scounts[["docno", "term", "tf", "is_stop"]])
+            yield pd.concat(out, ignore_index=True)[["docno", "term", "tf", "is_stop"]]
+
+    return docmap.select("docno", "content").mapInPandas(tokenize, schema=TOKENS_SCHEMA)
+
+
+def _ranges_stage(tokens: DataFrame, range_size: int) -> DataFrame:
+    doclens = (
+        tokens.groupBy("docno")
+        .agg(F.sum("tf").alias("dl"))
+        .withColumn("range_id", F.expr(f"docno DIV {range_size}"))
+    )
+
+    def pack_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(pdf["range_id"].iloc[0])
+        base = rid * range_size
+        docnos = pdf["docno"].to_numpy(dtype=np.int64) - base
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        n_slots = int(docnos.max()) + 1
+        arr = np.zeros(n_slots, dtype=np.int64)
+        arr[docnos] = dls
+        return pd.DataFrame(
+            {
+                "range_id": [rid],
+                "base_docno": [base],
+                "n_slots": [n_slots],
+                "n_docs": [len(pdf)],
+                "min_dl": [int(dls.min())],
+                "sum_dl": [int(dls.sum())],
+                "dls": [encode_int32_array(arr)],
+            }
+        )
+
+    return doclens.groupBy("range_id").applyInPandas(pack_range, schema=RANGES_SCHEMA)
+
+
+def _postings_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> DataFrame:
+    indexed = tokens.filter(~F.col("is_stop")).withColumn(
+        "range_id", F.expr(f"docno DIV {range_size}")
+    )
+
+    def pack_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docno")
+        docnos = pdf["docno"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dbuf, tbuf = encode_postings(docnos, tfs)
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "range_id": [int(pdf["range_id"].iloc[0])],
+                "df_range": [len(pdf)],
+                "cf_range": [int(tfs.sum())],
+                "max_tf": [int(tfs.max())],
+                "docnos": [dbuf],
+                "tfs": [tbuf],
+            }
+        )
+
+    # (term, range_id) grouping == salted repartition-by-term: group size ≤ range_size
+    packed = indexed.groupBy("term", "range_id").applyInPandas(
+        pack_postings, schema=POSTINGS_SCHEMA
+    )
+    # layout: files sorted by term for parquet min/max row-group pruning at query time
+    return packed.repartitionByRange(num_partitions, "term", "range_id").sortWithinPartitions(
+        "term", "range_id"
+    )
+
+
+# ---------------------------------------------------------------- driver
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> None:
+    """Build (or resume building) an inverted index at ``index_dir``.
+
+    ``corpus`` must have columns ``docid`` (unique) and ``content``; use
+    :func:`make_docid_column` for the repo-table shape.  Each stage is
+    committed to the manifest and skipped on rebuild — a killed build
+    resumes from the last committed stage (north-rule resumability).
+    """
+    config = config or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    manifest = Manifest(index_dir)
+    if manifest.data.get("config") and manifest.data["config"] != config.to_json():
+        raise ValueError(
+            f"index at {index_dir} was built with a different config: "
+            f"{manifest.data['config']}"
+        )
+    manifest.data["config"] = config.to_json()
+
+    sc_parallelism = spark.sparkContext.defaultParallelism
+    n_doc_parts = config.num_doc_partitions or max(2, sc_parallelism)
+    n_post_parts = config.postings_partitions or max(2, sc_parallelism)
+
+    paths = {s: os.path.join(index_dir, s) for s in ("docmap", "tokens", "ranges", "postings", "dict")}
+
+    def run_stage(stage: str, fn) -> None:
+        if manifest.stage_done(stage):
+            return
+        t0 = time.monotonic()
+        rows_out = fn(paths[stage])
+        manifest.commit_stage(
+            stage,
+            rows_out=rows_out,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            files=_parquet_lineage(paths[stage]),
+        )
+
+    def write_docmap(out: str) -> int:
+        docmap = _assign_docnos(corpus, n_doc_parts)
+        docmap.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    def write_tokens(out: str) -> int:
+        docmap = spark.read.parquet(paths["docmap"])
+        _tokenize_stage(docmap, config).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    def write_ranges(out: str) -> int:
+        tokens = spark.read.parquet(paths["tokens"])
+        _ranges_stage(tokens, config.range_size).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    def write_postings(out: str) -> int:
+        tokens = spark.read.parquet(paths["tokens"])
+        _postings_stage(tokens, config.range_size, n_post_parts).write.mode(
+            "overwrite"
+        ).parquet(out)
+        return spark.read.parquet(out).count()
+
+    def write_dict(out: str) -> int:
+        postings = spark.read.parquet(paths["postings"])
+        (
+            postings.groupBy("term")
+            .agg(
+                F.sum("df_range").alias("df"),
+                F.sum("cf_range").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+            )
+            .repartitionByRange(max(1, n_post_parts // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return spark.read.parquet(out).count()
+
+    run_stage("docmap", write_docmap)
+    run_stage("tokens", write_tokens)
+    run_stage("ranges", write_ranges)
+    run_stage("postings", write_postings)
+    run_stage("dict", write_dict)
+
+    if not manifest.stage_done("stats"):
+        t0 = time.monotonic()
+        n_docs = spark.read.parquet(paths["docmap"]).count()
+        agg = (
+            spark.read.parquet(paths["ranges"])
+            .agg(F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("docs_with_terms"))
+            .collect()[0]
+        )
+        sum_dl = int(agg["sum_dl"] or 0)
+        stats = {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avg_dl": (sum_dl / n_docs) if n_docs else 0.0,
+            "docs_with_terms": int(agg["docs_with_terms"] or 0),
+        }
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2, sort_keys=True)
+        manifest.commit_stage("stats", wall_ms=int((time.monotonic() - t0) * 1000), **stats)

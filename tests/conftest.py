@@ -1,0 +1,48 @@
+import os
+import sys
+
+import pytest
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(os.environ.get("SPARK_TEST_MASTER", "local[4]"))
+        .appName("capreolus_spark_tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+# Reference golden dummy collection (FIXTURES.md §2; original TREC source
+# /root/reference/capreolus/data/dummy/data/dummy_trec_doc)
+DUMMY_DOCS = [
+    ("LA010189-0001", "Dummy Dummy Dummy Hello world, greetings from outer space!"),
+    ("LA010189-0002", "Dummy LessDummy Hello world, greetings from outer space!"),
+]
+
+
+@pytest.fixture(scope="session")
+def dummy_corpus(spark):
+    return spark.createDataFrame(DUMMY_DOCS, "docid string, content string")
+
+
+@pytest.fixture(scope="session")
+def dummy_index(spark, dummy_corpus, tmp_path_factory):
+    from capreolus_spark.index import IndexConfig, InvertedIndex
+
+    index_dir = str(tmp_path_factory.mktemp("dummy_index"))
+    return InvertedIndex.create(
+        spark, dummy_corpus, index_dir, IndexConfig(stemmer="porter", indexstops=False)
+    )

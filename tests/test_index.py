@@ -1,0 +1,153 @@
+"""Golden index tests mirroring reference capreolus/index/tests/test_index.py."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.index import IndexConfig, InvertedIndex, build_index
+from capreolus_spark.index.build import Manifest
+from capreolus_spark.index.codec import decode_int32_array, decode_postings
+
+from conftest import DUMMY_DOCS
+
+
+def test_golden_get_df(dummy_index):
+    # reference index/tests/test_index.py:30-33
+    assert dummy_index.get_df("hello") == 2
+    assert dummy_index.get_df("dummi") == 2
+    assert dummy_index.get_df("lessdummi") == 1
+    assert dummy_index.get_df("nonexistent") == 0
+
+
+def test_golden_get_idf(dummy_index):
+    # reference index/tests/test_index.py:35-37
+    assert dummy_index.get_idf("hello") == pytest.approx(0.1823215567939546, abs=1e-15)
+    assert dummy_index.get_idf("nonexistent") == pytest.approx(
+        np.log(1 + 2.5 / 0.5), abs=1e-12
+    )
+
+
+def test_golden_get_docs(dummy_index):
+    # reference index/tests/test_index.py:20-27
+    ids = [d for d, _ in DUMMY_DOCS]
+    contents = [c for _, c in DUMMY_DOCS]
+    assert dummy_index.get_docs(ids) == contents
+    assert dummy_index.get_doc(ids[0]) == contents[0]
+    assert dummy_index.get_doc("missing") is None
+
+
+def test_collection_stats(dummy_index):
+    assert dummy_index.numdocs == 2
+    assert dummy_index.avgdl == pytest.approx(8.5)
+    assert dummy_index.stats()["sum_dl"] == 17
+
+
+def test_postings_content(dummy_index):
+    rows = dummy_index.postings_df().collect()
+    by_term = {}
+    for r in rows:
+        docnos, tfs = decode_postings(r["docnos"], r["tfs"])
+        by_term.setdefault(r["term"], []).append((docnos, tfs, r))
+    # dummi appears in both docs, tf 3 and 1
+    assert sorted(by_term) == sorted(
+        ["dummi", "lessdummi", "hello", "world", "greet", "from", "outer", "space"]
+    )
+    dummi = by_term["dummi"]
+    all_tfs = sorted(int(t) for _, tfs, _ in dummi for t in tfs)
+    assert all_tfs == [1, 3]
+    total_df = sum(r["df_range"] for _, _, r in dummi)
+    assert total_df == 2
+    assert max(r["max_tf"] for _, _, r in dummi) == 3
+
+
+def test_ranges_dl_arrays(dummy_index):
+    rows = dummy_index.ranges_df().collect()
+    dls = []
+    for r in rows:
+        arr = decode_int32_array(r["dls"])
+        assert len(arr) == r["n_slots"]
+        dls.extend(int(x) for x in arr if x > 0)
+    assert sorted(dls) == [8, 9]
+    assert sum(r["sum_dl"] for r in rows) == 17
+
+
+def test_docnos_unique_and_partition_aligned(dummy_index):
+    from capreolus_spark.index.build import PARTITION_CAPACITY
+
+    rows = dummy_index.docs_df().select("docno").collect()
+    docnos = sorted(r["docno"] for r in rows)
+    assert len(set(docnos)) == len(docnos)
+    for d in docnos:
+        assert d % PARTITION_CAPACITY < PARTITION_CAPACITY
+
+
+def test_sha256_integrity(dummy_index, dummy_corpus):
+    assert dummy_index.verify_content_integrity(dummy_corpus) == 0
+    # and the sha256 column matches hashlib locally
+    import hashlib
+
+    row = dummy_index.docs_df().filter(F.col("docid") == DUMMY_DOCS[0][0]).collect()[0]
+    assert row["sha256"] == hashlib.sha256(DUMMY_DOCS[0][1].encode()).hexdigest()
+
+
+def test_idempotent_rebuild_and_resume(spark, dummy_corpus, tmp_path):
+    # reference index/__init__.py:22-33 semantics: second create is a no-op;
+    # a partially-built index resumes from the last committed stage.
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig()
+    build_index(spark, dummy_corpus, index_dir, cfg)
+    manifest1 = Manifest(index_dir)
+    t1 = manifest1.data["stages"]["postings"]["committed_at"]
+
+    # no-op rebuild: committed stages are skipped
+    build_index(spark, dummy_corpus, index_dir, cfg)
+    assert Manifest(index_dir).data["stages"]["postings"]["committed_at"] == t1
+
+    # simulate a crash after 'tokens': drop later stage commits, resume
+    m = Manifest(index_dir)
+    for stage in ("ranges", "postings", "dict", "stats"):
+        del m.data["stages"][stage]
+    import json
+
+    with open(m.path, "w") as f:
+        json.dump(m.data, f)
+
+    before = spark.read.parquet(os.path.join(index_dir, "postings")).collect()
+    build_index(spark, dummy_corpus, index_dir, cfg)
+    after = spark.read.parquet(os.path.join(index_dir, "postings")).collect()
+    key = lambda r: (r["term"], r["range_id"])
+    assert sorted(before, key=key) == sorted(after, key=key)
+    idx = InvertedIndex(spark, index_dir)
+    assert idx.exists()
+
+
+def test_config_mismatch_rejected(spark, dummy_corpus, tmp_path):
+    index_dir = str(tmp_path / "idx2")
+    build_index(spark, dummy_corpus, index_dir, IndexConfig(stemmer="porter"))
+    with pytest.raises(ValueError, match="different config"):
+        build_index(spark, dummy_corpus, index_dir, IndexConfig(stemmer="none"))
+
+
+def test_indexstops_true_keeps_stopwords(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [("d1", "the cat and the hat")], "docid string, content string"
+    )
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "stops"), IndexConfig(indexstops=True)
+    )
+    assert idx.get_df("the") == 1
+    terms = {r["term"] for r in idx.dict_df().collect()}
+    assert terms == {"the", "cat", "and", "hat"}
+
+    idx2 = InvertedIndex.create(
+        spark,
+        corpus,
+        str(tmp_path / "nostops"),
+        IndexConfig(indexstops=False),
+    )
+    assert idx2.get_df("the") == 0
+    assert {r["term"] for r in idx2.dict_df().collect()} == {"cat", "hat"}
+    # dl counts pre-filter tokens either way
+    assert idx.stats()["sum_dl"] == idx2.stats()["sum_dl"] == 5
