@@ -1,0 +1,1 @@
+from .synth import synth_corpus, synth_queries  # noqa: F401

@@ -1,0 +1,96 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the BASELINE input_hint table shape
+``(repo, path, commit, lang, content)`` with a Zipfian term distribution
+(to exercise stopword-skew salting), guaranteed-shared terms (df>1),
+empty/whitespace-only contents (tokenizer edge case), and the two golden
+dummy documents embedded as rows 0-1.  Seeded — identical output across
+runs and processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+DUMMY_ROWS = [
+    ("dummy/collection", "docs/LA010189-0001.txt", "0" * 40, "text",
+     "Dummy Dummy Dummy Hello world, greetings from outer space!"),
+    ("dummy/collection", "docs/LA010189-0002.txt", "0" * 40, "text",
+     "Dummy LessDummy Hello world, greetings from outer space!"),
+]
+
+_LANGS = ["python", "java", "go", "ruby", "javascript"]
+
+# code-flavoured vocabulary; the head of the Zipf distribution doubles as
+# the skew stressor (stopword-heavy terms appearing in ~every file)
+_VOCAB_HEAD = ["the", "def", "return", "self", "import", "class", "for", "if"]
+_VOCAB_TAIL_SIZE = 5000
+
+
+def _zipf_vocab() -> list[str]:
+    vocab = list(_VOCAB_HEAD)
+    for i in range(_VOCAB_TAIL_SIZE):
+        vocab.append(f"sym{i:04d}")
+    return vocab
+
+
+def synth_corpus_rows(n_docs: int, seed: int = 42, avg_tokens: int = 60) -> list[tuple]:
+    rng = random.Random(seed)
+    vocab = _zipf_vocab()
+    nv = len(vocab)
+    # Zipf weights 1/rank
+    weights = [1.0 / (r + 1) for r in range(nv)]
+
+    rows = list(DUMMY_ROWS)
+    for i in range(max(0, n_docs - len(DUMMY_ROWS))):
+        repo = f"org{i % 97}/proj{i % 13}"
+        path = f"src/mod{i % 29}/file{i}.py"
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest() + "0" * 0
+        commit = (commit + "0" * 40)[:40]
+        lang = _LANGS[i % len(_LANGS)]
+        if i % 211 == 0:
+            content = ""  # empty-content edge case
+        elif i % 211 == 1:
+            content = "   \n\t  "
+        else:
+            n_tok = max(1, int(rng.expovariate(1.0 / avg_tokens)))
+            toks = rng.choices(vocab, weights=weights, k=n_tok)
+            # guaranteed shared rare marker terms (df > 1 cases)
+            if i % 17 == 0:
+                toks.append("sharedmarker")
+            content = " ".join(toks)
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(
+        synth_corpus_rows(n_docs, seed=seed),
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def synth_queries(n: int = 25, seed: int = 42) -> dict[str, str]:
+    """~25 synthetic queries mixing high-df, low-df, absent and stopword-only
+    terms (FIXTURES.md §3), plus the golden topic 301."""
+    rng = random.Random(seed + 1)
+    vocab = _zipf_vocab()
+    topics = {"301": "Dummy doc"}
+    for i in range(n - 1):
+        qid = str(400 + i)
+        kind = i % 5
+        if kind == 0:  # high-df head terms
+            terms = rng.sample(_VOCAB_HEAD, k=rng.randint(1, 3))
+        elif kind == 1:  # low-df tail terms
+            terms = rng.sample(vocab[1000:], k=rng.randint(1, 4))
+        elif kind == 2:  # mixed
+            terms = [rng.choice(_VOCAB_HEAD), rng.choice(vocab[100:])]
+        elif kind == 3:  # absent terms
+            terms = [f"nosuchterm{i}", rng.choice(vocab[50:])]
+        else:  # stopword-only (English stop set)
+            terms = ["the", "of", "and"][: rng.randint(1, 3)]
+        topics[qid] = " ".join(terms)
+    return topics

@@ -1,0 +1,9 @@
+from .trec import (  # noqa: F401
+    load_qrels,
+    load_trec_run,
+    load_trec_topics,
+    run_df_to_dict,
+    run_dict_to_df,
+    write_qrels,
+    write_trec_run,
+)

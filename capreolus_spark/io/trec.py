@@ -1,0 +1,192 @@
+"""TREC-format topics / qrels / run file I/O.
+
+Re-implements the semantics of reference ``capreolus/utils/trec.py``
+(``load_trec_topics`` :38-106, ``load_qrels`` :109-133, ``write_qrels``
+:136-144) and ``capreolus/searcher/__init__.py`` (``load_trec_run`` :29-46,
+``write_trec_run`` :48-58) as driver-side helpers plus DataFrame bridges.
+
+Run-writer conventions (golden-gated):
+
+* qids sorted numerically ascending (falling back to string for
+  non-numeric qids), docs per qid sorted score-descending with docid
+  ascending as the deterministic tie-break (SURVEY.md §2.6);
+* rank starts at 1;
+* scores rounded to 4 decimals and printed with 6
+  (``0.139500`` — the committed golden runfile format,
+  reference ``searcher/tests/test_searcher.py:63``, SURVEY.md §6.3).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict, defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _qid_sort_key(qid: str):
+    try:
+        return (0, int(qid), "")
+    except ValueError:
+        return (1, 0, qid)
+
+
+# ------------------------------------------------------------------ topics
+
+_TOPIC_TAGS = {"num": "num", "title": "title", "desc": "desc", "narr": "narr"}
+
+
+def load_trec_topics(path: str) -> dict[str, dict[str, str]]:
+    """Parse TREC ``<top>`` SGML topics → {"title"/"desc"/"narr": {qid: text}}.
+
+    Handles both same-line (``<title> text``) and following-lines payloads,
+    and strips the ``Number:``/``Description:``/``Narrative:`` prefixes, as
+    the reference parser does (``utils/trec.py:38-106``).
+    """
+    out = {"title": {}, "desc": {}, "narr": {}}
+    qid = None
+    field = None
+    buf: list[str] = []
+
+    def flush():
+        nonlocal buf, field
+        if qid is not None and field in out and buf:
+            text = " ".join(" ".join(buf).split())
+            if text:
+                out[field][qid] = text
+        buf = []
+
+    with open(path, "rt") as f:
+        for raw in f:
+            line = raw.strip()
+            low = line.lower()
+            if low.startswith("<top>"):
+                qid, field, buf = None, None, []
+            elif low.startswith("</top>"):
+                flush()
+                qid, field = None, None
+            elif low.startswith("<num>"):
+                flush()
+                field = None
+                m = re.search(r"(\d+)", line)
+                if m:
+                    qid = m.group(1)
+            elif low.startswith("<title>"):
+                flush()
+                field = "title"
+                buf = [line[len("<title>"):].strip()]
+            elif low.startswith("<desc>"):
+                flush()
+                field = "desc"
+                rest = re.sub(r"(?i)^<desc>\s*(description:)?", "", line).strip()
+                buf = [rest] if rest else []
+            elif low.startswith("<narr>"):
+                flush()
+                field = "narr"
+                rest = re.sub(r"(?i)^<narr>\s*(narrative:)?", "", line).strip()
+                buf = [rest] if rest else []
+            elif low.startswith("<"):
+                flush()
+                field = None
+            elif field is not None:
+                buf.append(line)
+    flush()
+    return {k: v for k, v in out.items() if v}
+
+
+def load_tsv_topics(path: str) -> dict[str, str]:
+    """``qid\\ttext`` per line (reference ``benchmark/__init__.py:185-196``)."""
+    out = {}
+    with open(path, "rt") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                qid, text = line.split("\t", 1)
+                out[qid] = text
+    return out
+
+
+# ------------------------------------------------------------------ qrels
+
+def load_qrels(path: str, qids=None, include_spam: bool = True) -> dict[str, dict[str, int]]:
+    """qrels file → {qid: {docid: label}}; qids whose labels are all
+    non-positive are dropped (reference ``utils/trec.py:128-130``).
+    Labels < 0 are clamped to 0 unless ``include_spam`` (reference treats
+    negative judgments as 0 when included)."""
+    qrels: dict[str, dict[str, int]] = defaultdict(dict)
+    with open(path, "rt") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qid, _, docid, label = parts[0], parts[1], parts[2], int(parts[3])
+            if qids is not None and qid not in qids:
+                continue
+            if label < 0 and not include_spam:
+                continue
+            qrels[qid][docid] = max(label, 0) if label < 0 else label
+    return {
+        qid: docs
+        for qid, docs in qrels.items()
+        if any(lbl > 0 for lbl in docs.values())
+    }
+
+
+def write_qrels(qrels: dict[str, dict[str, int]], path: str) -> None:
+    """Write ``qid Q0 docid label`` (reference ``utils/trec.py:136-144``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wt") as f:
+        for qid in sorted(qrels, key=_qid_sort_key):
+            for docid, label in sorted(qrels[qid].items()):
+                print(f"{qid} Q0 {docid} {label}", file=f)
+
+
+# ------------------------------------------------------------------ runs
+
+def load_trec_run(path: str) -> dict[str, OrderedDict]:
+    """Run file → {qid: OrderedDict{docid: score}} preserving file order
+    (reference ``searcher/__init__.py:29-46``)."""
+    run: dict[str, OrderedDict] = defaultdict(OrderedDict)
+    with open(path, "rt") as f:
+        for i, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                qid, _, docid, _rank, score, _tag = line.split()
+            except ValueError as e:
+                raise ValueError(f"malformed run line {i} in {path}: {line!r}") from e
+            run[qid][docid] = float(score)
+    return dict(run)
+
+
+def write_trec_run(
+    preds: dict[str, dict[str, float]], path: str, tag: str = "capreolus_spark", mode: str = "wt"
+) -> None:
+    """{qid: {docid: score}} → TREC run file (golden format, see module doc)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, mode) as f:
+        for qid in sorted(preds, key=_qid_sort_key):
+            docs = sorted(preds[qid].items(), key=lambda kv: (-kv[1], kv[0]))
+            for rank, (docid, score) in enumerate(docs, start=1):
+                print(f"{qid} Q0 {docid} {rank} {round(score, 4):.6f} {tag}", file=f)
+
+
+def run_df_to_dict(run_df: DataFrame) -> dict[str, OrderedDict]:
+    """DataFrame(qid, docid, rank, score, ...) → {qid: OrderedDict} ordered by rank."""
+    rows = run_df.select("qid", "docid", "rank", "score").collect()
+    rows.sort(key=lambda r: (_qid_sort_key(r["qid"]), r["rank"]))
+    out: dict[str, OrderedDict] = defaultdict(OrderedDict)
+    for r in rows:
+        out[r["qid"]][r["docid"]] = r["score"]
+    return dict(out)
+
+
+def run_dict_to_df(spark: SparkSession, run: dict[str, dict[str, float]]) -> DataFrame:
+    rows = []
+    for qid in sorted(run, key=_qid_sort_key):
+        docs = sorted(run[qid].items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (docid, score) in enumerate(docs, start=1):
+            rows.append((qid, docid, rank, float(score)))
+    return spark.createDataFrame(rows, "qid string, docid string, rank int, score double")

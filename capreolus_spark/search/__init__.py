@@ -1,0 +1,162 @@
+"""BM25 top-k searcher over the inverted index.
+
+Spark-native twin of the reference's BM25 searcher
+(``capreolus/searcher/anserini.py:150-176`` — Anserini
+``SearchCollection`` subprocess) and of the ``Searcher.query`` /
+``query_from_file`` Python surface (``capreolus/searcher/__init__.py:60-91``).
+
+Execution (SURVEY.md §3.4): analyze queries driver-side with the same
+analyzer as indexing (``searcher/anserini.py:62-67``) → look up df/idf for
+the query terms from the term dictionary (predicate-pushed parquet scan) →
+filter postings to the query terms → cogroup with per-range dl arrays →
+DAAT kernel per docno-range (``daat.py``) → exact global top-k merge
+(window-function path for a DataFrame result, treeAggregate heap-merge
+path for driver-side results).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, OrderedDict
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from .daat import RESULT_SCHEMA, make_range_scorer, merge_topk
+
+__all__ = ["BM25Searcher", "BM25Config"]
+
+
+class BM25Searcher:
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        self.index = index
+        self.config = config or BM25Config()
+        self.prune = prune
+        self.tag = tag
+
+    # ------------------------------------------------------------ analysis
+
+    def analyze_topics(self, topics: dict[str, str]) -> dict[str, list[str]]:
+        kw = self.index.config.analyzer_kwargs()
+        return {
+            str(qid): analyze_text(text, **kw)[:1020] for qid, text in topics.items()
+        }
+
+    def _query_weights(
+        self, analyzed: dict[str, list[str]]
+    ) -> dict[str, list[tuple[str, float, float]]]:
+        """{qid: [terms]} → {qid: [(term, idf, qtf)]}, dropping unseen terms
+        (df=0 terms contribute 0, reference ``index/anserini.py:87``)."""
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        dfs = self.index.get_dfs(all_terms)
+        idf = {t: self.index.idf_from_df(df) for t, df in dfs.items() if df > 0}
+        out = {}
+        for qid, terms in analyzed.items():
+            weighted = [
+                (t, idf[t], float(qtf))
+                for t, qtf in Counter(terms).items()
+                if t in idf
+            ]
+            if weighted:
+                out[qid] = weighted
+        return out
+
+    # ------------------------------------------------------------ execution
+
+    def _candidates(self, weights: dict[str, list[tuple[str, float, float]]]) -> DataFrame:
+        """(qid, docno, score) per-range top-k candidates via the DAAT kernel."""
+        terms = sorted({t for ts in weights.values() for (t, _, _) in ts})
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        scorer = make_range_scorer(
+            weights,
+            k1=self.config.k1,
+            b=self.config.b,
+            avgdl=self.index.avgdl,
+            hits=self.config.hits,
+            prune=self.prune,
+        )
+        return (
+            postings.groupBy("range_id")
+            .cogroup(ranges.groupBy("range_id"))
+            .applyInPandas(scorer, schema=RESULT_SCHEMA)
+        )
+
+    def _with_docids(self, candidates: DataFrame) -> DataFrame:
+        docs = self.index.docs_df().select("docno", "docid")
+        # candidates ≤ n_ranges × hits per query — the small side; broadcast it
+        return docs.join(F.broadcast(candidates), "docno").select(
+            "qid", "docid", "docno", "score"
+        )
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        """Rank topics → DataFrame(qid, docid, rank, score, tag), exact global
+        top-``hits`` with deterministic (score desc, docid asc) ordering."""
+        hits = hits or self.config.hits
+        weights = self._query_weights(self.analyze_topics(topics))
+        spark = self.index.spark
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        cand = self._with_docids(self._candidates(weights))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )
+
+    def search_collect(
+        self, topics: dict[str, str], hits: int | None = None, depth: int = 2
+    ) -> dict[str, OrderedDict]:
+        """Driver-side result: {qid: OrderedDict{docid: score}} — the
+        reference's run shape (``searcher/__init__.py:29-46``).  The global
+        merge is a log-depth ``treeAggregate`` of bounded per-partition
+        top-k lists (north-star merge strategy).
+        """
+        hits = hits or self.config.hits
+        weights = self._query_weights(self.analyze_topics(topics))
+        if not weights:
+            return {}
+        cand = self._with_docids(self._candidates(weights))
+        limit = hits
+
+        def seq(acc: dict, row) -> dict:
+            acc.setdefault(row["qid"], []).append((row["docid"], row["score"]))
+            lst = acc[row["qid"]]
+            if len(lst) > 4 * limit:
+                lst.sort(key=lambda x: (-x[1], x[0]))
+                del lst[limit:]
+            return acc
+
+        def comb(a: dict, b: dict) -> dict:
+            for qid, lst in b.items():
+                merged = a.setdefault(qid, [])
+                merged.extend(lst)
+                merged.sort(key=lambda x: (-x[1], x[0]))
+                del merged[limit:]
+            return a
+
+        merged = cand.select("qid", "docid", "score").rdd.treeAggregate(
+            {}, seq, comb, depth=depth
+        )
+        out = {}
+        for qid, lst in merged.items():
+            lst.sort(key=lambda x: (-x[1], x[0]))
+            out[qid] = OrderedDict(lst[:limit])
+        return out
+
+    def query(self, text: str, hits: int | None = None) -> OrderedDict:
+        """Single ad-hoc query → OrderedDict{docid: score}, mirroring
+        reference ``Searcher.query`` (``searcher/__init__.py:66-91``)."""
+        run = self.search_collect({"1": text}, hits=hits)
+        return run.get("1", OrderedDict())

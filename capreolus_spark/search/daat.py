@@ -1,0 +1,226 @@
+"""Document-at-a-time BM25 scoring kernel (numpy, Arrow-batched).
+
+Runs inside ``applyInPandas`` over cogrouped (postings-for-query-terms,
+range-dl) cells — the Spark-native replacement for Lucene's per-segment
+DAAT search behind the reference's ``io.anserini.search.SearchCollection``
+subprocess (``capreolus/searcher/anserini.py:26-83``).
+
+Each docno-range is an independent shard scored with a dense float64
+accumulator: for every query term present in the range, decode its
+delta+varint posting run once and add
+``qtf * idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))``
+(Lucene ≥8 BM25, no (k1+1) numerator — calibrated against the reference
+goldens, SURVEY.md §6.3) at the postings' slots.  Terms are accumulated
+in a fixed order per query, in float64, so scores are bit-reproducible
+across partition layouts and retries.
+
+Pruning (``prune=True``): block-max MaxScore (Turtle & Flood's MaxScore
+with WAND-style block upper bounds at range granularity — our "block" is
+the (term, range) cell, whose stored ``max_tf`` plus the range's
+``min_dl`` give the bound
+``ub = qtf * idf * max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl))``).
+Terms are processed in descending ub; once the kth-best *current* score
+exceeds the sum of the remaining terms' bounds, no unseen document can
+reach the top-k, so the remaining (low-impact, typically stopword-heavy)
+posting runs are only intersected against the current candidate set
+instead of fully accumulated.  Every returned document's score is exact —
+the candidates' scores still receive all their terms — so pruned and
+unpruned kernels are verified identical in tests.
+
+The per-range cut keeps top-``hits`` *including boundary ties* so the
+global merge can break ties deterministically by docid.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from ..index.codec import decode_int32_array, decode_postings
+
+RESULT_SCHEMA = "qid string, docno long, score double"
+
+_EMPTY = None
+
+
+def _empty_result() -> pd.DataFrame:
+    global _EMPTY
+    if _EMPTY is None:
+        _EMPTY = pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype=object),
+                "docno": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+    return _EMPTY
+
+
+def bm25_tf_sat(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """tf / (tf + k1*(1 - b + b*dl/avgdl)) in float64."""
+    tf = tf.astype(np.float64)
+    norm = k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl))
+    return tf / (tf + norm)
+
+
+def _score_one_query(
+    terms: list[tuple[str, float, float]],
+    get_cell,
+    dls: np.ndarray,
+    scores: np.ndarray,
+    meta_max_tf: dict[str, int],
+    min_norm: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    hits: int,
+    prune: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one query against one range. Returns (slots, scores) of the
+    per-range top-``hits`` candidates (with boundary ties)."""
+    # block upper bounds per term (descending processing order)
+    ubs = np.array(
+        [
+            qtf * idf * (meta_max_tf[t] / (meta_max_tf[t] + min_norm))
+            for (t, idf, qtf) in terms
+        ],
+        dtype=np.float64,
+    )
+    order = np.argsort(-ubs, kind="stable")
+    suffix_ub = np.concatenate([np.cumsum(ubs[order][::-1])[::-1], [0.0]])
+
+    touched: list[np.ndarray] = []
+    cand: np.ndarray | None = None  # sorted candidate slots once pruning starts
+    pruning = False
+
+    for pos, oi in enumerate(order):
+        t, idf, qtf = terms[oi]
+        if prune and not pruning and pos > 0:
+            seen = np.unique(np.concatenate(touched))
+            if seen.size >= hits:
+                kth = np.partition(scores[seen], seen.size - hits)[seen.size - hits]
+                if kth > suffix_ub[pos]:
+                    # no unseen doc can reach top-k: restrict to candidates
+                    pruning = True
+                    cand = seen
+        slots, tfs = get_cell(t)
+        if pruning:
+            keep = np.isin(slots, cand, assume_unique=True)
+            slots, tfs = slots[keep], tfs[keep]
+            if slots.size == 0:
+                continue
+        else:
+            touched.append(slots)
+        scores[slots] += qtf * idf * bm25_tf_sat(tfs, dls[slots], k1, b, avgdl)
+
+    if not touched:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_slots = np.unique(np.concatenate(touched))
+    cscores = scores[all_slots]
+    pos_mask = cscores > 0.0
+    all_slots, cscores = all_slots[pos_mask], cscores[pos_mask]
+    if all_slots.size > hits:
+        kth = np.partition(cscores, all_slots.size - hits)[all_slots.size - hits]
+        keep = cscores >= kth  # keep boundary ties for exact global cut
+        all_slots, cscores = all_slots[keep], cscores[keep]
+    return all_slots, cscores.copy()
+
+
+def make_range_scorer(
+    query_terms: dict[str, list[tuple[str, float, float]]],
+    k1: float,
+    b: float,
+    avgdl: float,
+    hits: int,
+    prune: bool = True,
+):
+    """Build the cogrouped applyInPandas function.
+
+    ``query_terms``: {qid: [(term, idf, qtf), ...]} — tiny, captured in the
+    closure (shipped to executors with the serialized task, playing the role
+    of the reference's driver-side stats cache, ``index/anserini.py:100-114``).
+    """
+    # deterministic per-query term order for reproducible float accumulation
+    qlist = [
+        (qid, sorted(terms, key=lambda x: x[0]))
+        for qid, terms in sorted(query_terms.items())
+    ]
+
+    def score_range(postings: pd.DataFrame, ranges: pd.DataFrame) -> pd.DataFrame:
+        if len(postings) == 0 or len(ranges) == 0:
+            return _empty_result()
+        rrow = ranges.iloc[0]
+        base = int(rrow["base_docno"])
+        n_slots = int(rrow["n_slots"])
+        dls = decode_int32_array(rrow["dls"])
+        min_norm = k1 * (1.0 - b + b * (max(int(rrow["min_dl"]), 1) / avgdl))
+
+        rows_by_term = {}
+        meta_max_tf = {}
+        for i in range(len(postings)):
+            prow = postings.iloc[i]
+            rows_by_term[prow["term"]] = prow
+            meta_max_tf[prow["term"]] = int(prow["max_tf"])
+
+        cells: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def get_cell(t: str) -> tuple[np.ndarray, np.ndarray]:
+            cell = cells.get(t)
+            if cell is None:
+                prow = rows_by_term[t]
+                docnos, tfs = decode_postings(prow["docnos"], prow["tfs"])
+                cells[t] = cell = (docnos - base, tfs)
+            return cell
+
+        scores = np.zeros(n_slots, dtype=np.float64)
+        out_qid: list[str] = []
+        out_docno: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+
+        for qid, terms in qlist:
+            present = [x for x in terms if x[0] in rows_by_term]
+            if not present:
+                continue
+            slots, cscores = _score_one_query(
+                present, get_cell, dls, scores, meta_max_tf, min_norm,
+                k1, b, avgdl, hits, prune,
+            )
+            # zero only the touched slots (cheaper than scores[:] = 0)
+            for t, _, _ in present:
+                cell = cells.get(t)
+                if cell is not None:
+                    scores[cell[0]] = 0.0
+            if slots.size:
+                out_qid.append(qid)
+                out_docno.append(slots + base)
+                out_score.append(cscores)
+
+        if not out_qid:
+            return _empty_result()
+        sizes = [len(a) for a in out_docno]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(np.array(out_qid, dtype=object), sizes),
+                "docno": np.concatenate(out_docno),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    return score_range
+
+
+def merge_topk(
+    candidates: Iterable[tuple[str, str, float]], hits: int
+) -> dict[str, list[tuple[str, float]]]:
+    """Exact top-``hits`` per qid with deterministic
+    (score desc, docid asc) ordering — the treeReduce/driver merge step."""
+    best: dict[str, list[tuple[float, str]]] = {}
+    for qid, docid, score in candidates:
+        best.setdefault(qid, []).append((score, docid))
+    out = {}
+    for qid, items in best.items():
+        items.sort(key=lambda x: (-x[0], x[1]))
+        out[qid] = [(d, s) for s, d in items[:hits]]
+    return out

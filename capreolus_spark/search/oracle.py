@@ -1,0 +1,135 @@
+"""Pure-DataFrame BM25 oracle.
+
+The same BM25 semantics as the DAAT kernel, expressed entirely as
+declarative Spark relational ops (explode → groupBy → join → window),
+so Catalyst plans it end-to-end.  Used as:
+
+* the brute-force correctness oracle for the posting/DAAT fast path
+  (SURVEY.md §5 "our plan"),
+* the SQL-expressible face of the engine for the DuckDB driver gate
+  (``__spark_entry__.py``).
+
+The only non-relational stage is the vectorized Arrow tokenizer.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis import analyze_series, analyze_text
+
+
+def analyzed_terms_df(
+    corpus: DataFrame, stemmer: str = "porter", remove_stops: bool = True
+) -> DataFrame:
+    """corpus(docid, content) → (docid, terms array<string>, dl int).
+
+    ``dl`` counts pre-stopword-filter tokens (SURVEY.md §6.3); ``terms``
+    are the indexed (stop-filtered, stemmed) terms.
+    """
+    out_type = T.StructType(
+        [
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("dl", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def analyze_udf(content: pd.Series) -> pd.DataFrame:
+        terms, dl = analyze_series(content, stemmer=stemmer, remove_stops=remove_stops)
+        return pd.DataFrame({"terms": terms, "dl": dl})
+
+    return corpus.select(
+        "docid", analyze_udf(F.col("content")).alias("a")
+    ).select("docid", F.col("a.terms").alias("terms"), F.col("a.dl").alias("dl"))
+
+
+def bm25_oracle(
+    spark: SparkSession,
+    corpus: DataFrame,
+    topics: dict[str, str],
+    k1: float = 0.9,
+    b: float = 0.4,
+    hits: int = 1000,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+) -> DataFrame:
+    """Rank ``topics`` ({qid: text}) against ``corpus`` (docid, content).
+
+    Returns (qid, docid, rank, score) with deterministic
+    (score desc, docid asc) ordering; scores are exact-arithmetic float64
+    BM25 (idf = ln(1+(N-df+0.5)/(df+0.5)); no (k1+1) numerator).
+    """
+    analyzed = analyzed_terms_df(corpus, stemmer=stemmer, remove_stops=remove_stops)
+    analyzed = analyzed.persist()
+    try:
+        stats = analyzed.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        n_docs = stats["n"]
+        avgdl = (stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
+
+        tf = (
+            analyzed.select("docid", "dl", F.explode("terms").alias("term"))
+            .groupBy("docid", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+
+        # tiny query-term relation: (qid, term, qtf) — broadcast side of the join
+        qrows = []
+        for qid, text in topics.items():
+            terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+            for term, qtf in Counter(terms).items():
+                qrows.append((str(qid), term, qtf))
+        if not qrows:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double"
+            )
+        qdf = spark.createDataFrame(qrows, "qid string, term string, qtf long")
+
+        df_table = tf.groupBy("term").agg(F.count("*").alias("df"))
+        qdf = (
+            qdf.join(df_table, "term", "inner")  # unseen terms contribute nothing
+            .withColumn(
+                "idf",
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    ),
+                ),
+            )
+        )
+
+        scored = (
+            tf.join(F.broadcast(qdf), "term")
+            .withColumn(
+                "term_score",
+                F.col("qtf")
+                * F.col("idf")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                ),
+            )
+            .groupBy("qid", "docid")
+            .agg(F.sum("term_score").alias("score"))
+        )
+
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score")
+        )
+    finally:
+        analyzed.unpersist()

@@ -1,0 +1,113 @@
+"""Golden searcher tests mirroring reference capreolus/searcher/tests/test_searcher.py,
+plus DAAT-kernel vs pure-DataFrame-oracle equivalence on the synthetic corpus."""
+
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.index import IndexConfig, InvertedIndex, make_docid_column
+from capreolus_spark.io.trec import load_trec_run, run_df_to_dict, write_trec_run
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.oracle import bm25_oracle
+from capreolus_spark.data import synth_corpus, synth_queries
+
+
+@pytest.fixture(scope="session")
+def dummy_searcher(dummy_index):
+    return BM25Searcher(dummy_index, BM25Config(k1=0.9, b=0.4, hits=1000))
+
+
+def test_golden_bm25_runfile(dummy_searcher, tmp_path):
+    # reference searcher/tests/test_searcher.py:52-63
+    run_df = dummy_searcher.search({"301": "Dummy doc"})
+    run = run_df_to_dict(run_df)
+    outfn = str(tmp_path / "searcher")
+    write_trec_run(run, outfn, tag="Anserini")
+    with open(outfn) as f:
+        lines = f.readlines()
+    assert lines == [
+        "301 Q0 LA010189-0001 1 0.139500 Anserini\n",
+        "301 Q0 LA010189-0002 2 0.097000 Anserini\n",
+    ]
+
+
+def test_golden_scores_exact(dummy_searcher):
+    run = dummy_searcher.search_collect({"301": "Dummy doc"})["301"]
+    docids = list(run.keys())
+    assert docids == ["LA010189-0001", "LA010189-0002"]
+    assert run["LA010189-0001"] == pytest.approx(0.13948959, abs=1e-6)
+    assert run["LA010189-0002"] == pytest.approx(0.09704004, abs=1e-6)
+
+
+def test_query_api(dummy_searcher):
+    # reference searcher/tests/test_searcher.py:33-49: query() returns hits results
+    res = dummy_searcher.query("Dummy doc", hits=1)
+    assert len(res) == 1
+    assert next(iter(res)) == "LA010189-0001"
+    assert dummy_searcher.query("nonexistentterm xyzzy") == {}
+    # stopword-only query matches nothing (stops removed at indexing)
+    assert dummy_searcher.query("the of and") == {}
+
+
+def test_run_roundtrip(dummy_searcher, tmp_path):
+    run_df = dummy_searcher.search({"301": "Dummy doc"})
+    run = run_df_to_dict(run_df)
+    fn = str(tmp_path / "run.txt")
+    write_trec_run(run, fn)
+    loaded = load_trec_run(fn)
+    assert list(loaded["301"].keys()) == ["LA010189-0001", "LA010189-0002"]
+    assert loaded["301"]["LA010189-0001"] == pytest.approx(0.1395)
+
+
+@pytest.fixture(scope="session")
+def synth_index(spark, tmp_path_factory):
+    corpus = make_docid_column(synth_corpus(spark, 400))
+    index_dir = str(tmp_path_factory.mktemp("synth_index"))
+    # small range_size so the corpus spans many ranges (exercises the merge)
+    cfg = IndexConfig(range_size=1 << 17, num_doc_partitions=5)
+    idx = InvertedIndex.create(spark, corpus, index_dir, cfg)
+    return idx, corpus
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_daat_matches_oracle_on_synth(spark, synth_index, prune):
+    """Rank-identical top-k docids AND scores: DAAT kernel vs the pure
+    DataFrame oracle (SURVEY.md §5), across mixed query shapes."""
+    idx, corpus = synth_index
+    topics = synth_queries(25)
+    searcher = BM25Searcher(idx, BM25Config(hits=50), prune=prune)
+    kernel_run = run_df_to_dict(searcher.search(topics, hits=50))
+    oracle_run = run_df_to_dict(
+        bm25_oracle(spark, corpus.select("docid", "content"), topics, hits=50)
+    )
+
+    assert set(kernel_run) == set(oracle_run)
+    for qid in oracle_run:
+        kdocs = list(kernel_run[qid].keys())
+        odocs = list(oracle_run[qid].keys())
+        assert kdocs == odocs, f"rank mismatch qid={qid}"
+        for d in odocs:
+            assert kernel_run[qid][d] == pytest.approx(oracle_run[qid][d], abs=1e-9), (
+                f"score mismatch qid={qid} doc={d}"
+            )
+
+
+def test_treeaggregate_matches_window_merge(synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(8).items())[:6])
+    searcher = BM25Searcher(idx, BM25Config(hits=20))
+    df_run = run_df_to_dict(searcher.search(topics, hits=20))
+    tree_run = searcher.search_collect(topics, hits=20)
+    assert set(df_run) == set(tree_run)
+    for qid in df_run:
+        assert list(df_run[qid]) == list(tree_run[qid])
+        for d in df_run[qid]:
+            assert df_run[qid][d] == pytest.approx(tree_run[qid][d], abs=1e-12)
+
+
+def test_hits_cut_and_determinism(synth_index):
+    idx, _ = synth_index
+    searcher = BM25Searcher(idx, BM25Config(hits=5))
+    run1 = searcher.search_collect({"q": "def return self import"})
+    run2 = searcher.search_collect({"q": "def return self import"})
+    assert run1 == run2
+    assert len(run1["q"]) == 5
