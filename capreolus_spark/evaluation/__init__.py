@@ -1,0 +1,225 @@
+"""Retrieval evaluation: TREC metrics, run interpolation, cross-validated
+best-run selection.
+
+Re-implements the reference's evaluator (``capreolus/evaluator.py``) without
+the pytrec_eval C extension: metrics follow trec_eval semantics —
+
+* docs ordered by (score desc, docid desc) — trec_eval's tie-break;
+* binary metrics (map/P/recall/recip_rank/MRR@10) treat ``label >=
+  relevance_level`` as relevant (reference ``benchmark/__init__.py:129-131``);
+* ``ndcg_cut_k`` uses trec_eval's linear-gain form ``rel / log2(rank+1)``
+  with the ideal ranking from the graded qrels;
+* metrics are averaged over the qids present in BOTH run and qrels
+  (reference ``evaluator.py:55-60``), -1 when there is no overlap.
+
+``interpolate_runs`` reproduces reference ``evaluator.py:174-203`` exactly,
+including the degenerate ``min == max`` guard (``min = 0.01*max - 0.01``)
+and missing-docid fill with that side's per-qid min.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+
+import numpy as np
+
+DEFAULT_METRICS = [
+    "P_1", "P_5", "P_10", "P_20",
+    "judged_10", "judged_20", "judged_200",
+    "map",
+    "ndcg_cut_5", "ndcg_cut_10", "ndcg_cut_20",
+    "recall_100", "recall_1000",
+    "recip_rank",
+    "MRR@10",
+]
+
+
+def _ranked(rundocs: dict[str, float]) -> list[str]:
+    # trec_eval orders by score desc, breaking ties by docid DESC
+    return sorted(
+        sorted(rundocs, reverse=True), key=lambda d: -rundocs[d]
+    )
+
+
+def _rel_set(qrel: dict[str, int], level: int) -> set[str]:
+    return {d for d, lbl in qrel.items() if lbl >= level}
+
+
+def _ap(ranked: list[str], rel: set[str]) -> float:
+    if not rel:
+        return 0.0
+    hits = 0
+    total = 0.0
+    for i, d in enumerate(ranked, start=1):
+        if d in rel:
+            hits += 1
+            total += hits / i
+    return total / len(rel)
+
+
+def _precision_at(ranked: list[str], rel: set[str], k: int) -> float:
+    return sum(1 for d in ranked[:k] if d in rel) / k
+
+
+def _recall_at(ranked: list[str], rel: set[str], k: int) -> float:
+    if not rel:
+        return 0.0
+    return sum(1 for d in ranked[:k] if d in rel) / len(rel)
+
+
+def _recip_rank(ranked: list[str], rel: set[str], cutoff: int | None = None) -> float:
+    top = ranked if cutoff is None else ranked[:cutoff]
+    for i, d in enumerate(top, start=1):
+        if d in rel:
+            return 1.0 / i
+    return 0.0
+
+
+def _ndcg_cut(ranked: list[str], qrel: dict[str, int], k: int) -> float:
+    dcg = 0.0
+    for i, d in enumerate(ranked[:k], start=1):
+        g = qrel.get(d, 0)
+        if g > 0:
+            dcg += g / math.log2(i + 1)
+    ideal_gains = sorted((g for g in qrel.values() if g > 0), reverse=True)[:k]
+    idcg = sum(g / math.log2(i + 1) for i, g in enumerate(ideal_gains, start=1))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def _judged(ranked: list[str], qrel: dict[str, int], n: int) -> float:
+    """Fraction of the top-n that has ANY qrel entry (judged), reference
+    ``evaluator.py:32-47`` (uses qrel membership, not relevance)."""
+    top = ranked[:n]
+    if not top:
+        return 0.0
+    return sum(1 for d in top if d in qrel) / len(top)
+
+
+def eval_runs(
+    runs: dict[str, dict[str, float]],
+    qrels: dict[str, dict[str, int]],
+    metrics: list[str] | None = None,
+    relevance_level: int = 1,
+) -> dict[str, float]:
+    """Per-metric mean over the qids present in both runs and qrels."""
+    metrics = metrics or list(DEFAULT_METRICS)
+    overlap = sorted(set(runs) & set(qrels))
+    if not overlap:
+        return {m: -1.0 for m in metrics}
+
+    per_q: dict[str, list[float]] = {m: [] for m in metrics}
+    for qid in overlap:
+        ranked = _ranked(runs[qid])
+        qrel = qrels[qid]
+        rel = _rel_set(qrel, relevance_level)
+        for m in metrics:
+            if m == "map":
+                v = _ap(ranked, rel)
+            elif m.startswith("P_"):
+                v = _precision_at(ranked, rel, int(m[2:]))
+            elif m.startswith("recall_"):
+                v = _recall_at(ranked, rel, int(m[7:]))
+            elif m.startswith("ndcg_cut_"):
+                v = _ndcg_cut(ranked, qrel, int(m[9:]))
+            elif m == "recip_rank":
+                v = _recip_rank(ranked, rel)
+            elif m == "MRR@10":
+                v = _recip_rank(ranked, rel, cutoff=10)
+            elif m.startswith("judged_"):
+                v = _judged(ranked, qrel, int(m[7:]))
+            else:
+                raise ValueError(f"unknown metric {m}")
+            per_q[m].append(v)
+    return {m: float(np.mean(vs)) for m, vs in per_q.items()}
+
+
+# ------------------------------------------------------------ interpolation
+
+def interpolate_runs(
+    run1: dict, run2: dict, qids, alpha: float
+) -> dict[str, dict[str, float]]:
+    """alpha·norm(run1) + (1-alpha)·norm(run2) per qid with min-max
+    normalization; exact reference semantics (``evaluator.py:174-203``)."""
+    out: dict[str, dict[str, float]] = {}
+    for qid in qids:
+        out[qid] = {}
+        docs1 = run1.get(qid, {})
+        docs2 = run2.get(qid, {})
+        if len(docs1) == 0:
+            min1, max1 = 0.0, 1.0
+        else:
+            min1, max1 = min(docs1.values()), max(docs1.values())
+            if min1 == max1:
+                min1 = 0.01 * max1 - 0.01
+        if len(docs2) == 0:
+            min2, max2 = 0.0, 1.0
+        else:
+            min2, max2 = min(docs2.values()), max(docs2.values())
+            if min2 == max2:
+                min2 = 0.01 * max2 - 0.01
+        for docid in set(docs1) | set(docs2):
+            s1 = (docs1.get(docid, min1) - min1) / (max1 - min1)
+            s2 = (docs2.get(docid, min2) - min2) / (max2 - min2)
+            out[qid][docid] = alpha * s1 + (1 - alpha) * s2
+    return out
+
+
+def interpolated_eval(
+    run1_dev: dict, run2_dev: dict, run1_test: dict, run2_test: dict,
+    dev_qids, test_qids, qrels, primary_metric: str,
+    relevance_level: int = 1,
+) -> dict:
+    """Pick alpha on dev (grid 0..1 step .05, reference ``evaluator.py:218``),
+    apply to test."""
+    best_alpha, best_metric = 0.0, None
+    for alpha in np.arange(0, 1.001, 0.05):
+        interp = interpolate_runs(run1_dev, run2_dev, dev_qids, float(alpha))
+        score = eval_runs(interp, qrels, [primary_metric], relevance_level)[primary_metric]
+        if best_metric is None or score > best_metric:
+            best_metric, best_alpha = score, float(alpha)
+    test_run = interpolate_runs(run1_test, run2_test, test_qids, best_alpha)
+    scores = eval_runs(test_run, qrels, None, relevance_level)
+    return {"alpha": best_alpha, "dev_score": best_metric, "test_score": scores, "test_run": test_run}
+
+
+def search_best_run(
+    runs_by_config: dict[str, dict[str, dict[str, float]]],
+    qrels: dict[str, dict[str, int]],
+    folds: dict,
+    primary_metric: str,
+    metrics: list[str] | None = None,
+    relevance_level: int = 1,
+) -> dict:
+    """Cross-validated grid selection (reference ``evaluator.py:122-171``):
+    per fold, pick the config maximizing the primary metric on dev qids;
+    assemble the cross-fold test run from each fold's winner; score it."""
+    metrics = metrics or list(DEFAULT_METRICS)
+    if primary_metric not in metrics:
+        metrics = [primary_metric] + metrics
+
+    best_by_fold: dict[str, str] = {}
+    for fold, spec in folds.items():
+        dev_qids = set(spec["predict"]["dev"])
+        best_name, best_score = None, None
+        for name in sorted(runs_by_config):
+            run = runs_by_config[name]
+            dev_run = {q: d for q, d in run.items() if q in dev_qids}
+            score = eval_runs(dev_run, qrels, [primary_metric], relevance_level)[primary_metric]
+            if best_score is None or score > best_score:
+                best_name, best_score = name, score
+        best_by_fold[fold] = best_name
+
+    test_run: dict[str, dict[str, float]] = {}
+    for fold, spec in folds.items():
+        run = runs_by_config[best_by_fold[fold]]
+        for qid in spec["predict"]["test"]:
+            if qid in run:
+                assert qid not in test_run, f"test qid {qid} in multiple folds"
+                test_run[qid] = OrderedDict(run[qid])
+
+    return {
+        "best_by_fold": best_by_fold,
+        "score": eval_runs(test_run, qrels, metrics, relevance_level),
+        "test_run": test_run,
+    }

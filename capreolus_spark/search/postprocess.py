@@ -1,0 +1,78 @@
+"""Run post-processing: filter / keep / top-n re-cut / passage dedup.
+
+Spark DataFrame twins of the reference's ``PostprocessMixin``
+(``capreolus/searcher/anserini.py:86-147``):
+
+* remove-list filter → left ANTI join (``:109-116``),
+* keep-list filter → left SEMI join (``:117-120``),
+* ``keep_topn`` re-cut by score (``:87-95``),
+* passage→doc dedup: docid = passage id before the first '.', doc score =
+  MAX over its passages (``:134-147`` — the comment there says "sum" but
+  the code takes the max; we follow the code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _rerank(run: DataFrame) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    out = run.withColumn("rank", F.row_number().over(w))
+    cols = ["qid", "docid", "rank", "score"] + (
+        ["tag"] if "tag" in run.columns else []
+    )
+    return out.select(*cols)
+
+
+def filter_run(
+    run: DataFrame,
+    docs_to_remove: DataFrame | None = None,
+    docs_to_keep: DataFrame | None = None,
+    topn: int | None = None,
+) -> DataFrame:
+    """Filter a run DataFrame(qid, docid, score[, rank, tag]).
+
+    ``docs_to_remove`` / ``docs_to_keep``: DataFrame with (docid) for a
+    global list or (qid, docid) for per-query lists — matching the
+    reference's list-vs-dict dual shape (``searcher/anserini.py:98-120``).
+    """
+    out = run
+    if docs_to_remove is not None:
+        on = ["qid", "docid"] if "qid" in docs_to_remove.columns else ["docid"]
+        out = out.join(F.broadcast(docs_to_remove.select(*on).distinct()), on, "left_anti")
+    if docs_to_keep is not None:
+        on = ["qid", "docid"] if "qid" in docs_to_keep.columns else ["docid"]
+        out = out.join(F.broadcast(docs_to_keep.select(*on).distinct()), on, "left_semi")
+    out = _rerank(out)
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out
+
+
+def dedup_passages(run: DataFrame, topn: int | None = None) -> DataFrame:
+    """Passage-level run → doc-level run: strip the passage suffix after the
+    first '.', keep each doc's MAX passage score, re-rank."""
+    docs = (
+        run.withColumn("docid", F.split(F.col("docid"), "\\.").getItem(0))
+        .groupBy("qid", "docid")
+        .agg(F.max("score").alias("score"))
+    )
+    out = _rerank(docs)
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out
+
+
+def threshold_run(run: DataFrame, k: int) -> DataFrame:
+    """Cut a run to the top-k per qid preserving order (reference
+    ``utils/trec.py:7-20``)."""
+    return _rerank(run).filter(F.col("rank") <= k)
+
+
+def qid_filter(run: DataFrame, qids: list[str], spark: SparkSession) -> DataFrame:
+    """Restrict a run to a fold's qids via a broadcast semi-join
+    (reference ``benchmark/__init__.py:174-192`` / ``task/rerank.py:66-81``)."""
+    qdf = spark.createDataFrame([(q,) for q in qids], "qid string")
+    return run.join(F.broadcast(qdf), "qid", "left_semi")

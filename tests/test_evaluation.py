@@ -1,0 +1,109 @@
+import math
+
+import pytest
+
+from capreolus_spark.evaluation import (
+    DEFAULT_METRICS,
+    eval_runs,
+    interpolate_runs,
+    interpolated_eval,
+    search_best_run,
+)
+
+
+def test_interpolate_runs_golden():
+    # exact assertions from reference capreolus/tests/test_evaluator.py:4-11
+    run1 = {1: {"d1": 1, "d2": 2}, 2: {"d1": 1, "d2": 2}}
+    run2 = {1: {"d1": 2, "d2": 1}, 2: {"d1": 1, "d2": 2}}
+    qids = run1.keys()
+    assert interpolate_runs(run1, run2, qids, 0.5) == {
+        1: {"d1": 0.5, "d2": 0.5},
+        2: {"d1": 0.0, "d2": 1.0},
+    }
+    assert interpolate_runs(run1, run2, qids, 0.2) == {
+        1: {"d1": 0.8, "d2": 0.2},
+        2: {"d1": 0.0, "d2": 1.0},
+    }
+
+
+def test_interpolate_degenerate_and_missing():
+    # min == max → min = 0.01*max - 0.01 (evaluator.py:184-185)
+    run1 = {"q": {"d1": 2.0, "d2": 2.0}}
+    run2 = {"q": {"d1": 1.0, "d3": 3.0}}
+    out = interpolate_runs(run1, run2, ["q"], 1.0)
+    # normalized run1: (2 - 0.01)/(2 - 0.01) == 1 for both docs
+    assert out["q"]["d1"] == pytest.approx(1.0)
+    assert out["q"]["d2"] == pytest.approx(1.0)
+    # d3 missing from run1 → filled with run1's min → normalizes to 0
+    assert out["q"]["d3"] == pytest.approx(0.0)
+
+
+QRELS = {
+    "q1": {"d1": 1, "d2": 0, "d3": 2},
+    "q2": {"d1": 1},
+}
+RUN = {
+    "q1": {"d1": 3.0, "d2": 2.5, "d3": 2.0, "d4": 1.0},
+    "q2": {"d9": 2.0, "d1": 1.0},
+}
+
+
+def test_eval_runs_metrics():
+    m = eval_runs(RUN, QRELS, ["map", "P_1", "P_5", "recall_100", "recip_rank", "MRR@10", "ndcg_cut_5", "judged_10"])
+    # q1: rel = {d1, d3}; ranked d1,d2,d3,d4 → AP = (1/1 + 2/3)/2 = 5/6
+    # q2: rel = {d1}; ranked d9,d1 → AP = 1/2
+    assert m["map"] == pytest.approx((5 / 6 + 1 / 2) / 2)
+    assert m["P_1"] == pytest.approx((1 + 0) / 2)
+    assert m["P_5"] == pytest.approx((2 / 5 + 1 / 5) / 2)
+    assert m["recall_100"] == pytest.approx((1.0 + 1.0) / 2)
+    assert m["recip_rank"] == pytest.approx((1.0 + 0.5) / 2)
+    assert m["MRR@10"] == pytest.approx((1.0 + 0.5) / 2)
+    # q1 ndcg@5: dcg = 1/log2(2) + 2/log2(4); idcg = 2/log2(2) + 1/log2(3)
+    dcg = 1 / math.log2(2) + 2 / math.log2(4)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3)
+    q2_ndcg = (1 / math.log2(3)) / (1 / math.log2(2))
+    assert m["ndcg_cut_5"] == pytest.approx((dcg / idcg + q2_ndcg) / 2)
+    # judged_10: q1 3/4 judged, q2 1/2 judged
+    assert m["judged_10"] == pytest.approx((3 / 4 + 1 / 2) / 2)
+
+
+def test_eval_runs_no_overlap_and_relevance_level():
+    assert eval_runs({"zz": {"d": 1.0}}, QRELS, ["map"]) == {"map": -1.0}
+    # with relevance_level=2 only d3 counts for q1
+    m = eval_runs({"q1": RUN["q1"]}, {"q1": QRELS["q1"]}, ["map"], relevance_level=2)
+    assert m["map"] == pytest.approx(1 / 3)
+
+
+def test_tie_break_docid_desc():
+    # trec_eval breaks score ties by docid descending
+    m = eval_runs({"q": {"a": 1.0, "b": 1.0}}, {"q": {"b": 1}}, ["P_1"])
+    assert m["P_1"] == 1.0  # b ranks first
+
+
+def test_search_best_run_cross_validation():
+    folds = {
+        "s1": {"train_qids": ["q1"], "predict": {"dev": ["q1"], "test": ["q2"]}},
+        "s2": {"train_qids": ["q2"], "predict": {"dev": ["q2"], "test": ["q1"]}},
+    }
+    good = RUN
+    bad = {"q1": {"d4": 3.0, "d2": 2.0}, "q2": {"d9": 1.0}}
+    res = search_best_run({"good": good, "bad": bad}, QRELS, folds, "map")
+    assert res["best_by_fold"] == {"s1": "good", "s2": "good"}
+    assert set(res["test_run"]) == {"q1", "q2"}
+    assert res["score"]["map"] == pytest.approx((5 / 6 + 1 / 2) / 2)
+
+
+def test_interpolated_eval_picks_alpha():
+    qrels = {"q": {"good": 1}}
+    run1 = {"q": {"good": 5.0, "bad": 1.0}}
+    run2 = {"q": {"bad": 5.0, "good": 1.0}}
+    res = interpolated_eval(run1, run2, run1, run2, ["q"], ["q"], qrels, "map")
+    # at alpha=0.5 the scores tie and docid-desc puts "good" first, so 0.5 is
+    # the first grid point reaching map=1.0 (argmax keeps the first best)
+    assert res["alpha"] == pytest.approx(0.5)
+    assert res["test_score"]["map"] == pytest.approx(1.0)
+
+
+def test_default_metrics_all_computable():
+    out = eval_runs(RUN, QRELS, DEFAULT_METRICS)
+    assert set(out) == set(DEFAULT_METRICS)

@@ -1,0 +1,109 @@
+import pytest
+
+from capreolus_spark.io.trec import (
+    load_qrels,
+    load_trec_topics,
+    load_tsv_topics,
+    write_qrels,
+    write_trec_run,
+    load_trec_run,
+)
+from capreolus_spark.search.postprocess import (
+    dedup_passages,
+    filter_run,
+    qid_filter,
+    threshold_run,
+)
+
+
+@pytest.fixture()
+def run_df(spark):
+    rows = [
+        ("1", "d1", 3.0), ("1", "d2", 2.0), ("1", "d3", 1.0),
+        ("2", "d1", 5.0), ("2", "d4", 4.0),
+    ]
+    return spark.createDataFrame(rows, "qid string, docid string, score double")
+
+
+def test_filter_remove_global(spark, run_df):
+    remove = spark.createDataFrame([("d1",)], "docid string")
+    out = filter_run(run_df, docs_to_remove=remove).collect()
+    assert {(r["qid"], r["docid"]) for r in out} == {("1", "d2"), ("1", "d3"), ("2", "d4")}
+    ranks = {(r["qid"], r["docid"]): r["rank"] for r in out}
+    assert ranks[("1", "d2")] == 1 and ranks[("1", "d3")] == 2 and ranks[("2", "d4")] == 1
+
+
+def test_filter_remove_per_qid(spark, run_df):
+    remove = spark.createDataFrame([("1", "d1")], "qid string, docid string")
+    out = filter_run(run_df, docs_to_remove=remove).collect()
+    pairs = {(r["qid"], r["docid"]) for r in out}
+    assert ("1", "d1") not in pairs and ("2", "d1") in pairs
+
+
+def test_filter_keep_and_topn(spark, run_df):
+    keep = spark.createDataFrame([("d1",), ("d2",), ("d4",)], "docid string")
+    out = filter_run(run_df, docs_to_keep=keep, topn=1).collect()
+    assert {(r["qid"], r["docid"]) for r in out} == {("1", "d1"), ("2", "d1")}
+
+
+def test_threshold_and_qid_filter(spark, run_df):
+    assert threshold_run(run_df, 1).count() == 2
+    assert qid_filter(run_df, ["1"], spark).count() == 3
+
+
+def test_dedup_passages_max(spark):
+    rows = [
+        ("1", "docA.1", 2.0), ("1", "docA.2", 5.0), ("1", "docB.1", 3.0),
+    ]
+    run = spark.createDataFrame(rows, "qid string, docid string, score double")
+    out = {r["docid"]: (r["score"], r["rank"]) for r in dedup_passages(run).collect()}
+    # max over passages (reference searcher/anserini.py:134-147 — code is max)
+    assert out == {"docA": (5.0, 1), "docB": (3.0, 2)}
+
+
+def test_load_trec_topics(tmp_path):
+    fn = tmp_path / "topics.txt"
+    fn.write_text(
+        "<top>\n<num> Number: 301\n<title> Dummy doc\n\n"
+        "<desc> Description:\nFind dummy documents.\n\n"
+        "<narr> Narrative:\nAnything dummy counts.\n</top>\n"
+        "<top>\n<num> Number: 302 \n<title>\nSecond title\n</top>\n"
+    )
+    topics = load_trec_topics(str(fn))
+    assert topics["title"] == {"301": "Dummy doc", "302": "Second title"}
+    assert topics["desc"] == {"301": "Find dummy documents."}
+    assert topics["narr"] == {"301": "Anything dummy counts."}
+
+
+def test_load_tsv_topics(tmp_path):
+    fn = tmp_path / "topics.tsv"
+    fn.write_text("301\tDummy doc\n302\thello\tworld\n")
+    assert load_tsv_topics(str(fn)) == {"301": "Dummy doc", "302": "hello\tworld"}
+
+
+def test_load_qrels_drops_no_positive(tmp_path):
+    fn = tmp_path / "qrels.txt"
+    fn.write_text("301 0 d1 1\n301 0 d2 0\n302 0 d3 0\n303 0 d4 2\n")
+    qrels = load_qrels(str(fn))
+    assert set(qrels) == {"301", "303"}  # 302 has no positive label
+    assert qrels["301"] == {"d1": 1, "d2": 0}
+
+
+def test_write_qrels_roundtrip(tmp_path):
+    fn = str(tmp_path / "out_qrels.txt")
+    write_qrels({"2": {"d1": 1}, "10": {"d2": 2}}, fn)
+    lines = open(fn).read().splitlines()
+    assert lines == ["2 Q0 d1 1", "10 Q0 d2 2"]  # numeric qid order
+
+
+def test_run_writer_ordering(tmp_path):
+    fn = str(tmp_path / "run.txt")
+    write_trec_run({"10": {"a": 1.0}, "2": {"x": 0.5, "y": 0.75}}, fn, tag="t")
+    lines = open(fn).read().splitlines()
+    assert lines == [
+        "2 Q0 y 1 0.750000 t",
+        "2 Q0 x 2 0.500000 t",
+        "10 Q0 a 1 1.000000 t",
+    ]
+    run = load_trec_run(fn)
+    assert list(run["2"]) == ["y", "x"]
