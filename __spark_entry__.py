@@ -1,38 +1,664 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end flow (index build + BM25
+top-k over the sf0.001 documents table).  ``queries()`` exposes one entry
+per implemented operator family from SURVEY.md §2 plus the training-data
+pipeline operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL the
+driver cross-checks at sf=0.01.
+
+Parity conventions between the Spark queries and the DuckDB oracles:
+
+* corpus mapping (FIXTURES.md §6): ``docid := cast(doc_id as string)``,
+  ``content := text`` over the ``documents`` view;
+* tokens = ``regexp_extract_all(lower(text), '[a-z0-9_]+')`` (the testdata
+  is pure ASCII, where this equals the engine's ``\\w+`` analyzer);
+* SQL-gated retrieval queries run the engine with ``stemmer='none'``
+  (Porter isn't SQL-expressible; the Porter path is pytest-golden-gated);
+* floats are rounded in BOTH engines (scores 4dp — the reference's runfile
+  convention — everything else 6dp); counts cast to bigint.
+
+Ops that are not SQL-expressible (MinHash-LSH, SimHash, SRP-LSH ANN,
+multimodal feature plumbing) have no oracle entry → the driver records
+the weaker rows-only check; their exactness is covered by pytest
+(tests/test_textproc.py) against exact baselines.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ----------------------------------------------------------------- shared
+
+_STOPS = (
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+).split()
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _STOPS)
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+
+# fixed retrieval query set: high-df, mixed, absent and stopword-only terms
+_TOPICS = {
+    "q1": "key value table",
+    "q2": "spark merge join",
+    "q3": "window agg batch row",
+    "q4": "the of and",          # stopword-only → no results
+    "q5": "nosuchterm table",    # absent + present term
+}
+
+_BM25_K1, _BM25_B, _BM25_HITS = 0.9, 0.4, 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("docid"), F.col("text").alias("content")
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 50th doc (ids shifted by 10^6) —
+    deterministic duplicate groups for the dedup operators."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0"
+)
+
+# deterministic synthetic run + qrels shared by the run-shaping operators
+def _synth_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 4 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 37) % 101) / F.lit(7.0)).alias("score"),
+        )
+    )
+
+
+_SYNTH_RUN_SQL = (
+    "SELECT cast(doc_id % 5 AS varchar) AS qid, cast(doc_id AS varchar) AS docid, "
+    "((doc_id * 37) % 101) / 7.0 AS score FROM documents WHERE doc_id % 4 != 0"
+)
+
+
+def _synth_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 6 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            F.when(F.col("doc_id") % 11 == 0, 2)
+            .when(F.col("doc_id") % 3 == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+    )
+
+
+_SYNTH_QRELS_SQL = (
+    "SELECT cast(doc_id % 5 AS varchar) AS qid, cast(doc_id AS varchar) AS docid, "
+    "cast(CASE WHEN doc_id % 11 = 0 THEN 2 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bigint) AS label "
+    "FROM documents WHERE doc_id % 6 != 0"
+)
+
+
+def _query_rows_sql() -> str:
+    """VALUES clause of (qid, term, qtf) for the fixed topics, analyzed the
+    same way the engine analyzes queries (stemmer none, stops removed)."""
+    from collections import Counter
+
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in _TOPICS.items():
+        for term, qtf in sorted(Counter(analyze_text(text, stemmer="none")).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ", ".join(rows)
+
+
+_BM25_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), scored AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid
+)
+SELECT qid, docid, rank, round(score, 4) AS score FROM (
+  SELECT qid, docid, score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
+  FROM scored
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine (index build → DAAT BM25 top-k) on sf0.001."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+
+    corpus = _corpus(spark, "/root/testdata/sf0.001")
+    index_dir = tempfile.mkdtemp(prefix="capreolus_spark_entry_")
+    idx = InvertedIndex.create(spark, corpus, index_dir, IndexConfig(stemmer="porter"))
+    searcher = BM25Searcher(idx, BM25Config(hits=10))
+    run = searcher.search(_TOPICS, hits=10)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
+# ----------------------------------------------------------------- queries
+
+def _q_doc_token_stats(spark, sf_dir):
+    from capreolus_spark.search.oracle import analyzed_terms_df
+
+    analyzed = analyzed_terms_df(_corpus(spark, sf_dir), stemmer="none")
+    return analyzed.select(
+        "docid",
+        F.col("dl").cast("long").alias("dl"),
+        F.size("terms").cast("long").alias("n_indexed"),
+    )
+
+
+def _q_collection_stats(spark, sf_dir):
+    from capreolus_spark.search.oracle import analyzed_terms_df
+
+    analyzed = analyzed_terms_df(_corpus(spark, sf_dir), stemmer="none")
+    vocab = analyzed.select(F.explode("terms").alias("term")).agg(
+        F.countDistinct("term").alias("vocab_size")
+    )
+    stats = analyzed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.round(F.avg("dl"), 6).alias("avg_dl"),
+    )
+    return stats.crossJoin(vocab).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_dl").cast("long").alias("sum_dl"),
+        "avg_dl",
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+    )
+
+
+def _q_term_df_topk(spark, sf_dir):
+    from capreolus_spark.search.oracle import analyzed_terms_df
+
+    analyzed = analyzed_terms_df(_corpus(spark, sf_dir), stemmer="none")
+    tf = (
+        analyzed.select("docid", F.explode("terms").alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(25)
+    )
+
+
+def _q_bm25_oracle(spark, sf_dir):
+    from capreolus_spark.search.oracle import bm25_oracle
+
+    run = bm25_oracle(
+        spark, _corpus(spark, sf_dir), _TOPICS,
+        k1=_BM25_K1, b=_BM25_B, hits=_BM25_HITS, stemmer="none",
+    )
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_daat(spark, sf_dir):
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+
+    index_dir = tempfile.mkdtemp(prefix="capreolus_spark_daat_")
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), index_dir, IndexConfig(stemmer="none")
+    )
+    run = BM25Searcher(idx, BM25Config(hits=_BM25_HITS)).search(_TOPICS)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
+def _q_qrels_positive_filter(spark, sf_dir):
+    qrels = _synth_qrels(spark, sf_dir)
+    pos = qrels.groupBy("qid").agg(F.max("label").alias("mx")).filter(F.col("mx") >= 1)
+    return qrels.join(F.broadcast(pos.select("qid")), "qid", "left_semi")
+
+
+def _q_minmax_norm(spark, sf_dir):
+    from capreolus_spark.evaluation.frames import minmax_normalize
+
+    run = _synth_run(spark, sf_dir)
+    # inject a degenerate qid (constant scores) to exercise the guard
+    degen = _docs(spark, sf_dir).filter(F.col("doc_id") % 40 == 0).select(
+        F.lit("degen").alias("qid"),
+        F.col("doc_id").cast("string").alias("docid"),
+        F.lit(3.0).alias("score"),
+    )
+    return minmax_normalize(run.unionByName(degen)).select(
+        "qid", "docid", F.round("norm_score", 6).alias("norm_score")
+    )
+
+
+def _q_run_interpolation(spark, sf_dir):
+    from capreolus_spark.evaluation.frames import interpolate_runs_df
+
+    run1 = _synth_run(spark, sf_dir)
+    run2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+    return interpolate_runs_df(run1, run2, alpha=0.3).select(
+        "qid", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _q_passage_dedup(spark, sf_dir):
+    from capreolus_spark.search.postprocess import dedup_passages
+
+    run = _synth_run(spark, sf_dir).select(
+        "qid",
+        F.concat_ws(
+            ".", (F.col("docid").cast("long") % 20).cast("string"), F.col("docid")
+        ).alias("docid"),
+        "score",
+    )
+    return dedup_passages(run).select("qid", "docid", "rank", F.round("score", 6).alias("score"))
+
+
+def _q_topk_window(spark, sf_dir):
+    from capreolus_spark.search.postprocess import threshold_run
+
+    return threshold_run(_synth_run(spark, sf_dir), 5).select(
+        "qid", "docid", "rank", F.round("score", 6).alias("score")
+    )
+
+
+def _q_filter_remove(spark, sf_dir):
+    from capreolus_spark.search.postprocess import filter_run
+
+    run = _synth_run(spark, sf_dir)
+    remove = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").cast("string").alias("docid")
+    )
+    return filter_run(run, docs_to_remove=remove).select(
+        "qid", "docid", "rank", F.round("score", 6).alias("score")
+    )
+
+
+def _q_filter_keep_topn(spark, sf_dir):
+    from capreolus_spark.search.postprocess import filter_run
+
+    run = _synth_run(spark, sf_dir)
+    keep = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("docid")
+    )
+    return filter_run(run, docs_to_keep=keep, topn=3).select(
+        "qid", "docid", "rank", F.round("score", 6).alias("score")
+    )
+
+
+def _q_eval_metrics(spark, sf_dir):
+    from capreolus_spark.evaluation.frames import eval_metrics_df
+
+    return eval_metrics_df(_synth_run(spark, sf_dir), _synth_qrels(spark, sf_dir), k=10)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from capreolus_spark.textproc import exact_dup_groups
+
+    return exact_dup_groups(_corpus_with_dups(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from capreolus_spark.textproc import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_corpus_with_dups(spark, sf_dir), n=3, threshold=0.8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from capreolus_spark.textproc import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint", "sha256"
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from capreolus_spark.textproc import language_id
+
+    return language_id(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred_lang",
+        F.col("marker_hits").cast("long").alias("marker_hits"),
+    )
+
+
+def _q_token_quality(spark, sf_dir):
+    from capreolus_spark.textproc import add_quality_columns
+
+    q = add_quality_columns(_docs(spark, sf_dir))
+    return q.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "quality_score",
+        "keep",
+    )
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from capreolus_spark.textproc import brute_force_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_cosine_topk(emb, queries, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        "rank",
+    )
+
+
+# --- no-oracle (rows-only) ops: LSH/SimHash/multimodal plumbing ---
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from capreolus_spark.textproc import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_corpus_with_dups(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from capreolus_spark.textproc import simhash_pairs
+
+    return simhash_pairs(_corpus_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from capreolus_spark.textproc import lsh_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_cosine_topk(emb, queries, dim=64, k=10, num_planes=8)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from capreolus_spark.textproc import extract_features
+
+    media = _docs(spark, sf_dir).limit(50).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_features(media, dim=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_token_stats": _q_doc_token_stats,
+        "collection_stats": _q_collection_stats,
+        "term_df_topk": _q_term_df_topk,
+        "bm25_topk_oracle": _q_bm25_oracle,
+        "bm25_topk_daat": _q_bm25_daat,
+        "qrels_positive_filter": _q_qrels_positive_filter,
+        "minmax_norm": _q_minmax_norm,
+        "run_interpolation": _q_run_interpolation,
+        "passage_dedup_max": _q_passage_dedup,
+        "topk_per_query": _q_topk_window,
+        "run_filter_remove": _q_filter_remove,
+        "run_filter_keep_topn": _q_filter_keep_topn,
+        "eval_metrics": _q_eval_metrics,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "doc_fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        "token_quality": _q_token_quality,
+        "ann_cosine_topk": _q_ann_cosine,
+        # rows-only (non-SQL-expressible; pytest-gated instead)
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ----------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_cte = f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents)"
+    indexed = f"list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))"
+    bm25 = _BM25_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
+
+    shingles = (
+        "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END)"
+    )
+    dup_posts = (
+        f"dup AS ({_DUP_CORPUS_SQL}), "
+        f"tok AS (SELECT doc_id, {_TOK} AS toks FROM dup), "
+        f"posts AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM tok), "
+        "sizes AS (SELECT doc_id, count(*) AS set_size FROM posts GROUP BY doc_id)"
+    )
+
+    lang_cases = []
+    from capreolus_spark.textproc.quality import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        lang_cases.append(f"len(list_filter(toks, t -> t IN ({arr}))) AS c_{lang}")
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    pred = "CASE WHEN " + " WHEN ".join(
+        f"{best} > 0 AND c_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    # NOTE: SQL CASE picks the FIRST matching lang (asc order) — same as the
+    # Spark chained-when argmax tie-break.
+    lang_sql = (
+        f"{tok_cte.replace('cast(doc_id AS varchar)', 'doc_id')} , counts AS "
+        f"(SELECT docid AS doc_id, {', '.join(lang_cases)} FROM tok) "
+        f"SELECT cast(doc_id AS bigint) AS doc_id, {pred} AS pred_lang, "
+        f"cast({best} AS bigint) AS marker_hits FROM counts"
+    )
+
+    stop10 = "'the','a','an','and','of','to','in','is','it','that'"
+
+    return {
+        "doc_token_stats": (
+            f"{tok_cte} SELECT docid, cast(len(toks) AS bigint) AS dl, "
+            f"cast(len({indexed}) AS bigint) AS n_indexed FROM tok"
+        ),
+        "collection_stats": (
+            f"{tok_cte} SELECT cast(count(*) AS bigint) AS n_docs, "
+            f"cast(sum(len(toks)) AS bigint) AS sum_dl, "
+            f"round(avg(len(toks)), 6) AS avg_dl, "
+            f"(SELECT cast(count(DISTINCT term) AS bigint) FROM "
+            f"(SELECT unnest({indexed}) AS term FROM tok)) AS vocab_size FROM tok"
+        ),
+        "term_df_topk": (
+            f"{tok_cte}, tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest({indexed}) AS term FROM tok) GROUP BY docid, term) "
+            "SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf "
+            "FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 25"
+        ),
+        "bm25_topk_oracle": bm25,
+        "bm25_topk_daat": bm25,
+        "qrels_positive_filter": (
+            f"WITH qrels AS ({_SYNTH_QRELS_SQL}) SELECT qid, docid, label FROM qrels "
+            "WHERE qid IN (SELECT qid FROM qrels GROUP BY qid HAVING max(label) >= 1)"
+        ),
+        "minmax_norm": (
+            f"WITH run AS ({_SYNTH_RUN_SQL} UNION ALL "
+            "SELECT 'degen' AS qid, cast(doc_id AS varchar) AS docid, 3.0 AS score "
+            "FROM documents WHERE doc_id % 40 = 0), "
+            "mm AS (SELECT qid, min(score) AS mn, max(score) AS mx FROM run GROUP BY qid) "
+            "SELECT run.qid, run.docid, round((score - mn2) / (mx - mn2), 6) AS norm_score "
+            "FROM run JOIN (SELECT qid, CASE WHEN mn = mx THEN 0.01*mx - 0.01 ELSE mn END AS mn2, mx "
+            "FROM mm) m ON run.qid = m.qid"
+        ),
+        "run_interpolation": (
+            f"WITH run1 AS ({_SYNTH_RUN_SQL}), "
+            "run2 AS (SELECT cast(doc_id % 5 AS varchar) AS qid, cast(doc_id AS varchar) AS docid, "
+            "((doc_id * 53) % 97) / 9.0 AS score FROM documents WHERE doc_id % 3 != 0), "
+            "m1 AS (SELECT qid, CASE WHEN min(score) = max(score) THEN 0.01*max(score) - 0.01 ELSE min(score) END AS mn, max(score) AS mx FROM run1 GROUP BY qid), "
+            "m2 AS (SELECT qid, CASE WHEN min(score) = max(score) THEN 0.01*max(score) - 0.01 ELSE min(score) END AS mn, max(score) AS mx FROM run2 GROUP BY qid), "
+            "n1 AS (SELECT run1.qid, docid, (score - mn) / (mx - mn) AS s1 FROM run1 JOIN m1 ON run1.qid = m1.qid), "
+            "n2 AS (SELECT run2.qid, docid, (score - mn) / (mx - mn) AS s2 FROM run2 JOIN m2 ON run2.qid = m2.qid) "
+            "SELECT coalesce(n1.qid, n2.qid) AS qid, coalesce(n1.docid, n2.docid) AS docid, "
+            "round(0.3 * coalesce(s1, 0) + 0.7 * coalesce(s2, 0), 6) AS score "
+            "FROM n1 FULL OUTER JOIN n2 ON n1.qid = n2.qid AND n1.docid = n2.docid"
+        ),
+        "passage_dedup_max": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), "
+            "p AS (SELECT qid, concat(cast(cast(docid AS bigint) % 20 AS varchar), '.', docid) AS docid, score FROM run), "
+            "d AS (SELECT qid, split_part(docid, '.', 1) AS docid, max(score) AS score FROM p GROUP BY qid, split_part(docid, '.', 1)) "
+            "SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank, "
+            "round(score, 6) AS score FROM d"
+        ),
+        "topk_per_query": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}) "
+            "SELECT qid, docid, rank, round(score, 6) AS score FROM "
+            "(SELECT qid, docid, score, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank FROM run) "
+            "WHERE rank <= 5"
+        ),
+        "run_filter_remove": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), "
+            "f AS (SELECT * FROM run WHERE docid NOT IN "
+            "(SELECT cast(doc_id AS varchar) FROM documents WHERE doc_id % 13 = 0)) "
+            "SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank, "
+            "round(score, 6) AS score FROM f"
+        ),
+        "run_filter_keep_topn": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), "
+            "f AS (SELECT * FROM run WHERE docid IN "
+            "(SELECT cast(doc_id AS varchar) FROM documents WHERE doc_id % 2 = 0)) "
+            "SELECT qid, docid, rank, round(score, 6) AS score FROM "
+            "(SELECT qid, docid, score, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank FROM f) "
+            "WHERE rank <= 3"
+        ),
+        "eval_metrics": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
+            "lab AS (SELECT run.qid, run.docid, run.score, qrels.label IS NOT NULL AS judged, "
+            "CASE WHEN coalesce(qrels.label, 0) >= 1 THEN 1 ELSE 0 END AS rel "
+            "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid DESC) AS rank, "
+            "sum(rel) OVER (PARTITION BY qid ORDER BY score DESC, docid DESC ROWS UNBOUNDED PRECEDING) AS cum_rel FROM lab), "
+            "nrel AS (SELECT qid, count(*) AS n_rel FROM qrels WHERE label >= 1 GROUP BY qid), "
+            "agg AS (SELECT qid, sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank ELSE 0 END) AS ap_num, "
+            "sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS rel_at_k, "
+            "sum(CASE WHEN rank <= 10 THEN CASE WHEN judged THEN 1 ELSE 0 END ELSE 0 END) AS judged_at_k, "
+            "sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS n_at_k, "
+            "min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank FROM ranked GROUP BY qid) "
+            "SELECT agg.qid, round(ap_num / n_rel, 6) AS ap, round(rel_at_k / 10.0, 6) AS p_at_10, "
+            "round(rel_at_k * 1.0 / n_rel, 6) AS recall_at_10, "
+            "round(coalesce(1.0 / first_rel_rank, 0), 6) AS recip_rank, "
+            "round(CASE WHEN first_rel_rank <= 10 THEN 1.0 / first_rel_rank ELSE 0 END, 6) AS mrr_at_10, "
+            "round(judged_at_k * 1.0 / n_at_k, 6) AS judged_at_10 "
+            "FROM agg JOIN nrel ON agg.qid = nrel.qid"
+        ),
+        "dedup_exact": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            f"fps AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM dup), "
+            "g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id, "
+            "count(*) OVER (PARTITION BY fp) AS group_size FROM fps) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(canonical_id AS bigint) AS canonical_id, "
+            "cast(group_size AS bigint) AS group_size FROM g WHERE group_size > 1"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH {dup_posts}, "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+            "FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b, "
+            "round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id "
+            "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8"
+        ),
+        "doc_fingerprint": (
+            f"SELECT cast(doc_id AS bigint) AS doc_id, "
+            f"md5(array_to_string({_TOK}, ' ')) AS fingerprint, sha256(text) AS sha256 FROM documents"
+        ),
+        "lang_id": lang_sql,
+        "token_quality": (
+            f"WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents), "
+            "s AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens, "
+            "CASE WHEN len(text) > 0 THEN len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) * 1.0 / len(text) ELSE 0 END AS punct_ratio "
+            "FROM tok) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(n_tokens AS bigint) AS n_tokens, "
+            "cast(n_distinct_tokens AS bigint) AS n_distinct_tokens, "
+            "round((least(1.0, n_tokens / 100.0) + greatest(0.0, 1.0 - punct_ratio / 0.3) + "
+            "CASE WHEN n_tokens > 0 THEN n_distinct_tokens * 1.0 / n_tokens ELSE 0 END) / 3.0, 6) AS quality_score, "
+            "n_tokens >= 5 AND punct_ratio <= 0.3 AS keep FROM s"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine FROM q CROSS JOIN embeddings e) "
+            "SELECT cast(query_id AS bigint) AS query_id, cast(vec_id AS bigint) AS vec_id, cosine, rank FROM "
+            "(SELECT query_id, vec_id, cosine, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank FROM scored) "
+            "WHERE rank <= 10"
+        ),
+    }

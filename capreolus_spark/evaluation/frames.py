@@ -1,0 +1,101 @@
+"""DataFrame-native evaluation operators — the at-scale face of the
+driver-side evaluator (same semantics, expressed relationally so Catalyst
+plans them over arbitrarily many queries).
+
+Run shape everywhere: DataFrame(qid string, docid string, score double),
+qrels shape: DataFrame(qid string, docid string, label int).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def minmax_normalize(run: DataFrame, score_col: str = "score") -> DataFrame:
+    """Per-qid min-max normalization with the reference's degenerate guard:
+    when min == max, min is replaced by 0.01*max - 0.01 so every score
+    normalizes to 1 (``evaluator.py:179-193``)."""
+    w = Window.partitionBy("qid")
+    mn = F.min(score_col).over(w)
+    mx = F.max(score_col).over(w)
+    mn_adj = F.when(mn == mx, 0.01 * mx - 0.01).otherwise(mn)
+    return run.withColumn(
+        "norm_score", (F.col(score_col) - mn_adj) / (mx - mn_adj)
+    )
+
+
+def interpolate_runs_df(run1: DataFrame, run2: DataFrame, alpha: float) -> DataFrame:
+    """Reference ``interpolate_runs`` (``evaluator.py:174-203``) as a full
+    outer join: per-qid min-max normalize both runs, fill a missing side
+    with that side's per-qid min (which normalizes to 0), blend with alpha.
+
+    Note: assumes both runs cover the same qid set (the reference indexes
+    ``run1[qid]`` / ``run2[qid]`` directly, so a qid missing from either
+    side is an error there too).
+    """
+    n1 = minmax_normalize(run1).select(
+        "qid", "docid", F.col("norm_score").alias("s1")
+    )
+    n2 = minmax_normalize(run2).select(
+        "qid", "docid", F.col("norm_score").alias("s2")
+    )
+    return (
+        n1.join(n2, ["qid", "docid"], "full_outer")
+        .withColumn("s1", F.coalesce(F.col("s1"), F.lit(0.0)))
+        .withColumn("s2", F.coalesce(F.col("s2"), F.lit(0.0)))
+        .select(
+            "qid",
+            "docid",
+            (F.lit(alpha) * F.col("s1") + F.lit(1.0 - alpha) * F.col("s2")).alias("score"),
+        )
+    )
+
+
+def eval_metrics_df(
+    run: DataFrame, qrels: DataFrame, relevance_level: int = 1, k: int = 10
+) -> DataFrame:
+    """Per-qid AP, precision@k, reciprocal rank, MRR@10, recall@k, judged@k —
+    window-function formulation (one shuffle by qid).  Docs ordered by
+    (score desc, docid desc) — trec_eval's tie-break."""
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docid"))
+    labeled = (
+        run.join(qrels, ["qid", "docid"], "left")
+        .withColumn("judged", F.col("label").isNotNull())
+        .withColumn("rel", (F.coalesce(F.col("label"), F.lit(0)) >= relevance_level).cast("int"))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_rel", F.sum("rel").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    n_rel = qrels.filter(F.col("label") >= relevance_level).groupBy("qid").agg(
+        F.count("*").alias("n_rel")
+    )
+    per_q = (
+        labeled.groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rank")).otherwise(0.0)
+            ).alias("ap_num"),
+            F.sum(F.when(F.col("rank") <= k, F.col("rel")).otherwise(0)).alias("rel_at_k"),
+            F.sum(F.when(F.col("rank") <= k, F.col("judged").cast("int")).otherwise(0)).alias("judged_at_k"),
+            F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)).alias("n_at_k"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+        )
+        .join(n_rel, "qid", "inner")  # only qids with positives are evaluable
+        .select(
+            "qid",
+            F.round(F.col("ap_num") / F.col("n_rel"), 6).alias("ap"),
+            F.round(F.col("rel_at_k") / F.lit(float(k)), 6).alias(f"p_at_{k}"),
+            F.round(F.col("rel_at_k") / F.col("n_rel"), 6).alias(f"recall_at_{k}"),
+            F.round(
+                F.when(F.col("first_rel_rank").isNotNull(), 1.0 / F.col("first_rel_rank")).otherwise(0.0), 6
+            ).alias("recip_rank"),
+            F.round(
+                F.when(
+                    F.col("first_rel_rank") <= 10, 1.0 / F.col("first_rel_rank")
+                ).otherwise(0.0),
+                6,
+            ).alias("mrr_at_10"),
+            F.round(F.col("judged_at_k") / F.col("n_at_k"), 6).alias(f"judged_at_{k}"),
+        )
+    )
+    return per_q

@@ -1,0 +1,22 @@
+from .quality import (  # noqa: F401
+    add_quality_columns,
+    language_id,
+    token_stats,
+    fingerprint,
+)
+from .dedup import (  # noqa: F401
+    exact_dup_groups,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .similarity import (  # noqa: F401
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+    embedding_near_dup_pairs,
+)
+from .multimodal import (  # noqa: F401
+    extract_features,
+    fake_feature_extractor,
+    sample_frames,
+)

@@ -1,0 +1,314 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for 100 TB-scale corpora:
+
+* exact dedup is a hash-groupBy on a normalized fingerprint (map-side
+  combinable, no skew beyond true duplicate groups);
+* n-gram Jaccard is a set-similarity join — shingle-postings self-join with
+  candidate pairs bounded by shared-shingle blocking (the SQL-oracle-able
+  exact baseline; quadratic only within shingle groups);
+* MinHash+LSH is the scale path: constant-size signatures per doc,
+  band-bucket join for candidates, exact-Jaccard verification of candidates
+  only (output ⊆ exact pairs; recall tested against the exact baseline);
+* SimHash: 64-bit weighted fingerprint, near-dup = Hamming distance ≤ k,
+  banded by bit-chunks for candidate generation.
+
+All hashing is deterministic (Spark ``xxhash64`` with fixed literal seeds),
+so results are reproducible across runs, partitionings and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .quality import TOKEN_REGEX
+
+# 31-bit Mersenne prime field: keeps (a*h + b) far below int64 overflow
+# under Spark's ANSI arithmetic while 128 independent functions make the
+# per-pair collision probability negligible.
+_MERSENNE = (1 << 31) - 1
+
+
+def _tokens(text_col: str):
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles per document (space-joined)."""
+    toks = _tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window over the token array; documents shorter than n yield
+    # a single shingle of all their tokens (so no document is dropped)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.expr(
+                f"transform(sequence(0, size(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)) - {n}), "
+                f"i -> array_join(slice(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0), i + 1, {n}), ' '))"
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicates on the normalized token stream.
+
+    Returns one row per document that belongs to a duplicate group
+    (group size > 1): (doc_id, canonical_id = min doc_id of the group,
+    group_size).  Single hash-groupBy: scales as a shuffle on the md5 key.
+    """
+    normalized = F.array_join(_tokens(text_col), " ")
+    fps = df.select(F.col(id_col).alias("doc_id"), F.md5(normalized).alias("fp"))
+    w = Window.partitionBy("fp")
+    return (
+        fps.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+def shingle_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the exploded set representation."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs (a < b) with
+    ``|Sa ∩ Sb| / |Sa ∪ Sb| >= threshold``.
+
+    Candidates are blocked on shared shingles (a pair with zero shared
+    shingles has Jaccard 0), so cost is Σ_g |g|² over shingle groups —
+    the standard exact set-similarity join.  At larger scale prefer
+    :func:`minhash_lsh_pairs`, which verifies the same predicate but only
+    on LSH candidates.
+    """
+    posts = shingle_postings(df, text_col, id_col, n)
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^61 - 1) with fixed
+    deterministic coefficients; the signature is min over the document's
+    shingle set per hash function.  Constant size per doc → the scale path.
+    """
+    posts = shingle_postings(df, text_col, id_col, n)
+    base = posts.withColumn(
+        "h", F.abs(F.xxhash64(F.col("shingle"), F.lit(42))) % F.lit(_MERSENNE)
+    )
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1)) % F.lit(_MERSENNE)
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = base.groupBy("doc_id").agg(*mins)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs at ``threshold`` Jaccard.
+
+    shingle → minhash signature → band buckets (rows = num_hashes/bands) →
+    bucket self-join for candidates → (optional) exact-Jaccard verification
+    of candidates only.  With verification on, output is a subset of
+    :func:`ngram_jaccard_pairs` (equal when LSH recall is 1 — asserted on
+    the deterministic test corpus).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    bucketed = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket"))
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+
+    posts = shingle_postings(df, text_col, id_col, n)
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    pa = posts.select(F.col("doc_id").alias("id_a"), "shingle")
+    pb = posts.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """SimHash near-duplicates: 64-bit weighted fingerprints, candidate
+    pairs from identical bit-band chunks (pigeonhole: hamming ≤ bands-1
+    guarantees ≥1 shared band), verified by exact Hamming distance.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    toks = toks.withColumn("h", F.xxhash64(F.col("tok"), F.lit(7)))
+
+    # per-bit weighted vote: sum_w(+1 if bit set else -1) > 0 → bit = 1
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("w")).otherwise(-F.col("w"))
+            ).alias(f"b{i}")
+            for i in range(num_bits)
+        ]
+    )
+    # bit 63 is the sign bit: 1<<63 doesn't fit a JVM long, so add its
+    # two's-complement value instead; the packed simhash is the same 64 bits.
+    def _bit_value(i: int):
+        return F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, _bit_value(i)).otherwise(F.lit(0)) for i in range(num_bits)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+
+    chunk = num_bits // bands
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.expr(
+                        f"shiftrightunsigned(simhash, {bi * chunk}) & {(1 << chunk) - 1}"
+                    ).alias("chunk"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

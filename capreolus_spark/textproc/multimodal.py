@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
+
+The Spark-side contract (schemas, partitioning, UDF signatures, batch
+shapes) is real and tested; the actual media decode is STUBBED because
+image/audio codecs are not available in this container:
+
+* :func:`decode_image_stub` raises ``NotImplementedError`` — swap in a
+  real decoder (PIL/libvips) by passing ``decoder=`` to the pipeline fns.
+* :func:`fake_feature_extractor` produces a deterministic feature vector
+  from the bytes (splitmix64 over a blake2b digest), so downstream
+  plumbing (schema, batching, joins) is fully exercisable in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, mime string, width int, height int, "
+    "duration_ms int, payload binary"
+)
+
+FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, feature array<float>"
+
+FRAME_SCHEMA = "media_id string, frame_no int, ts_ms int, payload binary"
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Placeholder for a real image decoder (PIL.Image.open → np.asarray).
+
+    Raises so nothing silently ships fake pixels; tests use
+    :func:`fake_feature_extractor` instead.
+    """
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this "
+        "environment; inject a real decoder via the `decoder` argument"
+    )
+
+
+def fake_feature_extractor(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in feature vector: blake2b(payload) expanded to
+    ``dim`` floats in [-1, 1).  Stable across processes and platforms."""
+    out = np.empty(dim, dtype=np.float32)
+    h = payload or b""
+    for i in range(dim):
+        d = hashlib.blake2b(h, digest_size=8, salt=i.to_bytes(8, "little")).digest()
+        out[i] = (int.from_bytes(d, "little") / 2**63) - 1.0
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    batch_target_bytes: int = 64 << 20,
+) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, feature array<float>).
+
+    Arrow-batched ``mapInPandas``; with ``decoder=None`` the deterministic
+    fake extractor runs directly on the payload bytes (decode stubbed).
+    ``batch_target_bytes`` documents the intended Arrow batch sizing knob —
+    set ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+    payloads stays within executor memory at production media sizes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if decoder is not None:
+                    pixels = decoder(raw)
+                    vec = pixels.astype(np.float32).ravel()[:dim]
+                    vec = np.pad(vec, (0, max(0, dim - vec.size)))
+                else:
+                    vec = fake_feature_extractor(raw, dim)
+                feats.append(vec.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes], list[tuple[int, bytes]]] | None = None,
+) -> DataFrame:
+    """video rows → one row per sampled frame (media_id, frame_no, ts_ms,
+    payload).  Without a real ``decoder`` the frame payloads are
+    deterministic byte slices (plumbing-only stand-in): frame i covers
+    payload[i*chunk:(i+1)*chunk] for duration//every_ms chunks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "ts_ms": [], "payload": []}
+            for _, r in pdf.iterrows():
+                raw = bytes(r["payload"]) if r["payload"] is not None else b""
+                duration = int(r["duration_ms"] or 0)
+                if decoder is not None:
+                    frames = decoder(raw)
+                else:
+                    n = max(1, duration // every_ms) if duration else 1
+                    chunk = max(1, len(raw) // n) if raw else 1
+                    frames = [
+                        (i * every_ms, raw[i * chunk : (i + 1) * chunk]) for i in range(n)
+                    ]
+                for i, (ts, payload) in enumerate(frames):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_no"].append(i)
+                    rows["ts_ms"].append(ts)
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    videos = media.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "payload"
+    )
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

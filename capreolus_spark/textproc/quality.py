@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All operators are pure Spark column expressions (whole-stage codegen;
+no Python in the hot path) over a documents table
+``(doc_id, text, ...)`` and are SQL-expressible for the DuckDB oracle
+gate (``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# token pattern shared with the DuckDB oracles: ASCII word runs
+TOKEN_REGEX = "[a-z0-9_]+"
+
+# marker-word lists for the n-gram/stopword language-ID heuristic.
+# deterministic and tiny — the heuristic counts marker hits per language
+# and takes the argmax (ties broken by language code ascending).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is", "to", "in", "value", "table", "row"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por", "con", "para"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "avec"),
+}
+
+
+def _tokens_col(text_col: str):
+    # lower → extract word runs; identical to DuckDB regexp_extract_all
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: token count, distinct-token count,
+    average token length, punctuation ratio, stopword-ish ratio."""
+    tokens = _tokens_col(text_col)
+    stop_arr = "array('the','a','an','and','of','to','in','is','it','that')"
+    return df.select(
+        F.col(id_col),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.when(
+            F.size(tokens) > 0,
+            F.aggregate(
+                F.transform(tokens, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(tokens),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(
+            F.length(F.col(text_col)) > 0,
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[^a-zA-Z0-9_\\\\s]', 0)"))
+            / F.length(F.col(text_col)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(
+            F.size(tokens) > 0,
+            F.size(F.expr(f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0), t -> array_contains({stop_arr}, t))"))
+            / F.size(tokens).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+
+
+def add_quality_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+) -> DataFrame:
+    """Composite quality score in [0,1] + keep flag — the classic
+    length/punctuation/diversity heuristics of web-scale corpus filters."""
+    stats = token_stats(df, text_col=text_col, id_col=id_col)
+    diversity = F.when(
+        F.col("n_tokens") > 0, F.col("n_distinct_tokens") / F.col("n_tokens").cast("double")
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") / F.lit(max_punct_ratio))
+    score = F.round((length_score + punct_score + diversity) / F.lit(3.0), 6)
+    return stats.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        score.alias("quality_score"),
+        ((F.col("n_tokens") >= min_tokens) & (F.col("punct_ratio") <= max_punct_ratio)).alias("keep"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: count marker hits per language over the
+    token list, argmax with deterministic tie-break (count desc, lang asc);
+    'und' (undetermined) when no marker hits at all."""
+    tokens = _tokens_col(text_col)
+    out = df.select(F.col(id_col), tokens.alias("_toks"))
+    counts = []
+    for lang in sorted(LANG_MARKERS):
+        arr = "array(" + ",".join(f"'{w}'" for w in LANG_MARKERS[lang]) + ")"
+        counts.append(
+            F.size(F.expr(f"filter(_toks, t -> array_contains({arr}, t))")).alias(f"_c_{lang}")
+        )
+    out = out.select(id_col, *counts)
+    # argmax via greatest + chained when (deterministic order)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_c_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"_c_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return out.select(
+        id_col,
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over the normalized token stream (lowercase,
+    whitespace-collapsed) — the exact-dedup key that survives formatting
+    noise."""
+    tokens = _tokens_col(text_col)
+    normalized = F.array_join(tokens, " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+    )

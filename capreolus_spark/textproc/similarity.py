@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`brute_force_cosine_topk` — the exact baseline: JVM-side
+  ``zip_with``/``aggregate`` dot products against a broadcast query set,
+  window top-k.  One narrow pass over the table: at 100 TB this is a
+  full scan but no shuffle beyond the small per-query top-k merge.
+* :func:`lsh_cosine_topk` — the scale path: signed-random-projection LSH
+  bucketing; only the query's bucket (plus multi-probe neighbors) is
+  scored.  Deterministic hyperplanes derived from ``xxhash64``.
+* :func:`embedding_near_dup_pairs` — cosine >= threshold self-join via
+  the same LSH buckets (embedding near-duplicate detection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: cross-join the (small, broadcast) query set
+    against the vector table; deterministic (cosine desc, vec_id asc)
+    tie-break.  Returns (query_id, vec_id, cosine, rank)."""
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv")))
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
+    scored = q.crossJoin(v).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("vv")) / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state: values are a
+    fixed function of (seed, plane, coordinate))."""
+    idx = np.arange(num_planes * dim, dtype=np.uint64).reshape(num_planes, dim)
+    # splitmix64-style scramble
+    z = idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    # map to (-1, 1)
+    return (z.astype(np.float64) / 2**63) - 1.0
+
+
+def add_srp_bucket(
+    vectors: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Add a signed-random-projection bucket id (int, one bit per plane)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        dp = _dot(coeffs, F.col(vec_col))
+        bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return vectors.withColumn("srp_bucket", bucket)
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose SRP bucket is
+    within ``probe_bits`` Hamming distance of the query's bucket
+    (multi-probe).  Same output schema as the brute-force baseline; recall
+    is tested against it on the deterministic corpus."""
+    v = add_srp_bucket(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")),
+        dim, num_planes, "vv", seed,
+    )
+    q = add_srp_bucket(
+        queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv")),
+        dim, num_planes, "qv", seed,
+    ).withColumnRenamed("srp_bucket", "q_bucket")
+
+    # multi-probe: expand each query to its bucket plus all 1-bit flips
+    probes = [F.col("q_bucket")]
+    if probe_bits >= 1:
+        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+    qp = q.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("srp_bucket")
+    ).distinct()
+
+    scored = (
+        F.broadcast(qp)
+        .join(v, "srp_bucket")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("vv")) / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs (a < b) with cosine >= threshold,
+    candidates blocked by shared SRP bucket (misses across bucket
+    boundaries possible — this is the approximate scale path; exactness is
+    tested via recall against a brute-force pass on the test corpus)."""
+    v = add_srp_bucket(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")),
+        dim, num_planes, "vv", seed,
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.srp_bucket") == F.col("b.srp_bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.vv"), F.col("b.vv"))
+                / (_norm(F.col("a.vv")) * _norm(F.col("b.vv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

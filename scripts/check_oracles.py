@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__.queries() entry and its oracle_sql() twin on the same
+sf dir, compare row count, sorted column names, and an order-insensitive
+value hash.  Usage: python scripts/check_oracles.py [sf_dir] [only_query]
+"""
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(rows, columns):
+    cols = sorted(columns)
+    lines = []
+    for row in rows:
+        d = dict(zip(columns, row)) if not hasattr(row, "asDict") else row.asDict()
+        vals = []
+        for c in cols:
+            v = d[c]
+            if isinstance(v, float):
+                v = f"{v:.6g}"
+            elif isinstance(v, bool):
+                v = str(v).lower()
+            vals.append(str(v))
+        lines.append("|".join(vals))
+    lines.sort()
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name != only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"{name:26s} rows-only: {len(srows)} rows ({spark_s:.1f}s)")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        duck_s = time.time() - t0
+        ok_rows = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        sh = value_hash(srows, scols)
+        dh = value_hash(drows, dcols)
+        ok_hash = sh == dh
+        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"{name:26s} {status} rows {len(srows)}/{len(drows)} cols={ok_cols} "
+            f"hash={ok_hash} ({spark_s:.1f}s/{duck_s:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print(f"   spark cols: {sorted(scols)}\n   duck  cols: {sorted(dcols)}")
+            if ok_cols and not ok_hash:
+                sset = {tuple(str(row[c]) for c in sorted(scols)) for row in (r.asDict() for r in srows)}
+                dset = {
+                    tuple(str(v) for _, v in sorted(zip(dcols, row)))
+                    for row in drows
+                }
+                diff1 = list(sset - dset)[:3]
+                diff2 = list(dset - sset)[:3]
+                print(f"   spark-only: {diff1}\n   duck-only:  {diff2}")
+
+    print("\nFAILURES:", failures or "none")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
