@@ -654,9 +654,9 @@ def oracle_sql() -> dict[str, str]:
             "n_tokens >= 5 AND punct_ratio <= 0.3 AS keep FROM s"
         ),
         "ann_cosine_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
             "scored AS (SELECT q.query_id, e.vec_id, "
-            "round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine FROM q CROSS JOIN embeddings e) "
+            "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine FROM q CROSS JOIN embeddings e) "
             "SELECT cast(query_id AS bigint) AS query_id, cast(vec_id AS bigint) AS vec_id, cosine, rank FROM "
             "(SELECT query_id, vec_id, cosine, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank FROM scored) "
             "WHERE rank <= 10"

@@ -70,11 +70,14 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no RNG state: values are a
     fixed function of (seed, plane, coordinate))."""
     idx = np.arange(num_planes * dim, dtype=np.uint64).reshape(num_planes, dim)
-    # splitmix64-style scramble
-    z = idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    # splitmix64-style scramble (wrapping uint64 arithmetic is intended;
+    # fold the seed constant in python ints to avoid numpy scalar warnings)
+    offset = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    with np.errstate(over="ignore"):
+        z = idx + np.uint64(offset)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
     # map to (-1, 1)
     return (z.astype(np.float64) / 2**63) - 1.0
 

@@ -1,0 +1,38 @@
+"""Smoke the driver contract: entry() and a sample of queries() at sf0.001."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["qid", "docid", "rank", "score"]
+    # stopword-only topic q4 must produce no hits
+    assert not any(r["qid"] == "q4" for r in rows)
+    assert all(r["rank"] >= 1 for r in rows)
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles).issubset(set(qs))
+    assert len(qs) >= 20
+    assert len(oracles) >= 15
+
+
+@pytest.mark.parametrize(
+    "name", ["bm25_topk_daat", "dedup_exact", "eval_metrics", "ann_cosine_topk"]
+)
+def test_sample_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    assert df.count() >= 0
