@@ -174,15 +174,25 @@ SELECT qid, docid, rank, round(score, 4) AS score FROM (
 
 # ----------------------------------------------------------------- entry
 
+def _index_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(tag, sf) index location: repeated driver runs
+    hit the manifest's committed stages and skip the rebuild (the
+    reference's done-file idempotency working for us)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"capreolus_spark_{tag}_{key}")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (index build → DAAT BM25 top-k) on sf0.001."""
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
     from capreolus_spark.search import BM25Searcher
 
-    corpus = _corpus(spark, "/root/testdata/sf0.001")
-    index_dir = tempfile.mkdtemp(prefix="capreolus_spark_entry_")
-    idx = InvertedIndex.create(spark, corpus, index_dir, IndexConfig(stemmer="porter"))
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = _corpus(spark, sf_dir)
+    idx = InvertedIndex.create(
+        spark, corpus, _index_dir("entry", sf_dir), IndexConfig(stemmer="porter")
+    )
     searcher = BM25Searcher(idx, BM25Config(hits=10))
     run = searcher.search(_TOPICS, hits=10)
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
@@ -253,9 +263,8 @@ def _q_bm25_daat(spark, sf_dir):
     from capreolus_spark.index import InvertedIndex
     from capreolus_spark.search import BM25Searcher
 
-    index_dir = tempfile.mkdtemp(prefix="capreolus_spark_daat_")
     idx = InvertedIndex.create(
-        spark, _corpus(spark, sf_dir), index_dir, IndexConfig(stemmer="none")
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
     )
     run = BM25Searcher(idx, BM25Config(hits=_BM25_HITS)).search(_TOPICS)
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))

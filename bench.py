@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Default mode: run the headline workload at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage seconds...}, "sf": 0.1}
+
+Headline stages:
+
+* ``index_build`` — build the full inverted index over a deterministic
+  synthetic source-code corpus (seed=42, size scaled by sf) + the sf
+  documents table; files/sec is reported in the JSON as ``files_per_sec``.
+* ``bm25_batch_warm`` / ``bm25_cold`` — top-1000 batch retrieval over the
+  FIXTURES query set (25 queries); per-query p50/p95 from individual runs.
+* pipeline ops at sf scale: exact dedup, MinHash-LSH dedup, brute-force
+  cosine top-k, token quality.
+
+``--scaling`` mode (BASELINE.md / north-rule protocol): re-exec the build
+stage in two fresh subprocesses at local[8] and local[32] on identical
+input and report throughput at both plus efficiency = (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_value(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def _bench_docs(sf: float) -> int:
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0"))
+    if n:
+        return n
+    return max(2000, int(200000 * sf))  # sf0.1 → 20k synthetic files
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("capreolus_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def build_stage(spark, n_docs: int, index_dir: str) -> dict:
+    """Index build over synthetic corpus (returns timing + throughput)."""
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.data import synth_corpus
+    from capreolus_spark.index import IndexConfig, InvertedIndex, make_docid_column
+
+    corpus = make_docid_column(synth_corpus(spark, n_docs)).persist()
+    n = corpus.count()  # materialize input before the clock starts
+    t0 = time.monotonic()
+    InvertedIndex.create(
+        spark, corpus, index_dir, IndexConfig(stemmer="porter")
+    )
+    build_s = time.monotonic() - t0
+    corpus.unpersist()
+    return {"n_files": n, "build_sec": build_s, "files_per_sec": n / build_s}
+
+
+def main() -> None:
+    sf = _sf_value(SF_DIR)
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.data import synth_queries
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+    from capreolus_spark.textproc import (
+        brute_force_cosine_topk,
+        exact_dup_groups,
+        minhash_lsh_pairs,
+        add_quality_columns,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="capreolus_bench_")
+    try:
+        # ---- index build ------------------------------------------------
+        n_docs = _bench_docs(sf)
+        index_dir = os.path.join(workdir, "index")
+        b = build_stage(spark, n_docs, index_dir)
+        timings["index_build"] = round(b["build_sec"], 3)
+        extras["n_files"] = b["n_files"]
+        extras["files_per_sec"] = round(b["files_per_sec"], 1)
+
+        # ---- BM25 retrieval ---------------------------------------------
+        idx = InvertedIndex(spark, index_dir)
+        searcher = BM25Searcher(idx, BM25Config(hits=1000))
+        topics = synth_queries(25)
+
+        t0 = time.monotonic()
+        n_cold = searcher.search(topics).count()
+        timings["bm25_cold"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        searcher.search(topics).count()
+        timings["bm25_batch_warm"] = round(time.monotonic() - t0, 3)
+        extras["bm25_result_rows"] = n_cold
+
+        lat = []
+        for qid, text in list(topics.items())[:10]:
+            t0 = time.monotonic()
+            searcher.search({qid: text}).count()
+            lat.append(time.monotonic() - t0)
+        lat.sort()
+        extras["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+        extras["bm25_p95_ms"] = round(1000 * lat[min(len(lat) - 1, int(0.95 * len(lat)))], 1)
+
+        # ---- pipeline ops over the sf documents table --------------------
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+        t0 = time.monotonic()
+        exact_dup_groups(docs.select("doc_id", "text")).count()
+        timings["dedup_exact"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        minhash_lsh_pairs(docs.select("doc_id", "text"), n=3, threshold=0.8).count()
+        timings["dedup_minhash_lsh"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        queries_df = emb.orderBy("vec_id").limit(10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        brute_force_cosine_topk(emb, queries_df, k=10).count()
+        timings["ann_cosine_topk"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        add_quality_columns(docs).agg(F.avg("quality_score")).collect()
+        timings["token_quality"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+    out = {
+        "metric": "index-build + BM25 top-1000 + pipeline ops wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """North-rule scaling evidence: identical build at local[8] vs local[32]."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+        out = subprocess.run(
+            [sys.executable, __file__, "--build-only"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results[8]["files_per_sec"]
+    t32 = results[32]["files_per_sec"]
+    print(json.dumps({
+        "files_per_sec_local8": t8,
+        "files_per_sec_local32": t32,
+        "n_files": results[8]["n_files"],
+        "build_sec_local8": results[8]["build_sec"],
+        "build_sec_local32": results[32]["build_sec"],
+        "scaling_efficiency_8_to_32": round((t32 / t8) / 4, 3),
+    }))
+
+
+def build_only() -> None:
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="capreolus_bench_build_")
+    try:
+        b = build_stage(spark, _bench_docs(_sf_value(SF_DIR)), os.path.join(workdir, "index"))
+        b["build_sec"] = round(b["build_sec"], 3)
+        b["files_per_sec"] = round(b["files_per_sec"], 1)
+        print(json.dumps(b))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--build-only" in sys.argv:
+        build_only()
+    else:
+        main()

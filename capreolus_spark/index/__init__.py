@@ -30,6 +30,23 @@ class InvertedIndex:
         self.index_dir = index_dir
         self._stats: dict | None = None
         self._config: IndexConfig | None = None
+        self._persisted: dict[str, DataFrame] = {}
+
+    def persist(self) -> "InvertedIndex":
+        """Pin postings + ranges in executor memory across queries — the
+        twin of Anserini's ``-inmem`` search flag (reference
+        ``searcher/anserini.py:59``).  Used by grid search so every
+        (k1, b) combination reuses one decode-ready cache."""
+        for name in ("postings", "ranges"):
+            if name not in self._persisted:
+                self._persisted[name] = self._tbl(name).persist()
+        return self
+
+    def unpersist(self) -> "InvertedIndex":
+        for df in self._persisted.values():
+            df.unpersist()
+        self._persisted.clear()
+        return self
 
     # -------------------------------------------------- build / existence
 
@@ -70,10 +87,10 @@ class InvertedIndex:
         return self._tbl("docmap")
 
     def postings_df(self) -> DataFrame:
-        return self._tbl("postings")
+        return self._persisted.get("postings") or self._tbl("postings")
 
     def ranges_df(self) -> DataFrame:
-        return self._tbl("ranges")
+        return self._persisted.get("ranges") or self._tbl("ranges")
 
     def dict_df(self) -> DataFrame:
         return self._tbl("dict")

@@ -160,3 +160,32 @@ class BM25Searcher:
         reference ``Searcher.query`` (``searcher/__init__.py:66-91``)."""
         run = self.search_collect({"1": text}, hits=hits)
         return run.get("1", OrderedDict())
+
+    def grid_search(
+        self,
+        topics: dict[str, str],
+        k1s: list[float] | None = None,
+        bs: list[float] | None = None,
+        hits: int | None = None,
+    ) -> dict[str, dict[str, OrderedDict]]:
+        """BM25Grid twin (reference ``searcher/anserini.py:179-200``): one
+        run per (k1, b) combination over a shared in-memory index; run names
+        follow the reference's grid file naming
+        (``searcher/tests/test_searcher.py:66-78``).
+
+        Default grid: 0.1..1.0 step 0.1 on both axes."""
+        import numpy as np
+
+        k1s = [round(float(x), 1) for x in (k1s or np.arange(0.1, 1.05, 0.1))]
+        bs = [round(float(x), 1) for x in (bs or np.arange(0.1, 1.05, 0.1))]
+        hits = hits or self.config.hits
+        self.index.persist()
+        runs = {}
+        for k1 in k1s:
+            for b in bs:
+                name = f"searcher_bm25(k1={k1},b={b})_default"
+                sub = BM25Searcher(
+                    self.index, BM25Config(k1=k1, b=b, hits=hits), prune=self.prune
+                )
+                runs[name] = sub.search_collect(topics, hits=hits)
+        return runs

@@ -1,0 +1,38 @@
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.evaluation import search_best_run
+from capreolus_spark.search import BM25Searcher
+
+
+def test_grid_naming_and_best_run(dummy_index):
+    searcher = BM25Searcher(dummy_index)
+    runs = searcher.grid_search({"301": "Dummy doc"}, k1s=[0.9, 0.5], bs=[0.4, 0.8], hits=10)
+    # reference grid run naming (searcher/tests/test_searcher.py:66-78)
+    assert set(runs) == {
+        "searcher_bm25(k1=0.9,b=0.4)_default",
+        "searcher_bm25(k1=0.5,b=0.4)_default",
+        "searcher_bm25(k1=0.9,b=0.8)_default",
+        "searcher_bm25(k1=0.5,b=0.8)_default",
+    }
+    default = runs["searcher_bm25(k1=0.9,b=0.4)_default"]["301"]
+    assert list(default.keys()) == ["LA010189-0001", "LA010189-0002"]
+    assert default["LA010189-0001"] == pytest.approx(0.13948959, abs=1e-6)
+
+    # cross-validated selection plugs straight in (dummy benchmark fold)
+    qrels = {"301": {"LA010189-0001": 1, "LA010189-0002": 0}}
+    folds = {"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}}
+    res = search_best_run(runs, qrels, folds, "P_1")
+    assert res["score"]["P_1"] == 1.0
+    dummy_index.unpersist()
+
+
+def test_grid_matches_direct_search(dummy_index):
+    runs = BM25Searcher(dummy_index).grid_search(
+        {"301": "Dummy doc"}, k1s=[0.5], bs=[0.8], hits=10
+    )
+    direct = BM25Searcher(dummy_index, BM25Config(k1=0.5, b=0.8, hits=10)).search_collect(
+        {"301": "Dummy doc"}
+    )
+    assert runs["searcher_bm25(k1=0.5,b=0.8)_default"] == direct
+    dummy_index.unpersist()
