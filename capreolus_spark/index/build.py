@@ -197,34 +197,71 @@ def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
     return docmap.select("docno", "content").mapInPandas(tokenize, schema=TOKENS_SCHEMA)
 
 
-def _ranges_stage(tokens: DataFrame, range_size: int) -> DataFrame:
+def _pack_range_cells(pdf: pd.DataFrame, range_size: int) -> pd.DataFrame:
+    out = {k: [] for k in ("range_id", "base_docno", "n_slots", "n_docs", "min_dl", "sum_dl", "dls")}
+    for rid, g in pdf.groupby("range_id", sort=False):
+        base = int(rid) * range_size
+        docnos = g["docno"].to_numpy(dtype=np.int64) - base
+        dls = g["dl"].to_numpy(dtype=np.int64)
+        n_slots = int(docnos.max()) + 1
+        arr = np.zeros(n_slots, dtype=np.int64)
+        arr[docnos] = dls
+        out["range_id"].append(int(rid))
+        out["base_docno"].append(base)
+        out["n_slots"].append(n_slots)
+        out["n_docs"].append(len(g))
+        out["min_dl"].append(int(dls.min()))
+        out["sum_dl"].append(int(dls.sum()))
+        out["dls"].append(encode_int32_array(arr))
+    return pd.DataFrame(out)
+
+
+def _ranges_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> DataFrame:
+    # map-side combinable: tokens are already co-partitioned by doc, so the
+    # groupBy(docno) shuffle carries ~one row per document
     doclens = (
         tokens.groupBy("docno")
         .agg(F.sum("tf").alias("dl"))
         .withColumn("range_id", F.expr(f"docno DIV {range_size}"))
     )
+    parted = doclens.repartition(num_partitions, "range_id").sortWithinPartitions(
+        "range_id", "docno"
+    )
 
-    def pack_range(pdf: pd.DataFrame) -> pd.DataFrame:
-        rid = int(pdf["range_id"].iloc[0])
-        base = rid * range_size
-        docnos = pdf["docno"].to_numpy(dtype=np.int64) - base
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        n_slots = int(docnos.max()) + 1
-        arr = np.zeros(n_slots, dtype=np.int64)
-        arr[docnos] = dls
-        return pd.DataFrame(
-            {
-                "range_id": [rid],
-                "base_docno": [base],
-                "n_slots": [n_slots],
-                "n_docs": [len(pdf)],
-                "min_dl": [int(dls.min())],
-                "sum_dl": [int(dls.sum())],
-                "dls": [encode_int32_array(arr)],
-            }
-        )
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            tail = pdf["range_id"] == pdf["range_id"].iloc[-1]
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _pack_range_cells(body, range_size)
+        if carry is not None and len(carry):
+            yield _pack_range_cells(carry, range_size)
 
-    return doclens.groupBy("range_id").applyInPandas(pack_range, schema=RANGES_SCHEMA)
+    return parted.mapInPandas(pack, schema=RANGES_SCHEMA)
+
+
+def _encode_cells(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack a block of (term, range_id, docno, tf) rows — already sorted by
+    (term, range_id, docno) — into one encoded posting run per cell."""
+    out = {k: [] for k in ("term", "range_id", "df_range", "cf_range", "max_tf", "docnos", "tfs")}
+    for (term, rid), g in pdf.groupby(["term", "range_id"], sort=False):
+        docnos = g["docno"].to_numpy(dtype=np.int64)
+        tfs = g["tf"].to_numpy(dtype=np.int64)
+        dbuf, tbuf = encode_postings(docnos, tfs)
+        out["term"].append(term)
+        out["range_id"].append(int(rid))
+        out["df_range"].append(len(g))
+        out["cf_range"].append(int(tfs.sum()))
+        out["max_tf"].append(int(tfs.max()))
+        out["docnos"].append(dbuf)
+        out["tfs"].append(tbuf)
+    return pd.DataFrame(out)
 
 
 def _postings_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> DataFrame:
@@ -232,28 +269,39 @@ def _postings_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> 
         "range_id", F.expr(f"docno DIV {range_size}")
     )
 
-    def pack_postings(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("docno")
-        docnos = pdf["docno"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dbuf, tbuf = encode_postings(docnos, tfs)
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "range_id": [int(pdf["range_id"].iloc[0])],
-                "df_range": [len(pdf)],
-                "cf_range": [int(tfs.sum())],
-                "max_tf": [int(tfs.max())],
-                "docnos": [dbuf],
-                "tfs": [tbuf],
-            }
-        )
-
-    # (term, range_id) grouping == salted repartition-by-term: group size ≤ range_size
-    packed = indexed.groupBy("term", "range_id").applyInPandas(
-        pack_postings, schema=POSTINGS_SCHEMA
+    # Salted repartition-by-term (north star): hash-shuffle on
+    # (term, range_id) so no reducer sees a whole stopword posting list,
+    # sort within partitions, then pack sorted runs in ONE vectorized
+    # mapInPandas pass per partition (pandas C-groupby inside — no
+    # per-group Arrow round-trips).
+    parted = indexed.repartition(num_partitions, "term", "range_id").sortWithinPartitions(
+        "term", "range_id", "docno"
     )
-    # layout: files sorted by term for parquet min/max row-group pruning at query time
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the final (term, range_id) cell may continue in the next Arrow
+            # batch — hold it back
+            last_term = pdf["term"].iloc[-1]
+            last_rid = pdf["range_id"].iloc[-1]
+            tail = (pdf["term"] == last_term) & (pdf["range_id"] == last_rid)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _encode_cells(body)
+        if carry is not None and len(carry):
+            yield _encode_cells(carry)
+
+    packed = parted.select("term", "range_id", "docno", "tf").mapInPandas(
+        pack, schema=POSTINGS_SCHEMA
+    )
+    # final layout: encoded cells are small — range-repartition by term and
+    # sort so parquet row-group min/max stats prune query-term scans
     return packed.repartitionByRange(num_partitions, "term", "range_id").sortWithinPartitions(
         "term", "range_id"
     )
@@ -294,37 +342,36 @@ def build_index(
         if manifest.stage_done(stage):
             return
         t0 = time.monotonic()
-        rows_out = fn(paths[stage])
+        fn(paths[stage])
+        # row counts come from the parquet footers — no re-read of the data
+        files = _parquet_lineage(paths[stage])
         manifest.commit_stage(
             stage,
-            rows_out=rows_out,
+            rows_out=sum(f["rows"] for f in files),
             wall_ms=int((time.monotonic() - t0) * 1000),
-            files=_parquet_lineage(paths[stage]),
+            files=files,
         )
 
-    def write_docmap(out: str) -> int:
-        docmap = _assign_docnos(corpus, n_doc_parts)
-        docmap.write.mode("overwrite").parquet(out)
-        return spark.read.parquet(out).count()
+    def write_docmap(out: str) -> None:
+        _assign_docnos(corpus, n_doc_parts).write.mode("overwrite").parquet(out)
 
-    def write_tokens(out: str) -> int:
+    def write_tokens(out: str) -> None:
         docmap = spark.read.parquet(paths["docmap"])
         _tokenize_stage(docmap, config).write.mode("overwrite").parquet(out)
-        return spark.read.parquet(out).count()
 
-    def write_ranges(out: str) -> int:
+    def write_ranges(out: str) -> None:
         tokens = spark.read.parquet(paths["tokens"])
-        _ranges_stage(tokens, config.range_size).write.mode("overwrite").parquet(out)
-        return spark.read.parquet(out).count()
+        _ranges_stage(tokens, config.range_size, n_post_parts).write.mode(
+            "overwrite"
+        ).parquet(out)
 
-    def write_postings(out: str) -> int:
+    def write_postings(out: str) -> None:
         tokens = spark.read.parquet(paths["tokens"])
         _postings_stage(tokens, config.range_size, n_post_parts).write.mode(
             "overwrite"
         ).parquet(out)
-        return spark.read.parquet(out).count()
 
-    def write_dict(out: str) -> int:
+    def write_dict(out: str) -> None:
         postings = spark.read.parquet(paths["postings"])
         (
             postings.groupBy("term")
@@ -338,7 +385,6 @@ def build_index(
             .write.mode("overwrite")
             .parquet(out)
         )
-        return spark.read.parquet(out).count()
 
     run_stage("docmap", write_docmap)
     run_stage("tokens", write_tokens)
@@ -348,7 +394,7 @@ def build_index(
 
     if not manifest.stage_done("stats"):
         t0 = time.monotonic()
-        n_docs = spark.read.parquet(paths["docmap"]).count()
+        n_docs = manifest.data["stages"]["docmap"]["rows_out"]
         agg = (
             spark.read.parquet(paths["ranges"])
             .agg(F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("docs_with_terms"))

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build an inverted index over a corpus table.
+
+Deployment (north rule: multi-executor clusters via --py-files)::
+
+    bash scripts/package.sh                       # → dist/capreolus_spark.zip
+    spark-submit --py-files dist/capreolus_spark.zip \\
+        scripts/build_job.py \\
+        --corpus  <parquet-or-iceberg path of (repo,path,commit,lang,content)> \\
+        --index-dir <output dir> \\
+        [--format iceberg|parquet] [--stemmer porter|none] [--indexstops] \\
+        [--range-size 131072] [--partitions N]
+
+The job is resumable: rerunning after a failure skips the stages the
+manifest already committed.  On a cluster, size ``--partitions`` so one
+partition's postings fit executor memory (~128-256 MB of token rows), and
+set ``spark.sql.shuffle.partitions`` to 2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--stemmer", default="porter", choices=["porter", "none"])
+    ap.add_argument("--indexstops", action="store_true")
+    ap.add_argument("--range-size", type=int, default=1 << 17)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--verify-integrity", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex, make_docid_column
+
+    spark = SparkSession.builder.appName("capreolus_spark_build").getOrCreate()
+
+    if args.format == "iceberg":
+        corpus = spark.read.format("iceberg").load(args.corpus)
+    else:
+        corpus = spark.read.parquet(args.corpus)
+    if "docid" not in corpus.columns:
+        corpus = make_docid_column(corpus)
+
+    cfg = IndexConfig(
+        stemmer=args.stemmer,
+        indexstops=args.indexstops,
+        range_size=args.range_size,
+        num_doc_partitions=args.partitions,
+        postings_partitions=args.partitions,
+    )
+
+    t0 = time.monotonic()
+    idx = InvertedIndex.create(spark, corpus, args.index_dir, cfg)
+    wall = time.monotonic() - t0
+    out = {"index_dir": args.index_dir, "build_sec": round(wall, 1), "n_docs": idx.numdocs,
+           "files_per_sec": round(idx.numdocs / wall, 1) if wall > 0 else None}
+    if args.verify_integrity:
+        out["integrity_mismatches"] = idx.verify_content_integrity(corpus)
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(0 if not out.get("integrity_mismatches") else 1)
+
+
+if __name__ == "__main__":
+    main()

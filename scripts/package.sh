@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Package the engine for spark-submit --py-files deployment.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/capreolus_spark.zip
+# zip only the package (tests and repo docs stay out of the executor env)
+python - <<'EOF'
+import os, zipfile
+with zipfile.ZipFile("dist/capreolus_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for root, _, files in os.walk("capreolus_spark"):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+print("dist/capreolus_spark.zip written")
+EOF

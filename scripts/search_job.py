@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""spark-submit entry point: BM25 top-k retrieval against a built index.
+
+    spark-submit --py-files dist/capreolus_spark.zip scripts/search_job.py \\
+        --index-dir <index> --topics <tsv qid\\ttext> --output <run file> \\
+        [--hits 1000] [--k1 0.9] [--b 0.4] [--tag capreolus_spark]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--topics", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--hits", type=int, default=1000)
+    ap.add_argument("--k1", type=float, default=0.9)
+    ap.add_argument("--b", type=float, default=0.4)
+    ap.add_argument("--tag", default="capreolus_spark")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.io.trec import load_tsv_topics, write_trec_run
+    from capreolus_spark.search import BM25Searcher
+
+    spark = SparkSession.builder.appName("capreolus_spark_search").getOrCreate()
+    idx = InvertedIndex(spark, args.index_dir)
+    searcher = BM25Searcher(idx, BM25Config(k1=args.k1, b=args.b, hits=args.hits), tag=args.tag)
+    topics = load_tsv_topics(args.topics)
+    run = searcher.search_collect(topics)
+    write_trec_run(run, args.output, tag=args.tag)
+    print(f"wrote {sum(len(v) for v in run.values())} results for {len(run)} topics -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
