@@ -1,0 +1,197 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference is batch-only with done-file idempotency
+(``capreolus/index/__init__.py:22-33``); this module is the forward-looking
+extension SURVEY.md §7 sketches: new corpus files landing in a directory are
+folded into the same on-disk index layout as fresh *posting segments*
+(generation-suffixed parquet files appended to ``postings/``, ``ranges/``,
+``docmap/``), so the batch searcher sees them transparently on its next
+``spark.read.parquet`` — a Lucene-style segmented index without rewrite.
+
+Mechanics per micro-batch (``foreachBatch``):
+
+* each generation reserves a disjoint docno space: partition ids are offset
+  by ``gen * GEN_PID_STRIDE`` before the ``pid * PARTITION_CAPACITY + local``
+  assignment, so docnos never collide across generations and every range
+  still belongs to exactly one generation;
+* tokens → ranges → postings run the same stage functions as the batch
+  build (one code path to calibrate);
+* the dictionary and stats are NOT updated per batch (df/cf/N/avgdl drift
+  slowly at web scale); call :meth:`IncrementalIndexer.refresh_stats` to
+  fold committed generations into dict/stats — the streaming twin of a
+  Lucene segment-merge/commit;
+* the generation manifest is committed atomically after the batch's files
+  land, so a crashed micro-batch leaves only orphan files that the next
+  run of the same epoch overwrites (exactly-once via Structured
+  Streaming's checkpointed batch ids).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..index.build import (
+    PARTITION_CAPACITY,
+    Manifest,
+    _parquet_lineage,
+    _postings_stage,
+    _ranges_stage,
+    _tokenize_stage,
+)
+
+# max partitions a single micro-batch may use for docno assignment
+GEN_PID_STRIDE = 1 << 14
+
+
+class IncrementalIndexer:
+    def __init__(self, spark: SparkSession, index_dir: str, config: IndexConfig | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.config = config or IndexConfig()
+        os.makedirs(index_dir, exist_ok=True)
+        self.manifest = Manifest(index_dir)
+        if self.manifest.data.get("config") is None:
+            self.manifest.data["config"] = self.config.to_json()
+        self.manifest.data.setdefault("generations", {})
+
+    # ---------------------------------------------------------------- core
+
+    def _next_generation(self) -> int:
+        gens = [int(g) for g in self.manifest.data["generations"]]
+        return (max(gens) + 1) if gens else 0
+
+    def _assign_docnos_gen(self, batch: DataFrame, gen: int, n_parts: int) -> DataFrame:
+        from itertools import count
+        from typing import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        base_pid = gen * GEN_PID_STRIDE
+        if n_parts > GEN_PID_STRIDE:
+            raise ValueError("micro-batch partitions exceed generation stride")
+        part = (
+            batch.select("docid", "content")
+            .withColumn("sha256", F.sha2(F.col("content"), 256))
+            .repartition(n_parts, F.col("docid"))
+            .sortWithinPartitions("docid")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pid = base_pid + int(pdf["_pid"].iloc[0])
+                pdf = pdf.assign(
+                    docno=pid * PARTITION_CAPACITY
+                    + np.arange(local, local + len(pdf), dtype=np.int64)
+                )
+                local += len(pdf)
+                yield pdf[["docid", "docno", "sha256", "content"]]
+
+        return part.mapInPandas(
+            assign, schema="docid string, docno long, sha256 string, content string"
+        )
+
+    def ingest_batch(self, batch: DataFrame, epoch_id: int | None = None) -> dict:
+        """Fold one micro-batch of (docid, content) rows into the index as a
+        new generation of segments.  Usable directly as a foreachBatch sink."""
+        gen = self._next_generation()
+        key = f"gen={gen:06d}"
+        n_parts = min(
+            GEN_PID_STRIDE, max(2, self.spark.sparkContext.defaultParallelism)
+        )
+        t0 = time.monotonic()
+
+        docmap = self._assign_docnos_gen(batch, gen, n_parts)
+        docmap_path = os.path.join(self.index_dir, "docmap", key)
+        docmap.write.mode("overwrite").parquet(docmap_path)
+
+        docmap_committed = self.spark.read.parquet(docmap_path)
+        tokens = _tokenize_stage(docmap_committed, self.config)
+        tokens_path = os.path.join(self.index_dir, "tokens", key)
+        tokens.write.mode("overwrite").parquet(tokens_path)
+
+        tokens_committed = self.spark.read.parquet(tokens_path)
+        _ranges_stage(tokens_committed, self.config.range_size, n_parts).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.index_dir, "ranges", key))
+        _postings_stage(tokens_committed, self.config.range_size, n_parts).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.index_dir, "postings", key))
+
+        entry = {
+            "epoch_id": epoch_id,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "rows": sum(f["rows"] for f in _parquet_lineage(docmap_path)),
+            "done": True,
+        }
+        self.manifest.data["generations"][str(gen)] = entry
+        self.manifest.commit_stage(f"generation_{gen}", **entry)
+        return entry
+
+    def refresh_stats(self) -> dict:
+        """Rebuild dict + stats from all committed generations (the commit /
+        segment-merge step).  Marks the index complete for InvertedIndex."""
+        postings = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        (
+            postings.groupBy("term")
+            .agg(
+                F.sum("df_range").alias("df"),
+                F.sum("cf_range").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.index_dir, "dict"))
+        )
+        ranges = self.spark.read.parquet(os.path.join(self.index_dir, "ranges"))
+        agg = ranges.agg(
+            F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("docs_with_terms")
+        ).collect()[0]
+        n_docs = self.spark.read.parquet(os.path.join(self.index_dir, "docmap")).count()
+        sum_dl = int(agg["sum_dl"] or 0)
+        stats = {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avg_dl": (sum_dl / n_docs) if n_docs else 0.0,
+            "docs_with_terms": int(agg["docs_with_terms"] or 0),
+        }
+        with open(os.path.join(self.index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2, sort_keys=True)
+        for stage in ("docmap", "tokens", "ranges", "postings", "dict"):
+            self.manifest.commit_stage(stage, incremental=True)
+        self.manifest.commit_stage("stats", **stats)
+        return stats
+
+    # ------------------------------------------------------------ streaming
+
+    def stream_from_directory(
+        self,
+        input_dir: str,
+        checkpoint_dir: str,
+        schema: str = "docid string, content string",
+        trigger_available_now: bool = True,
+    ):
+        """Watch ``input_dir`` for new parquet corpus files and fold each
+        micro-batch into the index; exactly-once via the stream checkpoint."""
+        stream = self.spark.readStream.schema(schema).parquet(input_dir)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.ingest_batch(batch_df, epoch_id=epoch_id)
+
+        writer = stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

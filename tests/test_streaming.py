@@ -1,0 +1,85 @@
+"""Incremental (Structured Streaming) index maintenance."""
+
+import os
+
+import pytest
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.streaming import IncrementalIndexer
+
+BATCH1 = [
+    ("doc1", "spark engines index postings quickly"),
+    ("doc2", "postings compress with varint encoding"),
+]
+BATCH2 = [
+    ("doc3", "spark streaming folds new postings segments"),
+    ("doc4", "completely unrelated words here"),
+]
+
+
+def test_incremental_batches_then_search(spark, tmp_path):
+    index_dir = str(tmp_path / "inc_idx")
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig(stemmer="porter"))
+
+    b1 = spark.createDataFrame(BATCH1, "docid string, content string")
+    e1 = inc.ingest_batch(b1)
+    assert e1["rows"] == 2
+    inc.refresh_stats()
+
+    idx = InvertedIndex(spark, index_dir)
+    assert idx.exists()
+    assert idx.numdocs == 2
+    assert idx.get_df("post") == 2  # porter: postings -> post
+
+    run1 = BM25Searcher(idx, BM25Config(hits=10)).search_collect({"q": "postings"})
+    assert set(run1["q"]) == {"doc1", "doc2"}
+
+    # second generation appends without touching generation 0 files
+    b2 = spark.createDataFrame(BATCH2, "docid string, content string")
+    e2 = inc.ingest_batch(b2)
+    assert e2["rows"] == 2
+    inc.refresh_stats()
+
+    idx2 = InvertedIndex(spark, index_dir)
+    assert idx2.numdocs == 4
+    assert idx2.get_df("post") == 3
+    run2 = BM25Searcher(idx2, BM25Config(hits=10)).search_collect({"q": "postings"})
+    assert set(run2["q"]) == {"doc1", "doc2", "doc3"}
+    # docnos from distinct generations never collide
+    docnos = [r["docno"] for r in idx2.docs_df().collect()]
+    assert len(set(docnos)) == 4
+
+
+def test_streaming_from_directory(spark, tmp_path):
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    index_dir = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(BATCH1, "docid string, content string").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig())
+    q = inc.stream_from_directory(input_dir, ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(BATCH2, "docid string, content string").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    q2 = inc.stream_from_directory(input_dir, ckpt)
+    q2.awaitTermination(120)
+
+    inc.refresh_stats()
+    idx = InvertedIndex(spark, index_dir)
+    assert idx.numdocs == 4
+    run = BM25Searcher(idx, BM25Config(hits=10)).search_collect({"q": "spark"})
+    assert set(run["q"]) == {"doc1", "doc3"}
+
+    # re-running the stream with the same checkpoint ingests nothing new
+    q3 = inc.stream_from_directory(input_dir, ckpt)
+    q3.awaitTermination(120)
+    inc.refresh_stats()
+    assert InvertedIndex(spark, index_dir).numdocs == 4
