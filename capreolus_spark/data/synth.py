@@ -73,6 +73,83 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     )
 
 
+def _splitmix(values, salt: int):
+    import numpy as np
+
+    z = values.astype(np.uint64) + np.uint64((salt * 0x9E3779B97F4A7C15) % (1 << 64))
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def synth_corpus_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    avg_tokens: int = 120,
+    partitions: int = 64,
+) -> DataFrame:
+    """Scale path of :func:`synth_corpus`: the corpus is generated on the
+    executors (stateless splitmix64 hashing per (doc, slot) — no RNG state,
+    so identical content for any partitioning), with the same Zipfian
+    vocabulary, shared-marker terms, empty-content edge cases and the two
+    golden dummy docs as rows 0-1."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = np.array(_zipf_vocab(), dtype=object)
+    w = 1.0 / np.arange(1, len(vocab) + 1, dtype=np.float64)
+    cumw = np.cumsum(w) / w.sum()
+
+    n_gen = max(0, n_docs - len(DUMMY_ROWS))
+    base = spark.range(0, n_gen, numPartitions=partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            uids = ids.astype(np.uint64)
+            span = max(2 * avg_tokens - 20, 2)
+            counts = (10 + (_splitmix(uids, seed) % np.uint64(span))).astype(np.int64)
+            # edge cases: empty / whitespace-only content
+            counts = np.where(ids % 211 == 0, 0, counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            total = int(counts.sum())
+            doc_rep = np.repeat(np.arange(len(ids)), counts)
+            slot = np.arange(total) - np.repeat(starts, counts)
+            u = _splitmix(np.repeat(uids, counts) * np.uint64(1315423911) ^ slot.astype(np.uint64), seed + 1)
+            ranks = np.searchsorted(cumw, (u.astype(np.float64) / 2**64), side="left")
+            toks = vocab[np.clip(ranks, 0, len(vocab) - 1)]
+            joined = (
+                pd.Series(toks).groupby(doc_rep).agg(" ".join)
+                if total
+                else pd.Series(dtype=object)
+            )
+            contents = pd.Series([""] * len(ids))
+            contents.iloc[list(joined.index)] = joined.values
+            contents = np.where(ids % 211 == 1, "   \n\t  ", contents)
+            # guaranteed shared rare marker terms (df > 1 cases)
+            marker = (ids % 17 == 0) & (ids % 211 > 1)
+            contents = np.where(marker, contents + " sharedmarker", contents)
+            yield pd.DataFrame(
+                {
+                    "repo": [f"org{i % 97}/proj{i % 13}" for i in ids],
+                    "path": [f"src/mod{i % 29}/file{i}.py" for i in ids],
+                    "commit": [f"{i:040x}" for i in ids],
+                    "lang": [_LANGS[i % len(_LANGS)] for i in ids],
+                    "content": contents,
+                }
+            )
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    generated = base.mapInPandas(gen, schema=schema)
+    dummy = spark.createDataFrame(DUMMY_ROWS, schema)
+    return dummy.unionByName(generated)
+
+
 def synth_queries(n: int = 25, seed: int = 42) -> dict[str, str]:
     """~25 synthetic queries mixing high-df, low-df, absent and stopword-only
     terms (FIXTURES.md §3), plus the golden topic 301."""

@@ -118,17 +118,32 @@ class InvertedIndex:
         return int(rows[0]["df"]) if rows else 0
 
     def get_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: df for t, (df, _) in self.get_term_stats(terms).items()}
+
+    def get_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (df, cf)} for a batch of analyzed terms (0,0 if unseen).
+        One predicate-pushed parquet scan for the whole query batch."""
         if not terms:
             return {}
         rows = (
             self.dict_df()
             .filter(F.col("term").isin(list(set(terms))))
-            .select("term", "df")
+            .select("term", "df", "cf")
             .collect()
         )
-        out = {t: 0 for t in terms}
-        out.update({r["term"]: int(r["df"]) for r in rows})
+        out = {t: (0, 0) for t in terms}
+        out.update({r["term"]: (int(r["df"]), int(r["cf"])) for r in rows})
         return out
+
+    @property
+    def sum_cf(self) -> int:
+        """Total indexed term occurrences (Lucene sumTotalTermFreq) — the
+        collection-model denominator for Dirichlet QL."""
+        stats = self.stats()
+        if "sum_cf" not in stats:  # index built before sum_cf was recorded
+            row = self.dict_df().agg(F.sum("cf").alias("s")).collect()[0]
+            stats["sum_cf"] = int(row["s"] or 0)
+        return int(stats["sum_cf"])
 
     def get_idf(self, term: str) -> float:
         """idf = ln(1 + (N - df + 0.5)/(df + 0.5)), floored at 0

@@ -297,13 +297,34 @@ def _postings_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> 
         if carry is not None and len(carry):
             yield _encode_cells(carry)
 
-    packed = parted.select("term", "range_id", "docno", "tf").mapInPandas(
+    return parted.select("term", "range_id", "docno", "tf").mapInPandas(
         pack, schema=POSTINGS_SCHEMA
     )
-    # final layout: encoded cells are small — range-repartition by term and
-    # sort so parquet row-group min/max stats prune query-term scans
-    return packed.repartitionByRange(num_partitions, "term", "range_id").sortWithinPartitions(
-        "term", "range_id"
+
+
+# ranges per layout chunk: bounds the volume of one term's cells landing in
+# a single output partition (a 10^12-doc stopword splits across files in
+# 1024-range chunks) while keeping all of a term's cells in very few files
+_LAYOUT_RANGE_GROUP = 1024
+
+
+def _write_postings_layout(packed: DataFrame, num_partitions: int, out: str) -> None:
+    """Final on-disk layout: hash-repartition on (term, range-chunk) + sort
+    by (term, range_id) within each file.
+
+    Every cell of a query term lives in one file per range-chunk, sorted, so
+    parquet row-group min/max stats prune a term lookup to ~one row group —
+    without the extra sampling job ``repartitionByRange`` would spend on the
+    (expensive) upstream tokenize→shuffle→encode pipeline."""
+    (
+        packed.repartition(
+            num_partitions,
+            F.col("term"),
+            F.expr(f"range_id DIV {_LAYOUT_RANGE_GROUP}"),
+        )
+        .sortWithinPartitions("term", "range_id")
+        .write.mode("overwrite")
+        .parquet(out)
     )
 
 
@@ -325,6 +346,7 @@ def build_index(
     config = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     manifest = Manifest(index_dir)
+    restore_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     if manifest.data.get("config") and manifest.data["config"] != config.to_json():
         raise ValueError(
             f"index at {index_dir} was built with a different config: "
@@ -367,9 +389,8 @@ def build_index(
 
     def write_postings(out: str) -> None:
         tokens = spark.read.parquet(paths["tokens"])
-        _postings_stage(tokens, config.range_size, n_post_parts).write.mode(
-            "overwrite"
-        ).parquet(out)
+        packed = _postings_stage(tokens, config.range_size, n_post_parts)
+        _write_postings_layout(packed, n_post_parts, out)
 
     def write_dict(out: str) -> None:
         postings = spark.read.parquet(paths["postings"])
@@ -387,10 +408,31 @@ def build_index(
         )
 
     run_stage("docmap", write_docmap)
-    run_stage("tokens", write_tokens)
-    run_stage("ranges", write_ranges)
-    run_stage("postings", write_postings)
-    run_stage("dict", write_dict)
+
+    # Size parquet scan splits to the session's parallelism: with the 128 MB
+    # default, a few-hundred-MB docmap/tokens table coalesces into a handful
+    # of input partitions and the tokenize pipeline runs nearly serial.  At
+    # real (multi-TB) scale the clamp below leaves the default untouched.
+    def _dir_bytes(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    target_tasks = 2 * max(spark.sparkContext.defaultParallelism, n_doc_parts)
+    mpb = max(4 << 20, min(128 << 20, _dir_bytes(paths["docmap"]) // target_tasks or (4 << 20)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    try:
+        run_stage("tokens", write_tokens)
+        run_stage("ranges", write_ranges)
+        run_stage("postings", write_postings)
+        run_stage("dict", write_dict)
+    finally:
+        if restore_mpb is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", restore_mpb)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     if not manifest.stage_done("stats"):
         t0 = time.monotonic()
@@ -401,11 +443,15 @@ def build_index(
             .collect()[0]
         )
         sum_dl = int(agg["sum_dl"] or 0)
+        cf_row = (
+            spark.read.parquet(paths["dict"]).agg(F.sum("cf").alias("s")).collect()[0]
+        )
         stats = {
             "n_docs": n_docs,
             "sum_dl": sum_dl,
             "avg_dl": (sum_dl / n_docs) if n_docs else 0.0,
             "docs_with_terms": int(agg["docs_with_terms"] or 0),
+            "sum_cf": int(cf_row["s"] or 0),
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2, sort_keys=True)

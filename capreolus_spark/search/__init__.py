@@ -25,8 +25,9 @@ from ..analysis import analyze_text
 from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from .daat import RESULT_SCHEMA, make_range_scorer, merge_topk
+from .scoring import BM25Scoring, LMDirichletScoring
 
-__all__ = ["BM25Searcher", "BM25Config"]
+__all__ = ["BM25Searcher", "QLDirichletSearcher", "BM25Config"]
 
 
 class BM25Searcher:
@@ -42,6 +43,10 @@ class BM25Searcher:
         self.prune = prune
         self.tag = tag
 
+    @property
+    def scoring(self):
+        return BM25Scoring(k1=self.config.k1, b=self.config.b)
+
     # ------------------------------------------------------------ analysis
 
     def analyze_topics(self, topics: dict[str, str]) -> dict[str, list[str]]:
@@ -53,17 +58,27 @@ class BM25Searcher:
     def _query_weights(
         self, analyzed: dict[str, list[str]]
     ) -> dict[str, list[tuple[str, float, float]]]:
-        """{qid: [terms]} → {qid: [(term, idf, qtf)]}, dropping unseen terms
-        (df=0 terms contribute 0, reference ``index/anserini.py:87``)."""
+        """{qid: [terms]} → {qid: [(term, weight, qtf)]}, dropping unseen
+        terms (df=0 terms contribute 0, reference ``index/anserini.py:87``).
+        ``weight`` is the scoring function's per-term constant (idf for
+        BM25, p(t|C) for Dirichlet QL)."""
         all_terms = sorted({t for ts in analyzed.values() for t in ts})
-        dfs = self.index.get_dfs(all_terms)
-        idf = {t: self.index.idf_from_df(df) for t, df in dfs.items() if df > 0}
+        stats = self.index.get_term_stats(all_terms)
+        n_docs = self.index.numdocs
+        sum_cf = self.index.sum_cf
+        scoring = self.scoring
+        weight = {}
+        for t, (df, cf) in stats.items():
+            if df > 0:
+                w = scoring.weight(df, cf, n_docs, sum_cf)
+                if w > 0:
+                    weight[t] = w
         out = {}
         for qid, terms in analyzed.items():
             weighted = [
-                (t, idf[t], float(qtf))
+                (t, weight[t], float(qtf))
                 for t, qtf in Counter(terms).items()
-                if t in idf
+                if t in weight
             ]
             if weighted:
                 out[qid] = weighted
@@ -78,8 +93,7 @@ class BM25Searcher:
         ranges = self.index.ranges_df()
         scorer = make_range_scorer(
             weights,
-            k1=self.config.k1,
-            b=self.config.b,
+            scoring=self.scoring,
             avgdl=self.index.avgdl,
             hits=self.config.hits,
             prune=self.prune,
@@ -189,3 +203,24 @@ class BM25Searcher:
                 )
                 runs[name] = sub.search_collect(topics, hits=hits)
         return runs
+
+
+class QLDirichletSearcher(BM25Searcher):
+    """Dirichlet-smoothed query likelihood over the same index — the
+    reference's ``DirichletQL`` searcher (``searcher/anserini.py:406-431``,
+    default μ=1000), scored with Lucene's LMDirichletSimilarity form."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        mu: float = 1000.0,
+        hits: int = 1000,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, BM25Config(hits=hits), prune=prune, tag=tag)
+        self.mu = mu
+
+    @property
+    def scoring(self):
+        return LMDirichletScoring(mu=self.mu)

@@ -71,9 +71,8 @@ def _score_one_query(
     dls: np.ndarray,
     scores: np.ndarray,
     meta_max_tf: dict[str, int],
-    min_norm: float,
-    k1: float,
-    b: float,
+    min_dl: int,
+    scoring,
     avgdl: float,
     hits: int,
     prune: bool,
@@ -83,8 +82,8 @@ def _score_one_query(
     # block upper bounds per term (descending processing order)
     ubs = np.array(
         [
-            qtf * idf * (meta_max_tf[t] / (meta_max_tf[t] + min_norm))
-            for (t, idf, qtf) in terms
+            qtf * scoring.upper_bound(w, meta_max_tf[t], min_dl, avgdl)
+            for (t, w, qtf) in terms
         ],
         dtype=np.float64,
     )
@@ -96,7 +95,7 @@ def _score_one_query(
     pruning = False
 
     for pos, oi in enumerate(order):
-        t, idf, qtf = terms[oi]
+        t, w, qtf = terms[oi]
         if prune and not pruning and pos > 0:
             seen = np.unique(np.concatenate(touched))
             if seen.size >= hits:
@@ -113,7 +112,7 @@ def _score_one_query(
                 continue
         else:
             touched.append(slots)
-        scores[slots] += qtf * idf * bm25_tf_sat(tfs, dls[slots], k1, b, avgdl)
+        scores[slots] += qtf * scoring.contrib(w, tfs, dls[slots], avgdl)
 
     if not touched:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -130,15 +129,14 @@ def _score_one_query(
 
 def make_range_scorer(
     query_terms: dict[str, list[tuple[str, float, float]]],
-    k1: float,
-    b: float,
+    scoring,
     avgdl: float,
     hits: int,
     prune: bool = True,
 ):
     """Build the cogrouped applyInPandas function.
 
-    ``query_terms``: {qid: [(term, idf, qtf), ...]} — tiny, captured in the
+    ``query_terms``: {qid: [(term, weight, qtf), ...]} — tiny, captured in the
     closure (shipped to executors with the serialized task, playing the role
     of the reference's driver-side stats cache, ``index/anserini.py:100-114``).
     """
@@ -155,7 +153,7 @@ def make_range_scorer(
         base = int(rrow["base_docno"])
         n_slots = int(rrow["n_slots"])
         dls = decode_int32_array(rrow["dls"])
-        min_norm = k1 * (1.0 - b + b * (max(int(rrow["min_dl"]), 1) / avgdl))
+        min_dl = max(int(rrow["min_dl"]), 1)
 
         rows_by_term = {}
         meta_max_tf = {}
@@ -184,8 +182,8 @@ def make_range_scorer(
             if not present:
                 continue
             slots, cscores = _score_one_query(
-                present, get_cell, dls, scores, meta_max_tf, min_norm,
-                k1, b, avgdl, hits, prune,
+                present, get_cell, dls, scores, meta_max_tf, min_dl,
+                scoring, avgdl, hits, prune,
             )
             # zero only the touched slots (cheaper than scores[:] = 0)
             for t, _, _ in present:

@@ -133,3 +133,64 @@ def bm25_oracle(
         )
     finally:
         analyzed.unpersist()
+
+
+def ql_dirichlet_oracle(
+    spark: SparkSession,
+    corpus: DataFrame,
+    topics: dict[str, str],
+    mu: float = 1000.0,
+    hits: int = 1000,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+) -> DataFrame:
+    """Pure-DataFrame Dirichlet QL twin of :class:`QLDirichletSearcher`
+    (Lucene LMDirichletSimilarity form; per-term scores clamped at 0,
+    non-matching terms contribute nothing)."""
+    analyzed = analyzed_terms_df(corpus, stemmer=stemmer, remove_stops=remove_stops)
+    analyzed = analyzed.persist()
+    try:
+        tf = (
+            analyzed.select("docid", "dl", F.explode("terms").alias("term"))
+            .groupBy("docid", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        cf_table = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+        sum_cf = int(cf_table.agg(F.sum("cf")).collect()[0][0] or 0)
+
+        qrows = []
+        for qid, text in topics.items():
+            terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+            for term, qtf in Counter(terms).items():
+                qrows.append((str(qid), term, qtf))
+        if not qrows or sum_cf == 0:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double"
+            )
+        qdf = spark.createDataFrame(qrows, "qid string, term string, qtf long").join(
+            cf_table, "term", "inner"
+        ).withColumn("p_c", F.col("cf") / F.lit(float(sum_cf)))
+
+        scored = (
+            tf.join(F.broadcast(qdf), "term")
+            .withColumn(
+                "term_score",
+                F.col("qtf")
+                * F.greatest(
+                    F.lit(0.0),
+                    F.log1p(F.col("tf") / (F.lit(mu) * F.col("p_c")))
+                    + F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+                ),
+            )
+            .groupBy("qid", "docid")
+            .agg(F.sum("term_score").alias("score"))
+            .filter(F.col("score") > 0)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score")
+        )
+    finally:
+        analyzed.unpersist()

@@ -1,0 +1,69 @@
+"""Pluggable scoring functions for the DAAT kernel and the DataFrame oracle.
+
+The reference exposes several searchers over the same index that differ only
+in the per-term scoring formula (``capreolus/searcher/anserini.py:203-522``);
+our engine models that as small picklable scoring objects the kernel calls
+per (term, range) cell:
+
+* :class:`BM25Scoring` — Lucene ≥8 Okapi BM25 (no (k1+1) numerator),
+  calibrated against the reference goldens (SURVEY.md §6.3).
+* :class:`LMDirichletScoring` — Lucene's LMDirichletSimilarity form of
+  Dirichlet query likelihood (reference ``DirichletQL``,
+  ``searcher/anserini.py:406-431``, default μ=1000):
+  ``max(0, log(1 + tf/(μ·p(t|C))) + log(μ/(dl+μ)))`` per matching term,
+  with ``p(t|C) = cf_t / total_cf``.  Lucene clamps each term's score at 0,
+  and non-matching terms contribute nothing — both reproduced here.
+
+Each scoring object maps a term's collection stats to a scalar ``weight``
+(driver-side, from the term dictionary), then computes vectorized
+contributions from (tf, dl) arrays and a range-level upper bound from
+(max_tf, min_dl) for block-max pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BM25Scoring:
+    k1: float = 0.9
+    b: float = 0.4
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        """idf = ln(1 + (N - df + 0.5)/(df + 0.5)), floored at 0."""
+        if df <= 0:
+            return 0.0
+        return max(0.0, float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))))
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        norm = self.k1 * (1.0 - self.b + self.b * (dls.astype(np.float64) / avgdl))
+        return w * tf / (tf + norm)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        norm = self.k1 * (1.0 - self.b + self.b * (max(min_dl, 1) / avgdl))
+        return w * max_tf / (max_tf + norm)
+
+
+@dataclass(frozen=True)
+class LMDirichletScoring:
+    mu: float = 1000.0
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        """w = p(t|C) = cf / total_cf (collection language model)."""
+        if cf <= 0 or sum_cf <= 0:
+            return 0.0
+        return cf / float(sum_cf)
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        score = np.log1p(tf / (self.mu * w)) + np.log(self.mu / (dl + self.mu))
+        return np.maximum(score, 0.0)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        s = float(np.log1p(max_tf / (self.mu * w)) + np.log(self.mu / (max(min_dl, 1) + self.mu)))
+        return max(s, 0.0)

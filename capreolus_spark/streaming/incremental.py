@@ -158,11 +158,17 @@ class IncrementalIndexer:
         ).collect()[0]
         n_docs = self.spark.read.parquet(os.path.join(self.index_dir, "docmap")).count()
         sum_dl = int(agg["sum_dl"] or 0)
+        cf_row = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "dict"))
+            .agg(F.sum("cf").alias("s"))
+            .collect()[0]
+        )
         stats = {
             "n_docs": n_docs,
             "sum_dl": sum_dl,
             "avg_dl": (sum_dl / n_docs) if n_docs else 0.0,
             "docs_with_terms": int(agg["docs_with_terms"] or 0),
+            "sum_cf": int(cf_row["s"] or 0),
         }
         with open(os.path.join(self.index_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2, sort_keys=True)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Physical-plan audits: verify the plans we designed for are the plans
+Catalyst actually produces.
+
+Checks (prints PASS/FAIL per item):
+1. postings scan for a query pushes the term filter into the parquet scan
+   (PushedFilters: In(term, ...)) and prunes columns (ReadSchema excludes
+   unused columns);
+2. docid resolution join broadcasts the small candidate side;
+3. dict lookup pushes the term predicate;
+4. the BM25 oracle's query join is a broadcast hash join;
+5. relational stages run inside WholeStageCodegen spans.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.data import synth_corpus
+    from capreolus_spark.index import InvertedIndex, make_docid_column
+    from capreolus_spark.search import BM25Searcher
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+
+    with tempfile.TemporaryDirectory() as wd:
+        corpus = make_docid_column(synth_corpus(spark, 300))
+        idx = InvertedIndex.create(spark, corpus, os.path.join(wd, "idx"), IndexConfig())
+
+        # 1. postings scan pushdown + column pruning
+        terms = ["def", "return", "sym0001"]
+        scan = idx.postings_df().filter(F.col("term").isin(terms)).select(
+            "term", "range_id", "docnos", "tfs", "max_tf", "df_range"
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        results.append(("postings term filter pushed", "PushedFilters: [In(term" in plan))
+        results.append(("postings column pruning", "cf_range" not in plan.split("ReadSchema")[-1]))
+
+        # 2. searcher docid join broadcasts candidates
+        searcher = BM25Searcher(idx, BM25Config(hits=10))
+        run = searcher.search({"q1": "def return"})
+        rplan = run._jdf.queryExecution().executedPlan().toString()
+        results.append(("candidate docid join broadcast", "BroadcastHashJoin" in rplan))
+
+        # 3. dict lookup pushdown
+        dplan = (
+            idx.dict_df().filter(F.col("term") == "def")._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        results.append(("dict term pushdown", "PushedFilters: [IsNotNull(term), EqualTo(term,def)]" in dplan))
+
+        # 4/5. oracle: broadcast join + whole-stage codegen
+        from capreolus_spark.search.oracle import bm25_oracle
+
+        oplan = (
+            bm25_oracle(spark, corpus.select("docid", "content"), {"q": "def return"}, hits=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        results.append(("oracle broadcast join", "BroadcastHashJoin" in oplan))
+        results.append(("oracle whole-stage codegen", "WholeStageCodegen" in oplan))
+
+    failed = [n for n, ok in results if not ok]
+    for n, ok in results:
+        print(f"{'PASS' if ok else 'FAIL'}  {n}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,33 @@ def test_hits_cut_and_determinism(synth_index):
     run2 = searcher.search_collect({"q": "def return self import"})
     assert run1 == run2
     assert len(run1["q"]) == 5
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_ql_dirichlet_matches_oracle(spark, synth_index, prune):
+    from capreolus_spark.search import QLDirichletSearcher
+    from capreolus_spark.search.oracle import ql_dirichlet_oracle
+
+    idx, corpus = synth_index
+    topics = {k: v for k, v in list(synth_queries(12).items())[:8]}
+    searcher = QLDirichletSearcher(idx, mu=1000.0, hits=30, prune=prune)
+    kernel_run = run_df_to_dict(searcher.search(topics, hits=30))
+    oracle_run = run_df_to_dict(
+        ql_dirichlet_oracle(spark, corpus.select("docid", "content"), topics, mu=1000.0, hits=30)
+    )
+    assert set(kernel_run) == set(oracle_run)
+    for qid in oracle_run:
+        assert list(kernel_run[qid].keys()) == list(oracle_run[qid].keys()), qid
+        for d in oracle_run[qid]:
+            assert kernel_run[qid][d] == pytest.approx(oracle_run[qid][d], abs=1e-9)
+
+
+def test_ql_differs_from_bm25_but_same_matches(synth_index):
+    from capreolus_spark.search import QLDirichletSearcher
+
+    idx, _ = synth_index
+    topics = {"q": "def return value"}
+    bm25 = BM25Searcher(idx, BM25Config(hits=20)).search_collect(topics)
+    ql = QLDirichletSearcher(idx, hits=20).search_collect(topics)
+    assert set(bm25) == set(ql) == {"q"}
+    assert len(ql["q"]) > 0
