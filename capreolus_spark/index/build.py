@@ -68,8 +68,11 @@ class Manifest:
     """Stage-level checkpoint manifest with per-file lineage + metrics."""
 
     def __init__(self, index_dir: str):
+        import threading
+
         self.path = os.path.join(index_dir, "manifest.json")
         self.data = {"stages": {}, "config": None}
+        self._lock = threading.Lock()
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.data = json.load(f)
@@ -81,11 +84,12 @@ class Manifest:
         entry = dict(info)
         entry["done"] = True
         entry["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        self.data["stages"][stage] = entry
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)  # atomic commit (cf. utils/caching.py:14-36)
+        with self._lock:  # stages may commit from concurrent driver threads
+            self.data["stages"][stage] = entry
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.data, f, indent=2, sort_keys=True)
+            os.replace(tmp, self.path)  # atomic (cf. utils/caching.py:14-36)
 
 
 def _parquet_lineage(path: str) -> list[dict]:
@@ -425,8 +429,23 @@ def build_index(
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     try:
         run_stage("tokens", write_tokens)
-        run_stage("ranges", write_ranges)
-        run_stage("postings", write_postings)
+        # ranges and postings are independent consumers of tokens: submit
+        # them as concurrent Spark jobs so neither leaves cores idle
+        # (FIFO-scheduled within one SparkContext; each commits separately)
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [
+            s for s in ("ranges", "postings") if not manifest.stage_done(s)
+        ]
+        if len(todo) == 2:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f1 = pool.submit(run_stage, "ranges", write_ranges)
+                f2 = pool.submit(run_stage, "postings", write_postings)
+                f1.result()
+                f2.result()
+        else:
+            run_stage("ranges", write_ranges)
+            run_stage("postings", write_postings)
         run_stage("dict", write_dict)
     finally:
         if restore_mpb is not None:

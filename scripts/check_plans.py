@@ -67,12 +67,14 @@ def main() -> None:
         # 4/5. oracle: broadcast join + whole-stage codegen
         from capreolus_spark.search.oracle import bm25_oracle
 
-        oplan = (
-            bm25_oracle(spark, corpus.select("docid", "content"), {"q": "def return"}, hits=5)
-            ._jdf.queryExecution().executedPlan().toString()
+        odf = bm25_oracle(
+            spark, corpus.select("docid", "content"), {"q": "def return"}, hits=5
         )
+        odf.collect()  # finalize the adaptive plan so codegen spans appear
+        oplan = odf._jdf.queryExecution().executedPlan().toString()
         results.append(("oracle broadcast join", "BroadcastHashJoin" in oplan))
-        results.append(("oracle whole-stage codegen", "WholeStageCodegen" in oplan))
+        # codegen stages render as "*(n) Operator" in the final plan string
+        results.append(("oracle whole-stage codegen", "*(1)" in oplan or "WholeStageCodegen" in oplan))
 
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
