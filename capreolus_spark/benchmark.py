@@ -1,0 +1,156 @@
+"""Benchmark bundle: topics + qrels + folds with validation.
+
+Re-implements the reference's benchmark data model and its ``@validate``
+decorator checks (``capreolus/benchmark/__init__.py:17-111``):
+
+* folds must be ``{fold: {train_qids, predict: {dev, test}}}`` exactly;
+* duplicate qrels entries with CONFLICTING labels are an error; exact
+  duplicates are dropped (the reference rewrites the file — we normalize
+  in memory and report the count);
+* every fold qid must exist in the topics (error); fold/topic/qrels qid
+  misalignment and train/dev/test overlap are warnings, as in the
+  reference.
+
+Also carries ``query_type`` (title/desc/narr) selection and
+``relevance_level`` (reference ``benchmark/__init__.py:129-146``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import warnings
+from dataclasses import dataclass, field
+
+from .io.trec import load_qrels, load_trec_topics, load_tsv_topics
+
+logger = logging.getLogger(__name__)
+
+
+class BenchmarkValidationError(ValueError):
+    pass
+
+
+@dataclass
+class Benchmark:
+    topics: dict[str, str]                      # {qid: query text}
+    qrels: dict[str, dict[str, int]]            # {qid: {docid: label}}
+    folds: dict[str, dict]                      # {fold: {train_qids, predict{dev,test}}}
+    query_type: str = "title"
+    relevance_level: int = 1
+    duplicate_qrels_dropped: int = 0
+    warnings_: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.validate()
+
+    # -------------------------------------------------------------- checks
+
+    def _warn(self, msg: str) -> None:
+        self.warnings_.append(msg)
+        logger.warning(msg)
+        warnings.warn(msg, stacklevel=3)
+
+    def validate(self) -> None:
+        for fold_name, fold_sets in self.folds.items():
+            if set(fold_sets) != {"train_qids", "predict"}:
+                raise BenchmarkValidationError(
+                    "Expect each fold to contain ['train_qids', 'predict'] fields."
+                )
+            if set(fold_sets["predict"]) != {"dev", "test"}:
+                raise BenchmarkValidationError(
+                    "Expect each fold to contain ['dev', 'test'] fields under 'predict'."
+                )
+
+        topic_qids = set(self.topics)
+        qrels_qids = set(self.qrels)
+        for fold_name, fold_sets in self.folds.items():
+            train = set(fold_sets["train_qids"])
+            dev = set(fold_sets["predict"]["dev"])
+            test = set(fold_sets["predict"]["test"])
+            for a, b, names in (
+                (train, dev, "training/dev"),
+                (train, test, "training/test"),
+                (dev, test, "dev/test"),
+            ):
+                if a & b:
+                    self._warn(
+                        f"Found {len(a & b)} overlap queries between {names} in fold {fold_name}."
+                    )
+            folds_qids = train | dev | test
+            n_overlap = len(topic_qids & qrels_qids & folds_qids)
+            if not (len(topic_qids) == len(qrels_qids) == len(folds_qids) == n_overlap):
+                self._warn(
+                    f"Queries not aligned across topics/qrels/folds in fold {fold_name}: "
+                    f"{len(topic_qids)}/{len(qrels_qids)}/{len(folds_qids)}, overlap {n_overlap}."
+                )
+            for set_name, qids in (("training", train), ("dev", dev), ("test", test)):
+                missing = qids - topic_qids
+                if missing:
+                    raise BenchmarkValidationError(
+                        f"{len(missing)} queries in {set_name} set of fold {fold_name} "
+                        f"cannot be found in topics."
+                    )
+
+    # -------------------------------------------------------------- loaders
+
+    @staticmethod
+    def _load_qrels_validated(path: str) -> tuple[dict, int]:
+        """Qrels parse with the reference's duplicate handling: conflicting
+        labels raise; exact duplicates are dropped and counted."""
+        from collections import defaultdict
+
+        n_dup = 0
+        qrels: dict[str, dict[str, int]] = defaultdict(dict)
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 4:
+                    continue
+                qid, _, docid, label = parts[0], parts[1], parts[2], int(parts[3])
+                if docid in qrels[qid]:
+                    n_dup += 1
+                    if label != qrels[qid][docid]:
+                        raise BenchmarkValidationError(
+                            f"Found conflicting label in {path} for query {qid} "
+                            f"and document {docid}."
+                        )
+                qrels[qid][docid] = label
+        return dict(qrels), n_dup
+
+    @classmethod
+    def from_files(
+        cls,
+        topics_file: str,
+        qrels_file: str,
+        folds_file: str,
+        query_type: str = "title",
+        relevance_level: int = 1,
+    ) -> "Benchmark":
+        if topics_file.endswith(".tsv"):
+            topics = load_tsv_topics(topics_file)
+        else:
+            topics = load_trec_topics(topics_file).get(query_type, {})
+        qrels, n_dup = cls._load_qrels_validated(qrels_file)
+        # drop qids with no positive label, as load_qrels does
+        qrels = {
+            q: d for q, d in qrels.items() if any(lbl > 0 for lbl in d.values())
+        }
+        with open(folds_file) as f:
+            folds = json.load(f)
+        return cls(
+            topics=topics,
+            qrels=qrels,
+            folds=folds,
+            query_type=query_type,
+            relevance_level=relevance_level,
+            duplicate_qrels_dropped=n_dup,
+        )
+
+    # -------------------------------------------------------------- helpers
+
+    def fold_topics(self, fold: str, split: str) -> dict[str, str]:
+        """Topics restricted to a fold's split ('train'|'dev'|'test')."""
+        spec = self.folds[fold]
+        qids = spec["train_qids"] if split == "train" else spec["predict"][split]
+        return {q: self.topics[q] for q in qids if q in self.topics}

@@ -1,0 +1,64 @@
+import json
+
+import pytest
+
+from capreolus_spark.benchmark import Benchmark, BenchmarkValidationError
+
+TOPICS = {"301": "Dummy doc"}
+QRELS = {"301": {"LA010189-0001": 1, "LA010189-0002": 0}}
+FOLDS = {"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}}
+
+
+def test_dummy_benchmark_valid():
+    b = Benchmark(topics=dict(TOPICS), qrels=dict(QRELS), folds=json.loads(json.dumps(FOLDS)))
+    assert b.fold_topics("s1", "test") == {"301": "Dummy doc"}
+    assert b.relevance_level == 1
+
+
+def test_fold_schema_enforced():
+    with pytest.raises(BenchmarkValidationError, match="train_qids"):
+        Benchmark(TOPICS, QRELS, {"s1": {"train_qids": ["301"]}})
+    with pytest.raises(BenchmarkValidationError, match="dev"):
+        Benchmark(TOPICS, QRELS, {"s1": {"train_qids": ["301"], "predict": {"dev": ["301"]}}})
+
+
+def test_fold_qid_missing_from_topics_raises():
+    folds = {"s1": {"train_qids": ["999"], "predict": {"dev": ["301"], "test": ["301"]}}}
+    with pytest.raises(BenchmarkValidationError, match="cannot be found"):
+        Benchmark(TOPICS, QRELS, folds)
+
+
+def test_misalignment_warns_not_raises():
+    qrels = {"301": {"d": 1}, "302": {"d": 1}}  # extra qrels qid
+    with pytest.warns(UserWarning, match="not aligned"):
+        b = Benchmark(dict(TOPICS), qrels, json.loads(json.dumps(FOLDS)))
+    assert b.warnings_
+
+
+def test_from_files_duplicate_and_conflict(tmp_path):
+    topics = tmp_path / "topics.tsv"
+    topics.write_text("301\tDummy doc\n")
+    folds = tmp_path / "folds.json"
+    folds.write_text(json.dumps(FOLDS))
+
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text("301 0 d1 1\n301 0 d1 1\n301 0 d2 0\n")  # exact dup
+    b = Benchmark.from_files(str(topics), str(qrels), str(folds))
+    assert b.duplicate_qrels_dropped == 1
+    assert b.qrels["301"] == {"d1": 1, "d2": 0}
+
+    qrels.write_text("301 0 d1 1\n301 0 d1 2\n")  # conflicting labels
+    with pytest.raises(BenchmarkValidationError, match="conflicting label"):
+        Benchmark.from_files(str(topics), str(qrels), str(folds))
+
+
+def test_from_files_drops_no_positive_qids(tmp_path):
+    topics = tmp_path / "topics.tsv"
+    topics.write_text("301\tDummy doc\n302\tother\n")
+    folds = tmp_path / "folds.json"
+    folds.write_text(json.dumps(FOLDS))
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text("301 0 d1 1\n302 0 d9 0\n")
+    with pytest.warns(UserWarning):  # 302 in topics but dropped from qrels
+        b = Benchmark.from_files(str(topics), str(qrels), str(folds))
+    assert set(b.qrels) == {"301"}

@@ -1,0 +1,95 @@
+"""BM25+RM3 pseudo-relevance feedback expansion."""
+
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.rm3 import BM25RM3Searcher
+
+
+@pytest.fixture(scope="module")
+def prf_index(spark, tmp_path_factory):
+    from capreolus_spark.index import IndexConfig, InvertedIndex
+
+    # engine docs share vocabulary ("distributed", "shuffle") so feedback on
+    # a "spark" query should pull in co-occurring expansion terms
+    docs = [
+        ("d1", "spark distributed shuffle engine with columnar batches"),
+        ("d2", "spark shuffle partitions and distributed execution"),
+        ("d3", "spark catalyst optimizer distributed plans"),
+        ("d4", "database index btree pages"),
+        ("d5", "cooking recipes with garlic and onions"),
+        ("d6", "shuffle dance tutorial videos"),
+    ]
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("prf")), IndexConfig()
+    )
+    return idx
+
+
+def test_rm3_expansion_terms(prf_index):
+    s = BM25RM3Searcher(prf_index, BM25Config(hits=10), fb_terms=5, fb_docs=3,
+                        original_query_weight=0.5)
+    expanded = s.expand_queries({"q": "spark"})["q"]
+    terms = dict(expanded)
+    # original term kept with at least the alpha-weighted query mass
+    assert terms["spark"] > 0.5
+    # co-occurring feedback terms appear with positive weight
+    assert "distribut" in terms or "shuffl" in terms
+    # weights form a (near-)normalized distribution
+    assert sum(terms.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rm3_changes_ranking_vs_bm25(prf_index):
+    topics = {"q": "spark"}
+    bm25 = BM25Searcher(prf_index, BM25Config(hits=10)).search_collect(topics)
+    rm3 = BM25RM3Searcher(prf_index, BM25Config(hits=10), fb_terms=8, fb_docs=3).search_collect(topics)
+    # RM3 recalls documents beyond the original term's postings
+    assert set(rm3["q"]) >= set(bm25["q"])
+    assert "d6" in rm3["q"]  # matched via expansion term "shuffl" only
+    assert "d5" not in rm3["q"]  # unrelated doc stays out
+
+
+def test_rm3_deterministic(prf_index):
+    s = BM25RM3Searcher(prf_index, BM25Config(hits=10), fb_terms=5, fb_docs=3)
+    r1 = s.search_collect({"q": "spark shuffle"})
+    r2 = s.search_collect({"q": "spark shuffle"})
+    assert r1 == r2
+
+
+def test_rm3_alpha_one_reduces_to_bm25_ranks(prf_index):
+    """originalQueryWeight=1.0 keeps only the original query model, so the
+    ranking equals plain BM25 (scores scale by the query-model weights)."""
+    topics = {"q": "spark shuffle"}
+    rm3 = BM25RM3Searcher(
+        prf_index, BM25Config(hits=10), fb_terms=5, fb_docs=3, original_query_weight=1.0
+    ).search_collect(topics)
+    bm25 = BM25Searcher(prf_index, BM25Config(hits=10)).search_collect(topics)
+    assert list(rm3["q"].keys()) == list(bm25["q"].keys())
+    # each rm3 score = bm25 term-sum with qtf replaced by qtf/|q| (here 1/2)
+    for d in bm25["q"]:
+        assert rm3["q"][d] == pytest.approx(bm25["q"][d] / 2.0, abs=1e-9)
+
+
+def test_rm3_brute_force_weights(prf_index):
+    """RM1 weights match a direct driver-side recomputation."""
+    from collections import Counter
+    from capreolus_spark.analysis import analyze_text
+
+    s = BM25RM3Searcher(prf_index, BM25Config(hits=10), fb_terms=50, fb_docs=2,
+                        original_query_weight=0.0)
+    topics = {"q": "spark"}
+    fb_run = BM25Searcher(prf_index, BM25Config(hits=2)).search_collect(topics)["q"]
+    total = sum(fb_run.values())
+    rm1 = {}
+    for docid, score in fb_run.items():
+        toks = analyze_text(prf_index.get_doc(docid))
+        for t, c in Counter(toks).items():
+            rm1[t] = rm1.get(t, 0.0) + (score / total) * (c / len(toks))
+    mass = sum(rm1.values())
+    expected = {t: w / mass for t, w in rm1.items()}
+    got = dict(s.expand_queries(topics)["q"])
+    assert set(got) == set(expected)
+    for t, w in expected.items():
+        assert got[t] == pytest.approx(w, abs=1e-12)
