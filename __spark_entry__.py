@@ -270,6 +270,18 @@ def _q_bm25_daat(spark, sf_dir):
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
 
 
+def _q_ql_daat(spark, sf_dir):
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import QLDirichletSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = QLDirichletSearcher(idx, mu=1000.0, hits=_BM25_HITS).search(_TOPICS)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
 def _q_qrels_positive_filter(spark, sf_dir):
     qrels = _synth_qrels(spark, sf_dir)
     pos = qrels.groupBy("qid").agg(F.max("label").alias("mx")).filter(F.col("mx") >= 1)
@@ -472,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_topk": _q_term_df_topk,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_daat": _q_bm25_daat,
+        "ql_topk_daat": _q_ql_daat,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -555,6 +568,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
+        "ql_topk_daat": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term), "
+            "scf AS (SELECT sum(cf)::DOUBLE AS s FROM cf), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, c.cf / s.s AS p_c "
+            "FROM queries q JOIN cf c USING (term) CROSS JOIN scf s), "
+            "scored AS (SELECT qw.qid, tf.docid, "
+            "sum(qw.qtf * greatest(0, ln(1 + tf.tf / (1000.0 * qw.p_c)) + ln(1000.0 / (dl.dl + 1000.0)))) AS score "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) "
+            "GROUP BY qw.qid, tf.docid HAVING score > 0) "
+            "SELECT qid, docid, rank, round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank FROM scored) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
         "qrels_positive_filter": (
             f"WITH qrels AS ({_SYNTH_QRELS_SQL}) SELECT qid, docid, label FROM qrels "
             "WHERE qid IN (SELECT qid FROM qrels GROUP BY qid HAVING max(label) >= 1)"

@@ -172,6 +172,40 @@ class InvertedIndex:
         by_id = {r["docid"]: r["content"] for r in rows}
         return [by_id.get(d) for d in docids]
 
+    def get_doc_vector(self, docid: str) -> dict[str, int]:
+        """{analyzed term: tf} for one stored document — the reference's
+        Lucene doc-vector store (``-storeDocvectors``,
+        ``index/anserini.py:52-57``), recomputed from stored contents with
+        the index's own analyzer (identical semantics, no extra store)."""
+        from collections import Counter
+
+        from ..analysis import analyze_text
+
+        content = self.get_doc(docid)
+        if not content:
+            return {}
+        return dict(Counter(analyze_text(content, **self.config.analyzer_kwargs())))
+
+    def export_trec_docs(self, out_path: str, max_docs: int | None = None) -> int:
+        """Dump stored documents back to a TREC-SGML text file
+        (reference ``utils/trec.py:164-205`` ``anserini_index_to_trec_docs``).
+        Driver-side streaming write via toLocalIterator; returns doc count."""
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        df = self.docs_df().select("docid", "content").orderBy("docid")
+        if max_docs is not None:
+            df = df.limit(max_docs)
+        n = 0
+        with open(out_path, "wt") as f:
+            for row in df.toLocalIterator():
+                f.write(
+                    f"<DOC>\n<DOCNO>{row['docid']}</DOCNO>\n<TEXT>\n"
+                    f"{row['content']}\n</TEXT>\n</DOC>\n"
+                )
+                n += 1
+        return n
+
     def verify_content_integrity(self, corpus: DataFrame) -> int:
         """Per-row invariant from BASELINE input_hint: sha256(content) of every
         indexed row equals the source's.  Returns the number of mismatched or

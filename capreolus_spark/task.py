@@ -1,0 +1,92 @@
+"""End-to-end ranking task: the engine twin of the reference CLI flow
+``capreolus rank.searcheval`` (``capreolus/task/rank.py:20-65`` and the
+lifecycle in SURVEY.md §3.1):
+
+  benchmark (topics+qrels+folds) → ensure index → search (one run per
+  grid config) → per-fold dev-metric argmax → cross-fold test run →
+  metrics → optional TREC run file.
+
+Everything driver-orchestrated over the distributed engine; artifacts
+(runs, metrics) land under ``output_dir`` with the searcher's
+config-derived names, mirroring the reference's cache-path layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .benchmark import Benchmark
+from .config import BM25Config
+from .evaluation import DEFAULT_METRICS, eval_runs, search_best_run
+from .index import InvertedIndex
+from .io.trec import write_trec_run
+from .search import BM25Searcher
+
+
+class RankTask:
+    def __init__(
+        self,
+        index: InvertedIndex,
+        benchmark: Benchmark,
+        output_dir: str,
+        hits: int = 1000,
+    ):
+        self.index = index
+        self.benchmark = benchmark
+        self.output_dir = output_dir
+        self.hits = hits
+        os.makedirs(output_dir, exist_ok=True)
+
+    def search(
+        self,
+        k1s: list[float] | None = None,
+        bs: list[float] | None = None,
+    ) -> dict[str, dict]:
+        """Run BM25 over the benchmark topics for every (k1, b) combination
+        (grid of one = plain search); returns {run_name: run_dict} and
+        writes each run as a TREC file."""
+        searcher = BM25Searcher(self.index, BM25Config(hits=self.hits))
+        runs = searcher.grid_search(
+            self.benchmark.topics, k1s=k1s or [0.9], bs=bs or [0.4], hits=self.hits
+        )
+        for name, run in runs.items():
+            write_trec_run(run, os.path.join(self.output_dir, name))
+        return runs
+
+    def evaluate(
+        self,
+        runs: dict[str, dict],
+        primary_metric: str = "map",
+        metrics: list[str] | None = None,
+    ) -> dict:
+        """Cross-validated selection + final metrics (reference
+        ``task/rank.py:51-65`` → ``evaluator.search_best_run``)."""
+        result = search_best_run(
+            runs,
+            self.benchmark.qrels,
+            self.benchmark.folds,
+            primary_metric,
+            metrics or list(DEFAULT_METRICS),
+            self.benchmark.relevance_level,
+        )
+        write_trec_run(result["test_run"], os.path.join(self.output_dir, "best_test_run"))
+        with open(os.path.join(self.output_dir, "metrics.json"), "w") as f:
+            json.dump(
+                {"score": result["score"], "best_by_fold": result["best_by_fold"]},
+                f, indent=2, sort_keys=True,
+            )
+        return result
+
+    def searcheval(
+        self,
+        k1s: list[float] | None = None,
+        bs: list[float] | None = None,
+        primary_metric: str = "map",
+    ) -> dict:
+        """search() + evaluate() — the ``rank.searcheval`` command
+        (reference ``task/rank.py:30-32``)."""
+        runs = self.search(k1s=k1s, bs=bs)
+        result = self.evaluate(runs, primary_metric=primary_metric)
+        self.index.unpersist()
+        return result

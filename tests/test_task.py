@@ -1,0 +1,51 @@
+"""End-to-end rank.searcheval pipeline + doc-vector / TREC-export utilities."""
+
+import json
+import os
+
+import pytest
+
+from capreolus_spark.benchmark import Benchmark
+from capreolus_spark.io.trec import load_trec_run
+from capreolus_spark.task import RankTask
+
+
+def test_searcheval_end_to_end(spark, dummy_index, tmp_path):
+    bench = Benchmark(
+        topics={"301": "Dummy doc"},
+        qrels={"301": {"LA010189-0001": 1, "LA010189-0002": 0}},
+        folds={"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}},
+    )
+    task = RankTask(dummy_index, bench, str(tmp_path / "out"), hits=10)
+    result = task.searcheval(k1s=[0.9], bs=[0.4, 0.8], primary_metric="map")
+
+    # both grid runs + the best test run landed as TREC files
+    files = set(os.listdir(tmp_path / "out"))
+    assert "searcher_bm25(k1=0.9,b=0.4)_default" in files
+    assert "searcher_bm25(k1=0.9,b=0.8)_default" in files
+    assert "best_test_run" in files and "metrics.json" in files
+
+    # the relevant doc ranks first under either config → map = 1.0
+    assert result["score"]["map"] == pytest.approx(1.0)
+    metrics = json.load(open(tmp_path / "out" / "metrics.json"))
+    assert metrics["score"]["P_1"] == pytest.approx(1.0)
+
+    run = load_trec_run(str(tmp_path / "out" / "best_test_run"))
+    assert list(run["301"].keys())[0] == "LA010189-0001"
+
+
+def test_get_doc_vector(dummy_index):
+    vec = dummy_index.get_doc_vector("LA010189-0001")
+    assert vec == {"dummi": 3, "hello": 1, "world": 1, "greet": 1, "from": 1, "outer": 1, "space": 1}
+    assert dummy_index.get_doc_vector("missing") == {}
+
+
+def test_export_trec_docs(dummy_index, tmp_path):
+    out = str(tmp_path / "dump" / "docs.trec")
+    n = dummy_index.export_trec_docs(out)
+    assert n == 2
+    text = open(out).read()
+    assert "<DOCNO>LA010189-0001</DOCNO>" in text
+    assert "Dummy Dummy Dummy Hello world, greetings from outer space!" in text
+    # exported file parses as a corpus again (round-trip shape check)
+    assert text.count("<DOC>") == 2 and text.count("</DOC>") == 2
