@@ -31,6 +31,7 @@ class IndexConfig:
     stemmer: str = "porter"
     indexstops: bool = False
     store_contents: bool = True
+    store_positions: bool = False
     range_size: int = 1 << 17
     num_doc_partitions: int = 0
     postings_partitions: int = 0

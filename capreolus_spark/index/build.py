@@ -45,12 +45,12 @@ from pyspark.sql import functions as F
 
 from ..analysis import LUCENE_STOP_WORDS, stem_token, tokenize_series
 from ..config import IndexConfig
-from .codec import encode_int32_array, encode_postings
+from .codec import encode_int32_array, encode_position_lists, encode_postings
 
 # Max docs one input partition may hold; multiple of every legal range_size.
 PARTITION_CAPACITY = 1 << 34
 
-TOKENS_SCHEMA = "docno long, term string, tf long, is_stop boolean"
+TOKENS_SCHEMA = "docno long, term string, tf long, is_stop boolean, positions array<int>"
 DOCMAP_SCHEMA_BASE = "docid string, docno long, sha256 string"
 RANGES_SCHEMA = (
     "range_id long, base_docno long, n_slots long, n_docs long, "
@@ -58,7 +58,7 @@ RANGES_SCHEMA = (
 )
 POSTINGS_SCHEMA = (
     "term string, range_id long, df_range long, cf_range long, "
-    "max_tf int, docnos binary, tfs binary"
+    "max_tf int, docnos binary, tfs binary, positions binary"
 )
 
 
@@ -155,6 +155,7 @@ def _assign_docnos(df: DataFrame, num_partitions: int) -> DataFrame:
 def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
     stemmer = config.stemmer
     remove_stops = not config.indexstops
+    store_positions = config.store_positions
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,7 +166,11 @@ def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
                 continue
             docnos = np.repeat(pdf["docno"].to_numpy(dtype=np.int64), lens)
             flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
-            tl = pd.DataFrame({"docno": docnos, "tok": flat})
+            # token position within the PRE-filter stream (Lucene's
+            # enablePositionIncrements semantics: stopword slots leave gaps)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            positions = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            tl = pd.DataFrame({"docno": docnos, "tok": flat, "pos": positions})
 
             if remove_stops:
                 stop_mask = tl["tok"].isin(LUCENE_STOP_WORDS).to_numpy()
@@ -183,20 +188,31 @@ def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
                     terms = indexed["tok"].map(mapping)
                 else:
                     terms = indexed["tok"]
-                counts = (
-                    pd.DataFrame({"docno": indexed["docno"].values, "term": terms.values})
-                    .groupby(["docno", "term"], sort=False)
-                    .size()
-                    .reset_index(name="tf")
-                )
+                grouped = pd.DataFrame(
+                    {
+                        "docno": indexed["docno"].values,
+                        "term": terms.values,
+                        "pos": indexed["pos"].values,
+                    }
+                ).groupby(["docno", "term"], sort=False)
+                if store_positions:
+                    counts = grouped["pos"].agg(list).reset_index(name="positions")
+                    counts["tf"] = counts["positions"].map(len)
+                    # stream order == ascending positions (stable groupby)
+                else:
+                    counts = grouped.size().reset_index(name="tf")
+                    counts["positions"] = None
                 counts["is_stop"] = False
-                out.append(counts)
+                out.append(counts[["docno", "term", "tf", "is_stop", "positions"]])
             if len(stops):
                 scounts = stops.groupby("docno", sort=False).size().reset_index(name="tf")
                 scounts["term"] = None
                 scounts["is_stop"] = True
-                out.append(scounts[["docno", "term", "tf", "is_stop"]])
-            yield pd.concat(out, ignore_index=True)[["docno", "term", "tf", "is_stop"]]
+                scounts["positions"] = None
+                out.append(scounts[["docno", "term", "tf", "is_stop", "positions"]])
+            yield pd.concat(out, ignore_index=True)[
+                ["docno", "term", "tf", "is_stop", "positions"]
+            ]
 
     return docmap.select("docno", "content").mapInPandas(tokenize, schema=TOKENS_SCHEMA)
 
@@ -250,10 +266,12 @@ def _ranges_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> Da
     return parted.mapInPandas(pack, schema=RANGES_SCHEMA)
 
 
-def _encode_cells(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pack a block of (term, range_id, docno, tf) rows — already sorted by
-    (term, range_id, docno) — into one encoded posting run per cell."""
-    out = {k: [] for k in ("term", "range_id", "df_range", "cf_range", "max_tf", "docnos", "tfs")}
+def _encode_cells(pdf: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
+    """Pack a block of (term, range_id, docno, tf[, positions]) rows —
+    already sorted by (term, range_id, docno) — into one encoded posting
+    run per cell."""
+    cols = ("term", "range_id", "df_range", "cf_range", "max_tf", "docnos", "tfs", "positions")
+    out = {k: [] for k in cols}
     for (term, rid), g in pdf.groupby(["term", "range_id"], sort=False):
         docnos = g["docno"].to_numpy(dtype=np.int64)
         tfs = g["tf"].to_numpy(dtype=np.int64)
@@ -265,10 +283,21 @@ def _encode_cells(pdf: pd.DataFrame) -> pd.DataFrame:
         out["max_tf"].append(int(tfs.max()))
         out["docnos"].append(dbuf)
         out["tfs"].append(tbuf)
+        if with_positions:
+            out["positions"].append(
+                encode_position_lists([np.asarray(x, dtype=np.int64) for x in g["positions"]])
+            )
+        else:
+            out["positions"].append(None)
     return pd.DataFrame(out)
 
 
-def _postings_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> DataFrame:
+def _postings_stage(
+    tokens: DataFrame,
+    range_size: int,
+    num_partitions: int,
+    with_positions: bool = False,
+) -> DataFrame:
     indexed = tokens.filter(~F.col("is_stop")).withColumn(
         "range_id", F.expr(f"docno DIV {range_size}")
     )
@@ -297,13 +326,12 @@ def _postings_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> 
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
-                yield _encode_cells(body)
+                yield _encode_cells(body, with_positions)
         if carry is not None and len(carry):
-            yield _encode_cells(carry)
+            yield _encode_cells(carry, with_positions)
 
-    return parted.select("term", "range_id", "docno", "tf").mapInPandas(
-        pack, schema=POSTINGS_SCHEMA
-    )
+    sel = ["term", "range_id", "docno", "tf"] + (["positions"] if with_positions else [])
+    return parted.select(*sel).mapInPandas(pack, schema=POSTINGS_SCHEMA)
 
 
 # ranges per layout chunk: bounds the volume of one term's cells landing in
@@ -393,7 +421,9 @@ def build_index(
 
     def write_postings(out: str) -> None:
         tokens = spark.read.parquet(paths["tokens"])
-        packed = _postings_stage(tokens, config.range_size, n_post_parts)
+        packed = _postings_stage(
+            tokens, config.range_size, n_post_parts, with_positions=config.store_positions
+        )
         _write_postings_layout(packed, n_post_parts, out)
 
     def write_dict(out: str) -> None:

@@ -91,6 +91,38 @@ def decode_postings(docnos_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.n
     return docnos, tfs
 
 
+def encode_position_lists(position_lists: list[np.ndarray]) -> bytes:
+    """Pack per-document position lists (each ascending) into one varint
+    stream: each doc's first position absolute, the rest gaps.  Decoding
+    needs the per-doc tfs (list lengths) to split the stream."""
+    if not position_lists:
+        return b""
+    parts = []
+    for pos in position_lists:
+        p = np.ascontiguousarray(pos, dtype=np.int64)
+        if p.size == 0:
+            continue
+        deltas = np.empty_like(p)
+        deltas[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=deltas[1:])
+        parts.append(deltas)
+    if not parts:
+        return b""
+    return encode_varint(np.concatenate(parts).astype(np.uint64))
+
+
+def decode_position_lists(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of :func:`encode_position_lists` given the per-doc tfs."""
+    flat = decode_varint(buf).astype(np.int64)
+    out = []
+    i = 0
+    for tf in np.ascontiguousarray(tfs, dtype=np.int64):
+        seg = flat[i : i + tf]
+        out.append(np.cumsum(seg))
+        i += tf
+    return out
+
+
 def encode_int32_array(values: np.ndarray) -> bytes:
     """Fixed-width little-endian int32 pack (used for per-range dl arrays)."""
     return np.ascontiguousarray(values, dtype="<i4").tobytes()

@@ -1,0 +1,268 @@
+"""Sequential Dependence Model (SDM) searcher over the positions store.
+
+Twin of the reference's ``SDM`` searcher (``capreolus/searcher/anserini.py:
+525-549`` — Anserini ``-sdm`` with term/ordered/unordered weights
+0.85/0.1/0.05), which requires positions in the index
+(``IndexConfig(store_positions=True)``).
+
+Model (Metzler & Croft's sequential dependence MRF, with the window
+conventions Anserini's SdmQueryGenerator uses):
+
+* unigram component: the engine's BM25 score, weighted ``lambda_t``;
+* for each ADJACENT query-term pair (t1, t2):
+  - ordered feature: count of t1 occurrences followed by t2 within
+    ``ordered_window`` positions (gap ≤ 1, i.e. 0 < p2-p1 ≤ 2 by default —
+    SpanNear(slop=1, inOrder=true));
+  - unordered feature: count of t1 occurrences with t2 within
+    ``unordered_window`` positions either side (SpanNear(slop=8, false));
+  each scored as a BM25 pseudo-term — tf = window count, df = the exact
+  number of documents where the feature fires (aggregated globally in the
+  same distributed pass), same dl/avgdl — weighted ``lambda_o`` /
+  ``lambda_u``.
+
+The reference commits no SDM golden, so parity is algorithmic: formula
+documented above, window counts verified against a brute-force positions
+scan in tests, output deterministic.
+
+Scale note: this is the exact formulation — every document containing any
+query term is scored (no per-range cut before the window features join).
+A block-max upper bound for window features is future work.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from ..index.codec import decode_int32_array, decode_position_lists, decode_postings
+from . import BM25Searcher
+from .daat import make_range_scorer
+
+WINDOW_SCHEMA = "qid string, pair string, docno long, o_cnt long, u_cnt long, dl long"
+
+
+def _window_counts(p1: np.ndarray, p2: np.ndarray, ordered: int, unordered: int) -> tuple[int, int]:
+    """(ordered, unordered) window counts for one document.
+
+    ordered  = #{i : ∃j, 0 < p2[j]-p1[i] <= ordered}
+    unordered = #{i : ∃j, |p2[j]-p1[i]| <= unordered}
+    """
+    if p1.size == 0 or p2.size == 0:
+        return 0, 0
+    # for each p1, nearest p2 strictly greater
+    idx = np.searchsorted(p2, p1, side="right")
+    has_next = idx < p2.size
+    o = int(np.count_nonzero(has_next & (np.where(has_next, p2[np.minimum(idx, p2.size - 1)], 0) - p1 <= ordered)))
+    # unordered: nearest p2 on either side
+    left = np.clip(idx - 1, 0, p2.size - 1)
+    right = np.clip(idx, 0, p2.size - 1)
+    dist = np.minimum(np.abs(p2[left] - p1), np.abs(p2[right] - p1))
+    u = int(np.count_nonzero(dist <= unordered))
+    return o, u
+
+
+class SDMSearcher(BM25Searcher):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        lambda_t: float = 0.85,
+        lambda_o: float = 0.1,
+        lambda_u: float = 0.05,
+        ordered_window: int = 2,
+        unordered_window: int = 8,
+        tag: str = DEFAULT_TAG,
+    ):
+        if not index.config.store_positions:
+            raise ValueError(
+                "SDM requires an index built with IndexConfig(store_positions=True)"
+            )
+        super().__init__(index, config, prune=False, tag=tag)
+        self.lambda_t = lambda_t
+        self.lambda_o = lambda_o
+        self.lambda_u = lambda_u
+        self.ordered_window = ordered_window
+        self.unordered_window = unordered_window
+
+    # ------------------------------------------------------------ pairs
+
+    def _query_pairs(self, analyzed: dict[str, list[str]]) -> dict[str, list[tuple[str, str]]]:
+        out = {}
+        for qid, terms in analyzed.items():
+            pairs = []
+            for t1, t2 in zip(terms, terms[1:]):
+                if t1 != t2 and (t1, t2) not in pairs:
+                    pairs.append((t1, t2))
+            if pairs:
+                out[qid] = pairs
+        return out
+
+    def _pair_counts_df(self, pairs: dict[str, list[tuple[str, str]]]) -> DataFrame:
+        """(qid, pair, docno, o_cnt, u_cnt, dl) for every doc where both
+        terms of a pair co-occur in a range — cogrouped positions kernel."""
+        terms = sorted({t for ps in pairs.values() for p in ps for t in p})
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        qpairs = [(qid, t1, t2) for qid, ps in sorted(pairs.items()) for (t1, t2) in ps]
+        ow, uw = self.ordered_window, self.unordered_window
+
+        def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=object),
+                    "pair": pd.Series([], dtype=object),
+                    "docno": pd.Series([], dtype=np.int64),
+                    "o_cnt": pd.Series([], dtype=np.int64),
+                    "u_cnt": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.int64),
+                }
+            )
+            if len(p) == 0 or len(r) == 0:
+                return empty
+            rrow = r.iloc[0]
+            base = int(rrow["base_docno"])
+            dls = decode_int32_array(rrow["dls"])
+
+            cells: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+            for i in range(len(p)):
+                row = p.iloc[i]
+                if row["positions"] is None:
+                    continue
+                docnos, tfs = decode_postings(row["docnos"], row["tfs"])
+                poss = decode_position_lists(bytes(row["positions"]), tfs)
+                cells[row["term"]] = (docnos, poss)
+
+            rows = {"qid": [], "pair": [], "docno": [], "o_cnt": [], "u_cnt": [], "dl": []}
+            for qid, t1, t2 in qpairs:
+                c1, c2 = cells.get(t1), cells.get(t2)
+                if c1 is None or c2 is None:
+                    continue
+                common, i1, i2 = np.intersect1d(c1[0], c2[0], assume_unique=True, return_indices=True)
+                for k in range(common.size):
+                    o, u = _window_counts(c1[1][i1[k]], c2[1][i2[k]], ow, uw)
+                    if o or u:
+                        d = int(common[k])
+                        rows["qid"].append(qid)
+                        rows["pair"].append(f"{t1} {t2}")
+                        rows["docno"].append(d)
+                        rows["o_cnt"].append(o)
+                        rows["u_cnt"].append(u)
+                        rows["dl"].append(int(dls[d - base]))
+            return pd.DataFrame(rows) if rows["qid"] else empty
+
+        return (
+            postings.groupBy("range_id")
+            .cogroup(ranges.groupBy("range_id"))
+            .applyInPandas(kernel, schema=WINDOW_SCHEMA)
+        )
+
+    # ------------------------------------------------------------ search
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        analyzed = self.analyze_topics(topics)
+        weights = self._query_weights(analyzed)
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+
+        # unigram component: keep ALL matching docs per range (exact SDM —
+        # a window feature may promote a low-unigram doc into the top-k)
+        scorer = make_range_scorer(
+            weights, scoring=self.scoring, avgdl=self.index.avgdl,
+            hits=self.index.config.range_size, prune=False,
+        )
+        terms = sorted({t for ts in weights.values() for (t, _, _) in ts})
+        uni = (
+            self.index.postings_df().filter(F.col("term").isin(terms))
+            .groupBy("range_id")
+            .cogroup(self.index.ranges_df().groupBy("range_id"))
+            .applyInPandas(scorer, schema="qid string, docno long, score double")
+            .withColumnRenamed("score", "score_t")
+        )
+
+        pairs = self._query_pairs(analyzed)
+        if pairs:
+            counts = self._pair_counts_df(pairs).persist()
+            try:
+                # exact global df per (qid, pair, feature) for the idf
+                dfs = (
+                    counts.groupBy("qid", "pair")
+                    .agg(
+                        F.sum((F.col("o_cnt") > 0).cast("long")).alias("df_o"),
+                        F.sum((F.col("u_cnt") > 0).cast("long")).alias("df_u"),
+                    )
+                    .collect()
+                )
+                n_docs = self.index.numdocs
+                idf_rows = []
+                for r in dfs:
+                    idf_o = max(0.0, float(np.log(1.0 + (n_docs - r["df_o"] + 0.5) / (r["df_o"] + 0.5)))) if r["df_o"] else 0.0
+                    idf_u = max(0.0, float(np.log(1.0 + (n_docs - r["df_u"] + 0.5) / (r["df_u"] + 0.5)))) if r["df_u"] else 0.0
+                    idf_rows.append((r["qid"], r["pair"], idf_o, idf_u))
+                idf_df = spark.createDataFrame(
+                    idf_rows, "qid string, pair string, idf_o double, idf_u double"
+                )
+                k1, b = self.config.k1, self.config.b
+                avgdl = float(self.index.avgdl)
+                norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                window_scores = (
+                    counts.join(F.broadcast(idf_df), ["qid", "pair"])
+                    .withColumn(
+                        "w_score",
+                        F.lit(self.lambda_o) * F.col("idf_o") * F.col("o_cnt") / (F.col("o_cnt") + norm)
+                        + F.lit(self.lambda_u) * F.col("idf_u") * F.col("u_cnt") / (F.col("u_cnt") + norm),
+                    )
+                    .groupBy("qid", "docno")
+                    .agg(F.sum("w_score").alias("score_w"))
+                )
+                combined = (
+                    uni.join(window_scores, ["qid", "docno"], "full_outer")
+                    .withColumn(
+                        "score",
+                        F.lit(self.lambda_t) * F.coalesce(F.col("score_t"), F.lit(0.0))
+                        + F.coalesce(F.col("score_w"), F.lit(0.0)),
+                    )
+                    .select("qid", "docno", "score")
+                )
+                cand = self._with_docids(combined)
+                w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+                out = (
+                    cand.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= hits)
+                    .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+                )
+                # materialize while `counts` is still pinned (the run is
+                # ≤ hits rows per query — driver-sized by construction)
+                result = out.collect()
+            finally:
+                counts.unpersist()
+            return spark.createDataFrame(
+                result, "qid string, docid string, rank int, score double, tag string"
+            )
+
+        combined = uni.withColumn("score", F.lit(self.lambda_t) * F.col("score_t")).select(
+            "qid", "docno", "score"
+        )
+        cand = self._with_docids(combined)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )
+
+    def search_collect(self, topics: dict[str, str], hits: int | None = None, depth: int = 2):
+        rows = self.search(topics, hits=hits).collect()
+        out: dict[str, OrderedDict] = {}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            out.setdefault(r["qid"], OrderedDict())[r["docid"]] = r["score"]
+        return out

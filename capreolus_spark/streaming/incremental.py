@@ -124,9 +124,12 @@ class IncrementalIndexer:
         _ranges_stage(tokens_committed, self.config.range_size, n_parts).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.index_dir, "ranges", key))
-        _postings_stage(tokens_committed, self.config.range_size, n_parts).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.index_dir, "postings", key))
+        _postings_stage(
+            tokens_committed,
+            self.config.range_size,
+            n_parts,
+            with_positions=self.config.store_positions,
+        ).write.mode("overwrite").parquet(os.path.join(self.index_dir, "postings", key))
 
         entry = {
             "epoch_id": epoch_id,

@@ -1,0 +1,122 @@
+"""Positions store + SDM proximity searcher."""
+
+import numpy as np
+import pytest
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.index.codec import (
+    decode_position_lists,
+    decode_postings,
+    encode_position_lists,
+)
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.sdm import SDMSearcher, _window_counts
+
+
+def test_position_codec_roundtrip():
+    lists = [np.array([0, 3, 7]), np.array([2]), np.array([1, 2, 3, 4])]
+    buf = encode_position_lists(lists)
+    out = decode_position_lists(buf, np.array([3, 1, 4]))
+    for a, b in zip(lists, out):
+        np.testing.assert_array_equal(a, b)
+    assert encode_position_lists([]) == b""
+
+
+def test_window_counts():
+    # ordered: p1 followed by p2 within 2; unordered: within 8 either side
+    p1 = np.array([0, 10, 20])
+    p2 = np.array([1, 15, 40])
+    o, u = _window_counts(p1, p2, 2, 8)
+    assert o == 1  # only 0->1 (10->15 gap 5, 20->40 gap 20)
+    assert u == 3  # |0-1|=1, |10-15|=5, |20-15|=5 all <= 8
+    assert _window_counts(np.array([]), p2, 2, 8) == (0, 0)
+    assert _window_counts(np.array([5]), np.array([5]), 2, 8) == (0, 1)  # same slot
+
+
+SDM_DOCS = [
+    ("d1", "query engine design with spark engine shuffle"),   # "query engine" adjacent
+    ("d2", "engine query separated stuff query things engine"),  # reversed order only
+    ("d3", "query of long distance text before any engine appears here"),  # far apart
+    ("d4", "query engine query engine query engine"),           # many adjacent pairs
+    ("d5", "unrelated document about cooking"),
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(SDM_DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("pos")),
+        IndexConfig(stemmer="porter", store_positions=True),
+    )
+
+
+def test_positions_stored_and_decodable(pos_index):
+    rows = pos_index.postings_df().filter("term = 'queri'").collect()
+    found = {}
+    docnos_to_id = {r["docno"]: r["docid"] for r in pos_index.docs_df().collect()}
+    for r in rows:
+        docnos, tfs = decode_postings(r["docnos"], r["tfs"])
+        poss = decode_position_lists(bytes(r["positions"]), tfs)
+        for d, p in zip(docnos, poss):
+            found[docnos_to_id[int(d)]] = list(map(int, p))
+    # positions are PRE-stopword-filter stream indices:
+    # d3 = "query of long distance text before any engine ..." → query at 0
+    assert found["d1"] == [0]
+    assert found["d4"] == [0, 2, 4]
+    assert found["d2"] == [1, 4]
+
+
+def test_sdm_requires_positions(dummy_index):
+    with pytest.raises(ValueError, match="store_positions"):
+        SDMSearcher(dummy_index)
+
+
+def test_sdm_ranking_rewards_adjacency(pos_index):
+    sdm = SDMSearcher(pos_index, BM25Config(hits=10))
+    run = sdm.search_collect({"q": "query engine"})["q"]
+    bm25 = BM25Searcher(pos_index, BM25Config(hits=10)).search_collect({"q": "query engine"})["q"]
+    # d4 (3 adjacent pairs) must outrank d2/d3 under SDM
+    docs = list(run.keys())
+    assert docs.index("d4") < docs.index("d2")
+    assert docs.index("d4") < docs.index("d3")
+    assert docs.index("d1") < docs.index("d3")
+    # all unigram matches still present, nothing extra
+    assert set(run) == set(bm25)
+    # unrelated doc absent
+    assert "d5" not in run
+
+
+def test_sdm_window_counts_match_bruteforce(spark, pos_index):
+    """Kernel counts equal a direct recomputation from analyzed streams."""
+    from capreolus_spark.analysis import tokenize_text
+    from capreolus_spark.analysis import LUCENE_STOP_WORDS, stem_token
+
+    sdm = SDMSearcher(pos_index, BM25Config(hits=10))
+    counts = {
+        (r["qid"], r["docno"]): (r["o_cnt"], r["u_cnt"])
+        for r in sdm._pair_counts_df({"q": [("queri", "engin")]}).collect()
+    }
+    id_by_docno = {r["docno"]: r["docid"] for r in pos_index.docs_df().collect()}
+    contents = {d: c for d, c in SDM_DOCS}
+
+    for (qid, docno), (o, u) in counts.items():
+        toks = tokenize_text(contents[id_by_docno[docno]])
+        p1 = np.array([i for i, t in enumerate(toks)
+                       if t not in LUCENE_STOP_WORDS and stem_token(t) == "queri"])
+        p2 = np.array([i for i, t in enumerate(toks)
+                       if t not in LUCENE_STOP_WORDS and stem_token(t) == "engin"])
+        eo = sum(1 for a in p1 if any(0 < b - a <= 2 for b in p2))
+        eu = sum(1 for a in p1 if any(abs(b - a) <= 8 for b in p2))
+        assert (o, u) == (eo, eu), id_by_docno[docno]
+
+
+def test_sdm_deterministic(pos_index):
+    s = SDMSearcher(pos_index, BM25Config(hits=10))
+    assert s.search_collect({"q": "query engine"}) == s.search_collect({"q": "query engine"})
+
+
+def test_positions_flag_off_stores_null(dummy_index):
+    rows = dummy_index.postings_df().limit(2).collect()
+    assert all(r["positions"] is None for r in rows)
