@@ -462,6 +462,34 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, dim=64, k=10, num_planes=8)
 
 
+def _q_bm25_rm3(spark, sf_dir):
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.rm3 import BM25RM3Searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    s = BM25RM3Searcher(idx, BM25Config(hits=_BM25_HITS), fb_terms=10, fb_docs=5)
+    run = s.search(_TOPICS)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
+def _q_sdm(spark, sf_dir):
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.sdm import SDMSearcher
+
+    idx = InvertedIndex.create(
+        spark,
+        _corpus(spark, sf_dir),
+        _index_dir("daat_pos", sf_dir),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    run = SDMSearcher(idx, BM25Config(hits=_BM25_HITS)).search(_TOPICS)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     from capreolus_spark.textproc import extract_features
 
@@ -500,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": _q_token_quality,
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
+        "bm25_rm3_topk": _q_bm25_rm3,
+        "sdm_topk": _q_sdm,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh_topk": _q_ann_lsh,

@@ -58,17 +58,27 @@ class BM25RM3Searcher(BM25Searcher):
 
     # ------------------------------------------------------------ expansion
 
-    def _doc_term_probs(self, docid: str) -> dict[str, float]:
-        """P(t|d) over the indexed terms of a stored document."""
-        content = self.index.get_doc(docid)
-        if not content:
+    def _doc_term_probs_batch(self, docids: list[str]) -> dict[str, dict[str, float]]:
+        """{docid: {term: P(t|d)}} for all feedback docs in ONE docstore scan
+        (one predicate-pushed filter+collect instead of a job per doc)."""
+        if not docids:
             return {}
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.index.docs_df()
+            .filter(F.col("docid").isin(list(set(docids))))
+            .select("docid", "content")
+            .collect()
+        )
         kw = self.index.config.analyzer_kwargs()
-        terms = analyze_text(content, **kw)
-        if not terms:
-            return {}
-        n = float(len(terms))
-        return {t: c / n for t, c in Counter(terms).items()}
+        out = {}
+        for r in rows:
+            terms = analyze_text(r["content"] or "", **kw)
+            if terms:
+                n = float(len(terms))
+                out[r["docid"]] = {t: c / n for t, c in Counter(terms).items()}
+        return out
 
     def expand_queries(
         self, topics: dict[str, str]
@@ -76,6 +86,8 @@ class BM25RM3Searcher(BM25Searcher):
         """{qid: text} → {qid: [(term, rm3_weight)]} (weights sum to 1)."""
         analyzed = self.analyze_topics(topics)
         first_pass = super().search_collect(topics, hits=self.fb_docs)
+        all_fb_docids = [d for run in first_pass.values() for d in run]
+        doc_probs = self._doc_term_probs_batch(all_fb_docids)
 
         expanded: dict[str, list[tuple[str, float]]] = {}
         for qid, terms in analyzed.items():
@@ -88,7 +100,7 @@ class BM25RM3Searcher(BM25Searcher):
             if fb and total_score > 0:
                 for docid, score in fb.items():
                     w_d = score / total_score
-                    for t, p in self._doc_term_probs(docid).items():
+                    for t, p in doc_probs.get(docid, {}).items():
                         rm1[t] = rm1.get(t, 0.0) + w_d * p
             top_fb = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[: self.fb_terms]
             fb_mass = sum(w for _, w in top_fb)
