@@ -25,9 +25,23 @@ from ..analysis import analyze_text
 from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from .daat import RESULT_SCHEMA, make_range_scorer, merge_topk
-from .scoring import BM25Scoring, LMDirichletScoring
+from .scoring import (
+    BM25Scoring,
+    F2ExpScoring,
+    F2LogScoring,
+    INL2Scoring,
+    LMDirichletScoring,
+    LMJelinekMercerScoring,
+)
 
-__all__ = ["BM25Searcher", "QLDirichletSearcher", "BM25Config"]
+__all__ = [
+    "BM25Searcher",
+    "QLDirichletSearcher",
+    "ScoringSearcher",
+    "BM25Config",
+    "SEARCHERS",
+    "create_searcher",
+]
 
 
 class BM25Searcher:
@@ -224,3 +238,94 @@ class QLDirichletSearcher(BM25Searcher):
     @property
     def scoring(self):
         return LMDirichletScoring(mu=self.mu)
+
+
+class ScoringSearcher(BM25Searcher):
+    """Searcher over the same index with an arbitrary scoring object from
+    ``search.scoring`` — how the reference's one-formula searchers (QLJM,
+    INL2, F2Exp, F2Log, ``searcher/anserini.py:434-522``) map onto the
+    engine: same postings, same kernel, different per-term math."""
+
+    def __init__(self, index: InvertedIndex, scoring, hits: int = 1000,
+                 prune: bool = True, tag: str = DEFAULT_TAG):
+        super().__init__(index, BM25Config(hits=hits), prune=prune, tag=tag)
+        self._scoring = scoring
+
+    @property
+    def scoring(self):
+        return self._scoring
+
+
+# ----------------------------------------------------------------- registry
+
+def _make_bm25(index, **cfg):
+    return BM25Searcher(
+        index,
+        BM25Config(
+            k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)
+        ),
+    )
+
+
+def _make_ql(index, **cfg):
+    return QLDirichletSearcher(index, mu=cfg.get("mu", 1000.0), hits=cfg.get("hits", 1000))
+
+
+def _make_qljm(index, **cfg):
+    return ScoringSearcher(
+        index, LMJelinekMercerScoring(lam=cfg.get("lam", 0.1)), hits=cfg.get("hits", 1000)
+    )
+
+
+def _make_inl2(index, **cfg):
+    return ScoringSearcher(index, INL2Scoring(c=cfg.get("c", 0.1)), hits=cfg.get("hits", 1000))
+
+
+def _make_f2exp(index, **cfg):
+    return ScoringSearcher(index, F2ExpScoring(s=cfg.get("s", 0.5)), hits=cfg.get("hits", 1000))
+
+
+def _make_f2log(index, **cfg):
+    return ScoringSearcher(index, F2LogScoring(s=cfg.get("s", 0.5)), hits=cfg.get("hits", 1000))
+
+
+def _make_rm3(index, **cfg):
+    from .rm3 import BM25RM3Searcher
+
+    return BM25RM3Searcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        fb_terms=cfg.get("fbTerms", 10),
+        fb_docs=cfg.get("fbDocs", 10),
+        original_query_weight=cfg.get("originalQueryWeight", 0.5),
+    )
+
+
+def _make_sdm(index, **cfg):
+    from .sdm import SDMSearcher
+
+    return SDMSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+    )
+
+
+# reference module names (capreolus/searcher/anserini.py registry) → factory
+SEARCHERS = {
+    "BM25": _make_bm25,
+    "DirichletQL": _make_ql,
+    "QLJM": _make_qljm,
+    "INL2": _make_inl2,
+    "F2Exp": _make_f2exp,
+    "F2Log": _make_f2log,
+    "BM25RM3": _make_rm3,
+    "SDM": _make_sdm,
+}
+
+
+def create_searcher(name: str, index: InvertedIndex, **cfg) -> BM25Searcher:
+    """Instantiate a registered searcher by its reference module name."""
+    try:
+        return SEARCHERS[name](index, **cfg)
+    except KeyError:
+        raise ValueError(f"unknown searcher {name!r}; known: {sorted(SEARCHERS)}") from None

@@ -135,6 +135,91 @@ def bm25_oracle(
         analyzed.unpersist()
 
 
+def scoring_oracle(
+    spark: SparkSession,
+    corpus: DataFrame,
+    topics: dict[str, str],
+    scoring,
+    hits: int = 1000,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+) -> DataFrame:
+    """Brute-force oracle for ANY scoring object from ``search.scoring``:
+    relational tf/df/cf plumbing + an Arrow pandas_udf that applies the
+    scoring's vectorized ``contrib`` — the generic twin of the DAAT kernel
+    for equivalence testing."""
+    analyzed = analyzed_terms_df(corpus, stemmer=stemmer, remove_stops=remove_stops)
+    analyzed = analyzed.persist()
+    try:
+        stats = analyzed.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        avgdl = (stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
+
+        tf = (
+            analyzed.select("docid", "dl", F.explode("terms").alias("term"))
+            .groupBy("docid", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        term_stats = {
+            r["term"]: (int(r["df"]), int(r["cf"]))
+            for r in tf.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .collect()
+        }
+        sum_cf = sum(cf for _, cf in term_stats.values())
+
+        qrows = []
+        for qid, text in topics.items():
+            terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+            for term, qtf in Counter(terms).items():
+                df_cf = term_stats.get(term)
+                if df_cf is None:
+                    continue
+                w = scoring.weight(df_cf[0], df_cf[1], n_docs, sum_cf)
+                if w > 0:
+                    qrows.append((str(qid), term, float(qtf), float(w)))
+        if not qrows:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double"
+            )
+        qdf = spark.createDataFrame(qrows, "qid string, term string, qtf double, w double")
+
+        import pandas as pd
+
+        @F.pandas_udf("double")
+        def contrib_udf(w: pd.Series, qtf: pd.Series, tf_s: pd.Series, dl_s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            tf_arr = tf_s.to_numpy(dtype=np.int64)
+            dl_arr = dl_s.to_numpy(dtype=np.int64)
+            w_arr = w.to_numpy(dtype=np.float64)
+            qtf_arr = qtf.to_numpy(dtype=np.float64)
+            out = np.empty(len(tf_arr), dtype=np.float64)
+            # contrib is vectorized per distinct weight (weights are per-term)
+            for wv in np.unique(w_arr):
+                m = w_arr == wv
+                out[m] = qtf_arr[m] * scoring.contrib(float(wv), tf_arr[m], dl_arr[m], avgdl)
+            return pd.Series(out)
+
+        scored = (
+            tf.join(F.broadcast(qdf), "term")
+            .withColumn("term_score", contrib_udf("w", "qtf", "tf", "dl"))
+            .groupBy("qid", "docid")
+            .agg(F.sum("term_score").alias("score"))
+            .filter(F.col("score") > 0)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score")
+        )
+    finally:
+        analyzed.unpersist()
+
+
 def ql_dirichlet_oracle(
     spark: SparkSession,
     corpus: DataFrame,

@@ -49,6 +49,91 @@ class BM25Scoring:
 
 
 @dataclass(frozen=True)
+class LMJelinekMercerScoring:
+    """Jelinek-Mercer–smoothed query likelihood (reference ``QLJM``,
+    ``searcher/anserini.py:434-446``, default λ=0.1), Lucene's
+    LMJelinekMercerSimilarity form:
+    ``log(1 + ((1-λ)·tf/dl) / (λ·p(t|C)))`` per matching term (always ≥ 0)."""
+
+    lam: float = 0.1
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if cf <= 0 or sum_cf <= 0:
+            return 0.0
+        return cf / float(sum_cf)
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(dls.astype(np.float64), 1.0)
+        return np.log1p(((1.0 - self.lam) * tf / dl) / (self.lam * w))
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        # tf/dl <= 1, maximized as tf -> dl
+        return float(np.log1p((1.0 - self.lam) / (self.lam * w)))
+
+
+@dataclass(frozen=True)
+class INL2Scoring:
+    """DFR I(n)L2 (reference ``INL2``, ``searcher/anserini.py:449-462``,
+    default c=0.1): ``tfn = tf·log2(1 + c·avgdl/dl)``;
+    ``score = tfn/(tfn+1) · log2((N+1)/(df+0.5))`` (basic model I(n),
+    first normalization L, second normalization H2 — Amati & van
+    Rijsbergen's published framework)."""
+
+    c: float = 0.1
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        return float(np.log2((n_docs + 1.0) / (df + 0.5)))
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(dls.astype(np.float64), 1.0)
+        tfn = tf * np.log2(1.0 + self.c * avgdl / dl)
+        return w * tfn / (tfn + 1.0)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        tfn = max_tf * float(np.log2(1.0 + self.c * avgdl / max(min_dl, 1)))
+        return w * tfn / (tfn + 1.0)
+
+
+@dataclass(frozen=True)
+class F2ExpScoring:
+    """Axiomatic F2EXP (reference ``F2Exp``, ``searcher/anserini.py:485-502``,
+    default s=0.5): ``score = ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl)``
+    (Fang & Zhai's axiomatic retrieval function, k=0.35 as in Anserini)."""
+
+    s: float = 0.5
+    k: float = 0.35
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        return float(((n_docs + 1.0) / df) ** self.k)
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        return w * tf / (tf + self.s + self.s * dl / avgdl)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        return w * max_tf / (max_tf + self.s + self.s * max(min_dl, 1) / avgdl)
+
+
+@dataclass(frozen=True)
+class F2LogScoring(F2ExpScoring):
+    """Axiomatic F2LOG (reference ``F2Log``, ``searcher/anserini.py:505-522``,
+    default s=0.5): like F2EXP with ``ln((N+1)/df)`` in place of the power
+    idf."""
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        return float(np.log((n_docs + 1.0) / df))
+
+
+@dataclass(frozen=True)
 class LMDirichletScoring:
     mu: float = 1000.0
 

@@ -46,3 +46,16 @@ def dummy_index(spark, dummy_corpus, tmp_path_factory):
     return InvertedIndex.create(
         spark, dummy_corpus, index_dir, IndexConfig(stemmer="porter", indexstops=False)
     )
+
+
+@pytest.fixture(scope="session")
+def synth_index(spark, tmp_path_factory):
+    from capreolus_spark.data import synth_corpus
+    from capreolus_spark.index import IndexConfig, InvertedIndex, make_docid_column
+
+    corpus = make_docid_column(synth_corpus(spark, 400))
+    index_dir = str(tmp_path_factory.mktemp("synth_index"))
+    # small partition count so the corpus spans several ranges (exercises the merge)
+    cfg = IndexConfig(range_size=1 << 17, num_doc_partitions=5)
+    idx = InvertedIndex.create(spark, corpus, index_dir, cfg)
+    return idx, corpus

@@ -1,0 +1,61 @@
+"""Registry scorers (QLJM / INL2 / F2Exp / F2Log): kernel == generic oracle."""
+
+import pytest
+
+from capreolus_spark.data import synth_queries
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import SEARCHERS, create_searcher
+from capreolus_spark.search.oracle import scoring_oracle
+from capreolus_spark.search.scoring import (
+    F2ExpScoring,
+    F2LogScoring,
+    INL2Scoring,
+    LMJelinekMercerScoring,
+)
+
+SCORERS = {
+    "QLJM": LMJelinekMercerScoring(lam=0.1),
+    "INL2": INL2Scoring(c=0.1),
+    "F2Exp": F2ExpScoring(s=0.5),
+    "F2Log": F2LogScoring(s=0.5),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCORERS))
+def test_scorer_kernel_matches_oracle(spark, synth_index, name):
+    idx, corpus = synth_index
+    topics = {k: v for k, v in list(synth_queries(10).items())[:6]}
+    searcher = create_searcher(name, idx, hits=30)
+    kernel_run = run_df_to_dict(searcher.search(topics, hits=30))
+    oracle_run = run_df_to_dict(
+        scoring_oracle(spark, corpus.select("docid", "content"), topics, SCORERS[name], hits=30)
+    )
+    assert set(kernel_run) == set(oracle_run)
+    for qid in oracle_run:
+        assert list(kernel_run[qid].keys()) == list(oracle_run[qid].keys()), (name, qid)
+        for d in oracle_run[qid]:
+            assert kernel_run[qid][d] == pytest.approx(oracle_run[qid][d], abs=1e-9)
+
+
+def test_registry_names_and_unknown(dummy_index):
+    assert {"BM25", "DirichletQL", "QLJM", "INL2", "F2Exp", "F2Log", "BM25RM3", "SDM"} <= set(SEARCHERS)
+    with pytest.raises(ValueError, match="unknown searcher"):
+        create_searcher("NoSuch", dummy_index)
+
+
+def test_registry_bm25_golden(dummy_index):
+    s = create_searcher("BM25", dummy_index, k1=0.9, b=0.4, hits=10)
+    run = s.search_collect({"301": "Dummy doc"})["301"]
+    assert list(run) == ["LA010189-0001", "LA010189-0002"]
+    assert run["LA010189-0001"] == pytest.approx(0.13948959, abs=1e-6)
+
+
+def test_all_flat_scorers_run_on_dummy(dummy_index):
+    for name in ("DirichletQL", "QLJM", "INL2", "F2Exp", "F2Log"):
+        run = create_searcher(name, dummy_index, hits=10).search_collect({"301": "Dummy doc"})
+        docs = list(run["301"].keys())
+        # Dirichlet's per-term clamp-at-0 may legitimately drop the tf=1 doc
+        # (its length-penalty term outweighs the tf term on the dummy corpus)
+        assert set(docs) <= {"LA010189-0001", "LA010189-0002"}, name
+        # doc 1 has tf(dummi)=3 vs 1 → every tf-monotone scorer ranks it first
+        assert docs and docs[0] == "LA010189-0001", name

@@ -58,14 +58,7 @@ def test_run_roundtrip(dummy_searcher, tmp_path):
     assert loaded["301"]["LA010189-0001"] == pytest.approx(0.1395)
 
 
-@pytest.fixture(scope="session")
-def synth_index(spark, tmp_path_factory):
-    corpus = make_docid_column(synth_corpus(spark, 400))
-    index_dir = str(tmp_path_factory.mktemp("synth_index"))
-    # small range_size so the corpus spans many ranges (exercises the merge)
-    cfg = IndexConfig(range_size=1 << 17, num_doc_partitions=5)
-    idx = InvertedIndex.create(spark, corpus, index_dir, cfg)
-    return idx, corpus
+# synth_index fixture lives in conftest.py (shared with test_scorers.py)
 
 
 @pytest.mark.parametrize("prune", [False, True])
