@@ -26,11 +26,44 @@ the weaker rows-only check; their exactness is covered by pytest
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # driver-side imports work from any cwd
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship capreolus_spark to the executors' python workers.
+
+    The driver's sys.path does not propagate to python workers, so a
+    session whose cwd isn't the repo root would hit
+    ModuleNotFoundError inside UDF closures.  addPyFile is retroactive
+    (workers pick it up at task deserialization), making the contract
+    cwd-independent."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.join(_REPO, "capreolus_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "capreolus_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, _REPO))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 # ----------------------------------------------------------------- shared
 
@@ -54,6 +87,7 @@ _BM25_K1, _BM25_B, _BM25_HITS = 0.9, 0.4, 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_package(spark)
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
@@ -64,6 +98,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_package(spark)
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 

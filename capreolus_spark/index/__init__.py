@@ -61,8 +61,18 @@ class InvertedIndex:
         """Build if missing (no-op when the manifest marks all stages done,
         mirroring reference ``index/__init__.py:26-33``)."""
         idx = cls(spark, index_dir)
-        if not idx.exists():
-            build_index(spark, corpus, index_dir, config)
+        if idx.exists():
+            # the reference keys cache paths by config so a clash is
+            # impossible there (index/__init__.py:19-33); with an explicit
+            # dir we must refuse to silently serve a differently-configured
+            # index
+            if config is not None and idx.config != config:
+                raise ValueError(
+                    f"index at {index_dir} was built with a different config: "
+                    f"{idx.config} != requested {config}"
+                )
+            return idx
+        build_index(spark, corpus, index_dir, config)
         return idx
 
     def exists(self) -> bool:
