@@ -1,0 +1,92 @@
+"""CLI entry point — the engine twin of the reference's
+``capreolus rank.searcheval`` command (``capreolus/run.py:77-96`` +
+``scripts/capreolus``), argparse-shaped rather than docopt:
+
+    python -m capreolus_spark.run rank.searcheval \\
+        --corpus corpus.parquet --index-dir ./idx \\
+        --topics topics.tsv --qrels qrels.txt --folds folds.json \\
+        --output ./out [--k1 0.9 0.4] [--b 0.4 0.8] [--hits 1000] \\
+        [--metric map] [--stemmer porter]
+
+    python -m capreolus_spark.run rank.search  ...   (skip evaluation)
+
+Writes per-config TREC run files, the cross-validated best test run and
+metrics.json under --output, and prints the metrics JSON to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="capreolus_spark.run")
+    ap.add_argument("command", choices=["rank.searcheval", "rank.search"])
+    ap.add_argument("--corpus", required=True, help="parquet/iceberg corpus path")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--topics", required=True, help="TSV (qid\\ttext) or TREC SGML topics")
+    ap.add_argument("--qrels")
+    ap.add_argument("--folds")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--k1", type=float, nargs="+", default=[0.9])
+    ap.add_argument("--b", type=float, nargs="+", default=[0.4])
+    ap.add_argument("--hits", type=int, default=1000)
+    ap.add_argument("--metric", default="map")
+    ap.add_argument("--stemmer", default="porter", choices=["porter", "none"])
+    ap.add_argument("--indexstops", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.command == "rank.searcheval" and not (args.qrels and args.folds):
+        print("rank.searcheval requires --qrels and --folds", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    from .benchmark import Benchmark
+    from .config import IndexConfig
+    from .index import InvertedIndex, make_docid_column
+    from .io.trec import load_trec_topics, load_tsv_topics
+    from .task import RankTask
+
+    spark = SparkSession.builder.appName("capreolus_spark_run").getOrCreate()
+
+    if args.format == "iceberg":
+        corpus = spark.read.format("iceberg").load(args.corpus)
+    else:
+        corpus = spark.read.parquet(args.corpus)
+    if "docid" not in corpus.columns:
+        corpus = make_docid_column(corpus)
+
+    idx = InvertedIndex.create(
+        spark, corpus, args.index_dir,
+        IndexConfig(stemmer=args.stemmer, indexstops=args.indexstops),
+    )
+
+    if args.topics.endswith(".tsv"):
+        topics = load_tsv_topics(args.topics)
+    else:
+        topics = load_trec_topics(args.topics).get("title", {})
+
+    if args.command == "rank.search":
+        bench = Benchmark(
+            topics=topics, qrels={q: {} for q in []}, folds={}, relevance_level=1
+        )
+        task = RankTask(idx, bench, args.output, hits=args.hits)
+        runs = task.search(k1s=args.k1, bs=args.b)
+        print(json.dumps({"runs": sorted(runs)}))
+        return 0
+
+    bench = Benchmark.from_files(args.topics, args.qrels, args.folds)
+    bench.topics = topics  # honor whichever topics file shape was given
+    task = RankTask(idx, bench, args.output, hits=args.hits)
+    result = task.searcheval(k1s=args.k1, bs=args.b, primary_metric=args.metric)
+    print(json.dumps({"score": result["score"], "best_by_fold": result["best_by_fold"]},
+                     sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""CLI entry point (python -m capreolus_spark.run rank.searcheval)."""
+
+import json
+
+from capreolus_spark.run import main
+
+
+def test_rank_searcheval_cli(spark, tmp_path, capsys):
+    import pandas as pd
+
+    corpus = tmp_path / "corpus.parquet"
+    pd.DataFrame(
+        {
+            "repo": ["dummy/collection"] * 2,
+            "path": ["docs/LA010189-0001.txt", "docs/LA010189-0002.txt"],
+            "commit": ["0" * 40] * 2,
+            "lang": ["text"] * 2,
+            "content": [
+                "Dummy Dummy Dummy Hello world, greetings from outer space!",
+                "Dummy LessDummy Hello world, greetings from outer space!",
+            ],
+        }
+    ).to_parquet(corpus)
+    docid1 = "dummy/collection@" + "0" * 40 + ":docs/LA010189-0001.txt"
+    docid2 = "dummy/collection@" + "0" * 40 + ":docs/LA010189-0002.txt"
+
+    topics = tmp_path / "topics.tsv"
+    topics.write_text("301\tDummy doc\n")
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text(f"301 0 {docid1} 1\n301 0 {docid2} 0\n")
+    folds = tmp_path / "folds.json"
+    folds.write_text(
+        json.dumps({"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}})
+    )
+    out = tmp_path / "out"
+
+    rc = main(
+        [
+            "rank.searcheval",
+            "--corpus", str(corpus),
+            "--index-dir", str(tmp_path / "idx"),
+            "--topics", str(topics),
+            "--qrels", str(qrels),
+            "--folds", str(folds),
+            "--output", str(out),
+            "--k1", "0.9", "--b", "0.4", "0.8",
+            "--hits", "10",
+        ]
+    )
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["score"]["map"] == 1.0
+    assert printed["best_by_fold"]["s1"].startswith("searcher_bm25(")
+    assert (out / "metrics.json").exists()
+    run_lines = (out / "best_test_run").read_text().splitlines()
+    assert run_lines[0].split()[2] == docid1
+    assert run_lines[0].split()[4] == "0.139500"
+
+
+def test_rank_search_requires_eval_inputs(tmp_path, capsys):
+    rc = main(
+        [
+            "rank.searcheval",
+            "--corpus", "x", "--index-dir", "y", "--topics", "z.tsv", "--output", "o",
+        ]
+    )
+    assert rc == 2
+    assert "requires --qrels" in capsys.readouterr().err
