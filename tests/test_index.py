@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from capreolus_spark.index import IndexConfig, InvertedIndex, build_index
+from capreolus_spark.index import IndexConfig, InvertedIndex, build_index, make_docid_column
 from capreolus_spark.index.build import Manifest
 from capreolus_spark.index.codec import decode_int32_array, decode_postings
 
@@ -151,3 +151,41 @@ def test_indexstops_true_keeps_stopwords(spark, tmp_path):
     assert {r["term"] for r in idx2.dict_df().collect()} == {"cat", "hat"}
     # dl counts pre-filter tokens either way
     assert idx.stats()["sum_dl"] == idx2.stats()["sum_dl"] == 5
+
+
+def test_stopword_skew_splits_across_ranges(spark, tmp_path):
+    """A term appearing in EVERY doc must split into one bounded posting
+    cell per docno-range — the salting the north rule demands."""
+    docs = [(f"d{i:03d}", f"common filler{i % 7} word{i}") for i in range(120)]
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    cfg = IndexConfig(num_doc_partitions=6, indexstops=True)
+    idx = InvertedIndex.create(spark, corpus, str(tmp_path / "skew"), cfg)
+    cells = idx.postings_df().filter(F.col("term") == "common").collect()
+    # 6 partitions → 6 ranges, each with its own bounded cell
+    assert len(cells) == 6
+    assert sum(r["df_range"] for r in cells) == 120
+    assert all(r["df_range"] <= cfg.range_size for r in cells)
+
+
+def test_scores_invariant_to_partitioning(spark, tmp_path):
+    """Same corpus indexed under different partitionings (different docnos,
+    ranges, shuffle layouts) must produce identical runs — the determinism
+    contract for retries and cluster-size changes."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.data import synth_corpus
+    from capreolus_spark.search import BM25Searcher
+
+    corpus = make_docid_column(synth_corpus(spark, 150))
+    runs = []
+    for n_parts in (2, 7):
+        idx = InvertedIndex.create(
+            spark, corpus, str(tmp_path / f"p{n_parts}"),
+            IndexConfig(num_doc_partitions=n_parts, postings_partitions=n_parts),
+        )
+        searcher = BM25Searcher(idx, BM25Config(hits=20))
+        runs.append(searcher.search_collect({"q1": "def return self", "q2": "sharedmarker"}))
+    assert set(runs[0]) == set(runs[1])
+    for qid in runs[0]:
+        assert list(runs[0][qid]) == list(runs[1][qid])
+        for d in runs[0][qid]:
+            assert abs(runs[0][qid][d] - runs[1][qid][d]) < 1e-12
