@@ -713,17 +713,27 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid DESC) AS rank, "
             "sum(rel) OVER (PARTITION BY qid ORDER BY score DESC, docid DESC ROWS UNBOUNDED PRECEDING) AS cum_rel FROM lab), "
             "nrel AS (SELECT qid, count(*) AS n_rel FROM qrels WHERE label >= 1 GROUP BY qid), "
+            "idcg AS (SELECT qid, sum(label / log2(irank + 1)) AS idcg FROM "
+            "(SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY label DESC, docid DESC) AS irank "
+            "FROM qrels WHERE label > 0) WHERE irank <= 10 GROUP BY qid), "
+            "dcg AS (SELECT qid, sum(coalesce(label, 0) / log2(rank + 1)) AS dcg FROM "
+            "(SELECT ranked.qid, ranked.rank, qrels.label FROM ranked "
+            "JOIN qrels ON ranked.qid = qrels.qid AND ranked.docid = qrels.docid "
+            "WHERE ranked.rank <= 10 AND qrels.label > 0) GROUP BY qid), "
             "agg AS (SELECT qid, sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank ELSE 0 END) AS ap_num, "
             "sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS rel_at_k, "
             "sum(CASE WHEN rank <= 10 THEN CASE WHEN judged THEN 1 ELSE 0 END ELSE 0 END) AS judged_at_k, "
             "sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS n_at_k, "
             "min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank FROM ranked GROUP BY qid) "
-            "SELECT agg.qid, round(ap_num / n_rel, 6) AS ap, round(rel_at_k / 10.0, 6) AS p_at_10, "
+            "SELECT agg.qid, round(ap_num / n_rel, 6) AS ap, "
+            "round(CASE WHEN coalesce(idcg.idcg, 0) > 0 THEN coalesce(dcg.dcg, 0) / idcg.idcg ELSE 0 END, 6) AS ndcg_at_10, "
+            "round(rel_at_k / 10.0, 6) AS p_at_10, "
             "round(rel_at_k * 1.0 / n_rel, 6) AS recall_at_10, "
             "round(coalesce(1.0 / first_rel_rank, 0), 6) AS recip_rank, "
             "round(CASE WHEN first_rel_rank <= 10 THEN 1.0 / first_rel_rank ELSE 0 END, 6) AS mrr_at_10, "
             "round(judged_at_k * 1.0 / n_at_k, 6) AS judged_at_10 "
-            "FROM agg JOIN nrel ON agg.qid = nrel.qid"
+            "FROM agg JOIN nrel ON agg.qid = nrel.qid "
+            "LEFT JOIN idcg ON agg.qid = idcg.qid LEFT JOIN dcg ON agg.qid = dcg.qid"
         ),
         "dedup_exact": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

@@ -69,6 +69,21 @@ def eval_metrics_df(
     n_rel = qrels.filter(F.col("label") >= relevance_level).groupBy("qid").agg(
         F.count("*").alias("n_rel")
     )
+    # trec_eval ndcg_cut: linear gain label/log2(rank+1); ideal from the
+    # graded qrels sorted by label desc (the idcg sum is tie-order invariant)
+    wq = Window.partitionBy("qid").orderBy(F.desc("label"), F.desc("docid"))
+    idcg = (
+        qrels.filter(F.col("label") > 0)
+        .withColumn("irank", F.row_number().over(wq))
+        .filter(F.col("irank") <= k)
+        .groupBy("qid")
+        .agg(F.sum(F.col("label") / F.log2(F.col("irank") + 1)).alias("idcg"))
+    )
+    dcg = (
+        labeled.filter((F.col("rank") <= k) & (F.coalesce(F.col("label"), F.lit(0)) > 0))
+        .groupBy("qid")
+        .agg(F.sum(F.col("label") / F.log2(F.col("rank") + 1)).alias("dcg"))
+    )
     per_q = (
         labeled.groupBy("qid")
         .agg(
@@ -81,9 +96,18 @@ def eval_metrics_df(
             F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
         )
         .join(n_rel, "qid", "inner")  # only qids with positives are evaluable
+        .join(idcg, "qid", "left")
+        .join(dcg, "qid", "left")
         .select(
             "qid",
             F.round(F.col("ap_num") / F.col("n_rel"), 6).alias("ap"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(0.0),
+                6,
+            ).alias(f"ndcg_at_{k}"),
             F.round(F.col("rel_at_k") / F.lit(float(k)), 6).alias(f"p_at_{k}"),
             F.round(F.col("rel_at_k") / F.col("n_rel"), 6).alias(f"recall_at_{k}"),
             F.round(

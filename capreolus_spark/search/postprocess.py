@@ -71,6 +71,27 @@ def threshold_run(run: DataFrame, k: int) -> DataFrame:
     return _rerank(run).filter(F.col("rank") <= k)
 
 
+def bm25_postprocess_search(
+    searcher,
+    topics: dict[str, str],
+    hits: int = 1000,
+    topn: int = 1000,
+    dedup: bool = False,
+    docs_to_remove: DataFrame | None = None,
+    docs_to_keep: DataFrame | None = None,
+) -> DataFrame:
+    """The reference's ``BM25PostProcess`` composition
+    (``searcher/anserini.py:232-252``): BM25 retrieval followed by
+    passage dedup (``dedup=True``) and/or keep/remove filtering, re-cut
+    to ``topn``."""
+    run = searcher.search(topics, hits=hits)
+    if dedup:
+        run = dedup_passages(run, topn=None)
+    return filter_run(
+        run, docs_to_remove=docs_to_remove, docs_to_keep=docs_to_keep, topn=topn
+    )
+
+
 def qid_filter(run: DataFrame, qids: list[str], spark: SparkSession) -> DataFrame:
     """Restrict a run to a fold's qids via a broadcast semi-join
     (reference ``benchmark/__init__.py:174-192`` / ``task/rerank.py:66-81``)."""

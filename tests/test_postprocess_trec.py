@@ -107,3 +107,16 @@ def test_run_writer_ordering(tmp_path):
     ]
     run = load_trec_run(fn)
     assert list(run["2"]) == ["y", "x"]
+
+
+def test_bm25_postprocess_search(dummy_index, spark):
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.search import BM25Searcher
+    from capreolus_spark.search.postprocess import bm25_postprocess_search
+
+    searcher = BM25Searcher(dummy_index, BM25Config(hits=10))
+    remove = spark.createDataFrame([("LA010189-0001",)], "docid string")
+    out = bm25_postprocess_search(
+        searcher, {"301": "Dummy doc"}, hits=10, topn=5, docs_to_remove=remove
+    ).collect()
+    assert [(r["docid"], r["rank"]) for r in out] == [("LA010189-0002", 1)]
