@@ -32,6 +32,7 @@ from .scoring import (
     INL2Scoring,
     LMDirichletScoring,
     LMJelinekMercerScoring,
+    SPLScoring,
 )
 
 __all__ = [
@@ -281,6 +282,10 @@ def _make_inl2(index, **cfg):
     return ScoringSearcher(index, INL2Scoring(c=cfg.get("c", 0.1)), hits=cfg.get("hits", 1000))
 
 
+def _make_spl(index, **cfg):
+    return ScoringSearcher(index, SPLScoring(c=cfg.get("c", 0.1)), hits=cfg.get("hits", 1000))
+
+
 def _make_f2exp(index, **cfg):
     return ScoringSearcher(index, F2ExpScoring(s=cfg.get("s", 0.5)), hits=cfg.get("hits", 1000))
 
@@ -316,6 +321,7 @@ SEARCHERS = {
     "DirichletQL": _make_ql,
     "QLJM": _make_qljm,
     "INL2": _make_inl2,
+    "SPL": _make_spl,
     "F2Exp": _make_f2exp,
     "F2Log": _make_f2log,
     "BM25RM3": _make_rm3,

@@ -99,6 +99,38 @@ class INL2Scoring:
 
 
 @dataclass(frozen=True)
+class SPLScoring:
+    """Information-based SPL (reference ``SPL``, ``searcher/anserini.py:
+    465-482``, default c=0.1), Lucene's
+    IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2):
+    ``tfn = tf·log2(1 + c·avgdl/dl)``, ``λ = (df+1)/(N+1)``,
+    ``score = -log2((λ^(tfn/(tfn+1)) − λ) / (1 − λ))``, clamped at 0."""
+
+    c: float = 0.1
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        lam = (df + 1.0) / (n_docs + 1.0)
+        return lam if lam < 1.0 else 0.0  # λ=1 ⇒ zero information
+
+    def _spl(self, lam: float, tfn: np.ndarray) -> np.ndarray:
+        x = np.power(lam, tfn / (tfn + 1.0)) - lam
+        x = np.maximum(x, 1e-300)  # guard log of tiny/zero at tfn→0
+        return np.maximum(-np.log2(x / (1.0 - lam)), 0.0)
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(dls.astype(np.float64), 1.0)
+        tfn = tf * np.log2(1.0 + self.c * avgdl / dl)
+        return self._spl(w, tfn)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        tfn = np.array([max_tf * np.log2(1.0 + self.c * avgdl / max(min_dl, 1))])
+        return float(self._spl(w, tfn)[0])
+
+
+@dataclass(frozen=True)
 class F2ExpScoring:
     """Axiomatic F2EXP (reference ``F2Exp``, ``searcher/anserini.py:485-502``,
     default s=0.5): ``score = ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl)``
