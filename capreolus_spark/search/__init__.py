@@ -306,6 +306,18 @@ def _make_rm3(index, **cfg):
     )
 
 
+def _make_bm25prf(index, **cfg):
+    from .bm25prf import BM25PRFSearcher
+
+    return BM25PRFSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        fb_terms=cfg.get("fbTerms", 20),
+        fb_docs=cfg.get("fbDocs", 10),
+        new_term_weight=cfg.get("newTermWeight", 0.2),
+    )
+
+
 def _make_sdm(index, **cfg):
     from .sdm import SDMSearcher
 
@@ -325,6 +337,7 @@ SEARCHERS = {
     "F2Exp": _make_f2exp,
     "F2Log": _make_f2log,
     "BM25RM3": _make_rm3,
+    "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,
 }
 

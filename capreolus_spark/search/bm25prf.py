@@ -1,0 +1,105 @@
+"""BM25 with pseudo-relevance feedback (BM25PRF).
+
+Twin of the reference's ``BM25PRF`` searcher (``capreolus/searcher/
+anserini.py:348-375`` — Anserini ``-bm25prf`` with fbTerms/fbDocs/
+newTermWeight, defaults 20/10/0.2): the classic Robertson/Sparck-Jones
+probabilistic PRF —
+
+1. first pass: BM25 top-``fbDocs`` per query (the pseudo-relevant set R);
+2. candidate expansion terms = indexed terms of R, scored by the RSJ
+   offer weight with the standard +0.5 smoothing
+   ``w(t) = ln( ((r+0.5)(N-df-R+r+0.5)) / ((df-r+0.5)(R-r+0.5)) )``
+   where r = |{d ∈ R : t ∈ d}|; keep the top-``fbTerms`` by
+   (w·r desc, term asc) — Robertson's term-selection value;
+3. second pass: BM25 with the original terms at weight 1 (per query
+   occurrence) plus expansion terms at ``new_term_weight`` (the kernel's
+   qtf slot carries the boost).
+
+The reference commits no BM25PRF golden; parity is algorithmic (the
+published RSJ formulation, deterministic output), tested against a
+driver-side recomputation and for expansion behaviour.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, OrderedDict
+
+from pyspark.sql import DataFrame
+
+from ..analysis import analyze_text
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from .rm3 import BM25RM3Searcher
+
+
+class BM25PRFSearcher(BM25RM3Searcher):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        fb_terms: int = 20,
+        fb_docs: int = 10,
+        new_term_weight: float = 0.2,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, fb_terms=fb_terms, fb_docs=fb_docs,
+                         original_query_weight=1.0, prune=prune, tag=tag)
+        self.new_term_weight = new_term_weight
+
+    def rsj_weight(self, df: int, r: int, big_r: int) -> float:
+        """Robertson/Sparck-Jones offer weight with +0.5 smoothing."""
+        n = self.index.numdocs
+        num = (r + 0.5) * (n - df - big_r + r + 0.5)
+        den = (df - r + 0.5) * (big_r - r + 0.5)
+        if num <= 0 or den <= 0:
+            return 0.0
+        return math.log(num / den)
+
+    def expand_queries(
+        self, topics: dict[str, str]
+    ) -> dict[str, list[tuple[str, float]]]:
+        """{qid: text} → {qid: [(term, boost)]}: original terms boosted by
+        their query tf, top RSJ expansion terms at ``new_term_weight``."""
+        analyzed = self.analyze_topics(topics)
+        # grandparent BM25Searcher.search_collect (skip RM3's override)
+        first_pass = super(BM25RM3Searcher, self).search_collect(
+            topics, hits=self.fb_docs
+        )
+        all_fb = [d for run in first_pass.values() for d in run]
+        doc_probs = self._doc_term_probs_batch(all_fb)  # term presence per doc
+
+        # df lookup for every candidate term, one dictionary scan
+        cand_terms = sorted(
+            {t for d in doc_probs.values() for t in d}
+            | {t for ts in analyzed.values() for t in ts}
+        )
+        dfs = {t: df for t, (df, _) in self.index.get_term_stats(cand_terms).items()}
+
+        expanded: dict[str, list[tuple[str, float]]] = {}
+        for qid, qterms in analyzed.items():
+            if not qterms:
+                continue
+            fb = list(first_pass.get(qid, OrderedDict()))
+            big_r = len(fb)
+            boosts: dict[str, float] = dict(
+                (t, float(c)) for t, c in Counter(qterms).items()
+            )
+            if big_r > 0:
+                r_counts: Counter = Counter()
+                for docid in fb:
+                    r_counts.update(doc_probs.get(docid, {}).keys())
+                scored = []
+                for t, r in r_counts.items():
+                    if t in boosts:
+                        continue  # original terms keep their weight
+                    w = self.rsj_weight(dfs.get(t, 0), r, big_r)
+                    if w > 0:
+                        # Robertson term-selection value: offer weight × r
+                        scored.append((w * r, t))
+                scored.sort(key=lambda x: (-x[0], x[1]))
+                for _, t in scored[: self.fb_terms]:
+                    boosts[t] = self.new_term_weight
+            expanded[qid] = sorted(boosts.items())
+        return expanded

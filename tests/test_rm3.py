@@ -93,3 +93,41 @@ def test_rm3_brute_force_weights(prf_index):
     assert set(got) == set(expected)
     for t, w in expected.items():
         assert got[t] == pytest.approx(w, abs=1e-12)
+
+
+def test_bm25prf_expansion_and_ranking(prf_index):
+    import math
+
+    from capreolus_spark.search.bm25prf import BM25PRFSearcher
+
+    s = BM25PRFSearcher(prf_index, BM25Config(hits=10), fb_terms=5, fb_docs=3,
+                        new_term_weight=0.2)
+    boosts = dict(s.expand_queries({"q": "spark"})["q"])
+    assert boosts["spark"] == 1.0  # original term keeps query-tf weight
+    added = {t: w for t, w in boosts.items() if t != "spark"}
+    assert added and all(w == 0.2 for w in added.values())
+    assert "distribut" in added or "shuffl" in added
+
+    # RSJ weight matches a manual computation for one expansion term
+    term = sorted(added)[0]
+    df = prf_index.get_df(term)
+    fb = BM25Searcher(prf_index, BM25Config(hits=3)).search_collect({"q": "spark"})["q"]
+    from capreolus_spark.analysis import analyze_text
+
+    r = sum(1 for d in fb if term in analyze_text(prf_index.get_doc(d)))
+    n, R = prf_index.numdocs, len(fb)
+    expected = math.log(((r + 0.5) * (n - df - R + r + 0.5)) / ((df - r + 0.5) * (R - r + 0.5)))
+    assert s.rsj_weight(df, r, R) == pytest.approx(expected)
+
+    run = s.search_collect({"q": "spark"})["q"]
+    bm25 = BM25Searcher(prf_index, BM25Config(hits=10)).search_collect({"q": "spark"})["q"]
+    assert set(run) >= set(bm25)  # expansion can only widen recall
+    assert s.search_collect({"q": "spark"}) == s.search_collect({"q": "spark"})
+
+
+def test_bm25prf_registry(prf_index):
+    from capreolus_spark.search import create_searcher
+
+    s = create_searcher("BM25PRF", prf_index, fbTerms=5, fbDocs=3, hits=10)
+    assert s.new_term_weight == 0.2
+    assert len(s.search_collect({"q": "spark shuffle"})["q"]) > 0
