@@ -34,6 +34,17 @@ def _tokens(text_col: str):
     return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the (CPU-heavy) tokenize/shingle map stage has at least one
+    input partition per core: a small corpus arriving as one parquet file
+    would otherwise run the whole pipeline on a single task.  No-op at real
+    scale where the scan already yields >= parallelism splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingles(text_col: str, n: int):
     """Distinct word n-gram shingles per document (space-joined)."""
     toks = _tokens(text_col)
@@ -76,6 +87,7 @@ def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the exploded set representation."""
+    df = _spread(df)
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("shingle")
     ).distinct()
@@ -133,24 +145,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^61 - 1) with fixed
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^31 - 1) with fixed
     deterministic coefficients; the signature is min over the document's
     shingle set per hash function.  Constant size per doc → the scale path.
+
+    The base shingle hash is JVM-side (one narrow column op); the 128
+    per-function mins are ONE vectorized numpy pass per aggregated doc
+    (outer-product min) instead of 128 separate hash aggregations — the
+    shuffle carries one packed row per document either way.
     """
+    import numpy as np
+    import pandas as pd
+
     posts = shingle_postings(df, text_col, id_col, n)
     base = posts.withColumn(
         "h", F.abs(F.xxhash64(F.col("shingle"), F.lit(42))) % F.lit(_MERSENNE)
     )
-    mins = [
-        F.min(
-            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1)) % F.lit(_MERSENNE)
-        ).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = base.groupBy("doc_id").agg(*mins)
-    return sigs.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    # one array of shingle hashes per doc (posts is already keyed "doc_id")
+    grouped = base.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    a = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b = np.arange(num_hashes, dtype=np.int64) ** 2 + 1
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(hs):  # pd.Series -> pd.Series (stringized annotations
+        # from `from __future__ import annotations` confuse the inferencer)
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64)[:, None]  # (n_shingles, 1)
+            sig = ((h * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return grouped.select("doc_id", sig_udf("hs").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -246,7 +273,7 @@ def simhash_pairs(
     pairs from identical bit-band chunks (pigeonhole: hamming ≤ bands-1
     guarantees ≥1 shared band), verified by exact Hamming distance.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
     ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
     toks = toks.withColumn("h", F.xxhash64(F.col("tok"), F.lit(7)))
