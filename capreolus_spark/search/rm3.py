@@ -161,8 +161,6 @@ class BM25RM3Searcher(BM25Searcher):
         )
 
     def search_collect(self, topics: dict[str, str], hits: int | None = None, depth: int = 2):
-        from .daat import merge_topk  # noqa: F401  (same merge semantics)
-
         hits = hits or self.config.hits
         run_df = self.search(topics, hits=hits)
         rows = run_df.collect()
