@@ -537,7 +537,15 @@ def _q_multimodal_features(spark, sf_dir):
         F.lit(None).cast("int").alias("duration_ms"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    # Driver canonicalizer sorts columns; array<float> isn't sortable in
+    # pandas → explode to one sortable row per vector component.
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).select("media_id", "kind", "n_bytes", "dim_idx", F.round("value", 6).alias("value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

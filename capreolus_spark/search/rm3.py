@@ -152,7 +152,9 @@ class BM25RM3Searcher(BM25Searcher):
             return spark.createDataFrame(
                 [], "qid string, docid string, rank int, score double, tag string"
             )
-        cand = self._with_docids(self._candidates(weights))
+        cand = self._with_docids(
+            self._global_topk_cut(self._candidates(weights, hits=hits), hits)
+        )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (
             cand.withColumn("rank", F.row_number().over(w))

@@ -24,9 +24,16 @@ The reference commits no SDM golden, so parity is algorithmic: formula
 documented above, window counts verified against a brute-force positions
 scan in tests, output deterministic.
 
-Scale note: this is the exact formulation — every document containing any
-query term is scored (no per-range cut before the window features join).
-A block-max upper bound for window features is future work.
+Execution is two-pass rerank-style (the shape Anserini uses for expensive
+query operators): pass 1 runs the pruned unigram kernel and cuts to the
+global top-``rerank_factor × hits`` candidates per query; pass 2 computes
+ordered/unordered window features ONLY for those candidates (a semi-join
+into the pair-counts frame) and re-ranks.  Feature df/idf stays exact —
+it is aggregated over every co-occurring document, not just candidates —
+so surviving documents score identically to the exact formulation; a
+document outside the unigram top-C cannot be promoted (documented
+deviation; with ``rerank_factor × hits ≥ N`` the result equals exact SDM,
+which is what the brute-force tests run at).
 """
 
 from __future__ import annotations
@@ -42,7 +49,6 @@ from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from ..index.codec import decode_int32_array, decode_position_lists, decode_postings
 from . import BM25Searcher
-from .daat import make_range_scorer
 
 WINDOW_SCHEMA = "qid string, pair string, docno long, o_cnt long, u_cnt long, dl long"
 
@@ -77,18 +83,20 @@ class SDMSearcher(BM25Searcher):
         lambda_u: float = 0.05,
         ordered_window: int = 2,
         unordered_window: int = 8,
+        rerank_factor: int = 5,
         tag: str = DEFAULT_TAG,
     ):
         if not index.config.store_positions:
             raise ValueError(
                 "SDM requires an index built with IndexConfig(store_positions=True)"
             )
-        super().__init__(index, config, prune=False, tag=tag)
+        super().__init__(index, config, prune=True, tag=tag)
         self.lambda_t = lambda_t
         self.lambda_o = lambda_o
         self.lambda_u = lambda_u
         self.ordered_window = ordered_window
         self.unordered_window = unordered_window
+        self.rerank_factor = rerank_factor
 
     # ------------------------------------------------------------ pairs
 
@@ -174,85 +182,81 @@ class SDMSearcher(BM25Searcher):
                 [], "qid string, docid string, rank int, score double, tag string"
             )
 
-        # unigram component: keep ALL matching docs per range (exact SDM —
-        # a window feature may promote a low-unigram doc into the top-k)
-        scorer = make_range_scorer(
-            weights, scoring=self.scoring, avgdl=self.index.avgdl,
-            hits=self.index.config.range_size, prune=False,
-        )
-        terms = sorted({t for ts in weights.values() for (t, _, _) in ts})
-        uni = (
-            self.index.postings_df().filter(F.col("term").isin(terms))
-            .groupBy("range_id")
-            .cogroup(self.index.ranges_df().groupBy("range_id"))
-            .applyInPandas(scorer, schema="qid string, docno long, score double")
-            .withColumnRenamed("score", "score_t")
-        )
+        # pass 1: pruned unigram retrieval at rerank depth C — the global
+        # top-C per query (score ties at the boundary kept) is the only set
+        # of documents whose window features are computed
+        depth = max(hits, self.rerank_factor * hits)
+        uni = self._global_topk_cut(
+            self._candidates(weights, hits=depth), depth
+        ).withColumnRenamed("score", "score_t")
 
         pairs = self._query_pairs(analyzed)
         if pairs:
-            counts = self._pair_counts_df(pairs).persist()
-            try:
-                # exact global df per (qid, pair, feature) for the idf
-                dfs = (
-                    counts.groupBy("qid", "pair")
-                    .agg(
-                        F.sum((F.col("o_cnt") > 0).cast("long")).alias("df_o"),
-                        F.sum((F.col("u_cnt") > 0).cast("long")).alias("df_u"),
-                    )
-                    .collect()
-                )
-                n_docs = self.index.numdocs
-                idf_rows = []
-                for r in dfs:
-                    idf_o = max(0.0, float(np.log(1.0 + (n_docs - r["df_o"] + 0.5) / (r["df_o"] + 0.5)))) if r["df_o"] else 0.0
-                    idf_u = max(0.0, float(np.log(1.0 + (n_docs - r["df_u"] + 0.5) / (r["df_u"] + 0.5)))) if r["df_u"] else 0.0
-                    idf_rows.append((r["qid"], r["pair"], idf_o, idf_u))
-                idf_df = spark.createDataFrame(
-                    idf_rows, "qid string, pair string, idf_o double, idf_u double"
-                )
-                k1, b = self.config.k1, self.config.b
-                avgdl = float(self.index.avgdl)
-                norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                window_scores = (
-                    counts.join(F.broadcast(idf_df), ["qid", "pair"])
-                    .withColumn(
-                        "w_score",
-                        F.lit(self.lambda_o) * F.col("idf_o") * F.col("o_cnt") / (F.col("o_cnt") + norm)
-                        + F.lit(self.lambda_u) * F.col("idf_u") * F.col("u_cnt") / (F.col("u_cnt") + norm),
-                    )
-                    .groupBy("qid", "docno")
-                    .agg(F.sum("w_score").alias("score_w"))
-                )
-                combined = (
-                    uni.join(window_scores, ["qid", "docno"], "full_outer")
-                    .withColumn(
-                        "score",
-                        F.lit(self.lambda_t) * F.coalesce(F.col("score_t"), F.lit(0.0))
-                        + F.coalesce(F.col("score_w"), F.lit(0.0)),
-                    )
-                    .select("qid", "docno", "score")
-                )
-                cand = self._with_docids(combined)
-                w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-                out = (
-                    cand.withColumn("rank", F.row_number().over(w))
-                    .filter(F.col("rank") <= hits)
-                    .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
-                )
-                # materialize while `counts` is still pinned (the run is
-                # ≤ hits rows per query — driver-sized by construction)
-                result = out.collect()
-            finally:
-                counts.unpersist()
-            return spark.createDataFrame(
-                result, "qid string, docid string, rank int, score double, tag string"
-            )
+            counts = self._pair_counts_df(pairs)
+            # exact global df per (qid, pair, feature) for the idf — a
+            # map-side-combining groupBy over every co-occurring doc (the
+            # linear pass), idf computed in-plan so nothing collects
+            n_docs = float(self.index.numdocs)
 
-        combined = uni.withColumn("score", F.lit(self.lambda_t) * F.col("score_t")).select(
-            "qid", "docno", "score"
-        )
-        cand = self._with_docids(combined)
+            def _idf(dfc):
+                return F.when(
+                    dfc > 0,
+                    F.greatest(
+                        F.lit(0.0),
+                        F.log(
+                            F.lit(1.0)
+                            + (F.lit(n_docs) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+                        ),
+                    ),
+                ).otherwise(F.lit(0.0))
+
+            idf_df = (
+                counts.groupBy("qid", "pair")
+                .agg(
+                    F.sum((F.col("o_cnt") > 0).cast("long")).alias("df_o"),
+                    F.sum((F.col("u_cnt") > 0).cast("long")).alias("df_u"),
+                )
+                .select(
+                    "qid",
+                    "pair",
+                    _idf(F.col("df_o")).alias("idf_o"),
+                    _idf(F.col("df_u")).alias("idf_u"),
+                )
+            )
+            k1, b = self.config.k1, self.config.b
+            avgdl = float(self.index.avgdl)
+            norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            # pass 2: window features only for the candidates — the
+            # semi-join cuts the (potentially stopword-pair-huge) counts
+            # frame to ≤ C rows per (qid, pair) before any scoring math
+            window_scores = (
+                counts.join(
+                    F.broadcast(uni.select("qid", "docno")), ["qid", "docno"], "left_semi"
+                )
+                .join(F.broadcast(idf_df), ["qid", "pair"])
+                .withColumn(
+                    "w_score",
+                    F.lit(self.lambda_o) * F.col("idf_o") * F.col("o_cnt") / (F.col("o_cnt") + norm)
+                    + F.lit(self.lambda_u) * F.col("idf_u") * F.col("u_cnt") / (F.col("u_cnt") + norm),
+                )
+                .groupBy("qid", "docno")
+                .agg(F.sum("w_score").alias("score_w"))
+            )
+            combined = (
+                uni.join(window_scores, ["qid", "docno"], "left")
+                .withColumn(
+                    "score",
+                    F.lit(self.lambda_t) * F.col("score_t")
+                    + F.coalesce(F.col("score_w"), F.lit(0.0)),
+                )
+                .select("qid", "docno", "score")
+            )
+        else:
+            combined = uni.withColumn(
+                "score", F.lit(self.lambda_t) * F.col("score_t")
+            ).select("qid", "docno", "score")
+
+        cand = self._with_docids(self._global_topk_cut(combined, hits))
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (
             cand.withColumn("rank", F.row_number().over(w))

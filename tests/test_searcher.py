@@ -134,3 +134,57 @@ def test_ql_differs_from_bm25_but_same_matches(synth_index):
     ql = QLDirichletSearcher(idx, hits=20).search_collect(topics)
     assert set(bm25) == set(ql) == {"q"}
     assert len(ql["q"]) > 0
+
+
+def test_hits_beyond_config_is_complete(synth_index):
+    """search(hits=N) with N > config.hits must return the full exact top-N:
+    the effective depth is threaded into the per-range kernel cut
+    (regression for the config.hits pre-cut truncation)."""
+    idx, _ = synth_index
+    topics = synth_queries(6)
+    shallow = BM25Searcher(idx, BM25Config(hits=3))
+    deep = BM25Searcher(idx, BM25Config(hits=25))
+    run_a = run_df_to_dict(shallow.search(topics, hits=25))
+    run_b = run_df_to_dict(deep.search(topics, hits=25))
+    assert run_a == run_b
+
+
+def test_global_topk_cut_keeps_boundary_ties(spark, synth_index):
+    """The pre-docid-join cut ranks on score alone and keeps every row tied
+    at the boundary, so the later (score desc, docid asc) tie-break stays
+    exact."""
+    idx, _ = synth_index
+    s = BM25Searcher(idx, BM25Config(hits=2))
+    rows = [
+        ("q", 1, 3.0), ("q", 2, 2.0), ("q", 3, 2.0), ("q", 4, 2.0), ("q", 5, 1.0),
+    ]
+    cand = spark.createDataFrame(rows, "qid string, docno long, score double")
+    out = {(r["docno"]) for r in s._global_topk_cut(cand, 2).collect()}
+    # top-2 by score, but docnos 2,3,4 all tie at the boundary score 2.0
+    assert out == {1, 2, 3, 4}
+
+
+def test_broadcast_is_post_cut_only(synth_index):
+    """Scale guard: every BroadcastExchange in the search plan must sit
+    above the global top-k cut (a Window/rank subtree), never above the raw
+    per-range candidate frame — the round-1 100×-scale OOM."""
+    idx, _ = synth_index
+    run = BM25Searcher(idx, BM25Config(hits=10)).search(synth_queries(3))
+    plan = run._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bx = [i for i, ln in enumerate(lines) if "BroadcastExchange" in ln]
+    assert bx, "expected a broadcast docid-resolution join in the plan"
+
+    def indent(ln):
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    for i in bx:
+        base = indent(lines[i])
+        subtree = []
+        for ln in lines[i + 1:]:
+            if ln.strip() and indent(ln) <= base:
+                break
+            subtree.append(ln)
+        assert any("Window" in ln or "RunningWindowFunction" in ln for ln in subtree), (
+            "BroadcastExchange over a non-cut frame:\n" + "\n".join([lines[i]] + subtree)
+        )
