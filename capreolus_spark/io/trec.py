@@ -112,8 +112,9 @@ def load_tsv_topics(path: str) -> dict[str, str]:
 def load_qrels(path: str, qids=None, include_spam: bool = True) -> dict[str, dict[str, int]]:
     """qrels file → {qid: {docid: label}}; qids whose labels are all
     non-positive are dropped (reference ``utils/trec.py:128-130``).
-    Labels < 0 are clamped to 0 unless ``include_spam`` (reference treats
-    negative judgments as 0 when included)."""
+    With ``include_spam`` the raw (possibly negative) label is stored, as
+    the reference does; gains/relevance thresholds downstream ignore
+    non-positive labels either way."""
     qrels: dict[str, dict[str, int]] = defaultdict(dict)
     with open(path, "rt") as f:
         for line in f:
@@ -125,7 +126,7 @@ def load_qrels(path: str, qids=None, include_spam: bool = True) -> dict[str, dic
                 continue
             if label < 0 and not include_spam:
                 continue
-            qrels[qid][docid] = max(label, 0) if label < 0 else label
+            qrels[qid][docid] = label
     return {
         qid: docs
         for qid, docs in qrels.items()

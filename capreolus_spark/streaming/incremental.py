@@ -56,6 +56,23 @@ class IncrementalIndexer:
         self.config = config or IndexConfig()
         os.makedirs(index_dir, exist_ok=True)
         self.manifest = Manifest(index_dir)
+        # Refuse to attach to a batch-built index: the batch build numbers
+        # docnos from pid 0 in the same pid*PARTITION_CAPACITY space, so
+        # folding generations into it would duplicate docnos/range_ids and
+        # silently corrupt dl lookups in the DAAT kernel.  Batch stages are
+        # recognizable as committed stage entries without `incremental`.
+        batch_stages = [
+            s
+            for s in ("docmap", "tokens", "ranges", "postings", "dict")
+            if self.manifest.stage_done(s)
+            and not self.manifest.data["stages"][s].get("incremental")
+        ]
+        if batch_stages:
+            raise ValueError(
+                f"{index_dir} holds a batch-built index (committed stages "
+                f"{batch_stages}); incremental generations would collide with "
+                "its docno space — use a fresh index_dir"
+            )
         if self.manifest.data.get("config") is None:
             self.manifest.data["config"] = self.config.to_json()
         self.manifest.data.setdefault("generations", {})
@@ -73,7 +90,10 @@ class IncrementalIndexer:
         import numpy as np
         import pandas as pd
 
-        base_pid = gen * GEN_PID_STRIDE
+        # gen g occupies pids [(g+1)·STRIDE, (g+2)·STRIDE): pid block 0 is
+        # reserved for batch builds (defense in depth on top of the attach
+        # guard).  pid·PARTITION_CAPACITY stays within int64 for ~32k gens.
+        base_pid = (gen + 1) * GEN_PID_STRIDE
         if n_parts > GEN_PID_STRIDE:
             raise ValueError("micro-batch partitions exceed generation stride")
         part = (
@@ -103,7 +123,15 @@ class IncrementalIndexer:
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int | None = None) -> dict:
         """Fold one micro-batch of (docid, content) rows into the index as a
-        new generation of segments.  Usable directly as a foreachBatch sink."""
+        new generation of segments.  Usable directly as a foreachBatch sink.
+
+        Idempotent per epoch: a foreachBatch replay after the generation
+        manifest commit (but before the stream checkpoint commit) must not
+        re-ingest the same rows as a new generation."""
+        if epoch_id is not None:
+            for entry in self.manifest.data["generations"].values():
+                if entry.get("epoch_id") == epoch_id and entry.get("done"):
+                    return entry
         gen = self._next_generation()
         key = f"gen={gen:06d}"
         n_parts = min(

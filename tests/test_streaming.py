@@ -83,3 +83,44 @@ def test_streaming_from_directory(spark, tmp_path):
     q3.awaitTermination(120)
     inc.refresh_stats()
     assert InvertedIndex(spark, index_dir).numdocs == 4
+
+
+def test_refuses_batch_built_index(spark, tmp_path, dummy_corpus):
+    """Attaching to a batch-built index must fail: generations would reuse
+    the batch build's pid*PARTITION_CAPACITY docno space (ADVICE r1)."""
+    index_dir = str(tmp_path / "batch_idx")
+    InvertedIndex.create(spark, dummy_corpus, index_dir, IndexConfig())
+    with pytest.raises(ValueError, match="batch-built"):
+        IncrementalIndexer(spark, index_dir, IndexConfig())
+
+
+def test_ingest_batch_epoch_idempotent(spark, tmp_path):
+    """foreachBatch replay of a committed epoch must not create a second
+    generation (exactly-once in the crash window between generation commit
+    and stream-checkpoint commit)."""
+    index_dir = str(tmp_path / "epoch_idx")
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig())
+    b1 = spark.createDataFrame(BATCH1, "docid string, content string")
+    e1 = inc.ingest_batch(b1, epoch_id=7)
+    replay = inc.ingest_batch(b1, epoch_id=7)
+    assert replay == e1
+    assert len(inc.manifest.data["generations"]) == 1
+    # a genuinely new epoch still ingests
+    b2 = spark.createDataFrame(BATCH2, "docid string, content string")
+    inc.ingest_batch(b2, epoch_id=8)
+    assert len(inc.manifest.data["generations"]) == 2
+    inc.refresh_stats()
+    assert InvertedIndex(spark, index_dir).numdocs == 4
+
+
+def test_generation_pids_reserve_batch_block(spark, tmp_path):
+    """Generation docnos start past the batch pid block (pid >= GEN_PID_STRIDE)."""
+    from capreolus_spark.index.build import PARTITION_CAPACITY
+    from capreolus_spark.streaming.incremental import GEN_PID_STRIDE
+
+    index_dir = str(tmp_path / "off_idx")
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig())
+    inc.ingest_batch(spark.createDataFrame(BATCH1, "docid string, content string"))
+    inc.refresh_stats()
+    docnos = [r["docno"] for r in InvertedIndex(spark, index_dir).docs_df().collect()]
+    assert min(docnos) >= GEN_PID_STRIDE * PARTITION_CAPACITY
