@@ -18,9 +18,11 @@ Parity conventions between the Spark queries and the DuckDB oracles:
   convention — everything else 6dp); counts cast to bigint.
 
 Ops that are not SQL-expressible (MinHash-LSH, SimHash, SRP-LSH ANN,
-multimodal feature plumbing) have no oracle entry → the driver records
-the weaker rows-only check; their exactness is covered by pytest
-(tests/test_textproc.py) against exact baselines.
+multimodal feature plumbing, SDM positions, the axiomatic MI expansion)
+have no oracle entry → the driver records the weaker rows-only check;
+their exactness is covered by pytest (tests/test_textproc.py,
+tests/test_positions_sdm.py, tests/test_axiomatic.py) against exact
+baselines.  BM25+RM3 IS SQL-expressible (two-pass) and oracle-gated.
 """
 
 from __future__ import annotations
@@ -172,6 +174,89 @@ def _query_rows_sql() -> str:
             rows.append(f"('{qid}', '{term}', {qtf})")
     return ", ".join(rows)
 
+
+# RM3 is SQL-expressible end-to-end: pass-1 BM25 → top-fbDocs → RM1 term
+# distribution (tf/|d| weighted by normalized pass-1 scores) → top-fbTerms
+# (ties term asc) → interpolate with the length-normalized query model →
+# pass-2 BM25 with the RM3 weight in the qtf slot.  Mirrors
+# capreolus_spark/search/rm3.py (fb_terms=10, fb_docs=5, alpha=0.5).
+_RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA = 5, 10, 0.5
+
+_RM3_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), ftoks AS (
+  SELECT docid, list_filter(toks, t -> t NOT IN ({_STOPS_SQL})) AS itoks FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(itoks) AS term FROM ftoks
+  ) GROUP BY docid, term
+), ndl AS (
+  SELECT docid, len(itoks) AS n_indexed FROM ftoks
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), pass1 AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid HAVING score > 0
+), fb AS (
+  SELECT qid, docid, score FROM (
+    SELECT qid, docid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS r
+    FROM pass1
+  ) WHERE r <= {_RM3_FB_DOCS}
+), wd AS (
+  SELECT qid, docid, score / sum(score) OVER (PARTITION BY qid) AS w_d FROM fb
+), rm1 AS (
+  SELECT wd.qid, tf.term, sum(wd.w_d * tf.tf / ndl.n_indexed) AS w
+  FROM wd JOIN tf ON wd.docid = tf.docid JOIN ndl ON tf.docid = ndl.docid
+  GROUP BY wd.qid, tf.term
+), topfb AS (
+  SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS r
+    FROM rm1
+  ) WHERE r <= {_RM3_FB_TERMS}
+), rm1n AS (
+  SELECT qid, term, w / sum(w) OVER (PARTITION BY qid) AS p FROM topfb
+), qlen AS (
+  SELECT qid, sum(qtf)::DOUBLE AS qlen FROM queries GROUP BY qid
+), qmodel AS (
+  SELECT q.qid, q.term, q.qtf / ql.qlen AS p FROM queries q JOIN qlen ql USING (qid)
+), combined AS (
+  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.term, b.term) AS term,
+         {_RM3_ALPHA} * coalesce(a.p, 0) + (1 - {_RM3_ALPHA}) * coalesce(b.p, 0) AS qtfw
+  FROM qmodel a FULL OUTER JOIN rm1n b ON a.qid = b.qid AND a.term = b.term
+), qw2 AS (
+  SELECT c.qid, c.term, c.qtfw,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM combined c JOIN dfx d USING (term) CROSS JOIN stats s
+), pass2 AS (
+  SELECT qw2.qid, tf.docid,
+         sum(qw2.qtfw * qw2.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw2 JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  WHERE qw2.idf > 0
+  GROUP BY qw2.qid, tf.docid HAVING score > 0
+)
+SELECT qid, docid, rank, round(score, 4) AS score FROM (
+  SELECT qid, docid, score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
+  FROM pass2
+) WHERE rank <= {_BM25_HITS}
+"""
 
 _BM25_ORACLE_SQL = f"""
 WITH tok AS (
@@ -510,6 +595,19 @@ def _q_bm25_rm3(spark, sf_dir):
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
 
 
+def _q_axiomatic(spark, sf_dir):
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.axiomatic import AxiomaticSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    s = AxiomaticSearcher(idx, BM25Config(hits=_BM25_HITS), r=5, n=3, top=10)
+    run = s.search(_TOPICS)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
 def _q_sdm(spark, sf_dir):
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
@@ -572,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
+        "axiomatic_topk": _q_axiomatic,
         "sdm_topk": _q_sdm,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -586,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
     tok_cte = f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents)"
     indexed = f"list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))"
     bm25 = _BM25_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
+    rm3 = _RM3_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -641,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
+        "bm25_rm3_topk": rm3,
         "ql_topk_daat": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
             "dl AS (SELECT docid, len(toks) AS dl FROM tok), "

@@ -358,6 +358,19 @@ def _make_bm25prf(index, **cfg):
     )
 
 
+def _make_axiomatic(index, **cfg):
+    from .axiomatic import AxiomaticSearcher
+
+    return AxiomaticSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        r=cfg.get("r", 20),
+        n=cfg.get("n", 30),
+        beta=cfg.get("beta", 0.4),
+        top=cfg.get("top", 20),
+    )
+
+
 def _make_sdm(index, **cfg):
     from .sdm import SDMSearcher
 
@@ -379,6 +392,7 @@ SEARCHERS = {
     "BM25RM3": _make_rm3,
     "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,
+    "axiomatic": _make_axiomatic,
 }
 
 

@@ -1,0 +1,227 @@
+"""Axiomatic semantic-matching query expansion + BM25.
+
+Twin of the reference's ``AxiomaticSemanticMatching`` searcher
+(``capreolus/searcher/anserini.py:378-403`` — Anserini ``-axiom
+-axiom.deterministic -axiom.r R -axiom.n N -axiom.beta B -axiom.top K``
+over BM25), implementing the published axiomatic semantic term matching
+method (Fang & Zhai, SIGIR 2006; the algorithm Anserini's AxiomReranker
+follows):
+
+1. first pass: BM25 top-``r`` documents per query;
+2. working set: those ``r`` docs plus a *deterministic* pseudo-random
+   sample of ``(n-1)·r`` further docs from the collection (the reranker's
+   ``-axiom.deterministic`` behaviour — seeded, reproducible);
+3. candidate expansion terms: every indexed term of the top-``r`` docs;
+4. each candidate ``t`` is scored against the query by mutual information
+   of presence indicators over the working set:
+   ``s(t) = Σ_{q∈Q} MI(X_t, X_q)`` with
+   ``MI = Σ_{a,b∈{0,1}} p(a,b)·ln(p(a,b)/(p(a)p(b)))``;
+5. the ``top`` highest-scoring candidates are appended to the query with
+   weight ``beta · s(t)/s_max`` (original terms keep weight 1 per
+   occurrence); terms scoring ≤ 0 are dropped;
+6. second pass: BM25 with the weighted query (the DAAT kernel's qtf slot
+   carries the axiomatic weight).
+
+No committed golden pins Anserini's axiom runfile in the reference tests,
+so parity is algorithmic (documented formula, deterministic output), the
+same contract as RM3/SDM.  Deviation from Anserini, documented: the
+random pool is drawn once per search (smallest ``xxhash64(docid, seed)``
+over the docmap — a distributed bounded top-k, no full sort) and
+per-query working sets are derived from that pool by a per-qid hash;
+Anserini reseeds java.util.Random per query over Lucene's docid space.
+Both are "deterministic sample of non-returned docs"; exact doc choice
+differs, which the reference never pins.
+
+Scale: the only full-corpus work is the first-pass BM25 and one bounded
+top-k hash scan; everything else touches ``r·n`` docs per query
+(600 at defaults), fetched in ONE predicate-pushed docstore scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, OrderedDict
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+
+def _mutual_information(joint_11: int, df_t: int, df_q: int, m: int) -> float:
+    """MI of two presence indicators from their contingency counts over m docs."""
+    if m == 0:
+        return 0.0
+    n11 = joint_11
+    n10 = df_t - n11
+    n01 = df_q - n11
+    n00 = m - n11 - n10 - n01
+    p_t1, p_q1 = df_t / m, df_q / m
+    p_t0, p_q0 = 1.0 - p_t1, 1.0 - p_q1
+    mi = 0.0
+    for nxy, px, py in (
+        (n11, p_t1, p_q1),
+        (n10, p_t1, p_q0),
+        (n01, p_t0, p_q1),
+        (n00, p_t0, p_q0),
+    ):
+        if nxy > 0 and px > 0 and py > 0:
+            pxy = nxy / m
+            mi += pxy * np.log(pxy / (px * py))
+    return float(mi)
+
+
+def _qid_doc_hash(qid: str, docid: str) -> int:
+    """Stable per-(qid, docid) ordering key for the deterministic sample."""
+    return int.from_bytes(
+        hashlib.blake2b(f"{qid}\x00{docid}".encode(), digest_size=8).digest(), "little"
+    )
+
+
+class AxiomaticSearcher(BM25Searcher):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        r: int = 20,
+        n: int = 30,
+        beta: float = 0.4,
+        top: int = 20,
+        seed: int = 42,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, prune=prune, tag=tag)
+        self.r = r
+        self.n = n
+        self.beta = beta
+        self.top = top
+        self.seed = seed
+
+    # ------------------------------------------------------------ expansion
+
+    def _sample_pool(self, pool_size: int) -> list[str]:
+        """Deterministic collection sample: the ``pool_size`` docids with the
+        smallest seeded hash — a distributed TakeOrdered, never a full sort."""
+        rows = (
+            self.index.docs_df()
+            .select("docid")
+            .orderBy(F.xxhash64(F.col("docid"), F.lit(self.seed)))
+            .limit(pool_size)
+            .collect()
+        )
+        return [row["docid"] for row in rows]
+
+    def _doc_term_sets(self, docids: list[str]) -> dict[str, set[str]]:
+        """{docid: set(indexed terms)} in ONE predicate-pushed docstore scan."""
+        if not docids:
+            return {}
+        rows = (
+            self.index.docs_df()
+            .filter(F.col("docid").isin(list(set(docids))))
+            .select("docid", "content")
+            .collect()
+        )
+        kw = self.index.config.analyzer_kwargs()
+        return {row["docid"]: set(analyze_text(row["content"] or "", **kw)) for row in rows}
+
+    def expand_queries(self, topics: dict[str, str]) -> dict[str, list[tuple[str, float]]]:
+        """{qid: text} → {qid: [(term, weight)]}: original terms at their
+        query tf, top axiomatic expansion terms at beta·s(t)/s_max."""
+        analyzed = self.analyze_topics(topics)
+        first_pass = super().search_collect(topics, hits=self.r)
+        pool = self._sample_pool(max(64, self.n * self.r * 2))
+
+        # one docstore scan for every doc any query's working set may touch
+        need: set[str] = set(pool)
+        for run in first_pass.values():
+            need.update(run.keys())
+        term_sets = self._doc_term_sets(sorted(need))
+
+        expanded: dict[str, list[tuple[str, float]]] = {}
+        for qid, qterms in analyzed.items():
+            if not qterms:
+                continue
+            top_docs = list(first_pass.get(qid, OrderedDict()).keys())
+            extra = [d for d in pool if d not in set(top_docs)]
+            extra.sort(key=lambda d: _qid_doc_hash(qid, d))
+            working = top_docs + extra[: max(0, (self.n - 1) * self.r)]
+            sets = [term_sets.get(d, set()) for d in working]
+            m = len(sets)
+
+            qset = set(qterms)
+            candidates = sorted({t for d in top_docs for t in term_sets.get(d, set())})
+            df: Counter = Counter()
+            for s in sets:
+                df.update(s)
+            scores: dict[str, float] = {}
+            for t in candidates:
+                s_t = 0.0
+                for q in qset:
+                    joint = sum(1 for s in sets if t in s and q in s)
+                    s_t += _mutual_information(joint, df[t], df[q], m)
+                if s_t > 0:
+                    scores[t] = s_t
+
+            weights = Counter(qterms)  # original terms: weight = query tf
+            chosen = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: self.top]
+            if chosen:
+                s_max = chosen[0][1]
+                for t, s_t in chosen:
+                    w = self.beta * s_t / s_max
+                    if t not in weights and w > 0:
+                        weights[t] = w
+            expanded[qid] = sorted(weights.items())
+        return expanded
+
+    # ------------------------------------------------------------ execution
+
+    def _weights_from_expansion(
+        self, expanded: dict[str, list[tuple[str, float]]]
+    ) -> dict[str, list[tuple[str, float, float]]]:
+        all_terms = sorted({t for ts in expanded.values() for (t, _) in ts})
+        stats = self.index.get_term_stats(all_terms)
+        scoring = self.scoring
+        n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
+        weight = {
+            t: scoring.weight(df, cf, n_docs, sum_cf)
+            for t, (df, cf) in stats.items()
+            if df > 0
+        }
+        out = {}
+        for qid, terms in expanded.items():
+            weighted = [(t, weight[t], w) for (t, w) in terms if weight.get(t, 0.0) > 0]
+            if weighted:
+                out[qid] = weighted
+        return out
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        from pyspark.sql import Window
+
+        hits = hits or self.config.hits
+        weights = self._weights_from_expansion(self.expand_queries(topics))
+        spark = self.index.spark
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        cand = self._with_docids(
+            self._global_topk_cut(self._candidates(weights, hits=hits), hits)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )
+
+    def search_collect(self, topics: dict[str, str], hits: int | None = None, depth: int = 2):
+        rows = self.search(topics, hits=hits).collect()
+        out: dict[str, OrderedDict] = {}
+        for row in sorted(rows, key=lambda row: (row["qid"], row["rank"])):
+            out.setdefault(row["qid"], OrderedDict())[row["docid"]] = row["score"]
+        return out

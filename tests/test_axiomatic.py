@@ -1,0 +1,84 @@
+"""Axiomatic semantic-matching searcher (reference searcher/anserini.py:378-403)."""
+
+import math
+
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher, create_searcher
+from capreolus_spark.search.axiomatic import AxiomaticSearcher, _mutual_information
+
+
+def _mi_brute(pairs):
+    """MI from a list of (x, y) presence pairs, textbook four-cell formula."""
+    m = len(pairs)
+    mi = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            nxy = sum(1 for x, y in pairs if x == a and y == b)
+            px = sum(1 for x, _ in pairs if x == a) / m
+            py = sum(1 for _, y in pairs if y == b) / m
+            if nxy and px and py:
+                pxy = nxy / m
+                mi += pxy * math.log(pxy / (px * py))
+    return mi
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 1), (1, 1), (0, 0), (0, 0)],          # perfectly correlated
+        [(1, 0), (0, 1), (1, 0), (0, 1)],          # anti-correlated
+        [(1, 1), (1, 0), (0, 1), (0, 0)],          # independent
+        [(1, 1)] * 3 + [(1, 0)] * 2 + [(0, 1)] + [(0, 0)] * 4,
+    ],
+)
+def test_mutual_information_matches_bruteforce(pairs):
+    m = len(pairs)
+    joint = sum(1 for x, y in pairs if x == 1 and y == 1)
+    df_t = sum(x for x, _ in pairs)
+    df_q = sum(y for _, y in pairs)
+    assert _mutual_information(joint, df_t, df_q, m) == pytest.approx(_mi_brute(pairs), abs=1e-12)
+
+
+def test_axiomatic_deterministic_and_expands(synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(6).items())[:3])
+    s = AxiomaticSearcher(idx, BM25Config(hits=15), r=5, n=3, top=5)
+    exp1 = s.expand_queries(topics)
+    exp2 = s.expand_queries(topics)
+    assert exp1 == exp2  # deterministic sample + tie-broken term choice
+    # expansion added terms beyond the originals for at least one query
+    from capreolus_spark.analysis import analyze_text
+
+    kw = idx.config.analyzer_kwargs()
+    added = 0
+    for qid, terms in exp1.items():
+        orig = set(analyze_text(topics[qid], **kw))
+        added += sum(1 for t, _ in terms if t not in orig)
+        # original terms keep weight = query tf (integers >= 1)
+        for t, w in terms:
+            if t in orig:
+                assert w >= 1.0
+            else:
+                assert 0.0 < w <= s.beta + 1e-12
+    assert added > 0
+    run1 = run_df_to_dict(s.search(topics, hits=15))
+    run2 = run_df_to_dict(s.search(topics, hits=15))
+    assert run1 == run2
+
+
+def test_axiomatic_beta_zero_is_plain_bm25(synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(4).items())[:2])
+    ax = AxiomaticSearcher(idx, BM25Config(hits=20), r=5, n=3, beta=0.0, top=5)
+    bm = BM25Searcher(idx, BM25Config(hits=20))
+    assert run_df_to_dict(ax.search(topics, hits=20)) == run_df_to_dict(bm.search(topics, hits=20))
+
+
+def test_axiomatic_registered(dummy_index):
+    s = create_searcher("axiomatic", dummy_index, r=2, n=2, top=3, hits=10)
+    run = s.search_collect({"301": "Dummy doc"})
+    assert list(run["301"].keys())[0] == "LA010189-0001"

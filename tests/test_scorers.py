@@ -40,7 +40,7 @@ def test_scorer_kernel_matches_oracle(spark, synth_index, name):
 
 
 def test_registry_names_and_unknown(dummy_index):
-    assert {"BM25", "DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log", "BM25RM3", "SDM"} <= set(SEARCHERS)
+    assert {"BM25", "DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log", "BM25RM3", "SDM", "axiomatic"} <= set(SEARCHERS)
     with pytest.raises(ValueError, match="unknown searcher"):
         create_searcher("NoSuch", dummy_index)
 
