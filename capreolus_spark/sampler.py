@@ -1,0 +1,46 @@
+"""Training-sampler aggregations.
+
+The neural sampler itself (triplet/pair generation feeding torch/TF,
+reference ``capreolus/sampler/__init__.py:89-264``) is out of the rebuild's
+critical path (SURVEY.md §2.9), but its bookkeeping aggregation is a plain
+groupBy worth having: ``total_samples`` = Σ over usable qids of
+``posdocs · negdocs``, with qids lacking either side dropped — reference
+``TrainingSamplerMixin.clean`` (``capreolus/sampler/__init__.py:55-70``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_counts(
+    run: DataFrame, qrels: DataFrame, relevance_level: int = 1
+) -> DataFrame:
+    """(qid, posdocs, negdocs, samples) per usable training qid.
+
+    ``run`` provides the candidate docids per qid (the reference's
+    ``qid_to_docids``); a candidate is positive iff its qrels label ≥
+    ``relevance_level`` (``benchmark/__init__.py:129-131``), negative
+    otherwise (missing label counts as 0).  qids with zero positives or
+    zero negatives are dropped, as ``clean`` does."""
+    labeled = (
+        run.select("qid", "docid")
+        .join(qrels.select("qid", "docid", "label"), ["qid", "docid"], "left")
+        .withColumn("rel", (F.coalesce(F.col("label"), F.lit(0)) >= relevance_level))
+    )
+    counts = labeled.groupBy("qid").agg(
+        F.sum(F.col("rel").cast("long")).alias("posdocs"),
+        F.sum((~F.col("rel")).cast("long")).alias("negdocs"),
+    )
+    return counts.filter((F.col("posdocs") > 0) & (F.col("negdocs") > 0)).withColumn(
+        "samples", F.col("posdocs") * F.col("negdocs")
+    )
+
+
+def total_samples(run: DataFrame, qrels: DataFrame, relevance_level: int = 1) -> int:
+    """The reference's ``self.total_samples`` scalar."""
+    row = sample_counts(run, qrels, relevance_level).agg(
+        F.coalesce(F.sum("samples"), F.lit(0)).alias("t")
+    ).collect()[0]
+    return int(row["t"])

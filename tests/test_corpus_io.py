@@ -1,0 +1,154 @@
+"""Corpus scan/sink converters, MS MARCO run converters, expansion scalars,
+sampler aggregation (reference collection/__init__.py, collection/msmarco.py,
+searcher/special.py, extractor/bagofwords.py, utils/common.py, sampler/__init__.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.analysis.expansion import (
+    UDEL_STOPWORDS,
+    trigram_expand,
+    trigram_expand_column,
+    udel_expand_column,
+    udel_query_expander,
+)
+from capreolus_spark.io.corpus import (
+    convert_to_trec_runs,
+    convert_to_trec_runs_df,
+    document_to_trectxt,
+    get_fn_from_url,
+    read_json_corpus,
+    read_trec_corpus,
+    read_tsv_corpus,
+    write_json_corpus,
+    write_trec_corpus,
+)
+from capreolus_spark.sampler import sample_counts, total_samples
+
+DOCS = [("d1", "alpha beta gamma"), ("d2", "delta 'quoted' <tagish>\nsecond line")]
+
+
+def test_json_corpus_roundtrip(spark, tmp_path):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    path = str(tmp_path / "json_corpus")
+    write_json_corpus(corpus, path, n_files=2)
+    back = read_json_corpus(spark, path)
+    assert sorted((r["docid"], r["content"]) for r in back.collect()) == sorted(DOCS)
+
+
+def test_tsv_corpus_scan(spark, tmp_path):
+    fn = tmp_path / "collection.tsv"
+    fn.write_text("d1\talpha beta\nd2\tgamma delta\n")
+    rows = sorted(
+        (r["docid"], r["content"]) for r in read_tsv_corpus(spark, str(fn)).collect()
+    )
+    assert rows == [("d1", "alpha beta"), ("d2", "gamma delta")]
+
+
+def test_document_to_trectxt_golden():
+    # reference utils/trec.py:147-150
+    assert document_to_trectxt("d9", "some text") == (
+        "<DOC>\n<DOCNO> d9 </DOCNO>\n<TEXT>\nsome text\n</TEXT>\n</DOC>\n"
+    )
+
+
+def test_trec_corpus_roundtrip(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "single line doc")],
+        "docid string, content string",
+    )
+    path = str(tmp_path / "trec_corpus")
+    write_trec_corpus(corpus, path)
+    back = sorted(
+        (r["docid"], r["content"]) for r in read_trec_corpus(spark, path).collect()
+    )
+    assert back == [("d1", "alpha beta gamma"), ("d2", "single line doc")]
+
+
+def _reference_convert(lines, style):
+    # inline re-statement of searcher/special.py:18-33 for fixture parity
+    from collections import defaultdict
+
+    runs = defaultdict(dict)
+    for line in lines:
+        if style == "triple":
+            qid, pos_pid, neg_pid = line.strip().split("\t")
+            runs[qid][pos_pid] = len(runs.get(qid, {}))
+            runs[qid][neg_pid] = len(runs.get(qid, {}))
+        else:
+            qid, pid, _, _ = line.strip().split("\t")
+            runs[qid][pid] = len(runs.get(qid, []))
+    return dict(runs)
+
+
+def test_convert_to_trec_runs_eval_and_triple(tmp_path):
+    eval_lines = ["q1\tp1\tx\ty", "q1\tp2\tx\ty", "q2\tp9\tx\ty"]
+    fn = tmp_path / "top1k.eval.tsv"
+    fn.write_text("\n".join(eval_lines) + "\n")
+    assert convert_to_trec_runs(str(fn), "eval") == _reference_convert(eval_lines, "eval")
+
+    triple_lines = ["q1\tp1\tp2", "q1\tp3\tp1"]  # p1 re-inserted → overwrite quirk
+    fn2 = tmp_path / "triples.tsv"
+    fn2.write_text("\n".join(triple_lines) + "\n")
+    assert convert_to_trec_runs(str(fn2), "triple") == _reference_convert(
+        triple_lines, "triple"
+    )
+    with pytest.raises(ValueError, match="Unexpected style"):
+        convert_to_trec_runs(str(fn2), "bogus")
+
+
+def test_convert_to_trec_runs_df_matches_driver(spark, tmp_path):
+    lines = [f"q{i % 3}\tp{i}\tx\ty" for i in range(30)]
+    fn = tmp_path / "top1k.tsv"
+    fn.write_text("\n".join(lines) + "\n")
+    driver = convert_to_trec_runs(str(fn), "eval")
+    df = convert_to_trec_runs_df(spark, str(fn), "eval")
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["qid"], {})[r["docid"]] = int(r["score"])
+    assert got == driver
+
+
+def test_get_fn_from_url():
+    assert get_fn_from_url("https://x.org/a/top1000.eval.tar.gz") == "top1000.eval"
+
+
+def test_trigram_expansion_column_matches_python(spark):
+    df = spark.createDataFrame(
+        [(["hello", "ab", "x"],), ([],)], "toks array<string>"
+    )
+    rows = df.select(trigram_expand_column("toks").alias("tri")).collect()
+    assert rows[0]["tri"] == trigram_expand(["hello", "ab", "x"])
+    assert rows[1]["tri"] == []
+
+
+def test_udel_expander_and_column(spark):
+    exp = udel_query_expander()
+    assert exp("what is the best compiler", True) == "best compiler"
+    assert "the" in UDEL_STOPWORDS and "compiler" not in UDEL_STOPWORDS
+    with pytest.raises(NotImplementedError):
+        exp("anything", False)
+    assert (
+        udel_query_expander(entity_extractor=lambda t: ["Spark", "Iceberg"])("x", False)
+        == "Spark Iceberg"
+    )
+    df = spark.createDataFrame([("what is the best compiler",)], "q string")
+    assert df.select(udel_expand_column("q").alias("e")).collect()[0]["e"] == "best compiler"
+
+
+def test_total_samples(spark):
+    run = spark.createDataFrame(
+        [("q1", d) for d in ("a", "b", "c", "d")]
+        + [("q2", d) for d in ("a", "b")]
+        + [("q3", d) for d in ("a", "b")],
+        "qid string, docid string",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 2), ("q1", "b", 1), ("q2", "a", 0), ("q3", "a", 1), ("q3", "b", 2)],
+        "qid string, docid string, label int",
+    )
+    # q1: 2 pos × 2 neg = 4; q2: 0 pos → dropped; q3: 2 pos, 0 neg → dropped
+    assert total_samples(run, qrels) == 4
+    rows = {r["qid"]: (r["posdocs"], r["negdocs"], r["samples"])
+            for r in sample_counts(run, qrels).collect()}
+    assert rows == {"q1": (2, 2, 4)}

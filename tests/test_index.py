@@ -189,3 +189,18 @@ def test_scores_invariant_to_partitioning(spark, tmp_path):
         assert list(runs[0][qid]) == list(runs[1][qid])
         for d in runs[0][qid]:
             assert abs(runs[0][qid][d] - runs[1][qid][d]) < 1e-12
+
+
+def test_hadoop_dir_bytes_file_uri(spark, tmp_path):
+    """dir sizing goes through the Hadoop FS API so maxPartitionBytes
+    autosizing works off local disk (file:/ URI stands in for s3a/gs)."""
+    from capreolus_spark.index.build import hadoop_dir_bytes
+
+    d = tmp_path / "sized"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x" * 1000)
+    (d / "sub").mkdir()
+    (d / "sub" / "b.bin").write_bytes(b"y" * 500)
+    assert hadoop_dir_bytes(spark, f"file:{d}") == 1500
+    assert hadoop_dir_bytes(spark, str(d)) == 1500
+    assert hadoop_dir_bytes(spark, f"file:{d}/nonexistent") == 0

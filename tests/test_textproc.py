@@ -210,3 +210,45 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"bytes")
+
+
+def test_mega_bucket_guard_bounded_and_connected(spark):
+    """Adversarial constant-content corpus: every doc lands in the same LSH
+    bucket in every band.  With the guard, candidates are star-chained
+    (linear, not quadratic) and the duplicate cluster stays connected."""
+    n_docs = 300
+    docs = spark.createDataFrame(
+        [(i, "exactly the same boilerplate text repeated again and again") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    cap = 16
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=cap).collect()
+    # linear in cluster size, nowhere near the ~45k all-pairs blowup
+    assert 0 < len(pairs) <= n_docs * 2
+    # connectivity: union-find over emitted pairs → one component
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(int(r["id_a"])), find(int(r["id_b"]))
+        parent[a] = b
+    assert len({find(i) for i in range(n_docs)}) == 1
+
+    sh = simhash_pairs(docs, max_hamming=3, max_bucket_size=cap).collect()
+    assert 0 < len(sh) <= n_docs * 2
+    assert all(r["hamming"] == 0 for r in sh)
+
+
+def test_bucket_guard_no_recall_change_on_normal_corpus(dup_docs):
+    """On a corpus with no oversized buckets the guarded path is identical."""
+    base = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(dup_docs, threshold=0.8).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(dup_docs, threshold=0.8, max_bucket_size=64).collect()
+    }
+    assert base == capped
