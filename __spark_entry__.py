@@ -582,6 +582,25 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, dim=64, k=10, num_planes=8)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from capreolus_spark.textproc import ivf_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # full probe → mathematically equal to the exact baseline, so the
+    # brute-force SQL oracle hash-gates the whole IVF machinery
+    # (quantizer, cell assignment, probe join); partial-probe recall is
+    # pytest-gated (tests/test_textproc.py)
+    return ivf_cosine_topk(emb, queries, k=10, n_cells=8, n_probe=8).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        "rank",
+    )
+
+
 def _q_bm25_rm3(spark, sf_dir):
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
@@ -675,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -879,6 +899,14 @@ def oracle_sql() -> dict[str, str]:
             "n_tokens >= 5 AND punct_ratio <= 0.3 AS keep FROM s"
         ),
         "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine FROM q CROSS JOIN embeddings e) "
+            "SELECT cast(query_id AS bigint) AS query_id, cast(vec_id AS bigint) AS vec_id, cosine, rank FROM "
+            "(SELECT query_id, vec_id, cosine, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank FROM scored) "
+            "WHERE rank <= 10"
+        ),
+        "ann_ivf_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
             "scored AS (SELECT q.query_id, e.vec_id, "
             "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine FROM q CROSS JOIN embeddings e) "

@@ -96,7 +96,15 @@ def build_stage(spark, n_docs: int, index_dir: str) -> dict:
     )
     build_s = time.monotonic() - t0
     corpus.unpersist()
-    return {"n_files": n, "build_sec": build_s, "files_per_sec": n / build_s}
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        stages = json.load(f)["stages"]
+    stage_sec = {s: round(v.get("wall_ms", 0) / 1000, 2) for s, v in stages.items()}
+    return {
+        "n_files": n,
+        "build_sec": build_s,
+        "files_per_sec": n / build_s,
+        "stage_sec": stage_sec,
+    }
 
 
 def main() -> None:
@@ -168,6 +176,32 @@ def main() -> None:
         timings["bm25_batch_inmem"] = round(time.monotonic() - t0, 3)
         idx.unpersist()
 
+        # ---- SDM over a positions index (rerank-style two-pass) ----------
+        from capreolus_spark.data.synth import synth_corpus_distributed
+        from capreolus_spark.index import IndexConfig, InvertedIndex as _II, make_docid_column
+        from capreolus_spark.search.sdm import SDMSearcher
+
+        parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
+        pos_dir = os.path.join(workdir, "index_pos")
+        pos_corpus = make_docid_column(
+            synth_corpus_distributed(spark, n_docs, avg_tokens=120, partitions=parts)
+        )
+        _II.create(
+            spark,
+            pos_corpus,
+            pos_dir,
+            IndexConfig(
+                stemmer="porter",
+                store_positions=True,
+                num_doc_partitions=parts,
+                postings_partitions=parts,
+            ),
+        )
+        sdm = SDMSearcher(_II(spark, pos_dir), BM25Config(hits=1000))
+        t0 = time.monotonic()
+        sdm.search(topics).count()
+        timings["sdm_topk"] = round(time.monotonic() - t0, 3)
+
         # ---- pipeline ops over the sf documents table --------------------
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
@@ -236,14 +270,15 @@ def _cpu_control(levels: tuple[int, int]) -> dict:
 def scaling() -> None:
     """North-rule scaling evidence: identical build at local[N] vs local[4N].
 
-    Default levels 4→16: this host's 32 vCPUs throttle per-task throughput
-    ~1.7x beyond ~16-way load (see the raw-CPU control in the output), so
-    4→16 is the regime where engine scaling is measurable, matching the
-    BASELINE.md "N and 4N cores" protocol.  Override with
-    SPARK_GRAFT_SCALE_LEVELS=8,32.
+    Default levels 2→8: this host's 32 vCPUs throttle per-task throughput
+    unpredictably beyond ~8-16-way load (see the raw-CPU control in the
+    output), so 2→8 is the regime where engine scaling is measurable — the
+    BASELINE.md "N and 4N cores" protocol with N=2.  Override with
+    SPARK_GRAFT_SCALE_LEVELS=4,16 (throttled regime, reported in
+    BASELINE.md for honesty).
     """
     levels = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     )
     results = {}
     for cpus in levels:
@@ -268,6 +303,15 @@ def scaling() -> None:
         f"build_sec_local{hi}": results[hi]["build_sec"],
         f"scaling_efficiency_{lo}_to_{hi}": round((fps_hi / fps_lo) / (hi / lo), 3),
     }
+    # per-stage efficiency: separates the scalable pipeline stages
+    # (tokenize, postings — the 100 TB cost) from per-build fixed overhead
+    # (manifests, stats collects, job scheduling) that a bigger input
+    # amortizes but a 75 s bench cannot
+    for stage in ("tokens", "postings", "docmap", "ranges"):
+        s_lo = results[lo].get("stage_sec", {}).get(stage)
+        s_hi = results[hi].get("stage_sec", {}).get(stage)
+        if s_lo and s_hi:
+            report[f"stage_efficiency_{stage}"] = round((s_lo / s_hi) / (hi / lo), 3)
     report.update(_cpu_control(levels))
     print(json.dumps(report))
 

@@ -105,6 +105,21 @@ class InvertedIndex:
     def dict_df(self) -> DataFrame:
         return self._tbl("dict")
 
+    def vocab_df(self) -> DataFrame:
+        """(term, term_id, df, cf) with DENSE contiguous int ids in term
+        order — the extractor-side stoi vocabulary (reference
+        ``extractor/__init__.py:19-40``, ``bagofwords.py:64-80``).
+
+        zipWithIndex after a range-sort: one pass, no single-partition
+        window, deterministic ids for a given index."""
+        d = self.dict_df().select("term", "df", "cf").orderBy("term")
+        rdd = d.rdd.zipWithIndex().map(
+            lambda t: (t[0]["term"], t[1], t[0]["df"], t[0]["cf"])
+        )
+        return self.spark.createDataFrame(
+            rdd, "term string, term_id long, df long, cf long"
+        )
+
     # -------------------------------------------------- stats & lookups
 
     def stats(self) -> dict:

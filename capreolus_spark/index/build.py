@@ -50,7 +50,12 @@ from .codec import encode_int32_array, encode_position_lists, encode_postings
 # Max docs one input partition may hold; multiple of every legal range_size.
 PARTITION_CAPACITY = 1 << 34
 
-TOKENS_SCHEMA = "docno long, term string, tf long, is_stop boolean, positions array<int>"
+# `kind` partitions the tokens checkpoint: "tok" rows are (docno, term, tf,
+# positions) for indexed terms; "dl" rows are one per document with tf =
+# PRE-stop-filter token count (the BM25 dl, SURVEY §6.3).  The postings
+# pass reads only kind=tok, the ranges pass only kind=dl (partition
+# pruning) — the build never re-reads the full tokens table twice.
+TOKENS_SCHEMA = "docno long, term string, tf long, positions array<int>, kind string"
 DOCMAP_SCHEMA_BASE = "docid string, docno long, sha256 string"
 RANGES_SCHEMA = (
     "range_id long, base_docno long, n_slots long, n_docs long, "
@@ -188,10 +193,8 @@ def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
             if remove_stops:
                 stop_mask = tl["tok"].isin(LUCENE_STOP_WORDS).to_numpy()
                 indexed = tl[~stop_mask]
-                stops = tl[stop_mask]
             else:
                 indexed = tl
-                stops = tl.iloc[0:0]
 
             out = []
             if len(indexed):
@@ -215,16 +218,21 @@ def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
                 else:
                     counts = grouped.size().reset_index(name="tf")
                     counts["positions"] = None
-                counts["is_stop"] = False
-                out.append(counts[["docno", "term", "tf", "is_stop", "positions"]])
-            if len(stops):
-                scounts = stops.groupby("docno", sort=False).size().reset_index(name="tf")
-                scounts["term"] = None
-                scounts["is_stop"] = True
-                scounts["positions"] = None
-                out.append(scounts[["docno", "term", "tf", "is_stop", "positions"]])
+                counts["kind"] = "tok"
+                out.append(counts[["docno", "term", "tf", "positions", "kind"]])
+            # one dl row per doc: tf = PRE-filter token count (BM25 dl)
+            dl = pd.DataFrame(
+                {
+                    "docno": pdf["docno"].to_numpy(dtype=np.int64)[lens > 0],
+                    "term": None,
+                    "tf": lens[lens > 0],
+                    "positions": None,
+                    "kind": "dl",
+                }
+            )
+            out.append(dl)
             yield pd.concat(out, ignore_index=True)[
-                ["docno", "term", "tf", "is_stop", "positions"]
+                ["docno", "term", "tf", "positions", "kind"]
             ]
 
     return docmap.select("docno", "content").mapInPandas(tokenize, schema=TOKENS_SCHEMA)
@@ -250,11 +258,13 @@ def _pack_range_cells(pdf: pd.DataFrame, range_size: int) -> pd.DataFrame:
 
 
 def _ranges_stage(tokens: DataFrame, range_size: int, num_partitions: int) -> DataFrame:
-    # map-side combinable: tokens are already co-partitioned by doc, so the
-    # groupBy(docno) shuffle carries ~one row per document
+    # consumes ONLY the kind=dl rows — one per document, written by the
+    # tokenize pass; over a kind-partitioned parquet checkpoint this scan
+    # partition-prunes to the tiny dl files (no second full tokens read,
+    # no groupBy(docno) shuffle)
     doclens = (
-        tokens.groupBy("docno")
-        .agg(F.sum("tf").alias("dl"))
+        tokens.filter(F.col("kind") == "dl")
+        .select("docno", F.col("tf").alias("dl"))
         .withColumn("range_id", F.expr(f"docno DIV {range_size}"))
     )
     parted = doclens.repartition(num_partitions, "range_id").sortWithinPartitions(
@@ -311,7 +321,7 @@ def _postings_stage(
     num_partitions: int,
     with_positions: bool = False,
 ) -> DataFrame:
-    indexed = tokens.filter(~F.col("is_stop")).withColumn(
+    indexed = tokens.filter(F.col("kind") == "tok").withColumn(
         "range_id", F.expr(f"docno DIV {range_size}")
     )
 
@@ -392,6 +402,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = Manifest(index_dir)
     restore_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    restore_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     if manifest.data.get("config") and manifest.data["config"] != config.to_json():
         raise ValueError(
             f"index at {index_dir} was built with a different config: "
@@ -424,7 +435,11 @@ def build_index(
 
     def write_tokens(out: str) -> None:
         docmap = spark.read.parquet(paths["docmap"])
-        _tokenize_stage(docmap, config).write.mode("overwrite").parquet(out)
+        # kind-partitioned: ranges reads only kind=dl, postings only
+        # kind=tok — each downstream scan partition-prunes to what it needs
+        _tokenize_stage(docmap, config).write.mode("overwrite").partitionBy(
+            "kind"
+        ).parquet(out)
 
     def write_ranges(out: str) -> None:
         tokens = spark.read.parquet(paths["tokens"])
@@ -466,6 +481,11 @@ def build_index(
         min(128 << 20, hadoop_dir_bytes(spark, paths["docmap"]) // target_tasks or (4 << 20)),
     )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    # Pack stages stream millions of tiny (term, docno, tf) rows through
+    # mapInPandas: the 10k-row Arrow default costs a python round-trip +
+    # carry-concat every 10k rows.  32k keeps batches well under executor
+    # memory (rows are ~32 B) while quartering that overhead.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
     try:
         run_stage("tokens", write_tokens)
         # ranges and postings are independent consumers of tokens: submit
@@ -491,6 +511,10 @@ def build_index(
             spark.conf.set("spark.sql.files.maxPartitionBytes", restore_mpb)
         else:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        if restore_arrow is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", restore_arrow)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
     if not manifest.stage_done("stats"):
         t0 = time.monotonic()

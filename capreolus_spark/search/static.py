@@ -1,0 +1,91 @@
+"""Static / converted-run searchers.
+
+Twin of the reference's StaticRun family (``capreolus/searcher/anserini.py:
+255-345``: bm25staticrob04yang19, bm25staticgov2, … — each serves a
+packaged TREC run file instead of executing retrieval) and of the MS MARCO
+"converted" searchers (``capreolus/searcher/special.py:71-305``: download a
+top1k/triples file, convert with ``convert_to_trec_runs``, write TREC runs).
+
+One generic class covers the whole family: the per-dataset packaged run
+files and gdown downloads are environment-bound data, not engine logic —
+``StaticRunSearcher(path)`` serves any TREC run file;
+``from_msmarco_top1k`` composes it with the converter.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_TAG
+from ..io.trec import load_trec_run, write_trec_run
+
+
+class StaticRunSearcher:
+    """Serve a pre-computed run as a searcher.
+
+    ``search(topics)`` returns the run restricted to the requested qids,
+    re-ranked by (score desc, docid asc) like every engine searcher;
+    ``query()`` raises, mirroring reference ``StaticRun.query``
+    (``searcher/anserini.py:266-267``)."""
+
+    def __init__(self, spark: SparkSession, run_path: str, tag: str = DEFAULT_TAG):
+        self.spark = spark
+        self.run_path = run_path
+        self.tag = tag
+
+    @classmethod
+    def from_msmarco_top1k(
+        cls,
+        spark: SparkSession,
+        top1k_fn: str,
+        out_dir: str,
+        style: str = "eval",
+        tag: str = DEFAULT_TAG,
+    ) -> "StaticRunSearcher":
+        """MS MARCO top1k/triples file → TREC run file → static searcher
+        (the ``convert_to_trec_runs`` + ``write_trec_run`` flow of
+        ``searcher/special.py:71-305``)."""
+        from ..io.corpus import convert_to_trec_runs
+
+        runs = convert_to_trec_runs(top1k_fn, style=style)
+        os.makedirs(out_dir, exist_ok=True)
+        out_fn = os.path.join(out_dir, "searcher")
+        write_trec_run(runs, out_fn, tag=tag)
+        return cls(spark, out_fn, tag=tag)
+
+    def _run_df(self) -> DataFrame:
+        rows = [
+            (qid, docid, float(score))
+            for qid, docs in load_trec_run(self.run_path).items()
+            for docid, score in docs.items()
+        ]
+        return self.spark.createDataFrame(rows, "qid string, docid string, score double")
+
+    def search(self, topics: dict[str, str] | None = None, hits: int | None = None) -> DataFrame:
+        from pyspark.sql import Window
+
+        df = self._run_df()
+        if topics is not None:
+            qids = [str(q) for q in topics]
+            df = df.filter(F.col("qid").isin(qids))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        df = df.withColumn("rank", F.row_number().over(w))
+        if hits is not None:
+            df = df.filter(F.col("rank") <= hits)
+        return df.select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+
+    def search_collect(self, topics: dict[str, str] | None = None, hits: int | None = None):
+        rows = self.search(topics, hits=hits).collect()
+        out: dict[str, OrderedDict] = {}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            out.setdefault(r["qid"], OrderedDict())[r["docid"]] = r["score"]
+        return out
+
+    def query(self, *args, **kwargs):
+        raise NotImplementedError(
+            "this searcher uses a static run file, so it cannot handle new queries"
+        )

@@ -146,7 +146,7 @@ class IncrementalIndexer:
         docmap_committed = self.spark.read.parquet(docmap_path)
         tokens = _tokenize_stage(docmap_committed, self.config)
         tokens_path = os.path.join(self.index_dir, "tokens", key)
-        tokens.write.mode("overwrite").parquet(tokens_path)
+        tokens.write.mode("overwrite").partitionBy("kind").parquet(tokens_path)
 
         tokens_committed = self.spark.read.parquet(tokens_path)
         _ranges_stage(tokens_committed, self.config.range_size, n_parts).write.mode(

@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_topk,
     embedding_near_dup_pairs,
 )

@@ -152,3 +152,21 @@ def test_total_samples(spark):
     rows = {r["qid"]: (r["posdocs"], r["negdocs"], r["samples"])
             for r in sample_counts(run, qrels).collect()}
     assert rows == {"q1": (2, 2, 4)}
+
+
+def test_static_run_searcher(spark, tmp_path):
+    """StaticRun family twin (reference searcher/anserini.py:255-345) +
+    the MS MARCO converted-run flow (searcher/special.py:71-305)."""
+    from capreolus_spark.search.static import StaticRunSearcher
+
+    top1k = tmp_path / "top1k.tsv"
+    top1k.write_text("q1\tp1\tx\ty\nq1\tp2\tx\ty\nq2\tp7\tx\ty\n")
+    s = StaticRunSearcher.from_msmarco_top1k(spark, str(top1k), str(tmp_path / "conv"))
+    run = s.search_collect({"q1": "whatever"})
+    # converter scores are insertion indices: p2 (index 1) outranks p1 (0)
+    assert list(run) == ["q1"]
+    assert list(run["q1"]) == ["p2", "p1"]
+    all_run = s.search_collect()
+    assert set(all_run) == {"q1", "q2"}
+    with pytest.raises(NotImplementedError):
+        s.query("new query")

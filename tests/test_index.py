@@ -204,3 +204,17 @@ def test_hadoop_dir_bytes_file_uri(spark, tmp_path):
     assert hadoop_dir_bytes(spark, f"file:{d}") == 1500
     assert hadoop_dir_bytes(spark, str(d)) == 1500
     assert hadoop_dir_bytes(spark, f"file:{d}/nonexistent") == 0
+
+
+def test_vocab_dense_ids(synth_index):
+    """stoi vocabulary: dense contiguous ids in term order, stable across
+    calls (reference extractor/__init__.py:19-40 semantics)."""
+    idx, _ = synth_index
+    rows = idx.vocab_df().collect()
+    terms = [r["term"] for r in sorted(rows, key=lambda r: r["term_id"])]
+    assert terms == sorted(terms)
+    assert [r["term_id"] for r in sorted(rows, key=lambda r: r["term_id"])] == list(range(len(rows)))
+    again = idx.vocab_df().collect()
+    assert {(r["term"], r["term_id"]) for r in again} == {(r["term"], r["term_id"]) for r in rows}
+    by_term = {r["term"]: r["df"] for r in rows}
+    assert by_term["def"] == idx.get_df("def")

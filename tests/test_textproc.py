@@ -252,3 +252,39 @@ def test_bucket_guard_no_recall_change_on_normal_corpus(dup_docs):
         for r in minhash_lsh_pairs(dup_docs, threshold=0.8, max_bucket_size=64).collect()
     }
     assert base == capped
+
+
+def test_ivf_cosine_topk_recall_and_exact_mode(spark):
+    """IVF-flat ANN: full-probe equals brute force exactly; partial probe
+    keeps high recall on clustered data."""
+    import numpy as np
+
+    from capreolus_spark.textproc import brute_force_cosine_topk, ivf_cosine_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(60):
+            v = centers[c] + 0.05 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i * 61][1]) for i in range(5)], "query_id long, query_vec array<float>"
+    )
+
+    exact = brute_force_cosine_topk(vecs, queries, k=10)
+    full = ivf_cosine_topk(vecs, queries, k=10, n_cells=8, n_probe=8, max_train=1000)
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    f = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    assert e == f  # probing every cell == brute force
+
+    part = ivf_cosine_topk(vecs, queries, k=10, n_cells=8, n_probe=2, max_train=1000)
+    p = {}
+    for r in part.collect():
+        p.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(p.get(q, set()) & {v for (qq, _), v in e.items() if qq == q}) for q in p)
+    total = sum(1 for _ in e)
+    assert hits / total >= 0.8  # clustered data: 2-probe recall stays high
