@@ -543,6 +543,18 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _q_pipeline_clean(spark, sf_dir):
+    from capreolus_spark.textproc.pipeline import clean_corpus
+
+    out = clean_corpus(_corpus_with_dups(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        "pred_lang",
+    )
+
+
 def _q_ann_cosine(spark, sf_dir):
     from capreolus_spark.textproc import brute_force_cosine_topk
 
@@ -686,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
+        "pipeline_clean_corpus": _q_pipeline_clean,
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
@@ -887,6 +900,24 @@ def oracle_sql() -> dict[str, str]:
             f"md5(array_to_string({_TOK}, ' ')) AS fingerprint, sha256(text) AS sha256 FROM documents"
         ),
         "lang_id": lang_sql,
+        "pipeline_clean_corpus": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            f"tok AS (SELECT doc_id, text, {_TOK} AS toks FROM dup), "
+            "s AS (SELECT doc_id, toks, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct, "
+            "CASE WHEN len(text) > 0 THEN len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) * 1.0 / len(text) ELSE 0 END AS punct_ratio "
+            "FROM tok), "
+            "q AS (SELECT doc_id, toks, n_tokens, "
+            "round((least(1.0, n_tokens / 100.0) + greatest(0.0, 1.0 - punct_ratio / 0.3) + "
+            "CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0 END) / 3.0, 6) AS quality_score "
+            "FROM s WHERE n_tokens >= 5 AND punct_ratio <= 0.3), "
+            "fp AS (SELECT doc_id, n_tokens, quality_score, md5(array_to_string(toks, ' ')) AS f FROM q), "
+            "ded AS (SELECT doc_id, n_tokens, quality_score FROM "
+            "(SELECT *, min(doc_id) OVER (PARTITION BY f) AS c FROM fp) WHERE doc_id = c), "
+            f"lc AS (SELECT doc_id, {', '.join(lang_cases)} FROM tok), "
+            f"lang AS (SELECT doc_id, {pred} AS pred_lang FROM lc) "
+            "SELECT cast(ded.doc_id AS bigint) AS doc_id, cast(n_tokens AS bigint) AS n_tokens, "
+            "quality_score, pred_lang FROM ded JOIN lang ON ded.doc_id = lang.doc_id"
+        ),
         "token_quality": (
             f"WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents), "
             "s AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens, "

@@ -1,0 +1,62 @@
+"""Composed corpus-cleaning pipeline — the shape a 100 TB training-data
+preparation job actually runs: quality filter → exact-duplicate collapse →
+language filter, as ONE declarative DataFrame plan (filters push into the
+scan, the only shuffle is the dedup groupBy on the fingerprint key).
+
+Each stage reuses the individually-oracled operators from
+:mod:`capreolus_spark.textproc.quality` / :mod:`.dedup`, so the composition
+is itself SQL-expressible and DuckDB-gated end-to-end (entry
+``pipeline_clean_corpus``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .quality import _tokens_col, add_quality_columns, language_id
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    languages: list[str] | None = None,
+) -> DataFrame:
+    """Surviving documents after quality filter + exact-dup collapse
+    (+ optional language restriction).
+
+    * quality: the ``keep`` heuristics of :func:`add_quality_columns`;
+    * dedup: one representative per normalized-content fingerprint — the
+      MINIMUM ``doc_id`` of each group among quality survivors
+      (deterministic; a window-min on the md5 key, no self-join);
+    * language: keep ``pred_lang ∈ languages`` when given.
+
+    Returns (doc_id, n_tokens, quality_score, pred_lang), one row per
+    surviving document.
+    """
+    q = add_quality_columns(
+        df, text_col=text_col, id_col=id_col,
+        min_tokens=min_tokens, max_punct_ratio=max_punct_ratio,
+    ).filter(F.col("keep"))
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    kept = base.join(q.select(id_col, "n_tokens", "quality_score"), id_col)
+
+    # normalized-content fingerprint (same key as quality.fingerprint /
+    # dedup.exact_dup_groups): md5 over the lowercased token stream
+    fp = kept.withColumn("_fp", F.md5(F.array_join(_tokens_col(text_col), " ")))
+    w = Window.partitionBy("_fp")
+    dedup = (
+        fp.withColumn("_canon", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_canon"))
+        .drop("_fp", "_canon")
+    )
+
+    lang = language_id(df, text_col=text_col, id_col=id_col).select(id_col, "pred_lang")
+    out = dedup.join(lang, id_col).select(id_col, "n_tokens", "quality_score", "pred_lang")
+    if languages:
+        out = out.filter(F.col("pred_lang").isin(list(languages)))
+    return out

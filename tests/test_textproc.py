@@ -288,3 +288,24 @@ def test_ivf_cosine_topk_recall_and_exact_mode(spark):
     hits = sum(len(p.get(q, set()) & {v for (qq, _), v in e.items() if qq == q}) for q in p)
     total = sum(1 for _ in e)
     assert hits / total >= 0.8  # clustered data: 2-probe recall stays high
+
+
+def test_clean_corpus_pipeline(spark):
+    """Composed quality→dedup→language pipeline keeps one representative
+    per duplicate group among quality survivors."""
+    from capreolus_spark.textproc.pipeline import clean_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (3, "!!! ??? ### $$$ %%%"),                       # punct-heavy → dropped
+        (4, "tiny"),                                       # too short → dropped
+        (5, "el perro corre por la casa y la mesa con una luz para los dos"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in clean_corpus(docs).collect()}
+    assert set(out) == {1, 5}  # 2 collapsed into 1; 3,4 filtered
+    assert out[1]["pred_lang"] == "en"
+    assert out[5]["pred_lang"] == "es"
+    only_en = clean_corpus(docs, languages=["en"]).collect()
+    assert {r["doc_id"] for r in only_en} == {1}
