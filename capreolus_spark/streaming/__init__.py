@@ -1,1 +1,2 @@
 from .incremental import IncrementalIndexer  # noqa: F401
+from .dedup import dedup_stream, windowed_doc_stats  # noqa: F401

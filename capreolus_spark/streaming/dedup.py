@@ -1,0 +1,99 @@
+"""Streaming training-data operators: cross-batch dedup + watermarked stats.
+
+Beyond-reference Structured Streaming components (the reference is batch
+only; SURVEY §2.9) for a continuously-ingesting training-data pipeline:
+
+* :func:`dedup_stream` — exact cross-micro-batch deduplication: a custom
+  stateful operator (``applyInPandasWithState`` keyed by the normalized
+  content fingerprint) emits only the FIRST document ever seen per
+  fingerprint; later arrivals — in the same or any later micro-batch —
+  are dropped.  State per key is one boolean, so the store stays tiny.
+* :func:`windowed_doc_stats` — per-event-time-window document/token
+  counts with a watermark: late data inside the allowed lateness updates
+  its window, older-than-watermark data is dropped and the window state
+  is reclaimed (the canonical late-data pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUT_SCHEMA = "doc_id string, text string, fingerprint string"
+
+
+def _fingerprinted(stream: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # same normalized-content key as textproc.quality.fingerprint
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    return stream.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )
+
+
+def dedup_stream(
+    stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per content fingerprint wins,
+    across micro-batches (state checkpointed by the stream).
+
+    Within one micro-batch the winner is the minimum doc_id (deterministic
+    under replay); across batches the earlier batch wins."""
+
+    def keep_first(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            cand = pdf.sort_values("doc_id").head(1)
+            if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
+                first = cand
+        if first is not None:
+            state.update((True,))
+            yield first[["doc_id", "text", "fingerprint"]]
+
+    return (
+        _fingerprinted(stream, id_col, text_col)
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            keep_first,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_doc_stats(
+    stream: DataFrame,
+    time_col: str = "event_time",
+    text_col: str = "text",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Per-window (event time) document and token counts with late-data
+    handling: rows later than ``watermark_delay`` behind the max seen event
+    time are dropped; anything within it updates its window."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    return (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(F.col(time_col), window_duration).alias("win"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(toks)).alias("n_tokens"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

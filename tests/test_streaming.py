@@ -124,3 +124,84 @@ def test_generation_pids_reserve_batch_block(spark, tmp_path):
     inc.refresh_stats()
     docnos = [r["docno"] for r in InvertedIndex(spark, index_dir).docs_df().collect()]
     assert min(docnos) >= GEN_PID_STRIDE * PARTITION_CAPACITY
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: first fingerprint occurrence wins within
+    AND across micro-batches (applyInPandasWithState, checkpointed)."""
+    from capreolus_spark.streaming import dedup_stream
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "ck")
+    seen = []
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id string, text string").parquet(input_dir)
+        q = (
+            dedup_stream(stream)
+            .writeStream.foreachBatch(lambda df, _e: seen.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a1", "same exact words here"), ("a2", "same exact words here"), ("b1", "other content")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    assert {r["doc_id"] for r in seen} == {"a1", "b1"}  # a2 deduped in-batch
+
+    spark.createDataFrame(
+        [("a3", "same exact words here"), ("c1", "brand new third doc")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    # a3 suppressed by state from the earlier batch; c1 new
+    assert {r["doc_id"] for r in seen} == {"a1", "b1", "c1"}
+
+
+def test_windowed_doc_stats_watermark(spark, tmp_path):
+    """Watermarked windowed aggregation: in-watermark data counts, windows
+    finalize (append mode) once the watermark passes, too-late rows drop."""
+    from capreolus_spark.streaming import windowed_doc_stats
+
+    input_dir = str(tmp_path / "win_in")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "win_ck")
+    out = []
+
+    def run_once():
+        stream = spark.readStream.schema("event_time timestamp, text string").parquet(input_dir)
+        q = (
+            windowed_doc_stats(stream, window_duration="1 minute", watermark_delay="2 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t = lambda m, s: dt.datetime(2026, 1, 1, 10, m, s)
+    spark.createDataFrame(
+        [(t(0, 10), "three tokens here"), (t(0, 20), "two tokens"), (t(5, 0), "later doc")],
+        "event_time timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    finalized = {(r["window_start"].minute, r["n_docs"], r["n_tokens"]) for r in out}
+    assert (0, 2, 5) in finalized  # 10:00 window closed by the 10:05 row
+
+    # a too-late row for the already-finalized 10:00 window is dropped
+    spark.createDataFrame(
+        [(t(0, 30), "late late late"), (t(9, 0), "advance the watermark")],
+        "event_time timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    mins = [r["window_start"].minute for r in out]
+    assert mins.count(0) == 1  # no second emission for the 10:00 window
+    assert (5, 1, 2) in {(r["window_start"].minute, r["n_docs"], r["n_tokens"]) for r in out}
