@@ -76,6 +76,18 @@ def main() -> None:
         # codegen stages render as "*(n) Operator" in the final plan string
         results.append(("oracle whole-stage codegen", "*(1)" in oplan or "WholeStageCodegen" in oplan))
 
+        # 6. ranges-path scan of the kind-partitioned tokens checkpoint
+        #    partition-prunes to kind=dl (never re-reads the full table)
+        tokens = spark.read.parquet(os.path.join(wd, "idx", "tokens"))
+        dlscan = tokens.filter(F.col("kind") == "dl").select("docno", "tf")
+        tplan = dlscan._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "tokens kind=dl partition pruning",
+                "PartitionFilters" in tplan and "kind" in tplan.split("PartitionFilters")[-1].split("]")[0],
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
