@@ -543,6 +543,21 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _q_bow_features(spark, sf_dir):
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.extractor import bow_doc_features
+    from capreolus_spark.index import InvertedIndex
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    return bow_doc_features(idx).select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.col("term_id").cast("long").alias("term_id"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
 def _q_pipeline_clean(spark, sf_dir):
     from capreolus_spark.textproc.pipeline import clean_corpus
 
@@ -699,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
         "pipeline_clean_corpus": _q_pipeline_clean,
+        "bow_doc_features": _q_bow_features,
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
@@ -900,6 +916,16 @@ def oracle_sql() -> dict[str, str]:
             f"md5(array_to_string({_TOK}, ' ')) AS fingerprint, sha256(text) AS sha256 FROM documents"
         ),
         "lang_id": lang_sql,
+        "bow_doc_features": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, "
+            f"list_filter({_TOK}, t -> t NOT IN ({_STOPS_SQL})) AS itoks FROM documents), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            "(SELECT docid, unnest(itoks) AS term FROM tok) GROUP BY docid, term), "
+            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS term_id "
+            "FROM (SELECT DISTINCT term FROM tf)) "
+            "SELECT cast(docid AS bigint) AS doc_id, cast(term_id AS bigint) AS term_id, "
+            "cast(tf AS bigint) AS count FROM tf JOIN vocab USING (term)"
+        ),
         "pipeline_clean_corpus": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "
             f"tok AS (SELECT doc_id, text, {_TOK} AS toks FROM dup), "

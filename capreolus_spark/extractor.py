@@ -1,0 +1,163 @@
+"""Bag-of-words feature extraction at scale.
+
+Spark-distributed twin of the reference BagOfWords extractor's preprocess /
+transform pipeline (``capreolus/extractor/bagofwords.py:64-163``): build a
+dense term→id vocabulary (stoi), then turn every document / query into
+count vectors over it, in ``unigram`` or ``trigram`` datamode (trigrams are
+the ``#tok#`` sliding 3-chars of ``bagofwords.py:61-62``).
+
+Differences from the reference, by design (documented):
+
+* the vocabulary is the INDEX vocabulary (``InvertedIndex.vocab_df()``,
+  dense ids in term order, shifted +1 so id 0 stays the reference's
+  pad/OOV slot) rather than one grown incrementally over a specific
+  qid/docid set — stable across runs and SQL-expressible;
+* features are returned SPARSE — one ``(docid, term_id, count)`` row per
+  nonzero — because a dense ``len(stoi)`` vector per doc (reference
+  ``transform_txt``) does not survive a 100 TB corpus.  Densify per batch
+  downstream if a trainer needs it.
+
+The doc side is one distributed pass (Arrow analyzer reusing the build's
+factorize trick + a broadcast-joined vocab); the query side is driver-side
+like the reference's qid2toks.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import analyze_text
+from .analysis.expansion import trigram_expand, trigram_expand_column
+from .index import InvertedIndex
+
+
+def _doc_term_counts(index: InvertedIndex, docids: DataFrame | None) -> DataFrame:
+    """(docid, term, tf) by re-analyzing stored contents with the index
+    analyzer — the same data path the reference's extractors use via
+    ``index.get_doc`` (``bagofwords.py:67``), vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    from .analysis import LUCENE_STOP_WORDS, stem_token, tokenize_series
+
+    cfg = index.config
+    stemmer, remove_stops = cfg.stemmer, not cfg.indexstops
+
+    docs = index.docs_df().select("docid", "content")
+    if docids is not None:
+        docs = docs.join(F.broadcast(docids.select("docid").distinct()), "docid", "left_semi")
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
+        for pdf in batches:
+            toks = tokenize_series(pdf["content"])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            ids = np.repeat(pdf["docid"].to_numpy(dtype=object), lens)
+            flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+            codes, uniques = pd.factorize(flat, sort=False)
+            if remove_stops:
+                stop_u = np.fromiter(
+                    (u in LUCENE_STOP_WORDS for u in uniques), bool, count=len(uniques)
+                )
+                keep = ~stop_u[codes]
+            else:
+                keep = np.ones(total, dtype=bool)
+            if stemmer != "none":
+                stemmed = np.fromiter(
+                    (stem_token(u, stemmer) for u in uniques), dtype=object, count=len(uniques)
+                )
+                scodes, sunique = pd.factorize(stemmed, sort=False)
+                tcode = scodes[codes[keep]]
+            else:
+                tcode, sunique = codes[keep], uniques
+            if not len(tcode):
+                continue
+            udoc, dinv = np.unique(ids[keep], return_inverse=True)
+            v = len(sunique)
+            ukey, tf = np.unique(dinv.astype(np.int64) * v + tcode, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "docid": udoc[ukey // v],
+                    "term": np.asarray(sunique, dtype=object).take(ukey % v),
+                    "tf": tf.astype(np.int64),
+                }
+            )
+
+    return docs.mapInPandas(counts, schema="docid string, term string, tf long")
+
+
+def _vocab(index: InvertedIndex, mode: str) -> DataFrame:
+    """(term, term_id) dense 1-based ids (0 = pad/OOV, reference
+    ``bagofwords.py:107-108``).  Trigram mode: vocabulary of the distinct
+    ``#tok#`` trigrams of the index vocabulary, ids in trigram order."""
+    base = index.vocab_df().select("term", (F.col("term_id") + 1).alias("term_id"))
+    if mode == "unigram":
+        return base
+    if mode == "trigram":
+        from pyspark.sql import Window
+
+        trigs = (
+            base.select(
+                F.explode(trigram_expand_column(F.array(F.col("term")))).alias("term")
+            )
+            .distinct()
+        )
+        w = Window.orderBy("term")
+        return trigs.select("term", F.row_number().over(w).cast("long").alias("term_id"))
+    raise ValueError(f"unknown datamode {mode!r} (unigram|trigram)")
+
+
+def bow_doc_features(
+    index: InvertedIndex, docids: DataFrame | None = None, mode: str = "unigram"
+) -> DataFrame:
+    """Sparse BOW features: (docid, term_id, count), term_id ascending ids
+    over the (trigram-)vocabulary; restrict to ``docids`` (a DataFrame with
+    a ``docid`` column — e.g. a run's candidates) when given."""
+    uni = _doc_term_counts(index, docids)
+    if mode == "trigram":
+        # per (doc,term,tf) row: every trigram of the term occurs tf times
+        uni = (
+            uni.select(
+                "docid",
+                "tf",
+                F.explode(trigram_expand_column(F.array(F.col("term")))).alias("term"),
+            )
+            .groupBy("docid", "term")
+            .agg(F.sum("tf").alias("tf"))
+        )
+    vocab = _vocab(index, mode)
+    return (
+        uni.join(vocab, "term")
+        .select("docid", "term_id", F.col("tf").alias("count"))
+    )
+
+
+def bow_query_features(
+    index: InvertedIndex, topics: dict[str, str], mode: str = "unigram"
+) -> dict[str, dict[int, int]]:
+    """{qid: {term_id: count}} driver-side (queries are small); unseen
+    terms map to id 0, the pad/OOV slot (reference ``stoi.get(tok, 0)``,
+    ``bagofwords.py:125``)."""
+    kw = index.config.analyzer_kwargs()
+    analyzed = {str(q): analyze_text(t, **kw) for q, t in topics.items()}
+    if mode == "trigram":
+        analyzed = {q: trigram_expand(toks) for q, toks in analyzed.items()}
+    needed = sorted({t for toks in analyzed.values() for t in toks})
+    vocab = _vocab(index, mode)
+    rows = vocab.filter(F.col("term").isin(needed)).collect()
+    stoi = {r["term"]: int(r["term_id"]) for r in rows}
+    out: dict[str, dict[int, int]] = {}
+    for qid, toks in analyzed.items():
+        vec: dict[int, int] = {}
+        for t, c in Counter(toks).items():
+            vec[stoi.get(t, 0)] = vec.get(stoi.get(t, 0), 0) + c
+        out[qid] = vec
+    return out

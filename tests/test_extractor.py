@@ -1,0 +1,62 @@
+"""BagOfWords extractor twin (reference capreolus/extractor/bagofwords.py)."""
+
+from collections import Counter
+
+from capreolus_spark.analysis import analyze_text
+from capreolus_spark.analysis.expansion import trigram_expand
+from capreolus_spark.extractor import bow_doc_features, bow_query_features
+
+
+def _expected_counts(corpus_rows, kw, mode):
+    exp = {}
+    vocab_terms = set()
+    per_doc = {}
+    for docid, content in corpus_rows:
+        toks = analyze_text(content, **kw)
+        if mode == "trigram":
+            toks = trigram_expand(toks)
+        per_doc[docid] = Counter(toks)
+        vocab_terms.update(toks)
+    stoi = {t: i + 1 for i, t in enumerate(sorted(vocab_terms))}
+    for docid, counts in per_doc.items():
+        for t, c in counts.items():
+            exp[(docid, stoi[t])] = c
+    return exp, stoi
+
+
+def test_bow_doc_features_unigram(dummy_index, dummy_corpus):
+    kw = dummy_index.config.analyzer_kwargs()
+    rows = [(r["docid"], r["content"]) for r in dummy_corpus.collect()]
+    exp, _ = _expected_counts(rows, kw, "unigram")
+    got = {
+        (r["docid"], r["term_id"]): r["count"]
+        for r in bow_doc_features(dummy_index).collect()
+    }
+    assert got == exp
+
+
+def test_bow_doc_features_trigram(dummy_index, dummy_corpus):
+    kw = dummy_index.config.analyzer_kwargs()
+    rows = [(r["docid"], r["content"]) for r in dummy_corpus.collect()]
+    exp, _ = _expected_counts(rows, kw, "trigram")
+    got = {
+        (r["docid"], r["term_id"]): r["count"]
+        for r in bow_doc_features(dummy_index, mode="trigram").collect()
+    }
+    assert got == exp
+
+
+def test_bow_query_features_oov_and_counts(dummy_index, dummy_corpus):
+    kw = dummy_index.config.analyzer_kwargs()
+    rows = [(r["docid"], r["content"]) for r in dummy_corpus.collect()]
+    _, stoi = _expected_counts(rows, kw, "unigram")
+    q = bow_query_features(dummy_index, {"301": "dummy dummy unseenzzz"})
+    vec = q["301"]
+    assert vec[stoi["dummi"]] == 2      # porter: dummy -> dummi
+    assert vec[0] == 1                  # OOV maps to pad slot 0
+
+
+def test_bow_restrict_to_docids(spark, dummy_index):
+    sub = spark.createDataFrame([("LA010189-0001",)], "docid string")
+    got = {r["docid"] for r in bow_doc_features(dummy_index, docids=sub).collect()}
+    assert got == {"LA010189-0001"}
