@@ -183,3 +183,34 @@ def convert_to_trec_runs_df(spark: SparkSession, path: str, style: str = "eval")
 def get_fn_from_url(url: str) -> str:
     """Reference ``searcher/special.py:36-37``."""
     return url.split("/")[-1].replace(".gz", "").replace(".tar", "")
+
+
+def read_trecweb_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """TRECWEB (Gov2-style) document scan → (docid, content): like
+    :func:`read_trec_corpus` but each ``<DOC>`` carries a ``<DOCHDR>``
+    block (the HTTP response header) that is NOT part of the document
+    content (reference ``collection/gov2.py:13-15`` /
+    ``TrecwebCollection``); everything after ``</DOCHDR>`` up to
+    ``</DOC>`` is the content."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    lines = spark.read.text(path, wholetext=True)
+    doc_re = re.compile(
+        r"<DOC>\s*<DOCNO>\s*(.*?)\s*</DOCNO>\s*"
+        r"(?:<DOCHDR>.*?</DOCHDR>)?\s*(.*?)\s*</DOC>",
+        re.S,
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for blob in pdf["value"]:
+                for m in doc_re.finditer(blob or ""):
+                    ids.append(m.group(1))
+                    texts.append(m.group(2))
+            yield pd.DataFrame({"docid": ids, "content": texts})
+
+    return lines.mapInPandas(parse, schema="docid string, content string")

@@ -170,3 +170,25 @@ def test_static_run_searcher(spark, tmp_path):
     assert set(all_run) == {"q1", "q2"}
     with pytest.raises(NotImplementedError):
         s.query("new query")
+
+
+def test_trecweb_corpus_scan(spark, tmp_path):
+    """TRECWEB scan strips the DOCHDR block (reference collection/gov2.py)."""
+    from capreolus_spark.io.corpus import read_trecweb_corpus
+
+    raw = (
+        "<DOC>\n<DOCNO>GX001-01</DOCNO>\n<DOCHDR>\nhttp://x.gov HTTP/1.1 200 OK\n"
+        "Content-Type: text/html\n</DOCHDR>\n<html>real content one</html>\n</DOC>\n"
+        "<DOC>\n<DOCNO>GX001-02</DOCNO>\n<DOCHDR>\nhttp://y.gov\n</DOCHDR>\n"
+        "second document body\n</DOC>\n"
+    )
+    d = tmp_path / "trecweb"
+    d.mkdir()
+    (d / "part0.txt").write_text(raw)
+    rows = sorted(
+        (r["docid"], r["content"]) for r in read_trecweb_corpus(spark, str(d)).collect()
+    )
+    assert rows == [
+        ("GX001-01", "<html>real content one</html>"),
+        ("GX001-02", "second document body"),
+    ]
