@@ -208,6 +208,61 @@ class IncrementalIndexer:
         self.manifest.commit_stage("stats", **stats)
         return stats
 
+    def compact(self) -> dict:
+        """Merge all committed generations' postings/ranges into the batch
+        build's on-disk layout — the segment-merge step of a Lucene-style
+        segmented index.  docnos are generation-disjoint by construction,
+        so no cell merging is needed: compaction re-partitions the
+        accumulated small per-generation files into ``postings_partitions``
+        consolidated, (term, range_id)-sorted files that parquet row-group
+        stats can prune, and drops the per-generation directory fan-out.
+
+        Crash-safe on a local/HDFS filesystem: the consolidated layout is
+        written to ``<stage>.compact``, the old directory is renamed aside,
+        the new one renamed in, then the old removed (rename is atomic
+        there; on S3-style stores run compaction from a planned-downtime
+        job).  A crash before the final rename leaves the old layout
+        intact; after it, the orphan ``.old`` dir is removed on the next
+        compact() call."""
+        import shutil
+        import time as _time
+
+        from ..index.build import _parquet_lineage, _write_postings_layout
+
+        t0 = _time.monotonic()
+        n_parts = max(2, self.spark.sparkContext.defaultParallelism)
+        report = {}
+        for stage, layout in (("postings", True), ("ranges", False)):
+            src = os.path.join(self.index_dir, stage)
+            tmp = src + ".compact"
+            old = src + ".old"
+            for leftover in (tmp, old):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover)
+            df = self.spark.read.parquet(src)
+            if layout:
+                _write_postings_layout(df, n_parts, tmp)
+            else:
+                (
+                    df.repartition(max(1, n_parts // 4), "range_id")
+                    .sortWithinPartitions("range_id")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+            os.rename(src, old)
+            os.rename(tmp, src)
+            shutil.rmtree(old)
+            files = _parquet_lineage(src)
+            report[stage] = {"files": len(files), "rows": sum(f["rows"] for f in files)}
+        entry = {"wall_ms": int((_time.monotonic() - t0) * 1000), **{
+            f"{s}_{k}": v for s, d in report.items() for k, v in d.items()
+        }}
+        self.manifest.commit_stage(
+            f"compact_{len([s for s in self.manifest.data['stages'] if s.startswith('compact_')])}",
+            **entry,
+        )
+        return entry
+
     # ------------------------------------------------------------ streaming
 
     def stream_from_directory(

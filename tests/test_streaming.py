@@ -205,3 +205,35 @@ def test_windowed_doc_stats_watermark(spark, tmp_path):
     mins = [r["window_start"].minute for r in out]
     assert mins.count(0) == 1  # no second emission for the 10:00 window
     assert (5, 1, 2) in {(r["window_start"].minute, r["n_docs"], r["n_tokens"]) for r in out}
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    """compact() merges per-generation segment files into the consolidated
+    layout; search results and stats are identical before/after."""
+    index_dir = str(tmp_path / "compact_idx")
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig(stemmer="porter"))
+    inc.ingest_batch(spark.createDataFrame(BATCH1, "docid string, content string"))
+    inc.ingest_batch(spark.createDataFrame(BATCH2, "docid string, content string"))
+    inc.refresh_stats()
+
+    idx = InvertedIndex(spark, index_dir)
+    before = BM25Searcher(idx, BM25Config(hits=10)).search_collect({"q": "postings spark"})
+    n_before = idx.numdocs
+
+    report = inc.compact()
+    assert report["postings_rows"] > 0
+
+    idx2 = InvertedIndex(spark, index_dir)
+    after = BM25Searcher(idx2, BM25Config(hits=10)).search_collect({"q": "postings spark"})
+    assert after == before
+    assert idx2.numdocs == n_before
+    # generation fan-out gone: stage dirs no longer contain gen=* subdirs
+    assert not [d for d in os.listdir(os.path.join(index_dir, "postings")) if d.startswith("gen=")]
+    # further ingestion after compaction still works
+    inc.ingest_batch(
+        spark.createDataFrame([("doc9", "postings appear once more")], "docid string, content string")
+    )
+    inc.refresh_stats()
+    idx3 = InvertedIndex(spark, index_dir)
+    run3 = BM25Searcher(idx3, BM25Config(hits=10)).search_collect({"q": "postings"})
+    assert "doc9" in run3["q"]
