@@ -238,6 +238,34 @@ class BM25Searcher:
             out[qid] = OrderedDict(lst[:limit])
         return out
 
+    def query_from_file(
+        self, topics_path: str, output_path: str, hits: int | None = None
+    ) -> str:
+        """Run every topic in ``topics_path`` (TSV ``qid\\ttext`` or TREC
+        ``<top>`` SGML, sniffed) and write a TREC runfile ``searcher`` into
+        ``output_path``, committing a ``done`` marker — the reference's
+        ``query_from_file`` surface with its done-file idempotent skip
+        (``searcher/anserini.py:26-36,82-83``)."""
+        import os
+
+        from ..io.trec import load_trec_topics, load_tsv_topics, write_trec_run
+
+        done = os.path.join(output_path, "done")
+        if os.path.exists(done):
+            return output_path
+        with open(topics_path) as f:
+            head = f.read(64).lstrip()
+        if head.startswith("<"):
+            topics = load_trec_topics(topics_path)["title"]
+        else:
+            topics = load_tsv_topics(topics_path)
+        run = self.search_collect(topics, hits=hits)
+        os.makedirs(output_path, exist_ok=True)
+        write_trec_run(run, os.path.join(output_path, "searcher"), tag=self.tag)
+        with open(done, "w") as f:
+            f.write("done\n")
+        return output_path
+
     def query(self, text: str, hits: int | None = None) -> OrderedDict:
         """Single ad-hoc query → OrderedDict{docid: score}, mirroring
         reference ``Searcher.query`` (``searcher/__init__.py:66-91``)."""

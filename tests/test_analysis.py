@@ -141,3 +141,18 @@ def test_empty_and_null_content():
     terms, dl = analyze_series(pd.Series(["", None, "   "]))
     assert list(dl) == [0, 0, 0]
     assert all(len(t) == 0 for t in terms)
+
+
+def test_tokenizer_source_code_edges():
+    """SURVEY 'hard parts': source-code tokens — '+', '_' and unicode.
+    Conventions (documented in analysis/__init__.py): '_' joins (\\w),
+    operators split, unicode word chars are kept (python \\w is unicode)."""
+    from capreolus_spark.analysis import tokenize_text
+
+    assert tokenize_text("foo_bar+baz") == ["foo_bar", "baz"]
+    assert tokenize_text("a+=b; x->y") == ["a", "b", "x", "y"]
+    assert tokenize_text("Café naïve") == ["café", "naïve"]
+    assert tokenize_text("snake_case CamelCase kebab-case") == [
+        "snake_case", "camelcase", "kebab", "case",
+    ]
+    assert tokenize_text("1e-9 0xFF v2_0") == ["1e", "9", "0xff", "v2_0"]

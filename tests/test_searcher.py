@@ -188,3 +188,30 @@ def test_broadcast_is_post_cut_only(synth_index):
         assert any("Window" in ln or "RunningWindowFunction" in ln for ln in subtree), (
             "BroadcastExchange over a non-cut frame:\n" + "\n".join([lines[i]] + subtree)
         )
+
+
+def test_query_from_file_tsv_and_done_marker(dummy_searcher, tmp_path):
+    """query_from_file: TSV topics -> runfile + done marker; second call is
+    an idempotent no-op (reference searcher/anserini.py:30-33)."""
+    topics = tmp_path / "topics.tsv"
+    topics.write_text("301\tDummy doc\n")
+    out = tmp_path / "run_out"
+    dummy_searcher.query_from_file(str(topics), str(out))
+    runfile = out / "searcher"
+    first = runfile.read_text()
+    assert "301 Q0 LA010189-0001 1 0.139500" in first
+    assert (out / "done").exists()
+    runfile.write_text("sentinel")  # must NOT be overwritten when done
+    dummy_searcher.query_from_file(str(topics), str(out))
+    assert runfile.read_text() == "sentinel"
+
+
+def test_query_from_file_trec_sgml(dummy_searcher, tmp_path):
+    topics = tmp_path / "topics.sgml"
+    topics.write_text(
+        "<top>\n<num> Number: 301\n<title> Dummy doc\n\n<desc> Description:\n"
+        "whatever\n\n<narr> Narrative:\nwhatever\n\n</top>\n"
+    )
+    out = tmp_path / "run_out_sgml"
+    dummy_searcher.query_from_file(str(topics), str(out))
+    assert "301 Q0 LA010189-0001 1 0.139500" in (out / "searcher").read_text()
