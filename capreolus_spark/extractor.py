@@ -140,6 +140,32 @@ def bow_doc_features(
     )
 
 
+def bow_query_idf(
+    index: InvertedIndex, topics: dict[str, str], mode: str = "unigram"
+) -> dict[str, dict[int, float]]:
+    """{qid: {term_id: idf}} — the reference's ``query_idf_vector``
+    (``bagofwords.py:123-126``: idf at the term's stoi slot, 0 for OOV).
+    Sparse here; idf is the engine's calibrated ln(1+(N-df+0.5)/(df+0.5)).
+    Trigram mode follows the reference in scoring the UNIGRAM tokens' idf
+    even when features are trigrams (``_build_vocab_trigram`` computes idf
+    from tokens)."""
+    kw = index.config.analyzer_kwargs()
+    analyzed = {str(q): analyze_text(t, **kw) for q, t in topics.items()}
+    terms = sorted({t for toks in analyzed.values() for t in toks})
+    stats = index.get_term_stats(terms)
+    vocab = _vocab(index, "unigram")
+    rows = vocab.filter(F.col("term").isin(terms)).collect()
+    stoi = {r["term"]: int(r["term_id"]) for r in rows}
+    out: dict[str, dict[int, float]] = {}
+    for qid, toks in analyzed.items():
+        vec: dict[int, float] = {}
+        for t in set(toks):
+            df = stats.get(t, (0, 0))[0]
+            vec[stoi.get(t, 0)] = index.idf_from_df(df) if df > 0 else 0.0
+        out[qid] = vec
+    return out
+
+
 def bow_query_features(
     index: InvertedIndex, topics: dict[str, str], mode: str = "unigram"
 ) -> dict[str, dict[int, int]]:

@@ -90,3 +90,86 @@ class RankTask:
         result = self.evaluate(runs, primary_metric=primary_metric)
         self.index.unpersist()
         return result
+
+
+class RerankTask:
+    """Second-stage reranking task — the orchestration twin of the reference
+    ``rerank.traineval`` (``capreolus/task/rerank.py:41-120,184-244``) with
+    the model swapped for an injectable scoring callable (model *training*
+    is out of the rebuild's critical path, SURVEY §2.9; Spark's role is the
+    data movement around it, which this implements):
+
+      first stage (RankTask cross-validated BM25) → per-fold threshold cut
+      (dev ``threshold``=100 / test ``testthreshold``=1000 docs per qid,
+      ``task/rerank.py:74-81,110-117``) → rerank those candidates with
+      ``reranker_fn`` → per-fold interpolation with the first-stage scores
+      (α grid 0..1 step .05 picked on dev, ``evaluator.py:206-234``) →
+      cross-fold test metrics.
+
+    ``reranker_fn(topics, run) -> run`` receives the thresholded candidate
+    run per fold and returns new scores for (a subset of) those pairs —
+    e.g. a second engine searcher, or a Pandas-UDF-scored model.
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        benchmark: Benchmark,
+        reranker_fn,
+        output_dir: str,
+        hits: int = 1000,
+        threshold: int = 100,
+        test_threshold: int = 1000,
+    ):
+        self.rank = RankTask(index, benchmark, os.path.join(output_dir, "rank"), hits=hits)
+        self.index = index
+        self.benchmark = benchmark
+        self.reranker_fn = reranker_fn
+        self.output_dir = output_dir
+        self.threshold = threshold
+        self.test_threshold = test_threshold
+        os.makedirs(output_dir, exist_ok=True)
+
+    @staticmethod
+    def _cut(run: dict, qids, k: int) -> dict:
+        """Top-k prefix per qid, preserving run order (runs are ordered
+        dicts by construction) — ``utils/trec.py:7-20`` semantics."""
+        qids = set(qids)
+        out = {}
+        for qid, docs in run.items():
+            if qid in qids:
+                out[qid] = dict(list(docs.items())[:k])
+        return out
+
+    def traineval(self, primary_metric: str = "map") -> dict:
+        from .evaluation import interpolated_eval
+
+        first = self.rank.searcheval(primary_metric=primary_metric)
+        best_run = first["test_run"]
+
+        qrels = self.benchmark.qrels
+        results = {}
+        test_agg: dict[str, dict[str, float]] = {}
+        for fold, spec in self.benchmark.folds.items():
+            dev_qids = list(spec["predict"]["dev"])
+            test_qids = list(spec["predict"]["test"])
+            dev_first = self._cut(best_run, dev_qids, self.threshold)
+            test_first = self._cut(best_run, test_qids, self.test_threshold)
+            dev_second = self.reranker_fn(self.benchmark.topics, dev_first)
+            test_second = self.reranker_fn(self.benchmark.topics, test_first)
+            interp = interpolated_eval(
+                dev_first, dev_second, test_first, test_second,
+                dev_qids, test_qids, qrels, primary_metric,
+                self.benchmark.relevance_level,
+            )
+            results[fold] = {"alpha": interp["alpha"], "dev_score": interp["dev_score"],
+                             "test_score": interp["test_score"]}
+            test_agg.update(interp["test_run"])
+
+        final = eval_runs(
+            test_agg, qrels, None, self.benchmark.relevance_level
+        )
+        write_trec_run(test_agg, os.path.join(self.output_dir, "reranked_test_run"))
+        with open(os.path.join(self.output_dir, "rerank_metrics.json"), "w") as f:
+            json.dump({"folds": results, "score": final}, f, indent=2, sort_keys=True)
+        return {"folds": results, "score": final, "test_run": test_agg, "first_stage": first}

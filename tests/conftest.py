@@ -59,3 +59,24 @@ def synth_index(spark, tmp_path_factory):
     cfg = IndexConfig(range_size=1 << 17, num_doc_partitions=5)
     idx = InvertedIndex.create(spark, corpus, index_dir, cfg)
     return idx, corpus
+
+
+@pytest.fixture(scope="session")
+def synth_benchmark_parts(spark, synth_index):
+    """(index, Benchmark) over the synthetic corpus: qrels = BM25 top-3 per
+    query (deterministic; flow tests need consistency, not meaning)."""
+    from capreolus_spark.benchmark import Benchmark
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.data import synth_queries
+    from capreolus_spark.search import BM25Searcher
+
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(8).items())[:6])
+    seed_run = BM25Searcher(idx, BM25Config(hits=3)).search_collect(topics)
+    qrels = {q: {d: 1 for d in docs} for q, docs in seed_run.items() if docs}
+    qids = sorted(qrels)
+    folds = {
+        "s1": {"train_qids": qids[::2], "predict": {"dev": qids[::2], "test": qids[1::2]}},
+        "s2": {"train_qids": qids[1::2], "predict": {"dev": qids[1::2], "test": qids[::2]}},
+    }
+    return idx, Benchmark(topics={q: topics[q] for q in qids}, qrels=qrels, folds=folds)

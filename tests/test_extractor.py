@@ -4,7 +4,7 @@ from collections import Counter
 
 from capreolus_spark.analysis import analyze_text
 from capreolus_spark.analysis.expansion import trigram_expand
-from capreolus_spark.extractor import bow_doc_features, bow_query_features
+from capreolus_spark.extractor import bow_doc_features, bow_query_features, bow_query_idf
 
 
 def _expected_counts(corpus_rows, kw, mode):
@@ -60,3 +60,14 @@ def test_bow_restrict_to_docids(spark, dummy_index):
     sub = spark.createDataFrame([("LA010189-0001",)], "docid string")
     got = {r["docid"] for r in bow_doc_features(dummy_index, docids=sub).collect()}
     assert got == {"LA010189-0001"}
+
+
+def test_bow_query_idf(dummy_index):
+    """query_idf vector twin (reference bagofwords.py:123-126): idf at the
+    term's vocab slot, 0.0 at the pad slot for OOV."""
+    q = bow_query_idf(dummy_index, {"301": "dummy unseenzzz"})
+    vec = q["301"]
+    assert vec[0] == 0.0  # OOV slot
+    idfs = [v for k, v in vec.items() if k != 0]
+    assert len(idfs) == 1
+    assert idfs[0] == dummy_index.get_idf("dummi")

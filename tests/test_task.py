@@ -49,3 +49,36 @@ def test_export_trec_docs(dummy_index, tmp_path):
     assert "Dummy Dummy Dummy Hello world, greetings from outer space!" in text
     # exported file parses as a corpus again (round-trip shape check)
     assert text.count("<DOC>") == 2 and text.count("</DOC>") == 2
+
+
+def test_rerank_task_interpolation_flow(spark, tmp_path, synth_benchmark_parts):
+    """RerankTask: threshold -> injected reranker -> per-fold alpha pick ->
+    cross-fold metrics (reference rerank.traineval orchestration)."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.search import QLDirichletSearcher
+    from capreolus_spark.task import RerankTask
+
+    idx, benchmark = synth_benchmark_parts
+
+    def ql_reranker(topics, run):
+        qids = set(run)
+        sub = {q: t for q, t in topics.items() if q in qids}
+        searcher = QLDirichletSearcher(idx, hits=100)
+        full = searcher.search_collect(sub)
+        # score only the candidate pairs, like a real reranker would
+        return {
+            qid: {d: s for d, s in docs.items() if d in run.get(qid, {})}
+            for qid, docs in full.items()
+        }
+
+    task = RerankTask(idx, benchmark, ql_reranker, str(tmp_path / "rr"), hits=30,
+                      threshold=10, test_threshold=20)
+    out = task.traineval()
+    assert set(out["folds"]) == set(benchmark.folds)
+    for fold, r in out["folds"].items():
+        assert 0.0 <= r["alpha"] <= 1.0
+    assert "map" in out["score"]
+    # interpolation at the chosen alpha can't be WORSE on dev than pure
+    # first stage (alpha=1 reproduces first stage, and argmax >= that)
+    import os as _os
+    assert _os.path.exists(str(tmp_path / "rr" / "reranked_test_run"))
