@@ -215,3 +215,44 @@ def test_query_from_file_trec_sgml(dummy_searcher, tmp_path):
     out = tmp_path / "run_out_sgml"
     dummy_searcher.query_from_file(str(topics), str(out))
     assert "301 Q0 LA010189-0001 1 0.139500" in (out / "searcher").read_text()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["q1", "q2", "q3"]),
+            st.integers(min_value=0, max_value=40),
+            st.sampled_from([1.0, 2.0, 2.5, 3.0, 3.5]),  # few values → many ties
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    hits=st.integers(min_value=1, max_value=5),
+)
+def test_global_topk_cut_property(cached_spark_and_searcher, rows, hits):
+    """Property: the pre-join cut returns EXACTLY the rows whose score-rank
+    (ties sharing rank) is <= hits per qid — regardless of partitioning."""
+    spark, s = cached_spark_and_searcher
+    rows = list({(q, d): (q, d, sc) for q, d, sc in rows}.values())  # unique (qid, docno)
+    cand = spark.createDataFrame(rows, "qid string, docno long, score double").repartition(7)
+    got = {(r["qid"], r["docno"]) for r in s._global_topk_cut(cand, hits).collect()}
+    expected = set()
+    by_q = {}
+    for q, d, sc in rows:
+        by_q.setdefault(q, []).append((d, sc))
+    for q, lst in by_q.items():
+        for d, sc in lst:
+            strictly_better = sum(1 for _, s2 in lst if s2 > sc)
+            if strictly_better < hits:
+                expected.add((q, d))
+    assert got == expected
+
+
+@pytest.fixture(scope="session")
+def cached_spark_and_searcher(spark, synth_index):
+    idx, _ = synth_index
+    return spark, BM25Searcher(idx, BM25Config(hits=5))
