@@ -543,6 +543,19 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _q_total_samples(spark, sf_dir):
+    from capreolus_spark.sampler import sample_counts
+
+    run = _synth_run(spark, sf_dir).select("qid", "docid")
+    qrels = _synth_qrels(spark, sf_dir)
+    return sample_counts(run, qrels).select(
+        "qid",
+        F.col("posdocs").cast("long").alias("posdocs"),
+        F.col("negdocs").cast("long").alias("negdocs"),
+        F.col("samples").cast("long").alias("samples"),
+    )
+
+
 def _q_bow_features(spark, sf_dir):
     from capreolus_spark.config import IndexConfig
     from capreolus_spark.extractor import bow_doc_features
@@ -715,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": _q_token_quality,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
+        "total_training_samples": _q_total_samples,
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
@@ -916,6 +930,15 @@ def oracle_sql() -> dict[str, str]:
             f"md5(array_to_string({_TOK}, ' ')) AS fingerprint, sha256(text) AS sha256 FROM documents"
         ),
         "lang_id": lang_sql,
+        "total_training_samples": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
+            "lab AS (SELECT run.qid, run.docid, coalesce(qrels.label, 0) >= 1 AS rel "
+            "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
+            "c AS (SELECT qid, sum(CASE WHEN rel THEN 1 ELSE 0 END) AS pos, "
+            "sum(CASE WHEN rel THEN 0 ELSE 1 END) AS neg FROM lab GROUP BY qid) "
+            "SELECT qid, cast(pos AS bigint) AS posdocs, cast(neg AS bigint) AS negdocs, "
+            "cast(pos * neg AS bigint) AS samples FROM c WHERE pos > 0 AND neg > 0"
+        ),
         "bow_doc_features": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, "
             f"list_filter({_TOK}, t -> t NOT IN ({_STOPS_SQL})) AS itoks FROM documents), "

@@ -31,6 +31,7 @@ class InvertedIndex:
         self._stats: dict | None = None
         self._config: IndexConfig | None = None
         self._persisted: dict[str, DataFrame] = {}
+        self._term_stats: dict[str, tuple[int, int]] = {}
 
     def persist(self) -> "InvertedIndex":
         """Pin postings + ranges in executor memory across queries — the
@@ -91,7 +92,10 @@ class InvertedIndex:
     # -------------------------------------------------- tables
 
     def _tbl(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, name))
+        from .build import read_stage
+
+        # schema-specified: works on empty stage dirs (zero-doc corpus)
+        return read_stage(self.spark, self.index_dir, name)
 
     def docs_df(self) -> DataFrame:
         return self._tbl("docmap")
@@ -147,18 +151,23 @@ class InvertedIndex:
 
     def get_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """{term: (df, cf)} for a batch of analyzed terms (0,0 if unseen).
-        One predicate-pushed parquet scan for the whole query batch."""
+        One predicate-pushed parquet scan per batch of NOT-yet-seen terms;
+        results are memoized on the (immutable once built) dictionary, so
+        grid searches and repeated queries skip the lookup job entirely."""
         if not terms:
             return {}
-        rows = (
-            self.dict_df()
-            .filter(F.col("term").isin(list(set(terms))))
-            .select("term", "df", "cf")
-            .collect()
-        )
-        out = {t: (0, 0) for t in terms}
-        out.update({r["term"]: (int(r["df"]), int(r["cf"])) for r in rows})
-        return out
+        missing = sorted({t for t in terms if t not in self._term_stats})
+        if missing:
+            rows = (
+                self.dict_df()
+                .filter(F.col("term").isin(missing))
+                .select("term", "df", "cf")
+                .collect()
+            )
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for t in missing:
+                self._term_stats[t] = found.get(t, (0, 0))
+        return {t: self._term_stats[t] for t in terms}
 
     @property
     def sum_cf(self) -> int:

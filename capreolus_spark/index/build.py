@@ -65,6 +65,28 @@ POSTINGS_SCHEMA = (
     "term string, range_id long, df_range long, cf_range long, "
     "max_tf int, docnos binary, tfs binary, positions binary"
 )
+DICT_SCHEMA = "term string, df long, cf long, max_tf int"
+
+# explicit read schemas per on-disk stage: schema-specified reads work on
+# empty stage directories (a zero-doc corpus writes no part files) where
+# schema inference would fail
+STAGE_SCHEMAS = {
+    "docmap": DOCMAP_SCHEMA_BASE + ", content string",
+    "tokens": TOKENS_SCHEMA,
+    "ranges": RANGES_SCHEMA,
+    "postings": POSTINGS_SCHEMA,
+    "dict": DICT_SCHEMA,
+}
+
+
+def read_stage(spark: SparkSession, index_dir_or_path: str, stage: str | None = None) -> DataFrame:
+    """Schema-specified read of a build-stage parquet directory."""
+    if stage is None:
+        stage = os.path.basename(index_dir_or_path.rstrip("/"))
+        path = index_dir_or_path
+    else:
+        path = os.path.join(index_dir_or_path, stage)
+    return spark.read.schema(STAGE_SCHEMAS[stage]).parquet(path)
 
 
 # ---------------------------------------------------------------- manifest
@@ -476,7 +498,7 @@ def build_index(
         _assign_docnos(corpus, n_doc_parts).write.mode("overwrite").parquet(out)
 
     def write_tokens(out: str) -> None:
-        docmap = spark.read.parquet(paths["docmap"])
+        docmap = read_stage(spark, paths["docmap"])
         # kind-partitioned: ranges reads only kind=dl, postings only
         # kind=tok — each downstream scan partition-prunes to what it needs
         _tokenize_stage(docmap, config).write.mode("overwrite").partitionBy(
@@ -484,20 +506,20 @@ def build_index(
         ).parquet(out)
 
     def write_ranges(out: str) -> None:
-        tokens = spark.read.parquet(paths["tokens"])
+        tokens = read_stage(spark, paths["tokens"])
         _ranges_stage(tokens, config.range_size, n_post_parts).write.mode(
             "overwrite"
         ).parquet(out)
 
     def write_postings(out: str) -> None:
-        tokens = spark.read.parquet(paths["tokens"])
+        tokens = read_stage(spark, paths["tokens"])
         packed = _postings_stage(
             tokens, config.range_size, n_post_parts, with_positions=config.store_positions
         )
         _write_postings_layout(packed, n_post_parts, out)
 
     def write_dict(out: str) -> None:
-        postings = spark.read.parquet(paths["postings"])
+        postings = read_stage(spark, paths["postings"])
         (
             postings.groupBy("term")
             .agg(
@@ -562,13 +584,13 @@ def build_index(
         t0 = time.monotonic()
         n_docs = manifest.data["stages"]["docmap"]["rows_out"]
         agg = (
-            spark.read.parquet(paths["ranges"])
+            read_stage(spark, paths["ranges"])
             .agg(F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("docs_with_terms"))
             .collect()[0]
         )
         sum_dl = int(agg["sum_dl"] or 0)
         cf_row = (
-            spark.read.parquet(paths["dict"]).agg(F.sum("cf").alias("s")).collect()[0]
+            read_stage(spark, paths["dict"]).agg(F.sum("cf").alias("s")).collect()[0]
         )
         stats = {
             "n_docs": n_docs,

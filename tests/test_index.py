@@ -218,3 +218,20 @@ def test_vocab_dense_ids(synth_index):
     assert {(r["term"], r["term_id"]) for r in again} == {(r["term"], r["term_id"]) for r in rows}
     by_term = {r["term"]: r["df"] for r in rows}
     assert by_term["def"] == idx.get_df("def")
+
+
+def test_empty_corpus_build_and_search(spark, tmp_path):
+    """Degenerate input hardening: an empty corpus builds an empty (but
+    complete) index, and every searcher returns empty results without
+    crashing."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.search import BM25Searcher
+
+    empty = spark.createDataFrame([], "docid string, content string")
+    idx = InvertedIndex.create(spark, empty, str(tmp_path / "empty_idx"), IndexConfig())
+    assert idx.exists()
+    assert idx.numdocs == 0
+    assert idx.get_df("anything") == 0
+    s = BM25Searcher(idx, BM25Config(hits=10))
+    assert s.search_collect({"q": "some words"}) == {}
+    assert s.search({"q": "some words"}).count() == 0
