@@ -109,3 +109,18 @@ def udel_expand_column(query: Column | str) -> Column:
     words = F.split(F.trim(col), r"\s+")
     kept = F.filter(words, lambda w: ~w.isin(*sorted(UDEL_STOPWORDS)))
     return F.array_join(kept, " ")
+
+
+def padlist(list_to_pad: list, padlen: int, pad_token=0) -> list:
+    """Truncate-or-pad to exactly ``padlen`` (reference
+    ``utils/common.py:99-111``)."""
+    padded = list(list_to_pad[:padlen])
+    return padded + [pad_token] * (padlen - len(padded))
+
+
+def padlist_column(col: Column | str, padlen: int, pad_token=0) -> Column:
+    """Distributed twin as a pure column expression over array columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    cut = F.slice(c, 1, padlen)
+    pad = F.array_repeat(F.lit(pad_token), padlen - F.size(cut))
+    return F.concat(cut, pad)

@@ -192,3 +192,14 @@ def test_trecweb_corpus_scan(spark, tmp_path):
         ("GX001-01", "<html>real content one</html>"),
         ("GX001-02", "second document body"),
     ]
+
+
+def test_padlist_and_column(spark):
+    from capreolus_spark.analysis.expansion import padlist, padlist_column
+
+    assert padlist([1, 2, 3], 5) == [1, 2, 3, 0, 0]
+    assert padlist([1, 2, 3, 4, 5, 6], 4) == [1, 2, 3, 4]
+    assert padlist([], 3, pad_token="x") == ["x", "x", "x"]
+    df = spark.createDataFrame([([1, 2, 3],), ([1, 2, 3, 4, 5, 6],), ([],)], "a array<int>")
+    rows = df.select(padlist_column("a", 4).alias("p")).collect()
+    assert [r["p"] for r in rows] == [[1, 2, 3, 0], [1, 2, 3, 4], [0, 0, 0, 0]]

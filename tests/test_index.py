@@ -235,3 +235,22 @@ def test_empty_corpus_build_and_search(spark, tmp_path):
     s = BM25Searcher(idx, BM25Config(hits=10))
     assert s.search_collect({"q": "some words"}) == {}
     assert s.search({"q": "some words"}).count() == 0
+
+
+def test_build_deterministic_across_partitionings(spark, tmp_path):
+    """SURVEY 'hard parts': rankings and scores must be bit-identical
+    regardless of build partition counts (docnos differ; docids + scores
+    must not)."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.data import synth_corpus, synth_queries
+    from capreolus_spark.search import BM25Searcher
+
+    corpus = make_docid_column(synth_corpus(spark, 250))
+    runs = []
+    for parts in (2, 7):
+        cfg = IndexConfig(num_doc_partitions=parts, postings_partitions=parts)
+        idx = InvertedIndex.create(spark, corpus, str(tmp_path / f"p{parts}"), cfg)
+        searcher = BM25Searcher(idx, BM25Config(hits=20))
+        run = searcher.search_collect(synth_queries(6))
+        runs.append({q: list(d.items()) for q, d in run.items()})
+    assert runs[0] == runs[1]
