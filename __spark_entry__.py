@@ -543,6 +543,30 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _events(spark, sf_dir):
+    _ensure_package(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from capreolus_spark.events import session_summary
+
+    return session_summary(_events(spark, sf_dir), gap_minutes=30).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+        "start_ts",
+        "end_ts",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_event_props(spark, sf_dir):
+    from capreolus_spark.events import props_stats
+
+    return props_stats(_events(spark, sf_dir), key="k")
+
+
 def _q_total_samples(spark, sf_dir):
     from capreolus_spark.sampler import sample_counts
 
@@ -729,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
         "total_training_samples": _q_total_samples,
+        "sessionize_events": _q_sessionize,
+        "event_props_stats": _q_event_props,
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
@@ -930,6 +956,26 @@ def oracle_sql() -> dict[str, str]:
             f"md5(array_to_string({_TOK}, ' ')) AS fingerprint, sha256(text) AS sha256 FROM documents"
         ),
         "lang_id": lang_sql,
+        "sessionize_events": (
+            "WITH l AS (SELECT user_id, event_id, ts, value, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "m AS (SELECT *, CASE WHEN prev IS NULL OR "
+            "epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s FROM l), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_no FROM m) "
+            "SELECT cast(user_id AS bigint) AS user_id, cast(session_no AS bigint) AS session_no, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts, "
+            "cast(count(*) AS bigint) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, session_no"
+        ),
+        "event_props_stats": (
+            "WITH e AS (SELECT event_type, value, "
+            "cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events) "
+            "SELECT event_type, cast(count(*) AS bigint) AS n_events, "
+            "cast(count(k) AS bigint) AS n_with_key, round(avg(k), 6) AS avg_key, "
+            "round(avg(value), 6) AS avg_value FROM e GROUP BY event_type"
+        ),
         "total_training_samples": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
             "lab AS (SELECT run.qid, run.docid, coalesce(qrels.label, 0) >= 1 AS rel "

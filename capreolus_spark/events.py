@@ -1,0 +1,77 @@
+"""Event-log analytics operators over the ``events`` table shape
+``(event_id, ts, user_id, event_type, value, props json-string)``.
+
+Beyond the reference (which has no event/time surface) but core to a
+training-data platform's telemetry/interaction logs:
+
+* :func:`sessionize` — gap-based sessionization: a new session starts when
+  a user's inter-event gap exceeds ``gap_minutes``.  Lag + running-sum
+  windows partitioned by user: the shuffle is one hash partition per user,
+  no self-join, no unbounded state.
+* :func:`session_summary` — per-session aggregates (start/end epoch-ms,
+  event count, value sum).
+* :func:`props_stats` — JSON property extraction (``get_json_object``)
+  aggregated per event type.
+
+All pure column expressions / window functions → whole-stage codegen,
+SQL-expressible, DuckDB-gated via ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Events + ``session_no`` (1-based per user, ordered by (ts, event_id)
+    for a deterministic total order under timestamp ties)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    # NTZ-safe: cast via timestamp→double; tz shifts cancel in the diff
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(ts_col, "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_no", F.sum(new_session).over(running))
+
+
+def session_summary(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """(user_id, session_no, start_ts, end_ts, n_events, sum_value).
+    Session bounds are wall-time strings — timezone-independent for the
+    TIMESTAMP_NTZ event column (epoch extraction would depend on the
+    session timezone)."""
+    s = sessionize(events, gap_minutes=gap_minutes)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), fmt).alias("start_ts"),
+        F.date_format(F.max("ts"), fmt).alias("end_ts"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def props_stats(events: DataFrame, key: str = "k") -> DataFrame:
+    """Per event_type aggregates of a JSON property: (event_type, n_events,
+    n_with_key, avg_key, avg_value)."""
+    k = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return (
+        events.select("event_type", "value", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("_k").cast("long").alias("n_with_key"),
+            F.round(F.avg("_k"), 6).alias("avg_key"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,33 @@
+"""Event-log analytics: gap sessionization + JSON props stats."""
+
+import datetime as dt
+
+from capreolus_spark.events import props_stats, session_summary, sessionize
+
+
+def _ts(m, s=0):
+    return dt.datetime(2026, 1, 1, 10, m, s)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, _ts(0), 100, "view", 1.0, '{"k": 1}'),
+        (2, _ts(10), 100, "click", 2.0, '{"k": 2}'),   # 10 min gap: same session
+        (3, _ts(50), 100, "view", 3.0, None),           # 40 min gap: new session
+        (4, _ts(5), 200, "view", 4.0, '{"k": 7}'),      # other user: own session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    s = {r["event_id"]: r["session_no"] for r in sessionize(ev, gap_minutes=30).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    summ = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["sum_value"])
+        for r in session_summary(ev, gap_minutes=30).collect()
+    }
+    assert summ == {(100, 1): (2, 3.0), (100, 2): (1, 3.0), (200, 1): (1, 4.0)}
+
+    ps = {r["event_type"]: (r["n_events"], r["n_with_key"], r["avg_key"]) for r in props_stats(ev).collect()}
+    assert ps["view"] == (3, 2, 4.0)   # k present for events 1 (k=1) and 4 (k=7)
+    assert ps["click"] == (1, 1, 2.0)
