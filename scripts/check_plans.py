@@ -88,6 +88,11 @@ def main() -> None:
             )
         )
 
+        # 7. no per-row Python UDFs anywhere in the search plan (Arrow
+        #    stages show as ArrowEvalPython/FlatMapGroupsInPandas — allowed;
+        #    BatchEvalPython is the row-at-a-time slow path — forbidden)
+        results.append(("no row-at-a-time python in search plan", "BatchEvalPython" not in rplan))
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
