@@ -209,28 +209,50 @@ def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
 
             out = []
             if store_positions:
-                # positions path (optional store): per-(doc,term) position
-                # lists need a list-agg — keep the pandas groupby
+                # positions path: same factorize trick, then one stable
+                # lexsort by (doc, term-code) + change-point slicing — the
+                # per-(doc,term) position lists come out in stream order
+                # (ascending positions) without an object-key groupby
                 starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
                 positions = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-                tl = pd.DataFrame({"docno": docnos, "tok": flat, "pos": positions})
+                codes, uniques = pd.factorize(flat, sort=False)
                 if remove_stops:
-                    tl = tl[~tl["tok"].isin(LUCENE_STOP_WORDS).to_numpy()]
-                if len(tl):
-                    if stemmer != "none":
-                        uniq = pd.unique(tl["tok"])
-                        mapping = {t: stem_token(t, stemmer) for t in uniq}
-                        terms = tl["tok"].map(mapping)
-                    else:
-                        terms = tl["tok"]
-                    grouped = pd.DataFrame(
-                        {"docno": tl["docno"].values, "term": terms.values, "pos": tl["pos"].values}
-                    ).groupby(["docno", "term"], sort=False)
-                    counts = grouped["pos"].agg(list).reset_index(name="positions")
-                    counts["tf"] = counts["positions"].map(len)
-                    # stream order == ascending positions (stable groupby)
-                    counts["kind"] = "tok"
-                    out.append(counts[["docno", "term", "tf", "positions", "kind"]])
+                    stop_u = np.fromiter(
+                        (u in LUCENE_STOP_WORDS for u in uniques), bool, count=len(uniques)
+                    )
+                    keep = ~stop_u[codes]
+                else:
+                    keep = np.ones(total, dtype=bool)
+                if stemmer != "none":
+                    stemmed = np.fromiter(
+                        (stem_token(u, stemmer) for u in uniques),
+                        dtype=object,
+                        count=len(uniques),
+                    )
+                    scodes, sunique = pd.factorize(stemmed, sort=False)
+                    tcode = scodes[codes[keep]]
+                else:
+                    tcode, sunique = codes[keep], uniques
+                if len(tcode):
+                    kd, kp = docnos[keep], positions[keep]
+                    order = np.lexsort((tcode, kd))  # stable: positions ascend
+                    sd, st, sp = kd[order], tcode[order], kp[order]
+                    change = np.flatnonzero((sd[1:] != sd[:-1]) | (st[1:] != st[:-1])) + 1
+                    bounds = np.concatenate([[0], change, [len(sd)]])
+                    terms_arr = np.asarray(sunique, dtype=object)
+                    counts = pd.DataFrame(
+                        {
+                            "docno": sd[bounds[:-1]],
+                            "term": terms_arr.take(st[bounds[:-1]]),
+                            "tf": np.diff(bounds),
+                            "positions": [
+                                sp[bounds[i] : bounds[i + 1]].tolist()
+                                for i in range(len(bounds) - 1)
+                            ],
+                            "kind": "tok",
+                        }
+                    )
+                    out.append(counts)
             else:
                 # hot path: factorize-then-unique tf extraction — all the
                 # per-token work happens on the (Zipf-small) unique surface
