@@ -502,6 +502,19 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_dedup_components(spark, sf_dir):
+    from capreolus_spark.textproc import dup_components, exact_dup_groups
+
+    groups = exact_dup_groups(_corpus_with_dups(spark, sf_dir))
+    pairs = groups.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("canonical_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return dup_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from capreolus_spark.textproc import ngram_jaccard_pairs
 
@@ -746,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_filter_keep_topn": _q_filter_keep_topn,
         "eval_metrics": _q_eval_metrics,
         "dedup_exact": _q_dedup_exact,
+        "dedup_components": _q_dedup_components,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -932,6 +946,14 @@ def oracle_sql() -> dict[str, str]:
             "round(judged_at_k * 1.0 / n_at_k, 6) AS judged_at_10 "
             "FROM agg JOIN nrel ON agg.qid = nrel.qid "
             "LEFT JOIN idcg ON agg.qid = idcg.qid LEFT JOIN dcg ON agg.qid = dcg.qid"
+        ),
+        "dedup_components": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            f"fp AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS f FROM dup), "
+            "g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS component_id, "
+            "count(*) OVER (PARTITION BY f) AS n FROM fp) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(component_id AS bigint) AS component_id "
+            "FROM g WHERE n > 1"
         ),
         "dedup_exact": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

@@ -5,6 +5,7 @@ from .quality import (  # noqa: F401
     fingerprint,
 )
 from .dedup import (  # noqa: F401
+    dup_components,
     exact_dup_groups,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,

@@ -372,3 +372,57 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over duplicate pairs → (doc_id, component_id),
+    component_id = the minimum doc_id of the component (the canonical
+    representative downstream dedup keeps).
+
+    Iterative min-label propagation: every vertex starts as its own label;
+    each round a vertex takes the min of its own and its neighbors' labels;
+    stop at fixpoint.  Rounds needed = graph diameter — duplicate clusters
+    are near-cliques (all-pairs emission) or stars (the mega-bucket guard's
+    representative chaining), so 2-3 rounds in practice.  Each round is one
+    shuffle on doc_id; ``localCheckpoint`` truncates the growing lineage so
+    plan size stays constant at 100 TB-scale pair sets.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("n_min"), F.col("component_id"))
+                ).alias("component_id"),
+                (F.coalesce(F.col("n_min"), F.col("component_id")) < F.col("component_id"))
+                .cast("long")
+                .alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.agg(F.sum("_changed").alias("c")).collect()[0]["c"] or 0
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels

@@ -309,3 +309,27 @@ def test_clean_corpus_pipeline(spark):
     assert out[5]["pred_lang"] == "es"
     only_en = clean_corpus(docs, languages=["en"]).collect()
     assert {r["doc_id"] for r in only_en} == {1}
+
+
+def test_dup_components_matches_union_find(spark):
+    """Label-propagation components == driver union-find on random pair sets,
+    including chains (star-guard output) and multi-cluster graphs."""
+    pairs = [
+        (1, 2), (2, 3),          # chain -> {1,2,3}
+        (10, 11), (10, 12), (11, 12),  # clique -> {10,11,12}
+        (20, 21),                # pair
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    from capreolus_spark.textproc import dup_components
+
+    got = {r["doc_id"]: r["component_id"] for r in dup_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_components_long_chain(spark):
+    """A 15-vertex path needs multiple propagation rounds."""
+    from capreolus_spark.textproc import dup_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(15)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component_id"] for r in dup_components(df).collect()}
+    assert got == {i: 0 for i in range(16)}
