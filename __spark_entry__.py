@@ -561,6 +561,14 @@ def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _q_triplets(spark, sf_dir):
+    from capreolus_spark.sampler import triplets
+
+    run = _synth_run(spark, sf_dir).select("qid", "docid")
+    qrels = _synth_qrels(spark, sf_dir)
+    return triplets(run, qrels)
+
+
 def _q_sessionize(spark, sf_dir):
     from capreolus_spark.events import session_summary
 
@@ -767,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
         "total_training_samples": _q_total_samples,
+        "training_triplets": _q_triplets,
         "sessionize_events": _q_sessionize,
         "event_props_stats": _q_event_props,
         "ann_cosine_topk": _q_ann_cosine,
@@ -997,6 +1006,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, cast(count(*) AS bigint) AS n_events, "
             "cast(count(k) AS bigint) AS n_with_key, round(avg(k), 6) AS avg_key, "
             "round(avg(value), 6) AS avg_value FROM e GROUP BY event_type"
+        ),
+        "training_triplets": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
+            "lab AS (SELECT run.qid, run.docid, coalesce(qrels.label, 0) >= 1 AS rel "
+            "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
+            "usable AS (SELECT qid FROM lab GROUP BY qid "
+            "HAVING sum(CASE WHEN rel THEN 1 ELSE 0 END) > 0 AND sum(CASE WHEN rel THEN 0 ELSE 1 END) > 0) "
+            "SELECT p.qid, p.docid AS posdocid, n.docid AS negdocid "
+            "FROM (SELECT qid, docid FROM lab WHERE rel AND qid IN (SELECT qid FROM usable)) p "
+            "JOIN (SELECT qid, docid FROM lab WHERE NOT rel AND qid IN (SELECT qid FROM usable)) n "
+            "ON p.qid = n.qid"
         ),
         "total_training_samples": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

@@ -44,3 +44,47 @@ def total_samples(run: DataFrame, qrels: DataFrame, relevance_level: int = 1) ->
         F.coalesce(F.sum("samples"), F.lit(0)).alias("t")
     ).collect()[0]
     return int(row["t"])
+
+
+def triplets(
+    run: DataFrame,
+    qrels: DataFrame,
+    relevance_level: int = 1,
+    per_qid_cap: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(qid, posdocid, negdocid) training triplets — the distributed twin of
+    the reference ``TrainTripletSampler`` (``sampler/__init__.py:89-129``).
+
+    The reference samples (pos, neg) pairs with an RNG, infinitely; a
+    distributed pipeline wants the DETERMINISTIC enumerable set instead:
+    every (pos, neg) combination per usable qid (exactly ``total_samples``
+    rows — the quantity ``clean()`` counts), optionally cut to the
+    ``per_qid_cap`` pairs with the smallest seeded hash (a reproducible
+    "random" subsample; same hash → same sample on any cluster).
+
+    The per-qid pair blow-up is posdocs × negdocs ≤ hits²; with a cap the
+    window cut bounds it before anything downstream materializes.
+    """
+    labeled = (
+        run.select("qid", "docid")
+        .join(qrels.select("qid", "docid", "label"), ["qid", "docid"], "left")
+        .withColumn("rel", (F.coalesce(F.col("label"), F.lit(0)) >= relevance_level))
+    )
+    usable = sample_counts(run, qrels, relevance_level).select("qid")
+    labeled = labeled.join(F.broadcast(usable), "qid", "left_semi")
+    pos = labeled.filter(F.col("rel")).select("qid", F.col("docid").alias("posdocid"))
+    neg = labeled.filter(~F.col("rel")).select("qid", F.col("docid").alias("negdocid"))
+    pairs = pos.join(neg, "qid")
+    if per_qid_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.xxhash64("qid", "posdocid", "negdocid", F.lit(seed))
+        )
+        pairs = (
+            pairs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= per_qid_cap)
+            .drop("_r")
+        )
+    return pairs

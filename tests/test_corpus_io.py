@@ -203,3 +203,26 @@ def test_padlist_and_column(spark):
     df = spark.createDataFrame([([1, 2, 3],), ([1, 2, 3, 4, 5, 6],), ([],)], "a array<int>")
     rows = df.select(padlist_column("a", 4).alias("p")).collect()
     assert [r["p"] for r in rows] == [[1, 2, 3, 0], [1, 2, 3, 4], [0, 0, 0, 0]]
+
+
+def test_triplet_sampler(spark):
+    from capreolus_spark.sampler import total_samples, triplets
+
+    run = spark.createDataFrame(
+        [("q1", d) for d in ("a", "b", "c", "d")] + [("q2", d) for d in ("a", "b")],
+        "qid string, docid string",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 2), ("q1", "b", 1), ("q2", "a", 0)],
+        "qid string, docid string, label int",
+    )
+    rows = triplets(run, qrels).collect()
+    # q1: pos {a,b} x neg {c,d} = 4; q2 has no positives -> dropped
+    assert len(rows) == total_samples(run, qrels) == 4
+    assert {(r["qid"], r["posdocid"], r["negdocid"]) for r in rows} == {
+        ("q1", "a", "c"), ("q1", "a", "d"), ("q1", "b", "c"), ("q1", "b", "d"),
+    }
+    capped1 = triplets(run, qrels, per_qid_cap=2).collect()
+    capped2 = triplets(run, qrels, per_qid_cap=2).collect()
+    assert len(capped1) == 2
+    assert sorted(map(tuple, capped1)) == sorted(map(tuple, capped2))  # deterministic
