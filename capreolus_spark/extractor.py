@@ -102,16 +102,17 @@ def _vocab(index: InvertedIndex, mode: str) -> DataFrame:
     if mode == "unigram":
         return base
     if mode == "trigram":
-        from pyspark.sql import Window
-
+        # zipWithIndex after a range-sort (same pattern as vocab_df): dense
+        # 1-based ids without a global single-partition window
         trigs = (
             base.select(
                 F.explode(trigram_expand_column(F.array(F.col("term")))).alias("term")
             )
             .distinct()
+            .orderBy("term")
         )
-        w = Window.orderBy("term")
-        return trigs.select("term", F.row_number().over(w).cast("long").alias("term_id"))
+        rdd = trigs.rdd.zipWithIndex().map(lambda t: (t[0]["term"], t[1] + 1))
+        return trigs.sparkSession.createDataFrame(rdd, "term string, term_id long")
     raise ValueError(f"unknown datamode {mode!r} (unigram|trigram)")
 
 

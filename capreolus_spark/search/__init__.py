@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..analysis import analyze_text
 from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
-from .daat import RESULT_SCHEMA, make_range_scorer, merge_topk
+from .daat import RESULT_SCHEMA, make_range_scorer
 from .scoring import (
     BM25Scoring,
     F2ExpScoring,

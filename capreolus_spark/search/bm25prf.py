@@ -25,9 +25,7 @@ from __future__ import annotations
 import math
 from collections import Counter, OrderedDict
 
-from pyspark.sql import DataFrame
 
-from ..analysis import analyze_text
 from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from .rm3 import BM25RM3Searcher

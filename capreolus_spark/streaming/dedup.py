@@ -16,7 +16,7 @@ only; SURVEY §2.9) for a continuously-ingesting training-data pipeline:
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
