@@ -616,6 +616,18 @@ def _q_bow_features(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    from capreolus_spark.textproc import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "top_bigram_frac",
+        "keep",
+    )
+
+
 def _q_pipeline_clean(spark, sf_dir):
     from capreolus_spark.textproc.pipeline import clean_corpus
 
@@ -772,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
+        "repetition_stats": _q_repetition,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
         "total_training_samples": _q_total_samples,
@@ -1036,6 +1049,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT term FROM tf)) "
             "SELECT cast(docid AS bigint) AS doc_id, cast(term_id AS bigint) AS term_id, "
             "cast(tf AS bigint) AS count FROM tf JOIN vocab USING (term)"
+        ),
+        "repetition_stats": (
+            f"WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, chr(10)), ln -> len(trim(ln)) > 0) AS lines, "
+            f"{_TOK} AS toks FROM documents), "
+            "l AS (SELECT doc_id, len(lines) AS n_lines, "
+            "CASE WHEN len(lines) > 0 THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) ELSE 0.0 END AS dup_line_frac, "
+            "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) "
+            "ELSE [] END AS bgs FROM base), "
+            "bg AS (SELECT doc_id, unnest(bgs) AS bg FROM l), "
+            "c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg), "
+            "f AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac FROM c GROUP BY doc_id) "
+            "SELECT cast(l.doc_id AS bigint) AS doc_id, cast(n_lines AS bigint) AS n_lines, dup_line_frac, "
+            "coalesce(f.top_bigram_frac, 0.0) AS top_bigram_frac, "
+            "dup_line_frac <= 0.3 AND coalesce(f.top_bigram_frac, 0.0) <= 0.2 AS keep "
+            "FROM l LEFT JOIN f ON l.doc_id = f.doc_id"
         ),
         "pipeline_clean_corpus": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

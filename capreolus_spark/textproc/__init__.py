@@ -1,5 +1,6 @@
 from .quality import (  # noqa: F401
     add_quality_columns,
+    repetition_stats,
     language_id,
     token_stats,
     fingerprint,

@@ -131,3 +131,62 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(normalized).alias("fingerprint"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family used by
+    web-scale corpus filters): per document,
+
+    * ``n_lines`` — non-empty lines;
+    * ``dup_line_frac`` — 1 − distinct/total non-empty lines (pure array
+      expression, no shuffle);
+    * ``top_bigram_frac`` — occurrences of the most frequent token bigram
+      over total bigrams (explode → count → max/sum; the only shuffle, keyed
+      by (doc, bigram) so it cannot skew beyond one document's bigrams);
+    * ``keep`` — both fractions under their thresholds.
+
+    Documents with <2 tokens have ``top_bigram_frac`` 0.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+
+    toks = _tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(0, size(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)) - 2), "
+            f"i -> array_join(slice(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0), i + 1, 2), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    frac = counts.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac")
+    )
+    out = base.join(frac, id_col, "left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )

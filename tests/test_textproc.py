@@ -333,3 +333,22 @@ def test_dup_components_long_chain(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(15)], "id_a long, id_b long")
     got = {r["doc_id"]: r["component_id"] for r in dup_components(df).collect()}
     assert got == {i: 0 for i in range(16)}
+
+
+def test_repetition_stats(spark):
+    from capreolus_spark.textproc import repetition_stats
+
+    rows = [
+        (1, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),      # 3/4 dup lines
+        (2, "one two three four five six seven eight nine ten"),     # no repetition
+        (3, "spam spam spam spam spam spam"),                        # one bigram dominates
+        (4, "x"),                                                    # <2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.5  # 2 distinct / 4
+    assert not got[1]["keep"]
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["keep"]
+    # doc 3: bigrams = ['spam spam'] x5 -> top fraction 1.0
+    assert got[3]["top_bigram_frac"] == 1.0 and not got[3]["keep"]
+    assert got[4]["top_bigram_frac"] == 0.0 and got[4]["n_lines"] == 1
