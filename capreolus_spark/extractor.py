@@ -49,7 +49,9 @@ def _doc_term_counts(index: InvertedIndex, docids: DataFrame | None) -> DataFram
 
     docs = index.docs_df().select("docid", "content")
     if docids is not None:
-        docs = docs.join(F.broadcast(docids.select("docid").distinct()), "docid", "left_semi")
+        # no broadcast hint: a run's docid set is qids × hits rows — let
+        # AQE pick broadcast vs shuffle by its actual size
+        docs = docs.join(docids.select("docid").distinct(), "docid", "left_semi")
 
     def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from itertools import chain
