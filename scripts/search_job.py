@@ -3,7 +3,12 @@
 
     spark-submit --py-files dist/capreolus_spark.zip scripts/search_job.py \\
         --index-dir <index> --topics <tsv qid\\ttext> --output <run file> \\
-        [--hits 1000] [--k1 0.9] [--b 0.4] [--tag capreolus_spark]
+        [--searcher BM25] [--hits 1000] [--k1 0.9] [--b 0.4] \\
+        [--param mu=1000 --param fbTerms=10 ...] [--tag capreolus_spark]
+
+``--searcher`` accepts any registered name (BM25, DirichletQL, QLJM, INL2,
+SPL, F2Exp, F2Log, BM25RM3, BM25PRF, SDM, axiomatic); extra scorer config
+goes through repeated ``--param key=value`` flags.
 """
 
 from __future__ import annotations
@@ -19,19 +24,37 @@ def main() -> None:
     ap.add_argument("--hits", type=int, default=1000)
     ap.add_argument("--k1", type=float, default=0.9)
     ap.add_argument("--b", type=float, default=0.4)
+    ap.add_argument("--searcher", default="BM25")
+    ap.add_argument(
+        "--param", action="append", default=[],
+        help="extra searcher config as key=value (repeatable)",
+    )
     ap.add_argument("--tag", default="capreolus_spark")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from capreolus_spark.config import BM25Config
     from capreolus_spark.index import InvertedIndex
     from capreolus_spark.io.trec import load_tsv_topics, write_trec_run
-    from capreolus_spark.search import BM25Searcher
+    from capreolus_spark.search import create_searcher
+
+    def _coerce(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    cfg = {"k1": args.k1, "b": args.b, "hits": args.hits}
+    for kv in args.param:
+        k, _, v = kv.partition("=")
+        cfg[k] = _coerce(v)
 
     spark = SparkSession.builder.appName("capreolus_spark_search").getOrCreate()
     idx = InvertedIndex(spark, args.index_dir)
-    searcher = BM25Searcher(idx, BM25Config(k1=args.k1, b=args.b, hits=args.hits), tag=args.tag)
+    searcher = create_searcher(args.searcher, idx, **cfg)
+    searcher.tag = args.tag
     topics = load_tsv_topics(args.topics)
     run = searcher.search_collect(topics)
     write_trec_run(run, args.output, tag=args.tag)
