@@ -129,3 +129,67 @@ def sample_frames(
         "media_id", "duration_ms", "payload"
     )
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# magic-byte signatures (hex of the payload prefix) → sniffed mime; real
+# deterministic logic (no codec needed), unlike the stubbed pixel decode
+_MAGIC_PREFIXES: list[tuple[str, str]] = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "riff"),       # RIFF container: WAV/AVI/WebP, see below
+    ("494433", "audio/mpeg"),   # ID3-tagged MP3
+    ("FFFB", "audio/mpeg"),
+    ("255044462D", "application/pdf"),
+]
+
+
+def sniff_mime_column(payload_col: str = "payload"):
+    """Sniffed mime from payload magic bytes — pure column expression
+    (hex-prefix matching; RIFF containers disambiguated by bytes 9-12:
+    WAVE → audio/wav, WEBP → image/webp, AVI → video/avi)."""
+    head = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 12)")))
+    expr = F.lit("application/octet-stream")
+    # build the when-chain in reverse so earlier signatures win
+    riff_kind = F.upper(F.hex(F.expr(f"substring({payload_col}, 9, 4)")))
+    riff = (
+        F.when(riff_kind == F.lit("57415645"), F.lit("audio/wav"))      # WAVE
+        .when(riff_kind == F.lit("57454250"), F.lit("image/webp"))      # WEBP
+        .when(riff_kind == F.lit("41564920"), F.lit("video/avi"))       # AVI<sp>
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    for prefix, mime in reversed(_MAGIC_PREFIXES):
+        hit = riff if mime == "riff" else F.lit(mime)
+        expr = F.when(head.startswith(prefix), hit).otherwise(expr)
+    # mp4-family: 'ftyp' at bytes 5-8
+    ftyp = F.upper(F.hex(F.expr(f"substring({payload_col}, 5, 4)")))
+    return F.when(ftyp == F.lit("66747970"), F.lit("video/mp4")).otherwise(expr)
+
+
+def validate_media(media: DataFrame) -> DataFrame:
+    """Typed-metadata validation for a media table (MEDIA_SCHEMA shape):
+    adds ``sniffed_mime`` (magic bytes), ``mime_matches`` (declared vs
+    sniffed, majors compared), ``payload_ok`` (non-empty payload),
+    ``meta_ok`` (dimensions/duration sane for the declared kind).
+    Pure column expressions — runs in whole-stage codegen at any scale."""
+    sniffed = sniff_mime_column("payload")
+    major = F.split(F.col("mime"), "/").getItem(0)
+    sniffed_major = F.split(sniffed, "/").getItem(0)
+    return media.withColumns(
+        {
+            "sniffed_mime": sniffed,
+            "mime_matches": (sniffed != "application/octet-stream")
+            & (major == sniffed_major),
+            "payload_ok": F.col("payload").isNotNull()
+            & (F.length(F.col("payload")) > 0),
+            "meta_ok": F.when(
+                F.col("kind") == "image",
+                (F.col("width") > 0) & (F.col("height") > 0),
+            )
+            .when(
+                F.col("kind").isin("audio", "video"),
+                F.coalesce(F.col("duration_ms"), F.lit(0)) > 0,
+            )
+            .otherwise(F.lit(True)),
+        }
+    )

@@ -352,3 +352,35 @@ def test_repetition_stats(spark):
     # doc 3: bigrams = ['spam spam'] x5 -> top fraction 1.0
     assert got[3]["top_bigram_frac"] == 1.0 and not got[3]["keep"]
     assert got[4]["top_bigram_frac"] == 0.0 and got[4]["n_lines"] == 1
+
+
+def test_sniff_mime_and_validate_media(spark):
+    from capreolus_spark.textproc.multimodal import validate_media
+
+    png = b"\x89PNG\r\n\x1a\n" + b"fakepixels"
+    jpg = b"\xff\xd8\xff\xe0" + b"jfif"
+    wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"data"
+    webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"vp8 "
+    mp4 = b"\x00\x00\x00\x20ftypisom" + b"moov"
+    txt = b"plain text bytes"
+    rows = [
+        ("m1", "image", "image/png", 10, 10, None, png),
+        ("m2", "image", "image/png", 10, 10, None, jpg),   # declared png, is jpeg (same major)
+        ("m3", "audio", "audio/wav", 0, 0, 1500, wav),
+        ("m4", "image", "image/webp", 5, 5, None, webp),
+        ("m5", "video", "video/mp4", 0, 0, 9000, mp4),
+        ("m6", "image", "image/png", 0, 10, None, txt),    # unsniffable + bad width
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, mime string, width int, height int, duration_ms int, payload binary",
+    )
+    got = {r["media_id"]: r for r in validate_media(media).collect()}
+    assert got["m1"]["sniffed_mime"] == "image/png" and got["m1"]["mime_matches"]
+    assert got["m2"]["sniffed_mime"] == "image/jpeg" and got["m2"]["mime_matches"]
+    assert got["m3"]["sniffed_mime"] == "audio/wav" and got["m3"]["meta_ok"]
+    assert got["m4"]["sniffed_mime"] == "image/webp"
+    assert got["m5"]["sniffed_mime"] == "video/mp4" and got["m5"]["meta_ok"]
+    assert got["m6"]["sniffed_mime"] == "application/octet-stream"
+    assert not got["m6"]["mime_matches"] and not got["m6"]["meta_ok"]
+    assert all(r["payload_ok"] for r in got.values())
