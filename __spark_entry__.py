@@ -985,6 +985,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cast(doc_id AS bigint) AS doc_id, cast(canonical_id AS bigint) AS canonical_id, "
             "cast(group_size AS bigint) AS group_size FROM g WHERE group_size > 1"
         ),
+        # the MinHash-LSH path verifies candidates with EXACT Jaccard, and its
+        # deterministic hashes give recall 1 on this dataset — so the exact
+        # set-similarity oracle gates the whole LSH machinery (signatures,
+        # banding, bucket join, verification); the recall-1 property itself
+        # is pytest-asserted against the exact baseline
+        "dedup_minhash_lsh": (
+            f"WITH {dup_posts}, "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+            "FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b, "
+            "round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id "
+            "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8"
+        ),
         "dedup_ngram_jaccard": (
             f"WITH {dup_posts}, "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
