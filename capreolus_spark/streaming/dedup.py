@@ -97,3 +97,35 @@ def windowed_doc_stats(
             "n_tokens",
         )
     )
+
+
+def session_stats_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window``: per
+    (user, session) event counts and value sums; a session closes — and is
+    emitted in append mode — once the watermark passes its end + gap.  The
+    streaming twin of the batch :func:`capreolus_spark.events.sessionize`
+    (same gap semantics; here the engine's native session-window state
+    handles merging/expiry instead of a lag window)."""
+    return (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.col(user_col), F.session_window(F.col(time_col), gap).alias("win")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

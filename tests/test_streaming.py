@@ -237,3 +237,46 @@ def test_compaction_preserves_results(spark, tmp_path):
     idx3 = InvertedIndex(spark, index_dir)
     run3 = BM25Searcher(idx3, BM25Config(hits=10)).search_collect({"q": "postings"})
     assert "doc9" in run3["q"]
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Streaming session_window: gap-separated sessions per user close and
+    emit once the watermark passes; results match the batch sessionizer."""
+    import datetime as dt
+
+    from capreolus_spark.streaming import session_stats_stream
+
+    input_dir = str(tmp_path / "sess_in")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "sess_ck")
+    out = []
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, minute)
+
+    rows = [
+        (t(0), 100, 1.0), (t(10), 100, 2.0),   # session 1 (gap 10 <= 30)
+        (t(50), 100, 3.0),                      # session 2 (gap 40 > 30)
+        (t(5), 200, 4.0),                       # other user
+        (dt.datetime(2026, 1, 1, 14, 0), 999, 0.0),  # watermark pusher
+    ]
+    spark.createDataFrame(rows, "ts timestamp, user_id long, value double").coalesce(
+        1
+    ).write.mode("append").parquet(input_dir)
+
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(input_dir)
+    q = (
+        session_stats_stream(stream, gap="30 minutes", watermark_delay="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute): (r["n_events"], r["sum_value"])
+        for r in out
+        if r["user_id"] in (100, 200)
+    }
+    assert got == {(100, 0): (2, 3.0), (100, 50): (1, 3.0), (200, 5): (1, 4.0)}
