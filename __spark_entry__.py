@@ -679,6 +679,16 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, dim=64, k=10, num_planes=8)
 
 
+def _q_quantize_embeddings(spark, sf_dir):
+    from capreolus_spark.textproc import quantize_embeddings
+
+    q = quantize_embeddings(_embeddings(spark, sf_dir), bits=8)
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("codes").alias("dim_idx", "code"),
+    ).select("vec_id", "dim_idx", F.col("code").cast("long").alias("code"))
+
+
 def _q_ann_ivf(spark, sf_dir):
     from capreolus_spark.textproc import ivf_cosine_topk
 
@@ -800,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "quantize_embeddings": _q_quantize_embeddings,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -1109,6 +1120,15 @@ def oracle_sql() -> dict[str, str]:
             "round((least(1.0, n_tokens / 100.0) + greatest(0.0, 1.0 - punct_ratio / 0.3) + "
             "CASE WHEN n_tokens > 0 THEN n_distinct_tokens * 1.0 / n_tokens ELSE 0 END) / 3.0, 6) AS quality_score, "
             "n_tokens >= 5 AND punct_ratio <= 0.3 AS keep FROM s"
+        ),
+        "quantize_embeddings": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "x AS (SELECT vec_id, unnest(range(0, len(v))) AS dim_idx, unnest(v) AS val FROM e), "
+            "st AS (SELECT dim_idx, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim_idx) "
+            "SELECT cast(x.vec_id AS bigint) AS vec_id, cast(x.dim_idx AS int) AS dim_idx, "
+            "cast(CASE WHEN st.mx > st.mn THEN round((x.val - st.mn) / (st.mx - st.mn) * 255, 0) "
+            "ELSE 0 END AS bigint) AS code "
+            "FROM x JOIN st ON x.dim_idx = st.dim_idx"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "

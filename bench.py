@@ -283,18 +283,27 @@ def scaling() -> None:
     levels = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     )
+    # shared-host noise swings stage walls up to 3x run-to-run; with reps>1
+    # keep each level's fastest build (the quiet-host sample BASELINE.md's
+    # protocol calls for)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
     results = {}
     for cpus in levels:
-        env = dict(os.environ)
-        env["SPARK_GRAFT_CPUS"] = str(cpus)
-        env["SPARK_GRAFT_SF_DIR"] = SF_DIR
-        # compute-dominated input so thread scaling is measurable
-        env.setdefault("SPARK_GRAFT_BENCH_DOCS", "300000")
-        out = subprocess.run(
-            [sys.executable, __file__, "--build-only"],
-            capture_output=True, text=True, env=env, check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+            # compute-dominated input so thread scaling is measurable
+            env.setdefault("SPARK_GRAFT_BENCH_DOCS", "300000")
+            out = subprocess.run(
+                [sys.executable, __file__, "--build-only"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["build_sec"] < best["build_sec"]:
+                best = r
+        results[cpus] = best
     lo, hi = levels
     fps_lo = results[lo]["files_per_sec"]
     fps_hi = results[hi]["files_per_sec"]

@@ -14,6 +14,9 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
+    dequantize_codes,
+    quantization_params,
+    quantize_embeddings,
     ivf_cosine_topk,
     lsh_cosine_topk,
     embedding_near_dup_pairs,

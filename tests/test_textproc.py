@@ -384,3 +384,32 @@ def test_sniff_mime_and_validate_media(spark):
     assert got["m6"]["sniffed_mime"] == "application/octet-stream"
     assert not got["m6"]["mime_matches"] and not got["m6"]["meta_ok"]
     assert all(r["payload_ok"] for r in got.values())
+
+
+def test_embedding_quantization_roundtrip(spark):
+    """Scalar quantization: codes in range, dequantized error bounded by
+    half a quantization step per dimension."""
+    import numpy as np
+
+    from capreolus_spark.textproc import (
+        dequantize_codes,
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(scale=5, size=8)]) for i in range(200)]
+    rows.append((999, [0.0] * 8))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    params = quantization_params(vecs)
+    q = quantize_embeddings(vecs, bits=8, params=params)
+    codes = {r["vec_id"]: r["codes"] for r in q.collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    spans = {r["dim_idx"]: (r["mn"], r["mx"]) for r in params.collect()}
+    approx = {r["vec_id"]: r["approx"] for r in dequantize_codes(q, params).collect()}
+    orig = dict(rows)
+    for vid, vec in orig.items():
+        for d, (x, a) in enumerate(zip(vec, approx[vid])):
+            mn, mx = spans[d]
+            step = (mx - mn) / 255 if mx > mn else 0.0
+            assert abs(x - a) <= step / 2 + 1e-9, (vid, d)
