@@ -17,12 +17,14 @@ Parity conventions between the Spark queries and the DuckDB oracles:
 * floats are rounded in BOTH engines (scores 4dp — the reference's runfile
   convention — everything else 6dp); counts cast to bigint.
 
-Ops that are not SQL-expressible (MinHash-LSH, SimHash, SRP-LSH ANN,
-multimodal feature plumbing, SDM positions, the axiomatic MI expansion)
-have no oracle entry → the driver records the weaker rows-only check;
-their exactness is covered by pytest (tests/test_textproc.py,
+Ops that are not SQL-expressible (SimHash, SRP-LSH ANN, multimodal
+feature plumbing, SDM positions, the axiomatic MI expansion) have no
+oracle entry → the driver records the weaker rows-only check; their
+exactness is covered by pytest (tests/test_textproc.py,
 tests/test_positions_sdm.py, tests/test_axiomatic.py) against exact
-baselines.  BM25+RM3 IS SQL-expressible (two-pass) and oracle-gated.
+baselines.  Everything else IS oracle-gated, including the two-pass
+BM25+RM3 SQL, full-probe IVF ANN (== brute force), and verified
+MinHash-LSH (deterministic recall 1 vs the exact-Jaccard oracle).
 """
 
 from __future__ import annotations
