@@ -630,6 +630,29 @@ def _q_repetition(spark, sf_dir):
     )
 
 
+def _q_pii_stats(spark, sf_dir):
+    from capreolus_spark.textproc import pii_stats
+
+    return pii_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_emails",
+        "n_ipv4",
+        "n_aws_keys",
+        "n_hex_secrets",
+        "has_pii",
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    from capreolus_spark.textproc import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_texts = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+    return decontaminate(docs, eval_texts, n=13).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _q_pipeline_clean(spark, sf_dir):
     from capreolus_spark.textproc.pipeline import clean_corpus
 
@@ -797,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
         "repetition_stats": _q_repetition,
+        "pii_stats": _q_pii_stats,
+        "decontaminate_docs": _q_decontaminate,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
         "total_training_samples": _q_total_samples,
@@ -1093,6 +1118,26 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(f.top_bigram_frac, 0.0) AS top_bigram_frac, "
             "dup_line_frac <= 0.3 AND coalesce(f.top_bigram_frac, 0.0) <= 0.2 AS keep "
             "FROM l LEFT JOIN f ON l.doc_id = f.doc_id"
+        ),
+        "pii_stats": (
+            "WITH c AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4, "
+            "len(regexp_extract_all(text, '\\bAKIA[0-9A-Z]{16}\\b')) AS n_aws_keys, "
+            "len(regexp_extract_all(text, '\\b[0-9a-fA-F]{32,}\\b')) AS n_hex_secrets "
+            "FROM documents) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(n_emails AS bigint) AS n_emails, "
+            "cast(n_ipv4 AS bigint) AS n_ipv4, cast(n_aws_keys AS bigint) AS n_aws_keys, "
+            "cast(n_hex_secrets AS bigint) AS n_hex_secrets, "
+            "(n_emails + n_ipv4 + n_aws_keys + n_hex_secrets) > 0 AS has_pii FROM c"
+        ),
+        "decontaminate_docs": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 13 THEN list_transform(range(0, len(toks) - 12), i -> array_to_string(toks[i+1:i+13], ' ')) ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM tok), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0), "
+            "bad AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM ev)) "
+            "SELECT cast(doc_id AS bigint) AS doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
         ),
         "pipeline_clean_corpus": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

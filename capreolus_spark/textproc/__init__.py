@@ -26,3 +26,4 @@ from .multimodal import (  # noqa: F401
     fake_feature_extractor,
     sample_frames,
 )
+from .scrub import decontaminate, pii_stats, scrub_pii  # noqa: F401

@@ -1,0 +1,105 @@
+"""PII scrubbing and eval-set decontamination for training corpora.
+
+Two operators every large-scale training-data pipeline runs over a code/web
+corpus before training, beyond the reference's IR scope:
+
+* :func:`pii_stats` / :func:`scrub_pii` — regex detection / redaction of
+  emails, IPv4 addresses, and high-entropy secret-looking tokens (AWS-style
+  access keys, long hex blobs).  Pure column expressions (``regexp_count``/
+  ``regexp_replace``) → whole-stage codegen, no UDFs.
+* :func:`decontaminate` — drop documents sharing any word ``n``-gram with a
+  held-out evaluation set (the standard 13-gram overlap rule): shingle both
+  sides, anti-join on the shingle — one shuffle keyed by shingle hash, no
+  cross join.
+
+Both are deterministic and SQL-expressible (DuckDB-gated via
+``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_postings
+
+# detection patterns (kept deliberately simple + deterministic; a production
+# pipeline would layer model-based PII on top — that part is a model, not an
+# engine operator)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+AWS_KEY_RE = "\\bAKIA[0-9A-Z]{16}\\b"
+HEX_SECRET_RE = "\\b[0-9a-fA-F]{32,}\\b"
+
+
+def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_emails, n_ipv4, n_aws_keys, n_hex_secrets, has_pii) per doc."""
+    def count(pat):
+        # column-based API: the pattern bypasses SQL string-literal escaping
+        return F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        count(EMAIL_RE).alias("n_emails"),
+        count(IPV4_RE).alias("n_ipv4"),
+        count(AWS_KEY_RE).alias("n_aws_keys"),
+        count(HEX_SECRET_RE).alias("n_hex_secrets"),
+    )
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_aws_keys") + F.col("n_hex_secrets")) > 0,
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) with detections replaced by typed placeholder tokens —
+    the redaction convention code-corpus pipelines use so models never see
+    raw secrets but keep the surrounding syntax."""
+    scrubbed = F.col(text_col)
+    for pat, token in (
+        (EMAIL_RE, "<EMAIL>"),
+        (AWS_KEY_RE, "<KEY>"),
+        (HEX_SECRET_RE, "<SECRET>"),
+        (IPV4_RE, "<IP>"),
+    ):
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col), scrubbed.alias(text_col))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Drop documents sharing ANY word ``n``-gram with the evaluation set
+    (the published 13-gram decontamination rule).  Shingle both sides,
+    anti-join documents whose shingle set intersects the (much smaller)
+    eval shingle set — shuffle is keyed by shingle, the eval side is
+    broadcastable by construction.  Returns the surviving documents."""
+    eval_shingles = (
+        shingle_postings(
+            eval_texts.select(F.lit(0).alias("doc_id"), F.col(eval_text_col).alias("text")),
+            text_col="text",
+            n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_shingles = shingle_postings(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        text_col="text",
+        n=n,
+    )
+    contaminated = (
+        doc_shingles.join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(
+        contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
