@@ -630,6 +630,14 @@ def _q_repetition(spark, sf_dir):
     )
 
 
+def _q_bpe_count(spark, sf_dir):
+    from capreolus_spark.textproc import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_words", "n_bpe_ish"
+    )
+
+
 def _q_pii_stats(spark, sf_dir):
     from capreolus_spark.textproc import pii_stats
 
@@ -821,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": _q_token_quality,
         "repetition_stats": _q_repetition,
         "pii_stats": _q_pii_stats,
+        "bpe_token_count": _q_bpe_count,
         "decontaminate_docs": _q_decontaminate,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
@@ -1118,6 +1127,14 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(f.top_bigram_frac, 0.0) AS top_bigram_frac, "
             "dup_line_frac <= 0.3 AND coalesce(f.top_bigram_frac, 0.0) <= 0.2 AS keep "
             "FROM l LEFT JOIN f ON l.doc_id = f.doc_id"
+        ),
+        "bpe_token_count": (
+            "WITH s AS (SELECT doc_id, "
+            "len(list_filter(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'), x -> len(trim(x)) > 0)) AS n_bpe_ish, "
+            "len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)) AS n_words "
+            "FROM documents) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(n_words AS bigint) AS n_words, "
+            "cast(n_bpe_ish AS bigint) AS n_bpe_ish FROM s"
         ),
         "pii_stats": (
             "WITH c AS (SELECT doc_id, "

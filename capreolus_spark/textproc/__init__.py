@@ -1,5 +1,6 @@
 from .quality import (  # noqa: F401
     add_quality_columns,
+    bpe_token_count,
     repetition_stats,
     language_id,
     token_stats,

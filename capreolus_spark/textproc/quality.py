@@ -190,3 +190,31 @@ def repetition_stats(
         (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-safe subset: the published pattern's
+# trailing-whitespace lookahead is dropped (RE2/DuckDB has no lookahead), so
+# whitespace runs count as single tokens — a documented, deterministic
+# convention applied identically in the SQL oracle.
+BPE_ISH_REGEX = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_words, n_bpe_ish) — LLM-budget token counting: whitespace word
+    count plus a BPE-ish pre-tokenizer segment count (the GPT-2 pattern
+    family).  Segment counts over-estimate true BPE tokens by a stable
+    factor; pipelines use them as the cheap budget proxy.  Pure column
+    expressions."""
+    words = F.size(
+        F.filter(
+            F.split(F.col(text_col), "\\s+"), lambda w: F.length(w) > 0
+        )
+    ).cast("long")
+    segs = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), F.lit(0))
+    # whitespace-only segments are not content tokens
+    content_segs = F.size(F.filter(segs, lambda s: F.length(F.trim(s)) > 0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        content_segs.alias("n_bpe_ish"),
+    )

@@ -451,3 +451,20 @@ def test_decontaminate(spark):
     )
     kept = {r["doc_id"] for r in decontaminate(docs, eval_set, n=5).collect()}
     assert kept == {2, 3}  # doc 1 shares 5-grams with the eval text
+
+
+def test_bpe_token_count(spark):
+    from capreolus_spark.textproc import bpe_token_count
+
+    rows = [
+        (1, "don't stop believing"),
+        (2, "x = foo(bar, 42);"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_ish"]) for r in bpe_token_count(df).collect()}
+    # "don't stop believing" → don|'t|' stop'|' believing' = 4 segments, 3 words
+    assert got[1] == (3, 4)
+    # "x = foo(bar, 42);" → x|' ='|' foo'|'('|bar|','|' 42'|');' = 8 segments
+    assert got[2] == (4, 8)
+    assert got[3] == (0, 0)
