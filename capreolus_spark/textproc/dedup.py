@@ -45,9 +45,12 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _shingles(text_col: str, n: int):
-    """Distinct word n-gram shingles per document (space-joined)."""
-    toks = _tokens(text_col)
+def _shingles_from_tokens(toks, n: int):
+    """Distinct word n-gram shingles from an already-computed token array
+    column.  The token array MUST be a bound column reference, not the
+    tokenize expression itself: an expression inside the ``transform``
+    lambda is re-evaluated per element, so inlining the regexp tokenizer
+    here would re-tokenize the document once per shingle position."""
     if n == 1:
         return F.array_distinct(toks)
     # sliding window over the token array; documents shorter than n yield
@@ -55,9 +58,9 @@ def _shingles(text_col: str, n: int):
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
-            F.expr(
-                f"transform(sequence(0, size(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)) - {n}), "
-                f"i -> array_join(slice(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0), i + 1, {n}), ' '))"
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
     )
@@ -86,10 +89,17 @@ def exact_dup_groups(
 def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the exploded set representation."""
+    """(doc_id, shingle) distinct pairs — the exploded set representation.
+
+    Tokenizes ONCE into a materialized array column, then shingles from it
+    (kept as separate selects; Catalyst's CollapseProject will not inline a
+    non-cheap expression referenced more than once, so the regexp tokenize
+    stays hoisted out of the shingle lambda)."""
     df = _spread(df)
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    toked = df.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     ).distinct()
 
 
@@ -142,6 +152,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 128,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
@@ -153,11 +164,17 @@ def minhash_signatures(
     per-function mins are ONE vectorized numpy pass per aggregated doc
     (outer-product min) instead of 128 separate hash aggregations — the
     shuffle carries one packed row per document either way.
+
+    ``posts`` lets a caller that also needs the shingle postings (e.g.
+    LSH verification) compute them once, persist, and share — at corpus
+    scale the postings are the largest intermediate and must not be
+    re-derived per consumer.
     """
     import numpy as np
     import pandas as pd
 
-    posts = shingle_postings(df, text_col, id_col, n)
+    if posts is None:
+        posts = shingle_postings(df, text_col, id_col, n)
     base = posts.withColumn(
         "h", F.abs(F.xxhash64(F.col("shingle"), F.lit(42))) % F.lit(_MERSENNE)
     )
@@ -202,8 +219,12 @@ def _capped_bucket_pairs(
     ``carry`` columns (e.g. simhash) are propagated to ``<col>_a``/``<col>_b``.
     """
     carry = carry or []
-    counts = bucketed.groupBy(*bucket_keys).agg(F.count("*").alias("_n"))
-    tagged = bucketed.join(counts, bucket_keys)
+    # bucket size via one window pass (single shuffle+sort) rather than a
+    # groupBy-count plus a join back on the bucket keys (two shuffles of
+    # the full bucketed set)
+    tagged = bucketed.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*bucket_keys))
+    )
     small = tagged.filter(F.col("_n") <= max_bucket_size).drop("_n")
     big = tagged.filter(F.col("_n") > max_bucket_size).drop("_n")
 
@@ -253,7 +274,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # The shingle postings are the largest intermediate in this pipeline
+    # (one row per distinct (doc, shingle)); both the signature build and
+    # the verification join consume them.  Compute ONCE and persist so a
+    # single action over the returned plan scans/tokenizes the corpus one
+    # time — previously this was two full corpus passes.
+    posts = shingle_postings(df, text_col, id_col, n)
+    if verify:
+        posts = posts.persist()
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, posts=posts)
     band_cols = [
         F.xxhash64(
             F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]
@@ -275,7 +304,6 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    posts = shingle_postings(df, text_col, id_col, n)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     pa = posts.select(F.col("doc_id").alias("id_a"), "shingle")
     pb = posts.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -403,6 +431,7 @@ def dup_components(
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -425,4 +454,14 @@ def dup_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"dup_components did not converge within {max_iterations} iterations "
+            f"({changed} labels still changing); returned components may be split. "
+            "Increase max_iterations for pair graphs with long chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

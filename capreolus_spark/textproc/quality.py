@@ -169,15 +169,18 @@ def repetition_stats(
         .alias("dup_line_frac"),
     )
 
-    toks = _tokens_col(text_col)
+    # tokenize ONCE into a bound column; an expression inlined into the
+    # transform lambda below would re-run the regexp per bigram position
+    toked = df.select(F.col(id_col), _tokens_col(text_col).alias("_toks"))
+    _t = F.col("_toks")
     bigrams = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            f"transform(sequence(0, size(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)) - 2), "
-            f"i -> array_join(slice(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0), i + 1, 2), ' '))"
+        F.size(_t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(_t) - 2),
+            lambda i: F.array_join(F.slice(_t, i + F.lit(1), 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    bg = toked.select(F.col(id_col), F.explode(bigrams).alias("bg"))
     counts = bg.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
     frac = counts.groupBy(id_col).agg(
         F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac")
