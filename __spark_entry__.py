@@ -260,6 +260,93 @@ SELECT qid, docid, rank, round(score, 4) AS score FROM (
 ) WHERE rank <= {_BM25_HITS}
 """
 
+# BM25PRF (Robertson/Sparck-Jones probabilistic PRF) is SQL-expressible
+# end-to-end: pass-1 BM25 → top-fbDocs → candidate terms = indexed terms
+# of the feedback set, scored by the RSJ offer weight with +0.5 smoothing
+# (r = feedback docs containing t, R = |feedback set|) → top-fbTerms by
+# Robertson's term-selection value (w·r desc, term asc), boosted at
+# newTermWeight; originals keep their query tf.  Mirrors
+# capreolus_spark/search/bm25prf.py (fb_terms=10, fb_docs=5, ntw=0.2).
+_PRF_FB_DOCS, _PRF_FB_TERMS, _PRF_NTW = 5, 10, 0.2
+
+_PRF_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), pass1 AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid
+), fb AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS r
+    FROM pass1
+  ) WHERE r <= {_PRF_FB_DOCS}
+), bigr AS (
+  SELECT qid, count(*)::DOUBLE AS big_r FROM fb GROUP BY qid
+), rcnt AS (
+  SELECT fb.qid, tf.term, count(DISTINCT fb.docid)::DOUBLE AS r
+  FROM fb JOIN tf ON fb.docid = tf.docid
+  GROUP BY fb.qid, tf.term
+), cand AS (
+  SELECT rc.qid, rc.term, rc.r, b.big_r, d.df
+  FROM rcnt rc JOIN bigr b USING (qid) JOIN dfx d USING (term)
+  WHERE NOT EXISTS (SELECT 1 FROM queries q WHERE q.qid = rc.qid AND q.term = rc.term)
+), rsj AS (
+  SELECT qid, term, r,
+         CASE WHEN (r + 0.5) * (s.n - df - big_r + r + 0.5) > 0
+               AND (df - r + 0.5) * (big_r - r + 0.5) > 0
+              THEN ln(((r + 0.5) * (s.n - df - big_r + r + 0.5)) /
+                      ((df - r + 0.5) * (big_r - r + 0.5)))
+              ELSE 0 END AS w
+  FROM cand CROSS JOIN stats s
+), sel AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY w * r DESC, term ASC) AS rn
+    FROM rsj WHERE w > 0
+  ) WHERE rn <= {_PRF_FB_TERMS}
+), boosts AS (
+  SELECT qid, term, qtf::DOUBLE AS boost FROM queries
+  UNION ALL
+  SELECT qid, term, {_PRF_NTW} AS boost FROM sel
+), qw2 AS (
+  SELECT b.qid, b.term, b.boost,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM boosts b JOIN dfx d USING (term) CROSS JOIN stats s
+), pass2 AS (
+  SELECT qw2.qid, tf.docid,
+         sum(qw2.boost * qw2.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw2 JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  WHERE qw2.idf > 0
+  GROUP BY qw2.qid, tf.docid
+)
+SELECT qid, docid, rank, round(score, 4) AS score FROM (
+  SELECT qid, docid, score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
+  FROM pass2
+) WHERE rank <= {_BM25_HITS}
+"""
+
 _BM25_ORACLE_SQL = f"""
 WITH tok AS (
   SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
@@ -290,6 +377,103 @@ SELECT qid, docid, rank, round(score, 4) AS score FROM (
   SELECT qid, docid, score,
          cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
   FROM scored
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+def _query_pair_rows_sql() -> str:
+    """VALUES rows (qid, pair, t1, t2) — the adjacent-distinct query-term
+    pairs SDM scores, generated with the same analyzer + pair logic as
+    SDMSearcher._query_pairs (capreolus_spark/search/sdm.py)."""
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in _TOPICS.items():
+        terms = analyze_text(text, stemmer="none")
+        seen: list[tuple[str, str]] = []
+        for t1, t2 in zip(terms, terms[1:]):
+            if t1 != t2 and (t1, t2) not in seen:
+                seen.append((t1, t2))
+        for t1, t2 in seen:
+            rows.append(f"('{qid}', '{t1} {t2}', '{t1}', '{t2}')")
+    return ", ".join(rows)
+
+
+# SDM = 0.85 * BM25 unigram + per adjacent query-term pair a BM25
+# pseudo-term over ordered (0 < gap <= 2) and unordered (|gap| <= 8)
+# window counts, weighted 0.1/0.05 (capreolus_spark/search/sdm.py, twin
+# of Anserini -sdm).  Positions are indices into the FULL token stream
+# (pre-stop-filter) — same convention as the positions store.  The entry
+# runs the engine at rerank depth >= N, where the two-pass rerank equals
+# exact SDM, so this exact SQL hash-gates the whole path (positions
+# codec, cogrouped window kernel, feature df/idf, combine).
+_SDM_LAMBDA_T, _SDM_LAMBDA_O, _SDM_LAMBDA_U = 0.85, 0.1, 0.05
+_SDM_ORD_W, _SDM_UNORD_W = 2, 8
+
+_SDM_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qpairs(qid, pair, t1, t2) AS (
+  VALUES {{PAIR_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), uni AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score_t
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid
+), posidx AS (
+  SELECT docid, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tok
+), pairpos AS (
+  SELECT pr.qid, pr.pair, a.docid, a.pos AS pos1,
+         max(CASE WHEN b.pos - a.pos > 0 AND b.pos - a.pos <= {_SDM_ORD_W} THEN 1 ELSE 0 END) AS o_hit,
+         max(CASE WHEN abs(b.pos - a.pos) <= {_SDM_UNORD_W} THEN 1 ELSE 0 END) AS u_hit
+  FROM qpairs pr
+  JOIN posidx a ON a.term = pr.t1
+  JOIN posidx b ON b.docid = a.docid AND b.term = pr.t2
+  GROUP BY pr.qid, pr.pair, a.docid, a.pos
+), cnts AS (
+  SELECT qid, pair, docid, sum(o_hit) AS o_cnt, sum(u_hit) AS u_cnt
+  FROM pairpos GROUP BY qid, pair, docid
+  HAVING sum(o_hit) > 0 OR sum(u_hit) > 0
+), dfs AS (
+  SELECT qid, pair,
+         sum(CASE WHEN o_cnt > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_o,
+         sum(CASE WHEN u_cnt > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_u
+  FROM cnts GROUP BY qid, pair
+), wsc AS (
+  SELECT c.qid, c.docid,
+         sum({_SDM_LAMBDA_O} * (CASE WHEN d.df_o > 0 THEN
+               greatest(0, ln(1 + (s.n - d.df_o + 0.5) / (d.df_o + 0.5))) ELSE 0 END)
+             * c.o_cnt / (c.o_cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+           + {_SDM_LAMBDA_U} * (CASE WHEN d.df_u > 0 THEN
+               greatest(0, ln(1 + (s.n - d.df_u + 0.5) / (d.df_u + 0.5))) ELSE 0 END)
+             * c.u_cnt / (c.u_cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score_w
+  FROM cnts c JOIN dfs d USING (qid, pair) JOIN dl ON c.docid = dl.docid CROSS JOIN stats s
+  GROUP BY c.qid, c.docid
+), final AS (
+  SELECT u.qid, u.docid, {_SDM_LAMBDA_T} * u.score_t + coalesce(w.score_w, 0) AS score
+  FROM uni u LEFT JOIN wsc w ON u.qid = w.qid AND u.docid = w.docid
+)
+SELECT qid, docid, rank, round(score, 4) AS score FROM (
+  SELECT qid, docid, score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
+  FROM final
 ) WHERE rank <= {_BM25_HITS}
 """
 
@@ -699,7 +883,24 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 def _q_dedup_simhash(spark, sf_dir):
     from capreolus_spark.textproc import simhash_pairs
 
-    return simhash_pairs(_corpus_with_dups(spark, sf_dir), max_hamming=3)
+    # portable-hash mode (60 bits from the md5 prefix) + bands=4 with
+    # max_hamming=3 <= bands-1 → candidate set provably complete, so the
+    # output equals the exact all-pairs Hamming join the SQL oracle
+    # computes; hash-gates bit votes, packing, banding, capped bucket
+    # join and Hamming verify.  The xxhash64 default config stays
+    # pytest-gated (tests/test_textproc.py).
+    pairs = simhash_pairs(
+        _corpus_with_dups(spark, sf_dir),
+        max_hamming=3,
+        num_bits=60,
+        bands=4,
+        hash_fn="md5_60",
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -709,7 +910,18 @@ def _q_ann_lsh(spark, sf_dir):
     queries = emb.orderBy("vec_id").limit(3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_cosine_topk(emb, queries, dim=64, k=10, num_planes=8)
+    # exhaustive probe (queries x occupied buckets) → provably equals the
+    # exact baseline, so the brute-force SQL oracle hash-gates the whole
+    # SRP machinery (hyperplanes, bucketing, probe join, per-pair max);
+    # partial-probe recall is pytest-gated (tests/test_textproc.py)
+    return lsh_cosine_topk(
+        emb, queries, dim=64, k=10, num_planes=8, exhaustive=True
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        "rank",
+    )
 
 
 def _q_quantize_embeddings(spark, sf_dir):
@@ -754,6 +966,25 @@ def _q_bm25_rm3(spark, sf_dir):
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_prf(spark, sf_dir):
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.bm25prf import BM25PRFSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    s = BM25PRFSearcher(
+        idx,
+        BM25Config(hits=_BM25_HITS),
+        fb_terms=_PRF_FB_TERMS,
+        fb_docs=_PRF_FB_DOCS,
+        new_term_weight=_PRF_NTW,
+    )
+    run = s.search(_TOPICS)
+    return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+
+
 def _q_axiomatic(spark, sf_dir):
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
@@ -768,6 +999,8 @@ def _q_axiomatic(spark, sf_dir):
 
 
 def _q_sdm(spark, sf_dir):
+    import math
+
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
     from capreolus_spark.search.sdm import SDMSearcher
@@ -778,23 +1011,81 @@ def _q_sdm(spark, sf_dir):
         _index_dir("daat_pos", sf_dir),
         IndexConfig(stemmer="none", store_positions=True),
     )
-    run = SDMSearcher(idx, BM25Config(hits=_BM25_HITS)).search(_TOPICS)
+    # rerank depth >= N → the two-pass rerank provably equals exact SDM
+    # (search/sdm.py docstring), which is what _SDM_ORACLE_SQL computes;
+    # approximate-depth behavior is pytest- and bench-covered separately
+    rerank_factor = max(5, math.ceil(idx.numdocs / _BM25_HITS))
+    s = SDMSearcher(idx, BM25Config(hits=_BM25_HITS), rerank_factor=rerank_factor)
+    run = s.search(_TOPICS)
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
 
 
+def _media_table(spark, sf_dir):
+    """Deterministic synthetic media table: every 10th document's text as
+    an opaque payload, prefixed with a real magic-byte signature cycling
+    by doc_id (PNG/JPEG/GIF/WAV/none) — mirrored exactly in SQL so mime
+    sniffing is hash-gateable."""
+    kinds = F.when(F.col("doc_id") % 5 == 3, "audio").otherwise("image")
+    magic = (
+        F.when(F.col("doc_id") % 5 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 5 == 1, F.unhex(F.lit("FFD8FFE0")))
+        .when(F.col("doc_id") % 5 == 2, F.unhex(F.lit("47494638")))
+        .when(F.col("doc_id") % 5 == 3, F.unhex(F.lit("524946462400000057415645")))
+        .otherwise(F.lit(b""))
+    )
+    return _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kinds.alias("kind"),
+        F.when(F.col("doc_id") % 5 == 3, "audio/wav").otherwise("image/png").alias("mime"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 9 + 1).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 5 == 3, (F.col("doc_id") % 1000 + 1).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("duration_ms"),
+        F.concat(magic, F.encode(F.col("text"), "utf-8")).alias("payload"),
+    )
+
+
+# SQL twin of _media_table's payload construction (DuckDB blob algebra)
+_MEDIA_SQL = (
+    "SELECT cast(doc_id AS varchar) AS media_id, "
+    "CASE WHEN doc_id % 5 = 3 THEN 'audio' ELSE 'image' END AS kind, "
+    "CASE WHEN doc_id % 5 = 3 THEN 'audio/wav' ELSE 'image/png' END AS mime, "
+    "cast(doc_id % 7 + 1 AS int) AS width, cast(doc_id % 9 + 1 AS int) AS height, "
+    "CASE WHEN doc_id % 5 = 3 THEN cast(doc_id % 1000 + 1 AS int) ELSE NULL END AS duration_ms, "
+    "(CASE doc_id % 5 WHEN 0 THEN unhex('89504E470D0A1A0A') WHEN 1 THEN unhex('FFD8FFE0') "
+    "WHEN 2 THEN unhex('47494638') WHEN 3 THEN unhex('524946462400000057415645') "
+    "ELSE ''::BLOB END || encode(text)) AS payload "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
 def _q_multimodal_features(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+
     from capreolus_spark.textproc import extract_features
 
-    media = _docs(spark, sf_dir).limit(50).select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    feats = extract_features(media, dim=8)
+    media = _media_table(spark, sf_dir)
+
+    # portable deterministic "pixels": 20-bit ints from the md5 hex prefix
+    # of (uppercase payload hex + '#' + dim index) — exact in float32,
+    # recomputable in SQL (DuckDB md5 is varchar-only, so both engines
+    # hash the hex string), so the mapInPandas plumbing (batching,
+    # decoder injection, n_bytes, schema) is hash-gated; the blake2b fake
+    # extractor default stays pytest-gated.
+    def md5_pixels(raw: bytes) -> np.ndarray:
+        key = raw.hex().upper()
+        return np.array(
+            [
+                int(hashlib.md5(f"{key}#{i}".encode()).hexdigest()[:5], 16)
+                for i in range(8)
+            ],
+            dtype=np.int64,
+        )
+
+    feats = extract_features(media, dim=8, decoder=md5_pixels)
     # Driver canonicalizer sorts columns; array<float> isn't sortable in
     # pandas → explode to one sortable row per vector component.
     return feats.select(
@@ -802,7 +1093,25 @@ def _q_multimodal_features(spark, sf_dir):
         "kind",
         "n_bytes",
         F.posexplode("feature").alias("dim_idx", "value"),
-    ).select("media_id", "kind", "n_bytes", "dim_idx", F.round("value", 6).alias("value"))
+    ).select(
+        "media_id", "kind", "n_bytes", "dim_idx", F.col("value").cast("long").alias("value")
+    )
+
+
+def _q_multimodal_validate(spark, sf_dir):
+    from capreolus_spark.textproc import validate_media
+
+    v = validate_media(_media_table(spark, sf_dir))
+    return v.select(
+        "media_id",
+        "kind",
+        "mime",
+        "sniffed_mime",
+        "mime_matches",
+        F.length("payload").cast("long").alias("n_bytes"),
+        "payload_ok",
+        "meta_ok",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -840,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
+        "bm25_prf_topk": _q_bm25_prf,
         "axiomatic_topk": _q_axiomatic,
         "sdm_topk": _q_sdm,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -848,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "quantize_embeddings": _q_quantize_embeddings,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_validate": _q_multimodal_validate,
     }
 
 
@@ -858,6 +1169,10 @@ def oracle_sql() -> dict[str, str]:
     indexed = f"list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))"
     bm25 = _BM25_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
     rm3 = _RM3_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
+    sdm = _SDM_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()).replace(
+        "{PAIR_ROWS}", _query_pair_rows_sql()
+    )
+    prf = _PRF_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -914,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
         "bm25_rm3_topk": rm3,
+        "bm25_prf_topk": prf,
+        "sdm_topk": sdm,
         "ql_topk_daat": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
             "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
@@ -1203,6 +1520,68 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 10"
         ),
         "ann_ivf_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine FROM q CROSS JOIN embeddings e) "
+            "SELECT cast(query_id AS bigint) AS query_id, cast(vec_id AS bigint) AS vec_id, cosine, rank FROM "
+            "(SELECT query_id, vec_id, cosine, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank FROM scored) "
+            "WHERE rank <= 10"
+        ),
+        # md5-derived integer "pixels" through the injected-decoder path
+        # (see _q_multimodal_features)
+        "multimodal_features": (
+            f"WITH media AS ({_MEDIA_SQL}), dims AS (SELECT unnest(range(8)) AS dim_idx) "
+            "SELECT media_id, kind, cast(octet_length(payload) AS bigint) AS n_bytes, "
+            "cast(dim_idx AS int) AS dim_idx, "
+            "TRY_CAST(concat('0x', substr(md5(upper(hex(payload)) || '#' || cast(dim_idx AS varchar)), 1, 5)) AS BIGINT) AS value "
+            "FROM media CROSS JOIN dims"
+        ),
+        # magic-byte mime sniffing + metadata validation, SQL twin of
+        # capreolus_spark/textproc/multimodal.py sniff_mime_column rules
+        "multimodal_validate": (
+            f"WITH media AS ({_MEDIA_SQL}), "
+            "s AS (SELECT *, upper(hex(payload)) AS hx FROM media), "
+            "sn AS (SELECT *, CASE "
+            "WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4' "
+            "WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png' "
+            "WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg' "
+            "WHEN starts_with(hx, '47494638') THEN 'image/gif' "
+            "WHEN starts_with(hx, '52494646') THEN "
+            "(CASE substr(hx, 17, 8) WHEN '57415645' THEN 'audio/wav' "
+            "WHEN '57454250' THEN 'image/webp' WHEN '41564920' THEN 'video/avi' "
+            "ELSE 'application/octet-stream' END) "
+            "WHEN starts_with(hx, '494433') THEN 'audio/mpeg' "
+            "WHEN starts_with(hx, 'FFFB') THEN 'audio/mpeg' "
+            "WHEN starts_with(hx, '255044462D') THEN 'application/pdf' "
+            "ELSE 'application/octet-stream' END AS sniffed_mime FROM s) "
+            "SELECT media_id, kind, mime, sniffed_mime, "
+            "sniffed_mime != 'application/octet-stream' AND "
+            "string_split(mime, '/')[1] = string_split(sniffed_mime, '/')[1] AS mime_matches, "
+            "cast(octet_length(payload) AS bigint) AS n_bytes, "
+            "payload IS NOT NULL AND octet_length(payload) > 0 AS payload_ok, "
+            "CASE WHEN kind = 'image' THEN width > 0 AND height > 0 "
+            "WHEN kind IN ('audio', 'video') THEN coalesce(duration_ms, 0) > 0 "
+            "ELSE TRUE END AS meta_ok "
+            "FROM sn"
+        ),
+        # portable 60-bit md5 simhash, complete banding → equals the exact
+        # all-pairs Hamming join (see _q_dedup_simhash)
+        "dedup_simhash": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            f"tokw AS (SELECT doc_id, tok, count(*) AS w FROM "
+            f"(SELECT doc_id, unnest({_TOK}) AS tok FROM dup) GROUP BY doc_id, tok), "
+            "th AS (SELECT doc_id, TRY_CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h, w FROM tokw), "
+            "bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN w ELSE -w END) AS v "
+            "FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) GROUP BY doc_id, i), "
+            "sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT cast(a.doc_id AS bigint) AS id_a, cast(b.doc_id AS bigint) AS id_b, "
+            "cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        # exhaustive-probe LSH == brute force (see _q_ann_lsh)
+        "ann_lsh_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "
             "scored AS (SELECT q.query_id, e.vec_id, "
             "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine FROM q CROSS JOIN embeddings e) "

@@ -26,5 +26,7 @@ from .multimodal import (  # noqa: F401
     extract_features,
     fake_feature_extractor,
     sample_frames,
+    sniff_mime_column,
+    validate_media,
 )
 from .scrub import decontaminate, pii_stats, scrub_pii  # noqa: F401

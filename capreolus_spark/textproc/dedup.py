@@ -339,17 +339,34 @@ def simhash_pairs(
     num_bits: int = 64,
     bands: int = 8,
     max_bucket_size: int = 4096,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicates: 64-bit weighted fingerprints, candidate
     pairs from identical bit-band chunks (pigeonhole: hamming ≤ bands-1
     guarantees ≥1 shared band), verified by exact Hamming distance.
     Buckets larger than ``max_bucket_size`` are star-chained instead of
     self-joined (see :func:`_capped_bucket_pairs`).
+
+    ``hash_fn``: ``xxhash64`` (default — fastest JVM path) or ``md5_60``
+    (60 bits from the md5 hex prefix; bit-identical to a portable SQL
+    recompute, so an external engine can hash-gate the whole pipeline;
+    use ``num_bits<=60`` with it).  With ``max_hamming <= bands - 1`` the
+    banded candidate set is provably complete, so the output EQUALS the
+    exact all-pairs Hamming join (modulo mega-bucket star-chaining, which
+    does not trigger below ``max_bucket_size`` members per bucket).
     """
     toks = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
     ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-    toks = toks.withColumn("h", F.xxhash64(F.col("tok"), F.lit(7)))
+    if hash_fn == "md5_60":
+        if num_bits > 60:
+            raise ValueError("md5_60 provides 60 bits; pass num_bits<=60")
+        h_expr = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h_expr = F.xxhash64(F.col("tok"), F.lit(7))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    toks = toks.withColumn("h", h_expr)
 
     # per-bit weighted vote: sum_w(+1 if bit set else -1) > 0 → bit = 1
     bit_sums = toks.groupBy("doc_id").agg(

@@ -111,11 +111,18 @@ def lsh_cosine_topk(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
     seed: int = 42,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors whose SRP bucket is
     within ``probe_bits`` Hamming distance of the query's bucket
     (multi-probe).  Same output schema as the brute-force baseline; recall
-    is tested against it on the deterministic corpus."""
+    is tested against it on the deterministic corpus.
+
+    ``exhaustive=True`` probes every bucket PRESENT in the vector table
+    (queries × distinct buckets — still the bucketed join machinery, no
+    special-case scan), so the result provably equals
+    :func:`brute_force_cosine_topk`; used as the hard correctness gate for
+    this operator."""
     v = add_srp_bucket(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")),
         dim, num_planes, "vv", seed,
@@ -125,13 +132,18 @@ def lsh_cosine_topk(
         dim, num_planes, "qv", seed,
     ).withColumnRenamed("srp_bucket", "q_bucket")
 
-    # multi-probe: expand each query to its bucket plus all 1-bit flips
-    probes = [F.col("q_bucket")]
-    if probe_bits >= 1:
-        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
-    qp = q.select(
-        "query_id", "qv", F.explode(F.array(*probes)).alias("srp_bucket")
-    ).distinct()
+    if exhaustive:
+        # probe set = all occupied buckets (≤ min(|V|, 2^num_planes) rows)
+        buckets = v.select("srp_bucket").distinct()
+        qp = q.select("query_id", "qv").crossJoin(buckets)
+    else:
+        # multi-probe: expand each query to its bucket plus all 1-bit flips
+        probes = [F.col("q_bucket")]
+        if probe_bits >= 1:
+            probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+        qp = q.select(
+            "query_id", "qv", F.explode(F.array(*probes)).alias("srp_bucket")
+        ).distinct()
 
     scored = (
         F.broadcast(qp)
