@@ -29,6 +29,7 @@ from typing import Iterable
 
 import pandas as pd
 
+from .kstem import krovetz_stem
 from .porter import porter_stem
 
 # Lucene org.apache.lucene.analysis.en.EnglishAnalyzer default stop set
@@ -41,20 +42,23 @@ LUCENE_STOP_WORDS = frozenset(
 TOKEN_PATTERN = r"\w+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
-STEMMERS = ("porter", "none")
+STEMMERS = ("porter", "krovetz", "none")
 
-# process-wide stem memo — vocabulary is Zipfian, so hit rate is high and
-# the per-batch unique()-then-map pattern below touches each surface form
-# once per executor.
-_STEM_CACHE: dict[str, str] = {}
+_STEM_FNS = {"porter": porter_stem, "krovetz": krovetz_stem}
+
+# process-wide per-stemmer memo — vocabulary is Zipfian, so hit rate is
+# high and the per-batch unique()-then-map pattern below touches each
+# surface form once per executor.
+_STEM_CACHE: dict[str, dict[str, str]] = {"porter": {}, "krovetz": {}}
 
 
 def stem_token(token: str, stemmer: str = "porter") -> str:
     if stemmer == "none":
         return token
-    cached = _STEM_CACHE.get(token)
+    cache = _STEM_CACHE[stemmer]
+    cached = cache.get(token)
     if cached is None:
-        cached = _STEM_CACHE[token] = porter_stem(token)
+        cached = cache[token] = _STEM_FNS[stemmer](token)
     return cached
 
 

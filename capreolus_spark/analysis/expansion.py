@@ -63,13 +63,18 @@ UDEL_STOPWORDS = frozenset(
 def trigram_expand_column(tokens: Column | str) -> Column:
     """array<string> tokens → array<string> trigrams of '#tok#' (JVM-side)."""
     col = F.col(tokens) if isinstance(tokens, str) else tokens
+    # empty tokens yield NO trigrams (sequence(0, -1) would descend,
+    # emitting two spurious '##' entries and diverging from the scalar twin)
     return F.flatten(
         F.transform(
             col,
-            lambda tok: F.transform(
-                F.sequence(F.lit(0), F.length(tok) - 1),
-                lambda i: F.concat(F.lit("#"), tok, F.lit("#")).substr(i + 1, F.lit(3)),
-            ),
+            lambda tok: F.when(
+                F.length(tok) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.length(tok) - 1),
+                    lambda i: F.concat(F.lit("#"), tok, F.lit("#")).substr(i + 1, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         )
     )
 

@@ -1,0 +1,211 @@
+"""Krovetz (KStem) inflectional stemmer.
+
+The reference engine accepts ``stemmer=porter/krovetz/none``
+(``capreolus/index/anserini.py:19`` and ``tokenizer/anserini.py:11``,
+where it maps to Lucene's ``KStemFilter``).  This module implements the
+inflectional core of the published algorithm (R. Krovetz, "Viewing
+Morphology as an Inference Process", SIGIR 1993): remove plural / past /
+progressive inflections, consulting a lexicon at each step so dictionary
+words are never stemmed and recoding (e-restoration, consonant
+undoubling, y-restoration) picks the attested form.
+
+KStem's behavior depends on its lexicon.  Lucene ships a ~30k-entry
+word list; bundling a corpus of that size is out of scope here, so this
+implementation carries
+
+* a compact built-in head-word lexicon (common English words chosen to
+  exercise every recoding branch), and
+* an ``extra_lexicon`` / ``exceptions`` injection point — pass the full
+  Lucene/Lemur word list to reproduce Lucene's ``KStemFilter`` exactly.
+
+The algorithmic steps mirror the published description; divergence from
+Lucene's KStemFilter is limited to words whose recoding decision needs a
+lexicon entry that is not bundled (documented deviation).  Like
+``porter.py``, the function is pure/deterministic and is applied only to
+unique surface forms via the analyzer's factorize path.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouy")
+
+# Irregular forms the algorithm cannot derive by suffix rules (KStem
+# resolves these through its dictionary's direct-conflation table).
+_EXCEPTIONS = {
+    # irregular plurals
+    "children": "child",
+    "men": "man",
+    "women": "woman",
+    "feet": "foot",
+    "teeth": "tooth",
+    "geese": "goose",
+    "mice": "mouse",
+    "people": "person",
+    "dies": "die",
+    "ties": "tie",
+    "lies": "lie",
+    # irregular past/participle forms kstem conflates
+    "ran": "run",
+    "took": "take",
+    "taken": "take",
+    "went": "go",
+    "gone": "go",
+    "made": "make",
+    "said": "say",
+    "saw": "see",
+    "seen": "see",
+    "was": "was",  # stopword-ish; never conflated
+}
+
+# Compact head-word lexicon: membership means "this is a dictionary word —
+# return as-is" and recoding candidates are accepted only if listed here.
+_LEXICON = frozenset(
+    """
+    age agree analysis apply area argue baby base basis batch become bias
+    body box buy cache carry change child cite city class code column
+    commit compute continue copy core cost count create creature data
+    database debate decide degree derive design die divide document dog
+    double dry eat edge engine error face fact factory family fee file
+    fit fix focus force free fuse gas glass go goose grow hash have hero
+    hope house improve index infer issue join judge key kiss know large
+    lie like line live load lose loss make man manage map mass match
+    matrix merge message mine miss model mouse move name node note
+    notice office one operate output own page parse partition pass
+    person phase picture piece pipe place plan policy potato prepare
+    process produce program propose prove provide purpose put query
+    queue range rate read reduce refer relate release remove require
+    restore retrieve reuse row rule run save say scale schedule schema
+    score search see sense serve service set share shuffle size skew
+    slice sort source spark split state statistics stop store story
+    stream stress study table take task term tie time tomato trace trade train
+    tree true try type update usage use value vary vertex wolf woman
+    word work write zero
+    """.split()
+)
+
+
+def _is_vowel(ch: str) -> bool:
+    return ch in _VOWELS
+
+
+def _has_vowel(word: str) -> bool:
+    return any(c in _VOWELS for c in word)
+
+
+class KrovetzStemmer:
+    """Inflectional KStem with an injectable lexicon.
+
+    ``stem`` removes plural (-s/-es/-ies), past (-ed) and progressive
+    (-ing) endings with dictionary-checked recoding; words found in the
+    lexicon (or shorter than 3 chars, or non-alphabetic) are returned
+    unchanged, as in the published algorithm.
+    """
+
+    def __init__(
+        self,
+        extra_lexicon: frozenset[str] | set[str] | None = None,
+        exceptions: dict[str, str] | None = None,
+    ):
+        self.lexicon = _LEXICON | frozenset(extra_lexicon or ())
+        self.exceptions = dict(_EXCEPTIONS)
+        if exceptions:
+            self.exceptions.update(exceptions)
+
+    # ------------------------------------------------------------ helpers
+
+    def _in_lex(self, word: str) -> bool:
+        return word in self.lexicon
+
+    def _recode(self, stem: str) -> str | None:
+        """The lexicon-attested base for a bare suffix-stripped stem:
+        the stem itself, +e restoration, consonant undoubling (+e after
+        undoubling), or i→y restoration; ``None`` when nothing attests."""
+        if self._in_lex(stem):
+            return stem
+        if self._in_lex(stem + "e"):  # "creat" → "create"
+            return stem + "e"
+        if (
+            len(stem) >= 2
+            and stem[-1] == stem[-2]
+            and not _is_vowel(stem[-1])
+        ):
+            undoubled = stem[:-1]  # "stopp" → "stop"
+            if self._in_lex(undoubled):
+                return undoubled
+            if self._in_lex(undoubled + "e"):
+                return undoubled + "e"
+        if stem.endswith("i") and self._in_lex(stem[:-1] + "y"):
+            return stem[:-1] + "y"  # "appli" → "apply"
+        return None
+
+    # ------------------------------------------------------------ steps
+
+    def _plural(self, word: str) -> str:
+        if not word.endswith("s") or word.endswith(("ss", "us", "ous")):
+            return word
+        if word.endswith("ies"):
+            if len(word) <= 4:  # dies/ties/lies come via the exception map
+                return word
+            return word[:-3] + "y"  # "policies" → "policy"
+        if word.endswith("es"):
+            base = word[:-1]  # keep the e: "changes" → "change"
+            noe = word[:-2]  # drop both:  "boxes" → "box"
+            # sibilant endings take -es purely orthographically → drop both
+            if noe.endswith(("ch", "sh", "ss", "x", "z")):
+                return noe
+            if self._in_lex(base):
+                return base
+            if self._in_lex(noe):
+                return noe
+            return base
+        return word[:-1]  # plain -s
+
+    def _past(self, word: str) -> str:
+        if not word.endswith("ed") or len(word) <= 3:
+            return word
+        if word.endswith("ied") and len(word) > 4:
+            return word[:-3] + "y"  # "applied" → "apply"
+        stem = word[:-2]
+        if not _has_vowel(stem):
+            return word
+        form = self._recode(stem)  # handles "agre"→"agree", "stopp"→"stop"
+        if form is not None:
+            return form
+        # unattested: keep the bare strip when plausible, else the word
+        return stem if len(stem) >= 3 else word
+
+    def _progressive(self, word: str) -> str:
+        if not word.endswith("ing") or len(word) <= 4:
+            return word
+        stem = word[:-3]
+        if not _has_vowel(stem):
+            return word
+        form = self._recode(stem)
+        if form is not None:
+            return form
+        return stem if len(stem) >= 3 else word
+
+    # ------------------------------------------------------------ api
+
+    def stem(self, word: str) -> str:
+        if len(word) <= 2 or not word.isalpha():
+            return word
+        if word in self.exceptions:
+            return self.exceptions[word]
+        if self._in_lex(word):
+            return word
+        out = self._plural(word)
+        if out != word:
+            return out
+        out = self._past(word)
+        if out != word:
+            return out
+        return self._progressive(word)
+
+
+_DEFAULT = KrovetzStemmer()
+
+
+def krovetz_stem(word: str) -> str:
+    """Module-level convenience using the built-in lexicon."""
+    return _DEFAULT.stem(word)

@@ -36,6 +36,14 @@ class IndexConfig:
     num_doc_partitions: int = 0
     postings_partitions: int = 0
 
+    def __post_init__(self):
+        from .analysis import STEMMERS
+
+        if self.stemmer not in STEMMERS:
+            raise ValueError(
+                f"unknown stemmer {self.stemmer!r}; supported: {STEMMERS}"
+            )
+
     def analyzer_kwargs(self) -> dict:
         return {"stemmer": self.stemmer, "remove_stops": not self.indexstops}
 

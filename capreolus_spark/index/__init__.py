@@ -32,6 +32,23 @@ class InvertedIndex:
         self._config: IndexConfig | None = None
         self._persisted: dict[str, DataFrame] = {}
         self._term_stats: dict[str, tuple[int, int]] = {}
+        self._stats_mtime: float | None = None
+
+    def _invalidate_if_stale(self) -> None:
+        """Drop memoized stats/term-stats when stats.json was rewritten
+        (IncrementalIndexer.refresh_stats / compact rewrite dict + stats
+        under a live instance; serving the old cache would be silent
+        staleness)."""
+        try:
+            mtime = os.path.getmtime(os.path.join(self.index_dir, "stats.json"))
+        except OSError:
+            return
+        if self._stats_mtime is None:
+            self._stats_mtime = mtime
+        elif mtime != self._stats_mtime:
+            self._stats_mtime = mtime
+            self._stats = None
+            self._term_stats = {}
 
     def persist(self) -> "InvertedIndex":
         """Pin postings + ranges in executor memory across queries — the
@@ -127,6 +144,7 @@ class InvertedIndex:
     # -------------------------------------------------- stats & lookups
 
     def stats(self) -> dict:
+        self._invalidate_if_stale()
         if self._stats is None:
             with open(os.path.join(self.index_dir, "stats.json")) as f:
                 self._stats = json.load(f)
@@ -156,6 +174,7 @@ class InvertedIndex:
         grid searches and repeated queries skip the lookup job entirely."""
         if not terms:
             return {}
+        self._invalidate_if_stale()
         missing = sorted({t for t in terms if t not in self._term_stats})
         if missing:
             rows = (

@@ -67,6 +67,14 @@ POSTINGS_SCHEMA = (
 )
 DICT_SCHEMA = "term string, df long, cf long, max_tf int"
 
+# On-disk layout version, recorded in the manifest.  Bump whenever a stage's
+# file format/partitioning changes incompatibly (v2 = kind-partitioned
+# tokens checkpoint replacing the is_stop column).  Resuming a partial
+# build written under a different version would silently misread committed
+# stages (e.g. a null kind column filters every token row away), so
+# build_index refuses instead.
+LAYOUT_VERSION = 2
+
 # explicit read schemas per on-disk stage: schema-specified reads work on
 # empty stage directories (a zero-doc corpus writes no part files) where
 # schema inference would fail
@@ -494,7 +502,16 @@ def build_index(
             f"index at {index_dir} was built with a different config: "
             f"{manifest.data['config']}"
         )
+    existing_layout = manifest.data.get("layout_version")
+    if manifest.data["stages"] and existing_layout != LAYOUT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has committed stages written under on-disk "
+            f"layout version {existing_layout!r} but this engine writes "
+            f"version {LAYOUT_VERSION}; resuming would misread them — "
+            "rebuild into a fresh directory"
+        )
     manifest.data["config"] = config.to_json()
+    manifest.data["layout_version"] = LAYOUT_VERSION
 
     sc_parallelism = spark.sparkContext.defaultParallelism
     n_doc_parts = config.num_doc_partitions or max(2, sc_parallelism)

@@ -18,11 +18,20 @@ Run-writer conventions (golden-gated):
 
 from __future__ import annotations
 
+import gzip
 import os
 import re
 from collections import OrderedDict, defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _open_text(path: str, mode: str = "rt"):
+    """Transparently open gzipped files — real TREC topic/qrels
+    distributions ship as ``.gz`` (reference ``utils/trec.py:55-58``)."""
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
 
 
 def _qid_sort_key(qid: str):
@@ -57,7 +66,7 @@ def load_trec_topics(path: str) -> dict[str, dict[str, str]]:
                 out[field][qid] = text
         buf = []
 
-    with open(path, "rt") as f:
+    with _open_text(path) as f:
         for raw in f:
             line = raw.strip()
             low = line.lower()
@@ -98,7 +107,7 @@ def load_trec_topics(path: str) -> dict[str, dict[str, str]]:
 def load_tsv_topics(path: str) -> dict[str, str]:
     """``qid\\ttext`` per line (reference ``benchmark/__init__.py:185-196``)."""
     out = {}
-    with open(path, "rt") as f:
+    with _open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
             if line:
@@ -116,7 +125,7 @@ def load_qrels(path: str, qids=None, include_spam: bool = True) -> dict[str, dic
     the reference does; gains/relevance thresholds downstream ignore
     non-positive labels either way."""
     qrels: dict[str, dict[str, int]] = defaultdict(dict)
-    with open(path, "rt") as f:
+    with _open_text(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) < 4:
@@ -149,7 +158,7 @@ def load_trec_run(path: str) -> dict[str, OrderedDict]:
     """Run file → {qid: OrderedDict{docid: score}} preserving file order
     (reference ``searcher/__init__.py:29-46``)."""
     run: dict[str, OrderedDict] = defaultdict(OrderedDict)
-    with open(path, "rt") as f:
+    with _open_text(path) as f:
         for i, line in enumerate(f):
             line = line.strip()
             if not line:

@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--b", type=float, nargs="+", default=[0.4])
     ap.add_argument("--hits", type=int, default=1000)
     ap.add_argument("--metric", default="map")
-    ap.add_argument("--stemmer", default="porter", choices=["porter", "none"])
+    ap.add_argument("--stemmer", default="porter", choices=["porter", "krovetz", "none"])
     ap.add_argument("--indexstops", action="store_true")
     args = ap.parse_args(argv)
 

@@ -192,6 +192,11 @@ class SDMSearcher(BM25Searcher):
 
         pairs = self._query_pairs(analyzed)
         if pairs:
+            # uni is consumed twice in one plan (window-feature semi-join
+            # + final combine join); persist the bounded (≤ depth×queries
+            # rows) frame so the expensive pruned DAAT pass-1 scan runs
+            # once per action instead of twice
+            uni = uni.persist()
             counts = self._pair_counts_df(pairs)
             # exact global df per (qid, pair, feature) for the idf — a
             # map-side-combining groupBy over every co-occurring doc (the

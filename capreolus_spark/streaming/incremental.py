@@ -75,6 +75,15 @@ class IncrementalIndexer:
             )
         if self.manifest.data.get("config") is None:
             self.manifest.data["config"] = self.config.to_json()
+        from ..index.build import LAYOUT_VERSION
+
+        existing_layout = self.manifest.data.get("layout_version")
+        if self.manifest.data["stages"] and existing_layout != LAYOUT_VERSION:
+            raise ValueError(
+                f"{index_dir} holds generations written under on-disk layout "
+                f"version {existing_layout!r}, this engine writes {LAYOUT_VERSION}"
+            )
+        self.manifest.data["layout_version"] = LAYOUT_VERSION
         self.manifest.data.setdefault("generations", {})
 
     # ---------------------------------------------------------------- core

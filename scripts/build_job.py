@@ -8,7 +8,7 @@ Deployment (north rule: multi-executor clusters via --py-files)::
         scripts/build_job.py \\
         --corpus  <parquet-or-iceberg path of (repo,path,commit,lang,content)> \\
         --index-dir <output dir> \\
-        [--format iceberg|parquet] [--stemmer porter|none] [--indexstops] \\
+        [--format iceberg|parquet] [--stemmer porter|krovetz|none] [--indexstops] \\
         [--range-size 131072] [--partitions N]
 
 The job is resumable: rerunning after a failure skips the stages the
@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
-    ap.add_argument("--stemmer", default="porter", choices=["porter", "none"])
+    ap.add_argument("--stemmer", default="porter", choices=["porter", "krovetz", "none"])
     ap.add_argument("--indexstops", action="store_true")
     ap.add_argument("--range-size", type=int, default=1 << 17)
     ap.add_argument("--partitions", type=int, default=0)

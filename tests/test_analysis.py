@@ -156,3 +156,70 @@ def test_tokenizer_source_code_edges():
         "snake_case", "camelcase", "kebab", "case",
     ]
     assert tokenize_text("1e-9 0xFF v2_0") == ["1e", "9", "0xff", "v2_0"]
+
+
+def test_krovetz_golden_pairs():
+    """KStem-style inflectional behavior (dictionary-checked plural/past/
+    -ing removal with recoding; kstem.py documents the lexicon subset)."""
+    from capreolus_spark.analysis import stem_token
+    from capreolus_spark.analysis.kstem import KrovetzStemmer, krovetz_stem
+
+    pairs = {
+        # dictionary words never stem (the KStem contract porter violates)
+        "analysis": "analysis",
+        "statistics": "statistics",
+        "notice": "notice",
+        # plural: keep-e / drop-e / ies→y / sibilant / plain -s
+        "changes": "change",
+        "boxes": "box",
+        "matches": "match",
+        "policies": "policy",
+        "tables": "table",
+        "queries": "query",
+        "indexes": "index",
+        # -ed with recoding: e-restore, undouble, i→y
+        "created": "create",
+        "stopped": "stop",
+        "applied": "apply",
+        "agreed": "agree",
+        "merged": "merge",
+        # -ing with recoding
+        "running": "run",
+        "writing": "write",
+        "reading": "read",
+        "parsing": "parse",
+        "committing": "commit",
+        # irregulars via the exception table
+        "children": "child",
+        "mice": "mouse",
+        "taken": "take",
+        # guards: short words / non-alpha unchanged
+        "is": "is",
+        "v2_0": "v2_0",
+        "kiss": "kiss",
+        "fuss": "fuss",
+    }
+    for w, expect in pairs.items():
+        assert krovetz_stem(w) == expect, (w, krovetz_stem(w), expect)
+        assert stem_token(w, "krovetz") == expect
+
+    # lexicon injection: an unknown base becomes recodable once supplied
+    assert krovetz_stem("flumming") == "flumm"  # bare strip, no dict hit
+    k = KrovetzStemmer(extra_lexicon={"flum"})
+    assert k.stem("flumming") == "flum"
+
+
+def test_krovetz_index_config_threads_through(spark, tmp_path):
+    """IndexConfig(stemmer='krovetz') flows through build → analyzer."""
+    import pytest
+
+    from capreolus_spark.config import IndexConfig
+
+    cfg = IndexConfig(stemmer="krovetz")
+    assert cfg.analyzer_kwargs() == {"stemmer": "krovetz", "remove_stops": True}
+    with pytest.raises(ValueError, match="unknown stemmer"):
+        IndexConfig(stemmer="snowball")
+
+    from capreolus_spark.analysis import analyze_text
+
+    assert analyze_text("running queries", stemmer="krovetz") == ["run", "query"]

@@ -115,11 +115,14 @@ def test_get_fn_from_url():
 
 def test_trigram_expansion_column_matches_python(spark):
     df = spark.createDataFrame(
-        [(["hello", "ab", "x"],), ([],)], "toks array<string>"
+        [(["hello", "ab", "x"],), ([],), ((["", "ab", ""]),)], "toks array<string>"
     )
     rows = df.select(trigram_expand_column("toks").alias("tri")).collect()
     assert rows[0]["tri"] == trigram_expand(["hello", "ab", "x"])
     assert rows[1]["tri"] == []
+    # empty-string tokens must emit NO trigrams, matching the scalar twin
+    # (sequence(0, -1) would otherwise yield two spurious '##' entries)
+    assert rows[2]["tri"] == trigram_expand(["", "ab", ""]) == ["#ab", "ab#"]
 
 
 def test_udel_expander_and_column(spark):

@@ -130,6 +130,26 @@ def test_config_mismatch_rejected(spark, dummy_corpus, tmp_path):
         build_index(spark, dummy_corpus, index_dir, IndexConfig(stemmer="none"))
 
 
+def test_layout_version_mismatch_rejected(spark, dummy_corpus, tmp_path):
+    # resuming committed stages written under an older on-disk layout must
+    # fail loudly, not silently misread them (e.g. a pre-kind-partition
+    # tokens checkpoint reads back kind=null and every stage after commits
+    # empty)
+    import json
+
+    index_dir = str(tmp_path / "idx3")
+    cfg = IndexConfig()
+    build_index(spark, dummy_corpus, index_dir, cfg)
+    m = Manifest(index_dir)
+    m.data["layout_version"] = 1  # simulate a pre-v2 index
+    for stage in ("ranges", "postings", "dict", "stats"):
+        del m.data["stages"][stage]  # partial build → resume path
+    with open(m.path, "w") as f:
+        json.dump(m.data, f)
+    with pytest.raises(ValueError, match="layout version"):
+        build_index(spark, dummy_corpus, index_dir, cfg)
+
+
 def test_indexstops_true_keeps_stopwords(spark, tmp_path):
     corpus = spark.createDataFrame(
         [("d1", "the cat and the hat")], "docid string, content string"

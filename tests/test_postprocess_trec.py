@@ -75,6 +75,18 @@ def test_load_trec_topics(tmp_path):
     assert topics["narr"] == {"301": "Anything dummy counts."}
 
 
+def test_load_trec_topics_gzip(tmp_path):
+    # real TREC topic distributions ship gzipped; the loader must open
+    # them transparently (reference utils/trec.py:55-58)
+    import gzip
+
+    fn = tmp_path / "topics.txt.gz"
+    with gzip.open(fn, "wt") as f:
+        f.write("<top>\n<num> Number: 301\n<title> Dummy doc\n</top>\n")
+    topics = load_trec_topics(str(fn))
+    assert topics["title"] == {"301": "Dummy doc"}
+
+
 def test_load_tsv_topics(tmp_path):
     fn = tmp_path / "topics.tsv"
     fn.write_text("301\tDummy doc\n302\thello\tworld\n")
