@@ -17,14 +17,21 @@ Parity conventions between the Spark queries and the DuckDB oracles:
 * floats are rounded in BOTH engines (scores 4dp — the reference's runfile
   convention — everything else 6dp); counts cast to bigint.
 
-Ops that are not SQL-expressible (SimHash, SRP-LSH ANN, multimodal
-feature plumbing, SDM positions, the axiomatic MI expansion) have no
-oracle entry → the driver records the weaker rows-only check; their
-exactness is covered by pytest (tests/test_textproc.py,
-tests/test_positions_sdm.py, tests/test_axiomatic.py) against exact
-baselines.  Everything else IS oracle-gated, including the two-pass
-BM25+RM3 SQL, full-probe IVF ANN (== brute force), and verified
-MinHash-LSH (deterministic recall 1 vs the exact-Jaccard oracle).
+EVERY entry is oracle-gated (no rows-only checks).  Approximate /
+hash-dependent operators are gated through configurations where the
+approximation provably equals an exact SQL-expressible computation,
+while their production configs stay pytest-gated:
+
+* MinHash-LSH: deterministic recall 1 + exact-Jaccard verification →
+  equals the exact set-similarity join;
+* SRP-LSH ANN: exhaustive probe == brute-force cosine;
+* IVF ANN: full probe == brute-force cosine;
+* SimHash: portable md5-60 hash + complete banding (max_hamming ≤
+  bands−1) == exact all-pairs Hamming join;
+* SDM: rerank depth ≥ N == exact SDM (window counts in SQL);
+* Axiomatic: full-coverage working set == global-statistics MI in SQL;
+* multimodal: md5-derived integer features through the injected-decoder
+  path + blob-algebra mime sniffing twin.
 """
 
 from __future__ import annotations
@@ -328,6 +335,120 @@ WITH tok AS (
   SELECT qid, term, qtf::DOUBLE AS boost FROM queries
   UNION ALL
   SELECT qid, term, {_PRF_NTW} AS boost FROM sel
+), qw2 AS (
+  SELECT b.qid, b.term, b.boost,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM boosts b JOIN dfx d USING (term) CROSS JOIN stats s
+), pass2 AS (
+  SELECT qw2.qid, tf.docid,
+         sum(qw2.boost * qw2.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw2 JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  WHERE qw2.idf > 0
+  GROUP BY qw2.qid, tf.docid
+)
+SELECT qid, docid, rank, round(score, 4) AS score FROM (
+  SELECT qid, docid, score,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
+  FROM pass2
+) WHERE rank <= {_BM25_HITS}
+"""
+
+# Axiomatic semantic matching (Fang & Zhai) is SQL-expressible when the
+# working set covers the whole collection: with (n-1)*r >= N - r the
+# deterministic sample's ORDER is irrelevant (every doc is in the working
+# set), so MI reduces to global presence statistics — candidates = terms
+# of the pass-1 top-r docs, s(t) = sum over distinct query terms of the
+# 4-cell contingency MI with the engine's exact zero-cell guards, top-K
+# by (s desc, term asc), boost = beta*s/s_max for non-original terms.
+# Mirrors capreolus_spark/search/axiomatic.py at full-coverage n.
+_AX_R, _AX_TOP, _AX_BETA = 20, 20, 0.4
+
+_AX_MI_CELL = (
+    "(CASE WHEN {nxy} > 0 AND {px} > 0 AND {py} > 0 "
+    "THEN ({nxy} / m) * ln(({nxy} / m) / (({px}) * ({py}))) ELSE 0 END)"
+)
+
+_AX_MI_EXPR = " + ".join(
+    [
+        _AX_MI_CELL.format(nxy="n11", px="df_t / m", py="df_q / m"),
+        _AX_MI_CELL.format(nxy="(df_t - n11)", px="df_t / m", py="(1 - df_q / m)"),
+        _AX_MI_CELL.format(nxy="(df_q - n11)", px="(1 - df_t / m)", py="df_q / m"),
+        _AX_MI_CELL.format(
+            nxy="(m - df_t - df_q + n11)", px="(1 - df_t / m)", py="(1 - df_q / m)"
+        ),
+    ]
+)
+
+_AXIOM_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), pass1 AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid
+), top_r AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS r
+    FROM pass1
+  ) WHERE r <= {_AX_R}
+), pres AS (
+  SELECT DISTINCT docid, term FROM tf
+), qterms AS (
+  SELECT DISTINCT qid, term FROM queries
+), cand AS (
+  SELECT DISTINCT tr.qid, p.term FROM top_r tr JOIN pres p ON tr.docid = p.docid
+), co AS (
+  SELECT a.term AS t, b.term AS q, count(*)::DOUBLE AS n11
+  FROM pres a JOIN pres b ON a.docid = b.docid
+  WHERE b.term IN (SELECT term FROM qterms)
+  GROUP BY a.term, b.term
+), pairs AS (
+  SELECT c.qid, c.term AS t, qt.term AS q FROM cand c JOIN qterms qt USING (qid)
+), cells AS (
+  SELECT p.qid, p.t, p.q, coalesce(co.n11, 0) AS n11,
+         dt.df AS df_t, coalesce(dq.df, 0) AS df_q, s.n AS m
+  FROM pairs p
+  LEFT JOIN co ON co.t = p.t AND co.q = p.q
+  JOIN dfx dt ON dt.term = p.t
+  LEFT JOIN dfx dq ON dq.term = p.q
+  CROSS JOIN stats s
+), st AS (
+  SELECT qid, t, sum({_AX_MI_EXPR}) AS s
+  FROM cells GROUP BY qid, t HAVING sum({_AX_MI_EXPR}) > 0
+), ranked AS (
+  SELECT qid, t, s,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, t ASC) AS rn,
+         max(s) OVER (PARTITION BY qid) AS s_max
+  FROM st
+), chosen AS (
+  SELECT qid, t, s, s_max FROM ranked WHERE rn <= {_AX_TOP}
+), boosts AS (
+  SELECT qid, term, qtf::DOUBLE AS boost FROM queries
+  UNION ALL
+  SELECT c.qid, c.t AS term, {_AX_BETA} * c.s / c.s_max AS boost
+  FROM chosen c
+  WHERE NOT EXISTS (SELECT 1 FROM queries q WHERE q.qid = c.qid AND q.term = c.t)
+    AND {_AX_BETA} * c.s / c.s_max > 0
 ), qw2 AS (
   SELECT b.qid, b.term, b.boost,
          greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
@@ -986,6 +1107,8 @@ def _q_bm25_prf(spark, sf_dir):
 
 
 def _q_axiomatic(spark, sf_dir):
+    import math
+
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
     from capreolus_spark.search.axiomatic import AxiomaticSearcher
@@ -993,7 +1116,14 @@ def _q_axiomatic(spark, sf_dir):
     idx = InvertedIndex.create(
         spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
     )
-    s = AxiomaticSearcher(idx, BM25Config(hits=_BM25_HITS), r=5, n=3, top=10)
+    # full-coverage working set ((n-1)*r >= N - r): the deterministic
+    # sample's order becomes irrelevant (every doc participates), so the
+    # MI expansion equals the global-statistics SQL twin; sampled-n
+    # behavior stays pytest-gated (tests/test_axiomatic.py)
+    n_full = math.ceil(idx.numdocs / _AX_R) + 1
+    s = AxiomaticSearcher(
+        idx, BM25Config(hits=_BM25_HITS), r=_AX_R, n=n_full, beta=_AX_BETA, top=_AX_TOP
+    )
     run = s.search(_TOPICS)
     return run.select("qid", "docid", "rank", F.round("score", 4).alias("score"))
 
@@ -1173,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "{PAIR_ROWS}", _query_pair_rows_sql()
     )
     prf = _PRF_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
+    axiom = _AXIOM_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -1231,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rm3_topk": rm3,
         "bm25_prf_topk": prf,
         "sdm_topk": sdm,
+        "axiomatic_topk": axiom,
         "ql_topk_daat": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
             "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
