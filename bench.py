@@ -83,6 +83,10 @@ def build_stage(spark, n_docs: int, index_dir: str) -> dict:
 
     parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
     avg_tokens = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "120"))
+    # SPARK_GRAFT_STORE_CONTENTS=0 → slim-docmap ablation (content never
+    # shuffled/rewritten; tokenize joins the source) — the BASELINE.md
+    # scaling protocol's docmap-less datapoint
+    store_contents = os.environ.get("SPARK_GRAFT_STORE_CONTENTS", "1") != "0"
     corpus = make_docid_column(
         synth_corpus_distributed(spark, n_docs, avg_tokens=avg_tokens, partitions=parts)
     ).persist()
@@ -92,7 +96,12 @@ def build_stage(spark, n_docs: int, index_dir: str) -> dict:
         spark,
         corpus,
         index_dir,
-        IndexConfig(stemmer="porter", num_doc_partitions=parts, postings_partitions=parts),
+        IndexConfig(
+            stemmer="porter",
+            store_contents=store_contents,
+            num_doc_partitions=parts,
+            postings_partitions=parts,
+        ),
     )
     build_s = time.monotonic() - t0
     corpus.unpersist()

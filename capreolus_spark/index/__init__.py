@@ -115,7 +115,22 @@ class InvertedIndex:
         return read_stage(self.spark, self.index_dir, name)
 
     def docs_df(self) -> DataFrame:
-        return self._tbl("docmap")
+        from .build import docmap_schema, read_stage
+
+        return read_stage(
+            self.spark,
+            self.index_dir,
+            "docmap",
+            schema=docmap_schema(self.config.store_contents),
+        )
+
+    def _require_contents(self, op: str) -> None:
+        if not self.config.store_contents:
+            raise ValueError(
+                f"{op} needs stored document contents, but this index was "
+                "built with store_contents=False (slim docmap); rebuild with "
+                "store_contents=True or fetch contents from the source table"
+            )
 
     def postings_df(self) -> DataFrame:
         return self._persisted.get("postings") or self._tbl("postings")
@@ -210,12 +225,14 @@ class InvertedIndex:
 
     def get_doc(self, docid: str) -> str | None:
         """Stored contents by docid (reference ``index/anserini.py:78-84``)."""
+        self._require_contents("get_doc")
         rows = (
             self.docs_df().filter(F.col("docid") == docid).select("content").collect()
         )
         return rows[0]["content"] if rows else None
 
     def get_docs(self, docids: list[str]) -> list[str]:
+        self._require_contents("get_docs")
         rows = (
             self.docs_df()
             .filter(F.col("docid").isin(docids))
@@ -245,6 +262,7 @@ class InvertedIndex:
         Driver-side streaming write via toLocalIterator; returns doc count."""
         import os
 
+        self._require_contents("export_trec_docs")
         os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
         df = self.docs_df().select("docid", "content").orderBy("docid")
         if max_docs is not None:

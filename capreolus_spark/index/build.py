@@ -87,14 +87,28 @@ STAGE_SCHEMAS = {
 }
 
 
-def read_stage(spark: SparkSession, index_dir_or_path: str, stage: str | None = None) -> DataFrame:
+def docmap_schema(store_contents: bool) -> str:
+    """docmap on-disk schema: with ``store_contents=False`` the content
+    column is never shuffled nor written (sha256 is computed narrow,
+    pre-shuffle), shrinking the docmap from ~corpus size to ~50 B/doc —
+    the right shape when the source is already columnar (parquet/Iceberg)
+    and the engine only needs a (docid, docno, sha256) pointer table."""
+    return STAGE_SCHEMAS["docmap"] if store_contents else DOCMAP_SCHEMA_BASE
+
+
+def read_stage(
+    spark: SparkSession,
+    index_dir_or_path: str,
+    stage: str | None = None,
+    schema: str | None = None,
+) -> DataFrame:
     """Schema-specified read of a build-stage parquet directory."""
     if stage is None:
         stage = os.path.basename(index_dir_or_path.rstrip("/"))
         path = index_dir_or_path
     else:
         path = os.path.join(index_dir_or_path, stage)
-    return spark.read.schema(STAGE_SCHEMAS[stage]).parquet(path)
+    return spark.read.schema(schema or STAGE_SCHEMAS[stage]).parquet(path)
 
 
 # ---------------------------------------------------------------- manifest
@@ -169,17 +183,29 @@ def make_docid_column(df: DataFrame) -> DataFrame:
     )
 
 
-def _assign_docnos(df: DataFrame, num_partitions: int) -> DataFrame:
-    # docmap always carries content: it doubles as the docstore
-    # (Anserini -storeContents, reference index/anserini.py:52-57) and is
-    # the tokenize stage's input.
-    cols = ["docid", "docno", "sha256", "content"]
-    schema = DOCMAP_SCHEMA_BASE + ", content string"
+def _assign_docnos(
+    df: DataFrame, num_partitions: int, store_contents: bool = True
+) -> DataFrame:
+    # With store_contents the docmap doubles as the docstore (Anserini
+    # -storeContents, reference index/anserini.py:52-57) and is the
+    # tokenize stage's input.  Without it, sha256 is computed NARROW
+    # (before the shuffle) and the content column never moves: only
+    # (docid, sha256) shuffles — at 100 TB that drops the docmap write
+    # from ~corpus size to ~50 B/doc, and tokenize re-joins the columnar
+    # source instead.
+    if store_contents:
+        cols = ["docid", "docno", "sha256", "content"]
+        schema = DOCMAP_SCHEMA_BASE + ", content string"
+        pre = df.select("docid", "content").withColumn(
+            "sha256", F.sha2(F.col("content"), 256)
+        )
+    else:
+        cols = ["docid", "docno", "sha256"]
+        schema = DOCMAP_SCHEMA_BASE
+        pre = df.select("docid", F.sha2(F.col("content"), 256).alias("sha256"))
 
     part = (
-        df.select("docid", "content")
-        .withColumn("sha256", F.sha2(F.col("content"), 256))
-        .repartition(num_partitions, F.col("docid"))
+        pre.repartition(num_partitions, F.col("docid"))
         .sortWithinPartitions("docid")
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -534,13 +560,26 @@ def build_index(
         )
 
     def write_docmap(out: str) -> None:
-        _assign_docnos(corpus, n_doc_parts).write.mode("overwrite").parquet(out)
+        _assign_docnos(corpus, n_doc_parts, config.store_contents).write.mode(
+            "overwrite"
+        ).parquet(out)
 
     def write_tokens(out: str) -> None:
-        docmap = read_stage(spark, paths["docmap"])
+        docmap = read_stage(
+            spark, paths["docmap"], schema=docmap_schema(config.store_contents)
+        )
+        if config.store_contents:
+            toks_in = docmap
+        else:
+            # slim docmap: content stayed in the (columnar) source — join
+            # it back on docid for the tokenize pass; both sides hash-
+            # shuffle on docid, the one place content moves in this mode
+            toks_in = docmap.select("docid", "docno").join(
+                corpus.select("docid", "content"), "docid"
+            )
         # kind-partitioned: ranges reads only kind=dl, postings only
         # kind=tok — each downstream scan partition-prunes to what it needs
-        _tokenize_stage(docmap, config).write.mode("overwrite").partitionBy(
+        _tokenize_stage(toks_in, config).write.mode("overwrite").partitionBy(
             "kind"
         ).parquet(out)
 
@@ -578,12 +617,16 @@ def build_index(
     # default, a few-hundred-MB docmap/tokens table coalesces into a handful
     # of input partitions and the tokenize pipeline runs nearly serial.  At
     # real (multi-TB) scale the clamp below leaves the default untouched.
-    target_tasks = 2 * max(spark.sparkContext.defaultParallelism, n_doc_parts)
-    mpb = max(
-        4 << 20,
-        min(128 << 20, hadoop_dir_bytes(spark, paths["docmap"]) // target_tasks or (4 << 20)),
-    )
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    if config.store_contents:
+        target_tasks = 2 * max(spark.sparkContext.defaultParallelism, n_doc_parts)
+        mpb = max(
+            4 << 20,
+            min(128 << 20, hadoop_dir_bytes(spark, paths["docmap"]) // target_tasks or (4 << 20)),
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    # slim-docmap mode: tokenize scans the original corpus source, whose
+    # sizing the session default already handles — autosizing off the
+    # (now tiny) docmap would shred a large corpus scan into 4 MB splits
     # Pack stages stream millions of tiny (term, docno, tf) rows through
     # mapInPandas: the 10k-row Arrow default costs a python round-trip +
     # carry-concat every 10k rows.  32k keeps batches well under executor

@@ -120,6 +120,7 @@ class AxiomaticSearcher(BM25Searcher):
         """{docid: set(indexed terms)} in ONE predicate-pushed docstore scan."""
         if not docids:
             return {}
+        self.index._require_contents("axiomatic expansion")
         rows = (
             self.index.docs_df()
             .filter(F.col("docid").isin(list(set(docids))))

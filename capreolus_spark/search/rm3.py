@@ -63,6 +63,7 @@ class BM25RM3Searcher(BM25Searcher):
         (one predicate-pushed filter+collect instead of a job per doc)."""
         if not docids:
             return {}
+        self.index._require_contents("pseudo-relevance feedback")
         from pyspark.sql import functions as F
 
         rows = (

@@ -89,3 +89,48 @@ class StaticRunSearcher:
         raise NotImplementedError(
             "this searcher uses a static run file, so it cannot handle new queries"
         )
+
+
+# Reference StaticRun registry: module_name → packaged run filename
+# (``capreolus/searcher/anserini.py:255-345``).  The reference ships these
+# files inside its package data; the files themselves are distribution
+# artifacts, not engine logic, so here they are resolved from a
+# caller-supplied data directory ("place the packaged file there").
+STATIC_RUN_REGISTRY: dict[str, str] = {
+    "bm25staticrob04yang19": "rob04_yang19_rm3.run",
+    "bm25staticrob04yang19desc": "rob04_yang19_desc_rm3.run",
+    "bm25staticrob04huston14title": "rob04_huston14_title_rm3.run",
+    "bm25staticrob04huston14desc": "rob04_huston14_desc_rm3.run",
+    "bm25staticgov2": "gov2_bm25.run",
+    "bm25staticgov2desc": "gov2_desc_bm25.run",
+    "bm25staticgenomics": "genomics_bm25.run",
+    "bm25staticcds": "cds_bm25.run",
+    "qdelstaticcovidabstract": "anserini.covid-r5.abstract.qdel.bm25-top1k.txt",
+    "rm3staticcore18title": "core18_title_rm3.run",
+    "rm3staticcore18desc": "core18_desc_rm3.run",
+}
+
+
+def create_static_searcher(
+    spark: SparkSession, name: str, data_dir: str, tag: str = DEFAULT_TAG
+) -> StaticRunSearcher:
+    """Instantiate a reference-named static searcher (e.g.
+    ``bm25staticgov2``) from its packaged run file in ``data_dir``.
+
+    Raises ``FileNotFoundError`` with the exact expected filename when the
+    packaged file is absent — obtain it from the reference distribution's
+    package data and place it at that path (its gdown fetch is
+    environment-bound and intentionally not performed here)."""
+    if name not in STATIC_RUN_REGISTRY:
+        raise KeyError(
+            f"unknown static searcher {name!r}; known: {sorted(STATIC_RUN_REGISTRY)}"
+        )
+    run_fn = STATIC_RUN_REGISTRY[name]
+    path = os.path.join(data_dir, run_fn)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"static searcher {name!r} needs its packaged run file; place "
+            f"{run_fn!r} (from the reference distribution's data directory) "
+            f"at {path}"
+        )
+    return StaticRunSearcher(spark, path, tag=tag)

@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--range-size", type=int, default=1 << 17)
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--verify-integrity", action="store_true")
+    ap.add_argument(
+        "--no-store-contents",
+        action="store_true",
+        help="slim docmap (docid, docno, sha256): content is never shuffled "
+        "or rewritten; doc fetch / PRF need the source table instead",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +60,7 @@ def main() -> None:
     cfg = IndexConfig(
         stemmer=args.stemmer,
         indexstops=args.indexstops,
+        store_contents=not args.no_store_contents,
         range_size=args.range_size,
         num_doc_partitions=args.partitions,
         postings_partitions=args.partitions,

@@ -229,3 +229,30 @@ def test_triplet_sampler(spark):
     capped2 = triplets(run, qrels, per_qid_cap=2).collect()
     assert len(capped1) == 2
     assert sorted(map(tuple, capped1)) == sorted(map(tuple, capped2))  # deterministic
+
+
+def test_static_searcher_registry(spark, tmp_path):
+    """Reference-named static searchers resolve their packaged run file
+    from a data dir; a missing file names exactly what to place where."""
+    import pytest
+
+    from capreolus_spark.search.static import (
+        STATIC_RUN_REGISTRY,
+        create_static_searcher,
+    )
+
+    assert STATIC_RUN_REGISTRY["bm25staticgov2"] == "gov2_bm25.run"
+    with pytest.raises(FileNotFoundError, match="gov2_bm25.run"):
+        create_static_searcher(spark, "bm25staticgov2", str(tmp_path))
+    with pytest.raises(KeyError, match="unknown static searcher"):
+        create_static_searcher(spark, "nope", str(tmp_path))
+
+    (tmp_path / "gov2_bm25.run").write_text(
+        "701 Q0 GX001 1 4.5 x\n701 Q0 GX002 2 3.5 x\n"
+    )
+    s = create_static_searcher(spark, "bm25staticgov2", str(tmp_path))
+    rows = s.search({"701": "q"}).collect()
+    assert [(r["docid"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        ("GX001", 1),
+        ("GX002", 2),
+    ]

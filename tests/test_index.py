@@ -274,3 +274,34 @@ def test_build_deterministic_across_partitionings(spark, tmp_path):
         run = searcher.search_collect(synth_queries(6))
         runs.append({q: list(d.items()) for q, d in run.items()})
     assert runs[0] == runs[1]
+
+
+def test_slim_docmap_store_contents_false(spark, dummy_corpus, tmp_path):
+    """store_contents=False: content is neither shuffled nor written
+    (docmap = docid, docno, sha256); search results are identical to the
+    stored-contents build; content-dependent lookups raise clearly."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.search import BM25Searcher
+
+    full_dir, slim_dir = str(tmp_path / "full"), str(tmp_path / "slim")
+    full = InvertedIndex.create(
+        spark, dummy_corpus, full_dir, IndexConfig(stemmer="porter")
+    )
+    slim = InvertedIndex.create(
+        spark, dummy_corpus, slim_dir, IndexConfig(stemmer="porter", store_contents=False)
+    )
+    assert "content" not in slim.docs_df().columns
+    assert set(slim.docs_df().columns) == {"docid", "docno", "sha256"}
+
+    topics = {"q1": "dummy doc"}
+    key = lambda r: (r["qid"], r["rank"])
+    rf = sorted(BM25Searcher(full, BM25Config(hits=5)).search(topics).collect(), key=key)
+    rs = sorted(BM25Searcher(slim, BM25Config(hits=5)).search(topics).collect(), key=key)
+    assert [(r["qid"], r["docid"], r["rank"], round(r["score"], 6)) for r in rf] == [
+        (r["qid"], r["docid"], r["rank"], round(r["score"], 6)) for r in rs
+    ]
+
+    # integrity check still works (sha256 is stored); content fetch raises
+    assert slim.verify_content_integrity(dummy_corpus) == 0
+    with pytest.raises(ValueError, match="store_contents=False"):
+        slim.get_doc(rf[0]["docid"])
