@@ -995,6 +995,36 @@ def _q_ann_cosine(spark, sf_dir):
 
 # --- no-oracle (rows-only) ops: LSH/SimHash/multimodal plumbing ---
 
+def _q_boilerplate_lines(spark, sf_dir):
+    from capreolus_spark.textproc import boilerplate_lines
+
+    # the dup corpus repeats every 50th doc, so each of its non-empty
+    # normalized lines has doc_freq >= 2 — deterministic boilerplate
+    return boilerplate_lines(_corpus_with_dups(spark, sf_dir), min_docs=2).select(
+        "line", F.col("doc_freq").cast("long").alias("doc_freq")
+    )
+
+
+def _q_remove_boilerplate(spark, sf_dir):
+    from capreolus_spark.textproc import remove_boilerplate_lines
+
+    out = remove_boilerplate_lines(_corpus_with_dups(spark, sf_dir), min_docs=2)
+    # md5 the cleaned text so the compare stays small but binds every byte
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_lines_kept",
+        "n_lines_removed",
+    )
+
+
+def _q_length_percentiles(spark, sf_dir):
+    from capreolus_spark.textproc import length_percentiles
+
+    docs = _docs(spark, sf_dir)
+    return length_percentiles(docs, group_expr=(F.col("doc_id") % 5))
+
+
 def _q_dedup_minhash_lsh(spark, sf_dir):
     from capreolus_spark.textproc import minhash_lsh_pairs
 
@@ -1282,6 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf_topk": _q_bm25_prf,
         "axiomatic_topk": _q_axiomatic,
         "sdm_topk": _q_sdm,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "length_percentiles": _q_length_percentiles,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1480,6 +1513,45 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY fp) AS group_size FROM fps) "
             "SELECT cast(doc_id AS bigint) AS doc_id, cast(canonical_id AS bigint) AS canonical_id, "
             "cast(group_size AS bigint) AS group_size FROM g WHERE group_size > 1"
+        ),
+        "boilerplate_lines": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            "nl AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "list_transform(string_split(text, chr(10)), ln -> lower(trim(ln))), "
+            "ln -> len(ln) > 0))) AS line FROM dup) "
+            "SELECT line, cast(count(*) AS bigint) AS doc_freq FROM nl "
+            "GROUP BY line HAVING count(*) >= 2"
+        ),
+        "remove_boilerplate": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            "nl AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "list_transform(string_split(text, chr(10)), ln -> lower(trim(ln))), "
+            "ln -> len(ln) > 0))) AS line FROM dup), "
+            "bl AS (SELECT line FROM nl GROUP BY line HAVING count(*) >= 2), "
+            "pl AS (SELECT doc_id, unnest(range(len(string_split(text, chr(10))))) AS pos, "
+            "unnest(string_split(text, chr(10))) AS line FROM dup), "
+            "kept AS (SELECT p.doc_id, p.pos, p.line FROM pl p "
+            "LEFT JOIN bl ON lower(trim(p.line)) = bl.line WHERE bl.line IS NULL), "
+            "reg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM dup) "
+            "SELECT cast(t.doc_id AS bigint) AS doc_id, "
+            "md5(coalesce(r.cleaned, '')) AS cleaned_md5, "
+            "cast(coalesce(r.n_kept, 0) AS bigint) AS n_lines_kept, "
+            "cast(t.n_total - coalesce(r.n_kept, 0) AS bigint) AS n_lines_removed "
+            "FROM tot t LEFT JOIN reg r USING (doc_id)"
+        ),
+        # Spark's exact percentile == DuckDB quantile_cont (sort + linear
+        # interpolation)
+        "length_percentiles": (
+            f"WITH t AS (SELECT cast(doc_id % 5 AS varchar) AS grp, "
+            f"len({_TOK}) AS n_tokens FROM documents) "
+            "SELECT grp, cast(count(*) AS bigint) AS n_docs, "
+            "round(quantile_cont(n_tokens, 0.25), 6) AS p25, "
+            "round(quantile_cont(n_tokens, 0.5), 6) AS p50, "
+            "round(quantile_cont(n_tokens, 0.75), 6) AS p75, "
+            "round(quantile_cont(n_tokens, 0.95), 6) AS p95 "
+            "FROM t GROUP BY grp"
         ),
         # the MinHash-LSH path verifies candidates with EXACT Jaccard, and its
         # deterministic hashes give recall 1 on this dataset — so the exact

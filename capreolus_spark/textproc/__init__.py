@@ -1,6 +1,9 @@
 from .quality import (  # noqa: F401
     add_quality_columns,
+    boilerplate_lines,
     bpe_token_count,
+    length_percentiles,
+    remove_boilerplate_lines,
     repetition_stats,
     language_id,
     token_stats,

@@ -221,3 +221,111 @@ def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         words.alias("n_words"),
         content_segs.alias("n_bpe_ish"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """(line, doc_freq) — normalized (lowercased, trimmed) lines appearing
+    in at least ``min_docs`` distinct documents: the C4/RefinedWeb-style
+    boilerplate table (nav bars, cookie banners, license headers).
+
+    Per-doc line sets are deduplicated BEFORE the explode (array_distinct),
+    so the aggregate is a plain count — one map-side-combining shuffle keyed
+    by line; no count-distinct state.  Scales as the number of distinct
+    (doc, line) pairs.
+    """
+    norm_lines = F.array_distinct(
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda ln: F.lower(F.trim(ln))),
+            lambda ln: F.length(ln) > 0,
+        )
+    )
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(norm_lines).alias("line"))
+    return (
+        exploded.groupBy("line")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """Strip boilerplate lines from every document, preserving original
+    line text and order: (doc_id, cleaned_text, n_lines_kept,
+    n_lines_removed).
+
+    Anti-join per (doc, line-position) against the boilerplate table, then
+    regroup ordered by position (array_sort over (pos, line) structs — no
+    window).  Documents whose every line is boilerplate come back with
+    cleaned_text ''.  Pass a precomputed ``boilerplate`` frame to share one
+    table across consumers at scale.
+    """
+    bl = (
+        boilerplate
+        if boilerplate is not None
+        else boilerplate_lines(df, text_col, id_col, min_docs)
+    ).select(F.col("line").alias("_bl"))
+    pos_lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = pos_lines.join(
+        bl, F.lower(F.trim(F.col("line"))) == F.col("_bl"), "left_anti"
+    )
+    regrouped = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("_n_total"),
+    )
+    return (
+        totals.join(regrouped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_expr=None,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact token-count percentiles per group — the corpus-profiling
+    aggregate a length-filter threshold is calibrated from.  Uses Spark's
+    exact ``percentile`` (sort-based linear interpolation, equal to
+    DuckDB's ``quantile_cont``); one shuffle keyed by group.
+    ``group_expr`` defaults to a single global group.
+    """
+    n_tokens = F.size(_tokens_col(text_col))
+    g = group_expr if group_expr is not None else F.lit("all")
+    base = df.select(g.cast("string").alias("grp"), n_tokens.alias("n_tokens"))
+    aggs = [
+        F.round(F.percentile("n_tokens", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return base.groupBy("grp").agg(F.count("*").cast("long").alias("n_docs"), *aggs)

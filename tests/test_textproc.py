@@ -468,3 +468,72 @@ def test_bpe_token_count(spark):
     # "x = foo(bar, 42);" → x|' ='|' foo'|'('|bar|','|' 42'|');' = 8 segments
     assert got[2] == (4, 8)
     assert got[3] == (0, 0)
+
+
+def test_boilerplate_lines_and_removal(spark):
+    from capreolus_spark.textproc import boilerplate_lines, remove_boilerplate_lines
+
+    banner = "Cookie Notice: we use cookies"
+    rows = [
+        (1, f"{banner}\nunique alpha content\nFooter Inc"),
+        (2, f"{banner}\nother beta text\nFooter Inc"),
+        (3, f"  {banner.upper()}  \ngamma body only"),  # normalizes to the banner
+        (4, "all original text\nnothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bl = {r["line"]: r["doc_freq"] for r in boilerplate_lines(df, min_docs=2).collect()}
+    assert bl == {banner.lower(): 3, "footer inc": 2}
+
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+    assert out[1]["cleaned_text"] == "unique alpha content"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_removed"] == 2
+    assert out[2]["cleaned_text"] == "other beta text"
+    assert out[3]["cleaned_text"] == "gamma body only"
+    # untouched doc keeps every line in original order
+    assert out[4]["cleaned_text"] == "all original text\nnothing shared"
+    assert out[4]["n_lines_removed"] == 0
+
+    # doc that is ALL boilerplate comes back empty, not missing
+    df2 = spark.createDataFrame(
+        [(1, banner), (2, banner), (3, banner)], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in remove_boilerplate_lines(df2, min_docs=2).collect()}
+    assert all(out2[d]["cleaned_text"] == "" for d in (1, 2, 3))
+
+
+def test_length_percentiles(spark):
+    import numpy as np
+
+    from capreolus_spark.textproc import length_percentiles
+
+    rows = [(i, "tok " * (i + 1)) for i in range(20)]  # 1..20 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = length_percentiles(df).collect()[0]
+    assert got["grp"] == "all" and got["n_docs"] == 20
+    lens = np.arange(1, 21)
+    for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+        assert got[col] == pytest.approx(float(np.percentile(lens, p * 100)), abs=1e-6)
+
+
+def test_minhash_single_corpus_scan(spark):
+    """Lock the round-3 fix: one action over minhash_lsh_pairs must scan
+    the corpus source ONCE (shingle postings computed once, persisted,
+    shared by signatures and verification — not re-derived per consumer)."""
+    from capreolus_spark.textproc import minhash_lsh_pairs
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta doc{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, n=3, threshold=0.8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # every corpus scan in the printed plan must sit INSIDE a cached
+    # relation (InMemoryTableScan prints its stored child plan): a posts
+    # consumer that bypassed the cache would add a bare ExistingRDD with
+    # no matching InMemoryTableScan line
+    n_cached = plan.count("InMemoryTableScan")
+    n_source = plan.count("ExistingRDD") + plan.count("Scan parquet")
+    assert n_cached >= 2, f"postings cache unused:\n{plan[:2000]}"
+    assert n_source == n_cached, (
+        f"{n_source} corpus scans vs {n_cached} cache reads — a consumer "
+        f"bypassed the persisted shingle postings:\n{plan[:2000]}"
+    )
