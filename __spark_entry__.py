@@ -995,6 +995,38 @@ def _q_ann_cosine(spark, sf_dir):
 
 # --- no-oracle (rows-only) ops: LSH/SimHash/multimodal plumbing ---
 
+def _q_deterministic_sample(spark, sf_dir):
+    from capreolus_spark.textproc import deterministic_sample
+
+    s = deterministic_sample(_docs(spark, sf_dir), fraction=0.3, seed="r3")
+    return s.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from capreolus_spark.textproc import stratified_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    )
+    s = stratified_sample(
+        docs, {"0": 0.5, "1": 0.1}, group_col="grp", seed="mix", default_fraction=0.9
+    )
+    return s.select(F.col("doc_id").cast("long").alias("doc_id"), "grp")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from capreolus_spark.textproc import pack_sequences
+
+    docs = _docs(spark, sf_dir).withColumn("shard", (F.col("doc_id") % 4).cast("string"))
+    return pack_sequences(docs, budget=2048, shard_col="shard").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "shard",
+        "n_tokens",
+        "bin_id",
+        "bin_offset",
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -1312,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf_topk": _q_bm25_prf,
         "axiomatic_topk": _q_axiomatic,
         "sdm_topk": _q_sdm,
+        "deterministic_sample": _q_deterministic_sample,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -1513,6 +1548,30 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY fp) AS group_size FROM fps) "
             "SELECT cast(doc_id AS bigint) AS doc_id, cast(canonical_id AS bigint) AS canonical_id, "
             "cast(group_size AS bigint) AS group_size FROM g WHERE group_size > 1"
+        ),
+        # md5-prefix hash sampling is engine-portable (same 60-bit space
+        # as the simhash gate)
+        "deterministic_sample": (
+            "SELECT cast(doc_id AS bigint) AS doc_id FROM documents "
+            "WHERE TRY_CAST(concat('0x', substr(md5(concat('r3', cast(doc_id AS varchar))), 1, 15)) AS BIGINT) "
+            "/ 1152921504606846976.0 < 0.3"
+        ),
+        "stratified_sample": (
+            "WITH d AS (SELECT doc_id, cast(doc_id % 3 AS varchar) AS grp, "
+            "TRY_CAST(concat('0x', substr(md5(concat('mix', cast(doc_id AS varchar))), 1, 15)) AS BIGINT) "
+            "/ 1152921504606846976.0 AS h FROM documents) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, grp FROM d "
+            "WHERE h < (CASE grp WHEN '0' THEN 0.5 WHEN '1' THEN 0.1 ELSE 0.9 END)"
+        ),
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, cast(doc_id % 4 AS varchar) AS shard, "
+            f"len({_TOK}) AS n_tokens FROM documents), "
+            "c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, shard, "
+            "cast(n_tokens AS bigint) AS n_tokens, "
+            "cast(floor((cum - n_tokens) / 2048.0) AS bigint) AS bin_id, "
+            "cast((cum - n_tokens) % 2048 AS bigint) AS bin_offset FROM c"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

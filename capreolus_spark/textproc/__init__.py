@@ -32,4 +32,9 @@ from .multimodal import (  # noqa: F401
     sniff_mime_column,
     validate_media,
 )
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    pack_sequences,
+    stratified_sample,
+)
 from .scrub import decontaminate, pii_stats, scrub_pii  # noqa: F401

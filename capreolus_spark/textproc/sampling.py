@@ -1,0 +1,118 @@
+"""Deterministic sampling and sequence packing for training-data mixes.
+
+Both operators are pure column expressions / single-window passes and are
+reproducible across runs, partitionings and retries:
+
+* :func:`deterministic_sample` — keep a row iff a stable per-key hash
+  falls under the fraction threshold.  The hash is the md5 hex prefix
+  (portable: any engine can recompute membership — same trick as the
+  simhash md5_60 gate), so a sample drawn today is re-derivable forever,
+  unlike ``DataFrame.sample`` whose output depends on partitioning.
+* :func:`stratified_sample` — per-group fractions (e.g. language or
+  source weights when composing a training mix) via one join against a
+  tiny fractions table, broadcast by the optimizer.
+* :func:`pack_sequences` — greedy contiguous packing of documents into
+  fixed token-budget bins in deterministic ``order_col`` order: doc d is
+  assigned bin ``floor(cum_tokens_before(d) / budget)`` (documents are
+  not split; a bin may overflow by less than one document, the standard
+  sequence-packing-with-overflow convention).  One window over the
+  ordering — at scale, partition the corpus by a shard column first and
+  pack within shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .quality import TOKEN_REGEX
+
+# 60-bit hash space (15 md5 hex chars) — fits a signed 64-bit int in any
+# engine, same convention as dedup.simhash_pairs(hash_fn="md5_60")
+_HASH_SPACE = float(1 << 60)
+
+
+def _key_hash_unit(key_col) -> "F.Column":
+    """Stable per-key uniform in [0, 1): md5 hex prefix → 60-bit int."""
+    h = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 15), 16, 10).cast("long")
+    return h / F.lit(_HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep each row iff hash(seed || key) < fraction — exact-membership
+    reproducible sampling (P(keep) = fraction per key, independent of
+    partitioning).  ``seed`` distinguishes independent draws."""
+    key = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    return df.filter(_key_hash_unit(key) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling: group g keeps ``fractions[g]`` of
+    its rows (groups absent from ``fractions`` keep ``default_fraction``).
+    The fractions table is a handful of rows — Catalyst broadcasts the
+    join; the filter itself is one codegen pass."""
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(fractions.items())],
+        f"{group_col} string, _frac double",
+    )
+    key = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    joined = df.join(
+        F.broadcast(frac_df), on=df[group_col].cast("string") == frac_df[group_col], how="left"
+    ).drop(frac_df[group_col])
+    return (
+        joined.withColumn("_keep", _key_hash_unit(key) < F.coalesce(F.col("_frac"), F.lit(float(default_fraction))))
+        .filter(F.col("_keep"))
+        .drop("_frac", "_keep")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """(doc_id[, shard], n_tokens, bin_id, bin_offset) — greedy contiguous
+    packing of whole documents into ``budget``-token bins, ordered by
+    ``order_col`` (default: the id column).  ``bin_offset`` is the token
+    position of the document inside its bin's cumulative stream.
+
+    With ``shard_col`` the cumulative window partitions by shard and bins
+    are numbered per shard — the scale path (an unsharded global window
+    funnels the whole corpus through one task; fine for tests, wrong at
+    100 TB).  Address a bin as (shard, bin_id)."""
+    order = order_col or id_col
+    n_tokens = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)"))
+    cols = [F.col(id_col).alias("doc_id"), F.col(order).alias("_ord"), n_tokens.alias("n_tokens")]
+    if shard_col is not None:
+        cols.insert(1, F.col(shard_col).alias("shard"))
+        w = Window.partitionBy("shard").orderBy("_ord")
+    else:
+        w = Window.orderBy("_ord")
+    base = df.select(*cols)
+    cum = base.withColumn(
+        "_cum",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    out_cols = ["doc_id"] + (["shard"] if shard_col is not None else [])
+    return cum.select(
+        *out_cols,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(int(budget))).cast("long").alias("bin_id"),
+        ((F.col("_cum") - F.col("n_tokens")) % F.lit(int(budget))).cast("long").alias("bin_offset"),
+    )

@@ -537,3 +537,45 @@ def test_minhash_single_corpus_scan(spark):
         f"{n_source} corpus scans vs {n_cached} cache reads — a consumer "
         f"bypassed the persisted shingle postings:\n{plan[:2000]}"
     )
+
+
+def test_deterministic_and_stratified_sampling(spark):
+    from capreolus_spark.textproc import deterministic_sample, stratified_sample
+
+    df = spark.createDataFrame([(i, "t") for i in range(2000)], "doc_id long, text string")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.25, seed="s1").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df, 0.25, seed="s1").collect()}
+    c = {r["doc_id"] for r in deterministic_sample(df.repartition(7), 0.25, seed="s1").collect()}
+    assert a == b == c  # reproducible and partitioning-independent
+    assert 0.2 < len(a) / 2000 < 0.3
+    # a larger fraction with the same seed is a superset (threshold sampling)
+    bigger = {r["doc_id"] for r in deterministic_sample(df, 0.5, seed="s1").collect()}
+    assert a < bigger
+    # different seed → a different draw
+    other = {r["doc_id"] for r in deterministic_sample(df, 0.25, seed="s2").collect()}
+    assert a != other
+
+    g = df.withColumn("grp", (F.col("doc_id") % 2).cast("string"))
+    s = stratified_sample(g, {"0": 1.0, "1": 0.0}, group_col="grp")
+    kept = {r["doc_id"] for r in s.collect()}
+    assert kept == {i for i in range(2000) if i % 2 == 0}
+
+
+def test_pack_sequences(spark):
+    from capreolus_spark.textproc import pack_sequences
+
+    rows = [(i, "w " * 10) for i in range(10)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=25).collect()}
+    # cumulative before: 0,10,20,... → bins of ~25 tokens, docs unsplit
+    assert [out[i]["bin_id"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert out[3]["bin_offset"] == 30 % 25 and out[0]["bin_offset"] == 0
+    # sharded: bins numbered per shard, window never global
+    sharded = df.withColumn("shard", (F.col("doc_id") % 2).cast("string"))
+    outs = pack_sequences(sharded, budget=25, shard_col="shard").collect()
+    per_shard = {}
+    for r in outs:
+        per_shard.setdefault(r["shard"], []).append((r["doc_id"], r["bin_id"]))
+    for shard, lst in per_shard.items():
+        lst.sort()
+        assert [b for _, b in lst] == [0, 0, 0, 1, 1]
