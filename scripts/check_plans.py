@@ -93,6 +93,59 @@ def main() -> None:
         #    BatchEvalPython is the row-at-a-time slow path — forbidden)
         results.append(("no row-at-a-time python in search plan", "BatchEvalPython" not in rplan))
 
+        # 8. decontamination broadcasts the (small) eval-set shingles, not
+        #    the corpus side of the anti-join
+        from capreolus_spark.textproc import decontaminate
+
+        docs_tbl = corpus.select(
+            F.col("docid").cast("long").alias("doc_id"), F.col("content").alias("text")
+        )
+        eval_tbl = docs_tbl.limit(5)
+        dc = decontaminate(docs_tbl, eval_tbl, n=5)
+        dcplan = dc._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "decontaminate eval-side broadcast anti-join",
+                "BroadcastHashJoin" in dcplan and "LeftAnti" in dcplan,
+            )
+        )
+
+        # 9. stratified sampling joins its tiny fractions table broadcast
+        #    and keeps the keep-filter in codegen (no python)
+        from capreolus_spark.textproc import stratified_sample
+
+        st = stratified_sample(
+            docs_tbl.withColumn("grp", (F.col("doc_id") % 2).cast("string")),
+            {"0": 0.5},
+            group_col="grp",
+        )
+        stplan = st._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "stratified sample broadcast fractions + codegen filter",
+                "BroadcastHashJoin" in stplan and "BatchEvalPython" not in stplan,
+            )
+        )
+
+        # 10. slim-docmap build: the tokens-stage corpus join must be a
+        #     shuffle hash/sort-merge join (neither side broadcast — both
+        #     are corpus-sized at scale; Spark must not plan a broadcast
+        #     of the docmap just because the test corpus is tiny... a
+        #     broadcast here is fine at test size, so assert only that the
+        #     slim docmap leaves content out of its scan)
+        from capreolus_spark.index import IndexConfig as _IC
+
+        slim = InvertedIndex.create(
+            spark, corpus, os.path.join(wd, "slim"), _IC(store_contents=False)
+        )
+        sdplan = slim.docs_df()._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "slim docmap scan excludes content",
+                "content" not in sdplan.split("ReadSchema")[-1],
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
