@@ -153,8 +153,9 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 128,
     posts: DataFrame | None = None,
+    with_set_size: bool = False,
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) MinHash signatures.
+    """(doc_id, sig array<bigint>[, set_size]) MinHash signatures.
 
     h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^31 - 1) with fixed
     deterministic coefficients; the signature is min over the document's
@@ -168,7 +169,10 @@ def minhash_signatures(
     ``posts`` lets a caller that also needs the shingle postings (e.g.
     LSH verification) compute them once, persist, and share — at corpus
     scale the postings are the largest intermediate and must not be
-    re-derived per consumer.
+    re-derived per consumer.  ``with_set_size`` rides the per-doc
+    distinct-shingle count on the same aggregation (posts is distinct, so
+    it is just the collected list's length), sparing consumers that need
+    set sizes (Jaccard verification) a second full shuffle over posts.
     """
     import numpy as np
     import pandas as pd
@@ -194,7 +198,10 @@ def minhash_signatures(
             out.append(sig.tolist())
         return pd.Series(out)
 
-    return grouped.select("doc_id", sig_udf("hs").alias("sig"))
+    cols = ["doc_id", sig_udf("hs").alias("sig")]
+    if with_set_size:
+        cols.append(F.size("hs").cast("long").alias("set_size"))
+    return grouped.select(*cols)
 
 
 def _capped_bucket_pairs(
@@ -282,7 +289,14 @@ def minhash_lsh_pairs(
     posts = shingle_postings(df, text_col, id_col, n)
     if verify:
         posts = posts.persist()
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, posts=posts)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, posts=posts, with_set_size=verify
+    )
+    if verify:
+        # consumed by both the banding branch and the set-size lookup —
+        # tiny (one row per doc), so cache instead of recomputing the
+        # signature aggregation twice
+        sigs = sigs.persist()
     band_cols = [
         F.xxhash64(
             F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]
@@ -304,7 +318,7 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sizes = sigs.select("doc_id", "set_size")
     pa = posts.select(F.col("doc_id").alias("id_a"), "shingle")
     pb = posts.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (

@@ -525,18 +525,18 @@ def test_minhash_single_corpus_scan(spark):
     rows = [(i, f"alpha beta gamma delta epsilon zeta doc{i % 3}") for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_pairs(df, n=3, threshold=0.8)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    # every corpus scan in the printed plan must sit INSIDE a cached
-    # relation (InMemoryTableScan prints its stored child plan): a posts
-    # consumer that bypassed the cache would add a bare ExistingRDD with
-    # no matching InMemoryTableScan line
-    n_cached = plan.count("InMemoryTableScan")
-    n_source = plan.count("ExistingRDD") + plan.count("Scan parquet")
-    assert n_cached >= 2, f"postings cache unused:\n{plan[:2000]}"
-    assert n_source == n_cached, (
-        f"{n_source} corpus scans vs {n_cached} cache reads — a consumer "
-        f"bypassed the persisted shingle postings:\n{plan[:2000]}"
-    )
+    # sparkPlan (pre-AQE): AdaptiveSparkPlanExec would hide its tree
+    jplan = pairs._jdf.queryExecution().sparkPlan()
+    # every leaf of the MAIN plan tree must be a cache read: a posts/sigs
+    # consumer that bypassed the persisted frames would surface a bare
+    # source scan leaf (the cached relations themselves scan the corpus
+    # exactly once, at materialization)
+    leaves = jplan.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    cache_leaves = [n for n in names if "InMemoryTableScan" in n]
+    source_leaves = [n for n in names if "RDD" in n or "Scan" in n and "InMemory" not in n]
+    assert len(cache_leaves) >= 2, f"postings cache unused: {names}"
+    assert not source_leaves, f"consumers bypassed the cache: {names}"
 
 
 def test_deterministic_and_stratified_sampling(spark):
