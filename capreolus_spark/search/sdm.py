@@ -197,7 +197,17 @@ class SDMSearcher(BM25Searcher):
             # rows) frame so the expensive pruned DAAT pass-1 scan runs
             # once per action instead of twice
             uni = uni.persist()
-            counts = self._pair_counts_df(pairs)
+            # counts feeds BOTH the exact-df aggregation and the candidate
+            # semi-join in one plan; without a persist the cogrouped
+            # positions-decode kernel (the expensive pass) executes twice
+            # per action.  MEMORY_AND_DISK: a stopword pair's co-occurrence
+            # frame can exceed executor memory at corpus scale — spilling
+            # beats recomputing the kernel.
+            from pyspark import StorageLevel
+
+            counts = self._pair_counts_df(pairs).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             # exact global df per (qid, pair, feature) for the idf — a
             # map-side-combining groupBy over every co-occurring doc (the
             # linear pass), idf computed in-plan so nothing collects
