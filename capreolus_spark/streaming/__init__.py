@@ -1,2 +1,7 @@
 from .incremental import IncrementalIndexer  # noqa: F401
-from .dedup import dedup_stream, session_stats_stream, windowed_doc_stats  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_stream,
+    near_dup_stream,
+    session_stats_stream,
+    windowed_doc_stats,
+)

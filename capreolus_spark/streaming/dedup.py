@@ -129,3 +129,150 @@ def session_stats_stream(
             "sum_value",
         )
     )
+
+
+NEAR_DUP_OUT_SCHEMA = "id_new string, id_seen string, est_jaccard double"
+
+_ND_NUM_HASHES = 64
+_ND_MERSENNE = (1 << 31) - 1
+
+
+def _stream_signatures(pdf: "pd.DataFrame", text_col: str, n: int) -> "pd.DataFrame":
+    """Per-row MinHash signatures for a micro-batch (numpy; deterministic
+    md5-based shingle hash so signatures are stable across restarts and
+    engines — same convention family as batch dedup's md5_60 gate)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    a = np.arange(_ND_NUM_HASHES, dtype=np.int64) * 2 + 1
+    b = np.arange(_ND_NUM_HASHES, dtype=np.int64) ** 2 + 1
+    tok_re = re.compile(r"[a-z0-9_]+")
+    sigs = []
+    for text in pdf[text_col].fillna(""):
+        toks = tok_re.findall(text.lower())
+        if len(toks) >= n:
+            shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            shingles = {" ".join(toks)} if toks else set()
+        if not shingles:
+            sigs.append(np.full(_ND_NUM_HASHES, _ND_MERSENNE, dtype=np.int64).tobytes())
+            continue
+        h = np.fromiter(
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _ND_MERSENNE
+                for s in sorted(shingles)
+            ),
+            dtype=np.int64,
+            count=len(shingles),
+        )[:, None]
+        sigs.append(((h * a[None, :] + b[None, :]) % _ND_MERSENNE).min(axis=0).tobytes())
+    out = pdf.copy()
+    out["sig"] = sigs
+    return out
+
+
+def near_dup_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int = 16,
+    max_state_docs: int = 256,
+) -> DataFrame:
+    """Streaming cross-batch NEAR-duplicate detection (stateful MinHash).
+
+    Per micro-batch each document gets a 64-hash MinHash signature
+    (vectorized numpy inside ``mapInPandas``); signatures are banded and
+    routed to ``(band, bucket)`` keys, where a custom stateful operator
+    (``applyInPandasWithState``) compares arrivals against the bucket's
+    remembered signatures and emits ``(id_new, id_seen, est_jaccard)`` for
+    estimated Jaccard (matching-component fraction) ≥ ``threshold``.
+
+    Scale properties: state per bucket is bounded at ``max_state_docs``
+    signatures (oldest evicted first — the streaming analogue of the batch
+    mega-bucket star-chain guard) and each signature is a constant
+    ``8 × 64`` bytes.  A near-dup pair sharing several bands is emitted
+    once per shared band within the batch — downstream consumers dedupe on
+    (id_new, id_seen); estimated (not exact) Jaccard is the streaming
+    trade-off, since prior documents' text is not retained in state.
+    """
+    rows = _ND_NUM_HASHES // bands
+
+    def add_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _stream_signatures(
+                    pdf.rename(columns={id_col: "doc_id", text_col: "text"}),
+                    "text",
+                    n,
+                )
+
+    sigged = stream.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(add_sigs, schema="doc_id string, text string, sig binary")
+
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat(
+                    F.lit(f"{bi}:"),
+                    F.hex(F.expr(f"substring(sig, {bi * rows * 8 + 1}, {rows * 8})")),
+                )
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigged.select(
+        "doc_id",
+        "sig",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    def match(
+        key: Tuple[str, str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            doc_ids, blob = state.get
+            seen_ids = list(doc_ids)
+            seen = (
+                np.frombuffer(blob, dtype=np.int64).reshape(-1, _ND_NUM_HASHES)
+                if len(blob)
+                else np.empty((0, _ND_NUM_HASHES), dtype=np.int64)
+            )
+        else:
+            seen_ids, seen = [], np.empty((0, _ND_NUM_HASHES), dtype=np.int64)
+
+        out = {"id_new": [], "id_seen": [], "est_jaccard": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, sig_bytes in zip(pdf["doc_id"], pdf["sig"]):
+                sig = np.frombuffer(bytes(sig_bytes), dtype=np.int64)
+                if len(seen_ids):
+                    est = (seen == sig[None, :]).mean(axis=1)
+                    for j in np.flatnonzero(est >= threshold):
+                        if seen_ids[j] != doc_id:
+                            out["id_new"].append(doc_id)
+                            out["id_seen"].append(seen_ids[j])
+                            out["est_jaccard"].append(round(float(est[j]), 6))
+                seen_ids.append(doc_id)
+                seen = np.vstack([seen, sig[None, :]])
+        if len(seen_ids) > max_state_docs:  # bounded state: evict oldest
+            seen_ids = seen_ids[-max_state_docs:]
+            seen = seen[-max_state_docs:]
+        state.update((seen_ids, seen.tobytes()))
+        if out["id_new"]:
+            yield pd.DataFrame(out)
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        match,
+        outputStructType=NEAR_DUP_OUT_SCHEMA,
+        stateStructType="doc_ids array<string>, sig_blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -280,3 +280,53 @@ def test_session_window_stream(spark, tmp_path):
         if r["user_id"] in (100, 200)
     }
     assert got == {(100, 0): (2, 3.0), (100, 50): (1, 3.0), (200, 5): (1, 4.0)}
+
+
+def test_near_dup_stream_across_batches(spark, tmp_path):
+    """Stateful streaming MinHash near-dup: a later batch's near-copy of an
+    earlier batch's document is detected from checkpointed signature state;
+    unrelated documents never pair."""
+    from capreolus_spark.streaming import near_dup_stream
+
+    input_dir = str(tmp_path / "in_nd")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "ck_nd")
+    seen = []
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id string, text string").parquet(input_dir)
+        q = (
+            near_dup_stream(stream, threshold=0.8)
+            .writeStream.foreachBatch(lambda df, _e: seen.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    spark.createDataFrame(
+        [("a1", base), ("z1", "completely different text about spark shuffles and joins here")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    assert seen == []  # nothing similar within batch 1
+
+    spark.createDataFrame(
+        [("a2", base), ("z2", "yet another unrelated document with its own words")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    pairs = {(r["id_new"], r["id_seen"]) for r in seen}
+    assert ("a2", "a1") in pairs  # cross-batch near-dup found via state
+    assert all("z" not in a and "z" not in b for a, b in pairs)
+    # identical token stream → every signature component matches
+    assert all(r["est_jaccard"] == 1.0 for r in seen if r["id_new"] == "a2")
+
+    # restart (fresh query, same checkpoint): state survives
+    spark.createDataFrame(
+        [("a3", base + " tail")], "doc_id string, text string"
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    pairs = {(r["id_new"], r["id_seen"]) for r in seen}
+    assert ("a3", "a1") in pairs or ("a3", "a2") in pairs
