@@ -67,7 +67,7 @@ _LEXICON = frozenset(
     database debate decide degree derive design die divide document dog
     double dry eat edge engine error face fact factory family fee file
     fit fix focus force free fuse gas glass go goose grow hash have hero
-    hope house improve index infer issue join judge key kiss know large
+    hop hope house improve index infer issue join judge key kiss know large
     lie like line live load lose loss make man manage map mass match
     matrix merge message mine miss model mouse move name node note
     notice office one operate output own page parse partition pass
@@ -129,11 +129,13 @@ class KrovetzStemmer:
             and stem[-1] == stem[-2]
             and not _is_vowel(stem[-1])
         ):
+            # NOTE: no undoubled+e attempt — an e-final stem never doubles
+            # its consonant in English orthography (hope→hoped, not
+            # hopped), so that recoding could only produce a wrong-lemma
+            # conflation (hopped→hope)
             undoubled = stem[:-1]  # "stopp" → "stop"
             if self._in_lex(undoubled):
                 return undoubled
-            if self._in_lex(undoubled + "e"):
-                return undoubled + "e"
         if stem.endswith("i") and self._in_lex(stem[:-1] + "y"):
             return stem[:-1] + "y"  # "appli" → "apply"
         return None

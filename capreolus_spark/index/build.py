@@ -529,6 +529,19 @@ def build_index(
             f"{manifest.data['config']}"
         )
     existing_layout = manifest.data.get("layout_version")
+    if manifest.data["stages"] and existing_layout is None:
+        # pre-versioning manifest: sniff the committed tokens checkpoint —
+        # kind= partition directories identify the v2 layout, so valid
+        # indexes written before the version field existed keep resuming
+        tokens_dir = os.path.join(index_dir, "tokens")
+        if manifest.stage_done("tokens"):
+            has_kind = os.path.isdir(tokens_dir) and any(
+                name.startswith("kind=") for name in os.listdir(tokens_dir)
+            )
+            if has_kind:
+                existing_layout = LAYOUT_VERSION
+        else:
+            existing_layout = LAYOUT_VERSION  # only layout-agnostic stages committed
     if manifest.data["stages"] and existing_layout != LAYOUT_VERSION:
         raise ValueError(
             f"index at {index_dir} has committed stages written under on-disk "

@@ -97,6 +97,18 @@ class SDMSearcher(BM25Searcher):
         self.ordered_window = ordered_window
         self.unordered_window = unordered_window
         self.rerank_factor = rerank_factor
+        # frames persisted by the previous search() call — released at the
+        # start of the next one (DataFrame caches are CacheManager entries,
+        # not GC-cleaned; without this, repeated searches leak a
+        # potentially corpus-scale counts cache per call)
+        self._prev_caches: list[DataFrame] = []
+
+    def _release_caches(self) -> None:
+        while self._prev_caches:
+            try:
+                self._prev_caches.pop().unpersist()
+            except Exception:
+                pass
 
     # ------------------------------------------------------------ pairs
 
@@ -196,7 +208,9 @@ class SDMSearcher(BM25Searcher):
             # + final combine join); persist the bounded (≤ depth×queries
             # rows) frame so the expensive pruned DAAT pass-1 scan runs
             # once per action instead of twice
+            self._release_caches()
             uni = uni.persist()
+            self._prev_caches.append(uni)
             # counts feeds BOTH the exact-df aggregation and the candidate
             # semi-join in one plan; without a persist the cogrouped
             # positions-decode kernel (the expensive pass) executes twice
@@ -208,6 +222,7 @@ class SDMSearcher(BM25Searcher):
             counts = self._pair_counts_df(pairs).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            self._prev_caches.append(counts)
             # exact global df per (qid, pair, feature) for the idf — a
             # map-side-combining groupBy over every co-occurring doc (the
             # linear pass), idf computed in-plan so nothing collects

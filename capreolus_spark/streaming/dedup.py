@@ -192,13 +192,19 @@ def near_dup_stream(
     estimated Jaccard (matching-component fraction) ≥ ``threshold``.
 
     Scale properties: state per bucket is bounded at ``max_state_docs``
-    signatures (oldest evicted first — the streaming analogue of the batch
-    mega-bucket star-chain guard) and each signature is a constant
-    ``8 × 64`` bytes.  A near-dup pair sharing several bands is emitted
+    signatures — arrivals beyond the cap are still matched against the
+    remembered representatives but not remembered themselves (the
+    streaming analogue of the batch mega-bucket star-chain guard) — and
+    each signature is a constant ``8 × 64`` bytes.  A near-dup pair sharing several bands is emitted
     once per shared band within the batch — downstream consumers dedupe on
     (id_new, id_seen); estimated (not exact) Jaccard is the streaming
     trade-off, since prior documents' text is not retained in state.
     """
+    if _ND_NUM_HASHES % bands != 0:
+        raise ValueError(
+            f"bands must divide {_ND_NUM_HASHES} (got {bands}); a remainder "
+            "would silently drop trailing signature components from banding"
+        )
     rows = _ND_NUM_HASHES // bands
 
     def add_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -249,22 +255,38 @@ def near_dup_stream(
             seen_ids, seen = [], np.empty((0, _ND_NUM_HASHES), dtype=np.int64)
 
         out = {"id_new": [], "id_seen": [], "est_jaccard": []}
+        pending_ids: list = []
+        pending_sigs: list = []
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             for doc_id, sig_bytes in zip(pdf["doc_id"], pdf["sig"]):
                 sig = np.frombuffer(bytes(sig_bytes), dtype=np.int64)
-                if len(seen_ids):
+                # compare against checkpointed state (one vectorized pass)
+                # plus same-batch earlier arrivals; both sides are capped
+                # at max_state_docs so a mega-bucket batch stays linear in
+                # arrivals (over-cap docs are still matched against the
+                # remembered representatives, just not remembered — the
+                # streaming analogue of the batch star-chain guard)
+                if len(seen):
                     est = (seen == sig[None, :]).mean(axis=1)
                     for j in np.flatnonzero(est >= threshold):
                         if seen_ids[j] != doc_id:
                             out["id_new"].append(doc_id)
                             out["id_seen"].append(seen_ids[j])
                             out["est_jaccard"].append(round(float(est[j]), 6))
-                seen_ids.append(doc_id)
-                seen = np.vstack([seen, sig[None, :]])
-        if len(seen_ids) > max_state_docs:  # bounded state: evict oldest
-            seen_ids = seen_ids[-max_state_docs:]
-            seen = seen[-max_state_docs:]
+                for pid, psig in zip(pending_ids, pending_sigs):
+                    if pid != doc_id:
+                        e = float((psig == sig).mean())
+                        if e >= threshold:
+                            out["id_new"].append(doc_id)
+                            out["id_seen"].append(pid)
+                            out["est_jaccard"].append(round(e, 6))
+                if len(seen_ids) + len(pending_ids) < max_state_docs:
+                    pending_ids.append(doc_id)
+                    pending_sigs.append(sig)
+        if pending_ids:  # one concatenation per batch, never per document
+            seen_ids = seen_ids + pending_ids
+            seen = np.vstack([seen] + [s[None, :] for s in pending_sigs])
         state.update((seen_ids, seen.tobytes()))
         if out["id_new"]:
             yield pd.DataFrame(out)

@@ -78,7 +78,14 @@ class IncrementalIndexer:
         from ..index.build import LAYOUT_VERSION
 
         existing_layout = self.manifest.data.get("layout_version")
-        if self.manifest.data["stages"] and existing_layout != LAYOUT_VERSION:
+        # None = written before the version field existed; incremental
+        # generations have only ever been written in the v2 layout, so a
+        # versionless manifest is v2 — reject only a real mismatch
+        if (
+            self.manifest.data["stages"]
+            and existing_layout is not None
+            and existing_layout != LAYOUT_VERSION
+        ):
             raise ValueError(
                 f"{index_dir} holds generations written under on-disk layout "
                 f"version {existing_layout!r}, this engine writes {LAYOUT_VERSION}"

@@ -258,6 +258,22 @@ def _capped_bucket_pairs(
     return pairs.unionByName(star).distinct()
 
 
+# Frames persisted by the previous minhash_lsh_pairs call, released on the
+# next call: DataFrame.persist entries live in the CacheManager until
+# explicitly unpersisted (they are NOT GC-cleaned like raw RDD caches), so
+# a long-lived session running dedup over many snapshots would otherwise
+# accumulate corpus-scale cached postings per invocation.
+_MINHASH_CACHES: list[DataFrame] = []
+
+
+def _release_minhash_caches() -> None:
+    while _MINHASH_CACHES:
+        try:
+            _MINHASH_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session may be stopped
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -286,9 +302,11 @@ def minhash_lsh_pairs(
     # the verification join consume them.  Compute ONCE and persist so a
     # single action over the returned plan scans/tokenizes the corpus one
     # time — previously this was two full corpus passes.
+    _release_minhash_caches()  # free the previous call's caches
     posts = shingle_postings(df, text_col, id_col, n)
     if verify:
         posts = posts.persist()
+        _MINHASH_CACHES.append(posts)
     sigs = minhash_signatures(
         df, text_col, id_col, n, num_hashes, posts=posts, with_set_size=verify
     )
@@ -297,6 +315,7 @@ def minhash_lsh_pairs(
         # tiny (one row per doc), so cache instead of recomputing the
         # signature aggregation twice
         sigs = sigs.persist()
+        _MINHASH_CACHES.append(sigs)
     band_cols = [
         F.xxhash64(
             F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]
@@ -375,7 +394,9 @@ def simhash_pairs(
     if hash_fn == "md5_60":
         if num_bits > 60:
             raise ValueError("md5_60 provides 60 bits; pass num_bits<=60")
-        h_expr = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        from .hashing import md5_hash60
+
+        h_expr = md5_hash60(F.col("tok"))
     elif hash_fn == "xxhash64":
         h_expr = F.xxhash64(F.col("tok"), F.lit(7))
     else:

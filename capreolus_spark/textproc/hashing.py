@@ -1,0 +1,26 @@
+"""Engine-portable hashing helpers shared across textproc operators.
+
+``md5_hash60`` maps a string column to a 60-bit non-negative int64 via
+the md5 hex prefix — bit-identical to the SQL recompute
+``TRY_CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`` in any engine
+with md5, which is what lets sampling membership and the portable simhash
+mode be hash-gated externally.  One definition so the convention cannot
+silently diverge between operators and their SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed 64-bit integer in every engine
+HASH60_SPACE = float(1 << 60)
+
+
+def md5_hash60(col):
+    """String column → deterministic int64 in [0, 2^60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_unit(col):
+    """String column → deterministic uniform double in [0, 1)."""
+    return md5_hash60(col) / F.lit(HASH60_SPACE)

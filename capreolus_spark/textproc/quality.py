@@ -269,42 +269,38 @@ def remove_boilerplate_lines(
     cleaned_text ''.  Pass a precomputed ``boilerplate`` frame to share one
     table across consumers at scale.
     """
+    from pyspark.sql import Window
+
     bl = (
         boilerplate
         if boilerplate is not None
         else boilerplate_lines(df, text_col, id_col, min_docs)
     ).select(F.col("line").alias("_bl"))
+    # per-doc line totals ride the exploded frame (one window) instead of
+    # a third corpus scan; every doc keeps a representative row even when
+    # all its lines are boilerplate (the kept flag) so no doc goes missing
     pos_lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
-    kept = pos_lines.join(
-        bl, F.lower(F.trim(F.col("line"))) == F.col("_bl"), "left_anti"
-    )
-    regrouped = kept.groupBy("doc_id").agg(
+    ).withColumn("_n_total", F.count("*").over(Window.partitionBy("doc_id")))
+    flagged = pos_lines.join(
+        bl, F.lower(F.trim(F.col("line"))) == F.col("_bl"), "left"
+    ).withColumn("_keep", F.col("_bl").isNull())
+    return flagged.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "_keep"))),
+                    lambda s: s.getField("_keep"),
+                ),
                 lambda s: s.getField("line"),
             ),
             "\n",
         ).alias("cleaned_text"),
-        F.count("*").alias("n_lines_kept"),
-    )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).alias("_n_total"),
-    )
-    return (
-        totals.join(regrouped, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
-            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_lines_removed"),
-        )
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_lines_kept"),
+        (F.max("_n_total") - F.sum(F.col("_keep").cast("long")))
+        .cast("long")
+        .alias("n_lines_removed"),
     )
 
 

@@ -25,17 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_hash60_unit
 from .quality import TOKEN_REGEX
-
-# 60-bit hash space (15 md5 hex chars) — fits a signed 64-bit int in any
-# engine, same convention as dedup.simhash_pairs(hash_fn="md5_60")
-_HASH_SPACE = float(1 << 60)
 
 
 def _key_hash_unit(key_col) -> "F.Column":
-    """Stable per-key uniform in [0, 1): md5 hex prefix → 60-bit int."""
-    h = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 15), 16, 10).cast("long")
-    return h / F.lit(_HASH_SPACE)
+    """Stable per-key uniform in [0, 1) (shared md5-60 convention)."""
+    return md5_hash60_unit(key_col.cast("string"))
 
 
 def deterministic_sample(

@@ -180,6 +180,8 @@ def test_krovetz_golden_pairs():
         # -ed with recoding: e-restore, undouble, i→y
         "created": "create",
         "stopped": "stop",
+        "hopped": "hop",     # undoubled base attested -> no hopped->hope conflation
+        "falling": "fall",   # attested doubled base never undoubles
         "applied": "apply",
         "agreed": "agree",
         "merged": "merge",

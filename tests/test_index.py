@@ -150,6 +150,26 @@ def test_layout_version_mismatch_rejected(spark, dummy_corpus, tmp_path):
         build_index(spark, dummy_corpus, index_dir, cfg)
 
 
+def test_versionless_v2_manifest_resumes(spark, dummy_corpus, tmp_path):
+    """A manifest written before the layout_version field existed — but
+    whose tokens checkpoint IS the v2 kind-partitioned layout — must keep
+    resuming (sniffed, then stamped), not be falsely rejected."""
+    import json
+
+    index_dir = str(tmp_path / "idx4")
+    cfg = IndexConfig()
+    build_index(spark, dummy_corpus, index_dir, cfg)
+    m = Manifest(index_dir)
+    del m.data["layout_version"]  # simulate pre-versioning engine
+    for stage in ("ranges", "postings", "dict", "stats"):
+        del m.data["stages"][stage]
+    with open(m.path, "w") as f:
+        json.dump(m.data, f)
+    build_index(spark, dummy_corpus, index_dir, cfg)  # must not raise
+    assert Manifest(index_dir).data["layout_version"] == 2
+    assert InvertedIndex(spark, index_dir).exists()
+
+
 def test_indexstops_true_keeps_stopwords(spark, tmp_path):
     corpus = spark.createDataFrame(
         [("d1", "the cat and the hat")], "docid string, content string"
