@@ -1027,6 +1027,12 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    from capreolus_spark.textproc import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -1347,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q_deterministic_sample,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -1572,6 +1579,17 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_tokens AS bigint) AS n_tokens, "
             "cast(floor((cum - n_tokens) / 2048.0) AS bigint) AS bin_id, "
             "cast((cum - n_tokens) % 2048 AS bigint) AS bin_offset FROM c"
+        ),
+        "chunk_documents": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, unnest(range("
+            "CASE WHEN len(toks) > 0 THEN cast(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS bigint) + 1 ELSE 0 END"
+            ")) AS chunk_id FROM tok) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(chunk_id AS bigint) AS chunk_id, "
+            "cast(chunk_id * 48 AS bigint) AS start_tok, "
+            "cast(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS bigint) AS n_tokens, "
+            "array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text "
+            "FROM c"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

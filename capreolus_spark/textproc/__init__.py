@@ -33,6 +33,7 @@ from .multimodal import (  # noqa: F401
     validate_media,
 )
 from .sampling import (  # noqa: F401
+    chunk_documents,
     deterministic_sample,
     pack_sequences,
     stratified_sample,

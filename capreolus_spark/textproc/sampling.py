@@ -112,3 +112,52 @@ def pack_sequences(
         F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(int(budget))).cast("long").alias("bin_id"),
         ((F.col("_cum") - F.col("n_tokens")) % F.lit(int(budget))).cast("long").alias("bin_offset"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_text) — fixed-size
+    token-window chunking with overlap (``stride`` < ``chunk_tokens``
+    overlaps consecutive chunks; default stride = chunk_tokens, i.e. no
+    overlap): the standard splitting step in front of embedding / passage
+    models.  Chunk text is the normalized token stream re-joined with
+    single spaces (chunks address token windows, not raw byte spans).
+
+    Pure column expressions: tokenize once into a bound array column,
+    then one explode over the per-doc chunk-start sequence — no shuffle
+    at all; empty documents yield no chunks.
+    """
+    stride = stride or chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)").alias("_toks"),
+    )
+    t = F.col("_toks")
+    # last chunk start: largest multiple of stride still < size (so the
+    # tail is always covered; a doc shorter than chunk_tokens gets one)
+    n_chunks = F.when(
+        F.size(t) > 0,
+        F.floor((F.greatest(F.size(t) - chunk_tokens, F.lit(0)) + stride - 1) / F.lit(stride)) + 1,
+    ).otherwise(F.lit(0))
+    # guard: sequence(0, -1) DESCENDS (the empty-doc trap) — emit an empty
+    # array instead so empty documents yield no chunks
+    chunk_ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toked.select("doc_id", "_toks", F.explode(chunk_ids).alias("chunk_id"))
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

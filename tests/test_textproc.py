@@ -579,3 +579,24 @@ def test_pack_sequences(spark):
     for shard, lst in per_shard.items():
         lst.sort()
         assert [b for _, b in lst] == [0, 0, 0, 1, 1]
+
+
+def test_chunk_documents(spark):
+    from capreolus_spark.textproc import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    got = [(r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_text"]) for r in out]
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),  # tail covered; overlap = 1 token
+        (2, 0, 0, 3, "a b c"),        # short doc → one partial chunk
+    ]                                  # empty doc → no chunks
+    # non-overlapping default stride
+    flat = chunk_documents(df, chunk_tokens=5).collect()
+    assert sum(r["n_tokens"] for r in flat if r["doc_id"] == 1) == 10
