@@ -38,4 +38,5 @@ from .sampling import (  # noqa: F401
     pack_sequences,
     stratified_sample,
 )
+from .pipeline import clean_corpus  # noqa: F401
 from .scrub import decontaminate, pii_stats, scrub_pii  # noqa: F401

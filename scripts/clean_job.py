@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""spark-submit entry point: training-data cleaning pipeline over a corpus.
+
+    spark-submit --py-files dist/capreolus_spark.zip scripts/clean_job.py \\
+        --input <documents parquet> --output <cleaned parquet> \\
+        [--id-col doc_id] [--text-col text] \\
+        [--min-tokens 5] [--max-punct-ratio 0.3] [--languages en,es] \\
+        [--near-dup] [--near-dup-threshold 0.8] \\
+        [--decontaminate <eval parquet>] [--boilerplate-min-docs 0] \\
+        [--report <json path>]
+
+Composes the individually-oracled operators into the standard cleaning
+flow: (optional) boilerplate-line removal → quality filter + exact-dup
+collapse + language filter (one declarative plan) → (optional) MinHash
+near-dup collapse via connected components → (optional) 13-gram eval-set
+decontamination.  Writes the surviving documents (id, text) plus a JSON
+report of per-stage counts to stdout (and ``--report`` when given).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-punct-ratio", type=float, default=0.3)
+    ap.add_argument("--languages", default="", help="comma-separated allowlist")
+    ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--decontaminate", default="", help="eval-set parquet path")
+    ap.add_argument(
+        "--boilerplate-min-docs", type=int, default=0,
+        help="strip lines shared by >= N docs first (0 = off)",
+    )
+    ap.add_argument("--report", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc import (
+        clean_corpus,
+        decontaminate,
+        dup_components,
+        minhash_lsh_pairs,
+        remove_boilerplate_lines,
+    )
+
+    spark = SparkSession.builder.appName("capreolus_spark_clean").getOrCreate()
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    report: dict = {"input_docs": docs.count()}
+
+    if args.boilerplate_min_docs > 0:
+        cleaned = remove_boilerplate_lines(docs, min_docs=args.boilerplate_min_docs)
+        docs = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+        report["boilerplate_lines_removed"] = int(
+            cleaned.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+        )
+
+    langs = [x for x in args.languages.split(",") if x]
+    kept = clean_corpus(
+        docs,
+        min_tokens=args.min_tokens,
+        max_punct_ratio=args.max_punct_ratio,
+        languages=langs or None,
+    ).select("doc_id")
+    survivors = docs.join(kept, "doc_id")
+    report["after_quality_exactdup_lang"] = survivors.count()
+
+    if args.near_dup:
+        pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
+        comp = dup_components(pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+        survivors = survivors.join(drop, "doc_id", "left_anti")
+        report["after_near_dup"] = survivors.count()
+
+    if args.decontaminate:
+        eval_df = spark.read.parquet(args.decontaminate).select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+        )
+        survivors = decontaminate(survivors, eval_df)
+        report["after_decontamination"] = survivors.count()
+
+    survivors.write.mode("overwrite").parquet(args.output)
+    report["output_docs"] = spark.read.parquet(args.output).count()
+    line = json.dumps(report)
+    print(line)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
