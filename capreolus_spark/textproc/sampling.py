@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import md5_hash60_unit
-from .quality import TOKEN_REGEX
 
 
 def _key_hash_unit(key_col) -> "F.Column":
@@ -92,8 +91,10 @@ def pack_sequences(
     are numbered per shard — the scale path (an unsharded global window
     funnels the whole corpus through one task; fine for tests, wrong at
     100 TB).  Address a bin as (shard, bin_id)."""
+    from .quality import _tokens_col
+
     order = order_col or id_col
-    n_tokens = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)"))
+    n_tokens = F.size(_tokens_col(text_col))
     cols = [F.col(id_col).alias("doc_id"), F.col(order).alias("_ord"), n_tokens.alias("n_tokens")]
     if shard_col is not None:
         cols.insert(1, F.col(shard_col).alias("shard"))
@@ -132,20 +133,28 @@ def chunk_documents(
     then one explode over the per-doc chunk-start sequence — no shuffle
     at all; empty documents yield no chunks.
     """
-    stride = stride or chunk_tokens
+    stride = chunk_tokens if stride is None else stride
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    from .quality import _tokens_col
+
     toked = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)").alias("_toks"),
+        F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("_toks")
     )
     t = F.col("_toks")
-    # last chunk start: largest multiple of stride still < size (so the
-    # tail is always covered; a doc shorter than chunk_tokens gets one)
-    n_chunks = F.when(
-        F.size(t) > 0,
-        F.floor((F.greatest(F.size(t) - chunk_tokens, F.lit(0)) + stride - 1) / F.lit(stride)) + 1,
-    ).otherwise(F.lit(0))
+    # chunk starts are multiples of stride; two regimes:
+    # stride <= chunk_tokens → overlapping/contiguous windows whose last
+    # start covers the tail; stride > chunk_tokens → gapped sampling, a
+    # start must simply lie inside the document.  least() of the two
+    # counts handles both (each bound is loose in the other regime only).
+    tail_cover = (
+        F.floor(
+            (F.greatest(F.size(t) - chunk_tokens, F.lit(0)) + stride - 1) / F.lit(stride)
+        )
+        + 1
+    )
+    in_doc = F.ceil(F.size(t) / F.lit(stride))
+    n_chunks = F.when(F.size(t) > 0, F.least(tail_cover, in_doc)).otherwise(F.lit(0))
     # guard: sequence(0, -1) DESCENDS (the empty-doc trap) — emit an empty
     # array instead so empty documents yield no chunks
     chunk_ids = F.when(

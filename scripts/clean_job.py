@@ -60,8 +60,21 @@ def main() -> None:
     )
     report: dict = {"input_docs": docs.count()}
 
+    # Each stage is counted for the report AND consumed by the next stage
+    # (and the final write): persist stage outputs so the upstream lineage
+    # — boilerplate regroup, fingerprint windows, near-dup joins — runs
+    # once, not once per downstream action.
+    caches = []
+
+    def staged(df, key):
+        df = df.persist()
+        caches.append(df)
+        report[key] = df.count()
+        return df
+
     if args.boilerplate_min_docs > 0:
-        cleaned = remove_boilerplate_lines(docs, min_docs=args.boilerplate_min_docs)
+        cleaned = remove_boilerplate_lines(docs, min_docs=args.boilerplate_min_docs).persist()
+        caches.append(cleaned)
         docs = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
         report["boilerplate_lines_removed"] = int(
             cleaned.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
@@ -74,25 +87,32 @@ def main() -> None:
         max_punct_ratio=args.max_punct_ratio,
         languages=langs or None,
     ).select("doc_id")
-    survivors = docs.join(kept, "doc_id")
-    report["after_quality_exactdup_lang"] = survivors.count()
+    survivors = staged(docs.join(kept, "doc_id"), "after_quality_exactdup_lang")
 
     if args.near_dup:
         pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
         comp = dup_components(pairs)
         drop = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
-        survivors = survivors.join(drop, "doc_id", "left_anti")
-        report["after_near_dup"] = survivors.count()
+        survivors = staged(survivors.join(drop, "doc_id", "left_anti"), "after_near_dup")
 
     if args.decontaminate:
+        # decontaminate only consumes the eval TEXT — don't require the
+        # corpus id column on an arbitrary eval-set schema
         eval_df = spark.read.parquet(args.decontaminate).select(
-            F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+            F.col(args.text_col).alias("text")
         )
-        survivors = decontaminate(survivors, eval_df)
-        report["after_decontamination"] = survivors.count()
+        survivors = staged(
+            decontaminate(survivors, eval_df), "after_decontamination"
+        )
 
     survivors.write.mode("overwrite").parquet(args.output)
-    report["output_docs"] = spark.read.parquet(args.output).count()
+    report["output_docs"] = report[
+        "after_decontamination"
+        if args.decontaminate
+        else ("after_near_dup" if args.near_dup else "after_quality_exactdup_lang")
+    ]
+    for c in caches:
+        c.unpersist()
     line = json.dumps(report)
     print(line)
     if args.report:
