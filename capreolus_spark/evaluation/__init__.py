@@ -223,3 +223,12 @@ def search_best_run(
         "score": eval_runs(test_run, qrels, metrics, relevance_level),
         "test_run": test_run,
     }
+
+
+def eval_runfile(runfile: str, qrels: dict, metrics=None, relevance_level: int = 1) -> dict:
+    """Evaluate a run FILE (reference ``evaluator.py:105-120``): load the
+    TREC run and score it against qrels."""
+    from ..io.trec import load_trec_run
+
+    metrics = [metrics] if isinstance(metrics, str) else metrics
+    return eval_runs(load_trec_run(runfile), qrels, metrics, relevance_level)

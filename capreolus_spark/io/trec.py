@@ -200,3 +200,57 @@ def run_dict_to_df(spark: SparkSession, run: dict[str, dict[str, float]]) -> Dat
         for rank, (docid, score) in enumerate(docs, start=1):
             rows.append((qid, docid, rank, float(score)))
     return spark.createDataFrame(rows, "qid string, docid string, rank int, score double")
+
+
+def threshold_trec_run(run: dict, fold: dict, k: int) -> dict:
+    """Keep only the top-``k`` docs per test-fold qid (reference
+    ``utils/trec.py:7-21``; relies on per-qid doc dicts being
+    rank-ordered, which this engine's run loaders/searchers guarantee)."""
+    filtered: dict[str, dict] = defaultdict(dict)
+    test_qids = set(fold["predict"]["test"])
+    for qid, docs in run.items():
+        if qid in test_qids:
+            for idx, (docid, score) in enumerate(docs.items()):
+                if idx >= k:
+                    break
+                filtered[qid][docid] = score
+    return dict(filtered)
+
+
+def load_ntcir_topics(fn: str) -> dict:
+    """NTCIR XML topics → {"content": {qid: query}} (reference
+    ``utils/trec.py:23-35``)."""
+    import xml.etree.ElementTree as ET
+
+    topics: dict[str, str] = {}
+    tree = ET.parse(fn)
+    for child in tree.getroot():
+        qid = child.find("qid").text.strip()
+        query = child.find("content").text.strip()
+        assert qid not in topics
+        assert len(qid) > 0 and len(query) > 0
+        topics[qid] = query
+    return {"content": topics}
+
+
+def topic_to_trectxt(qno, title, desc=None, narr=None) -> str:
+    """One TREC ``<top>`` SGML block (reference ``utils/trec.py:153-161``,
+    byte-identical format)."""
+    return (
+        f"<top>\n\n"
+        f"<num> Number: {qno}\n"
+        f"<title> {title}\n\n"
+        f"<desc> Description:\n{desc or title}\n\n"
+        f"<narr> Narrative:\n{narr or title}\n\n"
+        f"</top>\n\n\n"
+    )
+
+
+def remove_newline(txt: str) -> str:
+    """Reference ``utils/common.py:156-158``."""
+    return txt.replace("\r", "").replace("\n", "").strip()
+
+
+def list2str(l, delimiter: str = "-") -> str:
+    """Reference ``searcher/__init__.py:13-14`` (run-name assembly)."""
+    return delimiter.join(str(x) for x in l)

@@ -132,3 +132,41 @@ def test_bm25_postprocess_search(dummy_index, spark):
         searcher, {"301": "Dummy doc"}, hits=10, topn=5, docs_to_remove=remove
     ).collect()
     assert [(r["docid"], r["rank"]) for r in out] == [("LA010189-0002", 1)]
+
+
+def test_reference_utility_twins(tmp_path):
+    """Small reference utilities: threshold_trec_run, NTCIR topics,
+    topic_to_trectxt, remove_newline, list2str, eval_runfile."""
+    from capreolus_spark.evaluation import eval_runfile
+    from capreolus_spark.io.trec import (
+        list2str,
+        load_ntcir_topics,
+        remove_newline,
+        threshold_trec_run,
+        topic_to_trectxt,
+        write_trec_run,
+    )
+
+    run = {"q1": {"d1": 3.0, "d2": 2.0, "d3": 1.0}, "q2": {"d9": 5.0}}
+    fold = {"predict": {"test": ["q1"]}}
+    assert threshold_trec_run(run, fold, 2) == {"q1": {"d1": 3.0, "d2": 2.0}}
+
+    fn = tmp_path / "ntcir.xml"
+    fn.write_text(
+        "<topics><topic><qid> 001 </qid><content> test query </content></topic></topics>"
+    )
+    assert load_ntcir_topics(str(fn)) == {"content": {"001": "test query"}}
+
+    # byte-identical to reference utils/trec.py:153-161
+    assert topic_to_trectxt("301", "t") == (
+        "<top>\n\n<num> Number: 301\n<title> t\n\n"
+        "<desc> Description:\nt\n\n<narr> Narrative:\nt\n\n</top>\n\n\n"
+    )
+    assert remove_newline(" a\r\nb\n ") == "ab"
+    assert list2str([1, "a", 2.5]) == "1-a-2.5"
+
+    out = tmp_path / "run.txt"
+    write_trec_run(run, str(out))
+    qrels = {"q1": {"d1": 1, "d3": 1}, "q2": {"d9": 0}}
+    scores = eval_runfile(str(out), qrels, ["map", "P_1"])
+    assert scores["P_1"] == 0.5  # q1: d1 relevant at 1; q2: d9 not
