@@ -25,9 +25,10 @@ def test_entry_runs(spark):
 def test_queries_and_oracles_consistent():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert set(oracles).issubset(set(qs))
-    assert len(qs) >= 20
-    assert len(oracles) >= 15
+    # every entry must carry a hash-gating oracle (round-3 invariant: no
+    # rows-only checks left)
+    assert set(oracles) == set(qs)
+    assert len(qs) >= 49
 
 
 @pytest.mark.parametrize(
