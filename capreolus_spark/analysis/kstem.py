@@ -1,26 +1,33 @@
-"""Krovetz (KStem) inflectional stemmer.
+"""Krovetz (KStem) stemmer: inflectional + derivational rule set.
 
 The reference engine accepts ``stemmer=porter/krovetz/none``
 (``capreolus/index/anserini.py:19`` and ``tokenizer/anserini.py:11``,
 where it maps to Lucene's ``KStemFilter``).  This module implements the
-inflectional core of the published algorithm (R. Krovetz, "Viewing
-Morphology as an Inference Process", SIGIR 1993): remove plural / past /
-progressive inflections, consulting a lexicon at each step so dictionary
-words are never stemmed and recoding (e-restoration, consonant
-undoubling, y-restoration) picks the attested form.
+published algorithm (R. Krovetz, "Viewing Morphology as an Inference
+Process", SIGIR 1993; the rule inventory of the public Lemur ``kstem.c``
+/ Lucene ``KStemmer`` lineage):
 
-KStem's behavior depends on its lexicon.  Lucene ships a ~30k-entry
-word list; bundling a corpus of that size is out of scope here, so this
-implementation carries
+* inflectional steps — plural (-s/-es/-ies), past (-ed), progressive
+  (-ing) — with dictionary-checked recoding (e-restoration, consonant
+  undoubling, y-restoration); these may strip even when the result is
+  not attested (the published fallback), and
+* derivational-ending steps — -ity, -ness, -ion (incl. -ization/-ition/
+  -ication/-ation), -er/-or, -ly, -al, -ive, -ize, -ment, -able/-ible,
+  -ism, -ic, -ncy, -nce — which fire ONLY when a lexicon entry attests
+  the recoded form (the algorithm's derivational steps are strictly
+  dictionary-gated).
 
-* a compact built-in head-word lexicon (common English words chosen to
-  exercise every recoding branch), and
-* an ``extra_lexicon`` / ``exceptions`` injection point — pass the full
-  Lucene/Lemur word list to reproduce Lucene's ``KStemFilter`` exactly.
-
-The algorithmic steps mirror the published description; divergence from
-Lucene's KStemFilter is limited to words whose recoding decision needs a
-lexicon entry that is not bundled (documented deviation).  Like
+KStem's output depends on its dictionary data.  Lucene bundles ~30k head
+words plus supplement/direct-conflation/proper-noun tables; those data
+files are not bundled here (no Lucene in this environment to extract or
+diff against), so this module carries a compact built-in head-word
+lexicon plus an ``extra_lexicon`` / ``exceptions`` injection point.
+**Parity claim, precisely:** the rule set is the full published
+algorithm, but matching Lucene's ``KStemFilter`` output word-for-word
+additionally requires injecting Lucene's dictionary data; with the
+compact bundled lexicon, words whose recoding needs an unbundled entry
+stem differently (documented deviation — retrieval remains
+self-consistent because index and query sides share the stemmer).  Like
 ``porter.py``, the function is pure/deterministic and is applied only to
 unique surface forms via the analyzer's factorize path.
 """
@@ -80,6 +87,10 @@ _LEXICON = frozenset(
     stream stress study table take task term tie time tomato trace trade train
     tree true try type update usage use value vary vertex wolf woman
     word work write zero
+    active agent arrive capital critic dark define develop differ double
+    easy edit editor excite forget formal generate geology govern happy history
+    insure metal modern organize possible predict quick
+    real rely simple starve statistic talk teach urgent
     """.split()
 )
 
@@ -187,6 +198,167 @@ class KrovetzStemmer:
             return form
         return stem if len(stem) >= 3 else word
 
+    # ------------------------------------------------- derivational steps
+    #
+    # Published-kstem derivational endings, in the algorithm's order.
+    # Unlike the inflectional steps these are strictly dictionary-gated:
+    # each returns the first lexicon-attested recoding, or None (leave the
+    # word unchanged and try the next ending).
+
+    def _first_attested(self, *cands: str) -> str | None:
+        for c in cands:
+            if len(c) >= 3 and self._in_lex(c):
+                return c
+        return None
+
+    def _d_ity(self, w: str) -> str | None:
+        if not w.endswith("ity") or len(w) <= 5:
+            return None
+        s = w[:-3]
+        # -ality→-al and -ivity→-ive fall out of the bare/+e candidates
+        return self._first_attested(
+            s, s + "e", w[:-5] + "le" if w.endswith("ility") else ""
+        )
+
+    def _d_ness(self, w: str) -> str | None:
+        if not w.endswith("ness") or len(w) <= 6:
+            return None
+        s = w[:-4]
+        return self._first_attested(s[:-1] + "y" if s.endswith("i") else s)
+
+    def _d_ion(self, w: str) -> str | None:
+        if not w.endswith("ion") or len(w) <= 5:
+            return None
+        if w.endswith("ization"):  # -ization → -ize
+            out = self._first_attested(w[:-7] + "ize")
+            if out:
+                return out
+        if w.endswith("ition"):  # -ition → -e (definition → define)
+            out = self._first_attested(w[:-5] + "e")
+            if out:
+                return out
+        if w.endswith("ication"):  # -ication → -y (application → apply)
+            out = self._first_attested(w[:-7] + "y")
+            if out:
+                return out
+        if w.endswith("ation"):  # -ation → -ate | -e | ∅
+            s = w[:-5]
+            out = self._first_attested(s + "ate", s + "e", s)
+            if out:
+                return out
+        s = w[:-3]
+        return self._first_attested(s + "e", s)
+
+    def _d_er_or(self, w: str) -> str | None:
+        if w.endswith("izer"):  # -izer → -ize
+            return self._first_attested(w[:-1])
+        if not (w.endswith("er") or w.endswith("or")) or len(w) <= 4:
+            return None
+        s = w[:-2]
+        cands = [w[:-1] if w.endswith("er") else "", s]  # writer→write, teach
+        if len(s) >= 2 and s[-1] == s[-2] and not _is_vowel(s[-1]):
+            cands.append(s[:-1])  # runner → run
+        if s.endswith("i"):
+            cands.append(s[:-1] + "y")  # carrier → carry
+        return self._first_attested(*cands)
+
+    def _d_ly(self, w: str) -> str | None:
+        if not w.endswith("ly") or len(w) <= 4:
+            return None
+        s = w[:-2]
+        return self._first_attested(
+            s + "le" if w.endswith(("bly", "ply")) else "",  # doubly → double
+            s[:-1] + "y" if s.endswith("i") else "",  # easily → easy
+            s,  # quickly → quick
+        )
+
+    def _d_al(self, w: str) -> str | None:
+        if not w.endswith("al") or len(w) <= 4:
+            return None
+        s = w[:-2]
+        return self._first_attested(
+            s,  # statistical → statistic
+            s + "e",  # arrival → arrive
+            w[:-4] + "y" if w.endswith("ical") else "",  # geological → geology
+            w[:-3] if w.endswith("ial") else "",  # editorial → editor
+        )
+
+    def _d_ive(self, w: str) -> str | None:
+        if not w.endswith("ive") or len(w) <= 5:
+            return None
+        s = w[:-3]
+        return self._first_attested(
+            s, s + "e", w[:-5] if w.endswith("ative") else ""  # talkative → talk
+        )
+
+    def _d_ize(self, w: str) -> str | None:
+        if not w.endswith("ize") or len(w) <= 5:
+            return None
+        s = w[:-3]
+        cands = [s, s + "e"]
+        if len(s) >= 2 and s[-1] == s[-2] and not _is_vowel(s[-1]):
+            cands.append(s[:-1])
+        if s.endswith("i"):
+            cands.append(s[:-1] + "y")
+        return self._first_attested(*cands)
+
+    def _d_ment(self, w: str) -> str | None:
+        if not w.endswith("ment") or len(w) <= 6:
+            return None
+        s = w[:-4]
+        return self._first_attested(s, s + "e")  # develop, judgment → judge
+
+    def _d_ble(self, w: str) -> str | None:
+        if not (w.endswith("able") or w.endswith("ible")) or len(w) <= 6:
+            return None
+        s = w[:-4]
+        cands = [s, s + "e", s + "ate"]  # predict, move, operate
+        if s.endswith("i"):
+            cands.append(s[:-1] + "y")  # reliable → rely
+        if len(s) >= 2 and s[-1] == s[-2] and not _is_vowel(s[-1]):
+            cands.append(s[:-1])  # forgettable → forget
+        return self._first_attested(*cands)
+
+    def _d_ism(self, w: str) -> str | None:
+        if not w.endswith("ism") or len(w) <= 5:
+            return None
+        s = w[:-3]
+        return self._first_attested(s, s + "e")  # criticism → critic
+
+    def _d_ic(self, w: str) -> str | None:
+        if not w.endswith("ic") or len(w) <= 4:
+            return None
+        s = w[:-2]
+        cands = [s, s + "e", s + "y"]  # historic → history
+        if len(s) >= 2 and s[-1] == s[-2] and not _is_vowel(s[-1]):
+            cands.append(s[:-1])  # metallic → metal
+        return self._first_attested(*cands)
+
+    def _d_ncy(self, w: str) -> str | None:
+        if not w.endswith(("ancy", "ency")) or len(w) <= 5:
+            return None
+        return self._first_attested(
+            w[:-2] + "t",  # urgency → urgent
+            w[:-1] + "e",  # -ncy → -nce
+        )
+
+    def _d_nce(self, w: str) -> str | None:
+        if not w.endswith(("ance", "ence")) or len(w) <= 5:
+            return None
+        return self._first_attested(w[:-4] + "e", w[:-4])  # insure, differ
+
+    _DERIVATIONAL: tuple = (
+        _d_ity, _d_ness, _d_ion, _d_er_or, _d_ly, _d_al, _d_ive,
+        _d_ize, _d_ment, _d_ble, _d_ism, _d_ic, _d_ncy, _d_nce,
+    )
+
+    def _derivational(self, word: str) -> str:
+        for fn in self._DERIVATIONAL:
+            out = fn(self, word)
+            if out is not None:
+                return out
+        return word
+
     # ------------------------------------------------------------ api
 
     def stem(self, word: str) -> str:
@@ -202,7 +374,10 @@ class KrovetzStemmer:
         out = self._past(word)
         if out != word:
             return out
-        return self._progressive(word)
+        out = self._progressive(word)
+        if out != word:
+            return out
+        return self._derivational(word)
 
 
 _DEFAULT = KrovetzStemmer()

@@ -23,7 +23,7 @@ driver-side recomputation and for expansion behaviour.
 from __future__ import annotations
 
 import math
-from collections import Counter, OrderedDict
+from collections import Counter
 
 
 from ..config import BM25Config, DEFAULT_TAG
@@ -55,49 +55,86 @@ class BM25PRFSearcher(BM25RM3Searcher):
             return 0.0
         return math.log(num / den)
 
+    def _expansion_terms_frame(self, run_df, qterm_pairs) -> "DataFrame":
+        """(qid, term): the top-``fb_terms`` RSJ expansion terms per query,
+        computed entirely in Spark — r and df come from joins (feedback
+        presence × dictionary), never from collected document text."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = self.index.spark
+        n = self.index.numdocs
+        presence = self._fb_doc_terms(run_df).select("docid", "term").distinct()
+        big_r = run_df.groupBy("qid").agg(F.count("*").alias("big_r"))
+        r_df = (
+            run_df.select("qid", "docid")
+            .join(presence, "docid")
+            .groupBy("qid", "term")
+            .agg(F.count("*").alias("r"))
+            .join(big_r, "qid")
+        )
+        if qterm_pairs:
+            q_df = spark.createDataFrame(qterm_pairs, "qid string, term string")
+            r_df = r_df.join(q_df, ["qid", "term"], "left_anti")  # originals keep weight
+        # RSJ offer weight with +0.5 smoothing (broadcast the small r_df side
+        # into the dictionary join: one dict scan for the whole batch)
+        num = (F.col("r") + 0.5) * (
+            F.lit(n) - F.col("df") - F.col("big_r") + F.col("r") + 0.5
+        )
+        den = (F.col("df") - F.col("r") + 0.5) * (F.col("big_r") - F.col("r") + 0.5)
+        scored = (
+            self.index.dict_df()
+            .select("term", "df")
+            .join(F.broadcast(r_df), "term")
+            .withColumn(
+                "w",
+                F.when((num > 0) & (den > 0), F.log(num / den)).otherwise(F.lit(0.0)),
+            )
+            .filter(F.col("w") > 0)
+            # Robertson term-selection value: offer weight × r
+            .withColumn("_tsv", F.col("w") * F.col("r"))
+        )
+        rank_w = Window.partitionBy("qid").orderBy(F.desc("_tsv"), F.asc("term"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") <= self.fb_terms)
+            .select("qid", "term")
+        )
+
     def expand_queries(
         self, topics: dict[str, str]
     ) -> dict[str, list[tuple[str, float]]]:
         """{qid: text} → {qid: [(term, boost)]}: original terms boosted by
-        their query tf, top RSJ expansion terms at ``new_term_weight``."""
-        analyzed = self.analyze_topics(topics)
-        # grandparent BM25Searcher.search_collect (skip RM3's override)
-        first_pass = super(BM25RM3Searcher, self).search_collect(
-            topics, hits=self.fb_docs
-        )
-        all_fb = [d for run in first_pass.values() for d in run]
-        doc_probs = self._doc_term_probs_batch(all_fb)  # term presence per doc
+        their query tf, top RSJ expansion terms at ``new_term_weight``.
 
-        # df lookup for every candidate term, one dictionary scan
-        cand_terms = sorted(
-            {t for d in doc_probs.values() for t in d}
-            | {t for ts in analyzed.values() for t in ts}
+        Distributed like RM3's expansion: document contents stay executor-
+        side; only the (qid, term) expansion selection (|topics|×fbTerms
+        rows) is collected."""
+        analyzed = self.analyze_topics(topics)
+        qterm_pairs = sorted(
+            {(qid, t) for qid, ts in analyzed.items() for t in ts}
         )
-        dfs = {t: df for t, (df, _) in self.index.get_term_stats(cand_terms).items()}
+        # grandparent BM25Searcher.search (skip RM3's override); persisted —
+        # consumed by the docstore semi-join, presence join and big_r agg
+        run_df = super(BM25RM3Searcher, self).search(
+            topics, hits=self.fb_docs
+        ).persist()
+        try:
+            picked = self._expansion_terms_frame(run_df, qterm_pairs).collect()
+        finally:
+            run_df.unpersist()
+        picked_by_qid: dict[str, list[str]] = {}
+        for row in picked:
+            picked_by_qid.setdefault(row["qid"], []).append(row["term"])
 
         expanded: dict[str, list[tuple[str, float]]] = {}
         for qid, qterms in analyzed.items():
             if not qterms:
                 continue
-            fb = list(first_pass.get(qid, OrderedDict()))
-            big_r = len(fb)
             boosts: dict[str, float] = dict(
                 (t, float(c)) for t, c in Counter(qterms).items()
             )
-            if big_r > 0:
-                r_counts: Counter = Counter()
-                for docid in fb:
-                    r_counts.update(doc_probs.get(docid, {}).keys())
-                scored = []
-                for t, r in r_counts.items():
-                    if t in boosts:
-                        continue  # original terms keep their weight
-                    w = self.rsj_weight(dfs.get(t, 0), r, big_r)
-                    if w > 0:
-                        # Robertson term-selection value: offer weight × r
-                        scored.append((w * r, t))
-                scored.sort(key=lambda x: (-x[0], x[1]))
-                for _, t in scored[: self.fb_terms]:
-                    boosts[t] = self.new_term_weight
+            for t in picked_by_qid.get(qid, []):
+                boosts[t] = self.new_term_weight
             expanded[qid] = sorted(boosts.items())
         return expanded

@@ -17,10 +17,14 @@ original query — the published algorithm Anserini's Rm3Reranker follows):
 5. second pass: BM25 scored with these *weighted* terms (the DAAT kernel's
    qtf slot carries the RM3 weight).
 
-Feedback-document term vectors come from re-analyzing the stored contents
-of the top docs (``fbDocs ≤ ~10`` per query — driver-side, the same data
-path the reference's extractors use via ``index.get_doc``); the second pass
-is a normal distributed kernel run.
+Feedback-document term vectors are computed DISTRIBUTED: the docstore is
+filtered by a broadcast semi-join on the feedback docids and the contents
+are re-analyzed executor-side inside ``mapInPandas`` — document text never
+reaches the driver; only the tiny ``(qid, term, weight)`` expansion result
+(|topics| × fbTerms rows) is collected.  A 10k-topic batch therefore pulls
+~100k small rows through the driver, not GBs of text, and the RM1 tokenize
+parallelizes across executors.  The second pass is a normal distributed
+kernel run.
 
 No committed golden pins Anserini's exact RM3 runfile in the reference
 tests, so parity here is algorithmic (documented formula, deterministic
@@ -58,55 +62,100 @@ class BM25RM3Searcher(BM25Searcher):
 
     # ------------------------------------------------------------ expansion
 
-    def _doc_term_probs_batch(self, docids: list[str]) -> dict[str, dict[str, float]]:
-        """{docid: {term: P(t|d)}} for all feedback docs in ONE docstore scan
-        (one predicate-pushed filter+collect instead of a job per doc)."""
-        if not docids:
-            return {}
+    def _fb_doc_terms(self, run_df: DataFrame) -> DataFrame:
+        """(docid, term, tf, n_terms) for every DISTINCT feedback document.
+
+        The docstore scan is filtered by a broadcast join on the (tiny)
+        feedback docid set; contents are analyzed executor-side in
+        ``mapInPandas``.  No content column ever reaches the driver — the
+        frame this returns carries only docid/term/counts.
+        """
         self.index._require_contents("pseudo-relevance feedback")
         from pyspark.sql import functions as F
 
-        rows = (
-            self.index.docs_df()
-            .filter(F.col("docid").isin(list(set(docids))))
-            .select("docid", "content")
-            .collect()
-        )
         kw = self.index.config.analyzer_kwargs()
-        out = {}
-        for r in rows:
-            terms = analyze_text(r["content"] or "", **kw)
-            if terms:
-                n = float(len(terms))
-                out[r["docid"]] = {t: c / n for t, c in Counter(terms).items()}
-        return out
+        docids = run_df.select("docid").distinct()
+        docs = (
+            self.index.docs_df()
+            .join(F.broadcast(docids), "docid")
+            .select("docid", "content")
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"docid": [], "term": [], "tf": [], "n_terms": []}
+                for docid, content in zip(pdf["docid"], pdf["content"]):
+                    terms = analyze_text(content or "", **kw)
+                    if not terms:
+                        continue
+                    n = len(terms)
+                    for t, c in Counter(terms).items():
+                        out["docid"].append(docid)
+                        out["term"].append(t)
+                        out["tf"].append(c)
+                        out["n_terms"].append(n)
+                yield pd.DataFrame(out)
+
+        return docs.mapInPandas(
+            gen, schema="docid string, term string, tf long, n_terms long"
+        )
+
+    def _rm1_frame(self, run_df: DataFrame) -> DataFrame:
+        """(qid, term, weight): normalized top-``fb_terms`` RM1 weights per
+        query, computed entirely in Spark from the first-pass run."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        per_qid = Window.partitionBy("qid")
+        fb = (
+            run_df.select("qid", "docid", "score")
+            .withColumn("_total", F.sum("score").over(per_qid))
+            .filter(F.col("_total") > 0)
+            .withColumn("w_d", F.col("score") / F.col("_total"))
+        )
+        rm1 = (
+            fb.join(self._fb_doc_terms(run_df), "docid")
+            .groupBy("qid", "term")
+            .agg(
+                F.sum(
+                    F.col("w_d") * F.col("tf") / F.col("n_terms").cast("double")
+                ).alias("rm1")
+            )
+        )
+        top = (
+            rm1.withColumn(
+                "_rn",
+                F.row_number().over(per_qid.orderBy(F.desc("rm1"), F.asc("term"))),
+            )
+            .filter(F.col("_rn") <= self.fb_terms)
+        )
+        return top.withColumn("weight", F.col("rm1") / F.sum("rm1").over(per_qid)).select(
+            "qid", "term", "weight"
+        )
 
     def expand_queries(
         self, topics: dict[str, str]
     ) -> dict[str, list[tuple[str, float]]]:
         """{qid: text} → {qid: [(term, rm3_weight)]} (weights sum to 1)."""
         analyzed = self.analyze_topics(topics)
-        first_pass = super().search_collect(topics, hits=self.fb_docs)
-        all_fb_docids = [d for run in first_pass.values() for d in run]
-        doc_probs = self._doc_term_probs_batch(all_fb_docids)
+        # first pass persisted: consumed by both the docstore semi-join and
+        # the per-doc weight normalization — one DAAT job, not two
+        run_df = super().search(topics, hits=self.fb_docs).persist()
+        try:
+            rm1_rows = self._rm1_frame(run_df).collect()  # |topics|×fbTerms rows
+        finally:
+            run_df.unpersist()
+        rm1_by_qid: dict[str, dict[str, float]] = {}
+        for r in rm1_rows:
+            rm1_by_qid.setdefault(r["qid"], {})[r["term"]] = r["weight"]
 
         expanded: dict[str, list[tuple[str, float]]] = {}
         for qid, terms in analyzed.items():
             if not terms:
                 continue
-            # RM1 from the feedback docs
-            rm1: dict[str, float] = {}
-            fb = first_pass.get(qid, OrderedDict())
-            total_score = sum(fb.values())
-            if fb and total_score > 0:
-                for docid, score in fb.items():
-                    w_d = score / total_score
-                    for t, p in doc_probs.get(docid, {}).items():
-                        rm1[t] = rm1.get(t, 0.0) + w_d * p
-            top_fb = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[: self.fb_terms]
-            fb_mass = sum(w for _, w in top_fb)
-            rm1_norm = {t: (w / fb_mass) for t, w in top_fb} if fb_mass > 0 else {}
-
+            rm1_norm = rm1_by_qid.get(qid, {})
             # interpolate with the original (length-normalized) query model
             q_model = {t: c / len(terms) for t, c in Counter(terms).items()}
             alpha = self.original_query_weight

@@ -157,7 +157,10 @@ def _stream_signatures(pdf: "pd.DataFrame", text_col: str, n: int) -> "pd.DataFr
         else:
             shingles = {" ".join(toks)} if toks else set()
         if not shingles:
-            sigs.append(np.full(_ND_NUM_HASHES, _ND_MERSENNE, dtype=np.int64).tobytes())
+            # no shingles (empty/whitespace-only text): emit NULL, filtered
+            # out before banding — a shared sentinel signature would make
+            # every pair of unrelated empty documents a 1.0-Jaccard match
+            sigs.append(None)
             continue
         h = np.fromiter(
             (
@@ -216,9 +219,15 @@ def near_dup_stream(
                     n,
                 )
 
-    sigged = stream.select(
-        F.col(id_col).cast("string").alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(add_sigs, schema="doc_id string, text string, sig binary")
+    sigged = (
+        stream.select(
+            F.col(id_col).cast("string").alias(id_col), F.col(text_col).alias(text_col)
+        )
+        .mapInPandas(add_sigs, schema="doc_id string, text string, sig binary")
+        # shingle-less docs carry no signal: exclude from banding/state
+        # rather than matching all empty docs to each other (sig is NULL)
+        .filter(F.col("sig").isNotNull())
+    )
 
     band_structs = [
         F.struct(

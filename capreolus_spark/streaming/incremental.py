@@ -78,12 +78,27 @@ class IncrementalIndexer:
         from ..index.build import LAYOUT_VERSION
 
         existing_layout = self.manifest.data.get("layout_version")
-        # None = written before the version field existed; incremental
-        # generations have only ever been written in the v2 layout, so a
-        # versionless manifest is v2 — reject only a real mismatch
+        if self.manifest.data["stages"] and existing_layout is None:
+            # pre-versioning manifest: sniff the on-disk tokens checkpoints
+            # (same guard as build_index) — kind= partition directories
+            # identify the v2 layout.  Trusting "incremental was always v2"
+            # as an invariant would let a stale pre-v2 dir resume silently
+            # (kind=null filters every row), the failure the version field
+            # exists to stop.
+            tokens_root = os.path.join(index_dir, "tokens")
+            gen_dirs = (
+                [os.path.join(tokens_root, d) for d in sorted(os.listdir(tokens_root))]
+                if os.path.isdir(tokens_root)
+                else []
+            )
+            gen_dirs = [d for d in gen_dirs if os.path.isdir(d)]
+            if all(
+                any(name.startswith("kind=") for name in os.listdir(d))
+                for d in gen_dirs
+            ):
+                existing_layout = LAYOUT_VERSION  # incl. no-tokens-yet case
         if (
             self.manifest.data["stages"]
-            and existing_layout is not None
             and existing_layout != LAYOUT_VERSION
         ):
             raise ValueError(

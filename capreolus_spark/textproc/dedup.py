@@ -19,6 +19,9 @@ so results are reproducible across runs, partitionings and retries.
 
 from __future__ import annotations
 
+import threading
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -258,20 +261,46 @@ def _capped_bucket_pairs(
     return pairs.unionByName(star).distinct()
 
 
-# Frames persisted by the previous minhash_lsh_pairs call, released on the
-# next call: DataFrame.persist entries live in the CacheManager until
-# explicitly unpersisted (they are NOT GC-cleaned like raw RDD caches), so
-# a long-lived session running dedup over many snapshots would otherwise
-# accumulate corpus-scale cached postings per invocation.
-_MINHASH_CACHES: list[DataFrame] = []
+class MinhashCacheRegistry:
+    """Tracks the frames one :func:`minhash_lsh_pairs` call persists.
+
+    DataFrame.persist entries live in Spark's CacheManager until explicitly
+    unpersisted (they are NOT GC-cleaned like raw RDD caches), so a
+    long-lived session running dedup over many snapshots would otherwise
+    accumulate corpus-scale cached postings per invocation.  Call
+    :meth:`release` (or use the registry as a context manager) once the
+    returned plan has been fully materialized.
+    """
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def add(self, frame: DataFrame) -> None:
+        self._frames.append(frame)
+
+    def release(self) -> None:
+        while self._frames:
+            try:
+                self._frames.pop().unpersist()
+            except Exception:
+                pass  # session may be stopped
+
+    def __enter__(self) -> "MinhashCacheRegistry":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
-def _release_minhash_caches() -> None:
-    while _MINHASH_CACHES:
-        try:
-            _MINHASH_CACHES.pop().unpersist()
-        except Exception:
-            pass  # session may be stopped
+# Default registry: ONE live result at a time.  Each minhash_lsh_pairs call
+# that uses it first releases the previous call's frames, so a still-lazy
+# result from an earlier call silently falls back to full recompute when
+# later materialized (correct, just slower).  Guarded by a lock so
+# concurrent callers in one session (e.g. driver ThreadPoolExecutors) cannot
+# pop each other's in-flight caches mid-append; concurrent pipelines that
+# want caches to survive should pass their own registry instead.
+_DEFAULT_MINHASH_CACHES = MinhashCacheRegistry()
+_MINHASH_CACHE_LOCK = threading.Lock()
 
 
 def minhash_lsh_pairs(
@@ -284,6 +313,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     verify: bool = True,
     max_bucket_size: int = 4096,
+    caches: MinhashCacheRegistry | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs at ``threshold`` Jaccard.
 
@@ -302,11 +332,18 @@ def minhash_lsh_pairs(
     # the verification join consume them.  Compute ONCE and persist so a
     # single action over the returned plan scans/tokenizes the corpus one
     # time — previously this was two full corpus passes.
-    _release_minhash_caches()  # free the previous call's caches
+    if caches is None:
+        # default registry: one live result; drop the previous call's frames
+        with _MINHASH_CACHE_LOCK:
+            _DEFAULT_MINHASH_CACHES.release()
+        caches = _DEFAULT_MINHASH_CACHES
     posts = shingle_postings(df, text_col, id_col, n)
     if verify:
-        posts = posts.persist()
-        _MINHASH_CACHES.append(posts)
+        # MEMORY_AND_DISK explicitly: at 100 TB the shingle postings exceed
+        # aggregate executor memory and MUST spill rather than evict-and-
+        # recompute (the recompute is a full corpus tokenize).
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.add(posts)
     sigs = minhash_signatures(
         df, text_col, id_col, n, num_hashes, posts=posts, with_set_size=verify
     )
@@ -314,8 +351,8 @@ def minhash_lsh_pairs(
         # consumed by both the banding branch and the set-size lookup —
         # tiny (one row per doc), so cache instead of recomputing the
         # signature aggregation twice
-        sigs = sigs.persist()
-        _MINHASH_CACHES.append(sigs)
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.add(sigs)
     band_cols = [
         F.xxhash64(
             F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]

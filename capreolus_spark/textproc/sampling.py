@@ -33,6 +33,17 @@ def _key_hash_unit(key_col) -> "F.Column":
     return md5_hash60_unit(key_col.cast("string"))
 
 
+def _seeded_key(key_col: str, seed: str) -> "F.Column":
+    """seed || key, with NULL keys coalesced to a sentinel so null-keyed
+    rows get a deterministic keep/drop decision instead of being silently
+    dropped (md5(null) is null, and a null comparison filters the row even
+    at fraction=1.0).  The sentinel starts with ``\\x00`` so it cannot
+    collide with a real string key."""
+    return F.concat(
+        F.lit(seed), F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null-key>"))
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,
@@ -41,9 +52,10 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep each row iff hash(seed || key) < fraction — exact-membership
     reproducible sampling (P(keep) = fraction per key, independent of
-    partitioning).  ``seed`` distinguishes independent draws."""
-    key = F.concat(F.lit(seed), F.col(key_col).cast("string"))
-    return df.filter(_key_hash_unit(key) < F.lit(float(fraction)))
+    partitioning).  ``seed`` distinguishes independent draws.  NULL keys
+    hash as one sentinel key (all null-keyed rows share a decision); the
+    sample stays a superset-at-fraction-1.0 of the keyed population."""
+    return df.filter(_key_hash_unit(_seeded_key(key_col, seed)) < F.lit(float(fraction)))
 
 
 def stratified_sample(
@@ -63,7 +75,7 @@ def stratified_sample(
         [(k, float(v)) for k, v in sorted(fractions.items())],
         f"{group_col} string, _frac double",
     )
-    key = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    key = _seeded_key(key_col, seed)
     joined = df.join(
         F.broadcast(frac_df), on=df[group_col].cast("string") == frac_df[group_col], how="left"
     ).drop(frac_df[group_col])

@@ -145,6 +145,25 @@ def main() -> None:
             )
         )
 
+        # 11. RM3/PRF feedback analysis is distributed: the expansion frame
+        #     the driver collects carries only (qid, term, weight); document
+        #     content is analyzed executor-side (MapInPandas) behind a
+        #     broadcast semi-join on the feedback docids
+        from capreolus_spark.search.rm3 import BM25RM3Searcher
+
+        rm3 = BM25RM3Searcher(idx, BM25Config(hits=10), fb_docs=3, fb_terms=5)
+        fb_run = searcher.search({"q1": "def return"}, hits=3)
+        rm1 = rm3._rm1_frame(fb_run)
+        rm1plan = rm1._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "rm3 expansion distributed (collects qid/term/weight only)",
+                rm1.columns == ["qid", "term", "weight"]
+                and "MapInPandas" in rm1plan
+                and "BroadcastHashJoin" in rm1plan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -211,6 +211,79 @@ def test_krovetz_golden_pairs():
     assert k.stem("flumming") == "flum"
 
 
+def test_krovetz_derivational_golden_pairs():
+    """Derivational-ending steps (-ity …, -nce) of the published kstem
+    algorithm: strictly lexicon-gated — a recoding fires only when the
+    result is an attested head word, otherwise the word is unchanged."""
+    from capreolus_spark.analysis.kstem import KrovetzStemmer, krovetz_stem
+
+    pairs = {
+        # -ity: bare / +e / -ility→-le
+        "formality": "formal",
+        "activity": "active",
+        "possibility": "possible",
+        # -ness (i→y recoding)
+        "happiness": "happy",
+        "darkness": "dark",
+        # -ion family: -ization→-ize, -ition→-e, -ication→-y, -ation→-ate/-e
+        "organization": "organize",
+        "definition": "define",
+        "application": "apply",
+        "generation": "generate",
+        "starvation": "starve",
+        # -er/-or: keep-e / strip / undouble / i→y
+        "writer": "write",
+        "teacher": "teach",
+        "runner": "run",
+        "carrier": "carry",
+        "governor": "govern",
+        "editor": "editor",  # head word: never stemmed
+        "organizer": "organize",
+        # -ly: -bly→-ble, i→y, strip
+        "doubly": "double",
+        "simply": "simple",
+        "easily": "easy",
+        "quickly": "quick",
+        "really": "real",
+        # -al: strip / +e / -ical→-y / -ial
+        "statistical": "statistic",
+        "arrival": "arrive",
+        "geological": "geology",
+        "editorial": "editor",
+        # -ive / -ize / -ment
+        "generative": "generate",
+        "talkative": "talk",
+        "modernize": "modern",
+        "development": "develop",
+        "judgment": "judge",
+        "excitement": "excite",
+        # -able/-ible: strip / +e / +ate / i→y / undouble
+        "predictable": "predict",
+        "movable": "move",
+        "operable": "operate",
+        "reliable": "rely",
+        "forgettable": "forget",
+        # -ism / -ic / -ncy / -nce
+        "criticism": "critic",
+        "capitalism": "capital",
+        "historic": "history",
+        "metallic": "metal",
+        "urgency": "urgent",
+        "insurance": "insure",
+        "difference": "differ",
+        # NOT attested in the bundled lexicon → unchanged (the gate)
+        "xenity": "xenity",
+        "blorbness": "blorbness",
+        "wuggly": "wuggly",
+    }
+    for w, expect in pairs.items():
+        assert krovetz_stem(w) == expect, (w, krovetz_stem(w), expect)
+
+    # the same gate opens with an injected lexicon entry
+    assert krovetz_stem("zorplication") == "zorplication"
+    assert KrovetzStemmer(extra_lexicon={"zorply"}).stem("zorplication") == "zorply"
+
+
 def test_krovetz_index_config_threads_through(spark, tmp_path):
     """IndexConfig(stemmer='krovetz') flows through build → analyzer."""
     import pytest

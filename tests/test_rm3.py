@@ -131,3 +131,52 @@ def test_bm25prf_registry(prf_index):
     s = create_searcher("BM25PRF", prf_index, fbTerms=5, fbDocs=3, hits=10)
     assert s.new_term_weight == 0.2
     assert len(s.search_collect({"q": "spark shuffle"})["q"]) > 0
+
+
+def test_feedback_analysis_never_collects_content(prf_index, monkeypatch):
+    """The distributed-expansion contract: every DataFrame the driver
+    collects during expand_queries (RM3 and PRF) carries only small
+    (qid, term, ...) rows — never a content column, and never more rows
+    than |topics| x fb budget allows."""
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete class
+
+    from capreolus_spark.search.bm25prf import BM25PRFSearcher
+
+    collected = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        collected.append((list(self.columns), real_collect(self)))
+        return collected[-1][1]
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    topics = {"q1": "spark", "q2": "shuffle distributed"}
+    fb_terms = 5
+    BM25RM3Searcher(
+        prf_index, BM25Config(hits=10), fb_terms=fb_terms, fb_docs=3
+    ).expand_queries(topics)
+    BM25PRFSearcher(
+        prf_index, BM25Config(hits=10), fb_terms=fb_terms, fb_docs=3
+    ).expand_queries(topics)
+    assert collected  # the spy saw the expansion collects
+    for cols, rows in collected:
+        assert "content" not in cols, cols
+        assert len(rows) <= len(topics) * max(fb_terms, 10)
+
+
+def test_rm3_large_topic_batch_single_pass(prf_index):
+    """A several-hundred-topic batch runs through the distributed expansion
+    as ONE first-pass job + ONE expansion collect (no per-topic or per-doc
+    driver loops), and agrees with the small-batch result on shared qids."""
+    base = {"q0": "spark"}
+    small = dict(BM25RM3Searcher(
+        prf_index, BM25Config(hits=10), fb_terms=5, fb_docs=3
+    ).expand_queries(base)["q0"])
+
+    topics = {f"q{i}": ("spark" if i % 2 == 0 else "shuffle distributed") for i in range(300)}
+    s = BM25RM3Searcher(prf_index, BM25Config(hits=10), fb_terms=5, fb_docs=3)
+    expanded = s.expand_queries(topics)
+    assert len(expanded) == 300
+    assert dict(expanded["q0"]) == pytest.approx(small)
+    # every even topic is the same query → identical expansions
+    assert expanded["q0"] == expanded["q2"] == expanded["q298"]

@@ -126,6 +126,38 @@ def test_generation_pids_reserve_batch_block(spark, tmp_path):
     assert min(docnos) >= GEN_PID_STRIDE * PARTITION_CAPACITY
 
 
+def test_versionless_incremental_manifest_sniffs_layout(spark, tmp_path):
+    """A pre-versioning incremental manifest is only trusted as v2 when its
+    on-disk token checkpoints actually have kind= partition dirs (same sniff
+    as build_index); a non-kind layout refuses to resume instead of silently
+    reading kind=null."""
+    import json
+
+    index_dir = str(tmp_path / "vless_idx")
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig())
+    inc.ingest_batch(spark.createDataFrame(BATCH1, "docid string, content string"))
+    mpath = os.path.join(index_dir, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["layout_version"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    # kind= dirs present → sniffed as v2, attach succeeds
+    inc2 = IncrementalIndexer(spark, index_dir, IndexConfig())
+    assert inc2.manifest.data["layout_version"] is not None
+
+    # strip the kind= layout from one generation → refuse
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    tokens_root = os.path.join(index_dir, "tokens")
+    gen = os.path.join(tokens_root, sorted(os.listdir(tokens_root))[0])
+    for name in os.listdir(gen):
+        if name.startswith("kind="):
+            os.rename(os.path.join(gen, name), os.path.join(gen, name[len("kind="):]))
+    with pytest.raises(ValueError, match="layout"):
+        IncrementalIndexer(spark, index_dir, IndexConfig())
+
+
 def test_dedup_stream_across_batches(spark, tmp_path):
     """Stateful streaming dedup: first fingerprint occurrence wins within
     AND across micro-batches (applyInPandasWithState, checkpointed)."""
@@ -280,6 +312,31 @@ def test_session_window_stream(spark, tmp_path):
         if r["user_id"] in (100, 200)
     }
     assert got == {(100, 0): (2, 3.0), (100, 50): (1, 3.0), (200, 5): (1, 4.0)}
+
+
+def test_near_dup_stream_ignores_empty_documents(spark, tmp_path):
+    """Shingle-less documents (empty/whitespace text) carry no signal and
+    must never pair — previously they all shared a sentinel signature and
+    were emitted as est_jaccard=1.0 duplicates of each other."""
+    from capreolus_spark.streaming import near_dup_stream
+
+    input_dir = str(tmp_path / "in_nde")
+    os.makedirs(input_dir)
+    seen = []
+    spark.createDataFrame(
+        [("e1", ""), ("e2", "   "), ("e3", None), ("w1", "real words here")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(input_dir)
+    q = (
+        near_dup_stream(stream, threshold=0.8)
+        .writeStream.foreachBatch(lambda df, _e: seen.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_nde"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == []
 
 
 def test_near_dup_stream_across_batches(spark, tmp_path):

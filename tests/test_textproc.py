@@ -69,6 +69,24 @@ def test_minhash_lsh_matches_exact(dup_docs):
     assert lsh_vals == exact_vals
 
 
+def test_minhash_explicit_cache_registry(dup_docs):
+    """A caller-scoped MinhashCacheRegistry keeps one call's persisted
+    frames alive independently of the shared default registry (so two
+    concurrent pipelines cannot unpersist each other's in-flight caches),
+    and the context manager releases everything on exit."""
+    from capreolus_spark.textproc.dedup import MinhashCacheRegistry
+
+    expected = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(dup_docs, n=3, threshold=0.8).collect()}
+    with MinhashCacheRegistry() as reg:
+        mine = minhash_lsh_pairs(dup_docs, n=3, threshold=0.8, caches=reg)
+        # a default-registry call in between must NOT clobber reg's caches
+        minhash_lsh_pairs(dup_docs, n=3, threshold=0.8).count()
+        assert len(reg._frames) == 2  # posts + sigs still registered
+        assert all(f.storageLevel.useMemory for f in reg._frames)
+        assert {(r["id_a"], r["id_b"]) for r in mine.collect()} == expected
+    assert reg._frames == []  # released on exit
+
+
 def test_simhash_pairs(dup_docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(dup_docs, max_hamming=8).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0  # identical token streams
@@ -559,6 +577,23 @@ def test_deterministic_and_stratified_sampling(spark):
     s = stratified_sample(g, {"0": 1.0, "1": 0.0}, group_col="grp")
     kept = {r["doc_id"] for r in s.collect()}
     assert kept == {i for i in range(2000) if i % 2 == 0}
+
+
+def test_sampling_null_keys_are_deterministic_not_dropped(spark):
+    """NULL keys hash as a sentinel: at fraction=1.0 the sample is a
+    superset of the population (null rows were previously silently dropped
+    because md5(null) is null)."""
+    from capreolus_spark.textproc import deterministic_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(None, "a"), ("k1", "b"), (None, "c")], "doc_id string, text string"
+    )
+    assert deterministic_sample(df, 1.0, key_col="doc_id").count() == 3
+    # all null-keyed rows share ONE keep/drop decision per (seed, fraction)
+    n0 = deterministic_sample(df.filter(F.col("doc_id").isNull()), 0.5, seed="sX").count()
+    assert n0 in (0, 2)
+    g = df.withColumn("grp", F.lit("g"))
+    assert stratified_sample(g, {"g": 1.0}, group_col="grp").count() == 3
 
 
 def test_pack_sequences(spark):
