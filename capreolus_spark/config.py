@@ -26,12 +26,18 @@ class IndexConfig:
       assignment shuffle; 0 → ``2 * defaultParallelism``.
     * ``store_contents`` mirrors Anserini's ``-storeContents``
       (reference ``index/anserini.py:52-57``).
+    * ``store_docvectors`` mirrors Anserini's ``-storeDocvectors``
+      (same reference lines): materialize one ``map<term,tf>`` row per
+      document at build time so doc-vector fetches (extractor batch
+      reads, PRF) read the stored table instead of re-analyzing stored
+      contents.
     """
 
     stemmer: str = "porter"
     indexstops: bool = False
     store_contents: bool = True
     store_positions: bool = False
+    store_docvectors: bool = False
     range_size: int = 1 << 17
     num_doc_partitions: int = 0
     postings_partitions: int = 0

@@ -36,15 +36,27 @@ from .index import InvertedIndex
 
 
 def _doc_term_counts(index: InvertedIndex, docids: DataFrame | None) -> DataFrame:
-    """(docid, term, tf) by re-analyzing stored contents with the index
-    analyzer — the same data path the reference's extractors use via
-    ``index.get_doc`` (``bagofwords.py:67``), vectorized."""
+    """(docid, term, tf) per stored document.
+
+    When the index was built with ``store_docvectors=True`` (Anserini
+    ``-storeDocvectors``, reference ``index/anserini.py:52-57``) this reads
+    the materialized doc-vector table and explodes the per-doc map — no
+    re-tokenization at all.  Otherwise it re-analyzes stored contents with
+    the index analyzer — the same data path the reference's extractors use
+    via ``index.get_doc`` (``bagofwords.py:67``), vectorized."""
     import numpy as np
     import pandas as pd
 
     from .analysis import LUCENE_STOP_WORDS, stem_token, tokenize_series
 
     cfg = index.config
+    if cfg.store_docvectors:
+        vecs = index.docvectors_df()
+        if docids is not None:
+            vecs = vecs.join(docids.select("docid").distinct(), "docid", "left_semi")
+        return vecs.select(
+            "docid", F.explode(F.col("terms")).alias("term", "tf")
+        ).withColumn("tf", F.col("tf").cast("long"))
     stemmer, remove_stops = cfg.stemmer, not cfg.indexstops
 
     docs = index.docs_df().select("docid", "content")

@@ -97,7 +97,11 @@ class InvertedIndex:
         if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
             return False
         manifest = Manifest(self.index_dir)
-        return all(manifest.stage_done(s) for s in _STAGES)
+        required = list(_STAGES)
+        cfg_json = manifest.data.get("config")
+        if cfg_json and IndexConfig.from_json(cfg_json).store_docvectors:
+            required.append("docvectors")
+        return all(manifest.stage_done(s) for s in required)
 
     @property
     def config(self) -> IndexConfig:
@@ -242,11 +246,42 @@ class InvertedIndex:
         by_id = {r["docid"]: r["content"] for r in rows}
         return [by_id.get(d) for d in docids]
 
+    def docvectors_df(self) -> DataFrame:
+        """(docid, docno, terms map<term,tf>) — the materialized doc-vector
+        store written when the index was built with
+        ``store_docvectors=True`` (Anserini ``-storeDocvectors``,
+        reference ``index/anserini.py:52-57``).  Range-partitioned and
+        sorted by docno, so docno point filters prune to one row group."""
+        if not self.config.store_docvectors:
+            raise ValueError(
+                "this index was built with store_docvectors=False; rebuild "
+                "with store_docvectors=True or use the recompute path"
+            )
+        return self._tbl("docvectors")
+
     def get_doc_vector(self, docid: str) -> dict[str, int]:
         """{analyzed term: tf} for one stored document — the reference's
         Lucene doc-vector store (``-storeDocvectors``,
-        ``index/anserini.py:52-57``), recomputed from stored contents with
-        the index's own analyzer (identical semantics, no extra store)."""
+        ``index/anserini.py:52-57``).  Reads the materialized store when
+        the index was built with ``store_docvectors=True`` (docmap point
+        lookup → pruned docno scan); otherwise recomputed from stored
+        contents with the index's own analyzer (identical semantics)."""
+        if self.config.store_docvectors:
+            rows = (
+                self.docs_df()
+                .filter(F.col("docid") == docid)
+                .select("docno")
+                .collect()
+            )
+            if not rows:
+                return {}
+            vec = (
+                self.docvectors_df()
+                .filter(F.col("docno") == rows[0]["docno"])
+                .select("terms")
+                .collect()
+            )
+            return dict(vec[0]["terms"]) if vec else {}
         from collections import Counter
 
         from ..analysis import analyze_text

@@ -66,6 +66,7 @@ POSTINGS_SCHEMA = (
     "max_tf int, docnos binary, tfs binary, positions binary"
 )
 DICT_SCHEMA = "term string, df long, cf long, max_tf int"
+DOCVECTORS_SCHEMA = "docid string, docno long, terms map<string,int>"
 
 # On-disk layout version, recorded in the manifest.  Bump whenever a stage's
 # file format/partitioning changes incompatibly (v2 = kind-partitioned
@@ -84,6 +85,7 @@ STAGE_SCHEMAS = {
     "ranges": RANGES_SCHEMA,
     "postings": POSTINGS_SCHEMA,
     "dict": DICT_SCHEMA,
+    "docvectors": DOCVECTORS_SCHEMA,
 }
 
 
@@ -523,7 +525,12 @@ def build_index(
     manifest = Manifest(index_dir)
     restore_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     restore_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    if manifest.data.get("config") and manifest.data["config"] != config.to_json():
+    # compare configs through a from_json round-trip: a manifest written
+    # before a (defaulted) config field existed re-serializes with the
+    # default applied, so adding fields to IndexConfig stays
+    # backwards-compatible with already-built indexes
+    stored_cfg = manifest.data.get("config")
+    if stored_cfg and IndexConfig.from_json(stored_cfg).to_json() != config.to_json():
         raise ValueError(
             f"index at {index_dir} was built with a different config: "
             f"{manifest.data['config']}"
@@ -556,7 +563,10 @@ def build_index(
     n_doc_parts = config.num_doc_partitions or max(2, sc_parallelism)
     n_post_parts = config.postings_partitions or max(2, sc_parallelism)
 
-    paths = {s: os.path.join(index_dir, s) for s in ("docmap", "tokens", "ranges", "postings", "dict")}
+    stage_names = ["docmap", "tokens", "ranges", "postings", "dict"]
+    if config.store_docvectors:
+        stage_names.append("docvectors")
+    paths = {s: os.path.join(index_dir, s) for s in stage_names}
 
     def run_stage(stage: str, fn) -> None:
         if manifest.stage_done(stage):
@@ -629,6 +639,31 @@ def build_index(
             .parquet(out)
         )
 
+    def write_docvectors(out: str) -> None:
+        # Anserini -storeDocvectors (reference index/anserini.py:52-57):
+        # one map<term,tf> row per document, derived from the committed
+        # kind=tok rows (partition-pruned) — no re-analysis of contents.
+        # Joined with the slim (docid, docno) docmap projection so batch
+        # consumers get docids without a second join; range-partitioned and
+        # sorted by docno so point fetches prune on parquet row-group stats.
+        tokens = read_stage(spark, paths["tokens"]).filter(F.col("kind") == "tok")
+        vectors = tokens.groupBy("docno").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("term"), F.col("tf").cast("int")))
+            ).alias("terms")
+        )
+        docmap = read_stage(
+            spark, paths["docmap"], schema=docmap_schema(config.store_contents)
+        ).select("docid", "docno")
+        (
+            docmap.join(vectors, "docno")
+            .select("docid", "docno", "terms")
+            .repartitionByRange(n_post_parts, "docno")
+            .sortWithinPartitions("docno")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
     run_stage("docmap", write_docmap)
 
     # Size parquet scan splits to the session's parallelism: with the 128 MB
@@ -659,6 +694,8 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         writers = {"ranges": write_ranges, "postings": write_postings, "dict": write_dict}
+        if config.store_docvectors:
+            writers["docvectors"] = write_docvectors
         todo = [s for s in writers if not manifest.stage_done(s)]
         if len(todo) > 1:
             with ThreadPoolExecutor(max_workers=len(todo)) as pool:

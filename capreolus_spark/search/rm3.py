@@ -69,12 +69,31 @@ class BM25RM3Searcher(BM25Searcher):
         feedback docid set; contents are analyzed executor-side in
         ``mapInPandas``.  No content column ever reaches the driver — the
         frame this returns carries only docid/term/counts.
+
+        With ``store_docvectors=True`` the materialized doc-vector table
+        replaces the re-analysis entirely: the stored ``map<term,tf>`` is
+        exploded and ``n_terms`` is its value sum (the stored vectors are
+        written from the same analyzer's token stream, so the counts are
+        identical to re-analyzing).
         """
-        self.index._require_contents("pseudo-relevance feedback")
         from pyspark.sql import functions as F
 
-        kw = self.index.config.analyzer_kwargs()
         docids = run_df.select("docid").distinct()
+        if self.index.config.store_docvectors:
+            from pyspark.sql import Window
+
+            exploded = (
+                self.index.docvectors_df()
+                .join(F.broadcast(docids), "docid")
+                .select("docid", F.explode("terms").alias("term", "tf"))
+                .withColumn("tf", F.col("tf").cast("long"))
+            )
+            return exploded.withColumn(
+                "n_terms", F.sum("tf").over(Window.partitionBy("docid"))
+            )
+        self.index._require_contents("pseudo-relevance feedback")
+
+        kw = self.index.config.analyzer_kwargs()
         docs = (
             self.index.docs_df()
             .join(F.broadcast(docids), "docid")

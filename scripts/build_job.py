@@ -41,6 +41,13 @@ def main() -> None:
         help="slim docmap (docid, docno, sha256): content is never shuffled "
         "or rewritten; doc fetch / PRF need the source table instead",
     )
+    ap.add_argument(
+        "--store-docvectors",
+        action="store_true",
+        help="materialize a per-doc map<term,tf> table at build time "
+        "(Anserini -storeDocvectors); extractor batch reads and PRF then "
+        "skip re-analysis",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,6 +68,7 @@ def main() -> None:
         stemmer=args.stemmer,
         indexstops=args.indexstops,
         store_contents=not args.no_store_contents,
+        store_docvectors=args.store_docvectors,
         range_size=args.range_size,
         num_doc_partitions=args.partitions,
         postings_partitions=args.partitions,

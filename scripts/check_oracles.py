@@ -48,7 +48,7 @@ def main():
         .appName("oracle_check")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "6g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

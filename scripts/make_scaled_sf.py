@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Deterministically scale a testdata sf directory by integer factor K.
+
+The driver ships sf0.001/0.01/0.1; the scale claims need at least one
+10x datapoint (VERDICT r3 item 2).  This synthesises `sfX * K` from an
+existing sf dir with NO external data and NO randomness:
+
+* every table is replicated K times with key columns shifted by
+  ``replica * (max_key + 1)`` so keys stay unique and foreign keys
+  (orders.o_custkey -> customer, lineitem.l_orderkey -> orders, ...)
+  keep referencing the same replica;
+* ``documents.text`` gets a replica-specific prefix token ``rK`` so the
+  duplicate structure of the original corpus is preserved *within* each
+  replica instead of every document gaining K-1 exact cross-replica
+  twins (which would inflate dedup pair counts quadratically and make
+  the scaled corpus unrepresentative);
+* ``embeddings.embedding[0]`` gets a +replica*1e-3 deterministic nudge
+  so ANN top-k has no K-way cross-replica ties;
+* ``events.ts`` is kept as-is (sessionisation load scales with users,
+  and user_id is shifted).
+
+Replica 0 is byte-value-identical to the source rows, so every sfK
+result restricted to replica-0 keys equals the sf result.
+
+Usage: python scripts/make_scaled_sf.py SRC_DIR DST_DIR [K=10]
+"""
+
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# key columns shifted per replica: (table, [(col, keyspace_table, keyspace_col)])
+# keyspace = the table whose max value defines the shift stride, so FKs stay
+# aligned with their parent replica.
+SHIFTS = {
+    "region": [("r_regionkey", "region", "r_regionkey")],
+    "nation": [
+        ("n_nationkey", "nation", "n_nationkey"),
+        ("n_regionkey", "region", "r_regionkey"),
+    ],
+    "customer": [
+        ("c_custkey", "customer", "c_custkey"),
+        ("c_nationkey", "nation", "n_nationkey"),
+    ],
+    "supplier": [
+        ("s_suppkey", "supplier", "s_suppkey"),
+        ("s_nationkey", "nation", "n_nationkey"),
+    ],
+    "part": [("p_partkey", "part", "p_partkey")],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "events": [
+        ("event_id", "events", "event_id"),
+        ("user_id", "events", "user_id"),
+    ],
+    "documents": [("doc_id", "documents", "doc_id")],
+    "embeddings": [("vec_id", "embeddings", "vec_id")],
+}
+
+
+def main() -> None:
+    src, dst = sys.argv[1], sys.argv[2]
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    strides = {}
+    for t in TABLES:
+        p = os.path.join(src, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        for col in {c for tbl in SHIFTS.values() for _, kt, c in tbl if kt == t}:
+            strides[(t, col)] = con.execute(f"SELECT max({col}) + 1 FROM {t}").fetchone()[0]
+
+    for t in TABLES:
+        if not os.path.exists(os.path.join(src, f"{t}.parquet")):
+            continue
+        described = con.execute(f"DESCRIBE {t}").fetchall()
+        cols = [r[0] for r in described]
+        col_type = {r[0]: r[1] for r in described}
+        shifted = {c: (kt, kc) for c, kt, kc in SHIFTS.get(t, [])}
+        exprs = []
+        for c in cols:
+            if c in shifted:
+                # cast back to the source column type (some keys are INTEGER)
+                stride = strides[shifted[c]]
+                exprs.append(f"({c} + r.replica * {stride})::{col_type[c]} AS {c}")
+            elif t == "documents" and c == "text":
+                # replica-0 rows stay byte-identical to the source
+                exprs.append("CASE WHEN r.replica = 0 THEN text ELSE 'r' || r.replica || ' ' || text END AS text")
+            elif t == "documents" and c == "n_chars":
+                exprs.append(
+                    "CASE WHEN r.replica = 0 THEN n_chars ELSE n_chars + 2 + length(r.replica::VARCHAR) END AS n_chars"
+                )
+            elif t == "embeddings" and c == "embedding":
+                exprs.append(
+                    "CASE WHEN r.replica = 0 THEN embedding ELSE "
+                    "list_prepend((embedding[1] + r.replica * 0.001)::FLOAT, embedding[2:]) END AS embedding"
+                )
+            else:
+                exprs.append(c)
+        out = os.path.join(dst, f"{t}.parquet")
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM {t}, "
+            f"(SELECT unnest(range({k})) AS replica) r ORDER BY replica) "
+            f"TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{t}: {n} rows -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Iceberg source gate (BASELINE input_hint names an Iceberg corpus).
+
+``build_job --format iceberg`` reads the corpus via Spark's DataSourceV2
+(``spark.read.format("iceberg").load(...)``).  This sandbox ships no
+iceberg-spark-runtime jar and no pyiceberg (network/pip are unavailable),
+so the full end-to-end test SKIPS with that reason when the runtime is
+absent — on any cluster with the standard runtime jar on the classpath it
+runs the real thing: write a lang-partitioned Iceberg table, build the
+index from it, and compare BM25 results against the parquet path.
+
+The mechanics the Iceberg path relies on — Catalyst partition pruning of a
+``lang=`` filter down to the file scan, identical index output regardless
+of source format — are asserted today by the runnable partitioned-parquet
+twin below (hive-style ``lang=`` directories exercise the same
+PartitionFilters machinery a DSv2 Iceberg scan reports).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex, make_docid_column
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _lang_corpus(spark, n=60):
+    from capreolus_spark.data import synth_corpus
+
+    return make_docid_column(synth_corpus(spark, n))
+
+
+def _search_map(idx, topics):
+    from capreolus_spark.search import BM25Searcher
+
+    rows = BM25Searcher(idx, BM25Config(hits=20)).search(topics).collect()
+    return {(r["qid"], r["docid"]): round(r["score"], 6) for r in rows}
+
+
+def test_iceberg_end_to_end(spark, tmp_path):
+    """Build from a local Iceberg warehouse table and match the parquet
+    path's BM25 results exactly.  Runs only where the iceberg-spark-runtime
+    jar is on the classpath (any real deployment); skipped in this sandbox
+    (no jar, no network, pip install forbidden)."""
+    if not _iceberg_available(spark):
+        pytest.skip(
+            "iceberg-spark-runtime jar not on the classpath in this sandbox "
+            "(no network / pip); runs as-is on a cluster with the runtime jar"
+        )
+    warehouse = str(tmp_path / "warehouse")
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", warehouse)
+    corpus = _lang_corpus(spark)
+    corpus.writeTo("it.db.corpus").partitionedBy(F.col("lang")).create()
+
+    from capreolus_spark.data import synth_queries
+
+    topics = synth_queries(5)
+    ice = spark.read.format("iceberg").load("it.db.corpus")
+    idx_ice = InvertedIndex.create(
+        spark, make_docid_column(ice), str(tmp_path / "idx_ice"), IndexConfig()
+    )
+    idx_pq = InvertedIndex.create(spark, corpus, str(tmp_path / "idx_pq"), IndexConfig())
+    assert _search_map(idx_ice, topics) == _search_map(idx_pq, topics)
+
+    # lang= filter prunes Iceberg partitions at the scan
+    plan = (
+        ice.filter(F.col("lang") == "python")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lang" in plan
+
+
+def test_lang_partition_pruning_parquet_twin(spark, tmp_path):
+    """The runnable twin of the Iceberg gate: a hive-partitioned ``lang=``
+    corpus layout must (a) produce the identical index/search results as
+    the unpartitioned layout and (b) prune a ``lang=`` filter to the
+    matching partition directories at the file scan (PartitionFilters —
+    the same Catalyst machinery an Iceberg DSv2 scan feeds)."""
+    corpus = _lang_corpus(spark)
+    src = str(tmp_path / "corpus_by_lang")
+    corpus.write.partitionBy("lang").parquet(src)
+    parted = spark.read.parquet(src)
+
+    # (a) identical BM25 results from the partitioned source
+    from capreolus_spark.data import synth_queries
+
+    topics = synth_queries(5)
+    idx_a = InvertedIndex.create(
+        spark, parted.select(*corpus.columns), str(tmp_path / "idx_a"), IndexConfig()
+    )
+    idx_b = InvertedIndex.create(spark, corpus, str(tmp_path / "idx_b"), IndexConfig())
+    assert _search_map(idx_a, topics) == _search_map(idx_b, topics)
+
+    # (b) a lang= filter reaches the scan as a partition filter and the
+    # pruned scan reads strictly fewer files than the full scan
+    langs = [r["lang"] for r in parted.select("lang").distinct().collect()]
+    assert len(langs) > 1, "synth corpus must span several languages"
+    one = parted.filter(F.col("lang") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+    def files_read(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    assert files_read(one) < files_read(parted)
+    # pruned scan touches ONLY lang=<x> directories
+    touched = [
+        r[0] for r in one.select(F.input_file_name()).distinct().collect()
+    ]
+    assert touched and all(f"lang={langs[0]}" in p for p in touched)

@@ -325,3 +325,64 @@ def test_slim_docmap_store_contents_false(spark, dummy_corpus, tmp_path):
     assert slim.verify_content_integrity(dummy_corpus) == 0
     with pytest.raises(ValueError, match="store_contents=False"):
         slim.get_doc(rf[0]["docid"])
+
+
+def test_store_docvectors_matches_recompute(spark, synth_index, tmp_path):
+    """store_docvectors=True materializes map<term,tf> rows at build time
+    (Anserini -storeDocvectors, reference index/anserini.py:52-57); the
+    stored vectors must equal the recompute-from-contents path everywhere
+    they are consumed: point lookup, extractor batch, RM3 expansion."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.extractor import bow_doc_features
+    from capreolus_spark.search.rm3 import BM25RM3Searcher
+
+    plain_idx, corpus = synth_index
+    index_dir = str(tmp_path / "dv_idx")
+    cfg = IndexConfig(range_size=1 << 17, num_doc_partitions=5, store_docvectors=True)
+    dv_idx = InvertedIndex.create(spark, corpus, index_dir, cfg)
+    assert dv_idx.exists()
+    assert Manifest(index_dir).stage_done("docvectors")
+
+    # point lookup: stored == recomputed, for a doc with terms and a miss
+    some = corpus.select("docid").orderBy("docid").limit(3).collect()
+    for r in some:
+        assert dv_idx.get_doc_vector(r["docid"]) == plain_idx.get_doc_vector(r["docid"])
+    assert dv_idx.get_doc_vector("missing-doc") == {}
+
+    # batch extractor features: identical sparse rows through both paths
+    key = lambda r: (r["docid"], r["term_id"])
+    stored = sorted(bow_doc_features(dv_idx).collect(), key=key)
+    recomputed = sorted(bow_doc_features(plain_idx).collect(), key=key)
+    assert [tuple(r) for r in stored] == [tuple(r) for r in recomputed]
+
+    # RM3 expansion terms/weights identical through both paths
+    from capreolus_spark.data import synth_queries
+
+    topics = dict(list(synth_queries(4).items())[:3])
+    exp_dv = BM25RM3Searcher(dv_idx, BM25Config(hits=10), fb_docs=3, fb_terms=5).expand_queries(topics)
+    exp_plain = BM25RM3Searcher(plain_idx, BM25Config(hits=10), fb_docs=3, fb_terms=5).expand_queries(topics)
+    assert set(exp_dv) == set(exp_plain)
+    for qid in exp_dv:
+        assert dict(exp_dv[qid]) == pytest.approx(dict(exp_plain[qid]), abs=1e-12)
+
+
+def test_docvectors_not_stored_raises(dummy_index):
+    with pytest.raises(ValueError, match="store_docvectors=False"):
+        dummy_index.docvectors_df()
+
+
+def test_pre_docvectors_manifest_still_resumes(spark, dummy_corpus, tmp_path):
+    """Manifests written before the store_docvectors field existed must keep
+    resuming: config comparison goes through a from_json round-trip so a
+    missing (defaulted) field is not a 'different config'."""
+    import json
+
+    index_dir = str(tmp_path / "oldcfg_idx")
+    build_index(spark, dummy_corpus, index_dir, IndexConfig())
+    m = Manifest(index_dir)
+    cfg = json.loads(m.data["config"])
+    del cfg["store_docvectors"]  # simulate a pre-field manifest
+    m.data["config"] = json.dumps(cfg, sort_keys=True)
+    with open(m.path, "w") as f:
+        json.dump(m.data, f)
+    build_index(spark, dummy_corpus, index_dir, IndexConfig())  # must not raise
