@@ -146,8 +146,9 @@ def _stream_signatures(pdf: "pd.DataFrame", text_col: str, n: int) -> "pd.DataFr
 
     import numpy as np
 
-    a = np.arange(_ND_NUM_HASHES, dtype=np.int64) * 2 + 1
-    b = np.arange(_ND_NUM_HASHES, dtype=np.int64) ** 2 + 1
+    from ..textproc.dedup import minhash_coefficients
+
+    a, b = minhash_coefficients(_ND_NUM_HASHES)
     tok_re = re.compile(r"[a-z0-9_]+")
     sigs = []
     for text in pdf[text_col].fillna(""):

@@ -9,11 +9,16 @@ existing sf dir with NO external data and NO randomness:
   ``replica * (max_key + 1)`` so keys stay unique and foreign keys
   (orders.o_custkey -> customer, lineitem.l_orderkey -> orders, ...)
   keep referencing the same replica;
-* ``documents.text`` gets a replica-specific prefix token ``rK`` so the
-  duplicate structure of the original corpus is preserved *within* each
-  replica instead of every document gaining K-1 exact cross-replica
-  twins (which would inflate dedup pair counts quadratically and make
-  the scaled corpus unrepresentative);
+* ``documents.text`` gets a replica-specific prefix of ``replica``
+  copies of the token ``rK`` so (a) the duplicate structure of the
+  original corpus is preserved *within* each replica instead of every
+  document gaining K-1 exact cross-replica twins (which would inflate
+  dedup pair counts quadratically), and (b) every replica of a document
+  has a DISTINCT length — a constant-length prefix would make all K-1
+  non-zero replicas of a doc exact score ties under dl-dependent
+  scoring (BM25/QL), and ranking ties at the last ulp are not
+  cross-engine comparable (DuckDB's group-agg float summation order is
+  nondeterministic; observed 1-ulp spreads across identical replicas);
 * ``embeddings.embedding[0]`` gets a +replica*1e-3 deterministic nudge
   so ANN top-k has no K-way cross-replica ties;
 * ``events.ts`` is kept as-is (sessionisation load scales with users,
@@ -97,11 +102,19 @@ def main() -> None:
                 stride = strides[shifted[c]]
                 exprs.append(f"({c} + r.replica * {stride})::{col_type[c]} AS {c}")
             elif t == "documents" and c == "text":
-                # replica-0 rows stay byte-identical to the source
-                exprs.append("CASE WHEN r.replica = 0 THEN text ELSE 'r' || r.replica || ' ' || text END AS text")
+                # replica-0 rows stay byte-identical to the source;
+                # replica k is prefixed with k copies of the token "rk"
+                # so every replica has a distinct doc length (see module
+                # docstring: constant-length prefixes create exact
+                # ranking ties that are not ulp-comparable cross-engine)
+                exprs.append(
+                    "CASE WHEN r.replica = 0 THEN text "
+                    "ELSE repeat('r' || r.replica || ' ', r.replica) || text END AS text"
+                )
             elif t == "documents" and c == "n_chars":
                 exprs.append(
-                    "CASE WHEN r.replica = 0 THEN n_chars ELSE n_chars + 2 + length(r.replica::VARCHAR) END AS n_chars"
+                    "CASE WHEN r.replica = 0 THEN n_chars "
+                    "ELSE n_chars + r.replica * (2 + length(r.replica::VARCHAR)) END AS n_chars"
                 )
             elif t == "embeddings" and c == "embedding":
                 exprs.append(

@@ -637,6 +637,60 @@ def test_chunk_documents(spark):
     assert sum(r["n_tokens"] for r in flat if r["doc_id"] == 1) == 10
 
 
+def test_minhash_recall_prefix_perturbed_replicas(spark):
+    """Regression for the 10x-gate recall collapse: replicas of one base
+    document that differ only by a replica-specific token prefix (distinct
+    lengths, pairwise Jaccard ~0.8-0.95) must ALL be recovered by
+    LSH+verify.  Under the old structured coefficient family
+    (a_i = 2i+1), one replica-exclusive prefix shingle whose base hash is
+    small dominated every signature component (a_i*h+b_i never wraps mod
+    p for small a_i), so true-0.88-Jaccard pairs shared 0 of 32 bands.
+    With full-range splitmix64 multipliers, band-match probability at
+    J>=0.8 is 1 - (1-J^4)^32 > 1 - 6e-8 per pair — recall 1 here, making
+    equality with the exact join a stable assertion, not luck."""
+    bases = [
+        " ".join(f"w{b}x{t}" for t in range(30)) for b in range(12)
+    ]
+    rows = []
+    for b, base in enumerate(bases):
+        for k in range(5):
+            prefix = (f"r{k} " * k) if k else ""
+            rows.append((b * 100 + k, prefix + base))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, n=3, threshold=0.8).collect()
+    }
+    # within-family pairs exist above threshold (the fixture is meaningful)
+    assert len(exact) >= len(bases), "fixture must produce near-dup pairs"
+    assert lsh == exact
+
+
+def test_minhash_coefficients_full_range():
+    """The multiplier family must span the full [1, p-1] range — small
+    structured multipliers break min-wise uniformity (see
+    test_minhash_recall_prefix_perturbed_replicas)."""
+    import numpy as np
+
+    from capreolus_spark.textproc.dedup import _MERSENNE, minhash_coefficients
+
+    a, b = minhash_coefficients(128)
+    assert a.min() >= 1 and a.max() < _MERSENNE and b.min() >= 0 and b.max() < _MERSENNE
+    # spread: multipliers are not clustered in a tiny low range
+    assert np.median(a) > _MERSENNE // 8
+    assert len(np.unique(a)) == 128 and len(np.unique(b)) == 128
+    # deterministic across calls
+    a2, b2 = minhash_coefficients(128)
+    assert (a == a2).all() and (b == b2).all()
+    # no int64 overflow at the extremes of h * a + b
+    h_max = np.int64(_MERSENNE - 1)
+    assert int(h_max) * int(a.max()) + int(b.max()) < 2**63
+
+
 def test_minhash_subset_property_random_corpora(spark):
     """Adversarial invariant: with verification on, minhash_lsh_pairs is
     ALWAYS a subset of the exact set-similarity join with IDENTICAL
