@@ -602,11 +602,28 @@ SELECT qid, docid, rank, round(score, 4) AS score FROM (
 # ----------------------------------------------------------------- entry
 
 def _index_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(tag, sf) index location: repeated driver runs
-    hit the manifest's committed stages and skip the rebuild (the
-    reference's done-file idempotency working for us)."""
+    """Deterministic per-(tag, sf, corpus-version) index location:
+    repeated driver runs hit the manifest's committed stages and skip the
+    rebuild (the reference's done-file idempotency working for us).
+
+    The key includes a fingerprint of the source ``documents.parquet``
+    (total size + latest mtime) so a REGENERATED corpus at the same path
+    gets a fresh index instead of silently resuming the stale one — the
+    manifest's config guard catches config drift but not data drift."""
     key = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"capreolus_spark_{tag}_{key}")
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    size = mtime = 0
+    if os.path.isdir(doc_path):  # directory-style parquet
+        for root, _, files in os.walk(doc_path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                size += st.st_size
+                mtime = max(mtime, int(st.st_mtime))
+    elif os.path.exists(doc_path):
+        st = os.stat(doc_path)
+        size, mtime = st.st_size, int(st.st_mtime)
+    fp = f"{size:x}{mtime:x}"
+    return os.path.join(tempfile.gettempdir(), f"capreolus_spark_{tag}_{key}_{fp}")
 
 
 def entry(spark: SparkSession) -> DataFrame:
