@@ -895,6 +895,33 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_SUBSTR_K = 6  # window length for the substring-dedup gate queries
+
+
+def _q_substring_spans(spark, sf_dir):
+    from capreolus_spark.textproc import duplicated_spans
+
+    return duplicated_spans(
+        _corpus_with_dups(spark, sf_dir), span_tokens=_SUBSTR_K
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+    )
+
+
+def _q_substring_dedup(spark, sf_dir):
+    from capreolus_spark.textproc import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _corpus_with_dups(spark, sf_dir), span_tokens=_SUBSTR_K
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from capreolus_spark.textproc import fingerprint
 
@@ -1394,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "substring_dup_spans": _q_substring_spans,
+        "substring_dedup_docs": _q_substring_dedup,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -1718,6 +1747,52 @@ def oracle_sql() -> dict[str, str]:
             "round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id "
             "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8"
+        ),
+        "substring_dup_spans": (
+            f"WITH dupcorpus AS ({_DUP_CORPUS_SQL}), "
+            f"tok AS (SELECT doc_id, {_TOK} AS toks FROM dupcorpus), "
+            f"w2 AS (SELECT doc_id, unnest(range(len(toks) - {_SUBSTR_K} + 1)) AS start, "
+            f"unnest(list_transform(range(len(toks) - {_SUBSTR_K} + 1), "
+            f"i -> md5(array_to_string(toks[i+1:i+{_SUBSTR_K}], ' ')))) AS h "
+            f"FROM tok WHERE len(toks) >= {_SUBSTR_K}), "
+            "dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2), "
+            "occ AS (SELECT w2.doc_id, w2.start, w2.h FROM w2 JOIN dup USING (h)), "
+            "canon AS (SELECT h, doc_id, start FROM (SELECT h, doc_id, start, "
+            "row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM occ) WHERE rn = 1), "
+            "rem AS (SELECT o.doc_id, o.start FROM occ o ANTI JOIN canon c "
+            "ON o.h = c.h AND o.doc_id = c.doc_id AND o.start = c.start), "
+            f"brk AS (SELECT doc_id, start, CASE WHEN start - lag(start) "
+            f"OVER (PARTITION BY doc_id ORDER BY start) > {_SUBSTR_K} THEN 1 ELSE 0 END AS b FROM rem), "
+            "grp AS (SELECT doc_id, start, sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS g FROM brk) "
+            f"SELECT doc_id, cast(min(start) AS bigint) AS start, "
+            f"cast(max(start) + {_SUBSTR_K} AS bigint) AS \"end\" FROM grp GROUP BY doc_id, g"
+        ),
+        "substring_dedup_docs": (
+            f"WITH dupcorpus AS ({_DUP_CORPUS_SQL}), "
+            f"tok AS (SELECT doc_id, {_TOK} AS toks FROM dupcorpus), "
+            f"w2 AS (SELECT doc_id, unnest(range(len(toks) - {_SUBSTR_K} + 1)) AS start, "
+            f"unnest(list_transform(range(len(toks) - {_SUBSTR_K} + 1), "
+            f"i -> md5(array_to_string(toks[i+1:i+{_SUBSTR_K}], ' ')))) AS h "
+            f"FROM tok WHERE len(toks) >= {_SUBSTR_K}), "
+            "dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2), "
+            "occ AS (SELECT w2.doc_id, w2.start, w2.h FROM w2 JOIN dup USING (h)), "
+            "canon AS (SELECT h, doc_id, start FROM (SELECT h, doc_id, start, "
+            "row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM occ) WHERE rn = 1), "
+            "rem AS (SELECT o.doc_id, o.start FROM occ o ANTI JOIN canon c "
+            "ON o.h = c.h AND o.doc_id = c.doc_id AND o.start = c.start), "
+            f"brk AS (SELECT doc_id, start, CASE WHEN start - lag(start) "
+            f"OVER (PARTITION BY doc_id ORDER BY start) > {_SUBSTR_K} THEN 1 ELSE 0 END AS b FROM rem), "
+            "grp AS (SELECT doc_id, start, sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS g FROM brk), "
+            f"spans AS (SELECT doc_id, min(start) AS start, max(start) + {_SUBSTR_K} AS e "
+            "FROM grp GROUP BY doc_id, g), "
+            "tokrow AS (SELECT doc_id, unnest(range(len(toks))) AS ti, unnest(toks) AS t FROM tok), "
+            "kept AS (SELECT k.doc_id, k.ti, k.t FROM tokrow k ANTI JOIN spans s "
+            "ON k.doc_id = s.doc_id AND k.ti >= s.start AND k.ti < s.e), "
+            "agg AS (SELECT doc_id, array_to_string(list(t ORDER BY ti), ' ') AS text, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT tok.doc_id, coalesce(agg.text, '') AS text, "
+            "cast(len(tok.toks) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed_tokens "
+            "FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"
         ),
         "doc_fingerprint": (
             f"SELECT cast(doc_id AS bigint) AS doc_id, "

@@ -16,6 +16,10 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .substring import (  # noqa: F401
+    duplicated_spans,
+    remove_duplicated_spans,
+)
 from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
     dequantize_codes,

@@ -729,3 +729,150 @@ def test_minhash_subset_property_random_corpora(spark):
         # the two fingerprints and respects the cap, regardless of banding
         sh = simhash_pairs(df, max_hamming=6).collect()
         assert all(0 <= r["hamming"] <= 6 for r in sh), f"seed {seed}"
+
+
+# ---------------------------------------------------------- substring dedup
+
+
+def _brute_spans(rows, k, min_count=2, keep_first=True):
+    """Reference implementation of duplicated_spans in plain python."""
+    import re
+    from collections import defaultdict
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+    toks = {d: tok_re.findall(t.lower()) for d, t in rows}
+    occ = defaultdict(list)
+    for d, ts in sorted(toks.items()):
+        for i in range(len(ts) - k + 1):
+            occ[tuple(ts[i : i + k])].append((d, i))
+    removal = defaultdict(list)
+    for places in occ.values():
+        if len(places) < min_count:
+            continue
+        keep = min(places) if keep_first else None
+        for p in sorted(places):
+            if p != keep:
+                removal[p[0]].append(p[1])
+    spans = {}
+    for d, starts in removal.items():
+        starts.sort()
+        merged = []
+        for s in starts:
+            if merged and s - merged[-1][1] <= k:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], s))
+            else:
+                merged.append((s, s))
+        spans[d] = [(a, b + k) for a, b in merged]
+    return {(d, a, b) for d, sp in spans.items() for a, b in sp}
+
+
+def test_substring_spans_matches_bruteforce(spark):
+    from capreolus_spark.textproc import duplicated_spans
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"alpha beta {common} gamma delta"),
+        (2, f"{common} something entirely different here now"),       # cross-doc dup
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),                        # unique
+        (4, f"prefix tokens here {common} and then {common} suffix"), # within-doc repeat
+        (5, "tiny"),                                                   # < k tokens
+        (6, ""),                                                       # empty
+    ]
+    k = 5
+    expected = _brute_spans(rows, k)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for impl in ("md5", "xxhash64"):
+        got = {
+            (r["doc_id"], r["start"], r["end"])
+            for r in duplicated_spans(df, span_tokens=k, hash_impl=impl).collect()
+        }
+        assert got == expected, impl
+    # canonical copy survives: doc 1 is (doc_id, start)-smallest for the
+    # common window family, so doc 1 must have no spans
+    assert not any(d == 1 for d, _, _ in expected)
+
+
+def test_substring_spans_keep_first_false_and_min_count(spark):
+    from capreolus_spark.textproc import duplicated_spans
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "zz yy xx ww vv uu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # keep_first=False removes EVERY occurrence, including the canonical
+    got = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in duplicated_spans(df, span_tokens=6, keep_first=False).collect()
+    }
+    assert got == {(1, 0, 6), (2, 0, 6)}
+    # min_count=3: a window occurring twice is no longer duplicated
+    assert duplicated_spans(df, span_tokens=6, min_count=3).count() == 0
+
+
+def test_substring_removal_semantics(spark):
+    from capreolus_spark.textproc import duplicated_spans, remove_duplicated_spans
+
+    common = "one two three four five"
+    rows = [
+        (1, f"{common} unique tail for doc one"),
+        (2, f"head tokens {common}"),
+        (3, "no duplication in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, span_tokens=5).collect()}
+    # doc 1 holds the canonical copy → untouched (token-joined)
+    assert out[1]["text"] == f"{common} unique tail for doc one"
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2 loses the duplicated span, keeps its own prefix
+    assert out[2]["text"] == "head tokens"
+    assert out[2]["n_removed_tokens"] == 5
+    # untouched doc: normalized token join, zero removed
+    assert out[3]["text"] == "no duplication in this document at all"
+    assert out[3]["n_removed_tokens"] == 0
+    # sharing the spans frame between report + removal gives same result
+    spans = duplicated_spans(df, span_tokens=5)
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, span_tokens=5, spans=spans).collect()
+    }
+    assert out2 == {d: r["text"] for d, r in out.items()}
+
+
+def test_substring_self_overlap_collapses(spark):
+    from capreolus_spark.textproc import remove_duplicated_spans
+
+    # "a a a a a a" with k=2: every window is "a a"; canonical (1, 0) is
+    # protected from the removal SET but the merged removal span [1, 6)
+    # clips it — the repeat collapses to the unique prefix token
+    df = spark.createDataFrame([(1, "a a a a a a")], "doc_id long, text string")
+    row = remove_duplicated_spans(df, span_tokens=2).collect()[0]
+    assert row["text"] == "a"
+    assert row["n_removed_tokens"] == 5
+
+
+def test_substring_spans_randomized_vs_bruteforce(spark):
+    import random
+
+    from capreolus_spark.textproc import duplicated_spans
+
+    vocab = [f"t{i}" for i in range(12)]
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(20):
+            if i > 2 and rng.random() < 0.5:
+                donor = rows[rng.randrange(len(rows))][1].split()
+                cut = donor[: rng.randrange(3, max(4, len(donor)))]
+                mine = [rng.choice(vocab) for _ in range(rng.randrange(0, 8))]
+                at = rng.randrange(len(mine) + 1)
+                rows.append((i, " ".join(mine[:at] + cut + mine[at:])))
+            else:
+                rows.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 15))))
+                )
+        k = 4
+        expected = _brute_spans(rows, k)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["start"], r["end"])
+            for r in duplicated_spans(df, span_tokens=k).collect()
+        }
+        assert got == expected, f"seed {seed}"
