@@ -896,6 +896,21 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 _SUBSTR_K = 6  # window length for the substring-dedup gate queries
+_WP_VOCAB = 200  # corpus-derived vocab size for the wordpiece gate query
+
+
+def _q_wordpiece_ids(spark, sf_dir):
+    """WordPiece in the provably-SQL-equal configuration: a corpus-derived
+    vocab with no ## pieces (top-N tokens by count desc, token asc), so
+    greedy longest-match degenerates to exact dictionary lookup; the
+    bert-mode subword path is pytest-golden-gated (tests/test_wordpiece.py)."""
+    from capreolus_spark.analysis.wordpiece import top_token_vocab, wordpiece_tokenize
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    vocab = top_token_vocab(docs, size=_WP_VOCAB)
+    return wordpiece_tokenize(docs, vocab, pretok="regex").select(
+        "doc_id", "ti", "piece", "piece_id"
+    )
 
 
 def _q_substring_spans(spark, sf_dir):
@@ -1423,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup_docs": _q_substring_dedup,
+        "wordpiece_ids": _q_wordpiece_ids,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -1793,6 +1809,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok.doc_id, coalesce(agg.text, '') AS text, "
             "cast(len(tok.toks) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed_tokens "
             "FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"
+        ),
+        "wordpiece_ids": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            f"vocab AS (SELECT t, row_number() OVER (ORDER BY cnt DESC, t ASC) - 1 AS pid "
+            f"FROM (SELECT t, count(*) AS cnt FROM (SELECT unnest(toks) AS t FROM tok) "
+            f"GROUP BY t ORDER BY cnt DESC, t ASC LIMIT {_WP_VOCAB})), "
+            "n AS (SELECT count(*) AS unk_id FROM vocab), "
+            "tokrow AS (SELECT doc_id, unnest(range(len(toks))) AS ti, unnest(toks) AS t FROM tok) "
+            "SELECT k.doc_id, cast(k.ti AS bigint) AS ti, "
+            "coalesce(v.t, '[UNK]') AS piece, "
+            "cast(coalesce(v.pid, n.unk_id) AS bigint) AS piece_id "
+            "FROM tokrow k LEFT JOIN vocab v ON k.t = v.t CROSS JOIN n"
         ),
         "doc_fingerprint": (
             f"SELECT cast(doc_id AS bigint) AS doc_id, "

@@ -1,0 +1,188 @@
+"""WordPiece subword tokenizer (BERT-style), Spark-distributed.
+
+The reference feeds its neural rerankers through HuggingFace's
+``BertTokenizer`` (reference ``tokenizer/bert.py:20-36``); this is the
+published WordPiece algorithm (greedy longest-match-first over a vocab,
+``##`` continuation prefix, ``[UNK]`` fallback, per-word char cap)
+implemented from the public description — no HuggingFace dependency, the
+vocab is injectable (a 30k-entry BERT vocab file drops straight in via
+:meth:`WordPieceVocab.from_file`).
+
+Two pre-tokenization modes:
+
+* ``pretok="bert"`` — BERT's BasicTokenizer rules: lowercase, whitespace
+  split, every punctuation character becomes its own token (golden-gated
+  in pytest against hand-computed expectations, including the classic
+  ``unaffable → un ##aff ##able`` example);
+* ``pretok="regex"`` — the repo-wide ``[a-z0-9_]+`` stream, which makes
+  the no-subword configuration (every piece either a full vocab word or
+  ``[UNK]``) expressible in portable SQL — the DuckDB-gated config.
+
+Execution shape: one ``mapInPandas`` pass with the vocab broadcast in
+the task closure (vocabularies are ≤ a few hundred KB — the same
+driver-side-stats pattern as the DAAT kernel); output is one row per
+piece ``(doc_id, ti, piece, piece_id)``, the shape the extractor's
+feature builders consume.  No shuffle: tokenization is a narrow map.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+UNK = "[UNK]"
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    # BERT treats all non-letter/number ASCII symbols + unicode P* as punct
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
+    """BERT BasicTokenizer: whitespace split, punctuation isolated."""
+    if lowercase:
+        text = text.lower()
+    out: list[str] = []
+    for word in text.split():
+        buf = []
+        for ch in word:
+            if _is_punct(ch):
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+                out.append(ch)
+            else:
+                buf.append(ch)
+        if buf:
+            out.append("".join(buf))
+    return out
+
+
+@dataclass
+class WordPieceVocab:
+    """piece → id mapping.  Ids are dense, insertion-ordered."""
+
+    stoi: dict[str, int] = field(default_factory=dict)
+
+    @classmethod
+    def from_pieces(cls, pieces: list[str]) -> "WordPieceVocab":
+        v = cls()
+        for p in pieces:
+            if p not in v.stoi:
+                v.stoi[p] = len(v.stoi)
+        if UNK not in v.stoi:
+            v.stoi[UNK] = len(v.stoi)
+        return v
+
+    @classmethod
+    def from_file(cls, path: str) -> "WordPieceVocab":
+        """One piece per line — the published BERT vocab.txt format."""
+        with open(path, encoding="utf-8") as f:
+            return cls.from_pieces([ln.rstrip("\n") for ln in f if ln.rstrip("\n")])
+
+    def __len__(self) -> int:
+        return len(self.stoi)
+
+
+def wordpiece_word(word: str, stoi: dict[str, int], max_chars: int = 100) -> list[str]:
+    """Greedy longest-match-first split of one word (published algorithm:
+    repeatedly take the longest vocab prefix, continue with ``##``-prefixed
+    pieces; any unmatchable remainder makes the whole word ``[UNK]``)."""
+    if len(word) > max_chars:
+        return [UNK]
+    pieces: list[str] = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in stoi:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [UNK]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def wordpiece_tokenize(
+    df: DataFrame,
+    vocab: WordPieceVocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pretok: str = "bert",
+    lowercase: bool = True,
+    max_chars: int = 100,
+) -> DataFrame:
+    """(doc_id, ti, piece, piece_id): one row per WordPiece, in stream order.
+
+    ``pretok="bert"`` applies BasicTokenizer rules; ``pretok="regex"``
+    uses the repo-wide ``[a-z0-9_]+`` stream (the SQL-twinnable mode).
+    """
+    if pretok not in ("bert", "regex"):
+        raise ValueError(f"unknown pretok: {pretok!r} (bert|regex)")
+    stoi = dict(vocab.stoi)  # plain dict into the task closure
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tis, pieces, pids = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                if pretok == "bert":
+                    words = basic_tokenize(text, lowercase)
+                else:
+                    words = _WORD_RE.findall(text.lower() if lowercase else text)
+                ti = 0
+                for w in words:
+                    for p in wordpiece_word(w, stoi, max_chars):
+                        ids.append(doc_id)
+                        tis.append(ti)
+                        pieces.append(p)
+                        pids.append(stoi[p])
+                        ti += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "ti": tis, "piece": pieces, "piece_id": pids}
+            )
+
+    out_schema = "doc_id long, ti long, piece string, piece_id long"
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def top_token_vocab(
+    df: DataFrame, text_col: str = "text", size: int = 1000
+) -> WordPieceVocab:
+    """Deterministic corpus-derived vocab: the ``size`` most frequent
+    ``[a-z0-9_]+`` tokens ordered by (count desc, token asc), then
+    ``[UNK]``.  With no ``##`` pieces in the vocab, greedy WordPiece
+    degenerates to exact dictionary lookup (full word or ``[UNK]``) —
+    the provably-SQL-equal gate configuration."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+            ).alias("t")
+        )
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(size)
+        .collect()
+    )
+    return WordPieceVocab.from_pieces([r["t"] for r in rows])

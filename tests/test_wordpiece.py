@@ -1,0 +1,101 @@
+"""WordPiece tokenizer: golden subword behavior + gate-config semantics.
+
+Reference parity target: HuggingFace BertTokenizer as wrapped by the
+reference's ``tokenizer/bert.py`` — the greedy longest-match-first
+algorithm with ``##`` continuations and ``[UNK]`` fallback, including
+the canonical ``unaffable → un ##aff ##able`` published example.
+"""
+
+import pytest
+
+from capreolus_spark.analysis.wordpiece import (
+    UNK,
+    WordPieceVocab,
+    basic_tokenize,
+    top_token_vocab,
+    wordpiece_tokenize,
+    wordpiece_word,
+)
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_wordpiece_word_golden():
+    v = WordPieceVocab.from_pieces(["un", "##aff", "##able", "runn", "##ing", "hug", "##s"])
+    stoi = v.stoi
+    assert wordpiece_word("unaffable", stoi) == ["un", "##aff", "##able"]
+    assert wordpiece_word("running", stoi) == ["runn", "##ing"]
+    assert wordpiece_word("hugs", stoi) == ["hug", "##s"]
+    # greedy longest-match: "un" matches but "##matchable" remainder fails
+    assert wordpiece_word("unmatchable", stoi) == [UNK]
+    assert wordpiece_word("xyz", stoi) == [UNK]
+    # per-word char cap
+    assert wordpiece_word("a" * 101, stoi, max_chars=100) == [UNK]
+
+
+def test_basic_tokenize_punctuation_rules():
+    assert basic_tokenize("Hello, world!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("state-of-the-art") == ["state", "-", "of", "-", "the", "-", "art"]
+    assert basic_tokenize("  a  b ") == ["a", "b"]
+    assert basic_tokenize("No Case", lowercase=False) == ["No", "Case"]
+    assert basic_tokenize("") == []
+
+
+def test_vocab_from_file_roundtrip(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("un\n##aff\n##able\n[UNK]\n")
+    v = WordPieceVocab.from_file(str(p))
+    assert v.stoi == {"un": 0, "##aff": 1, "##able": 2, "[UNK]": 3}
+    # UNK auto-appended when the file lacks it
+    p2 = tmp_path / "v2.txt"
+    p2.write_text("a\nb\n")
+    assert WordPieceVocab.from_file(str(p2)).stoi[UNK] == 2
+
+
+def test_wordpiece_tokenize_df_bert_mode(spark):
+    v = WordPieceVocab.from_pieces(["un", "##aff", "##able", "fox", ","])
+    df = spark.createDataFrame(
+        [(1, "Unaffable fox, unaffable"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = wordpiece_tokenize(df, v, pretok="bert").collect()
+    got = sorted((r["doc_id"], r["ti"], r["piece"], r["piece_id"]) for r in rows)
+    s = v.stoi
+    assert got == [
+        (1, 0, "un", s["un"]),
+        (1, 1, "##aff", s["##aff"]),
+        (1, 2, "##able", s["##able"]),
+        (1, 3, "fox", s["fox"]),
+        (1, 4, ",", s[","]),
+        (1, 5, "un", s["un"]),
+        (1, 6, "##aff", s["##aff"]),
+        (1, 7, "##able", s["##able"]),
+    ]
+
+
+def test_regex_mode_equals_dictionary_lookup(spark, documents):
+    """The gate configuration: a vocab with no ## pieces makes greedy
+    WordPiece exactly a dictionary lookup (longest-prefix match either
+    takes the whole word or dead-ends into a missing ## piece)."""
+    import re
+
+    vocab = top_token_vocab(documents, size=50)
+    out = wordpiece_tokenize(documents, vocab, pretok="regex").collect()
+    docs = {r["doc_id"]: r["text"] for r in documents.collect()}
+    tok_re = re.compile(r"[a-z0-9_]+")
+    expected = []
+    for d, text in sorted(docs.items()):
+        for i, w in enumerate(tok_re.findall((text or "").lower())):
+            piece = w if w in vocab.stoi else UNK
+            expected.append((d, i, piece, vocab.stoi[piece]))
+    got = sorted((r["doc_id"], r["ti"], r["piece"], r["piece_id"]) for r in out)
+    assert got == sorted(expected)
+
+
+def test_top_token_vocab_deterministic(spark, documents):
+    a = top_token_vocab(documents, size=30).stoi
+    b = top_token_vocab(documents, size=30).stoi
+    assert a == b and a[UNK] == len(a) - 1
