@@ -164,6 +164,28 @@ def main() -> None:
             )
         )
 
+        # 12. substring dedup is pure JVM dataflow: window hashing,
+        #     canonical exclusion, interval merge, and token removal all
+        #     stay in whole-stage-codegen expressions — no Python workers
+        #     (BatchEvalPython / Arrow exchanges) anywhere in the plan
+        from capreolus_spark.textproc import remove_duplicated_spans
+
+        sub = remove_duplicated_spans(
+            corpus.select(F.col("docid").alias("doc_id"), F.col("content").alias("text")),
+            span_tokens=5,
+        )
+        sub.collect()  # finalize the adaptive plan so codegen spans appear
+        subplan = sub._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "substring dedup plan is python-free JVM dataflow",
+                "BatchEvalPython" not in subplan
+                and "ArrowEvalPython" not in subplan
+                and "MapInPandas" not in subplan
+                and ("*(1)" in subplan or "WholeStageCodegen" in subplan),
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
