@@ -899,6 +899,21 @@ _SUBSTR_K = 6  # window length for the substring-dedup gate queries
 _WP_VOCAB = 200  # corpus-derived vocab size for the wordpiece gate query
 
 
+def _q_sentence_split(spark, sf_dir):
+    """Sentence segmentation in the SQL-twinnable regex configuration
+    (pure JVM, no lookaround so Java regex == RE2); the abbreviation-guard
+    rule path is pytest-gated (tests/test_sentences.py).  The synthetic
+    corpus carries no sentence punctuation, so both engines first
+    punctuate it identically (plain string replace — same left-to-right
+    non-overlapping semantics everywhere) to make the split non-trivial."""
+    from capreolus_spark.analysis.sentences import sentence_split_df
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' table ', '. Table ')").alias("text")
+    )
+    return sentence_split_df(docs, mode="regex")
+
+
 def _q_wordpiece_ids(spark, sf_dir):
     """WordPiece in the provably-SQL-equal configuration: a corpus-derived
     vocab with no ## pieces (top-N tokens by count desc, token asc), so
@@ -1439,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup_docs": _q_substring_dedup,
         "wordpiece_ids": _q_wordpiece_ids,
+        "sentence_split": _q_sentence_split,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -1809,6 +1825,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok.doc_id, coalesce(agg.text, '') AS text, "
             "cast(len(tok.toks) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed_tokens "
             "FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"
+        ),
+        "sentence_split": (
+            "WITH p AS (SELECT doc_id, replace(text, ' table ', '. Table ') AS text FROM documents), "
+            "ss AS (SELECT doc_id, list_filter(list_transform("
+            "regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)), s -> s != '') AS l "
+            "FROM p) "
+            "SELECT doc_id, cast(unnest(range(len(l))) AS bigint) AS si, "
+            "unnest(l) AS sentence FROM ss"
         ),
         "wordpiece_ids": (
             f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "

