@@ -259,6 +259,15 @@ def main() -> None:
         )
         timed("ann_cosine_topk", lambda: brute_force_cosine_topk(emb, queries_df, k=10).count())
         timed("token_quality", lambda: add_quality_columns(docs).agg(F.avg("quality_score")).collect())
+
+        from capreolus_spark.textproc import remove_duplicated_spans
+
+        timed(
+            "substring_dedup",
+            lambda: remove_duplicated_spans(
+                docs.select("doc_id", "text"), span_tokens=20
+            ).agg(F.sum("n_removed_tokens")).collect(),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
