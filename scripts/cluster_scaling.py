@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence on a REAL standalone cluster.
+
+``bench.py --scaling`` varies local[N] threads inside one JVM; this
+script runs the same build as genuine ``spark-submit`` jobs against a
+local Spark standalone cluster (separate master, worker, and executor
+JVMs, TCP shuffle, ``--py-files`` code shipping) at N and 4N
+single-core executors — the deployment shape the north rule names,
+minus only the physical second machine (all executors share this host's
+32 vCPUs, so the same raw-CPU control caveats as BASELINE.md apply).
+
+Steps:
+1. generate the deterministic synthetic corpus parquet (seed=42, same
+   generator as bench.py) if absent;
+2. start master + one worker offering ``--worker-cores`` cores;
+3. for each level: ``spark-submit --master spark://127.0.0.1:7077
+   --total-executor-cores L --executor-cores 1`` (→ L one-core executor
+   JVMs) running ``build_job.py`` on a fresh index dir;
+4. print one JSON line with files/sec per level + scaling efficiency;
+5. tear the cluster down.
+
+Usage: python scripts/cluster_scaling.py [--docs 300000] [--levels 2,8]
+       [--reps 1] [--partitions 64]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def _spark_class(*args, log=None):
+    return subprocess.Popen(
+        [os.path.join(SPARK_HOME, "bin", "spark-class"), *args],
+        stdout=log, stderr=subprocess.STDOUT,
+    )
+
+
+def _wait_port(port: int, timeout: float = 60.0) -> None:
+    import socket
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        with socket.socket() as s:
+            s.settimeout(1)
+            try:
+                s.connect(("127.0.0.1", port))
+                return
+            except OSError:
+                time.sleep(0.5)
+    raise TimeoutError(f"port {port} not up after {timeout}s")
+
+
+def _gen_corpus(path: str, n_docs: int, partitions: int) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("gen_corpus")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from capreolus_spark.data.synth import synth_corpus_distributed
+
+    synth_corpus_distributed(
+        spark, n_docs, avg_tokens=120, partitions=partitions
+    ).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def _submit_build(cores: int, corpus: str, index_dir: str, partitions: int) -> dict:
+    env = dict(os.environ)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    out = subprocess.run(
+        [
+            os.path.join(SPARK_HOME, "bin", "spark-submit"),
+            "--master", MASTER_URL,
+            "--total-executor-cores", str(cores),
+            "--executor-cores", "1",
+            "--executor-memory", "2500m",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", os.path.join(REPO, "dist", "capreolus_spark.zip"),
+            os.path.join(REPO, "scripts", "build_job.py"),
+            "--corpus", corpus,
+            "--index-dir", index_dir,
+            "--partitions", str(partitions),
+        ],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=300000)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--worker-cores", type=int, default=16)
+    args = ap.parse_args()
+    levels = tuple(int(x) for x in args.levels.split(","))
+
+    subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh")],
+                   check=True, capture_output=True)
+    corpus = os.path.join(tempfile.gettempdir(),
+                          f"capreolus_cluster_corpus_{args.docs}.parquet")
+    _gen_corpus(corpus, args.docs, args.partitions)
+
+    logdir = tempfile.mkdtemp(prefix="capreolus_cluster_")
+    mlog = open(os.path.join(logdir, "master.log"), "w")
+    wlog = open(os.path.join(logdir, "worker.log"), "w")
+    master = _spark_class(
+        "org.apache.spark.deploy.master.Master", "-h", "127.0.0.1", "-p", "7077",
+        "--webui-port", "8089", log=mlog,
+    )
+    try:
+        _wait_port(7077)
+        worker = _spark_class(
+            "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+            "-c", str(args.worker_cores), "-m", "48g", "--webui-port", "8090",
+            log=wlog,
+        )
+        try:
+            time.sleep(5)  # worker registration
+            results = {}
+            for cores in levels:
+                best = None
+                for r in range(args.reps):
+                    idx = tempfile.mkdtemp(prefix=f"capreolus_cluster_idx{cores}_")
+                    shutil.rmtree(idx)
+                    rep = _submit_build(cores, corpus, idx, args.partitions)
+                    shutil.rmtree(idx, ignore_errors=True)
+                    if best is None or rep["build_sec"] < best["build_sec"]:
+                        best = rep
+                results[cores] = best
+            lo, hi = levels
+            fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
+            print(json.dumps({
+                "mode": "standalone-cluster (1-core executor JVMs)",
+                "n_files": results[lo]["n_docs"],
+                f"files_per_sec_{lo}exec": fps_lo,
+                f"files_per_sec_{hi}exec": fps_hi,
+                f"build_sec_{lo}exec": results[lo]["build_sec"],
+                f"build_sec_{hi}exec": results[hi]["build_sec"],
+                f"scaling_efficiency_{lo}_to_{hi}": round((fps_hi / fps_lo) / (hi / lo), 3),
+            }))
+        finally:
+            worker.terminate()
+            worker.wait(timeout=20)
+    finally:
+        master.terminate()
+        master.wait(timeout=20)
+        mlog.close()
+        wlog.close()
+
+
+if __name__ == "__main__":
+    main()
