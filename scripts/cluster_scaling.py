@@ -81,7 +81,7 @@ def _gen_corpus(path: str, n_docs: int, partitions: int) -> None:
     spark.stop()
 
 
-def _submit_build(cores: int, corpus: str, index_dir: str, partitions: int) -> dict:
+def _submit_build(cores: int, corpus: str, index_dir: str, partitions: int, executor_cores: int = 1) -> dict:
     env = dict(os.environ)
     env.setdefault("PYSPARK_PYTHON", sys.executable)
     out = subprocess.run(
@@ -89,7 +89,7 @@ def _submit_build(cores: int, corpus: str, index_dir: str, partitions: int) -> d
             os.path.join(SPARK_HOME, "bin", "spark-submit"),
             "--master", MASTER_URL,
             "--total-executor-cores", str(cores),
-            "--executor-cores", "1",
+            "--executor-cores", str(executor_cores),
             "--executor-memory", "2500m",
             "--conf", "spark.ui.enabled=false",
             "--py-files", os.path.join(REPO, "dist", "capreolus_spark.zip"),
@@ -110,6 +110,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--worker-cores", type=int, default=16)
+    ap.add_argument("--executor-cores", type=int, default=1)
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
 
@@ -141,7 +142,7 @@ def main() -> None:
                 for r in range(args.reps):
                     idx = tempfile.mkdtemp(prefix=f"capreolus_cluster_idx{cores}_")
                     shutil.rmtree(idx)
-                    rep = _submit_build(cores, corpus, idx, args.partitions)
+                    rep = _submit_build(cores, corpus, idx, args.partitions, args.executor_cores)
                     shutil.rmtree(idx, ignore_errors=True)
                     if best is None or rep["build_sec"] < best["build_sec"]:
                         best = rep
@@ -149,7 +150,7 @@ def main() -> None:
             lo, hi = levels
             fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
             print(json.dumps({
-                "mode": "standalone-cluster (1-core executor JVMs)",
+                "mode": f"standalone-cluster ({args.executor_cores}-core executor JVMs)",
                 "n_files": results[lo]["n_docs"],
                 f"files_per_sec_{lo}exec": fps_lo,
                 f"files_per_sec_{hi}exec": fps_hi,
