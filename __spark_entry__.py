@@ -899,6 +899,17 @@ _SUBSTR_K = 6  # window length for the substring-dedup gate queries
 _WP_VOCAB = 200  # corpus-derived vocab size for the wordpiece gate query
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    from capreolus_spark.textproc import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def _q_sentence_split(spark, sf_dir):
     """Sentence segmentation in the SQL-twinnable regex configuration
     (pure JVM, no lookaround so Java regex == RE2); the abbreviation-guard
@@ -1455,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_docs": _q_substring_dedup,
         "wordpiece_ids": _q_wordpiece_ids,
         "sentence_split": _q_sentence_split,
+        "lm_perplexity": _q_lm_perplexity,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -1825,6 +1837,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok.doc_id, coalesce(agg.text, '') AS text, "
             "cast(len(tok.toks) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed_tokens "
             "FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"
+        ),
+        "lm_perplexity": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "uni AS (SELECT t AS a, count(*) AS c_a FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t), "
+            "v AS (SELECT count(*) AS vs FROM uni), "
+            "bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b "
+            "FROM tok WHERE len(toks) >= 2), "
+            "big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b), "
+            "nll AS (SELECT bg.doc_id, -ln((coalesce(big.c_ab, 0) + 0.5) / "
+            "(coalesce(uni.c_a, 0) + 0.5 * v.vs)) AS nll "
+            "FROM bg LEFT JOIN big USING (a, b) LEFT JOIN uni USING (a) CROSS JOIN v), "
+            "sc AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS avg_nll FROM nll GROUP BY doc_id) "
+            "SELECT tok.doc_id, cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams, "
+            "round(sc.avg_nll, 6) AS avg_nll, round(exp(sc.avg_nll), 6) AS perplexity "
+            "FROM tok LEFT JOIN sc ON tok.doc_id = sc.doc_id"
         ),
         "sentence_split": (
             "WITH p AS (SELECT doc_id, replace(text, ' table ', '. Table ') AS text FROM documents), "

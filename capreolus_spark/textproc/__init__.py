@@ -1,5 +1,6 @@
 from .quality import (  # noqa: F401
     add_quality_columns,
+    bigram_lm_scores,
     boilerplate_lines,
     bpe_token_count,
     length_percentiles,

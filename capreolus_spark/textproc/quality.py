@@ -325,3 +325,84 @@ def length_percentiles(
         for p in percentiles
     ]
     return base.groupBy("grp").agg(F.count("*").cast("long").alias("n_docs"), *aggs)
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a deterministic
+    bigram LM: (doc_id, n_bigrams, avg_nll, perplexity).
+
+    CCNet (Wenzek et al. 2020) filters web text by the perplexity of a
+    KenLM 5-gram model; this is the dependency-free lite form — an
+    add-k-smoothed bigram model trained on ``train_df`` (default: the
+    scored corpus itself, the self-scoring mode that flags outlier
+    documents) entirely in Spark:
+
+    * P(b|a) = (C(a,b) + k) / (C(a) + k*V), V = |unigram vocab|;
+    * avg_nll = mean over the doc's bigrams of -ln P(b|a);
+    * perplexity = exp(avg_nll); documents with < 2 tokens score NULL.
+
+    Scale shape: the model IS two count frames (unigrams, bigrams) —
+    corpus-scale, so the scoring join shuffles on the bigram key rather
+    than broadcasting; one groupBy per count frame, one aggregation per
+    doc, all whole-stage-codegen column expressions (plan-audited
+    python-free).  Filter downstream with e.g.
+    ``perplexity < corpus_p99`` via :func:`length_percentiles`-style
+    quantiles.
+    """
+    toks = _tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    bigram_expr = (
+        "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] as a, _t[i+1] as b))"
+    )
+
+    def _bigrams(frame):
+        return (
+            frame.filter(F.size("_t") >= 2)
+            .select("doc_id", F.explode(F.expr(bigram_expr)).alias("g"))
+            .select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        )
+
+    train = base if train_df is None else train_df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    )
+    uni = (
+        train.select(F.explode("_t").alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+    )
+    big = _bigrams(train).groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    vocab_size = uni.count()  # one tiny job; V is a model constant
+
+    doc_bigrams = _bigrams(base)
+    nll = (
+        doc_bigrams.join(big, ["a", "b"], "left")
+        .join(uni, "a", "left")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(add_k))
+                    / (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(add_k * vocab_size))
+                )
+            ).alias("_nll"),
+        )
+    )
+    scored = nll.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("_nll").alias("avg_nll")
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_nll",
+            F.exp("avg_nll").alias("perplexity"),
+        )
+    )

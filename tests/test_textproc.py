@@ -876,3 +876,66 @@ def test_substring_spans_randomized_vs_bruteforce(spark):
             for r in duplicated_spans(df, span_tokens=k).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_matches_bruteforce(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from capreolus_spark.textproc import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "dog"),            # < 2 tokens → NULL scores
+        (4, ""),               # empty → NULL scores
+        (5, "zz yy zz yy zz"), # repetitive → low perplexity on its own bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, add_k=0.5).collect()}
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+    toks = {d: tok_re.findall(t.lower()) for d, t in rows}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    big = Counter((ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1))
+    V = len(uni)
+    for d, ts in toks.items():
+        grams = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not grams:
+            assert out[d]["n_bigrams"] == 0 and out[d]["avg_nll"] is None
+            continue
+        nll = [-math.log((big[g] + 0.5) / (uni[g[0]] + 0.5 * V)) for g in grams]
+        avg = sum(nll) / len(nll)
+        assert out[d]["n_bigrams"] == len(grams)
+        assert out[d]["avg_nll"] == pytest.approx(avg, rel=1e-12)
+        assert out[d]["perplexity"] == pytest.approx(math.exp(avg), rel=1e-12)
+
+
+def test_bigram_lm_external_train_corpus(spark):
+    """train_df != scored df: unseen bigrams get the add-k floor, so a
+    document full of out-of-domain bigrams scores strictly worse than an
+    in-domain one."""
+    from capreolus_spark.textproc import bigram_lm_scores
+
+    train = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 5) for i in range(4)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zz qq ww ee rr tt")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["perplexity"] for r in bigram_lm_scores(test, train_df=train).collect()}
+    assert out[1] < out[2]
+
+
+def test_bigram_lm_plan_is_python_free(spark):
+    from capreolus_spark.textproc import bigram_lm_scores
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
