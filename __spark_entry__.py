@@ -100,6 +100,16 @@ _TOPICS = {
 }
 
 _BM25_K1, _BM25_B, _BM25_HITS = 0.9, 0.4, 10
+# The engines' top-k CUT is full-precision (reference semantics), but a
+# sub-4dp near-tie straddling the hits boundary could select different
+# docid sets across JVM/DuckDB libm.  The gate therefore cuts each engine
+# at hits+margin FULL-precision rows, then trims to hits on the
+# 4dp-rounded (score, docid) rank — identical in both engines, so the
+# gated row set is 4dp-stable unless a >margin-deep 4dp tie chain
+# straddles the boundary (residual exposure, documented; never observed
+# at the 10x gate).
+_GATE_MARGIN = 10
+_GATE_HITS = _BM25_HITS + _GATE_MARGIN
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +275,7 @@ WITH tok AS (
   WHERE qw2.idf > 0
   GROUP BY qw2.qid, tf.docid HAVING score > 0
 )
+SELECT qid, docid, rank, score FROM (
 SELECT qid, docid,
        cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
        round(score, 4) AS score
@@ -272,7 +283,8 @@ FROM (
   SELECT qid, docid, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
   FROM pass2
-) WHERE rf <= {_BM25_HITS}
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
 """
 
 # BM25PRF (Robertson/Sparck-Jones probabilistic PRF) is SQL-expressible
@@ -355,6 +367,7 @@ WITH tok AS (
   WHERE qw2.idf > 0
   GROUP BY qw2.qid, tf.docid
 )
+SELECT qid, docid, rank, score FROM (
 SELECT qid, docid,
        cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
        round(score, 4) AS score
@@ -362,7 +375,8 @@ FROM (
   SELECT qid, docid, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
   FROM pass2
-) WHERE rf <= {_BM25_HITS}
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
 """
 
 # Axiomatic semantic matching (Fang & Zhai) is SQL-expressible when the
@@ -472,6 +486,7 @@ WITH tok AS (
   WHERE qw2.idf > 0
   GROUP BY qw2.qid, tf.docid
 )
+SELECT qid, docid, rank, score FROM (
 SELECT qid, docid,
        cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
        round(score, 4) AS score
@@ -479,7 +494,8 @@ FROM (
   SELECT qid, docid, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
   FROM pass2
-) WHERE rf <= {_BM25_HITS}
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
 """
 
 _BM25_ORACLE_SQL = f"""
@@ -508,6 +524,7 @@ WITH tok AS (
   FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
   GROUP BY qw.qid, tf.docid
 )
+SELECT qid, docid, rank, score FROM (
 SELECT qid, docid,
        cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
        round(score, 4) AS score
@@ -515,7 +532,8 @@ FROM (
   SELECT qid, docid, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
   FROM scored
-) WHERE rf <= {_BM25_HITS}
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
 """
 
 
@@ -608,6 +626,7 @@ WITH tok AS (
   SELECT u.qid, u.docid, {_SDM_LAMBDA_T} * u.score_t + coalesce(w.score_w, 0) AS score
   FROM uni u LEFT JOIN wsc w ON u.qid = w.qid AND u.docid = w.docid
 )
+SELECT qid, docid, rank, score FROM (
 SELECT qid, docid,
        cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
        round(score, 4) AS score
@@ -615,7 +634,8 @@ FROM (
   SELECT qid, docid, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
   FROM final
-) WHERE rf <= {_BM25_HITS}
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
 """
 
 
@@ -626,24 +646,46 @@ def _index_dir(tag: str, sf_dir: str) -> str:
     repeated driver runs hit the manifest's committed stages and skip the
     rebuild (the reference's done-file idempotency working for us).
 
-    The key includes a fingerprint of the source ``documents.parquet``
-    (total size + latest mtime) so a REGENERATED corpus at the same path
-    gets a fresh index instead of silently resuming the stale one — the
-    manifest's config guard catches config drift but not data drift."""
+    The key includes a CONTENT fingerprint of the source
+    ``documents.parquet`` (per-file relpath + size + parquet-footer hash;
+    the footer carries row-group stats, so any data change perturbs it)
+    so a REGENERATED corpus at the same path gets a fresh index instead
+    of silently resuming the stale one — the manifest's config guard
+    catches config drift but not data drift.  mtime is deliberately NOT
+    used: its 1 s granularity can alias a same-size same-second regen.
+
+    Stale sibling dirs for the same (tag, sf) but a different fingerprint
+    are pruned here, so repeated corpus regeneration does not leak one
+    abandoned index directory into tempdir per run."""
+    import glob
+    import hashlib
+    import shutil
+
     key = os.path.basename(os.path.normpath(sf_dir))
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    size = mtime = 0
+    h = hashlib.sha256()
+
+    def _hash_file(path: str, rel: str) -> None:
+        st = os.stat(path)
+        h.update(f"{rel}\x00{st.st_size}\x00".encode())
+        with open(path, "rb") as fh:  # footer: last 64 KiB holds the
+            fh.seek(max(0, st.st_size - 65536))  # parquet metadata block
+            h.update(fh.read())
+
     if os.path.isdir(doc_path):  # directory-style parquet
         for root, _, files in os.walk(doc_path):
-            for f in files:
-                st = os.stat(os.path.join(root, f))
-                size += st.st_size
-                mtime = max(mtime, int(st.st_mtime))
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                _hash_file(p, os.path.relpath(p, doc_path))
     elif os.path.exists(doc_path):
-        st = os.stat(doc_path)
-        size, mtime = st.st_size, int(st.st_mtime)
-    fp = f"{size:x}{mtime:x}"
-    return os.path.join(tempfile.gettempdir(), f"capreolus_spark_{tag}_{key}_{fp}")
+        _hash_file(doc_path, ".")
+    fp = h.hexdigest()[:16]
+    prefix = f"capreolus_spark_{tag}_{key}_"
+    target = os.path.join(tempfile.gettempdir(), f"{prefix}{fp}")
+    for sib in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
+        if sib != target:
+            shutil.rmtree(sib, ignore_errors=True)
+    return target
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -657,9 +699,9 @@ def entry(spark: SparkSession) -> DataFrame:
     idx = InvertedIndex.create(
         spark, corpus, _index_dir("entry", sf_dir), IndexConfig(stemmer="porter")
     )
-    searcher = BM25Searcher(idx, BM25Config(hits=10))
-    run = searcher.search(_TOPICS, hits=10)
-    return _gate_rank(run)
+    searcher = BM25Searcher(idx, BM25Config(hits=10 + _GATE_MARGIN))
+    run = searcher.search(_TOPICS, hits=10 + _GATE_MARGIN)
+    return _gate_rank(run, hits=10)
 
 
 # ----------------------------------------------------------------- queries
@@ -712,7 +754,7 @@ def _q_term_df_topk(spark, sf_dir):
     )
 
 
-def _gate_rank(run):
+def _gate_rank(run, hits=_BM25_HITS):
     """Cross-engine-stable rank for the oracle gate.
 
     The engine's top-k CUT stays full-precision (reference semantics; the
@@ -730,12 +772,13 @@ def _gate_rank(run):
     w = Window.partitionBy("qid").orderBy(
         F.round("score", 4).desc(), F.col("docid").asc()
     )
-    return run.select(
+    ranked = run.select(
         "qid",
         "docid",
         F.row_number().over(w).cast("int").alias("rank"),
         F.round("score", 4).alias("score"),
     )
+    return ranked.filter(F.col("rank") <= hits) if hits is not None else ranked
 
 
 def _q_bm25_oracle(spark, sf_dir):
@@ -743,7 +786,7 @@ def _q_bm25_oracle(spark, sf_dir):
 
     run = bm25_oracle(
         spark, _corpus(spark, sf_dir), _TOPICS,
-        k1=_BM25_K1, b=_BM25_B, hits=_BM25_HITS, stemmer="none",
+        k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS, stemmer="none",
     )
     return _gate_rank(run)
 
@@ -756,7 +799,7 @@ def _q_bm25_daat(spark, sf_dir):
     idx = InvertedIndex.create(
         spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
     )
-    run = BM25Searcher(idx, BM25Config(hits=_BM25_HITS)).search(_TOPICS)
+    run = BM25Searcher(idx, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
     return _gate_rank(run)
 
 
@@ -768,7 +811,7 @@ def _q_ql_daat(spark, sf_dir):
     idx = InvertedIndex.create(
         spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
     )
-    run = QLDirichletSearcher(idx, mu=1000.0, hits=_BM25_HITS).search(_TOPICS)
+    run = QLDirichletSearcher(idx, mu=1000.0, hits=_GATE_HITS).search(_TOPICS)
     return _gate_rank(run)
 
 
@@ -1004,7 +1047,12 @@ def _q_triplets(spark, sf_dir):
 
     run = _synth_run(spark, sf_dir).select("qid", "docid")
     qrels = _synth_qrels(spark, sf_dir)
-    return triplets(run, qrels)
+    # capped gate config: the uncapped enumeration is ~57M rows at sf1
+    # (collected into the driver for hashing — needs a 24g heap); the
+    # md5-ordered deterministic cap is cross-engine reproducible and keeps
+    # the gate inside the default heap at every sf.  The uncapped path
+    # stays pytest-covered (tests/test_sampler.py).
+    return triplets(run, qrels, per_qid_cap=100, hash_fn="md5")
 
 
 def _q_sessionize(spark, sf_dir):
@@ -1281,7 +1329,7 @@ def _q_bm25_rm3(spark, sf_dir):
     idx = InvertedIndex.create(
         spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
     )
-    s = BM25RM3Searcher(idx, BM25Config(hits=_BM25_HITS), fb_terms=10, fb_docs=5)
+    s = BM25RM3Searcher(idx, BM25Config(hits=_GATE_HITS), fb_terms=10, fb_docs=5)
     run = s.search(_TOPICS)
     return _gate_rank(run)
 
@@ -1296,7 +1344,7 @@ def _q_bm25_prf(spark, sf_dir):
     )
     s = BM25PRFSearcher(
         idx,
-        BM25Config(hits=_BM25_HITS),
+        BM25Config(hits=_GATE_HITS),
         fb_terms=_PRF_FB_TERMS,
         fb_docs=_PRF_FB_DOCS,
         new_term_weight=_PRF_NTW,
@@ -1321,7 +1369,7 @@ def _q_axiomatic(spark, sf_dir):
     # behavior stays pytest-gated (tests/test_axiomatic.py)
     n_full = math.ceil(idx.numdocs / _AX_R) + 1
     s = AxiomaticSearcher(
-        idx, BM25Config(hits=_BM25_HITS), r=_AX_R, n=n_full, beta=_AX_BETA, top=_AX_TOP
+        idx, BM25Config(hits=_GATE_HITS), r=_AX_R, n=n_full, beta=_AX_BETA, top=_AX_TOP
     )
     run = s.search(_TOPICS)
     return _gate_rank(run)
@@ -1343,8 +1391,8 @@ def _q_sdm(spark, sf_dir):
     # rerank depth >= N → the two-pass rerank provably equals exact SDM
     # (search/sdm.py docstring), which is what _SDM_ORACLE_SQL computes;
     # approximate-depth behavior is pytest- and bench-covered separately
-    rerank_factor = max(5, math.ceil(idx.numdocs / _BM25_HITS))
-    s = SDMSearcher(idx, BM25Config(hits=_BM25_HITS), rerank_factor=rerank_factor)
+    rerank_factor = max(5, math.ceil(idx.numdocs / _GATE_HITS))
+    s = SDMSearcher(idx, BM25Config(hits=_GATE_HITS), rerank_factor=rerank_factor)
     run = s.search(_TOPICS)
     return _gate_rank(run)
 
@@ -1589,10 +1637,12 @@ def oracle_sql() -> dict[str, str]:
             "sum(qw.qtf * greatest(0, ln(1 + tf.tf / (1000.0 * qw.p_c)) + ln(1000.0 / (dl.dl + 1000.0)))) AS score "
             "FROM qw JOIN tf USING (term) JOIN dl USING (docid) "
             "GROUP BY qw.qid, tf.docid HAVING score > 0) "
-            "SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
             "round(score, 4) AS score FROM "
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
-            f"WHERE rf <= {_BM25_HITS}"
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
         ),
         "qrels_positive_filter": (
             f"WITH qrels AS ({_SYNTH_QRELS_SQL}) SELECT qid, docid, label FROM qrels "
@@ -1904,10 +1954,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
             "usable AS (SELECT qid FROM lab GROUP BY qid "
             "HAVING sum(CASE WHEN rel THEN 1 ELSE 0 END) > 0 AND sum(CASE WHEN rel THEN 0 ELSE 1 END) > 0) "
-            "SELECT p.qid, p.docid AS posdocid, n.docid AS negdocid "
+            "SELECT qid, posdocid, negdocid FROM ("
+            "SELECT p.qid, p.docid AS posdocid, n.docid AS negdocid, "
+            "row_number() OVER (PARTITION BY p.qid ORDER BY "
+            "md5(concat_ws('|', p.qid, p.docid, n.docid, 42)), p.docid, n.docid) AS rn "
             "FROM (SELECT qid, docid FROM lab WHERE rel AND qid IN (SELECT qid FROM usable)) p "
             "JOIN (SELECT qid, docid FROM lab WHERE NOT rel AND qid IN (SELECT qid FROM usable)) n "
-            "ON p.qid = n.qid"
+            "ON p.qid = n.qid) WHERE rn <= 100"
         ),
         "total_training_samples": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

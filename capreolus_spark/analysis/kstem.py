@@ -117,8 +117,14 @@ class KrovetzStemmer:
         extra_lexicon: frozenset[str] | set[str] | None = None,
         exceptions: dict[str, str] | None = None,
     ):
-        self.lexicon = _LEXICON | frozenset(extra_lexicon or ())
+        from capreolus_spark.analysis.kstem_data import (
+            DIRECT_CONFLATIONS,
+            HEAD_WORDS,
+        )
+
+        self.lexicon = _LEXICON | HEAD_WORDS | frozenset(extra_lexicon or ())
         self.exceptions = dict(_EXCEPTIONS)
+        self.exceptions.update(DIRECT_CONFLATIONS)
         if exceptions:
             self.exceptions.update(exceptions)
 
@@ -131,6 +137,21 @@ class KrovetzStemmer:
         """The lexicon-attested base for a bare suffix-stripped stem:
         the stem itself, +e restoration, consonant undoubling (+e after
         undoubling), or i→y restoration; ``None`` when nothing attests."""
+        # CVC-final stems prefer e-restoration: a stripped stem ending in
+        # consonant-vowel-consonant came from either a C+e lemma (hope →
+        # hoped) or a CVC lemma — but a true CVC verb DOUBLES its final
+        # consonant before -ed/-ing (hop → hopped), so an undoubled CVC
+        # stem with an attested +e form recodes to it (hoped → hope, not
+        # hop; united → unite, not unit).  Non-CVC stems keep bare-first
+        # order (walked → walk).
+        cvc = (
+            len(stem) >= 3
+            and not _is_vowel(stem[-1])
+            and _is_vowel(stem[-2])
+            and not _is_vowel(stem[-3])
+        )
+        if cvc and self._in_lex(stem + "e"):
+            return stem + "e"
         if self._in_lex(stem):
             return stem
         if self._in_lex(stem + "e"):  # "creat" → "create"
@@ -246,6 +267,10 @@ class KrovetzStemmer:
             out = self._first_attested(s + "ate", s + "e", s)
             if out:
                 return out
+        if w.endswith("sion"):  # -sion → -de (conclusion → conclude,
+            out = self._first_attested(w[:-4] + "de")  # decision → decide)
+            if out:
+                return out
         s = w[:-3]
         return self._first_attested(s + "e", s)
 
@@ -288,7 +313,10 @@ class KrovetzStemmer:
             return None
         s = w[:-3]
         return self._first_attested(
-            s, s + "e", w[:-5] if w.endswith("ative") else ""  # talkative → talk
+            s,
+            s + "e",
+            w[:-5] if w.endswith("ative") else "",  # talkative → talk
+            w[:-4] + "de" if w.endswith("sive") else "",  # explosive → explode
         )
 
     def _d_ize(self, w: str) -> str | None:

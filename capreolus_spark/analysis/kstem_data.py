@@ -1,0 +1,440 @@
+"""Bundled head-word lexicon + direct-conflation table for the Krovetz
+stemmer (:mod:`capreolus_spark.analysis.kstem`).
+
+The published KStem algorithm (Krovetz, SIGIR 1993) is dictionary-driven:
+a word found in the head-word lexicon is returned unchanged, and every
+suffix-removal step accepts a recoded base only if the lexicon attests
+it.  Lucene's ``KStemmer`` ships ~30k head words; those data files are
+not available in this environment, so this module bundles a compact
+COMPILED-FROM-SCRATCH list of common English lemmas — basic vocabulary
+written out from general knowledge of the language, not copied from any
+stemmer distribution — large enough that everyday inflected and derived
+forms recode to their true lemma instead of a bare suffix strip.
+
+Composition rules (these ARE the data contract — keep them when adding
+words):
+
+* **Lemmas only.**  No regular plurals, no -ed/-ing forms of verbs that
+  are themselves listed: a listed word is returned unchanged by the
+  stemmer, so listing ``running`` would block the running→run
+  conflation.
+* **Lexicalized apparent-inflections are listed deliberately.**  Words
+  that END in an inflectional suffix but are dictionary lemmas in their
+  own right (``during``, ``morning``, ``series``, ``hundred``,
+  ``building``, ``news`` …) must appear here, otherwise the suffix rules
+  clip them (during→dur).  Likewise every lemma ending in a bare ``-s``
+  (``gas``, ``lens``, ``atlas`` …) — the plural step's plain -s strip
+  fires on anything s-final that the lexicon does not claim first.
+* **-ics nouns are head words** (``physics``, ``economics`` …): treated
+  as lemmas rather than conflated to the -ic adjective.
+
+Residual gap (documented): word-for-word parity with Lucene's
+``KStemFilter`` still requires Lucene's full dictionary (head words,
+supplement and proper-noun tables); with this compact list, words whose
+recoding needs an unbundled entry fall back to the published bare-strip
+behavior.  Retrieval stays self-consistent because the index and query
+analyzers share the stemmer.  Extra entries can be injected per-stemmer
+via ``KrovetzStemmer(extra_lexicon=..., exceptions=...)``.
+"""
+
+from __future__ import annotations
+
+HEAD_WORDS: frozenset[str] = frozenset(
+    """
+    able absence absolute absorb abstract abuse accent accept access
+    accident account accurate accuse ache achieve acid acquire acre act
+    action adapt add address adequate adjust admire admit adopt adult
+    advance advantage adventure advertise advice advise affair afford
+    afraid afternoon aim air alarm album alcohol alert algebra alias
+    alike alive allow alloy ally alone aloud alphabet alter amaze amount
+    amuse ancient anger angle angry animal ankle announce annoy annual
+    answer ant anxious apart apartment apology appeal appear appetite
+    apple approach approve april arch arctic arm armor army arrange
+    arrest arrow art article artist ash ask asleep aspect assemble
+    assert assess assign assist assume assure atlas atom attach attack
+    attempt attend attract auction audio august aunt author autumn
+    avenue average avoid awake award aware awful awkward axis
+    back bad badge bag bake balance ball balloon banana band bank bar
+    bare bargain bark barn barrel barrier basic basket bat bath bathe
+    battle bay beach bead beam bean bear beard beast beat beauty become
+    bed bee beef beer beg begin behave believe bell belong belt bench
+    bend benefit berry best bet betray better bicycle bid big bike bill
+    bind bird birth bit bite bitter black blade blame blank blanket
+    blast blaze bleed blend bless blind block blood bloom blow blue
+    board boast boat boil bold bolt bomb bond bone bonus book boot
+    border bore borrow boss bottle bottom bounce bound bow bowl brain
+    brake branch brand brave bread break breath breathe breed breeze
+    brick bridge brief bright bring broad bronze broom brother brown
+    brush bubble bucket bud budget bug build building bulb bulk bull
+    bullet bundle burn burst bury bus bush busy butter button
+    cabin cabinet cage cake calculate calendar call calm camera camp
+    campus can canal cancel candle candy cane canvas cap capable
+    captain capture car card care career careful cargo carpet cart
+    carve case cash cast castle cat catalog catch cattle cause caution
+    cave cease ceiling celebrate cell cement cent center central
+    century ceremony certain chain chair chalk challenge chamber chance
+    channel chaos chapter character charge charity charm chart chase
+    cheap cheat check cheek cheer cheese chemical chess chest chicken
+    chief chill chin chip chocolate choice choose chop chorus church
+    circle circuit citizen civil claim clap clarify clash clasp clause
+    claw clay clean clear clerk clever click client cliff climate climb
+    clinic clip cloak clock close cloth clothe cloud clown club clue
+    cluster clutch coach coal coarse coast coat coax coil coin cold
+    collar collect college combine comedy comfort comic command comment
+    commerce common compact company compare compete complain complete
+    complex compose concept concern concert conclude concrete condemn
+    condition conduct confess confirm conflict confront confuse
+    congress connect conquer conscience consent consider consist
+    constant construct consult consume contact contain content contest
+    context contract contrast control convert convince cook cool
+    cooperate cope corn corner correct corridor corrupt cottage cotton
+    couch cough council counsel counter country county couple courage
+    course court cousin cover cow coward crack craft crash crawl crazy
+    cream crew cricket crime crisis crop cross crowd crown
+    crucial crude cruel cruise crush cry crystal cube culture cup
+    cupboard curb cure curious curl current curse curtain curve cushion
+    custom cut cute cycle
+    daily dairy damage damp dance danger dare dark dash date daughter
+    dawn day dead deaf deal dear debt decade decay december decent deck
+    declare decline decorate decrease deed deep deer defeat defend
+    defense defer deliver demand democracy demonstrate dense deny
+    depart depend deposit depth deputy descend describe desert deserve
+    desire desk despair desperate dessert destroy detail detect
+    determine device devote diagram dial diamond diary dictate
+    dictionary diet differ difficult dig digest dignity dim dine dinner
+    dip direct dirt disagree disappear disaster discipline discount
+    discover discuss disease disguise dish dislike dismiss display
+    dispute distance distant distinct distress district disturb ditch
+    dive diverse dizzy doctor dodge doll dollar domain domestic
+    dominate donate donkey door dose dot doubt dough dove down dozen
+    draft drag drain drama draw dream dress drift drill drink drip
+    drive drop drown drug drum duck due dull dumb dump durable during
+    dust duty dwell
+    each eager eagle ear early earn earnest earth ease east easter
+    echo economy edition educate effect effort egg eight either elastic
+    elbow elder elect electric elegant element elephant eleven
+    eliminate elite else embrace emerge emotion emphasis empire employ
+    empty enable enclose encounter encourage end endure enemy energy
+    enforce engage enjoy enormous enough enrich enroll ensure enter
+    enterprise entire entitle entrance entry envelope envy episode
+    equal equip era erase erect erode escape essay essence establish
+    estate esteem estimate eternal evaluate even evening event ever
+    every evidence evil evolve exact examine example exceed excel
+    except excess exchange exclude excuse execute exercise exhaust
+    exhibit exile exist exit expand expect expense experience
+    experiment expert explain explode explore export expose express
+    extend extent external extra extreme eye
+    fabric fade fail faint fair fairy faith fall false fame familiar
+    famous fan fancy far fare farm fashion fast fasten fat fate father
+    fault favor fear feast feather feature february federal feed feel
+    feeling fellow female fence festival fetch fever few fiber fiction
+    field fierce fifteen fifty fig fight figure fill film final finance
+    find fine finger finish fire firm first fish fist fault five flag
+    flame flash flat flavor flee fleet flesh flight fling flint flip
+    float flock flood floor flour flow flower fluid flush fly foam fog
+    fold folk follow fond food fool foot forbid foreign forest forever
+    forge form former fort fortune forty forward fossil foster found
+    fountain four fox fraction fragile fragment frame frank fraud
+    freeze frequent fresh friction friday fridge friend fright fringe
+    frog front frost frown fruit fry fuel full fun function fund
+    funeral funny fur furnish future
+    gain gallery gallon gamble game gap garage garbage garden garlic
+    garment gate gather gauge gaze gear gender gene general generous
+    genius gentle genuine gesture get ghost giant gift giggle ginger
+    girl give glad glance glare gleam glide glimpse globe gloom glory
+    glove glow glue goal goat gold golf good gossip gown grab grace
+    grade gradual grain grand grant grape graph grasp grass grateful
+    grave gravity gray graze grease great greed green greet grey grief
+    grind grip groan grocery groom groove ground group grove guard
+    guess guest guide guilt guitar gulf gum gun gut guy gym
+    habit hair half hall halt hammer hand handle hang happen harbor
+    hard harm harsh harvest haste hat hatch hate haul haunt hawk hay
+    hazard head heal health heap hear heart heat heave heaven heavy
+    hedge heel height heir hell hello helmet help hen herd hesitate
+    hide high highway hill hint hip hire hit hold hole holiday hollow
+    holy home honest honey honor hood hook horizon horn horror horse
+    hospital host hot hotel hour household hug huge hum human humble
+    humor hundred hunger hunt hurry hurt husband hut
+    ice idea ideal identify idle ignore ill illustrate image imagine
+    imitate immense immune impact import impose impress impulse incident
+    include income increase indeed indicate individual indoor industry
+    infant inflict influence inform inherit initial inject injure ink
+    inn inner innocent input inquire insect insert inside insist inspect
+    inspire install instance instant instead instinct institute
+    instruct instrument insult intact intend intense intent interest
+    interior internal interpret interval interview intimate introduce
+    invade invent invest invite involve iron island isolate item ivory
+    jacket jail jam january jar jaw jazz jealous jelly jewel job jog
+    joint joke journal journey joy july jump junction june jungle
+    junior junk jury just justice justify
+    keen keep kettle kick kid kidney kill kind king kingdom kit kitchen
+    kite kitten knee kneel knife knit knock knot
+    label labor lack ladder lady lake lamb lamp land lane language lap
+    lapse last late laugh launch law lawn lawyer lay layer lazy lead
+    leaf league lean leap learn lease leather leave lecture left leg
+    legal legend leisure lemon lend length lens less lesson let letter
+    level lever liberal liberty library license lick lid lift light
+    limb limit linen linger link lion lip liquid list listen literal
+    little local locate lock lodge log logic lonely long look loop
+    loose lord lorry lot loud lounge love low loyal luck luggage lump
+    lunch lung luxury
+    machine mad magic magnet maid mail main maintain major male mall
+    mammal manner mansion mantle manual manufacture marble march margin
+    marine mark market marry marsh marvel mask mat mate material
+    mature maximum may maybe mayor meadow meal mean meantime meanwhile
+    measure meat mechanic medal media medical medicine medium meet
+    melody melt member memory mend mental mention menu mercy mere merit
+    merry metric middle midnight might mild mile military milk mill
+    mind mineral mingle minimum minister minor minute miracle mirror
+    mischief misery mist mistake mix mixture moan mob mobile mock mode
+    moderate modest modify moist moment monarch monday money monitor
+    monkey monster month monument mood moon moral more morning mortal
+    mortgage most motel mother motion motive motor mount mountain mourn
+    mouth much mud mule multiple multiply murder murmur muscle museum
+    mushroom music must mutter mutual mystery myth
+    nail narrow nasty nation native nature navy near neat necessary
+    neck need needle negative neglect neighbor neither nephew nerve
+    nest net network neutral never new news next nice niece night nine
+    noble nod noise none noon nor normal north nose nothing notion
+    noun novel november now nowhere nuclear number nurse nut
+    oak oath obey object oblige obscure observe obtain obvious occasion
+    occupy occur ocean october odd odor offend offense offer often oil
+    old olive omit once onion only onto open opera opinion oppose
+    option orange orbit orchard order ordinary organ origin ornament
+    orphan other ought ounce outcome outdoor outer outfit outline
+    output outside oval oven over overcome owe owl ox oxygen
+    pace pack packet pad paint pair palace pale palm pan panel panic
+    paper parade paragraph parallel parcel pardon parent park
+    parliament part partial particle partner party past paste pat
+    patch path patient pattern pause pave paw pay peace peach peak
+    pear pearl peasant pebble peculiar pedal peel peer pen penalty
+    pencil penny pension pepper perceive percent perfect perform
+    perhaps peril period permanent permit persist personal persuade
+    pet petrol petition phone photo phrase physical piano pick pie
+    pig pigeon pile pilot pin pinch pine pink pint pioneer pit pitch
+    pity pivot plain plaster plastic plate platform play plead
+    pleasant please pleasure pledge plenty plot plough plug plum
+    plunge plus pocket poem poet point poison pole police polish
+    polite political poll pond pool poor pop popular porch port
+    portion portrait pose position positive possess post postpone pot
+    potential pound pour poverty powder power practical practice
+    praise pray preach precious precise prefer pregnant premise
+    present preserve president press pressure presume pretend pretty
+    prevail prevent previous prey price pride priest primary prime
+    primitive prince principal principle print prior prison private
+    privilege prize probable problem proceed proclaim profession
+    professor profile profit profound progress prohibit project
+    prominent promise promote prompt pronounce proof proper property
+    proportion prospect prosper protect protest proud pub public
+    publish pull pulse pump punch punish pupil puppy purchase pure
+    purple pursue push
+    qualify quality quantity quarrel quarter queen quest question
+    quiet quit quite quote
+    rabbit race rack radical radio rage raid rail rain raise rally
+    ranch random rank rapid rare rash rat rather ratio rational raw
+    ray reach react ready rear reason rebel recall receive recent
+    recipe reckon recognize recommend record recover recruit red
+    reflect reform refuge refuse regard regime region register regret
+    regular reign reject rejoice remain remark remedy remember remind
+    remote render rent repair repeat replace reply report represent
+    reproduce reputation request rescue resemble resent reserve reside
+    resign resist resolve resort respect respond rest result resume
+    retain retire retreat return reveal revenge revenue reverse review
+    revive revolt reward rhythm ribbon rice rich rid ride ridge right
+    rigid ring riot ripe rise risk rival river road roar roast rob
+    robe robot rock rod roll romance roof room root rope rose rot
+    rough round route routine royal rub rubber rude rug ruin rural
+    rush rust
+    sack sacred sacrifice sad saddle safe sail saint sake salad salary
+    sale salt salute same sample sand satisfy saturday sauce sausage
+    scan scandal scar scarce scare scarf scatter scene scent scheme
+    scholar school science scissors scold scoop scope score scorn
+    scout scramble scrap scrape scratch scream screen screw script
+    scrub sea seal seam season seat second secret section secure
+    seed seek seem seize seldom select self sell semester senate send
+    senior sentence separate september sequence serene series serious
+    sermon servant session settle seven several severe sew shade
+    shadow shaft shake shall shallow shame shape shatter shave shed
+    sheep sheer sheet shelf shell shelter shepherd shield shift shine
+    ship shirt shiver shock shoe shoot shop shore short shot shoulder
+    shout shove shower shrewd shriek shrink shrug shut shy sick side
+    siege sigh sight sign signal significant silence silk silly silver
+    similar sin since sincere sing single sink sir sister sit site
+    situation six sketch ski skill skin skip skirt sky slab slam slap
+    slave sleep sleeve slender slide slight slim slip slope slow small
+    smart smash smell smile smoke smooth snake snap snatch sneak snow
+    soak soap soar sob sober soccer social sock sofa soft soil
+    soldier sole solemn solid solution solve some somewhat son song
+    soon sore sorrow sorry soul sound soup sour south sow space spade
+    span spare speak special species specific specimen speech speed
+    spell spend sphere spice spider spill spin spirit spit spite
+    splash splendid spoil sponsor spoon sport spot spouse spray
+    spread spring sprinkle spur spy squad square squeeze stab stable
+    stack staff stage stain stair stake stale stall stamp stand
+    standard staple star stare start startle statue status stay
+    steady steak steal steam steel steep steer stem step stern stick
+    stiff still stimulate sting stir stitch stock stomach stone stool
+    stoop storage storm straight strain strange strap straw stray
+    streak street strength stretch strict stride strike string strip
+    stripe strive stroke stroll strong structure struggle stubborn
+    student stuff stumble stun stupid sturdy style subject submit
+    substance subtle suburb succeed success such suck sudden sue
+    suffer sufficient sugar suggest suit sum summer summit summon sun
+    sunday superb superior supper supply support suppose supreme sure
+    surface surge surgeon surplus surprise surrender surround survey
+    survive suspect suspend sustain swallow swamp swan swarm sway
+    swear sweat sweep sweet swell swift swim swing switch sword symbol
+    sympathy symptom system
+    tackle tact tail tailor talent tall tame tan tank tap tape target
+    tariff taste tax taxi tea team tear tease technique tedious
+    telephone television tell temper temple tempt ten tend tender
+    tennis tense tent terminal terrace terrible territory terror test
+    text texture than thank that theater theft theme then theory there
+    thick thief thin thing think thirst thirty this thorn thorough
+    thousand thread threat three thrill thrive throat throne through
+    throw thrust thumb thunder thursday thus ticket tide tidy tight
+    tile till tilt timber tin tiny tip tire tissue title toast tobacco
+    today toe together toil toilet token toll tone tongue tonight too
+    tool tooth top topic torch torture toss total touch tough tour
+    toward towel tower town toy track tractor traffic tragedy trail
+    trailer transfer transform translate transmit transport trap
+    travel tray treason treasure treat treaty tremble tremendous trend
+    trial triangle tribe tribute trick trifle trigger trim trip
+    triumph troop trophy trouble trousers truck trunk trust truth tube
+    tuck tuesday tug tumble tune tunnel turkey turn tutor twelve
+    twenty twice twig twin twist two typical
+    ugly ultimate umbrella unable uncle under undergo understand
+    undertake uniform union unique unit unite universe university
+    unless until upon upper upset urban urge use useful usual utility
+    utmost utter
+    vacant vacuum vague vain valid valley van vanish vapor vast
+    vegetable vehicle veil vein venture verb verdict verse version
+    very vessel veteran via vice victim victory video view vigor
+    village violent virtue virus visible vision visit vital vivid
+    vocabulary voice volume voluntary volunteer vote vowel voyage
+    wage waist wait wake walk wall wander want war ward warehouse
+    warm warn warrant wash waste watch water wave wax way weak wealth
+    weapon wear weary weather weave web wedding wednesday weed week
+    weigh weird welcome welfare well west wet whale what wheat wheel
+    when where whether which while whip whisper whistle white who
+    whole wholly whom whose wide widow width wife wild will win wind
+    window wine wing wink winter wipe wire wise wish wit witch with
+    withdraw withstand witness wonder wood wool worker world worm
+    worry worse worship worst worth would wound wrap wreck wrestle
+    wrist
+    yard yarn year yell yellow yes yesterday yet yield young youth
+    zeal zone zoo
+    always show naked wicked rugged useless something anything everything
+    economics ethics mathematics physics politics
+    """.split()
+)
+
+# Irregular forms KStem resolves through direct conflation rather than
+# suffix rules — standard English strong verbs / irregular plurals.
+DIRECT_CONFLATIONS: dict[str, str] = {
+    # irregular plurals
+    "oxen": "ox",
+    "wolves": "wolf",
+    "lives": "life",
+    "knives": "knife",
+    "leaves": "leaf",
+    "shelves": "shelf",
+    "loaves": "loaf",
+    "thieves": "thief",
+    "wives": "wife",
+    "halves": "half",
+    "selves": "self",
+    "calves": "calf",
+    "phenomena": "phenomenon",
+    "criteria": "criterion",
+    "indices": "index",
+    "matrices": "matrix",
+    "analyses": "analysis",
+    "crises": "crisis",
+    "theses": "thesis",
+    "hypotheses": "hypothesis",
+    # irregular past / participle
+    "began": "begin",
+    "begun": "begin",
+    "broke": "break",
+    "broken": "break",
+    "brought": "bring",
+    "built": "build",
+    "bought": "buy",
+    "caught": "catch",
+    "chose": "choose",
+    "chosen": "choose",
+    "came": "come",
+    "did": "do",
+    "done": "do",
+    "drew": "draw",
+    "drawn": "draw",
+    "drove": "drive",
+    "driven": "drive",
+    "ate": "eat",
+    "eaten": "eat",
+    "fell": "fall",
+    "fallen": "fall",
+    "felt": "feel",
+    "fought": "fight",
+    "flew": "fly",
+    "flown": "fly",
+    "forgot": "forget",
+    "forgotten": "forget",
+    "froze": "freeze",
+    "frozen": "freeze",
+    "gave": "give",
+    "given": "give",
+    "grew": "grow",
+    "grown": "grow",
+    "heard": "hear",
+    "held": "hold",
+    "kept": "keep",
+    "knew": "know",
+    "known": "know",
+    "laid": "lay",
+    "led": "lead",
+    "lent": "lend",
+    "lost": "lose",
+    "meant": "mean",
+    "met": "meet",
+    "paid": "pay",
+    "rode": "ride",
+    "ridden": "ride",
+    "risen": "rise",
+    "sang": "sing",
+    "sung": "sing",
+    "sat": "sit",
+    "slept": "sleep",
+    "sold": "sell",
+    "sent": "send",
+    "shook": "shake",
+    "shaken": "shake",
+    "showed": "show",
+    "shown": "show",
+    "sank": "sink",
+    "spoke": "speak",
+    "spoken": "speak",
+    "spent": "spend",
+    "stood": "stand",
+    "stole": "steal",
+    "stolen": "steal",
+    "struck": "strike",
+    "swam": "swim",
+    "swum": "swim",
+    "swore": "swear",
+    "sworn": "swear",
+    "taught": "teach",
+    "told": "tell",
+    "thought": "think",
+    "threw": "throw",
+    "thrown": "throw",
+    "understood": "understand",
+    "woke": "wake",
+    "woken": "wake",
+    "wore": "wear",
+    "worn": "wear",
+    "won": "win",
+    "wrote": "write",
+    "written": "write",
+}

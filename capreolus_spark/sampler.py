@@ -46,12 +46,19 @@ def total_samples(run: DataFrame, qrels: DataFrame, relevance_level: int = 1) ->
     return int(row["t"])
 
 
+class TripletScaleError(RuntimeError):
+    """Uncapped triplet enumeration would exceed ``max_uncapped_pairs``."""
+
+
 def triplets(
     run: DataFrame,
     qrels: DataFrame,
     relevance_level: int = 1,
     per_qid_cap: int | None = None,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_uncapped_pairs: int | None = 50_000_000,
+    on_exceed: str = "raise",
 ) -> DataFrame:
     """(qid, posdocid, negdocid) training triplets — the distributed twin of
     the reference ``TrainTripletSampler`` (``sampler/__init__.py:89-129``).
@@ -65,7 +72,35 @@ def triplets(
 
     The per-qid pair blow-up is posdocs × negdocs ≤ hits²; with a cap the
     window cut bounds it before anything downstream materializes.
+
+    ``hash_fn`` picks the cap's ordering hash: ``xxhash64`` (default,
+    cheapest JVM path) or ``md5`` over ``qid|posdocid|negdocid|seed`` —
+    bit-identical in any engine with a standard md5, so a capped sample is
+    reproducible cross-engine (the oracle gate uses it).
+
+    Uncapped enumeration is the documented oracle/small-batch path; to
+    stop it being silently run at corpus scale, when ``per_qid_cap`` is
+    None the total pair count is pre-computed (one cheap aggregation over
+    the run) and compared against ``max_uncapped_pairs``:
+    ``on_exceed='raise'`` raises :class:`TripletScaleError`,
+    ``'warn'`` logs and proceeds.  Pass ``max_uncapped_pairs=None`` to
+    skip the guard (and its extra job) entirely.
     """
+    if per_qid_cap is None and max_uncapped_pairs is not None:
+        n_pairs = total_samples(run, qrels, relevance_level)
+        if n_pairs > max_uncapped_pairs:
+            msg = (
+                f"uncapped triplets() would enumerate {n_pairs:,} pairs "
+                f"(> max_uncapped_pairs={max_uncapped_pairs:,}); pass "
+                "per_qid_cap to bound the blow-up, or raise/disable "
+                "max_uncapped_pairs if this scale is intended"
+            )
+            if on_exceed == "warn":
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
+            else:
+                raise TripletScaleError(msg)
     labeled = (
         run.select("qid", "docid")
         .join(qrels.select("qid", "docid", "label"), ["qid", "docid"], "left")
@@ -79,9 +114,15 @@ def triplets(
     if per_qid_cap is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy("qid").orderBy(
-            F.xxhash64("qid", "posdocid", "negdocid", F.lit(seed))
-        )
+        if hash_fn == "md5":
+            order_key = F.md5(
+                F.concat_ws("|", "qid", "posdocid", "negdocid", F.lit(seed))
+            )
+        elif hash_fn == "xxhash64":
+            order_key = F.xxhash64("qid", "posdocid", "negdocid", F.lit(seed))
+        else:
+            raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+        w = Window.partitionBy("qid").orderBy(order_key, "posdocid", "negdocid")
         pairs = (
             pairs.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= per_qid_cap)

@@ -76,8 +76,11 @@ class BM25PRFSearcher(BM25RM3Searcher):
         if qterm_pairs:
             q_df = spark.createDataFrame(qterm_pairs, "qid string, term string")
             r_df = r_df.join(q_df, ["qid", "term"], "left_anti")  # originals keep weight
-        # RSJ offer weight with +0.5 smoothing (broadcast the small r_df side
-        # into the dictionary join: one dict scan for the whole batch)
+        # RSJ offer weight with +0.5 smoothing.  r_df holds one row per
+        # (qid, distinct feedback term) — small for interactive topic sets
+        # but millions of rows for a 10k-topic batch, so no broadcast hint:
+        # AQE picks broadcast when the side is actually small, and a plain
+        # shuffle hash join on the dictionary is safe at all batch sizes.
         num = (F.col("r") + 0.5) * (
             F.lit(n) - F.col("df") - F.col("big_r") + F.col("r") + 0.5
         )
@@ -85,7 +88,7 @@ class BM25PRFSearcher(BM25RM3Searcher):
         scored = (
             self.index.dict_df()
             .select("term", "df")
-            .join(F.broadcast(r_df), "term")
+            .join(r_df, "term")
             .withColumn(
                 "w",
                 F.when((num > 0) & (den > 0), F.log(num / den)).otherwise(F.lit(0.0)),

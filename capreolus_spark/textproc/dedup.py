@@ -139,12 +139,18 @@ def shingle_postings(
     ).distinct()
 
 
+class JaccardScaleError(RuntimeError):
+    """Exact Jaccard join input exceeds ``max_docs``."""
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_docs: int | None = 1_000_000,
+    on_exceed: str = "raise",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all pairs (a < b) with
     ``|Sa ∩ Sb| / |Sa ∪ Sb| >= threshold``.
@@ -154,7 +160,30 @@ def ngram_jaccard_pairs(
     the standard exact set-similarity join.  At larger scale prefer
     :func:`minhash_lsh_pairs`, which verifies the same predicate but only
     on LSH candidates.
+
+    Because Σ|g|² is quadratic in the largest shingle group, this is the
+    documented oracle/small-batch path: when the input holds more than
+    ``max_docs`` rows (one cheap count — parquet scans answer it from
+    footer metadata) the guard fires — ``on_exceed='raise'`` raises
+    :class:`JaccardScaleError`, ``'warn'`` logs and proceeds.  Pass
+    ``max_docs=None`` to skip the guard and its count job.
     """
+    if max_docs is not None:
+        n_docs = df.count()
+        if n_docs > max_docs:
+            msg = (
+                f"ngram_jaccard_pairs() input has {n_docs:,} docs "
+                f"(> max_docs={max_docs:,}); the exact Σ|g|² similarity "
+                "join is the oracle-only path — use minhash_lsh_pairs for "
+                "corpus-scale near-dup, or raise/disable max_docs if this "
+                "scale is intended"
+            )
+            if on_exceed == "warn":
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
+            else:
+                raise JaccardScaleError(msg)
     posts = shingle_postings(df, text_col, id_col, n)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = posts.alias("a")
@@ -325,14 +354,38 @@ class MinhashCacheRegistry:
 
 
 # Default registry: ONE live result at a time.  Each minhash_lsh_pairs call
-# that uses it first releases the previous call's frames, so a still-lazy
-# result from an earlier call silently falls back to full recompute when
-# later materialized (correct, just slower).  Guarded by a lock so
-# concurrent callers in one session (e.g. driver ThreadPoolExecutors) cannot
-# pop each other's in-flight caches mid-append; concurrent pipelines that
-# want caches to survive should pass their own registry instead.
+# that uses it releases the previous call's frames and registers its own
+# under a single lock hold (release+add atomic), so a still-lazy result
+# from an EARLIER call falls back to full recompute when later
+# materialized (correct, just slower) — but a concurrent caller can no
+# longer unpersist an in-flight call's frames between its release and its
+# add.  Concurrent pipelines that want caches to survive each other should
+# pass their own registry instead.
 _DEFAULT_MINHASH_CACHES = MinhashCacheRegistry()
 _MINHASH_CACHE_LOCK = threading.Lock()
+
+
+def _minhash_frames(df, text_col, id_col, n, num_hashes, verify, caches):
+    """Build (and, when verifying, persist+register) the shared shingle
+    postings and signature frames.  Pure plan construction — cheap, so
+    callers may hold a lock across it."""
+    posts = shingle_postings(df, text_col, id_col, n)
+    if verify:
+        # MEMORY_AND_DISK explicitly: at 100 TB the shingle postings exceed
+        # aggregate executor memory and MUST spill rather than evict-and-
+        # recompute (the recompute is a full corpus tokenize).
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.add(posts)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, posts=posts, with_set_size=verify
+    )
+    if verify:
+        # consumed by both the banding branch and the set-size lookup —
+        # tiny (one row per doc), so cache instead of recomputing the
+        # signature aggregation twice
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.add(sigs)
+    return posts, sigs
 
 
 def minhash_lsh_pairs(
@@ -365,26 +418,20 @@ def minhash_lsh_pairs(
     # single action over the returned plan scans/tokenizes the corpus one
     # time — previously this was two full corpus passes.
     if caches is None:
-        # default registry: one live result; drop the previous call's frames
+        # default registry: one live result; drop the previous call's
+        # frames and register this call's under ONE lock hold (release and
+        # add must be atomic — with add unlocked, a concurrent caller
+        # could release our just-persisted frames before materialization,
+        # silently degrading to a full recompute)
         with _MINHASH_CACHE_LOCK:
             _DEFAULT_MINHASH_CACHES.release()
-        caches = _DEFAULT_MINHASH_CACHES
-    posts = shingle_postings(df, text_col, id_col, n)
-    if verify:
-        # MEMORY_AND_DISK explicitly: at 100 TB the shingle postings exceed
-        # aggregate executor memory and MUST spill rather than evict-and-
-        # recompute (the recompute is a full corpus tokenize).
-        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
-        caches.add(posts)
-    sigs = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, posts=posts, with_set_size=verify
-    )
-    if verify:
-        # consumed by both the banding branch and the set-size lookup —
-        # tiny (one row per doc), so cache instead of recomputing the
-        # signature aggregation twice
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        caches.add(sigs)
+            posts, sigs = _minhash_frames(
+                df, text_col, id_col, n, num_hashes, verify, _DEFAULT_MINHASH_CACHES
+            )
+    else:
+        posts, sigs = _minhash_frames(
+            df, text_col, id_col, n, num_hashes, verify, caches
+        )
     band_cols = [
         F.xxhash64(
             F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]

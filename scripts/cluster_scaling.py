@@ -113,6 +113,11 @@ def main() -> None:
     ap.add_argument("--executor-cores", type=int, default=1)
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
+    # validate BEFORE packaging / cluster startup: the report below unpacks
+    # exactly (lo, hi), so reject a 1- or 3-entry --levels up front instead
+    # of crashing after the builds have run
+    if len(levels) != 2 or any(c <= 0 for c in levels):
+        ap.error(f"--levels must be exactly two positive integers (lo,hi); got {args.levels!r}")
 
     subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh")],
                    check=True, capture_output=True)

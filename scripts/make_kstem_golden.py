@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Generate tests/golden/kstem_golden.tsv — the Krovetz calibration set.
+
+The golden pairs are built from an oracle INDEPENDENT of the stemmer:
+standard English orthographic inflection applied to curated lemmas
+(pluralization, past, progressive — with e-drop, consonant doubling and
+y→i handled per ordinary spelling rules), so each generated surface form
+must stem back to its lemma.  Derivational pairs and irregulars are
+hand-listed.  The script verifies every pair against the implementation
+and refuses to write the TSV on any mismatch — the committed file is
+therefore both a calibration oracle and a regression pin.
+
+Run: python scripts/make_kstem_golden.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from capreolus_spark.analysis.kstem import krovetz_stem
+from capreolus_spark.analysis.kstem_data import DIRECT_CONFLATIONS
+
+VOWELS = set("aeiou")
+
+# Verbs that double their final consonant (lexically conditioned in
+# English; all lemmas must be in the bundled lexicon).
+DOUBLING_VERBS = """
+stop hop plan drop grab beg chop clap drag drip drum fit flip grip hug
+jog knit nod pat pin plug rob rub skip slam slap slip snap spot stab
+stir tap trap trim tug scan scrub shrug stun submit commit permit admit
+occur prefer refer regret equip
+""".split()
+
+# Regular e-final verbs (past +d, progressive drops the e).
+E_FINAL_VERBS = """
+bake blame bounce carve cause cease change charge chase
+close combine compare compete complete compose conclude confuse
+continue create cruise cure curve dance declare decline decorate
+decrease describe deserve desire devote dine dive dodge donate embrace
+emerge endure engage ensure erase escape estimate evaluate examine
+exchange excuse execute exercise expose gaze glance glide grade graze
+guide handle hate hesitate hide hire hope ignore imagine imitate
+improve include increase indicate inspire invite involve isolate judge
+lease like line live locate lodge love manage measure merge move name
+note notice observe oblige operate oppose pause pave perceive persuade
+phrase pile pledge plunge pose praise prepare preserve price promise
+promote pronounce propose prove provide purchase pursue quote race
+rage raise rate receive recognize reduce refuse rejoice release remove
+replace require rescue resemble reserve reside resolve restore retire
+reuse reverse revive save scare schedule score scrape seize sentence
+separate serve settle shape share shave shove smile smoke solve
+squeeze stare starve state stimulate store stroke struggle stumble
+surprise survive taste tease trace trade translate tremble tune type
+unite update use value vote wave welcome wipe wrestle
+""".split()
+
+# Regular consonant-final verbs (plain +ed / +ing).
+PLAIN_VERBS = """
+walk talk ask call help work want need turn start play stay open happen
+follow allow answer appear consider deliver demand depend destroy
+develop discover discuss disturb earn enjoy explain express fasten
+finish gather govern insist install instruct interpret invent labor
+launch lean learn lift listen maintain mention obtain offer order paint
+perform pick point polish predict present pretend prevent print protect
+protest pull punish push reach record reflect reform regard remain
+remark remind rent repair repeat report request respect respond rest
+return reveal reward roar rush scatter scold scream seem select shout
+sign signal start stretch succeed suffer suggest support surround
+suspect sustain swallow treat trust visit wait wander warn wash watch
+weigh wish witness wonder
+""".split()
+
+# Consonant+y verbs (-ied past, -ies 3sg handled by plural goldens).
+Y_FINAL_VERBS = """
+apply bury carry copy cry deny dry envy fry hurry marry multiply occupy
+pity qualify rally reply satisfy study supply tidy try vary worry
+justify clarify identify modify
+""".split()
+
+# Nouns for regular plurals: plain +s.
+PLAIN_NOUNS = """
+table book friend student teacher doctor farmer answer arrow bank
+barrel basket bell bird blanket bottle bridge bucket building bullet
+bundle cabin camera captain castle ceiling chair chamber channel
+chapter chicken circle citizen client cloud collar college corner
+cottage curtain cushion daughter desert diagram diamond dollar door
+dream engine envelope farm father feather festival field finger flag
+flower forest fountain friend garden garment guest guitar hammer
+harbor helmet hill hotel hour island jacket jewel journal kitchen
+kitten ladder lake lamp letter lion magnet market meadow member
+mineral mirror monument mountain museum needle neighbor nest network
+number ocean orchard organ ornament palace parcel parent pattern
+pearl pencil pigeon pilot pioneer pocket poem prince prison pupil
+rabbit ribbon river robot rocket saddle sailor school screen servant
+shadow sheet shelter shield shoulder signal sister soldier spider
+spoon square stair statue stream street student symbol system tailor
+target teacher temple ticket tower town tractor trail triangle
+tunnel turkey valley vehicle village wagon wall weapon window winter
+worker
+""".split()
+
+# Nouns taking -es (sibilant-final).
+ES_NOUNS = """
+box match branch church bench speech brush bush dish flash inch peach
+sketch switch watch fox tax
+""".split()
+
+# Consonant+y nouns (-ies plurals).
+IES_NOUNS = """
+city policy query family story berry company country county duty enemy
+entry factory injury industry lady library lorry memory
+mystery party penny pony puppy remedy salary territory theory treaty
+victory
+""".split()
+
+# Hand-written derivational pairs: (surface, expected stem).  Each fires
+# a dictionary-gated derivational step in kstem.py; expectations follow
+# the published algorithm's recodings.
+DERIVATIONAL = [
+    # -ity / -ility
+    ("activity", "active"), ("density", "dense"), ("equality", "equal"),
+    ("formality", "formal"), ("maturity", "mature"), ("purity", "pure"),
+    ("scarcity", "scarce"), ("security", "secure"), ("validity", "valid"),
+    ("ability", "able"), ("mobility", "mobile"), ("stability", "stable"),
+    ("nobility", "noble"), ("fragility", "fragile"),
+    # -ness
+    ("happiness", "happy"), ("darkness", "dark"), ("kindness", "kind"),
+    ("weakness", "weak"), ("awareness", "aware"), ("fitness", "fit"),
+    ("boldness", "bold"), ("coldness", "cold"), ("emptiness", "empty"),
+    ("laziness", "lazy"), ("readiness", "ready"), ("sadness", "sad"),
+    ("tidiness", "tidy"), ("uselessness", "useless"),
+    # -ion family
+    ("creation", "create"), ("decoration", "decorate"),
+    ("celebration", "celebrate"), ("donation", "donate"),
+    ("education", "educate"), ("estimation", "estimate"),
+    ("evaluation", "evaluate"), ("imitation", "imitate"),
+    ("isolation", "isolate"), ("operation", "operate"),
+    ("separation", "separate"), ("stimulation", "stimulate"),
+    ("confusion", "confuse"), ("conclusion", "conclude"),
+    ("expression", "express"), ("discussion", "discuss"),
+    ("organization", "organize"), ("application", "apply"),
+    ("multiplication", "multiply"), ("qualification", "qualify"),
+    ("definition", "define"), ("composition", "compose"),
+    # -er / -or
+    ("writer", "write"), ("teacher", "teach"), ("runner", "run"),
+    ("carrier", "carry"), ("builder", "build"), ("driver", "drive"),
+    ("helper", "help"), ("keeper", "keep"), ("leader", "lead"),
+    ("learner", "learn"), ("maker", "make"), ("manager", "manage"),
+    ("owner", "own"), ("painter", "paint"), ("player", "play"),
+    ("printer", "print"), ("reader", "read"), ("rider", "ride"),
+    ("ruler", "rule"), ("seller", "sell"), ("singer", "sing"),
+    ("speaker", "speak"), ("trader", "trade"), ("trainer", "train"),
+    ("organizer", "organize"),
+    # -ly
+    ("quickly", "quick"), ("easily", "easy"), ("happily", "happy"),
+    ("angrily", "angry"), ("busily", "busy"), ("calmly", "calm"),
+    ("clearly", "clear"), ("darkly", "dark"), ("deeply", "deep"),
+    ("directly", "direct"), ("exactly", "exact"), ("fairly", "fair"),
+    ("freely", "free"), ("kindly", "kind"), ("lately", "late"),
+    ("loudly", "loud"), ("mostly", "most"), ("nicely", "nice"),
+    ("openly", "open"), ("proudly", "proud"), ("rarely", "rare"),
+    ("safely", "safe"), ("slowly", "slow"), ("softly", "soft"),
+    ("doubly", "double"), ("simply", "simple"),
+    # -al / -ical / -ial
+    ("arrival", "arrive"), ("statistical", "statistic"),
+    ("geological", "geology"), ("editorial", "editor"),
+    ("historical", "history"), ("critical", "critic"),
+    ("logical", "logic"), ("musical", "music"), ("magical", "magic"),
+    # -ive / -ative
+    ("talkative", "talk"), ("creative", "create"),
+    ("decorative", "decorate"), ("explosive", "explode"),
+    # -ment
+    ("development", "develop"), ("judgement", "judge"),
+    ("movement", "move"), ("agreement", "agree"),
+    ("announcement", "announce"), ("arrangement", "arrange"),
+    ("employment", "employ"), ("enjoyment", "enjoy"),
+    ("payment", "pay"), ("punishment", "punish"),
+    ("settlement", "settle"), ("statement", "state"),
+    ("treatment", "treat"), ("management", "manage"),
+    # -able / -ible
+    ("predictable", "predict"), ("movable", "move"),
+    ("reliable", "rely"), ("forgettable", "forget"),
+    ("enjoyable", "enjoy"), ("acceptable", "accept"),
+    ("comparable", "compare"), ("valuable", "value"),
+    # -ism / -ic / -ncy / -nce
+    ("criticism", "critic"), ("heroism", "hero"),
+    ("historic", "history"), ("metallic", "metal"),
+    ("urgency", "urgent"), ("insurance", "insure"),
+    ("difference", "differ"),
+]
+
+# Dictionary-resolved ambiguities: both the bare stem and the e-restored
+# form are attested, and the bare form is NOT consonant-vowel-consonant,
+# so the published bare-first order wins (bathed conflates with the noun
+# bath, not the verb bathe — retrieval-equivalent, documented deviation
+# from the morphological lemma).
+AMBIGUOUS = [
+    ("bathed", "bath"), ("bathing", "bath"),
+    ("breathed", "breath"), ("breathing", "breath"),
+]
+
+# Lexicalized apparent-inflections: dictionary words returned unchanged
+# even though they end in an inflectional suffix.
+IDENTITY = """
+during morning evening building feeling series species news physics
+economics mathematics politics ethics statistics analysis basis crisis
+chaos atlas canvas alias bonus campus virus gas bus lens always perhaps
+hundred sacred naked wicked rugged nothing something anything thing
+king ring spring string
+""".split()
+
+
+def pluralize(noun: str, kind: str) -> str:
+    if kind == "ies":
+        assert noun.endswith("y") and noun[-2] not in VOWELS, noun
+        return noun[:-1] + "ies"
+    if kind == "es":
+        return noun + "es"
+    return noun + "s"
+
+
+def past(verb: str, kind: str) -> str:
+    if kind == "double":
+        return verb + verb[-1] + "ed"
+    if kind == "e":
+        return verb + "d"
+    if kind == "y":
+        return verb[:-1] + "ied"
+    return verb + "ed"
+
+
+def progressive(verb: str, kind: str) -> str:
+    if kind == "double":
+        return verb + verb[-1] + "ing"
+    if kind == "e":
+        # keep the e after -ee/-ye/-oe (agree → agreeing)
+        if verb.endswith(("ee", "ye", "oe")):
+            return verb + "ing"
+        return verb[:-1] + "ing"
+    return verb + "ing"
+
+
+def main() -> None:
+    pairs: list[tuple[str, str]] = []
+    for n in PLAIN_NOUNS:
+        pairs.append((pluralize(n, "s"), n))
+    for n in ES_NOUNS:
+        pairs.append((pluralize(n, "es"), n))
+    for n in IES_NOUNS:
+        pairs.append((pluralize(n, "ies"), n))
+    for v in DOUBLING_VERBS:
+        pairs.append((past(v, "double"), v))
+        pairs.append((progressive(v, "double"), v))
+    for v in E_FINAL_VERBS:
+        pairs.append((past(v, "e"), v))
+        pairs.append((progressive(v, "e"), v))
+    for v in PLAIN_VERBS:
+        pairs.append((past(v, "plain"), v))
+        pairs.append((progressive(v, "plain"), v))
+    for v in Y_FINAL_VERBS:
+        pairs.append((past(v, "y"), v))
+        pairs.append((progressive(v, "y"), v))
+    pairs.extend(DERIVATIONAL)
+    pairs.extend(AMBIGUOUS)
+    pairs.extend(sorted(DIRECT_CONFLATIONS.items()))
+    pairs.extend((w, w) for w in IDENTITY)
+
+    seen: dict[str, str] = {}
+    mismatches = []
+    for word, expect in pairs:
+        if word in seen:
+            assert seen[word] == expect, f"conflicting golden for {word}"
+            continue
+        seen[word] = expect
+        got = krovetz_stem(word)
+        if got != expect:
+            mismatches.append((word, expect, got))
+
+    if mismatches:
+        print(f"{len(mismatches)} MISMATCHES (word, expected, got):")
+        for m in mismatches:
+            print("  ", m)
+        sys.exit(1)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "kstem_golden.tsv",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fh:
+        fh.write("# word\texpected_stem — generated by scripts/make_kstem_golden.py\n")
+        for word in sorted(seen):
+            fh.write(f"{word}\t{seen[word]}\n")
+    print(f"wrote {len(seen)} golden pairs to {out}")
+
+
+if __name__ == "__main__":
+    main()

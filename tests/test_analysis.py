@@ -298,3 +298,26 @@ def test_krovetz_index_config_threads_through(spark, tmp_path):
     from capreolus_spark.analysis import analyze_text
 
     assert analyze_text("running queries", stemmer="krovetz") == ["run", "query"]
+
+
+def test_krovetz_golden_calibration_file():
+    """≥500-word calibration golden (tests/golden/kstem_golden.tsv):
+    regular inflections generated from an independent morphology oracle
+    (scripts/make_kstem_golden.py), derivational pairs, direct
+    conflations, and lexicalized identity words.  Pins the bundled
+    kstem_data lexicon's behavior word-for-word."""
+    import os
+
+    from capreolus_spark.analysis.kstem import krovetz_stem
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "kstem_golden.tsv")
+    pairs = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            word, expect = line.rstrip("\n").split("\t")
+            pairs.append((word, expect))
+    assert len(pairs) >= 500
+    bad = [(w, e, krovetz_stem(w)) for w, e in pairs if krovetz_stem(w) != e]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"

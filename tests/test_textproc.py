@@ -59,6 +59,25 @@ def test_ngram_jaccard_pairs(dup_docs):
     assert not any(4 in p or 6 in p for p in pairs)
 
 
+def test_ngram_jaccard_scale_guard(dup_docs):
+    """The exact Σ|g|² join must fail loudly above max_docs instead of
+    silently running a quadratic blow-up at corpus scale."""
+    import pytest
+
+    from capreolus_spark.textproc.dedup import JaccardScaleError
+
+    with pytest.raises(JaccardScaleError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(dup_docs, max_docs=3)  # 6 docs > 3
+    with pytest.warns(UserWarning, match="minhash_lsh_pairs"):
+        warned = ngram_jaccard_pairs(
+            dup_docs, n=3, threshold=0.3, max_docs=3, on_exceed="warn"
+        ).collect()
+    assert len(warned) > 0
+    # under the limit (or guard disabled): no warning, same result
+    ok = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.3, max_docs=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ok} == {(r["id_a"], r["id_b"]) for r in warned}
+
+
 def test_minhash_lsh_matches_exact(dup_docs):
     exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(dup_docs, n=3, threshold=0.8).collect()}
     lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(dup_docs, n=3, threshold=0.8).collect()}
