@@ -134,3 +134,43 @@ def create_static_searcher(
             f"at {path}"
         )
     return StaticRunSearcher(spark, path, tag=tag)
+
+
+def prepare_msmarco_psg_runs(
+    triples_fn: str,
+    top1k_fns: list[str],
+    output_path: str,
+    tag: str = DEFAULT_TAG,
+) -> str:
+    """Offline twin of the MS MARCO passage run-assembly flow (reference
+    ``MsmarcoPsg._query_from_file`` + ``download_and_prepare_train_set``,
+    ``searcher/special.py:52-111``): the training triples become a "fake"
+    run (``style="triple"``, insertion-index scores) written first, then
+    every dev/test top1k file is converted (``style="eval"``) and appended
+    in one write, then a ``done`` marker makes the assembly idempotent.
+
+    The reference fetches these payloads with gdown / Azure-blob downloads
+    (environment-bound); callers here pass LOCAL paths to already-fetched
+    files, which is the only difference from the reference flow.
+    Returns ``output_path``."""
+    from ..io.corpus import convert_to_trec_runs
+
+    final_runfn = os.path.join(output_path, "searcher")
+    final_donefn = os.path.join(output_path, "done")
+    if os.path.exists(final_donefn):
+        return output_path
+    os.makedirs(output_path, exist_ok=True)
+
+    # train: triples → fake run, fresh file
+    train_run = convert_to_trec_runs(triples_fn, style="triple")
+    write_trec_run(train_run, final_runfn, tag=tag, mode="wt")
+
+    # dev and test: top1k conversions merged, appended in one write
+    runs: dict[str, dict[str, int]] = {}
+    for fn in top1k_fns:
+        runs.update(convert_to_trec_runs(fn, style="eval"))
+    write_trec_run(runs, final_runfn, tag=tag, mode="a")
+
+    with open(final_donefn, "w") as f:
+        print("done", file=f)
+    return output_path

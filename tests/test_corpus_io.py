@@ -285,3 +285,90 @@ def test_static_searcher_registry(spark, tmp_path):
         ("GX001", 1),
         ("GX002", 2),
     ]
+
+
+def test_msmarco_psg_run_assembly_offline(tmp_path):
+    """End-to-end offline twin of the MS MARCO passage run assembly
+    (reference searcher/special.py:52-111): training triples become a
+    fake run written first, dev/test top1k conversions are appended in
+    one write, and the done marker makes a re-run a no-op.  Local files
+    stand in for the gdown/blob payloads."""
+    from capreolus_spark.search.static import prepare_msmarco_psg_runs
+
+    triples = tmp_path / "triples.train.small.idversion.tsv"
+    # qid 11: pos 100 / neg 200, then pos 100 re-inserted with neg 300 —
+    # exercising the reference's dict-overwrite quirk (fresh index 2)
+    triples.write_text("11\t100\t200\n11\t100\t300\n12\t400\t500\n")
+    dev = tmp_path / "top1000.dev.tsv"
+    dev.write_text("21\t600\tq text\tp text\n21\t601\tq text\tp text\n")
+    ev = tmp_path / "top1000.eval.tsv"
+    ev.write_text("22\t700\tq text\tp text\n")
+
+    out = tmp_path / "runs"
+    got = prepare_msmarco_psg_runs(
+        str(triples), [str(dev), str(ev)], str(out), tag="msmarcopsg"
+    )
+    assert got == str(out)
+    assert (out / "done").exists()
+
+    lines = (out / "searcher").read_text().splitlines()
+    # train block first (qids 11, 12), dev/test block appended (21, 22);
+    # within a qid, docs ordered by score desc (insertion index desc)
+    assert [ln.split() for ln in lines] == [
+        # 100 re-inserted -> overwrite with idx 2 (dict size unchanged, so
+        # 300 also gets idx 2; docid asc breaks the tie)
+        ["11", "Q0", "100", "1", "2.000000", "msmarcopsg"],
+        ["11", "Q0", "300", "2", "2.000000", "msmarcopsg"],
+        ["11", "Q0", "200", "3", "1.000000", "msmarcopsg"],
+        ["12", "Q0", "500", "1", "1.000000", "msmarcopsg"],
+        ["12", "Q0", "400", "2", "0.000000", "msmarcopsg"],
+        ["21", "Q0", "601", "1", "1.000000", "msmarcopsg"],
+        ["21", "Q0", "600", "2", "0.000000", "msmarcopsg"],
+        ["22", "Q0", "700", "1", "0.000000", "msmarcopsg"],
+    ]
+
+    # idempotent: done marker short-circuits even if inputs change
+    triples.write_text("99\t1\t2\n")
+    prepare_msmarco_psg_runs(str(triples), [], str(out), tag="msmarcopsg")
+    assert (out / "searcher").read_text().splitlines() == lines
+
+
+def test_udel_entity_mode_fake_ner_plumbing():
+    """Entity-mode plumbing twin of reference utils/common.py:582-591
+    (``" ".join(w.text for w in nlp(txt).ents)``), proven with a
+    deterministic fake NER: entities joined in extractor order with
+    multi-word surface text preserved, input stripped before extraction,
+    empty entity list → empty string.  Also pins the reference's
+    case-sensitive stopword comparison in rm_sw mode (``"The"`` survives
+    because the udel list is lowercase)."""
+    from capreolus_spark.analysis.expansion import udel_query_expander
+
+    seen = []
+
+    def fake_ner(txt):
+        seen.append(txt)
+        # deterministic rule-based "NER": consecutive capitalized words
+        # form one multi-word entity, mimicking spaCy span.text
+        ents, cur = [], []
+        for w in txt.split():
+            if w[:1].isupper():
+                cur.append(w)
+            elif cur:
+                ents.append(" ".join(cur))
+                cur = []
+        if cur:
+            ents.append(" ".join(cur))
+        return ents
+
+    exp = udel_query_expander(entity_extractor=fake_ner)
+    assert (
+        exp("  treatment of Parkinson Disease with New Drugs  ", False)
+        == "Parkinson Disease New Drugs"
+    )
+    assert seen[-1] == "treatment of Parkinson Disease with New Drugs"  # stripped
+    assert exp("no entities here", False) == ""
+    # rm_sw mode ignores the extractor entirely (reference branches first)
+    assert exp("what is the best treatment", True) == "best treatment"
+    # case-sensitive stopword comparison, as in the reference
+    assert exp("The treatment", True) == "The treatment"
+    assert exp("the treatment", True) == "treatment"

@@ -99,3 +99,45 @@ def test_top_token_vocab_deterministic(spark, documents):
     a = top_token_vocab(documents, size=30).stoi
     b = top_token_vocab(documents, size=30).stoi
     assert a == b and a[UNK] == len(a) - 1
+
+
+def test_wordpiece_vocab_golden_file(spark):
+    """≥50-case committed golden (tests/golden/wordpiece_golden.tsv) over a
+    realistic vocab fixture in the published vocab.txt format: pins greedy
+    longest-match-first behavior word-for-word, including the published
+    bert-base-uncased splits for unaffable/unwanted/embeddings/
+    snowboarding/hospitalization/tokenizer (reference tokenizer/bert.py:34)."""
+    import os
+
+    from capreolus_spark.analysis.wordpiece import (
+        WordPieceVocab,
+        wordpiece_tokenize,
+    )
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    vocab = WordPieceVocab.from_file(os.path.join(gdir, "wordpiece_vocab.txt"))
+    cases = []
+    with open(os.path.join(gdir, "wordpiece_golden.tsv")) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            text, expect = line.rstrip("\n").split("\t")
+            cases.append((text, expect.split(" ")))
+    assert len(cases) >= 50
+
+    df = spark.createDataFrame(
+        [(i, text) for i, (text, _) in enumerate(cases)], "doc_id long, text string"
+    )
+    out = wordpiece_tokenize(df, vocab, pretok="bert").collect()
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["ti"], r["piece"]))
+    bad = []
+    for i, (text, expect) in enumerate(cases):
+        pieces = [p for _, p in sorted(got.get(i, []))]
+        if pieces != expect:
+            bad.append((text, expect, pieces))
+    assert not bad, f"{len(bad)} mismatches, first 5: {bad[:5]}"
+    # piece_ids are the vocab's dense ids
+    stoi = vocab.stoi
+    assert all(r["piece_id"] == stoi[r["piece"]] for r in out)
