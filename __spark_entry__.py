@@ -1172,6 +1172,27 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (textproc/similarity.py
+    embedding_near_dup_pairs).  Oracle config: num_planes=0 = one SRP
+    bucket = the exact all-pairs cosine join, provably equal to the SQL
+    twin; the vec_id slice bounds the quadratic oracle path at larger sf
+    (the scale path is bucketed SRP, recall-tested in pytest).  The
+    synthetic embeddings have no true near-identical pairs, so the gate
+    threshold 0.4 is set where the corpus actually has pairs to verify
+    the join + cosine math."""
+    from capreolus_spark.textproc import embedding_near_dup_pairs
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    return embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.4, num_planes=0
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
 # --- no-oracle (rows-only) ops: LSH/SimHash/multimodal plumbing ---
 
 def _q_deterministic_sample(spark, sf_dir):
@@ -1529,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "event_props_stats": _q_event_props,
         "ann_cosine_topk": _q_ann_cosine,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         # rows-only (non-SQL-expressible; pytest-gated instead)
         "bm25_rm3_topk": _q_bm25_rm3,
         "bm25_prf_topk": _q_bm25_prf,
@@ -2070,6 +2092,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cast(query_id AS bigint) AS query_id, cast(vec_id AS bigint) AS vec_id, cosine, rank FROM "
             "(SELECT query_id, vec_id, cosine, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank FROM scored) "
             "WHERE rank <= 10"
+        ),
+        "dedup_embedding_cosine": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000) "
+            "SELECT cast(a.vec_id AS bigint) AS id_a, cast(b.vec_id AS bigint) AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"
         ),
         "ann_ivf_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 3), "

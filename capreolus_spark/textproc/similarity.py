@@ -179,25 +179,42 @@ def embedding_near_dup_pairs(
     """Embedding near-duplicates: pairs (a < b) with cosine >= threshold,
     candidates blocked by shared SRP bucket (misses across bucket
     boundaries possible — this is the approximate scale path; exactness is
-    tested via recall against a brute-force pass on the test corpus)."""
-    v = add_srp_bucket(
-        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")),
-        dim, num_planes, "vv", seed,
-    )
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(
+    tested via recall against a brute-force pass on the test corpus).
+
+    ``num_planes=0`` puts every vector in one bucket, making the join the
+    exact all-pairs cosine similarity join — the provably-SQL-equal
+    oracle configuration (quadratic; bound the input when using it, the
+    DuckDB gate slices the table first)."""
+    # precompute each vector's norm ONCE before the join (per-vector, so
+    # numerically identical to computing it per pair — but O(n·dim)
+    # instead of O(pairs·dim))
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vv"),
+    ).withColumn("_n", _norm(F.col("vv")))
+    if num_planes == 0:
+        # exhaustive oracle config: a single bucket would collapse the
+        # equality join to ONE reducer task; a broadcast cross join keeps
+        # the pair evaluation spread across the left side's partitions
+        a = v.repartition("vec_id").alias("a")
+        b = F.broadcast(v).alias("b")
+        joined = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    else:
+        bucketed = add_srp_bucket(v, dim, num_planes, "vv", seed)
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        joined = a.join(
             b,
             (F.col("a.srp_bucket") == F.col("b.srp_bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
+    return (
+        joined.select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
                 _dot(F.col("a.vv"), F.col("b.vv"))
-                / (_norm(F.col("a.vv")) * _norm(F.col("b.vv"))),
+                / (F.col("a._n") * F.col("b._n")),
                 6,
             ).alias("cosine"),
         )

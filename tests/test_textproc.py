@@ -215,6 +215,21 @@ def test_embedding_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, dim=4, threshold=0.95, num_planes=6).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+    # num_planes=0 = single bucket = the exact all-pairs join (the DuckDB
+    # oracle config): equals a numpy brute-force pass on the same data
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, dim=4, threshold=0.95, num_planes=0).collect()
+    }
+    vecs = {i: np.asarray(v) for i, v in rows}
+    brute = {}
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+                if round(c, 6) >= 0.95:
+                    brute[(a, b)] = round(c, 6)
+    assert got == {k: pytest.approx(v, abs=1e-6) for k, v in brute.items()}
 
 
 def test_multimodal_features_and_frames(spark):
