@@ -186,6 +186,30 @@ def main() -> None:
             )
         )
 
+        # 13. embedding near-dup, exhaustive oracle config: the single-
+        #     bucket shape must NOT collapse to a one-key shuffled join —
+        #     the plan uses a broadcast nested-loop cross join so pair
+        #     evaluation parallelizes across the left side's partitions,
+        #     and per-vector norms are projected BEFORE the join
+        from capreolus_spark.textproc import embedding_near_dup_pairs
+
+        vecs = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") + i).cast("double") for i in range(4)]).alias(
+                "embedding"
+            ),
+        )
+        nd = embedding_near_dup_pairs(vecs, dim=4, threshold=0.5, num_planes=0)
+        ndplan = nd._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "embedding near-dup exhaustive config is parallel broadcast cross-join",
+                "BroadcastNestedLoopJoin" in ndplan
+                and "SortMergeJoin" not in ndplan
+                and "BatchEvalPython" not in ndplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
