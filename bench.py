@@ -258,6 +258,17 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         timed("ann_cosine_topk", lambda: brute_force_cosine_topk(emb, queries_df, k=10).count())
+
+        from capreolus_spark.textproc import embedding_near_dup_pairs
+
+        # bucketed SRP scale config (the production shape; the exhaustive
+        # num_planes=0 config is oracle-only)
+        timed(
+            "embedding_near_dup",
+            lambda: embedding_near_dup_pairs(
+                emb, dim=64, threshold=0.4, num_planes=12
+            ).count(),
+        )
         timed("token_quality", lambda: add_quality_columns(docs).agg(F.avg("quality_score")).collect())
 
         from capreolus_spark.textproc import remove_duplicated_spans
