@@ -37,3 +37,40 @@ def test_queries_and_oracles_consistent():
 def test_sample_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() >= 0
+
+
+def test_index_dir_content_fingerprint_and_pruning(tmp_path, monkeypatch):
+    """_index_dir keys cached gate indexes by a parquet-content
+    fingerprint (not mtime, which has 1 s granularity and can alias a
+    same-size same-second regen), and prunes stale same-(tag, sf)
+    siblings so corpus regeneration cannot leak index dirs into tempdir
+    (round-4 advice items)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    sf = tmp_path / "sfX"
+    docs = sf / "documents.parquet"
+    docs.mkdir(parents=True)
+    (docs / "part-0.parquet").write_bytes(b"A" * 100)
+
+    d1 = entrymod._index_dir("t", str(sf))
+    os.makedirs(d1)
+    # same content -> same dir, still present
+    assert entrymod._index_dir("t", str(sf)) == d1 and os.path.isdir(d1)
+
+    # same size, changed bytes (mtime-insensitive regen) -> NEW dir,
+    # stale sibling pruned
+    (docs / "part-0.parquet").write_bytes(b"B" * 100)
+    d2 = entrymod._index_dir("t", str(sf))
+    assert d2 != d1
+    assert not os.path.exists(d1)
+
+    # a different tag's dirs are never touched, and prefix-overlapping
+    # tags (t vs t_pos) don't prune each other
+    os.makedirs(d2)
+    d_pos = entrymod._index_dir("t_pos", str(sf))
+    os.makedirs(d_pos)
+    assert os.path.isdir(d2) and os.path.isdir(d_pos)
+    entrymod._index_dir("t", str(sf))
+    assert os.path.isdir(d_pos)
