@@ -973,3 +973,28 @@ def test_bigram_lm_plan_is_python_free(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = bigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_minhash_default_registry_concurrent_callers(dup_docs):
+    """Two threads racing through the default registry (caches=None) must
+    both produce correct pairs: release+add now happen under one lock
+    hold, so a caller can no longer unpersist the other's just-persisted
+    frames mid-registration (worst case is a silent full recompute, which
+    is correct).  Round-4 advice item."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(dup_docs, n=3, threshold=0.8).collect()
+    }
+    assert expected  # sanity: the corpus has near-dup pairs
+
+    def run(_):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(dup_docs, n=3, threshold=0.8).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, range(8)))
+    assert all(r == expected for r in results)
