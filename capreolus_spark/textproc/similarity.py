@@ -230,6 +230,7 @@ def ivf_cosine_topk(
     n_probe: int = 8,
     seed: int = 42,
     max_train: int = 100_000,
+    max_iter: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
@@ -251,21 +252,32 @@ def ivf_cosine_topk(
     from pyspark.ml.functions import array_to_vector
 
     n_probe = min(n_probe, n_cells)
+    from pyspark.ml.feature import Normalizer
+
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
-    # l2-normalize so euclidean k-means cells align with cosine geometry
-    vn = v.withColumn(
-        "nv",
-        F.transform("vv", lambda x: x.cast("double") / F.greatest(_norm(F.col("vv")), F.lit(1e-12))),
+    # l2-normalize so euclidean k-means cells align with cosine geometry.
+    # NOT done with a transform() lambda dividing by a norm column: Spark
+    # collapses the projection back INTO the lambda, re-evaluating the
+    # O(dim) norm aggregate per ELEMENT (O(dim²) per row) — and k-means
+    # re-evaluates its input lineage every pass, which made the quantizer
+    # build dominate the whole operator at scale.  The ml Normalizer is a
+    # single JVM-side O(dim) pass per row with no such trap.
+    vn = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(
+        v.withColumn("_raw", array_to_vector("vv"))
     )
     train = (
-        vn.select("vec_id", "nv")
+        vn.select("vec_id", "features")
         .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
         .limit(max_train)  # deterministic bounded sample: TakeOrdered, no full sort
-        .select(array_to_vector("nv").alias("features"))
+        .select("features")
+        .persist()  # k-means is iterative: materialize the sample once
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    finally:
+        train.unpersist()
     assigned = (
-        model.transform(vn.select("vec_id", "vv", array_to_vector("nv").alias("features")))
+        model.transform(vn.select("vec_id", "vv", "features"))
         .select("vec_id", "vv", F.col("prediction").alias("cell"))
     )
 
