@@ -48,13 +48,21 @@ def brute_force_cosine_topk(
     """Exact cosine top-k: cross-join the (small, broadcast) query set
     against the vector table; deterministic (cosine desc, vec_id asc)
     tie-break.  Returns (query_id, vec_id, cosine, rank)."""
-    q = F.broadcast(queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv")))
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
+    # norms are projected per SIDE before the join: per-vector O(dim)
+    # work instead of per-pair (numerically identical — the same _norm
+    # expression on the same values, just evaluated below the join)
+    q = F.broadcast(
+        queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv"))
+        .withColumn("_qn", _norm(F.col("qv")))
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")).withColumn(
+        "_vn", _norm(F.col("vv"))
+    )
     scored = q.crossJoin(v).select(
         "query_id",
         "vec_id",
         F.round(
-            _dot(F.col("qv"), F.col("vv")) / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+            _dot(F.col("qv"), F.col("vv")) / (F.col("_qn") * F.col("_vn")),
             6,
         ).alias("cosine"),
     )
@@ -126,23 +134,23 @@ def lsh_cosine_topk(
     v = add_srp_bucket(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")),
         dim, num_planes, "vv", seed,
-    )
+    ).withColumn("_vn", _norm(F.col("vv")))  # per-vector norm, not per-pair
     q = add_srp_bucket(
         queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv")),
         dim, num_planes, "qv", seed,
-    ).withColumnRenamed("srp_bucket", "q_bucket")
+    ).withColumnRenamed("srp_bucket", "q_bucket").withColumn("_qn", _norm(F.col("qv")))
 
     if exhaustive:
         # probe set = all occupied buckets (≤ min(|V|, 2^num_planes) rows)
         buckets = v.select("srp_bucket").distinct()
-        qp = q.select("query_id", "qv").crossJoin(buckets)
+        qp = q.select("query_id", "qv", "_qn").crossJoin(buckets)
     else:
         # multi-probe: expand each query to its bucket plus all 1-bit flips
         probes = [F.col("q_bucket")]
         if probe_bits >= 1:
             probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
         qp = q.select(
-            "query_id", "qv", F.explode(F.array(*probes)).alias("srp_bucket")
+            "query_id", "qv", "_qn", F.explode(F.array(*probes)).alias("srp_bucket")
         ).distinct()
 
     scored = (
@@ -152,7 +160,7 @@ def lsh_cosine_topk(
             "query_id",
             "vec_id",
             F.round(
-                _dot(F.col("qv"), F.col("vv")) / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+                _dot(F.col("qv"), F.col("vv")) / (F.col("_qn") * F.col("_vn")),
                 6,
             ).alias("cosine"),
         )
@@ -297,11 +305,15 @@ def ivf_cosine_topk(
         probe_rows, f"query_id {queries.schema[q_id_col].dataType.simpleString()}, cell int, qv array<double>"
     )
 
+    # per-side norms before the join (same _norm expression, evaluated
+    # once per vector / per probe row rather than per scored pair)
+    probes = probes.withColumn("_qn", _norm(F.col("qv")))
+    assigned = assigned.withColumn("_vn", _norm(F.col("vv")))
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id",
         "vec_id",
         F.round(
-            _dot(F.col("qv"), F.col("vv")) / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+            _dot(F.col("qv"), F.col("vv")) / (F.col("_qn") * F.col("_vn")),
             6,
         ).alias("cosine"),
     )
