@@ -1193,7 +1193,8 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
-# --- no-oracle (rows-only) ops: LSH/SimHash/multimodal plumbing ---
+# --- historically rows-only ops (all DuckDB-gated since round 3 via
+# provably-exact configs; section name kept for file archaeology) ---
 
 def _q_deterministic_sample(spark, sf_dir):
     from capreolus_spark.textproc import deterministic_sample
@@ -1553,7 +1554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props,
         "ann_cosine_topk": _q_ann_cosine,
         "dedup_embedding_cosine": _q_embedding_near_dup,
-        # rows-only (non-SQL-expressible; pytest-gated instead)
+        # two-pass / sampled searchers — ALL hash-gated too (their SQL
+        # twins model the exact gate configs; see oracle_sql below)
         "bm25_rm3_topk": _q_bm25_rm3,
         "bm25_prf_topk": _q_bm25_prf,
         "axiomatic_topk": _q_axiomatic,
