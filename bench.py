@@ -23,8 +23,13 @@ Every repeatable stage runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3);
 (min..max), because this host's wall times swing ±2-3x with load.
 
 ``--scaling`` mode (BASELINE.md / north-rule protocol): re-exec the build
-stage in two fresh subprocesses at local[8] and local[32] on identical
-input and report throughput at both plus efficiency = (T8/T32)/4.
+stage in two fresh subprocesses at local[N] and local[4N] on identical
+input and report throughput at both plus efficiency = (T_lo/T_hi)/4.
+
+``--scaling-query`` mode: same N → 4N protocol for the QUERY side — warm
+BM25 top-1000 batch throughput (queries/sec) over a fixed 300k-doc index
+with a fixed 64-wide shuffle graph at both levels.  The standalone-cluster
+twin is ``scripts/cluster_scaling.py --query-topics 200``.
 """
 
 from __future__ import annotations
@@ -67,7 +72,17 @@ def _session(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("capreolus_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
+        # scaling protocol hook: a FIXED shuffle width (plus
+        # parallelismFirst=false below) gives local[N] and local[4N]
+        # identical task graphs so only executor parallelism varies
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(max(8, 2 * cpus))),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         # our shuffles are ~100 MB at bench scale: the 64 MB default advisory
         # size would coalesce them below the core count and serialize stages
@@ -396,10 +411,96 @@ def build_only() -> None:
         spark.stop()
 
 
+def query_only() -> None:
+    """Build once, then measure warm BM25 top-1000 batch throughput at
+    local[$SPARK_GRAFT_CPUS]: one untimed warm-up batch, then REPS timed
+    full-batch runs (distributed count — a driver collect would measure
+    the driver).  Prints one JSON line; consumed by --scaling-query."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.data.synth import synth_queries
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+
+    n_queries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "200"))
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="capreolus_bench_query_")
+    try:
+        build_stage(spark, _bench_docs(_sf_value(SF_DIR)), os.path.join(workdir, "index"))
+        topics = synth_queries(n_queries)
+        searcher = BM25Searcher(
+            InvertedIndex(spark, os.path.join(workdir, "index")), BM25Config(hits=1000)
+        )
+        rows = searcher.search(topics).count()  # warm-up (code + page cache)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            searcher.search(topics).count()
+            samples.append(round(time.monotonic() - t0, 3))
+        med = _median(samples)
+        print(json.dumps({
+            "n_topics": len(topics),
+            "hits": 1000,
+            "result_rows": rows,
+            "search_sec": med,
+            "queries_per_sec": round(len(topics) / med, 2),
+            "samples": sorted(samples),
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def scaling_query() -> None:
+    """Query-side north-rule evidence: identical warm BM25 top-1000 batch
+    at local[N] vs local[4N] (fixed 300k-doc index, fixed 64-wide shuffle
+    graph), reporting queries/sec at both + scaling efficiency."""
+    levels = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+    )
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+    results = {}
+    for cpus in levels:
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+            env.setdefault("SPARK_GRAFT_BENCH_DOCS", "300000")
+            env.setdefault("SPARK_GRAFT_SHUFFLE_PARTS", "64")
+            env.setdefault("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
+            out = subprocess.run(
+                [sys.executable, __file__, "--query-only"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["search_sec"] < best["search_sec"]:
+                best = r
+        results[cpus] = best
+    lo, hi = levels
+    qps_lo = results[lo]["queries_per_sec"]
+    qps_hi = results[hi]["queries_per_sec"]
+    report = {
+        "n_topics": results[lo]["n_topics"],
+        "hits": results[lo]["hits"],
+        f"queries_per_sec_local{lo}": qps_lo,
+        f"queries_per_sec_local{hi}": qps_hi,
+        f"search_sec_local{lo}": results[lo]["search_sec"],
+        f"search_sec_local{hi}": results[hi]["search_sec"],
+        f"query_scaling_efficiency_{lo}_to_{hi}": round((qps_hi / qps_lo) / (hi / lo), 3),
+    }
+    report.update(_cpu_control(levels))
+    print(json.dumps(report))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--scaling-query" in sys.argv:
+        scaling_query()
     elif "--build-only" in sys.argv:
         build_only()
+    elif "--query-only" in sys.argv:
+        query_only()
     else:
         main()

@@ -103,6 +103,43 @@ def _submit_build(cores: int, corpus: str, index_dir: str, partitions: int, exec
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _gen_topics(path: str, n: int) -> None:
+    sys.path.insert(0, REPO)
+    from capreolus_spark.data.synth import synth_queries
+
+    with open(path, "w") as f:
+        for qid, text in synth_queries(n).items():
+            f.write(f"{qid}\t{text}\n")
+
+
+def _submit_search_bench(
+    cores: int, index_dir: str, topics: str, reps: int, hits: int, executor_cores: int = 1
+) -> dict:
+    env = dict(os.environ)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    out = subprocess.run(
+        [
+            os.path.join(SPARK_HOME, "bin", "spark-submit"),
+            "--master", MASTER_URL,
+            "--total-executor-cores", str(cores),
+            "--executor-cores", str(executor_cores),
+            "--executor-memory", "2500m",
+            "--conf", "spark.ui.enabled=false",
+            # fixed shuffle width at every level: identical task graph, only
+            # executor parallelism varies (BASELINE.md scaling protocol)
+            "--conf", "spark.sql.shuffle.partitions=64",
+            "--py-files", os.path.join(REPO, "dist", "capreolus_spark.zip"),
+            os.path.join(REPO, "scripts", "search_job.py"),
+            "--index-dir", index_dir,
+            "--topics", topics,
+            "--hits", str(hits),
+            "--bench-reps", str(reps),
+        ],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300000)
@@ -111,6 +148,13 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--worker-cores", type=int, default=16)
     ap.add_argument("--executor-cores", type=int, default=1)
+    ap.add_argument(
+        "--query-topics", type=int, default=0,
+        help="also bench BM25 top-1000 batch throughput over this many "
+        "synthetic topics at each level (0 = build-only)",
+    )
+    ap.add_argument("--query-reps", type=int, default=3)
+    ap.add_argument("--hits", type=int, default=1000)
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
     # validate BEFORE packaging / cluster startup: the report below unpacks
@@ -141,20 +185,35 @@ def main() -> None:
         )
         try:
             time.sleep(5)  # worker registration
+            topics_tsv = None
+            if args.query_topics:
+                topics_tsv = os.path.join(logdir, "topics.tsv")
+                _gen_topics(topics_tsv, args.query_topics)
             results = {}
+            qresults = {}
             for cores in levels:
                 best = None
+                last_idx = None
                 for r in range(args.reps):
                     idx = tempfile.mkdtemp(prefix=f"capreolus_cluster_idx{cores}_")
                     shutil.rmtree(idx)
                     rep = _submit_build(cores, corpus, idx, args.partitions, args.executor_cores)
-                    shutil.rmtree(idx, ignore_errors=True)
+                    if r == args.reps - 1 and topics_tsv:
+                        last_idx = idx  # keep for the query phase
+                    else:
+                        shutil.rmtree(idx, ignore_errors=True)
                     if best is None or rep["build_sec"] < best["build_sec"]:
                         best = rep
                 results[cores] = best
+                if last_idx:
+                    qresults[cores] = _submit_search_bench(
+                        cores, last_idx, topics_tsv, args.query_reps,
+                        args.hits, args.executor_cores,
+                    )
+                    shutil.rmtree(last_idx, ignore_errors=True)
             lo, hi = levels
             fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
-            print(json.dumps({
+            report = {
                 "mode": f"standalone-cluster ({args.executor_cores}-core executor JVMs)",
                 "n_files": results[lo]["n_docs"],
                 f"files_per_sec_{lo}exec": fps_lo,
@@ -162,7 +221,22 @@ def main() -> None:
                 f"build_sec_{lo}exec": results[lo]["build_sec"],
                 f"build_sec_{hi}exec": results[hi]["build_sec"],
                 f"scaling_efficiency_{lo}_to_{hi}": round((fps_hi / fps_lo) / (hi / lo), 3),
-            }))
+            }
+            if qresults:
+                qps_lo = qresults[lo]["queries_per_sec"]
+                qps_hi = qresults[hi]["queries_per_sec"]
+                report.update({
+                    "n_topics": qresults[lo]["n_topics"],
+                    "hits": qresults[lo]["hits"],
+                    f"queries_per_sec_{lo}exec": qps_lo,
+                    f"queries_per_sec_{hi}exec": qps_hi,
+                    f"search_sec_{lo}exec": qresults[lo]["search_sec"],
+                    f"search_sec_{hi}exec": qresults[hi]["search_sec"],
+                    f"query_scaling_efficiency_{lo}_to_{hi}": round(
+                        (qps_hi / qps_lo) / (hi / lo), 3
+                    ),
+                })
+            print(json.dumps(report))
         finally:
             worker.terminate()
             worker.wait(timeout=20)

@@ -20,7 +20,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--topics", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", default=None)
     ap.add_argument("--hits", type=int, default=1000)
     ap.add_argument("--k1", type=float, default=0.9)
     ap.add_argument("--b", type=float, default=0.4)
@@ -30,7 +30,15 @@ def main() -> None:
         help="extra searcher config as key=value (repeatable)",
     )
     ap.add_argument("--tag", default="capreolus_spark")
+    ap.add_argument(
+        "--bench-reps", type=int, default=0,
+        help="bench mode: after one untimed warm-up batch, run the full "
+        "topic batch this many times INSIDE the session (startup excluded) "
+        "and print a JSON line with median search_sec + queries_per_sec",
+    )
     args = ap.parse_args()
+    if not args.output and not args.bench_reps:
+        ap.error("--output is required unless --bench-reps is set")
 
     from pyspark.sql import SparkSession
 
@@ -56,9 +64,35 @@ def main() -> None:
     searcher = create_searcher(args.searcher, idx, **cfg)
     searcher.tag = args.tag
     topics = load_tsv_topics(args.topics)
-    run = searcher.search_collect(topics)
-    write_trec_run(run, args.output, tag=args.tag)
-    print(f"wrote {sum(len(v) for v in run.values())} results for {len(run)} topics -> {args.output}")
+    if args.bench_reps:
+        import json
+        import time
+
+        # warm batch throughput (north-rule query-side scaling evidence):
+        # one untimed batch warms code paths + OS page cache over the
+        # postings files, then each timed rep runs the FULL topic batch and
+        # materializes the top-k run distributed-side (count, not collect —
+        # a driver-side collect of |topics|*hits rows would measure the
+        # driver, not the engine)
+        rows = searcher.search(topics).count()
+        samples = []
+        for _ in range(args.bench_reps):
+            t0 = time.monotonic()
+            searcher.search(topics).count()
+            samples.append(round(time.monotonic() - t0, 3))
+        med = sorted(samples)[len(samples) // 2]
+        print(json.dumps({
+            "n_topics": len(topics),
+            "hits": args.hits,
+            "result_rows": rows,
+            "search_sec": med,
+            "queries_per_sec": round(len(topics) / med, 2),
+            "samples": sorted(samples),
+        }))
+    if args.output:
+        run = searcher.search_collect(topics)
+        write_trec_run(run, args.output, tag=args.tag)
+        print(f"wrote {sum(len(v) for v in run.values())} results for {len(run)} topics -> {args.output}")
     spark.stop()
 
 
