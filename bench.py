@@ -72,9 +72,10 @@ def _session(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("capreolus_spark_bench")
-        # scaling protocol hook: a FIXED shuffle width (plus
-        # parallelismFirst=false below) gives local[N] and local[4N]
-        # identical task graphs so only executor parallelism varies
+        # scaling protocol hook: a FIXED shuffle width gives local[N] and
+        # local[4N] identical STATIC task graphs.  Keep the parallelismFirst
+        # hook at its true default: byte-based AQE coalescing serializes the
+        # DAAT cogroup (CPU-per-group cost, tiny bytes) into one task
         .config(
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(max(8, 2 * cpus))),
@@ -106,6 +107,10 @@ def build_stage(spark, n_docs: int, index_dir: str) -> dict:
 
     parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
     avg_tokens = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "120"))
+    # DAAT scoring groups = docno ranges; docnos are partition-strided so
+    # ranges subdivide doc partitions (>= one group per partition — 64 here
+    # whatever range_size is).  Overridable for range-size ablations.
+    range_size = int(os.environ.get("SPARK_GRAFT_BENCH_RANGE", str(1 << 17)))
     # SPARK_GRAFT_STORE_CONTENTS=0 → slim-docmap ablation (content never
     # shuffled/rewritten; tokenize joins the source) — the BASELINE.md
     # scaling protocol's docmap-less datapoint
@@ -122,6 +127,7 @@ def build_stage(spark, n_docs: int, index_dir: str) -> dict:
         IndexConfig(
             stemmer="porter",
             store_contents=store_contents,
+            range_size=range_size,
             num_doc_partitions=parts,
             postings_partitions=parts,
         ),
@@ -453,8 +459,9 @@ def query_only() -> None:
 
 def scaling_query() -> None:
     """Query-side north-rule evidence: identical warm BM25 top-1000 batch
-    at local[N] vs local[4N] (fixed 300k-doc index, fixed 64-wide shuffle
-    graph), reporting queries/sec at both + scaling efficiency."""
+    at local[N] vs local[4N] (fixed 300k-doc index, fixed 64-wide static
+    shuffle graph; AQE runtime coalescing — parallelism-first — left on),
+    reporting queries/sec at both + scaling efficiency."""
     levels = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     )
@@ -467,8 +474,13 @@ def scaling_query() -> None:
             env["SPARK_GRAFT_CPUS"] = str(cpus)
             env["SPARK_GRAFT_SF_DIR"] = SF_DIR
             env.setdefault("SPARK_GRAFT_BENCH_DOCS", "300000")
+            # fixed STATIC shuffle width; AQE's parallelism-first runtime
+            # coalescing stays ON — with it off, the cogroup's byte-tiny
+            # postings shuffle coalesces to ONE partition and the DAAT
+            # stage (whose cost is CPU per group, invisible to byte-based
+            # coalescing) runs serially at every level (measured: 0.27
+            # efficiency artifact, single 5 s task in the event log)
             env.setdefault("SPARK_GRAFT_SHUFFLE_PARTS", "64")
-            env.setdefault("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
             out = subprocess.run(
                 [sys.executable, __file__, "--query-only"],
                 capture_output=True, text=True, env=env, check=True,

@@ -208,6 +208,17 @@ class InvertedIndex:
         return {t: self._term_stats[t] for t in terms}
 
     @property
+    def num_ranges(self) -> int | None:
+        """Number of docno ranges (DAAT scoring groups), from the build
+        manifest's ranges-stage row count — no Spark job.  ``None`` when
+        the manifest predates per-stage row counts; callers must treat
+        that as unknown (keep whatever safety path they were on)."""
+        manifest = Manifest(self.index_dir)
+        stage = (manifest.data.get("stages") or {}).get("ranges") or {}
+        rows = stage.get("rows_out")
+        return int(rows) if rows is not None else None
+
+    @property
     def sum_cf(self) -> int:
         """Total indexed term occurrences (Lucene sumTotalTermFreq) — the
         collection-model denominator for Dirichlet QL."""

@@ -12,6 +12,13 @@ filter postings to the query terms → cogroup with per-range dl arrays →
 DAAT kernel per docno-range (``daat.py``) → exact global top-k merge
 (window-function path for a DataFrame result, treeAggregate heap-merge
 path for driver-side results).
+
+Cluster note: the DAAT cogroup's shuffle is byte-tiny (packed postings
+for the query terms only) but CPU-heavy per group, so AQE's BYTE-based
+partition coalescing must stay parallelism-first (the Spark default,
+``spark.sql.adaptive.coalescePartitions.parallelismFirst=true``);
+forcing byte-based coalescing collapses the scoring stage to one task
+regardless of executor count.
 """
 
 from __future__ import annotations
@@ -112,6 +119,20 @@ class BM25Searcher:
         terms = sorted({t for ts in weights.values() for (t, _, _) in ts})
         postings = self.index.postings_df().filter(F.col("term").isin(terms))
         ranges = self.index.ranges_df()
+        # Pin the cogroup width with an EXPLICIT repartition on the group
+        # key: the packed postings for a query batch are byte-tiny, so
+        # AQE's byte-based partition coalescing (even parallelism-first)
+        # folds the scoring stage into a handful of tasks — but this stage
+        # is CPU-per-group (DAAT scoring × queries, plus the pipelined
+        # narrow top-k cut), invisible to byte heuristics.  A user-specified
+        # repartition is exempt from AQE coalescing, and because it already
+        # satisfies the cogroup's required distribution no second exchange
+        # is inserted (same single shuffle as before, fixed width).
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        postings = postings.repartition(n_parts, "range_id")
+        ranges = ranges.repartition(n_parts, "range_id")
         scorer = make_range_scorer(
             weights,
             scoring=self.scoring,
@@ -137,10 +158,22 @@ class BM25Searcher:
         candidate frame is n_ranges × hits rows per query — unbounded in
         corpus size, which round 1 hinted straight into a broadcast (the
         100×-scale OOM the round-1 verdict flagged); after the narrow cut
-        the windowed frame is ≤ n_partitions × hits × ties rows."""
+        the windowed frame is ≤ n_partitions × hits × ties rows.
+
+        When the candidate frame has at least as many partitions as the
+        index has ranges (every partition holds ≤ 1 scoring group, so the
+        per-(partition, qid) row count is already ≤ hits + ties), the
+        pandas pre-cut cannot remove anything — skip it and its full
+        Arrow roundtrip over the candidates, going straight to the
+        window.  At corpus scale n_ranges ≫ n_partitions and the pre-cut
+        does its memory-bounding job as before."""
         import pandas as pd
         from typing import Iterator
 
+        n_ranges = self.index.num_ranges
+        n_parts = int(
+            candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
         limit = hits
 
         def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -158,8 +191,10 @@ class BM25Searcher:
             if acc is not None and len(acc):
                 yield prune(acc)
 
-        schema = candidates.schema
-        partial = candidates.mapInPandas(local_cut, schema=schema)
+        if n_ranges is not None and n_ranges <= n_parts:
+            partial = candidates
+        else:
+            partial = candidates.mapInPandas(local_cut, schema=candidates.schema)
         w = Window.partitionBy("qid").orderBy(F.desc("score"))
         return (
             partial.withColumn("_r", F.rank().over(w))

@@ -176,9 +176,17 @@ class SDMSearcher(BM25Searcher):
                         rows["dl"].append(int(dls[d - base]))
             return pd.DataFrame(rows) if rows["qid"] else empty
 
+        # explicit repartition on the group key: exempt from AQE's
+        # byte-based coalescing, which would fold this CPU-bound
+        # positions-decode kernel into a few tasks (the packed postings
+        # are byte-tiny); same single shuffle, fixed width (see
+        # BM25Searcher._candidates)
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
         return (
-            postings.groupBy("range_id")
-            .cogroup(ranges.groupBy("range_id"))
+            postings.repartition(n_parts, "range_id").groupBy("range_id")
+            .cogroup(ranges.repartition(n_parts, "range_id").groupBy("range_id"))
             .applyInPandas(kernel, schema=WINDOW_SCHEMA)
         )
 
