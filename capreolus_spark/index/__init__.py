@@ -33,6 +33,8 @@ class InvertedIndex:
         self._persisted: dict[str, DataFrame] = {}
         self._term_stats: dict[str, tuple[int, int]] = {}
         self._stats_mtime: float | None = None
+        self._num_ranges: int | None = None
+        self._num_ranges_read = False
 
     def _invalidate_if_stale(self) -> None:
         """Drop memoized stats/term-stats when stats.json was rewritten
@@ -49,6 +51,8 @@ class InvertedIndex:
             self._stats_mtime = mtime
             self._stats = None
             self._term_stats = {}
+            self._num_ranges = None
+            self._num_ranges_read = False
 
     def persist(self) -> "InvertedIndex":
         """Pin postings + ranges in executor memory across queries — the
@@ -213,10 +217,14 @@ class InvertedIndex:
         manifest's ranges-stage row count — no Spark job.  ``None`` when
         the manifest predates per-stage row counts; callers must treat
         that as unknown (keep whatever safety path they were on)."""
-        manifest = Manifest(self.index_dir)
-        stage = (manifest.data.get("stages") or {}).get("ranges") or {}
-        rows = stage.get("rows_out")
-        return int(rows) if rows is not None else None
+        self._invalidate_if_stale()
+        if not self._num_ranges_read:
+            manifest = Manifest(self.index_dir)
+            stage = (manifest.data.get("stages") or {}).get("ranges") or {}
+            rows = stage.get("rows_out")
+            self._num_ranges = int(rows) if rows is not None else None
+            self._num_ranges_read = True
+        return self._num_ranges
 
     @property
     def sum_cf(self) -> int:

@@ -131,6 +131,10 @@ class BM25Searcher:
         n_parts = int(
             postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
         )
+        n_ranges = self.index.num_ranges
+        if n_ranges:
+            # more partitions than scoring groups just schedules empty tasks
+            n_parts = max(1, min(n_parts, n_ranges))
         postings = postings.repartition(n_parts, "range_id")
         ranges = ranges.repartition(n_parts, "range_id")
         scorer = make_range_scorer(
