@@ -206,6 +206,45 @@ def test_query_from_file_tsv_and_done_marker(dummy_searcher, tmp_path):
     assert runfile.read_text() == "sentinel"
 
 
+def test_daat_cogroup_width_pinned(synth_index):
+    """Scale guard: the scoring cogroup's shuffle is byte-tiny (packed
+    postings for the query terms) but CPU-heavy per group, so AQE's
+    byte-based partition coalescing would fold the hottest stage into one
+    task.  The searchers pin the width with an explicit repartition on
+    range_id (AQE-exempt); assert the EXECUTED plan keeps one partition
+    per docno range on both cogroup inputs and that AQE inserted no
+    coalescing shuffle read inside the cogroup subtree."""
+    import re
+
+    idx, _ = synth_index
+    n_ranges = idx.num_ranges
+    assert n_ranges and n_ranges > 1, "fixture must span several ranges"
+    run = BM25Searcher(idx, BM25Config(hits=10)).search(synth_queries(3))
+    run.collect()  # finalize the adaptive plan
+    plan = run._jdf.queryExecution().executedPlan().toString()
+    widths = re.findall(
+        r"hashpartitioning\(range_id#\d+L?, (\d+)\), REPARTITION_BY_NUM", plan
+    )
+    assert len(widths) >= 2, "cogroup inputs must carry the explicit repartition"
+    assert all(int(w) == n_ranges for w in widths), widths
+
+    lines = plan.splitlines()
+
+    def indent(ln):
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    for i, ln in enumerate(lines):
+        if "FlatMapCoGroupsInPandas" not in ln:
+            continue
+        base = indent(ln)
+        for sub in lines[i + 1:]:
+            if sub.strip() and indent(sub) <= base:
+                break
+            assert "AQEShuffleRead" not in sub, (
+                "AQE coalesced a cogroup input:\n" + sub
+            )
+
+
 def test_query_from_file_trec_sgml(dummy_searcher, tmp_path):
     topics = tmp_path / "topics.sgml"
     topics.write_text(
