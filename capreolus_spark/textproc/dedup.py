@@ -130,13 +130,19 @@ def shingle_postings(
     Tokenizes ONCE into a materialized array column, then shingles from it
     (kept as separate selects; Catalyst's CollapseProject will not inline a
     non-cheap expression referenced more than once, so the regexp tokenize
-    stays hoisted out of the shingle lambda)."""
+    stays hoisted out of the shingle lambda).
+
+    Distinctness is per-document via ``array_distinct`` BEFORE the explode
+    — a narrow, shuffle-free op.  A global ``.distinct()`` here would be a
+    full shuffle of the pipeline's largest intermediate (every shingle
+    string) for nothing: rows are already unique given the contract that
+    ``id_col`` holds one unique id per input row."""
     df = _spread(df)
     toked = df.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
     return toked.select(
         "doc_id",
         F.explode(_shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
-    ).distinct()
+    )
 
 
 class JaccardScaleError(RuntimeError):
@@ -274,10 +280,10 @@ def _capped_bucket_pairs(
     max_bucket_size: int,
     carry: list[str] | None = None,
 ) -> DataFrame:
-    """Candidate pairs from a bucket self-join with a mega-bucket guard.
+    """Candidate pairs from LSH band buckets with a mega-bucket guard.
 
-    Buckets with ≤ ``max_bucket_size`` members self-join (quadratic within
-    the bucket, the normal LSH path).  Oversized buckets — e.g. millions of
+    Buckets with ≤ ``max_bucket_size`` members expand to all pairs (the
+    normal LSH path).  Oversized buckets — e.g. millions of
     empty/boilerplate near-identical documents landing in one band bucket,
     the 100×-scale quadratic blowup the round-1 verdict flagged — are
     instead *star-chained*: every member pairs with the bucket's minimum
@@ -287,26 +293,53 @@ def _capped_bucket_pairs(
     representative); the all-pairs set inside an oversized bucket is
     deliberately not emitted.
 
+    Dataflow: bucket sizes come from a map-side-combinable groupBy count —
+    NOT a window count, whose shuffle carries (and sorts) every bucketed
+    row: at corpus scale that is bands× the corpus row count through a
+    sort, while the count's shuffle moves only per-partition partials.
+    Oversized keys are by construction few (they ARE the skew pathology),
+    so they broadcast to split the rows without another shuffle; small
+    buckets are then collected per bucket (arrays bounded by
+    ``max_bucket_size``) and expanded to (id_a < id_b) pairs JVM-side —
+    one combinable aggregation instead of a bucket self-join that
+    shuffles the full bucketed set twice.
+
     ``carry`` columns (e.g. simhash) are propagated to ``<col>_a``/``<col>_b``.
     """
     carry = carry or []
-    # bucket size via one window pass (single shuffle+sort) rather than a
-    # groupBy-count plus a join back on the bucket keys (two shuffles of
-    # the full bucketed set)
-    tagged = bucketed.withColumn(
-        "_n", F.count("*").over(Window.partitionBy(*bucket_keys))
-    )
-    small = tagged.filter(F.col("_n") <= max_bucket_size).drop("_n")
-    big = tagged.filter(F.col("_n") > max_bucket_size).drop("_n")
+    counts = bucketed.groupBy(*bucket_keys).agg(F.count("*").alias("_n"))
+    big_keys = counts.filter(F.col("_n") > max_bucket_size).select(*bucket_keys)
+    small = bucketed.join(F.broadcast(big_keys), bucket_keys, "left_anti")
+    big = bucketed.join(F.broadcast(big_keys), bucket_keys, "left_semi")
 
-    a, b = small.alias("a"), small.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    for k in bucket_keys:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    sel = [F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")]
-    sel += [F.col(f"a.{c}").alias(f"{c}_a") for c in carry]
-    sel += [F.col(f"b.{c}").alias(f"{c}_b") for c in carry]
-    pairs = a.join(b, cond).select(*sel)
+    member = F.struct(
+        F.col("doc_id").alias("doc_id"), *[F.col(c).alias(c) for c in carry]
+    )
+    grp = small.groupBy(*bucket_keys).agg(
+        F.sort_array(F.collect_list(member)).alias("ms")
+    )
+    # all-pairs expansion inside the bounded arrays: structs sort by
+    # doc_id (their first field), so positions i < j give id_a < id_b
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ms") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda m: F.struct(
+                    F.element_at(F.col("ms"), i + F.lit(1)).alias("a"),
+                    m.alias("b"),
+                ),
+            ),
+        )
+    )
+    sel = [F.col("p.a.doc_id").alias("id_a"), F.col("p.b.doc_id").alias("id_b")]
+    sel += [F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry]
+    sel += [F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry]
+    pairs = (
+        grp.filter(F.size("ms") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(*sel)
+    )
 
     rep_aggs = [F.min("doc_id").alias("_rep")]
     rep_aggs += [F.min_by(c, "doc_id").alias(f"_rep_{c}") for c in carry]
