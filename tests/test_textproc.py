@@ -998,3 +998,23 @@ def test_minhash_default_registry_concurrent_callers(dup_docs):
     with ThreadPoolExecutor(max_workers=4) as ex:
         results = list(ex.map(run, range(8)))
     assert all(r == expected for r in results)
+
+
+def test_lsh_candidate_plan_has_no_window_and_no_bucket_self_join(dup_docs):
+    """The LSH candidate stage must stay the combinable-count dataflow:
+    bucket sizes from a groupBy count (map-side partial aggregation), the
+    oversized-key split via broadcast joins, and small-bucket pairs from a
+    bounded-array expansion.  A window count here would shuffle AND sort
+    every (doc, band) row — bands x corpus rows through a sort at 100 TB —
+    and a bucket self-join would shuffle the bucketed set twice more."""
+    plan = (
+        minhash_lsh_pairs(dup_docs, n=3, threshold=0.8, verify=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # the only sort-merge joins allowed would come from verification
+    # (disabled here); candidates themselves need none
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # combinable bucket-size aggregation
