@@ -225,8 +225,9 @@ def minhash_signatures(
     num_hashes: int = 128,
     posts: DataFrame | None = None,
     with_set_size: bool = False,
+    with_hashes: bool = False,
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>[, set_size]) MinHash signatures.
+    """(doc_id, sig array<bigint>[, set_size][, hs]) MinHash signatures.
 
     h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^31 - 1) with fixed
     deterministic coefficients; the signature is min over the document's
@@ -237,24 +238,27 @@ def minhash_signatures(
     (outer-product min) instead of 128 separate hash aggregations — the
     shuffle carries one packed row per document either way.
 
-    ``posts`` lets a caller that also needs the shingle postings (e.g.
-    LSH verification) compute them once, persist, and share — at corpus
-    scale the postings are the largest intermediate and must not be
-    re-derived per consumer.  ``with_set_size`` rides the per-doc
-    distinct-shingle count on the same aggregation (posts is distinct, so
-    it is just the collected list's length), sparing consumers that need
-    set sizes (Jaccard verification) a second full shuffle over posts.
+    ``posts`` lets a caller that also computes the shingle postings (e.g.
+    the exact-Jaccard path) pass them in instead of re-deriving them.
+    ``with_set_size`` rides the per-doc distinct-shingle count on the
+    same aggregation (posts is per-doc distinct, so it is just the
+    collected list's length).  ``with_hashes`` additionally returns the
+    raw 64-bit shingle-hash array (``hs``) per document: candidate
+    verification then needs NO join back into the exploded postings —
+    intersection sizes come from ``array_intersect`` over these arrays,
+    and the postings are consumed exactly once, by this aggregation.
     """
     import numpy as np
     import pandas as pd
 
     if posts is None:
         posts = shingle_postings(df, text_col, id_col, n)
-    base = posts.withColumn(
-        "h", F.abs(F.xxhash64(F.col("shingle"), F.lit(42))) % F.lit(_MERSENNE)
-    )
-    # one array of shingle hashes per doc (posts is already keyed "doc_id")
-    grouped = base.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    base = posts.withColumn("h64", F.xxhash64(F.col("shingle"), F.lit(42)))
+    # one array of raw shingle hashes per doc; the 31-bit reduction
+    # abs(h64) % p moves into the numpy pass (identical values — numpy and
+    # the JVM agree on abs-then-mod for every input except the single
+    # 2^-64-probability value INT64_MIN, whose remainder sign differs)
+    grouped = base.groupBy("doc_id").agg(F.collect_list("h64").alias("hs"))
 
     a, b = minhash_coefficients(num_hashes)
 
@@ -263,7 +267,8 @@ def minhash_signatures(
         # from `from __future__ import annotations` confuse the inferencer)
         out = []
         for arr in hs:
-            h = np.asarray(arr, dtype=np.int64)[:, None]  # (n_shingles, 1)
+            h64 = np.asarray(arr, dtype=np.int64)
+            h = (np.abs(h64) % _MERSENNE)[:, None]  # (n_shingles, 1)
             sig = ((h * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
             out.append(sig.tolist())
         return pd.Series(out)
@@ -271,6 +276,8 @@ def minhash_signatures(
     cols = ["doc_id", sig_udf("hs").alias("sig")]
     if with_set_size:
         cols.append(F.size("hs").cast("long").alias("set_size"))
+    if with_hashes:
+        cols.append(F.col("hs"))
     return grouped.select(*cols)
 
 
@@ -399,26 +406,26 @@ _MINHASH_CACHE_LOCK = threading.Lock()
 
 
 def _minhash_frames(df, text_col, id_col, n, num_hashes, verify, caches):
-    """Build (and, when verifying, persist+register) the shared shingle
-    postings and signature frames.  Pure plan construction — cheap, so
-    callers may hold a lock across it."""
-    posts = shingle_postings(df, text_col, id_col, n)
-    if verify:
-        # MEMORY_AND_DISK explicitly: at 100 TB the shingle postings exceed
-        # aggregate executor memory and MUST spill rather than evict-and-
-        # recompute (the recompute is a full corpus tokenize).
-        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
-        caches.add(posts)
+    """Build (and, when verifying, persist+register) the signature frame.
+    Pure plan construction — cheap, so callers may hold a lock across it.
+
+    With verification on, the frame also carries per-doc set sizes and the
+    raw shingle-hash arrays, so the banding branch, the size lookup AND
+    the candidate verification all read this ONE cached frame — the
+    exploded postings are consumed exactly once (by the signature
+    aggregation) and never shuffled again."""
     sigs = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, posts=posts, with_set_size=verify
+        df, text_col, id_col, n, num_hashes,
+        with_set_size=verify, with_hashes=verify,
     )
     if verify:
-        # consumed by both the banding branch and the set-size lookup —
-        # tiny (one row per doc), so cache instead of recomputing the
-        # signature aggregation twice
+        # MEMORY_AND_DISK explicitly: with the hash arrays aboard this is
+        # the pipeline's largest cached intermediate — at 100 TB it
+        # exceeds aggregate executor memory and MUST spill rather than
+        # evict-and-recompute (the recompute is a full corpus tokenize).
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
         caches.add(sigs)
-    return posts, sigs
+    return sigs
 
 
 def minhash_lsh_pairs(
@@ -445,11 +452,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    # The shingle postings are the largest intermediate in this pipeline
-    # (one row per distinct (doc, shingle)); both the signature build and
-    # the verification join consume them.  Compute ONCE and persist so a
-    # single action over the returned plan scans/tokenizes the corpus one
-    # time — previously this was two full corpus passes.
+    # ONE persisted frame (signatures + set sizes + raw shingle-hash
+    # arrays) feeds banding, size lookup and verification: the exploded
+    # shingle postings — the pipeline's largest intermediate — are consumed
+    # exactly once, by the signature aggregation, and a single action over
+    # the returned plan scans/tokenizes the corpus one time.
     if caches is None:
         # default registry: one live result; drop the previous call's
         # frames and register this call's under ONE lock hold (release and
@@ -458,13 +465,11 @@ def minhash_lsh_pairs(
         # silently degrading to a full recompute)
         with _MINHASH_CACHE_LOCK:
             _DEFAULT_MINHASH_CACHES.release()
-            posts, sigs = _minhash_frames(
+            sigs = _minhash_frames(
                 df, text_col, id_col, n, num_hashes, verify, _DEFAULT_MINHASH_CACHES
             )
     else:
-        posts, sigs = _minhash_frames(
-            df, text_col, id_col, n, num_hashes, verify, caches
-        )
+        sigs = _minhash_frames(df, text_col, id_col, n, num_hashes, verify, caches)
     band_cols = [
         F.xxhash64(
             F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]
@@ -486,20 +491,50 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    sizes = sigs.select("doc_id", "set_size")
-    pa = posts.select(F.col("doc_id").alias("id_a"), "shingle")
-    pb = posts.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        cands.join(pa, "id_a")
-        .join(pb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # The candidate set is referenced three times below (both sides of the
+    # id union + the final join); persist it so those references share one
+    # in-memory relation instead of re-deriving the banding pipeline.
+    # Candidate pairs are orders of magnitude smaller than the postings
+    # (bounded by bands x bucket expansion of true near-dups).
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is None:
+        with _MINHASH_CACHE_LOCK:
+            _DEFAULT_MINHASH_CACHES.add(cands)
+    else:
+        caches.add(cands)
+
+    # Verification without touching the exploded postings again: semi-join
+    # the cached signature frame down to candidate docs (candidates are
+    # sparse relative to the corpus — AQE broadcasts the id set when it is
+    # small, a keyed semi-join otherwise), then intersect the per-doc
+    # 64-bit shingle-hash arrays per pair.  The previous formulation
+    # joined candidates back into the full postings twice — two
+    # corpus-scale shuffles; this shuffles only candidate-doc rows.
+    # Hash-array intersection equals string-set intersection unless two
+    # distinct shingles within one pair's union collide at 64 bits
+    # (~|set|²/2⁶⁴ ≈ 1e-14 per pair — far below the 6dp rounding).
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    sets = sigs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", "set_size", "hs"
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("set_size").alias("size_a"),
+        F.col("hs").alias("hs_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("set_size").alias("size_b"),
+        F.col("hs").alias("hs_b"),
+    )
     return (
-        inter.join(sa, "id_a")
+        cands.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.round(

@@ -100,7 +100,9 @@ def test_minhash_explicit_cache_registry(dup_docs):
         mine = minhash_lsh_pairs(dup_docs, n=3, threshold=0.8, caches=reg)
         # a default-registry call in between must NOT clobber reg's caches
         minhash_lsh_pairs(dup_docs, n=3, threshold=0.8).count()
-        assert len(reg._frames) == 2  # posts + sigs still registered
+        # the sig+set_size+hashes frame and the candidate-pair frame
+        # are still registered
+        assert len(reg._frames) == 2
         assert all(f.storageLevel.useMemory for f in reg._frames)
         assert {(r["id_a"], r["id_b"]) for r in mine.collect()} == expected
     assert reg._frames == []  # released on exit
