@@ -1145,6 +1145,54 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_contamination_report(spark, sf_dir):
+    """Fuzzy-decontamination containment report (textproc/scrub.py
+    eval_overlap_report): every (doc, eval example) pair where >= 50% of
+    the eval example's distinct 8-grams appear in the document.  The eval
+    set is the doc_id % 100 == 0 slice, so self-pairs pin containment
+    exactly 1.0 and corpus near-dups of eval docs exercise the
+    fractional path."""
+    from capreolus_spark.textproc import eval_overlap_report
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_texts = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = eval_overlap_report(docs, eval_texts, n=8, threshold=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("eval_size").cast("long").alias("eval_size"),
+        "containment",
+    )
+
+
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    """Surviving docs under the containment rule (textproc/scrub.py
+    decontaminate_fuzzy) — drops any doc holding >= 50% of some eval
+    example's distinct 8-grams (the eval docs drop themselves)."""
+    from capreolus_spark.textproc import decontaminate_fuzzy
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_texts = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return decontaminate_fuzzy(docs, eval_texts, n=8, threshold=0.5).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus top-k n-gram report (textproc/ngrams.py top_ngrams):
+    3-grams ranked by (doc_freq, total_tf, ngram) with the singleton tail
+    cut in the combinable aggregation."""
+    from capreolus_spark.textproc import top_ngrams
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return top_ngrams(docs, n=3, k=50, min_doc_freq=2)
+
+
 def _q_pipeline_clean(spark, sf_dir):
     from capreolus_spark.textproc.pipeline import clean_corpus
 
@@ -1546,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": _q_pii_stats,
         "bpe_token_count": _q_bpe_count,
         "decontaminate_docs": _q_decontaminate,
+        "contamination_report": _q_contamination_report,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "top_ngrams": _q_top_ngrams,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
         "total_training_samples": _q_total_samples,
@@ -2050,6 +2101,38 @@ def oracle_sql() -> dict[str, str]:
             "bad AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM ev)) "
             "SELECT cast(doc_id AS bigint) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "contamination_report": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8 THEN list_transform(range(0, len(toks) - 7), i -> array_to_string(toks[i+1:i+8], ' ')) ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM tok), "
+            "ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 100 = 0), "
+            "evs AS (SELECT eval_id, count(*) AS eval_size FROM ev GROUP BY eval_id), "
+            "inter AS (SELECT sh.doc_id, ev.eval_id, count(*) AS overlap FROM sh JOIN ev USING (shingle) GROUP BY sh.doc_id, ev.eval_id) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, cast(eval_id AS bigint) AS eval_id, "
+            "cast(overlap AS bigint) AS overlap, cast(eval_size AS bigint) AS eval_size, "
+            "round(overlap * 1.0 / eval_size, 6) AS containment "
+            "FROM inter JOIN evs USING (eval_id) "
+            "WHERE round(overlap * 1.0 / eval_size, 6) >= 0.5"
+        ),
+        "decontaminate_fuzzy": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8 THEN list_transform(range(0, len(toks) - 7), i -> array_to_string(toks[i+1:i+8], ' ')) ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM tok), "
+            "ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 100 = 0), "
+            "evs AS (SELECT eval_id, count(*) AS eval_size FROM ev GROUP BY eval_id), "
+            "inter AS (SELECT sh.doc_id, ev.eval_id, count(*) AS overlap FROM sh JOIN ev USING (shingle) GROUP BY sh.doc_id, ev.eval_id), "
+            "bad AS (SELECT DISTINCT doc_id FROM inter JOIN evs USING (eval_id) "
+            "WHERE round(overlap * 1.0 / eval_size, 6) >= 0.5) "
+            "SELECT cast(doc_id AS bigint) AS doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "top_ngrams": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END) AS ngram FROM tok), "
+            "pd AS (SELECT doc_id, ngram, count(*) AS tf FROM g GROUP BY doc_id, ngram), "
+            "tot AS (SELECT ngram, count(*) AS doc_freq, sum(tf) AS total_tf FROM pd GROUP BY ngram HAVING count(*) >= 2), "
+            "top AS (SELECT ngram, doc_freq, total_tf, row_number() OVER (ORDER BY doc_freq DESC, total_tf DESC, ngram ASC) AS rank FROM tot) "
+            "SELECT ngram, cast(doc_freq AS bigint) AS doc_freq, cast(total_tf AS bigint) AS total_tf, "
+            "cast(rank AS bigint) AS rank FROM top WHERE rank <= 50"
         ),
         "pipeline_clean_corpus": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

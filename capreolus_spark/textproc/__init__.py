@@ -44,4 +44,11 @@ from .sampling import (  # noqa: F401
     stratified_sample,
 )
 from .pipeline import clean_corpus  # noqa: F401
-from .scrub import decontaminate, pii_stats, scrub_pii  # noqa: F401
+from .scrub import (  # noqa: F401
+    decontaminate,
+    decontaminate_fuzzy,
+    eval_overlap_report,
+    pii_stats,
+    scrub_pii,
+)
+from .ngrams import top_ngrams  # noqa: F401

@@ -1,0 +1,94 @@
+"""Corpus-level n-gram frequency analysis.
+
+:func:`top_ngrams` — the most frequent word ``n``-grams across a corpus
+with document frequency and total occurrence counts: the standard corpus
+inspection step in training-data pipelines (boilerplate discovery, license
+headers, template detection, vocabulary sizing) and the raw input to
+frequency-based filters.
+
+Scale shape (designed for 100 TB):
+
+1. tokenize + shingle is one narrow pass (same shared machinery as the
+   dedup family — :func:`~capreolus_spark.textproc.dedup.shingle_postings`'
+   tokenizer, here WITHOUT per-doc distinct so totals count occurrences);
+2. a first hash aggregation on ``(doc_id, n-gram)`` is map-side combinable
+   and, because a document's shingles all sit in one input partition, the
+   partial aggregate already emits exactly one row per (doc, n-gram) —
+   the one real shuffle carries the distinct-postings volume, not the
+   occurrence volume;
+3. the final per-n-gram rollup is again combinable, and the top-k is a
+   ``TakeOrderedAndProject`` (per-partition heaps + driver merge of k
+   rows), never a global sort.
+
+Ordering is deterministic: (doc_freq desc, total_tf desc, ngram asc).
+SQL-expressible — DuckDB-gated via ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _spread, _tokens
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """(ngram, doc_freq, total_tf, rank) — the ``k`` most frequent word
+    ``n``-grams by document frequency (ties broken by total occurrences,
+    then lexicographically, so the result is unique and reproducible).
+
+    ``min_doc_freq`` drops the long singleton tail before ranking — at
+    corpus scale almost every n-gram occurs once, and the filter happens
+    in the combinable aggregation, never materializing the tail rows
+    downstream.
+    """
+    if n <= 0 or k <= 0:
+        raise ValueError("n and k must be positive")
+    toked = _spread(df).select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )
+    # occurrences, not per-doc distinct: slice the token window directly
+    # (the dedup family's _shingles_from_tokens applies array_distinct,
+    # which is exactly right for set similarity and exactly wrong for
+    # counting total occurrences)
+    t = F.col("_toks")
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + F.lit(1), n), " "),
+        ),
+    ).otherwise(
+        F.when(F.size(t) > 0, F.array(F.array_join(t, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    per_doc = (
+        toked.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(F.count("*").alias("tf"))
+    )
+    totals = (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count("*").cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+    top = totals.orderBy(
+        F.col("doc_freq").desc(), F.col("total_tf").desc(), F.col("ngram").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("doc_freq").desc(), F.col("total_tf").desc(), F.col("ngram").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "ngram", "doc_freq", "total_tf", "rank"
+    )

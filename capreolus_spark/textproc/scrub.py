@@ -11,8 +11,17 @@ corpus before training, beyond the reference's IR scope:
   held-out evaluation set (the standard 13-gram overlap rule): shingle both
   sides, anti-join on the shingle — one shuffle keyed by shingle hash, no
   cross join.
+* :func:`eval_overlap_report` / :func:`decontaminate_fuzzy` — the softer
+  published rule (used when eval items are short or lightly paraphrased):
+  a document is contaminated when ≥ ``threshold`` of SOME eval example's
+  distinct ``n``-grams appear in it (containment of the eval shingle set,
+  not symmetric Jaccard — the eval item is the thing being leaked).  One
+  corpus-scale shingle pass joined against the broadcast eval shingles;
+  the per-(doc, eval) intersection groupBy only sees rows that matched an
+  eval shingle, so its shuffle is bounded by the contamination surface,
+  not the corpus.
 
-Both are deterministic and SQL-expressible (DuckDB-gated via
+All are deterministic and SQL-expressible (DuckDB-gated via
 ``__spark_entry__``).
 """
 
@@ -97,6 +106,104 @@ def decontaminate(
     )
     contaminated = (
         doc_shingles.join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(
+        contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
+def eval_overlap_report(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, eval_id, overlap, eval_size, containment) for every
+    (document, eval example) pair whose containment
+    ``|S_eval ∩ S_doc| / |S_eval|`` reaches ``threshold``, where ``S`` is
+    the distinct word ``n``-gram set.
+
+    Containment (not Jaccard) is the published fuzzy-decontamination
+    statistic: a 200-token eval answer fully embedded in a 100k-token
+    training document has tiny Jaccard but containment 1.0 — exactly the
+    leak the filter exists to catch.
+
+    Scale shape: the corpus side is shingled ONCE (one narrow pass); the
+    eval side — benchmark suites are megabytes, never corpus-sized — is
+    shingled, counted, and broadcast, so the probe join is map-side with
+    no corpus shuffle.  Only rows that HIT an eval shingle reach the
+    (doc_id, eval_id) aggregation, so the one real shuffle is sized by
+    the contamination surface.  Set ``broadcast_eval=False`` to fall back
+    to a shuffle hash join when the eval set is genuinely huge.
+    """
+    eval_shingles = shingle_postings(
+        eval_texts.select(
+            F.col(eval_id_col).alias("eval_id"), F.col(eval_text_col).alias("text")
+        ),
+        text_col="text",
+        id_col="eval_id",
+        n=n,
+    ).select(F.col("doc_id").alias("eval_id"), "shingle")
+    eval_sizes = eval_shingles.groupBy("eval_id").agg(
+        F.count("*").alias("eval_size")
+    )
+    if broadcast_eval:
+        eval_shingles = F.broadcast(eval_shingles)
+        eval_sizes = F.broadcast(eval_sizes)
+    doc_shingles = shingle_postings(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        text_col="text",
+        n=n,
+    )
+    inter = (
+        doc_shingles.join(eval_shingles, "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return (
+        inter.join(eval_sizes, "eval_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("overlap") / F.col("eval_size").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_id", "eval_id", "overlap", "eval_size", "containment")
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Surviving documents under the containment rule: drop a document
+    when ≥ ``threshold`` of ANY single eval example's distinct ``n``-grams
+    appear in it (see :func:`eval_overlap_report`)."""
+    contaminated = (
+        eval_overlap_report(
+            docs,
+            eval_texts,
+            n=n,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            eval_id_col=eval_id_col,
+            eval_text_col=eval_text_col,
+            broadcast_eval=broadcast_eval,
+        )
         .select("doc_id")
         .distinct()
     )

@@ -1020,3 +1020,87 @@ def test_lsh_candidate_plan_has_no_window_and_no_bucket_self_join(dup_docs):
     # (disabled here); candidates themselves need none
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan  # combinable bucket-size aggregation
+
+
+def test_eval_overlap_containment(spark):
+    """Containment = |S_eval ∩ S_doc| / |S_eval| over distinct n-grams:
+    an eval answer fully embedded in a long doc scores 1.0 even though
+    symmetric Jaccard would be tiny — the asymmetry is the point."""
+    from capreolus_spark.textproc import eval_overlap_report
+
+    eval_texts = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "eval_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # full embedding: every eval 4-gram present -> containment 1.0
+            (1, "padding words here alpha beta gamma delta epsilon zeta trailing filler"),
+            # partial: shares the first 4-gram only (1 of 3 eval 4-grams)
+            (2, "alpha beta gamma delta but then something else entirely different"),
+            (3, "no shared content at all in this one document"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["eval_id"]): r
+        for r in eval_overlap_report(docs, eval_texts, n=4, threshold=0.3).collect()
+    }
+    assert rows[(1, 100)]["containment"] == 1.0
+    assert rows[(1, 100)]["eval_size"] == 3  # three distinct 4-grams
+    assert rows[(2, 100)]["overlap"] == 1
+    assert abs(rows[(2, 100)]["containment"] - 1 / 3) < 1e-6
+    assert (3, 100) not in rows
+
+
+def test_decontaminate_fuzzy(spark):
+    from capreolus_spark.textproc import decontaminate_fuzzy
+
+    eval_texts = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "eval_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "padding words here alpha beta gamma delta epsilon zeta trailing filler"),
+            (2, "alpha beta gamma delta but then something else entirely different"),
+            (3, "no shared content at all in this one document"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_fuzzy(docs, eval_texts, n=4, threshold=0.5).collect()
+    }
+    # doc 1 holds 100% of the eval 4-grams (dropped); doc 2 only 1/3 (kept)
+    assert kept == {2, 3}
+
+
+def test_top_ngrams_counts_occurrences(spark):
+    """total_tf counts OCCURRENCES (a doc repeating an n-gram counts each
+    time), doc_freq counts documents once, and the (doc_freq desc,
+    total_tf desc, ngram asc) ordering is total."""
+    from capreolus_spark.textproc import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),        # "a b c" twice in one doc
+            (2, "a b c x y z"),
+            (3, "x y z q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, n=3, k=10, min_doc_freq=1).collect()
+    by_gram = {r["ngram"]: r for r in out}
+    assert by_gram["a b c"]["doc_freq"] == 2
+    assert by_gram["a b c"]["total_tf"] == 3  # 2 in doc 1 + 1 in doc 2
+    assert by_gram["x y z"]["doc_freq"] == 2
+    assert out[0]["ngram"] == "a b c" and out[0]["rank"] == 1  # tf tie-break
+    assert out[1]["ngram"] == "x y z" and out[1]["rank"] == 2
+    # min_doc_freq cuts the singleton tail
+    frequent = top_ngrams(docs, n=3, k=10, min_doc_freq=2).collect()
+    assert {r["ngram"] for r in frequent} == {"a b c", "x y z"}
+    # short doc fallback: doc shorter than n contributes its full text
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = top_ngrams(short, n=3, k=5).collect()
+    assert [r["ngram"] for r in rows] == ["a b"]
