@@ -210,6 +210,44 @@ def main() -> None:
             )
         )
 
+        # 14. fuzzy decontamination: the eval-shingle probe join must be
+        #     a broadcast hash join (map-side, no corpus shuffle to reach
+        #     eval shingles) and the whole report a python-free JVM plan
+        from capreolus_spark.textproc import eval_overlap_report
+
+        docs_df = corpus.select(
+            F.col("docid").alias("doc_id"), F.col("content").alias("text")
+        )
+        ev_df = docs_df.limit(2).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        rep = eval_overlap_report(docs_df, ev_df, n=4, threshold=0.3)
+        repplan = rep._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "fuzzy decontamination probe is broadcast + python-free",
+                "BroadcastHashJoin" in repplan
+                and "BatchEvalPython" not in repplan
+                and "ArrowEvalPython" not in repplan,
+            )
+        )
+
+        # 15. top_ngrams: the top-k must be TakeOrderedAndProject (per-
+        #     partition heaps + driver k-merge), never a global Sort, and
+        #     both aggregations map-side combinable (partial_count)
+        from capreolus_spark.textproc import top_ngrams
+
+        tng = top_ngrams(docs_df, n=3, k=10, min_doc_freq=1)
+        tngplan = tng._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "top_ngrams is heap top-k with combinable aggs",
+                "TakeOrderedAndProject" in tngplan
+                and "partial_count" in tngplan
+                and "BatchEvalPython" not in tngplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
