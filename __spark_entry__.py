@@ -1193,6 +1193,36 @@ def _q_top_ngrams(spark, sf_dir):
     return top_ngrams(docs, n=3, k=50, min_doc_freq=2)
 
 
+def _q_dedup_snapshot(spark, sf_dir):
+    """Exact dedup against a prior corpus snapshot (textproc/snapshot.py
+    dedup_against_snapshot): batch = all documents, snapshot = the
+    doc_id % 4 == 0 slice; snapshot members (and any other doc whose
+    normalized content matches one) are dropped, everything else kept."""
+    from capreolus_spark.textproc import dedup_against_snapshot
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snapshot = docs.filter(F.col("doc_id") % 4 == 0)
+    return dedup_against_snapshot(docs, snapshot).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _q_dedup_snapshot_near(spark, sf_dir):
+    """SimHash near-dedup against a snapshot (textproc/snapshot.py
+    near_dedup_against_snapshot): portable md5_60 config with bands=4 >
+    max_hamming=3, so the banded probe is provably complete and the SQL
+    twin can brute-force the cross-corpus Hamming join."""
+    from capreolus_spark.textproc import near_dedup_against_snapshot
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    snapshot = docs.filter(F.col("doc_id") % 4 == 0)
+    out = near_dedup_against_snapshot(
+        batch, snapshot, max_hamming=3, num_bits=60, bands=4, hash_fn="md5_60"
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _q_pipeline_clean(spark, sf_dir):
     from capreolus_spark.textproc.pipeline import clean_corpus
 
@@ -1597,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": _q_contamination_report,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "top_ngrams": _q_top_ngrams,
+        "dedup_snapshot_exact": _q_dedup_snapshot,
+        "dedup_snapshot_near": _q_dedup_snapshot_near,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "bow_doc_features": _q_bow_features,
         "total_training_samples": _q_total_samples,
@@ -2133,6 +2165,27 @@ def oracle_sql() -> dict[str, str]:
             "top AS (SELECT ngram, doc_freq, total_tf, row_number() OVER (ORDER BY doc_freq DESC, total_tf DESC, ngram ASC) AS rank FROM tot) "
             "SELECT ngram, cast(doc_freq AS bigint) AS doc_freq, cast(total_tf AS bigint) AS total_tf, "
             "cast(rank AS bigint) AS rank FROM top WHERE rank <= 50"
+        ),
+        "dedup_snapshot_exact": (
+            f"WITH fp AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS f FROM documents), "
+            "snap AS (SELECT DISTINCT f FROM fp WHERE doc_id % 4 = 0) "
+            "SELECT cast(doc_id AS bigint) AS doc_id FROM fp "
+            "WHERE f NOT IN (SELECT f FROM snap)"
+        ),
+        # portable 60-bit md5 simhash on both sides; brute-force EXISTS
+        # Hamming join == the banded probe (bands=4 > max_hamming=3)
+        "dedup_snapshot_near": (
+            f"WITH tokw AS (SELECT doc_id, tok, count(*) AS w FROM "
+            f"(SELECT doc_id, unnest({_TOK}) AS tok FROM documents) GROUP BY doc_id, tok), "
+            "th AS (SELECT doc_id, TRY_CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h, w FROM tokw), "
+            "bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN w ELSE -w END) AS v "
+            "FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) GROUP BY doc_id, i), "
+            "sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT cast(b.doc_id AS bigint) AS doc_id FROM sh b "
+            "WHERE b.doc_id % 4 != 0 AND NOT EXISTS ("
+            "SELECT 1 FROM sh s WHERE s.doc_id % 4 = 0 "
+            "AND bit_count(xor(b.simhash, s.simhash)) <= 3)"
         ),
         "pipeline_clean_corpus": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     exact_dup_groups,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
+    simhash_fingerprints,
     simhash_pairs,
 )
 from .substring import (  # noqa: F401
@@ -52,3 +53,7 @@ from .scrub import (  # noqa: F401
     scrub_pii,
 )
 from .ngrams import top_ngrams  # noqa: F401
+from .snapshot import (  # noqa: F401
+    dedup_against_snapshot,
+    near_dedup_against_snapshot,
+)

@@ -548,29 +548,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
+def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
     num_bits: int = 64,
-    bands: int = 8,
-    max_bucket_size: int = 4096,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-duplicates: 64-bit weighted fingerprints, candidate
-    pairs from identical bit-band chunks (pigeonhole: hamming ≤ bands-1
-    guarantees ≥1 shared band), verified by exact Hamming distance.
-    Buckets larger than ``max_bucket_size`` are star-chained instead of
-    self-joined (see :func:`_capped_bucket_pairs`).
+    """(doc_id, simhash): the weighted per-bit-vote SimHash fingerprint.
 
-    ``hash_fn``: ``xxhash64`` (default — fastest JVM path) or ``md5_60``
-    (60 bits from the md5 hex prefix; bit-identical to a portable SQL
-    recompute, so an external engine can hash-gate the whole pipeline;
-    use ``num_bits<=60`` with it).  With ``max_hamming <= bands - 1`` the
-    banded candidate set is provably complete, so the output EQUALS the
-    exact all-pairs Hamming join (modulo mega-bucket star-chaining, which
-    does not trigger below ``max_bucket_size`` members per bucket).
+    One narrow tokenize pass, a (doc, token) count aggregation (map-side
+    combinable), then the per-bit weighted votes packed into a single
+    long — all JVM column expressions.  ``hash_fn``: ``xxhash64``
+    (default, fastest JVM path) or ``md5_60`` (60 bits from the md5 hex
+    prefix; bit-identical to a portable SQL recompute, use
+    ``num_bits<=60``).  Shared by :func:`simhash_pairs` (self-corpus
+    near-dups) and the cross-corpus snapshot dedup
+    (:mod:`capreolus_spark.textproc.snapshot`).
     """
     toks = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
@@ -601,7 +595,7 @@ def simhash_pairs(
     def _bit_value(i: int):
         return F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
 
-    sim = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             [F.when(F.col(f"b{i}") > 0, _bit_value(i)).otherwise(F.lit(0)) for i in range(num_bits)],
@@ -609,8 +603,12 @@ def simhash_pairs(
         ).alias("simhash"),
     )
 
+
+def _simhash_bands(sim: DataFrame, num_bits: int, bands: int) -> DataFrame:
+    """Explode (doc_id, simhash) into (doc_id, simhash, band, chunk) band
+    keys; pigeonhole: hamming ≤ bands-1 guarantees ≥1 identical chunk."""
     chunk = num_bits // bands
-    banded = sim.select(
+    return sim.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -624,7 +622,40 @@ def simhash_pairs(
                 for bi in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    ).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    bands: int = 8,
+    max_bucket_size: int = 4096,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-duplicates: 64-bit weighted fingerprints, candidate
+    pairs from identical bit-band chunks (pigeonhole: hamming ≤ bands-1
+    guarantees ≥1 shared band), verified by exact Hamming distance.
+    Buckets larger than ``max_bucket_size`` are star-chained instead of
+    self-joined (see :func:`_capped_bucket_pairs`).
+
+    ``hash_fn``: ``xxhash64`` (default — fastest JVM path) or ``md5_60``
+    (60 bits from the md5 hex prefix; bit-identical to a portable SQL
+    recompute, so an external engine can hash-gate the whole pipeline;
+    use ``num_bits<=60`` with it).  With ``max_hamming <= bands - 1`` the
+    banded candidate set is provably complete, so the output EQUALS the
+    exact all-pairs Hamming join (modulo mega-bucket star-chaining, which
+    does not trigger below ``max_bucket_size`` members per bucket).
+    """
+    sim = simhash_fingerprints(
+        df, text_col=text_col, id_col=id_col, num_bits=num_bits, hash_fn=hash_fn
+    )
+
+    banded = _simhash_bands(sim, num_bits, bands)
 
     cands = _capped_bucket_pairs(
         banded, ["band", "chunk"], max_bucket_size, carry=["simhash"]

@@ -1,0 +1,152 @@
+"""Dedup against a prior corpus snapshot (incremental corpus building).
+
+A training corpus is rebuilt continuously: each refresh crawls/ingests a
+new batch and must drop documents already present in the previous
+snapshot — WITHOUT re-deduplicating the (much larger) snapshot itself.
+Two operators:
+
+* :func:`dedup_against_snapshot` — exact: anti-join the new batch's
+  content fingerprint (md5 of the normalized token stream, the same key
+  as :func:`~capreolus_spark.textproc.quality.fingerprint` /
+  :func:`~capreolus_spark.textproc.dedup.exact_dup_groups`) against the
+  snapshot's fingerprint set.
+* :func:`near_dedup_against_snapshot` — near: SimHash both sides with
+  the SAME fingerprint function the self-corpus
+  :func:`~capreolus_spark.textproc.dedup.simhash_pairs` uses, probe the
+  snapshot's band buckets, and drop a new document when some snapshot
+  fingerprint sits within ``max_hamming`` bits.
+
+Scale shape (designed for 100 TB):
+
+* The exact path is ONE hash anti-join on a 128-bit key — both sides
+  shuffle linearly, and Catalyst's runtime bloom-filter injection
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default)
+  builds a bloom filter from the smaller side and pushes it into the
+  larger side's scan, so most non-duplicate rows never reach the
+  shuffle.  Pass a PRECOMPUTED fingerprint table for the snapshot
+  (``snapshot_is_fingerprints=True`` — e.g. the persisted output of
+  :func:`~capreolus_spark.textproc.quality.fingerprint`) so a 100 TB
+  snapshot is represented by a few TB of keys; store it bucketed by
+  fingerprint and the snapshot side needs no shuffle at all.
+* The near path needs only EXISTS semantics, never the pair list, so
+  the snapshot's banded fingerprints are ``dropDuplicates``-reduced per
+  bucket BEFORE the probe join: an adversarial bucket of a billion
+  identical boilerplate fingerprints costs one row, and the join output
+  is bounded by (new-batch band rows × distinct snapshot fingerprints
+  per bucket), then collapsed to a distinct doc_id set.
+
+Both are deterministic; the exact path and the ``md5_60`` near path are
+SQL-expressible (DuckDB-gated via ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _simhash_bands, _spread, _tokens, simhash_fingerprints
+
+
+def _fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(_tokens(text_col), " ")).alias("fingerprint"),
+    )
+
+
+def dedup_against_snapshot(
+    docs: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snapshot_text_col: str | None = None,
+    snapshot_is_fingerprints: bool = False,
+    broadcast_snapshot: bool = False,
+) -> DataFrame:
+    """New-batch documents whose normalized content does NOT already
+    appear in ``snapshot`` (exact dedup against a prior corpus version).
+
+    ``snapshot`` is either raw documents (``snapshot_text_col``, default
+    = ``text_col``) or — the scale path — a precomputed fingerprint
+    table with a ``fingerprint`` column (``snapshot_is_fingerprints=
+    True``).  ``broadcast_snapshot`` force-broadcasts the key set for
+    genuinely small snapshots; at scale leave it False: the anti-join
+    shuffles both sides on the key, and Spark's runtime bloom filter
+    prefilters the probe side.
+
+    All original columns of ``docs`` survive.  Note this drops EVERY
+    batch row whose content is in the snapshot; in-batch duplicates of
+    content NOT in the snapshot are kept (run the self-corpus dedup for
+    those — the two concerns compose).
+    """
+    if snapshot_is_fingerprints:
+        keys = snapshot.select("fingerprint").distinct()
+    else:
+        keys = (
+            _fingerprints(snapshot, snapshot_text_col or text_col, id_col)
+            .select("fingerprint")
+            .distinct()
+        )
+    if broadcast_snapshot:
+        keys = F.broadcast(keys)
+    fps = _fingerprints(docs, text_col, id_col)
+    survivors = fps.join(keys, "fingerprint", "left_anti").select("doc_id")
+    return docs.join(
+        survivors.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+
+
+def near_dedup_against_snapshot(
+    docs: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snapshot_text_col: str | None = None,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """New-batch documents with NO near-duplicate in ``snapshot`` under
+    the SimHash Hamming rule (same fingerprint function as the
+    self-corpus :func:`~capreolus_spark.textproc.dedup.simhash_pairs`).
+
+    With ``max_hamming <= bands - 1`` the banded probe is provably
+    complete (pigeonhole), so the result EQUALS the exact cross-corpus
+    Hamming join.  EXISTS semantics: the snapshot side keeps one row per
+    (band, chunk, simhash) — ``dropDuplicates`` before the join — so
+    mega-buckets of identical boilerplate cost one row each and no pair
+    list is ever materialized; matches collapse to a distinct doc_id set
+    immediately.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for a complete banded probe (pigeonhole)"
+        )
+    new_sim = simhash_fingerprints(
+        docs, text_col=text_col, id_col=id_col, num_bits=num_bits, hash_fn=hash_fn
+    )
+    snap_sim = simhash_fingerprints(
+        snapshot,
+        text_col=snapshot_text_col or text_col,
+        id_col=id_col,
+        num_bits=num_bits,
+        hash_fn=hash_fn,
+    )
+    new_banded = _simhash_bands(new_sim, num_bits, bands)
+    snap_banded = (
+        _simhash_bands(snap_sim, num_bits, bands)
+        .select("band", "chunk", F.col("simhash").alias("snap_simhash"))
+        .dropDuplicates(["band", "chunk", "snap_simhash"])
+    )
+    hits = (
+        new_banded.join(snap_banded, ["band", "chunk"])
+        .filter(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("snap_simhash")))
+            <= max_hamming
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti")

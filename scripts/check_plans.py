@@ -248,6 +248,22 @@ def main() -> None:
             )
         )
 
+        # 16. snapshot dedup: one hash ANTI-join on the fingerprint key,
+        #     python-free; with the broadcast hint the probe is map-side
+        from capreolus_spark.textproc import dedup_against_snapshot
+
+        snap = docs_df.limit(3)
+        surv = dedup_against_snapshot(docs_df, snap, broadcast_snapshot=True)
+        survplan = surv._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "snapshot dedup is broadcast anti-join, python-free",
+                "LeftAnti" in survplan
+                and "BroadcastHashJoin" in survplan
+                and "BatchEvalPython" not in survplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1104,3 +1104,91 @@ def test_top_ngrams_counts_occurrences(spark):
     short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     rows = top_ngrams(short, n=3, k=5).collect()
     assert [r["ngram"] for r in rows] == ["a b"]
+
+
+def test_dedup_against_snapshot_exact(spark):
+    """Exact snapshot dedup drops batch rows whose NORMALIZED content is
+    in the snapshot (formatting noise ignored), keeps everything else —
+    including in-batch duplicates of novel content (self-dedup is a
+    separate, composable concern)."""
+    from capreolus_spark.textproc import dedup_against_snapshot
+
+    snapshot = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "The  Quick   Brown Fox jumps over the lazy DOG"),  # dup modulo case/ws
+            (2, "an entirely new document about something else"),
+            (3, "an entirely new document about something else"),  # in-batch dup: kept
+            (4, "the quick brown fox jumps over the lazy dogs"),   # near but NOT exact
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_against_snapshot(docs, snapshot).collect()}
+    assert kept == {2, 3, 4}
+    # precomputed-fingerprint snapshot path gives the identical answer
+    from capreolus_spark.textproc import fingerprint
+
+    fps = fingerprint(snapshot).select("fingerprint")
+    kept2 = {
+        r["doc_id"]
+        for r in dedup_against_snapshot(
+            docs, fps, snapshot_is_fingerprints=True, broadcast_snapshot=True
+        ).collect()
+    }
+    assert kept2 == kept
+    # surviving rows keep all original columns
+    cols = dedup_against_snapshot(docs, snapshot).columns
+    assert cols == ["doc_id", "text"]
+
+
+def test_near_dedup_against_snapshot(spark):
+    """A one-word perturbation of a snapshot doc lands within the Hamming
+    radius and is dropped; unrelated text survives; the result equals a
+    brute-force cross-corpus Hamming join on the same fingerprints."""
+    from capreolus_spark.textproc import (
+        near_dedup_against_snapshot,
+        simhash_fingerprints,
+    )
+
+    base = (
+        "spark builds the inverted index by tokenizing documents into terms "
+        "then aggregating postings per term and packing sorted runs with "
+        "delta encoding for compact storage and fast document at a time scoring"
+    )
+    snapshot = spark.createDataFrame(
+        [(100, base), (101, "completely different snapshot entry about cooking pasta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base.replace("compact", "dense")),  # near-dup of 100
+            (2, "totally novel content discussing mountain weather forecasts and "
+                "avalanche risk assessment across alpine regions every winter"),
+            (3, base),  # exact dup of 100
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dedup_against_snapshot(docs, snapshot, max_hamming=3, bands=8)
+    kept = {r["doc_id"] for r in out.collect()}
+
+    # brute-force oracle on the same fingerprints
+    new_fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    snap_fp = {
+        r["doc_id"]: r["simhash"] for r in simhash_fingerprints(snapshot).collect()
+    }
+    expected = {
+        d
+        for d, s in new_fp.items()
+        if not any(bin((s ^ t) & ((1 << 64) - 1)).count("1") <= 3 for t in snap_fp.values())
+    }
+    assert kept == expected
+    assert 3 not in kept  # exact dup always dropped
+    assert 2 in kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        near_dedup_against_snapshot(docs, snapshot, max_hamming=8, bands=8)
