@@ -321,3 +321,37 @@ def test_krovetz_golden_calibration_file():
     assert len(pairs) >= 500
     bad = [(w, e, krovetz_stem(w)) for w, e in pairs if krovetz_stem(w) != e]
     assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+# ---------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=24)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_WORDS)
+def test_porter_total_on_arbitrary_words(word):
+    """Total function: no exception, lowercase-alpha output, never longer
+    than the input (Porter only removes/replaces suffixes)."""
+    from capreolus_spark.analysis.porter import porter_stem
+
+    out = porter_stem(word)
+    assert out and out.isalpha() and out == out.lower()
+    assert len(out) <= len(word)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_WORDS)
+def test_kstem_total_and_lexicon_fixed_points(word):
+    """Total on arbitrary words; dictionary words are fixed points (KStem
+    returns lexicon entries unchanged — the algorithm's defining rule)."""
+    from capreolus_spark.analysis.kstem import KrovetzStemmer
+
+    ks = KrovetzStemmer()
+    out = ks.stem(word)
+    assert isinstance(out, str) and out
+    if word in ks.lexicon and word not in ks.exceptions:
+        assert out == word

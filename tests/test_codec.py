@@ -74,3 +74,28 @@ def test_postings_compression_is_compact():
 def test_int32_array_roundtrip():
     v = np.array([0, 1, 2**31 - 1, 42], dtype=np.int64)
     np.testing.assert_array_equal(decode_int32_array(encode_int32_array(v)), v)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40
+        ),
+        max_size=30,
+    )
+)
+def test_position_lists_roundtrip(lists):
+    import numpy as np
+
+    from capreolus_spark.index.codec import (
+        decode_position_lists,
+        encode_position_lists,
+    )
+
+    lists = [np.array(sorted(set(xs)), dtype=np.int64) for xs in lists]
+    buf = encode_position_lists(lists)
+    tfs = np.array([len(xs) for xs in lists], dtype=np.int64)
+    out = decode_position_lists(buf, tfs)
+    assert len(out) == len(lists)
+    for got, want in zip(out, lists):
+        assert got.tolist() == want.tolist()

@@ -141,3 +141,34 @@ def test_wordpiece_vocab_golden_file(spark):
     # piece_ids are the vocab's dense ids
     stoi = vocab.stoi
     assert all(r["piece_id"] == stoi[r["piece"]] for r in out)
+
+
+# ---------------------------------------------------- property test
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abcdef", min_size=1, max_size=12),
+    vocab_words=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=4), max_size=20),
+)
+def test_wordpiece_reassembly_property(word, vocab_words):
+    """Greedy split invariant: either the pieces reassemble EXACTLY to the
+    word (first piece bare, rest ##-prefixed), or the result is a single
+    [UNK] — never a partial split."""
+    from capreolus_spark.analysis.wordpiece import UNK, wordpiece_word
+
+    stoi = {}
+    for w in vocab_words:
+        stoi.setdefault(w, len(stoi))
+        stoi.setdefault("##" + w, len(stoi))
+    pieces = wordpiece_word(word, stoi)
+    assert pieces
+    if pieces == [UNK]:
+        return
+    assert not pieces[0].startswith("##")
+    assert all(p.startswith("##") for p in pieces[1:])
+    assert pieces[0] + "".join(p[2:] for p in pieces[1:]) == word
+    assert all(p in stoi for p in pieces)
