@@ -300,6 +300,18 @@ def main() -> None:
                 docs.select("doc_id", "text"), span_tokens=20
             ).agg(F.sum("n_removed_tokens")).collect(),
         )
+
+        # incremental refresh: new batch (3/4 of the corpus) near-deduped
+        # against a prior snapshot (the other 1/4) — production xxhash64
+        # config, banded EXISTS probe
+        from capreolus_spark.textproc import near_dedup_against_snapshot
+
+        batch = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 != 0)
+        snap = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == 0)
+        timed(
+            "dedup_snapshot_near",
+            lambda: near_dedup_against_snapshot(batch, snap, max_hamming=3).count(),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
