@@ -6,13 +6,16 @@
         [--id-col doc_id] [--text-col text] \\
         [--min-tokens 5] [--max-punct-ratio 0.3] [--languages en,es] \\
         [--near-dup] [--near-dup-threshold 0.8] \\
+        [--snapshot <prior-corpus parquet>] [--snapshot-near] \\
         [--decontaminate <eval parquet>] [--boilerplate-min-docs 0] \\
         [--report <json path>]
 
 Composes the individually-oracled operators into the standard cleaning
 flow: (optional) boilerplate-line removal → quality filter + exact-dup
 collapse + language filter (one declarative plan) → (optional) MinHash
-near-dup collapse via connected components → (optional) 13-gram eval-set
+near-dup collapse via connected components → (optional) dedup against a
+prior corpus snapshot (exact fingerprint anti-join; ``--snapshot-near``
+adds the SimHash banded probe) → (optional) 13-gram eval-set
 decontamination.  Writes the surviving documents (id, text) plus a JSON
 report of per-stage counts to stdout (and ``--report`` when given).
 """
@@ -34,6 +37,14 @@ def main() -> None:
     ap.add_argument("--languages", default="", help="comma-separated allowlist")
     ap.add_argument("--near-dup", action="store_true")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--snapshot", default="",
+        help="prior-corpus parquet: drop docs already present in it",
+    )
+    ap.add_argument(
+        "--snapshot-near", action="store_true",
+        help="with --snapshot: also drop SimHash near-duplicates of snapshot docs",
+    )
     ap.add_argument("--decontaminate", default="", help="eval-set parquet path")
     ap.add_argument(
         "--boilerplate-min-docs", type=int, default=0,
@@ -95,6 +106,23 @@ def main() -> None:
         drop = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
         survivors = staged(survivors.join(drop, "doc_id", "left_anti"), "after_near_dup")
 
+    if args.snapshot:
+        from capreolus_spark.textproc import (
+            dedup_against_snapshot,
+            near_dedup_against_snapshot,
+        )
+
+        # the snapshot only contributes TEXT content; synthesize an id so
+        # an arbitrary prior-corpus schema works
+        snap = spark.read.parquet(args.snapshot).select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(args.text_col).alias("text"),
+        )
+        survivors = dedup_against_snapshot(survivors, snap)
+        if args.snapshot_near:
+            survivors = near_dedup_against_snapshot(survivors, snap)
+        survivors = staged(survivors, "after_snapshot_dedup")
+
     if args.decontaminate:
         # decontaminate only consumes the eval TEXT — don't require the
         # corpus id column on an arbitrary eval-set schema
@@ -106,11 +134,14 @@ def main() -> None:
         )
 
     survivors.write.mode("overwrite").parquet(args.output)
-    report["output_docs"] = report[
-        "after_decontamination"
-        if args.decontaminate
-        else ("after_near_dup" if args.near_dup else "after_quality_exactdup_lang")
-    ]
+    last_key = "after_quality_exactdup_lang"
+    if args.near_dup:
+        last_key = "after_near_dup"
+    if args.snapshot:
+        last_key = "after_snapshot_dedup"
+    if args.decontaminate:
+        last_key = "after_decontamination"
+    report["output_docs"] = report[last_key]
     for c in caches:
         c.unpersist()
     line = json.dumps(report)

@@ -140,6 +140,35 @@ def _submit_search_bench(
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _submit_dedup_bench(
+    cores: int, corpus: str, op: str, reps: int, executor_cores: int = 1,
+    id_col: str = "path", text_col: str = "content",
+) -> dict:
+    env = dict(os.environ)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    out = subprocess.run(
+        [
+            os.path.join(SPARK_HOME, "bin", "spark-submit"),
+            "--master", MASTER_URL,
+            "--total-executor-cores", str(cores),
+            "--executor-cores", str(executor_cores),
+            "--executor-memory", "2500m",
+            "--conf", "spark.ui.enabled=false",
+            # fixed shuffle width: identical task graph at every level
+            "--conf", "spark.sql.shuffle.partitions=64",
+            "--py-files", os.path.join(REPO, "dist", "capreolus_spark.zip"),
+            os.path.join(REPO, "scripts", "dedup_job.py"),
+            "--input", corpus,
+            "--op", op,
+            "--id-col", id_col,
+            "--text-col", text_col,
+            "--reps", str(reps),
+        ],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300000)
@@ -155,6 +184,20 @@ def main() -> None:
     )
     ap.add_argument("--query-reps", type=int, default=3)
     ap.add_argument("--hits", type=int, default=1000)
+    ap.add_argument(
+        "--textproc", default="",
+        help="comma-separated dedup_job ops (e.g. minhash_lsh,snapshot_near) "
+        "to bench over the same generated corpus at each level",
+    )
+    ap.add_argument("--textproc-reps", type=int, default=3)
+    ap.add_argument(
+        "--textproc-input", default="",
+        help="documents parquet for the --textproc ops (default: the "
+        "generated code corpus; point at a prose corpus for "
+        "dedup-realistic duplicate rates)",
+    )
+    ap.add_argument("--textproc-id-col", default="")
+    ap.add_argument("--textproc-text-col", default="")
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
     # validate BEFORE packaging / cluster startup: the report below unpacks
@@ -191,6 +234,8 @@ def main() -> None:
                 _gen_topics(topics_tsv, args.query_topics)
             results = {}
             qresults = {}
+            tresults = {}
+            tp_ops = [x for x in args.textproc.split(",") if x]
             for cores in levels:
                 best = None
                 last_idx = None
@@ -211,6 +256,18 @@ def main() -> None:
                         args.hits, args.executor_cores,
                     )
                     shutil.rmtree(last_idx, ignore_errors=True)
+                for op in tp_ops:
+                    tresults.setdefault(op, {})[cores] = _submit_dedup_bench(
+                        cores,
+                        args.textproc_input or corpus,
+                        op,
+                        args.textproc_reps,
+                        args.executor_cores,
+                        id_col=args.textproc_id_col
+                        or ("doc_id" if args.textproc_input else "path"),
+                        text_col=args.textproc_text_col
+                        or ("text" if args.textproc_input else "content"),
+                    )
             lo, hi = levels
             fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
             report = {
@@ -234,6 +291,17 @@ def main() -> None:
                     f"search_sec_{hi}exec": qresults[hi]["search_sec"],
                     f"query_scaling_efficiency_{lo}_to_{hi}": round(
                         (qps_hi / qps_lo) / (hi / lo), 3
+                    ),
+                })
+            for op, per_level in tresults.items():
+                s_lo = per_level[lo]["sec_median"]
+                s_hi = per_level[hi]["sec_median"]
+                report.update({
+                    f"{op}_sec_{lo}exec": s_lo,
+                    f"{op}_sec_{hi}exec": s_hi,
+                    f"{op}_result_rows": per_level[hi]["result_rows"],
+                    f"{op}_scaling_efficiency_{lo}_to_{hi}": round(
+                        (s_lo / s_hi) / (hi / lo), 3
                     ),
                 })
             print(json.dumps(report))

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""spark-submit entry point: run ONE dedup-family operator over a corpus
+parquet and print a one-line JSON timing/result report.
+
+    spark-submit --py-files dist/capreolus_spark.zip scripts/dedup_job.py \\
+        --input <documents parquet> --op minhash_lsh \\
+        [--id-col doc_id] [--text-col text] [--reps 1] \\
+        [--threshold 0.8] [--max-hamming 3] [--snapshot-mod 4] \\
+        [--output <parquet>]
+
+Ops:
+  exact         exact_dup_groups (hash-groupBy duplicate groups)
+  minhash_lsh   MinHash+LSH verified near-dup pairs
+  simhash       SimHash banded near-dup pairs
+  snapshot_near near_dedup_against_snapshot — the rows with
+                ``id % snapshot-mod != 0`` form the new batch, the rest
+                the prior snapshot (a self-contained benchmark split;
+                point --input at a real batch and adapt for production)
+
+Used standalone and by scripts/cluster_scaling.py --textproc to measure
+pipeline-op scaling on a real standalone cluster (N vs 4N executors).
+``--reps`` re-runs the action and reports the median wall time (the
+input is cached after the first pass so reps time the operator, not the
+scan).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--op", required=True,
+        choices=["exact", "minhash_lsh", "simhash", "snapshot_near"],
+    )
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--snapshot-mod", type=int, default=4)
+    ap.add_argument("--output", default="", help="also write the result parquet")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc import (
+        exact_dup_groups,
+        minhash_lsh_pairs,
+        near_dedup_against_snapshot,
+        simhash_pairs,
+    )
+
+    spark = SparkSession.builder.appName("capreolus_spark_dedup").getOrCreate()
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    n_docs = docs.persist().count()  # cache so reps time the op, not the scan
+
+    if args.op == "exact":
+        build = lambda: exact_dup_groups(docs)
+    elif args.op == "minhash_lsh":
+        build = lambda: minhash_lsh_pairs(docs, threshold=args.threshold)
+    elif args.op == "simhash":
+        build = lambda: simhash_pairs(docs, max_hamming=args.max_hamming)
+    else:  # snapshot_near
+        # the id column may be any orderable type (string paths included):
+        # split on a hash so the benchmark needs no integer ids
+        bucket = F.pmod(F.xxhash64("doc_id"), F.lit(args.snapshot_mod))
+        batch = docs.filter(bucket != 0)
+        snapshot = docs.filter(bucket == 0)
+        build = lambda: near_dedup_against_snapshot(
+            batch, snapshot, max_hamming=args.max_hamming
+        )
+
+    times, rows = [], 0
+    for _ in range(max(1, args.reps)):
+        t0 = time.monotonic()
+        rows = build().count()
+        times.append(time.monotonic() - t0)
+    times.sort()
+    if args.output:
+        build().write.mode("overwrite").parquet(args.output)
+
+    print(json.dumps({
+        "op": args.op,
+        "n_docs": n_docs,
+        "result_rows": rows,
+        "sec_median": round(times[len(times) // 2], 2),
+        "sec_samples": [round(t, 2) for t in times],
+        "docs_per_sec": round(n_docs / times[len(times) // 2], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
