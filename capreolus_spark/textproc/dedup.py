@@ -379,10 +379,15 @@ class MinhashCacheRegistry:
     def add(self, frame: DataFrame) -> None:
         self._frames.append(frame)
 
-    def release(self) -> None:
+    def release(self, blocking: bool = False) -> None:
+        """Unpersist every tracked frame.  ``blocking=True`` waits for the
+        blocks to actually drop — use it between back-to-back dedup runs on
+        memory-tight executors, where the default async unpersist races the
+        NEXT run's caching and the eviction thrash shows up as that run's
+        wall time."""
         while self._frames:
             try:
-                self._frames.pop().unpersist()
+                self._frames.pop().unpersist(blocking=blocking)
             except Exception:
                 pass  # session may be stopped
 

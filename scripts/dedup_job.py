@@ -64,10 +64,21 @@ def main() -> None:
     )
     n_docs = docs.persist().count()  # cache so reps time the op, not the scan
 
+    cleanup = lambda: None
     if args.op == "exact":
         build = lambda: exact_dup_groups(docs)
     elif args.op == "minhash_lsh":
-        build = lambda: minhash_lsh_pairs(docs, threshold=args.threshold)
+        # per-rep registry, released BLOCKING between reps (outside the
+        # timed region): the default async unpersist races the next rep's
+        # corpus-scale caching on memory-tight executors and the eviction
+        # thrash inflates that rep's wall time
+        from capreolus_spark.textproc.dedup import MinhashCacheRegistry
+
+        caches = MinhashCacheRegistry()
+        build = lambda: minhash_lsh_pairs(
+            docs, threshold=args.threshold, caches=caches
+        )
+        cleanup = lambda: caches.release(blocking=True)
     elif args.op == "simhash":
         build = lambda: simhash_pairs(docs, max_hamming=args.max_hamming)
     else:  # snapshot_near
@@ -85,6 +96,7 @@ def main() -> None:
         t0 = time.monotonic()
         rows = build().count()
         times.append(time.monotonic() - t0)
+        cleanup()
     times.sort()
     if args.output:
         build().write.mode("overwrite").parquet(args.output)
