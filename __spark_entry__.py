@@ -1348,6 +1348,20 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_corpus_with_dups(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_dedup_minhash_components(spark, sf_dir):
+    """Near-dup clustering: connected components (min-id label propagation,
+    `textproc/dedup.py dup_components`) over the verified MinHash+LSH pair
+    set — the composition `scripts/clean_job.py --near-dup` keeps one
+    canonical doc per component of."""
+    from capreolus_spark.textproc import dup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_corpus_with_dups(spark, sf_dir), n=3, threshold=0.8)
+    return dup_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from capreolus_spark.textproc import simhash_pairs
 
@@ -1651,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_minhash_components": _q_dedup_minhash_components,
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1940,6 +1955,25 @@ def oracle_sql() -> dict[str, str]:
             "round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id "
             "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8"
+        ),
+        # near-dup CLUSTERING: connected components over the verified LSH
+        # pairs (what clean_job --near-dup keeps one canonical doc per
+        # component of).  The oracle computes the same exact-Jaccard pair
+        # set, then a recursive-CTE transitive closure with min-id roots —
+        # the same semantics as the Spark iterative min-label propagation.
+        "dedup_minhash_components": (
+            f"WITH RECURSIVE {dup_posts}, "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+            "FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id "
+            "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT u AS node, u AS root FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.v AS node, r.root FROM reach r JOIN edges e ON e.u = r.node) "
+            "SELECT cast(node AS bigint) AS doc_id, cast(min(root) AS bigint) AS component_id "
+            "FROM reach GROUP BY node"
         ),
         "dedup_ngram_jaccard": (
             f"WITH {dup_posts}, "
