@@ -475,22 +475,22 @@ def minhash_lsh_pairs(
             )
     else:
         sigs = _minhash_frames(df, text_col, id_col, n, num_hashes, verify, caches)
-    band_cols = [
-        F.xxhash64(
-            F.lit(bi), *[F.col("sig").getItem(bi * rows + r) for r in range(rows)]
-        ).alias(f"band{bi}")
+    # band keys as ONE JVM-parsed SQL statement (inline over an array of
+    # (band, xxhash64-of-row-slice) structs).  The per-band Column
+    # construction made ~8k py4j round trips (~1.5 s of driver time per
+    # call at 32 bands — pure serial floor); the SQL is the identical
+    # expression tree: integer band literals and 0-based sig[] indexing
+    # match F.lit/getItem, so band hashes are bit-identical.
+    band_structs = ",".join(
+        f"struct({bi} as band, xxhash64({bi},"
+        + ",".join(f"sig[{bi * rows + r}]" for r in range(rows))
+        + ") as bucket)"
         for bi in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    bucketed = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket"))
-                for bi in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    bucketed = df.sparkSession.sql(
+        f"select doc_id, inline(array({band_structs})) from {{sigs}}",
+        sigs=sigs.select("doc_id", "sig"),
+    )
 
     cands = _capped_bucket_pairs(bucketed, ["band", "bucket"], max_bucket_size)
     if not verify:
