@@ -115,6 +115,41 @@ def test_simhash_pairs(dup_docs):
     assert not any((4 in p) or (6 in p) for p in pairs)
 
 
+def test_simhash_vote_pack_matches_python_recompute(dup_docs):
+    """The SQL-built per-bit vote sums + packing (built as one JVM-parsed
+    statement for driver-floor reasons) must equal a pure-Python recompute
+    over the SAME per-token hashes: collect (doc_id, tok-count, hash) rows
+    from Spark — so the check is independent of the vote/pack SQL but not
+    of the hash — and re-derive each fingerprint bit by bit."""
+    from collections import Counter
+
+    from capreolus_spark.textproc.dedup import _spread, _tokens, simhash_fingerprints
+
+    toks = (
+        _spread(dup_docs)
+        .select(F.col("doc_id"), F.explode(_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.xxhash64(F.col("tok"), F.lit(7)))
+    )
+    votes: dict[int, Counter] = {}
+    for r in toks.collect():
+        c = votes.setdefault(r["doc_id"], Counter())
+        for i in range(64):
+            c[i] += r["w"] if (r["h"] >> i) & 1 else -r["w"]
+    expected = {}
+    for doc_id, c in votes.items():
+        packed = 0
+        for i in range(64):
+            if c[i] > 0:
+                packed |= 1 << i
+        if packed >= 1 << 63:  # python int -> two's-complement JVM long
+            packed -= 1 << 64
+        expected[doc_id] = packed
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(dup_docs).collect()}
+    assert got == expected
+
+
 def test_quality_and_token_stats(documents):
     stats = token_stats(documents).filter(F.col("doc_id") == 1).collect()[0]
     assert stats["n_tokens"] > 0
