@@ -953,6 +953,20 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_nb_classify(spark, sf_dir):
+    """Multinomial NB self-train/self-predict over ``documents`` with
+    ``source`` as the label: a pure-aggregation classifier whose scores
+    are rounded before the argmax with label-asc tie-break, so the
+    reported class is cross-engine deterministic (see
+    capreolus_spark/textproc/classify.py docstring)."""
+    from capreolus_spark.textproc.classify import nb_classify
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    return nb_classify(docs, docs, label_col="source").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pred_label", "score"
+    )
+
+
 def _q_sentence_split(spark, sf_dir):
     """Sentence segmentation in the SQL-twinnable regex configuration
     (pure JVM, no lookaround so Java regex == RE2); the abbreviation-guard
@@ -1631,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_ids": _q_wordpiece_ids,
         "sentence_split": _q_sentence_split,
         "lm_perplexity": _q_lm_perplexity,
+        "nb_classify": _q_nb_classify,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -2045,6 +2060,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok.doc_id, cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams, "
             "round(sc.avg_nll, 6) AS avg_nll, round(exp(sc.avg_nll), 6) AS perplexity "
             "FROM tok LEFT JOIN sc ON tok.doc_id = sc.doc_id"
+        ),
+        "nb_classify": (
+            f"WITH tok AS (SELECT doc_id, source AS label, {_TOK} AS toks FROM documents), "
+            "tr AS (SELECT label, t AS token, count(*) AS c_tc "
+            "FROM (SELECT label, unnest(toks) AS t FROM tok) GROUP BY label, t), "
+            "ctot AS (SELECT label, sum(c_tc) AS c_c FROM tr GROUP BY label), "
+            "v AS (SELECT count(DISTINCT token) AS vs FROM tr), "
+            "pri AS (SELECT source AS label, ln(count(*) * 1.0 / "
+            "(SELECT count(*) FROM documents)) AS log_prior FROM documents GROUP BY source), "
+            "cls AS (SELECT p.label, p.log_prior, "
+            "ln(1.0 / (ctot.c_c + 1.0 * v.vs)) AS log_unseen "
+            "FROM pri p JOIN ctot USING (label) CROSS JOIN v), "
+            "cond AS (SELECT token, label, ln((c_tc + 1.0) / (c_c + 1.0 * v.vs)) AS logp "
+            "FROM tr JOIN ctot USING (label) CROSS JOIN v), "
+            "tf AS (SELECT doc_id, t AS token, count(*) AS tf "
+            "FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t), "
+            "voc AS (SELECT DISTINCT token FROM tr), "
+            "contrib AS (SELECT tf.doc_id, c.label, "
+            "tf.tf * coalesce(cd.logp, c.log_unseen) AS part "
+            "FROM tf JOIN voc USING (token) CROSS JOIN cls c "
+            "LEFT JOIN cond cd ON cd.token = tf.token AND cd.label = c.label), "
+            "sc AS (SELECT doc_id, label, sum(part) AS ll FROM contrib GROUP BY doc_id, label), "
+            "scored AS (SELECT sc.doc_id, sc.label, sc.ll + cls.log_prior AS score "
+            "FROM sc JOIN cls USING (label)), "
+            "prior_only AS (SELECT d.doc_id, cls.label, cls.log_prior AS score "
+            "FROM documents d CROSS JOIN cls "
+            "WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM scored)), "
+            "allsc AS (SELECT doc_id, label, round(score, 6) AS score FROM "
+            "(SELECT * FROM scored UNION ALL SELECT * FROM prior_only)), "
+            "r AS (SELECT doc_id, label, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn FROM allsc) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, label AS pred_label, score "
+            "FROM r WHERE rn = 1"
         ),
         "sentence_split": (
             "WITH p AS (SELECT doc_id, replace(text, ' table ', '. Table ') AS text FROM documents), "

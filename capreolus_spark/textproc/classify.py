@@ -1,0 +1,211 @@
+"""Multinomial Naive Bayes document classification — train + predict as
+pure combinable aggregations, no Python in the hot path.
+
+The standard first-pass document classifier in training-data pipelines
+(domain labeling, source attribution, quality-tier routing before a more
+expensive model): train on a labeled seed set, then score the full corpus.
+The reference delegates all text analytics to external components
+(``capreolus/index/anserini.py`` builds the corpus statistics this family
+consumes); this module is a beyond-reference pipeline operator in the same
+family as :mod:`~capreolus_spark.textproc.quality`'s CCNet-style bigram LM
+(``quality.py:bigram_lm_scores``) — same tokenizer, same add-k smoothing
+convention, same SQL-oracle-able log-space arithmetic.
+
+Model (multinomial NB, add-``k`` smoothing over the TRAINING vocabulary):
+
+- prior(c)      = ln(docs_c / docs_total)
+- cond(t | c)   = ln((tf_{t,c} + k) / (tf_c + k * |V|))
+- unseen(c)     = ln(k / (tf_c + k * |V|))      -- tokens not in V under c
+- score(d, c)   = prior(c) + sum_t tf_{t,d} * cond(t | c)
+
+Tokens absent from the training vocabulary entirely are DROPPED (the
+sklearn/`CountVectorizer` convention: the vectorizer never emits unseen
+columns at predict time), so ``unseen(c)`` only matters for (token, class)
+pairs where the token is in V but never occurred under ``c`` — which is
+exactly the add-k numerator, making ``cond`` total over V x C with no
+special case: ``tf_{t,c} = 0`` rows simply aren't materialized and the
+scorer coalesces to ``unseen(c)``.
+
+Scale shape (designed for 100 TB):
+
+1. tokenize + per-doc tf is one narrow pass (shared ``_tokens`` machinery
+   with the dedup family), followed by a map-side-combinable
+   ``(label, token)`` count — the only training shuffle carries the
+   distinct-postings volume, never the token-occurrence volume;
+2. the model is two small frames: per-class totals (|C| rows, collected —
+   driver-small by contract) and the (token, class) log-likelihood table
+   (<= |V| x |C| rows, NEVER collected);
+3. predict joins per-doc tf against the model on ``token``.  The model
+   side is dimension-shaped: broadcastable when |V| x |C| is small (AQE
+   decides — no forced hint, the bm25prf lesson), a plain shuffle hash
+   join otherwise.  Unseen-under-class fills via ``coalesce`` to the
+   class's constant, so the join stays a LEFT join on the sparse counts;
+4. per-(doc, class) sum and the argmax (``max_by`` over a struct) are
+   combinable aggregations — one shuffle on ``doc_id``, driver sees
+   nothing.
+
+Determinism across engines (the DuckDB gate): scores are rounded before
+the argmax and ties break on label asc, the ``_gate_rank`` convention
+(``__spark_entry__.py``) — sub-rounding libm drift between JVM and DuckDB
+``ln`` cannot flip the reported class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _spread, _tokens
+
+__all__ = ["nb_train", "nb_predict", "nb_classify"]
+
+
+def _doc_tf(df: DataFrame, text_col: str, id_col: str, extra: list[str]) -> DataFrame:
+    """(id, [extra...], token, tf) — per-document token frequencies."""
+    toks = _spread(df).select(id_col, *extra, _tokens(text_col).alias("toks"))
+    return (
+        toks.select(id_col, *extra, F.explode("toks").alias("token"))
+        .groupBy(id_col, *extra, "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> dict:
+    """Train a multinomial NB model from labeled documents.
+
+    Returns ``{"cond": DataFrame(token, label, logp), "classes": list of
+    {"label", "log_prior", "log_unseen"}, "smoothing": k}`` — ``cond`` is
+    the distributed log-likelihood table (never collected; |V| x C sparse),
+    ``classes`` is the driver-small per-class constant table.
+    """
+    tf = _doc_tf(df, text_col, id_col, [label_col]).withColumnRenamed(label_col, "label")
+
+    # per-(label, token) corpus counts: combinable, one shuffle
+    cls_tok = tf.groupBy("label", "token").agg(F.sum("tf").alias("c_tc"))
+
+    # per-class token totals + doc counts + vocab size (all driver-small)
+    cls_tot = cls_tok.groupBy("label").agg(F.sum("c_tc").alias("c_c"))
+    doc_cnt = (
+        df.select(F.col(label_col).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    vocab_size = cls_tok.select("token").distinct().count()
+    n_total = df.count()
+
+    k = float(smoothing)
+    stats = {
+        r["label"]: (r["n_docs"], r["c_c"] or 0)
+        for r in doc_cnt.join(cls_tot, "label", "left").collect()
+    }
+    import math
+
+    classes = [
+        {
+            "label": lbl,
+            "log_prior": math.log(n_docs / n_total),
+            "log_unseen": math.log(k / (c_c + k * vocab_size)),
+        }
+        for lbl, (n_docs, c_c) in sorted(stats.items())
+    ]
+
+    # distributed conditional table: ln((c_tc + k) / (c_c + k * |V|))
+    cond = cls_tok.join(cls_tot, "label").select(
+        "token",
+        "label",
+        F.log((F.col("c_tc") + F.lit(k)) / (F.col("c_c") + F.lit(k * vocab_size))).alias("logp"),
+    )
+    return {"cond": cond, "classes": classes, "smoothing": k, "vocab_size": vocab_size}
+
+
+def nb_predict(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, pred_label, score) — argmax class per document.
+
+    ``score`` is the rounded log-posterior of the winning class; ties at
+    ``round_dp`` decimals break on label asc (cross-engine determinism —
+    see module docstring).  Documents whose tokens all fall outside the
+    training vocabulary score on priors alone.
+    """
+    spark = df.sparkSession
+    tf = _doc_tf(df, text_col, id_col, [])
+
+    # class constants as a tiny frame (C rows) — crossed with per-doc tf
+    cls = spark.createDataFrame(
+        [(c["label"], float(c["log_prior"]), float(c["log_unseen"])) for c in model["classes"]],
+        "label string, log_prior double, log_unseen double",
+    )
+
+    # keep only in-vocabulary tokens (sklearn convention), then score every
+    # (doc, token, class) with coalesce to the class's unseen constant
+    vocab = model["cond"].select("token").distinct()
+    contrib = (
+        tf.join(vocab, "token")  # drop out-of-vocab tokens
+        .crossJoin(F.broadcast(cls.select("label")))
+        .join(model["cond"], ["token", "label"], "left")
+        .join(F.broadcast(cls), "label")
+        .select(
+            id_col,
+            "label",
+            (F.col("tf") * F.coalesce(F.col("logp"), F.col("log_unseen"))).alias("part"),
+        )
+    )
+    scores = (
+        contrib.groupBy(id_col, "label")
+        .agg(F.sum("part").alias("ll"))
+        .join(F.broadcast(cls.select("label", "log_prior")), "label")
+        .select(id_col, "label", (F.col("ll") + F.col("log_prior")).alias("score"))
+    )
+
+    # docs with zero in-vocab tokens: prior-only rows for every class
+    all_docs = df.select(id_col).distinct()
+    prior_only = (
+        all_docs.join(scores.select(id_col).distinct(), id_col, "left_anti")
+        .crossJoin(F.broadcast(cls.select("label", F.col("log_prior").alias("score"))))
+        .select(id_col, "label", "score")
+    )
+    scores = scores.unionByName(prior_only)
+
+    rounded = scores.select(
+        id_col, "label", F.round("score", round_dp).alias("score")
+    )
+    # argmax with label-asc tie-break: max_by over (score, reversed-label)
+    # is awkward for strings, so use the struct-ordering trick: max of
+    # struct(score, neg-ordering) — instead do a window-free combinable
+    # max_by on a struct with score desc then label asc via min over
+    # struct(-score, label).
+    best = (
+        rounded.groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("label").alias("l"))).alias("b"))
+        .select(
+            id_col,
+            F.col("b.l").alias("pred_label"),
+            (-F.col("b.ns")).alias("score"),
+        )
+    )
+    return best
+
+
+def nb_classify(
+    train_df: DataFrame,
+    predict_df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train on ``train_df`` and score ``predict_df`` in one call."""
+    model = nb_train(train_df, label_col, text_col, id_col, smoothing)
+    return nb_predict(predict_df, model, text_col, id_col, round_dp)

@@ -1,0 +1,113 @@
+"""Naive Bayes classifier (textproc.classify) vs a brute-force python twin."""
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def _nb_bruteforce(rows, k=1.0, round_dp=6):
+    """Hand-rolled multinomial NB over (doc_id, text, label) rows: train on
+    all rows, predict all rows.  Mirrors the module's documented model —
+    add-k over the training vocabulary, OOV tokens dropped at predict,
+    rounded argmax with label-asc tie-break."""
+    tok = {d: TOKEN_RE.findall(t.lower()) for d, t, _ in rows}
+    cls_tok = defaultdict(Counter)
+    n_docs = Counter()
+    for d, _, lbl in rows:
+        n_docs[lbl] += 1
+        cls_tok[lbl].update(tok[d])
+    vocab = {t for c in cls_tok.values() for t in c}
+    vs = len(vocab)
+    total = sum(n_docs.values())
+    labels = sorted(n_docs)
+    c_c = {lbl: sum(cls_tok[lbl].values()) for lbl in labels}
+    prior = {lbl: math.log(n_docs[lbl] / total) for lbl in labels}
+
+    out = {}
+    for d, _, _ in rows:
+        toks = [t for t in tok[d] if t in vocab]
+        best = None
+        for lbl in labels:
+            if toks:
+                s = prior[lbl] + sum(
+                    math.log((cls_tok[lbl][t] + k) / (c_c[lbl] + k * vs)) for t in toks
+                )
+            else:
+                s = prior[lbl]
+            s = round(s, round_dp)
+            if best is None or s > best[1] or (s == best[1] and lbl < best[0]):
+                best = (lbl, s)
+        out[d] = best
+    return out
+
+
+ROWS = [
+    (1, "def foo return foo foo", "code"),
+    (2, "class bar def method return", "code"),
+    (3, "import sys def main", "code"),
+    (4, "the cat sat on the mat", "prose"),
+    (5, "the dog ate the cat food", "prose"),
+    (6, "a mat and a dog and a cat", "prose"),
+    (7, "def cat return dog", "code"),  # mixed vocabulary
+    (8, "", "prose"),  # empty doc -> prior-only path
+]
+
+
+@pytest.fixture(scope="module")
+def pred(spark):
+    from capreolus_spark.textproc.classify import nb_classify
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, label string")
+    got = nb_classify(df, df, label_col="label").collect()
+    return {r["doc_id"]: (r["pred_label"], r["score"]) for r in got}
+
+
+def test_matches_bruteforce(pred):
+    want = _nb_bruteforce(ROWS)
+    assert set(pred) == set(want)
+    for d in want:
+        assert pred[d][0] == want[d][0], (d, pred[d], want[d])
+        assert pred[d][1] == pytest.approx(want[d][1], abs=1e-6), d
+
+
+def test_empty_doc_scores_on_prior_alone(pred):
+    # doc 8 has no tokens -> prior-only; priors are equal (4 code / 4
+    # prose), so the label-asc tie-break picks "code"
+    assert pred[8][0] == "code"
+    assert pred[8][1] == pytest.approx(round(math.log(4 / 8), 6), abs=1e-9)
+
+
+def test_every_doc_predicted(pred):
+    assert len(pred) == len(ROWS)
+
+
+def test_tie_breaks_on_label_asc(spark):
+    from capreolus_spark.textproc.classify import nb_classify
+
+    # perfectly symmetric classes: identical token profile, equal priors ->
+    # every class scores identically, winner must be the lexicographically
+    # smallest label in BOTH engines by convention
+    rows = [(1, "x y", "b"), (2, "x y", "a"), (3, "x y z", "a"), (4, "x y z", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    got = nb_classify(df, df, label_col="label").collect()
+    assert all(r["pred_label"] == "a" for r in got)
+
+
+def test_oov_tokens_dropped(spark):
+    from capreolus_spark.textproc.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta", "x"), (2, "gamma delta", "y")],
+        "doc_id long, text string, label string",
+    )
+    model = nb_train(train, label_col="label")
+    # predict doc made ENTIRELY of unseen tokens -> prior-only (equal
+    # priors here, so tie-break gives 'x')
+    test = spark.createDataFrame([(9, "zzz qqq www")], "doc_id long, text string")
+    got = nb_predict(test, model).collect()
+    assert got[0]["pred_label"] == "x"
+    assert got[0]["score"] == pytest.approx(round(math.log(0.5), 6), abs=1e-9)
