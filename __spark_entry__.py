@@ -967,6 +967,18 @@ def _q_nb_classify(spark, sf_dir):
     )
 
 
+def _q_shard_export(spark, sf_dir):
+    """Deterministic training-shard assignment + order-independent
+    per-shard content digests in the engine-portable md5 configuration
+    (io/shards.py) — the plan the sink executes minus the parquet write
+    itself, so the whole manifest computation is DuckDB-hash-gated."""
+    from capreolus_spark.io.shards import assign_shards, shard_digests
+
+    docs = _docs(spark, sf_dir)
+    sharded = assign_shards(docs, 16, key_col="doc_id", hash_fn="md5")
+    return shard_digests(sharded, hash_fn="md5")
+
+
 def _q_sentence_split(spark, sf_dir):
     """Sentence segmentation in the SQL-twinnable regex configuration
     (pure JVM, no lookaround so Java regex == RE2); the abbreviation-guard
@@ -1646,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentence_split,
         "lm_perplexity": _q_lm_perplexity,
         "nb_classify": _q_nb_classify,
+        "shard_export": _q_shard_export,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -2093,6 +2106,22 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn FROM allsc) "
             "SELECT cast(doc_id AS bigint) AS doc_id, label AS pred_label, score "
             "FROM r WHERE rn = 1"
+        ),
+        "shard_export": (
+            "WITH h AS (SELECT "
+            "TRY_CAST(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS BIGINT) "
+            "% 16 AS shard_id, "
+            "TRY_CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+            "'doc_id=' || coalesce(cast(doc_id AS varchar), chr(0)), "
+            "'lang=' || coalesce(lang, chr(0)), "
+            "'n_chars=' || coalesce(cast(n_chars AS varchar), chr(0)), "
+            "'source=' || coalesce(source, chr(0)), "
+            "'text=' || coalesce(text, chr(0)))), 1, 15)) AS BIGINT) AS rh "
+            "FROM documents) "
+            "SELECT cast(shard_id AS int) AS shard_id, count(*) AS n_rows, "
+            "concat(cast(sum(rh % 2147483647) % 2147483647 AS varchar), ':', "
+            "cast(sum(rh % 2147483629) % 2147483629 AS varchar)) AS digest "
+            "FROM h GROUP BY shard_id"
         ),
         "sentence_split": (
             "WITH p AS (SELECT doc_id, replace(text, ' table ', '. Table ') AS text FROM documents), "

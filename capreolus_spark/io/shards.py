@@ -1,0 +1,195 @@
+"""Deterministic training-shard export sink: N content-addressed parquet
+shards plus a verifiable manifest.
+
+The last step of a training-data pipeline is writing the cleaned corpus as
+a fixed number of shards whose contents are a pure function of the data —
+not of partitioning, cluster size, or execution order — so a re-run (or a
+resumed run) produces the same shards and a downstream trainer can verify
+what it reads.  Mirrors the engine's index-build lineage story
+(``index/build.py`` Manifest: per-file rows + metrics, sha256 content
+verification per the north-star contract) applied to the corpus sink.
+
+Design:
+
+- shard assignment is ``hash(key) mod num_shards`` — content-derived, so
+  a row lands in the same shard regardless of input layout or cluster
+  size.  ``hash_fn="xxhash64"`` (default) stays on the fastest JVM
+  codegen path; ``hash_fn="md5"`` is the engine-portable mode
+  (:func:`~capreolus_spark.textproc.hashing.md5_hash60` convention) that
+  lets the whole sink be DuckDB-hash-gated;
+- one ``repartition(num_shards, shard_id)`` is the only shuffle; rows are
+  sorted within each shard by key so shard files are deterministic up to
+  parquet encoding;
+- the per-shard content digest is ORDER-INDEPENDENT and overflow-safe
+  under ANSI mode: per-row hash of a canonical row serialization, reduced
+  mod two ~2^31 primes and SUMMED per shard (sum < 2^62 for any shard
+  under 2^31 rows — no long overflow, so safe with
+  ``spark.sql.ansi.enabled=true``), each limb folded mod its prime.
+  Computed as a combinable aggregation (map-side partial sums), never a
+  collect of rows.  An order-independent digest verifies content without
+  imposing a global sort at read time;
+- the manifest records per-shard row counts + digests + the writer
+  config; reader-side :func:`verify_shards` recomputes digests from the
+  written files and compares — the sha256-equality invariant of the
+  reference's download path (``capreolus/utils/common.py`` sha256 verify)
+  for our own sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..textproc.hashing import md5_hash60
+
+__all__ = ["assign_shards", "shard_digests", "write_shards", "verify_shards"]
+
+MANIFEST_NAME = "shards_manifest.json"
+# two ~2^31 primes: limb sums stay < 2^31 * 2^31 = 2^62 per shard
+DIGEST_P1 = 2147483647  # 2^31 - 1
+DIGEST_P2 = 2147483629
+_EMPTY_DIGEST = "0:0"
+
+
+def _row_hash(cols: list[str], hash_fn: str):
+    """Non-negative int64 hash of the canonical row serialization:
+    ``name=value`` fields (columns sorted by name, nulls as a 0x00
+    sentinel) joined with 0x1f — stable across engines and column
+    order."""
+    parts = [
+        F.concat_ws("=", F.lit(c), F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+        for c in sorted(cols)
+    ]
+    canon = F.concat_ws("\x1f", *parts)
+    if hash_fn == "md5":
+        return md5_hash60(canon)
+    return F.pmod(F.xxhash64(canon), F.lit(1 << 60))
+
+
+def _key_hash(key_col: str, hash_fn: str):
+    key = F.col(key_col).cast("string")
+    if hash_fn == "md5":
+        return md5_hash60(key)
+    return F.pmod(F.xxhash64(key), F.lit(1 << 60))
+
+
+def assign_shards(
+    df: DataFrame,
+    num_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Add a content-derived shard id: ``hash(key) mod num_shards``.
+    Pure column expression — no shuffle here."""
+    return df.withColumn(
+        shard_col, F.pmod(_key_hash(key_col, hash_fn), F.lit(num_shards)).cast("int")
+    )
+
+
+def shard_digests(
+    df: DataFrame, shard_col: str = "shard_id", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(shard_id, n_rows, digest) — order-independent content digest per
+    shard: ``sum(row_hash mod p) mod p`` for two primes, formatted as
+    ``"d1:d2"`` decimal.  Combinable aggregation, one output row per
+    shard; overflow-free for shards under 2^31 rows (at 100 TB a shard
+    that large is a sharding-config error, not a digest problem)."""
+    cols = [c for c in df.columns if c != shard_col]
+    h = _row_hash(cols, hash_fn)
+    agg = (
+        df.withColumn("_h1", F.pmod(h, F.lit(DIGEST_P1)))
+        .withColumn("_h2", F.pmod(h, F.lit(DIGEST_P2)))
+        .groupBy(shard_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.pmod(F.sum("_h1"), F.lit(DIGEST_P1)).alias("_d1"),
+            F.pmod(F.sum("_h2"), F.lit(DIGEST_P2)).alias("_d2"),
+        )
+    )
+    return agg.select(
+        shard_col,
+        "n_rows",
+        F.concat_ws(":", F.col("_d1").cast("string"), F.col("_d2").cast("string")).alias(
+            "digest"
+        ),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    key_col: str = "doc_id",
+    sort_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """Write ``df`` as ``num_shards`` deterministic parquet shards under
+    ``path`` (hive layout ``shard_id=K/``), plus a manifest with per-shard
+    row counts and order-independent content digests.
+
+    Returns the manifest dict.  Exactly one shuffle (the repartition onto
+    shard ids)."""
+    shard_col = "shard_id"
+    sharded = assign_shards(df, num_shards, key_col=key_col, shard_col=shard_col, hash_fn=hash_fn)
+    parted = sharded.repartition(num_shards, shard_col).sortWithinPartitions(
+        *(sort_cols or [key_col])
+    )
+    parted.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+
+    stats = {
+        int(r[shard_col]): (int(r["n_rows"]), r["digest"])
+        for r in shard_digests(sharded, shard_col=shard_col, hash_fn=hash_fn).collect()
+    }
+    manifest = {
+        "num_shards": num_shards,
+        "key_col": key_col,
+        "hash_fn": hash_fn,
+        "columns": sorted(df.columns),
+        "total_rows": sum(n for n, _ in stats.values()),
+        "shards": [
+            {
+                "shard_id": s,
+                "n_rows": stats[s][0] if s in stats else 0,
+                "digest": stats[s][1] if s in stats else _EMPTY_DIGEST,
+            }
+            for s in range(num_shards)
+        ],
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_shards(spark: SparkSession, path: str) -> dict:
+    """Re-read the written shards, recompute counts + digests, and compare
+    against the manifest.  Returns ``{"ok": bool, "mismatches": [...]}`` —
+    the integrity check a trainer runs before consuming the shards."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(path)
+    # the hive partition column comes back typed by discovery; normalize
+    df = df.withColumn("shard_id", F.col("shard_id").cast("int"))
+    # digest must be computed over the manifest's column set in its
+    # canonical order-insensitive form; reject schema drift explicitly
+    data_cols = sorted(c for c in df.columns if c != "shard_id")
+    if data_cols != manifest["columns"]:
+        return {
+            "ok": False,
+            "mismatches": [{"schema": {"want": manifest["columns"], "have": data_cols}}],
+        }
+    got = {
+        int(r["shard_id"]): (int(r["n_rows"]), r["digest"])
+        for r in shard_digests(df, shard_col="shard_id", hash_fn=manifest["hash_fn"]).collect()
+    }
+    mismatches = []
+    for entry in manifest["shards"]:
+        s = entry["shard_id"]
+        want = (entry["n_rows"], entry["digest"])
+        have = got.get(s, (0, _EMPTY_DIGEST))
+        if want != have:
+            mismatches.append({"shard_id": s, "want": list(want), "have": list(have)})
+    return {"ok": not mismatches, "mismatches": mismatches}

@@ -50,6 +50,11 @@ def main() -> None:
         "--boilerplate-min-docs", type=int, default=0,
         help="strip lines shared by >= N docs first (0 = off)",
     )
+    ap.add_argument(
+        "--num-shards", type=int, default=0,
+        help="write the output as N deterministic content-addressed shards "
+        "with a verified digest manifest instead of a plain parquet dir",
+    )
     ap.add_argument("--report", default="")
     args = ap.parse_args()
 
@@ -133,7 +138,14 @@ def main() -> None:
             decontaminate(survivors, eval_df), "after_decontamination"
         )
 
-    survivors.write.mode("overwrite").parquet(args.output)
+    if args.num_shards > 0:
+        from capreolus_spark.io.shards import verify_shards, write_shards
+
+        manifest = write_shards(survivors, args.output, num_shards=args.num_shards)
+        report["num_shards"] = manifest["num_shards"]
+        report["shards_verified"] = verify_shards(spark, args.output)["ok"]
+    else:
+        survivors.write.mode("overwrite").parquet(args.output)
     last_key = "after_quality_exactdup_lang"
     if args.near_dup:
         last_key = "after_near_dup"

@@ -1,0 +1,103 @@
+"""Deterministic shard export sink (io.shards)."""
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+P1 = 2147483647
+P2 = 2147483629
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"text number {i} " + "pad " * (i % 7), ["en", "de", "fr"][i % 3]) for i in range(200)]
+    rows.append((900, None, "en"))  # null text exercises the sentinel
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_write_verify_roundtrip(spark, docs, tmp_path):
+    from capreolus_spark.io.shards import verify_shards, write_shards
+
+    out = str(tmp_path / "shards")
+    manifest = write_shards(docs, out, num_shards=8)
+    assert manifest["total_rows"] == 201
+    assert len(manifest["shards"]) == 8
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 201
+    # manifest persisted alongside the shards
+    on_disk = json.load(open(os.path.join(out, "shards_manifest.json")))
+    assert on_disk == manifest
+
+    res = verify_shards(spark, out)
+    assert res["ok"], res["mismatches"]
+
+
+def test_verify_detects_tampering(spark, docs, tmp_path):
+    from capreolus_spark.io.shards import verify_shards, write_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, num_shards=4)
+    # drop one shard's files entirely
+    victim = [d for d in os.listdir(out) if d.startswith("shard_id=")][0]
+    import shutil
+
+    shutil.rmtree(os.path.join(out, victim))
+    res = verify_shards(spark, out)
+    assert not res["ok"]
+    bad = int(victim.split("=")[1])
+    assert any(m.get("shard_id") == bad for m in res["mismatches"])
+
+
+def test_assignment_is_layout_independent(spark, docs):
+    from capreolus_spark.io.shards import assign_shards
+
+    a = assign_shards(docs, 8).select("doc_id", "shard_id").collect()
+    b = (
+        assign_shards(docs.repartition(13).sortWithinPartitions("lang"), 8)
+        .select("doc_id", "shard_id")
+        .collect()
+    )
+    assert {(r["doc_id"], r["shard_id"]) for r in a} == {(r["doc_id"], r["shard_id"]) for r in b}
+
+
+def test_md5_mode_matches_python_twin(spark, docs):
+    """The portable mode's assignment AND digest are reproducible from
+    the documented convention alone (what the DuckDB gate relies on)."""
+    from capreolus_spark.io.shards import assign_shards, shard_digests
+
+    sharded = assign_shards(docs, 4, hash_fn="md5")
+    got = {
+        r["shard_id"]: (r["n_rows"], r["digest"])
+        for r in shard_digests(sharded, hash_fn="md5").collect()
+    }
+
+    rows = docs.collect()
+    want = {}
+    for r in rows:
+        sid = _md5_60(str(r["doc_id"])) % 4
+        canon = "\x1f".join(
+            f"{c}=" + ("\x00" if r[c] is None else str(r[c]))
+            for c in sorted(["doc_id", "text", "lang"])
+        )
+        h = _md5_60(canon)
+        n, d1, d2 = want.get(sid, (0, 0, 0))
+        want[sid] = (n + 1, (d1 + h % P1) % P1, (d2 + h % P2) % P2)
+    want_fmt = {s: (n, f"{d1}:{d2}") for s, (n, d1, d2) in want.items()}
+    assert got == want_fmt
+
+
+def test_digest_order_independent(spark, tmp_path):
+    from capreolus_spark.io.shards import shard_digests
+
+    df1 = spark.createDataFrame([(i, f"t{i}") for i in range(50)], "doc_id long, text string")
+    df2 = df1.orderBy(F.desc("doc_id")).repartition(7)
+    one = shard_digests(df1.withColumn("shard_id", F.lit(0))).collect()
+    two = shard_digests(df2.withColumn("shard_id", F.lit(0))).collect()
+    assert one[0]["digest"] == two[0]["digest"]
+    assert one[0]["n_rows"] == two[0]["n_rows"] == 50
