@@ -1319,6 +1319,17 @@ def _q_stratified_sample(spark, sf_dir):
     return s.select(F.col("doc_id").cast("long").alias("doc_id"), "grp")
 
 
+def _q_quota_sample(spark, sf_dir):
+    """C4-style per-group quota cap: at most 7 docs per source, chosen in
+    deterministic hash order (md5-portable, seed 'cap') — exact row-set
+    reproducible across engines, partitioning, and re-runs."""
+    from capreolus_spark.textproc import group_quota_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    s = group_quota_sample(docs, 7, group_col="source", seed="cap")
+    return s.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
 def _q_pack_sequences(spark, sf_dir):
     from capreolus_spark.textproc import pack_sequences
 
@@ -1687,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": _q_sdm,
         "deterministic_sample": _q_deterministic_sample,
         "stratified_sample": _q_stratified_sample,
+        "group_quota_sample": _q_quota_sample,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1908,6 +1920,14 @@ def oracle_sql() -> dict[str, str]:
             "/ 1152921504606846976.0 AS h FROM documents) "
             "SELECT cast(doc_id AS bigint) AS doc_id, grp FROM d "
             "WHERE h < (CASE grp WHEN '0' THEN 0.5 WHEN '1' THEN 0.1 ELSE 0.9 END)"
+        ),
+        "group_quota_sample": (
+            "WITH d AS (SELECT doc_id, source, "
+            "TRY_CAST(concat('0x', substr(md5(concat('cap', cast(doc_id AS varchar))), 1, 15)) AS BIGINT) "
+            "AS h FROM documents), "
+            "r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn FROM d) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, source FROM r WHERE rn <= 7"
         ),
         "pack_sequences": (
             f"WITH t AS (SELECT doc_id, cast(doc_id % 4 AS varchar) AS shard, "

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import md5_hash60_unit
+from .hashing import md5_hash60, md5_hash60_unit
 
 
 def _key_hash_unit(key_col) -> "F.Column":
@@ -83,6 +83,46 @@ def stratified_sample(
         joined.withColumn("_keep", _key_hash_unit(key) < F.coalesce(F.col("_frac"), F.lit(float(default_fraction))))
         .filter(F.col("_keep"))
         .drop("_frac", "_keep")
+    )
+
+
+def group_quota_sample(
+    df: DataFrame,
+    max_per_group: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen by the
+    deterministic hash order (hash(seed || key) asc, key asc) — the
+    C4-style per-host/per-domain quota cap: a handful of mega-domains
+    otherwise dominate a web corpus, and a random-but-reproducible cap is
+    the standard fix.
+
+    One shuffle (the window partition on ``group_col``); the rank is a
+    ``row_number`` over (hash, key), so re-runs — and runs at different
+    parallelism — keep the IDENTICAL row set, unlike ``sample()``.
+    Groups at or under quota pass through whole.  Skew note: a window
+    over a mega-group is a single-task sort of that group; for quota
+    caps that is the wrong-but-tempting worry — the sort is per-group
+    local, spills, and happens exactly once, whereas pre-aggregating a
+    top-N per partition first (the usual skew fix) is invalid here
+    because hash order must be GLOBAL per group for exact-quota
+    semantics.  At 100 TB the practical guard is the same as Spark's own
+    window: a group so large its sort cannot spill is a data-model bug
+    (a single host with a billion pages gets capped long before that in
+    upstream fetch policy)."""
+    # order by the RAW 60-bit hash int (not the unit double): division by
+    # 2^60 rounds distinct ints to equal doubles once in ~2^53, and a
+    # collapsed tie would let the doc-id tie-break disagree with an
+    # integer-ordered recompute (the SQL twin)
+    w = Window.partitionBy(group_col).orderBy(
+        md5_hash60(_seeded_key(key_col, seed)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= int(max_per_group))
+        .drop("_qrank")
     )
 
 

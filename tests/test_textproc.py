@@ -650,6 +650,38 @@ def test_deterministic_and_stratified_sampling(spark):
     assert kept == {i for i in range(2000) if i % 2 == 0}
 
 
+def test_group_quota_sample(spark):
+    import hashlib
+
+    from capreolus_spark.textproc import group_quota_sample
+
+    df = spark.createDataFrame(
+        [(i, str(i % 5), "t") for i in range(300)], "doc_id long, grp string, text string"
+    )
+    s = group_quota_sample(df, 10, group_col="grp", seed="q")
+    got = [(r["grp"], r["doc_id"]) for r in s.collect()]
+    # exact quota per group; all columns preserved
+    from collections import Counter
+
+    per = Counter(g for g, _ in got)
+    assert per == {str(g): 10 for g in range(5)}
+    # partitioning-independent: same row SET at different parallelism
+    s2 = group_quota_sample(df.repartition(13), 10, group_col="grp", seed="q")
+    assert set(got) == {(r["grp"], r["doc_id"]) for r in s2.collect()}
+    # matches the documented hash-order convention (the SQL twin's rule)
+    def h(i):
+        return int(hashlib.md5(f"q{i}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for g in range(5):
+        members = sorted((h(i), i) for i in range(300) if i % 5 == g)
+        want |= {(str(g), i) for _, i in members[:10]}
+    assert set(got) == want
+    # groups under quota pass through whole
+    small = spark.createDataFrame([(1, "a", "t"), (2, "a", "t")], "doc_id long, grp string, text string")
+    assert group_quota_sample(small, 10, group_col="grp").count() == 2
+
+
 def test_sampling_null_keys_are_deterministic_not_dropped(spark):
     """NULL keys hash as a sentinel: at fraction=1.0 the sample is a
     superset of the population (null rows were previously silently dropped
