@@ -264,6 +264,39 @@ def main() -> None:
             )
         )
 
+        # 18. NB classifier: train + predict stay python-free end to end
+        #     (pure column expressions + joins + combinable aggs)
+        from capreolus_spark.textproc.classify import nb_classify
+
+        lbl = docs_df.withColumn(
+            "label", (F.length("doc_id") % 3).cast("string")
+        )
+        nb = nb_classify(lbl, lbl, label_col="label")
+        nbplan = nb._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "nb classifier python-free with combinable aggs",
+                "BatchEvalPython" not in nbplan
+                and "ArrowEvalPython" not in nbplan
+                and "partial_sum" in nbplan,
+            )
+        )
+
+        # 19. shard digests: one combinable aggregation, python-free —
+        #     the manifest computation must never collect rows
+        from capreolus_spark.io.shards import assign_shards, shard_digests
+
+        dg = shard_digests(assign_shards(docs_df, 8))
+        dgplan = dg._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "shard digests are combinable python-free aggregation",
+                "BatchEvalPython" not in dgplan
+                and "partial_count" in dgplan
+                and dgplan.count("Exchange") <= 2,  # one agg shuffle (+AQE read)
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
