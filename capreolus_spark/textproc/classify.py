@@ -86,10 +86,16 @@ def nb_train(
     """
     tf = _doc_tf(df, text_col, id_col, [label_col]).withColumnRenamed(label_col, "label")
 
-    # per-(label, token) corpus counts: combinable, one shuffle
-    cls_tok = tf.groupBy("label", "token").agg(F.sum("tf").alias("c_tc"))
+    # per-(label, token) corpus counts: combinable, one shuffle.  PERSISTED
+    # — it is read three times (vocab size, per-class totals, the cond
+    # table's lineage) and each re-read would otherwise re-tokenize the
+    # whole training corpus.  |V| x C rows: executor-memory-cheap.
+    cls_tok = tf.groupBy("label", "token").agg(F.sum("tf").alias("c_tc")).persist()
 
-    # per-class token totals + doc counts + vocab size (all driver-small)
+    # per-class token totals + doc counts + vocab size (all driver-small).
+    # doc counts scan the RAW frame (no tokenize) so empty documents still
+    # count toward priors; n_total derives from the same collect — no
+    # separate count job over the corpus.
     cls_tot = cls_tok.groupBy("label").agg(F.sum("c_tc").alias("c_c"))
     doc_cnt = (
         df.select(F.col(label_col).alias("label"))
@@ -97,13 +103,13 @@ def nb_train(
         .agg(F.count("*").alias("n_docs"))
     )
     vocab_size = cls_tok.select("token").distinct().count()
-    n_total = df.count()
 
     k = float(smoothing)
     stats = {
         r["label"]: (r["n_docs"], r["c_c"] or 0)
         for r in doc_cnt.join(cls_tot, "label", "left").collect()
     }
+    n_total = sum(n for n, _ in stats.values())
     import math
 
     classes = [
@@ -121,7 +127,14 @@ def nb_train(
         "label",
         F.log((F.col("c_tc") + F.lit(k)) / (F.col("c_c") + F.lit(k * vocab_size))).alias("logp"),
     )
-    return {"cond": cond, "classes": classes, "smoothing": k, "vocab_size": vocab_size}
+    return {
+        "cond": cond,
+        "classes": classes,
+        "smoothing": k,
+        "vocab_size": vocab_size,
+        # drop the persisted count table when done with the model
+        "release": lambda blocking=False: cls_tok.unpersist(blocking),
+    }
 
 
 def nb_predict(
