@@ -167,6 +167,13 @@ def main() -> None:
         samples[name] = sorted(round(v, 3) for v in vals)
         timings[name] = round(_median(vals), 3)
 
+    # Same-moment host calibration, measured BEFORE Spark spins up: the
+    # sandbox host's effective parallelism swings 2-4x between windows
+    # (BASELINE.md regime notes), so every BENCH artifact carries its own
+    # control — serial per-task burn time and the per-worker degradation
+    # at full width.  Build/latency rows are read against this.
+    extras["host_control"] = _host_control()
+
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -312,6 +319,26 @@ def main() -> None:
             "dedup_snapshot_near",
             lambda: near_dedup_against_snapshot(batch, snap, max_hamming=3).count(),
         )
+
+        # NB classifier: full train (2 tokenize passes: counts + doc tf)
+        # + predict + argmax over the documents table
+        from capreolus_spark.textproc.classify import nb_classify
+
+        nb_in = docs.select("doc_id", "text", "source")
+        timed(
+            "nb_classify",
+            lambda: nb_classify(nb_in, nb_in, label_col="source").count(),
+        )
+
+        # shard export sink: end-to-end write of N content-addressed
+        # shards + digest manifest (production xxhash64 config)
+        from capreolus_spark.io.shards import write_shards
+
+        def _export(i=[0]) -> None:
+            i[0] += 1
+            write_shards(docs, os.path.join(workdir, f"shards{i[0]}"), num_shards=16)
+
+        timed("shard_export", _export)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
@@ -335,6 +362,25 @@ def _burn_task(_) -> int:
     for i in range(4_000_000):
         s += i * i
     return s
+
+
+def _host_control() -> dict:
+    """Serial burn time + full-width per-worker degradation factor."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    _burn_task(0)
+    serial = time.monotonic() - t0
+    t0 = time.monotonic()
+    with mp.Pool(CPUS) as p:
+        p.map(_burn_task, range(CPUS))
+    wide_wall = time.monotonic() - t0
+    return {
+        "serial_burn_sec": round(serial, 3),
+        f"wall_{CPUS}x{CPUS}_sec": round(wide_wall, 3),
+        # 1.0 = perfect scaling; 2.0 = each worker ran half speed at width
+        "wide_degradation": round(wide_wall / serial, 2) if serial > 0 else None,
+    }
 
 
 def _cpu_control(levels: tuple[int, int]) -> dict:
