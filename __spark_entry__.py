@@ -854,6 +854,27 @@ def _q_run_interpolation(spark, sf_dir):
     )
 
 
+def _q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the two synthetic runs, per-qid top-20.
+    Full precision is gate-safe here: each fused score is a sum of at
+    most TWO IEEE-exact terms 1/(k+rank) (division and two-operand
+    addition are bit-deterministic across engines), unlike the libm
+    log/exp scores that need the 4-6dp rounding convention."""
+    from capreolus_spark.evaluation.frames import rrf_fuse_df
+
+    run1 = _synth_run(spark, sf_dir)
+    run2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+    return rrf_fuse_df([run1, run2], k=60, hits=20)
+
+
 def _q_passage_dedup(spark, sf_dir):
     from capreolus_spark.search.postprocess import dedup_passages
 
@@ -1655,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
+        "rrf_fusion": _q_rrf_fusion,
         "passage_dedup_max": _q_passage_dedup,
         "topk_per_query": _q_topk_window,
         "run_filter_remove": _q_filter_remove,
@@ -1820,6 +1842,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT run.qid, run.docid, round((score - mn2) / (mx - mn2), 6) AS norm_score "
             "FROM run JOIN (SELECT qid, CASE WHEN mn = mx THEN 0.01*mx - 0.01 ELSE mn END AS mn2, mx "
             "FROM mm) m ON run.qid = m.qid"
+        ),
+        "rrf_fusion": (
+            f"WITH run1 AS ({_SYNTH_RUN_SQL}), "
+            "run2 AS (SELECT cast(doc_id % 5 AS varchar) AS qid, cast(doc_id AS varchar) AS docid, "
+            "((doc_id * 53) % 97) / 9.0 AS score FROM documents WHERE doc_id % 3 != 0), "
+            "k1 AS (SELECT qid, docid, CAST(1 AS DOUBLE) / (60 + row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, docid ASC)) AS rr FROM run1), "
+            "k2 AS (SELECT qid, docid, CAST(1 AS DOUBLE) / (60 + row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, docid ASC)) AS rr FROM run2), "
+            "f AS (SELECT qid, docid, sum(rr) AS score FROM "
+            "(SELECT * FROM k1 UNION ALL SELECT * FROM k2) GROUP BY qid, docid), "
+            "c AS (SELECT qid, docid, score, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn FROM f) "
+            "SELECT qid, docid, score FROM c WHERE rn <= 20"
         ),
         "run_interpolation": (
             f"WITH run1 AS ({_SYNTH_RUN_SQL}), "

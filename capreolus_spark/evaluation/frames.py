@@ -52,6 +52,39 @@ def interpolate_runs_df(run1: DataFrame, run2: DataFrame, alpha: float) -> DataF
     )
 
 
+def rrf_fuse_df(runs: list[DataFrame], k: int = 60, hits: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    ``score(d) = sum over runs of 1 / (k + rank_r(d))``, ranks computed
+    per run by (score desc, docid asc) — the same deterministic tie-break
+    the searchers emit, so fusion of our own runs is reproducible.
+
+    The standard score-free complement to :func:`interpolate_runs_df`
+    (rank-only, so it needs no min-max calibration and is robust to
+    incomparable score scales across engines).  One window shuffle per
+    input run + one groupBy; with ``hits`` set, a final per-qid top-k cut
+    on (fused score desc, docid asc)."""
+    ranked = []
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    for r in runs:
+        ranked.append(
+            r.select("qid", "docid", "score")
+            .withColumn("_rank", F.row_number().over(w))
+            .select("qid", "docid", (1.0 / (F.lit(float(k)) + F.col("_rank"))).alias("_rr"))
+        )
+    allr = ranked[0]
+    for nxt in ranked[1:]:
+        allr = allr.unionByName(nxt)
+    fused = allr.groupBy("qid", "docid").agg(F.sum("_rr").alias("score"))
+    if hits is None:
+        return fused
+    wf = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        fused.withColumn("_r", F.row_number().over(wf))
+        .filter(F.col("_r") <= hits)
+        .drop("_r")
+    )
+
+
 def eval_metrics_df(
     run: DataFrame, qrels: DataFrame, relevance_level: int = 1, k: int = 10
 ) -> DataFrame:

@@ -107,3 +107,33 @@ def test_interpolated_eval_picks_alpha():
 def test_default_metrics_all_computable():
     out = eval_runs(RUN, QRELS, DEFAULT_METRICS)
     assert set(out) == set(DEFAULT_METRICS)
+
+
+def test_rrf_fusion_matches_hand_computation(spark):
+    from capreolus_spark.evaluation.frames import rrf_fuse_df
+
+    # three runs with incomparable score scales; d2 ranks 1st twice
+    r1 = spark.createDataFrame(
+        [("q", "d1", 9.0), ("q", "d2", 10.0), ("q", "d3", 1.0)],
+        "qid string, docid string, score double",
+    )
+    r2 = spark.createDataFrame(
+        [("q", "d2", 0.9), ("q", "d3", 0.5)], "qid string, docid string, score double"
+    )
+    r3 = spark.createDataFrame(
+        [("q", "d4", 100.0), ("q", "d1", 100.0)],  # score tie -> docid asc
+        "qid string, docid string, score double",
+    )
+    got = {r["docid"]: r["score"] for r in rrf_fuse_df([r1, r2, r3], k=60).collect()}
+    want = {
+        "d1": 1 / 62 + 1 / 61,          # rank2 in r1; tie-broken rank1 in r3
+        "d2": 1 / 61 + 1 / 61,
+        "d3": 1 / 63 + 1 / 62,
+        "d4": 1 / 62,                   # docid desc of the tie -> rank2
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12), d
+    # hits cut keeps the fused top-k with docid tie-break
+    top2 = {r["docid"] for r in rrf_fuse_df([r1, r2, r3], k=60, hits=2).collect()}
+    assert top2 == {"d2", "d1"}
