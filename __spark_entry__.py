@@ -949,6 +949,29 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    """Quality-aware canonical pick over the exact-dup components: keep
+    the highest-scoring member of each cluster (deterministic synthetic
+    score so the argmax is non-trivial inside every component)."""
+    from capreolus_spark.textproc import canonical_by_score, dup_components, exact_dup_groups
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    groups = exact_dup_groups(corpus)
+    pairs = groups.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("canonical_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    comps = dup_components(pairs)
+    scores = corpus.select(
+        "doc_id", ((F.col("doc_id") * 31) % 17).cast("double").alias("quality_score")
+    )
+    return canonical_by_score(comps, scores).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    )
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from capreolus_spark.textproc import ngram_jaccard_pairs
 
@@ -1684,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
+        "dedup_canonical_by_score": _q_dedup_canonical,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup_docs": _q_substring_dedup,
@@ -1934,6 +1958,23 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY f) AS n FROM fp) "
             "SELECT cast(doc_id AS bigint) AS doc_id, cast(component_id AS bigint) AS component_id "
             "FROM g WHERE n > 1"
+        ),
+        "dedup_canonical_by_score": (
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            f"fp AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS f FROM dup), "
+            "g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS component_id, "
+            "count(*) OVER (PARTITION BY f) AS n FROM fp), "
+            "comp AS (SELECT doc_id, component_id FROM g WHERE n > 1), "
+            "sc AS (SELECT comp.doc_id, comp.component_id, "
+            "cast((comp.doc_id * 31) % 17 AS double) AS s FROM comp), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY component_id "
+            "ORDER BY s DESC, doc_id ASC) AS rn FROM sc), "
+            "b AS (SELECT component_id, doc_id AS canonical_id FROM r WHERE rn = 1) "
+            "SELECT cast(sc.doc_id AS bigint) AS doc_id, "
+            "cast(sc.component_id AS bigint) AS component_id, "
+            "cast(b.canonical_id AS bigint) AS canonical_id, "
+            "sc.doc_id = b.canonical_id AS keep "
+            "FROM sc JOIN b USING (component_id)"
         ),
         "dedup_exact": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

@@ -11,6 +11,7 @@ from .quality import (  # noqa: F401
     fingerprint,
 )
 from .dedup import (  # noqa: F401
+    canonical_by_score,
     dup_components,
     exact_dup_groups,
     ngram_jaccard_pairs,

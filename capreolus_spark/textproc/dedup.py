@@ -747,3 +747,47 @@ def dup_components(
             stacklevel=2,
         )
     return labels
+
+
+def canonical_by_score(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component_id, canonical_id, keep) — quality-aware canonical
+    selection: within each duplicate component keep the HIGHEST-``score_col``
+    member (ties broken by ``id_col`` asc), instead of :func:`dup_components`'
+    min-id convention.  The production dedup collapse in LLM pipelines keeps
+    the best document of a near-dup cluster (longest / highest quality /
+    most recent), not an arbitrary one.
+
+    ``components`` is ``dup_components`` output; ``scores`` carries one
+    score per doc (e.g. ``add_quality_columns``'s quality_score).  Docs in
+    ``components`` missing from ``scores`` rank last (score -inf).  One
+    join on doc_id + one combinable ``min_by``-style struct-min per
+    component — no window over the corpus, so mega-components cost one
+    aggregation row each.
+    """
+    scored = components.join(
+        scores.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
+        "doc_id",
+        "left",
+    ).withColumn("_s", F.coalesce(F.col("_s").cast("double"), F.lit(float("-inf"))))
+    # argmax by (score desc, doc_id asc) == struct-min of (-score, doc_id)
+    best = (
+        scored.groupBy("component_id")
+        .agg(
+            F.min(F.struct((-F.col("_s")).alias("ns"), F.col("doc_id").alias("d"))).alias("b")
+        )
+        .select("component_id", F.col("b.d").alias("canonical_id"))
+    )
+    return (
+        scored.join(best, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )

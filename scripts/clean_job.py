@@ -38,6 +38,17 @@ def main() -> None:
     ap.add_argument("--near-dup", action="store_true")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument(
+        "--near-dup-keep-best", action="store_true",
+        help="with --near-dup: keep each cluster's highest-quality_score "
+        "member instead of the minimum-id one",
+    )
+    ap.add_argument(
+        "--max-per-group", type=int, default=0,
+        help="cap surviving docs per --group-col value (deterministic "
+        "hash order; 0 = off)",
+    )
+    ap.add_argument("--group-col", default="source")
+    ap.add_argument(
         "--snapshot", default="",
         help="prior-corpus parquet: drop docs already present in it",
     )
@@ -108,7 +119,14 @@ def main() -> None:
     if args.near_dup:
         pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
         comp = dup_components(pairs)
-        drop = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+        if args.near_dup_keep_best:
+            from capreolus_spark.textproc import add_quality_columns, canonical_by_score
+
+            scores = add_quality_columns(survivors).select("doc_id", "quality_score")
+            sel = canonical_by_score(comp, scores)
+            drop = sel.filter(~F.col("keep")).select("doc_id")
+        else:
+            drop = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
         survivors = staged(survivors.join(drop, "doc_id", "left_anti"), "after_near_dup")
 
     if args.snapshot:
@@ -138,6 +156,21 @@ def main() -> None:
             decontaminate(survivors, eval_df), "after_decontamination"
         )
 
+    if args.max_per_group > 0:
+        from capreolus_spark.textproc import group_quota_sample
+
+        # the pipeline works on (doc_id, text); fetch the grouping column
+        # from the source table by id
+        grp = spark.read.parquet(args.input).select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.group_col).alias("_grp")
+        )
+        survivors = staged(
+            group_quota_sample(
+                survivors.join(grp, "doc_id", "left"), args.max_per_group, group_col="_grp"
+            ).drop("_grp"),
+            "after_group_quota",
+        )
+
     if args.num_shards > 0:
         from capreolus_spark.io.shards import verify_shards, write_shards
 
@@ -153,6 +186,8 @@ def main() -> None:
         last_key = "after_snapshot_dedup"
     if args.decontaminate:
         last_key = "after_decontamination"
+    if args.max_per_group > 0:
+        last_key = "after_group_quota"
     report["output_docs"] = report[last_key]
     for c in caches:
         c.unpersist()

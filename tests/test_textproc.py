@@ -415,6 +415,28 @@ def test_dup_components_matches_union_find(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_canonical_by_score(spark):
+    from capreolus_spark.textproc import canonical_by_score
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "doc_id long, component_id long"
+    )
+    scores = spark.createDataFrame(
+        # doc 2 wins cluster 1; docs 10/11 tie -> id asc picks 10;
+        # doc 3 has NO score row -> ranks last
+        [(1, 0.5), (2, 0.9), (10, 0.7), (11, 0.7)], "doc_id long, quality_score double"
+    )
+    got = {r["doc_id"]: r for r in canonical_by_score(comps, scores).collect()}
+    assert len(got) == 5
+    assert all(got[d]["canonical_id"] == 2 for d in (1, 2, 3))
+    assert all(got[d]["canonical_id"] == 10 for d in (10, 11))
+    assert {d for d, r in got.items() if r["keep"]} == {2, 10}
+    # a cluster whose every member lacks a score still keeps exactly one
+    comps2 = spark.createDataFrame([(7, 7), (8, 7)], "doc_id long, component_id long")
+    got2 = {r["doc_id"]: r for r in canonical_by_score(comps2, scores).collect()}
+    assert {d for d, r in got2.items() if r["keep"]} == {7}
+
+
 def test_dup_components_long_chain(spark):
     """A 15-vertex path needs multiple propagation rounds."""
     from capreolus_spark.textproc import dup_components
