@@ -108,13 +108,14 @@ def analyze_series(
             lambda toks: [t for t in toks if t not in stops]
         )
     if stemmer != "none":
-        cache = _STEM_CACHE
+        cache = _STEM_CACHE[stemmer]
+        stem_fn = _STEM_FNS[stemmer]
         def _stem_list(toks: list[str]) -> list[str]:
             out = []
             for t in toks:
                 s = cache.get(t)
                 if s is None:
-                    s = cache[t] = porter_stem(t)
+                    s = cache[t] = stem_fn(t)
                 out.append(s)
             return out
         token_lists = token_lists.map(_stem_list)

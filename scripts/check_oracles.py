@@ -39,7 +39,7 @@ def value_hash(rows, columns):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     from pyspark.sql import SparkSession
 
@@ -63,7 +63,7 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)

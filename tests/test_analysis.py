@@ -137,6 +137,22 @@ def test_analyze_queries_clamp():
     assert len(q["302"]) == 1020
 
 
+def test_analyze_series_krovetz_matches_scalar_path():
+    # regression: the batched stemming memo once hard-coded porter_stem and
+    # indexed the OUTER per-stemmer cache dict, so stemmer="krovetz" silently
+    # porter-stemmed ("policies" -> "polici") and a document containing the
+    # literal token "porter" pulled the inner cache dict into the token list.
+    texts = pd.Series(["flying policies porter krovetz", "Dummy doc"])
+    terms, dl = analyze_series(texts, stemmer="krovetz")
+    for toks, raw in zip(terms, texts):
+        assert list(toks) == analyze_text(raw, stemmer="krovetz")
+        assert all(isinstance(t, str) for t in toks)
+    assert "policy" in list(terms[0])  # krovetz, not porter's "polici"
+    from capreolus_spark.analysis import _STEM_CACHE
+
+    assert set(_STEM_CACHE) == {"porter", "krovetz"}
+
+
 def test_empty_and_null_content():
     terms, dl = analyze_series(pd.Series(["", None, "   "]))
     assert list(dl) == [0, 0, 0]
