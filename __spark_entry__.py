@@ -1688,6 +1688,39 @@ def _q_multimodal_validate(spark, sf_dir):
     )
 
 
+def _q_code_subtoken_df(spark, sf_dir):
+    """Code-identifier tokenizer over deterministic camelCase identifiers.
+
+    documents.text is plain space-separated words, so each row is turned
+    into one synthetic identifier — PascalCase-join of its first 12 words
+    plus a ``_v<digit>x`` suffix (exercising the underscore and both
+    digit boundaries) — and the code tokenizer must recover the word
+    stream.  Pure JVM plan: initcap/concat/regexp_replace/split/explode,
+    no Python (plan-audited in scripts/check_plans.py)."""
+    from capreolus_spark.analysis.code import code_subtokens_col
+
+    docs = _docs(spark, sf_dir)
+    words = F.slice(F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1, 12)
+    ident = F.concat(
+        F.concat_ws("", F.transform(words, F.initcap)),
+        F.lit("_v"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("x"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(code_subtokens_col(ident)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.desc("cf"), F.asc("token"))
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -1758,12 +1791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "multimodal_features": _q_multimodal_features,
         "multimodal_validate": _q_multimodal_validate,
+        "code_subtoken_df": _q_code_subtoken_df,
     }
 
 
 # ----------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
+    from capreolus_spark.analysis.code import code_subtokens_sql as _code_subtokens_sql
+
     tok_cte = f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents)"
     indexed = f"list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))"
     bm25 = _BM25_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
@@ -2517,5 +2553,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cast(query_id AS bigint) AS query_id, cast(vec_id AS bigint) AS vec_id, cosine, rank FROM "
             "(SELECT query_id, vec_id, cosine, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank FROM scored) "
             "WHERE rank <= 10"
+        ),
+        # code-identifier tokenizer (analysis/code.py): same boundary-rule
+        # regex chain, RE2 flavor; identifiers synthesized identically to
+        # _q_code_subtoken_df (PascalCase join of first 12 words + _v<d>x)
+        "code_subtoken_df": (
+            "WITH ident AS (SELECT doc_id, "
+            "array_to_string(list_transform(list_slice(string_split(coalesce(text,''),' '),1,12), "
+            "x -> upper(x[1]) || lower(x[2:])), '') "
+            "|| '_v' || CAST(doc_id % 10 AS VARCHAR) || 'x' AS ident FROM documents), "
+            f"toks AS (SELECT doc_id, unnest({_code_subtokens_sql('ident')}) AS token FROM ident) "
+            "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
+            "CAST(COUNT(*) AS BIGINT) AS cf "
+            "FROM toks GROUP BY token ORDER BY df DESC, cf DESC, token ASC LIMIT 25"
         ),
     }

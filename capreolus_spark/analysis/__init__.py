@@ -29,6 +29,7 @@ from typing import Iterable
 
 import pandas as pd
 
+from .code import code_tokenize_series, code_tokenize_text
 from .kstem import krovetz_stem
 from .porter import porter_stem
 
@@ -43,6 +44,13 @@ TOKEN_PATTERN = r"\w+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 STEMMERS = ("porter", "krovetz", "none")
+
+# "word": Lucene-StandardTokenizer-style \w+ runs (reference parity).
+# "code": identifier-splitting tokenizer for raw source files (camelCase /
+#         snake_case / digit boundaries — see analysis/code.py); beyond
+#         the reference, which only ever sees pre-tokenized code corpora
+#         (benchmark/codesearchnet.py:116-117).
+TOKENIZERS = ("word", "code")
 
 _STEM_FNS = {"porter": porter_stem, "krovetz": krovetz_stem}
 
@@ -62,19 +70,24 @@ def stem_token(token: str, stemmer: str = "porter") -> str:
     return cached
 
 
-def tokenize_text(text: str) -> list[str]:
-    """Lowercased word tokens of one string (driver-side helper)."""
+def tokenize_text(text: str, tokenizer: str = "word") -> list[str]:
+    """Lowercased tokens of one string (driver-side helper)."""
     if not text:
         return []
+    if tokenizer == "code":
+        return code_tokenize_text(text)
     return _TOKEN_RE.findall(text.lower())
 
 
 def analyze_text(
-    text: str, stemmer: str = "porter", remove_stops: bool = True
+    text: str,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
 ) -> list[str]:
     """Full analyzer chain for one string (queries are analyzed with the
     same chain as documents — reference ``searcher/anserini.py:62-67``)."""
-    toks = tokenize_text(text)
+    toks = tokenize_text(text, tokenizer=tokenizer)
     if remove_stops:
         toks = [t for t in toks if t not in LUCENE_STOP_WORDS]
     if stemmer != "none":
@@ -82,13 +95,18 @@ def analyze_text(
     return toks
 
 
-def tokenize_series(texts: pd.Series) -> pd.Series:
+def tokenize_series(texts: pd.Series, tokenizer: str = "word") -> pd.Series:
     """Vectorized tokenize+lowercase over a batch (Arrow-friendly)."""
+    if tokenizer == "code":
+        return code_tokenize_series(texts)
     return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
 
 
 def analyze_series(
-    texts: pd.Series, stemmer: str = "porter", remove_stops: bool = True
+    texts: pd.Series,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
 ) -> tuple[pd.Series, pd.Series]:
     """Analyze a batch of documents.
 
@@ -99,7 +117,7 @@ def analyze_series(
     Tokenization is pandas-vectorized; stemming maps each *unique*
     surface form in the batch once through a process-wide memo.
     """
-    token_lists = tokenize_series(texts)
+    token_lists = tokenize_series(texts, tokenizer=tokenizer)
     dl = token_lists.map(len).astype("int64")
 
     if remove_stops:
@@ -126,6 +144,7 @@ def analyze_queries(
     queries: Iterable[tuple[str, str]],
     stemmer: str = "porter",
     remove_stops: bool = True,
+    tokenizer: str = "word",
     max_terms: int = 1020,
 ) -> dict[str, list[str]]:
     """Driver-side query analysis: ``[(qid, text)] -> {qid: [terms]}``.
@@ -135,6 +154,8 @@ def analyze_queries(
     """
     out = {}
     for qid, text in queries:
-        terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+        terms = analyze_text(
+            text, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+        )
         out[str(qid)] = terms[:max_terms]
     return out

@@ -1,0 +1,99 @@
+"""Code-identifier tokenizer: split camelCase / PascalCase / snake_case /
+digit-boundary identifiers into searchable subtokens.
+
+The reference's CodeSearchNet benchmark consumes corpora that ship
+PRE-tokenized ``code_tokens`` / ``docstring_tokens`` lists (reference
+``benchmark/codesearchnet.py:116-117``), so it never needs to split
+identifiers itself.  This engine indexes RAW source files (the BASELINE
+input table is ``(repo, path, commit, lang, content)`` with ``content``
+the file text), so identifier splitting is what makes a query like
+``parse html`` match ``HTMLParser.parseHtml`` — the same convention as
+Lucene's WordDelimiterGraphFilter / Elasticsearch's ``word_delimiter``.
+
+Splitting convention (boundaries get a space inserted, then tokens are
+maximal ``[A-Za-z0-9]+`` runs of the lowercased text — underscores and
+punctuation separate):
+
+* ``getValue``    → ``get value``        (lower|digit → Upper)
+* ``HTMLParser``  → ``html parser``      (Upper → Upper+lower)
+* ``utf8Decode``  → ``utf 8 decode``     (letter ↔ digit, both ways)
+* ``snake_case``  → ``snake case``       (``_`` is a separator)
+* ``a.b->c``      → ``a b c``            (punctuation separates)
+
+All three implementations (scalar, pandas batch, Spark Column) apply the
+IDENTICAL rule list, and every pattern avoids lookaround so the same
+regexes run under Java's regex engine (Spark), Python ``re`` (pandas)
+and RE2 (DuckDB oracle SQL) with identical semantics — non-overlapping
+global replacement is the same in all three.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# (pattern, python/duckdb replacement, java replacement) — order matters:
+# Upper→Upper+lower must see the original casing run, so it precedes
+# nothing that destroys case, and all four are mutually non-interacting
+# (each inserts a space at a boundary the others don't match).
+CODE_BOUNDARY_RULES = [
+    (r"([a-z0-9])([A-Z])", r"\1 \2", r"$1 $2"),
+    (r"([A-Z])([A-Z][a-z])", r"\1 \2", r"$1 $2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2", r"$1 $2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2", r"$1 $2"),
+]
+
+CODE_TOKEN_PATTERN = r"[a-z0-9]+"  # applied AFTER lowercasing
+_CODE_TOKEN_RE = re.compile(CODE_TOKEN_PATTERN)
+_COMPILED_RULES = [(re.compile(p), rep) for p, rep, _ in CODE_BOUNDARY_RULES]
+
+
+def split_identifier(text: str) -> str:
+    """Insert spaces at identifier-internal boundaries (case preserved)."""
+    for rx, rep in _COMPILED_RULES:
+        text = rx.sub(rep, text)
+    return text
+
+
+def code_tokenize_text(text: str) -> list[str]:
+    """Scalar path: full code tokenization of one string."""
+    if not text:
+        return []
+    return _CODE_TOKEN_RE.findall(split_identifier(text).lower())
+
+
+def code_tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized batch path (Arrow-friendly; used by the index build)."""
+    s = texts.fillna("")
+    for pat, rep, _ in CODE_BOUNDARY_RULES:
+        s = s.str.replace(pat, rep, regex=True)
+    return s.str.lower().str.findall(_CODE_TOKEN_RE)
+
+
+def code_subtokens_col(col):
+    """Pure-JVM Spark Column: ``array<string>`` of code subtokens.
+
+    Whole-stage-codegen friendly — a regexp_replace chain + lower +
+    split + empty-filter, no Python in the plan.  Use this for bulk
+    token analytics; the index build uses the pandas batch path above
+    (it shares the factorize/stem machinery with the word tokenizer).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, _, java_rep in CODE_BOUNDARY_RULES:
+        c = F.regexp_replace(c, pat, java_rep)
+    arr = F.split(F.lower(c), r"[^a-z0-9]+")
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def code_subtokens_sql(expr: str) -> str:
+    """The DuckDB (RE2) twin of :func:`code_subtokens_col` as a SQL
+    expression string producing ``list<varchar>`` — used by oracle SQL."""
+    c = expr
+    for pat, duck_rep, _ in CODE_BOUNDARY_RULES:
+        c = f"regexp_replace({c}, '{pat}', '{duck_rep}', 'g')"
+    return (
+        f"list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+    )

@@ -34,6 +34,7 @@ class IndexConfig:
     """
 
     stemmer: str = "porter"
+    tokenizer: str = "word"  # "word" (reference parity) | "code" (identifier splitting)
     indexstops: bool = False
     store_contents: bool = True
     store_positions: bool = False
@@ -43,15 +44,23 @@ class IndexConfig:
     postings_partitions: int = 0
 
     def __post_init__(self):
-        from .analysis import STEMMERS
+        from .analysis import STEMMERS, TOKENIZERS
 
         if self.stemmer not in STEMMERS:
             raise ValueError(
                 f"unknown stemmer {self.stemmer!r}; supported: {STEMMERS}"
             )
+        if self.tokenizer not in TOKENIZERS:
+            raise ValueError(
+                f"unknown tokenizer {self.tokenizer!r}; supported: {TOKENIZERS}"
+            )
 
     def analyzer_kwargs(self) -> dict:
-        return {"stemmer": self.stemmer, "remove_stops": not self.indexstops}
+        return {
+            "stemmer": self.stemmer,
+            "remove_stops": not self.indexstops,
+            "tokenizer": self.tokenizer,
+        }
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

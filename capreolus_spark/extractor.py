@@ -58,6 +58,7 @@ def _doc_term_counts(index: InvertedIndex, docids: DataFrame | None) -> DataFram
             "docid", F.explode(F.col("terms")).alias("term", "tf")
         ).withColumn("tf", F.col("tf").cast("long"))
     stemmer, remove_stops = cfg.stemmer, not cfg.indexstops
+    tokenizer = cfg.tokenizer
 
     docs = index.docs_df().select("docid", "content")
     if docids is not None:
@@ -69,7 +70,7 @@ def _doc_term_counts(index: InvertedIndex, docids: DataFrame | None) -> DataFram
         from itertools import chain
 
         for pdf in batches:
-            toks = tokenize_series(pdf["content"])
+            toks = tokenize_series(pdf["content"], tokenizer)
             lens = toks.map(len).to_numpy(dtype=np.int64)
             total = int(lens.sum())
             if total == 0:

@@ -230,12 +230,13 @@ def _assign_docnos(
 
 def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
     stemmer = config.stemmer
+    tokenizer = config.tokenizer
     remove_stops = not config.indexstops
     store_positions = config.store_positions
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = tokenize_series(pdf["content"])
+            toks = tokenize_series(pdf["content"], tokenizer)
             lens = toks.map(len).to_numpy(dtype=np.int64)
             total = int(lens.sum())
             if total == 0:

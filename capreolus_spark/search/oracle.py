@@ -25,7 +25,10 @@ from ..analysis import analyze_series, analyze_text
 
 
 def analyzed_terms_df(
-    corpus: DataFrame, stemmer: str = "porter", remove_stops: bool = True
+    corpus: DataFrame,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """corpus(docid, content) → (docid, terms array<string>, dl int).
 
@@ -41,7 +44,9 @@ def analyzed_terms_df(
 
     @F.pandas_udf(out_type)
     def analyze_udf(content: pd.Series) -> pd.DataFrame:
-        terms, dl = analyze_series(content, stemmer=stemmer, remove_stops=remove_stops)
+        terms, dl = analyze_series(
+            content, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+        )
         return pd.DataFrame({"terms": terms, "dl": dl})
 
     return corpus.select(
@@ -58,6 +63,7 @@ def bm25_oracle(
     hits: int = 1000,
     stemmer: str = "porter",
     remove_stops: bool = True,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Rank ``topics`` ({qid: text}) against ``corpus`` (docid, content).
 
@@ -65,7 +71,9 @@ def bm25_oracle(
     (score desc, docid asc) ordering; scores are exact-arithmetic float64
     BM25 (idf = ln(1+(N-df+0.5)/(df+0.5)); no (k1+1) numerator).
     """
-    analyzed = analyzed_terms_df(corpus, stemmer=stemmer, remove_stops=remove_stops)
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
     analyzed = analyzed.persist()
     try:
         stats = analyzed.agg(
@@ -83,7 +91,9 @@ def bm25_oracle(
         # tiny query-term relation: (qid, term, qtf) — broadcast side of the join
         qrows = []
         for qid, text in topics.items():
-            terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+            terms = analyze_text(
+                text, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+            )
             for term, qtf in Counter(terms).items():
                 qrows.append((str(qid), term, qtf))
         if not qrows:
@@ -143,12 +153,15 @@ def scoring_oracle(
     hits: int = 1000,
     stemmer: str = "porter",
     remove_stops: bool = True,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Brute-force oracle for ANY scoring object from ``search.scoring``:
     relational tf/df/cf plumbing + an Arrow pandas_udf that applies the
     scoring's vectorized ``contrib`` — the generic twin of the DAAT kernel
     for equivalence testing."""
-    analyzed = analyzed_terms_df(corpus, stemmer=stemmer, remove_stops=remove_stops)
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
     analyzed = analyzed.persist()
     try:
         stats = analyzed.agg(
@@ -172,7 +185,9 @@ def scoring_oracle(
 
         qrows = []
         for qid, text in topics.items():
-            terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+            terms = analyze_text(
+                text, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+            )
             for term, qtf in Counter(terms).items():
                 df_cf = term_stats.get(term)
                 if df_cf is None:
@@ -228,11 +243,14 @@ def ql_dirichlet_oracle(
     hits: int = 1000,
     stemmer: str = "porter",
     remove_stops: bool = True,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Pure-DataFrame Dirichlet QL twin of :class:`QLDirichletSearcher`
     (Lucene LMDirichletSimilarity form; per-term scores clamped at 0,
     non-matching terms contribute nothing)."""
-    analyzed = analyzed_terms_df(corpus, stemmer=stemmer, remove_stops=remove_stops)
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
     analyzed = analyzed.persist()
     try:
         tf = (
@@ -245,7 +263,9 @@ def ql_dirichlet_oracle(
 
         qrows = []
         for qid, text in topics.items():
-            terms = analyze_text(text, stemmer=stemmer, remove_stops=remove_stops)
+            terms = analyze_text(
+                text, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+            )
             for term, qtf in Counter(terms).items():
                 qrows.append((str(qid), term, qtf))
         if not qrows or sum_cf == 0:

@@ -297,6 +297,27 @@ def main() -> None:
             )
         )
 
+        # 20. code-identifier tokenizer: the whole split+explode+agg stays
+        #     JVM-side (regexp_replace chain + split, no Python)
+        from capreolus_spark.analysis.code import code_subtokens_col
+
+        ct = (
+            docs_df.select(
+                F.explode(code_subtokens_col(F.col("doc_id"))).alias("token")
+            )
+            .groupBy("token")
+            .count()
+        )
+        ctplan = ct._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "code tokenizer is python-free JVM split+agg",
+                "BatchEvalPython" not in ctplan
+                and "ArrowEvalPython" not in ctplan
+                and "partial_count" in ctplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

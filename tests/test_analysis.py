@@ -307,7 +307,11 @@ def test_krovetz_index_config_threads_through(spark, tmp_path):
     from capreolus_spark.config import IndexConfig
 
     cfg = IndexConfig(stemmer="krovetz")
-    assert cfg.analyzer_kwargs() == {"stemmer": "krovetz", "remove_stops": True}
+    assert cfg.analyzer_kwargs() == {
+        "stemmer": "krovetz",
+        "remove_stops": True,
+        "tokenizer": "word",
+    }
     with pytest.raises(ValueError, match="unknown stemmer"):
         IndexConfig(stemmer="snowball")
 

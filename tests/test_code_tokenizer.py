@@ -1,0 +1,152 @@
+"""Code-identifier tokenizer: scalar / pandas-batch / Spark-Column /
+DuckDB-SQL agreement, and the tokenizer="code" index+search path.
+
+The reference never splits identifiers (CodeSearchNet corpora arrive
+pre-tokenized, reference benchmark/codesearchnet.py:116-117); this is
+the engine's raw-source-file extension, so the goldens here are pinned
+by hand, not by reference output.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from capreolus_spark.analysis.code import (
+    code_subtokens_col,
+    code_subtokens_sql,
+    code_tokenize_series,
+    code_tokenize_text,
+)
+
+GOLDEN = {
+    "HTMLParser": ["html", "parser"],
+    "getHTMLParser": ["get", "html", "parser"],
+    "utf8Decode": ["utf", "8", "decode"],
+    "snake_case_var": ["snake", "case", "var"],
+    "a.b->c": ["a", "b", "c"],
+    "XMLHttpRequest2": ["xml", "http", "request", "2"],
+    "__init__": ["init"],
+    "ABCDef": ["abc", "def"],
+    "aAaA": ["a", "aa", "a"],
+    "": [],
+    "x": ["x"],
+    "MyClass.do_stuff(fooBar, utf8)": ["my", "class", "do", "stuff", "foo", "bar", "utf", "8"],
+    "SHA256Hash": ["sha", "256", "hash"],
+    "v2Beta3": ["v", "2", "beta", "3"],
+    "def getValue(self): return self._value": ["def", "get", "value", "self", "return", "self", "value"],
+}
+
+
+def test_scalar_goldens():
+    for text, want in GOLDEN.items():
+        assert code_tokenize_text(text) == want, text
+
+
+def test_batch_matches_scalar_and_handles_null():
+    texts = list(GOLDEN) + [None]
+    out = code_tokenize_series(pd.Series(texts))
+    for got, text in zip(out[: len(GOLDEN)], GOLDEN):
+        assert list(got) == GOLDEN[text]
+    assert list(out[len(GOLDEN)]) == []
+
+
+def test_duckdb_sql_twin_matches_scalar():
+    con = duckdb.connect()
+    cases = [t for t in GOLDEN if t]  # unnest drops NULL-ish handling; non-empty
+    got = con.execute(
+        f"SELECT {code_subtokens_sql('s')} FROM (SELECT unnest(?) AS s)", [cases]
+    ).fetchall()
+    assert [g[0] for g in got] == [GOLDEN[t] for t in cases]
+
+
+def test_spark_column_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    cases = list(GOLDEN)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, s string")
+    rows = df.select("i", code_subtokens_col("s").alias("toks")).orderBy("i").collect()
+    for r in rows:
+        assert list(r["toks"]) == GOLDEN[cases[r["i"]]], cases[r["i"]]
+
+
+def test_spark_column_plan_is_python_free(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    plan = df.select(code_subtokens_col("s").alias("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_analyze_text_code_tokenizer_chain():
+    from capreolus_spark.analysis import analyze_text
+
+    # stopword filter + stemmer run AFTER code splitting
+    assert analyze_text("isTheFlyingParser", tokenizer="code", stemmer="porter") == [
+        "fly",  # "is"/"the" are Lucene stopwords once split
+        "parser",
+    ]
+    assert analyze_text("isTheFlyingParser", tokenizer="code", stemmer="none",
+                        remove_stops=False) == ["is", "the", "flying", "parser"]
+
+
+def test_index_config_rejects_unknown_tokenizer():
+    from capreolus_spark.config import IndexConfig
+
+    with pytest.raises(ValueError, match="tokenizer"):
+        IndexConfig(tokenizer="bert")
+
+
+@pytest.fixture(scope="module")
+def code_corpus(spark):
+    rows = [
+        ("r/a", "src/HTMLParser.java", "a" * 40, "java",
+         "class HTMLParser { void parseHtml(String rawHtml) { int utf8Count = 0; } }"),
+        ("r/a", "src/JsonWriter.java", "b" * 40, "java",
+         "class JsonWriter { void writeJson(JsonNode node) { node.toJson(); } }"),
+        ("r/b", "lib/html_utils.py", "c" * 40, "python",
+         "def strip_html(html_text):\n    return html_text.replace('<', '')"),
+        ("r/b", "lib/b64.py", "d" * 40, "python",
+         "def b64decode(data): return _b64_decode_impl(data)"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_code_index_search_end_to_end(spark, tmp_path, code_corpus):
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.index.build import make_docid_column
+    from capreolus_spark.search import BM25Searcher
+    from capreolus_spark.search.oracle import bm25_oracle
+
+    corpus = make_docid_column(code_corpus).select("docid", "content")
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "codeidx"),
+        IndexConfig(tokenizer="code", stemmer="none"),
+    )
+    topics = {"1": "parse html", "2": "write json", "3": "b64 decode"}
+    run = BM25Searcher(idx, BM25Config(hits=10)).search(topics)
+    daat = {(r["qid"], r["rank"]): (r["docid"], r["score"]) for r in run.collect()}
+
+    # camelCase/snake_case docs are retrieved by space-separated queries
+    assert daat[("1", 1)][0].endswith("src/HTMLParser.java")
+    assert daat[("2", 1)][0].endswith("src/JsonWriter.java")
+    assert daat[("3", 1)][0].endswith("lib/b64.py")
+
+    # rank- and score-identical to the DataFrame oracle with the same chain
+    oracle = bm25_oracle(
+        spark, corpus, topics, hits=10, stemmer="none", tokenizer="code"
+    )
+    orc = {(r["qid"], r["rank"]): (r["docid"], r["score"]) for r in oracle.collect()}
+    assert set(daat) == set(orc)
+    for k, (docid, score) in orc.items():
+        assert daat[k][0] == docid
+        assert abs(daat[k][1] - score) < 1e-9
+
+    # the word tokenizer would NOT match: "parseHtml"/"rawHtml" stay fused
+    widx = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "wordidx"),
+        IndexConfig(tokenizer="word", stemmer="none"),
+    )
+    wrun = BM25Searcher(widx, BM25Config(hits=10)).search({"1": "parse html"})
+    wdocs = {r["docid"] for r in wrun.collect()}
+    assert not any(d.endswith("src/HTMLParser.java") for d in wdocs)
