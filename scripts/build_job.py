@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--stemmer", default="porter", choices=["porter", "krovetz", "none"])
+    ap.add_argument(
+        "--tokenizer", default="word", choices=["word", "code"],
+        help="'code' splits camelCase/snake_case identifiers (raw source files)",
+    )
     ap.add_argument("--indexstops", action="store_true")
     ap.add_argument("--range-size", type=int, default=1 << 17)
     ap.add_argument("--partitions", type=int, default=0)
@@ -66,6 +70,7 @@ def main() -> None:
 
     cfg = IndexConfig(
         stemmer=args.stemmer,
+        tokenizer=args.tokenizer,
         indexstops=args.indexstops,
         store_contents=not args.no_store_contents,
         store_docvectors=args.store_docvectors,
