@@ -875,6 +875,25 @@ def _q_rrf_fusion(spark, sf_dir):
     return rrf_fuse_df([run1, run2], k=60, hits=20)
 
 
+def _q_comb_mnz(spark, sf_dir):
+    """CombMNZ score fusion (Fox & Shaw / Lee): per-qid min-max normalize
+    both synthetic runs (reference's degenerate guard), sum, multiply by
+    the number of runs retrieving the doc, per-qid top-20."""
+    from capreolus_spark.evaluation.frames import comb_fuse_df
+
+    run1 = _synth_run(spark, sf_dir)
+    run2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+    return comb_fuse_df([run1, run2], method="mnz", hits=20)
+
+
 def _q_passage_dedup(spark, sf_dir):
     from capreolus_spark.search.postprocess import dedup_passages
 
@@ -1792,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_validate": _q_multimodal_validate,
         "code_subtoken_df": _q_code_subtoken_df,
+        "comb_mnz_fusion": _q_comb_mnz,
     }
 
 
@@ -2566,5 +2586,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
             "CAST(COUNT(*) AS BIGINT) AS cf "
             "FROM toks GROUP BY token ORDER BY df DESC, cf DESC, token ASC LIMIT 25"
+        ),
+        # CombMNZ: per-qid min-max (degenerate guard) on each run, then
+        # sum(norm) * count-of-runs-retrieving, per-qid top-20
+        "comb_mnz_fusion": (
+            f"WITH run1 AS ({_SYNTH_RUN_SQL}), "
+            "run2 AS (SELECT cast(doc_id % 5 AS varchar) AS qid, cast(doc_id AS varchar) AS docid, "
+            "((doc_id * 53) % 97) / 9.0 AS score FROM documents WHERE doc_id % 3 != 0), "
+            "m1 AS (SELECT qid, CASE WHEN min(score) = max(score) THEN 0.01*max(score) - 0.01 ELSE min(score) END AS mn, max(score) AS mx FROM run1 GROUP BY qid), "
+            "m2 AS (SELECT qid, CASE WHEN min(score) = max(score) THEN 0.01*max(score) - 0.01 ELSE min(score) END AS mn, max(score) AS mx FROM run2 GROUP BY qid), "
+            "n1 AS (SELECT run1.qid, docid, (score - mn) / (mx - mn) AS s FROM run1 JOIN m1 ON run1.qid = m1.qid), "
+            "n2 AS (SELECT run2.qid, docid, (score - mn) / (mx - mn) AS s FROM run2 JOIN m2 ON run2.qid = m2.qid), "
+            "f AS (SELECT qid, docid, sum(s) * count(*) AS score FROM "
+            "(SELECT * FROM n1 UNION ALL SELECT * FROM n2) GROUP BY qid, docid), "
+            "c AS (SELECT qid, docid, score, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn FROM f) "
+            "SELECT qid, docid, score FROM c WHERE rn <= 20"
         ),
     }

@@ -85,6 +85,59 @@ def rrf_fuse_df(runs: list[DataFrame], k: int = 60, hits: int | None = None) -> 
     )
 
 
+def comb_fuse_df(
+    runs: list[DataFrame],
+    method: str = "sum",
+    normalize: bool = True,
+    hits: int | None = None,
+) -> DataFrame:
+    """Score-based run fusion (Fox & Shaw 1994 / Lee 1997 CombX family):
+
+    * ``sum``: ``score(d) = Σ_r norm_r(d)``  (CombSUM)
+    * ``mnz``: CombSUM × number of runs retrieving d  (CombMNZ)
+    * ``anz``: CombSUM / number of runs retrieving d  (CombANZ)
+
+    ``normalize=True`` min-max normalizes each run per qid first — with
+    the reference's degenerate guard (``evaluator.py:179-193``), the
+    same calibration its ``interpolate_runs`` applies before mixing
+    scores.  Complements :func:`rrf_fuse_df` (rank-based).
+
+    One window shuffle per run (skipped when ``normalize=False``) + one
+    groupBy on (qid, docid) — the agg is combinable, so at fleet scale
+    the map-side partial sums do the heavy lifting."""
+    if method not in ("sum", "mnz", "anz"):
+        raise ValueError(f"unknown comb method {method!r}; use sum|mnz|anz")
+    parts = []
+    for r in runs:
+        r = r.select("qid", "docid", "score")
+        if normalize:
+            r = minmax_normalize(r).select(
+                "qid", "docid", F.col("norm_score").alias("score")
+            )
+        parts.append(r)
+    allr = parts[0]
+    for nxt in parts[1:]:
+        allr = allr.unionByName(nxt)
+    fused = allr.groupBy("qid", "docid").agg(
+        F.sum("score").alias("_sum"), F.count("*").alias("_nz")
+    )
+    if method == "sum":
+        score = F.col("_sum")
+    elif method == "mnz":
+        score = F.col("_sum") * F.col("_nz")
+    else:
+        score = F.col("_sum") / F.col("_nz")
+    fused = fused.select("qid", "docid", score.alias("score"))
+    if hits is None:
+        return fused
+    wf = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        fused.withColumn("_r", F.row_number().over(wf))
+        .filter(F.col("_r") <= hits)
+        .drop("_r")
+    )
+
+
 def eval_metrics_df(
     run: DataFrame, qrels: DataFrame, relevance_level: int = 1, k: int = 10
 ) -> DataFrame:

@@ -137,3 +137,42 @@ def test_rrf_fusion_matches_hand_computation(spark):
     # hits cut keeps the fused top-k with docid tie-break
     top2 = {r["docid"] for r in rrf_fuse_df([r1, r2, r3], k=60, hits=2).collect()}
     assert top2 == {"d2", "d1"}
+
+
+def test_comb_fusion_matches_hand_computation(spark):
+    import pytest
+
+    from capreolus_spark.evaluation.frames import comb_fuse_df
+
+    r1 = spark.createDataFrame(
+        [("q", "d1", 4.0), ("q", "d2", 8.0), ("q", "d3", 0.0)],
+        "qid string, docid string, score double",
+    )
+    r2 = spark.createDataFrame(
+        [("q", "d2", 0.25), ("q", "d3", 1.0)], "qid string, docid string, score double"
+    )
+    # per-qid min-max: r1 -> d1 .5, d2 1, d3 0 ; r2 -> d2 0, d3 1
+    want_sum = {"d1": 0.5, "d2": 1.0, "d3": 1.0}
+    want_mnz = {"d1": 0.5, "d2": 2.0, "d3": 2.0}
+    want_anz = {"d1": 0.5, "d2": 0.5, "d3": 0.5}
+    for method, want in (("sum", want_sum), ("mnz", want_mnz), ("anz", want_anz)):
+        got = {r["docid"]: r["score"] for r in comb_fuse_df([r1, r2], method=method).collect()}
+        assert got == pytest.approx(want), method
+
+    # normalize=False sums raw scores; degenerate run (all scores equal)
+    # normalizes every doc to 1 under the reference guard
+    raw = {r["docid"]: r["score"] for r in
+           comb_fuse_df([r1, r2], method="sum", normalize=False).collect()}
+    assert raw == pytest.approx({"d1": 4.0, "d2": 8.25, "d3": 1.0})
+    flat = spark.createDataFrame(
+        [("q", "a", 7.0), ("q", "b", 7.0)], "qid string, docid string, score double"
+    )
+    degen = {r["docid"]: r["score"] for r in comb_fuse_df([flat], method="sum").collect()}
+    assert degen == pytest.approx({"a": 1.0, "b": 1.0})
+
+    with pytest.raises(ValueError, match="comb method"):
+        comb_fuse_df([r1], method="max")
+
+    # hits cut: mnz top-2 keeps d2, d3 (score tie-broken deterministically)
+    top = [(r["docid"]) for r in comb_fuse_df([r1, r2], method="mnz", hits=2).collect()]
+    assert set(top) == {"d2", "d3"}
