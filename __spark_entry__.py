@@ -875,6 +875,27 @@ def _q_rrf_fusion(spark, sf_dir):
     return rrf_fuse_df([run1, run2], k=60, hits=20)
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """First-iteration BPE pair statistics over the documents vocabulary:
+    char-symbol adjacent pairs (with the </w> end-of-word marker)
+    weighted by word count, top-30.  The full iterative trainer
+    (textproc/bpe.py learn_bpe) is pinned by a textbook-twin pytest;
+    this gates its distributed statistics kernel cross-engine."""
+    from capreolus_spark.textproc.bpe import (
+        _initial_syms_col,
+        adjacent_pair_counts,
+        word_counts,
+    )
+
+    wc = word_counts(_docs(spark, sf_dir))
+    vocab = wc.select("count", _initial_syms_col().alias("syms"))
+    return (
+        adjacent_pair_counts(vocab)
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(30)
+    )
+
+
 def _q_comb_mnz(spark, sf_dir):
     """CombMNZ score fusion (Fox & Shaw / Lee): per-qid min-max normalize
     both synthetic runs (reference's degenerate guard), sum, multiply by
@@ -1812,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_validate": _q_multimodal_validate,
         "code_subtoken_df": _q_code_subtoken_df,
         "comb_mnz_fusion": _q_comb_mnz,
+        "bpe_pair_counts": _q_bpe_pair_counts,
     }
 
 
@@ -2602,5 +2624,16 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT qid, docid, score, row_number() OVER "
             "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn FROM f) "
             "SELECT qid, docid, score FROM c WHERE rn <= 20"
+        ),
+        # BPE iteration-0 pair statistics: char symbols + </w>, weighted
+        # by word count (textproc/bpe.py adjacent_pair_counts twin)
+        "bpe_pair_counts": (
+            "WITH words AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\W+'), x -> x != '')) AS word "
+            "FROM documents) GROUP BY word), "
+            "syms AS (SELECT cnt, list_append(list_transform(range(1, len(word)+1), i -> word[i]), '</w>') AS s FROM words), "
+            "pairs AS (SELECT cnt, unnest(list_transform(range(1, len(s)), i -> struct_pack(a := s[i], b := s[i+1]))) AS p FROM syms) "
+            "SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS pair_count "
+            "FROM pairs GROUP BY p.a, p.b ORDER BY pair_count DESC, a ASC, b ASC LIMIT 30"
         ),
     }

@@ -1,0 +1,189 @@
+"""Distributed byte-pair-encoding (BPE) merge learning + application.
+
+Sennrich, Haddow & Birch 2016 ("Neural Machine Translation of Rare
+Words with Subword Units"): start from characters (plus an end-of-word
+marker), repeatedly merge the most frequent adjacent symbol pair.  The
+reference's WordPiece path (``tokenizer/bert.py``) consumes a FIXED
+published vocab; this module learns one from the corpus — the training
+half of the subword story, a first-class need for an LLM-data pipeline.
+
+Scale design (the part that matters at 100 TB):
+
+* the iteration state is the **word vocabulary**, not the corpus — one
+  ``(word, count, syms)`` row per distinct word.  The corpus is touched
+  exactly once (tokenize + groupBy word); Zipf makes the vocab orders of
+  magnitude smaller than the corpus and it stays fully distributed.
+* each merge iteration is two narrow passes over the vocab frame:
+  pair-count = explode adjacent pairs → combinable ``sum(count)`` (the
+  driver receives ONE ``(pair, count)`` row — the argmax); rewrite =
+  a single JVM ``regexp_replace`` on the space-joined symbol string
+  (boundary-anchored, greedy-left — exactly BPE's merge order).  No
+  Python in either pass.
+* lineage AND the logical plan are truncated with ``localCheckpoint``
+  every iteration — the classic iterative-algorithm requirement (same
+  pattern as the connected-components operator).
+* deterministic: ties on pair count break lexicographically
+  ``(a asc, b asc)``, so learned merge tables are reproducible across
+  partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(corpus: DataFrame, text_col: str = "text", tokenizer: str = "word") -> DataFrame:
+    """corpus → (word, count): the single corpus-wide pass.
+
+    Tokens come from the analyzer-chain tokenizer (``word`` or ``code``)
+    so BPE learns over the same surface forms the index sees."""
+    from ..analysis.code import code_subtokens_col
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if tokenizer == "code":
+        toks = code_subtokens_col(c)
+    else:
+        toks = F.filter(
+            F.split(F.lower(c), r"\W+"), lambda x: x != F.lit("")
+        )
+    return (
+        corpus.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+
+
+def _initial_syms_col(word_col="word", end_of_word: str = END_OF_WORD):
+    """word → space-joined character symbols + end-of-word marker."""
+    chars = F.split(F.col(word_col), "")
+    joined = F.array_join(chars, " ")
+    if end_of_word:
+        joined = F.concat(joined, F.lit(" " + end_of_word))
+    return joined
+
+
+def adjacent_pair_counts(vocab: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """(.., count, syms) → (a, b, pair_count): combinable aggregation over
+    the exploded adjacent symbol pairs, weighted by word count."""
+    pairs = F.expr(
+        f"transform(sequence(0, size(split({syms_col}, ' ')) - 2), "
+        f"i -> struct(split({syms_col}, ' ')[i] AS a, split({syms_col}, ' ')[i+1] AS b))"
+    )
+    return (
+        # single-symbol words contribute no pairs — and must be excluded
+        # BEFORE the transform: sequence(0, -1) DESCENDS in Spark
+        vocab.where(F.size(F.split(F.col(syms_col), " ")) >= 2)
+        .select("count", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("count").cast("long").alias("pair_count"))
+    )
+
+
+def _java_replacement_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def merge_pair_expr(syms_col, a: str, b: str):
+    """JVM Column rewriting one merge: every boundary-aligned adjacent
+    occurrence of symbols ``a b`` becomes the fused symbol ``ab``.
+    Non-overlapping left-to-right regex replacement IS BPE's greedy
+    merge order (``x x x`` with pair (x,x) → ``xx x``)."""
+    pat = f"(?<=^| ){re.escape(a)} {re.escape(b)}(?= |$)"
+    return F.regexp_replace(syms_col, pat, _java_replacement_escape(a + b))
+
+
+def learn_bpe(
+    vocab: DataFrame,
+    num_merges: int,
+    min_count: int = 2,
+    end_of_word: str = END_OF_WORD,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from a (word, count) frame.
+
+    Returns the ordered merge list ``[(a, b), ...]``.  Stops early when
+    the best remaining pair occurs fewer than ``min_count`` times.  The
+    driver only ever holds one (pair, count) row per iteration.
+
+    Every iteration ``localCheckpoint``s the rewritten vocab — for an
+    iterative dataflow this is load-bearing, not an optimization: with
+    persist alone the logical plan keeps one projection per merge and
+    Catalyst re-optimizes (and AQE re-prints) the whole chain each
+    iteration, which blows up superlinearly (observed: driver OOM in
+    ``explainString`` after ~20 merges).  Checkpointing resets the plan
+    to a leaf scan of the (vocab-sized, distributed) state."""
+    state = vocab.select(
+        "count", _initial_syms_col(end_of_word=end_of_word).alias("syms")
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = (
+            adjacent_pair_counts(state)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        state = state.select(
+            "count", merge_pair_expr(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def _merge_once(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def apply_bpe(
+    word: str, merges: list[tuple[str, str]], end_of_word: str = END_OF_WORD
+) -> list[str]:
+    """Segment one word with a learned merge table (driver-side scalar).
+
+    Applies merges sequentially in table order, each merging every
+    boundary occurrence greedily left-to-right — EXACTLY the trainer's
+    vocabulary rewrite, so for any training word this returns the
+    trainer's final symbol state, and it equals :func:`segment_words_df`
+    by construction.  (subword-nmt's encoder instead re-scans by merge
+    rank after every merge; the two can differ on adjacency chains never
+    seen in training — we pick the trainer-consistent convention.)"""
+    if not word:
+        return []
+    syms = list(word) + ([end_of_word] if end_of_word else [])
+    for a, b in merges:
+        if len(syms) == 1:
+            break
+        syms = _merge_once(syms, a, b)
+    return syms
+
+
+def segment_words_df(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    end_of_word: str = END_OF_WORD,
+) -> DataFrame:
+    """(word, ...) → + ``subwords array<string>``: apply a learned merge
+    table with a chained JVM regexp_replace — one narrow projection, the
+    merge table broadcast inside the plan (it is query-constant), no
+    Python.  Equivalent to :func:`apply_bpe` because both merge every
+    boundary occurrence in merge-table order."""
+    c = _initial_syms_col(word_col, end_of_word=end_of_word)
+    for a, b in merges:
+        c = merge_pair_expr(c, a, b)
+    return words.withColumn("subwords", F.split(c, " "))

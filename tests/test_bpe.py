@@ -1,0 +1,127 @@
+"""Distributed BPE trainer vs an independent textbook implementation.
+
+The twin below is written straight from Sennrich et al. 2016 §3.2
+(dict-of-symbol-tuples vocabulary, Counter pair statistics) with the
+same deterministic tie-break — no shared code with the Spark path.
+"""
+
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.textproc.bpe import (
+    END_OF_WORD,
+    adjacent_pair_counts,
+    apply_bpe,
+    learn_bpe,
+    segment_words_df,
+    word_counts,
+)
+
+
+def _ref_learn_bpe(wc: dict[str, int], num_merges: int, min_count: int = 2):
+    vocab = {tuple(w) + (END_OF_WORD,): c for w, c in wc.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # count desc, then (a, b) asc — the engine's tie-break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+WC = {
+    "low": 5, "lower": 2, "newest": 6, "widest": 3,  # the paper's example family
+    "xxx": 4,  # overlapping self-pair: greedy-left must give (xx, x)
+    "a": 7,    # single-char word
+}
+
+
+@pytest.fixture(scope="module")
+def wc_df(spark):
+    return spark.createDataFrame(list(WC.items()), "word string, count long")
+
+
+def test_learn_bpe_matches_textbook_reference(spark, wc_df):
+    want, _ = _ref_learn_bpe(WC, 12)
+    got = learn_bpe(wc_df, 12, min_count=2)
+    assert got == want
+    assert len(got) > 4  # the corpus supports a non-trivial merge table
+
+
+def test_learn_bpe_partitioning_invariant(spark, wc_df):
+    a = learn_bpe(wc_df.repartition(1), 8)
+    b = learn_bpe(wc_df.repartition(7, "word"), 8)
+    assert a == b
+
+
+def test_min_count_stops_early(spark, wc_df):
+    merges = learn_bpe(wc_df, 500, min_count=2)
+    ref, _ = _ref_learn_bpe(WC, 500, min_count=2)
+    assert merges == ref
+    assert len(merges) < 500  # terminated by min_count, not the budget
+
+
+def test_apply_bpe_equals_trainer_state_and_jvm_segmenter(spark, wc_df):
+    merges = learn_bpe(wc_df, 12)
+    _, ref_vocab = _ref_learn_bpe(WC, 12)
+    # trainer's final vocab state == scalar encoder output per word
+    state = {"".join(s).replace(END_OF_WORD, ""): list(s) for s in ref_vocab}
+    for w in WC:
+        assert apply_bpe(w, merges) == state[w], w
+    # JVM chained-replace segmenter == scalar encoder (incl. unseen words)
+    words = list(WC) + ["lowest", "newer", "xxxx", "zq"]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    rows = {r["word"]: list(r["subwords"]) for r in segment_words_df(wdf, merges).collect()}
+    for w in words:
+        assert rows[w] == apply_bpe(w, merges), w
+
+
+def test_apply_bpe_greedy_left_overlap():
+    # single merge (x,x): "xxxx" -> xx xx ; "xxx" -> xx x
+    m = [("x", "x")]
+    assert apply_bpe("xxxx", m, end_of_word=None) == ["xx", "xx"]
+    assert apply_bpe("xxx", m, end_of_word=None) == ["xx", "x"]
+    assert apply_bpe("", m) == []
+
+
+def test_word_counts_and_pair_counts(spark):
+    docs = spark.createDataFrame(
+        [("the cat the hat",), ("getCatFlap",)], "text string"
+    )
+    wc = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+    assert wc == {"the": 2, "cat": 1, "hat": 1, "getcatflap": 1}
+    cwc = {r["word"]: r["count"] for r in word_counts(docs, tokenizer="code").collect()}
+    assert cwc == {"the": 2, "cat": 2, "hat": 1, "get": 1, "flap": 1}
+
+    vocab = spark.createDataFrame(
+        [(2, "a b " + END_OF_WORD), (1, "b " + END_OF_WORD)], "count long, syms string"
+    )
+    pc = {(r["a"], r["b"]): r["pair_count"] for r in adjacent_pair_counts(vocab).collect()}
+    assert pc == {("a", "b"): 2, ("b", END_OF_WORD): 3}
+
+
+def test_pair_count_plan_is_python_free_and_combinable(spark, wc_df):
+    vocab = wc_df.selectExpr("count", "concat(word, ' ', '</w>') AS syms")
+    plan = adjacent_pair_counts(vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
