@@ -875,6 +875,18 @@ def _q_rrf_fusion(spark, sf_dir):
     return rrf_fuse_df([run1, run2], k=60, hits=20)
 
 
+def _q_hashed_embeddings(spark, sf_dir):
+    """Model-free hashed TF-IDF embeddings (textproc/similarity.py),
+    exploded to (doc_id, i, val) scalar rows for the gate (the dense
+    array is the user-facing shape)."""
+    from capreolus_spark.textproc.similarity import hashed_tfidf_embeddings
+
+    emb = hashed_tfidf_embeddings(_docs(spark, sf_dir), dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "val")
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "val")
+
+
 def _q_bpe_pair_counts(spark, sf_dir):
     """First-iteration BPE pair statistics over the documents vocabulary:
     char-symbol adjacent pairs (with the </w> end-of-word marker)
@@ -1834,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_subtoken_df": _q_code_subtoken_df,
         "comb_mnz_fusion": _q_comb_mnz,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "hashed_embeddings": _q_hashed_embeddings,
     }
 
 
@@ -2635,5 +2648,25 @@ def oracle_sql() -> dict[str, str]:
             "pairs AS (SELECT cnt, unnest(list_transform(range(1, len(s)), i -> struct_pack(a := s[i], b := s[i+1]))) AS p FROM syms) "
             "SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS pair_count "
             "FROM pairs GROUP BY p.a, p.b ORDER BY pair_count DESC, a ASC, b ASC LIMIT 30"
+        ),
+        # hashed TF-IDF embeddings: md5-60 bucket + independent md5-60 sign,
+        # idf = ln((N+1)/(df+1)) + 1, dim=16, entries rounded to 6dp
+        "hashed_embeddings": (
+            f"WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM "
+            "(SELECT doc_id, unnest(toks) AS token FROM tok) GROUP BY doc_id, token), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "idf AS (SELECT token, ln((n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf "
+            "FROM tf, n GROUP BY token, n_docs), "
+            "w AS (SELECT doc_id, "
+            "CAST(TRY_CAST(concat('0x', substr(md5(tf.token), 1, 15)) AS BIGINT) % 16 AS INT) AS bucket, "
+            "(CASE WHEN TRY_CAST(concat('0x', substr(md5(tf.token || '#s'), 1, 15)) AS BIGINT) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END) * tf * idf AS wv "
+            "FROM tf JOIN idf USING (token)), "
+            "b AS (SELECT doc_id, bucket, sum(wv) AS v FROM w GROUP BY doc_id, bucket), "
+            "grid AS (SELECT doc_id, i FROM documents CROSS JOIN (SELECT unnest(range(16)) AS i)) "
+            "SELECT grid.doc_id, CAST(grid.i AS INT) AS i, "
+            "round(coalesce(b.v, 0.0), 6) AS val "
+            "FROM grid LEFT JOIN b ON grid.doc_id = b.doc_id AND grid.i = b.bucket"
         ),
     }

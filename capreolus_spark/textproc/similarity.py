@@ -388,3 +388,78 @@ def dequantize_codes(
         lambda scaled, m: scaled + m,
     )
     return codes_df.select("vec_id", approx.alias("approx"))
+
+
+def hashed_tfidf_embeddings(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-free document embeddings via the hashing trick (Weinberger
+    et al. 2009): token TF-IDF weights are scattered into a ``dim``-wide
+    dense vector by a PORTABLE hash — bucket = md5-60(token) % dim, sign
+    from an independent md5-60 of ``token || '#s'`` — so the construction
+    is reproducible in any
+    engine with md5 (the same portability convention as the md5 simhash
+    config) and needs no external embedding model.  Output feeds the ANN
+    / near-dup / clustering operators directly.
+
+    Scale shape: tokenize → (doc, token) tf agg (map-side combinable) →
+    idf join on the token dictionary (AQE picks broadcast vs shuffle by
+    the dictionary's real size) → (doc, bucket) partial-sum agg →
+    map_from_entries densification.  Two shuffles on doc_id-sized data,
+    one on the dictionary; no Python anywhere in the plan.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, always positive);
+    entries are rounded to 6 decimals (cross-engine float convention).
+    """
+    from .hashing import md5_hash60
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit("[a-z0-9_]+"),
+                0,  # whole-match group (Spark defaults to group 1)
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    # tf already has one row per (doc, token), so df is a plain count
+    idf = tf.groupBy("token").agg(
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.count("*") + 1.0)) + 1.0).alias("idf")
+    )
+    h = md5_hash60(F.col("token"))
+    # sign from a SEPARATE hash: deriving it from h's high bits would need
+    # integer division, and double-precision h/dim drops the low bits of a
+    # 60-bit hash (cross-engine divergence)
+    sign_h = md5_hash60(F.concat(F.col("token"), F.lit("#s")))
+    weighted = (
+        tf.join(idf, "token")
+        .select(
+            "doc_id",
+            (h % dim).cast("int").alias("bucket"),
+            (
+                F.when(sign_h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+                * F.col("tf") * F.col("idf")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("w").alias("v"))
+    )
+    entries = weighted.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)), 6),
+    )
+    # documents whose text has no tokens still get a (zero) embedding
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(entries, "doc_id", "left")
+        .select("doc_id", F.coalesce(dense, F.array_repeat(F.lit(0.0), dim)).alias("embedding"))
+    )

@@ -1281,3 +1281,59 @@ def test_near_dedup_against_snapshot(spark):
 
     with _pytest.raises(ValueError):
         near_dedup_against_snapshot(docs, snapshot, max_hamming=8, bands=8)
+
+
+def test_hashed_tfidf_embeddings(spark):
+    import math
+
+    from capreolus_spark.textproc.similarity import (
+        brute_force_cosine_topk,
+        hashed_tfidf_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join merge sort spark"),
+            (2, "spark join merge sort spark"),   # exact dup of 1
+            (3, "python list dict tuple"),
+            (4, ""),                               # token-free doc
+            (5, None),                             # null text
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_tfidf_embeddings(docs, dim=16)
+    rows = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert all(len(v) == 16 for v in rows.values())
+    assert rows[1] == rows[2]                      # identical text -> identical vector
+    assert rows[4] == [0.0] * 16 and rows[5] == [0.0] * 16
+    assert any(v != 0 for v in rows[1]) and any(v != 0 for v in rows[3])
+    assert rows[1] != rows[3]
+
+    # plan stays python-free
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # composition: the hashed vectors drive the existing cosine machinery —
+    # doc 1's nearest non-self neighbor is its exact duplicate at cosine 1
+    vecs = emb.filter(F.col("doc_id").isin(1, 2, 3))
+    q = emb.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_cosine_topk(vecs, q, k=3, id_col="doc_id").collect()
+    by_rank = {r["rank"]: (r["vec_id"], r["cosine"]) for r in top}
+    assert {by_rank[1][0], by_rank[2][0]} == {1, 2}
+    assert by_rank[1][1] == by_rank[2][1] == 1.0
+    assert by_rank[3][0] == 3 and by_rank[3][1] < 0.99
+
+    # idf sanity: a token shared by all docs weighs less than a unique one
+    docs2 = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2"), (3, "common rare3")],
+        "doc_id long, text string",
+    )
+    n = 3
+    idf_common = math.log((n + 1) / (3 + 1)) + 1
+    idf_rare = math.log((n + 1) / (1 + 1)) + 1
+    e = {r["doc_id"]: r["embedding"] for r in hashed_tfidf_embeddings(docs2, dim=16).collect()}
+    mags = sorted(abs(v) for v in e[1] if v != 0)
+    assert mags == sorted([round(idf_common, 6), round(idf_rare, 6)]) or len(mags) == 1
