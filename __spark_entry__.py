@@ -875,6 +875,19 @@ def _q_rrf_fusion(spark, sf_dir):
     return rrf_fuse_df([run1, run2], k=60, hits=20)
 
 
+def _q_kmeans_assign(spark, sf_dir):
+    """Deterministic k-means assignment step (textproc/cluster.py): the
+    8 lowest-vec_id embeddings are the seed centroids (no averaging, so
+    the floats are exactly reproducible cross-engine), every vector goes
+    to its nearest centroid with ties to the lowest cluster index."""
+    from capreolus_spark.textproc.cluster import assign_clusters, seed_centroids
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return assign_clusters(emb, seed_centroids(emb, 8)).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist2"
+    )
+
+
 def _q_hashed_embeddings(spark, sf_dir):
     """Model-free hashed TF-IDF embeddings (textproc/similarity.py),
     exploded to (doc_id, i, val) scalar rows for the gate (the dense
@@ -1847,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comb_mnz_fusion": _q_comb_mnz,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "hashed_embeddings": _q_hashed_embeddings,
+        "kmeans_assign": _q_kmeans_assign,
     }
 
 
@@ -2668,5 +2682,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grid.doc_id, CAST(grid.i AS INT) AS i, "
             "round(coalesce(b.v, 0.0), 6) AS val "
             "FROM grid LEFT JOIN b ON grid.doc_id = b.doc_id AND grid.i = b.bucket"
+        ),
+        # deterministic k-means assignment: seeds = 8 lowest vec_ids (exact
+        # floats, no averaging), nearest by squared euclidean, ties to the
+        # lowest cluster; (x-y)*(x-y) spelled as multiplication in both
+        # engines (pow() can differ in the last ulp)
+        "kmeans_assign": (
+            "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, "
+            "CAST(embedding AS DOUBLE[]) AS c FROM "
+            "(SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "d AS (SELECT e.vec_id, s.cluster, "
+            "list_sum(list_transform(range(1, len(e.embedding)+1), "
+            "i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))) AS dist2 "
+            "FROM embeddings e CROSS JOIN seeds s), "
+            "r AS (SELECT vec_id, cluster, dist2, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist2 ASC, cluster ASC) AS rn FROM d) "
+            "SELECT vec_id, CAST(cluster AS INT) AS cluster, round(dist2, 6) AS dist2 "
+            "FROM r WHERE rn = 1"
         ),
     }

@@ -1,0 +1,128 @@
+"""Deterministic distributed k-means over embedding columns.
+
+``pyspark.ml.KMeans`` already backs the IVF coarse quantizer
+(similarity.py) — this module is the DETERMINISTIC twin for pipeline
+uses where reproducibility is part of the contract (corpus bucketing,
+diversity sampling, per-cluster quotas): k-means++ randomness is
+replaced by first-k-by-id seeding, ties break on the lowest cluster id,
+and every step is a plain DataFrame computation an external engine can
+replay — which is what lets the assignment step be oracle-gated.
+(Centroid floats are exact within a fixed partitioning; across
+partitionings the ``avg`` partial-sum order shifts them by ~1 ulp —
+assignments stay identical unless a point sits on a boundary, tested.)
+
+Scale shape per Lloyd iteration:
+
+* **assign**: one narrow pass — squared-euclidean distance to each of
+  the k broadcast-literal centroids as JVM ``aggregate``/``zip_with``
+  expressions (no Python, no shuffle).
+* **update**: ``posexplode`` the assigned vectors → ``groupBy(cluster,
+  dim)`` average — map-side-combinable partial sums; the driver only
+  ever holds the k×dim centroid matrix.
+* state lives on the driver as the centroid list, so there is NO
+  growing lineage (contrast learn_bpe, whose state is a distributed
+  frame); the input is persisted once and re-scanned per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared euclidean distance to a literal centroid (pure JVM)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def seed_centroids(
+    vectors: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic seeds: the embeddings of the k lowest ids."""
+    rows = vectors.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(k).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass: (id, cluster, dist2) with the nearest centroid,
+    ties on the lowest cluster index.  ``dist2`` is rounded to 6 decimals
+    (the cross-engine float convention)."""
+    d = [_dist2(F.col(vec_col), c) for c in centroids]
+    best = F.least(*d) if len(d) > 1 else d[0]
+    cluster = F.lit(None).cast("int")
+    # first index attaining the minimum — iterate REVERSED so earlier
+    # clusters overwrite later ones in the coalesce chain
+    for i in reversed(range(len(d))):
+        cluster = F.when(d[i] == best, F.lit(i)).otherwise(cluster)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        cluster.alias("cluster"),
+        F.round(best, 6).alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations; returns the final centroid list.
+
+    Empty clusters keep their previous centroid (no re-seeding — keeps
+    the run reproducible).  Stops when every centroid moves less than
+    ``tol`` (squared movement) or after ``max_iter`` rounds."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")).persist()
+    try:
+        centroids = seed_centroids(v, k, "vec_id", "vv")
+        if len(centroids) < k:
+            raise ValueError(f"need >= {k} vectors to seed {k} clusters, got {len(centroids)}")
+        for _ in range(max_iter):
+            assigned = assign_clusters(v, centroids, "vec_id", "vv").select(
+                "vec_id", "cluster"
+            ).join(v, "vec_id")
+            means = (
+                assigned.select("cluster", F.posexplode("vv").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .collect()
+            )
+            nxt = [list(c) for c in centroids]  # empty cluster -> unchanged
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+            for ci, dims in by_cluster.items():
+                nxt[ci] = [dims[i] for i in range(len(dims))]
+            moved = max(
+                sum((a - b) ** 2 for a, b in zip(old, new))
+                for old, new in zip(centroids, nxt)
+            )
+            centroids = nxt
+            if moved < tol:
+                break
+        return centroids
+    finally:
+        v.unpersist()
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """(cluster, n, mean_dist2): per-cluster cardinality and tightness."""
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("dist2"), 6).alias("mean_dist2"),
+        )
+    )

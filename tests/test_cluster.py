@@ -1,0 +1,112 @@
+"""Deterministic distributed k-means vs an independent numpy Lloyd twin."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.cluster import (
+    assign_clusters,
+    cluster_sizes,
+    kmeans_fit,
+    seed_centroids,
+)
+
+
+def _ref_kmeans(X: np.ndarray, k: int, max_iter: int = 20, tol: float = 1e-6):
+    """Textbook Lloyd with the module's conventions: first-k-by-id seeds,
+    ties to the lowest cluster, empty clusters keep their centroid."""
+    C = X[:k].astype(np.float64).copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :].astype(np.float64) - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the FIRST minimum -> lowest cluster
+        nxt = C.copy()
+        for c in range(k):
+            if (assign == c).any():
+                nxt[c] = X[assign == c].astype(np.float64).mean(axis=0)
+        moved = ((C - nxt) ** 2).sum(axis=1).max()
+        C = nxt
+        if moved < tol:
+            break
+    return C, assign
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    # three well-separated 4-d blobs, deterministic jitter
+    rows, X = [], []
+    for i in range(60):
+        blob = i % 3
+        base = [float(10 * blob)] * 4
+        jit = [((i * 7 + d * 13) % 5) * 0.1 for d in range(4)]
+        v = [b + j for b, j in zip(base, jit)]
+        rows.append((i, v))
+        X.append(v)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, np.array(X)
+
+
+def test_kmeans_matches_numpy_twin(spark, xy):
+    df, X = xy
+    C = kmeans_fit(df, k=3, max_iter=15)
+    refC, ref_assign = _ref_kmeans(X, 3, max_iter=15)
+    assert np.allclose(np.array(C), refC, atol=1e-9)
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, C).collect()}
+    assert got == {i: int(c) for i, c in enumerate(ref_assign)}
+    # blobs recovered: each input blob lands in exactly one cluster
+    for blob in range(3):
+        assert len({got[i] for i in range(60) if i % 3 == blob}) == 1
+
+    sizes = {r["cluster"]: r["n"] for r in cluster_sizes(assign_clusters(df, C)).collect()}
+    assert sum(sizes.values()) == 60 and len(sizes) == 3
+
+
+def test_kmeans_partitioning_invariant(spark, xy):
+    # centroids agree to float-summation tolerance across partitionings
+    # (avg partial-sum order differs), and the ASSIGNMENTS are identical
+    df, _ = xy
+    a = kmeans_fit(df.repartition(1), k=3)
+    b = kmeans_fit(df.repartition(13, "vec_id"), k=3)
+    assert np.allclose(np.array(a), np.array(b), atol=1e-9)
+    ga = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, a).collect()}
+    gb = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, b).collect()}
+    assert ga == gb
+
+
+def test_assign_tie_breaks_to_lowest_cluster(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    # two identical centroids: the row must go to cluster 0
+    got = assign_clusters(df, [[1.0, 0.0], [1.0, 0.0]]).collect()[0]
+    assert got["cluster"] == 0 and got["dist2"] == 1.0
+
+
+def test_seed_requires_enough_vectors(spark):
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
+    assert seed_centroids(df, 5) == [[0.0]]
+    with pytest.raises(ValueError, match="seed"):
+        kmeans_fit(df, k=5)
+
+
+def test_assign_plan_is_python_free(spark, xy):
+    df, _ = xy
+    plan = (
+        assign_clusters(df, [[0.0] * 4, [10.0] * 4])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_hashed_embeddings_composition(spark):
+    from capreolus_spark.textproc.similarity import hashed_tfidf_embeddings
+
+    docs = spark.createDataFrame(
+        [(i, ("spark join merge " if i % 2 else "python dict list ") * 3 + f"w{i % 2}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = hashed_tfidf_embeddings(docs, dim=16)
+    C = kmeans_fit(emb, k=2, id_col="doc_id")
+    got = {r["vec_id"]: r["cluster"] for r in
+           assign_clusters(emb, C, id_col="doc_id").collect()}
+    evens = {got[i] for i in range(0, 20, 2)}
+    odds = {got[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
