@@ -16,7 +16,9 @@ Headline stages:
 * ``bm25_batch_warm`` / ``bm25_cold`` — top-1000 batch retrieval over the
   FIXTURES query set (25 queries); per-query p50/p95 from individual runs.
 * pipeline ops at sf scale: exact dedup, MinHash-LSH dedup, brute-force
-  cosine top-k, token quality.
+  cosine top-k, embedding near-dup, token quality, substring dedup,
+  snapshot near-dedup, NB classifier, shard export, hashed TF-IDF
+  embeddings, BPE trainer (15 merges), code-identifier tokenization.
 
 Every repeatable stage runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3);
 ``queries`` holds per-stage MEDIANS and ``samples`` the sorted raw samples
@@ -339,6 +341,29 @@ def main() -> None:
             write_shards(docs, os.path.join(workdir, f"shards{i[0]}"), num_shards=16)
 
         timed("shard_export", _export)
+
+        # model-free hashed TF-IDF embeddings (dim=64) over the corpus
+        from capreolus_spark.textproc.similarity import hashed_tfidf_embeddings
+
+        timed(
+            "hashed_embeddings",
+            lambda: hashed_tfidf_embeddings(docs, dim=64).count(),
+        )
+
+        # BPE trainer: 15 distributed merge iterations on the word vocab
+        from capreolus_spark.textproc.bpe import learn_bpe, word_counts
+
+        timed("bpe_learn15", lambda: len(learn_bpe(word_counts(docs), 15)))
+
+        # code-identifier tokenizer: JVM subtoken explode + agg over text
+        from capreolus_spark.analysis.code import code_subtokens_col
+
+        timed(
+            "code_tokenize",
+            lambda: docs.select(
+                F.explode(code_subtokens_col(F.col("text"))).alias("t")
+            ).groupBy("t").count().count(),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
