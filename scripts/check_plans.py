@@ -297,6 +297,36 @@ def main() -> None:
             )
         )
 
+        # 21. hashed TF-IDF embeddings: fully JVM (md5 bucketing, map
+        #     densification) with map-side partial aggregation
+        from capreolus_spark.textproc.similarity import hashed_tfidf_embeddings
+
+        he = hashed_tfidf_embeddings(docs_df, dim=16)  # docs_df is (doc_id, text)
+        heplan = he._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "hashed embeddings python-free with partial aggs",
+                "BatchEvalPython" not in heplan
+                and "ArrowEvalPython" not in heplan
+                and "partial_count" in heplan,
+            )
+        )
+
+        # 22. k-means assignment: shuffle-free narrow pass (literal
+        #     centroid distance expressions), no Python, no Exchange
+        from capreolus_spark.textproc.cluster import assign_clusters
+
+        vecs = docs_df.select("doc_id", F.array(F.lit(0.1), F.lit(0.2)).alias("embedding"))
+        ka = assign_clusters(vecs, [[0.0, 0.0], [1.0, 1.0]], id_col="doc_id")
+        kaplan = ka._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "kmeans assign is a shuffle-free JVM projection",
+                "BatchEvalPython" not in kaplan
+                and "Exchange" not in kaplan,
+            )
+        )
+
         # 20. code-identifier tokenizer: the whole split+explode+agg stays
         #     JVM-side (regexp_replace chain + split, no Python)
         from capreolus_spark.analysis.code import code_subtokens_col

@@ -125,3 +125,34 @@ def test_pair_count_plan_is_python_free_and_combinable(spark, wc_df):
     plan = adjacent_pair_counts(vocab)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+# ---------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcxyz01", min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=8))
+def test_apply_bpe_lossless_on_arbitrary_merge_tables(words):
+    """For ANY merge table learned from ANY word multiset, segmenting any
+    word concatenates back losslessly to word + end-of-word marker."""
+    wc = Counter(words)
+    merges, _ = _ref_learn_bpe(dict(wc), 10, min_count=1)
+    for w in wc:
+        segs = apply_bpe(w, merges)
+        assert "".join(segs) == w + END_OF_WORD
+        assert all(segs), "no empty symbols"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_WORD, _WORD)
+def test_merge_once_preserves_symbol_stream(a, b):
+    syms = list(a) + [END_OF_WORD]
+    from capreolus_spark.textproc.bpe import _merge_once
+
+    merged = _merge_once(syms, a[0], b[0])
+    assert "".join(merged) == "".join(syms)

@@ -150,3 +150,35 @@ def test_code_index_search_end_to_end(spark, tmp_path, code_corpus):
     wrun = BM25Searcher(widx, BM25Config(hits=10)).search({"1": "parse html"})
     wdocs = {r["docid"] for r in wrun.collect()}
     assert not any(d.endswith("src/HTMLParser.java") for d in wdocs)
+
+
+# ---------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDENT = st.text(
+    alphabet="abcXYZ019_.$-", min_size=0, max_size=24
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_IDENT)
+def test_code_tokenize_total_lossless_alnum(s):
+    """Total on arbitrary identifier-ish strings; every token is a
+    non-empty lowercase [a-z0-9]+ run, and the concatenation of tokens
+    equals the input's alphanumerics lowercased (nothing lost/invented)."""
+    import re
+
+    toks = code_tokenize_text(s)
+    for t in toks:
+        assert t and re.fullmatch(r"[a-z0-9]+", t), (s, toks)
+    assert "".join(toks) == re.sub(r"[^a-z0-9]", "", s.lower()), (s, toks)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_IDENT, min_size=1, max_size=6))
+def test_code_batch_always_matches_scalar(strs):
+    out = code_tokenize_series(pd.Series(strs))
+    for got, s in zip(out, strs):
+        assert list(got) == code_tokenize_text(s)
