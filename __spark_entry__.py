@@ -875,6 +875,35 @@ def _q_rrf_fusion(spark, sf_dir):
     return rrf_fuse_df([run1, run2], k=60, hits=20)
 
 
+_PHRASES = {
+    "p1": "part filter",
+    "p2": "table hash",
+    "p3": "merge group sort",
+    "p4": "join a filter",  # 'a' is a stopword: position-increment gap
+}
+
+
+def _q_phrase_search(spark, sf_dir):
+    """Exact phrase retrieval over the positions store (search/phrase.py —
+    Lucene PhraseQuery twin incl. stopword position gaps), scored as a
+    BM25 pseudo-term with exact df.  Matches per phrase are far below the
+    hits cut, so the full match set is gated."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.phrase import PhraseSearcher
+
+    idx = InvertedIndex.create(
+        spark,
+        _corpus(spark, sf_dir),
+        _index_dir("daat_pos", sf_dir),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    # hits far above any phrase's df so the FULL match set is gated
+    # (the oracle has no cut; phrase matches are corpus-sparse)
+    run = PhraseSearcher(idx, BM25Config(hits=10_000)).search(_PHRASES)
+    return _gate_rank(run, hits=None)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """Deterministic k-means assignment step (textproc/cluster.py): the
     8 lowest-vec_id embeddings are the seed centroids (no averaging, so
@@ -1861,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "hashed_embeddings": _q_hashed_embeddings,
         "kmeans_assign": _q_kmeans_assign,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -2699,5 +2729,27 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY vec_id ORDER BY dist2 ASC, cluster ASC) AS rn FROM d) "
             "SELECT vec_id, CAST(cluster AS INT) AS cluster, round(dist2, 6) AS dist2 "
             "FROM r WHERE rn = 1"
+        ),
+        # phrase retrieval from raw text: occurrence count at exact relative
+        # offsets (p4 keeps the removed stopword's gap: join@0, filter@2),
+        # BM25 pseudo-term score with exact df, 4dp gate-rank convention
+        "phrase_search": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM tok), "
+            "m AS ("
+            "SELECT 'p1' AS qid, docid, len(list_filter(range(1, len(toks)), i -> toks[i]='part' AND toks[i+1]='filter')) AS cnt FROM tok "
+            "UNION ALL SELECT 'p2', docid, len(list_filter(range(1, len(toks)), i -> toks[i]='table' AND toks[i+1]='hash')) FROM tok "
+            "UNION ALL SELECT 'p3', docid, len(list_filter(range(1, len(toks)-1), i -> toks[i]='merge' AND toks[i+1]='group' AND toks[i+2]='sort')) FROM tok "
+            "UNION ALL SELECT 'p4', docid, len(list_filter(range(1, len(toks)-1), i -> toks[i]='join' AND toks[i+2]='filter')) FROM tok"
+            "), mm AS (SELECT * FROM m WHERE cnt > 0), "
+            "dfx AS (SELECT qid, count(*)::DOUBLE AS df FROM mm GROUP BY qid), "
+            "scored AS (SELECT mm.qid, mm.docid, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) * mm.cnt / "
+            "(mm.cnt + 0.9 * (1 - 0.4 + 0.4 * dl.dl / s.avgdl)) AS score "
+            "FROM mm JOIN dfx d USING (qid) JOIN dl USING (docid) CROSS JOIN stats s) "
+            "SELECT qid, docid, "
+            "cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM scored"
         ),
     }

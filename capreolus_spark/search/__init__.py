@@ -462,6 +462,15 @@ def _make_sdm(index, **cfg):
 
 
 # reference module names (capreolus/searcher/anserini.py registry) → factory
+def _make_phrase(index, **cfg):
+    from .phrase import PhraseSearcher
+
+    return PhraseSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+    )
+
+
 SEARCHERS = {
     "BM25": _make_bm25,
     "DirichletQL": _make_ql,
@@ -474,6 +483,7 @@ SEARCHERS = {
     "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,
     "axiomatic": _make_axiomatic,
+    "phrase": _make_phrase,  # beyond-reference: Lucene PhraseQuery twin
 }
 
 

@@ -1,0 +1,210 @@
+"""Exact phrase retrieval over the positions store — a Lucene
+``PhraseQuery`` (slop=0) twin for the BM25 searcher family.
+
+The reference reaches phrase matching only through Anserini's SDM
+windows (``searcher/anserini.py:525-549``); Lucene itself serves quoted
+queries with PhraseQuery.  This searcher implements those semantics
+natively: a document matches when the query's analyzed terms occur at
+their exact relative offsets, INCLUDING position gaps left by removed
+stopwords (Lucene's position-increment behavior — ``"state of the
+art"`` on a stopword-filtered index requires ``state`` and ``art``
+exactly three positions apart, because stored positions are original
+token offsets, SURVEY §6.3 / index/build.py positions path).
+
+Scoring follows the SDM pseudo-term convention (and Lucene's
+PhraseQuery-as-term scoring): tf = exact phrase occurrence count,
+df = exact number of matching documents (computed, not approximated),
+BM25 with the index's calibrated formula.
+
+Scale shape: the positions-decode kernel is the same one-task-per-range
+cogroup SDM uses; intersecting ``P_k - offset_k`` across terms is a few
+sorted-array intersections per co-occurring document.  The phrase-count
+frame is persisted once and consumed by the exact-df aggregation and
+the scoring pass; the global top-k cut happens BEFORE the docid
+resolution broadcast (the family-wide scale guard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import LUCENE_STOP_WORDS, stem_token, tokenize_text
+from ..config import BM25Config
+from ..index import InvertedIndex
+from ..index.codec import decode_int32_array, decode_position_lists, decode_postings
+from . import DEFAULT_TAG, BM25Searcher
+
+_COUNT_SCHEMA = "qid string, docno long, cnt long, dl long"
+
+
+def _phrase_occurrences(pos_lists: list[np.ndarray], offsets: list[int]) -> int:
+    """#{p : p + offsets[k] ∈ pos_lists[k] ∀k} — sorted-array intersections."""
+    cand = pos_lists[0] - offsets[0]
+    for pl, off in zip(pos_lists[1:], offsets[1:]):
+        if cand.size == 0:
+            return 0
+        cand = np.intersect1d(cand, pl - off, assume_unique=True)
+    return int(cand.size)
+
+
+class PhraseSearcher(BM25Searcher):
+    """Rank documents containing the exact (analyzed) phrase."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        tag: str = DEFAULT_TAG,
+    ):
+        if not index.config.store_positions:
+            raise ValueError(
+                "phrase search requires an index built with "
+                "IndexConfig(store_positions=True)"
+            )
+        super().__init__(index, config, tag=tag)
+
+    # ---------------------------------------------------------- analysis
+
+    def _phrase_terms(self, text: str) -> list[tuple[str, int]]:
+        """[(indexed term, original token offset)] — offsets keep the gaps
+        of removed stopwords so matching mirrors stored positions."""
+        kw = self.index.config.analyzer_kwargs()
+        toks = tokenize_text(text, tokenizer=kw.get("tokenizer", "word"))
+        out = []
+        for off, tok in enumerate(toks):
+            if kw["remove_stops"] and tok in LUCENE_STOP_WORDS:
+                continue
+            out.append((stem_token(tok, kw["stemmer"]), off))
+        return out
+
+    # ------------------------------------------------------------ kernel
+
+    def _phrase_counts_df(self, phrases: dict[str, list[tuple[str, int]]]) -> DataFrame:
+        """(qid, docno, cnt, dl) for every document containing each phrase."""
+        terms = sorted({t for ps in phrases.values() for (t, _) in ps})
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        qlist = sorted(phrases.items())
+
+        def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=object),
+                    "docno": pd.Series([], dtype=np.int64),
+                    "cnt": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.int64),
+                }
+            )
+            if len(p) == 0 or len(r) == 0:
+                return empty
+            rrow = r.iloc[0]
+            base = int(rrow["base_docno"])
+            dls = decode_int32_array(rrow["dls"])
+
+            cells: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+            for i in range(len(p)):
+                row = p.iloc[i]
+                if row["positions"] is None:
+                    continue
+                docnos, tfs = decode_postings(row["docnos"], row["tfs"])
+                cells[row["term"]] = (docnos, decode_position_lists(bytes(row["positions"]), tfs))
+
+            rows = {"qid": [], "docno": [], "cnt": [], "dl": []}
+            for qid, ps in qlist:
+                cs = [cells.get(t) for (t, _) in ps]
+                if any(c is None for c in cs):
+                    continue
+                offs = [off for (_, off) in ps]
+                # docnos present in EVERY term's postings, with per-term row
+                # indices for position lookup
+                common = cs[0][0]
+                idxs = [np.arange(common.size)]
+                for c in cs[1:]:
+                    common, i_prev, i_new = np.intersect1d(
+                        common, c[0], assume_unique=True, return_indices=True
+                    )
+                    idxs = [ix[i_prev] for ix in idxs]
+                    idxs.append(i_new)
+                for k in range(common.size):
+                    cnt = _phrase_occurrences(
+                        [c[1][ix[k]] for c, ix in zip(cs, idxs)], offs
+                    )
+                    if cnt:
+                        d = int(common[k])
+                        rows["qid"].append(qid)
+                        rows["docno"].append(d)
+                        rows["cnt"].append(cnt)
+                        rows["dl"].append(int(dls[d - base]))
+            return pd.DataFrame(rows) if rows["qid"] else empty
+
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        n_ranges = self.index.num_ranges
+        if n_ranges:
+            n_parts = max(1, min(n_parts, n_ranges))
+        return (
+            postings.repartition(n_parts, "range_id").groupBy("range_id")
+            .cogroup(ranges.repartition(n_parts, "range_id").groupBy("range_id"))
+            .applyInPandas(kernel, schema=_COUNT_SCHEMA)
+        )
+
+    # ------------------------------------------------------------ search
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        """topics = {qid: phrase text} → (qid, docid, rank, score, tag);
+        score = BM25 over the phrase pseudo-term (tf = occurrence count,
+        df = exact matching-doc count)."""
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        phrases = {
+            str(qid): ps
+            for qid, text in topics.items()
+            if (ps := self._phrase_terms(text))
+        }
+        if not phrases:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+
+        counts = self._phrase_counts_df(phrases).persist()
+        try:
+            n_docs = float(self.index.numdocs)
+            dfx = counts.groupBy("qid").agg(F.count("*").alias("df"))
+            idf = dfx.select(
+                "qid",
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    ),
+                ).alias("idf"),
+            )
+            k1, b = self.config.k1, self.config.b
+            norm = F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(self.index.avgdl))
+            )
+            scored = (
+                counts.join(F.broadcast(idf), "qid")
+                .select(
+                    "qid",
+                    "docno",
+                    (F.col("idf") * F.col("cnt") / (F.col("cnt") + norm)).alias("score"),
+                )
+            )
+            cand = self._with_docids(self._global_topk_cut(scored, hits))
+            w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+            out = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= hits)
+                .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+            )
+            out = out.localCheckpoint()  # materialize before unpersisting counts
+            return out
+        finally:
+            counts.unpersist()

@@ -1,0 +1,127 @@
+"""PhraseSearcher (Lucene PhraseQuery twin) vs a brute-force text scan."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.analysis import LUCENE_STOP_WORDS, tokenize_text
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.index.build import make_docid_column
+from capreolus_spark.search import create_searcher
+from capreolus_spark.search.phrase import PhraseSearcher, _phrase_occurrences
+
+DOCS = [
+    ("quick brown fox jumps over the lazy dog", "d1"),
+    ("the quick brown cat naps", "d2"),
+    ("brown quick reversed words here", "d3"),
+    ("quick brown quick brown quick brown", "d4"),          # 3 occurrences
+    ("state of the art retrieval engines", "d5"),           # stopword gap
+    ("state retrieval art of engines the", "d6"),           # words, wrong order
+    ("quick stop brown separated tokens", "d7"),
+]
+
+
+def _brute_phrase_count(text: str, phrase: str) -> int:
+    """Independent twin: positions over the RAW token stream, stopword
+    terms dropped from the query but their offsets kept (Lucene position
+    increments)."""
+    toks = tokenize_text(text)
+    q = tokenize_text(phrase)
+    kept = [(t, i) for i, t in enumerate(q) if t not in LUCENE_STOP_WORDS]
+    if not kept:
+        return 0
+    n = 0
+    for p in range(len(toks)):
+        if all(p + off < len(toks) and toks[p + off] == t for t, off in kept):
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def phrase_idx(spark, tmp_path_factory):
+    rows = [("r", f"{name}.txt", "0" * 40, "text", text) for text, name in DOCS]
+    corpus = make_docid_column(
+        spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    ).select("docid", "content")
+    return InvertedIndex.create(
+        spark, corpus,
+        str(tmp_path_factory.mktemp("phraseidx") / "idx"),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+
+
+TOPICS = {
+    "p1": "quick brown",
+    "p2": "brown quick",
+    "p3": "state of the art",
+    "p4": "quick brown fox",
+    "p5": "absent phrase entirely",
+    "p6": "dog",  # single-term degenerate
+}
+
+
+def test_phrase_matches_brute_force(spark, phrase_idx):
+    run = PhraseSearcher(phrase_idx, BM25Config(hits=10)).search(TOPICS)
+    got = {}
+    for r in run.collect():
+        got.setdefault(r["qid"], set()).add(r["docid"].rsplit(":", 1)[1])
+    want = {}
+    for qid, phrase in TOPICS.items():
+        for text, name in DOCS:
+            if _brute_phrase_count(text, phrase):
+                want.setdefault(qid, set()).add(f"{name}.txt")
+    assert got == want
+    # spot semantics: order matters, gaps from stopwords enforced
+    assert "d3.txt" not in got["p1"]
+    assert got["p3"] == {"d5.txt"}          # not d6 (wrong offsets)
+    assert "d7.txt" not in got["p1"]        # 'stop' breaks adjacency
+
+
+def test_phrase_score_is_bm25_pseudo_term(spark, phrase_idx):
+    """Hand-check: tf = phrase count, df = #matching docs, exact BM25."""
+    run = {r["docid"].rsplit(":", 1)[1]: r["score"]
+           for r in PhraseSearcher(phrase_idx, BM25Config(hits=10)).search({"q": "quick brown"}).collect()}
+    n_docs = len(DOCS)
+    matches = {name: _brute_phrase_count(text, "quick brown") for text, name in DOCS}
+    matches = {k: v for k, v in matches.items() if v}
+    df = len(matches)
+    avgdl = sum(len(tokenize_text(t)) for t, _ in DOCS) / n_docs
+    idf = max(0.0, math.log(1 + (n_docs - df + 0.5) / (df + 0.5)))
+    for (text, name) in DOCS:
+        if name not in matches:
+            assert f"{name}.txt" not in run
+            continue
+        tf, dl = matches[name], len(tokenize_text(text))
+        want = idf * tf / (tf + 0.9 * (1 - 0.4 + 0.4 * dl / avgdl))
+        assert run[f"{name}.txt"] == pytest.approx(want, abs=1e-9), name
+    # d4 (3 occurrences) outscores single-occurrence docs of similar length
+    assert run["d4.txt"] == max(run.values())
+
+
+def test_phrase_requires_positions(spark, phrase_idx, tmp_path):
+    corpus = phrase_idx.docs_df().select("docid", "content")
+    flat = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "nopos"), IndexConfig(stemmer="none")
+    )
+    with pytest.raises(ValueError, match="store_positions"):
+        PhraseSearcher(flat)
+
+
+def test_phrase_factory_and_empty_topics(spark, phrase_idx):
+    s = create_searcher("phrase", phrase_idx, hits=5)
+    assert isinstance(s, PhraseSearcher)
+    assert s.search({"q": "the of"}).count() == 0  # all-stopword phrase
+
+
+def test_phrase_occurrence_kernel():
+    import numpy as np
+
+    P = lambda *xs: np.array(xs, dtype=np.int64)
+    # "a b a b a": phrase (a,b) at offsets (0,1) -> positions 0 and 2
+    assert _phrase_occurrences([P(0, 2, 4), P(1, 3)], [0, 1]) == 2
+    # gap phrase: a at p, c at p+3
+    assert _phrase_occurrences([P(0), P(3)], [0, 3]) == 1
+    assert _phrase_occurrences([P(0), P(2)], [0, 3]) == 0
+    assert _phrase_occurrences([P(5)], [0]) == 1
