@@ -1,0 +1,218 @@
+"""Static scanners for source-code corpora: license detection, secret
+scanning, import extraction, and comment stripping.
+
+Beyond-reference operators for the code-corpus curation pipeline (the
+reference's corpus model stops at raw document text; a training-data
+pipeline over source code additionally filters by license, redacts
+credentials, maps dependency structure, and measures code/comment
+ratios before any indexing or dedup runs).
+
+100 TB design notes
+-------------------
+* Every operator is a pure column expression — ``lower``/``substring``/
+  ``contains``/``regexp_extract_all``/``regexp_replace`` — so the whole
+  scan stays inside whole-stage codegen with zero Python in the hot
+  path and zero shuffles; only :func:`import_stats` adds the one
+  groupBy its aggregation semantics require.
+* License detection reads a bounded head substring
+  (``head_chars``, default 4096) — license headers live at the top of
+  a file, so the match cost is O(head) per document, not O(|content|),
+  and the projection after ``select`` lets Catalyst prune every other
+  column at the parquet scan.
+* The regex dialect is restricted to the RE2-compatible subset (no
+  lookarounds, no backreferences) so the same patterns run identically
+  on the JVM (java.util.regex) and in the DuckDB oracle (RE2) — this is
+  what makes the operators oracle-gateable, and it also keeps them
+  portable to Photon/Velox-style native engines that compile RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- licenses
+
+#: (label, lowercase needle) in precedence order — first match wins.
+#: Needles are the stable identifying phrases of each license's header
+#: paragraph (SPDX text), lowercased for case-insensitive matching.
+LICENSE_NEEDLES: list[tuple[str, str]] = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "apache license, version 2.0"),
+    ("gpl-3.0", "gnu general public license"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+]
+
+
+def license_col(text: Column, head_chars: int = 4096) -> Column:
+    """License family of a source file from its header text.
+
+    Case-insensitive needle match over the first ``head_chars``
+    characters, precedence per :data:`LICENSE_NEEDLES`, ``'unknown'``
+    when nothing matches.  Pure column expression (substring + lower +
+    contains chain) — no regex engine needed at all.
+    """
+    head = F.lower(F.substring(F.coalesce(text, F.lit("")), 1, head_chars))
+    expr = F.lit("unknown")
+    for label, needle in reversed(LICENSE_NEEDLES):
+        expr = F.when(head.contains(needle), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def detect_license(
+    df: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    head_chars: int = 4096,
+) -> DataFrame:
+    """Per-document license label: ``id_cols... , license string``."""
+    return df.select(
+        *id_cols, license_col(F.col(text_col), head_chars).alias("license")
+    )
+
+
+# ---------------------------------------------------------------- secrets
+
+#: name -> RE2-compatible pattern.  Deliberately high-precision,
+#: well-published detector shapes (AWS access-key prefix, GitHub PAT
+#: prefix, PEM armor, literal password assignment) — a curation
+#: pipeline wants near-zero false positives before redacting/dropping.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "github_token": r"ghp_[A-Za-z0-9]{36}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "password_assign": r"(?i)password\s*=\s*[^\s]+",
+}
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    # size(regexp_extract_all) rather than regexp_count: identical
+    # semantics, available in both engines' SQL dialects.
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("int")
+
+
+def scan_secrets(
+    df: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-document secret-match counts.
+
+    Output: ``id_cols..., n_<kind> int per SECRET_PATTERNS,
+    has_secret boolean``.  One projection, no shuffle; at 100 TB this
+    is a single map stage whose output is ~20 B/doc.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        _count_matches(text, pat).alias(f"n_{name}")
+        for name, pat in SECRET_PATTERNS.items()
+    ]
+    out = df.select(*id_cols, *counts)
+    has = None
+    for name in SECRET_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        has = c if has is None else (has | c)
+    return out.withColumn("has_secret", has)
+
+
+# ---------------------------------------------------------------- imports
+
+#: lang -> list of RE2-compatible patterns whose capture group 1 is the
+#: imported module.  ``(?m)^`` anchors to line starts so prose mentions
+#: of the word "import" mid-line don't match.
+IMPORT_PATTERNS: dict[str, list[str]] = {
+    "python": [
+        r"(?m)^import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+        r"(?m)^from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import",
+    ],
+    "go": [r'(?m)^[ \t]*import[ \t]+"([^"]+)"'],
+    "java": [r"(?m)^import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)"],
+    "javascript": [
+        r"""require\(['"]([^'"]+)['"]\)""",
+        r"""(?m)^import[^\n]*[ \t]from[ \t]+['"]([^'"]+)['"]""",
+    ],
+    "c": [r"(?m)^[ \t]*#include[ \t]*[<\"]([^>\"]+)[>\"]"],
+}
+
+
+def imports_col(text: Column, lang: str = "python") -> Column:
+    """Array of imported module names extracted from ``text``."""
+    pats = IMPORT_PATTERNS[lang]
+    arrs = [F.regexp_extract_all(text, F.lit(p), F.lit(1)) for p in pats]
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.concat(out, a)
+    return out
+
+
+def import_edges(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    lang: str = "python",
+) -> DataFrame:
+    """Exploded (doc, module) dependency edges: ``<id_col>, module``.
+
+    One row per import statement (duplicates preserved — a file that
+    imports the same module twice yields two edges).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col), F.explode(imports_col(text, lang)).alias("module")
+    )
+
+
+def import_stats(edges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Module popularity over the edge set: ``module, n_docs, n_imports``.
+
+    The only shuffle in the family — a single groupBy on ``module``
+    with map-side partial aggregation; module-name cardinality is tiny
+    relative to the corpus, so the reduce side is never the bottleneck.
+    """
+    return edges.groupBy("module").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_imports"),
+    )
+
+
+# ---------------------------------------------------------------- comments
+
+#: Strip order matters: block comments first (so ``/* # */`` is removed
+#: as one block), then ``//`` lines, then ``#`` lines.  ``(?s)`` +
+#: non-greedy for multi-line blocks; an unterminated ``/*`` is left in
+#: place (deterministic, and visible in the ratio rather than silently
+#: swallowing the rest of the file).
+BLOCK_COMMENT_RE = r"(?s)/\*.*?\*/"
+SLASH_COMMENT_RE = r"//[^\n]*"
+HASH_COMMENT_RE = r"#[^\n]*"
+
+
+def strip_comments_col(text: Column) -> Column:
+    out = F.coalesce(text, F.lit(""))
+    for pat in (BLOCK_COMMENT_RE, SLASH_COMMENT_RE, HASH_COMMENT_RE):
+        out = F.regexp_replace(out, pat, "")
+    return out
+
+
+def comment_stats(
+    df: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-document code/comment split.
+
+    Output: ``id_cols..., code_chars long, comment_chars long,
+    comment_ratio double`` (ratio over total chars, 6dp, 0.0 for empty
+    files).  Pure projection — codegen'd, shuffle-free.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    stripped = strip_comments_col(text)
+    total = F.length(text)
+    code = F.length(stripped)
+    ratio = F.when(total > 0, (total - code) / total).otherwise(F.lit(0.0))
+    return df.select(
+        *id_cols,
+        code.cast("long").alias("code_chars"),
+        (total - code).cast("long").alias("comment_chars"),
+        F.round(ratio, 6).alias("comment_ratio"),
+    )

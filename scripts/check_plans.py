@@ -348,6 +348,47 @@ def main() -> None:
             )
         )
 
+        # 21. static code scanners (textproc/codescan.py): the per-doc
+        #     scans are shuffle-free python-free projections, and the one
+        #     aggregation (import_stats) keeps a map-side partial agg
+        from capreolus_spark.textproc.codescan import (
+            comment_stats,
+            detect_license,
+            import_edges,
+            import_stats,
+            scan_secrets,
+        )
+
+        cdf = docs_df.select("doc_id", F.col("doc_id").cast("string").alias("content"))
+        for nm, frame in (
+            ("license detect", detect_license(cdf)),
+            ("secret scan", scan_secrets(cdf)),
+            ("comment stats", comment_stats(cdf)),
+        ):
+            p = frame._jdf.queryExecution().executedPlan().toString()
+            results.append(
+                (
+                    f"{nm} is a shuffle-free python-free projection",
+                    "BatchEvalPython" not in p
+                    and "ArrowEvalPython" not in p
+                    and "Exchange" not in p,
+                )
+            )
+        ip = (
+            import_stats(import_edges(cdf))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        results.append(
+            (
+                "import stats is python-free with map-side partial agg",
+                "BatchEvalPython" not in ip
+                and "ArrowEvalPython" not in ip
+                and "partial_count" in ip,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
