@@ -115,6 +115,22 @@ def scan_secrets(
     return out.withColumn("has_secret", has)
 
 
+def redact_secrets_col(text: Column) -> Column:
+    """``text`` with every :data:`SECRET_PATTERNS` match replaced by a
+    ``[REDACTED-<KIND>]`` placeholder.
+
+    Patterns apply in dict order, so a credential that matches two
+    detectors (e.g. an AWS key used as a password value) redacts
+    deterministically.  Pure ``regexp_replace`` chain — codegen'd,
+    shuffle-free, safe to run over the full corpus as the final
+    pipeline stage before the sink.
+    """
+    out = F.coalesce(text, F.lit(""))
+    for name, pat in SECRET_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[REDACTED-{name.upper()}]")
+    return out
+
+
 # ---------------------------------------------------------------- imports
 
 #: lang -> list of RE2-compatible patterns whose capture group 1 is the

@@ -6,18 +6,22 @@
         [--id-col doc_id] [--text-col text] \\
         [--min-tokens 5] [--max-punct-ratio 0.3] [--languages en,es] \\
         [--near-dup] [--near-dup-threshold 0.8] \\
+        [--license-allow mit,apache-2.0,unknown] [--redact-secrets] \\
         [--snapshot <prior-corpus parquet>] [--snapshot-near] \\
         [--decontaminate <eval parquet>] [--boilerplate-min-docs 0] \\
         [--report <json path>]
 
 Composes the individually-oracled operators into the standard cleaning
-flow: (optional) boilerplate-line removal → quality filter + exact-dup
-collapse + language filter (one declarative plan) → (optional) MinHash
-near-dup collapse via connected components → (optional) dedup against a
-prior corpus snapshot (exact fingerprint anti-join; ``--snapshot-near``
-adds the SimHash banded probe) → (optional) 13-gram eval-set
-decontamination.  Writes the surviving documents (id, text) plus a JSON
-report of per-stage counts to stdout (and ``--report`` when given).
+flow: (optional) license-allowlist filter (header scan, first so the
+cheapest gate prunes earliest) → (optional) boilerplate-line removal →
+quality filter + exact-dup collapse + language filter (one declarative
+plan) → (optional) MinHash near-dup collapse via connected components →
+(optional) dedup against a prior corpus snapshot (exact fingerprint
+anti-join; ``--snapshot-near`` adds the SimHash banded probe) →
+(optional) 13-gram eval-set decontamination → (optional) credential
+redaction of the surviving text.  Writes the surviving documents
+(id, text) plus a JSON report of per-stage counts to stdout (and
+``--report`` when given).
 """
 
 from __future__ import annotations
@@ -56,6 +60,18 @@ def main() -> None:
         "--snapshot-near", action="store_true",
         help="with --snapshot: also drop SimHash near-duplicates of snapshot docs",
     )
+    ap.add_argument(
+        "--license-allow", default="",
+        help="comma-separated license-label allowlist (labels from "
+        "codescan.LICENSE_NEEDLES plus 'unknown'); docs whose detected "
+        "header license is not listed are dropped first. Empty = off",
+    )
+    ap.add_argument(
+        "--redact-secrets", action="store_true",
+        help="replace credential matches (AWS keys, GitHub PATs, PEM "
+        "blocks, password assignments) in surviving text with "
+        "[REDACTED-<KIND>] placeholders before writing",
+    )
     ap.add_argument("--decontaminate", default="", help="eval-set parquet path")
     ap.add_argument(
         "--boilerplate-min-docs", type=int, default=0,
@@ -92,12 +108,23 @@ def main() -> None:
     # — boilerplate regroup, fingerprint windows, near-dup joins — runs
     # once, not once per downstream action.
     caches = []
+    state = {"last_key": None}
 
     def staged(df, key):
         df = df.persist()
         caches.append(df)
         report[key] = df.count()
+        state["last_key"] = key
         return df
+
+    if args.license_allow:
+        from capreolus_spark.textproc.codescan import license_col
+
+        allowed = [x for x in args.license_allow.split(",") if x]
+        docs = staged(
+            docs.filter(license_col(F.col("text")).isin(allowed)),
+            "after_license_filter",
+        )
 
     if args.boilerplate_min_docs > 0:
         cleaned = remove_boilerplate_lines(docs, min_docs=args.boilerplate_min_docs).persist()
@@ -171,6 +198,21 @@ def main() -> None:
             "after_group_quota",
         )
 
+    if args.redact_secrets:
+        from capreolus_spark.textproc.codescan import (
+            SECRET_PATTERNS,
+            redact_secrets_col,
+            scan_secrets,
+        )
+
+        counts = scan_secrets(survivors, text_col="text")
+        total = None
+        for name in SECRET_PATTERNS:
+            c = F.sum(f"n_{name}")
+            total = c if total is None else total + c
+        report["secrets_redacted"] = int(counts.agg(total).collect()[0][0] or 0)
+        survivors = survivors.withColumn("text", redact_secrets_col(F.col("text")))
+
     if args.num_shards > 0:
         from capreolus_spark.io.shards import verify_shards, write_shards
 
@@ -179,16 +221,7 @@ def main() -> None:
         report["shards_verified"] = verify_shards(spark, args.output)["ok"]
     else:
         survivors.write.mode("overwrite").parquet(args.output)
-    last_key = "after_quality_exactdup_lang"
-    if args.near_dup:
-        last_key = "after_near_dup"
-    if args.snapshot:
-        last_key = "after_snapshot_dedup"
-    if args.decontaminate:
-        last_key = "after_decontamination"
-    if args.max_per_group > 0:
-        last_key = "after_group_quota"
-    report["output_docs"] = report[last_key]
+    report["output_docs"] = report[state["last_key"]]
     for c in caches:
         c.unpersist()
     line = json.dumps(report)

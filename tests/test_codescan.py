@@ -158,6 +158,28 @@ def test_comment_stats(spark):
     assert got[6]["comment_chars"] == 0
 
 
+def test_redact_secrets(spark):
+    from capreolus_spark.textproc.codescan import redact_secrets_col
+
+    aws = "AKIA" + "ABCDEF0123456789"
+    rows = [
+        (0, f"key = '{aws}' rest"),
+        (1, "password = hunter2 tail"),
+        (2, "clean text untouched"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = dict(
+        df.select("doc_id", redact_secrets_col(F.col("content")).alias("t")).collect()
+    )
+    assert got[0] == "key = '[REDACTED-AWS_KEY]' rest"
+    # the password VALUE is swallowed by the assignment pattern
+    assert got[1] == "[REDACTED-PASSWORD_ASSIGN] tail"
+    assert got[2] == "clean text untouched"
+    assert got[3] == ""
+    assert "AKIA" not in got[0]
+
+
 def test_regex_parity_jvm_vs_duckdb(spark):
     """Every shipped pattern must count matches identically on the JVM
     (java.util.regex) and in DuckDB (RE2) — the oracle-gate invariant."""
