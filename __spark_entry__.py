@@ -1939,6 +1939,59 @@ def _q_comment_stats(spark, sf_dir):
     )
 
 
+# ---- trigram substring / regex search (search/trigram.py) ----------------
+# Needles/patterns are shared constants so the Spark path and the DuckDB
+# oracle run literally the same strings.  The set exercises every planner
+# path: common literal, multi-word literal, a needle crossing token
+# boundaries, a proven-absent needle (zero-df short-circuit), a < 3-char
+# needle (full-scan fallback); for regexes: an indexable required literal,
+# a class-delimited 3-char factor, a < 3-char factor (fallback), and an
+# indexable absent literal.  No apostrophes (they embed in SQL strings).
+
+_TRIGRAM_NEEDLES = {
+    "s1": "table scan",
+    "s2": "batch stream",
+    "s3": "ery row",
+    "s4": "partition",
+    "s5": "ab",
+}
+
+_REGEX_QUERIES = {
+    "r1": "merge (part|group)",
+    "r2": "ba[rt]ch [a-z]+",
+    "r3": "qu[ae]ry",
+    "r4": "zebra[s]?",
+}
+
+
+def _q_trigram_search(spark, sf_dir):
+    """Trigram-index literal substring search (search/trigram.py):
+    candidates from rarest-trigram posting intersection, JVM contains
+    verification, occurrence counts via length arithmetic."""
+    from capreolus_spark.search.trigram import TrigramIndex
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return TrigramIndex(docs, id_col="doc_id", content_col="text").search_literal(
+        _TRIGRAM_NEEDLES
+    )
+
+
+def _q_regex_search(spark, sf_dir):
+    """Trigram-accelerated regex search (search/trigram.py): the required
+    literal factor of each pattern gates candidates; verification counts
+    non-overlapping matches with JVM regexp_extract_all."""
+    from capreolus_spark.search.trigram import TrigramIndex
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return TrigramIndex(docs, id_col="doc_id", content_col="text").search_regex(
+        _REGEX_QUERIES
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -2019,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": _q_secret_scan,
         "import_stats": _q_import_stats,
         "comment_stats": _q_comment_stats,
+        "trigram_search": _q_trigram_search,
+        "regex_search": _q_regex_search,
     }
 
 
@@ -2944,5 +2999,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cast(doc_id AS bigint) AS doc_id, cast(len(stripped) AS bigint) AS code_chars, "
             "cast(len(content) - len(stripped) AS bigint) AS comment_chars, "
             "round(CASE WHEN len(content) > 0 THEN (len(content) - len(stripped)) * 1.0 / len(content) ELSE 0.0 END, 6) AS comment_ratio FROM s"
+        ),
+        # trigram search (search/trigram.py) — the oracle verifies pure
+        # substring/regex SEMANTICS (contains + length arithmetic /
+        # regexp_extract_all); the Spark path must reach the identical
+        # result set THROUGH the trigram index, so the gate catches any
+        # candidate-pruning unsoundness
+        "trigram_search": (
+            "WITH q(qid, needle) AS (VALUES "
+            + ", ".join(f"('{k}', '{v}')" for k, v in sorted(_TRIGRAM_NEEDLES.items()))
+            + "), c AS (SELECT cast(doc_id AS bigint) AS doc_id, "
+            "coalesce(text, '') AS content FROM documents) "
+            "SELECT q.qid, c.doc_id, cast((len(c.content) - "
+            "len(replace(c.content, q.needle, ''))) // len(q.needle) AS bigint) "
+            "AS n_occ FROM c, q WHERE contains(c.content, q.needle)"
+        ),
+        "regex_search": (
+            "WITH q(qid, pat) AS (VALUES "
+            + ", ".join(f"('{k}', '{v}')" for k, v in sorted(_REGEX_QUERIES.items()))
+            + "), c AS (SELECT cast(doc_id AS bigint) AS doc_id, "
+            "coalesce(text, '') AS content FROM documents), "
+            "m AS (SELECT q.qid, c.doc_id, "
+            "cast(len(regexp_extract_all(c.content, q.pat, 0)) AS bigint) AS n_match "
+            "FROM c, q) SELECT * FROM m WHERE n_match > 0"
         ),
     }

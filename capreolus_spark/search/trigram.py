@@ -1,0 +1,375 @@
+"""Trigram-index substring and regex search over a source-code corpus.
+
+The term index (``index/build.py``) answers *token* queries; code search
+also needs *substring* and *regex* queries ("find ``openssl_free(`` across
+10^12 files"), which tokenized postings cannot serve.  The public design
+for that is the trigram index — Russ Cox's "Regular Expression Matching
+with a Trigram Index" (Google Code Search, 2012) and Zoekt: index every
+3-byte substring, turn a query into a conjunction of required trigrams,
+intersect those posting lists to get a candidate set, then verify the
+candidates against the raw content.  This module re-expresses that design
+as DataFrames; the reference itself has no substring search (its closest
+is Anserini raw-query passthrough, ``searcher/anserini.py:233``), so this
+is a beyond-reference operator motivated by the code-corpus input shape.
+
+Dataflow
+--------
+* **Build**: one projection extracts the *distinct* trigram set per
+  document as a pure JVM expression (``transform(sequence(...))`` +
+  ``array_distinct`` — no Python, no shuffle), exploded to a
+  ``(trigram, doc_id)`` postings frame.  ``df_stats`` is one map-side
+  combinable ``groupBy(trigram).count()``.
+* **Query planning** happens driver-side on constants: a literal query
+  of length ≥ 3 requires ALL of its trigrams, so we look up their df in
+  the (tiny, bounded-by-query-size) stats slice and probe only the
+  ``probe`` RAREST trigrams — the Zoekt trick that sidesteps posting-list
+  skew: common trigrams ("e t", "th ") have corpus-sized lists, but a
+  conjunctive query is served by its rarest conjuncts alone, and any
+  trigram with df = 0 short-circuits the query to an empty result with
+  no cluster work at all.
+* **Candidate selection**: postings filtered to the selected trigrams
+  (an ``isin`` over at most ``probe × |queries|`` literals, pushed into
+  the postings scan), broadcast-joined to the (qid, trigram) requirement
+  frame, then a combinable count per (qid, doc_id) keeps docs matching
+  ALL probed trigrams.
+* **Verify**: candidates join the docstore on ``doc_id`` (a semi-join
+  shape — only candidate documents' content is ever read) and a JVM
+  ``contains``/``regexp`` filter confirms true matches; occurrence
+  counts come from ``(len(c) - len(replace(c, q))) / len(q)`` — still
+  zero Python.
+
+At 10^12 files the postings frame is bucketed/sorted by trigram and the
+docid lists delta+varint-compressed exactly like the term index
+(``index/codec.py`` is reusable as-is: trigrams are just 3-byte terms);
+this module keeps the columnar frame shape so the whole path is
+plan-auditable.
+
+Regex queries follow Cox's *required-literal-factor* reduction in its
+simplest sound form: the longest metacharacter-free literal run in the
+pattern must appear verbatim in any match, so its trigrams gate the
+candidate set; patterns whose longest run is < 3 fall back to a full
+verify scan (flagged via :func:`regex_plan`, so callers can see which
+queries are index-accelerated).  The regex dialect is restricted to the
+RE2-compatible subset shared by java.util.regex and DuckDB (same policy
+as ``textproc/codescan.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: regex metacharacters that end a required-literal run.  A conservative
+#: superset: escapes (``\``) also end a run because the escaped atom may
+#: match text other than its literal spelling.
+_META = set(".*+?()[]{}|^$\\")
+
+
+def literal_trigrams(needle: str) -> list[str]:
+    """Distinct trigrams of a literal, in first-occurrence order."""
+    seen: dict[str, None] = {}
+    for i in range(len(needle) - 2):
+        seen.setdefault(needle[i : i + 3])
+    return list(seen)
+
+
+def required_literal(pattern: str) -> str:
+    """Longest metacharacter-free literal run of a regex pattern.
+
+    Sound (never over-claims): every reported character must appear
+    verbatim in any match.  A run followed by ``?``, ``*``, ``{0,``, or
+    ``|`` may be optional, so the character before the metacharacter is
+    dropped from its run; ``|`` at top level makes ALL literals optional,
+    so the presence of an unescaped ``|`` outside a group returns ``""``
+    (full-scan fallback) unless the pattern has none.
+    """
+    # top-level alternation means no single literal is required
+    depth = 0
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
+
+    # literal runs are taken ONLY at nesting depth 0: a literal inside a
+    # group may be optional ("(abc)?def" does not require "abc"), so group
+    # contents are skipped entirely — conservative but sound.
+    runs: list[str] = []
+    cur: list[str] = []
+    grp = 0
+    i = 0
+    n = len(pattern)
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":  # escaped atom: may match text other than its
+            flush()  # spelling (\s, \d) -> ends the run, never joins it
+            i += 2
+            continue
+        if ch == "(":
+            flush()
+            grp += 1
+            i += 1
+            continue
+        if ch == ")":
+            grp = max(0, grp - 1)
+            i += 1
+            continue
+        if grp > 0:
+            i += 1
+            continue
+        if ch == "[":  # character class: opaque unit, skipped
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+            continue
+        if ch in "*?{":  # quantifier: the previous atom becomes optional
+            if cur:  # or repeatable -> drop it, then end the run (text
+                cur.pop()  # after a quantifier is not contiguous with it)
+            flush()
+            if ch == "{":
+                j = i + 1
+                while j < n and pattern[j] != "}":
+                    j += 1
+                i = j + 1
+                continue
+            i += 1
+            continue
+        if ch in "+.|^$":  # '+' keeps its atom (>=1 occurrence) but ends
+            flush()  # the run; the rest are non-literal atoms
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    flush()
+    return max(runs, key=len) if runs else ""
+
+
+def trigram_expr(col: str) -> F.Column:
+    """Distinct trigram array of a string column — pure JVM expression."""
+    return F.expr(
+        f"CASE WHEN length({col}) >= 3 THEN "
+        f"array_distinct(transform(sequence(1, length({col}) - 2), "
+        f"i -> substring({col}, i, 3))) "
+        "ELSE array() END"
+    )
+
+
+class TrigramIndex:
+    """Trigram postings + df stats over ``docs(id_col, content_col)``.
+
+    ``persist=True`` caches the postings frame (it is consumed once per
+    query batch for candidates and once for df stats); callers running a
+    single batch can skip the cache and let both reads stream.
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        content_col: str = "content",
+        persist: bool = False,
+    ):
+        self.docs = docs
+        self.id_col = id_col
+        self.content_col = content_col
+        content = F.coalesce(F.col(content_col), F.lit("")).alias("_c")
+        base = docs.select(F.col(id_col).alias("doc_id"), content)
+        self.postings = base.select(
+            "doc_id", F.explode(trigram_expr("_c")).alias("trigram")
+        )
+        self._persisted = persist
+        if persist:
+            self.postings = self.postings.persist()
+
+    def release(self) -> None:
+        if self._persisted:
+            self.postings.unpersist()
+            self._persisted = False
+
+    # ------------------------------------------------------------ planning
+
+    def _df_for(self, trigrams: set[str]) -> dict[str, int]:
+        """df per trigram for a bounded query-derived set (driver-side)."""
+        if not trigrams:
+            return {}
+        rows = (
+            self.postings.filter(F.col("trigram").isin(*trigrams))
+            .groupBy("trigram")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )
+        got = {r["trigram"]: int(r["df"]) for r in rows}
+        return {t: got.get(t, 0) for t in trigrams}
+
+    def _candidates(self, probes: dict[str, list[str]]) -> DataFrame:
+        """(qid, doc_id) containing ALL probed trigrams of each query."""
+        spark = self.docs.sparkSession
+        req = spark.createDataFrame(
+            [(q, t) for q, ts in probes.items() for t in ts],
+            "qid string, trigram string",
+        )
+        need = spark.createDataFrame(
+            [(q, len(ts)) for q, ts in probes.items()], "qid string, need int"
+        )
+        all_tris = sorted({t for ts in probes.values() for t in ts})
+        return (
+            self.postings.filter(F.col("trigram").isin(*all_tris))
+            .join(F.broadcast(req), "trigram")
+            .groupBy("qid", "doc_id")
+            .agg(F.count("*").cast("int").alias("got"))
+            .join(F.broadcast(need), "qid")
+            .filter(F.col("got") == F.col("need"))
+            .select("qid", "doc_id")
+        )
+
+    def _verify_frame(self, cand: DataFrame | None, qids: list[str]) -> DataFrame:
+        """Candidate (qid, doc_id, content) rows to run verification on.
+
+        ``cand=None`` means full scan (fallback for un-indexable queries):
+        every document is a candidate for every qid in ``qids``.
+        """
+        spark = self.docs.sparkSession
+        content = F.coalesce(F.col(self.content_col), F.lit("")).alias("content")
+        base = self.docs.select(F.col(self.id_col).alias("doc_id"), content)
+        if cand is None:
+            qf = spark.createDataFrame([(q,) for q in qids], "qid string")
+            return base.crossJoin(F.broadcast(qf))
+        return cand.join(base, "doc_id")
+
+    # ------------------------------------------------------------- queries
+
+    def search_literal(
+        self, queries: dict[str, str], probe: int = 3
+    ) -> DataFrame:
+        """(qid, doc_id, n_occ) for documents containing each literal.
+
+        Queries shorter than 3 chars cannot be trigram-gated and verify
+        against a full scan.  A query with any zero-df trigram is proven
+        absent and emits nothing (no executor work beyond the df lookup).
+        """
+        spark = self.docs.sparkSession
+        empty = spark.createDataFrame([], "qid string, doc_id long, n_occ long")
+        if not queries:
+            return empty
+
+        tri_sets = {q: literal_trigrams(n) for q, n in queries.items()}
+        dfs = self._df_for({t for ts in tri_sets.values() for t in ts})
+        probes: dict[str, list[str]] = {}
+        full_scan: list[str] = []
+        for q, ts in tri_sets.items():
+            if not ts:
+                full_scan.append(q)
+                continue
+            if any(dfs[t] == 0 for t in ts):
+                continue  # proven absent
+            probes[q] = sorted(ts, key=lambda t: (dfs[t], t))[:probe]
+
+        out = empty
+        for cand, qids in (
+            (self._candidates(probes), sorted(probes)) if probes else (None, []),
+            (None, full_scan),
+        ):
+            if not qids:
+                continue
+            frame = self._verify_frame(cand, qids)
+            needle = self._qid_literal_col(
+                {q: queries[q] for q in qids}
+            )
+            hit = frame.withColumn("_n", needle).filter(
+                F.expr("locate(_n, content) > 0")
+            )
+            occ = (
+                (F.length("content") - F.length(F.expr("replace(content, _n)")))
+                / F.length("_n")
+            ).cast("long")
+            out = out.unionByName(
+                hit.select("qid", F.col("doc_id").cast("long"), occ.alias("n_occ"))
+            )
+        return out
+
+    def search_regex(self, queries: dict[str, str], probe: int = 3) -> DataFrame:
+        """(qid, doc_id, n_match) for documents matching each pattern.
+
+        Each pattern's required literal factor (:func:`required_literal`)
+        gates candidates when it is ≥ 3 chars; shorter factors fall back
+        to verifying the full corpus (see :func:`regex_plan`).
+        """
+        spark = self.docs.sparkSession
+        empty = spark.createDataFrame([], "qid string, doc_id long, n_match long")
+        if not queries:
+            return empty
+
+        plan = regex_plan(queries)
+        dfs = self._df_for(
+            {t for lit in plan.values() if lit for t in literal_trigrams(lit)}
+        )
+        probes: dict[str, list[str]] = {}
+        full_scan: list[str] = []
+        for q, lit in plan.items():
+            ts = literal_trigrams(lit)
+            if not ts:
+                full_scan.append(q)
+                continue
+            if any(dfs[t] == 0 for t in ts):
+                continue  # required literal absent -> no matches
+            probes[q] = sorted(ts, key=lambda t: (dfs[t], t))[:probe]
+
+        out = empty
+        for cand, qids in (
+            (self._candidates(probes), sorted(probes)) if probes else (None, []),
+            (None, full_scan),
+        ):
+            if not qids:
+                continue
+            frame = self._verify_frame(cand, qids)
+            pat = self._qid_literal_col({q: queries[q] for q in qids})
+            n = F.expr("size(regexp_extract_all(content, _n, 0))").cast("long")
+            out = out.unionByName(
+                frame.withColumn("_n", pat)
+                .withColumn("n_match", n)
+                .filter(F.col("n_match") > 0)
+                .select("qid", F.col("doc_id").cast("long"), "n_match")
+            )
+        return out
+
+    @staticmethod
+    def _qid_literal_col(per_qid: dict[str, str]) -> F.Column:
+        """CASE qid WHEN ... literal map — keeps needles in the JVM plan.
+
+        Every row's qid is one of the keys (the frame was built from
+        them), so the chain needs no ``otherwise``.
+        """
+        expr = None
+        for q, v in sorted(per_qid.items()):
+            cond = F.col("qid") == q
+            expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+        return expr
+
+
+def regex_plan(queries: dict[str, str]) -> dict[str, str]:
+    """qid -> required literal ('' = full-scan fallback, not indexable)."""
+    out = {}
+    for q, pattern in queries.items():
+        lit = required_literal(pattern)
+        out[q] = lit if len(lit) >= 3 else ""
+    return out

@@ -389,6 +389,43 @@ def main() -> None:
             )
         )
 
+        # 22. trigram substring search (search/trigram.py): the whole
+        #     path — postings build, candidate intersection, contains
+        #     verification — is python-free, and the candidate stage
+        #     filters postings to the probed trigrams before any join
+        from capreolus_spark.search.trigram import TrigramIndex
+
+        tdocs = docs_df.select(
+            "doc_id", F.col("doc_id").cast("string").alias("content")
+        )
+        tidx = TrigramIndex(tdocs)
+        tplan = (
+            tidx.search_literal({"q1": "1 2"})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        results.append(
+            (
+                "trigram search is python-free end to end",
+                "BatchEvalPython" not in tplan and "ArrowEvalPython" not in tplan,
+            )
+        )
+        cplan = (
+            tidx._candidates({"q1": ["abc", "bcd"]})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        results.append(
+            (
+                "trigram candidates filter postings then broadcast the query frame",
+                "abc" in cplan
+                and "BroadcastHashJoin" in cplan
+                and "partial_count" in cplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,136 @@
+"""Trigram substring/regex search (search/trigram.py).
+
+Semantics twin: brute-force python `str.count` / `re.findall` over the
+same rows — the index must change WHICH documents are read, never which
+results come back.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.search.trigram import (
+    TrigramIndex,
+    literal_trigrams,
+    regex_plan,
+    required_literal,
+)
+
+DOCS = [
+    (0, "the fast table scan joins the batch stream"),
+    (1, "merge part then merge group then sort agg"),
+    (2, "query row data; a query row again"),
+    (3, ""),
+    (4, None),
+    (5, "ab"),  # shorter than one trigram
+    (6, "table scan table scan table scan"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return TrigramIndex(docs, id_col="doc_id", content_col="text")
+
+
+def _expected_literal(queries):
+    rows = set()
+    for qid, needle in queries.items():
+        for doc_id, text in DOCS:
+            n = (text or "").count(needle)
+            if n:
+                rows.add((qid, doc_id, n))
+    return rows
+
+
+def _expected_regex(queries):
+    rows = set()
+    for qid, pat in queries.items():
+        for doc_id, text in DOCS:
+            n = len(re.findall(pat, text or ""))
+            if n:
+                rows.add((qid, doc_id, n))
+    return rows
+
+
+def test_literal_trigrams():
+    assert literal_trigrams("abcd") == ["abc", "bcd"]
+    assert literal_trigrams("aaaa") == ["aaa"]  # distinct
+    assert literal_trigrams("ab") == []
+
+
+def test_required_literal():
+    assert required_literal("merge (part|group)") == "merge "
+    assert required_literal("ba[rt]ch [a-z]+") == "ch "
+    assert required_literal("qu[ae]ry") == "qu"  # 2 chars -> fallback later
+    assert required_literal("a|b") == ""  # top-level alternation
+    # quantified atom is dropped from its run
+    assert required_literal("scans?") == "scan"
+    assert required_literal("tab*le") == "ta"
+    # escaped atoms end the run but keep it intact
+    assert required_literal(r"table\s+scan") == "table"
+    # a literal inside a quantified group is NOT required
+    assert required_literal("(abc)?def") == "def"
+    assert required_literal("(abcdef)?gh") == "gh"
+
+
+def test_regex_plan_fallback_flag():
+    plan = regex_plan({"r1": "merge (part|group)", "r2": "qu[ae]ry"})
+    assert plan == {"r1": "merge ", "r2": ""}
+
+
+def test_search_literal_matches_bruteforce(index):
+    queries = {
+        "q1": "table scan",
+        "q2": "query row",
+        "q3": "ge part",  # crosses a word boundary inside tokens
+        "q4": "zebra",  # absent -> zero-df short-circuit
+        "q5": "ab",  # < 3 chars -> full-scan fallback
+    }
+    got = {tuple(r) for r in index.search_literal(queries).collect()}
+    assert got == _expected_literal(queries)
+    # multi-occurrence counting
+    assert ("q1", 6, 3) in got
+
+
+def test_search_regex_matches_bruteforce(index):
+    queries = {
+        "r1": "merge (part|group)",
+        "r2": "qu[ae]ry row",
+        "r3": "sc[a]n",  # required literal "n" -> full scan fallback
+        "r4": "zebra[s]?",  # indexable and absent
+    }
+    got = {tuple(r) for r in index.search_regex(queries).collect()}
+    assert got == _expected_regex(queries)
+
+
+def test_empty_query_batches(index, spark):
+    assert index.search_literal({}).count() == 0
+    assert index.search_regex({}).count() == 0
+
+
+def test_persisted_index_release(docs):
+    idx = TrigramIndex(docs, id_col="doc_id", content_col="text", persist=True)
+    try:
+        got = {tuple(r) for r in idx.search_literal({"q": "table"}).collect()}
+        assert got == _expected_literal({"q": "table"})
+    finally:
+        idx.release()
+
+
+def test_plan_is_python_free(index):
+    """Candidate selection + verification stay JVM-side (no Python eval)."""
+    plan = index.search_literal({"q1": "table scan"})._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_candidate_gating_reads_only_probed_trigrams(index):
+    """The candidate stage filters postings to the probed trigram set."""
+    probes = {"q1": ["tab", "le "]}
+    plan = index._candidates(probes)._jdf.queryExecution().executedPlan().toString()
+    assert "tab" in plan  # isin literal reached the plan
