@@ -1992,6 +1992,29 @@ def _q_regex_search(spark, sf_dir):
     )
 
 
+# winnowing params shared by the Spark path and the DuckDB oracle
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED = 8, 4, 3
+
+
+def _q_clone_pairs_winnow(spark, sf_dir):
+    """Winnowing fingerprint clone pairs (textproc/winnow.py, Schleimer
+    et al. 2003 / MOSS): token 8-gram hashes, window-4 minima, pairs
+    sharing >= 3 fingerprints — finds the corpus's built-in near-dup
+    passages without any injection."""
+    from capreolus_spark.textproc.winnow import clone_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return clone_pairs(
+        docs,
+        content_col="text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -2074,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_stats": _q_comment_stats,
         "trigram_search": _q_trigram_search,
         "regex_search": _q_regex_search,
+        "clone_pairs_winnow": _q_clone_pairs_winnow,
     }
 
 
@@ -3022,5 +3046,26 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT q.qid, c.doc_id, "
             "cast(len(regexp_extract_all(c.content, q.pat, 0)) AS bigint) AS n_match "
             "FROM c, q) SELECT * FROM m WHERE n_match > 0"
+        ),
+        # winnowing clone pairs (textproc/winnow.py) — identical k-gram
+        # hashing (md5-prefix int64), window minima, and min-shared
+        # threshold, written with DuckDB list lambdas; the corpus's
+        # built-in near-dup docs supply the clone signal
+        "clone_pairs_winnow": (
+            "WITH c AS (SELECT cast(doc_id AS bigint) AS doc_id, "
+            "coalesce(text, '') AS content FROM documents), "
+            "tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(content), "
+            "'\\s+', ' ', 'g')), ' ') AS t FROM c), "
+            f"hs AS (SELECT doc_id, list_transform(range(1, len(t) - {_WINNOW_K} + 2), "
+            f"i -> TRY_CAST(concat('0x', substr(md5(array_to_string(t[i:i+{_WINNOW_K}-1], ' ')), 1, 15)) AS BIGINT)) AS h "
+            f"FROM tok WHERE len(t) >= {_WINNOW_K}), "
+            f"fp AS (SELECT doc_id, list_distinct(CASE WHEN len(h) >= {_WINNOW_W} "
+            f"THEN list_transform(range(1, len(h) - {_WINNOW_W} + 2), j -> list_min(h[j:j+{_WINNOW_W}-1])) "
+            "ELSE [list_min(h)] END) AS fps FROM hs), "
+            "e AS (SELECT doc_id, unnest(fps) AS f FROM fp), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a "
+            "JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, cast(count(*) AS bigint) AS n_shared "
+            f"FROM p GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}"
         ),
     }

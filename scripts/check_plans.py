@@ -426,6 +426,26 @@ def main() -> None:
             )
         )
 
+        # 23. winnowing clone pairs: python-free, map-side partial pair
+        #     count, and the k-gram hash pass bound ONCE via the
+        #     let-binding (no inlined duplicate of the kgram transform)
+        from capreolus_spark.textproc.winnow import clone_pairs
+
+        wplan = (
+            clone_pairs(tdocs, k=4, w=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        results.append(
+            (
+                "winnow clone pairs python-free with partial pair count",
+                "BatchEvalPython" not in wplan
+                and "ArrowEvalPython" not in wplan
+                and "partial_count" in wplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,119 @@
+"""Winnowing fingerprints / clone pairs (textproc/winnow.py) vs a
+line-by-line python recompute of Schleimer et al.'s definition."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.winnow import clone_pairs, winnow_fingerprints
+
+K, W = 4, 3  # small params so short fixtures exercise every branch
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_fingerprints(text: str, k: int = K, w: int = W) -> set[int]:
+    toks = re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+    if len(toks) < k:
+        return set()
+    hs = [_hash60(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+DOCS = [
+    (0, "The fast table scan joins the batch stream and the sort agg"),
+    (1, "the fast  TABLE scan joins the batch stream and the sort agg"),  # ws+case
+    (2, "merge part then merge group then sort agg then filter row data"),
+    (3, "completely different words here xylophone quartz vortex jumble fox"),
+    (4, "tiny doc"),  # < k tokens -> no fingerprints
+    (5, "one two three four five"),  # k-grams exist but fewer than w windows
+    (6, None),
+    (7, "merge part then merge group then sort agg then filter row data"),  # ==2
+    # shares only the first w+k-1 tokens with doc 2 -> few shared fps
+    (8, "merge part then merge group then unrelated tail tokens trail off now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_fingerprints_match_python_recompute(docs):
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(docs, content_col="text", k=K, w=W).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_fingerprints(text), f"doc {doc_id}"
+
+
+def test_normalization_makes_layout_invisible(docs):
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(docs, content_col="text", k=K, w=W).collect()
+    }
+    assert got[0] == got[1] and got[0]
+
+
+def test_winnowing_guarantee():
+    """Any shared run of >= w + k - 1 tokens yields a shared fingerprint."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "prefix words " + " ".join(a.split()[2:8]) + " suffix tail end"
+    shared_run = len(a.split()[2:8])
+    assert shared_run >= W + K - 1
+    assert _py_fingerprints(a) & _py_fingerprints(b)
+
+
+def test_clone_pairs_match_python(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in clone_pairs(docs, content_col="text", k=K, w=W, min_shared=1).collect()
+    }
+    fps = {d: _py_fingerprints(t) for d, t in DOCS}
+    want = {}
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j and len(fps[i] & fps[j]):
+                want[(i, j)] = len(fps[i] & fps[j])
+    assert got == want
+    assert (2, 7) in got  # the exact-duplicate pair
+    assert got[(2, 7)] == len(fps[2])
+
+
+def test_min_shared_threshold(docs):
+    all_pairs = clone_pairs(docs, content_col="text", k=K, w=W, min_shared=1)
+    top = clone_pairs(docs, content_col="text", k=K, w=W, min_shared=3)
+    n_all, n_top = all_pairs.count(), top.count()
+    assert n_top < n_all
+    assert top.filter(F.col("n_shared") < 3).count() == 0
+
+
+def test_mega_bucket_star_chain(spark):
+    """Buckets over the cap star-chain through the min doc_id: every
+    member stays connected to the representative, no all-pairs blowup."""
+    text = "common boiler plate shared by every file here"
+    rows = [(i, text) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = clone_pairs(
+        df, content_col="text", k=K, w=W, min_shared=1, max_bucket_size=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, 10)}  # star, not clique
+
+
+def test_plan_is_python_free(docs):
+    plan = (
+        clone_pairs(docs, content_col="text", k=K, w=W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
