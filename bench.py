@@ -364,6 +364,39 @@ def main() -> None:
                 F.explode(code_subtokens_col(F.col("text"))).alias("t")
             ).groupBy("t").count().count(),
         )
+
+        # trigram substring search: postings build + rarest-trigram
+        # candidate gating + contains verification for a 5-query batch
+        from capreolus_spark.search.trigram import TrigramIndex
+
+        tneedles = {
+            "s1": "table scan",
+            "s2": "batch stream",
+            "s3": "ery row",
+            "s4": "partition",
+            "s5": "merge part",
+        }
+        tdocs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        timed(
+            "trigram_search",
+            lambda: TrigramIndex(tdocs, content_col="text")
+            .search_literal(tneedles)
+            .count(),
+        )
+
+        # winnowing clone pairs: fingerprint extraction + capped pair
+        # expansion + combinable pair count (k=8, w=4); registry-cached
+        # exploded fps (one extraction pass per rep, blocking release
+        # between reps as for dedup)
+        from capreolus_spark.textproc.dedup import MinhashCacheRegistry
+        from capreolus_spark.textproc.winnow import clone_pairs
+
+        def _winnow_once() -> None:
+            with MinhashCacheRegistry() as reg:
+                clone_pairs(tdocs, content_col="text", caches=reg).count()
+                reg.release(blocking=True)
+
+        timed("clone_pairs_winnow", _winnow_once)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()

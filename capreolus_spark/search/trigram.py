@@ -192,8 +192,12 @@ class TrigramIndex:
         self.docs = docs
         self.id_col = id_col
         self.content_col = content_col
+        from ..textproc.dedup import _spread
+
         content = F.coalesce(F.col(content_col), F.lit("")).alias("_c")
-        base = docs.select(F.col(id_col).alias("doc_id"), content)
+        # postings extraction is the CPU-heavy map stage — spread a
+        # single-file corpus across cores (no-op at real scale)
+        base = _spread(docs).select(F.col(id_col).alias("doc_id"), content)
         self.postings = base.select(
             "doc_id", F.explode(trigram_expr("_c")).alias("trigram")
         )

@@ -49,6 +49,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .dedup import MinhashCacheRegistry, _spread
 
 #: md5-prefix int64 of a string expression, spelled inline in SQL so it
 #: can run inside a lambda (textproc/hashing.py's column form cannot).
@@ -83,6 +86,7 @@ def winnow_fingerprints(
     single global minimum (the window never fully forms, but the
     document should still fingerprint — MOSS convention).
     """
+    docs = _spread(docs)  # CPU-heavy map stage: >= one partition per core
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(F.col(content_col), F.lit(""))), r"\s+", " ")
     )
@@ -113,6 +117,7 @@ def clone_pairs(
     w: int = 4,
     min_shared: int = 3,
     max_bucket_size: int = 1000,
+    caches: MinhashCacheRegistry | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) document pairs sharing ≥ ``min_shared``
     winnowing fingerprints, ``id_a < id_b``.
@@ -121,9 +126,19 @@ def clone_pairs(
     combine; oversized fingerprint buckets are star-chained (see module
     docstring), which keeps connectivity for downstream clustering while
     making their pair counts lower bounds.
+
+    The exploded fingerprint frame is consumed three times (bucket-size
+    counts, the small-bucket side, the oversized-bucket side); pass a
+    ``caches`` registry to persist it across those reads — one
+    fingerprint-extraction pass instead of three — and ``release()`` the
+    registry after materializing the result (same contract as
+    ``minhash_lsh_pairs``).
     """
     fps = winnow_fingerprints(docs, id_col, content_col, k=k, w=w)
     e = fps.select("doc_id", F.explode("fps").alias("f"))
+    if caches is not None:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.add(e)
 
     counts = e.groupBy("f").agg(F.count("*").alias("_n"))
     big_keys = counts.filter(F.col("_n") > max_bucket_size).select("f")
