@@ -2000,7 +2000,14 @@ def _q_clone_pairs_winnow(spark, sf_dir):
     """Winnowing fingerprint clone pairs (textproc/winnow.py, Schleimer
     et al. 2003 / MOSS): token 8-gram hashes, window-4 minima, pairs
     sharing >= 3 fingerprints — finds the corpus's built-in near-dup
-    passages without any injection."""
+    passages without any injection.
+
+    The gate runs the EXACT config (mega-bucket cap far above any gate
+    scale's bucket sizes — the 10x gate found one 1027-member bucket at
+    sf1, so the library default of 1000 star-chained it and dropped 4
+    pairs vs the all-pairs oracle, by design).  The production cap and
+    its star-chain behavior are pytest-covered in tests/test_winnow.py.
+    """
     from capreolus_spark.textproc.winnow import clone_pairs
 
     docs = _docs(spark, sf_dir).select(
@@ -2012,6 +2019,7 @@ def _q_clone_pairs_winnow(spark, sf_dir):
         k=_WINNOW_K,
         w=_WINNOW_W,
         min_shared=_WINNOW_MIN_SHARED,
+        max_bucket_size=100_000,
     )
 
 
