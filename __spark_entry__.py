@@ -1992,6 +1992,42 @@ def _q_regex_search(spark, sf_dir):
     )
 
 
+def _q_symbol_stats(spark, sf_dir):
+    """Symbol-definition extraction (codescan.symbol_edges/symbol_stats):
+    ctags-style per-kind definition sites over injected code lines —
+    python def/class per doc_id%3, js function per doc_id%4, go func plus
+    a DUPLICATE python def per doc_id%5 (so n_defs > n_docs rows exist) —
+    then (kind, symbol) popularity, top 50."""
+    from capreolus_spark.textproc.codescan import symbol_edges, symbol_stats
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    add3 = F.concat(
+        F.lit("\ndef fn"), (did % 23).cast("string"),
+        F.lit("(x):\n    pass\nclass Cls"), (did % 11).cast("string"), F.lit(":"),
+    )
+    add4 = F.concat(F.lit("\nfunction render"), (did % 7).cast("string"), F.lit("() {}"))
+    add5 = F.concat(
+        F.lit("\nfunc Handle"), (did % 13).cast("string"),
+        F.lit("() {}\ndef fn"), (did % 23).cast("string"), F.lit("(y):"),
+    )
+    content = F.concat(
+        txt,
+        F.when(did % 3 == 0, add3).otherwise(F.lit("")),
+        F.when(did % 4 == 0, add4).otherwise(F.lit("")),
+        F.when(did % 5 == 0, add5).otherwise(F.lit("")),
+    )
+    edges = symbol_edges(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), content.alias("content"))
+    )
+    return (
+        symbol_stats(edges)
+        .orderBy(F.desc("n_defs"), F.desc("n_docs"), F.asc("kind"), F.asc("symbol"))
+        .limit(50)
+    )
+
+
 # winnowing params shared by the Spark path and the DuckDB oracle
 _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED = 8, 4, 3
 
@@ -2106,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search": _q_trigram_search,
         "regex_search": _q_regex_search,
         "clone_pairs_winnow": _q_clone_pairs_winnow,
+        "symbol_stats": _q_symbol_stats,
     }
 
 
@@ -2119,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         LICENSE_NEEDLES as _LICENSE_NEEDLES,
         SECRET_PATTERNS as _SECRET_PATTERNS,
         SLASH_COMMENT_RE as _SLASH_COMMENT_RE,
+        SYMBOL_PATTERNS as _SYMBOL_PATTERNS,
     )
 
     tok_cte = f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents)"
@@ -3075,5 +3113,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, cast(count(*) AS bigint) AS n_shared "
             f"FROM p GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}"
+        ),
+        # symbol extraction (codescan.symbol_edges/symbol_stats) — same
+        # injected definition lines, same shared patterns per kind
+        "symbol_stats": (
+            "WITH c AS (SELECT doc_id, coalesce(text, '') "
+            "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'def fn' || cast(doc_id % 23 AS varchar) "
+            "|| '(x):' || chr(10) || '    pass' || chr(10) || 'class Cls' || cast(doc_id % 11 AS varchar) || ':' ELSE '' END "
+            "|| CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'function render' || cast(doc_id % 7 AS varchar) || '() {}' ELSE '' END "
+            "|| CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'func Handle' || cast(doc_id % 13 AS varchar) "
+            "|| '() {}' || chr(10) || 'def fn' || cast(doc_id % 23 AS varchar) || '(y):' ELSE '' END "
+            "AS content FROM documents), "
+            "e AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, '{kind}' AS kind, unnest(regexp_extract_all(content, '{pat}', 1)) AS symbol FROM c"
+                for kind, pat in sorted(_SYMBOL_PATTERNS.items())
+            )
+            + ") SELECT kind, symbol, cast(count(DISTINCT doc_id) AS bigint) AS n_docs, "
+            "cast(count(*) AS bigint) AS n_defs FROM e GROUP BY kind, symbol "
+            "ORDER BY n_defs DESC, n_docs DESC, kind ASC, symbol ASC LIMIT 50"
         ),
     }

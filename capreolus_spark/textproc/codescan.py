@@ -232,3 +232,72 @@ def comment_stats(
         (total - code).cast("long").alias("comment_chars"),
         F.round(ratio, 6).alias("comment_ratio"),
     )
+
+
+# ---------------------------------------------------------------- symbols
+
+#: kind -> line-anchored definition pattern, capture group 1 = symbol
+#: name.  Same RE2-compatible dialect policy as the other scanners: one
+#: pattern list shared verbatim by the JVM path and the DuckDB oracle.
+#: Line-anchored (?m)^ keeps false positives from prose mentions low —
+#: the same trade ctags' regex backends make.
+SYMBOL_PATTERNS: dict[str, str] = {
+    "py_def": r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    "py_class": r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    "js_function": r"(?m)^[ \t]*function[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)",
+    "go_func": r"(?m)^func[ \t]+(?:\([^)]*\)[ \t]*)?([A-Za-z_][A-Za-z0-9_]*)",
+}
+
+
+def symbol_edges(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded ``(id_col, kind, symbol)`` definition sites (ctags-style).
+
+    One row per definition (duplicates preserved — overload sets and
+    re-definitions each count).  The per-kind extraction is a single
+    ``regexp_extract_all`` projection per pattern, unioned via one
+    array concat — shuffle-free, python-free, codegen'd; at 100 TB this
+    is one map stage whose output is ~the number of definitions, and
+    the downstream ``symbol_stats`` aggregation is map-side combinable.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _tag(kind: str):
+        # a plain default-arg lambda would take two params, which
+        # F.transform interprets as (element, index) — index would
+        # shadow the kind binding
+        return lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol"))
+
+    structs = [
+        F.transform(F.regexp_extract_all(text, F.lit(pat), F.lit(1)), _tag(kind))
+        for kind, pat in sorted(SYMBOL_PATTERNS.items())
+    ]
+    arr = structs[0]
+    for a in structs[1:]:
+        arr = F.concat(arr, a)
+    return df.select(F.col(id_col), F.explode(arr).alias("d")).select(
+        id_col, "d.kind", "d.symbol"
+    )
+
+
+def symbol_stats(edges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(kind, symbol) popularity: ``kind, symbol, n_docs, n_defs``."""
+    return edges.groupBy("kind", "symbol").agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_defs"),
+    )
+
+
+def symbol_search(
+    edges: DataFrame, names: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents defining any of ``names``: ``(id_col, kind, symbol)``.
+
+    An exact-match lookup over the edges frame — the symbol analogue of
+    the trigram index's literal search; the ``isin`` filter pushes into
+    the edges scan when edges are materialized to parquet.
+    """
+    return edges.filter(F.col("symbol").isin(*names))

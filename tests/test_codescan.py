@@ -214,3 +214,73 @@ def test_regex_parity_jvm_vs_duckdb(spark):
                 "SELECT len(regexp_extract_all(?, ?))", [s, pat]
             ).fetchone()[0]
             assert jvm[i] == duck, (pat, i, s, jvm[i], duck)
+
+
+def test_symbol_edges_and_stats(spark):
+    from capreolus_spark.textproc.codescan import (
+        SYMBOL_PATTERNS,
+        symbol_edges,
+        symbol_search,
+        symbol_stats,
+    )
+
+    code = (
+        "def parse(x):\n"
+        "    pass\n"
+        "class HTMLParser:\n"
+        "    def parse(self):\n"  # indented def counts
+        "        pass\n"
+        "function renderAll(items) {}\n"
+        "func (s *Server) Handle(w, r) {}\n"
+        "func main() {}\n"
+        "x = 1  # def not_a_def(y) inline mention should not match\n"
+        "the word class alone does not match\n"
+    )
+    df = spark.createDataFrame([(1, code), (2, "def parse(): pass"), (3, None)],
+                               "doc_id long, content string")
+    edges = symbol_edges(df)
+    got = {(r["doc_id"], r["kind"], r["symbol"]) for r in edges.collect()}
+    assert got == {
+        (1, "py_def", "parse"),
+        (1, "py_def", "parse"),  # set collapses the two defs; see stats below
+        (1, "py_class", "HTMLParser"),
+        (1, "js_function", "renderAll"),
+        (1, "go_func", "Handle"),
+        (1, "go_func", "main"),
+        (2, "py_def", "parse"),
+    }
+    stats = {
+        (r["kind"], r["symbol"]): (r["n_docs"], r["n_defs"])
+        for r in symbol_stats(edges).collect()
+    }
+    assert stats[("py_def", "parse")] == (2, 3)  # doc1 defines it twice
+    assert stats[("go_func", "main")] == (1, 1)
+
+    hits = {(r["doc_id"], r["kind"]) for r in symbol_search(edges, ["parse"]).collect()}
+    assert hits == {(1, "py_def"), (2, "py_def")}
+
+    # parity: every symbol pattern counts identically in DuckDB (RE2)
+    con = duckdb.connect()
+    for kind, pat in SYMBOL_PATTERNS.items():
+        jvm = df.select(
+            F.sum(F.size(F.regexp_extract_all(
+                F.coalesce("content", F.lit("")), F.lit(pat), F.lit(1)))).alias("n")
+        ).collect()[0]["n"]
+        duck = sum(
+            con.execute("SELECT len(regexp_extract_all(?, ?, 1))", [c or "", pat]).fetchone()[0]
+            for _, c in [(1, code), (2, "def parse(): pass"), (3, None)]
+        )
+        assert jvm == duck, kind
+
+
+def test_symbol_plan_python_free(spark):
+    from capreolus_spark.textproc.codescan import symbol_edges, symbol_stats
+
+    df = spark.createDataFrame([(1, "def a(): pass")], "doc_id long, content string")
+    plan = (
+        symbol_stats(symbol_edges(df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
