@@ -2028,6 +2028,37 @@ def _q_symbol_stats(spark, sf_dir):
     )
 
 
+def _q_code_quality(spark, sf_dir):
+    """Stack-style code curation features (codescan.code_quality_stats):
+    line-length stats, alphanumeric fraction, generated-banner and
+    vendored-path flags.  Banner injected for doc_id%7==2; path
+    synthesized per doc_id%6 (residues 0/1 land in vendored trees)."""
+    from capreolus_spark.textproc.codescan import code_quality_stats
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    content = F.when(
+        did % 7 == 2, F.concat(F.lit("// Generated by tool. DO NOT EDIT\n"), txt)
+    ).otherwise(txt)
+    m = did % 6
+    path = F.concat(
+        F.when(m == 0, F.lit("node_modules/pkg/"))
+        .when(m == 1, F.lit("vendor/lib/"))
+        .otherwise(F.lit("src/")),
+        F.lit("f"),
+        did.cast("string"),
+        F.lit(".py"),
+    )
+    return code_quality_stats(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            content.alias("content"),
+            path.alias("path"),
+        )
+    )
+
+
 # winnowing params shared by the Spark path and the DuckDB oracle
 _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED = 8, 4, 3
 
@@ -2143,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": _q_regex_search,
         "clone_pairs_winnow": _q_clone_pairs_winnow,
         "symbol_stats": _q_symbol_stats,
+        "code_quality_stats": _q_code_quality,
     }
 
 
@@ -2157,6 +2189,8 @@ def oracle_sql() -> dict[str, str]:
         SECRET_PATTERNS as _SECRET_PATTERNS,
         SLASH_COMMENT_RE as _SLASH_COMMENT_RE,
         SYMBOL_PATTERNS as _SYMBOL_PATTERNS,
+        GENERATED_NEEDLES as _GENERATED_NEEDLES,
+        VENDORED_SEGMENTS as _VENDORED_SEGMENTS,
     )
 
     tok_cte = f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents)"
@@ -3132,5 +3166,34 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT kind, symbol, cast(count(DISTINCT doc_id) AS bigint) AS n_docs, "
             "cast(count(*) AS bigint) AS n_defs FROM e GROUP BY kind, symbol "
             "ORDER BY n_defs DESC, n_docs DESC, kind ASC, symbol ASC LIMIT 50"
+        ),
+        # code quality features (codescan.code_quality_stats) — same
+        # injected banner/path, same needle lists; avg line length uses
+        # the identical total-minus-newlines formula
+        "code_quality_stats": (
+            "WITH c AS (SELECT cast(doc_id AS bigint) AS doc_id, "
+            "CASE WHEN doc_id % 7 = 2 THEN '// Generated by tool. DO NOT EDIT' || chr(10) || coalesce(text, '') "
+            "ELSE coalesce(text, '') END AS content, "
+            "(CASE doc_id % 6 WHEN 0 THEN 'node_modules/pkg/' WHEN 1 THEN 'vendor/lib/' ELSE 'src/' END) "
+            "|| 'f' || cast(doc_id AS varchar) || '.py' AS path FROM documents), "
+            "s AS (SELECT doc_id, content, path, string_split(content, chr(10)) AS lines, "
+            "len(content) AS total FROM c), "
+            "t AS (SELECT doc_id, content, path, total, len(lines) AS n_lines, "
+            "list_max(list_transform(lines, l -> len(l))) AS max_line_len, "
+            "total - len(regexp_replace(content, '[A-Za-z0-9]', '', 'g')) AS alnum FROM s) "
+            "SELECT doc_id, cast(max_line_len AS bigint) AS max_line_len, "
+            "round((total - n_lines + 1) * 1.0 / greatest(n_lines, 1), 2) AS avg_line_len, "
+            "round(CASE WHEN total > 0 THEN alnum * 1.0 / total ELSE 0.0 END, 4) AS alnum_frac, "
+            "cast(n_lines AS bigint) AS n_lines, "
+            + "("
+            + " OR ".join(
+                f"contains(lower(substr(content, 1, 1024)), '{n}')"
+                for n in _GENERATED_NEEDLES
+            )
+            + ") AS is_generated, ("
+            + " OR ".join(
+                f"contains(lower(path), '{s}')" for s in _VENDORED_SEGMENTS
+            )
+            + ") AS is_vendored FROM t"
         ),
     }

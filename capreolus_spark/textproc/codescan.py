@@ -301,3 +301,90 @@ def symbol_search(
     the edges scan when edges are materialized to parquet.
     """
     return edges.filter(F.col("symbol").isin(*names))
+
+
+# ----------------------------------------------------- code quality filters
+
+#: lowercase needles marking auto-generated files (checked in the file
+#: head, where generators put their banners).  Public curation recipes
+#: (The Stack / StarCoder data pipeline, CodeParrot) filter on exactly
+#: these marker families.
+GENERATED_NEEDLES: list[str] = [
+    "do not edit",
+    "auto-generated",
+    "autogenerated",
+    "generated by",
+    "@generated",
+]
+
+#: path segments marking vendored / third-party / build-output trees.
+VENDORED_SEGMENTS: list[str] = [
+    "node_modules/",
+    "vendor/",
+    "third_party/",
+    "dist/",
+    "build/",
+    ".min.",
+]
+
+
+def generated_col(text: Column, head_chars: int = 1024) -> Column:
+    """True when the file head carries a generated-file banner."""
+    head = F.lower(F.substring(F.coalesce(text, F.lit("")), 1, head_chars))
+    expr = F.lit(False)
+    for needle in GENERATED_NEEDLES:
+        expr = expr | head.contains(needle)
+    return expr
+
+
+def vendored_col(path: Column) -> Column:
+    """True when the path crosses a vendored/build tree segment."""
+    p = F.lower(F.coalesce(path, F.lit("")))
+    expr = F.lit(False)
+    for seg in VENDORED_SEGMENTS:
+        expr = expr | p.contains(seg)
+    return expr
+
+
+def code_quality_stats(
+    df: DataFrame,
+    text_col: str = "content",
+    path_col: str | None = "path",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-file curation features from the published Stack-style recipe.
+
+    Output per file: ``max_line_len, avg_line_len (2dp), alnum_frac
+    (4dp), n_lines, is_generated, is_vendored`` (vendored only when
+    ``path_col`` is given).  Everything is a split/length/regexp column
+    expression — one shuffle-free codegen'd map stage at any scale; the
+    downstream keep/drop decision is a plain filter over these columns
+    (max line > 1000, avg line > 100, alnum_frac < 0.25 are the
+    published defaults).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    lens = F.transform(lines, lambda s: F.length(s))
+    n_lines = F.size(lines)
+    total = F.length(text)
+    alnum = total - F.length(F.regexp_replace(text, "[A-Za-z0-9]", ""))
+    # sum of line lengths == total chars minus the (n_lines - 1) newlines
+    sum_lens = (total - n_lines + 1).cast("double")
+    out = [
+        *id_cols,
+        F.array_max(lens).cast("long").alias("max_line_len"),
+        F.round(
+            sum_lens / F.greatest(n_lines.cast("double"), F.lit(1.0)), 2
+        ).alias("avg_line_len"),
+        F.round(
+            F.when(total > 0, alnum.cast("double") / total.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("alnum_frac"),
+        n_lines.cast("long").alias("n_lines"),
+        generated_col(text).alias("is_generated"),
+    ]
+    if path_col is not None:
+        out.append(vendored_col(F.col(path_col)).alias("is_vendored"))
+    return df.select(*out)

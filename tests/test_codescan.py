@@ -284,3 +284,41 @@ def test_symbol_plan_python_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_code_quality_stats(spark):
+    from capreolus_spark.textproc.codescan import code_quality_stats
+
+    rows = [
+        (1, "short\nlonger line here\nx", "src/main.py"),
+        (2, "// Generated by protoc. DO NOT EDIT\ncode();", "gen/pb.go"),
+        (3, "a" * 50, "node_modules/pkg/index.js"),
+        (4, "", "app/empty.txt"),
+        (5, None, None),
+        (6, "%%%% ____ !!!! ####", "weird.txt"),  # low alnum fraction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, path string")
+    got = {r["doc_id"]: r.asDict() for r in code_quality_stats(df).collect()}
+
+    assert got[1]["max_line_len"] == len("longer line here")
+    assert got[1]["n_lines"] == 3
+    assert got[1]["avg_line_len"] == round((5 + 16 + 1) / 3, 2)
+    assert not got[1]["is_generated"] and not got[1]["is_vendored"]
+
+    assert got[2]["is_generated"] and not got[2]["is_vendored"]
+    assert got[3]["is_vendored"] and got[3]["max_line_len"] == 50
+    assert got[3]["alnum_frac"] == 1.0
+
+    for d in (4, 5):  # empty/null content
+        assert got[d]["max_line_len"] == 0
+        assert got[d]["n_lines"] == 1
+        assert got[d]["avg_line_len"] == 0.0
+        assert got[d]["alnum_frac"] == 0.0
+    assert got[6]["alnum_frac"] == 0.0
+
+    # without a path column the vendored flag is omitted
+    np = code_quality_stats(df.select("doc_id", "content"), path_col=None)
+    assert "is_vendored" not in np.columns
+
+    plan = code_quality_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
