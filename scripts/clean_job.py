@@ -7,13 +7,17 @@
         [--min-tokens 5] [--max-punct-ratio 0.3] [--languages en,es] \\
         [--near-dup] [--near-dup-threshold 0.8] \\
         [--license-allow mit,apache-2.0,unknown] [--redact-secrets] \\
+        [--max-line-len 1000] [--min-alnum-frac 0.25] \\
+        [--drop-generated] [--drop-vendored --path-col path] \\
         [--snapshot <prior-corpus parquet>] [--snapshot-near] \\
         [--decontaminate <eval parquet>] [--boilerplate-min-docs 0] \\
         [--report <json path>]
 
 Composes the individually-oracled operators into the standard cleaning
 flow: (optional) license-allowlist filter (header scan, first so the
-cheapest gate prunes earliest) → (optional) boilerplate-line removal →
+cheapest gate prunes earliest) → (optional) code-quality gate
+(max line length / alphanumeric fraction / generated-banner /
+vendored-path, Stack-style) → (optional) boilerplate-line removal →
 quality filter + exact-dup collapse + language filter (one declarative
 plan) → (optional) MinHash near-dup collapse via connected components →
 (optional) dedup against a prior corpus snapshot (exact fingerprint
@@ -66,6 +70,26 @@ def main() -> None:
         "codescan.LICENSE_NEEDLES plus 'unknown'); docs whose detected "
         "header license is not listed are dropped first. Empty = off",
     )
+    ap.add_argument(
+        "--max-line-len", type=int, default=0,
+        help="drop files whose longest line exceeds N chars (Stack-style "
+        "minified/data-blob filter; 0 = off)",
+    )
+    ap.add_argument(
+        "--min-alnum-frac", type=float, default=0.0,
+        help="drop files whose alphanumeric character fraction is below "
+        "this (0.0 = off; the published default is 0.25)",
+    )
+    ap.add_argument(
+        "--drop-generated", action="store_true",
+        help="drop files whose head carries a generated-file banner",
+    )
+    ap.add_argument(
+        "--drop-vendored", action="store_true",
+        help="drop files under vendored/build path segments (requires "
+        "--path-col on the input)",
+    )
+    ap.add_argument("--path-col", default="", help="path column for --drop-vendored")
     ap.add_argument(
         "--redact-secrets", action="store_true",
         help="replace credential matches (AWS keys, GitHub PATs, PEM "
@@ -124,6 +148,39 @@ def main() -> None:
         docs = staged(
             docs.filter(license_col(F.col("text")).isin(allowed)),
             "after_license_filter",
+        )
+
+    if (
+        args.max_line_len > 0
+        or args.min_alnum_frac > 0
+        or args.drop_generated
+        or args.drop_vendored
+    ):
+        from capreolus_spark.textproc.codescan import code_quality_stats
+
+        if args.drop_vendored and not args.path_col:
+            ap.error("--drop-vendored requires --path-col")
+        if args.drop_vendored:
+            paths = spark.read.parquet(args.input).select(
+                F.col(args.id_col).alias("doc_id"),
+                F.col(args.path_col).alias("_path"),
+            )
+            q = code_quality_stats(
+                docs.join(paths, "doc_id", "left"), text_col="text", path_col="_path"
+            )
+        else:
+            q = code_quality_stats(docs, text_col="text", path_col=None)
+        if args.max_line_len > 0:
+            q = q.filter(F.col("max_line_len") <= args.max_line_len)
+        if args.min_alnum_frac > 0:
+            q = q.filter(F.col("alnum_frac") >= args.min_alnum_frac)
+        if args.drop_generated:
+            q = q.filter(~F.col("is_generated"))
+        if args.drop_vendored:
+            q = q.filter(~F.col("is_vendored"))
+        docs = staged(
+            docs.join(q.select("doc_id"), "doc_id", "left_semi"),
+            "after_code_quality",
         )
 
     if args.boilerplate_min_docs > 0:
