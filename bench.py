@@ -397,6 +397,35 @@ def main() -> None:
                 reg.release(blocking=True)
 
         timed("clone_pairs_winnow", _winnow_once)
+
+        # ctags-style symbol popularity + Stack-style quality features:
+        # both shuffle-free projections (stats adds one combinable agg)
+        from capreolus_spark.textproc.codescan import (
+            code_quality_stats,
+            symbol_edges,
+            symbol_stats,
+        )
+
+        timed(
+            "symbol_stats",
+            lambda: symbol_stats(symbol_edges(docs, text_col="text")).count(),
+        )
+        timed(
+            "code_quality",
+            lambda: code_quality_stats(docs, text_col="text", path_col=None)
+            .agg(
+                F.sum(
+                    (
+                        (F.col("max_line_len") <= 1000)
+                        & (F.col("avg_line_len") <= 100)
+                        & (F.col("alnum_frac") >= 0.25)
+                        & ~F.col("is_generated")
+                    ).cast("long")
+                ).alias("kept"),
+                F.avg("alnum_frac").alias("af"),
+            )
+            .count(),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
