@@ -41,6 +41,7 @@ from .multimodal import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     chunk_documents,
+    code_chunks,
     deterministic_sample,
     group_quota_sample,
     pack_sequences,

@@ -1337,3 +1337,99 @@ def test_hashed_tfidf_embeddings(spark):
     e = {r["doc_id"]: r["embedding"] for r in hashed_tfidf_embeddings(docs2, dim=16).collect()}
     mags = sorted(abs(v) for v in e[1] if v != 0)
     assert mags == sorted([round(idf_common, 6), round(idf_rare, 6)]) or len(mags) == 1
+
+
+def _code_chunks_twin(text, max_lines=200, pattern=None):
+    """Straight-line python restatement of code_chunks semantics."""
+    import re
+
+    pat = re.compile(pattern or r"^(def|class|async[ \t]+def|function|func)[ \t]")
+    lines = (text or "").split("\n")
+    starts = [0] + [i for i, l in enumerate(lines[1:], 1) if pat.match(l)]
+    ends = starts[1:] + [len(lines)]
+    spans = []
+    for s, e in zip(starts, ends):
+        for ss in range(s, e, max_lines):
+            spans.append((ss, min(ss + max_lines, e)))
+    return [
+        (cid, s, e - s, "\n".join(lines[s:e]))
+        for cid, (s, e) in enumerate(spans)
+    ]
+
+
+def test_code_chunks(spark):
+    from capreolus_spark.textproc import code_chunks
+
+    py = (
+        "import os\n\n"
+        "def f(x):\n    return x\n\n"
+        "class C:\n    def m(self):\n        pass\n\n"
+        "async def g():\n    pass\n"
+    )
+    go = "package main\n\nfunc (r T) Name() {}\nfunc main() {}\n"
+    texts = {1: py, 2: go, 3: "", 4: "no definitions\nhere at all"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, content string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_line"], r["n_lines"], r["chunk_text"])
+        for r in code_chunks(df).collect()
+    )
+    want = sorted(
+        (d, *c) for d, t in texts.items() for c in _code_chunks_twin(t)
+    )
+    assert got == want
+    # indented methods do NOT open chunks; top-level defs do
+    per_doc1 = [c for c in got if c[0] == 1]
+    assert len(per_doc1) == 4  # header, f, C (with m inside), g
+    assert all("def m" in c[4] for c in per_doc1 if c[4].startswith("class C"))
+    # every line of every doc lands in exactly one chunk, in order
+    for d, t in texts.items():
+        rebuilt = "\n".join(c[4] for c in got if c[0] == d)
+        assert rebuilt == t
+    # go receiver method matches the func opener
+    assert any(c[4].startswith("func (r T)") for c in got if c[0] == 2)
+
+
+def test_code_chunks_max_lines_and_randomized(spark):
+    from capreolus_spark.textproc import code_chunks
+
+    import random
+
+    rng = random.Random(7)
+    texts = {}
+    for d in range(20):
+        lines = []
+        for _ in range(rng.randrange(0, 60)):
+            r = rng.random()
+            if r < 0.15:
+                lines.append(f"def f{rng.randrange(9)}(x):")
+            elif r < 0.2:
+                lines.append(f"class C{rng.randrange(9)}:")
+            elif r < 0.25:
+                lines.append(f"    def m{rng.randrange(9)}(self):")
+            else:
+                lines.append(f"  body {rng.randrange(100)}")
+        texts[d] = "\n".join(lines)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, content string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_line"], r["n_lines"], r["chunk_text"])
+        for r in code_chunks(df, max_lines=7).collect()
+    )
+    want = sorted(
+        (d, *c) for d, t in texts.items() for c in _code_chunks_twin(t, max_lines=7)
+    )
+    assert got == want
+    assert max(c[3] for c in got) <= 7
+
+
+def test_code_chunks_plan_is_shuffle_free(spark):
+    from capreolus_spark.textproc import code_chunks
+
+    df = spark.createDataFrame([(1, "def a():\n pass")], "doc_id long, content string")
+    plan = code_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
