@@ -1487,6 +1487,46 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
 
 
+def _q_code_chunks(spark, sf_dir):
+    """Function-boundary code chunking (sampling.code_chunks): injected
+    definition openers per doc_id residue — a leading ``def`` (so the
+    doc starts ON a boundary), a trailing ``class`` with an indented
+    method (must NOT split), and a go ``func`` + ``async def`` pair —
+    then max_lines=6 so prose docs also exercise the fixed-offset
+    sub-split path."""
+    from capreolus_spark.textproc import code_chunks
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    content = F.concat(
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("def top"), (did % 17).cast("string"),
+                F.lit("(x):\n    return x\n"),
+            ),
+        ).otherwise(F.lit("")),
+        txt,
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("\nclass K"), (did % 9).cast("string"),
+                F.lit(":\n    def m(self):\n        pass"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2, F.lit("\nfunc Run() {}\nasync def g():\n    pass")
+        ).otherwise(F.lit("")),
+    )
+    return code_chunks(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+        ),
+        max_lines=6,
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -2149,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quota_sample": _q_quota_sample,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
+        "code_chunks": _q_code_chunks,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -2455,6 +2496,39 @@ def oracle_sql() -> dict[str, str]:
             "cast(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS bigint) AS n_tokens, "
             "array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text "
             "FROM c"
+        ),
+        "code_chunks": (
+            # mirrors _q_code_chunks: same injected definition lines, the
+            # CODE_CHUNK_BOUNDARY regex verbatim (RE2 == Java dialect for
+            # this alternation), boundary split + max_lines=6 sub-split
+            "WITH aug AS (SELECT doc_id, concat("
+            "CASE WHEN doc_id % 3 = 0 THEN 'def top' || (doc_id % 17) || '(x):' "
+            "|| chr(10) || '    return x' || chr(10) ELSE '' END, "
+            "coalesce(text, ''), "
+            "CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'class K' || (doc_id % 9) "
+            "|| ':' || chr(10) || '    def m(self):' || chr(10) || '        pass' "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 5 = 2 THEN chr(10) || 'func Run() {}' || chr(10) "
+            "|| 'async def g():' || chr(10) || '    pass' ELSE '' END"
+            ") AS content FROM documents), "
+            "l AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM aug), "
+            "b AS (SELECT doc_id, lines, list_concat([0], list_filter("
+            "list_transform(lines, (ln, i) -> CASE WHEN i > 1 AND "
+            "regexp_matches(ln, '^(def|class|async[ \\t]+def|function|func)[ \\t]') "
+            "THEN i - 1 ELSE -1 END), x -> x >= 0)) AS starts FROM l), "
+            "sp AS (SELECT doc_id, lines, flatten(list_transform(range(len(starts)), "
+            "k -> list_transform(range(starts[k + 1], CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END, 6), "
+            "ss -> [ss, least(ss + 6, CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END)]))) AS spans FROM b), "
+            "x AS (SELECT doc_id, lines, unnest(spans) AS span, "
+            "generate_subscripts(spans, 1) - 1 AS chunk_id FROM sp) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, "
+            "cast(chunk_id AS bigint) AS chunk_id, "
+            "cast(span[1] AS bigint) AS start_line, "
+            "cast(span[2] - span[1] AS bigint) AS n_lines, "
+            "array_to_string(lines[span[1] + 1 : span[2]], chr(10)) AS chunk_text "
+            "FROM x"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "
