@@ -1527,6 +1527,45 @@ def _q_code_chunks(spark, sf_dir):
     )
 
 
+def _q_code_chunk_dups(spark, sf_dir):
+    """Function-level exact dedup (dedup.code_chunk_dup_groups): prose
+    first, then injected definitions that repeat ACROSS documents —
+    ``def dup{d%13}`` for even doc_ids (its chunk ends with a trailing
+    empty line unless the class follows; whitespace-collapse must equate
+    the two variants) and ``class K{d%7}`` for d%3==1 — so the gate pins
+    the chunk split, the normalization, and the md5 grouping at once.
+    max_lines=4 keeps the prose side exercising the sub-split path."""
+    from capreolus_spark.textproc import code_chunk_dup_groups
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    content = F.concat(
+        txt,
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("\ndef dup"), (did % 13).cast("string"),
+                F.lit("(x):\n    return x * "), (did % 13).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("\nclass K"), (did % 7).cast("string"),
+                F.lit(":\n    def m(self):\n        pass"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return code_chunk_dup_groups(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+        ),
+        max_lines=4,
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -2190,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "code_chunks": _q_code_chunks,
+        "code_chunk_dups": _q_code_chunk_dups,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -2529,6 +2569,47 @@ def oracle_sql() -> dict[str, str]:
             "cast(span[2] - span[1] AS bigint) AS n_lines, "
             "array_to_string(lines[span[1] + 1 : span[2]], chr(10)) AS chunk_text "
             "FROM x"
+        ),
+        "code_chunk_dups": (
+            # mirrors _q_code_chunk_dups: same injection, the code_chunks
+            # split at max_lines=4, whitespace-collapse normalization
+            # (note DuckDB regexp_replace needs the 'g' flag; Spark's is
+            # global by default), md5 grouping, (doc,chunk)-least canonical
+            "WITH aug AS (SELECT doc_id, concat(coalesce(text, ''), "
+            "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'def dup' || (doc_id % 13) "
+            "|| '(x):' || chr(10) || '    return x * ' || (doc_id % 13) || chr(10) "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 3 = 1 THEN chr(10) || 'class K' || (doc_id % 7) "
+            "|| ':' || chr(10) || '    def m(self):' || chr(10) || '        pass' "
+            "ELSE '' END) AS content FROM documents), "
+            "l AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM aug), "
+            "b AS (SELECT doc_id, lines, list_concat([0], list_filter("
+            "list_transform(lines, (ln, i) -> CASE WHEN i > 1 AND "
+            "regexp_matches(ln, '^(def|class|async[ \\t]+def|function|func)[ \\t]') "
+            "THEN i - 1 ELSE -1 END), x -> x >= 0)) AS starts FROM l), "
+            "sp AS (SELECT doc_id, lines, flatten(list_transform(range(len(starts)), "
+            "k -> list_transform(range(starts[k + 1], CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END, 4), "
+            "ss -> [ss, least(ss + 4, CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END)]))) AS spans FROM b), "
+            "x AS (SELECT doc_id, lines, unnest(spans) AS span, "
+            "generate_subscripts(spans, 1) - 1 AS chunk_id FROM sp), "
+            "c AS (SELECT doc_id, chunk_id, trim(regexp_replace("
+            "array_to_string(lines[span[1] + 1 : span[2]], chr(10)), "
+            "'[ \\t\\r\\n]+', ' ', 'g')) AS norm FROM x), "
+            "f AS (SELECT doc_id, chunk_id, md5(norm) AS fp FROM c "
+            "WHERE len(norm) >= 20), "
+            "g AS (SELECT doc_id, chunk_id, "
+            "first_value(doc_id) OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) "
+            "AS canonical_doc_id, "
+            "first_value(chunk_id) OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) "
+            "AS canonical_chunk_id, "
+            "count(*) OVER (PARTITION BY fp) AS group_size FROM f) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, "
+            "cast(chunk_id AS bigint) AS chunk_id, "
+            "cast(canonical_doc_id AS bigint) AS canonical_doc_id, "
+            "cast(canonical_chunk_id AS bigint) AS canonical_chunk_id, "
+            "cast(group_size AS bigint) AS group_size FROM g WHERE group_size > 1"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

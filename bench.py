@@ -426,6 +426,24 @@ def main() -> None:
             )
             .count(),
         )
+
+        # function-boundary code chunking: shuffle-free posexplode map stage
+        from capreolus_spark.textproc import code_chunk_dup_groups, code_chunks
+
+        timed(
+            "code_chunks",
+            lambda: code_chunks(
+                docs.select("doc_id", F.col("text").alias("content")), max_lines=50
+            )
+            .agg(F.count("*"), F.sum("n_lines"))
+            .count(),
+        )
+        timed(
+            "code_chunk_dups",
+            lambda: code_chunk_dup_groups(
+                docs.select("doc_id", F.col("text").alias("content")), max_lines=50
+            ).count(),
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()

@@ -122,6 +122,59 @@ def exact_dup_groups(
     )
 
 
+def code_chunk_dup_groups(
+    df: DataFrame,
+    max_lines: int = 200,
+    min_chars: int = 20,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Function-level exact duplicates (CodeParrot/StarCoder granularity).
+
+    Splits every file at top-level definition boundaries
+    (:func:`~capreolus_spark.textproc.sampling.code_chunks`), normalizes
+    each chunk by collapsing whitespace runs to single spaces (so
+    formatting-only forks of the same function collide), drops trivial
+    chunks shorter than ``min_chars`` normalized characters, and groups
+    by the md5 of the normalized body.  Returns one row per chunk that
+    belongs to a duplicate group (group size > 1)::
+
+        (doc_id, chunk_id, canonical_doc_id, canonical_chunk_id,
+         group_size)
+
+    where the canonical chunk is the (doc_id, chunk_id)-least member.
+    Scale shape: chunking is a shuffle-free map stage, then ONE shuffle
+    on the md5 fingerprint (same as :func:`exact_dup_groups` — the
+    function bodies themselves never move, only 16-byte keys plus ids).
+    Composition: anti-join (doc_id, chunk_id) against the non-canonical
+    rows to drop duplicate functions while keeping one copy.
+    """
+    from .sampling import code_chunks
+
+    chunks = code_chunks(df, max_lines=max_lines, text_col=text_col, id_col=id_col)
+    norm = F.trim(F.regexp_replace("chunk_text", "[ \\t\\r\\n]+", " "))
+    fps = (
+        chunks.select("doc_id", "chunk_id", norm.alias("_norm"))
+        .filter(F.length("_norm") >= min_chars)
+        .select("doc_id", "chunk_id", F.md5("_norm").alias("fp"))
+    )
+    w = Window.partitionBy("fp")
+    wo = w.orderBy("doc_id", "chunk_id")
+    return (
+        fps.withColumn("canonical_doc_id", F.first("doc_id").over(wo))
+        .withColumn("canonical_chunk_id", F.first("chunk_id").over(wo))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "canonical_doc_id",
+            "canonical_chunk_id",
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+    )
+
+
 def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

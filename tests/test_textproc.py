@@ -1433,3 +1433,91 @@ def test_code_chunks_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def _chunk_dup_twin(texts, max_lines=200, min_chars=20):
+    """Python restatement of code_chunk_dup_groups over {doc_id: text}."""
+    import hashlib
+    import re
+
+    rows = []
+    for d, t in texts.items():
+        for cid, _s, _n, chunk in _code_chunks_twin(t, max_lines=max_lines):
+            norm = re.sub(r"[ \t\r\n]+", " ", chunk).strip()
+            if len(norm) >= min_chars:
+                rows.append((d, cid, hashlib.md5(norm.encode()).hexdigest()))
+    byfp = {}
+    for d, cid, fp in rows:
+        byfp.setdefault(fp, []).append((d, cid))
+    out = []
+    for members in byfp.values():
+        if len(members) > 1:
+            cd, cc = min(members)
+            out.extend((d, c, cd, cc, len(members)) for d, c in members)
+    return sorted(out)
+
+
+def test_code_chunk_dup_groups(spark):
+    from capreolus_spark.textproc import code_chunk_dup_groups
+
+    fn_a = "def alpha(x):\n    return x + 1\n"
+    fn_a_refmt = "def alpha(x):\n        return   x + 1\n"  # ws-only fork
+    fn_b = "def beta(y):\n    return y * 2\n"
+    texts = {
+        1: "import os\nimport sys and more header padding\n" + fn_a + fn_b,
+        2: fn_a_refmt + "def gamma(z):\n    return z\n" + "x" * 10,
+        3: fn_b + fn_a,
+        4: "def t(x):\n - \n",  # trivial: below min_chars, never reported
+        5: "def t(x):\n - \n",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, content string")
+    got = sorted(
+        tuple(r) for r in code_chunk_dup_groups(df).select(
+            "doc_id", "chunk_id", "canonical_doc_id", "canonical_chunk_id", "group_size"
+        ).collect()
+    )
+    assert got == _chunk_dup_twin(texts)
+    # the whitespace-only fork of alpha IS caught across three files
+    alpha_rows = [r for r in got if r[4] == 3]
+    assert {(r[0]) for r in alpha_rows} == {1, 2, 3}
+    # trivial short chunks (docs 4/5) are never reported
+    assert not any(r[0] in (4, 5) for r in got)
+
+
+def test_code_chunk_dup_groups_randomized(spark):
+    from capreolus_spark.textproc import code_chunk_dup_groups
+
+    import random
+
+    rng = random.Random(11)
+    pool = [
+        f"def f{k}(x):\n    y = x * {k}\n    return y + {k % 7}\n" for k in range(8)
+    ] + [f"class C{k}:\n    def m(self):\n        return {k}\n" for k in range(4)]
+    texts = {}
+    for d in range(30):
+        parts = [f"# file {d}\nheader line with enough text to pass min chars\n"]
+        for _ in range(rng.randrange(0, 5)):
+            parts.append(rng.choice(pool))
+        texts[d] = "".join(parts)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, content string")
+    got = sorted(
+        tuple(r) for r in code_chunk_dup_groups(df, max_lines=5).collect()
+    )
+    assert got == _chunk_dup_twin(texts, max_lines=5)
+    assert got  # the pool guarantees duplicate functions exist
+
+
+def test_code_chunk_dup_groups_plan(spark):
+    from capreolus_spark.textproc import code_chunk_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "def a(x):\n    return x + 111\n")], "doc_id long, content string"
+    )
+    plan = (
+        code_chunk_dup_groups(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # chunking + fingerprinting are map-side; the only shuffle is the
+    # single fp-window exchange, and nothing drops to python
+    assert plan.count("Exchange") <= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
