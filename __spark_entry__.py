@@ -1566,6 +1566,48 @@ def _q_code_chunk_dups(spark, sf_dir):
     )
 
 
+def _q_drop_dup_functions(spark, sf_dir):
+    """Keep-one-copy function dedup rewrite (dedup.drop_duplicate_functions)
+    over the same injected corpus as code_chunk_dups; gates the slim-frame
+    drop decision, the anti-join, the line-order reassembly (md5 of the
+    rebuilt file), and the emptied-doc full-outer edge in one hash."""
+    from capreolus_spark.textproc import drop_duplicate_functions
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    content = F.concat(
+        txt,
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("\ndef dup"), (did % 13).cast("string"),
+                F.lit("(x):\n    return x * "), (did % 13).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("\nclass K"), (did % 7).cast("string"),
+                F.lit(":\n    def m(self):\n        pass"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = drop_duplicate_functions(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+        ),
+        max_lines=4,
+    )
+    return out.select(
+        "doc_id",
+        F.md5("content").alias("content_md5"),
+        "n_chunks_kept",
+        "n_chunks_dropped",
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -2230,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "code_chunks": _q_code_chunks,
         "code_chunk_dups": _q_code_chunk_dups,
+        "drop_dup_functions": _q_drop_dup_functions,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -2610,6 +2653,53 @@ def oracle_sql() -> dict[str, str]:
             "cast(canonical_doc_id AS bigint) AS canonical_doc_id, "
             "cast(canonical_chunk_id AS bigint) AS canonical_chunk_id, "
             "cast(group_size AS bigint) AS group_size FROM g WHERE group_size > 1"
+        ),
+        "drop_dup_functions": (
+            # mirrors _q_drop_dup_functions: the code_chunk_dups CTEs, a
+            # unique sentinel fp for sub-min_chars chunks (so they always
+            # survive), keep = unique-or-canonical, line-order reassembly
+            # (string_agg skips the NULLed dropped chunks), md5 of the
+            # rebuilt file; group-by-all-chunks keeps emptied docs present
+            "WITH aug AS (SELECT doc_id, concat(coalesce(text, ''), "
+            "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'def dup' || (doc_id % 13) "
+            "|| '(x):' || chr(10) || '    return x * ' || (doc_id % 13) || chr(10) "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 3 = 1 THEN chr(10) || 'class K' || (doc_id % 7) "
+            "|| ':' || chr(10) || '    def m(self):' || chr(10) || '        pass' "
+            "ELSE '' END) AS content FROM documents), "
+            "l AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM aug), "
+            "b AS (SELECT doc_id, lines, list_concat([0], list_filter("
+            "list_transform(lines, (ln, i) -> CASE WHEN i > 1 AND "
+            "regexp_matches(ln, '^(def|class|async[ \\t]+def|function|func)[ \\t]') "
+            "THEN i - 1 ELSE -1 END), x -> x >= 0)) AS starts FROM l), "
+            "sp AS (SELECT doc_id, lines, flatten(list_transform(range(len(starts)), "
+            "k -> list_transform(range(starts[k + 1], CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END, 4), "
+            "ss -> [ss, least(ss + 4, CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END)]))) AS spans FROM b), "
+            "x AS (SELECT doc_id, lines, unnest(spans) AS span, "
+            "generate_subscripts(spans, 1) - 1 AS chunk_id FROM sp), "
+            "c AS (SELECT doc_id, chunk_id, "
+            "array_to_string(lines[span[1] + 1 : span[2]], chr(10)) AS chunk_text, "
+            "trim(regexp_replace(array_to_string(lines[span[1] + 1 : span[2]], "
+            "chr(10)), '[ \\t\\r\\n]+', ' ', 'g')) AS norm FROM x), "
+            "f AS (SELECT doc_id, chunk_id, chunk_text, "
+            "CASE WHEN len(norm) >= 20 THEN md5(norm) "
+            "ELSE 'u:' || doc_id || ':' || chunk_id END AS fp FROM c), "
+            "g AS (SELECT doc_id, chunk_id, chunk_text, "
+            "count(*) OVER (PARTITION BY fp) AS gs, "
+            "first_value(doc_id) OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) "
+            "AS fd, "
+            "first_value(chunk_id) OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) "
+            "AS fc FROM f), "
+            "k AS (SELECT doc_id, chunk_id, chunk_text, "
+            "(gs = 1 OR (doc_id = fd AND chunk_id = fc)) AS keep FROM g) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, "
+            "md5(coalesce(string_agg(CASE WHEN keep THEN chunk_text END, chr(10) "
+            "ORDER BY chunk_id), '')) AS content_md5, "
+            "cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_chunks_kept, "
+            "cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint) "
+            "AS n_chunks_dropped FROM k GROUP BY doc_id"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

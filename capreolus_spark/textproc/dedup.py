@@ -175,6 +175,79 @@ def code_chunk_dup_groups(
     )
 
 
+def drop_duplicate_functions(
+    df: DataFrame,
+    max_lines: int = 200,
+    min_chars: int = 20,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each file with non-canonical duplicate functions removed.
+
+    The keep-one-copy composition over :func:`code_chunk_dup_groups`:
+    chunk at definition boundaries, fingerprint the whitespace-collapsed
+    bodies, keep the (doc_id, chunk_id)-least member of every duplicate
+    group plus all unique/trivial chunks, and reassemble the surviving
+    chunks in line order.  Returns::
+
+        (doc_id, content, n_chunks_kept, n_chunks_dropped)
+
+    with ``content`` byte-identical to the input when nothing is dropped
+    (the chunks partition the file's lines exactly).
+
+    Scale shape: the duplicate decision runs on a SLIM frame — (doc_id,
+    chunk_id, 16-byte fingerprint) through one window shuffle — and the
+    chunk bodies move only once, in the per-document reassembly groupBy;
+    the drop list joins in as a (doc_id, chunk_id) anti-join that AQE
+    can broadcast when duplication is sparse (the common case).
+    """
+    from .sampling import code_chunks
+
+    chunks = code_chunks(df, max_lines=max_lines, text_col=text_col, id_col=id_col)
+    norm = F.trim(F.regexp_replace("chunk_text", "[ \\t\\r\\n]+", " "))
+    slim = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.when(F.length(norm) >= min_chars, F.md5(norm))
+        .otherwise(F.concat_ws(":", F.lit("u"), F.col("doc_id"), F.col("chunk_id")))
+        .alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    wo = w.orderBy("doc_id", "chunk_id")
+    drops = (
+        slim.withColumn("_gs", F.count("*").over(w))
+        .withColumn("_fd", F.first("doc_id").over(wo))
+        .withColumn("_fc", F.first("chunk_id").over(wo))
+        .filter(
+            (F.col("_gs") > 1)
+            & ~((F.col("doc_id") == F.col("_fd")) & (F.col("chunk_id") == F.col("_fc")))
+        )
+        .select("doc_id", "chunk_id")
+    )
+    kept = chunks.join(drops, ["doc_id", "chunk_id"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            "\n",
+        ).alias("content"),
+        F.count("*").cast("long").alias("n_chunks_kept"),
+    )
+    drop_counts = drops.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks_dropped")
+    )
+    # full outer: a doc whose EVERY chunk was a duplicate copy has no
+    # kept row, but must still come back (content '', n_chunks_kept 0)
+    return rebuilt.join(drop_counts, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("content", F.lit("")).alias("content"),
+        F.coalesce("n_chunks_kept", F.lit(0)).cast("long").alias("n_chunks_kept"),
+        F.coalesce("n_chunks_dropped", F.lit(0)).cast("long").alias("n_chunks_dropped"),
+    )
+
+
 def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -1521,3 +1521,89 @@ def test_code_chunk_dup_groups_plan(spark):
     assert plan.count("Exchange") <= 2
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def _drop_dup_fns_twin(texts, max_lines=200, min_chars=20):
+    """Python restatement of drop_duplicate_functions over {doc_id: text}."""
+    import hashlib
+    import re
+
+    chunks = {
+        d: _code_chunks_twin(t, max_lines=max_lines) for d, t in texts.items()
+    }
+    byfp = {}
+    for d, cs in chunks.items():
+        for cid, _s, _n, chunk in cs:
+            norm = re.sub(r"[ \t\r\n]+", " ", chunk).strip()
+            fp = (
+                hashlib.md5(norm.encode()).hexdigest()
+                if len(norm) >= min_chars
+                else f"u:{d}:{cid}"
+            )
+            byfp.setdefault(fp, []).append((d, cid))
+    dropped = set()
+    for members in byfp.values():
+        if len(members) > 1:
+            dropped.update(sorted(members)[1:])
+    out = []
+    for d, cs in chunks.items():
+        keep = [c for c in cs if (d, c[0]) not in dropped]
+        out.append(
+            (
+                d,
+                "\n".join(c[3] for c in keep),
+                len(keep),
+                len(cs) - len(keep),
+            )
+        )
+    return sorted(out)
+
+
+def test_drop_duplicate_functions(spark):
+    from capreolus_spark.textproc import drop_duplicate_functions
+
+    fn_a = "def alpha(x):\n    return x + 1\n"
+    fn_b = "def beta(y):\n    return y * 2\n"
+    texts = {
+        1: "header line with plenty of characters here\n" + fn_a + fn_b,
+        2: fn_a + "def gamma(z):\n    return z - 12345\n",
+        3: fn_b,
+        4: "unique file, nothing dropped, long enough to not be trivial",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, content string")
+    got = sorted(tuple(r) for r in drop_duplicate_functions(df).collect())
+    assert got == _drop_dup_fns_twin(texts)
+    by_id = {r[0]: r for r in got}
+    # doc 1 holds the canonical alpha and beta: byte-identical roundtrip
+    assert by_id[1][1] == texts[1] and by_id[1][3] == 0
+    # doc 2 loses its alpha copy, keeps gamma
+    assert "alpha" not in by_id[2][1] and "gamma" in by_id[2][1]
+    assert by_id[2][3] == 1
+    # doc 3 was exactly one duplicate function: emptied but present
+    assert by_id[3] == (3, "", 0, 1)
+    assert by_id[4][1] == texts[4]
+
+
+def test_drop_duplicate_functions_randomized(spark):
+    from capreolus_spark.textproc import drop_duplicate_functions
+
+    import random
+
+    rng = random.Random(13)
+    pool = [
+        f"def f{k}(a, b):\n    return a * {k} + b\n" for k in range(6)
+    ]
+    texts = {}
+    for d in range(25):
+        parts = [f"# module {d} with a sufficiently long header comment\n"]
+        for _ in range(rng.randrange(0, 4)):
+            parts.append(rng.choice(pool))
+        texts[d] = "".join(parts)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, content string")
+    got = sorted(
+        tuple(r)
+        for r in drop_duplicate_functions(df, max_lines=5).collect()
+    )
+    want = _drop_dup_fns_twin(texts, max_lines=5)
+    assert got == want
+    assert sum(r[3] for r in got) > 0  # duplicates existed and were dropped
