@@ -46,6 +46,15 @@ def main() -> None:
     ap.add_argument("--near-dup", action="store_true")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument(
+        "--dedup-functions", action="store_true",
+        help="rewrite files keeping one copy of each duplicate function "
+        "(definition-boundary chunks, whitespace-collapsed fingerprints)",
+    )
+    ap.add_argument(
+        "--function-max-lines", type=int, default=200,
+        help="sub-split bound for --dedup-functions chunks",
+    )
+    ap.add_argument(
         "--near-dup-keep-best", action="store_true",
         help="with --near-dup: keep each cluster's highest-quality_score "
         "member instead of the minimum-id one",
@@ -229,6 +238,24 @@ def main() -> None:
         if args.snapshot_near:
             survivors = near_dedup_against_snapshot(survivors, snap)
         survivors = staged(survivors, "after_snapshot_dedup")
+
+    if args.dedup_functions:
+        from capreolus_spark.textproc import drop_duplicate_functions
+
+        # doc count is unchanged (keep-one-copy rewrites content); the
+        # report carries the number of duplicate function chunks removed
+        rewritten = drop_duplicate_functions(
+            survivors.withColumnRenamed("text", "content"),
+            max_lines=args.function_max_lines,
+        ).persist()
+        caches.append(rewritten)
+        report["functions_dropped"] = int(
+            rewritten.agg(F.sum("n_chunks_dropped")).collect()[0][0] or 0
+        )
+        survivors = staged(
+            rewritten.select("doc_id", F.col("content").alias("text")),
+            "after_function_dedup",
+        )
 
     if args.decontaminate:
         # decontaminate only consumes the eval TEXT — don't require the
