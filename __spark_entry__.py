@@ -1608,6 +1608,42 @@ def _q_drop_dup_functions(spark, sf_dir):
     )
 
 
+def _q_encoded_data(spark, sf_dir):
+    """Encoded-data curation signal (codescan.encoded_data_stats):
+    injected base64 blobs (64/72/80 chars + '==' padding, doc_id%4==3)
+    and 0x-prefixed hex blobs (64..80 chars, doc_id%6==1 — hex also
+    lands inside the base64 alphabet, pinning the no-double-count rule);
+    prose docs pin the all-zero rows."""
+    from capreolus_spark.textproc.codescan import encoded_data_stats
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    content = F.concat(
+        txt,
+        F.when(
+            did % 4 == 3,
+            F.concat(
+                F.lit("\nb = '"),
+                F.repeat(F.lit("Q0xBVURF"), (F.lit(8) + did % 3).cast("int")),
+                F.lit("=='"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 1,
+            F.concat(
+                F.lit("\nk = 0x"),
+                F.repeat(F.lit("a5f0"), (F.lit(16) + did % 5).cast("int")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return encoded_data_stats(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+        )
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -2273,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks": _q_code_chunks,
         "code_chunk_dups": _q_code_chunk_dups,
         "drop_dup_functions": _q_drop_dup_functions,
+        "encoded_data_stats": _q_encoded_data,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -2700,6 +2737,30 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_chunks_kept, "
             "cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint) "
             "AS n_chunks_dropped FROM k GROUP BY doc_id"
+        ),
+        "encoded_data_stats": (
+            # mirrors _q_encoded_data: same injection, the shipped blob
+            # patterns verbatim; encoded_chars sums BASE64 matches only
+            # (hex is a subset alphabet — the no-double-count rule)
+            "WITH aug AS (SELECT doc_id, concat(coalesce(text, ''), "
+            "CASE WHEN doc_id % 4 = 3 THEN chr(10) || 'b = ''' || "
+            "repeat('Q0xBVURF', cast(8 + doc_id % 3 AS int)) || '==''' "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 6 = 1 THEN chr(10) || 'k = 0x' || "
+            "repeat('a5f0', cast(16 + doc_id % 5 AS int)) ELSE '' END"
+            ") AS content FROM documents), "
+            "e AS (SELECT doc_id, content, "
+            "regexp_extract_all(content, '[A-Za-z0-9+/]{64,}={0,2}') AS b64, "
+            "regexp_extract_all(content, '(0x)?[0-9a-fA-F]{64,}') AS hx FROM aug), "
+            "s AS (SELECT doc_id, content, b64, hx, "
+            "coalesce(list_sum(list_transform(b64, m -> len(m))), 0) AS enc FROM e) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, "
+            "cast(len(b64) AS bigint) AS n_base64_blobs, "
+            "cast(len(hx) AS bigint) AS n_hex_blobs, "
+            "cast(enc AS bigint) AS encoded_chars, "
+            "round(CASE WHEN len(content) > 0 THEN "
+            "cast(enc AS double) / len(content) ELSE 0.0 END, 6) AS encoded_frac "
+            "FROM s"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

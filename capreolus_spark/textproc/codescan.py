@@ -388,3 +388,48 @@ def code_quality_stats(
     if path_col is not None:
         out.append(vendored_col(F.col(path_col)).alias("is_vendored"))
     return df.select(*out)
+
+
+#: Long runs of encoded data (the SantaCoder/StarCoder "encoded data"
+#: curation signal: files dominated by base64 / long hex blobs are data,
+#: not code).  RE2-compatible, shared verbatim with the DuckDB oracle.
+#: The hex alphabet is a subset of the base64 alphabet, so every hex
+#: blob is also (part of) a base64 match — ``encoded_chars`` therefore
+#: sums the BASE64 matches only and never double-counts.
+BASE64_BLOB_RE = r"[A-Za-z0-9+/]{64,}={0,2}"
+HEX_BLOB_RE = r"(0x)?[0-9a-fA-F]{64,}"
+
+
+def encoded_data_stats(
+    df: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-file encoded-data signal: ``n_base64_blobs, n_hex_blobs,
+    encoded_chars, encoded_frac (6dp)``.
+
+    ``encoded_frac`` is the fraction of the file's characters inside
+    base64-alphabet runs of >= 64 chars; the published keep rule drops
+    files where it dominates (``clean_job.py --max-encoded-frac``).
+    Two ``regexp_extract_all`` projections + an array-length aggregate —
+    one shuffle-free codegen'd map stage at any scale.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    b64 = F.regexp_extract_all(text, F.lit(BASE64_BLOB_RE), 0)
+    hexm = F.regexp_extract_all(text, F.lit(HEX_BLOB_RE), 0)
+    enc = F.aggregate(
+        b64, F.lit(0).cast("long"), lambda acc, m: acc + F.length(m).cast("long")
+    )
+    total = F.length(text)
+    return df.select(
+        *id_cols,
+        F.size(b64).cast("long").alias("n_base64_blobs"),
+        F.size(hexm).cast("long").alias("n_hex_blobs"),
+        enc.alias("encoded_chars"),
+        F.round(
+            F.when(total > 0, enc.cast("double") / total.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("encoded_frac"),
+    )

@@ -100,6 +100,11 @@ def main() -> None:
     )
     ap.add_argument("--path-col", default="", help="path column for --drop-vendored")
     ap.add_argument(
+        "--max-encoded-frac", type=float, default=0.0,
+        help="drop files where > this fraction of chars sits in 64+-char "
+        "base64/hex blobs (SantaCoder encoded-data rule; 0 = off)",
+    )
+    ap.add_argument(
         "--redact-secrets", action="store_true",
         help="replace credential matches (AWS keys, GitHub PATs, PEM "
         "blocks, password assignments) in surviving text with "
@@ -190,6 +195,17 @@ def main() -> None:
         docs = staged(
             docs.join(q.select("doc_id"), "doc_id", "left_semi"),
             "after_code_quality",
+        )
+
+    if args.max_encoded_frac > 0:
+        from capreolus_spark.textproc.codescan import encoded_data_stats
+
+        keep = encoded_data_stats(docs, text_col="text").filter(
+            F.col("encoded_frac") <= args.max_encoded_frac
+        )
+        docs = staged(
+            docs.join(keep.select("doc_id"), "doc_id", "left_semi"),
+            "after_encoded_data",
         )
 
     if args.boilerplate_min_docs > 0:

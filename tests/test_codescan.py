@@ -322,3 +322,82 @@ def test_code_quality_stats(spark):
 
     plan = code_quality_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_encoded_data_stats(spark):
+    from capreolus_spark.textproc.codescan import (
+        BASE64_BLOB_RE,
+        HEX_BLOB_RE,
+        encoded_data_stats,
+    )
+
+    import re
+
+    b64 = "Q0xBVURF" * 10 + "=="          # 80 chars + padding
+    hexblob = "0x" + "a5f0" * 20           # 0x + 80 hex chars
+    samples = {
+        1: "def f():\n    return 1\n",                      # clean code
+        2: "data = '" + b64 + "'\n",                        # base64 blob
+        3: "key = " + hexblob + "\nmore code here\n",       # hex blob
+        4: b64,                                              # blob-only file
+        5: "",                                               # empty
+        6: "short = 'QUJD'\nhx = 'a5f0a5f0'\n",             # below 64: no hit
+    }
+    df = spark.createDataFrame(list(samples.items()), "doc_id long, content string")
+    got = {
+        r["doc_id"]: (
+            r["n_base64_blobs"], r["n_hex_blobs"], r["encoded_chars"], r["encoded_frac"]
+        )
+        for r in encoded_data_stats(df).collect()
+    }
+    for d, t in samples.items():
+        b = re.findall(BASE64_BLOB_RE, t)
+        h = re.findall(HEX_BLOB_RE, t)
+        enc = sum(len(m) for m in b)
+        frac = round(enc / len(t), 6) if t else 0.0
+        assert got[d] == (len(b), len(h), enc, frac), (d, got[d])
+    assert got[1] == (0, 0, 0, 0.0)
+    assert got[2][0] == 1 and got[2][3] > 0.7
+    assert got[3][1] == 1
+    assert got[4][3] == 1.0
+    assert got[6] == (0, 0, 0, 0.0)
+
+
+def test_encoded_blob_regex_parity_jvm_vs_duckdb(spark):
+    from capreolus_spark.textproc.codescan import BASE64_BLOB_RE, HEX_BLOB_RE
+
+    b64 = "QUJDRA+/" * 9
+    samples = [
+        "x = '" + b64 + "=='",
+        "0x" + "AbCd0123" * 8 + " trailing",
+        "deadbeef" * 8,
+        "QUJD" * 15 + "!",  # 60 chars then break: no match
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    con = duckdb.connect()
+    for pat in (BASE64_BLOB_RE, HEX_BLOB_RE):
+        jvm = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i",
+                F.size(F.regexp_extract_all("s", F.lit(pat), F.lit(0))).alias("n"),
+            ).collect()
+        }
+        for i, s in enumerate(samples):
+            duck = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+            ).fetchone()[0]
+            assert jvm[i] == duck, (pat, i, s, jvm[i], duck)
+
+
+def test_encoded_data_plan_python_free(spark):
+    from capreolus_spark.textproc.codescan import encoded_data_stats
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, content string")
+    plan = encoded_data_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
