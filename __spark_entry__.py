@@ -1644,6 +1644,21 @@ def _q_encoded_data(spark, sf_dir):
     )
 
 
+def _q_repo_stats(spark, sf_dir):
+    """Per-repo curation profile (codescan.repo_stats) over the dup
+    corpus with a synthesized repo key r{doc_id%20} — the +10^6 dup
+    copies land in DIFFERENT repo buckets, so dup_frac exercises
+    cross-repo duplicate groups."""
+    from capreolus_spark.textproc.codescan import repo_stats
+
+    d = _corpus_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("r"), (F.col("doc_id") % 20).cast("string")).alias("repo"),
+        F.col("text").alias("content"),
+    )
+    return repo_stats(d)
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -2310,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunk_dups": _q_code_chunk_dups,
         "drop_dup_functions": _q_drop_dup_functions,
         "encoded_data_stats": _q_encoded_data,
+        "repo_file_stats": _q_repo_stats,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -2761,6 +2777,23 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN len(content) > 0 THEN "
             "cast(enc AS double) / len(content) ELSE 0.0 END, 6) AS encoded_frac "
             "FROM s"
+        ),
+        "repo_file_stats": (
+            # mirrors _q_repo_stats: dup corpus, repo = r{doc_id%20},
+            # dedup_exact's normalized-token md5 marks duplicate files
+            f"WITH dup AS ({_DUP_CORPUS_SQL}), "
+            "d AS (SELECT doc_id, 'r' || cast(doc_id % 20 AS varchar) AS repo, "
+            "text FROM dup), "
+            f"fps AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM d), "
+            "g AS (SELECT doc_id, count(*) OVER (PARTITION BY fp) AS gs FROM fps), "
+            "f AS (SELECT d.doc_id, d.repo, len(coalesce(d.text, '')) AS n, "
+            "(g.gs > 1) AS isdup FROM d JOIN g ON d.doc_id = g.doc_id) "
+            "SELECT repo, cast(count(*) AS bigint) AS n_files, "
+            "cast(sum(n) AS bigint) AS total_chars, "
+            "round(avg(n), 2) AS avg_chars, "
+            "cast(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS bigint) AS dup_files, "
+            "round(cast(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS double) "
+            "/ count(*), 6) AS dup_frac FROM f GROUP BY repo"
         ),
         "boilerplate_lines": (
             f"WITH dup AS ({_DUP_CORPUS_SQL}), "

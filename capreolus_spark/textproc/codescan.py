@@ -433,3 +433,55 @@ def encoded_data_stats(
             6,
         ).alias("encoded_frac"),
     )
+
+
+def repo_stats(
+    df: DataFrame,
+    group_col: str = "repo",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-repository curation profile for repo-level keep/drop rules.
+
+    The BigCode-style repo decision ("drop repositories dominated by
+    duplicated files") needs one row per repo::
+
+        (repo, n_files, total_chars, avg_chars (2dp), dup_files,
+         dup_frac (6dp))
+
+    ``dup_files`` counts files belonging to a corpus-wide exact
+    duplicate group (:func:`~capreolus_spark.textproc.dedup.
+    exact_dup_groups` — normalized token stream, md5).  Scale shape:
+    the duplicate decision is the dedup family's single slim md5
+    shuffle; the repo rollup is a combinable groupBy (map-side partial
+    agg), so file bodies never move.
+    """
+    from .dedup import exact_dup_groups
+
+    dups = exact_dup_groups(df, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("__dup_id")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("repo"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("_n"),
+    )
+    flagged = base.join(dups, base["doc_id"] == dups["__dup_id"], "left")
+    agg = flagged.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("_n").cast("long").alias("total_chars"),
+        F.round(F.avg("_n"), 2).alias("avg_chars"),
+        F.sum(F.when(F.col("__dup_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("dup_files"),
+    )
+    return agg.select(
+        "repo",
+        "n_files",
+        "total_chars",
+        "avg_chars",
+        "dup_files",
+        F.round(
+            F.col("dup_files").cast("double") / F.col("n_files").cast("double"), 6
+        ).alias("dup_frac"),
+    )

@@ -200,6 +200,10 @@ def drop_duplicate_functions(
     chunk bodies move only once, in the per-document reassembly groupBy;
     the drop list joins in as a (doc_id, chunk_id) anti-join that AQE
     can broadcast when duplication is sparse (the common case).
+    Deliberate trade: the chunking projection is evaluated twice (once
+    under the slim fingerprint frame, once under the rebuild) — two
+    scans of the corpus rather than persisting chunked bodies, which at
+    100 TB would cost far more than the second scan.
     """
     from .sampling import code_chunks
 

@@ -401,3 +401,47 @@ def test_encoded_data_plan_python_free(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_repo_stats(spark):
+    from capreolus_spark.textproc.codescan import repo_stats
+
+    rows = [
+        # repo A: two files that are exact dups of each other + one unique
+        (1, "A", "the same function body here"),
+        (2, "A", "the  SAME   function body HERE"),  # ws/case-normalized dup
+        (3, "A", "a unique file in repo A"),
+        # repo B: unique files only, one shared with repo A's dup group
+        (4, "B", "the same function body here"),
+        (5, "B", "completely different content"),
+        # repo C: single empty file
+        (6, "C", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, repo string, content string")
+    got = {
+        r["repo"]: (
+            r["n_files"], r["total_chars"], r["avg_chars"], r["dup_files"], r["dup_frac"]
+        )
+        for r in repo_stats(df).collect()
+    }
+    # docs 1, 2, 4 share one normalized-token dup group (cross-repo)
+    lens = {r: [len(t or "") for d, rr, t in rows if rr == r] for r in "ABC"}
+    for repo, dup_files in (("A", 2), ("B", 1), ("C", 0)):
+        n = lens[repo]
+        assert got[repo] == (
+            len(n), sum(n), round(sum(n) / len(n), 2), dup_files,
+            round(dup_files / len(n), 6),
+        ), repo
+
+
+def test_repo_stats_plan_partial_agg(spark):
+    from capreolus_spark.textproc.codescan import repo_stats
+
+    df = spark.createDataFrame(
+        [(1, "r", "x y z")], "doc_id long, repo string, content string"
+    )
+    plan = repo_stats(df)._jdf.queryExecution().executedPlan().toString()
+    # the repo rollup must partial-aggregate map-side before its shuffle
+    assert "partial" in plan.lower()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
