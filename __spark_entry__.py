@@ -1659,6 +1659,32 @@ def _q_repo_stats(spark, sf_dir):
     return repo_stats(d)
 
 
+def _q_lang_guess(spark, sf_dir):
+    """Content-based language guess (codescan.code_lang_guess): per
+    doc_id%7 residue one language's keyword block is appended (0=python,
+    1=js, 2=go, 3=java, 4=c), residue 5 gets ONLY a node shebang (the
+    zero-vote override edge), residue 6 stays prose (unknown)."""
+    from capreolus_spark.textproc.codescan import code_lang_guess
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    m = (F.col("doc_id") % 7).cast("int")
+    content = (
+        F.when(m == 0, F.concat(txt, F.lit("\ndef handler(x):\n    return x\nself.value = 1")))
+        .when(m == 1, F.concat(txt, F.lit("\nfunction render() {}\nconsole.log(1)\nconst a = 1")))
+        .when(m == 2, F.concat(txt, F.lit("\npackage main\nfunc Run() {}\nx := 1\nfmt.Println(x)")))
+        .when(m == 3, F.concat(txt, F.lit("\nimport java.util.List;\npublic class App {}\nSystem.out.println(1);")))
+        .when(m == 4, F.concat(txt, F.lit('\n#include <stdio.h>\nint main() {\nprintf("hi");')))
+        .when(m == 5, F.concat(F.lit("#!/usr/bin/env node\n"), txt))
+        .otherwise(txt)
+    )
+    return code_lang_guess(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+        )
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from capreolus_spark.textproc import boilerplate_lines
 
@@ -2326,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_dup_functions": _q_drop_dup_functions,
         "encoded_data_stats": _q_encoded_data,
         "repo_file_stats": _q_repo_stats,
+        "code_lang_guess": _q_lang_guess,
         "boilerplate_lines": _q_boilerplate_lines,
         "remove_boilerplate": _q_remove_boilerplate,
         "length_percentiles": _q_length_percentiles,
@@ -2368,6 +2395,54 @@ def oracle_sql() -> dict[str, str]:
         SYMBOL_PATTERNS as _SYMBOL_PATTERNS,
         GENERATED_NEEDLES as _GENERATED_NEEDLES,
         VENDORED_SEGMENTS as _VENDORED_SEGMENTS,
+    )
+
+    from capreolus_spark.textproc.codescan import (
+        LANG_GUESS_PATTERNS as _LANG_GUESS_PATTERNS,
+        SHEBANG_PATTERNS as _SHEBANG_PATTERNS,
+    )
+
+    # lang-guess scores built from the SHIPPED pattern lists (alphabetical
+    # lang order for the aligned unnest zip); parity pytest pins RE2==Java
+    _lg_langs = sorted(_LANG_GUESS_PATTERNS)
+    _lg_scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(content, '{p}'))"
+            for p in _LANG_GUESS_PATTERNS[lang]
+        )
+        for lang in _lg_langs
+    }
+    _lang_guess_sql = (
+        "WITH aug AS (SELECT doc_id, CASE cast(doc_id % 7 AS int) "
+        "WHEN 0 THEN coalesce(text, '') || chr(10) || 'def handler(x):' "
+        "|| chr(10) || '    return x' || chr(10) || 'self.value = 1' "
+        "WHEN 1 THEN coalesce(text, '') || chr(10) || 'function render() {}' "
+        "|| chr(10) || 'console.log(1)' || chr(10) || 'const a = 1' "
+        "WHEN 2 THEN coalesce(text, '') || chr(10) || 'package main' "
+        "|| chr(10) || 'func Run() {}' || chr(10) || 'x := 1' "
+        "|| chr(10) || 'fmt.Println(x)' "
+        "WHEN 3 THEN coalesce(text, '') || chr(10) || 'import java.util.List;' "
+        "|| chr(10) || 'public class App {}' || chr(10) || 'System.out.println(1);' "
+        "WHEN 4 THEN coalesce(text, '') || chr(10) || '#include <stdio.h>' "
+        "|| chr(10) || 'int main() {' || chr(10) || 'printf(\"hi\");' "
+        "WHEN 5 THEN '#!/usr/bin/env node' || chr(10) || coalesce(text, '') "
+        "ELSE coalesce(text, '') END AS content FROM documents), "
+        "s AS (SELECT doc_id, content, "
+        + ", ".join(f"{_lg_scores[lang]} AS s_{i}" for i, lang in enumerate(_lg_langs))
+        + " FROM aug), "
+        "u AS (SELECT doc_id, content, "
+        "unnest([" + ", ".join(f"'{lang}'" for lang in _lg_langs) + "]) AS lang, "
+        "unnest([" + ", ".join(f"s_{i}" for i in range(len(_lg_langs))) + "]) AS score "
+        "FROM s), "
+        "r AS (SELECT doc_id, content, lang, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM u) "
+        "SELECT cast(doc_id AS bigint) AS doc_id, "
+        f"CASE WHEN regexp_matches(content, '{_SHEBANG_PATTERNS['python']}') "
+        "THEN 'python' "
+        f"WHEN regexp_matches(content, '{_SHEBANG_PATTERNS['javascript']}') "
+        "THEN 'javascript' "
+        "WHEN score = 0 THEN 'unknown' ELSE lang END AS lang_guess, "
+        "cast(score AS bigint) AS score FROM r WHERE rn = 1"
     )
 
     tok_cte = f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents)"
@@ -2778,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
             "cast(enc AS double) / len(content) ELSE 0.0 END, 6) AS encoded_frac "
             "FROM s"
         ),
+        "code_lang_guess": _lang_guess_sql,
         "repo_file_stats": (
             # mirrors _q_repo_stats: dup corpus, repo = r{doc_id%20},
             # dedup_exact's normalized-token md5 marks duplicate files

@@ -485,3 +485,83 @@ def repo_stats(
             F.col("dup_files").cast("double") / F.col("n_files").cast("double"), 6
         ).alias("dup_frac"),
     )
+
+
+#: lang -> distinctive RE2-compatible keyword/syntax patterns; each
+#: match is one vote.  Shared verbatim with the DuckDB oracle (same
+#: policy as IMPORT_PATTERNS; ``(?m)^`` line-anchors the openers).
+LANG_GUESS_PATTERNS: dict[str, list[str]] = {
+    "c": [
+        r"(?m)^[ \t]*#include[ \t]*[<\"]",
+        r"(?m)^[ \t]*#define ",
+        r"(?m)^int main\(",
+        r"printf\(",
+    ],
+    "go": [r"(?m)^func ", r"(?m)^package [a-z]", r":=", r"fmt\."],
+    "java": [
+        r"(?m)^[ \t]*public ",
+        r"(?m)^[ \t]*private ",
+        r"(?m)^import java\.",
+        r"System\.",
+    ],
+    "javascript": [
+        r"(?m)^[ \t]*function [A-Za-z_$]",
+        r"(?m)^[ \t]*const ",
+        r"===",
+        r"console\.",
+    ],
+    "python": [
+        r"(?m)^[ \t]*def [a-z_]",
+        r"(?m)^from [A-Za-z_.]+ import",
+        r"self\.",
+        r"(?m)^[ \t]*elif ",
+    ],
+}
+
+#: shebang interpreter -> lang; a matching first line overrides the vote
+#: (a two-line script has too few keywords to out-vote prose noise).
+SHEBANG_PATTERNS: dict[str, str] = {
+    "javascript": r"^#![^\n]*\bnode\b",
+    "python": r"^#![^\n]*\bpython",
+}
+
+
+def code_lang_guess(
+    df: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Content-based language guess: ``(…, lang_guess, score)``.
+
+    One vote per LANG_GUESS_PATTERNS match; the guess is the
+    highest-scoring language with lexicographic (ascending) tie-break,
+    ``unknown`` when every language scores zero, and a shebang first
+    line overrides the vote entirely (go-enry-style heuristic stack for
+    files whose extension metadata is missing or lies).  ``score`` is
+    always the top VOTE count (unchanged by a shebang override).
+    Pure regexp-count column expressions — shuffle-free, codegen'd.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    scores = {
+        lang: sum(
+            F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+            for p in pats
+        )
+        for lang, pats in LANG_GUESS_PATTERNS.items()
+    }
+    # array_sort over struct(-score, lang): min = max score, lang asc
+    entries = F.array(
+        *[
+            F.struct((-s).cast("long").alias("ns"), F.lit(lang).alias("lang"))
+            for lang, s in scores.items()
+        ]
+    )
+    best = F.array_sort(entries)[0]
+    guess = F.when(best["ns"] == 0, F.lit("unknown")).otherwise(best["lang"])
+    for lang, pat in SHEBANG_PATTERNS.items():
+        guess = F.when(text.rlike(pat), F.lit(lang)).otherwise(guess)
+    return df.select(
+        *id_cols,
+        guess.alias("lang_guess"),
+        (-best["ns"]).cast("long").alias("score"),
+    )

@@ -445,3 +445,95 @@ def test_repo_stats_plan_partial_agg(spark):
     assert "partial" in plan.lower()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def _lang_guess_twin(text):
+    import re
+
+    from capreolus_spark.textproc.codescan import (
+        LANG_GUESS_PATTERNS,
+        SHEBANG_PATTERNS,
+    )
+
+    t = text or ""
+    scores = {
+        lang: sum(len(re.findall(p, t)) for p in pats)
+        for lang, pats in LANG_GUESS_PATTERNS.items()
+    }
+    top = max(scores.values())
+    guess = (
+        "unknown" if top == 0
+        else min(l for l, s in scores.items() if s == top)
+    )
+    # python checked before javascript (outermost when wins)
+    for lang in ("javascript", "python"):
+        if re.search(SHEBANG_PATTERNS[lang], t):
+            guess = lang
+    return guess, top
+
+
+def test_code_lang_guess(spark):
+    from capreolus_spark.textproc.codescan import code_lang_guess
+
+    samples = {
+        1: "def f(x):\n    return x\nself.x = 1\nelif y:\n",
+        2: "function render() {}\nconst a = 1\nconsole.log(a === 1)\n",
+        3: "package main\nfunc Run() {}\nx := 1\nfmt.Println(x)\n",
+        4: "import java.util.List;\npublic class App {}\nSystem.out.println(1);\n",
+        5: '#include <stdio.h>\n#define X 1\nint main() {\nprintf("hi");\n',
+        6: "#!/usr/bin/env node\nplain prose, zero keyword votes",
+        7: "#!/usr/bin/python3\nconst a = 1\nconst b = 2\nconst c = 3",  # shebang beats votes
+        8: "plain English prose, no code at all",
+        9: "",
+        10: None,
+        # tie: one python vote, one go vote -> lexicographic 'go'
+        11: "def f(x):\n ...\nfunc G() {}\n",
+    }
+    df = spark.createDataFrame(list(samples.items()), "doc_id long, content string")
+    got = {
+        r["doc_id"]: (r["lang_guess"], r["score"])
+        for r in code_lang_guess(df).collect()
+    }
+    for d, t in samples.items():
+        assert got[d] == _lang_guess_twin(t), (d, got[d], _lang_guess_twin(t))
+    assert got[1][0] == "python" and got[2][0] == "javascript"
+    assert got[3][0] == "go" and got[4][0] == "java" and got[5][0] == "c"
+    assert got[6] == ("javascript", 0)
+    assert got[7][0] == "python"
+    assert got[8] == ("unknown", 0) and got[9] == ("unknown", 0)
+    assert got[11][0] == "go"
+
+
+def test_lang_guess_regex_parity_jvm_vs_duckdb(spark):
+    from capreolus_spark.textproc.codescan import (
+        LANG_GUESS_PATTERNS,
+        SHEBANG_PATTERNS,
+    )
+
+    samples = [
+        "def f():\n  x\nself.y elif\nfunc G() {}\npackage main\nx := 1",
+        "#!/usr/bin/env python3\nconst a===b\nconsole.log(1)",
+        "#include <a.h>\n#define B\nint main(\nprintf(  System. fmt.",
+        "public x\n private y\nimport java.util\nfunction f$()",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    con = duckdb.connect()
+    pats = [p for ps in LANG_GUESS_PATTERNS.values() for p in ps] + list(
+        SHEBANG_PATTERNS.values()
+    )
+    for pat in pats:
+        jvm = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i",
+                F.size(F.regexp_extract_all("s", F.lit(pat), F.lit(0))).alias("n"),
+            ).collect()
+        }
+        for i, s in enumerate(samples):
+            duck = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+            ).fetchone()[0]
+            assert jvm[i] == duck, (pat, i, s, jvm[i], duck)
