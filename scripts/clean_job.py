@@ -105,6 +105,12 @@ def main() -> None:
         "base64/hex blobs (SantaCoder encoded-data rule; 0 = off)",
     )
     ap.add_argument(
+        "--lang-guess-allow", default="",
+        help="comma-separated CONTENT-guessed language allowlist "
+        "(code_lang_guess keyword votes + shebang; 'unknown' keeps "
+        "prose files)",
+    )
+    ap.add_argument(
         "--redact-secrets", action="store_true",
         help="replace credential matches (AWS keys, GitHub PATs, PEM "
         "blocks, password assignments) in surviving text with "
@@ -206,6 +212,18 @@ def main() -> None:
         docs = staged(
             docs.join(keep.select("doc_id"), "doc_id", "left_semi"),
             "after_encoded_data",
+        )
+
+    if args.lang_guess_allow:
+        from capreolus_spark.textproc.codescan import code_lang_guess
+
+        allowed_langs = [x for x in args.lang_guess_allow.split(",") if x]
+        keep = code_lang_guess(docs, text_col="text").filter(
+            F.col("lang_guess").isin(allowed_langs)
+        )
+        docs = staged(
+            docs.join(keep.select("doc_id"), "doc_id", "left_semi"),
+            "after_lang_guess",
         )
 
     if args.boilerplate_min_docs > 0:
