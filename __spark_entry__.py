@@ -1527,16 +1527,12 @@ def _q_code_chunks(spark, sf_dir):
     )
 
 
-def _q_code_chunk_dups(spark, sf_dir):
-    """Function-level exact dedup (dedup.code_chunk_dup_groups): prose
-    first, then injected definitions that repeat ACROSS documents —
-    ``def dup{d%13}`` for even doc_ids (its chunk ends with a trailing
-    empty line unless the class follows; whitespace-collapse must equate
-    the two variants) and ``class K{d%7}`` for d%3==1 — so the gate pins
-    the chunk split, the normalization, and the md5 grouping at once.
-    max_lines=4 keeps the prose side exercising the sub-split path."""
-    from capreolus_spark.textproc import code_chunk_dup_groups
-
+def _injected_code_corpus(spark, sf_dir):
+    """Shared corpus for the function-dedup gates: prose first, then
+    injected definitions that repeat ACROSS documents — ``def dup{d%13}``
+    for even doc_ids (its chunk ends with a trailing empty line unless
+    the class follows; whitespace-collapse must equate the two variants)
+    and ``class K{d%7}`` for d%3==1."""
     docs = _docs(spark, sf_dir)
     txt = F.coalesce(F.col("text"), F.lit(""))
     did = F.col("doc_id")
@@ -1558,12 +1554,19 @@ def _q_code_chunk_dups(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
-    return code_chunk_dup_groups(
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
-        ),
-        max_lines=4,
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
     )
+
+
+def _q_code_chunk_dups(spark, sf_dir):
+    """Function-level exact dedup (dedup.code_chunk_dup_groups) over the
+    injected dup-function corpus — pins the chunk split, the
+    normalization, and the md5 grouping at once.  max_lines=4 keeps the
+    prose side exercising the sub-split path."""
+    from capreolus_spark.textproc import code_chunk_dup_groups
+
+    return code_chunk_dup_groups(_injected_code_corpus(spark, sf_dir), max_lines=4)
 
 
 def _q_drop_dup_functions(spark, sf_dir):
@@ -1573,38 +1576,69 @@ def _q_drop_dup_functions(spark, sf_dir):
     rebuilt file), and the emptied-doc full-outer edge in one hash."""
     from capreolus_spark.textproc import drop_duplicate_functions
 
-    docs = _docs(spark, sf_dir)
-    txt = F.coalesce(F.col("text"), F.lit(""))
-    did = F.col("doc_id")
-    content = F.concat(
-        txt,
-        F.when(
-            did % 2 == 0,
-            F.concat(
-                F.lit("\ndef dup"), (did % 13).cast("string"),
-                F.lit("(x):\n    return x * "), (did % 13).cast("string"),
-                F.lit("\n"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 3 == 1,
-            F.concat(
-                F.lit("\nclass K"), (did % 7).cast("string"),
-                F.lit(":\n    def m(self):\n        pass"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    out = drop_duplicate_functions(
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
-        ),
-        max_lines=4,
-    )
+    out = drop_duplicate_functions(_injected_code_corpus(spark, sf_dir), max_lines=4)
     return out.select(
         "doc_id",
         F.md5("content").alias("content_md5"),
         "n_chunks_kept",
         "n_chunks_dropped",
+    )
+
+
+def _q_code_chunk_near_dups(spark, sf_dir):
+    """Function-level NEAR dedup (dedup.code_chunk_near_dup_pairs — the
+    BigCode MinHash-over-functions recipe).  The dup keys here are
+    BLOCK-LOCAL (``doc_id div 16`` / ``div 24``), so duplicate groups
+    stay O(1)-sized and the pair count stays LINEAR in the corpus at
+    every gate scale — the code_chunk_dups-style global residue keys
+    would make group sizes (hence C(n,2) pairs) grow with the corpus,
+    which is an oracle-shape bug, not an engine property.  EVERY token
+    of each injected body carries the group key (``dup{g}``/``x{g}``/
+    ``w{g}``): with a generic body (the first draft's ``return x *``),
+    every 3-gram window containing only generic tokens is ONE shingle
+    shared by all 25k injected chunks — a 25,000-row shingle group,
+    cross-key Jaccard 1/3, and an O(corpus²) false-candidate mass that
+    both the exact oracle join (Σ|g|² blocking) and the LSH verifier
+    must grind through; measured 1.87e9 blocked pairs at sf1.
+    Key-bearing tokens make cross-key Jaccard exactly 0, so candidate
+    mass == true-pair mass and the gate stays linear.  The verified LSH
+    output must equal the exact shingle-join oracle (the injected
+    groups are Jaccard-1 — recall exactly 1); unpacking the 2^20 chunk
+    key is part of the hash."""
+    from capreolus_spark.textproc import code_chunk_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    g16 = F.expr("cast(doc_id div 16 as string)")
+    g24 = F.expr("cast(doc_id div 24 as string)")
+    content = F.concat(
+        txt,
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("\ndef dup"), g16,
+                F.lit("(x"), g16,
+                F.lit("):\n    return x"), g16,
+                F.lit(" * w"), g16, F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("\nclass K"), g24,
+                F.lit(":\n    def m"), g24,
+                F.lit("(self"), g24,
+                F.lit("):\n        pass"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return code_chunk_near_dup_pairs(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+        ),
+        max_lines=4,
+        threshold=0.8,
     )
 
 
@@ -2350,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks": _q_code_chunks,
         "code_chunk_dups": _q_code_chunk_dups,
         "drop_dup_functions": _q_drop_dup_functions,
+        "code_chunk_near_dups": _q_code_chunk_near_dups,
         "encoded_data_stats": _q_encoded_data,
         "repo_file_stats": _q_repo_stats,
         "code_lang_guess": _q_lang_guess,
@@ -2828,6 +2863,59 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_chunks_kept, "
             "cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint) "
             "AS n_chunks_dropped FROM k GROUP BY doc_id"
+        ),
+        "code_chunk_near_dups": (
+            # mirrors _q_code_chunk_near_dups: block-local dup keys (div
+            # 16 / div 24 — O(1) group sizes, linear pair count at any
+            # scale), EVERY injected token key-bearing (cross-key Jaccard
+            # 0, else one generic shingle blocks 25k² pairs — see the
+            # query docstring), min_chars floor, 2^20-packed chunk key,
+            # then the exact 3-gram-shingle Jaccard join (the LSH
+            # output's oracle — injected groups are Jaccard-1, recall 1)
+            "WITH aug AS (SELECT doc_id, concat(coalesce(text, ''), "
+            "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'def dup' || (doc_id // 16) "
+            "|| '(x' || (doc_id // 16) || '):' || chr(10) || '    return x' "
+            "|| (doc_id // 16) || ' * w' || (doc_id // 16) || chr(10) "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 3 = 1 THEN chr(10) || 'class K' || (doc_id // 24) "
+            "|| ':' || chr(10) || '    def m' || (doc_id // 24) || '(self' "
+            "|| (doc_id // 24) || '):' || chr(10) || '        pass' "
+            "ELSE '' END) AS content FROM documents), "
+            "l AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM aug), "
+            "b AS (SELECT doc_id, lines, list_concat([0], list_filter("
+            "list_transform(lines, (ln, i) -> CASE WHEN i > 1 AND "
+            "regexp_matches(ln, '^(def|class|async[ \\t]+def|function|func)[ \\t]') "
+            "THEN i - 1 ELSE -1 END), x -> x >= 0)) AS starts FROM l), "
+            "sp AS (SELECT doc_id, lines, flatten(list_transform(range(len(starts)), "
+            "k -> list_transform(range(starts[k + 1], CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END, 4), "
+            "ss -> [ss, least(ss + 4, CASE WHEN k + 1 < len(starts) "
+            "THEN starts[k + 2] ELSE len(lines) END)]))) AS spans FROM b), "
+            "x AS (SELECT doc_id, lines, unnest(spans) AS span, "
+            "generate_subscripts(spans, 1) - 1 AS chunk_id FROM sp), "
+            "c AS (SELECT doc_id, chunk_id, "
+            "array_to_string(lines[span[1] + 1 : span[2]], chr(10)) AS chunk_text, "
+            "trim(regexp_replace(array_to_string(lines[span[1] + 1 : span[2]], "
+            "chr(10)), '[ \\t\\r\\n]+', ' ', 'g')) AS norm FROM x), "
+            "tok AS (SELECT doc_id * 1048576 + chunk_id AS k, "
+            "regexp_extract_all(lower(chunk_text), '[a-z0-9_]+') AS toks "
+            "FROM c WHERE len(norm) >= 20), "
+            "posts AS (SELECT DISTINCT k, unnest(list_distinct("
+            "CASE WHEN len(toks) >= 3 THEN list_transform(range(0, len(toks) - 2), "
+            "i -> array_to_string(toks[i+1:i+3], ' ')) "
+            "ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM tok), "
+            "sizes AS (SELECT k, count(*) AS set_size FROM posts GROUP BY k), "
+            "inter AS (SELECT a.k AS id_a, b.k AS id_b, count(*) AS inter "
+            "FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.k < b.k "
+            "GROUP BY a.k, b.k) "
+            "SELECT cast(id_a // 1048576 AS bigint) AS doc_a, "
+            "cast(id_a % 1048576 AS bigint) AS chunk_a, "
+            "cast(id_b // 1048576 AS bigint) AS doc_b, "
+            "cast(id_b % 1048576 AS bigint) AS chunk_b, "
+            "round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON inter.id_a = sa.k "
+            "JOIN sizes sb ON inter.id_b = sb.k "
+            "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8"
         ),
         "encoded_data_stats": (
             # mirrors _q_encoded_data: same injection, the shipped blob

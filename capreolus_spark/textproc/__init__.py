@@ -13,6 +13,7 @@ from .quality import (  # noqa: F401
 from .dedup import (  # noqa: F401
     canonical_by_score,
     code_chunk_dup_groups,
+    code_chunk_near_dup_pairs,
     drop_duplicate_functions,
     dup_components,
     exact_dup_groups,

@@ -921,3 +921,61 @@ def canonical_by_score(
             (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
         )
     )
+
+
+def code_chunk_near_dup_pairs(
+    df: DataFrame,
+    max_lines: int = 200,
+    min_chars: int = 20,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    chunk_id_bits: int = 20,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate FUNCTION pairs (the BigCode/StarCoder2 recipe:
+    MinHash+LSH at definition granularity, not file granularity).
+
+    Chunks every file at definition boundaries, floors out trivial
+    chunks, then runs the verified MinHash+LSH join over the chunk
+    bodies.  Returns ``(doc_a, chunk_a, doc_b, chunk_b, jaccard)`` for
+    every cross- or within-file chunk pair at >= ``threshold``
+    token-``n``-gram Jaccard.
+
+    The chunk key is packed as ``doc_id * 2^chunk_id_bits + chunk_id``
+    so the whole MinHash pipeline (signatures, banding, mega-bucket
+    guard, exact verification) is reused untouched; a chunk_id at or
+    above the 2^20 default (a file splitting into a million+ chunks)
+    raises rather than silently colliding.  Unpacking uses integer
+    ``div``/``%`` — exact at any long magnitude, no double rounding.
+    Scale shape: identical to :func:`minhash_lsh_pairs` with chunks as
+    the unit — one shingle pass, banded buckets, no all-pairs stage.
+    """
+    from .sampling import code_chunks
+
+    lim = 1 << chunk_id_bits
+    chunks = code_chunks(df, max_lines=max_lines, text_col=text_col, id_col=id_col)
+    norm = F.trim(F.regexp_replace("chunk_text", "[ \\t\\r\\n]+", " "))
+    packed = F.when(
+        F.col("chunk_id") < lim, F.col("doc_id") * lim + F.col("chunk_id")
+    ).otherwise(
+        F.raise_error(
+            f"chunk_id >= 2^{chunk_id_bits}; raise chunk_id_bits"
+        ).cast("long")
+    )
+    keyed = (
+        chunks.select("doc_id", "chunk_id", "chunk_text", norm.alias("_norm"))
+        .filter(F.length("_norm") >= min_chars)
+        .select(packed.cast("long").alias("chunk_key"), F.col("chunk_text").alias("text"))
+    )
+    pairs = minhash_lsh_pairs(
+        keyed, id_col="chunk_key", n=n, threshold=threshold, **lsh_kwargs
+    )
+    return pairs.select(
+        F.expr(f"id_a div {lim}").cast("long").alias("doc_a"),
+        (F.col("id_a") % lim).cast("long").alias("chunk_a"),
+        F.expr(f"id_b div {lim}").cast("long").alias("doc_b"),
+        (F.col("id_b") % lim).cast("long").alias("chunk_b"),
+        "jaccard",
+    )

@@ -1607,3 +1607,54 @@ def test_drop_duplicate_functions_randomized(spark):
     want = _drop_dup_fns_twin(texts, max_lines=5)
     assert got == want
     assert sum(r[3] for r in got) > 0  # duplicates existed and were dropped
+
+
+def test_code_chunk_near_dup_pairs(spark):
+    """The chunk-level LSH join must equal the exact n-gram Jaccard join
+    over the identical keyed chunk frame (recall 1 on this corpus), and
+    unpacking must restore (doc, chunk) coordinates."""
+    from capreolus_spark.textproc import (
+        code_chunk_near_dup_pairs,
+        code_chunks,
+        ngram_jaccard_pairs,
+    )
+
+    fn = "def alpha(x):\n    y = x + 1\n    z = y * 2\n    return z - x\n"
+    fork = "def alpha(x):\n  y = x + 1\n  z = y * 2\n  return z - x\n"  # ws fork
+    near = "def alpha(x):\n    y = x + 1\n    z = y * 3\n    return z - x\n"
+    other = "def omega(a, b):\n    return a if a > b else b\n"
+    texts = {
+        1: "header line long enough to be non trivial here\n" + fn + other,
+        2: fork,
+        3: near + fn,  # within-file near pair with its own copy of fn
+        4: other,
+        5: "prose only, nothing resembling the functions above at all",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, content string")
+    got = sorted(
+        tuple(r)
+        for r in code_chunk_near_dup_pairs(df, max_lines=10, threshold=0.5).collect()
+    )
+    # exact baseline over the SAME keyed chunk frame
+    lim = 1 << 20
+    chunks = code_chunks(df, max_lines=10)
+    norm = F.trim(F.regexp_replace("chunk_text", "[ \\t\\r\\n]+", " "))
+    keyed = (
+        chunks.select("doc_id", "chunk_id", "chunk_text", norm.alias("_n"))
+        .filter(F.length("_n") >= 20)
+        .select(
+            (F.col("doc_id") * lim + F.col("chunk_id")).alias("k"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    want = sorted(
+        (r["id_a"] // lim, r["id_a"] % lim, r["id_b"] // lim, r["id_b"] % lim, r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            keyed, text_col="text", id_col="k", n=3, threshold=0.5
+        ).collect()
+    )
+    assert got == want and got
+    pair_docs = {(r[0], r[2]) for r in got}
+    assert (1, 2) in pair_docs          # cross-file whitespace fork
+    assert any(a == b == 3 for a, b in pair_docs)  # within-file near pair
+    assert not any(5 in (a, b) for a, b in pair_docs)
