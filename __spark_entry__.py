@@ -1642,6 +1642,113 @@ def _q_code_chunk_near_dups(spark, sf_dir):
     )
 
 
+def _docstring_corpus(spark, sf_dir):
+    """Shared corpus for the docstring gates: prose plus injected
+    definitions — residue 0 mod 3 a multi-line ``\"\"\"`` docstring with
+    a trailing-whitespace tail (pins the regex trim), residue 1 mod 4 an
+    ``async def`` with a ``'''`` docstring (pins the alternation group),
+    residue 2 mod 5 an undocumented def (pins the coverage denominator
+    and the pairs filter)."""
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    content = F.concat(
+        txt,
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("\ndef fa"), ds,
+                F.lit('(a, b):\n    """Pair '), ds,
+                F.lit(" adds things.\n\n    Longer tail.   \n    "),
+                F.lit('"""\n    return a + b\n'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("\nasync def fb"), ds,
+                F.lit("(x):\n    '''Single line "), ds,
+                F.lit(".'''\n    return x\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.concat(F.lit("\ndef nod"), ds, F.lit("(y):\n    return y\n")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
+    )
+
+
+def _q_docstring_pairs(spark, sf_dir):
+    """CodeSearchNet-style (docstring, function) training pairs
+    (codescan.docstring_pairs) over the injected corpus; the hash pins
+    the def/docstring regex pair, the quote-style alternation, the
+    whitespace trim, and the chunk pairing at max_lines=8 (prose
+    sub-splits exercised alongside whole defs)."""
+    from capreolus_spark.textproc.codescan import docstring_pairs
+
+    return docstring_pairs(_docstring_corpus(spark, sf_dir), max_lines=8)
+
+
+def _q_docstring_coverage(spark, sf_dir):
+    """Per-file docstring coverage (codescan.docstring_coverage) — same
+    injection; pins the def counting (documented + undocumented), the
+    0-def NULL-coverage row, and 6dp rounding."""
+    from capreolus_spark.textproc.codescan import docstring_coverage
+
+    return docstring_coverage(_docstring_corpus(spark, sf_dir), max_lines=8)
+
+
+def _q_repo_fork_pairs(spark, sf_dir):
+    """Repo-level fork detection (codescan.repo_fork_pairs): repos are
+    doc_id%40 buckets; each doc contributes two synthetic files — an
+    'A' file keyed doc%20 (links repo a to a+20 for even docs), a 'B'
+    file keyed doc%60 (adds a second partially-overlapping fp), with
+    odd/ineligible docs falling back to per-doc-unique bodies — plus
+    one 'BOILER' file in EVERY repo, which max_fp_repos=30 must drop
+    from both blocking and the Jaccard universe."""
+    from capreolus_spark.textproc.codescan import repo_fork_pairs
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    repo = F.concat(F.lit("r"), (did % 40).cast("string"))
+    f1 = F.when(
+        did % 2 == 0, F.concat(F.lit("A"), (did % 20).cast("string"))
+    ).otherwise(F.concat(F.lit("u"), did.cast("string")))
+    f2 = F.when(
+        did % 5 < 3, F.concat(F.lit("B"), (did % 60).cast("string"))
+    ).otherwise(F.concat(F.lit("v"), did.cast("string")))
+    files = (
+        docs.select(repo.alias("repo"), f1.alias("content"))
+        .unionByName(docs.select(repo.alias("repo"), f2.alias("content")))
+        .unionByName(docs.select(repo.alias("repo"), F.lit("BOILER").alias("content")))
+    )
+    return repo_fork_pairs(files, threshold=0.2, max_fp_repos=30)
+
+
+def _q_split_by_group(spark, sf_dir):
+    """Leakage-safe dataset split (sampling.split_by_group): group =
+    doc_id%97 (so groups repeat across rows), exact-binary fractions
+    (0.75/0.125/0.125 — cumulative bounds stay float-exact in BOTH
+    engines), seeded md5 thresholds; the hash pins that every member of
+    a group gets the same split name."""
+    from capreolus_spark.textproc import split_by_group
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("doc_id") % 97).cast("string")).alias("grp"),
+    )
+    return split_by_group(
+        docs,
+        [("train", 0.75), ("valid", 0.125), ("test", 0.125)],
+        group_col="grp",
+        seed="sp5",
+    )
+
+
 def _q_encoded_data(spark, sf_dir):
     """Encoded-data curation signal (codescan.encoded_data_stats):
     injected base64 blobs (64/72/80 chars + '==' padding, doc_id%4==3)
@@ -2385,6 +2492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunk_dups": _q_code_chunk_dups,
         "drop_dup_functions": _q_drop_dup_functions,
         "code_chunk_near_dups": _q_code_chunk_near_dups,
+        "docstring_pairs": _q_docstring_pairs,
+        "docstring_coverage": _q_docstring_coverage,
+        "repo_fork_pairs": _q_repo_fork_pairs,
+        "split_by_group": _q_split_by_group,
         "encoded_data_stats": _q_encoded_data,
         "repo_file_stats": _q_repo_stats,
         "code_lang_guess": _q_lang_guess,
@@ -2523,6 +2634,51 @@ def oracle_sql() -> dict[str, str]:
     )
 
     stop10 = "'the','a','an','and','of','to','in','is','it','that'"
+
+    # ------------------------------------------------ docstring oracles
+    from capreolus_spark.textproc.codescan import (
+        DOCSTRING_BODY_PATTERN as _DS_BODY,
+        DOCSTRING_DEF_PATTERN as _DS_DEF,
+    )
+
+    _ds_def_sql = _DS_DEF.replace("'", "''")
+    _ds_body_sql = _DS_BODY.replace("'", "''")
+    # the injected corpus (mirrors _docstring_corpus) + the SAME chunking
+    # CTE as the code_chunk oracles at max_lines=8, then the shipped
+    # def/docstring regexes verbatim (''-doubled for the SQL literal)
+    _ds_chunks_cte = (
+        "WITH aug AS (SELECT doc_id, concat(coalesce(text, ''), "
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'def fa' || doc_id "
+        "|| '(a, b):' || chr(10) || '    \"\"\"Pair ' || doc_id "
+        "|| ' adds things.' || chr(10) || chr(10) || '    Longer tail.   ' "
+        "|| chr(10) || '    \"\"\"' || chr(10) || '    return a + b' || chr(10) "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'async def fb' || doc_id "
+        "|| '(x):' || chr(10) || '    ''''''Single line ' || doc_id "
+        "|| '.''''''' || chr(10) || '    return x' || chr(10) ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 2 THEN chr(10) || 'def nod' || doc_id "
+        "|| '(y):' || chr(10) || '    return y' || chr(10) ELSE '' END"
+        ") AS content FROM documents), "
+        "l AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM aug), "
+        "b AS (SELECT doc_id, lines, list_concat([0], list_filter("
+        "list_transform(lines, (ln, i) -> CASE WHEN i > 1 AND "
+        "regexp_matches(ln, '^(def|class|async[ \\t]+def|function|func)[ \\t]') "
+        "THEN i - 1 ELSE -1 END), x -> x >= 0)) AS starts FROM l), "
+        "sp AS (SELECT doc_id, lines, flatten(list_transform(range(len(starts)), "
+        "k -> list_transform(range(starts[k + 1], CASE WHEN k + 1 < len(starts) "
+        "THEN starts[k + 2] ELSE len(lines) END, 8), "
+        "ss -> [ss, least(ss + 8, CASE WHEN k + 1 < len(starts) "
+        "THEN starts[k + 2] ELSE len(lines) END)]))) AS spans FROM b), "
+        "x AS (SELECT doc_id, lines, unnest(spans) AS span, "
+        "generate_subscripts(spans, 1) - 1 AS chunk_id FROM sp), "
+        "c AS (SELECT doc_id, chunk_id, "
+        "array_to_string(lines[span[1] + 1 : span[2]], chr(10)) AS chunk_text "
+        "FROM x), "
+        "p AS (SELECT doc_id, chunk_id, chunk_text, "
+        f"regexp_extract(chunk_text, '{_ds_def_sql}', 1) AS fn_name, "
+        f"regexp_extract(chunk_text, '{_ds_body_sql}', 1) AS d1, "
+        f"regexp_extract(chunk_text, '{_ds_body_sql}', 2) AS d2 FROM c)"
+    )
 
     return {
         "doc_token_stats": (
@@ -2916,6 +3072,74 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON inter.id_a = sa.k "
             "JOIN sizes sb ON inter.id_b = sb.k "
             "WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.8"
+        ),
+        "docstring_pairs": (
+            # mirrors _q_docstring_pairs: injected-def corpus through the
+            # max_lines=8 chunk CTE, the shipped regexes verbatim, the
+            # explicit-class whitespace trim ('g' flag: DuckDB replaces
+            # first match by default, Spark replaces all)
+            f"{_ds_chunks_cte}, "
+            "q AS (SELECT doc_id, chunk_id, fn_name, "
+            "regexp_replace(CASE WHEN d1 <> '' THEN d1 ELSE d2 END, "
+            "'^[ \\t\\r\\n]+|[ \\t\\r\\n]+$', '', 'g') AS docstring, "
+            "length(chunk_text) AS n_body_chars FROM p) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, "
+            "cast(chunk_id AS bigint) AS chunk_id, fn_name, docstring, "
+            "cast(n_body_chars AS bigint) AS n_body_chars FROM q "
+            "WHERE fn_name <> '' AND docstring <> ''"
+        ),
+        "docstring_coverage": (
+            # mirrors _q_docstring_coverage: same injection + chunk CTE;
+            # 0-def docs keep a NULL coverage row
+            f"{_ds_chunks_cte}, "
+            "cov AS (SELECT doc_id, "
+            "sum(CASE WHEN fn_name <> '' THEN 1 ELSE 0 END) AS n_defs, "
+            "sum(CASE WHEN fn_name <> '' AND (d1 <> '' OR d2 <> '') "
+            "THEN 1 ELSE 0 END) AS n_documented FROM p GROUP BY doc_id) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, "
+            "cast(n_defs AS bigint) AS n_defs, "
+            "cast(n_documented AS bigint) AS n_documented, "
+            "CASE WHEN n_defs > 0 THEN round(n_documented * 1.0 / n_defs, 6) "
+            "END AS coverage FROM cov"
+        ),
+        "repo_fork_pairs": (
+            # mirrors _q_repo_fork_pairs: two synthetic files per doc +
+            # the ubiquitous BOILER file that max_fp_repos=30 drops from
+            # blocking AND the Jaccard universe; threshold applies to the
+            # 6dp-ROUNDED jaccard in both engines
+            "WITH files AS ("
+            "SELECT 'r' || (doc_id % 40) AS repo, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'A' || (doc_id % 20) "
+            "ELSE 'u' || doc_id END AS content FROM documents "
+            "UNION ALL SELECT 'r' || (doc_id % 40), "
+            "CASE WHEN doc_id % 5 < 3 THEN 'B' || (doc_id % 60) "
+            "ELSE 'v' || doc_id END FROM documents "
+            "UNION ALL SELECT 'r' || (doc_id % 40), 'BOILER' FROM documents), "
+            "fps AS (SELECT DISTINCT repo, md5(content) AS fp FROM files), "
+            "kept AS (SELECT repo, fp FROM fps WHERE fp IN "
+            "(SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 30)), "
+            "sizes AS (SELECT repo, count(*) AS set_size FROM kept GROUP BY repo), "
+            "shared AS (SELECT a.repo AS repo_a, b.repo AS repo_b, "
+            "count(*) AS shared_files FROM kept a JOIN kept b "
+            "ON a.fp = b.fp AND a.repo < b.repo GROUP BY 1, 2), "
+            "j AS (SELECT repo_a, repo_b, shared_files, "
+            "round(shared_files * 1.0 / (sa.set_size + sb.set_size - shared_files), 6) "
+            "AS jaccard FROM shared "
+            "JOIN sizes sa ON shared.repo_a = sa.repo "
+            "JOIN sizes sb ON shared.repo_b = sb.repo) "
+            "SELECT repo_a, repo_b, cast(shared_files AS bigint) AS shared_files, "
+            "jaccard FROM j WHERE jaccard >= 0.2"
+        ),
+        "split_by_group": (
+            # mirrors _q_split_by_group: md5-60 unit hash of seed||group,
+            # exact-binary cumulative bounds (0.75 / 0.875)
+            "WITH d AS (SELECT doc_id, 'g' || (doc_id % 97) AS grp FROM documents), "
+            "h AS (SELECT doc_id, grp, "
+            "TRY_CAST(concat('0x', substr(md5(concat('sp5', grp)), 1, 15)) AS BIGINT) "
+            "/ 1152921504606846976.0 AS u FROM d) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, grp, "
+            "CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'valid' "
+            "ELSE 'test' END AS split FROM h"
         ),
         "encoded_data_stats": (
             # mirrors _q_encoded_data: same injection, the shipped blob

@@ -48,6 +48,7 @@ from .sampling import (  # noqa: F401
     deterministic_sample,
     group_quota_sample,
     pack_sequences,
+    split_by_group,
     stratified_sample,
 )
 from .pipeline import clean_corpus  # noqa: F401

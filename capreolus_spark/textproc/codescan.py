@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import code_chunks
+
 # ---------------------------------------------------------------- licenses
 
 #: (label, lowercase needle) in precedence order — first match wins.
@@ -564,4 +566,177 @@ def code_lang_guess(
         *id_cols,
         guess.alias("lang_guess"),
         (-best["ns"]).cast("long").alias("score"),
+    )
+
+
+# ------------------------------------------------------ docstring pairs
+
+#: head line of a Python-style definition; group 1 = function name.
+#: RE2-compatible (no lookarounds) so the DuckDB oracle runs it verbatim.
+DOCSTRING_DEF_PATTERN = r"^[ \t]*(?:async[ \t]+)?def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+
+#: first triple-quoted string directly after the signature's closing
+#: ``:`` — group 1 captures the `"""` body, group 2 the `'''` body.
+#: ``(?s)`` makes ``.`` span lines; non-greedy stops at the first closer.
+DOCSTRING_BODY_PATTERN = (
+    "(?s)^[^\\n]*\\([^)]*\\)[^\\n:]*:[ \\t]*\\n[ \\t]+"
+    "(?:\"\"\"(.*?)\"\"\"|'''(.*?)''')"
+)
+
+
+def docstring_pairs(
+    df: DataFrame,
+    max_lines: int = 2000,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, fn_name, docstring, n_body_chars) — the
+    CodeSearchNet-style (natural language ↔ code) training-pair
+    extractor: one row per function definition that opens with a
+    triple-quoted docstring, paired with its whole definition body.
+
+    Rides the function-boundary splitter
+    (:func:`~capreolus_spark.textproc.sampling.code_chunks`) so the
+    "body" is the same unit the dedup/near-dup family operates on;
+    ``max_lines`` only bounds pathological mega-definitions (a sub-split
+    definition keeps its head chunk, which is where the docstring
+    lives).  The docstring must open on the line after the signature's
+    closing ``:`` (the overwhelmingly dominant layout); single-line
+    ``def f(): ...`` bodies and attribute docstrings are out of scope.
+
+    Scale shape: ``code_chunks`` is a shuffle-free posexplode map stage;
+    the name/docstring extraction is two ``regexp_extract`` column
+    expressions over the chunk head — python-free, codegen'd, zero
+    shuffles end to end.
+    """
+    chunks = code_chunks(df, max_lines=max_lines, text_col=text_col, id_col=id_col)
+    name = F.regexp_extract("chunk_text", DOCSTRING_DEF_PATTERN, 1)
+    d1 = F.regexp_extract("chunk_text", DOCSTRING_BODY_PATTERN, 1)
+    d2 = F.regexp_extract("chunk_text", DOCSTRING_BODY_PATTERN, 2)
+    # regex trim, not F.trim: Spark's trim strips only 0x20 spaces, and
+    # the closing-quote line leaves a "\n    " tail; the explicit char
+    # class (not \s, whose membership differs between Java and RE2 at
+    # \x0B) runs verbatim in the DuckDB oracle
+    doc = F.regexp_replace(
+        F.when(d1 != "", d1).otherwise(d2), "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            name.alias("fn_name"),
+            doc.alias("docstring"),
+            F.length("chunk_text").cast("long").alias("n_body_chars"),
+        )
+        .filter((F.col("fn_name") != "") & (F.col("docstring") != ""))
+    )
+
+
+def docstring_coverage(
+    df: DataFrame,
+    max_lines: int = 2000,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_defs, n_documented, coverage) — per-file docstring
+    coverage, a standard code-quality curation signal (files whose
+    public functions are documented are over-weighted in curated code
+    corpora).  ``coverage`` is 6dp-rounded; files with no definitions
+    are reported with 0/0 and NULL coverage rather than dropped, so the
+    frame joins 1:1 back to the corpus.  Same shuffle profile as
+    :func:`docstring_pairs` plus the one combinable groupBy.
+    """
+    chunks = code_chunks(df, max_lines=max_lines, text_col=text_col, id_col=id_col)
+    name = F.regexp_extract("chunk_text", DOCSTRING_DEF_PATTERN, 1)
+    d1 = F.regexp_extract("chunk_text", DOCSTRING_BODY_PATTERN, 1)
+    d2 = F.regexp_extract("chunk_text", DOCSTRING_BODY_PATTERN, 2)
+    has_doc = (d1 != "") | (d2 != "")
+    per_chunk = chunks.select(
+        "doc_id",
+        (name != "").cast("int").alias("_is_def"),
+        ((name != "") & has_doc).cast("int").alias("_documented"),
+    )
+    agg = per_chunk.groupBy("doc_id").agg(
+        F.sum("_is_def").cast("long").alias("n_defs"),
+        F.sum("_documented").cast("long").alias("n_documented"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_defs",
+        "n_documented",
+        F.when(
+            F.col("n_defs") > 0,
+            F.round(F.col("n_documented") / F.col("n_defs").cast("double"), 6),
+        ).alias("coverage"),
+    )
+
+
+# ------------------------------------------------------ repo fork pairs
+
+
+def repo_fork_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_fp_repos: int = 1000,
+    group_col: str = "repo",
+    text_col: str = "content",
+) -> DataFrame:
+    """(repo_a, repo_b, shared_files, jaccard) — repository-level
+    near-duplicate (fork) detection by file-content overlap, the
+    BigCode/The-Stack curation step that removes unmarked forks before
+    any per-file dedup: two repos whose file-fingerprint sets overlap at
+    ``jaccard >= threshold`` are fork candidates.
+
+    Dataflow: per-repo DISTINCT file fingerprints (md5 of content), drop
+    ubiquitous fingerprints shared by more than ``max_fp_repos`` repos
+    (empty ``__init__.py``-class files — they carry no fork signal and
+    are the only unbounded blocking groups), then a postings self-join
+    on fingerprint counts shared files per repo pair, and set sizes turn
+    counts into Jaccard.  Set sizes are computed over the SAME filtered
+    fingerprint universe, so jaccard stays a true Jaccard of the
+    compared sets.
+
+    Scale shape: the self-join is blocked by fingerprint — candidate
+    mass is Σ C(k,2) over fingerprints shared by k ≤ ``max_fp_repos``
+    repos, i.e. bounded by real cross-repo duplication, never all repo
+    pairs; every stage is a slim (16-byte key) shuffle, file bodies
+    never move, and the rollups are map-side combinable.  ``repo_a <
+    repo_b`` canonicalizes pair order.
+    """
+    fps = df.select(
+        F.col(group_col).alias("repo"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+    ).distinct()
+    kept = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") <= int(max_fp_repos))
+        .select("fp"),
+        "fp",
+        "left_semi",
+    )
+    sizes = kept.groupBy("repo").agg(F.count("*").cast("long").alias("set_size"))
+    a = kept.select(F.col("repo").alias("repo_a"), "fp")
+    b = kept.select(F.col("repo").alias("repo_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("long").alias("shared_files"))
+    )
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("set_size").alias("_na"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("set_size").alias("_nb"))
+    return (
+        shared.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared_files")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_files")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("repo_a", "repo_b", "shared_files", "jaccard")
     )

@@ -126,6 +126,51 @@ def group_quota_sample(
     )
 
 
+def split_by_group(
+    df: DataFrame,
+    splits: "list[tuple[str, float]]",
+    group_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Leakage-safe deterministic dataset split: adds a ``split`` column
+    such that every row sharing a ``group_col`` value lands in the SAME
+    split — the standard guard against train/test contamination when a
+    group (a repository, a domain, a near-dup cluster canonical) has
+    many files; splitting per-row would leak group-internal duplication
+    across the boundary.
+
+    ``splits`` is an ordered list of (name, fraction) summing to 1.0
+    (±1e-9).  Assignment is by cumulative thresholds over the shared
+    md5-60 unit hash of ``seed || group`` — exact-membership
+    reproducible across runs, partitionings and engines, like
+    :func:`deterministic_sample`.  The last split absorbs the hash
+    value 1.0-epsilon edge by construction (its upper bound is +inf).
+
+    Scale shape: a pure projection — no shuffle, no Python; at 100 TB
+    this is a free column on the scan.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    names = [n for n, _ in splits]
+    fracs = [float(f) for _, f in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    if any(f < 0 for f in fracs):
+        raise ValueError(f"negative split fraction: {splits}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {sum(fracs)}")
+    h = _key_hash_unit(_seeded_key(group_col, seed))
+    expr = F.lit(names[-1])  # last split takes the remainder of [0, 1)
+    cum = 0.0
+    bounds = []
+    for f in fracs[:-1]:
+        cum += f
+        bounds.append(cum)
+    for name, bound in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -537,3 +537,160 @@ def test_lang_guess_regex_parity_jvm_vs_duckdb(spark):
                 "SELECT len(regexp_extract_all(?, ?))", [s, pat]
             ).fetchone()[0]
             assert jvm[i] == duck, (pat, i, s, jvm[i], duck)
+
+
+# ------------------------------------------------------ docstring pairs
+
+
+def test_docstring_pairs(spark):
+    """Triple-quoted docstrings (both quote styles, multi-line) pair with
+    their definition chunk; undocumented / non-def chunks are excluded."""
+    from capreolus_spark.textproc.codescan import docstring_pairs
+
+    code = (
+        "import os\n"
+        "\n"
+        'def add(a, b):\n    """Add a to b.\n\n    Returns their sum.\n    """\n    return a + b\n'
+        "\n"
+        "def bare(x):\n    return x\n"
+        "\n"
+        "async def fetch(url):\n    '''Fetch a url.'''\n    return url\n"
+        "\n"
+        "class C:\n    pass\n"
+    )
+    df = spark.createDataFrame(
+        [(1, code), (2, "prose only, no definitions here"), (3, None)],
+        "doc_id long, content string",
+    )
+    rows = {
+        r["fn_name"]: r
+        for r in docstring_pairs(df).collect()
+    }
+    assert set(rows) == {"add", "fetch"}
+    assert rows["add"]["docstring"] == "Add a to b.\n\n    Returns their sum."
+    assert rows["fetch"]["docstring"] == "Fetch a url."
+    assert rows["add"]["doc_id"] == 1 and rows["add"]["n_body_chars"] > 0
+
+
+def test_docstring_pairs_signature_edges(spark):
+    """Multi-line signatures with a return annotation still pair; a
+    docstring NOT on the line after the signature does not."""
+    from capreolus_spark.textproc.codescan import docstring_pairs
+
+    code = (
+        "def multi(a,\n          b) -> int:\n    \"\"\"Multi-line sig.\"\"\"\n    return a\n"
+        "\n"
+        "def gap(x):\n    y = 1\n    \"\"\"not a docstring\"\"\"\n    return y\n"
+    )
+    df = spark.createDataFrame([(1, code)], "doc_id long, content string")
+    got = {r["fn_name"] for r in docstring_pairs(df).collect()}
+    assert got == {"multi"}
+
+
+def test_docstring_coverage(spark):
+    from capreolus_spark.textproc.codescan import docstring_coverage
+
+    code = (
+        'def a():\n    """doc."""\n    return 1\n'
+        "\n"
+        "def b():\n    return 2\n"
+    )
+    df = spark.createDataFrame(
+        [(1, code), (2, "no defs at all")], "doc_id long, content string"
+    )
+    rows = {r["doc_id"]: r for r in docstring_coverage(df).collect()}
+    assert rows[1]["n_defs"] == 2 and rows[1]["n_documented"] == 1
+    assert rows[1]["coverage"] == 0.5
+    assert rows[2]["n_defs"] == 0 and rows[2]["coverage"] is None
+
+
+def test_docstring_pairs_plan_shuffle_free(spark):
+    """The pair extractor must stay a python-free map stage: no Exchange,
+    no python UDFs in the executed plan."""
+    from capreolus_spark.textproc.codescan import docstring_pairs
+
+    df = spark.createDataFrame(
+        [(1, 'def f():\n    """d."""\n    return 0\n')],
+        "doc_id long, content string",
+    )
+    plan = docstring_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Batch" not in plan.replace("BatchScan", "")
+
+
+# ------------------------------------------------------ repo fork pairs
+
+
+def test_repo_fork_pairs(spark):
+    """Two repos sharing most files are a fork pair; distinct repos are
+    not; a ubiquitous fingerprint past max_fp_repos stops blocking (and
+    leaves the Jaccard universe)."""
+    from capreolus_spark.textproc.codescan import repo_fork_pairs
+
+    rows = []
+    # fork pair: r1 has files A B C, r2 has A B D -> jaccard 2/4 = 0.5
+    rows += [("r1", "A"), ("r1", "B"), ("r1", "C")]
+    rows += [("r2", "A"), ("r2", "B"), ("r2", "D")]
+    # r3 unrelated
+    rows += [("r3", "X"), ("r3", "Y")]
+    # every repo carries the same boilerplate file (ubiquitous)
+    rows += [(r, "BOILER") for r in ("r1", "r2", "r3")]
+    df = spark.createDataFrame(rows, "repo string, content string")
+
+    got = repo_fork_pairs(df, threshold=0.5, max_fp_repos=2).collect()
+    assert [(r["repo_a"], r["repo_b"], r["shared_files"], r["jaccard"]) for r in got] == [
+        ("r1", "r2", 2, 0.5)
+    ]
+    # with the ubiquitous file allowed into the universe, jaccard becomes
+    # 3/5 = 0.6 and r3 still stays below threshold
+    got2 = {
+        (r["repo_a"], r["repo_b"]): r["jaccard"]
+        for r in repo_fork_pairs(df, threshold=0.5, max_fp_repos=10).collect()
+    }
+    assert got2 == {("r1", "r2"): 0.6}
+    # duplicate rows within one repo collapse (DISTINCT fingerprints)
+    df_dup = spark.createDataFrame(
+        rows + [("r1", "A"), ("r1", "A")], "repo string, content string"
+    )
+    got3 = repo_fork_pairs(df_dup, threshold=0.5, max_fp_repos=2).collect()
+    assert [(r["shared_files"], r["jaccard"]) for r in got3] == [(2, 0.5)]
+
+
+# ------------------------------------------------------ split by group
+
+
+def test_split_by_group(spark):
+    """Same group -> same split; fractions roughly honored; seeds give
+    independent assignments; invalid specs raise."""
+    import pytest as _pytest
+
+    from capreolus_spark.textproc import split_by_group
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 200).alias("repo")
+    )
+    out = split_by_group(df, [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+                         group_col="repo", seed="s1")
+    per_group = out.groupBy("repo").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_group)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "valid", "test"} and counts["train"] > counts.get("valid", 0)
+    # deterministic across recomputation
+    again = split_by_group(df, [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+                           group_col="repo", seed="s1")
+    assert out.collect() == again.collect()
+    # a different seed reshuffles at least one group
+    other = split_by_group(df, [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+                           group_col="repo", seed="s2")
+    joined = (out.select("doc_id", "split")
+              .join(other.select("doc_id", F.col("split").alias("s2")), "doc_id"))
+    assert joined.filter(F.col("split") != F.col("s2")).count() > 0
+    with _pytest.raises(ValueError):
+        split_by_group(df, [("a", 0.5), ("b", 0.4)])
+    with _pytest.raises(ValueError):
+        split_by_group(df, [("a", 0.5), ("a", 0.5)])
+    with _pytest.raises(ValueError):
+        split_by_group(df, [])
+    # pure projection: no shuffle in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
