@@ -904,6 +904,120 @@ def _q_phrase_search(spark, sf_dir):
     return _gate_rank(run, hits=None)
 
 
+# boolean topics: must-conjunction, pure disjunction, exclusion, the
+# unsatisfiable +t -t pair, an absent MUST term, exclusion over shoulds,
+# and a term occurring in both a MUST and a SHOULD clause (qtf sums)
+_BOOL_TOPICS = {
+    "b1": "+key +value table",
+    "b2": "spark merge join",
+    "b3": "+table -join value",
+    "b4": "+key -key",
+    "b5": "+nosuchterm value",
+    "b6": "-window agg batch",
+    "b7": "+key key",
+}
+
+
+def _bool_query_rows_sql() -> str:
+    """VALUES rows (qid, term, qtf, clause) for ``_BOOL_TOPICS``, analyzed
+    the same way the engine analyzes clause chunks (stemmer none, stops
+    removed) — clause labels drive the oracle's boolean algebra."""
+    from collections import Counter
+
+    from capreolus_spark.analysis import analyze_text
+    from capreolus_spark.search.boolean import parse_boolean_query
+
+    rows = []
+    for qid, text in _BOOL_TOPICS.items():
+        clauses = parse_boolean_query(text)
+        for kind in ("must", "not", "should"):
+            terms = [
+                t
+                for chunk in clauses[kind]
+                for t in analyze_text(chunk, stemmer="none")
+            ]
+            for term, qtf in sorted(Counter(terms).items()):
+                rows.append(f"('{qid}', '{term}', {qtf}, '{kind}')")
+    return ", ".join(rows)
+
+
+_BOOL_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), bq(qid, term, qtf, clause) AS (
+  VALUES {{BOOL_ROWS}}
+), mustq AS (
+  SELECT DISTINCT qid, term FROM bq WHERE clause = 'must'
+), mustcnt AS (
+  SELECT qid, count(*) AS n_must FROM mustq GROUP BY qid
+), mmatch AS (
+  SELECT mq.qid, tf.docid, count(*) AS n
+  FROM mustq mq JOIN tf USING (term) GROUP BY mq.qid, tf.docid
+), cand AS (
+  SELECT m.qid, m.docid FROM mmatch m JOIN mustcnt c USING (qid) WHERE m.n = c.n_must
+  UNION ALL
+  SELECT DISTINCT q.qid, tf.docid FROM bq q JOIN tf USING (term)
+  WHERE q.clause = 'should' AND q.qid NOT IN (SELECT qid FROM mustcnt)
+), filt AS (
+  SELECT c.qid, c.docid FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bq q JOIN tf t ON t.term = q.term AND t.docid = c.docid
+    WHERE q.qid = c.qid AND q.clause = 'not'
+  )
+), qw AS (
+  SELECT p.qid, p.term, p.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM (
+    SELECT qid, term, sum(qtf) AS qtf FROM bq
+    WHERE clause IN ('must', 'should') GROUP BY qid, term
+  ) p JOIN dfx d USING (term) CROSS JOIN stats s
+), scored AS (
+  SELECT f.qid, f.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM filt f JOIN qw ON qw.qid = f.qid
+  JOIN tf ON tf.term = qw.term AND tf.docid = f.docid
+  JOIN dl ON dl.docid = f.docid CROSS JOIN stats s
+  GROUP BY f.qid, f.docid HAVING score > 0
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM scored
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+def _q_boolean_search(spark, sf_dir):
+    """Boolean retrieval (search/boolean.py — Lucene BooleanQuery twin:
+    +must / -must_not / should clause algebra, summed BM25 over matching
+    positive clauses) on the shared stemmer-none index."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.boolean import BooleanSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = BooleanSearcher(idx, BM25Config(hits=_GATE_HITS)).search(_BOOL_TOPICS)
+    return _gate_rank(run)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """Deterministic k-means assignment step (textproc/cluster.py): the
     8 lowest-vec_id embeddings are the seed centroids (no averaging, so
@@ -2437,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_daat": _q_bm25_daat,
         "ql_topk_daat": _q_ql_daat,
+        "boolean_topk": _q_boolean_search,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -2600,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
     )
     prf = _PRF_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
     axiom = _AXIOM_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
+    boolq = _BOOL_ORACLE_SQL.replace("{BOOL_ROWS}", _bool_query_rows_sql())
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -2700,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
+        "boolean_topk": boolq,
         "bm25_rm3_topk": rm3,
         "bm25_prf_topk": prf,
         "sdm_topk": sdm,

@@ -471,6 +471,15 @@ def _make_phrase(index, **cfg):
     )
 
 
+def _make_boolean(index, **cfg):
+    from .boolean import BooleanSearcher
+
+    return BooleanSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+    )
+
+
 SEARCHERS = {
     "BM25": _make_bm25,
     "DirichletQL": _make_ql,
@@ -484,6 +493,7 @@ SEARCHERS = {
     "SDM": _make_sdm,
     "axiomatic": _make_axiomatic,
     "phrase": _make_phrase,  # beyond-reference: Lucene PhraseQuery twin
+    "boolean": _make_boolean,  # beyond-reference: Lucene BooleanQuery twin
 }
 
 

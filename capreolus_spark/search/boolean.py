@@ -1,0 +1,289 @@
+"""Boolean retrieval — a Lucene ``BooleanQuery`` twin over the inverted index.
+
+The reference reaches Lucene's boolean operators through Anserini's query
+parser (``capreolus/searcher/anserini.py:26-83`` runs ``SearchCollection``,
+whose Lucene analyzer accepts ``+must -must_not should`` clause syntax).
+This searcher implements those semantics natively on the engine's posting
+lists:
+
+* a clause token prefixed ``+`` is a MUST clause, ``-`` is MUST_NOT, an
+  unprefixed token is SHOULD;
+* a document matches when it contains **all** MUST terms, **none** of the
+  MUST_NOT terms, and — when the query has no MUST clause — at least one
+  SHOULD term (Lucene's ``BooleanQuery`` matching rule);
+* the score is the sum of the BM25 contributions of the document's
+  matching MUST and SHOULD terms (MUST_NOT never scores), i.e. Lucene's
+  sum-of-matching-clause-scores with the engine's calibrated BM25
+  (no (k1+1) numerator, SURVEY.md §6.3).  A term occurring in several
+  positive clauses scores once per occurrence (qtf = occurrence count),
+  exactly the sum of its per-clause scores.
+
+Edge semantics (all pinned by the oracle gate + pytest):
+
+* a MUST term absent from the corpus (df = 0) makes the query match
+  nothing;
+* ``+t -t`` is unsatisfiable (the MUST_NOT filter removes every MUST
+  match) — no special-casing needed, the filter algebra yields it;
+* a matching document whose positive terms all have zero weight keeps the
+  searcher-family convention of dropping score ≤ 0 rows.
+
+Scale shape: identical to the BM25 DAAT kernel — one cogroup over
+(postings-for-query-terms, range-dl) cells pinned to one task per docno
+range, candidate set algebra as sorted-array intersections/unions inside
+the kernel (numpy, Arrow-batched), per-range top-k cut with boundary
+ties, global top-k cut BEFORE the docid-resolution broadcast join (the
+family-wide scale guard).  The shuffle carries only the packed postings
+of the query's terms.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from ..index.codec import decode_int32_array, decode_postings
+from . import BM25Searcher
+from .daat import RESULT_SCHEMA, _empty_result
+
+__all__ = ["BooleanSearcher", "parse_boolean_query"]
+
+
+def parse_boolean_query(text: str) -> dict[str, list[str]]:
+    """``"+key -join value table"`` → ``{"must": [...], "not": [...],
+    "should": [...]}`` of RAW clause chunks (analysis happens per-index).
+
+    A bare ``+``/``-`` token is ignored.  No grouping/quoting — clause
+    granularity is whitespace tokens, the subset of Lucene's syntax the
+    reference's topic files actually use.
+    """
+    out: dict[str, list[str]] = {"must": [], "not": [], "should": []}
+    for tok in text.split():
+        if tok.startswith("+"):
+            kind, chunk = "must", tok[1:]
+        elif tok.startswith("-"):
+            kind, chunk = "not", tok[1:]
+        else:
+            kind, chunk = "should", tok
+        if chunk:
+            out[kind].append(chunk)
+    return out
+
+
+class BooleanSearcher(BM25Searcher):
+    """Rank documents by summed BM25 over matching positive clauses,
+    restricted to the boolean filter (all MUST, no MUST_NOT, ≥1 SHOULD
+    when MUST is empty)."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, prune=prune, tag=tag)
+
+    # ---------------------------------------------------------- analysis
+
+    def _analyze_boolean(self, topics: dict[str, str]) -> dict[str, dict]:
+        """{qid: query text} → {qid: {"must": [terms], "not": [terms],
+        "score": [(term, weight, qtf)]}} with dictionary stats resolved.
+
+        * MUST terms stay as filters even when their scoring weight is 0.
+        * A MUST term with df = 0 drops the whole query (matches nothing).
+        * SHOULD terms with df = 0 or weight ≤ 0 drop out of scoring; a
+          query whose clauses all drop is removed.
+        """
+        kw = self.index.config.analyzer_kwargs()
+        parsed = {}
+        for qid, text in topics.items():
+            clauses = parse_boolean_query(text)
+            parsed[str(qid)] = {
+                kind: [t for chunk in chunks for t in analyze_text(chunk, **kw)]
+                for kind, chunks in clauses.items()
+            }
+
+        all_terms = sorted(
+            {t for c in parsed.values() for ts in c.values() for t in ts}
+        )
+        stats = self.index.get_term_stats(all_terms)
+        n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
+        scoring = self.scoring
+        weight = {
+            t: scoring.weight(df, cf, n_docs, sum_cf)
+            for t, (df, cf) in stats.items()
+            if df > 0
+        }
+
+        out = {}
+        for qid, c in parsed.items():
+            must, nots, should = c["must"], c["not"], c["should"]
+            if any(t not in weight for t in must):
+                continue  # df=0 MUST term: query matches nothing
+            positive = Counter(must) + Counter(should)
+            score_terms = sorted(
+                (t, weight[t], float(qtf))
+                for t, qtf in positive.items()
+                if weight.get(t, 0.0) > 0
+            )
+            # seen MUST_NOT terms only — df=0 exclusions are no-ops
+            nset = sorted({t for t in nots if t in weight})
+            mset = sorted(set(must))
+            if not mset and not score_terms:
+                continue  # nothing to match on
+            out[qid] = {"must": mset, "not": nset, "score": score_terms}
+        return out
+
+    # ------------------------------------------------------------ kernel
+
+    def _bool_candidates(self, queries: dict[str, dict], hits: int) -> DataFrame:
+        """(qid, docno, score) per-range boolean matches via a cogrouped
+        kernel — same shuffle/task shape as ``BM25Searcher._candidates``."""
+        terms = sorted(
+            {
+                t
+                for q in queries.values()
+                for t in (q["must"] + q["not"] + [x[0] for x in q["score"]])
+            }
+        )
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        n_ranges = self.index.num_ranges
+        if n_ranges:
+            n_parts = max(1, min(n_parts, n_ranges))
+        postings = postings.repartition(n_parts, "range_id")
+        ranges = ranges.repartition(n_parts, "range_id")
+
+        qlist = sorted(queries.items())
+        scoring, avgdl, limit = self.scoring, self.index.avgdl, hits
+
+        def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            if len(p) == 0 or len(r) == 0:
+                return _empty_result()
+            rrow = r.iloc[0]
+            base = int(rrow["base_docno"])
+            dls = decode_int32_array(rrow["dls"])
+
+            rows_by_term = {p.iloc[i]["term"]: p.iloc[i] for i in range(len(p))}
+            cells: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+            def get_cell(t: str) -> tuple[np.ndarray, np.ndarray]:
+                cell = cells.get(t)
+                if cell is None:
+                    prow = rows_by_term[t]
+                    docnos, tfs = decode_postings(prow["docnos"], prow["tfs"])
+                    cells[t] = cell = (docnos - base, tfs)
+                return cell
+
+            out_qid: list[str] = []
+            out_docno: list[np.ndarray] = []
+            out_score: list[np.ndarray] = []
+            for qid, q in qlist:
+                must, nots, sterms = q["must"], q["not"], q["score"]
+                # a MUST term absent from THIS range means no doc of the
+                # range contains it (postings are complete per range)
+                if any(m not in rows_by_term for m in must):
+                    continue
+                if must:
+                    cand = get_cell(must[0])[0]
+                    for m in must[1:]:
+                        cand = np.intersect1d(
+                            cand, get_cell(m)[0], assume_unique=True
+                        )
+                        if cand.size == 0:
+                            break
+                else:
+                    present = [t for (t, _, _) in sterms if t in rows_by_term]
+                    if not present:
+                        continue
+                    cand = np.unique(
+                        np.concatenate([get_cell(t)[0] for t in present])
+                    )
+                if cand.size == 0:
+                    continue
+                for nt in nots:
+                    if nt in rows_by_term:
+                        cand = cand[
+                            ~np.isin(cand, get_cell(nt)[0], assume_unique=True)
+                        ]
+                        if cand.size == 0:
+                            break
+                if cand.size == 0:
+                    continue
+                # fixed (sorted-term) accumulation order, float64: scores
+                # are bit-reproducible across partition layouts
+                cscores = np.zeros(cand.size, dtype=np.float64)
+                for t, w, qtf in sterms:
+                    if t not in rows_by_term:
+                        continue
+                    slots, tfs = get_cell(t)
+                    keep = np.isin(slots, cand, assume_unique=True)
+                    if not keep.any():
+                        continue
+                    hit = slots[keep]
+                    idx = np.searchsorted(cand, hit)
+                    cscores[idx] += qtf * scoring.contrib(
+                        w, tfs[keep], dls[hit], avgdl
+                    )
+                pos = cscores > 0.0
+                cand, cscores = cand[pos], cscores[pos]
+                if cand.size > limit:
+                    kth = np.partition(cscores, cand.size - limit)[
+                        cand.size - limit
+                    ]
+                    keep = cscores >= kth  # boundary ties for exact global cut
+                    cand, cscores = cand[keep], cscores[keep]
+                if cand.size:
+                    out_qid.append(qid)
+                    out_docno.append(cand + base)
+                    out_score.append(cscores)
+
+            if not out_qid:
+                return _empty_result()
+            sizes = [len(a) for a in out_docno]
+            return pd.DataFrame(
+                {
+                    "qid": np.repeat(np.array(out_qid, dtype=object), sizes),
+                    "docno": np.concatenate(out_docno),
+                    "score": np.concatenate(out_score),
+                }
+            )
+
+        return (
+            postings.groupBy("range_id")
+            .cogroup(ranges.groupBy("range_id"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        )
+
+    # ------------------------------------------------------------ search
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        """topics = {qid: boolean query text} → (qid, docid, rank, score,
+        tag), exact global top-``hits`` with (score desc, docid asc)
+        ordering — the searcher-family result contract."""
+        hits = hits or self.config.hits
+        queries = self._analyze_boolean(topics)
+        spark = self.index.spark
+        if not queries:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        cand = self._with_docids(
+            self._global_topk_cut(self._bool_candidates(queries, hits), hits)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )

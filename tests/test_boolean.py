@@ -1,0 +1,143 @@
+"""Boolean retrieval (search/boolean.py — Lucene BooleanQuery twin).
+
+Brute-force python twin over the synthetic corpus: same analyzer, same
+clause algebra (all MUST, no MUST_NOT, ≥1 SHOULD when MUST empty), same
+summed-BM25-over-matching-positive-clauses scoring — rank- and
+score-identical to the kernel, plus the edge semantics the gate pins
+(+t -t unsatisfiable, absent MUST term, qtf summation across clauses).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.analysis import analyze_text, tokenize_text
+from capreolus_spark.config import BM25Config
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.boolean import BooleanSearcher, parse_boolean_query
+
+K1, B = 0.9, 0.4
+
+
+def _brute_force(corpus_rows, kw, query: str, hits: int):
+    """[(docid, score)] top-``hits`` with (score desc, docid asc) order."""
+    docs = {}
+    dls = {}
+    for docid, content in corpus_rows:
+        dls[docid] = len(tokenize_text(content, tokenizer=kw.get("tokenizer", "word")))
+        docs[docid] = Counter(analyze_text(content, **kw))
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    df = Counter(t for tf in docs.values() for t in tf)
+
+    clauses = parse_boolean_query(query)
+    terms = {
+        kind: [t for chunk in chunks for t in analyze_text(chunk, **kw)]
+        for kind, chunks in clauses.items()
+    }
+    must, nots, should = terms["must"], terms["not"], terms["should"]
+    if any(df[t] == 0 for t in must):
+        return []
+    positive = Counter(must) + Counter(should)
+
+    def idf(t):
+        return max(0.0, math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+
+    out = []
+    for docid, tf in docs.items():
+        if any(tf[m] == 0 for m in must):
+            continue
+        if any(tf[x] > 0 for x in nots):
+            continue
+        if not must and not any(tf[s] > 0 for s in should):
+            continue
+        score = 0.0
+        for t in sorted(positive):
+            if tf[t] > 0 and idf(t) > 0:
+                norm = K1 * (1 - B + B * dls[docid] / avgdl)
+                score += positive[t] * idf(t) * tf[t] / (tf[t] + norm)
+        if score > 0:
+            out.append((docid, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:hits]
+
+
+@pytest.fixture(scope="module")
+def bool_parts(synth_index):
+    idx, corpus = synth_index
+    rows = [(r["docid"], r["content"]) for r in corpus.select("docid", "content").collect()]
+    return idx, rows, idx.config.analyzer_kwargs()
+
+
+EDGE_QUERIES = [
+    "+def +return",            # conjunction
+    "+def -return import",     # must + exclusion + should
+    "+def def",                # same term must+should: qtf sums
+    "-def return self",        # shoulds with exclusion
+    "def return self",         # pure disjunction
+    "+return",                 # single must
+]
+
+
+@pytest.mark.parametrize("query", EDGE_QUERIES)
+def test_boolean_matches_brute_force(bool_parts, query):
+    idx, rows, kw = bool_parts
+    expect = _brute_force(rows, kw, query, hits=30)
+    run = (
+        BooleanSearcher(idx, BM25Config(hits=30))
+        .search({"q": query})
+        .orderBy("rank")
+        .collect()
+    )
+    got = [(r["docid"], r["score"]) for r in run]
+    assert [d for d, _ in got] == [d for d, _ in expect], f"rank mismatch: {query}"
+    for (d, s), (_, es) in zip(got, expect):
+        assert s == pytest.approx(es, abs=1e-9), f"score mismatch {query} {d}"
+
+
+def test_unsatisfiable_and_absent_must_yield_nothing(bool_parts):
+    idx, _, _ = bool_parts
+    searcher = BooleanSearcher(idx, BM25Config(hits=10))
+    assert searcher.search({"q": "+def -def"}).count() == 0
+    assert searcher.search({"q": "+zzznosuchterm import"}).count() == 0
+    # MUST_NOT of an absent term is a no-op, not a crash
+    assert searcher.search({"q": "+def -zzznosuchterm"}).count() > 0
+
+
+def test_pure_disjunction_equals_bm25(bool_parts):
+    """With no +/- clauses the boolean searcher IS the BM25 searcher:
+    identical docids, ranks, and scores."""
+    idx, _, _ = bool_parts
+    topics = {"q1": "def return self", "q2": "import value class"}
+    bool_run = BooleanSearcher(idx, BM25Config(hits=25)).search(topics)
+    bm25_run = BM25Searcher(idx, BM25Config(hits=25)).search(topics)
+    a = sorted(map(tuple, bool_run.collect()))
+    b = sorted(map(tuple, bm25_run.collect()))
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra[:3] == rb[:3]  # qid, docid, rank
+        assert ra[3] == pytest.approx(rb[3], abs=1e-12)
+
+
+def test_exclusion_is_strict(bool_parts):
+    """No returned document may contain a MUST_NOT term."""
+    idx, rows, kw = bool_parts
+    run = BooleanSearcher(idx, BM25Config(hits=100)).search({"q": "+def -return"})
+    banned = {
+        docid for docid, content in rows if "return" in analyze_text(content, **kw)
+    }
+    got = {r["docid"] for r in run.collect()}
+    assert got and not (got & banned)
+
+
+def test_parse_boolean_query():
+    assert parse_boolean_query("+a -b c +d") == {
+        "must": ["a", "d"],
+        "not": ["b"],
+        "should": ["c"],
+    }
+    # bare prefixes are ignored
+    assert parse_boolean_query("+ - x") == {"must": [], "not": [], "should": ["x"]}
