@@ -1018,6 +1018,157 @@ def _q_boolean_search(spark, sf_dir):
     return _gate_rank(run)
 
 
+# fuzzy/prefix topics: single-edit typos (deletion, substitution), an
+# exact term (matches itself at boost 1 plus near variants), a term with
+# nothing in range, and multi-term queries mixing the above
+_FUZZY_TOPICS = {
+    "f1": "tabl",
+    "f2": "windoe agg",
+    "f3": "zzznothingnear",
+    "f4": "spark merge",
+}
+_PREFIX_TOPICS = {
+    "x1": "tab",
+    "x2": "win merg",
+    "x3": "zzznoprefix",
+}
+_FUZZY_MAX_EDITS, _EXPANSION_CAP = 1, 50
+
+
+def _expansion_query_rows_sql(topics: dict[str, str]) -> str:
+    """VALUES rows (qid, qterm, qtf), analyzed like the engine."""
+    from collections import Counter
+
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in topics.items():
+        for term, qtf in sorted(Counter(analyze_text(text, stemmer="none")).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ", ".join(rows)
+
+
+# Shared scoring tail for the expansion searchers: expansion rows
+# (qid, term, qtf, boost, df) → summed boosted BM25 disjunction.
+_EXPANSION_TAIL_SQL = f"""
+qw AS (
+  SELECT e.qid, e.term, e.qtf, e.boost,
+         greatest(0, ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5))) AS idf
+  FROM exp e CROSS JOIN stats s
+), scored AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.boost * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid HAVING score > 0
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM scored
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+_EXPANSION_HEAD_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), fq(qid, qterm, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+)"""
+
+# fuzzy: dictionary terms at levenshtein <= max_edits, boost
+# 1 - dist/min(len), capped per (qid, qterm) by (boost desc, df desc,
+# term asc) — the deterministic Lucene-TopTermsRewrite cap the engine uses
+_FUZZY_ORACLE_SQL = (
+    _EXPANSION_HEAD_SQL
+    + f""", exp AS (
+  SELECT qid, qterm, qtf, term, df, boost FROM (
+    SELECT f.qid, f.qterm, f.qtf, v.term, v.df,
+           1.0 - levenshtein(f.qterm, v.term) /
+                 least(length(f.qterm), length(v.term))::DOUBLE AS boost,
+           row_number() OVER (
+             PARTITION BY f.qid, f.qterm
+             ORDER BY (1.0 - levenshtein(f.qterm, v.term) /
+                       least(length(f.qterm), length(v.term))::DOUBLE) DESC,
+                      v.df DESC, v.term ASC
+           ) AS rn
+    FROM fq f JOIN dfx v
+      ON abs(length(v.term) - length(f.qterm)) <= {_FUZZY_MAX_EDITS}
+     AND levenshtein(f.qterm, v.term) <= {_FUZZY_MAX_EDITS}
+    WHERE 1.0 - levenshtein(f.qterm, v.term) /
+                least(length(f.qterm), length(v.term))::DOUBLE > 0
+  ) WHERE rn <= {_EXPANSION_CAP}
+), """
+    + _EXPANSION_TAIL_SQL
+)
+
+# prefix: dictionary terms starting with the query term, boost 1.0,
+# capped per (qid, qterm) by (df desc, term asc)
+_PREFIX_ORACLE_SQL = (
+    _EXPANSION_HEAD_SQL
+    + f""", exp AS (
+  SELECT qid, qterm, qtf, term, df, 1.0 AS boost FROM (
+    SELECT f.qid, f.qterm, f.qtf, v.term, v.df,
+           row_number() OVER (
+             PARTITION BY f.qid, f.qterm ORDER BY v.df DESC, v.term ASC
+           ) AS rn
+    FROM fq f JOIN dfx v ON v.term LIKE f.qterm || '%'
+  ) WHERE rn <= {_EXPANSION_CAP}
+), """
+    + _EXPANSION_TAIL_SQL
+)
+
+
+def _q_fuzzy_search(spark, sf_dir):
+    """Fuzzy term retrieval (search/fuzzy.py — Lucene FuzzyQuery twin:
+    dictionary expansion at edit distance <= 1 with the classic
+    1 - dist/min(len) boost, scored as a boosted BM25 disjunction)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.fuzzy import FuzzySearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = FuzzySearcher(
+        idx, BM25Config(hits=_GATE_HITS),
+        max_edits=_FUZZY_MAX_EDITS, max_expansions=_EXPANSION_CAP,
+    ).search(_FUZZY_TOPICS)
+    return _gate_rank(run)
+
+
+def _q_prefix_search(spark, sf_dir):
+    """Prefix term retrieval (search/fuzzy.py — Lucene PrefixQuery twin
+    under the scoring-boolean rewrite, pushed-down StartsWith dictionary
+    scan, deterministic expansion cap)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.fuzzy import PrefixSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = PrefixSearcher(
+        idx, BM25Config(hits=_GATE_HITS), max_expansions=_EXPANSION_CAP
+    ).search(_PREFIX_TOPICS)
+    return _gate_rank(run)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """Deterministic k-means assignment step (textproc/cluster.py): the
     8 lowest-vec_id embeddings are the seed centroids (no averaging, so
@@ -2552,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_daat": _q_bm25_daat,
         "ql_topk_daat": _q_ql_daat,
         "boolean_topk": _q_boolean_search,
+        "fuzzy_topk": _q_fuzzy_search,
+        "prefix_topk": _q_prefix_search,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -2716,6 +2869,12 @@ def oracle_sql() -> dict[str, str]:
     prf = _PRF_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
     axiom = _AXIOM_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
     boolq = _BOOL_ORACLE_SQL.replace("{BOOL_ROWS}", _bool_query_rows_sql())
+    fuzzy = _FUZZY_ORACLE_SQL.replace(
+        "{QUERY_ROWS}", _expansion_query_rows_sql(_FUZZY_TOPICS)
+    )
+    prefix = _PREFIX_ORACLE_SQL.replace(
+        "{QUERY_ROWS}", _expansion_query_rows_sql(_PREFIX_TOPICS)
+    )
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -2817,6 +2976,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
         "boolean_topk": boolq,
+        "fuzzy_topk": fuzzy,
+        "prefix_topk": prefix,
         "bm25_rm3_topk": rm3,
         "bm25_prf_topk": prf,
         "sdm_topk": sdm,

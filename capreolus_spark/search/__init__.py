@@ -480,6 +480,27 @@ def _make_boolean(index, **cfg):
     )
 
 
+def _make_fuzzy(index, **cfg):
+    from .fuzzy import FuzzySearcher
+
+    return FuzzySearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        max_edits=cfg.get("max_edits", 1),
+        max_expansions=cfg.get("max_expansions", 50),
+    )
+
+
+def _make_prefix(index, **cfg):
+    from .fuzzy import PrefixSearcher
+
+    return PrefixSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        max_expansions=cfg.get("max_expansions", 50),
+    )
+
+
 SEARCHERS = {
     "BM25": _make_bm25,
     "DirichletQL": _make_ql,
@@ -494,6 +515,8 @@ SEARCHERS = {
     "axiomatic": _make_axiomatic,
     "phrase": _make_phrase,  # beyond-reference: Lucene PhraseQuery twin
     "boolean": _make_boolean,  # beyond-reference: Lucene BooleanQuery twin
+    "fuzzy": _make_fuzzy,  # beyond-reference: Lucene FuzzyQuery twin
+    "prefix": _make_prefix,  # beyond-reference: Lucene PrefixQuery twin
 }
 
 

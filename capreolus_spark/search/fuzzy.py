@@ -1,0 +1,203 @@
+"""Fuzzy and prefix term retrieval — Lucene ``FuzzyQuery`` /
+``PrefixQuery`` twins under the SCORING_BOOLEAN rewrite.
+
+The reference reaches Lucene's multi-term queries through Anserini's
+query parser (``capreolus/searcher/anserini.py:26-83``; Lucene serves
+``term~`` and ``term*`` syntax by expanding the term against the index
+dictionary and rewriting to a boolean disjunction).  These searchers
+implement that natively:
+
+1. **Expansion** — each analyzed query term expands against the term
+   dictionary (``index.dict_df()``):
+
+   * fuzzy: dictionary terms within Levenshtein distance ≤ ``max_edits``
+     (default 1), boosted by Lucene's classic FuzzyTermsEnum similarity
+     ``1 - dist / min(len(q), len(t))`` (an exact match boosts 1.0);
+   * prefix: dictionary terms starting with the query term, boost 1.0.
+
+   Both cap the expansion at ``max_expansions`` variants per query term
+   with a deterministic order — (boost desc, df desc, term asc) for
+   fuzzy, (df desc, term asc) for prefix — mirroring Lucene's
+   TopTermsRewrite size cap with a reproducible tie-break.
+
+2. **Rewrite** — the expanded (variant, idf·boost, qtf) list feeds the
+   standard BM25 DAAT kernel as a scored disjunction
+   (``BM25Searcher._candidates``): score(d) = Σ over expansion rows of
+   ``qtf · boost · idf(variant) · tf_sat``.  Two query terms expanding
+   to the same variant contribute once each — exactly the boolean
+   rewrite's sum of clause scores.
+
+Scale shape: the expansion is a predicate scan over the term
+DICTIONARY (not the postings) — a parquet frame orders of magnitude
+smaller than the index, pre-filtered JVM-side (a pushed-down
+``StartsWith`` for prefix; a length-band + ``levenshtein`` projection
+for fuzzy, where Lucene uses a Levenshtein automaton over its FST).
+Only the capped expansion list (≤ queries × max_expansions rows) is
+collected to the driver — the same driver-small-by-contract shape as
+RM3's feedback-term collect.  Everything downstream is the gated BM25
+kernel: per-range cogroup, per-range cut, global cut before the docid
+broadcast.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["FuzzySearcher", "PrefixSearcher"]
+
+
+class _ExpansionSearcher(BM25Searcher):
+    """Shared machinery: analyzed query terms → dictionary expansion →
+    weighted disjunction through the BM25 kernel."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        max_expansions: int = 50,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, prune=prune, tag=tag)
+        self.max_expansions = max_expansions
+
+    # subclasses: (qterm_col, term, df) frame → (variant, boost) rows with
+    # a deterministic ``_rn <= max_expansions`` cap already applied
+    def _expansion_df(self, qterms: list[str]) -> DataFrame:
+        raise NotImplementedError
+
+    def _expansions(self, qterms: list[str]) -> dict[str, list[tuple[str, float, int]]]:
+        """{query term: [(variant, boost, df)]} — driver-side, bounded by
+        ``len(qterms) × max_expansions`` rows."""
+        if not qterms:
+            return {}
+        rows = self._expansion_df(sorted(set(qterms))).collect()
+        out: dict[str, list[tuple[str, float, int]]] = {}
+        for r in rows:
+            out.setdefault(r["qterm"], []).append(
+                (r["term"], float(r["boost"]), int(r["df"]))
+            )
+        return out
+
+    def _expanded_weights(
+        self, analyzed: dict[str, list[str]]
+    ) -> dict[str, list[tuple[str, float, float]]]:
+        all_qterms = sorted({t for ts in analyzed.values() for t in ts})
+        expansions = self._expansions(all_qterms)
+        n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
+        scoring = self.scoring
+        weights: dict[str, list[tuple[str, float, float]]] = {}
+        for qid, terms in analyzed.items():
+            rows = []
+            for qterm, qtf in sorted(Counter(terms).items()):
+                for variant, boost, df in expansions.get(qterm, []):
+                    w = boost * scoring.weight(df, 0, n_docs, sum_cf)
+                    if w > 0:
+                        rows.append((variant, w, float(qtf)))
+            if rows:
+                weights[qid] = sorted(rows)
+        return weights
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        from pyspark.sql import Window
+
+        hits = hits or self.config.hits
+        weights = self._expanded_weights(self.analyze_topics(topics))
+        spark = self.index.spark
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        cand = self._with_docids(
+            self._global_topk_cut(self._candidates(weights, hits=hits), hits)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )
+
+
+class PrefixSearcher(_ExpansionSearcher):
+    """``term*`` retrieval: expand each query term as a prefix against the
+    dictionary (pushed-down ``StartsWith`` scan), boost 1.0, cap at
+    ``max_expansions`` by (df desc, term asc)."""
+
+    def _expansion_df(self, qterms: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        spark = self.index.spark
+        q = spark.createDataFrame([(t,) for t in qterms], "qterm string")
+        d = self.index.dict_df().select("term", "df")
+        cand = d.join(
+            F.broadcast(q), F.col("term").startswith(F.col("qterm"))
+        ).withColumn("boost", F.lit(1.0))
+        w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.max_expansions)
+            .select("qterm", "term", "boost", "df")
+        )
+
+
+class FuzzySearcher(_ExpansionSearcher):
+    """``term~`` retrieval: expand each query term to dictionary terms at
+    Levenshtein distance ≤ ``max_edits``, boosted by
+    ``1 - dist / min(len(q), len(t))``; cap at ``max_expansions`` by
+    (boost desc, df desc, term asc)."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        max_edits: int = 1,
+        max_expansions: int = 50,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(
+            index, config, max_expansions=max_expansions, prune=prune, tag=tag
+        )
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        self.max_edits = max_edits
+
+    def _expansion_df(self, qterms: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        spark = self.index.spark
+        q = spark.createDataFrame([(t,) for t in qterms], "qterm string")
+        d = self.index.dict_df().select("term", "df")
+        me = self.max_edits
+        # cheap JVM length-band prefilter, then the exact edit distance
+        cand = (
+            d.join(
+                F.broadcast(q),
+                F.abs(F.length("term") - F.length("qterm")) <= me,
+            )
+            .withColumn("dist", F.levenshtein("qterm", "term"))
+            .filter(F.col("dist") <= me)
+            .withColumn(
+                "boost",
+                F.lit(1.0)
+                - F.col("dist")
+                / F.least(F.length("qterm"), F.length("term")).cast("double"),
+            )
+            .filter(F.col("boost") > 0)
+        )
+        w = Window.partitionBy("qterm").orderBy(
+            F.desc("boost"), F.desc("df"), F.asc("term")
+        )
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.max_expansions)
+            .select("qterm", "term", "boost", "df")
+        )

@@ -1,0 +1,170 @@
+"""Fuzzy / prefix term retrieval (search/fuzzy.py — Lucene FuzzyQuery /
+PrefixQuery twins under the scoring-boolean rewrite).
+
+Brute-force python twin over the synthetic corpus: same analyzer, same
+dictionary expansion (edit-distance band / prefix match), same
+deterministic expansion cap, same boosted-BM25 disjunction scoring.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.analysis import analyze_text, tokenize_text
+from capreolus_spark.config import BM25Config
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.fuzzy import FuzzySearcher, PrefixSearcher
+
+K1, B = 0.9, 0.4
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(synth_index):
+    idx, corpus = synth_index
+    kw = idx.config.analyzer_kwargs()
+    docs, dls = {}, {}
+    for r in corpus.select("docid", "content").collect():
+        dls[r["docid"]] = len(
+            tokenize_text(r["content"], tokenizer=kw.get("tokenizer", "word"))
+        )
+        docs[r["docid"]] = Counter(analyze_text(r["content"], **kw))
+    df = Counter(t for tf in docs.values() for t in tf)
+    avgdl = sum(dls.values()) / len(docs)
+    return idx, kw, docs, dls, df, avgdl
+
+
+def _score_expansion(stats, query, expansions_of, hits):
+    """Boosted BM25 disjunction over per-qterm (variant, boost) lists."""
+    idx, kw, docs, dls, df, avgdl = stats
+    n = len(docs)
+
+    def idf(t):
+        return max(0.0, math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+
+    rows = []  # (variant, weight=boost*idf, qtf)
+    for qterm, qtf in sorted(Counter(analyze_text(query, **kw)).items()):
+        for variant, boost in expansions_of(qterm):
+            w = boost * idf(variant)
+            if w > 0:
+                rows.append((variant, w, qtf))
+    out = []
+    for docid, tf in docs.items():
+        s = 0.0
+        for variant, w, qtf in rows:
+            if tf[variant] > 0:
+                norm = K1 * (1 - B + B * dls[docid] / avgdl)
+                s += qtf * w * tf[variant] / (tf[variant] + norm)
+        if s > 0:
+            out.append((docid, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:hits]
+
+
+CAP = 50
+
+
+def test_prefix_matches_brute_force(corpus_stats):
+    idx, kw, docs, dls, df, avgdl = corpus_stats
+
+    def expansions_of(qterm):
+        cand = sorted(
+            ((t, 1.0) for t in df if t.startswith(qterm)),
+            key=lambda x: (-df[x[0]], x[0]),
+        )
+        return cand[:CAP]
+
+    for query in ("va", "def re", "zzznope"):
+        expect = _score_expansion(corpus_stats, query, expansions_of, hits=25)
+        run = (
+            PrefixSearcher(idx, BM25Config(hits=25), max_expansions=CAP)
+            .search({"q": query})
+            .orderBy("rank")
+            .collect()
+        )
+        got = [(r["docid"], r["score"]) for r in run]
+        assert [d for d, _ in got] == [d for d, _ in expect], query
+        for (d, s), (_, es) in zip(got, expect):
+            assert s == pytest.approx(es, abs=1e-9), (query, d)
+
+
+@pytest.mark.parametrize("max_edits", [1, 2])
+def test_fuzzy_matches_brute_force(corpus_stats, max_edits):
+    idx, kw, docs, dls, df, avgdl = corpus_stats
+
+    def expansions_of(qterm):
+        cand = []
+        for t in df:
+            if abs(len(t) - len(qterm)) > max_edits:
+                continue
+            d = _levenshtein(qterm, t)
+            if d <= max_edits:
+                boost = 1.0 - d / min(len(qterm), len(t))
+                if boost > 0:
+                    cand.append((t, boost))
+        cand.sort(key=lambda x: (-x[1], -df[x[0]], x[0]))
+        return cand[:CAP]
+
+    for query in ("vlue", "retur self"):
+        expect = _score_expansion(corpus_stats, query, expansions_of, hits=25)
+        run = (
+            FuzzySearcher(
+                idx, BM25Config(hits=25), max_edits=max_edits, max_expansions=CAP
+            )
+            .search({"q": query})
+            .orderBy("rank")
+            .collect()
+        )
+        got = [(r["docid"], r["score"]) for r in run]
+        assert [d for d, _ in got] == [d for d, _ in expect], query
+        for (d, s), (_, es) in zip(got, expect):
+            assert s == pytest.approx(es, abs=1e-9), (query, d)
+
+
+def test_fuzzy_exact_term_includes_itself(corpus_stats):
+    """An in-vocabulary query term matches itself at boost 1, so the
+    fuzzy result contains every document BM25 would return for it."""
+    idx, kw, docs, *_ = corpus_stats
+    term = max(docs["d0" if "d0" in docs else next(iter(docs))].keys(), key=len)
+    fuzzy = {
+        r["docid"]
+        for r in FuzzySearcher(idx, BM25Config(hits=1000)).search({"q": term}).collect()
+    }
+    bm25 = {
+        r["docid"]
+        for r in BM25Searcher(idx, BM25Config(hits=1000)).search({"q": term}).collect()
+    }
+    assert bm25 and bm25 <= fuzzy
+
+
+def test_no_expansion_yields_empty(corpus_stats):
+    idx, *_ = corpus_stats
+    assert FuzzySearcher(idx, BM25Config(hits=10)).search({"q": "qqqqqqqqqq"}).count() == 0
+    assert PrefixSearcher(idx, BM25Config(hits=10)).search({"q": "qqqq"}).count() == 0
+
+
+def test_expansion_cap_is_deterministic(corpus_stats):
+    """max_expansions=1 keeps only the highest-df variant — result equals
+    plain BM25 on that single variant."""
+    idx, kw, docs, dls, df, avgdl = corpus_stats
+    pfx = "r"
+    best = sorted((t for t in df if t.startswith(pfx)), key=lambda t: (-df[t], t))[0]
+    capped = PrefixSearcher(idx, BM25Config(hits=20), max_expansions=1).search({"q": pfx})
+    plain = BM25Searcher(idx, BM25Config(hits=20)).search({"q": best})
+    a = sorted((r["docid"], r["rank"], r["score"]) for r in capped.collect())
+    b = sorted((r["docid"], r["rank"], r["score"]) for r in plain.collect())
+    assert a == b and a
