@@ -1169,6 +1169,88 @@ def _q_prefix_search(spark, sf_dir):
     return _gate_rank(run)
 
 
+# snippet topics over the synthetic run's qids 0..4; qid 3 has no literal
+# match anywhere (pins the head-window fallback with NULL matched_term)
+_SNIPPET_TOPICS = {
+    "0": "table window",
+    "1": "spark key",
+    "2": "merge batch",
+    "3": "zzznomatch",
+    "4": "value row agg",
+}
+_SNIPPET_BEFORE, _SNIPPET_WIDTH, _SNIPPET_TOPN = 30, 80, 5
+
+
+def _snippet_terms_rows_sql() -> str:
+    """VALUES rows (qid, terms-list) — sorted distinct analyzed terms,
+    exactly the list add_snippets builds."""
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in sorted(_SNIPPET_TOPICS.items()):
+        terms = sorted(set(analyze_text(text, stemmer="none")))
+        lst = ", ".join(f"'{t}'" for t in terms)
+        rows.append(f"('{qid}', [{lst}])")
+    return ", ".join(rows)
+
+
+def _q_snippets(spark, sf_dir):
+    """KWIC snippet extraction (search/snippet.py) over the deterministic
+    synthetic run's per-qid top-5: earliest-substring-match window rule,
+    head-window fallback for no-match docs."""
+    from pyspark.sql import Window
+
+    from capreolus_spark.search.snippet import add_snippets
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    top = (
+        _synth_run(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SNIPPET_TOPN)
+        .select("qid", "docid", "rank")
+    )
+    out = add_snippets(
+        top,
+        _corpus(spark, sf_dir),
+        _SNIPPET_TOPICS,
+        analyzer_kwargs={"stemmer": "none"},
+        before=_SNIPPET_BEFORE,
+        width=_SNIPPET_WIDTH,
+    )
+    return out.select("qid", "docid", "rank", "matched_term", "snippet_start", "snippet")
+
+
+_SNIPPET_ORACLE_SQL = f"""
+WITH run AS ({{SYNTH_RUN}}),
+top AS (
+  SELECT qid, docid, rank FROM (
+    SELECT qid, docid,
+           cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank
+    FROM run
+  ) WHERE rank <= {_SNIPPET_TOPN}
+), qt(qid, terms) AS (
+  VALUES {{TERM_ROWS}}
+), j AS (
+  SELECT t.qid, t.docid, t.rank, qt.terms, d.text
+  FROM top t LEFT JOIN qt USING (qid)
+  JOIN documents d ON cast(d.doc_id AS varchar) = t.docid
+), x AS (
+  SELECT qid, docid, rank, terms, text,
+         list_transform(terms, tm -> strpos(lower(text), tm)) AS pos
+  FROM j
+), y AS (
+  SELECT qid, docid, rank, terms, text, pos,
+         list_aggregate(list_filter(pos, p -> p > 0), 'min') AS mp
+  FROM x
+)
+SELECT qid, docid, rank,
+       CASE WHEN mp IS NOT NULL THEN terms[list_position(pos, mp)] END AS matched_term,
+       cast(greatest(1, coalesce(mp, 1) - {_SNIPPET_BEFORE}) AS bigint) AS snippet_start,
+       substr(text, cast(greatest(1, coalesce(mp, 1) - {_SNIPPET_BEFORE}) AS int), {_SNIPPET_WIDTH}) AS snippet
+FROM y
+"""
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """Deterministic k-means assignment step (textproc/cluster.py): the
     8 lowest-vec_id embeddings are the seed centroids (no averaging, so
@@ -2705,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_topk": _q_boolean_search,
         "fuzzy_topk": _q_fuzzy_search,
         "prefix_topk": _q_prefix_search,
+        "result_snippets": _q_snippets,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -2875,6 +2958,9 @@ def oracle_sql() -> dict[str, str]:
     prefix = _PREFIX_ORACLE_SQL.replace(
         "{QUERY_ROWS}", _expansion_query_rows_sql(_PREFIX_TOPICS)
     )
+    snippets = _SNIPPET_ORACLE_SQL.replace("{SYNTH_RUN}", _SYNTH_RUN_SQL).replace(
+        "{TERM_ROWS}", _snippet_terms_rows_sql()
+    )
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -2978,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_topk": boolq,
         "fuzzy_topk": fuzzy,
         "prefix_topk": prefix,
+        "result_snippets": snippets,
         "bm25_rm3_topk": rm3,
         "bm25_prf_topk": prf,
         "sdm_topk": sdm,

@@ -1,0 +1,88 @@
+"""Result snippets (keyword-in-context) for ranked runs.
+
+Lucene exposes this as its highlighter; the reference never surfaces it
+(Anserini returns bare ``(docid, score)`` rows — ``searcher/anserini.py:
+150-176``), but a code-search user of a 10^12-file corpus needs to SEE
+the hit, so snippet extraction is a first-class result-shaping operator
+here (same family as the run filters of ``search/postprocess.py``).
+
+Deterministic rule (oracle-twinned in SQL, so it is pinned exactly):
+
+* analyze the topic with the index analyzer; the snippet terms are the
+  sorted distinct analyzed terms;
+* ``match_pos`` = the smallest 1-based position in ``lower(content)``
+  where any snippet term occurs as a SUBSTRING (ties → the term that is
+  alphabetically first, because terms are scanned in sorted order);
+* the snippet is the ``width``-char window starting ``before`` chars
+  left of the match (clamped to the document head);
+* a row whose document contains none of the terms literally (possible
+  under stemming: the indexed term ``retriev`` never appears raw) falls
+  back to the document head window with ``matched_term`` NULL.
+
+Scale shape: the run frame is top-k-bounded (≤ hits × |topics| rows), so
+it broadcasts into the corpus scan — a semi-join point lookup, the same
+plan as the docstore ``get_docs`` path.  The position/window math is one
+pure-column projection (``transform`` + ``locate`` + ``substr``), no
+Python, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+
+__all__ = ["add_snippets"]
+
+
+def add_snippets(
+    run: DataFrame,
+    corpus: DataFrame,
+    topics: dict[str, str],
+    analyzer_kwargs: dict | None = None,
+    before: int = 30,
+    width: int = 80,
+    content_col: str = "content",
+) -> DataFrame:
+    """run (qid, docid, …) × corpus (docid, content) → run columns +
+    (matched_term, snippet_start, snippet).
+
+    ``run`` must already be top-k-cut (it is broadcast); ``corpus`` is
+    scanned with only (docid, content) columns read.
+    """
+    kw = analyzer_kwargs or {}
+    spark = run.sparkSession
+    qterms = [
+        (str(qid), sorted(set(analyze_text(text, **kw))))
+        for qid, text in sorted(topics.items())
+    ]
+    terms_df = spark.createDataFrame(qterms, "qid string, _terms array<string>")
+
+    probe = run.join(F.broadcast(terms_df), "qid", "left")
+    joined = corpus.select(
+        F.col("docid"), F.col(content_col).alias("_content")
+    ).join(F.broadcast(probe), "docid")
+
+    out = (
+        joined.withColumn("_lc", F.lower(F.col("_content")))
+        .withColumn("_pos", F.expr("transform(_terms, t -> locate(t, _lc))"))
+        .withColumn("_mp", F.expr("array_min(filter(_pos, p -> p > 0))"))
+        .withColumn(
+            "matched_term",
+            F.expr(
+                "CASE WHEN _mp IS NOT NULL THEN "
+                "element_at(_terms, cast(array_position(_pos, _mp) AS int)) END"
+            ),
+        )
+        .withColumn(
+            "snippet_start",
+            F.greatest(F.lit(1), F.coalesce(F.col("_mp"), F.lit(1)) - F.lit(before))
+            .cast("long"),
+        )
+        .withColumn(
+            "snippet",
+            F.expr(f"substr(_content, cast(snippet_start AS int), {int(width)})"),
+        )
+    )
+    return out.drop("_content", "_lc", "_pos", "_mp", "_terms")

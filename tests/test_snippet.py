@@ -1,0 +1,96 @@
+"""KWIC snippet extraction (search/snippet.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from capreolus_spark.search.snippet import add_snippets
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    corpus = spark.createDataFrame(
+        [
+            ("d1", "Alpha beta GAMMA delta epsilon zeta eta theta"),
+            ("d2", "x" * 100 + " needle " + "y" * 100),
+            ("d3", "no relevant words here at all"),
+            ("d4", "value and val appear: val value"),
+        ],
+        "docid string, content string",
+    )
+    run = spark.createDataFrame(
+        [
+            ("q1", "d1", 1),
+            ("q1", "d2", 2),
+            ("q1", "d3", 3),
+            ("q2", "d4", 1),
+        ],
+        "qid string, docid string, rank int",
+    )
+    return corpus, run
+
+
+def _rows(df):
+    return {(r["qid"], r["docid"]): r for r in df.collect()}
+
+
+def test_snippet_window_and_fallback(parts):
+    corpus, run = parts
+    topics = {"q1": "gamma needle", "q2": "val value"}
+    out = _rows(
+        add_snippets(
+            run, corpus, topics, analyzer_kwargs={"stemmer": "none"},
+            before=10, width=20,
+        )
+    )
+    # d1: 'gamma' matches case-insensitively at pos 12 → start 2, 20 chars
+    r = out[("q1", "d1")]
+    assert r["matched_term"] == "gamma"
+    assert r["snippet_start"] == 2
+    assert r["snippet"] == "lpha beta GAMMA delt"
+    # d2: 'needle' at pos 102 → start 92, window straddles the match
+    r = out[("q1", "d2")]
+    assert r["matched_term"] == "needle"
+    assert r["snippet_start"] == 92
+    assert "needle" in r["snippet"]
+    # d3: no match → head window, NULL matched_term
+    r = out[("q1", "d3")]
+    assert r["matched_term"] is None
+    assert r["snippet_start"] == 1
+    assert r["snippet"] == "no relevant words he"
+
+
+def test_tie_breaks_to_alphabetically_first_term(parts):
+    corpus, run = parts
+    # 'val' and 'value' both first match at the same position; terms are
+    # scanned sorted asc, so 'val' wins the tie
+    out = _rows(
+        add_snippets(
+            run, corpus, {"q1": "x", "q2": "value val"},
+            analyzer_kwargs={"stemmer": "none"}, before=5, width=15,
+        )
+    )
+    assert out[("q2", "d4")]["matched_term"] == "val"
+
+
+def test_head_clamp(parts):
+    corpus, run = parts
+    # match at pos 1 with before=10 clamps the start to 1
+    out = _rows(
+        add_snippets(
+            run, corpus, {"q1": "alpha", "q2": "zzz"},
+            analyzer_kwargs={"stemmer": "none"}, before=10, width=10,
+        )
+    )
+    r = out[("q1", "d1")]
+    assert r["snippet_start"] == 1 and r["snippet"] == "Alpha beta"
+
+
+def test_plan_is_broadcast_and_python_free(parts):
+    corpus, run = parts
+    out = add_snippets(
+        run, corpus, {"q1": "gamma"}, analyzer_kwargs={"stemmer": "none"}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
