@@ -1251,6 +1251,95 @@ FROM y
 """
 
 
+def _notebook_corpus(spark, sf_dir):
+    """Deterministic nbformat-v4 JSON per doc_id: a markdown cell (every
+    4th with a trailing newline — pins the replace-based comment
+    prefixing), two code cells, a raw cell (dropped), every 3rd doc an
+    empty-source code cell (pins the empty→'' rule), every 10th doc
+    corrupted JSON (pins the is_notebook=false path)."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    nb = F.concat(
+        F.lit('{"cells": ['),
+        F.lit('{"cell_type": "markdown", "source": ["Doc '), s,
+        F.lit(' intro\\nsecond line'),
+        F.when(did % 4 == 0, F.lit("\\n")).otherwise(F.lit("")),
+        F.lit('"]},'),
+        F.lit('{"cell_type": "code", "source": ["def f'), s,
+        F.lit('():\\n", "    return '), (did % 7).cast("string"), F.lit('\\n"]},'),
+        F.lit('{"cell_type": "raw", "source": ["skip me"]},'),
+        F.when(did % 3 == 0, F.lit('{"cell_type": "code", "source": []},')).otherwise(
+            F.lit("")
+        ),
+        F.lit('{"cell_type": "code", "source": ["x'), (did % 5).cast("string"),
+        F.lit(" = "), (did % 11).cast("string"), F.lit('"]}'),
+        F.lit("]}"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(did % 10 == 0, F.lit('{"cells": broken')).otherwise(nb).alias("content"),
+    )
+
+
+_NB_CORPUS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0 THEN '{"cells": broken' ELSE
+      '{"cells": [' ||
+      '{"cell_type": "markdown", "source": ["Doc ' || doc_id || ' intro\\nsecond line' ||
+        CASE WHEN doc_id % 4 = 0 THEN '\\n' ELSE '' END || '"]},' ||
+      '{"cell_type": "code", "source": ["def f' || doc_id || '():\\n", "    return ' ||
+        (doc_id % 7) || '\\n"]},' ||
+      '{"cell_type": "raw", "source": ["skip me"]},' ||
+      CASE WHEN doc_id % 3 = 0 THEN '{"cell_type": "code", "source": []},' ELSE '' END ||
+      '{"cell_type": "code", "source": ["x' || (doc_id % 5) || ' = ' || (doc_id % 11) || '"]}' ||
+      ']}'
+    END AS content
+  FROM documents
+"""
+
+_NB_ORACLE_SQL = f"""
+WITH nb AS ({_NB_CORPUS_SQL}
+), t AS (
+  SELECT doc_id,
+    CASE WHEN json_valid(content) THEN
+      json_transform(content, '{{"cells":[{{"cell_type":"VARCHAR","source":["VARCHAR"]}}]}}')
+    END AS nbj
+  FROM nb
+), x AS (
+  SELECT doc_id, nbj.cells AS cells FROM t
+)
+SELECT cast(doc_id AS bigint) AS doc_id,
+  cells IS NOT NULL AS is_notebook,
+  CASE WHEN cells IS NOT NULL THEN
+    len(list_filter(cells, c -> c.cell_type = 'code')) END AS n_code_cells,
+  CASE WHEN cells IS NOT NULL THEN
+    len(list_filter(cells, c -> c.cell_type = 'markdown')) END AS n_markdown_cells,
+  CASE WHEN cells IS NOT NULL THEN
+    array_to_string(list_filter(list_transform(cells, c ->
+      CASE WHEN c.cell_type = 'code' THEN coalesce(array_to_string(c.source, ''), '')
+           WHEN c.cell_type = 'markdown' THEN
+             '# ' || replace(coalesce(array_to_string(c.source, ''), ''), chr(10), chr(10) || '# ')
+      END), tt -> tt IS NOT NULL), chr(10)) END AS script
+FROM x
+"""
+
+
+def _q_notebook_scripts(spark, sf_dir):
+    """Jupyter-notebook → script conversion (textproc/notebooks.py —
+    Stack/StarCoder pipeline step) over a deterministic nbformat-v4
+    corpus synthesized from doc_ids; one python-free projection."""
+    from capreolus_spark.textproc.notebooks import notebooks_to_scripts
+
+    out = notebooks_to_scripts(_notebook_corpus(spark, sf_dir), content_col="content")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "is_notebook",
+        "n_code_cells",
+        "n_markdown_cells",
+        "script",
+    )
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """Deterministic k-means assignment step (textproc/cluster.py): the
     8 lowest-vec_id embeddings are the seed centroids (no averaging, so
@@ -2788,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_search,
         "prefix_topk": _q_prefix_search,
         "result_snippets": _q_snippets,
+        "notebook_scripts": _q_notebook_scripts,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3065,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": fuzzy,
         "prefix_topk": prefix,
         "result_snippets": snippets,
+        "notebook_scripts": _NB_ORACLE_SQL,
         "bm25_rm3_topk": rm3,
         "bm25_prf_topk": prf,
         "sdm_topk": sdm,

@@ -1,0 +1,89 @@
+"""Jupyter-notebook → script conversion (nbformat v4 JSON).
+
+Code-LLM corpora convert ``.ipynb`` files to flat scripts before
+training (The Stack / StarCoder pipelines ship exactly this step); the
+reference's CodeSearchNet path (``collection/codesearchnet.py:30-67``)
+likewise flattens structured code containers into plain-text documents.
+This operator does the conversion as ONE pure-column projection over
+the corpus — ``from_json`` with an explicit nbformat-v4 cell schema,
+then list algebra — no Python in the plan, no shuffle.
+
+Deterministic conversion rule (oracle-twinned in SQL, so pinned):
+
+* ``code`` cells keep their joined source verbatim;
+* ``markdown`` cells become comments: ``'# '`` at the head and after
+  every newline (plain ``replace``, NOT a multiline regex — Java and
+  RE2 disagree about ``(?m)^`` after a trailing newline);
+* other cell types (``raw``, outputs) are dropped;
+* a missing or empty ``source`` is the empty string;
+* cells are joined with a single newline;
+* non-JSON / schema-less content yields ``is_notebook = false`` and a
+  NULL script (the caller filters or falls back to the raw content).
+
+Only the nbformat-v4 list-of-lines ``source`` form is supported (the
+format's canonical on-disk shape); v3 string sources parse as NULL
+source → empty text, disclosed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["NB_CELLS_SCHEMA", "notebooks_to_scripts"]
+
+# nbformat v4: we read only what the conversion needs — Catalyst prunes
+# the rest of the JSON during parsing
+NB_CELLS_SCHEMA = (
+    "STRUCT<cells: ARRAY<STRUCT<cell_type: STRING, source: ARRAY<STRING>>>>"
+)
+
+
+def notebooks_to_scripts(
+    df: DataFrame,
+    content_col: str = "content",
+    keep_markdown: bool = True,
+    script_col: str = "script",
+) -> DataFrame:
+    """Add (is_notebook, n_code_cells, n_markdown_cells, ``script_col``)
+    derived from the nbformat JSON in ``content_col``."""
+    md_txt = (
+        "'# ' || replace(coalesce(array_join(c.source, ''), ''), chr(10), "
+        "chr(10) || '# ')"
+    )
+    branches = "WHEN c.cell_type = 'code' THEN coalesce(array_join(c.source, ''), '')"
+    if keep_markdown:
+        branches += f" WHEN c.cell_type = 'markdown' THEN {md_txt}"
+    out = (
+        df.withColumn("_nb", F.from_json(F.col(content_col), NB_CELLS_SCHEMA))
+        .withColumn("is_notebook", F.col("_nb.cells").isNotNull())
+        .withColumn(
+            "n_code_cells",
+            F.expr("size(filter(_nb.cells, c -> c.cell_type = 'code'))"),
+        )
+        .withColumn(
+            "n_markdown_cells",
+            F.expr("size(filter(_nb.cells, c -> c.cell_type = 'markdown'))"),
+        )
+        .withColumn(
+            script_col,
+            F.expr(
+                f"array_join(filter(transform(_nb.cells, c -> CASE {branches} END), "
+                "t -> t IS NOT NULL), chr(10))"
+            ),
+        )
+    )
+    # non-notebooks: size(NULL) is -1 under legacy conf / NULL otherwise —
+    # normalize to NULL counts and NULL script
+    return (
+        out.withColumn(
+            "n_code_cells",
+            F.when(F.col("is_notebook"), F.col("n_code_cells")),
+        )
+        .withColumn(
+            "n_markdown_cells",
+            F.when(F.col("is_notebook"), F.col("n_markdown_cells")),
+        )
+        .withColumn(script_col, F.when(F.col("is_notebook"), F.col(script_col)))
+        .drop("_nb")
+    )

@@ -1,0 +1,102 @@
+"""Jupyter-notebook → script conversion (textproc/notebooks.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from capreolus_spark.textproc.notebooks import notebooks_to_scripts
+
+
+def _twin(content: str, keep_markdown: bool = True):
+    """Python reference implementation of the documented rule."""
+    try:
+        nb = json.loads(content)
+        cells = nb["cells"]
+        assert isinstance(cells, list)
+    except Exception:
+        return (False, None, None, None)
+    txts = []
+    n_code = n_md = 0
+    for c in cells:
+        kind = c.get("cell_type")
+        src = "".join(c.get("source") or [])
+        if kind == "code":
+            n_code += 1
+            txts.append(src)
+        elif kind == "markdown":
+            n_md += 1
+            if keep_markdown:
+                txts.append("# " + src.replace("\n", "\n# "))
+    return (True, n_code, n_md, "\n".join(txts))
+
+
+NOTEBOOKS = [
+    # ordinary: markdown + code + raw
+    json.dumps(
+        {
+            "cells": [
+                {"cell_type": "markdown", "source": ["Title\n", "line two"]},
+                {"cell_type": "code", "source": ["def f():\n", "    return 1\n"]},
+                {"cell_type": "raw", "source": ["dropped"]},
+            ]
+        }
+    ),
+    # markdown with trailing newline (pins the replace-based prefixing)
+    json.dumps({"cells": [{"cell_type": "markdown", "source": ["ends\n"]}]}),
+    # empty and missing source
+    json.dumps(
+        {
+            "cells": [
+                {"cell_type": "code", "source": []},
+                {"cell_type": "code"},
+                {"cell_type": "code", "source": ["x = 1"]},
+            ]
+        }
+    ),
+    # not JSON at all
+    "{cells: broken",
+    # JSON but no cells key
+    json.dumps({"metadata": {}}),
+    # empty notebook
+    json.dumps({"cells": []}),
+]
+
+
+@pytest.mark.parametrize("keep_markdown", [True, False])
+def test_matches_python_twin(spark, keep_markdown):
+    df = spark.createDataFrame(
+        [(i, nb) for i, nb in enumerate(NOTEBOOKS)], "doc_id int, content string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["is_notebook"],
+            r["n_code_cells"],
+            r["n_markdown_cells"],
+            r["script"],
+        )
+        for r in notebooks_to_scripts(df, keep_markdown=keep_markdown).collect()
+    }
+    for i, nb in enumerate(NOTEBOOKS):
+        ok, n_code, n_md, script = _twin(nb, keep_markdown)
+        assert got[i][0] == ok, (i, "is_notebook")
+        if ok:
+            assert got[i][1] == n_code and got[i][2] == n_md, (i, "counts")
+            assert got[i][3] == script, (i, "script")
+        else:
+            assert got[i][1] is None and got[i][3] is None, (i, "null row")
+
+
+def test_script_content_exact(spark):
+    df = spark.createDataFrame([(1, NOTEBOOKS[0])], "doc_id int, content string")
+    row = notebooks_to_scripts(df).collect()[0]
+    assert row["script"] == "# Title\n# line two\ndef f():\n    return 1\n"
+    assert row["n_code_cells"] == 1 and row["n_markdown_cells"] == 1
+
+
+def test_plan_is_python_free(spark):
+    df = spark.createDataFrame([(1, NOTEBOOKS[0])], "doc_id int, content string")
+    plan = notebooks_to_scripts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure projection, no shuffle
