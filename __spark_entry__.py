@@ -1251,6 +1251,100 @@ FROM y
 """
 
 
+# proximity topics: two distinct present terms each; n4's second term is
+# absent from the corpus (no rows)
+_PROX_TOPICS = {
+    "n1": "key table",
+    "n2": "merge join",
+    "n3": "window batch",
+    "n4": "spark zzzmissing",
+}
+_PROX_SLOP = 4
+
+
+def _prox_pair_rows_sql() -> str:
+    """VALUES rows (qid, t1, t2): the first two distinct analyzed terms of
+    each proximity topic (the pair a NEAR query names)."""
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in sorted(_PROX_TOPICS.items()):
+        terms = list(dict.fromkeys(analyze_text(text, stemmer="none")))
+        if len(terms) >= 2:
+            rows.append(f"('{qid}', '{terms[0]}', '{terms[1]}')")
+    return ", ".join(rows)
+
+
+_PROX_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), qpairs(qid, t1, t2) AS (
+  VALUES {{PAIR_ROWS}}
+), posidx AS (
+  SELECT docid, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tok
+), pairpos AS (
+  SELECT pr.qid, a.docid, a.pos AS pos1,
+         max(CASE WHEN b.pos - a.pos > 0 AND b.pos - a.pos <= {_PROX_SLOP} THEN 1 ELSE 0 END) AS o_hit,
+         max(CASE WHEN abs(b.pos - a.pos) <= {_PROX_SLOP} THEN 1 ELSE 0 END) AS u_hit
+  FROM qpairs pr
+  JOIN posidx a ON a.term = pr.t1
+  JOIN posidx b ON b.docid = a.docid AND b.term = pr.t2
+  GROUP BY pr.qid, a.docid, a.pos
+), cnts AS (
+  SELECT qid, docid, sum({{HIT}}) AS cnt FROM pairpos
+  GROUP BY qid, docid HAVING sum({{HIT}}) > 0
+), dfs AS (
+  SELECT qid, count(*)::DOUBLE AS dfp FROM cnts GROUP BY qid
+), scored AS (
+  SELECT c.qid, c.docid,
+         greatest(0, ln(1 + (s.n - d.dfp + 0.5) / (d.dfp + 0.5)))
+           * c.cnt / (c.cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS score
+  FROM cnts c JOIN dfs d USING (qid) JOIN dl ON c.docid = dl.docid CROSS JOIN stats s
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM scored
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+def _make_prox_query(ordered: bool):
+    def _q(spark, sf_dir):
+        """Proximity (SpanNear) retrieval over the positions store
+        (search/proximity.py): window counting per the SDM kernel, BM25
+        pseudo-term scoring with exact df."""
+        from capreolus_spark.config import BM25Config, IndexConfig
+        from capreolus_spark.index import InvertedIndex
+        from capreolus_spark.search.proximity import ProximitySearcher
+
+        idx = InvertedIndex.create(
+            spark,
+            _corpus(spark, sf_dir),
+            _index_dir("daat_pos", sf_dir),
+            IndexConfig(stemmer="none", store_positions=True),
+        )
+        run = ProximitySearcher(
+            idx, BM25Config(hits=_GATE_HITS), slop=_PROX_SLOP, ordered=ordered
+        ).search(_PROX_TOPICS)
+        return _gate_rank(run)
+
+    return _q
+
+
+_q_near_search = _make_prox_query(ordered=False)
+_q_onear_search = _make_prox_query(ordered=True)
+
+
 def _notebook_corpus(spark, sf_dir):
     """Deterministic nbformat-v4 JSON per doc_id: a markdown cell (every
     4th with a trailing newline — pins the replace-based comment
@@ -2878,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_search,
         "result_snippets": _q_snippets,
         "notebook_scripts": _q_notebook_scripts,
+        "near_topk": _q_near_search,
+        "onear_topk": _q_onear_search,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3051,6 +3147,12 @@ def oracle_sql() -> dict[str, str]:
     snippets = _SNIPPET_ORACLE_SQL.replace("{SYNTH_RUN}", _SYNTH_RUN_SQL).replace(
         "{TERM_ROWS}", _snippet_terms_rows_sql()
     )
+    near = _PROX_ORACLE_SQL.replace("{PAIR_ROWS}", _prox_pair_rows_sql()).replace(
+        "{HIT}", "u_hit"
+    )
+    onear = _PROX_ORACLE_SQL.replace("{PAIR_ROWS}", _prox_pair_rows_sql()).replace(
+        "{HIT}", "o_hit"
+    )
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -3154,6 +3256,8 @@ def oracle_sql() -> dict[str, str]:
         "boolean_topk": boolq,
         "fuzzy_topk": fuzzy,
         "prefix_topk": prefix,
+        "near_topk": near,
+        "onear_topk": onear,
         "result_snippets": snippets,
         "notebook_scripts": _NB_ORACLE_SQL,
         "bm25_rm3_topk": rm3,

@@ -491,6 +491,17 @@ def _make_fuzzy(index, **cfg):
     )
 
 
+def _make_near(index, **cfg):
+    from .proximity import ProximitySearcher
+
+    return ProximitySearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        slop=cfg.get("slop", 8),
+        ordered=cfg.get("ordered", False),
+    )
+
+
 def _make_prefix(index, **cfg):
     from .fuzzy import PrefixSearcher
 
@@ -517,6 +528,7 @@ SEARCHERS = {
     "boolean": _make_boolean,  # beyond-reference: Lucene BooleanQuery twin
     "fuzzy": _make_fuzzy,  # beyond-reference: Lucene FuzzyQuery twin
     "prefix": _make_prefix,  # beyond-reference: Lucene PrefixQuery twin
+    "near": _make_near,  # beyond-reference: Lucene SpanNearQuery twin
 }
 
 

@@ -1,0 +1,124 @@
+"""Proximity retrieval — a Lucene ``SpanNearQuery`` twin (``NEAR``/
+``ONEAR`` operators) over the positions store.
+
+The reference reaches positional constraints only through Anserini's SDM
+windows (``capreolus/searcher/anserini.py:525-549``); Lucene itself
+serves ``a NEAR/k b`` via SpanNearQuery.  This searcher implements the
+pair form natively, with the SAME window-count conventions the engine's
+SDM features use (``search/sdm.py:_window_counts`` — validated
+cross-engine by the ``sdm_topk`` gate):
+
+* unordered (``ordered=False``, NEAR/k): tf = #{i : ∃j, |p2[j] - p1[i]|
+  ≤ slop} — t1 anchors with t2 within ``slop`` positions either side;
+* ordered (``ordered=True``, ONEAR/k): tf = #{i : ∃j, 0 < p2[j] - p1[i]
+  ≤ slop} — t1 anchors followed by t2 within ``slop``;
+* positions are original token offsets (stopword gaps preserved), so
+  windows behave like Lucene's position-increment-aware spans;
+* scoring follows the SDM/phrase pseudo-term convention: BM25 with
+  tf = window count and df = the EXACT number of documents where the
+  feature fires (aggregated in the same distributed pass).
+
+A topic is a plain query string; its first two distinct analyzed terms
+form the pair (topics analyzing to fewer terms are dropped).
+
+Scale shape: the pair counting is the SDM positions kernel verbatim —
+one cogroup pinned to one task per docno range, byte-tiny shuffle of
+packed postings for the query terms only — followed by the family-wide
+global top-k cut BEFORE the docid-resolution broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from .sdm import SDMSearcher
+
+__all__ = ["ProximitySearcher"]
+
+
+class ProximitySearcher(SDMSearcher):
+    """Rank documents where the topic's two terms co-occur within
+    ``slop`` positions (optionally in order), scored as a BM25
+    pseudo-term with exact df."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        slop: int = 8,
+        ordered: bool = False,
+        tag: str = DEFAULT_TAG,
+    ):
+        if slop < 1:
+            raise ValueError("slop must be >= 1")
+        # both SDM windows set to the slop; the kernel computes o_cnt and
+        # u_cnt together and search() picks the one this mode needs
+        super().__init__(
+            index, config, ordered_window=slop, unordered_window=slop, tag=tag
+        )
+        self.slop = slop
+        self.ordered = ordered
+
+    def _query_pairs(self, analyzed: dict[str, list[str]]) -> dict[str, list[tuple[str, str]]]:
+        """First two DISTINCT analyzed terms of each topic (not adjacent
+        pairs — a NEAR query names exactly one pair)."""
+        out = {}
+        for qid, terms in analyzed.items():
+            distinct = list(dict.fromkeys(terms))
+            if len(distinct) >= 2:
+                out[qid] = [(distinct[0], distinct[1])]
+        return out
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        pairs = self._query_pairs(self.analyze_topics(topics))
+        if not pairs:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+
+        cnt_col = "o_cnt" if self.ordered else "u_cnt"
+        counts = (
+            self._pair_counts_df(pairs)
+            .filter(F.col(cnt_col) > 0)
+            .select("qid", "docno", F.col(cnt_col).alias("cnt"), "dl")
+            .persist()
+        )
+        try:
+            n_docs = float(self.index.numdocs)
+            dfx = counts.groupBy("qid").agg(F.count("*").alias("df"))
+            idf = dfx.select(
+                "qid",
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    ),
+                ).alias("idf"),
+            )
+            k1, b = self.config.k1, self.config.b
+            norm = F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.lit(float(self.index.avgdl))
+            )
+            scored = counts.join(F.broadcast(idf), "qid").select(
+                "qid",
+                "docno",
+                (F.col("idf") * F.col("cnt") / (F.col("cnt") + norm)).alias("score"),
+            )
+            cand = self._with_docids(self._global_topk_cut(scored, hits))
+            w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+            out = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= hits)
+                .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+            )
+            return out.localCheckpoint()  # materialize before unpersisting counts
+        finally:
+            counts.unpersist()

@@ -1,0 +1,148 @@
+"""Proximity (NEAR/ONEAR) retrieval — search/proximity.py, the Lucene
+SpanNearQuery twin over the positions store.
+
+Brute-force python twin: tokenize each doc (positions are indices into
+the FULL pre-stop-filter token stream, the store's convention), count
+anchor positions of t1 with a t2 within slop (optionally forward-only),
+score as a BM25 pseudo-term with exact df over the matching docs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from capreolus_spark.analysis import tokenize_text
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.search import create_searcher
+from capreolus_spark.search.proximity import ProximitySearcher
+
+K1, B = 0.9, 0.4
+
+PROX_DOCS = [
+    # "alpha beta" adjacent (gap 1), twice -> two anchors
+    ("p1", "alpha beta gamma alpha beta"),
+    # reversed order only: beta ... alpha (gap 2) -> NEAR yes, ONEAR no
+    ("p2", "beta gamma alpha delta"),
+    # forward gap exactly 4 (boundary: in at slop=4)
+    ("p3", "alpha one two three beta"),
+    # forward gap 5 (out at slop=4)
+    ("p4", "alpha one two three four beta"),
+    # both terms, far apart both directions
+    ("p5", "beta x x x x x x x alpha x x x x x x x beta"),
+    # only one of the terms
+    ("p6", "alpha gamma delta epsilon"),
+    ("p7", "unrelated text about nothing"),
+]
+
+
+def _twin(docs, t1, t2, slop, ordered):
+    """{docid: window_count} over the raw token streams."""
+    out = {}
+    for docid, content in docs:
+        toks = tokenize_text(content)
+        p1 = [i for i, w in enumerate(toks) if w == t1]
+        p2 = [i for i, w in enumerate(toks) if w == t2]
+        cnt = 0
+        for a in p1:
+            if ordered:
+                hit = any(0 < b - a <= slop for b in p2)
+            else:
+                hit = any(abs(b - a) <= slop for b in p2)
+            cnt += bool(hit)
+        if cnt:
+            out[docid] = cnt
+    return out
+
+
+def _twin_scores(docs, t1, t2, slop, ordered):
+    """BM25 pseudo-term scores with exact df, the searcher's convention."""
+    cnts = _twin(docs, t1, t2, slop, ordered)
+    n = float(len(docs))
+    dls = {d: len(tokenize_text(c)) for d, c in docs}
+    avgdl = sum(dls.values()) / n
+    dfp = float(len(cnts))
+    idf = max(0.0, math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5)))
+    return {
+        d: idf * c / (c + K1 * (1 - B + B * dls[d] / avgdl))
+        for d, c in cnts.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def prox_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(PROX_DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("prox")),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+
+
+def _run(index, ordered, slop=4, topic="alpha beta"):
+    s = ProximitySearcher(
+        index, BM25Config(k1=K1, b=B, hits=10), slop=slop, ordered=ordered
+    )
+    rows = s.search({"q": topic}).collect()
+    return {r["docid"]: r["score"] for r in rows if r["qid"] == "q"}
+
+
+def test_near_matches_twin(prox_index):
+    got = _run(prox_index, ordered=False)
+    want = _twin_scores(PROX_DOCS, "alpha", "beta", 4, ordered=False)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
+    # reversed-only doc matches unordered; boundary gap-4 in; gap-5 out
+    assert "p2" in got and "p3" in got and "p4" not in got
+    assert "p6" not in got and "p7" not in got
+
+
+def test_onear_matches_twin(prox_index):
+    got = _run(prox_index, ordered=True)
+    want = _twin_scores(PROX_DOCS, "alpha", "beta", 4, ordered=True)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
+    # reversed-only doc excluded when ordered
+    assert "p2" not in got and "p1" in got and "p3" in got
+
+
+def test_anchor_counting_not_pair_counting(prox_index):
+    # p1 has two alpha anchors each with an adjacent beta -> cnt 2; a doc
+    # with one anchor gets cnt 1, so p1 outscores p3 (same df, lower dl too)
+    got = _run(prox_index, ordered=True)
+    assert got["p1"] > got["p3"]
+    cnts = _twin(PROX_DOCS, "alpha", "beta", 4, ordered=True)
+    assert cnts["p1"] == 2 and cnts["p3"] == 1
+
+
+def test_slop_widening_recovers_far_pairs(prox_index):
+    near8 = _run(prox_index, ordered=False, slop=8)
+    assert "p4" in near8 and "p5" in near8  # gap 5 and gap 8 now inside
+    want = _twin_scores(PROX_DOCS, "alpha", "beta", 8, ordered=False)
+    assert set(near8) == set(want)
+
+
+def test_single_term_topic_dropped(prox_index):
+    s = ProximitySearcher(prox_index, BM25Config(hits=10), slop=4)
+    assert s.search({"q": "alpha alpha"}).count() == 0  # 1 distinct term
+    assert s.search({"q": "alpha"}).count() == 0
+
+
+def test_missing_term_yields_no_rows(prox_index):
+    s = ProximitySearcher(prox_index, BM25Config(hits=10), slop=4)
+    rows = s.search({"q": "alpha zzznotinvocab", "q2": "alpha beta"}).collect()
+    qids = {r["qid"] for r in rows}
+    assert qids == {"q2"}
+
+
+def test_slop_validation(prox_index):
+    with pytest.raises(ValueError, match="slop"):
+        ProximitySearcher(prox_index, slop=0)
+
+
+def test_registered_in_searcher_factory(prox_index):
+    s = create_searcher("near", prox_index, slop=4, ordered=True, hits=5)
+    assert isinstance(s, ProximitySearcher) and s.ordered and s.slop == 4
