@@ -1345,6 +1345,238 @@ _q_near_search = _make_prox_query(ordered=False)
 _q_onear_search = _make_prox_query(ordered=True)
 
 
+# ------------------------------------------------- regexp / wildcard
+
+# portable regex subset only (Java regex engine-side, RE2 oracle-side);
+# r3 matches nothing, r4 matches both "spark" and "scan"
+_REGEX_TOPICS = {
+    "r1": "tab.*",
+    "r2": "w.ndow|scan",
+    "r3": "zzz.*qqq",
+    "r4": "s.a[rn]k?",
+}
+# w3 matches nothing; "?" is exactly-one, "*" any run
+_WILDCARD_TOPICS = {
+    "w1": "tab*",
+    "w2": "w?ndow mer*",
+    "w3": "zzznada*",
+}
+
+
+def _pattern_rows_sql(topics: dict[str, str], to_regex=None) -> str:
+    """VALUES rows (qid, pattern, qtf): raw lowercase whitespace-split
+    patterns (NOT analyzed — Lucene never analyzes multi-term syntax),
+    optionally compiled wildcard→regex exactly like the engine."""
+    from collections import Counter
+
+    rows = []
+    for qid, text in sorted(topics.items()):
+        pats = text.lower().split()
+        if to_regex is not None:
+            pats = [to_regex(p) for p in pats]
+        for pat, qtf in sorted(Counter(pats).items()):
+            rows.append(f"('{qid}', '{pat}', {qtf})")
+    return ", ".join(rows)
+
+
+# regexp: dictionary terms where the pattern matches the WHOLE term
+# (Lucene RegexpQuery anchoring), boost 1.0, cap by (df desc, term asc)
+_REGEXP_ORACLE_SQL = (
+    _EXPANSION_HEAD_SQL
+    + f""", exp AS (
+  SELECT qid, qterm, qtf, term, df, 1.0 AS boost FROM (
+    SELECT f.qid, f.qterm, f.qtf, v.term, v.df,
+           row_number() OVER (
+             PARTITION BY f.qid, f.qterm ORDER BY v.df DESC, v.term ASC
+           ) AS rn
+    FROM fq f JOIN dfx v ON regexp_full_match(v.term, f.qterm)
+  ) WHERE rn <= {_EXPANSION_CAP}
+), """
+    + _EXPANSION_TAIL_SQL
+)
+
+
+def _make_pattern_query(searcher_name: str, topics: dict[str, str]):
+    def _q(spark, sf_dir):
+        """Regexp/wildcard term retrieval (search/fuzzy.py — Lucene
+        RegexpQuery / WildcardQuery twins: anchored dictionary-scan
+        expansion under the scoring-boolean rewrite)."""
+        from capreolus_spark.config import IndexConfig
+        from capreolus_spark.index import InvertedIndex
+        from capreolus_spark.search import create_searcher
+
+        idx = InvertedIndex.create(
+            spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir),
+            IndexConfig(stemmer="none"),
+        )
+        run = create_searcher(
+            searcher_name, idx, hits=_GATE_HITS, max_expansions=_EXPANSION_CAP
+        ).search(topics)
+        return _gate_rank(run)
+
+    return _q
+
+
+_q_regexp_search = _make_pattern_query("regexp", _REGEX_TOPICS)
+_q_wildcard_search = _make_pattern_query("wildcard", _WILDCARD_TOPICS)
+
+
+# ------------------------------------------------- spell suggestion
+
+# s1/s2: misspellings absent from the corpus vocabulary; s3 is present
+# (not checked under the default not_in_index mode)
+_SPELL_TOPICS = {
+    "s1": "tabel windoq",
+    "s2": "bacth scen",
+    "s3": "stream",
+}
+_SPELL_MAX_EDITS, _SPELL_TOPN = 2, 5
+
+
+def _spell_term_rows_sql() -> str:
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in sorted(_SPELL_TOPICS.items()):
+        for t in dict.fromkeys(analyze_text(text, stemmer="none")):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+_SPELL_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q(qid, qterm) AS (
+  VALUES {{TERM_ROWS}}
+), checked AS (
+  SELECT q.qid, q.qterm FROM q LEFT JOIN dfx d ON d.term = q.qterm
+  WHERE coalesce(d.df, 0) = 0
+)
+SELECT qid, qterm, suggestion, dist, df, rank FROM (
+  SELECT c.qid, c.qterm, v.term AS suggestion,
+         cast(levenshtein(c.qterm, v.term) AS int) AS dist,
+         cast(v.df AS bigint) AS df,
+         cast(row_number() OVER (
+           PARTITION BY c.qid, c.qterm
+           ORDER BY levenshtein(c.qterm, v.term) ASC, v.df DESC, v.term ASC
+         ) AS int) AS rank
+  FROM checked c JOIN dfx v
+    ON abs(length(v.term) - length(c.qterm)) <= {_SPELL_MAX_EDITS}
+   AND levenshtein(c.qterm, v.term) BETWEEN 1 AND {_SPELL_MAX_EDITS}
+) WHERE rank <= {_SPELL_TOPN}
+"""
+
+
+def _q_spell_suggest(spark, sf_dir):
+    """Spell suggestion (search/spell.py — Lucene DirectSpellChecker
+    twin: dictionary candidates at edit distance 1..2 for
+    not-in-index terms, ranked (dist asc, df desc, term asc))."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.spell import SpellChecker
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir),
+        IndexConfig(stemmer="none"),
+    )
+    return SpellChecker(
+        idx, max_edits=_SPELL_MAX_EDITS, max_suggestions=_SPELL_TOPN
+    ).suggest(_SPELL_TOPICS)
+
+
+# ------------------------------------------------- more-like-this
+
+_MLT_TOPICS = {"m1": "7", "m2": "42", "m3": "123"}
+_MLT_MIN_TF, _MLT_MIN_DF, _MLT_MAX_TERMS = 2, 5, 10
+
+
+def _mlt_topic_rows_sql() -> str:
+    return ", ".join(
+        f"('{qid}', '{docid}')" for qid, docid in sorted(_MLT_TOPICS.items())
+    )
+
+
+_MLT_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), topics(qid, exdocid) AS (
+  VALUES {{TOPIC_ROWS}}
+), sel AS (
+  SELECT qid, term, df, mscore,
+         row_number() OVER (PARTITION BY qid ORDER BY mscore DESC, term ASC) AS rn
+  FROM (
+    SELECT t.qid, f.term, x.df,
+           f.tf * greatest(0, ln(1 + (s.n - x.df + 0.5) / (x.df + 0.5))) AS mscore
+    FROM topics t JOIN tf f ON f.docid = t.exdocid
+    JOIN dfx x ON x.term = f.term CROSS JOIN stats s
+    WHERE f.tf >= {_MLT_MIN_TF} AND x.df >= {_MLT_MIN_DF}
+  )
+), best AS (
+  SELECT qid, max(mscore) AS b FROM sel WHERE rn <= {_MLT_MAX_TERMS} GROUP BY qid
+), qw AS (
+  SELECT s.qid, s.term, 1.0 AS qtf,
+         greatest(0, ln(1 + (st.n - s.df + 0.5) / (s.df + 0.5)))
+           * s.mscore / b.b AS w
+  FROM sel s JOIN best b USING (qid) CROSS JOIN stats st
+  WHERE s.rn <= {_MLT_MAX_TERMS}
+), scored AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.w * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid HAVING score > 0
+), noself AS (
+  SELECT s.* FROM scored s JOIN topics t USING (qid) WHERE s.docid <> t.exdocid
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM noself
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+def _q_mlt_search(spark, sf_dir):
+    """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
+    twin: tf·idf interesting-term selection from the doc-vector store,
+    boosted BM25 disjunction, example doc excluded)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.mlt import MoreLikeThisSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat_dv", sf_dir),
+        IndexConfig(stemmer="none", store_docvectors=True),
+    )
+    run = MoreLikeThisSearcher(
+        idx, BM25Config(hits=_GATE_HITS),
+        min_term_freq=_MLT_MIN_TF, min_doc_freq=_MLT_MIN_DF,
+        max_query_terms=_MLT_MAX_TERMS, boost=True,
+    ).search(_MLT_TOPICS)
+    return _gate_rank(run)
+
+
 def _notebook_corpus(spark, sf_dir):
     """Deterministic nbformat-v4 JSON per doc_id: a markdown cell (every
     4th with a trailing newline — pins the replace-based comment
@@ -2974,6 +3206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notebook_scripts": _q_notebook_scripts,
         "near_topk": _q_near_search,
         "onear_topk": _q_onear_search,
+        "regexp_topk": _q_regexp_search,
+        "wildcard_topk": _q_wildcard_search,
+        "spell_suggest": _q_spell_suggest,
+        "mlt_topk": _q_mlt_search,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3153,6 +3389,17 @@ def oracle_sql() -> dict[str, str]:
     onear = _PROX_ORACLE_SQL.replace("{PAIR_ROWS}", _prox_pair_rows_sql()).replace(
         "{HIT}", "o_hit"
     )
+    from capreolus_spark.search.fuzzy import WildcardSearcher
+
+    regexp = _REGEXP_ORACLE_SQL.replace(
+        "{QUERY_ROWS}", _pattern_rows_sql(_REGEX_TOPICS)
+    )
+    wildcard = _REGEXP_ORACLE_SQL.replace(
+        "{QUERY_ROWS}",
+        _pattern_rows_sql(_WILDCARD_TOPICS, WildcardSearcher._wildcard_to_regex),
+    )
+    spell = _SPELL_ORACLE_SQL.replace("{TERM_ROWS}", _spell_term_rows_sql())
+    mlt = _MLT_ORACLE_SQL.replace("{TOPIC_ROWS}", _mlt_topic_rows_sql())
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -3258,6 +3505,10 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": prefix,
         "near_topk": near,
         "onear_topk": onear,
+        "regexp_topk": regexp,
+        "wildcard_topk": wildcard,
+        "spell_suggest": spell,
+        "mlt_topk": mlt,
         "result_snippets": snippets,
         "notebook_scripts": _NB_ORACLE_SQL,
         "bm25_rm3_topk": rm3,

@@ -502,6 +502,40 @@ def _make_near(index, **cfg):
     )
 
 
+def _make_regexp(index, **cfg):
+    from .fuzzy import RegexpSearcher
+
+    return RegexpSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        max_expansions=cfg.get("max_expansions", 50),
+    )
+
+
+def _make_wildcard(index, **cfg):
+    from .fuzzy import WildcardSearcher
+
+    return WildcardSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        max_expansions=cfg.get("max_expansions", 50),
+    )
+
+
+def _make_mlt(index, **cfg):
+    from .mlt import MoreLikeThisSearcher
+
+    return MoreLikeThisSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        min_term_freq=cfg.get("min_term_freq", 2),
+        min_doc_freq=cfg.get("min_doc_freq", 5),
+        max_query_terms=cfg.get("max_query_terms", 25),
+        boost=cfg.get("boost", False),
+        exclude_self=cfg.get("exclude_self", True),
+    )
+
+
 def _make_prefix(index, **cfg):
     from .fuzzy import PrefixSearcher
 
@@ -529,6 +563,9 @@ SEARCHERS = {
     "fuzzy": _make_fuzzy,  # beyond-reference: Lucene FuzzyQuery twin
     "prefix": _make_prefix,  # beyond-reference: Lucene PrefixQuery twin
     "near": _make_near,  # beyond-reference: Lucene SpanNearQuery twin
+    "regexp": _make_regexp,  # beyond-reference: Lucene RegexpQuery twin
+    "wildcard": _make_wildcard,  # beyond-reference: Lucene WildcardQuery twin
+    "mlt": _make_mlt,  # beyond-reference: Lucene MoreLikeThis twin
 }
 
 

@@ -50,7 +50,7 @@ from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from . import BM25Searcher
 
-__all__ = ["FuzzySearcher", "PrefixSearcher"]
+__all__ = ["FuzzySearcher", "PrefixSearcher", "RegexpSearcher", "WildcardSearcher"]
 
 
 class _ExpansionSearcher(BM25Searcher):
@@ -201,3 +201,74 @@ class FuzzySearcher(_ExpansionSearcher):
             .filter(F.col("_rn") <= self.max_expansions)
             .select("qterm", "term", "boost", "df")
         )
+
+
+class RegexpSearcher(_ExpansionSearcher):
+    """Lucene ``RegexpQuery`` twin: each topic is a whitespace-separated
+    list of regular-expression patterns matched against WHOLE dictionary
+    terms (Lucene's convention — the pattern is implicitly anchored at
+    both ends), expanded to the matching terms (boost 1.0, cap by
+    (df desc, term asc)) and scored as a boolean disjunction through the
+    BM25 kernel.
+
+    Patterns are NOT analyzed (Lucene never analyzes multi-term query
+    syntax) — they are matched verbatim against the analyzed dictionary,
+    so a stemming index needs stemmed-form patterns.  Use the portable
+    regex subset (char classes, ``. * + ? |`` and grouping) — the
+    dictionary scan runs wherever the plan runs (Java regex here, RE2 in
+    the DuckDB oracle), and exotic constructs differ across engines.
+
+    Scale shape: identical to PrefixSearcher — a JVM ``rlike`` predicate
+    scan over the DICTIONARY only, never the postings; the capped
+    expansion list is the only thing collected.
+    """
+
+    def analyze_topics(self, topics: dict[str, str]) -> dict[str, list[str]]:
+        # raw patterns, lowercased to match the lowercased dictionary
+        return {str(qid): text.lower().split() for qid, text in topics.items()}
+
+    def _pattern_expr(self):
+        return F.concat(F.lit("^(?:"), F.col("qterm"), F.lit(")$"))
+
+    def _expansion_df(self, qterms: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        spark = self.index.spark
+        q = spark.createDataFrame([(t,) for t in qterms], "qterm string")
+        d = self.index.dict_df().select("term", "df")
+        cand = d.join(
+            F.broadcast(q), F.regexp_like(F.col("term"), self._pattern_expr())
+        ).withColumn("boost", F.lit(1.0))
+        w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.max_expansions)
+            .select("qterm", "term", "boost", "df")
+        )
+
+
+class WildcardSearcher(RegexpSearcher):
+    """Lucene ``WildcardQuery`` twin: ``*`` matches any run of characters
+    (including empty), ``?`` exactly one.  Compiled to the equivalent
+    anchored regex (every other character escaped) and served by the
+    RegexpSearcher dictionary scan."""
+
+    @staticmethod
+    def _wildcard_to_regex(pat: str) -> str:
+        import re as _re
+
+        parts = []
+        for ch in pat:
+            if ch == "*":
+                parts.append(".*")
+            elif ch == "?":
+                parts.append(".")
+            else:
+                parts.append(_re.escape(ch))
+        return "".join(parts)
+
+    def analyze_topics(self, topics: dict[str, str]) -> dict[str, list[str]]:
+        return {
+            str(qid): [self._wildcard_to_regex(p) for p in text.lower().split()]
+            for qid, text in topics.items()
+        }

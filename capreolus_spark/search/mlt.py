@@ -1,0 +1,143 @@
+"""More-like-this retrieval — a Lucene ``MoreLikeThis`` twin:
+query-by-example over the doc-vector store.
+
+The reference reaches Lucene through Anserini
+(``capreolus/searcher/anserini.py:26-83``); Lucene's MoreLikeThis builds
+a query from an example document's term vector (the ``-storeDocvectors``
+store the reference enables at ``index/anserini.py:52-57``) and runs it
+as a boolean disjunction.  This twin follows the same recipe:
+
+1. **Interesting-term selection** (per topic document): explode the
+   stored term vector, drop terms with ``tf < min_term_freq`` (default 2)
+   or ``df < min_doc_freq`` (default 5), score each survivor
+   ``tf · idf`` (the engine's house idf,
+   ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — Lucene MLT uses classic
+   ``1 + ln(N/(df+1))``; disclosed deviation, same ordering for df ≪ N),
+   and keep the top ``max_query_terms`` (default 25) by
+   (score desc, term asc).
+2. **Rewrite**: the selected terms feed the gated BM25 DAAT kernel as a
+   disjunction.  ``boost=False`` (Lucene's default) weights every term
+   equally (weight = idf); ``boost=True`` multiplies each term's idf by
+   its selection score normalized by the per-topic best score (Lucene's
+   boostFactor·score/bestScore with boostFactor 1).
+3. The example document itself is excluded from the run when
+   ``exclude_self=True`` (the usual MLT serving convention).
+
+Scale shape: term selection is a docno point-pruned scan of the
+doc-vector store joined to the dictionary (both parquet, pushed-down
+filters), cut to ``topics × max_query_terms`` rows BEFORE the only
+collect (the same driver-small contract as RM3's feedback terms).
+Everything downstream is the gated BM25 kernel: per-range cogroup,
+per-range cut, global cut before the docid broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["MoreLikeThisSearcher"]
+
+
+class MoreLikeThisSearcher(BM25Searcher):
+    """Rank documents similar to example documents.  Topics map
+    qid → an example docid already in the index."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_query_terms: int = 25,
+        boost: bool = False,
+        exclude_self: bool = True,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, prune=prune, tag=tag)
+        if not index.config.store_docvectors:
+            raise ValueError(
+                "MoreLikeThis needs the doc-vector store; rebuild the index "
+                "with store_docvectors=True (Anserini -storeDocvectors)"
+            )
+        self.min_term_freq = min_term_freq
+        self.min_doc_freq = min_doc_freq
+        self.max_query_terms = max_query_terms
+        self.boost = boost
+        self.exclude_self = exclude_self
+
+    def _interesting_terms_df(self, topics: dict[str, str]) -> DataFrame:
+        """(qid, term, tf, df, score, rank) — the per-topic selected terms,
+        ≤ ``max_query_terms`` rows per topic."""
+        spark = self.index.spark
+        q = spark.createDataFrame(
+            sorted((str(k), v) for k, v in topics.items()),
+            "qid string, docid string",
+        )
+        vec = self.index.docvectors_df().select("docid", F.explode("terms").alias("term", "tf"))
+        d = self.index.dict_df().select("term", "df")
+        n = float(self.index.numdocs)
+        idf = F.greatest(
+            F.lit(0.0),
+            F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+        return (
+            vec.join(F.broadcast(q), "docid")
+            .filter(F.col("tf") >= self.min_term_freq)
+            .join(d, "term")
+            .filter(F.col("df") >= self.min_doc_freq)
+            .withColumn("score", F.col("tf") * idf)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.max_query_terms)
+            .select("qid", "term", "tf", "df", "score", "rank")
+        )
+
+    def _mlt_weights(
+        self, topics: dict[str, str]
+    ) -> dict[str, list[tuple[str, float, float]]]:
+        rows = self._interesting_terms_df(topics).collect()
+        n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
+        scoring = self.scoring
+        best: dict[str, float] = {}
+        for r in rows:
+            best[r["qid"]] = max(best.get(r["qid"], 0.0), float(r["score"]))
+        weights: dict[str, list[tuple[str, float, float]]] = {}
+        for r in rows:
+            idf = scoring.weight(int(r["df"]), 0, n_docs, sum_cf)
+            w = idf * (float(r["score"]) / best[r["qid"]] if self.boost else 1.0)
+            if w > 0:
+                weights.setdefault(r["qid"], []).append((r["term"], w, 1.0))
+        return {qid: sorted(ws) for qid, ws in weights.items()}
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        weights = self._mlt_weights(topics)
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        # over-fetch one slot when the example doc will be dropped, so the
+        # final run still holds ``hits`` rows where available
+        cut = hits + 1 if self.exclude_self else hits
+        cand = self._with_docids(
+            self._global_topk_cut(self._candidates(weights, hits=cut), cut)
+        )
+        if self.exclude_self:
+            ex = spark.createDataFrame(
+                sorted((str(k), v) for k, v in topics.items()),
+                "qid string, docid string",
+            )
+            cand = cand.join(F.broadcast(ex), ["qid", "docid"], "left_anti")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )

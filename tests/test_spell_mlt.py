@@ -1,0 +1,237 @@
+"""Spell suggestion (search/spell.py — DirectSpellChecker twin),
+regexp/wildcard retrieval (search/fuzzy.py — RegexpQuery/WildcardQuery
+twins) and more-like-this (search/mlt.py — MoreLikeThis twin).
+
+Brute-force python twins over a small corpus: same analyzer, same
+dictionary, same selection/ranking rules.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.analysis import analyze_text, tokenize_text
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.search import create_searcher
+from capreolus_spark.search.fuzzy import RegexpSearcher, WildcardSearcher
+from capreolus_spark.search.mlt import MoreLikeThisSearcher
+from capreolus_spark.search.spell import SpellChecker
+
+K1, B = 0.9, 0.4
+
+DOCS = [
+    ("d1", "table merge table merge table scan scan batch"),
+    ("d2", "table merge window batch stream stream"),
+    ("d3", "merge window window window batch"),
+    ("d4", "scan scan scan table probe"),
+    ("d5", "stream probe probe table batch batch"),
+    ("d6", "unrelated words entirely different topic"),
+]
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("mlt")),
+        IndexConfig(stemmer="none", store_docvectors=True),
+    )
+
+
+def _stats():
+    docs = {d: Counter(analyze_text(c, stemmer="none")) for d, c in DOCS}
+    dls = {d: len(tokenize_text(c)) for d, c in DOCS}
+    df = Counter(t for tf in docs.values() for t in tf)
+    avgdl = sum(dls.values()) / len(DOCS)
+    return docs, dls, df, avgdl
+
+
+def _idf(df, n):
+    return max(0.0, math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+
+def _bm25(weights, docs, dls, avgdl):
+    """{docid: score} for [(term, weight, qtf)] rows."""
+    out = {}
+    for d, tf in docs.items():
+        s = 0.0
+        for term, w, qtf in weights:
+            t = tf.get(term, 0)
+            if t:
+                s += qtf * w * t / (t + K1 * (1 - B + B * dls[d] / avgdl))
+        if s > 0:
+            out[d] = s
+    return out
+
+
+# ------------------------------------------------------------------ spell
+
+def test_spell_suggests_for_unseen_term(small_index):
+    sc = SpellChecker(small_index, max_edits=2, max_suggestions=3)
+    rows = sc.suggest({"q": "tabel stream"}).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["qterm"], []).append(r)
+    # "stream" is in the index -> not checked under not_in_index mode
+    assert "stream" not in by_term
+    sugg = [(r["suggestion"], r["dist"], r["rank"]) for r in
+            sorted(by_term["tabel"], key=lambda r: r["rank"])]
+    # "table" at distance 2 (tabel -> table: one transposition = 2 edits)
+    assert sugg[0][0] == "table"
+    # ordering: (dist asc, df desc, term asc), never distance 0
+    docs, dls, df, _ = _stats()
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    want = sorted(
+        ((t, lev("tabel", t), df[t]) for t in df if 1 <= lev("tabel", t) <= 2),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:3]
+    assert [s[0] for s in sugg] == [wterm for wterm, _, _ in want]
+
+
+def test_spell_more_popular_mode(small_index):
+    docs, dls, df, _ = _stats()
+    sc = SpellChecker(small_index, max_edits=1, mode="more_popular")
+    rows = sc.suggest({"q": "probe"}).collect()
+    # candidates must have df strictly greater than probe's df
+    for r in rows:
+        assert r["df"] > df["probe"]
+
+
+def test_spell_always_mode_and_validation(small_index):
+    rows = SpellChecker(small_index, max_edits=1, mode="always").suggest(
+        {"q": "scan"}
+    ).collect()
+    assert all(r["dist"] >= 1 for r in rows)  # never itself
+    with pytest.raises(ValueError, match="mode"):
+        SpellChecker(small_index, mode="bogus")
+    with pytest.raises(ValueError, match="max_edits"):
+        SpellChecker(small_index, max_edits=0)
+
+
+# --------------------------------------------------------- regexp/wildcard
+
+def _expansion_twin(pattern, hits=10):
+    """Twin: expand anchored regex against the dictionary, BM25 disjunction."""
+    docs, dls, df, avgdl = _stats()
+    n = len(DOCS)
+    variants = sorted(
+        (t for t in df if re.fullmatch(pattern, t)),
+        key=lambda t: (-df[t], t),
+    )[:50]
+    weights = [(t, _idf(df[t], n), 1.0) for t in variants]
+    return _bm25(weights, docs, dls, avgdl)
+
+
+def test_regexp_matches_twin(small_index):
+    s = RegexpSearcher(small_index, BM25Config(k1=K1, b=B, hits=10))
+    got = {r["docid"]: r["score"] for r in s.search({"q": "st.*m|sc.n"}).collect()}
+    want = _expansion_twin("st.*m|sc.n")
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_regexp_is_whole_term_anchored(small_index):
+    s = RegexpSearcher(small_index, BM25Config(hits=10))
+    # "abl" matches inside "table" but not as a whole term -> no results
+    assert s.search({"q": "abl"}).count() == 0
+
+
+def test_wildcard_matches_twin(small_index):
+    s = WildcardSearcher(small_index, BM25Config(k1=K1, b=B, hits=10))
+    got = {r["docid"]: r["score"] for r in s.search({"q": "t?ble str*"}).collect()}
+    want_pat = "(t.ble)|(str.*)"
+    docs, dls, df, avgdl = _stats()
+    n = len(DOCS)
+    variants = {t for t in df if re.fullmatch("t.ble", t)} | {
+        t for t in df if re.fullmatch("str.*", t)
+    }
+    weights = [(t, _idf(df[t], n), 1.0) for t in sorted(variants)]
+    want = _bm25(weights, docs, dls, avgdl)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_wildcard_question_mark_is_exactly_one(small_index):
+    s = WildcardSearcher(small_index, BM25Config(hits=10))
+    # "tabl?" matches table (5+1... 'tabl'+1 char = table) but not "batch"
+    run = s.search({"q": "windo?"}).collect()
+    assert {r["docid"] for r in run} == {"d2", "d3"}
+    assert s.search({"q": "window?"}).count() == 0  # nothing is 7 chars
+
+
+# ---------------------------------------------------------------- MLT
+
+def _mlt_twin(example_docid, boost, min_tf=2, min_df=2, max_terms=3, hits=10):
+    docs, dls, df, avgdl = _stats()
+    n = len(DOCS)
+    vec = docs[example_docid]
+    cand = [
+        (t, vec[t] * _idf(df[t], n))
+        for t in vec
+        if vec[t] >= min_tf and df[t] >= min_df
+    ]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    cand = cand[:max_terms]
+    if not cand:
+        return {}
+    best = max(s for _, s in cand)
+    weights = [
+        (t, _idf(df[t], n) * ((s / best) if boost else 1.0), 1.0) for t, s in cand
+    ]
+    out = _bm25(weights, docs, dls, avgdl)
+    out.pop(example_docid, None)
+    return out
+
+
+@pytest.mark.parametrize("boost", [False, True])
+def test_mlt_matches_twin(small_index, boost):
+    s = MoreLikeThisSearcher(
+        small_index, BM25Config(k1=K1, b=B, hits=10),
+        min_term_freq=2, min_doc_freq=2, max_query_terms=3, boost=boost,
+    )
+    got = {r["docid"]: r["score"] for r in s.search({"q": "d1"}).collect()}
+    want = _mlt_twin("d1", boost)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+    assert "d1" not in got  # example excluded
+
+
+def test_mlt_self_included_when_asked(small_index):
+    s = MoreLikeThisSearcher(
+        small_index, BM25Config(hits=10),
+        min_term_freq=2, min_doc_freq=2, max_query_terms=3, exclude_self=False,
+    )
+    run = s.search({"q": "d1"}).collect()
+    ranked = sorted(run, key=lambda r: r["rank"])
+    assert ranked[0]["docid"] == "d1"  # the example is its own best match
+
+
+def test_mlt_requires_docvectors(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("nodv")),
+        IndexConfig(stemmer="none"),
+    )
+    with pytest.raises(ValueError, match="store_docvectors"):
+        MoreLikeThisSearcher(idx)
+
+
+def test_factory_registration(small_index):
+    assert isinstance(create_searcher("mlt", small_index), MoreLikeThisSearcher)
+    assert isinstance(create_searcher("regexp", small_index), RegexpSearcher)
+    assert isinstance(create_searcher("wildcard", small_index), WildcardSearcher)
