@@ -1557,6 +1557,161 @@ FROM (
 """
 
 
+# ------------------------------------------------- facets / explain
+
+_FACET_RUN_TOPN, _FACET_TOPN = 20, 3
+
+_FACET_ORACLE_SQL = f"""
+WITH run AS ({{SYNTH_RUN}}), top AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn
+    FROM run
+  ) WHERE rn <= {_FACET_RUN_TOPN}
+), joined AS (
+  SELECT t.qid, coalesce(d.lang, '(none)') AS facet
+  FROM top t JOIN documents d ON cast(d.doc_id AS varchar) = t.docid
+), counts AS (
+  SELECT qid, facet, count(*) AS cnt FROM joined GROUP BY qid, facet
+)
+SELECT qid, facet, cnt, rank FROM (
+  SELECT qid, facet, cast(cnt AS bigint) AS cnt,
+         cast(row_number() OVER (
+           PARTITION BY qid ORDER BY cnt DESC, facet ASC
+         ) AS int) AS rank
+  FROM counts
+) WHERE rank <= {_FACET_TOPN}
+"""
+
+
+def _q_run_facets(spark, sf_dir):
+    """Search facets (search/facets.py — Lucene FacetsCollector twin):
+    lang-facet counts over the synthetic run's per-qid top-20,
+    broadcast-run ⋈ pruned corpus scan, (cnt desc, facet asc) rank."""
+    from pyspark.sql import Window
+
+    from capreolus_spark.search.facets import facet_counts
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    top = (
+        _synth_run(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FACET_RUN_TOPN)
+        .select("qid", "docid")
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("docid"), "lang"
+    )
+    return facet_counts(top, docs, "lang", topn=_FACET_TOPN)
+
+
+# explain pairs: e3's topic has one absent term (no row for it)
+_EXPLAIN_TOPICS = {
+    "e1": "key table table",
+    "e2": "merge join stream",
+    "e3": "zzzmissing scan",
+}
+_EXPLAIN_DOCS = {"e1": "7", "e2": "42", "e3": "99"}
+
+
+def _explain_rows_sql() -> str:
+    from collections import Counter
+
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in sorted(_EXPLAIN_TOPICS.items()):
+        for term, qtf in sorted(Counter(analyze_text(text, stemmer="none")).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ", ".join(rows)
+
+
+def _explain_pair_rows_sql() -> str:
+    return ", ".join(
+        f"('{qid}', '{docid}')" for qid, docid in sorted(_EXPLAIN_DOCS.items())
+    )
+
+
+_EXPLAIN_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), pairs(qid, docid) AS (
+  VALUES {{PAIR_ROWS}}
+)
+SELECT p.qid, p.docid, q.term, cast(q.qtf AS int) AS qtf,
+       cast(f.tf AS int) AS tf, cast(d.df AS bigint) AS df,
+       round(greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))), 4) AS idf,
+       round(q.qtf * greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+             * f.tf / (f.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)), 4)
+         AS contribution
+FROM pairs p
+JOIN q ON q.qid = p.qid
+JOIN tf f ON f.docid = p.docid AND f.term = q.term
+JOIN dfx d ON d.term = q.term
+JOIN dl ON dl.docid = p.docid
+CROSS JOIN stats s
+"""
+
+
+def _q_score_explain(spark, sf_dir):
+    """Score explanation (search/explain.py — Lucene
+    IndexSearcher.explain twin): per-term BM25 breakdown of fixed
+    (topic, docid) pairs from the doc-vector store; 4dp-rounded for
+    the cross-engine hash."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.explain import explain_scores
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat_dv", sf_dir),
+        IndexConfig(stemmer="none", store_docvectors=True),
+    )
+    out = explain_scores(idx, _EXPLAIN_TOPICS, _EXPLAIN_DOCS, k1=_BM25_K1, b=_BM25_B)
+    return out.select(
+        "qid", "docid", "term", "qtf", "tf", "df",
+        F.round("idf", 4).alias("idf"),
+        F.round("contribution", 4).alias("contribution"),
+    )
+
+
+def _q_index_checkindex(spark, sf_dir):
+    """Index integrity audit (index/checkindex.py — Lucene CheckIndex
+    twin): decode every posting block with the production codec and
+    cross-verify dict/postings/positions/ranges/docmap against each
+    other.  Gated on the corpus-derivable subset: each `checked` count
+    must equal a fresh DuckDB tokenization of the corpus, and every
+    `mismatches` must be 0 (the block-granular rows are engine-internal
+    and covered by the tests/test_checkindex.py corruption drills)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.index.checkindex import (
+        CORPUS_DERIVABLE_CHECKS,
+        check_index,
+    )
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat_pos", sf_dir),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    return (
+        check_index(idx)
+        .filter(F.col("check").isin(list(CORPUS_DERIVABLE_CHECKS)))
+        .orderBy("check")
+    )
+
+
 def _q_mlt_search(spark, sf_dir):
     """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
     twin: tf·idf interesting-term selection from the doc-vector store,
@@ -3210,6 +3365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_search,
         "spell_suggest": _q_spell_suggest,
         "mlt_topk": _q_mlt_search,
+        "run_facets": _q_run_facets,
+        "score_explain": _q_score_explain,
+        "index_checkindex": _q_index_checkindex,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3400,6 +3558,31 @@ def oracle_sql() -> dict[str, str]:
     )
     spell = _SPELL_ORACLE_SQL.replace("{TERM_ROWS}", _spell_term_rows_sql())
     mlt = _MLT_ORACLE_SQL.replace("{TOPIC_ROWS}", _mlt_topic_rows_sql())
+    facets = _FACET_ORACLE_SQL.replace("{SYNTH_RUN}", _SYNTH_RUN_SQL)
+    explain = _EXPLAIN_ORACLE_SQL.replace(
+        "{QUERY_ROWS}", _explain_rows_sql()
+    ).replace("{PAIR_ROWS}", _explain_pair_rows_sql())
+    # CheckIndex gate: every `checked` the audit reports on a healthy
+    # index equals an independent recompute from the raw corpus (one
+    # position per indexed occurrence, one posting per distinct
+    # (doc, term) pair, dl slots only for docs with ≥1 pre-filter token),
+    # and every `mismatches` is 0.
+    checkidx = (
+        f"{tok_cte}, idx AS (SELECT docid, {indexed} AS ind, len(toks) AS ntoks FROM tok), "
+        "pairs AS (SELECT DISTINCT docid, term FROM "
+        "(SELECT docid, unnest(ind) AS term FROM idx)) "
+        "SELECT * FROM ("
+        "SELECT 'dict_terms' AS \"check\", "
+        "(SELECT cast(count(DISTINCT term) AS bigint) FROM pairs) AS checked, "
+        "cast(0 AS bigint) AS mismatches "
+        "UNION ALL SELECT 'docmap_docs', (SELECT cast(count(*) AS bigint) FROM documents), 0 "
+        "UNION ALL SELECT 'positions_entries', "
+        "(SELECT cast(coalesce(sum(len(ind)), 0) AS bigint) FROM idx), 0 "
+        "UNION ALL SELECT 'postings_entries', (SELECT cast(count(*) AS bigint) FROM pairs), 0 "
+        "UNION ALL SELECT 'ranges_docs', "
+        "(SELECT cast(count(*) AS bigint) FROM idx WHERE ntoks > 0), 0"
+        ') ORDER BY "check" ASC'
+    )
 
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -3509,6 +3692,9 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_topk": wildcard,
         "spell_suggest": spell,
         "mlt_topk": mlt,
+        "run_facets": facets,
+        "score_explain": explain,
+        "index_checkindex": checkidx,
         "result_snippets": snippets,
         "notebook_scripts": _NB_ORACLE_SQL,
         "bm25_rm3_topk": rm3,

@@ -1,0 +1,97 @@
+"""Score explanation — a Lucene ``IndexSearcher.explain`` twin: the
+per-term BM25 breakdown of one (query, document) pair.
+
+Lucene's ``explain(query, docid)`` returns the score tree (per-clause
+idf, tf saturation, norm) the ranked score summed; the reference leans
+on it for debugging runs it gets back from Anserini.  This twin
+produces the same breakdown as a small DataFrame, computed from the
+index's point-lookup stores:
+
+* term frequencies from the doc-vector store (``-storeDocvectors``,
+  the same store MoreLikeThis reads) — a docno point-pruned scan;
+* df / N / avgdl from the dictionary and stats manifest;
+* dl recomputed from the stored content with the index's own tokenizer
+  (pre-stopword-filter count — the engine's calibrated BM25 ``dl``
+  convention, SURVEY §6.3).
+
+Rows appear only for query terms that MATCH the document (tf > 0 and
+df > 0) — Lucene's explanation likewise only lists contributing
+clauses; the document's score is exactly the sum of ``contribution``.
+
+This is a point-debugging API (a handful of pairs), so the per-pair
+lookups run driver-side against the pruned stores — the same
+driver-small contract as ``get_doc_vector`` itself; the result frame
+is bounded by pairs × query terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..analysis import analyze_text, tokenize_text
+from ..index import InvertedIndex
+
+__all__ = ["explain_scores"]
+
+_SCHEMA = (
+    "qid string, docid string, term string, qtf int, tf int, df bigint, "
+    "idf double, contribution double"
+)
+
+
+def explain_scores(
+    index: InvertedIndex,
+    topics: dict[str, str],
+    docids: dict[str, str],
+    k1: float = 0.9,
+    b: float = 0.4,
+) -> DataFrame:
+    """(qid, docid, term, qtf, tf, df, idf, contribution) — one row per
+    matching query term of each (topic, ``docids[qid]``) pair.  A qid
+    missing from ``docids``, a docid absent from the index, or a pair
+    with no matching terms yields no rows."""
+    from collections import Counter
+
+    kw = index.config.analyzer_kwargs()
+    n_docs, avgdl = index.numdocs, index.avgdl
+    all_terms = sorted(
+        {t for q, text in topics.items() if q in docids for t in analyze_text(text, **kw)}
+    )
+    stats = index.get_term_stats(all_terms) if all_terms else {}
+
+    # BM25 idf, the engine's calibrated convention (scoring.BM25Scoring)
+    import math
+
+    def idf(df):
+        return max(0.0, math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+    rows = []
+    for qid in sorted(topics):
+        docid = docids.get(qid)
+        if docid is None:
+            continue
+        content = index.get_doc(docid)
+        if content is None:
+            continue
+        dl = len(tokenize_text(content, tokenizer=kw.get("tokenizer", "word")))
+        vec = index.get_doc_vector(docid)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        for term, qtf in sorted(Counter(analyze_text(topics[qid], **kw)).items()):
+            tf = vec.get(term, 0)
+            df = stats.get(term, (0, 0))[0]
+            if tf <= 0 or df <= 0:
+                continue
+            w = idf(df)
+            rows.append(
+                (
+                    str(qid),
+                    str(docid),
+                    term,
+                    int(qtf),
+                    int(tf),
+                    int(df),
+                    float(w),
+                    float(qtf * w * tf / (tf + norm)),
+                )
+            )
+    return index.spark.createDataFrame(rows, _SCHEMA)

@@ -1,0 +1,65 @@
+"""Search facets — a Lucene faceting (``FacetsCollector``) twin: count
+metadata values over the documents a ranked run retrieved.
+
+Lucene's faceting module aggregates a taxonomy field over the hits a
+query collected (the classic "narrow by language / source" sidebar);
+the reference reaches Lucene only for ranking, but a run-level facet
+breakdown is the standard companion query.  This twin computes it as
+one declarative dataflow:
+
+* the run frame is top-k-bounded by construction (``hits`` rows per
+  qid), so it is the BROADCAST side of the join — the corpus scan
+  stays pruned to (id, facet) columns and never shuffles;
+* counting is an ordinary ``groupBy(qid, facet)`` — partial-aggregated
+  map-side, the shuffle carries at most qids × distinct facet values
+  rows;
+* the per-qid facet ranking (count desc, facet asc — deterministic) is
+  a window over that tiny frame, optionally cut to ``topn``.
+
+NULL facet values count under the literal ``"(none)"`` bucket (Lucene
+indexes a missing dimension as no facet; surfacing the gap explicitly
+is the more useful serving convention and keeps the frame total equal
+to the run size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["facet_counts"]
+
+
+def facet_counts(
+    run: DataFrame,
+    corpus: DataFrame,
+    facet_col: str,
+    topn: int | None = None,
+    id_col: str = "docid",
+) -> DataFrame:
+    """(qid, facet, cnt, rank) — facet-value counts over each query's
+    retrieved documents, ranked (cnt desc, facet asc) per qid.
+
+    ``run`` needs (qid, docid); ``corpus`` needs (``id_col``,
+    ``facet_col``).  A docid retrieved by several qids counts once per
+    qid; a run docid absent from the corpus contributes nothing (inner
+    join — the run is assumed to come from this corpus's index).
+    """
+    docs = corpus.select(
+        F.col(id_col).alias("docid"),
+        F.coalesce(F.col(facet_col).cast("string"), F.lit("(none)")).alias("facet"),
+    )
+    hits = run.select("qid", "docid").distinct()
+    counts = (
+        docs.join(F.broadcast(hits), "docid")
+        .groupBy("qid", "facet")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("facet"))
+    out = counts.withColumn("rank", F.row_number().over(w))
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out.select(
+        "qid", "facet", F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -446,6 +446,31 @@ def main() -> None:
             )
         )
 
+        # 24. facets: the bounded run is the broadcast side; the corpus
+        #     scan reads only the id + facet columns (pruned), count is
+        #     map-side partial, and the whole plan stays python-free
+        from capreolus_spark.search.facets import facet_counts
+
+        frun = spark.createDataFrame(
+            [("q1", "1"), ("q1", "2"), ("q2", "3")], "qid string, docid string"
+        )
+        fplan = (
+            facet_counts(frun, docs_df.withColumn("lang", F.lit("py")), "lang",
+                         topn=3, id_col="doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        results.append(
+            (
+                "facet counts broadcast the run with partial count, python-free",
+                "BroadcastHashJoin" in fplan
+                and "partial_count" in fplan
+                and "BatchEvalPython" not in fplan
+                and "ArrowEvalPython" not in fplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,171 @@
+"""CheckIndex twin: healthy indexes audit clean, and every corruption
+class the audit claims to cover is actually detected (the drills doctor
+raw stage frames through ``audit_frames``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.index.checkindex import (
+    CORPUS_DERIVABLE_CHECKS,
+    audit_frames,
+    check_index,
+)
+
+DOCS = [
+    ("d1", "spark index of the postings table"),
+    ("d2", "postings postings postings compress well"),
+    ("d3", "the audit walks every block in the index"),
+    ("d4", "empty slots are not the same as empty docs"),
+    ("d5", ""),  # zero-length document: dl = 0
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("chk")),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+
+
+def _summary(df):
+    return {r["check"]: (r["checked"], r["mismatches"]) for r in df.collect()}
+
+
+def test_healthy_index_audits_clean(spark, pos_index):
+    s = _summary(check_index(pos_index))
+    assert set(s) == set(CORPUS_DERIVABLE_CHECKS) | {"postings_blocks"}
+    assert all(m == 0 for _, m in s.values())
+
+    # checked counts equal an independent recompute from the corpus
+    from capreolus_spark.search.oracle import analyzed_terms_df
+
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    toks = analyzed_terms_df(corpus, stemmer="none").select(
+        "docid", F.explode("terms").alias("term")
+    )
+    n_pairs = toks.distinct().count()
+    n_occ = toks.count()
+    n_vocab = toks.select("term").distinct().count()
+    assert s["dict_terms"][0] == n_vocab
+    assert s["postings_entries"][0] == n_pairs
+    assert s["positions_entries"][0] == n_occ  # one position per occurrence
+    assert s["docmap_docs"][0] == len(DOCS)
+    # ranges hold one dl slot per doc WITH ≥1 pre-filter token (build.py
+    # emits kind=dl rows only for lens > 0) — the empty d5 is docmap-only
+    assert s["ranges_docs"][0] == sum(1 for _, c in DOCS if c.strip())
+    assert s["postings_blocks"][0] >= n_vocab  # ≥ one block per term
+
+
+def test_no_positions_index_reports_zero_checked(spark, tmp_path):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "nopos"),
+        IndexConfig(stemmer="none", store_positions=False),
+    )
+    s = _summary(check_index(idx))
+    assert s["positions_entries"] == (0, 0)
+    assert all(m == 0 for _, m in s.values())
+
+
+@pytest.fixture()
+def frames(pos_index):
+    return (
+        pos_index.postings_df(),
+        pos_index.dict_df(),
+        pos_index.ranges_df(),
+        pos_index.docs_df().select("docid", "docno", "sha256"),
+    )
+
+
+def test_detects_dict_count_drift(frames):
+    postings, d, ranges, docmap = frames
+    bad_dict = d.withColumn(
+        "df", F.when(F.col("term") == "postings", F.col("df") + 1).otherwise(F.col("df"))
+    )
+    s = _summary(audit_frames(postings, bad_dict, ranges, docmap))
+    assert s["dict_terms"][1] == 1
+    assert s["postings_blocks"][1] == 0  # block-local stats still consistent
+
+
+def test_detects_orphan_dict_term_and_orphan_postings(spark, frames):
+    postings, d, ranges, docmap = frames
+    extra = spark.createDataFrame(
+        [("ghostterm", 1, 1, 1)], "term string, df long, cf long, max_tf int"
+    )
+    s = _summary(audit_frames(postings, d.unionByName(extra), ranges, docmap))
+    assert s["dict_terms"][1] == 1  # dict term with no postings
+
+    dropped = d.filter(F.col("term") != "postings")
+    s2 = _summary(audit_frames(postings, dropped, ranges, docmap))
+    assert s2["dict_terms"][1] == 1  # postings with no dict row
+
+
+def test_detects_corrupt_posting_buffer(frames):
+    postings, d, ranges, docmap = frames
+    # truncate the docnos varint stream for one term → decode disagrees
+    corrupt = postings.withColumn(
+        "docnos",
+        F.when(
+            F.col("term") == "postings",
+            F.expr("substring(docnos, 1, greatest(length(docnos) - 1, 0))"),
+        ).otherwise(F.col("docnos")),
+    )
+    s = _summary(audit_frames(corrupt, d, ranges, docmap))
+    assert s["postings_blocks"][1] >= 1
+    assert s["dict_terms"][1] >= 1  # term aggregate no longer matches dict
+
+
+def test_detects_stored_block_stat_drift(frames):
+    postings, d, ranges, docmap = frames
+    bad = postings.withColumn(
+        "cf_range",
+        F.when(F.col("term") == "index", F.col("cf_range") + 5).otherwise(
+            F.col("cf_range")
+        ),
+    )
+    s = _summary(audit_frames(bad, d, ranges, docmap))
+    assert s["postings_blocks"][1] >= 1
+
+
+def test_detects_out_of_bounds_docnos(frames):
+    postings, d, ranges, docmap = frames
+    # shift every range window past the real docnos → every entry flags
+    shifted = ranges.withColumn(
+        "base_docno", F.col("base_docno") + F.col("n_slots") + 10
+    )
+    s = _summary(audit_frames(postings, d, shifted, docmap))
+    assert s["postings_entries"][1] == s["postings_entries"][0]
+    assert s["postings_blocks"][1] == s["postings_blocks"][0]
+
+
+def test_detects_duplicate_docmap_rows(frames):
+    postings, d, ranges, docmap = frames
+    dup = docmap.unionByName(docmap.limit(1))
+    s = _summary(audit_frames(postings, d, ranges, dup))
+    assert s["docmap_docs"][1] == 2  # one dup docno + one dup docid
+
+
+def test_detects_corrupt_positions_stream(frames):
+    postings, d, ranges, docmap = frames
+    bad = postings.withColumn(
+        "positions",
+        F.when(
+            F.col("term") == "postings",
+            F.expr("substring(positions, 1, greatest(length(positions) - 1, 0))"),
+        ).otherwise(F.col("positions")),
+    )
+    s = _summary(audit_frames(bad, d, ranges, docmap))
+    assert s["positions_entries"][1] >= 1
+
+
+def test_detects_malformed_dl_array(frames):
+    postings, d, ranges, docmap = frames
+    bad = ranges.withColumn(
+        "dls", F.expr("substring(dls, 1, greatest(length(dls) - 4, 0))")
+    )
+    s = _summary(audit_frames(postings, d, bad, docmap))
+    assert s["ranges_docs"][1] == bad.count()

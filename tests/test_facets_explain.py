@@ -1,0 +1,122 @@
+"""Search facets (search/facets.py — Lucene FacetsCollector twin) and
+score explanation (search/explain.py — IndexSearcher.explain twin)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.analysis import analyze_text, tokenize_text
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.explain import explain_scores
+from capreolus_spark.search.facets import facet_counts
+
+K1, B = 0.9, 0.4
+
+FDOCS = [
+    # (docid, content, lang)
+    ("d1", "table scan merge table", "py"),
+    ("d2", "table merge window", "py"),
+    ("d3", "merge window window", "go"),
+    ("d4", "scan scan probe", "go"),
+    ("d5", "stream probe table", "rs"),
+    ("d6", "other words here", None),
+]
+RUN = [
+    # (qid, docid)
+    ("q1", "d1"), ("q1", "d2"), ("q1", "d3"), ("q1", "d6"),
+    ("q2", "d3"), ("q2", "d4"), ("q2", "d5"),
+]
+
+
+@pytest.fixture(scope="module")
+def fcorpus(spark):
+    return spark.createDataFrame(FDOCS, "docid string, content string, lang string")
+
+
+def test_facet_counts_match_twin(spark, fcorpus):
+    run = spark.createDataFrame(RUN, "qid string, docid string")
+    got = {
+        (r["qid"], r["facet"]): (r["cnt"], r["rank"])
+        for r in facet_counts(run, fcorpus, "lang").collect()
+    }
+    lang = {d: (l if l is not None else "(none)") for d, _, l in FDOCS}
+    want_counts = Counter((q, lang[d]) for q, d in RUN)
+    assert {k: v[0] for k, v in got.items()} == dict(want_counts)
+    # per-qid ranking: cnt desc, facet asc
+    for qid in {"q1", "q2"}:
+        ranked = sorted(
+            ((f, c) for (q, f), (c, _) in got.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for i, (f, _) in enumerate(ranked, 1):
+            assert got[(qid, f)][1] == i
+
+
+def test_facet_topn_and_duplicate_run_rows(spark, fcorpus):
+    dup = spark.createDataFrame(RUN + RUN[:2], "qid string, docid string")
+    out = facet_counts(dup, fcorpus, "lang", topn=1).collect()
+    # dedup inside: duplicated run rows don't double-count
+    by_qid = {r["qid"]: r for r in out}
+    assert len(out) == 2 and by_qid["q1"]["cnt"] == 2  # py x2 wins q1
+    assert by_qid["q1"]["facet"] == "py"
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_facet_null_bucket(spark, fcorpus):
+    run = spark.createDataFrame([("q1", "d6")], "qid string, docid string")
+    out = facet_counts(run, fcorpus, "lang").collect()
+    assert len(out) == 1 and out[0]["facet"] == "(none)"
+
+
+@pytest.fixture(scope="module")
+def exp_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(
+        [(d, c) for d, c, _ in FDOCS], "docid string, content string"
+    )
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("expl")),
+        IndexConfig(stemmer="none", store_docvectors=True),
+    )
+
+
+def test_explain_matches_search_score(spark, exp_index):
+    topics = {"q1": "table merge", "q2": "scan probe zzzunseen"}
+    docids = {"q1": "d1", "q2": "d4"}
+    rows = explain_scores(exp_index, topics, docids, k1=K1, b=B).collect()
+    run = BM25Searcher(exp_index, BM25Config(k1=K1, b=B, hits=10)).search_collect(topics)
+    for qid, docid in docids.items():
+        total = sum(r["contribution"] for r in rows if r["qid"] == qid)
+        assert total == pytest.approx(run[qid][docid], rel=1e-9)
+    # unseen term contributes no row
+    assert not [r for r in rows if r["term"] == "zzzunseen"]
+
+
+def test_explain_values_match_twin(exp_index):
+    rows = explain_scores(exp_index, {"q": "table table scan"}, {"q": "d1"}).collect()
+    docs = {d: Counter(analyze_text(c, stemmer="none")) for d, c, _ in FDOCS}
+    dls = {d: len(tokenize_text(c)) for d, c, _ in FDOCS}
+    df = Counter(t for tf in docs.values() for t in tf)
+    n, avgdl = len(FDOCS), sum(dls.values()) / len(FDOCS)
+    by_term = {r["term"]: r for r in rows}
+    assert set(by_term) == {"table", "scan"}
+    for term, qtf in [("table", 2), ("scan", 1)]:
+        r = by_term[term]
+        assert (r["qtf"], r["tf"], r["df"]) == (qtf, docs["d1"][term], df[term])
+        idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+        assert r["idf"] == pytest.approx(idf, rel=1e-12)
+        tfv = docs["d1"][term]
+        want = qtf * idf * tfv / (tfv + K1 * (1 - B + B * dls["d1"] / avgdl))
+        assert r["contribution"] == pytest.approx(want, rel=1e-12)
+
+
+def test_explain_missing_doc_or_pair(exp_index):
+    rows = explain_scores(
+        exp_index, {"q1": "table", "q2": "table"}, {"q1": "zzznodoc"}
+    ).collect()
+    assert rows == []  # q1 doc absent, q2 has no docid mapping
