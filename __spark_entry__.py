@@ -1712,6 +1712,137 @@ def _q_index_checkindex(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- dismax / termrange
+
+_DISMAX_TIE = 0.3
+
+# Lucene DisjunctionMaxQuery combine over per-term BM25 clauses:
+# score = max + tie*(sum - max); same 4dp gate-rank convention as BM25.
+_DISMAX_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), clause AS (
+  SELECT qw.qid, tf.docid,
+         qw.qtf * qw.idf * tf.tf /
+           (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS c
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+), scored AS (
+  SELECT qid, docid, max(c) + {_DISMAX_TIE} * (sum(c) - max(c)) AS score
+  FROM clause GROUP BY qid, docid HAVING score > 0
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM scored
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+def _q_dismax_search(spark, sf_dir):
+    """Disjunction-max retrieval (search/dismax.py — Lucene
+    DisjunctionMaxQuery twin: per-doc max over per-term BM25 clauses +
+    tie_breaker × the remainder, exhaustive DAAT kernel)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.dismax import DisMaxSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir),
+        IndexConfig(stemmer="none"),
+    )
+    run = DisMaxSearcher(
+        idx, BM25Config(hits=_GATE_HITS), tie_breaker=_DISMAX_TIE
+    ).search(_TOPICS)
+    return _gate_rank(run)
+
+
+# inclusive, exclusive, open-upper, empty (nothing ≥ zz), and a
+# multi-expression topic with mixed brackets
+_TERMRANGE_TOPICS = {
+    "tr1": "[key,merge]",
+    "tr2": "{batch,data}",
+    "tr3": "[sort,*]",
+    "tr4": "[zz,*]",
+    "tr5": "[query,row} {a,big]",
+}
+
+
+def _termrange_rows_sql() -> str:
+    """VALUES rows (qid, qterm, qtf) — raw range expressions, counted the
+    way TermRangeSearcher analyzes topics (lowercase split + Counter)."""
+    from collections import Counter
+
+    rows = []
+    for qid, text in _TERMRANGE_TOPICS.items():
+        for expr, qtf in sorted(Counter(text.lower().split()).items()):
+            rows.append(f"('{qid}', '{expr}', {qtf})")
+    return ", ".join(rows)
+
+
+# bounds parsed from the expression IN SQL: body = qterm minus brackets,
+# lo/hi = the comma halves, '*' = open, bracket shape = inclusivity —
+# identical binary-collation comparisons to the engine's dictionary scan
+_TR_BODY = "substr(f.qterm, 2, length(f.qterm) - 2)"
+_TR_LO, _TR_HI = f"split_part({_TR_BODY}, ',', 1)", f"split_part({_TR_BODY}, ',', 2)"
+_TERMRANGE_ORACLE_SQL = (
+    _EXPANSION_HEAD_SQL
+    + f""", exp AS (
+  SELECT qid, qterm, qtf, term, df, 1.0 AS boost FROM (
+    SELECT f.qid, f.qterm, f.qtf, v.term, v.df,
+           row_number() OVER (
+             PARTITION BY f.qid, f.qterm ORDER BY v.df DESC, v.term ASC
+           ) AS rn
+    FROM fq f JOIN dfx v ON
+      ({_TR_LO} = '*' OR (CASE WHEN starts_with(f.qterm, '[')
+                          THEN v.term >= {_TR_LO} ELSE v.term > {_TR_LO} END))
+      AND
+      ({_TR_HI} = '*' OR (CASE WHEN ends_with(f.qterm, ']')
+                          THEN v.term <= {_TR_HI} ELSE v.term < {_TR_HI} END))
+  ) WHERE rn <= {_EXPANSION_CAP}
+), """
+    + _EXPANSION_TAIL_SQL
+)
+
+
+def _q_termrange_search(spark, sf_dir):
+    """Term-range retrieval (search/fuzzy.py TermRangeSearcher — Lucene
+    TermRangeQuery twin: [lo,hi] / {{lo,hi}} / open-* dictionary-bound
+    expansion under the scoring-boolean rewrite)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import create_searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir),
+        IndexConfig(stemmer="none"),
+    )
+    run = create_searcher(
+        "termrange", idx, hits=_GATE_HITS, max_expansions=_EXPANSION_CAP
+    ).search(_TERMRANGE_TOPICS)
+    return _gate_rank(run)
+
+
 def _q_mlt_search(spark, sf_dir):
     """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
     twin: tf·idf interesting-term selection from the doc-vector store,
@@ -3368,6 +3499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_facets": _q_run_facets,
         "score_explain": _q_score_explain,
         "index_checkindex": _q_index_checkindex,
+        "dismax_topk": _q_dismax_search,
+        "termrange_topk": _q_termrange_search,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3695,6 +3828,10 @@ def oracle_sql() -> dict[str, str]:
         "run_facets": facets,
         "score_explain": explain,
         "index_checkindex": checkidx,
+        "dismax_topk": _DISMAX_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
+        "termrange_topk": _TERMRANGE_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _termrange_rows_sql()
+        ),
         "result_snippets": snippets,
         "notebook_scripts": _NB_ORACLE_SQL,
         "bm25_rm3_topk": rm3,

@@ -142,13 +142,18 @@ class BM25Searcher:
             scoring=self.scoring,
             avgdl=self.index.avgdl,
             hits=max(hits or 0, self.config.hits),
-            prune=self.prune,
+            **self._kernel_kwargs(),
         )
         return (
             postings.groupBy("range_id")
             .cogroup(ranges.groupBy("range_id"))
             .applyInPandas(scorer, schema=RESULT_SCHEMA)
         )
+
+    def _kernel_kwargs(self) -> dict:
+        """Extra kwargs for make_range_scorer — subclasses override to
+        change the per-doc combine (e.g. DisMaxSearcher)."""
+        return {"prune": self.prune}
 
     def _global_topk_cut(self, candidates: DataFrame, hits: int) -> DataFrame:
         """Cut (qid, docno, score) to the global per-qid top-``hits`` BEFORE
@@ -512,6 +517,26 @@ def _make_regexp(index, **cfg):
     )
 
 
+def _make_termrange(index, **cfg):
+    from .fuzzy import TermRangeSearcher
+
+    return TermRangeSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        max_expansions=cfg.get("max_expansions", 50),
+    )
+
+
+def _make_dismax(index, **cfg):
+    from .dismax import DisMaxSearcher
+
+    return DisMaxSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        tie_breaker=cfg.get("tie_breaker", 0.0),
+    )
+
+
 def _make_wildcard(index, **cfg):
     from .fuzzy import WildcardSearcher
 
@@ -565,6 +590,8 @@ SEARCHERS = {
     "near": _make_near,  # beyond-reference: Lucene SpanNearQuery twin
     "regexp": _make_regexp,  # beyond-reference: Lucene RegexpQuery twin
     "wildcard": _make_wildcard,  # beyond-reference: Lucene WildcardQuery twin
+    "termrange": _make_termrange,  # beyond-reference: Lucene TermRangeQuery twin
+    "dismax": _make_dismax,  # beyond-reference: Lucene DisjunctionMaxQuery twin
     "mlt": _make_mlt,  # beyond-reference: Lucene MoreLikeThis twin
 }
 

@@ -76,9 +76,17 @@ def _score_one_query(
     avgdl: float,
     hits: int,
     prune: bool,
+    scores_max: np.ndarray | None = None,
+    tie_breaker: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one query against one range. Returns (slots, scores) of the
-    per-range top-``hits`` candidates (with boundary ties)."""
+    per-range top-``hits`` candidates (with boundary ties).
+
+    With ``scores_max`` provided the combine is Lucene DisjunctionMax
+    (``max + tie_breaker * (sum - max)`` per doc) instead of the boolean
+    sum; callers must pass ``prune=False`` — the block-max suffix bounds
+    below assume the sum combine (a dismax-aware WAND bound exists but
+    exhaustive evaluation keeps the kernel exact and simple)."""
     # block upper bounds per term (descending processing order)
     ubs = np.array(
         [
@@ -112,12 +120,20 @@ def _score_one_query(
                 continue
         else:
             touched.append(slots)
-        scores[slots] += qtf * scoring.contrib(w, tfs, dls[slots], avgdl)
+        contrib = qtf * scoring.contrib(w, tfs, dls[slots], avgdl)
+        scores[slots] += contrib
+        if scores_max is not None:
+            # slots are unique within one posting run: plain fancy-index max
+            scores_max[slots] = np.maximum(scores_max[slots], contrib)
 
     if not touched:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     all_slots = np.unique(np.concatenate(touched))
-    cscores = scores[all_slots]
+    if scores_max is not None:
+        m = scores_max[all_slots]
+        cscores = m + tie_breaker * (scores[all_slots] - m)
+    else:
+        cscores = scores[all_slots]
     pos_mask = cscores > 0.0
     all_slots, cscores = all_slots[pos_mask], cscores[pos_mask]
     if all_slots.size > hits:
@@ -133,6 +149,7 @@ def make_range_scorer(
     avgdl: float,
     hits: int,
     prune: bool = True,
+    tie_breaker: float | None = None,
 ):
     """Build the cogrouped applyInPandas function.
 
@@ -145,6 +162,8 @@ def make_range_scorer(
         (qid, sorted(terms, key=lambda x: x[0]))
         for qid, terms in sorted(query_terms.items())
     ]
+    if tie_breaker is not None:
+        prune = False  # block-max suffix bounds assume the sum combine
 
     def score_range(postings: pd.DataFrame, ranges: pd.DataFrame) -> pd.DataFrame:
         if len(postings) == 0 or len(ranges) == 0:
@@ -173,6 +192,7 @@ def make_range_scorer(
             return cell
 
         scores = np.zeros(n_slots, dtype=np.float64)
+        scores_max = None if tie_breaker is None else np.zeros(n_slots, dtype=np.float64)
         out_qid: list[str] = []
         out_docno: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
@@ -184,12 +204,15 @@ def make_range_scorer(
             slots, cscores = _score_one_query(
                 present, get_cell, dls, scores, meta_max_tf, min_dl,
                 scoring, avgdl, hits, prune,
+                scores_max=scores_max, tie_breaker=tie_breaker or 0.0,
             )
             # zero only the touched slots (cheaper than scores[:] = 0)
             for t, _, _ in present:
                 cell = cells.get(t)
                 if cell is not None:
                     scores[cell[0]] = 0.0
+                    if scores_max is not None:
+                        scores_max[cell[0]] = 0.0
             if slots.size:
                 out_qid.append(qid)
                 out_docno.append(slots + base)

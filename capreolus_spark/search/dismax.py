@@ -1,0 +1,57 @@
+"""Disjunction-max retrieval — a Lucene ``DisjunctionMaxQuery`` twin.
+
+The reference reaches Lucene's query algebra through Anserini's parser
+(``capreolus/searcher/anserini.py:26-83``); ``DisjunctionMaxQuery``
+scores a document as the MAXIMUM of its clause scores plus
+``tie_breaker`` times the sum of the remaining clauses::
+
+    score(d) = max_i s_i(d) + tie_breaker * (Σ_i s_i(d) - max_i s_i(d))
+
+With one field per document the clauses are the analyzed query terms,
+each scored as an exact BM25 term clause (``qtf · idf · tf_sat`` — the
+same per-term contribution the boolean-sum searcher accumulates).
+``tie_breaker = 1.0`` therefore reproduces the plain BM25 sum exactly,
+and ``tie_breaker = 0.0`` ranks by the single best term.
+
+Convention: a repeated query term is ONE clause whose score carries its
+query term frequency as a boost (``qtf · idf · tf_sat``), mirroring the
+engine's boolean searcher.  Lucene would instead see two identical
+clauses (max = s, sum = 2s); our convention keeps dismax consistent
+with every other searcher's qtf handling and is what the DuckDB oracle
+gates.
+
+Execution reuses the full DAAT dataflow — per-range cogroup, per-range
+top-k, global cut, docid broadcast — with the kernel's combine switched
+from sum to (max, sum) accumulation (``daat.make_range_scorer``'s
+``tie_breaker`` parameter).  Block-max WAND pruning is disabled: its
+suffix upper bounds assume the sum combine, so the dismax kernel
+evaluates candidates exhaustively within each range (still linear in
+the touched postings, identical shuffle shape).
+"""
+
+from __future__ import annotations
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["DisMaxSearcher"]
+
+
+class DisMaxSearcher(BM25Searcher):
+    """BM25-weighted disjunction-max over the analyzed query terms."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        tie_breaker: float = 0.0,
+        tag: str = DEFAULT_TAG,
+    ):
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+        super().__init__(index, config, prune=False, tag=tag)
+        self.tie_breaker = float(tie_breaker)
+
+    def _kernel_kwargs(self) -> dict:
+        return {"prune": False, "tie_breaker": self.tie_breaker}

@@ -50,7 +50,13 @@ from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from . import BM25Searcher
 
-__all__ = ["FuzzySearcher", "PrefixSearcher", "RegexpSearcher", "WildcardSearcher"]
+__all__ = [
+    "FuzzySearcher",
+    "PrefixSearcher",
+    "RegexpSearcher",
+    "TermRangeSearcher",
+    "WildcardSearcher",
+]
 
 
 class _ExpansionSearcher(BM25Searcher):
@@ -239,6 +245,83 @@ class RegexpSearcher(_ExpansionSearcher):
         cand = d.join(
             F.broadcast(q), F.regexp_like(F.col("term"), self._pattern_expr())
         ).withColumn("boost", F.lit(1.0))
+        w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.max_expansions)
+            .select("qterm", "term", "boost", "df")
+        )
+
+
+class TermRangeSearcher(_ExpansionSearcher):
+    """Lucene ``TermRangeQuery`` twin: each topic is a whitespace-separated
+    list of range expressions over the term dictionary —
+
+    * ``[lo,hi]`` — inclusive bounds (Lucene ``[lo TO hi]``),
+    * ``{lo,hi}`` — exclusive bounds (Lucene ``{lo TO hi}``),
+    * mixed brackets (``[lo,hi}``), and ``*`` for an open bound
+      (``[a,*]`` = everything ≥ a).
+
+    Expansion selects dictionary terms inside the bounds under BINARY
+    string comparison (Lucene's ``BytesRef`` order for ASCII; Spark UTF8
+    and DuckDB default collation agree on it), boost 1.0, capped at
+    ``max_expansions`` by (df desc, term asc) — then scored as a boolean
+    disjunction through the gated BM25 kernel, identical to the other
+    multi-term rewrites.  The bound predicates are plain JVM string
+    comparisons over the DICTIONARY scan; postings are never touched
+    until the capped expansion feeds the kernel."""
+
+    @staticmethod
+    def _parse_range(expr: str) -> tuple[str | None, str | None, bool, bool]:
+        """``[lo,hi}`` → (lo, hi, lo_inclusive, hi_inclusive); ``*`` → None."""
+        if len(expr) < 3 or expr[0] not in "[{" or expr[-1] not in "]}":
+            raise ValueError(
+                f"term range must look like [lo,hi] / {{lo,hi}}, got {expr!r}"
+            )
+        body = expr[1:-1]
+        if body.count(",") != 1:
+            raise ValueError(f"term range needs exactly one comma: {expr!r}")
+        lo, hi = body.split(",")
+        return (
+            lo if lo != "*" else None,
+            hi if hi != "*" else None,
+            expr[0] == "[",
+            expr[-1] == "]",
+        )
+
+    def analyze_topics(self, topics: dict[str, str]) -> dict[str, list[str]]:
+        # raw range expressions, lowercased to match the dictionary;
+        # validated eagerly so a malformed topic fails at submit time
+        out = {}
+        for qid, text in topics.items():
+            exprs = text.lower().split()
+            for e in exprs:
+                self._parse_range(e)
+            out[str(qid)] = exprs
+        return out
+
+    def _expansion_df(self, qterms: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        spark = self.index.spark
+        rows = []
+        for expr in qterms:
+            lo, hi, lo_inc, hi_inc = self._parse_range(expr)
+            rows.append((expr, lo, hi, lo_inc, hi_inc))
+        q = spark.createDataFrame(
+            rows,
+            "qterm string, lo string, hi string, lo_inc boolean, hi_inc boolean",
+        )
+        d = self.index.dict_df().select("term", "df")
+        in_lo = F.col("lo").isNull() | F.when(
+            F.col("lo_inc"), F.col("term") >= F.col("lo")
+        ).otherwise(F.col("term") > F.col("lo"))
+        in_hi = F.col("hi").isNull() | F.when(
+            F.col("hi_inc"), F.col("term") <= F.col("hi")
+        ).otherwise(F.col("term") < F.col("hi"))
+        cand = d.join(F.broadcast(q), in_lo & in_hi).withColumn(
+            "boost", F.lit(1.0)
+        )
         w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
         return (
             cand.withColumn("_rn", F.row_number().over(w))

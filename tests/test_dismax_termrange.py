@@ -1,0 +1,171 @@
+"""DisMaxSearcher (Lucene DisjunctionMaxQuery twin) and
+TermRangeSearcher (Lucene TermRangeQuery twin)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.search import BM25Searcher, create_searcher
+from capreolus_spark.search.dismax import DisMaxSearcher
+from capreolus_spark.search.fuzzy import TermRangeSearcher
+
+DOCS = [
+    ("d1", "alpha beta gamma delta"),
+    ("d2", "alpha alpha alpha beta"),
+    ("d3", "gamma gamma delta epsilon"),
+    ("d4", "beta beta beta beta epsilon"),
+    ("d5", "zeta eta theta"),
+]
+TOPICS = {"t1": "alpha gamma", "t2": "beta epsilon zeta", "t3": "alpha alpha beta"}
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("dmx")),
+        IndexConfig(stemmer="none"),
+    )
+
+
+def _runs(df):
+    return {
+        (r["qid"], r["docid"]): (r["rank"], r["score"]) for r in df.collect()
+    }
+
+
+# ------------------------------------------------------------- dismax
+
+def test_tie_one_equals_bm25_sum(idx):
+    bm25 = _runs(BM25Searcher(idx, BM25Config(hits=10)).search(TOPICS))
+    dmx = _runs(
+        DisMaxSearcher(idx, BM25Config(hits=10), tie_breaker=1.0).search(TOPICS)
+    )
+    assert set(bm25) == set(dmx)
+    for k, (rank, score) in bm25.items():
+        drank, dscore = dmx[k]
+        assert drank == rank
+        assert dscore == pytest.approx(score, rel=1e-12)
+
+
+def _clause_scores(idx, qid_terms):
+    """Brute-force per-(doc, term) BM25 clause scores from raw counts."""
+    from collections import Counter
+
+    toks = {d: c.split() for d, c in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    out = {}
+    for qterm, qtf in Counter(qid_terms).items():
+        if qterm not in df:
+            continue
+        idf = max(0.0, math.log(1 + (n - df[qterm] + 0.5) / (df[qterm] + 0.5)))
+        for d, terms in toks.items():
+            tf = terms.count(qterm)
+            if tf:
+                sat = tf / (tf + 0.9 * (1 - 0.4 + 0.4 * len(terms) / avgdl))
+                out.setdefault(d, []).append(qtf * idf * sat)
+    return out
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_matches_brute_force(idx, tie):
+    run = _runs(DisMaxSearcher(idx, BM25Config(hits=10), tie_breaker=tie).search(TOPICS))
+    for qid, text in TOPICS.items():
+        expected = {
+            d: max(cs) + tie * (sum(cs) - max(cs))
+            for d, cs in _clause_scores(idx, text.split()).items()
+        }
+        got = {d: s for (q, d), (_, s) in run.items() if q == qid}
+        assert set(got) == {d for d, s in expected.items() if s > 0}
+        for d, s in got.items():
+            assert s == pytest.approx(expected[d], rel=1e-12)
+
+
+def test_dismax_tie_zero_ranks_by_best_clause(idx):
+    # t3 repeats alpha: the engine's convention scores the repeated term
+    # as ONE clause carrying qtf=2 (documented in search/dismax.py)
+    run = _runs(DisMaxSearcher(idx, BM25Config(hits=10), tie_breaker=0.0).search(TOPICS))
+    cs = _clause_scores(idx, ["alpha", "alpha", "beta"])
+    for d, contribs in cs.items():
+        assert run[("t3", d)][1] == pytest.approx(max(contribs), rel=1e-12)
+
+
+def test_tie_breaker_validation(idx):
+    with pytest.raises(ValueError, match="tie_breaker"):
+        DisMaxSearcher(idx, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="tie_breaker"):
+        DisMaxSearcher(idx, tie_breaker=-0.1)
+
+
+def test_dismax_factory(idx):
+    s = create_searcher("dismax", idx, hits=5, tie_breaker=0.4)
+    assert isinstance(s, DisMaxSearcher) and s.tie_breaker == 0.4
+
+
+# ---------------------------------------------------------- termrange
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("[alpha,beta]", ("alpha", "beta", True, True)),
+        ("{alpha,beta}", ("alpha", "beta", False, False)),
+        ("[alpha,beta}", ("alpha", "beta", True, False)),
+        ("[*,beta]", (None, "beta", True, True)),
+        ("[alpha,*]", ("alpha", None, True, True)),
+    ],
+)
+def test_parse_range(expr, expected):
+    assert TermRangeSearcher._parse_range(expr) == expected
+
+
+@pytest.mark.parametrize("bad", ["alpha", "[alpha]", "[a,b,c]", "(a,b)", "[]"])
+def test_parse_range_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        TermRangeSearcher._parse_range(bad)
+
+
+def test_termrange_equals_enumerated_bm25(idx):
+    # [beta,epsilon] inclusive → beta, delta, epsilon in this vocabulary;
+    # the range run must equal BM25 over exactly those terms (boost 1.0,
+    # qtf 1 each — the scoring-boolean rewrite)
+    rng = _runs(
+        create_searcher("termrange", idx, hits=10).search({"r1": "[beta,epsilon]"})
+    )
+    bm = _runs(
+        BM25Searcher(idx, BM25Config(hits=10)).search({"r1": "beta delta epsilon"})
+    )
+    assert rng == bm
+
+
+def test_termrange_exclusive_and_open_bounds(idx):
+    s = create_searcher("termrange", idx, hits=10)
+    # {beta,epsilon} → delta only
+    ex = _runs(s.search({"x": "{beta,epsilon}"}))
+    bm = _runs(BM25Searcher(idx, BM25Config(hits=10)).search({"x": "delta"}))
+    assert ex == bm
+    # [theta,*] → theta + zeta (open upper) — d5 only
+    op = {d for (q, d) in _runs(s.search({"o": "[theta,*]"}))}
+    assert op == {"d5"}
+    # nothing ≥ zz → empty, no crash
+    assert s.search({"e": "[zz,*]"}).count() == 0
+
+
+def test_termrange_expansion_cap(idx):
+    # cap 1 keeps the highest-df term in range: beta (df 3) over
+    # delta/epsilon (df 2) and the rest
+    s = create_searcher("termrange", idx, hits=10, max_expansions=1)
+    capped = _runs(s.search({"c": "[beta,epsilon]"}))
+    bm = _runs(BM25Searcher(idx, BM25Config(hits=10)).search({"c": "beta"}))
+    assert capped == bm
+
+
+def test_termrange_malformed_topic_fails_at_submit(idx):
+    with pytest.raises(ValueError, match="term range"):
+        create_searcher("termrange", idx).search({"m": "notarange"})
