@@ -1843,6 +1843,32 @@ def _q_termrange_search(spark, sf_dir):
     return _gate_rank(run)
 
 
+def _q_merged_index_bm25(spark, sf_dir):
+    """Index merge (index/merge.py — Lucene IndexWriter.addIndexes twin):
+    build the corpus as two independent half-indexes (doc_id parity
+    split), merge them WITHOUT re-tokenizing (docno-shift + postings
+    re-encode + dict sum), then run the standard BM25 topics against the
+    merged index.  The oracle is the plain full-corpus BM25 SQL — so the
+    gate pins the merged index to be score- and rank-identical to a
+    fresh build over the union."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.index.merge import merge_indexes
+    from capreolus_spark.search import BM25Searcher
+
+    cfg = IndexConfig(stemmer="none")
+    corpus = _corpus(spark, sf_dir)
+    even = corpus.filter(F.col("docid").cast("long") % 2 == 0)
+    odd = corpus.filter(F.col("docid").cast("long") % 2 == 1)
+    a = InvertedIndex.create(spark, even, _index_dir("mrg_even", sf_dir), cfg)
+    b = InvertedIndex.create(spark, odd, _index_dir("mrg_odd", sf_dir), cfg)
+    merged = merge_indexes(
+        spark, [a.index_dir, b.index_dir], _index_dir("mrg_union", sf_dir)
+    )
+    run = BM25Searcher(merged, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
+    return _gate_rank(run)
+
+
 def _q_mlt_search(spark, sf_dir):
     """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
     twin: tf·idf interesting-term selection from the doc-vector store,
@@ -3501,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_checkindex": _q_index_checkindex,
         "dismax_topk": _q_dismax_search,
         "termrange_topk": _q_termrange_search,
+        "merged_index_bm25": _q_merged_index_bm25,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3829,6 +3856,8 @@ def oracle_sql() -> dict[str, str]:
         "score_explain": explain,
         "index_checkindex": checkidx,
         "dismax_topk": _DISMAX_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
+        # merged index must equal a fresh full-corpus build: same oracle as bm25
+        "merged_index_bm25": bm25,
         "termrange_topk": _TERMRANGE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _termrange_rows_sql()
         ),

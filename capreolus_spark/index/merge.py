@@ -1,0 +1,276 @@
+"""Batch index merge — a Lucene ``IndexWriter.addIndexes`` twin.
+
+The reference gets multi-segment physics for free from Lucene (its
+Anserini indexes are segmented and merged by the JVM; capreolus itself
+only ever sees the finished directory, ``capreolus/index/anserini.py``).
+This module is the batch counterpart for the Spark-native layout:
+combine N independently-built indexes — e.g. per-shard builds of a
+federated corpus, or this month's delta next to last month's base —
+into one index directory that is indistinguishable from a fresh build
+over the union corpus, WITHOUT re-tokenizing a single document.
+
+Why it is cheap: the layout keys everything by ``docno``-ranges, and a
+docno is ``range_id * range_size + offset``.  Shifting every docno of
+one child by a MULTIPLE of ``range_size`` translates its range ids by a
+constant and leaves all in-range offsets intact, so:
+
+* **ranges** move with two column adds (``range_id``, ``base_docno``) —
+  the packed dl arrays are reused byte-for-byte;
+* **postings** keep their (tf, positions) buffers verbatim; only the
+  docno stream is re-encoded (delta coding makes the shift touch just
+  the first varint, but the rewrite decodes/re-encodes the whole run
+  with the production codec — linear, Arrow-batched, and it doubles as
+  an integrity pass over every block);
+* **dict** rows add up: ``df``/``cf`` sum, ``max_tf`` maxes — a tiny
+  map-side-combinable aggregation;
+* no (term, range_id) cell can collide across children because the
+  shifted range-id spans are disjoint by construction.
+
+The merged directory gets a full manifest (every stage committed with
+parquet lineage plus a ``merged_from`` record) and a recomputed
+``stats.json``.  There is deliberately NO ``tokens`` checkpoint — that
+is a build intermediate, never read at query time — so the manifest's
+``tokens`` entry records ``merged: true`` with zero files (disclosed
+here; ``InvertedIndex.exists()`` only needs the stage marked done).
+
+Children must agree on every semantic config field (analyzer chain,
+stop handling, stored artifacts, ``range_size``); partition-count
+fields may differ (they shape files, not meaning).  Document ids must
+be globally unique across children — Lucene's ``addIndexes`` silently
+keeps duplicates, we refuse instead (a dup docid would make qrels/run
+joins ambiguous).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from .build import (
+    Manifest,
+    _parquet_lineage,
+    _write_postings_layout,
+    docmap_schema,
+    LAYOUT_VERSION,
+    read_stage,
+)
+from .codec import decode_postings, encode_postings
+
+__all__ = ["merge_indexes"]
+
+_SEMANTIC_FIELDS = (
+    "stemmer",
+    "tokenizer",
+    "indexstops",
+    "store_contents",
+    "store_positions",
+    "store_docvectors",
+    "range_size",
+)
+
+
+def _shift_postings(pdf_iter: Iterator[pd.DataFrame], docno_shift: int):
+    """Re-encode each block's docno stream shifted by ``docno_shift``."""
+    for pdf in pdf_iter:
+        if docno_shift:
+            docnos_out, tfs_out = [], []
+            for dbuf, tbuf in zip(pdf["docnos"], pdf["tfs"]):
+                docnos, tfs = decode_postings(dbuf, tbuf)
+                dbuf2, tbuf2 = encode_postings(docnos + docno_shift, tfs)
+                docnos_out.append(dbuf2)
+                tfs_out.append(tbuf2)
+            pdf = pdf.assign(docnos=docnos_out, tfs=tfs_out)
+        yield pdf
+
+
+def merge_indexes(
+    spark: SparkSession, index_dirs: list[str], out_dir: str
+) -> "InvertedIndex":
+    """Merge committed indexes at ``index_dirs`` into ``out_dir``.
+
+    Returns the merged :class:`~capreolus_spark.index.InvertedIndex`.
+    Idempotent: if ``out_dir`` already holds a complete index it is
+    returned as-is (the ``done``-marker contract builds follow).
+    """
+    from . import InvertedIndex
+
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    out = InvertedIndex(spark, out_dir)
+    if out.exists():
+        return out
+
+    children = [InvertedIndex(spark, d) for d in index_dirs]
+    for c in children:
+        if not c.exists():
+            raise ValueError(f"source index at {c.index_dir} is incomplete")
+    cfgs = [c.config for c in children]
+    for f_ in _SEMANTIC_FIELDS:
+        vals = {getattr(cfg, f_) for cfg in cfgs}
+        if len(vals) > 1:
+            raise ValueError(
+                f"cannot merge indexes with differing {f_!r}: {sorted(map(str, vals))}"
+            )
+    cfg = cfgs[0]
+    t_start = time.monotonic()
+
+    # per-child docno shift: next free range id × range_size (range-aligned,
+    # so range membership and in-range offsets survive the translation)
+    shifts: list[int] = []
+    next_rid = 0
+    for c in children:
+        shifts.append(next_rid * cfg.range_size)
+        max_rid = c.ranges_df().agg(F.max("range_id").alias("m")).collect()[0]["m"]
+        next_rid += int(max_rid or 0) + 1
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir)
+    manifest.data["config"] = cfg.to_json()
+    manifest.data["layout_version"] = LAYOUT_VERSION
+    manifest.data["merged_from"] = [
+        {"dir": c.index_dir, "docno_shift": k} for c, k in zip(children, shifts)
+    ]
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+
+    def commit(stage: str, t0: float, **extra) -> None:
+        files = _parquet_lineage(os.path.join(out_dir, stage))
+        manifest.commit_stage(
+            stage,
+            rows_out=sum(f["rows"] for f in files),
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            files=files,
+            **extra,
+        )
+
+    # ---- docmap: shift docnos, union, enforce global docid uniqueness
+    t0 = time.monotonic()
+    schema = docmap_schema(cfg.store_contents)
+    maps = [
+        c.docs_df().withColumn("docno", F.col("docno") + F.lit(k))
+        for c, k in zip(children, shifts)
+    ]
+    docmap = maps[0]
+    for m in maps[1:]:
+        docmap = docmap.unionByName(m)
+    docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+    merged_docs = read_stage(spark, out_dir, "docmap", schema=schema)
+    counts = merged_docs.agg(
+        F.count("*").alias("n"), F.count_distinct("docid").alias("u")
+    ).collect()[0]
+    if counts["n"] != counts["u"]:
+        raise ValueError(
+            f"{counts['n'] - counts['u']} duplicate docid(s) across source "
+            "indexes; merged runs/qrels joins would be ambiguous — dedup the "
+            "corpora (textproc.dedup) or re-id before merging"
+        )
+    commit("docmap", t0)
+
+    # tokens is a build intermediate (never read at query time): no data,
+    # stage recorded as merged so exists()/resume see a complete index
+    manifest.commit_stage("tokens", rows_out=0, files=[], merged=True)
+
+    # ---- ranges: pure column translation, dl arrays reused verbatim
+    t0 = time.monotonic()
+    rngs = [
+        c.ranges_df()
+        .withColumn("range_id", F.col("range_id") + F.lit(k // cfg.range_size))
+        .withColumn("base_docno", F.col("base_docno") + F.lit(k))
+        for c, k in zip(children, shifts)
+    ]
+    ranges = rngs[0]
+    for r in rngs[1:]:
+        ranges = ranges.unionByName(r)
+    (
+        ranges.repartition(max(1, n_parts // 4), "range_id")
+        .sortWithinPartitions("range_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "ranges"))
+    )
+    commit("ranges", t0)
+
+    # ---- postings: shift range ids (JVM) + re-encode docno streams (Arrow)
+    t0 = time.monotonic()
+    posts = []
+    for c, k in zip(children, shifts):
+        p = c.postings_df().withColumn(
+            "range_id", F.col("range_id") + F.lit(k // cfg.range_size)
+        )
+        if k:
+            shift = int(k)
+            p = p.mapInPandas(
+                lambda it, _s=shift: _shift_postings(it, _s), p.schema
+            )
+        posts.append(p)
+    packed = posts[0]
+    for p in posts[1:]:
+        packed = packed.unionByName(p)
+    _write_postings_layout(packed, n_parts, os.path.join(out_dir, "postings"))
+    commit("postings", t0)
+
+    # ---- dict: df/cf add, max_tf maxes (map-side combinable)
+    t0 = time.monotonic()
+    dicts = [c.dict_df() for c in children]
+    d = dicts[0]
+    for x in dicts[1:]:
+        d = d.unionByName(x)
+    (
+        d.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").cast("int").alias("max_tf"),
+        )
+        .repartitionByRange(max(1, n_parts // 4), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "dict"))
+    )
+    commit("dict", t0)
+
+    # ---- docvectors (when stored): docno shift only
+    if cfg.store_docvectors:
+        t0 = time.monotonic()
+        vecs = [
+            c.docvectors_df().withColumn("docno", F.col("docno") + F.lit(k))
+            for c, k in zip(children, shifts)
+        ]
+        v = vecs[0]
+        for x in vecs[1:]:
+            v = v.unionByName(x)
+        (
+            v.repartitionByRange(n_parts, "docno")
+            .sortWithinPartitions("docno")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "docvectors"))
+        )
+        commit("docvectors", t0)
+
+    # ---- stats: pure sums of the children's committed stats
+    t0 = time.monotonic()
+    child_stats = [c.stats() for c in children]
+    n_docs = sum(s["n_docs"] for s in child_stats)
+    sum_dl = sum(s["sum_dl"] for s in child_stats)
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avg_dl": (sum_dl / n_docs) if n_docs else 0.0,
+        "docs_with_terms": sum(s["docs_with_terms"] for s in child_stats),
+        "sum_cf": sum(s.get("sum_cf", 0) for s in child_stats),
+    }
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2, sort_keys=True)
+    manifest.commit_stage(
+        "stats", wall_ms=int((time.monotonic() - t0) * 1000), **stats
+    )
+    manifest.commit_stage(
+        "merge", wall_ms=int((time.monotonic() - t_start) * 1000),
+        n_children=len(children),
+    )
+    return InvertedIndex(spark, out_dir)

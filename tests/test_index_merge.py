@@ -1,0 +1,130 @@
+"""merge_indexes (Lucene IndexWriter.addIndexes twin): a merged index is
+indistinguishable from a fresh build over the union corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.index.checkindex import check_index
+from capreolus_spark.index.merge import merge_indexes
+from capreolus_spark.search import BM25Searcher
+
+DOCS_A = [
+    ("a1", "spark merge join table"),
+    ("a2", "key value table scan"),
+    ("a3", "window agg batch row key"),
+]
+DOCS_B = [
+    ("b1", "merge sort spark stream"),
+    ("b2", "key key value filter"),
+    ("b3", "table table table join"),
+    ("b4", "vector scan column"),
+]
+DOCS_C = [("c1", "stream batch window"), ("c2", "join key column row")]
+TOPICS = {"t1": "key table", "t2": "spark merge stream", "t3": "vector"}
+
+CFG = IndexConfig(stemmer="none", store_positions=True, store_docvectors=True)
+
+
+def _build(spark, docs, path):
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    return InvertedIndex.create(spark, corpus, str(path), CFG)
+
+
+@pytest.fixture(scope="module")
+def merged_and_fresh(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    a = _build(spark, DOCS_A, root / "a")
+    b = _build(spark, DOCS_B, root / "b")
+    c = _build(spark, DOCS_C, root / "c")
+    merged = merge_indexes(
+        spark, [a.index_dir, b.index_dir, c.index_dir], str(root / "m")
+    )
+    fresh = _build(spark, DOCS_A + DOCS_B + DOCS_C, root / "f")
+    return merged, fresh
+
+
+def _run(idx, topics=TOPICS):
+    rows = BM25Searcher(idx, BM25Config(hits=20)).search(topics).collect()
+    return {(r["qid"], r["docid"]): (r["rank"], r["score"]) for r in rows}
+
+
+def test_merged_bm25_equals_fresh_build(merged_and_fresh):
+    merged, fresh = merged_and_fresh
+    m, f = _run(merged), _run(fresh)
+    assert set(m) == set(f)
+    for k in f:
+        assert m[k][0] == f[k][0]
+        assert m[k][1] == pytest.approx(f[k][1], rel=1e-12)
+
+
+def test_merged_stats_equal_fresh(merged_and_fresh):
+    merged, fresh = merged_and_fresh
+    assert merged.numdocs == fresh.numdocs == len(DOCS_A + DOCS_B + DOCS_C)
+    assert merged.avgdl == pytest.approx(fresh.avgdl)
+    assert merged.sum_cf == fresh.sum_cf
+    for t in ("key", "table", "merge"):
+        assert merged.get_df(t) == fresh.get_df(t)
+
+
+def test_merged_index_audits_clean(merged_and_fresh):
+    merged, fresh = merged_and_fresh
+    ms = {r["check"]: r for r in check_index(merged).collect()}
+    fs = {r["check"]: r for r in check_index(fresh).collect()}
+    assert all(r["mismatches"] == 0 for r in ms.values())
+    # same corpus-derivable totals as the fresh build (block counts differ)
+    for chk in ("dict_terms", "docmap_docs", "positions_entries",
+                "postings_entries", "ranges_docs"):
+        assert ms[chk]["checked"] == fs[chk]["checked"], chk
+
+
+def test_doc_fetch_and_docvectors_across_children(merged_and_fresh):
+    merged, fresh = merged_and_fresh
+    assert merged.get_doc("a2") == "key value table scan"
+    assert merged.get_doc("b4") == "vector scan column"
+    assert merged.get_doc("c1") == "stream batch window"
+    assert merged.get_doc_vector("b2") == fresh.get_doc_vector("b2")
+    assert merged.get_doc_vector("a3") == fresh.get_doc_vector("a3")
+
+
+def test_positions_survive_merge(merged_and_fresh, spark):
+    from capreolus_spark.search.phrase import PhraseSearcher
+
+    merged, fresh = merged_and_fresh
+    pm = PhraseSearcher(merged, BM25Config(hits=10)).search({"p": "key value"})
+    pf = PhraseSearcher(fresh, BM25Config(hits=10)).search({"p": "key value"})
+    got = {(r["qid"], r["docid"], r["rank"]) for r in pm.collect()}
+    want = {(r["qid"], r["docid"], r["rank"]) for r in pf.collect()}
+    assert got == want and got  # non-empty: a2 and b2 contain "key value"
+
+
+def test_merge_idempotent(merged_and_fresh, spark):
+    merged, _ = merged_and_fresh
+    again = merge_indexes(spark, ["/nonexistent/x", "/nonexistent/y"], merged.index_dir)
+    assert again.index_dir == merged.index_dir  # existing index returned as-is
+
+
+def test_merge_rejects_config_mismatch(spark, tmp_path):
+    corpus = spark.createDataFrame(DOCS_A, "docid string, content string")
+    a = InvertedIndex.create(spark, corpus, str(tmp_path / "sa"), IndexConfig(stemmer="none"))
+    b = InvertedIndex.create(
+        spark,
+        spark.createDataFrame(DOCS_B, "docid string, content string"),
+        str(tmp_path / "sb"),
+        IndexConfig(stemmer="porter"),
+    )
+    with pytest.raises(ValueError, match="stemmer"):
+        merge_indexes(spark, [a.index_dir, b.index_dir], str(tmp_path / "sm"))
+
+
+def test_merge_rejects_duplicate_docids(spark, tmp_path):
+    a = _build(spark, DOCS_A, tmp_path / "da")
+    b = _build(spark, DOCS_A[:1] + DOCS_B[:1], tmp_path / "db")  # a1 again
+    with pytest.raises(ValueError, match="duplicate docid"):
+        merge_indexes(spark, [a.index_dir, b.index_dir], str(tmp_path / "dm"))
+
+
+def test_merge_needs_two_sources(spark, tmp_path):
+    with pytest.raises(ValueError, match="at least two"):
+        merge_indexes(spark, [str(tmp_path / "one")], str(tmp_path / "out"))
