@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""spark-submit entry point: merge N built indexes into one (addIndexes).
+
+Deployment (north rule: multi-executor clusters via --py-files)::
+
+    bash scripts/package.sh                       # → dist/capreolus_spark.zip
+    spark-submit --py-files dist/capreolus_spark.zip \\
+        scripts/merge_job.py \\
+        --indexes <dir1> <dir2> [...] --out <merged dir> [--check]
+
+No document is re-tokenized: ranges/docmap/docvectors translate by a
+range-aligned docno shift, postings re-encode only their docno streams,
+dict rows sum.  ``--check`` runs the CheckIndex audit on the result and
+fails the job on any mismatch.  Resumable/idempotent: an already-complete
+``--out`` is returned as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--indexes", nargs="+", required=True,
+                    help="two or more built index directories")
+    ap.add_argument("--out", required=True, help="merged index directory")
+    ap.add_argument("--check", action="store_true",
+                    help="run the CheckIndex integrity audit on the result")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from capreolus_spark.index.merge import merge_indexes
+
+    spark = SparkSession.builder.appName("capreolus_spark_merge").getOrCreate()
+
+    t0 = time.monotonic()
+    idx = merge_indexes(spark, args.indexes, args.out)
+    out = {
+        "out": args.out,
+        "n_children": len(args.indexes),
+        "merge_sec": round(time.monotonic() - t0, 1),
+        "n_docs": idx.numdocs,
+    }
+    mismatches = 0
+    if args.check:
+        from capreolus_spark.index.checkindex import check_index
+
+        rows = check_index(idx).collect()
+        out["checkindex"] = {r["check"]: [r["checked"], r["mismatches"]] for r in rows}
+        mismatches = sum(r["mismatches"] for r in rows)
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(0 if not mismatches else 1)
+
+
+if __name__ == "__main__":
+    main()
