@@ -1869,6 +1869,73 @@ def _q_merged_index_bm25(spark, sf_dir):
     return _gate_rank(run)
 
 
+# ------------------------------------------------- lexical statistics
+
+_LEX_TOP_RANK, _STOPCAND_TOPN = 10_000, 25
+
+_LEXSTATS_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), per AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(toks) AS term FROM tok
+  ) GROUP BY docid, term
+), totals AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf FROM per GROUP BY term
+), head AS (
+  SELECT cf, rank FROM (
+    SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+    FROM totals
+  ) WHERE rank <= {_LEX_TOP_RANK}
+)
+SELECT
+  (SELECT cast(count(*) AS bigint) FROM totals) AS vocab_size,
+  (SELECT cast(coalesce(sum(cf), 0) AS bigint) FROM totals) AS total_tokens,
+  (SELECT cast(coalesce(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END), 0) AS bigint)
+     FROM totals) AS hapax_terms,
+  (SELECT round(regr_slope(ln(cf), ln(rank)), 6) FROM head) AS zipf_slope,
+  (SELECT round(regr_intercept(ln(cf), ln(rank)), 6) FROM head) AS zipf_intercept
+"""
+
+_STOPCAND_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), per AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(toks) AS term FROM tok
+  ) GROUP BY docid, term
+), totals AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf FROM per GROUP BY term
+)
+SELECT term, cast(df AS bigint) AS df, cast(cf AS bigint) AS cf,
+       round(df / (SELECT count(*)::DOUBLE FROM documents), 6) AS df_frac,
+       cast(rank AS int) AS rank
+FROM (
+  SELECT term, df, cf,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+  FROM totals
+) WHERE rank <= {_STOPCAND_TOPN}
+"""
+
+
+def _q_lexical_stats(spark, sf_dir):
+    """Corpus lexical summary (textproc/lexstats.py): vocab size, total
+    occurrences, hapax count, least-squares Zipf fit over the
+    top-{rank} head — head cut via distributed TakeOrdered BEFORE any
+    window, regression a JVM regr_slope built-in."""
+    from capreolus_spark.textproc.lexstats import lexical_stats
+
+    return lexical_stats(_corpus(spark, sf_dir), top_rank=_LEX_TOP_RANK)
+
+
+def _q_stopword_candidates(spark, sf_dir):
+    """Data-driven stopword candidates (textproc/lexstats.py): top-N
+    terms by document frequency with df fraction, (df desc, term asc)."""
+    from capreolus_spark.textproc.lexstats import stopword_candidates
+
+    return stopword_candidates(_corpus(spark, sf_dir), top_n=_STOPCAND_TOPN)
+
+
 def _q_mlt_search(spark, sf_dir):
     """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
     twin: tf·idf interesting-term selection from the doc-vector store,
@@ -3528,6 +3595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": _q_dismax_search,
         "termrange_topk": _q_termrange_search,
         "merged_index_bm25": _q_merged_index_bm25,
+        "lexical_stats": _q_lexical_stats,
+        "stopword_candidates": _q_stopword_candidates,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3858,6 +3927,8 @@ def oracle_sql() -> dict[str, str]:
         "dismax_topk": _DISMAX_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
         # merged index must equal a fresh full-corpus build: same oracle as bm25
         "merged_index_bm25": bm25,
+        "lexical_stats": _LEXSTATS_ORACLE_SQL,
+        "stopword_candidates": _STOPCAND_ORACLE_SQL,
         "termrange_topk": _TERMRANGE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _termrange_rows_sql()
         ),

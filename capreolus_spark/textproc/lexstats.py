@@ -1,0 +1,117 @@
+"""Corpus lexical statistics: Zipf fit, hapax mass, stopword candidates.
+
+The reference inherits its collection statistics from Lucene
+(``IndexReader`` totals surfaced through ``capreolus/index/anserini.py:
+93-114``) and never reports distribution-level diagnostics; yet every
+corpus-engineering decision this engine serves — stopword policy,
+``range_size`` sizing against stopword skew, quality-filter thresholds,
+tokenizer choice for code — starts from exactly these numbers.  Two
+operators, both pure relational plans:
+
+* :func:`lexical_stats` — one summary row: vocabulary size, total token
+  occurrences, hapax-legomena count (terms occurring once: the long-tail
+  mass that dominates code corpora), and a least-squares Zipf fit
+  ``ln(cf) = slope·ln(rank) + intercept`` over the top-``top_rank``
+  terms (the head is where Zipf holds and where skew lives; a slope near
+  -1 is classic natural text, code skews shallower).
+* :func:`stopword_candidates` — the top-``top_n`` terms by document
+  frequency with their df fraction: the data-driven input to an
+  ``indexstops``/custom-stop-list decision.
+
+Scale shape: term totals are one map-side-combinable groupBy over the
+exploded tokens.  The Zipf regression NEVER builds a global rank window
+over the full vocabulary (that would serialize billions of code
+identifiers through one partition): the head is cut first with a
+distributed ``orderBy().limit(top_rank)`` (TakeOrdered — per-partition
+top-k then a bounded merge), and only those ``top_rank`` rows see a
+window.  ``regr_slope``/``regr_intercept`` are JVM built-ins; nothing
+here leaves whole-stage codegen except the Arrow tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..search.oracle import analyzed_terms_df
+
+__all__ = ["lexical_stats", "stopword_candidates"]
+
+
+def _term_totals(
+    corpus: DataFrame, stemmer: str, remove_stops: bool, tokenizer: str
+) -> DataFrame:
+    """(term, df, cf) — one combinable aggregation over exploded tokens.
+
+    ``remove_stops`` defaults to False in the callers: deriving stopword
+    candidates (or measuring their skew) requires seeing them."""
+    toks = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    ).select("docid", F.explode("terms").alias("term"))
+    per_doc = toks.groupBy("docid", "term").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def lexical_stats(
+    corpus: DataFrame,
+    top_rank: int = 10_000,
+    stemmer: str = "none",
+    remove_stops: bool = False,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """One-row lexical summary of ``corpus`` (docid, content).
+
+    Columns: ``vocab_size``, ``total_tokens``, ``hapax_terms``,
+    ``zipf_slope``, ``zipf_intercept`` (both 6dp-rounded; NULL when fewer
+    than two head terms exist to regress over).
+    """
+    totals = _term_totals(corpus, stemmer, remove_stops, tokenizer).persist()
+    try:
+        summary = totals.agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce(
+                F.sum((F.col("cf") == 1).cast("long")), F.lit(0)
+            ).cast("long").alias("hapax_terms"),
+        )
+        # head cut BEFORE any window: distributed TakeOrdered, bounded rows
+        head = totals.orderBy(F.desc("cf"), F.asc("term")).limit(top_rank)
+        w = Window.orderBy(F.desc("cf"), F.asc("term"))
+        fit = (
+            head.withColumn("rank", F.row_number().over(w))
+            .agg(
+                F.round(
+                    F.expr("regr_slope(ln(cf), ln(rank))"), 6
+                ).alias("zipf_slope"),
+                F.round(
+                    F.expr("regr_intercept(ln(cf), ln(rank))"), 6
+                ).alias("zipf_intercept"),
+            )
+        )
+        return summary.crossJoin(fit)
+    finally:
+        totals.unpersist()
+
+
+def stopword_candidates(
+    corpus: DataFrame,
+    top_n: int = 25,
+    stemmer: str = "none",
+    tokenizer: str = "word",
+) -> DataFrame:
+    """Top-``top_n`` terms by document frequency with their df fraction —
+    ranked (df desc, term asc), ``df_frac`` 6dp-rounded.  Columns:
+    (term, df, cf, df_frac, rank)."""
+    n_docs = corpus.count()
+    totals = _term_totals(corpus, stemmer, remove_stops=False, tokenizer=tokenizer)
+    head = totals.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        head.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "df_frac", F.round(F.col("df") / F.lit(float(n_docs or 1)), 6)
+        )
+        .select("term", "df", "cf", "df_frac", "rank")
+    )

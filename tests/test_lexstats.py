@@ -1,0 +1,98 @@
+"""Corpus lexical statistics (textproc/lexstats.py): Zipf fit vs a numpy
+least-squares twin, hapax/vocab totals, stopword-candidate ranking."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.lexstats import lexical_stats, stopword_candidates
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the cat sat on the mat with the dog"),
+    ("d3", "a quick cat and a slow dog"),
+    ("d4", "fox and dog and cat"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "docid string, content string")
+
+
+def _counts():
+    from collections import Counter
+
+    cf, df = Counter(), Counter()
+    for _, text in DOCS:
+        toks = text.split()
+        cf.update(toks)
+        df.update(set(toks))
+    return cf, df
+
+
+def _numpy_zipf(cf, top_rank):
+    head = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_rank]
+    if len(head) < 2:
+        return None, None
+    x = np.log(np.arange(1, len(head) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in head], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    return round(float(slope), 6), round(float(intercept), 6)
+
+
+def test_lexical_stats_totals_and_zipf(corpus):
+    cf, _ = _counts()
+    row = lexical_stats(corpus).collect()[0]
+    assert row["vocab_size"] == len(cf)
+    assert row["total_tokens"] == sum(cf.values())
+    assert row["hapax_terms"] == sum(1 for c in cf.values() if c == 1)
+    slope, intercept = _numpy_zipf(cf, 10_000)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["zipf_intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert row["zipf_slope"] < 0  # frequencies decay with rank
+
+
+def test_lexical_stats_head_cut(corpus):
+    cf, _ = _counts()
+    row = lexical_stats(corpus, top_rank=5).collect()[0]
+    slope, intercept = _numpy_zipf(cf, 5)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["zipf_intercept"] == pytest.approx(intercept, abs=1e-6)
+    # totals are NOT head-cut
+    assert row["vocab_size"] == len(cf)
+
+
+def test_lexical_stats_remove_stops(corpus):
+    with_stops = lexical_stats(corpus).collect()[0]
+    without = lexical_stats(corpus, remove_stops=True).collect()[0]
+    assert without["vocab_size"] < with_stops["vocab_size"]  # 'the'/'a' gone
+    assert without["total_tokens"] < with_stops["total_tokens"]
+
+
+def test_lexical_stats_empty_corpus(spark):
+    empty = spark.createDataFrame([], "docid string, content string")
+    row = lexical_stats(empty).collect()[0]
+    assert row["vocab_size"] == 0 and row["total_tokens"] == 0
+    assert row["zipf_slope"] is None
+
+
+def test_stopword_candidates_ranking(corpus):
+    cf, df = _counts()
+    rows = stopword_candidates(corpus, top_n=3).collect()
+    expected = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["term"], r["df"]) for r in rows] == expected
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["df_frac"] == pytest.approx(round(df[r["term"]] / len(DOCS), 6))
+        assert r["cf"] == cf[r["term"]]
+
+
+def test_stopword_candidates_df_not_cf_order(corpus):
+    # 'dog' appears in all 4 docs (df 4); 'the' has cf 5 but df 2 —
+    # candidates rank by DOCUMENT frequency, so dog outranks the
+    rows = stopword_candidates(corpus, top_n=10).collect()
+    order = [r["term"] for r in rows]
+    assert order.index("dog") < order.index("the")
