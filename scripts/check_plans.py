@@ -471,6 +471,25 @@ def main() -> None:
             )
         )
 
+        # 25. lexical stats: the Zipf head is cut with a distributed
+        #     TakeOrderedAndProject BEFORE the (single-partition) rank
+        #     window — the full vocabulary never serializes through one
+        #     task; aggregation is map-side partial
+        from capreolus_spark.textproc.lexstats import lexical_stats
+
+        lplan = (
+            lexical_stats(corpus, top_rank=100)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        results.append(
+            (
+                "lexical stats cut the zipf head via TakeOrdered before the rank window",
+                "TakeOrderedAndProject" in lplan and "partial_count" in lplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
