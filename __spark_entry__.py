@@ -1936,6 +1936,98 @@ def _q_stopword_candidates(spark, sf_dir):
     return stopword_candidates(_corpus(spark, sf_dir), top_n=_STOPCAND_TOPN)
 
 
+# ------------------------------------------------- query performance prediction
+
+_QPP_PRE_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n FROM tok
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term
+), q(qid, term) AS (
+  VALUES {{QPP_ROWS}}
+), scored AS (
+  SELECT q.qid, q.term,
+         CASE WHEN d.df IS NOT NULL THEN
+           greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) END AS idf,
+         CASE WHEN d.cf IS NOT NULL THEN 1 + ln(d.cf) END AS scq_base
+  FROM q LEFT JOIN dfx d USING (term) CROSS JOIN stats s
+)
+SELECT qid,
+       cast(sum(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_terms,
+       cast(sum(CASE WHEN idf IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_known,
+       round(avg(idf), 6) AS avg_idf,
+       round(max(idf), 6) AS max_idf,
+       round(sum(idf), 6) AS sum_idf,
+       round(avg(scq_base * idf), 6) AS avg_scq,
+       round(max(scq_base * idf), 6) AS max_scq
+FROM scored GROUP BY qid ORDER BY qid
+"""
+
+_QPP_K = 15
+
+_RUN_STATS_ORACLE_SQL = f"""
+WITH run AS ({{SYNTH_RUN}}), top AS (
+  SELECT qid, score FROM (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn
+    FROM run
+  ) WHERE rn <= {_QPP_K}
+)
+SELECT qid, cast(count(*) AS bigint) AS k_used,
+       round(avg(score), 6) AS score_mean,
+       round(coalesce(stddev_pop(score), 0), 6) AS score_std,
+       round(max(score), 6) AS score_max,
+       round(CASE WHEN abs(avg(score)) > 0
+             THEN coalesce(stddev_pop(score), 0) / avg(score) END, 6) AS nqc
+FROM top GROUP BY qid ORDER BY qid
+"""
+
+
+def _qpp_rows_sql() -> str:
+    """VALUES rows (qid, term): DISTINCT analyzed terms per topic (the
+    qtf-independent avgIDF convention); empty topics keep a NULL row."""
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for qid, text in sorted(_TOPICS.items()):
+        terms = sorted(set(analyze_text(text, stemmer="none")))
+        if not terms:
+            rows.append(f"('{qid}', CAST(NULL AS varchar))")
+        for t in terms:
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _q_qpp_pre(spark, sf_dir):
+    """Pre-retrieval query performance predictors (search/qpp.py — He &
+    Ounis 2004 family): per-topic avg/max/sum idf and SCQ over the
+    distinct analyzed terms found in the dictionary; OOV exposed via
+    n_terms vs n_known (q4 is stopword-only, q5 half-absent)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.qpp import pre_retrieval_predictors
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir),
+        IndexConfig(stemmer="none"),
+    )
+    return pre_retrieval_predictors(idx, _TOPICS)
+
+
+def _q_run_score_stats(spark, sf_dir):
+    """Post-retrieval score-distribution QPP (search/qpp.py — NQC-family
+    cv variant): per-qid mean/σ/max/nqc over the top-k run scores."""
+    from capreolus_spark.search.qpp import run_score_stats
+
+    return run_score_stats(_synth_run(spark, sf_dir), k=_QPP_K)
+
+
 def _q_mlt_search(spark, sf_dir):
     """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
     twin: tf·idf interesting-term selection from the doc-vector store,
@@ -3597,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_index_bm25": _q_merged_index_bm25,
         "lexical_stats": _q_lexical_stats,
         "stopword_candidates": _q_stopword_candidates,
+        "qpp_pre": _q_qpp_pre,
+        "run_score_stats": _q_run_score_stats,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -3929,6 +4023,10 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_bm25": bm25,
         "lexical_stats": _LEXSTATS_ORACLE_SQL,
         "stopword_candidates": _STOPCAND_ORACLE_SQL,
+        "qpp_pre": _QPP_PRE_ORACLE_SQL.replace("{QPP_ROWS}", _qpp_rows_sql()),
+        "run_score_stats": _RUN_STATS_ORACLE_SQL.replace(
+            "{SYNTH_RUN}", _SYNTH_RUN_SQL
+        ),
         "termrange_topk": _TERMRANGE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _termrange_rows_sql()
         ),

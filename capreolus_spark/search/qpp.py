@@ -1,0 +1,119 @@
+"""Query performance prediction (QPP) operators.
+
+The reference tunes retrieval with full grid-search cross-validation
+(``capreolus/task/rank.py``) — it never predicts difficulty, but every
+large query workload triages with exactly these published predictors:
+
+* **Pre-retrieval** (He & Ounis 2004; Cronen-Townsend et al. 2002
+  lineage): per-topic statistics of the query terms against the
+  dictionary — ``avg_idf`` / ``max_idf`` / ``sum_idf`` (specificity)
+  and SCQ ``(1 + ln cf) · idf`` (collection-query similarity,
+  ``avg_scq`` / ``max_scq``).  Computed over the DISTINCT analyzed
+  terms found in the index (the standard qtf-independent convention);
+  ``n_terms`` / ``n_known`` expose the out-of-vocabulary gap.
+* **Post-retrieval score-distribution statistics** (the NQC family,
+  Shtok et al. 2012): per-topic mean / population-σ / max over the
+  top-``k`` run scores, plus ``nqc = σ / mean`` — the
+  coefficient-of-variation form (the published NQC normalizes by a
+  collection score; the cv variant is the standard practical proxy and
+  is what this operator computes, disclosed here).
+
+Scale shape: the query-term relation is tiny and broadcast; the
+dictionary scan is the same pushed-down ``isin`` predicate scan every
+searcher uses (postings untouched).  Run statistics are one window cut
+plus a map-side-combinable aggregation over ≤ topics × k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index import InvertedIndex
+
+__all__ = ["pre_retrieval_predictors", "run_score_stats"]
+
+
+def pre_retrieval_predictors(
+    index: InvertedIndex, topics: dict[str, str]
+) -> DataFrame:
+    """Per-topic pre-retrieval predictors from the term dictionary.
+
+    Columns: ``qid, n_terms, n_known, avg_idf, max_idf, sum_idf,
+    avg_scq, max_scq`` (floats 6dp-rounded; a topic whose every term is
+    out-of-vocabulary keeps its row with zero ``n_known`` and NULL
+    predictor values).
+    """
+    from ..analysis import analyze_text
+
+    spark = index.spark
+    akw = index.config.analyzer_kwargs()
+    rows = []
+    for qid, text in sorted(topics.items()):
+        terms = sorted(set(analyze_text(text, **akw)))
+        if not terms:
+            rows.append((str(qid), None))
+        for t in terms:
+            rows.append((str(qid), t))
+    q = spark.createDataFrame(rows, "qid string, term string")
+    n = index.numdocs
+    all_terms = sorted({t for _, t in rows if t is not None})
+    # same pushed-down isin dictionary scan the searchers use: postings
+    # untouched, the filtered dictionary is query-sized → broadcast-able
+    # as the right side of the left join
+    d = index.dict_df().select("term", "df", "cf").filter(F.col("term").isin(all_terms))
+    idf = F.greatest(
+        F.lit(0.0),
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    scored = q.join(F.broadcast(d), "term", "left").select(
+        "qid",
+        "term",
+        F.when(F.col("df").isNotNull(), idf).alias("idf"),
+        F.when(
+            F.col("cf").isNotNull(),
+            (F.lit(1.0) + F.log(F.col("cf").cast("double"))),
+        ).alias("scq_base"),
+    )
+    return (
+        scored.groupBy("qid")
+        .agg(
+            F.sum(F.col("term").isNotNull().cast("long")).alias("n_terms"),
+            F.sum(F.col("idf").isNotNull().cast("long")).alias("n_known"),
+            F.round(F.avg("idf"), 6).alias("avg_idf"),
+            F.round(F.max("idf"), 6).alias("max_idf"),
+            F.round(F.sum("idf"), 6).alias("sum_idf"),
+            F.round(F.avg(F.col("scq_base") * F.col("idf")), 6).alias("avg_scq"),
+            F.round(F.max(F.col("scq_base") * F.col("idf")), 6).alias("max_scq"),
+        )
+        .orderBy("qid")
+    )
+
+
+def run_score_stats(run: DataFrame, k: int = 100) -> DataFrame:
+    """Per-qid score-distribution statistics over the top-``k`` of a run
+    (qid, docid, score).  Columns: ``qid, k_used, score_mean, score_std,
+    score_max, nqc`` — σ is population stddev, ``nqc = σ / mean`` (NULL
+    when the mean is 0), floats 6dp-rounded; ordering (score desc,
+    docid asc) fixes which rows the cut keeps."""
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    top = run.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        top.groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.round(F.avg("score"), 6).alias("score_mean"),
+            F.round(F.coalesce(F.stddev_pop("score"), F.lit(0.0)), 6).alias(
+                "score_std"
+            ),
+            F.round(F.max("score"), 6).alias("score_max"),
+            F.round(
+                F.when(
+                    F.abs(F.avg("score")) > 0,
+                    F.coalesce(F.stddev_pop("score"), F.lit(0.0)) / F.avg("score"),
+                ),
+                6,
+            ).alias("nqc"),
+        )
+        .orderBy("qid")
+    )

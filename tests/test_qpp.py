@@ -1,0 +1,103 @@
+"""Query performance predictors (search/qpp.py): hand-computed idf/SCQ
+aggregates and score-distribution statistics."""
+
+import math
+
+import numpy as np
+import pytest
+
+from capreolus_spark.config import IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.search.qpp import pre_retrieval_predictors, run_score_stats
+
+DOCS = [
+    ("d1", "alpha beta gamma"),
+    ("d2", "alpha beta"),
+    ("d3", "alpha delta"),
+    ("d4", "epsilon zeta"),
+]
+CF = {"alpha": 3, "beta": 2, "gamma": 1, "delta": 1, "epsilon": 1, "zeta": 1}
+DF = CF  # every term occurs at most once per doc here
+
+
+def _idf(df, n=len(DOCS)):
+    return max(0.0, math.log(1 + (n - df + 0.5) / (df + 0.5)))
+
+
+def _scq(term):
+    return (1 + math.log(CF[term])) * _idf(DF[term])
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("qpp")),
+        IndexConfig(stemmer="none"),
+    )
+
+
+def test_pre_retrieval_values(idx):
+    topics = {
+        "p1": "alpha gamma",            # two known terms
+        "p2": "alpha alpha beta",       # repeated term counts once (distinct)
+        "p3": "nosuchterm delta",       # one OOV
+        "p4": "the of",                 # stopword-only → no analyzed terms
+    }
+    rows = {r["qid"]: r for r in pre_retrieval_predictors(idx, topics).collect()}
+    assert set(rows) == set(topics)
+
+    r = rows["p1"]
+    idfs = [_idf(DF["alpha"]), _idf(DF["gamma"])]
+    scqs = [_scq("alpha"), _scq("gamma")]
+    assert (r["n_terms"], r["n_known"]) == (2, 2)
+    assert r["avg_idf"] == pytest.approx(round(sum(idfs) / 2, 6), abs=1e-6)
+    assert r["max_idf"] == pytest.approx(round(max(idfs), 6), abs=1e-6)
+    assert r["sum_idf"] == pytest.approx(round(sum(idfs), 6), abs=1e-6)
+    assert r["avg_scq"] == pytest.approx(round(sum(scqs) / 2, 6), abs=1e-6)
+    assert r["max_scq"] == pytest.approx(round(max(scqs), 6), abs=1e-6)
+
+    assert (rows["p2"]["n_terms"], rows["p2"]["n_known"]) == (2, 2)  # distinct
+    r3 = rows["p3"]
+    assert (r3["n_terms"], r3["n_known"]) == (2, 1)
+    assert r3["avg_idf"] == pytest.approx(round(_idf(DF["delta"]), 6), abs=1e-6)
+
+    r4 = rows["p4"]
+    assert (r4["n_terms"], r4["n_known"]) == (0, 0)
+    assert r4["avg_idf"] is None and r4["max_scq"] is None
+
+
+def test_run_score_stats_values(spark):
+    rows = [
+        ("q1", "d1", 5.0), ("q1", "d2", 3.0), ("q1", "d3", 1.0),
+        ("q1", "d4", 0.5),  # cut at k=3
+        ("q2", "d1", 2.0), ("q2", "d2", 2.0),
+        ("q3", "d9", 0.0),  # zero-mean topic → nqc NULL
+    ]
+    run = spark.createDataFrame(rows, "qid string, docid string, score double")
+    got = {r["qid"]: r for r in run_score_stats(run, k=3).collect()}
+
+    s = np.array([5.0, 3.0, 1.0])
+    r1 = got["q1"]
+    assert r1["k_used"] == 3
+    assert r1["score_mean"] == pytest.approx(round(float(s.mean()), 6))
+    assert r1["score_std"] == pytest.approx(round(float(s.std()), 6))  # population σ
+    assert r1["score_max"] == 5.0
+    assert r1["nqc"] == pytest.approx(round(float(s.std() / s.mean()), 6))
+
+    r2 = got["q2"]
+    assert r2["k_used"] == 2 and r2["score_std"] == 0.0 and r2["nqc"] == 0.0
+
+    r3 = got["q3"]
+    assert r3["k_used"] == 1 and r3["score_mean"] == 0.0 and r3["nqc"] is None
+
+
+def test_run_score_stats_tie_break_at_cut(spark):
+    # four docs at the same score: the (score desc, docid asc) cut keeps
+    # d1..d3 — deterministic regardless of partitioning
+    rows = [("q", d, 1.0) for d in ("d4", "d2", "d1", "d3")] + [("q", "d0", 9.0)]
+    run = spark.createDataFrame(rows, "qid string, docid string, score double")
+    r = run_score_stats(run, k=3).collect()[0]
+    assert r["k_used"] == 3
+    assert r["score_max"] == 9.0
+    assert r["score_mean"] == pytest.approx(round((9.0 + 1.0 + 1.0) / 3, 6))
