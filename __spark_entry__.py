@@ -2028,6 +2028,54 @@ def _q_run_score_stats(spark, sf_dir):
     return run_score_stats(_synth_run(spark, sf_dir), k=_QPP_K)
 
 
+# ------------------------------------------------- MMR diversity rerank
+
+_MMR_K, _MMR_POOL = 10, 50
+
+# λ=1 is the DuckDB-gated configuration: MMR then degenerates to the
+# plain (score desc, docid asc) relevance order over the embedded
+# candidates — provably equal to the SQL window ranking (the same
+# exact-configuration pattern the LSH/IVF/SDM gates use).  The diversity
+# behavior at λ<1 is pytest-twinned (tests/test_diversity.py).
+_MMR_ORACLE_SQL = f"""
+WITH run AS ({{SYNTH_RUN}}), cand AS (
+  SELECT qid, docid, score FROM (
+    SELECT qid, docid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn
+    FROM run
+  ) WHERE rn <= {_MMR_POOL}
+), j AS (
+  SELECT c.qid, c.docid, c.score
+  FROM cand c JOIN (SELECT cast(vec_id AS varchar) AS docid FROM embeddings) e
+    USING (docid)
+)
+SELECT qid, docid, cast(rank AS int) AS rank, round(score, 6) AS mmr FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rank
+  FROM j
+) WHERE rank <= {_MMR_K}
+"""
+
+
+def _q_mmr_rerank(spark, sf_dir):
+    """MMR diversity rerank (textproc/diversity.py — Carbonell &
+    Goldstein 1998): bounded per-query candidate pool joined to the
+    embedding table, iterative selection parallel across queries.
+    Gated at λ=1 (≡ relevance order, exact); λ<1 pytest-twinned."""
+    from capreolus_spark.textproc.diversity import mmr_rerank
+
+    out = mmr_rerank(
+        _synth_run(spark, sf_dir),
+        _embeddings(spark, sf_dir),
+        k=_MMR_K,
+        lam=1.0,
+        pool=_MMR_POOL,
+    )
+    return out.select(
+        "qid", "docid", "rank", F.round("mmr", 6).alias("mmr")
+    )
+
+
 def _q_mlt_search(spark, sf_dir):
     """More-like-this retrieval (search/mlt.py — Lucene MoreLikeThis
     twin: tf·idf interesting-term selection from the doc-vector store,
@@ -3691,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_candidates": _q_stopword_candidates,
         "qpp_pre": _q_qpp_pre,
         "run_score_stats": _q_run_score_stats,
+        "mmr_rerank": _q_mmr_rerank,
         "qrels_positive_filter": _q_qrels_positive_filter,
         "minmax_norm": _q_minmax_norm,
         "run_interpolation": _q_run_interpolation,
@@ -4027,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "run_score_stats": _RUN_STATS_ORACLE_SQL.replace(
             "{SYNTH_RUN}", _SYNTH_RUN_SQL
         ),
+        "mmr_rerank": _MMR_ORACLE_SQL.replace("{SYNTH_RUN}", _SYNTH_RUN_SQL),
         "termrange_topk": _TERMRANGE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _termrange_rows_sql()
         ),

@@ -1,0 +1,112 @@
+"""MMR diversity re-ranking (Carbonell & Goldstein 1998).
+
+Maximal Marginal Relevance re-orders a retrieval run so each position
+balances relevance against redundancy with what is already shown::
+
+    MMR_i = λ · rel(i)  −  (1 − λ) · max_{j ∈ selected} cos(v_i, v_j)
+
+λ = 1 reduces to the plain relevance order (the DuckDB-gated
+configuration — selection is then a pure (score desc, docid asc)
+argmax, provably equal to the SQL window ranking); λ < 1 trades
+relevance for novelty (pytest brute-force twin).  The reference has no
+diversity operator — its rerankers are neural relevance models — but a
+training-data pipeline dedups *semantically* with exactly this
+primitive (diverse exemplar selection over an embedding column).
+
+Scale shape: the run is cut to a bounded per-query candidate pool
+FIRST (window top-``pool``), then joined to the embedding table
+(shuffle bounded by queries × pool rows, never the full corpus).  The
+iterative selection is inherently sequential PER QUERY and parallel
+ACROSS queries — one ``applyInPandas`` group per qid over ≤ ``pool``
+numpy vectors (k·pool dot products; the cosine matrix is never
+materialized beyond the selected rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["mmr_rerank"]
+
+_OUT_SCHEMA = "qid string, docid string, rank int, mmr double"
+
+
+def _mmr_one_query(pdf: pd.DataFrame, k: int, lam: float) -> pd.DataFrame:
+    # deterministic candidate order: (score desc, docid asc) — ties in
+    # every argmax below resolve to the lowest index, i.e. that order
+    pdf = pdf.sort_values(
+        ["score", "docid"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 to everything
+    unit = vecs / norms[:, None]
+    rel = pdf["score"].to_numpy(dtype=np.float64)
+
+    n = len(pdf)
+    k = min(k, n)
+    selected: list[int] = []
+    max_sim = np.zeros(n, dtype=np.float64)  # max cos to selected set
+    remaining = np.ones(n, dtype=bool)
+    out_scores = np.empty(k, dtype=np.float64)
+    for step in range(k):
+        mmr = lam * rel - (1.0 - lam) * max_sim if selected else lam * rel
+        mmr = np.where(remaining, mmr, -np.inf)
+        pick = int(np.argmax(mmr))  # first max = (score desc, docid asc) tie-break
+        selected.append(pick)
+        out_scores[step] = mmr[pick]
+        remaining[pick] = False
+        sims = unit @ unit[pick]
+        np.maximum(max_sim, sims, out=max_sim)
+    return pd.DataFrame(
+        {
+            "qid": pdf["qid"].iloc[selected].to_numpy(),
+            "docid": pdf["docid"].iloc[selected].to_numpy(),
+            "rank": np.arange(1, k + 1, dtype=np.int32),
+            "mmr": out_scores,
+        }
+    )
+
+
+def mmr_rerank(
+    run: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Re-rank ``run`` (qid, docid, score) by MMR over ``embeddings``.
+
+    Returns (qid, docid, rank, mmr) with ``rank`` the selection order.
+    Candidates beyond the per-query top-``pool`` (score desc, docid asc)
+    are never considered; candidates with no embedding row are dropped
+    (inner join — a missing vector cannot participate in similarity).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    cand = (
+        run.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .select("qid", "docid", "score")
+    )
+    emb = embeddings.select(
+        F.col(id_col).cast("string").alias("docid"), F.col(vec_col).alias("vec")
+    )
+    joined = cand.join(emb, "docid").select("qid", "docid", "score", "vec")
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"qid": [], "docid": [], "rank": [], "mmr": []}
+            ).astype({"rank": "int32", "mmr": "float64"})
+        return _mmr_one_query(pdf, k, lam)
+
+    return joined.groupBy("qid").applyInPandas(apply, _OUT_SCHEMA)

@@ -1,0 +1,100 @@
+"""MMR diversity rerank (textproc/diversity.py): numpy brute-force twin,
+diversity demotion of near-duplicates, pool/missing-embedding semantics."""
+
+import numpy as np
+import pytest
+
+from capreolus_spark.textproc.diversity import mmr_rerank
+
+# d1/d2 nearly identical vectors; d3 orthogonal; d4 opposite-ish
+VECS = {
+    "1": [1.0, 0.0, 0.0],
+    "2": [0.999, 0.04, 0.0],
+    "3": [0.0, 1.0, 0.0],
+    "4": [0.0, 0.1, 0.99],
+    "5": [0.5, 0.5, 0.0],
+}
+RUN = [
+    ("q1", "1", 10.0),
+    ("q1", "2", 9.5),
+    ("q1", "3", 9.0),
+    ("q1", "4", 8.0),
+    ("q1", "5", 7.0),
+    ("q2", "3", 2.0),
+    ("q2", "4", 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    run = spark.createDataFrame(RUN, "qid string, docid string, score double")
+    emb = spark.createDataFrame(
+        [(int(k), v) for k, v in VECS.items()],
+        "vec_id long, embedding array<float>",
+    )
+    return run, emb
+
+
+def _brute_mmr(cands, lam, k):
+    """cands: [(docid, score)] sorted (score desc, docid asc)."""
+    unit = {}
+    for d, _ in cands:
+        v = np.array(VECS[d], dtype=np.float32).astype(np.float64)
+        n = np.linalg.norm(v)
+        unit[d] = v / n if n else v
+    selected, remaining = [], list(cands)
+    while remaining and len(selected) < k:
+        best, best_val = None, -np.inf
+        for d, s in remaining:
+            pen = max((unit[d] @ unit[sd] for sd, _ in selected), default=0.0)
+            val = lam * s - (1 - lam) * pen if selected else lam * s
+            if val > best_val:  # first max wins = (score desc, docid asc)
+                best, best_val = (d, s), val
+        selected.append(best)
+        remaining.remove(best)
+    return [d for d, _ in selected]
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.3, 0.5, 1.0])
+def test_matches_brute_force(frames, lam):
+    run, emb = frames
+    got = mmr_rerank(run, emb, k=5, lam=lam).collect()
+    by_qid = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append(r["docid"])
+    for qid in ("q1", "q2"):
+        cands = sorted(
+            [(d, s) for q, d, s in RUN if q == qid],
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert by_qid[qid] == _brute_mmr(cands, lam, 5), (qid, lam)
+
+
+def test_near_duplicate_demoted(frames):
+    run, emb = frames
+    rel = {r["rank"]: r["docid"] for r in
+           mmr_rerank(run, emb, k=3, lam=1.0).filter("qid = 'q1'").collect()}
+    div = {r["rank"]: r["docid"] for r in
+           mmr_rerank(run, emb, k=3, lam=0.5).filter("qid = 'q1'").collect()}
+    assert rel == {1: "1", 2: "2", 3: "3"}      # pure relevance keeps the dup
+    assert div[1] == "1" and div[2] == "3"      # diversity jumps the near-dup
+    assert "2" not in (div[2],)
+
+
+def test_pool_cut_and_missing_embedding(frames, spark):
+    run, emb = frames
+    # pool=2: only the per-qid top-2 are ever candidates
+    got = mmr_rerank(run, emb, k=5, lam=1.0, pool=2).filter("qid = 'q1'").collect()
+    assert {r["docid"] for r in got} == {"1", "2"}
+    # candidate without an embedding row is dropped
+    emb_small = emb.filter("vec_id != 1")
+    got2 = [r["docid"] for r in sorted(
+        mmr_rerank(run, emb_small, k=5, lam=1.0).filter("qid = 'q1'").collect(),
+        key=lambda r: r["rank"])]
+    assert got2[0] == "2" and "1" not in got2
+
+
+def test_lam_validation(frames):
+    run, emb = frames
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(run, emb, lam=1.5)
