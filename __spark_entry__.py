@@ -3710,6 +3710,130 @@ def _q_clone_pairs_winnow(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- fielded retrieval
+
+# gate corpus: title := first 40 chars of text (deterministic, shares the
+# topic vocabulary), content := full text; title boosted 2x
+_FIELDED_WEIGHTS = {"title": 2.0, "content": 1.0}
+_TITLE_LEN = 40
+_TITLE_TOK = f"regexp_extract_all(lower(substr(text, 1, {_TITLE_LEN})), '[a-z0-9_]+')"
+
+_FIELDED_CTE = f"""
+WITH raw AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TITLE_TOK} AS t_toks, {_TOK} AS c_toks
+  FROM documents
+), tok AS (
+  SELECT docid, 'title' AS field, t_toks AS toks FROM raw
+  UNION ALL SELECT docid, 'content' AS field, c_toks FROM raw
+), dl AS (
+  SELECT docid, field, len(toks) AS dl FROM tok
+), av AS (
+  SELECT field, avg(dl)::DOUBLE AS avgdl FROM dl GROUP BY field
+), tf AS (
+  SELECT docid, field, term, count(*) AS tf FROM (
+    SELECT docid, field, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term
+    FROM tok
+  ) GROUP BY docid, field, term
+), nd AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+)"""
+
+_GATE_RANK_SQL = f"""
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM scored
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+_BM25F_ORACLE_SQL = f"""
+{_FIELDED_CTE}, dfx AS (
+  SELECT term, count(DISTINCT docid)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN nd n
+), tfn AS (
+  SELECT tf.docid, tf.term,
+         sum((CASE tf.field WHEN 'title' THEN {_FIELDED_WEIGHTS["title"]} ELSE {_FIELDED_WEIGHTS["content"]} END)
+             * tf.tf / (1 - {_BM25_B} + {_BM25_B} * dl.dl / av.avgdl)) AS tfn
+  FROM tf JOIN dl USING (docid, field) JOIN av USING (field)
+  GROUP BY tf.docid, tf.term
+), scored AS (
+  SELECT qw.qid, tfn.docid,
+         sum(qw.qtf * qw.idf * tfn.tfn / ({_BM25_K1} + tfn.tfn)) AS score
+  FROM qw JOIN tfn USING (term)
+  GROUP BY qw.qid, tfn.docid
+)
+{_GATE_RANK_SQL}
+"""
+
+_MULTIFIELD_ORACLE_SQL = f"""
+{_FIELDED_CTE}, dfx AS (
+  SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY field, term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, d.field, q.term, q.qtf,
+         greatest(0, ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN nd n
+), scored AS (
+  SELECT qw.qid, tf.docid,
+         sum((CASE tf.field WHEN 'title' THEN {_FIELDED_WEIGHTS["title"]} ELSE {_FIELDED_WEIGHTS["content"]} END)
+             * qw.qtf * qw.idf * tf.tf
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / av.avgdl))) AS score
+  FROM qw
+  JOIN tf ON qw.term = tf.term AND qw.field = tf.field
+  JOIN dl ON dl.docid = tf.docid AND dl.field = tf.field
+  JOIN av ON av.field = tf.field
+  GROUP BY qw.qid, tf.docid
+)
+{_GATE_RANK_SQL}
+"""
+
+
+def _fielded_corpus(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.substring(F.col("text"), 1, _TITLE_LEN).alias("title"),
+        F.col("text").alias("content"),
+    )
+
+
+def _q_bm25f(spark, sf_dir):
+    """True BM25F (Zaragoza et al. 2004) over (title, content) with the
+    title field boosted 2x — search/fielded.py."""
+    from capreolus_spark.search.fielded import bm25f_search
+
+    run = bm25f_search(
+        spark, _fielded_corpus(spark, sf_dir), _TOPICS,
+        fields=_FIELDED_WEIGHTS, k1=_BM25_K1, b=_BM25_B,
+        hits=_GATE_HITS, stemmer="none",
+    )
+    return _gate_rank(run)
+
+
+def _q_multifield(spark, sf_dir):
+    """Lucene MultiFieldQueryParser twin: boost-weighted sum of per-field
+    BM25 (each field its own dl/avgdl/df) — search/fielded.py."""
+    from capreolus_spark.search.fielded import multifield_bm25_search
+
+    run = multifield_bm25_search(
+        spark, _fielded_corpus(spark, sf_dir), _TOPICS,
+        fields=_FIELDED_WEIGHTS, k1=_BM25_K1, b=_BM25_B,
+        hits=_GATE_HITS, stemmer="none",
+    )
+    return _gate_rank(run)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -3733,6 +3857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": _q_score_explain,
         "index_checkindex": _q_index_checkindex,
         "dismax_topk": _q_dismax_search,
+        "bm25f_topk": _q_bm25f,
+        "multifield_topk": _q_multifield,
         "termrange_topk": _q_termrange_search,
         "merged_index_bm25": _q_merged_index_bm25,
         "lexical_stats": _q_lexical_stats,
@@ -4068,6 +4194,10 @@ def oracle_sql() -> dict[str, str]:
         "score_explain": explain,
         "index_checkindex": checkidx,
         "dismax_topk": _DISMAX_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
+        "bm25f_topk": _BM25F_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
+        "multifield_topk": _MULTIFIELD_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
         # merged index must equal a fresh full-corpus build: same oracle as bm25
         "merged_index_bm25": bm25,
         "lexical_stats": _LEXSTATS_ORACLE_SQL,

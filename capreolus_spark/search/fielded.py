@@ -1,0 +1,286 @@
+"""Fielded retrieval: BM25F and Lucene-style multi-field BM25.
+
+The reference flattens document fields before indexing — CDS joins
+``(title, abstract, body)`` into one Lucene ``contents`` string
+(``/root/reference/capreolus/collection/cds.py:21-22``) and COVID keeps
+``title`` + abstract as separate JSON keys it later concatenates
+(``/root/reference/capreolus/collection/covid.py:120``) — so per-field
+evidence (a query term in a file *path* vs deep in its *content*) is
+lost at index time.  This module keeps the fields and scores them
+jointly, two published ways:
+
+* :func:`bm25f_search` — true BM25F (Zaragoza et al., TREC-13 2004):
+  per-field length-normalized tfs are combined with field weights
+  FIRST, then saturated once::
+
+      tfn(t, d) = sum_f  w_f * tf_f(t,d) / (1 - b_f + b_f * dl_f(d)/avgdl_f)
+      score(q, d) = sum_t  qtf * idf(t) * tfn / (k1 + tfn)
+
+  with document-level idf (df = #docs containing t in ANY field,
+  matching the paper) and the engine's Lucene-accurate idf
+  ``max(0, ln(1 + (N - df + .5)/(df + .5)))``.  With a single field at
+  weight 1 this reduces EXACTLY to the engine's BM25
+  (``search/oracle.py`` / the DAAT kernel): tf/(tf + k1*B) ==
+  (tf/B)/(k1 + tf/B).
+
+* :func:`multifield_bm25_search` — Lucene ``MultiFieldQueryParser``
+  semantics: each field is its own BM25 universe (its own dl, avgdl
+  and per-field df) and the final score is the boost-weighted SUM of
+  the per-field BM25 scores, i.e. a BooleanQuery SHOULD over
+  ``field:term`` clauses.
+
+Scale design (100 TB): one vectorized-Arrow analysis pass per field,
+tagged and unioned into a single ``(docid, field, term, tf, dl)``
+relation — ONE shuffle for the tf groupBy, one for the final
+(qid, docid) aggregation.  Per-field collection stats are |fields|
+rows (driver-side by construction).  The query relation is
+|topics| x |terms| rows and is explicitly broadcast, so scoring is a
+map-side join against the tf relation; no all-pairs stage exists.
+The top-k cut is a per-qid rank window over only the matching docs
+(the same post-aggregation shape the plan-audited BM25 path uses).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from .oracle import analyzed_terms_df
+
+__all__ = ["bm25f_search", "multifield_bm25_search"]
+
+
+def _field_analyzed(
+    corpus: DataFrame,
+    fields: Mapping[str, float],
+    stemmer: str,
+    remove_stops: bool,
+    tokenizer: str,
+) -> DataFrame:
+    """corpus(docid, <field cols>) → (docid, field, terms, dl), one row per
+    (doc, field) INCLUDING token-free ones — per-field avgdl must average
+    over every document, matching the single-field oracle's convention.
+
+    ``dl`` is the PER-FIELD pre-stop-filter token count (the engine's
+    SURVEY §6.3 dl convention, applied field-wise); null/missing field
+    values analyze to dl=0 and an empty term list.
+    """
+    parts = []
+    for fname in fields:
+        analyzed = analyzed_terms_df(
+            corpus.select("docid", F.coalesce(F.col(fname), F.lit("")).alias("content")),
+            stemmer=stemmer,
+            remove_stops=remove_stops,
+            tokenizer=tokenizer,
+        )
+        parts.append(analyzed.select("docid", F.lit(fname).alias("field"), "terms", "dl"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def _tf_of(analyzed: DataFrame) -> DataFrame:
+    """(docid, field, terms, dl) → (docid, field, term, tf, dl)."""
+    return (
+        analyzed.select("docid", "field", "dl", F.explode("terms").alias("term"))
+        .groupBy("docid", "field", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _field_avgdl(analyzed: DataFrame) -> dict[str, float]:
+    return {
+        r["field"]: float(r["avgdl"] or 0.0)
+        for r in analyzed.groupBy("field").agg(F.avg("dl").alias("avgdl")).collect()
+    }
+
+
+def _query_df(
+    spark: SparkSession,
+    topics: Mapping[str, str],
+    stemmer: str,
+    remove_stops: bool,
+    tokenizer: str,
+) -> DataFrame | None:
+    rows = []
+    for qid, text in topics.items():
+        terms = analyze_text(
+            text, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+        )
+        for term, qtf in Counter(terms).items():
+            rows.append((str(qid), term, qtf))
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, "qid string, term string, qtf long")
+
+
+def _topk(scored: DataFrame, hits: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= hits)
+        .select("qid", "docid", "rank", "score")
+    )
+
+
+def bm25f_search(
+    spark: SparkSession,
+    corpus: DataFrame,
+    topics: Mapping[str, str],
+    fields: Mapping[str, float],
+    k1: float = 0.9,
+    b: float | Mapping[str, float] = 0.4,
+    hits: int = 1000,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """True BM25F over ``corpus(docid, *fields)`` → (qid, docid, rank, score).
+
+    ``fields`` maps field column → weight w_f; ``b`` is a scalar or a
+    per-field map.  idf uses the document-level df (a doc counts once
+    however many fields the term hits).
+    """
+    if not fields:
+        raise ValueError("bm25f_search: need at least one field")
+    b_map = {f: (b[f] if isinstance(b, Mapping) else b) for f in fields}
+    qdf = _query_df(spark, topics, stemmer, remove_stops, tokenizer)
+    if qdf is None:
+        return spark.createDataFrame([], "qid string, docid string, rank int, score double")
+
+    analyzed = _field_analyzed(corpus, fields, stemmer, remove_stops, tokenizer).persist()
+    try:
+        # per-field stats: |fields| rows, driver-tiny; averaged over EVERY
+        # doc (token-free ones included), matching the single-field oracle.
+        fstats = _field_avgdl(analyzed)
+        n_docs = corpus.select("docid").distinct().count()
+        tf = _tf_of(analyzed)
+
+        # document-level df for idf
+        df_table = (
+            tf.select("term", "docid").distinct().groupBy("term").agg(F.count("*").alias("df"))
+        )
+        qw = qdf.join(df_table, "term", "inner").withColumn(
+            "idf",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            ),
+        )
+
+        # weighted, length-normalized per-field tf → tfn per (docid, term)
+        wcol = F.lit(0.0)
+        bnorm = F.lit(1.0)
+        for fname, weight in fields.items():
+            bf = float(b_map[fname])
+            avgdl = float(fstats.get(fname, 0.0))
+            if avgdl > 0:
+                norm = F.lit(1.0 - bf) + F.lit(bf) * F.col("dl") / F.lit(avgdl)
+            else:  # field never produced a token anywhere: no rows exist,
+                norm = F.lit(1.0)  # expression kept total for safety
+            wcol = F.when(F.col("field") == fname, F.lit(float(weight)) / norm).otherwise(wcol)
+        tfn = (
+            tf.withColumn("wtf", F.col("tf") * wcol)
+            .groupBy("docid", "term")
+            .agg(F.sum("wtf").alias("tfn"))
+        )
+
+        scored = (
+            tfn.join(F.broadcast(qw), "term")
+            .withColumn(
+                "term_score",
+                F.col("qtf") * F.col("idf") * F.col("tfn") / (F.lit(float(k1)) + F.col("tfn")),
+            )
+            .groupBy("qid", "docid")
+            .agg(F.sum("term_score").alias("score"))
+        )
+        return _topk(scored, hits)
+    finally:
+        analyzed.unpersist()
+
+
+def multifield_bm25_search(
+    spark: SparkSession,
+    corpus: DataFrame,
+    topics: Mapping[str, str],
+    fields: Mapping[str, float],
+    k1: float = 0.9,
+    b: float = 0.4,
+    hits: int = 1000,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """Lucene MultiFieldQueryParser twin: sum of boosted per-field BM25.
+
+    Each field keeps its OWN dl/avgdl/df (its own BM25 universe);
+    ``fields`` maps field → boost.  A term absent from a field simply
+    contributes nothing for that field.
+    """
+    if not fields:
+        raise ValueError("multifield_bm25_search: need at least one field")
+    qdf = _query_df(spark, topics, stemmer, remove_stops, tokenizer)
+    if qdf is None:
+        return spark.createDataFrame([], "qid string, docid string, rank int, score double")
+
+    analyzed = _field_analyzed(corpus, fields, stemmer, remove_stops, tokenizer).persist()
+    try:
+        n_docs = corpus.select("docid").distinct().count()
+        fstats = _field_avgdl(analyzed)
+        tf = _tf_of(analyzed)
+        # per-field df; idf over the shared N (Lucene: one index, field-local df)
+        df_table = (
+            tf.select("field", "term", "docid")
+            .distinct()
+            .groupBy("field", "term")
+            .agg(F.count("*").alias("df"))
+        )
+        qw = qdf.join(df_table, "term", "inner").withColumn(
+            "idf",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            ),
+        )
+
+        boost = F.lit(0.0)
+        norm = F.lit(1.0)
+        for fname, bst in fields.items():
+            avgdl = float(fstats.get(fname, 0.0))
+            fnorm = (
+                F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                if avgdl > 0
+                else F.lit(1.0)
+            )
+            boost = F.when(F.col("field") == fname, F.lit(float(bst))).otherwise(boost)
+            norm = F.when(F.col("field") == fname, fnorm).otherwise(norm)
+
+        scored = (
+            tf.join(F.broadcast(qw), ["field", "term"])
+            .withColumn(
+                "term_score",
+                boost
+                * F.col("qtf")
+                * F.col("idf")
+                * F.col("tf")
+                / (F.col("tf") + F.lit(float(k1)) * norm),
+            )
+            .groupBy("qid", "docid")
+            .agg(F.sum("term_score").alias("score"))
+        )
+        return _topk(scored, hits)
+    finally:
+        analyzed.unpersist()
