@@ -3710,6 +3710,65 @@ def _q_clone_pairs_winnow(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- deletes (liveDocs)
+
+# gate tombstone set: every doc_id % 7 == 0 dies.  Lucene semantics: the
+# delete-time search keeps STALE df/avgdl (full-corpus stats) while dead
+# docs can't be returned; after expunge the stats are live-only.
+_DELETE_MOD = 7
+
+assert _BM25_ORACLE_SQL.count("GROUP BY qw.qid, tf.docid") == 1
+assert _BM25_ORACLE_SQL.count("FROM documents") == 1
+
+_DELETED_ORACLE_SQL = _BM25_ORACLE_SQL.replace(
+    "GROUP BY qw.qid, tf.docid",
+    f"WHERE cast(tf.docid AS bigint) % {_DELETE_MOD} != 0\n  GROUP BY qw.qid, tf.docid",
+)
+_EXPUNGED_ORACLE_SQL = _BM25_ORACLE_SQL.replace(
+    "FROM documents", f"FROM documents WHERE doc_id % {_DELETE_MOD} != 0"
+)
+
+
+def _deleted_index(spark, sf_dir):
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("del", sf_dir),
+        IndexConfig(stemmer="none"),
+    )
+    victims = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % _DELETE_MOD == 0
+    ).select(F.col("doc_id").cast("string").alias("docid"))
+    idx.delete_docs(victims)  # idempotent: re-deleting dead docs is a no-op
+    return idx
+
+
+def _q_delete_docs_bm25(spark, sf_dir):
+    """BM25 over a tombstoned index (index/deletes.py — IndexWriter.
+    deleteDocuments twin): dead docs excluded, survivors' scores computed
+    with the STALE full-corpus df/avgdl (Lucene liveDocs rule)."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.search import BM25Searcher
+
+    idx = _deleted_index(spark, sf_dir)
+    run = BM25Searcher(idx, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
+    return _gate_rank(run)
+
+
+def _q_expunge_bm25(spark, sf_dir):
+    """BM25 after expunge_deletes (forceMergeDeletes twin): physical
+    rebuild without dead docs — now equal to a fresh index over the live
+    corpus, stats recomputed."""
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.search import BM25Searcher
+
+    idx = _deleted_index(spark, sf_dir)
+    clean = idx.expunge_deletes(_index_dir("delx", sf_dir))
+    run = BM25Searcher(clean, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
+    return _gate_rank(run)
+
+
 # ------------------------------------------------------- fielded retrieval
 
 # gate corpus: title := first 40 chars of text (deterministic, shares the
@@ -3859,6 +3918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": _q_dismax_search,
         "bm25f_topk": _q_bm25f,
         "multifield_topk": _q_multifield,
+        "delete_docs_bm25": _q_delete_docs_bm25,
+        "expunge_bm25": _q_expunge_bm25,
         "termrange_topk": _q_termrange_search,
         "merged_index_bm25": _q_merged_index_bm25,
         "lexical_stats": _q_lexical_stats,
@@ -4194,6 +4255,12 @@ def oracle_sql() -> dict[str, str]:
         "score_explain": explain,
         "index_checkindex": checkidx,
         "dismax_topk": _DISMAX_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
+        "delete_docs_bm25": _DELETED_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
+        "expunge_bm25": _EXPUNGED_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
         "bm25f_topk": _BM25F_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
         "multifield_topk": _MULTIFIELD_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()

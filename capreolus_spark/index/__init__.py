@@ -164,6 +164,61 @@ class InvertedIndex:
             rdd, "term string, term_id long, df long, cf long"
         )
 
+    # -------------------------------------------------- deletes (liveDocs)
+
+    def deleted_docnos(self):
+        """Sorted int64 array of tombstoned docnos (empty if none) —
+        Lucene's liveDocs bitmap, cached against the deletes manifest
+        mtime so a concurrent delete invalidates the memo."""
+        from .deletes import _manifest_path, deleted_docnos
+
+        try:
+            mtime = os.path.getmtime(_manifest_path(self.index_dir))
+        except OSError:
+            mtime = None
+        cached = getattr(self, "_deleted_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
+        arr = deleted_docnos(self)
+        self._deleted_cache = (mtime, arr)
+        return arr
+
+    def invalidate_deletes_cache(self) -> None:
+        self._deleted_cache = None
+
+    @property
+    def num_deleted(self) -> int:
+        from .deletes import read_deletes_manifest
+
+        return int(read_deletes_manifest(self.index_dir).get("n_deleted", 0))
+
+    def delete_docs(self, docids) -> dict:
+        """Tombstone documents by external docid (IndexWriter.deleteDocuments
+        twin; see index/deletes.py for the stale-stats semantics)."""
+        from .deletes import delete_docs
+
+        return delete_docs(self, docids)
+
+    def delete_by_term(self, term: str, stemmer: str | None = None) -> dict:
+        from .deletes import delete_by_term
+
+        return delete_by_term(self, term, stemmer=stemmer)
+
+    def expunge_deletes(self, out_dir: str) -> "InvertedIndex":
+        """forceMergeDeletes twin: physical rebuild without dead docs."""
+        from .deletes import expunge_deletes
+
+        return expunge_deletes(self, out_dir)
+
+    def live_docs_df(self) -> DataFrame:
+        """docs_df minus tombstoned docs (what a search can still return)."""
+        dead = self.deleted_docnos()
+        docs = self.docs_df()
+        if dead.size == 0:
+            return docs
+        dead_df = self.spark.createDataFrame([(int(d),) for d in dead], "docno long")
+        return docs.join(F.broadcast(dead_df), "docno", "left_anti")
+
     # -------------------------------------------------- stats & lookups
 
     def stats(self) -> dict:

@@ -1,0 +1,209 @@
+"""Document deletion: Lucene ``IndexWriter.deleteDocuments`` twin.
+
+The reference's index is append-only (Anserini builds once, the ``done``
+marker at ``capreolus/index/__init__.py:19-33`` freezes it); Lucene
+itself, underneath, supports tombstone deletion — ``deleteDocuments
+(Term)`` marks docs dead in a liveDocs bitmap, searches skip them, and
+stored fields plus collection statistics (docFreq, avgdl) stay STALE
+until segments merge.  This module reproduces those exact semantics on
+the Spark index layout:
+
+* :func:`delete_docs` / :func:`delete_by_term` append a *generation* of
+  deleted docnos under ``<index_dir>/deletes/gen-N/`` (parquet, written
+  atomically via tmp-dir rename) plus a ``deletes.json`` manifest with
+  per-generation lineage — the same resumable-checkpoint contract as the
+  build manifest (``build.py`` Manifest).  Re-deleting already-dead docs
+  writes NOTHING (idempotent, repeated driver runs are stable).
+* the DAAT kernel (``search/daat.py``) filters dead docnos out of every
+  decoded posting run, so deleted docs can never enter a top-k heap —
+  while df/idf/avgdl keep their pre-delete values, bit-for-bit: scores
+  of surviving docs are UNCHANGED by a delete (pinned in tests).
+* :func:`expunge_deletes` is the ``forceMergeDeletes`` twin: a physical
+  rewrite (full rebuild from the docstore's live rows) into a new index
+  dir, after which stats reflect only live documents and the tombstone
+  set is empty.  Like a Lucene merge it renumbers internal docnos;
+  external docids are stable.
+
+Scale: the tombstone set is driver/executor-resident (int64 array, one
+entry per deleted doc) exactly like Lucene's in-RAM liveDocs; at 10^12
+docs a deletion wave is bounded by the same contract Lucene has — keep
+the live set healthy with expunge.  The searcher ships the array to
+executors via a Spark broadcast above a size threshold, closure capture
+below it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import TYPE_CHECKING, Iterable
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from . import InvertedIndex
+
+DELETES_SCHEMA = "docno long"
+
+
+def _deletes_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes")
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(_deletes_dir(index_dir), "deletes.json")
+
+
+def read_deletes_manifest(index_dir: str) -> dict:
+    p = _manifest_path(index_dir)
+    if not os.path.exists(p):
+        return {"generations": [], "n_deleted": 0}
+    with open(p) as f:
+        return json.load(f)
+
+
+def deleted_docnos(index: "InvertedIndex") -> np.ndarray:
+    """Union of all delete generations as a SORTED int64 array (may be
+    empty).  Docno-sorted so the kernel can slice per range with two
+    binary searches."""
+    man = read_deletes_manifest(index.index_dir)
+    gens = man["generations"]
+    if not gens:
+        return np.empty(0, dtype=np.int64)
+    frames = [
+        index.spark.read.schema(DELETES_SCHEMA).parquet(
+            os.path.join(_deletes_dir(index.index_dir), g["name"])
+        )
+        for g in gens
+    ]
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    arr = np.array(
+        sorted({r["docno"] for r in u.collect()}), dtype=np.int64
+    )
+    return arr
+
+
+def _commit_generation(index: "InvertedIndex", new_docnos: DataFrame, op: str) -> dict:
+    """Write one atomic delete generation from a (docno long) frame that
+    is already deduped against the existing tombstone set.  Returns the
+    manifest entry (``n_docs`` 0 means nothing new → no generation)."""
+    rows = [r["docno"] for r in new_docnos.collect()]
+    if not rows:
+        return {"n_docs": 0, "skipped": True}
+    man = read_deletes_manifest(index.index_dir)
+    gen_id = 1 + max((g["gen"] for g in man["generations"]), default=0)
+    name = f"gen-{gen_id}"
+    ddir = _deletes_dir(index.index_dir)
+    os.makedirs(ddir, exist_ok=True)
+    # atomic: write to a tmp dir next to the target, then rename
+    tmp = tempfile.mkdtemp(prefix=f".{name}.", dir=ddir)
+    try:
+        df = index.spark.createDataFrame([(int(d),) for d in rows], DELETES_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        final = os.path.join(ddir, name)
+        if os.path.exists(final):  # crashed earlier attempt: the manifest
+            shutil.rmtree(final)  # never recorded it, safe to discard
+        os.replace(os.path.join(tmp, "data"), final)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {
+        "gen": gen_id,
+        "name": name,
+        "op": op,
+        "n_docs": len(rows),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    man["generations"].append(entry)
+    man["n_deleted"] = int(man.get("n_deleted", 0)) + len(rows)
+    mp = _manifest_path(index.index_dir)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(man, f, indent=2, sort_keys=True)
+    os.replace(mp + ".tmp", mp)
+    return entry
+
+
+def _not_already_deleted(index: "InvertedIndex", docnos: DataFrame) -> DataFrame:
+    dead = deleted_docnos(index)
+    if dead.size == 0:
+        return docnos.distinct()
+    dead_df = index.spark.createDataFrame([(int(d),) for d in dead], DELETES_SCHEMA)
+    return docnos.distinct().join(F.broadcast(dead_df), "docno", "left_anti")
+
+
+def delete_docs(index: "InvertedIndex", docids: Iterable[str] | DataFrame) -> dict:
+    """Mark documents dead by external docid (``deleteDocuments(Term)`` on
+    the id field).  Unknown docids are ignored (Lucene: deleting a
+    non-existent term is a no-op).  Returns the generation entry."""
+    docmap = index.docs_df().select("docid", "docno")
+    if isinstance(docids, DataFrame):
+        ids = docids.select(F.col(docids.columns[0]).cast("string").alias("docid"))
+        target = docmap.join(ids.distinct(), "docid", "left_semi").select("docno")
+    else:
+        idlist = [str(d) for d in docids]
+        if not idlist:
+            return {"n_docs": 0, "skipped": True}
+        ids = index.spark.createDataFrame([(d,) for d in idlist], "docid string")
+        target = docmap.join(F.broadcast(ids), "docid", "left_semi").select("docno")
+    entry = _commit_generation(index, _not_already_deleted(index, target), op="by_docid")
+    index.invalidate_deletes_cache()
+    return entry
+
+
+def delete_by_term(
+    index: "InvertedIndex",
+    term: str,
+    stemmer: str | None = None,
+) -> dict:
+    """``deleteDocuments(Term)`` on an indexed content term: every doc
+    whose posting list contains ``term`` dies.  The term is analyzed with
+    the index's own stemmer (pass ``stemmer`` to override), matching how
+    the query side would reach it."""
+    from ..analysis import analyze_text
+    from .codec import decode_postings
+
+    analyzed = analyze_text(
+        term, stemmer=index.config.stemmer if stemmer is None else stemmer,
+        remove_stops=False,
+    )
+    if not analyzed:
+        return {"n_docs": 0, "skipped": True}
+    t = analyzed[0]
+
+    import pandas as pd
+
+    def expand(batches):
+        for pdf in batches:
+            for i in range(len(pdf)):
+                docnos, _ = decode_postings(pdf["docnos"].iloc[i], pdf["tfs"].iloc[i])
+                yield pd.DataFrame({"docno": docnos.astype(np.int64)})
+
+    cells = index.postings_df().filter(F.col("term") == t).select("docnos", "tfs")
+    target = cells.mapInPandas(expand, schema=DELETES_SCHEMA)
+    entry = _commit_generation(index, _not_already_deleted(index, target), op=f"by_term:{t}")
+    index.invalidate_deletes_cache()
+    return entry
+
+
+def expunge_deletes(index: "InvertedIndex", out_dir: str) -> "InvertedIndex":
+    """``forceMergeDeletes`` twin: physically rebuild the index WITHOUT the
+    tombstoned docs into ``out_dir`` (fresh docnos, stats over live docs
+    only, empty tombstone set).  Needs ``store_contents`` (the docstore is
+    the rebuild source, like Lucene merging stored fields)."""
+    from . import InvertedIndex
+
+    index._require_contents("expunge_deletes")
+    dead = deleted_docnos(index)
+    live = index.docs_df().select("docid", "docno", "content")
+    if dead.size:
+        dead_df = index.spark.createDataFrame([(int(d),) for d in dead], DELETES_SCHEMA)
+        live = live.join(F.broadcast(dead_df), "docno", "left_anti")
+    return InvertedIndex.create(
+        index.spark, live.select("docid", "content"), out_dir, index.config
+    )

@@ -142,6 +142,7 @@ class BM25Searcher:
             scoring=self.scoring,
             avgdl=self.index.avgdl,
             hits=max(hits or 0, self.config.hits),
+            deleted=self._deleted_for_kernel(),
             **self._kernel_kwargs(),
         )
         return (
@@ -154,6 +155,18 @@ class BM25Searcher:
         """Extra kwargs for make_range_scorer — subclasses override to
         change the per-doc combine (e.g. DisMaxSearcher)."""
         return {"prune": self.prune}
+
+    def _deleted_for_kernel(self):
+        """Tombstoned docnos for the DAAT kernel (index/deletes.py): None
+        when the index has no deletes (zero overhead on the common path);
+        a Spark broadcast above 64k entries so big tombstone sets ship to
+        each executor once instead of riding every serialized task."""
+        dead = self.index.deleted_docnos()
+        if dead is None or dead.size == 0:
+            return None
+        if dead.size > 65536:
+            return self.index.spark.sparkContext.broadcast(dead)
+        return dead
 
     def _global_topk_cut(self, candidates: DataFrame, hits: int) -> DataFrame:
         """Cut (qid, docno, score) to the global per-qid top-``hits`` BEFORE

@@ -50,7 +50,7 @@ from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from ..index.codec import decode_int32_array, decode_postings
 from . import BM25Searcher
-from .daat import RESULT_SCHEMA, _empty_result
+from .daat import RESULT_SCHEMA, _empty_result, live_mask
 
 __all__ = ["BooleanSearcher", "parse_boolean_query"]
 
@@ -166,6 +166,7 @@ class BooleanSearcher(BM25Searcher):
 
         qlist = sorted(queries.items())
         scoring, avgdl, limit = self.scoring, self.index.avgdl, hits
+        deleted = self._deleted_for_kernel()
 
         def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
             if len(p) == 0 or len(r) == 0:
@@ -173,6 +174,7 @@ class BooleanSearcher(BM25Searcher):
             rrow = r.iloc[0]
             base = int(rrow["base_docno"])
             dls = decode_int32_array(rrow["dls"])
+            del_mask = live_mask(deleted, base, int(rrow["n_slots"]))
 
             rows_by_term = {p.iloc[i]["term"]: p.iloc[i] for i in range(len(p))}
             cells: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -182,7 +184,11 @@ class BooleanSearcher(BM25Searcher):
                 if cell is None:
                     prow = rows_by_term[t]
                     docnos, tfs = decode_postings(prow["docnos"], prow["tfs"])
-                    cells[t] = cell = (docnos - base, tfs)
+                    slots = docnos - base
+                    if del_mask is not None:
+                        keep = ~del_mask[slots]
+                        slots, tfs = slots[keep], tfs[keep]
+                    cells[t] = cell = (slots, tfs)
                 return cell
 
             out_qid: list[str] = []

@@ -58,6 +58,21 @@ def _empty_result() -> pd.DataFrame:
     return _EMPTY
 
 
+def live_mask(deleted, base: int, n_slots: int) -> np.ndarray | None:
+    """Per-range tombstone mask (True = dead slot) from a sorted docno
+    array or a Broadcast of one; None when the range has no dead docs."""
+    dead = deleted.value if hasattr(deleted, "value") else deleted
+    if dead is None or len(dead) == 0:
+        return None
+    lo = np.searchsorted(dead, base)
+    hi = np.searchsorted(dead, base + n_slots)
+    if hi == lo:
+        return None
+    m = np.zeros(n_slots, dtype=bool)
+    m[dead[lo:hi] - base] = True
+    return m
+
+
 def bm25_tf_sat(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
     """tf / (tf + k1*(1 - b + b*dl/avgdl)) in float64."""
     tf = tf.astype(np.float64)
@@ -150,12 +165,21 @@ def make_range_scorer(
     hits: int,
     prune: bool = True,
     tie_breaker: float | None = None,
+    deleted=None,
 ):
     """Build the cogrouped applyInPandas function.
 
     ``query_terms``: {qid: [(term, weight, qtf), ...]} — tiny, captured in the
     closure (shipped to executors with the serialized task, playing the role
     of the reference's driver-side stats cache, ``index/anserini.py:100-114``).
+
+    ``deleted``: optional SORTED int64 array of tombstoned docnos (or a
+    Spark ``Broadcast`` of one) — Lucene's liveDocs.  Dead slots are
+    dropped from every decoded posting run, so they can't enter a heap;
+    df/idf/avgdl keep their indexed (stale-until-expunge) values, and the
+    block-max bounds stay valid upper bounds (removing docs only lowers
+    what's attainable).  Surviving docs' scores are bit-identical to the
+    undeleted index.
     """
     # deterministic per-query term order for reproducible float accumulation
     qlist = [
@@ -174,6 +198,8 @@ def make_range_scorer(
         dls = decode_int32_array(rrow["dls"])
         min_dl = max(int(rrow["min_dl"]), 1)
 
+        del_mask = live_mask(deleted, base, n_slots)
+
         rows_by_term = {}
         meta_max_tf = {}
         for i in range(len(postings)):
@@ -188,7 +214,11 @@ def make_range_scorer(
             if cell is None:
                 prow = rows_by_term[t]
                 docnos, tfs = decode_postings(prow["docnos"], prow["tfs"])
-                cells[t] = cell = (docnos - base, tfs)
+                slots = docnos - base
+                if del_mask is not None:
+                    keep = ~del_mask[slots]
+                    slots, tfs = slots[keep], tfs[keep]
+                cells[t] = cell = (slots, tfs)
             return cell
 
         scores = np.zeros(n_slots, dtype=np.float64)

@@ -35,6 +35,7 @@ from ..analysis import LUCENE_STOP_WORDS, stem_token, tokenize_text
 from ..config import BM25Config
 from ..index import InvertedIndex
 from ..index.codec import decode_int32_array, decode_position_lists, decode_postings
+from .daat import live_mask
 from . import DEFAULT_TAG, BM25Searcher
 
 _COUNT_SCHEMA = "qid string, docno long, cnt long, dl long"
@@ -88,6 +89,7 @@ class PhraseSearcher(BM25Searcher):
         postings = self.index.postings_df().filter(F.col("term").isin(terms))
         ranges = self.index.ranges_df()
         qlist = sorted(phrases.items())
+        deleted = self._deleted_for_kernel()
 
         def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
@@ -104,13 +106,20 @@ class PhraseSearcher(BM25Searcher):
             base = int(rrow["base_docno"])
             dls = decode_int32_array(rrow["dls"])
 
+            del_mask = live_mask(deleted, base, int(rrow["n_slots"]))
+
             cells: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
             for i in range(len(p)):
                 row = p.iloc[i]
                 if row["positions"] is None:
                     continue
                 docnos, tfs = decode_postings(row["docnos"], row["tfs"])
-                cells[row["term"]] = (docnos, decode_position_lists(bytes(row["positions"]), tfs))
+                plists = decode_position_lists(bytes(row["positions"]), tfs)
+                if del_mask is not None:
+                    keep = ~del_mask[docnos - base]
+                    docnos = docnos[keep]
+                    plists = [pl for pl, k in zip(plists, keep) if k]
+                cells[row["term"]] = (docnos, plists)
 
             rows = {"qid": [], "docno": [], "cnt": [], "dl": []}
             for qid, ps in qlist:

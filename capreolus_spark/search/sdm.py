@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from ..index.codec import decode_int32_array, decode_position_lists, decode_postings
+from .daat import live_mask
 from . import BM25Searcher
 
 WINDOW_SCHEMA = "qid string, pair string, docno long, o_cnt long, u_cnt long, dl long"
@@ -131,6 +132,7 @@ class SDMSearcher(BM25Searcher):
         ranges = self.index.ranges_df()
         qpairs = [(qid, t1, t2) for qid, ps in sorted(pairs.items()) for (t1, t2) in ps]
         ow, uw = self.ordered_window, self.unordered_window
+        deleted = self._deleted_for_kernel()
 
         def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
@@ -149,6 +151,8 @@ class SDMSearcher(BM25Searcher):
             base = int(rrow["base_docno"])
             dls = decode_int32_array(rrow["dls"])
 
+            del_mask = live_mask(deleted, base, int(rrow["n_slots"]))
+
             cells: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
             for i in range(len(p)):
                 row = p.iloc[i]
@@ -156,6 +160,10 @@ class SDMSearcher(BM25Searcher):
                     continue
                 docnos, tfs = decode_postings(row["docnos"], row["tfs"])
                 poss = decode_position_lists(bytes(row["positions"]), tfs)
+                if del_mask is not None:
+                    keep = ~del_mask[docnos - base]
+                    docnos = docnos[keep]
+                    poss = [pl for pl, k in zip(poss, keep) if k]
                 cells[row["term"]] = (docnos, poss)
 
             rows = {"qid": [], "pair": [], "docno": [], "o_cnt": [], "u_cnt": [], "dl": []}

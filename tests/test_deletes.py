@@ -1,0 +1,178 @@
+"""Document deletion (IndexWriter.deleteDocuments twin, index/deletes.py).
+
+Pinned semantics:
+
+* a deleted doc can never be returned, by ANY searcher family
+  (BM25 DAAT, boolean, phrase);
+* surviving docs' scores are BIT-IDENTICAL to the undeleted index
+  (df/idf/avgdl stay stale until expunge — Lucene's liveDocs rule);
+* pruned and unpruned kernels agree under deletion (block-max bounds
+  stay valid when docs are removed);
+* deletes are idempotent generations (re-deleting dead docs writes no
+  new generation) and unknown docids are no-ops;
+* stored fields remain readable for dead docs (Lucene: get_doc works
+  until merge) while ``live_docs_df`` excludes them;
+* expunge_deletes rebuilds to exactly a fresh index over the live docs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.data import synth_corpus, synth_queries
+from capreolus_spark.index import InvertedIndex, make_docid_column
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, tmp_path_factory):
+    corpus = make_docid_column(synth_corpus(spark, 200))
+    index_dir = str(tmp_path_factory.mktemp("del_index"))
+    cfg = IndexConfig(range_size=64, num_doc_partitions=3, store_positions=True)
+    idx = InvertedIndex.create(spark, corpus, index_dir, cfg)
+    return idx, corpus
+
+
+TOPICS = {k: v for k, v in list(synth_queries(10).items())[:4]}
+
+
+def _run(idx, topics=TOPICS, hits=50, prune=True):
+    return run_df_to_dict(
+        BM25Searcher(idx, BM25Config(hits=hits), prune=prune).search(topics)
+    )
+
+
+def test_delete_excludes_docs_and_keeps_scores_stable(spark, del_index, tmp_path):
+    idx, corpus = del_index
+    before = _run(idx)
+    victims = sorted({d for q in before.values() for d in list(q)[:3]})[:10]
+    assert victims
+    entry = idx.delete_docs(victims)
+    assert entry["n_docs"] == len(victims)
+    assert idx.num_deleted == len(victims)
+    after = _run(idx)
+    vset = set(victims)
+    for qid, docs in after.items():
+        assert not (set(docs) & vset), qid
+        # stale-stats rule: every surviving doc keeps its exact score
+        for d, s in docs.items():
+            if d in before.get(qid, {}):
+                assert s == before[qid][d], (qid, d)
+    # and nothing else vanished: survivors of the before-run all remain
+    # (hits deep enough that exclusion can't push them out)
+    for qid in before:
+        expect = {d for d in before[qid] if d not in vset}
+        assert expect <= set(after.get(qid, {})), qid
+    # cleanup for other tests? no — module fixture mutates once, ordered below
+
+
+def test_pruned_equals_unpruned_under_deletes(del_index):
+    idx, _ = del_index
+    assert _run(idx, prune=True) == _run(idx, prune=False)
+
+
+def test_redelete_is_noop_and_unknown_ids_ignored(del_index):
+    idx, _ = del_index
+    n = idx.num_deleted
+    dead_ids = [r["docid"] for r in idx.docs_df().collect()[:2]]
+    idx.delete_docs(dead_ids)  # may or may not be dead — dedupe below
+    first = idx.num_deleted
+    again = idx.delete_docs(dead_ids)
+    assert again.get("skipped") or again["n_docs"] == 0 or idx.num_deleted == first
+    assert idx.num_deleted == first
+    noop = idx.delete_docs(["no_such_doc_1", "no_such_doc_2"])
+    assert noop.get("skipped") or noop["n_docs"] == 0
+    assert idx.num_deleted == first
+    assert first >= n
+
+
+def test_get_doc_still_serves_dead_stored_fields(del_index):
+    idx, corpus = del_index
+    dead = idx.deleted_docnos()
+    assert dead.size == idx.num_deleted > 0
+    dead_docids = {
+        r["docid"]
+        for r in idx.docs_df()
+        .join(
+            idx.spark.createDataFrame([(int(d),) for d in dead], "docno long"),
+            "docno",
+        )
+        .collect()
+    }
+    some = sorted(dead_docids)[0]
+    assert idx.get_doc(some) is not None  # stored fields survive until merge
+    live = {r["docid"] for r in idx.live_docs_df().collect()}
+    assert not (live & dead_docids)
+    assert len(live) == corpus.count() - len(dead_docids)
+
+
+def test_delete_by_term(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(
+        [
+            ("a", "rust compiler borrow checker"),
+            ("b", "python compiler bytecode"),
+            ("c", "garbage collector runtime"),
+        ],
+        "docid string, content string",
+    )
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("bt")), IndexConfig(stemmer="none")
+    )
+    entry = idx.delete_by_term("compiler")
+    assert entry["n_docs"] == 2
+    run = _run(idx, topics={"q": "compiler runtime"}, hits=10)
+    assert set(run.get("q", {})) == {"c"}
+
+
+def test_expunge_equals_fresh_build(spark, del_index, tmp_path_factory):
+    idx, corpus = del_index
+    dead = idx.deleted_docnos()
+    assert dead.size > 0
+    out_dir = str(tmp_path_factory.mktemp("expunged"))
+    clean = idx.expunge_deletes(out_dir)
+    assert clean.num_deleted == 0
+    live_ids = {r["docid"] for r in idx.live_docs_df().collect()}
+    assert clean.numdocs == len(live_ids)
+
+    fresh_dir = str(tmp_path_factory.mktemp("fresh"))
+    fresh = InvertedIndex.create(
+        spark,
+        corpus.join(
+            spark.createDataFrame([(d,) for d in sorted(live_ids)], "docid string"),
+            "docid",
+            "left_semi",
+        ),
+        fresh_dir,
+        idx.config,
+    )
+    assert _run(clean) == _run(fresh)  # rank AND score identical
+
+
+def test_boolean_and_phrase_respect_deletes(spark, tmp_path_factory):
+    from capreolus_spark.search.boolean import BooleanSearcher
+    from capreolus_spark.search.phrase import PhraseSearcher
+
+    corpus = spark.createDataFrame(
+        [
+            ("p1", "shared memory model threads"),
+            ("p2", "shared memory model actors"),
+            ("p3", "message passing model"),
+        ],
+        "docid string, content string",
+    )
+    idx = InvertedIndex.create(
+        spark,
+        corpus,
+        str(tmp_path_factory.mktemp("bp")),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    idx.delete_docs(["p1"])
+    brun = run_df_to_dict(
+        BooleanSearcher(idx, BM25Config(hits=10)).search({"q": "+shared memory"})
+    )
+    assert set(brun.get("q", {})) == {"p2"}
+    prun = run_df_to_dict(
+        PhraseSearcher(idx, BM25Config(hits=10)).search({"q": "shared memory model"})
+    )
+    assert set(prun.get("q", {})) == {"p2"}
