@@ -257,7 +257,20 @@ def check_index(index) -> DataFrame:
     Returns the ``(check, checked, mismatches)`` summary.  For an index
     built with ``store_positions=False`` the ``positions_entries`` row
     reports ``checked = 0`` (nothing stored, nothing to verify).
+
+    Adds a ``deletes_tombstones`` row (engine-internal, like
+    ``postings_blocks``): raw tombstone rows checked, with duplicate /
+    unknown-docno / manifest-drift counts as mismatches — Lucene's
+    CheckIndex liveDocs validation.
     """
-    return audit_frames(
+    from .deletes import audit_tombstones
+
+    base = audit_frames(
         index.postings_df(), index.dict_df(), index.ranges_df(), index.docs_df()
     )
+    checked, mismatches = audit_tombstones(index)
+    extra = index.spark.createDataFrame(
+        [("deletes_tombstones", checked, mismatches)],
+        "check string, checked bigint, mismatches bigint",
+    )
+    return base.unionByName(extra).orderBy("check")

@@ -191,6 +191,41 @@ def delete_by_term(
     return entry
 
 
+def audit_tombstones(index: "InvertedIndex") -> tuple[int, int]:
+    """CheckIndex-style tombstone audit → (checked, mismatches).
+
+    checked = raw rows across every delete generation; mismatches counts
+    duplicate docnos across generations, docnos that don't exist in the
+    docmap, and any drift between the manifest's ``n_deleted`` and the
+    actual distinct tombstone count.  A healthy index (deletes or none)
+    reports mismatches = 0."""
+    man = read_deletes_manifest(index.index_dir)
+    gens = man["generations"]
+    if not gens:
+        return 0, 0
+    frames = [
+        index.spark.read.schema(DELETES_SCHEMA).parquet(
+            os.path.join(_deletes_dir(index.index_dir), g["name"])
+        )
+        for g in gens
+    ]
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    n_raw = u.count()
+    distinct = u.distinct()
+    n_distinct = distinct.count()
+    n_valid = distinct.join(
+        index.docs_df().select("docno"), "docno", "left_semi"
+    ).count()
+    mismatches = (
+        (n_raw - n_distinct)
+        + (n_distinct - n_valid)
+        + abs(int(man.get("n_deleted", 0)) - n_distinct)
+    )
+    return int(n_raw), int(mismatches)
+
+
 def expunge_deletes(index: "InvertedIndex", out_dir: str) -> "InvertedIndex":
     """``forceMergeDeletes`` twin: physically rebuild the index WITHOUT the
     tombstoned docs into ``out_dir`` (fresh docnos, stats over live docs

@@ -37,7 +37,10 @@ def _summary(df):
 
 def test_healthy_index_audits_clean(spark, pos_index):
     s = _summary(check_index(pos_index))
-    assert set(s) == set(CORPUS_DERIVABLE_CHECKS) | {"postings_blocks"}
+    assert set(s) == set(CORPUS_DERIVABLE_CHECKS) | {
+        "postings_blocks",
+        "deletes_tombstones",
+    }
     assert all(m == 0 for _, m in s.values())
 
     # checked counts equal an independent recompute from the corpus

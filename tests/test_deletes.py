@@ -149,6 +149,47 @@ def test_expunge_equals_fresh_build(spark, del_index, tmp_path_factory):
     assert _run(clean) == _run(fresh)  # rank AND score identical
 
 
+def test_checkindex_tombstone_audit(spark, del_index):
+    from capreolus_spark.index.checkindex import check_index
+
+    idx, _ = del_index
+    rows = {r["check"]: r for r in check_index(idx).collect()}
+    t = rows["deletes_tombstones"]
+    assert t["checked"] == idx.num_deleted > 0
+    assert t["mismatches"] == 0
+    # every other check still clean on a tombstoned index
+    assert all(r["mismatches"] == 0 for r in rows.values())
+
+
+def test_tombstone_audit_flags_corruption(spark, tmp_path_factory):
+    import json
+    import os
+
+    from capreolus_spark.index.deletes import audit_tombstones, read_deletes_manifest
+
+    corpus = spark.createDataFrame(
+        [("x1", "alpha beta"), ("x2", "beta gamma")], "docid string, content string"
+    )
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("corrupt")), IndexConfig(stemmer="none")
+    )
+    idx.delete_docs(["x1"])
+    assert audit_tombstones(idx) == (1, 0)
+    # forge a generation holding a docno that exists in no docmap row
+    ddir = os.path.join(idx.index_dir, "deletes")
+    spark.createDataFrame([(10**9,)], "docno long").coalesce(1).write.parquet(
+        os.path.join(ddir, "gen-2")
+    )
+    man = read_deletes_manifest(idx.index_dir)
+    man["generations"].append({"gen": 2, "name": "gen-2", "op": "forged", "n_docs": 1})
+    man["n_deleted"] = 2
+    with open(os.path.join(ddir, "deletes.json"), "w") as f:
+        json.dump(man, f)
+    idx.invalidate_deletes_cache()
+    checked, mismatches = audit_tombstones(idx)
+    assert checked == 2 and mismatches == 1  # the unknown docno
+
+
 def test_boolean_and_phrase_respect_deletes(spark, tmp_path_factory):
     from capreolus_spark.search.boolean import BooleanSearcher
     from capreolus_spark.search.phrase import PhraseSearcher
