@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""spark-submit entry point: tombstone documents in a built index
+(IndexWriter.deleteDocuments twin, capreolus_spark/index/deletes.py).
+
+Deployment (north rule: multi-executor clusters via --py-files)::
+
+    bash scripts/package.sh                       # → dist/capreolus_spark.zip
+    spark-submit --py-files dist/capreolus_spark.zip \\
+        scripts/delete_job.py --index-dir <dir> \\
+        (--docids <file with one docid per line> | --term <indexed term>) \\
+        [--expunge <new index dir>] [--check]
+
+Deletes append an atomic tombstone generation; searches over the index
+immediately stop returning the dead docs while df/avgdl stay stale
+(Lucene liveDocs semantics).  ``--expunge`` additionally rewrites the
+index without the dead docs into a NEW directory (forceMergeDeletes).
+``--check`` runs the CheckIndex audit (including the tombstone checks)
+on whichever index the job ends with and fails on any mismatch.
+Idempotent: re-deleting dead docs writes no generation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True, help="built index directory")
+    ap.add_argument("--docids", help="file with one external docid per line")
+    ap.add_argument("--term", help="delete every doc whose postings contain this term")
+    ap.add_argument("--expunge", metavar="NEW_DIR",
+                    help="physically rebuild without dead docs into NEW_DIR")
+    ap.add_argument("--check", action="store_true",
+                    help="run the CheckIndex audit on the resulting index")
+    args = ap.parse_args()
+    if not (args.docids or args.term or args.expunge):
+        ap.error("nothing to do: pass --docids, --term and/or --expunge")
+
+    from pyspark.sql import SparkSession
+
+    from capreolus_spark.index import InvertedIndex
+
+    spark = SparkSession.builder.appName("capreolus_spark_delete").getOrCreate()
+    idx = InvertedIndex(spark, args.index_dir)
+    if not idx.exists():
+        print(json.dumps({"error": f"no complete index at {args.index_dir}"}))
+        sys.exit(2)
+
+    t0 = time.monotonic()
+    out = {"index_dir": args.index_dir}
+    if args.docids:
+        with open(args.docids) as f:
+            ids = [ln.strip() for ln in f if ln.strip()]
+        entry = idx.delete_docs(ids)
+        out["deleted_by_docid"] = entry.get("n_docs", 0)
+    if args.term:
+        entry = idx.delete_by_term(args.term)
+        out["deleted_by_term"] = entry.get("n_docs", 0)
+    out["n_deleted_total"] = idx.num_deleted
+
+    final = idx
+    if args.expunge:
+        final = idx.expunge_deletes(args.expunge)
+        out["expunged_to"] = args.expunge
+        out["live_docs"] = final.numdocs
+    out["delete_sec"] = round(time.monotonic() - t0, 1)
+
+    mismatches = 0
+    if args.check:
+        from capreolus_spark.index.checkindex import check_index
+
+        rows = check_index(final).collect()
+        out["checkindex"] = {r["check"]: [r["checked"], r["mismatches"]] for r in rows}
+        mismatches = sum(r["mismatches"] for r in rows)
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(0 if not mismatches else 1)
+
+
+if __name__ == "__main__":
+    main()
