@@ -93,35 +93,42 @@ def deleted_docnos(index: "InvertedIndex") -> np.ndarray:
 def _commit_generation(index: "InvertedIndex", new_docnos: DataFrame, op: str) -> dict:
     """Write one atomic delete generation from a (docno long) frame that
     is already deduped against the existing tombstone set.  Returns the
-    manifest entry (``n_docs`` 0 means nothing new → no generation)."""
-    rows = [r["docno"] for r in new_docnos.collect()]
-    if not rows:
-        return {"n_docs": 0, "skipped": True}
-    man = read_deletes_manifest(index.index_dir)
-    gen_id = 1 + max((g["gen"] for g in man["generations"]), default=0)
-    name = f"gen-{gen_id}"
-    ddir = _deletes_dir(index.index_dir)
-    os.makedirs(ddir, exist_ok=True)
-    # atomic: write to a tmp dir next to the target, then rename
-    tmp = tempfile.mkdtemp(prefix=f".{name}.", dir=ddir)
+    manifest entry (``n_docs`` 0 means nothing new → no generation).
+
+    The docnos never pass through the driver: the frame is written
+    distributed into a tmp dir and committed with a rename — only the
+    count rides to the driver."""
+    new_docnos = new_docnos.persist()
     try:
-        df = index.spark.createDataFrame([(int(d),) for d in rows], DELETES_SCHEMA)
-        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "data"))
-        final = os.path.join(ddir, name)
-        if os.path.exists(final):  # crashed earlier attempt: the manifest
-            shutil.rmtree(final)  # never recorded it, safe to discard
-        os.replace(os.path.join(tmp, "data"), final)
+        n_new = new_docnos.count()
+        if not n_new:
+            return {"n_docs": 0, "skipped": True}
+        man = read_deletes_manifest(index.index_dir)
+        gen_id = 1 + max((g["gen"] for g in man["generations"]), default=0)
+        name = f"gen-{gen_id}"
+        ddir = _deletes_dir(index.index_dir)
+        os.makedirs(ddir, exist_ok=True)
+        # atomic: write to a tmp dir next to the target, then rename
+        tmp = tempfile.mkdtemp(prefix=f".{name}.", dir=ddir)
+        try:
+            new_docnos.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+            final = os.path.join(ddir, name)
+            if os.path.exists(final):  # crashed earlier attempt: the manifest
+                shutil.rmtree(final)  # never recorded it, safe to discard
+            os.replace(os.path.join(tmp, "data"), final)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_docnos.unpersist()
     entry = {
         "gen": gen_id,
         "name": name,
         "op": op,
-        "n_docs": len(rows),
+        "n_docs": n_new,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     man["generations"].append(entry)
-    man["n_deleted"] = int(man.get("n_deleted", 0)) + len(rows)
+    man["n_deleted"] = int(man.get("n_deleted", 0)) + n_new
     mp = _manifest_path(index.index_dir)
     with open(mp + ".tmp", "w") as f:
         json.dump(man, f, indent=2, sort_keys=True)
