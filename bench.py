@@ -250,6 +250,21 @@ def main() -> None:
         timed("bm25_batch_inmem", lambda: searcher.search(topics).count())
         idx.unpersist()
 
+        # ---- tombstoned search (liveDocs overhead) -----------------------
+        # delete 1/7 of the corpus on a COPY of index1 (index0 keeps the
+        # deletion-free rows honest), then run the same warm batch: the
+        # kernel filters dead slots out of every decoded posting run, so
+        # the row should match bm25_batch_warm within noise.
+        del_dir = os.path.join(workdir, "index_del")
+        if not os.path.exists(del_dir):
+            shutil.copytree(os.path.join(workdir, "index1"), del_dir)
+        del_idx = InvertedIndex(spark, del_dir)
+        victims = del_idx.docs_df().filter(F.col("docno") % 7 == 0).select("docid")
+        del_idx.delete_docs(victims)
+        del_searcher = BM25Searcher(del_idx, BM25Config(hits=1000))
+        del_searcher.search(topics).count()  # warm file cache like index0
+        timed("bm25_tombstoned", lambda: del_searcher.search(topics).count())
+
         # ---- SDM over a positions index (rerank-style two-pass) ----------
         from capreolus_spark.data.synth import synth_corpus_distributed
         from capreolus_spark.index import IndexConfig, InvertedIndex as _II, make_docid_column
