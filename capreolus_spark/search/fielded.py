@@ -120,9 +120,37 @@ def _query_df(
 
 
 def _topk(scored: DataFrame, hits: int) -> DataFrame:
+    """Two-stage per-qid top-k (the family's `_global_topk_cut` shape):
+    a NARROW per-physical-partition pandas prune (score-rank ≤ hits,
+    boundary ties kept — no shuffle, memory bounded by periodic pruning)
+    bounds the frame the per-qid window sees to ≤ n_partitions × hits ×
+    ties rows; matching docs for a common term are corpus-scale, so
+    windowing the raw frame would funnel them all into one partition
+    per qid."""
+    import pandas as pd
+    from typing import Iterator
+
+    limit = hits
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        r = pdf.groupby("qid")["score"].rank(method="min", ascending=False)
+        return pdf[r <= limit]
+
+    def local_cut(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc = None
+        n_q = 1
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            n_q = max(n_q, acc["qid"].nunique())
+            if len(acc) > 8 * limit * n_q:
+                acc = prune(acc)
+        if acc is not None and len(acc):
+            yield prune(acc)
+
+    partial = scored.mapInPandas(local_cut, schema=scored.schema)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= hits)
         .select("qid", "docid", "rank", "score")
     )
