@@ -190,6 +190,41 @@ def test_tombstone_audit_flags_corruption(spark, tmp_path_factory):
     assert checked == 2 and mismatches == 1  # the unknown docno
 
 
+def test_deletes_on_incremental_index_survive_compaction(spark, tmp_path):
+    """Tombstones compose with the segmented incremental index: deletes
+    reference docnos, compaction preserves docnos, so a compacted index
+    keeps excluding the dead docs with identical surviving scores."""
+    from capreolus_spark.streaming import IncrementalIndexer
+
+    index_dir = str(tmp_path / "inc_del")
+    inc = IncrementalIndexer(spark, index_dir, IndexConfig(stemmer="none"))
+    inc.ingest_batch(
+        spark.createDataFrame(
+            [("g0a", "merge join shuffle"), ("g0b", "merge sort spill")],
+            "docid string, content string",
+        )
+    )
+    inc.ingest_batch(
+        spark.createDataFrame(
+            [("g1a", "merge hash partition"), ("g1b", "broadcast tiny side")],
+            "docid string, content string",
+        )
+    )
+    inc.refresh_stats()
+
+    idx = InvertedIndex(spark, index_dir)
+    idx.delete_docs(["g0b", "g1a"])  # one victim per generation
+    run = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=10)).search({"q": "merge"}))
+    assert set(run["q"]) == {"g0a"}
+    before_score = run["q"]["g0a"]
+
+    inc.compact()
+    idx2 = InvertedIndex(spark, index_dir)
+    run2 = run_df_to_dict(BM25Searcher(idx2, BM25Config(hits=10)).search({"q": "merge"}))
+    assert set(run2["q"]) == {"g0a"}
+    assert run2["q"]["g0a"] == before_score
+
+
 def test_boolean_and_phrase_respect_deletes(spark, tmp_path_factory):
     from capreolus_spark.search.boolean import BooleanSearcher
     from capreolus_spark.search.phrase import PhraseSearcher
