@@ -204,6 +204,13 @@ class InvertedIndex:
 
         return delete_by_term(self, term, stemmer=stemmer)
 
+    def delete_by_query(self, query: str, mode: str = "any") -> dict:
+        """deleteDocuments(Query) twin: kill every doc matching the
+        analyzed query ('any' = Lucene SHOULD, 'all' = conjunction)."""
+        from .deletes import delete_by_query
+
+        return delete_by_query(self, query, mode=mode)
+
     def expunge_deletes(self, out_dir: str) -> "InvertedIndex":
         """forceMergeDeletes twin: physical rebuild without dead docs."""
         from .deletes import expunge_deletes

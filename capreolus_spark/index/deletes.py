@@ -198,6 +198,70 @@ def delete_by_term(
     return entry
 
 
+def delete_by_query(
+    index: "InvertedIndex",
+    query: str,
+    mode: str = "any",
+    stemmer: str | None = None,
+) -> dict:
+    """``IndexWriter.deleteDocuments(Query)`` twin for term/boolean
+    queries: every doc MATCHING the analyzed query dies.
+
+    ``mode="any"`` is Lucene's BooleanQuery-SHOULD matching (a doc
+    containing at least one query term matches); ``mode="all"`` is the
+    all-MUST conjunction.  Distributed end to end: the query terms'
+    posting cells decode in ``mapInPandas`` to (term, docno) rows, the
+    conjunction is a groupBy(docno) count — no doc content is re-read
+    and nothing corpus-scale touches the driver."""
+    from ..analysis import analyze_text
+    from .codec import decode_postings
+
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    terms = sorted(
+        set(
+            analyze_text(
+                query,
+                stemmer=index.config.stemmer if stemmer is None else stemmer,
+                remove_stops=False,
+            )
+        )
+    )
+    if not terms:
+        return {"n_docs": 0, "skipped": True}
+
+    import pandas as pd
+
+    def expand(batches):
+        for pdf in batches:
+            for i in range(len(pdf)):
+                docnos, _ = decode_postings(pdf["docnos"].iloc[i], pdf["tfs"].iloc[i])
+                yield pd.DataFrame(
+                    {"term": pdf["term"].iloc[i], "docno": docnos.astype(np.int64)}
+                )
+
+    pairs = (
+        index.postings_df()
+        .filter(F.col("term").isin(terms))
+        .select("term", "docnos", "tfs")
+        .mapInPandas(expand, schema="term string, docno long")
+    )
+    if mode == "all":
+        target = (
+            pairs.groupBy("docno")
+            .agg(F.countDistinct("term").alias("k"))
+            .filter(F.col("k") == len(terms))
+            .select("docno")
+        )
+    else:
+        target = pairs.select("docno").distinct()
+    entry = _commit_generation(
+        index, _not_already_deleted(index, target), op=f"by_query[{mode}]:{query}"
+    )
+    index.invalidate_deletes_cache()
+    return entry
+
+
 def audit_tombstones(index: "InvertedIndex") -> tuple[int, int]:
     """CheckIndex-style tombstone audit → (checked, mismatches).
 

@@ -32,13 +32,16 @@ def main() -> None:
     ap.add_argument("--index-dir", required=True, help="built index directory")
     ap.add_argument("--docids", help="file with one external docid per line")
     ap.add_argument("--term", help="delete every doc whose postings contain this term")
+    ap.add_argument("--query", help="delete every doc MATCHING this query")
+    ap.add_argument("--query-mode", choices=("any", "all"), default="any",
+                    help="query matching: any term (Lucene SHOULD) or all terms")
     ap.add_argument("--expunge", metavar="NEW_DIR",
                     help="physically rebuild without dead docs into NEW_DIR")
     ap.add_argument("--check", action="store_true",
                     help="run the CheckIndex audit on the resulting index")
     args = ap.parse_args()
-    if not (args.docids or args.term or args.expunge):
-        ap.error("nothing to do: pass --docids, --term and/or --expunge")
+    if not (args.docids or args.term or args.query or args.expunge):
+        ap.error("nothing to do: pass --docids, --term, --query and/or --expunge")
 
     from pyspark.sql import SparkSession
 
@@ -60,6 +63,9 @@ def main() -> None:
     if args.term:
         entry = idx.delete_by_term(args.term)
         out["deleted_by_term"] = entry.get("n_docs", 0)
+    if args.query:
+        entry = idx.delete_by_query(args.query, mode=args.query_mode)
+        out["deleted_by_query"] = entry.get("n_docs", 0)
     out["n_deleted_total"] = idx.num_deleted
 
     final = idx

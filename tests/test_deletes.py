@@ -190,6 +190,61 @@ def test_tombstone_audit_flags_corruption(spark, tmp_path_factory):
     assert checked == 2 and mismatches == 1  # the unknown docno
 
 
+def test_delete_by_query_modes(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(
+        [
+            ("q1", "alpha beta gamma"),
+            ("q2", "alpha delta"),
+            ("q3", "beta delta"),
+            ("q4", "epsilon zeta"),
+        ],
+        "docid string, content string",
+    )
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("dbq")), IndexConfig(stemmer="none")
+    )
+    # all-mode: only docs containing BOTH alpha AND beta die (q1)
+    entry = idx.delete_by_query("alpha beta", mode="all")
+    assert entry["n_docs"] == 1
+    live = {r["docid"] for r in idx.live_docs_df().collect()}
+    assert live == {"q2", "q3", "q4"}
+    # any-mode on the remainder: alpha OR beta matches q2, q3 (q1 already dead)
+    entry = idx.delete_by_query("alpha beta", mode="any")
+    assert entry["n_docs"] == 2
+    live = {r["docid"] for r in idx.live_docs_df().collect()}
+    assert live == {"q4"}
+    with pytest.raises(ValueError):
+        idx.delete_by_query("alpha", mode="bogus")
+    # unseen-terms query is a no-op
+    assert idx.delete_by_query("nosuchterm").get("n_docs", 0) == 0
+
+
+def test_crashed_generation_dir_is_reclaimed(spark, tmp_path_factory):
+    """A gen dir left by a crash BEFORE its manifest commit must not block
+    (or corrupt) the next delete: it is discarded and rewritten."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [("c1", "alpha"), ("c2", "beta")], "docid string, content string"
+    )
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("crash")), IndexConfig(stemmer="none")
+    )
+    # simulate the crash: gen-1 data exists on disk, manifest never updated
+    ddir = os.path.join(idx.index_dir, "deletes")
+    spark.createDataFrame([(12345,)], "docno long").write.parquet(
+        os.path.join(ddir, "gen-1")
+    )
+    entry = idx.delete_docs(["c1"])
+    assert entry["n_docs"] == 1 and entry["name"] == "gen-1"
+    assert idx.num_deleted == 1
+    dead = idx.deleted_docnos()
+    assert 12345 not in set(dead.tolist())  # orphan payload discarded
+    from capreolus_spark.index.deletes import audit_tombstones
+
+    assert audit_tombstones(idx) == (1, 0)
+
+
 def test_deletes_on_incremental_index_survive_compaction(spark, tmp_path):
     """Tombstones compose with the segmented incremental index: deletes
     reference docnos, compaction preserves docnos, so a compacted index
