@@ -3769,6 +3769,115 @@ def _q_expunge_bm25(spark, sf_dir):
     return _gate_rank(run)
 
 
+# shared 4dp gate-rank wrapper over a CTE named `scored`
+_GATE_RANK_SQL = f"""
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM scored
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+# ------------------------------------------------- Lucene QueryParser twin
+
+# five topics covering the clause algebra: term-MUST + phrase-SHOULD,
+# boosted phrase + term SHOULD (outer union), phrase MUST_NOT, pure-term
+# AND promotion (boolean-kernel delegation), phrase-MUST + term MUST_NOT
+_LUCENE_TOPICS = {
+    "L1": '+table "part filter"',
+    "L2": '"table hash"^2 spark',
+    "L3": 'merge -"part filter"',
+    "L4": "batch AND row",
+    "L5": '+"table hash" -spark',
+}
+
+_LUCENE_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), ts AS (
+  SELECT tf.docid, tf.term,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS s
+  FROM tf JOIN dfx d USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+), p1 AS (
+  SELECT docid, cnt FROM (
+    SELECT docid, len(list_filter(range(1, len(toks)), i -> toks[i]='part' AND toks[i+1]='filter')) AS cnt
+    FROM tok
+  ) WHERE cnt > 0
+), p1s AS (
+  SELECT p1.docid,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) * p1.cnt
+         / (p1.cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS s
+  FROM p1 CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM p1) d
+  JOIN dl ON dl.docid = p1.docid CROSS JOIN stats s
+), p2 AS (
+  SELECT docid, cnt FROM (
+    SELECT docid, len(list_filter(range(1, len(toks)), i -> toks[i]='table' AND toks[i+1]='hash')) AS cnt
+    FROM tok
+  ) WHERE cnt > 0
+), p2s AS (
+  SELECT p2.docid,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) * p2.cnt
+         / (p2.cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS s
+  FROM p2 CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM p2) d
+  JOIN dl ON dl.docid = p2.docid CROSS JOIN stats s
+), scored AS (
+  SELECT 'L1' AS qid, t.docid, t.s + coalesce(p.s, 0) AS score
+    FROM (SELECT docid, s FROM ts WHERE term = 'table') t
+    LEFT JOIN p1s p ON p.docid = t.docid
+  UNION ALL
+  SELECT 'L2', coalesce(t.docid, p.docid), coalesce(t.s, 0) + 2 * coalesce(p.s, 0)
+    FROM (SELECT docid, s FROM ts WHERE term = 'spark') t
+    FULL OUTER JOIN p2s p ON p.docid = t.docid
+  UNION ALL
+  SELECT 'L3', docid, s FROM ts WHERE term = 'merge'
+    AND docid NOT IN (SELECT docid FROM p1)
+  UNION ALL
+  SELECT 'L4', a.docid, a.s + b.s
+    FROM (SELECT docid, s FROM ts WHERE term = 'batch') a
+    JOIN (SELECT docid, s FROM ts WHERE term = 'row') b USING (docid)
+  UNION ALL
+  SELECT 'L5', docid, s FROM p2s
+    WHERE docid NOT IN (SELECT docid FROM ts WHERE term = 'spark')
+)
+{_GATE_RANK_SQL}
+"""
+
+
+def _q_lucene_query(spark, sf_dir):
+    """Classic QueryParser twin (search/luceneparser.py): +must/-not,
+    AND/OR/NOT, quoted phrases, ^boosts, combined term+phrase matching
+    with BooleanQuery rules — one entry covering all five clause shapes."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.luceneparser import LuceneQuerySearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat_pos", sf_dir),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    run = LuceneQuerySearcher(idx, BM25Config(hits=_GATE_HITS)).search(
+        _LUCENE_TOPICS, hits=_GATE_HITS
+    )
+    return _gate_rank(run)
+
+
 # ------------------------------------------------------- fielded retrieval
 
 # gate corpus: title := first 40 chars of text (deterministic, shares the
@@ -3796,19 +3905,6 @@ WITH raw AS (
 ), nd AS (
   SELECT count(*)::DOUBLE AS n FROM documents
 )"""
-
-_GATE_RANK_SQL = f"""
-SELECT qid, docid, rank, score FROM (
-SELECT qid, docid,
-       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
-       round(score, 4) AS score
-FROM (
-  SELECT qid, docid, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
-  FROM scored
-) WHERE rf <= {_GATE_HITS}
-) WHERE rank <= {_BM25_HITS}
-"""
 
 _BM25F_ORACLE_SQL = f"""
 {_FIELDED_CTE}, dfx AS (
@@ -3920,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_topk": _q_multifield,
         "delete_docs_bm25": _q_delete_docs_bm25,
         "expunge_bm25": _q_expunge_bm25,
+        "lucene_query_topk": _q_lucene_query,
         "termrange_topk": _q_termrange_search,
         "merged_index_bm25": _q_merged_index_bm25,
         "lexical_stats": _q_lexical_stats,
@@ -4261,6 +4358,7 @@ def oracle_sql() -> dict[str, str]:
         "expunge_bm25": _EXPUNGED_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
         ),
+        "lucene_query_topk": _LUCENE_ORACLE_SQL,
         "bm25f_topk": _BM25F_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
         "multifield_topk": _MULTIFIELD_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()

@@ -1,0 +1,458 @@
+"""Lucene classic QueryParser twin: one query string → ranked retrieval.
+
+The reference hands raw topic strings to Anserini, whose Lucene
+``classic.QueryParser`` accepts the full clause syntax — ``+required``
+``-prohibited`` ``AND/OR/NOT`` ``"quoted phrases"`` ``term^boost``
+(``searcher/anserini.py:26-83`` runs SearchCollection over those topic
+files verbatim).  The engine's boolean / phrase searchers each cover one
+slice; this module is the unified front door.
+
+Grammar subset (flat clause list — no parentheses or field prefixes; the
+index has Lucene's single ``contents`` field, as the reference's does)::
+
+    query   := token+
+    token   := AND | OR | NOT | clause
+    clause  := [+|-] ( term | "phrase text" ) [^boost]
+
+Operator semantics follow classic QueryParser with default-OR:
+
+* ``+``/``-`` mark MUST / MUST_NOT;
+* ``a AND b`` promotes BOTH neighbours to MUST; ``OR`` leaves SHOULD;
+  ``NOT x`` marks the next clause MUST_NOT; ``a AND NOT b`` → ``+a -b``;
+* a document matches iff every MUST clause matches, no MUST_NOT clause
+  matches, and — when there is no MUST clause — at least one SHOULD
+  clause matches (BooleanQuery's rule);
+* score = Σ over matching positive clauses of ``boost × clause_score``;
+  MUST clauses score too (Lucene ``+`` is required AND scoring), MUST_NOT
+  never does.  A term clause scores as a BM25 term (qtf 1 per clause);
+  a phrase clause as the engine's phrase pseudo-term (tf = exact
+  occurrence count at the stored position gaps, df = exact matching-doc
+  count — ``search/phrase.py`` semantics).
+
+Execution shape: pure-term queries delegate VERBATIM to the gated
+boolean DAAT kernel (one cogroup, pruned, per-range cut — zero new
+physics).  Queries with phrase clauses combine the kernel's term frame
+with the positions kernel's per-phrase count frames in DataFrame algebra
+(semi/anti joins for phrase MUST/MUST_NOT, outer join + sum for the
+score); phrase frames are match-sparse by nature, so the combination
+joins candidate-sized frames, and the global top-k cut stays before the
+docid-resolution broadcast (family-wide scale guard).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from .boolean import BooleanSearcher
+from .phrase import PhraseSearcher
+
+__all__ = ["Clause", "parse_lucene_query", "LuceneQuerySearcher"]
+
+
+@dataclass(frozen=True)
+class Clause:
+    kind: str  # "must" | "not" | "should"
+    ctype: str  # "term" | "phrase"
+    text: str  # raw clause text (unanalyzed)
+    boost: float = 1.0
+
+
+_TOKEN_RE = re.compile(
+    r'''\s*(?:
+        (?P<prefix>[+-])?
+        (?:
+            "(?P<phrase>[^"]*)"
+          | (?P<term>[^\s"^]+)
+        )
+        (?:\^(?P<boost>[0-9]+(?:\.[0-9]+)?))?
+    )''',
+    re.VERBOSE,
+)
+
+
+def parse_lucene_query(text: str) -> list[Clause]:
+    """Query string → ordered clause list (see module docstring for the
+    operator rules).  Bare operators/empty phrases are dropped; an
+    unbalanced quote falls back leniently to term clauses (classic
+    QueryParser raises ParseException there — the engine's convention is
+    to salvage what it can, like its other topic readers)."""
+    raw: list[tuple[str | None, str, str, float]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            pos += 1
+            continue
+        pos = m.end()
+        boost = float(m.group("boost") or 1.0)
+        if m.group("phrase") is not None:
+            raw.append((m.group("prefix"), "phrase", m.group("phrase").strip(), boost))
+        else:
+            raw.append((m.group("prefix"), "term", m.group("term"), boost))
+
+    clauses: list[Clause] = []
+    next_kind: str | None = None  # set by a pending AND / NOT
+    for prefix, ctype, body, boost in raw:
+        if ctype == "term" and prefix is None and body in ("AND", "OR", "NOT", "&&", "||", "!"):
+            if body in ("AND", "&&"):
+                # classic parser promotes BOTH neighbours of AND to MUST
+                if clauses and clauses[-1].kind == "should":
+                    clauses[-1] = Clause("must", clauses[-1].ctype, clauses[-1].text, clauses[-1].boost)
+                next_kind = "must" if next_kind != "not" else "not"
+            elif body in ("NOT", "!"):
+                next_kind = "not"
+            else:  # OR: default SHOULD, clears a pending AND
+                next_kind = None
+            continue
+        if not body:
+            next_kind = None
+            continue
+        if prefix == "+":
+            kind = "must"
+        elif prefix == "-":
+            kind = "not"
+        else:
+            kind = next_kind or "should"
+        next_kind = None
+        clauses.append(Clause(kind, ctype, body, boost))
+    return clauses
+
+
+class LuceneQuerySearcher(BooleanSearcher):
+    """Rank documents for classic-QueryParser query strings.
+
+    Needs ``store_positions`` only when a query actually contains a
+    phrase clause (checked per search, like Lucene raising on a
+    PhraseQuery against a positions-free field)."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, prune=prune, tag=tag)
+        self._phrase = None  # lazy: only built when a phrase clause appears
+
+    # ---------------------------------------------------------- planning
+
+    def _plan(self, topics: dict[str, str]) -> dict[str, dict]:
+        """{qid: {"clauses": [Clause], "has_phrase": bool}} with empty
+        topics dropped."""
+        out = {}
+        for qid, text in topics.items():
+            clauses = parse_lucene_query(text)
+            if clauses:
+                out[str(qid)] = {
+                    "clauses": clauses,
+                    "has_phrase": any(c.ctype == "phrase" for c in clauses),
+                }
+        return out
+
+    def _term_query(self, clauses: list[Clause]) -> dict | None:
+        """Term clauses → the boolean kernel's query dict (must/not lists
+        + (term, weight, Σboost) score rows); None when no term clause
+        survives analysis."""
+        kw = self.index.config.analyzer_kwargs()
+        must: list[str] = []
+        nots: list[str] = []
+        boosts: dict[str, float] = {}
+        for c in clauses:
+            if c.ctype != "term":
+                continue
+            terms = analyze_text(c.text, **kw)
+            for t in terms:
+                if c.kind == "must":
+                    must.append(t)
+                    boosts[t] = boosts.get(t, 0.0) + c.boost
+                elif c.kind == "not":
+                    nots.append(t)
+                else:
+                    boosts[t] = boosts.get(t, 0.0) + c.boost
+        if not must and not nots and not boosts:
+            return None
+        stats = self.index.get_term_stats(sorted(set(list(boosts) + must + nots)))
+        n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
+        weight = {
+            t: self.scoring.weight(df, cf, n_docs, sum_cf)
+            for t, (df, cf) in stats.items()
+            if df > 0
+        }
+        if any(t not in weight for t in must):
+            return {"_unsatisfiable": True}
+        score = sorted(
+            (t, weight[t], float(b))
+            for t, b in boosts.items()
+            if weight.get(t, 0.0) > 0 and b > 0
+        )
+        return {
+            "must": sorted(set(must)),
+            "not": sorted({t for t in nots if t in weight}),
+            "score": score,
+        }
+
+    def _phrase_frames(
+        self, wanted: dict[str, list[tuple[int, Clause]]]
+    ) -> DataFrame:
+        """(qid, cid, docno, score, dl) for every phrase clause occurrence —
+        one positions-kernel pass over ALL clauses of all topics, keyed
+        ``qid\\x00cid`` through the phrase counts kernel."""
+        if self._phrase is None:
+            self._phrase = PhraseSearcher(self.index, self.config, tag=self.tag)
+        phrases = {}
+        for qid, items in wanted.items():
+            for cid, c in items:
+                ps = self._phrase._phrase_terms(c.text)
+                if ps:
+                    phrases[f"{qid}\x00{cid}"] = ps
+        if not phrases:
+            return self.index.spark.createDataFrame(
+                [], "qid string, cid int, docno long, cnt long, dl long"
+            )
+        counts = self._phrase._phrase_counts_df(phrases)
+        split = F.split(F.col("qid"), "\x00")
+        return counts.select(
+            split.getItem(0).alias("qid"),
+            split.getItem(1).cast("int").alias("cid"),
+            "docno",
+            "cnt",
+            "dl",
+        )
+
+    # ------------------------------------------------------------ search
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        empty = spark.createDataFrame(
+            [], "qid string, docid string, rank int, score double, tag string"
+        )
+        plans = self._plan(topics)
+        if not plans:
+            return empty
+        if any(p["has_phrase"] for p in plans.values()) and not self.index.config.store_positions:
+            raise ValueError(
+                "phrase clauses require an index built with store_positions=True"
+            )
+
+        # ---- term part: one boolean-kernel pass over every topic --------
+        tqueries = {}
+        unsat = set()
+        for qid, p in plans.items():
+            q = self._term_query(p["clauses"])
+            if q is None:
+                continue
+            if q.get("_unsatisfiable"):
+                unsat.add(qid)  # a MUST term with df=0: query matches nothing
+                continue
+            if q["must"] or q["score"] or q["not"]:
+                tqueries[qid] = q
+        # topics whose term side is pure MUST_NOT (or empty) have no term
+        # frame; their matching is carried entirely by phrase clauses, with
+        # the NOT terms enforced as an anti-join below.
+        kernel_qids = {
+            qid: q for qid, q in tqueries.items() if q["must"] or q["score"]
+        }
+        tframe = (
+            self._bool_candidates(kernel_qids, hits=self._phrase_safe_hits(plans, hits))
+            if kernel_qids
+            else None
+        )
+
+        # ---- phrase part ------------------------------------------------
+        wanted: dict[str, list[tuple[int, Clause]]] = {}
+        for qid, p in plans.items():
+            if qid in unsat:
+                continue
+            items = [
+                (i, c)
+                for i, c in enumerate(p["clauses"])
+                if c.ctype == "phrase" and analyze_text(c.text, **self.index.config.analyzer_kwargs())
+            ]
+            if items:
+                wanted[qid] = items
+        pframe = self._phrase_frames(wanted) if wanted else None
+        if pframe is not None:
+            pframe = pframe.persist()
+
+        try:
+            per_topic = []
+            for qid, p in plans.items():
+                if qid in unsat:
+                    continue
+                combined = self._combine_topic(qid, p, tqueries.get(qid), tframe, pframe)
+                if combined is not None:
+                    per_topic.append(combined)
+            if not per_topic:
+                return empty
+            cand = per_topic[0]
+            for c in per_topic[1:]:
+                cand = cand.unionByName(c)
+            cut = self._global_topk_cut(cand, hits)
+            resolved = self._with_docids(cut)
+            w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+            out = (
+                resolved.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= hits)
+                .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+            )
+            return out.localCheckpoint() if pframe is not None else out
+        finally:
+            if pframe is not None:
+                pframe.unpersist()
+
+    def _phrase_safe_hits(self, plans: dict[str, dict], hits: int) -> int:
+        """Per-range cut depth for the term kernel.  A topic WITHOUT phrase
+        clauses is final after the kernel, so ``hits`` suffices; with
+        phrase clauses the kernel's per-range cut must not discard a doc a
+        phrase could promote, so those topics run UNCUT (phrase matches
+        are corpus-sparse; the combined frame is cut globally after the
+        join).  The kernel takes one depth for the whole batch — uncut
+        only when some topic mixes."""
+        if any(p["has_phrase"] for p in plans.values()):
+            return 2**31 - 1
+        return hits
+
+    def _combine_topic(
+        self, qid: str, plan: dict, tquery: dict | None, tframe, pframe
+    ):
+        """One topic's (qid, docno, score) candidates from the term-kernel
+        frame and the phrase frames, applying the BooleanQuery matching
+        rule across BOTH clause types."""
+        clauses = plan["clauses"]
+        phrase_items = [(i, c) for i, c in enumerate(clauses) if c.ctype == "phrase"]
+        has_phrase = bool(phrase_items) and pframe is not None
+
+        tpart = (
+            tframe.filter(F.col("qid") == qid).select("docno", F.col("score").alias("tscore"))
+            if (tframe is not None and tquery and (tquery["must"] or tquery["score"]))
+            else None
+        )
+        if not has_phrase:
+            if tpart is None:
+                return None
+            return tpart.select(
+                F.lit(qid).alias("qid"), "docno", F.col("tscore").alias("score")
+            )
+
+        spark = pframe.sparkSession
+        k1, b = self.config.k1, self.config.b
+        n_docs = float(self.index.numdocs)
+        avgdl = float(self.index.avgdl)
+
+        mine = pframe.filter(F.col("qid") == qid)
+        # per-clause BM25 pseudo-term scores (exact df per clause)
+        dfx = mine.groupBy("cid").agg(F.count("*").alias("df"))
+        idf = F.greatest(
+            F.lit(0.0),
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+        )
+        boost_map = F.create_map(
+            *[x for i, c in phrase_items for x in (F.lit(i), F.lit(float(c.boost)))]
+        )
+        scored = (
+            mine.join(F.broadcast(dfx.withColumn("idf", idf)), "cid")
+            .withColumn(
+                "pscore",
+                boost_map[F.col("cid")]
+                * F.col("idf")
+                * F.col("cnt")
+                / (
+                    F.col("cnt")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+
+        must_ids = [i for i, c in phrase_items if c.kind == "must"]
+        not_ids = [i for i, c in phrase_items if c.kind == "not"]
+        pos_ids = [i for i, c in phrase_items if c.kind != "not"]
+
+        pos = (
+            scored.filter(F.col("cid").isin(pos_ids))
+            .groupBy("docno")
+            .agg(F.sum("pscore").alias("pscore"))
+            if pos_ids
+            else None
+        )
+
+        # candidate universe + base score
+        term_musts = bool(tquery and tquery["must"])
+        if term_musts:
+            # term side defines the allowed universe; phrases add score
+            cand = tpart
+            if pos is not None:
+                cand = cand.join(pos, "docno", "left")
+                score = F.col("tscore") + F.coalesce(F.col("pscore"), F.lit(0.0))
+            else:
+                score = F.col("tscore")
+        else:
+            # no term MUST: universe = outer union of term-positive and
+            # phrase-positive docs
+            if tpart is not None and pos is not None:
+                cand = tpart.join(pos, "docno", "outer")
+                score = F.coalesce(F.col("tscore"), F.lit(0.0)) + F.coalesce(
+                    F.col("pscore"), F.lit(0.0)
+                )
+            elif pos is not None:
+                cand = pos
+                score = F.col("pscore")
+            elif tpart is not None:
+                cand = tpart
+                score = F.col("tscore")
+            else:
+                return None
+        cand = cand.withColumn("_s", score)
+
+        # phrase MUST: doc must appear in EVERY must clause's match set
+        for mid in must_ids:
+            cand = cand.join(
+                scored.filter(F.col("cid") == mid).select("docno").distinct(),
+                "docno",
+                "left_semi",
+            )
+        # when there is NO must anywhere, BooleanQuery's ≥1-SHOULD rule is
+        # already satisfied: every row of the universe came from a positive
+        # clause match.
+        # phrase MUST_NOT: anti-join
+        for nid in not_ids:
+            cand = cand.join(
+                scored.filter(F.col("cid") == nid).select("docno").distinct(),
+                "docno",
+                "left_anti",
+            )
+        # term MUST_NOT for topics with no term-kernel frame (pure-phrase
+        # positives + term nots): enforce via postings decode anti-join
+        if tquery and tquery["not"] and tpart is None:
+            import numpy as np
+            import pandas as pd
+
+            from ..index.codec import decode_postings
+
+            def expand(batches):
+                for pdf in batches:
+                    for i in range(len(pdf)):
+                        docnos, _ = decode_postings(
+                            pdf["docnos"].iloc[i], pdf["tfs"].iloc[i]
+                        )
+                        yield pd.DataFrame({"docno": docnos.astype(np.int64)})
+
+            nots = (
+                self.index.postings_df()
+                .filter(F.col("term").isin(tquery["not"]))
+                .select("docnos", "tfs")
+                .mapInPandas(expand, schema="docno long")
+            )
+            cand = cand.join(nots.distinct(), "docno", "left_anti")
+
+        return cand.filter(F.col("_s") > 0).select(
+            F.lit(qid).alias("qid"), "docno", F.col("_s").alias("score")
+        )

@@ -1,0 +1,179 @@
+"""Lucene classic QueryParser twin (search/luceneparser.py).
+
+Oracles are the already-gated component searchers: for every clause
+shape the combined run must equal the documented composition of a
+BooleanSearcher run (term clauses) and PhraseSearcher runs (phrase
+clauses) — outer-sum for SHOULD, semi-filter for phrase MUST,
+anti-filter for phrase MUST_NOT.  Pure-term queries must equal the
+boolean searcher EXACTLY (same kernel)."""
+
+import pytest
+
+from capreolus_spark.config import BM25Config, IndexConfig
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search.boolean import BooleanSearcher
+from capreolus_spark.search.luceneparser import (
+    Clause,
+    LuceneQuerySearcher,
+    parse_lucene_query,
+)
+from capreolus_spark.search.phrase import PhraseSearcher
+
+DOCS = [
+    ("d1", "spark merge join runs fast on large tables"),
+    ("d2", "merge sort spills to disk the slow join path"),
+    ("d3", "broadcast join is fast for a tiny table"),
+    ("d4", "spark shuffles merge results"),
+    ("d5", "fast merge join beats slow join on spark"),
+    ("d6", "completely unrelated prose about gardens"),
+]
+
+
+@pytest.fixture(scope="module")
+def lp_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "docid string, content string")
+    return InvertedIndex.create(
+        spark,
+        corpus,
+        str(tmp_path_factory.mktemp("lp_idx")),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+
+
+def _lp(idx):
+    return LuceneQuerySearcher(idx, BM25Config(hits=50))
+
+
+def _run(searcher, q):
+    return run_df_to_dict(searcher.search({"q": q})).get("q", {})
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parser_operators_and_boosts():
+    cs = parse_lucene_query('+a -b c^2 AND d OR "e f"^1.5 NOT g')
+    assert cs == [
+        Clause("must", "term", "a", 1.0),
+        Clause("not", "term", "b", 1.0),
+        Clause("must", "term", "c", 2.0),  # promoted by the following AND
+        Clause("must", "term", "d", 1.0),
+        Clause("should", "phrase", "e f", 1.5),
+        Clause("not", "term", "g", 1.0),
+    ]
+    # unbalanced quote: lenient fallback to a term clause (classic
+    # QueryParser raises ParseException; the engine's convention is to
+    # salvage what it can, documented in the module)
+    assert parse_lucene_query('"unterminated') == [
+        Clause("should", "term", "unterminated", 1.0)
+    ]
+    assert parse_lucene_query("AND OR NOT") == []
+    assert parse_lucene_query('a AND NOT b') == [
+        Clause("must", "term", "a", 1.0),
+        Clause("not", "term", "b", 1.0),
+    ]
+
+
+# ------------------------------------------------------- pure-term parity
+
+def test_pure_term_query_equals_boolean_searcher(lp_index):
+    for q in ["+merge -slow join", "spark fast", "+spark +merge", "-spark merge"]:
+        got = _run(_lp(lp_index), q)
+        want = run_df_to_dict(
+            BooleanSearcher(lp_index, BM25Config(hits=50)).search({"q": q})
+        ).get("q", {})
+        assert got == want, q
+
+
+def test_unsatisfiable_must_term(lp_index):
+    assert _run(_lp(lp_index), "+zzznope merge") == {}
+
+
+# ------------------------------------------------------- phrase composition
+
+def _phrase_run(idx, phrase):
+    return run_df_to_dict(
+        PhraseSearcher(idx, BM25Config(hits=50)).search({"q": phrase})
+    ).get("q", {})
+
+
+def _bool_run(idx, q):
+    return run_df_to_dict(
+        BooleanSearcher(idx, BM25Config(hits=50)).search({"q": q})
+    ).get("q", {})
+
+
+def test_single_phrase_equals_phrase_searcher(lp_index):
+    got = _run(_lp(lp_index), '"merge join"')
+    want = _phrase_run(lp_index, "merge join")
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_phrase_should_plus_terms_outer_sum(lp_index):
+    got = _run(_lp(lp_index), 'spark "merge join"')
+    t = _bool_run(lp_index, "spark")
+    p = _phrase_run(lp_index, "merge join")
+    want = {d: t.get(d, 0.0) + p.get(d, 0.0) for d in set(t) | set(p)}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_phrase_must_filters_and_scores(lp_index):
+    got = _run(_lp(lp_index), '+"merge join" spark')
+    t = _bool_run(lp_index, "spark")
+    p = _phrase_run(lp_index, "merge join")
+    want = {d: p[d] + t.get(d, 0.0) for d in p}  # only phrase matches survive
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_phrase_not_excludes(lp_index):
+    got = _run(_lp(lp_index), 'join -"slow join"')
+    t = _bool_run(lp_index, "join")
+    p = _phrase_run(lp_index, "slow join")
+    want = {d: s for d, s in t.items() if d not in p}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_term_must_with_phrase_should(lp_index):
+    got = _run(_lp(lp_index), '+spark "merge join"')
+    t = _bool_run(lp_index, "+spark")
+    p = _phrase_run(lp_index, "merge join")
+    want = {d: t[d] + p.get(d, 0.0) for d in t}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_boosted_phrase_scales_its_component(lp_index):
+    plain = _run(_lp(lp_index), '"merge join"')
+    boosted = _run(_lp(lp_index), '"merge join"^2')
+    assert set(plain) == set(boosted)
+    for d in plain:
+        assert boosted[d] == pytest.approx(2.0 * plain[d], abs=1e-9)
+
+
+def test_phrase_needs_positions(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS[:2], "docid string, content string")
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("nopos")), IndexConfig(stemmer="none")
+    )
+    s = LuceneQuerySearcher(idx, BM25Config(hits=10))
+    assert _run(s, "merge join") != {}  # term-only works without positions
+    with pytest.raises(ValueError):
+        s.search({"q": '"merge join"'})
+
+
+def test_rank_ordering_and_tag(lp_index):
+    df = _lp(lp_index).search({"q": 'merge "slow join"^3'})
+    rows = df.collect()
+    assert rows and all(r["tag"] for r in rows)
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
