@@ -260,7 +260,21 @@ class BM25Searcher:
         reference's run shape (``searcher/__init__.py:29-46``).  The global
         merge is a log-depth ``treeAggregate`` of bounded per-partition
         top-k lists (north-star merge strategy).
+
+        A subclass that overrides ``search`` (boolean / phrase / the
+        expansion family / the query-parser front door) gets its results
+        collected FROM that override — running the base weights+kernel
+        path here would silently score the raw topic text as plain BM25,
+        ignoring the subclass's semantics (the bug this guard pins).
+        The collected frame is ≤ hits x topics rows, so the driver cost
+        matches the treeAggregate path's bounded heaps.
         """
+        if type(self).search is not BM25Searcher.search:
+            rows = self.search(topics, hits=hits).collect()
+            out: dict[str, OrderedDict] = {}
+            for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+                out.setdefault(r["qid"], OrderedDict())[r["docid"]] = r["score"]
+            return out
         hits = hits or self.config.hits
         weights = self._query_weights(self.analyze_topics(topics))
         if not weights:
@@ -489,6 +503,15 @@ def _make_phrase(index, **cfg):
     )
 
 
+def _make_lucene(index, **cfg):
+    from .luceneparser import LuceneQuerySearcher
+
+    return LuceneQuerySearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+    )
+
+
 def _make_boolean(index, **cfg):
     from .boolean import BooleanSearcher
 
@@ -606,6 +629,7 @@ SEARCHERS = {
     "termrange": _make_termrange,  # beyond-reference: Lucene TermRangeQuery twin
     "dismax": _make_dismax,  # beyond-reference: Lucene DisjunctionMaxQuery twin
     "mlt": _make_mlt,  # beyond-reference: Lucene MoreLikeThis twin
+    "lucene": _make_lucene,  # beyond-reference: classic QueryParser twin
 }
 
 

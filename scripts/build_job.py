@@ -52,6 +52,12 @@ def main() -> None:
         "(Anserini -storeDocvectors); extractor batch reads and PRF then "
         "skip re-analysis",
     )
+    ap.add_argument(
+        "--store-positions",
+        action="store_true",
+        help="store per-posting position streams (Anserini -storePositions); "
+        "required by the SDM / phrase / NEAR / lucene-parser searchers",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,6 +80,7 @@ def main() -> None:
         indexstops=args.indexstops,
         store_contents=not args.no_store_contents,
         store_docvectors=args.store_docvectors,
+        store_positions=args.store_positions,
         range_size=args.range_size,
         num_doc_partitions=args.partitions,
         postings_partitions=args.partitions,

@@ -170,6 +170,33 @@ def test_phrase_needs_positions(spark, tmp_path_factory):
         s.search({"q": '"merge join"'})
 
 
+def test_search_collect_respects_overridden_search(lp_index):
+    """The CLI and task flows go through search_collect; for every
+    searcher whose ``search`` is specialized, search_collect must collect
+    THAT search — not rerun the raw text through plain BM25 (the exact
+    bug: `search_job --searcher boolean '+a -b'` silently scoring b)."""
+    from collections import OrderedDict
+
+    q = '+join -"slow join" fast^2'
+    s = _lp(lp_index)
+    want = run_df_to_dict(s.search({"9": q}))
+    got = s.search_collect({"9": q})
+    assert {k: dict(v) for k, v in got.items()} == {
+        k: dict(v) for k, v in want.items()
+    }
+    assert isinstance(got.get("9", OrderedDict()), OrderedDict)
+
+    bq = "+merge -slow join"
+    bs = BooleanSearcher(lp_index, BM25Config(hits=50))
+    assert {k: dict(v) for k, v in bs.search_collect({"b": bq}).items()} == {
+        k: dict(v) for k, v in run_df_to_dict(bs.search({"b": bq})).items()
+    }
+    ps = PhraseSearcher(lp_index, BM25Config(hits=50))
+    assert {k: dict(v) for k, v in ps.search_collect({"p": "merge join"}).items()} == {
+        k: dict(v) for k, v in run_df_to_dict(ps.search({"p": "merge join"})).items()
+    }
+
+
 def test_rank_ordering_and_tag(lp_index):
     df = _lp(lp_index).search({"q": 'merge "slow join"^3'})
     rows = df.collect()
