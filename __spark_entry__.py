@@ -3795,6 +3795,8 @@ _LUCENE_TOPICS = {
     "L3": 'merge -"part filter"',
     "L4": "batch AND row",
     "L5": '+"table hash" -spark',
+    "L6": "(batch OR row) AND table",  # nested BooleanQuery group
+    "L7": '("part filter" OR batch)^2 AND merge',  # boosted mixed group
 }
 
 _LUCENE_ORACLE_SQL = f"""
@@ -3855,6 +3857,18 @@ WITH tok AS (
   UNION ALL
   SELECT 'L5', docid, s FROM p2s
     WHERE docid NOT IN (SELECT docid FROM ts WHERE term = 'spark')
+  UNION ALL
+  SELECT 'L6', t.docid, t.s + g.s
+    FROM (SELECT docid, s FROM ts WHERE term = 'table') t
+    JOIN (SELECT docid, sum(s) AS s FROM ts WHERE term IN ('batch', 'row') GROUP BY docid) g
+    USING (docid)
+  UNION ALL
+  SELECT 'L7', m.docid, m.s + 2 * (coalesce(p.s, 0) + coalesce(b.s, 0))
+    FROM (SELECT docid, s FROM ts WHERE term = 'merge') m
+    JOIN (SELECT docid FROM p1 UNION SELECT docid FROM ts WHERE term = 'batch') u
+    ON u.docid = m.docid
+    LEFT JOIN p1s p ON p.docid = m.docid
+    LEFT JOIN (SELECT docid, s FROM ts WHERE term = 'batch') b ON b.docid = m.docid
 )
 {_GATE_RANK_SQL}
 """

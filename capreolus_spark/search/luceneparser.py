@@ -64,12 +64,23 @@ class Clause:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class Group:
+    """A parenthesized sub-query: a nested BooleanQuery.  Matches by the
+    BooleanQuery rule over its children; scores as the boosted sum of its
+    matching positive children."""
+
+    kind: str  # "must" | "not" | "should"
+    children: tuple  # tuple[Clause | Group, ...]
+    boost: float = 1.0
+
+
 _TOKEN_RE = re.compile(
     r'''\s*(?:
         (?P<prefix>[+-])?
         (?:
             "(?P<phrase>[^"]*)"
-          | (?P<term>[^\s"^]+)
+          | (?P<term>[^\s"^()]+)
         )
         (?:\^(?P<boost>[0-9]+(?:\.[0-9]+)?))?
     )''',
@@ -77,15 +88,37 @@ _TOKEN_RE = re.compile(
 )
 
 
-def parse_lucene_query(text: str) -> list[Clause]:
-    """Query string → ordered clause list (see module docstring for the
-    operator rules).  Bare operators/empty phrases are dropped; an
-    unbalanced quote falls back leniently to term clauses (classic
-    QueryParser raises ParseException there — the engine's convention is
-    to salvage what it can, like its other topic readers)."""
-    raw: list[tuple[str | None, str, str, float]] = []
+_GROUP_BOOST_RE = re.compile(r"\^([0-9]+(?:\.[0-9]+)?)")
+
+
+def _lex(text: str) -> list:
+    """Raw token stream: '(' / ')^boost' markers (with any +/- prefix on
+    '(') interleaved with (prefix, ctype, body, boost) clause tuples."""
+    out: list = []
     pos = 0
-    while pos < len(text):
+    n = len(text)
+    while pos < n:
+        ch = text[pos]
+        if ch.isspace():
+            pos += 1
+            continue
+        if ch in "+-" and pos + 1 < n and text[pos + 1] == "(":
+            out.append(("open", "must" if ch == "+" else "not"))
+            pos += 2
+            continue
+        if ch == "(":
+            out.append(("open", None))
+            pos += 1
+            continue
+        if ch == ")":
+            pos += 1
+            boost = 1.0
+            m = _GROUP_BOOST_RE.match(text, pos)
+            if m:
+                boost = float(m.group(1))
+                pos = m.end()
+            out.append(("close", boost))
+            continue
         m = _TOKEN_RE.match(text, pos)
         if not m or m.end() == pos:
             pos += 1
@@ -93,22 +126,54 @@ def parse_lucene_query(text: str) -> list[Clause]:
         pos = m.end()
         boost = float(m.group("boost") or 1.0)
         if m.group("phrase") is not None:
-            raw.append((m.group("prefix"), "phrase", m.group("phrase").strip(), boost))
+            out.append(("clause", (m.group("prefix"), "phrase", m.group("phrase").strip(), boost)))
         else:
-            raw.append((m.group("prefix"), "term", m.group("term"), boost))
+            out.append(("clause", (m.group("prefix"), "term", m.group("term"), boost)))
+    return out
 
-    clauses: list[Clause] = []
-    next_kind: str | None = None  # set by a pending AND / NOT
-    for prefix, ctype, body, boost in raw:
+
+def _build(tokens: list, i: int = 0, depth: int = 0):
+    """Recursive clause-list builder applying the operator rules at each
+    nesting level.  Returns (nodes, next_index)."""
+    nodes: list = []
+    next_kind: str | None = None
+    pending_group_kind: str | None = None
+
+    def _promote_last():
+        if nodes and nodes[-1].kind == "should":
+            last = nodes[-1]
+            if isinstance(last, Clause):
+                nodes[-1] = Clause("must", last.ctype, last.text, last.boost)
+            else:
+                nodes[-1] = Group("must", last.children, last.boost)
+
+    while i < len(tokens):
+        tok, payload = tokens[i]
+        if tok == "open":
+            children, i = _build(tokens, i + 1, depth + 1)
+            boost = 1.0
+            if i < len(tokens) and tokens[i][0] == "close":
+                boost = tokens[i][1]
+                i += 1
+            kind = payload or next_kind or "should"
+            next_kind = None
+            if children:
+                nodes.append(Group(kind, tuple(children), boost))
+            continue
+        if tok == "close":
+            if depth:
+                return nodes, i
+            i += 1  # stray ')' at top level: ignore leniently
+            continue
+        i += 1
+        prefix, ctype, body, boost = payload
         if ctype == "term" and prefix is None and body in ("AND", "OR", "NOT", "&&", "||", "!"):
             if body in ("AND", "&&"):
-                # classic parser promotes BOTH neighbours of AND to MUST
-                if clauses and clauses[-1].kind == "should":
-                    clauses[-1] = Clause("must", clauses[-1].ctype, clauses[-1].text, clauses[-1].boost)
+                _promote_last()
                 next_kind = "must" if next_kind != "not" else "not"
             elif body in ("NOT", "!"):
                 next_kind = "not"
-            else:  # OR: default SHOULD, clears a pending AND
+            else:
                 next_kind = None
             continue
         if not body:
@@ -121,8 +186,20 @@ def parse_lucene_query(text: str) -> list[Clause]:
         else:
             kind = next_kind or "should"
         next_kind = None
-        clauses.append(Clause(kind, ctype, body, boost))
-    return clauses
+        nodes.append(Clause(kind, ctype, body, boost))
+    return nodes, i
+
+
+def parse_lucene_query(text: str) -> list:
+    """Query string → ordered node list (Clause | Group — see the module
+    docstring for the operator rules; parentheses nest BooleanQueries,
+    ``(...)^boost`` scales the whole group).  Bare operators / empty
+    phrases are dropped; an unbalanced quote or paren falls back
+    leniently to what can be salvaged (classic QueryParser raises
+    ParseException there — the engine's convention is to keep going,
+    like its other topic readers)."""
+    nodes, _ = _build(_lex(text))
+    return nodes
 
 
 class LuceneQuerySearcher(BooleanSearcher):
@@ -144,16 +221,26 @@ class LuceneQuerySearcher(BooleanSearcher):
 
     # ---------------------------------------------------------- planning
 
+    @staticmethod
+    def _walk(nodes):
+        for n in nodes:
+            if isinstance(n, Group):
+                yield from LuceneQuerySearcher._walk(n.children)
+            else:
+                yield n
+
     def _plan(self, topics: dict[str, str]) -> dict[str, dict]:
-        """{qid: {"clauses": [Clause], "has_phrase": bool}} with empty
-        topics dropped."""
+        """{qid: {"clauses": [nodes], "has_phrase": bool, "has_group":
+        bool}} with empty topics dropped."""
         out = {}
         for qid, text in topics.items():
-            clauses = parse_lucene_query(text)
-            if clauses:
+            nodes = parse_lucene_query(text)
+            if nodes:
+                leaves = list(self._walk(nodes))
                 out[str(qid)] = {
-                    "clauses": clauses,
-                    "has_phrase": any(c.ctype == "phrase" for c in clauses),
+                    "clauses": nodes,
+                    "has_phrase": any(c.ctype == "phrase" for c in leaves),
+                    "has_group": any(isinstance(n, Group) for n in nodes),
                 }
         return out
 
@@ -243,10 +330,13 @@ class LuceneQuerySearcher(BooleanSearcher):
                 "phrase clauses require an index built with store_positions=True"
             )
 
-        # ---- term part: one boolean-kernel pass over every topic --------
+        flat = {qid: p for qid, p in plans.items() if not p["has_group"]}
+        grouped = {qid: p for qid, p in plans.items() if p["has_group"]}
+
+        # ---- flat term part: one boolean-kernel pass over every topic ---
         tqueries = {}
         unsat = set()
-        for qid, p in plans.items():
+        for qid, p in flat.items():
             q = self._term_query(p["clauses"])
             if q is None:
                 continue
@@ -262,14 +352,14 @@ class LuceneQuerySearcher(BooleanSearcher):
             qid: q for qid, q in tqueries.items() if q["must"] or q["score"]
         }
         tframe = (
-            self._bool_candidates(kernel_qids, hits=self._phrase_safe_hits(plans, hits))
+            self._bool_candidates(kernel_qids, hits=self._phrase_safe_hits(flat, hits))
             if kernel_qids
             else None
         )
 
-        # ---- phrase part ------------------------------------------------
+        # ---- flat phrase part --------------------------------------------
         wanted: dict[str, list[tuple[int, Clause]]] = {}
-        for qid, p in plans.items():
+        for qid, p in flat.items():
             if qid in unsat:
                 continue
             items = [
@@ -283,12 +373,18 @@ class LuceneQuerySearcher(BooleanSearcher):
         if pframe is not None:
             pframe = pframe.persist()
 
+        gctx = self._grouped_resources(grouped) if grouped else None
+
         try:
             per_topic = []
-            for qid, p in plans.items():
+            for qid, p in flat.items():
                 if qid in unsat:
                     continue
                 combined = self._combine_topic(qid, p, tqueries.get(qid), tframe, pframe)
+                if combined is not None:
+                    per_topic.append(combined)
+            for qid, p in grouped.items():
+                combined = self._eval_grouped_topic(qid, p["clauses"], gctx)
                 if combined is not None:
                     per_topic.append(combined)
             if not per_topic:
@@ -304,10 +400,160 @@ class LuceneQuerySearcher(BooleanSearcher):
                 .filter(F.col("rank") <= hits)
                 .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
             )
-            return out.localCheckpoint() if pframe is not None else out
+            materialize = pframe is not None or gctx is not None
+            return out.localCheckpoint() if materialize else out
         finally:
             if pframe is not None:
                 pframe.unpersist()
+            if gctx is not None:
+                for fr in gctx["persisted"]:
+                    fr.unpersist()
+
+    # ----------------------------------------------- grouped (nested) eval
+
+    def _grouped_resources(self, grouped: dict[str, dict]) -> dict:
+        """Shared frames for the recursive evaluator: one UNCUT kernel pass
+        over every distinct leaf term (qid key ``_t\\x00term``) and one
+        positions pass over every phrase leaf (walk-order cids), both
+        persisted for the per-topic algebra."""
+        kw = self.index.config.analyzer_kwargs()
+        all_terms = sorted(
+            {
+                t
+                for p in grouped.values()
+                for c in self._walk(p["clauses"])
+                if c.ctype == "term"
+                for t in analyze_text(c.text, **kw)
+            }
+        )
+        stats = self.index.get_term_stats(all_terms)
+        n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
+        known = {
+            t: self.scoring.weight(df, cf, n_docs, sum_cf)
+            for t, (df, cf) in stats.items()
+            if df > 0
+        }
+        known = {t: w for t, w in known.items() if w > 0}
+        persisted = []
+        termf = None
+        if known:
+            tq = {
+                f"_t\x00{t}": {"must": [], "not": [], "score": [(t, w, 1.0)]}
+                for t, w in known.items()
+            }
+            termf = self._bool_candidates(tq, hits=2**31 - 1).persist()
+            persisted.append(termf)
+
+        wanted: dict[str, list[tuple[int, Clause]]] = {}
+        for qid, p in grouped.items():
+            pctr = 0
+            items = []
+            for c in self._walk(p["clauses"]):
+                if c.ctype != "phrase":
+                    continue
+                if analyze_text(c.text, **kw):
+                    items.append((pctr, c))
+                pctr += 1
+            if items:
+                wanted[qid] = items
+        pscored = None
+        if wanted:
+            pf = self._phrase_frames(wanted)
+            k1, b = self.config.k1, self.config.b
+            n = float(self.index.numdocs)
+            avgdl = float(self.index.avgdl)
+            dfx = pf.groupBy("qid", "cid").agg(F.count("*").alias("df"))
+            idf = F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                ),
+            )
+            pscored = (
+                pf.join(F.broadcast(dfx.withColumn("idf", idf)), ["qid", "cid"])
+                .withColumn(
+                    "pscore",
+                    F.col("idf")
+                    * F.col("cnt")
+                    / (
+                        F.col("cnt")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    ),
+                )
+                .select("qid", "cid", "docno", "pscore")
+                .persist()
+            )
+            persisted.append(pscored)
+
+        empty = self.index.spark.createDataFrame([], "docno long, score double")
+        return {
+            "termf": termf,
+            "pscored": pscored,
+            "known": known,
+            "empty": empty,
+            "persisted": persisted,
+            "kw": kw,
+        }
+
+    def _eval_node(self, node, ctx: dict, state: dict) -> DataFrame:
+        """One node → its (docno, score) match frame.  ``state['pctr']``
+        counts phrase leaves in walk order (the cid convention shared with
+        _grouped_resources)."""
+        if isinstance(node, Group):
+            return self._eval_children(node.children, ctx, state, boost=node.boost)
+        if node.ctype == "phrase":
+            cid = state["pctr"]
+            state["pctr"] += 1
+            if ctx["pscored"] is None:
+                return ctx["empty"]
+            f = ctx["pscored"].filter(
+                (F.col("qid") == state["qid"]) & (F.col("cid") == cid)
+            )
+            return f.select(
+                "docno", (F.col("pscore") * F.lit(float(node.boost))).alias("score")
+            )
+        terms = [
+            t for t in analyze_text(node.text, **ctx["kw"]) if t in ctx["known"]
+        ]
+        if not terms or ctx["termf"] is None:
+            return ctx["empty"]
+        u = None
+        for t in terms:
+            f = ctx["termf"].filter(F.col("qid") == f"_t\x00{t}").select("docno", "score")
+            u = f if u is None else u.unionByName(f)
+        agg = u.groupBy("docno").agg(F.sum("score").alias("score"))
+        if node.boost != 1.0:
+            agg = agg.select("docno", (F.col("score") * F.lit(float(node.boost))).alias("score"))
+        return agg
+
+    def _eval_children(self, children, ctx: dict, state: dict, boost: float = 1.0) -> DataFrame:
+        """BooleanQuery algebra over evaluated child frames: positive
+        union-sum, MUST semi-joins, MUST_NOT anti-joins, group boost."""
+        evaled = [(c.kind, self._eval_node(c, ctx, state)) for c in children]
+        pos = [f for k, f in evaled if k != "not"]
+        if not pos:
+            return ctx["empty"]  # purely negative group matches nothing
+        u = pos[0]
+        for f in pos[1:]:
+            u = u.unionByName(f)
+        agg = u.groupBy("docno").agg(F.sum("score").alias("score"))
+        for k, f in evaled:
+            if k == "must":
+                agg = agg.join(f.select("docno").distinct(), "docno", "left_semi")
+            elif k == "not":
+                agg = agg.join(f.select("docno").distinct(), "docno", "left_anti")
+        if boost != 1.0:
+            agg = agg.select("docno", (F.col("score") * F.lit(float(boost))).alias("score"))
+        return agg
+
+    def _eval_grouped_topic(self, qid: str, nodes, ctx: dict):
+        state = {"qid": qid, "pctr": 0}
+        f = self._eval_children(nodes, ctx, state)
+        return f.filter(F.col("score") > 0).select(
+            F.lit(qid).alias("qid"), "docno", "score"
+        )
 
     def _phrase_safe_hits(self, plans: dict[str, dict], hits: int) -> int:
         """Per-range cut depth for the term kernel.  A topic WITHOUT phrase

@@ -170,6 +170,78 @@ def test_phrase_needs_positions(spark, tmp_path_factory):
         s.search({"q": '"merge join"'})
 
 
+def _t(idx, term):
+    """Single-term component run: {docid: bm25 score}."""
+    return _bool_run(idx, term)
+
+
+def _approx_eq(got, want):
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d
+
+
+def test_group_or_under_and(lp_index):
+    got = _run(_lp(lp_index), "(merge OR broadcast) AND join")
+    sm, sb, sj = _t(lp_index, "merge"), _t(lp_index, "broadcast"), _t(lp_index, "join")
+    union = set(sm) | set(sb)
+    want = {
+        d: sj[d] + sm.get(d, 0.0) + sb.get(d, 0.0)
+        for d in set(sj) & union
+    }
+    _approx_eq(got, want)
+
+
+def test_group_boost_scales_group_only(lp_index):
+    got = _run(_lp(lp_index), "(merge OR fast)^2 spark")
+    sm, sf, ss = _t(lp_index, "merge"), _t(lp_index, "fast"), _t(lp_index, "spark")
+    want = {
+        d: 2.0 * (sm.get(d, 0.0) + sf.get(d, 0.0)) + ss.get(d, 0.0)
+        for d in set(sm) | set(sf) | set(ss)
+    }
+    _approx_eq(got, want)
+
+
+def test_nested_groups(lp_index):
+    got = _run(_lp(lp_index), "((slow OR broadcast) AND join) OR spark")
+    sl, sb, sj, ss = (
+        _t(lp_index, "slow"),
+        _t(lp_index, "broadcast"),
+        _t(lp_index, "join"),
+        _t(lp_index, "spark"),
+    )
+    inner_docs = (set(sl) | set(sb)) & set(sj)
+    inner = {d: sl.get(d, 0.0) + sb.get(d, 0.0) + sj[d] for d in inner_docs}
+    want = {
+        d: inner.get(d, 0.0) + ss.get(d, 0.0) for d in set(inner) | set(ss)
+    }
+    _approx_eq(got, want)
+
+
+def test_negative_group_excludes_any_match(lp_index):
+    got = _run(_lp(lp_index), "join -(slow sort)")
+    sj = _t(lp_index, "join")
+    bad = set(_t(lp_index, "slow")) | set(_t(lp_index, "sort"))
+    want = {d: s for d, s in sj.items() if d not in bad}
+    _approx_eq(got, want)
+
+
+def test_group_with_phrase_clause(lp_index):
+    got = _run(_lp(lp_index), '("merge join" OR broadcast) AND fast')
+    p = _phrase_run(lp_index, "merge join")
+    sb, sf = _t(lp_index, "broadcast"), _t(lp_index, "fast")
+    union = set(p) | set(sb)
+    want = {
+        d: p.get(d, 0.0) + sb.get(d, 0.0) + sf[d] for d in union & set(sf)
+    }
+    _approx_eq(got, want)
+
+
+def test_purely_negative_query_matches_nothing(lp_index):
+    assert _run(_lp(lp_index), "-(merge join)") == {}
+    assert _run(_lp(lp_index), "-merge") == {}
+
+
 def test_search_collect_respects_overridden_search(lp_index):
     """The CLI and task flows go through search_collect; for every
     searcher whose ``search`` is specialized, search_collect must collect
