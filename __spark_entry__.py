@@ -3797,6 +3797,7 @@ _LUCENE_TOPICS = {
     "L5": '+"table hash" -spark',
     "L6": "(batch OR row) AND table",  # nested BooleanQuery group
     "L7": '("part filter" OR batch)^2 AND merge',  # boosted mixed group
+    "L8": "[row TO table] batch",  # TermRangeQuery clause (capped expansion)
 }
 
 _LUCENE_ORACLE_SQL = f"""
@@ -3869,6 +3870,17 @@ WITH tok AS (
     ON u.docid = m.docid
     LEFT JOIN p1s p ON p.docid = m.docid
     LEFT JOIN (SELECT docid, s FROM ts WHERE term = 'batch') b ON b.docid = m.docid
+  UNION ALL
+  SELECT 'L8', docid, sum(s) FROM (
+    SELECT ts.docid, ts.s FROM ts JOIN (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+        FROM dfx WHERE term >= 'row' AND term <= 'table'
+      ) WHERE rn <= {_EXPANSION_CAP}
+    ) rexp USING (term)
+    UNION ALL
+    SELECT docid, s FROM ts WHERE term = 'batch'
+  ) GROUP BY docid
 )
 {_GATE_RANK_SQL}
 """
@@ -3886,9 +3898,9 @@ def _q_lucene_query(spark, sf_dir):
         spark, _corpus(spark, sf_dir), _index_dir("daat_pos", sf_dir),
         IndexConfig(stemmer="none", store_positions=True),
     )
-    run = LuceneQuerySearcher(idx, BM25Config(hits=_GATE_HITS)).search(
-        _LUCENE_TOPICS, hits=_GATE_HITS
-    )
+    run = LuceneQuerySearcher(
+        idx, BM25Config(hits=_GATE_HITS), max_expansions=_EXPANSION_CAP
+    ).search(_LUCENE_TOPICS, hits=_GATE_HITS)
     return _gate_rank(run)
 
 

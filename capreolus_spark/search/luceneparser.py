@@ -97,6 +97,22 @@ def _lex(text: str) -> list:
     out: list = []
     pos = 0
     n = len(text)
+    def _range_at(p: int, prefix: str | None) -> int | None:
+        """Try to lex a ``[lo TO hi]`` / ``{lo,hi}`` range at p; returns
+        the new position or None if no closing bracket exists."""
+        for j in range(p + 1, n):
+            if text[j] in "]}":
+                raw = text[p : j + 1]
+                q = j + 1
+                boost = 1.0
+                m = _GROUP_BOOST_RE.match(text, q)
+                if m:
+                    boost = float(m.group(1))
+                    q = m.end()
+                out.append(("clause", (prefix, "range", raw, boost)))
+                return q
+        return None
+
     while pos < n:
         ch = text[pos]
         if ch.isspace():
@@ -105,6 +121,18 @@ def _lex(text: str) -> list:
         if ch in "+-" and pos + 1 < n and text[pos + 1] == "(":
             out.append(("open", "must" if ch == "+" else "not"))
             pos += 2
+            continue
+        if ch in "+-" and pos + 1 < n and text[pos + 1] in "[{":
+            q = _range_at(pos + 1, "+" if ch == "+" else "-")
+            if q is not None:
+                pos = q
+                continue
+        if ch in "[{":
+            q = _range_at(pos, None)
+            if q is not None:
+                pos = q
+                continue
+            pos += 1  # unbalanced bracket: skip leniently
             continue
         if ch == "(":
             out.append(("open", None))
@@ -214,10 +242,12 @@ class LuceneQuerySearcher(BooleanSearcher):
         index: InvertedIndex,
         config: BM25Config | None = None,
         prune: bool = True,
+        max_expansions: int = 50,
         tag: str = DEFAULT_TAG,
     ):
         super().__init__(index, config, prune=prune, tag=tag)
         self._phrase = None  # lazy: only built when a phrase clause appears
+        self.max_expansions = max_expansions
 
     # ---------------------------------------------------------- planning
 
@@ -231,10 +261,15 @@ class LuceneQuerySearcher(BooleanSearcher):
 
     def _plan(self, topics: dict[str, str]) -> dict[str, dict]:
         """{qid: {"clauses": [nodes], "has_phrase": bool, "has_group":
-        bool}} with empty topics dropped."""
+        bool}} with empty topics dropped.  Range clauses are rewritten
+        into Groups of SHOULD term clauses first (TermRangeQuery's
+        scoring-boolean rewrite), so downstream only sees term/phrase
+        leaves; a topic containing a range therefore routes through the
+        recursive group evaluator."""
+        parsed = {qid: parse_lucene_query(text) for qid, text in topics.items()}
+        parsed = self._rewrite_ranges(parsed)
         out = {}
-        for qid, text in topics.items():
-            nodes = parse_lucene_query(text)
+        for qid, nodes in parsed.items():
             if nodes:
                 leaves = list(self._walk(nodes))
                 out[str(qid)] = {
@@ -243,6 +278,89 @@ class LuceneQuerySearcher(BooleanSearcher):
                     "has_group": any(isinstance(n, Group) for n in nodes),
                 }
         return out
+
+    @staticmethod
+    def _range_bounds(raw: str) -> tuple[str | None, str | None, bool, bool]:
+        """``[lo TO hi]`` / ``{lo,hi}`` → (lo, hi, lo_inc, hi_inc); ``*``
+        bounds → None.  Accepts Lucene's `` TO `` separator and the
+        engine's comma form."""
+        body = raw[1:-1]
+        sep = " to " if " to " in body.lower() else ","
+        if sep == ",":
+            parts = body.split(",")
+        else:
+            idx = body.lower().index(" to ")
+            parts = [body[:idx], body[idx + 4 :]]
+        if len(parts) != 2:
+            raise ValueError(f"term range needs exactly one separator: {raw!r}")
+        lo, hi = (p.strip().lower() for p in parts)
+        return (
+            lo if lo != "*" else None,
+            hi if hi != "*" else None,
+            raw[0] == "[",
+            raw[-1] == "]",
+        )
+
+    def _rewrite_ranges(self, parsed: dict[str, list]) -> dict[str, list]:
+        """Replace every range clause with a Group of SHOULD term clauses
+        over the dictionary terms inside the bounds (binary collation,
+        capped at ``max_expansions`` by (df desc, term asc) — the
+        TermRangeSearcher convention).  One batched dictionary scan covers
+        every range expression in the topic batch."""
+        exprs = sorted(
+            {
+                c.text
+                for nodes in parsed.values()
+                for c in self._walk(nodes)
+                if isinstance(c, Clause) and c.ctype == "range"
+            }
+        )
+        if not exprs:
+            return parsed
+        rows = []
+        for raw in exprs:
+            lo, hi, lo_inc, hi_inc = self._range_bounds(raw)
+            rows.append((raw, lo, hi, lo_inc, hi_inc))
+        spark = self.index.spark
+        q = spark.createDataFrame(
+            rows, "raw string, lo string, hi string, lo_inc boolean, hi_inc boolean"
+        )
+        d = self.index.dict_df().select("term", "df")
+        in_lo = F.col("lo").isNull() | F.when(
+            F.col("lo_inc"), F.col("term") >= F.col("lo")
+        ).otherwise(F.col("term") > F.col("lo"))
+        in_hi = F.col("hi").isNull() | F.when(
+            F.col("hi_inc"), F.col("term") <= F.col("hi")
+        ).otherwise(F.col("term") < F.col("hi"))
+        w = Window.partitionBy("raw").orderBy(F.desc("df"), F.asc("term"))
+        cand = (
+            d.join(F.broadcast(q), in_lo & in_hi)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.max_expansions)
+            .select("raw", "term")
+            .collect()
+        )
+        exp: dict[str, list[str]] = {}
+        for r in cand:
+            exp.setdefault(r["raw"], []).append(r["term"])
+
+        def rewrite(node):
+            if isinstance(node, Group):
+                return Group(
+                    node.kind,
+                    tuple(rewrite(c) for c in node.children),
+                    node.boost,
+                )
+            if node.ctype == "range":
+                terms = sorted(exp.get(node.text, []))
+                return Group(
+                    node.kind,
+                    tuple(Clause("should", "term", t, 1.0) for t in terms),
+                    node.boost,
+                )
+            return node
+
+        return {qid: [rewrite(n) for n in nodes] for qid, nodes in parsed.items()}
 
     def _term_query(self, clauses: list[Clause]) -> dict | None:
         """Term clauses → the boolean kernel's query dict (must/not lists

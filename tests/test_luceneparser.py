@@ -237,6 +237,52 @@ def test_group_with_phrase_clause(lp_index):
     _approx_eq(got, want)
 
 
+def test_range_clause_expands_to_disjunction(lp_index):
+    # dictionary terms in [merge, spark] under binary collation
+    terms = sorted(
+        r["term"]
+        for r in lp_index.dict_df().collect()
+        if "merge" <= r["term"] <= "spark"
+    )
+    assert "merge" in terms and "spark" in terms
+    got = _run(_lp(lp_index), "[merge TO spark]")
+    comp = {}
+    for t in terms:
+        for d, s in _t(lp_index, t).items():
+            comp[d] = comp.get(d, 0.0) + s
+    _approx_eq(got, comp)
+    # comma form and Lucene TO form agree
+    assert got == _run(_lp(lp_index), "[merge,spark]")
+
+
+def test_range_clause_composes_with_terms(lp_index):
+    got = _run(_lp(lp_index), "+[slow TO sort] fast")
+    terms = sorted(
+        r["term"]
+        for r in lp_index.dict_df().collect()
+        if "slow" <= r["term"] <= "sort"
+    )
+    rng = {}
+    for t in terms:
+        for d, s in _t(lp_index, t).items():
+            rng[d] = rng.get(d, 0.0) + s
+    sf = _t(lp_index, "fast")
+    want = {d: s + sf.get(d, 0.0) for d, s in rng.items()}  # must-range universe
+    _approx_eq(got, want)
+    # exclusive bound drops the endpoints
+    excl = _run(_lp(lp_index), "{slow TO sort}")
+    inner = sorted(t for t in terms if "slow" < t < "sort")
+    comp = {}
+    for t in inner:
+        for d, s in _t(lp_index, t).items():
+            comp[d] = comp.get(d, 0.0) + s
+    _approx_eq(excl, comp)
+
+
+def test_empty_range_matches_nothing(lp_index):
+    assert _run(_lp(lp_index), "+[zzz TO zzza] merge") == {}
+
+
 def test_purely_negative_query_matches_nothing(lp_index):
     assert _run(_lp(lp_index), "-(merge join)") == {}
     assert _run(_lp(lp_index), "-merge") == {}
