@@ -3798,6 +3798,7 @@ _LUCENE_TOPICS = {
     "L6": "(batch OR row) AND table",  # nested BooleanQuery group
     "L7": '("part filter" OR batch)^2 AND merge',  # boosted mixed group
     "L8": "[row TO table] batch",  # TermRangeQuery clause (capped expansion)
+    "L9": "merg? fast~1",  # wildcard + fuzzy clauses (boosted variants)
 }
 
 _LUCENE_ORACLE_SQL = f"""
@@ -3880,6 +3881,32 @@ WITH tok AS (
     ) rexp USING (term)
     UNION ALL
     SELECT docid, s FROM ts WHERE term = 'batch'
+  ) GROUP BY docid
+  UNION ALL
+  SELECT 'L9', docid, sum(s) FROM (
+    SELECT ts.docid, ts.s FROM ts JOIN (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+        FROM dfx WHERE regexp_full_match(term, 'merg.')
+      ) WHERE rn <= {_EXPANSION_CAP}
+    ) wexp USING (term)
+    UNION ALL
+    SELECT ts.docid, fexp.boost * ts.s FROM ts JOIN (
+      SELECT term, boost FROM (
+        SELECT term,
+               1.0 - levenshtein('fast', term) /
+                     least(4, length(term))::DOUBLE AS boost,
+               row_number() OVER (
+                 ORDER BY (1.0 - levenshtein('fast', term) /
+                           least(4, length(term))::DOUBLE) DESC,
+                          df DESC, term ASC
+               ) AS rn
+        FROM dfx
+        WHERE abs(length(term) - 4) <= 1 AND levenshtein('fast', term) <= 1
+          AND 1.0 - levenshtein('fast', term) /
+              least(4, length(term))::DOUBLE > 0
+      ) WHERE rn <= {_EXPANSION_CAP}
+    ) fexp USING (term)
   ) GROUP BY docid
 )
 {_GATE_RANK_SQL}

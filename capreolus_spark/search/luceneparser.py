@@ -59,9 +59,10 @@ __all__ = ["Clause", "parse_lucene_query", "LuceneQuerySearcher"]
 @dataclass(frozen=True)
 class Clause:
     kind: str  # "must" | "not" | "should"
-    ctype: str  # "term" | "phrase"
+    ctype: str  # "term" | "phrase" | "range" | "fuzzy"
     text: str  # raw clause text (unanalyzed)
     boost: float = 1.0
+    extra: float = 0.0  # fuzzy max_edits; (reserved for phrase slop)
 
 
 @dataclass(frozen=True)
@@ -156,7 +157,15 @@ def _lex(text: str) -> list:
         if m.group("phrase") is not None:
             out.append(("clause", (m.group("prefix"), "phrase", m.group("phrase").strip(), boost)))
         else:
-            out.append(("clause", (m.group("prefix"), "term", m.group("term"), boost)))
+            term = m.group("term")
+            fm = re.fullmatch(r"(.+?)~([0-9]*)", term)
+            if fm and fm.group(1):  # Lucene fuzzy: term~ / term~N
+                dist = int(fm.group(2)) if fm.group(2) else 2
+                out.append(
+                    ("clause", (m.group("prefix"), "fuzzy", fm.group(1), boost, dist))
+                )
+            else:
+                out.append(("clause", (m.group("prefix"), "term", term, boost)))
     return out
 
 
@@ -194,7 +203,8 @@ def _build(tokens: list, i: int = 0, depth: int = 0):
             i += 1  # stray ')' at top level: ignore leniently
             continue
         i += 1
-        prefix, ctype, body, boost = payload
+        prefix, ctype, body, boost = payload[:4]
+        extra = float(payload[4]) if len(payload) > 4 else 0.0
         if ctype == "term" and prefix is None and body in ("AND", "OR", "NOT", "&&", "||", "!"):
             if body in ("AND", "&&"):
                 _promote_last()
@@ -214,7 +224,7 @@ def _build(tokens: list, i: int = 0, depth: int = 0):
         else:
             kind = next_kind or "should"
         next_kind = None
-        nodes.append(Clause(kind, ctype, body, boost))
+        nodes.append(Clause(kind, ctype, body, boost, extra))
     return nodes, i
 
 
@@ -267,7 +277,7 @@ class LuceneQuerySearcher(BooleanSearcher):
         leaves; a topic containing a range therefore routes through the
         recursive group evaluator."""
         parsed = {qid: parse_lucene_query(text) for qid, text in topics.items()}
-        parsed = self._rewrite_ranges(parsed)
+        parsed = self._rewrite_multiterm(parsed)
         out = {}
         for qid, nodes in parsed.items():
             if nodes:
@@ -301,22 +311,10 @@ class LuceneQuerySearcher(BooleanSearcher):
             raw[-1] == "]",
         )
 
-    def _rewrite_ranges(self, parsed: dict[str, list]) -> dict[str, list]:
-        """Replace every range clause with a Group of SHOULD term clauses
-        over the dictionary terms inside the bounds (binary collation,
-        capped at ``max_expansions`` by (df desc, term asc) — the
-        TermRangeSearcher convention).  One batched dictionary scan covers
-        every range expression in the topic batch."""
-        exprs = sorted(
-            {
-                c.text
-                for nodes in parsed.values()
-                for c in self._walk(nodes)
-                if isinstance(c, Clause) and c.ctype == "range"
-            }
-        )
-        if not exprs:
-            return parsed
+    def _range_expansions(self, exprs: list[str]) -> dict[str, list[tuple[str, float]]]:
+        """Range expr → [(term, 1.0)] — dictionary terms inside the bounds
+        (binary collation), capped at ``max_expansions`` by (df desc,
+        term asc): the TermRangeSearcher convention.  One batched scan."""
         rows = []
         for raw in exprs:
             lo, hi, lo_inc, hi_inc = self._range_bounds(raw)
@@ -340,25 +338,92 @@ class LuceneQuerySearcher(BooleanSearcher):
             .select("raw", "term")
             .collect()
         )
-        exp: dict[str, list[str]] = {}
+        exp: dict[str, list[tuple[str, float]]] = {}
         for r in cand:
-            exp.setdefault(r["raw"], []).append(r["term"])
+            exp.setdefault(r["raw"], []).append((r["term"], 1.0))
+        return exp
+
+    def _rewrite_multiterm(self, parsed: dict[str, list]) -> dict[str, list]:
+        """Replace every multi-term clause — range ``[lo TO hi]``,
+        wildcard ``te*t``/``t?t``, fuzzy ``term~N`` — with a Group of
+        SHOULD term clauses over its capped dictionary expansion (the
+        scoring-boolean rewrite shared with the TermRange / Wildcard /
+        Fuzzy searchers; fuzzy variants keep their
+        ``1 - dist/min(len)`` boosts).  One batched scan per clause
+        family covers the whole topic batch."""
+        leaves = [
+            c
+            for nodes in parsed.values()
+            for c in self._walk(nodes)
+            if isinstance(c, Clause)
+        ]
+        ranges = sorted({c.text for c in leaves if c.ctype == "range"})
+        wilds = sorted(
+            {
+                c.text.lower()
+                for c in leaves
+                if c.ctype == "term" and any(ch in c.text for ch in "*?")
+            }
+        )
+        fuzz: dict[int, set[str]] = {}
+        for c in leaves:
+            if c.ctype == "fuzzy":
+                fuzz.setdefault(int(c.extra), set()).add(c.text.lower())
+        if not ranges and not wilds and not fuzz:
+            return parsed
+
+        exp: dict[tuple, list[tuple[str, float]]] = {}
+        for raw, variants in self._range_expansions(ranges).items() if ranges else ():
+            exp[("range", raw)] = variants
+        if wilds:
+            from .fuzzy import WildcardSearcher
+
+            ws = WildcardSearcher(
+                self.index, self.config, max_expansions=self.max_expansions
+            )
+            # _expansion_df consumes REGEXES (the glob→regex conversion lives
+            # in WildcardSearcher.analyze_topics); translate and key back
+            rx_of = {pat: ws._wildcard_to_regex(pat) for pat in wilds}
+            pat_of = {rx: pat for pat, rx in rx_of.items()}
+            for r in ws._expansion_df(sorted(rx_of.values())).collect():
+                exp.setdefault(("wild", pat_of[r["qterm"]]), []).append(
+                    (r["term"], float(r["boost"]))
+                )
+        for me, pats in sorted(fuzz.items()):
+            from .fuzzy import FuzzySearcher
+
+            fs = FuzzySearcher(
+                self.index, self.config, max_edits=me,
+                max_expansions=self.max_expansions,
+            )
+            for r in fs._expansion_df(sorted(pats)).collect():
+                exp.setdefault(("fuzzy", r["qterm"], me), []).append(
+                    (r["term"], float(r["boost"]))
+                )
 
         def rewrite(node):
             if isinstance(node, Group):
                 return Group(
-                    node.kind,
-                    tuple(rewrite(c) for c in node.children),
-                    node.boost,
+                    node.kind, tuple(rewrite(c) for c in node.children), node.boost
                 )
+            key = None
             if node.ctype == "range":
-                terms = sorted(exp.get(node.text, []))
-                return Group(
-                    node.kind,
-                    tuple(Clause("should", "term", t, 1.0) for t in terms),
-                    node.boost,
-                )
-            return node
+                key = ("range", node.text)
+            elif node.ctype == "fuzzy":
+                key = ("fuzzy", node.text.lower(), int(node.extra))
+            elif node.ctype == "term" and any(ch in node.text for ch in "*?"):
+                key = ("wild", node.text.lower())
+            if key is None:
+                return node
+            variants = sorted(exp.get(key, []))
+            # "xterm": an already-analyzed dictionary term — must NOT go
+            # through the analyzer again (re-stemming / stop-filtering a
+            # dictionary term can change or drop it)
+            return Group(
+                node.kind,
+                tuple(Clause("should", "xterm", t, b) for t, b in variants),
+                node.boost,
+            )
 
         return {qid: [rewrite(n) for n in nodes] for qid, nodes in parsed.items()}
 
@@ -535,15 +600,14 @@ class LuceneQuerySearcher(BooleanSearcher):
         positions pass over every phrase leaf (walk-order cids), both
         persisted for the per-topic algebra."""
         kw = self.index.config.analyzer_kwargs()
-        all_terms = sorted(
-            {
-                t
-                for p in grouped.values()
-                for c in self._walk(p["clauses"])
-                if c.ctype == "term"
-                for t in analyze_text(c.text, **kw)
-            }
-        )
+        all_terms = set()
+        for p in grouped.values():
+            for c in self._walk(p["clauses"]):
+                if c.ctype == "term":
+                    all_terms.update(analyze_text(c.text, **kw))
+                elif c.ctype == "xterm":
+                    all_terms.add(c.text)
+        all_terms = sorted(all_terms)
         stats = self.index.get_term_stats(all_terms)
         n_docs, sum_cf = self.index.numdocs, self.index.sum_cf
         known = {
@@ -632,9 +696,12 @@ class LuceneQuerySearcher(BooleanSearcher):
             return f.select(
                 "docno", (F.col("pscore") * F.lit(float(node.boost))).alias("score")
             )
-        terms = [
-            t for t in analyze_text(node.text, **ctx["kw"]) if t in ctx["known"]
-        ]
+        if node.ctype == "xterm":
+            terms = [node.text] if node.text in ctx["known"] else []
+        else:
+            terms = [
+                t for t in analyze_text(node.text, **ctx["kw"]) if t in ctx["known"]
+            ]
         if not terms or ctx["termf"] is None:
             return ctx["empty"]
         u = None

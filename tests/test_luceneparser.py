@@ -279,6 +279,41 @@ def test_range_clause_composes_with_terms(lp_index):
     _approx_eq(excl, comp)
 
 
+def test_fuzzy_clause_equals_fuzzy_searcher(lp_index):
+    from capreolus_spark.search.fuzzy import FuzzySearcher
+
+    got = _run(_lp(lp_index), "fist~1")
+    want = run_df_to_dict(
+        FuzzySearcher(lp_index, BM25Config(hits=50), max_edits=1).search({"q": "fist"})
+    ).get("q", {})
+    _approx_eq(got, want)
+    assert want  # 'fist' ~1 must reach 'fast'
+
+
+def test_wildcard_clause_equals_wildcard_searcher(lp_index):
+    from capreolus_spark.search.fuzzy import WildcardSearcher
+
+    got = _run(_lp(lp_index), "s*")
+    want = run_df_to_dict(
+        WildcardSearcher(lp_index, BM25Config(hits=50)).search({"q": "s*"})
+    ).get("q", {})
+    _approx_eq(got, want)
+    qm = _run(_lp(lp_index), "f?st")
+    wm = run_df_to_dict(
+        WildcardSearcher(lp_index, BM25Config(hits=50)).search({"q": "f?st"})
+    ).get("q", {})
+    _approx_eq(qm, wm)
+
+
+def test_fuzzy_and_wildcard_compose_with_filters(lp_index):
+    # wildcard group under a MUST term and a NOT phrase
+    got = _run(_lp(lp_index), '+s* -"slow join"')
+    base = _run(_lp(lp_index), "+s*")
+    p = _phrase_run(lp_index, "slow join")
+    want = {d: s for d, s in base.items() if d not in p}
+    _approx_eq(got, want)
+
+
 def test_empty_range_matches_nothing(lp_index):
     assert _run(_lp(lp_index), "+[zzz TO zzza] merge") == {}
 
