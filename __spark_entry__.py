@@ -3799,6 +3799,7 @@ _LUCENE_TOPICS = {
     "L7": '("part filter" OR batch)^2 AND merge',  # boosted mixed group
     "L8": "[row TO table] batch",  # TermRangeQuery clause (capped expansion)
     "L9": "merg? fast~1",  # wildcard + fuzzy clauses (boosted variants)
+    "L10": 'spark "group sort"~3',  # sloppy phrase via the proximity kernel
 }
 
 _LUCENE_ORACLE_SQL = f"""
@@ -3841,6 +3842,23 @@ WITH tok AS (
          / (p2.cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS s
   FROM p2 CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM p2) d
   JOIN dl ON dl.docid = p2.docid CROSS JOIN stats s
+), posidx AS (
+  SELECT docid, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tok
+), nhit AS (
+  SELECT a.docid, a.pos,
+         max(CASE WHEN abs(b.pos - a.pos) <= 3 THEN 1 ELSE 0 END) AS u_hit
+  FROM posidx a JOIN posidx b ON b.docid = a.docid AND b.term = 'sort'
+  WHERE a.term = 'group'
+  GROUP BY a.docid, a.pos
+), nc AS (
+  SELECT docid, sum(u_hit) AS cnt FROM nhit GROUP BY docid HAVING sum(u_hit) > 0
+), ndf AS (
+  SELECT count(*)::DOUBLE AS df FROM nc
+), nsc AS (
+  SELECT nc.docid,
+         greatest(0, ln(1 + (s.n - ndf.df + 0.5) / (ndf.df + 0.5))) * nc.cnt
+         / (nc.cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS s
+  FROM nc JOIN dl USING (docid) CROSS JOIN ndf CROSS JOIN stats s
 ), scored AS (
   SELECT 'L1' AS qid, t.docid, t.s + coalesce(p.s, 0) AS score
     FROM (SELECT docid, s FROM ts WHERE term = 'table') t
@@ -3908,6 +3926,10 @@ WITH tok AS (
       ) WHERE rn <= {_EXPANSION_CAP}
     ) fexp USING (term)
   ) GROUP BY docid
+  UNION ALL
+  SELECT 'L10', coalesce(t.docid, nsc.docid), coalesce(t.s, 0) + coalesce(nsc.s, 0)
+    FROM (SELECT docid, s FROM ts WHERE term = 'spark') t
+    FULL OUTER JOIN nsc ON nsc.docid = t.docid
 )
 {_GATE_RANK_SQL}
 """

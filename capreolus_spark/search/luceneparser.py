@@ -80,7 +80,7 @@ _TOKEN_RE = re.compile(
     r'''\s*(?:
         (?P<prefix>[+-])?
         (?:
-            "(?P<phrase>[^"]*)"
+            "(?P<phrase>[^"]*)"(?:~(?P<slop>[0-9]+))?
           | (?P<term>[^\s"^()]+)
         )
         (?:\^(?P<boost>[0-9]+(?:\.[0-9]+)?))?
@@ -155,7 +155,11 @@ def _lex(text: str) -> list:
         pos = m.end()
         boost = float(m.group("boost") or 1.0)
         if m.group("phrase") is not None:
-            out.append(("clause", (m.group("prefix"), "phrase", m.group("phrase").strip(), boost)))
+            slop = int(m.group("slop") or 0)
+            ctype = "near" if slop > 0 else "phrase"
+            out.append(
+                ("clause", (m.group("prefix"), ctype, m.group("phrase").strip(), boost, slop))
+            )
         else:
             term = m.group("term")
             fm = re.fullmatch(r"(.+?)~([0-9]*)", term)
@@ -282,10 +286,15 @@ class LuceneQuerySearcher(BooleanSearcher):
         for qid, nodes in parsed.items():
             if nodes:
                 leaves = list(self._walk(nodes))
+                has_near = any(c.ctype == "near" for c in leaves)
                 out[str(qid)] = {
                     "clauses": nodes,
-                    "has_phrase": any(c.ctype == "phrase" for c in leaves),
-                    "has_group": any(isinstance(n, Group) for n in nodes),
+                    "has_phrase": has_near
+                    or any(c.ctype == "phrase" for c in leaves),
+                    # sloppy phrases are evaluated only by the recursive
+                    # frame path, so a near clause routes the topic there
+                    "has_group": has_near
+                    or any(isinstance(n, Group) for n in nodes),
                 }
         return out
 
@@ -369,7 +378,8 @@ class LuceneQuerySearcher(BooleanSearcher):
         for c in leaves:
             if c.ctype == "fuzzy":
                 fuzz.setdefault(int(c.extra), set()).add(c.text.lower())
-        if not ranges and not wilds and not fuzz:
+        has_near = any(c.ctype == "near" for c in leaves)
+        if not ranges and not wilds and not fuzz and not has_near:
             return parsed
 
         exp: dict[tuple, list[tuple[str, float]]] = {}
@@ -406,6 +416,21 @@ class LuceneQuerySearcher(BooleanSearcher):
                 return Group(
                     node.kind, tuple(rewrite(c) for c in node.children), node.boost
                 )
+            if node.ctype == "near":
+                # sloppy phrase: distinct analyzed terms decide the shape —
+                # 1 term ≡ a plain term clause; 2 terms ride the proximity
+                # kernel; ≥3 is outside the engine's pair-window machinery
+                kw = self.index.config.analyzer_kwargs()
+                distinct = list(dict.fromkeys(analyze_text(node.text, **kw)))
+                if len(distinct) <= 1:
+                    return Clause(node.kind, "term", node.text, node.boost)
+                if len(distinct) > 2:
+                    raise ValueError(
+                        f'sloppy phrase "{node.text}"~{int(node.extra)} has '
+                        f"{len(distinct)} distinct terms; the proximity kernel "
+                        "supports exactly two (use an exact phrase or NEAR pairs)"
+                    )
+                return node
             key = None
             if node.ctype == "range":
                 key = ("range", node.text)
@@ -627,20 +652,51 @@ class LuceneQuerySearcher(BooleanSearcher):
             persisted.append(termf)
 
         wanted: dict[str, list[tuple[int, Clause]]] = {}
+        near_by_slop: dict[int, dict[str, list[tuple[str, str]]]] = {}
         for qid, p in grouped.items():
             pctr = 0
             items = []
             for c in self._walk(p["clauses"]):
-                if c.ctype != "phrase":
+                if c.ctype not in ("phrase", "near"):
                     continue
-                if analyze_text(c.text, **kw):
-                    items.append((pctr, c))
+                terms = analyze_text(c.text, **kw)
+                if c.ctype == "phrase":
+                    if terms:
+                        items.append((pctr, c))
+                else:  # near: exactly two distinct terms (rewrite enforced)
+                    distinct = list(dict.fromkeys(terms))
+                    near_by_slop.setdefault(int(c.extra), {})[
+                        f"{qid}\x00{pctr}"
+                    ] = [(distinct[0], distinct[1])]
                 pctr += 1
             if items:
                 wanted[qid] = items
-        pscored = None
+        count_frames = []
         if wanted:
-            pf = self._phrase_frames(wanted)
+            count_frames.append(self._phrase_frames(wanted))
+        if near_by_slop:
+            from .proximity import ProximitySearcher
+
+            for slop, pairs in sorted(near_by_slop.items()):
+                prox = ProximitySearcher(
+                    self.index, self.config, slop=slop, ordered=False, tag=self.tag
+                )
+                counts = prox._pair_counts_df(pairs)
+                split = F.split(F.col("qid"), "\x00")
+                count_frames.append(
+                    counts.select(
+                        split.getItem(0).alias("qid"),
+                        split.getItem(1).cast("int").alias("cid"),
+                        "docno",
+                        F.col("u_cnt").alias("cnt"),
+                        "dl",
+                    ).filter(F.col("cnt") > 0)
+                )
+        pscored = None
+        if count_frames:
+            pf = count_frames[0]
+            for fr in count_frames[1:]:
+                pf = pf.unionByName(fr)
             k1, b = self.config.k1, self.config.b
             n = float(self.index.numdocs)
             avgdl = float(self.index.avgdl)
@@ -685,7 +741,7 @@ class LuceneQuerySearcher(BooleanSearcher):
         _grouped_resources)."""
         if isinstance(node, Group):
             return self._eval_children(node.children, ctx, state, boost=node.boost)
-        if node.ctype == "phrase":
+        if node.ctype in ("phrase", "near"):
             cid = state["pctr"]
             state["pctr"] += 1
             if ctx["pscored"] is None:

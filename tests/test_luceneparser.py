@@ -314,6 +314,42 @@ def test_fuzzy_and_wildcard_compose_with_filters(lp_index):
     _approx_eq(got, want)
 
 
+def test_sloppy_phrase_equals_proximity_searcher(lp_index):
+    from capreolus_spark.search.proximity import ProximitySearcher
+
+    got = _run(_lp(lp_index), '"merge fast"~4')
+    want = run_df_to_dict(
+        ProximitySearcher(lp_index, BM25Config(hits=50), slop=4, ordered=False).search(
+            {"q": "merge fast"}
+        )
+    ).get("q", {})
+    assert want  # slop 4 must reach "merge join runs fast"
+    _approx_eq(got, want)
+
+
+def test_sloppy_phrase_composes_and_boosts(lp_index):
+    from capreolus_spark.search.proximity import ProximitySearcher
+
+    got = _run(_lp(lp_index), 'spark "merge fast"~4^2')
+    p = run_df_to_dict(
+        ProximitySearcher(lp_index, BM25Config(hits=50), slop=4, ordered=False).search(
+            {"q": "merge fast"}
+        )
+    ).get("q", {})
+    t = _bool_run(lp_index, "spark")
+    want = {
+        d: t.get(d, 0.0) + 2.0 * p.get(d, 0.0) for d in set(t) | set(p)
+    }
+    _approx_eq(got, want)
+
+
+def test_sloppy_phrase_degenerate_and_unsupported(lp_index):
+    # one distinct term: behaves as the plain term
+    assert _run(_lp(lp_index), '"spark"~3') == _run(_lp(lp_index), "spark")
+    with pytest.raises(ValueError, match="distinct terms"):
+        _lp(lp_index).search({"q": '"merge join fast"~3'})
+
+
 def test_empty_range_matches_nothing(lp_index):
     assert _run(_lp(lp_index), "+[zzz TO zzza] merge") == {}
 
