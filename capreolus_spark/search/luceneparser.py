@@ -7,12 +7,16 @@ The reference hands raw topic strings to Anserini, whose Lucene
 files verbatim).  The engine's boolean / phrase searchers each cover one
 slice; this module is the unified front door.
 
-Grammar subset (flat clause list — no parentheses or field prefixes; the
-index has Lucene's single ``contents`` field, as the reference's does)::
+Grammar (the index has Lucene's single ``contents`` default field, as
+the reference's does — ``contents:`` prefixes strip away, any other
+field can never match)::
 
     query   := token+
-    token   := AND | OR | NOT | clause
-    clause  := [+|-] ( term | "phrase text" ) [^boost]
+    token   := AND | OR | NOT | clause | '(' query ')' [^boost]
+    clause  := [+|-] [field:] ( term | term~N | wild*c?rd
+                              | "phrase text" [~slop]
+                              | '[' lo TO hi ']' | '{' lo TO hi '}'
+                              ) [^boost]
 
 Operator semantics follow classic QueryParser with default-OR:
 
@@ -92,12 +96,41 @@ _TOKEN_RE = re.compile(
 _GROUP_BOOST_RE = re.compile(r"\^([0-9]+(?:\.[0-9]+)?)")
 
 
+_FIELD_RE = re.compile(r"([+\-])?([A-Za-z_]\w*):(?=\S)")
+
+# the index has Lucene's single default field; these prefixes are accepted
+# and stripped, any other field can never match (Lucene: terms of an absent
+# field simply don't exist)
+_DEFAULT_FIELDS = ("contents", "content")
+_NOFIELD_SENTINEL = "\x00nofield"
+
+
 def _lex(text: str) -> list:
     """Raw token stream: '(' / ')^boost' markers (with any +/- prefix on
-    '(') interleaved with (prefix, ctype, body, boost) clause tuples."""
+    '(') interleaved with (prefix, ctype, body, boost[, extra]) clause
+    tuples.  ``field:`` prefixes are resolved HERE: the default field's
+    prefix is stripped; an unknown field turns the following clause into
+    an un-matchable sentinel term (kind preserved, so ``+title:x``
+    still makes the query match nothing while ``-title:x`` is a no-op —
+    Lucene's absent-field behavior)."""
     out: list = []
     pos = 0
     n = len(text)
+    carry: list = [None, None]  # [prefix, field] pending from "field:"
+
+    def _emit(item) -> None:
+        """Apply a pending field: prefix before appending a clause."""
+        if item[0] == "clause" and carry[1] is not None:
+            payload = list(item[1])
+            if payload[0] is None:
+                payload[0] = carry[0]
+            if carry[1] not in _DEFAULT_FIELDS:
+                payload[1], payload[2] = "xterm", _NOFIELD_SENTINEL
+                payload = payload[:4]
+            item = ("clause", tuple(payload))
+        carry[0] = carry[1] = None
+        out.append(item)
+
     def _range_at(p: int, prefix: str | None) -> int | None:
         """Try to lex a ``[lo TO hi]`` / ``{lo,hi}`` range at p; returns
         the new position or None if no closing bracket exists."""
@@ -110,7 +143,7 @@ def _lex(text: str) -> list:
                 if m:
                     boost = float(m.group(1))
                     q = m.end()
-                out.append(("clause", (prefix, "range", raw, boost)))
+                _emit(("clause", (prefix, "range", raw, boost)))
                 return q
         return None
 
@@ -118,6 +151,12 @@ def _lex(text: str) -> list:
         ch = text[pos]
         if ch.isspace():
             pos += 1
+            continue
+        fm = _FIELD_RE.match(text, pos) if carry[1] is None else None
+        if fm and text[fm.end()] not in "+-":
+            carry[0] = fm.group(1)
+            carry[1] = fm.group(2).lower()
+            pos = fm.end()
             continue
         if ch in "+-" and pos + 1 < n and text[pos + 1] == "(":
             out.append(("open", "must" if ch == "+" else "not"))
@@ -136,6 +175,8 @@ def _lex(text: str) -> list:
             pos += 1  # unbalanced bracket: skip leniently
             continue
         if ch == "(":
+            # a field prefix on a group is accepted as the default field
+            carry[0] = carry[1] = None
             out.append(("open", None))
             pos += 1
             continue
@@ -157,7 +198,7 @@ def _lex(text: str) -> list:
         if m.group("phrase") is not None:
             slop = int(m.group("slop") or 0)
             ctype = "near" if slop > 0 else "phrase"
-            out.append(
+            _emit(
                 ("clause", (m.group("prefix"), ctype, m.group("phrase").strip(), boost, slop))
             )
         else:
@@ -165,11 +206,11 @@ def _lex(text: str) -> list:
             fm = re.fullmatch(r"(.+?)~([0-9]*)", term)
             if fm and fm.group(1):  # Lucene fuzzy: term~ / term~N
                 dist = int(fm.group(2)) if fm.group(2) else 2
-                out.append(
+                _emit(
                     ("clause", (m.group("prefix"), "fuzzy", fm.group(1), boost, dist))
                 )
             else:
-                out.append(("clause", (m.group("prefix"), "term", term, boost)))
+                _emit(("clause", (m.group("prefix"), "term", term, boost)))
     return out
 
 
@@ -291,9 +332,11 @@ class LuceneQuerySearcher(BooleanSearcher):
                     "clauses": nodes,
                     "has_phrase": has_near
                     or any(c.ctype == "phrase" for c in leaves),
-                    # sloppy phrases are evaluated only by the recursive
-                    # frame path, so a near clause routes the topic there
+                    # sloppy phrases and xterm sentinels (unknown-field
+                    # clauses) are evaluated only by the recursive frame
+                    # path, so they route the topic there
                     "has_group": has_near
+                    or any(c.ctype == "xterm" for c in leaves)
                     or any(isinstance(n, Group) for n in nodes),
                 }
         return out

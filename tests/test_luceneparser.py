@@ -354,6 +354,20 @@ def test_empty_range_matches_nothing(lp_index):
     assert _run(_lp(lp_index), "+[zzz TO zzza] merge") == {}
 
 
+def test_field_prefixes(lp_index):
+    # the default field's prefix strips away
+    assert _run(_lp(lp_index), "contents:merge") == _run(_lp(lp_index), "merge")
+    assert _run(_lp(lp_index), 'contents:"merge join"') == _run(
+        _lp(lp_index), '"merge join"'
+    )
+    # an unknown field can never match: required → nothing, should → no
+    # contribution, prohibited → no-op (Lucene absent-field behavior)
+    assert _run(_lp(lp_index), "+title:merge spark") == {}
+    assert _run(_lp(lp_index), "title:merge spark") == _run(_lp(lp_index), "spark")
+    assert _run(_lp(lp_index), "-title:merge spark") == _run(_lp(lp_index), "spark")
+    assert _run(_lp(lp_index), "+contents:merge") == _run(_lp(lp_index), "+merge")
+
+
 def test_purely_negative_query_matches_nothing(lp_index):
     assert _run(_lp(lp_index), "-(merge join)") == {}
     assert _run(_lp(lp_index), "-merge") == {}
