@@ -267,7 +267,10 @@ class BM25Searcher:
         path here would silently score the raw topic text as plain BM25,
         ignoring the subclass's semantics (the bug this guard pins).
         The collected frame is ≤ hits x topics rows, so the driver cost
-        matches the treeAggregate path's bounded heaps.
+        matches the treeAggregate path's bounded heaps.  Two-pass
+        searchers that NEED the plain first pass (axiomatic's expansion)
+        call :meth:`_plain_search_collect` directly — routing them through
+        this guard would recurse.
         """
         if type(self).search is not BM25Searcher.search:
             rows = self.search(topics, hits=hits).collect()
@@ -275,6 +278,14 @@ class BM25Searcher:
             for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
                 out.setdefault(r["qid"], OrderedDict())[r["docid"]] = r["score"]
             return out
+        return self._plain_search_collect(topics, hits=hits, depth=depth)
+
+    def _plain_search_collect(
+        self, topics: dict[str, str], hits: int | None = None, depth: int = 2
+    ) -> dict[str, OrderedDict]:
+        """The base weights→kernel→treeAggregate collect, with NO
+        override-delegation — the first-pass primitive for two-pass
+        searchers."""
         hits = hits or self.config.hits
         weights = self._query_weights(self.analyze_topics(topics))
         if not weights:

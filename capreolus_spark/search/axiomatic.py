@@ -134,7 +134,7 @@ class AxiomaticSearcher(BM25Searcher):
         """{qid: text} → {qid: [(term, weight)]}: original terms at their
         query tf, top axiomatic expansion terms at beta·s(t)/s_max."""
         analyzed = self.analyze_topics(topics)
-        first_pass = super().search_collect(topics, hits=self.r)
+        first_pass = self._plain_search_collect(topics, hits=self.r)
         pool = self._sample_pool(max(64, self.n * self.r * 2))
 
         # one docstore scan for every doc any query's working set may touch
