@@ -815,6 +815,42 @@ def _q_ql_daat(spark, sf_dir):
     return _gate_rank(run)
 
 
+def _q_tfidf_daat(spark, sf_dir):
+    """Lucene ClassicSimilarity (TF-IDF) over the same index/kernel —
+    same postings, same block-max pruning, different per-term math
+    (``search/scoring.py ClassicTFIDFScoring``)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import create_searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = create_searcher("TFIDF", idx, hits=_GATE_HITS).search(_TOPICS)
+    return _gate_rank(run)
+
+
+def _q_function_score(spark, sf_dir):
+    """Lucene FunctionScoreQuery twin: BM25 relevance × a per-doc static
+    prior (here ``1 + 0.125·(doc_id % 7)`` — exact binary multipliers so
+    the product is one IEEE op in both engines), boosted BEFORE the
+    top-k cut (uncut kernel pass; ``search/functionscore.py``)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.functionscore import FunctionScoreSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = FunctionScoreSearcher(
+        idx,
+        BM25Config(k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS),
+        boost_fn=lambda d: 1.0 + 0.125 * (d["docid"].cast("long") % 7),
+        boost_mode="multiply",
+    )
+    return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
+
+
 def _q_qrels_positive_filter(spark, sf_dir):
     qrels = _synth_qrels(spark, sf_dir)
     pos = qrels.groupBy("qid").agg(F.max("label").alias("mx")).filter(F.col("mx") >= 1)
@@ -4072,6 +4108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_daat": _q_bm25_daat,
         "ql_topk_daat": _q_ql_daat,
+        "tfidf_topk": _q_tfidf_daat,
+        "function_score_topk": _q_function_score,
         "boolean_topk": _q_boolean_search,
         "fuzzy_topk": _q_fuzzy_search,
         "prefix_topk": _q_prefix_search,
@@ -4471,6 +4509,54 @@ def oracle_sql() -> dict[str, str]:
             "sum(qw.qtf * greatest(0, ln(1 + tf.tf / (1000.0 * qw.p_c)) + ln(1000.0 / (dl.dl + 1000.0)))) AS score "
             "FROM qw JOIN tf USING (term) JOIN dl USING (docid) "
             "GROUP BY qw.qid, tf.docid HAVING score > 0) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "function_score_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf "
+            "FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s), "
+            "scored AS (SELECT qw.qid, tf.docid, "
+            f"sum(qw.qtf * qw.idf * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s "
+            "GROUP BY qw.qid, tf.docid), "
+            "boosted AS (SELECT qid, docid, "
+            "score * (1.0 + 0.125 * (cast(docid AS bigint) % 7)) AS score FROM scored) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM boosted) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "tfidf_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*)::DOUBLE AS n_docs FROM tok), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, "
+            "pow(1.0 + ln((n.n_docs + 1.0) / (d.df + 1.0)), 2) AS w "
+            "FROM queries q JOIN df d USING (term) CROSS JOIN n), "
+            "scored AS (SELECT qw.qid, tf.docid, "
+            "sum(qw.qtf * qw.w * sqrt(tf.tf) / sqrt(greatest(dl.dl, 1))) AS score "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) "
+            "GROUP BY qw.qid, tf.docid) "
             "SELECT qid, docid, rank, score FROM "
             "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
             "round(score, 4) AS score FROM "

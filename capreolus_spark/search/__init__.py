@@ -458,6 +458,12 @@ def _make_f2log(index, **cfg):
     return ScoringSearcher(index, F2LogScoring(s=cfg.get("s", 0.5)), hits=cfg.get("hits", 1000))
 
 
+def _make_tfidf(index, **cfg):
+    from .scoring import ClassicTFIDFScoring
+
+    return ScoringSearcher(index, ClassicTFIDFScoring(), hits=cfg.get("hits", 1000))
+
+
 def _make_rm3(index, **cfg):
     from .rm3 import BM25RM3Searcher
 
@@ -626,6 +632,7 @@ SEARCHERS = {
     "SPL": _make_spl,
     "F2Exp": _make_f2exp,
     "F2Log": _make_f2log,
+    "TFIDF": _make_tfidf,  # beyond-reference: Lucene ClassicSimilarity twin
     "BM25RM3": _make_rm3,
     "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,

@@ -1,0 +1,100 @@
+"""Static-prior score boosting — a Lucene ``FunctionScoreQuery`` twin.
+
+The reference reaches Lucene through Anserini (``capreolus/searcher/
+anserini.py:26-83``); Lucene's ``FunctionScoreQuery`` (and its
+Elasticsearch ``function_score`` descendant) re-scores every document a
+wrapped query matches by combining the relevance score with a per-document
+function of a stored field — typically a static prior such as repo stars,
+PageRank, or freshness::
+
+    boost_mode = multiply:  score'(d) = score(d) · f(d)
+    boost_mode = sum:       score'(d) = score(d) + f(d)
+
+Semantics pinned here (and gated by the DuckDB oracle):
+
+* The boost applies to EVERY matching document before the top-k cut —
+  a document outside the unboosted top-k can enter the boosted top-k,
+  so the kernel pass runs UNCUT (the same ``hits=2**31-1`` idiom the
+  query-parser front door uses for its clause frames) and the cut
+  happens on the boosted score.
+* ``f(d)`` is an injectable Spark Column expression over the docmap
+  columns (``docid`` at minimum) — at production scale the prior is a
+  docmap column written at index time, so attaching it is the same
+  docno-keyed join that resolves docids (one sort-merge join against
+  the docmap, co-partitioned on docno; no broadcast of the uncut
+  candidate frame).
+* Memory at scale: after boosting, the frame is re-cut with the same
+  narrow per-partition pandas pre-cut + single window the base
+  searcher's ``_global_topk_cut`` uses, so no stage ever holds more
+  than hits(+ties) rows per (partition, qid).
+
+Non-positive multiplicative boosts are rejected: Lucene requires the
+function value to be non-negative, and a zero multiplier would silently
+un-rank matches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["FunctionScoreSearcher"]
+
+_UNCUT = 2**31 - 1
+
+
+class FunctionScoreSearcher(BM25Searcher):
+    """BM25 relevance combined with a per-document static prior.
+
+    ``boost_fn`` maps the resolved docmap frame's columns to a numeric
+    Column (e.g. ``lambda c: F.log1p(c["docid"].cast("long") % 101)``);
+    ``boost_mode`` is ``"multiply"`` or ``"sum"``.
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        boost_fn: Callable[[DataFrame], Column] | None = None,
+        boost_mode: str = "multiply",
+        tag: str = DEFAULT_TAG,
+    ):
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be 'multiply' or 'sum', got {boost_mode!r}")
+        super().__init__(index, config, tag=tag)
+        self.boost_fn = boost_fn or (lambda df: F.lit(1.0))
+        self.boost_mode = boost_mode
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        weights = self._query_weights(self.analyze_topics(topics))
+        spark = self.index.spark
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        # Uncut kernel pass: every matching doc per range survives to be
+        # boosted (block-max pruning bounds assume the unboosted combine).
+        cand = self._candidates(weights, hits=_UNCUT)
+        docs = self.index.docs_df()
+        boost = self.boost_fn(docs).cast("double").alias("_boost")
+        priors = docs.select("docno", "docid", boost)
+        boosted = cand.join(priors, "docno")
+        if self.boost_mode == "multiply":
+            boosted = boosted.withColumn("score", F.col("score") * F.col("_boost"))
+        else:
+            boosted = boosted.withColumn("score", F.col("score") + F.col("_boost"))
+        boosted = boosted.select("qid", "docno", "docid", "score")
+        cut = self._global_topk_cut(boosted, hits)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cut.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )

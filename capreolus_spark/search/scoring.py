@@ -184,3 +184,36 @@ class LMDirichletScoring:
     def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
         s = float(np.log1p(max_tf / (self.mu * w)) + np.log(self.mu / (max(min_dl, 1) + self.mu)))
         return max(s, 0.0)
+
+
+@dataclass(frozen=True)
+class ClassicTFIDFScoring:
+    """Lucene ClassicSimilarity (pre-BM25-default TF-IDF, the classic
+    vector-space scorer every Lucene release before 6.0 used, still
+    selectable via ``similarity=classic``):
+
+    ``score(q, d) = Σ_t qtf_t · sqrt(tf) · idf(t)² · (1/sqrt(dl))``
+
+    with ``idf = 1 + ln((N + 1)/(df + 1))`` — the published
+    TFIDFSimilarity javadoc formulas, minus the queryNorm factor Lucene 7
+    removed.  ``dl`` here is the engine's calibrated document length
+    (pre-stop-filter, SURVEY §6.3) — the same length every other scorer in
+    this family normalizes by, so runs stay comparable across scorers.
+
+    ``weight`` folds the squared idf; the tf and length parts are monotone
+    in tf and antitone in dl, so the block-max bound is exact at
+    (max_tf, min_dl)."""
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        idf = 1.0 + float(np.log((n_docs + 1.0) / (df + 1.0)))
+        return idf * idf
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(dls.astype(np.float64), 1.0)
+        return w * np.sqrt(tf) / np.sqrt(dl)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        return w * float(np.sqrt(max_tf)) / float(np.sqrt(max(min_dl, 1)))

@@ -1,0 +1,68 @@
+"""FunctionScoreSearcher: boost applies to every match BEFORE the top-k cut."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.functionscore import FunctionScoreSearcher
+
+
+def _boost(d):
+    # deterministic per-doc prior: exact binary multipliers 1.0 .. 1.875
+    return 1.0 + 0.125 * (F.xxhash64(d["docid"]) % 8 + 7) % 8
+
+
+def test_multiply_matches_bruteforce_recut(spark, synth_index):
+    """Boosted top-10 == (uncut plain run) × boost, re-cut — i.e. the boost
+    really is applied pre-cut, not to the unboosted top-10."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:4])
+    fs = FunctionScoreSearcher(
+        idx, BM25Config(hits=10), boost_fn=_boost, boost_mode="multiply"
+    )
+    got = run_df_to_dict(fs.search(topics, hits=10))
+
+    # brute force: plain BM25 uncut (hits = corpus size), boost, re-cut
+    plain = BM25Searcher(idx, BM25Config(hits=100000)).search(topics, hits=100000)
+    boosted = plain.withColumn(
+        "score",
+        F.col("score") * (1.0 + 0.125 * (F.xxhash64("docid") % 8 + 7) % 8),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    want = run_df_to_dict(
+        boosted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    )
+    assert set(got) == set(want)
+    for qid in want:
+        assert list(got[qid]) == list(want[qid]), qid
+        for d in want[qid]:
+            assert got[qid][d] == pytest.approx(want[qid][d], abs=1e-9)
+
+
+def test_sum_mode_and_identity_boost(spark, synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=10)).search(topics))
+    # identity multiplier == plain BM25
+    ident = run_df_to_dict(
+        FunctionScoreSearcher(idx, BM25Config(hits=10)).search(topics)
+    )
+    assert ident == plain
+    # sum mode with constant 0 == plain BM25
+    zero = run_df_to_dict(
+        FunctionScoreSearcher(
+            idx, BM25Config(hits=10), boost_fn=lambda d: F.lit(0.0), boost_mode="sum"
+        ).search(topics)
+    )
+    assert zero == plain
+
+
+def test_invalid_boost_mode_rejected(synth_index):
+    idx, _ = synth_index
+    with pytest.raises(ValueError, match="boost_mode"):
+        FunctionScoreSearcher(idx, boost_mode="max")

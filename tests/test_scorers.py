@@ -7,6 +7,7 @@ from capreolus_spark.io.trec import run_df_to_dict
 from capreolus_spark.search import SEARCHERS, create_searcher
 from capreolus_spark.search.oracle import scoring_oracle
 from capreolus_spark.search.scoring import (
+    ClassicTFIDFScoring,
     F2ExpScoring,
     F2LogScoring,
     INL2Scoring,
@@ -20,6 +21,7 @@ SCORERS = {
     "SPL": SPLScoring(c=0.1),
     "F2Exp": F2ExpScoring(s=0.5),
     "F2Log": F2LogScoring(s=0.5),
+    "TFIDF": ClassicTFIDFScoring(),
 }
 
 
@@ -53,7 +55,7 @@ def test_registry_bm25_golden(dummy_index):
 
 
 def test_all_flat_scorers_run_on_dummy(dummy_index):
-    for name in ("DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log"):
+    for name in ("DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log", "TFIDF"):
         run = create_searcher(name, dummy_index, hits=10).search_collect({"301": "Dummy doc"})
         docs = list(run.get("301", {}).keys())
         # legitimate empties: Dirichlet's per-term clamp-at-0 may drop the
