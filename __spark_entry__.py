@@ -851,6 +851,26 @@ def _q_function_score(spark, sf_dir):
     return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
 
 
+def _q_collapse(spark, sf_dir):
+    """Lucene grouping / ES ``collapse`` twin: BM25 top-k with at most
+    one (best) doc per collapse-key value, collapse applied to every
+    matching doc BEFORE the cut (uncut kernel pass;
+    ``search/collapse.py``).  Key here: ``docid % 13``."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.collapse import CollapseSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = CollapseSearcher(
+        idx,
+        BM25Config(k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS),
+        collapse_fn=lambda d: d["docid"].cast("long") % 13,
+    )
+    return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
+
+
 def _q_qrels_positive_filter(spark, sf_dir):
     qrels = _synth_qrels(spark, sf_dir)
     pos = qrels.groupBy("qid").agg(F.max("label").alias("mx")).filter(F.col("mx") >= 1)
@@ -4110,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_topk_daat": _q_ql_daat,
         "tfidf_topk": _q_tfidf_daat,
         "function_score_topk": _q_function_score,
+        "collapse_topk": _q_collapse,
         "boolean_topk": _q_boolean_search,
         "fuzzy_topk": _q_fuzzy_search,
         "prefix_topk": _q_prefix_search,
@@ -4538,6 +4559,33 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
             "round(score, 4) AS score FROM "
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM boosted) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "collapse_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf "
+            "FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s), "
+            "scored AS (SELECT qw.qid, tf.docid, "
+            f"sum(qw.qtf * qw.idf * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s "
+            "GROUP BY qw.qid, tf.docid), "
+            "collapsed AS (SELECT qid, docid, score FROM "
+            "(SELECT qid, docid, score, row_number() OVER ("
+            "PARTITION BY qid, cast(docid AS bigint) % 13 "
+            "ORDER BY score DESC, docid ASC) AS gr FROM scored) WHERE gr = 1) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM collapsed) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
         ),

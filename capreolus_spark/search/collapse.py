@@ -1,0 +1,97 @@
+"""Field-collapsed retrieval — a Lucene grouping / Elasticsearch
+``collapse`` twin.
+
+The reference reaches Lucene through Anserini (``capreolus/searcher/
+anserini.py:26-83``); Lucene's grouping module (``TopGroupsCollector``,
+surfaced as Elasticsearch's ``collapse``) returns the top-k *groups* of
+a ranked result: at most one document — the best-scoring one — per
+value of a collapse key (site, repo, author, …), ranked by that
+representative's relevance score.  Search-over-code uses it to show one
+hit per repository instead of ten files from the same vendored tree.
+
+Semantics pinned here (and gated by the DuckDB oracle):
+
+* The collapse applies to EVERY matching document before the top-k
+  cut — a group whose best doc sits outside the uncollapsed top-k can
+  still enter the collapsed top-k (its competitors collapsed away), so
+  the kernel pass runs UNCUT (the same ``hits=2**31-1`` idiom the
+  query-parser front door and FunctionScore use) and the cut happens on
+  the collapsed rows.
+* The group representative is deterministic: (score desc, docid asc)
+  within the group — the engine's global tie-break applied per group.
+* The collapse key is an injectable Spark Column over the docmap
+  columns (``docid`` at minimum) — at production scale the key is a
+  docmap column written at index time (repo, host, …), so attaching it
+  is the same docno-keyed join that resolves docids; the per-group pick
+  is ONE hash-partitioned window on (qid, key) over the matching set —
+  no self-join, no driver traffic.
+* Memory at scale: after the per-group pick the frame is ≤ one row per
+  (qid, group), then re-cut with the same narrow per-partition pre-cut
+  + single window the base searcher's ``_global_topk_cut`` uses.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["CollapseSearcher"]
+
+_UNCUT = 2**31 - 1
+
+
+class CollapseSearcher(BM25Searcher):
+    """BM25 top-k with at most one (best) document per collapse-key value.
+
+    ``collapse_fn`` maps the docmap frame's columns to the key Column
+    (e.g. ``lambda c: c["repo"]`` when the docmap stores one, or any
+    derived expression); a null key collapses all null-key docs into one
+    group, matching Elasticsearch's single-null-bucket behavior.
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        collapse_fn: Callable[[DataFrame], Column] | None = None,
+        tag: str = DEFAULT_TAG,
+    ):
+        if collapse_fn is None:
+            raise ValueError("collapse_fn is required (the collapse key column)")
+        super().__init__(index, config, tag=tag)
+        self.collapse_fn = collapse_fn
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        weights = self._query_weights(self.analyze_topics(topics))
+        spark = self.index.spark
+        if not weights:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        # Uncut kernel pass: every matching doc survives to the collapse.
+        cand = self._candidates(weights, hits=_UNCUT)
+        docs = self.index.docs_df()
+        key = self.collapse_fn(docs).cast("string").alias("_grp")
+        keyed = docs.select("docno", "docid", key)
+        matched = cand.join(keyed, "docno")
+        # Deterministic group representative: (score desc, docid asc).
+        gw = Window.partitionBy("qid", "_grp").orderBy(F.desc("score"), F.asc("docid"))
+        best = (
+            matched.withColumn("_gr", F.row_number().over(gw))
+            .filter(F.col("_gr") == 1)
+            .select("qid", "docno", "docid", "score")
+        )
+        cut = self._global_topk_cut(best, hits)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cut.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )

@@ -1,0 +1,80 @@
+"""CollapseSearcher: one best doc per collapse-key value, pre-cut."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.collapse import CollapseSearcher
+
+
+def test_collapse_matches_bruteforce(spark, synth_index):
+    """Collapsed top-10 == (uncut plain run) → best per (qid, key) → re-cut,
+    i.e. the collapse really applies to every match before the cut."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:4])
+    cs = CollapseSearcher(
+        idx,
+        BM25Config(hits=10),
+        collapse_fn=lambda d: F.pmod(F.xxhash64(d["docid"]), F.lit(5)),
+    )
+    got = run_df_to_dict(cs.search(topics, hits=10))
+
+    plain = BM25Searcher(idx, BM25Config(hits=100000)).search(topics, hits=100000)
+    keyed = plain.withColumn("_grp", F.pmod(F.xxhash64("docid"), F.lit(5)))
+    gw = Window.partitionBy("qid", "_grp").orderBy(F.desc("score"), F.asc("docid"))
+    best = keyed.withColumn("_gr", F.row_number().over(gw)).filter(F.col("_gr") == 1)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    want = run_df_to_dict(
+        best.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    )
+    assert set(got) == set(want)
+    for qid in want:
+        assert list(got[qid]) == list(want[qid]), qid
+        for d in want[qid]:
+            assert got[qid][d] == pytest.approx(want[qid][d], abs=1e-9)
+
+
+def test_collapse_key_uniqueness_and_scores(spark, synth_index):
+    """No two results of a qid share a key; scores equal plain BM25's for
+    the same docs (collapse never changes a surviving doc's score)."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    cs = CollapseSearcher(
+        idx, BM25Config(hits=10), collapse_fn=lambda d: F.pmod(F.xxhash64(d["docid"]), F.lit(3))
+    )
+    run = (
+        cs.search(topics, hits=10)
+        .withColumn("_k", F.pmod(F.xxhash64("docid"), F.lit(3)))
+        .collect()
+    )
+    seen = {}
+    for r in run:
+        key = (r["qid"], r["_k"])
+        assert key not in seen, f"duplicate collapse key {key}"
+        seen[key] = r
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=100000)).search(topics, hits=100000))
+    for r in run:
+        assert r["score"] == pytest.approx(plain[r["qid"]][r["docid"]], abs=1e-9)
+
+
+def test_unique_key_collapse_is_plain_bm25(spark, synth_index):
+    """Collapsing on the docid itself (all groups singletons) == plain BM25."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=10)).search(topics))
+    same = run_df_to_dict(
+        CollapseSearcher(
+            idx, BM25Config(hits=10), collapse_fn=lambda d: d["docid"]
+        ).search(topics)
+    )
+    assert same == plain
+
+
+def test_missing_collapse_fn_rejected(synth_index):
+    idx, _ = synth_index
+    with pytest.raises(ValueError, match="collapse_fn"):
+        CollapseSearcher(idx)
