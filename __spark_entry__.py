@@ -815,6 +815,38 @@ def _q_ql_daat(spark, sf_dir):
     return _gate_rank(run)
 
 
+def _q_bm25plus_daat(spark, sf_dir):
+    """BM25+ (Lv & Zhai 2011 published form, δ=1.0) over the same
+    index/kernel (``search/scoring.py BM25PlusScoring``)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import create_searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = create_searcher(
+        "BM25Plus", idx, k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS
+    ).search(_TOPICS)
+    return _gate_rank(run)
+
+
+def _q_bm25l_daat(spark, sf_dir):
+    """BM25L (Lv & Zhai 2011 published form, δ=0.5) over the same
+    index/kernel (``search/scoring.py BM25LScoring``)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import create_searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = create_searcher(
+        "BM25L", idx, k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS
+    ).search(_TOPICS)
+    return _gate_rank(run)
+
+
 def _q_tfidf_daat(spark, sf_dir):
     """Lucene ClassicSimilarity (TF-IDF) over the same index/kernel —
     same postings, same block-max pruning, different per-term math
@@ -4129,6 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_daat": _q_bm25_daat,
         "ql_topk_daat": _q_ql_daat,
         "tfidf_topk": _q_tfidf_daat,
+        "bm25plus_topk": _q_bm25plus_daat,
+        "bm25l_topk": _q_bm25l_daat,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "boolean_topk": _q_boolean_search,
@@ -4559,6 +4593,53 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
             "round(score, 4) AS score FROM "
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM boosted) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "bm25plus_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, ln((s.n + 1.0) / d.df) AS idf "
+            "FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s), "
+            "scored AS (SELECT qw.qid, tf.docid, "
+            f"sum(qw.qtf * qw.idf * (({_BM25_K1} + 1.0) * tf.tf / "
+            f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl) + tf.tf) + 1.0)) AS score "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s "
+            "GROUP BY qw.qid, tf.docid) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "bm25l_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, ln((s.n + 1.0) / (d.df + 0.5)) AS idf "
+            "FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s), "
+            "ctd AS (SELECT qw.qid, qw.qtf, qw.idf, tf.docid, "
+            f"tf.tf / (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl) AS c "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s), "
+            "scored AS (SELECT qid, docid, "
+            f"sum(qtf * idf * ({_BM25_K1} + 1.0) * (c + 0.5) / ({_BM25_K1} + c + 0.5)) AS score "
+            "FROM ctd GROUP BY qid, docid) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
         ),

@@ -464,6 +464,30 @@ def _make_tfidf(index, **cfg):
     return ScoringSearcher(index, ClassicTFIDFScoring(), hits=cfg.get("hits", 1000))
 
 
+def _make_bm25plus(index, **cfg):
+    from .scoring import BM25PlusScoring
+
+    return ScoringSearcher(
+        index,
+        BM25PlusScoring(
+            k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), delta=cfg.get("delta", 1.0)
+        ),
+        hits=cfg.get("hits", 1000),
+    )
+
+
+def _make_bm25l(index, **cfg):
+    from .scoring import BM25LScoring
+
+    return ScoringSearcher(
+        index,
+        BM25LScoring(
+            k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), delta=cfg.get("delta", 0.5)
+        ),
+        hits=cfg.get("hits", 1000),
+    )
+
+
 def _make_rm3(index, **cfg):
     from .rm3 import BM25RM3Searcher
 
@@ -633,6 +657,8 @@ SEARCHERS = {
     "F2Exp": _make_f2exp,
     "F2Log": _make_f2log,
     "TFIDF": _make_tfidf,  # beyond-reference: Lucene ClassicSimilarity twin
+    "BM25Plus": _make_bm25plus,  # beyond-reference: Lv & Zhai 2011 BM25+
+    "BM25L": _make_bm25l,  # beyond-reference: Lv & Zhai 2011 BM25L
     "BM25RM3": _make_rm3,
     "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,

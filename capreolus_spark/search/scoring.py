@@ -217,3 +217,75 @@ class ClassicTFIDFScoring:
 
     def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
         return w * float(np.sqrt(max_tf)) / float(np.sqrt(max(min_dl, 1)))
+
+
+@dataclass(frozen=True)
+class BM25PlusScoring:
+    """BM25+ (Lv & Zhai, CIKM 2011, "Lower-bounding term frequency
+    normalization"): Okapi BM25 with a per-matching-term lower-bound
+    shift δ so very long documents can't normalize a match below the
+    score of a shorter non-match::
+
+        score(q, d) = Σ_t qtf · idf(t) · ((k1+1)·tf/(K + tf) + δ)
+        K = k1·(1 − b + b·dl/avgdl),   idf = ln((N+1)/df)
+
+    The published formula is kept verbatim — including the (k1+1)
+    numerator and the paper's ln((N+1)/df) idf — rather than rescaled to
+    the engine's Lucene-calibrated BM25 convention, because BM25+ is a
+    distinct named model whose δ=1.0 default is calibrated against that
+    exact form.  Monotone in tf and antitone in dl, so the block-max
+    bound is exact at (max_tf, min_dl).  δ applies to MATCHING terms
+    only (postings-driven evaluation, as in Anserini's BM25+)."""
+
+    k1: float = 0.9
+    b: float = 0.4
+    delta: float = 1.0
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        return float(np.log((n_docs + 1.0) / df))
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        K = self.k1 * (1.0 - self.b + self.b * (dls.astype(np.float64) / avgdl))
+        return w * ((self.k1 + 1.0) * tf / (K + tf) + self.delta)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        K = self.k1 * (1.0 - self.b + self.b * (max(min_dl, 1) / avgdl))
+        return w * ((self.k1 + 1.0) * max_tf / (K + max_tf) + self.delta)
+
+
+@dataclass(frozen=True)
+class BM25LScoring:
+    """BM25L (Lv & Zhai, CIKM 2011): the length-normalized tf is shifted
+    INSIDE the saturation, fixing BM25's over-penalization of long docs::
+
+        ctd = tf / (1 − b + b·dl/avgdl)
+        score(q, d) = Σ_t qtf · idf(t) · (k1+1)·(ctd + δ) / (k1 + ctd + δ)
+        idf = ln((N+1)/(df+0.5))
+
+    Published form kept verbatim (see :class:`BM25PlusScoring` for why);
+    δ=0.5 is the paper's default.  The score is monotone increasing in
+    ctd, and ctd is max at (max_tf, min_dl), so the block-max bound is
+    exact there."""
+
+    k1: float = 0.9
+    b: float = 0.4
+    delta: float = 0.5
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        if df <= 0:
+            return 0.0
+        return float(np.log((n_docs + 1.0) / (df + 0.5)))
+
+    def _ctd(self, tf, dl, avgdl):
+        return tf / (1.0 - self.b + self.b * (dl / avgdl))
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        ctd = self._ctd(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
+        return w * (self.k1 + 1.0) * (ctd + self.delta) / (self.k1 + ctd + self.delta)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        ctd = self._ctd(float(max_tf), float(max(min_dl, 1)), avgdl)
+        return w * (self.k1 + 1.0) * (ctd + self.delta) / (self.k1 + ctd + self.delta)

@@ -7,6 +7,8 @@ from capreolus_spark.io.trec import run_df_to_dict
 from capreolus_spark.search import SEARCHERS, create_searcher
 from capreolus_spark.search.oracle import scoring_oracle
 from capreolus_spark.search.scoring import (
+    BM25LScoring,
+    BM25PlusScoring,
     ClassicTFIDFScoring,
     F2ExpScoring,
     F2LogScoring,
@@ -22,6 +24,8 @@ SCORERS = {
     "F2Exp": F2ExpScoring(s=0.5),
     "F2Log": F2LogScoring(s=0.5),
     "TFIDF": ClassicTFIDFScoring(),
+    "BM25Plus": BM25PlusScoring(k1=0.9, b=0.4),
+    "BM25L": BM25LScoring(k1=0.9, b=0.4),
 }
 
 
@@ -55,7 +59,10 @@ def test_registry_bm25_golden(dummy_index):
 
 
 def test_all_flat_scorers_run_on_dummy(dummy_index):
-    for name in ("DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log", "TFIDF"):
+    for name in (
+        "DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log", "TFIDF",
+        "BM25Plus", "BM25L",
+    ):
         run = create_searcher(name, dummy_index, hits=10).search_collect({"301": "Dummy doc"})
         docs = list(run.get("301", {}).keys())
         # legitimate empties: Dirichlet's per-term clamp-at-0 may drop the
