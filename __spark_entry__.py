@@ -903,6 +903,30 @@ def _q_collapse(spark, sf_dir):
     return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
 
 
+def _q_ltr_features(spark, sf_dir):
+    """LETOR-style lexical LTR features per matching (qid, docid) pair
+    (``search/ltr.py``): BM25, Dirichlet QL, tf/idf sums, coverage, dl —
+    one vectorized analysis pass, query relation broadcast, no Python in
+    the per-pair path."""
+    from capreolus_spark.search.ltr import ltr_features
+
+    feats = ltr_features(_corpus(spark, sf_dir), _TOPICS, stemmer="none")
+    return feats.select(
+        "qid",
+        "docid",
+        F.round("bm25", 4).alias("bm25"),
+        F.round("qld", 4).alias("qld"),
+        "tf_sum",
+        "tf_max",
+        F.round("idf_sum", 4).alias("idf_sum"),
+        F.round("idf_max", 4).alias("idf_max"),
+        F.round("tfidf_sum", 4).alias("tfidf_sum"),
+        "matched_terms",
+        F.round("coverage", 4).alias("coverage"),
+        "dl",
+    )
+
+
 def _q_qrels_positive_filter(spark, sf_dir):
     qrels = _synth_qrels(spark, sf_dir)
     pos = qrels.groupBy("qid").agg(F.max("label").alias("mx")).filter(F.col("mx") >= 1)
@@ -4165,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25l_topk": _q_bm25l_daat,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
+        "ltr_features": _q_ltr_features,
         "boolean_topk": _q_boolean_search,
         "fuzzy_topk": _q_fuzzy_search,
         "prefix_topk": _q_prefix_search,
@@ -4595,6 +4620,33 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM boosted) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "ltr_features": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "sumcf AS (SELECT sum(tf)::DOUBLE AS c FROM tf), "
+            "dfx AS (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qsize AS (SELECT qid, count(DISTINCT term) AS qsize FROM queries GROUP BY qid), "
+            "rows_ AS (SELECT q.qid, tf.docid, q.qtf, tf.tf, dl.dl, d.cf, s.n, s.avgdl, c.c, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf "
+            "FROM queries q JOIN tf USING (term) JOIN dl USING (docid) "
+            "JOIN dfx d USING (term) CROSS JOIN stats s CROSS JOIN sumcf c), "
+            "feats AS (SELECT qid, docid, "
+            f"sum(qtf * idf * tf / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS bm25, "
+            "sum(qtf * greatest(0, ln(1 + tf / (1000.0 * cf / c)) + ln(1000.0 / (dl + 1000.0)))) AS qld, "
+            "sum(tf) AS tf_sum, max(tf) AS tf_max, sum(idf) AS idf_sum, max(idf) AS idf_max, "
+            "sum(tf * idf) AS tfidf_sum, count(*) AS matched_terms, first(dl) AS dl "
+            "FROM rows_ GROUP BY qid, docid) "
+            "SELECT f.qid, f.docid, round(f.bm25, 4) AS bm25, round(f.qld, 4) AS qld, "
+            "f.tf_sum, f.tf_max, round(f.idf_sum, 4) AS idf_sum, round(f.idf_max, 4) AS idf_max, "
+            "round(f.tfidf_sum, 4) AS tfidf_sum, f.matched_terms, "
+            "round(f.matched_terms / qs.qsize, 4) AS coverage, f.dl "
+            "FROM feats f JOIN qsize qs USING (qid)"
         ),
         "bm25plus_topk": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "

@@ -1,0 +1,151 @@
+"""Learning-to-rank feature extraction: the classic lexical feature set
+per (query, document) pair, computed distributed.
+
+The reference's rerankers consume per-pair feature tensors its
+extractors build (``capreolus/extractor/bagofwords.py``); the wider
+Anserini/pyserini family ships an "LTR" pipeline that materializes the
+standard LETOR-style lexical features (BM25, query likelihood, tf/idf
+sums, coverage, document length) for every (topic, candidate) pair and
+hands them to a trained ranker.  This module is that feature
+materializer, Spark-first:
+
+* **One vectorized analysis pass** over the corpus (the same
+  Arrow-batched ``analyzed_terms_df`` the fielded searcher and the
+  DataFrame oracles use) produces ``(docid, terms, dl)``; the tf
+  relation is restricted to the query vocabulary BEFORE the groupBy,
+  so the shuffled mass is |docs matching ≥1 query term| × |q| rows,
+  not the full token stream.
+* Per-term df/cf are aggregated from the same restricted relation
+  (restricting by term does not change a kept term's df/cf); corpus
+  stats (N, avgdl, total token count) are one row.
+* The query relation (qid, term, qtf) is driver-built and broadcast;
+  scoring is pure column expressions — no Python in the per-pair path.
+* ``run`` (optional) bounds the output to an existing run's
+  (qid, docid) pairs — the production shape: extract features only for
+  the first-stage top-k. The semi-join happens AFTER term stats are
+  taken, so features are identical to the run=None values.
+
+Feature columns (all per (qid, docid), matching-terms-only sums, the
+engine's calibrated conventions — BM25 idf/saturation exactly as
+``scoring.BM25Scoring``, QL exactly as ``scoring.LMDirichletScoring``):
+
+==============  =====================================================
+bm25            Σ qtf · idf · tf/(tf + k1·(1−b+b·dl/avgdl))
+qld             Σ qtf · max(0, ln(1+tf/(μ·cf/C)) + ln(μ/(dl+μ)))
+tf_sum/tf_max   Σ tf / max tf over matching query terms
+idf_sum/idf_max Σ idf / max idf over matching query terms (unweighted)
+tfidf_sum       Σ tf · idf
+matched_terms   # distinct query terms present in the doc
+coverage        matched_terms / |distinct analyzed query terms|
+dl              pre-stop-filter document length (SURVEY §6.3)
+==============  =====================================================
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .fielded import _query_df
+from .oracle import analyzed_terms_df
+
+__all__ = ["ltr_features"]
+
+
+def ltr_features(
+    corpus: DataFrame,
+    topics: Mapping[str, str],
+    run: DataFrame | None = None,
+    k1: float = 0.9,
+    b: float = 0.4,
+    mu: float = 1000.0,
+    stemmer: str = "porter",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """corpus(docid, content) × topics → one feature row per (qid, docid)
+    pair with ≥1 matching query term (optionally restricted to ``run``'s
+    (qid, docid) pairs)."""
+    spark = corpus.sparkSession
+    qdf = _query_df(spark, topics, stemmer, remove_stops, tokenizer)
+    empty = (
+        "qid string, docid string, bm25 double, qld double, tf_sum bigint, "
+        "tf_max bigint, idf_sum double, idf_max double, tfidf_sum double, "
+        "matched_terms bigint, coverage double, dl bigint"
+    )
+    if qdf is None:
+        return spark.createDataFrame([], empty)
+    qterms = sorted({r["term"] for r in qdf.collect()})  # driver-tiny: |q| rows
+    qsizes = (
+        qdf.groupBy("qid").agg(F.countDistinct("term").alias("qsize"))
+    )
+
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
+    # One row of corpus stats; total token count C is post-stop (the QL
+    # collection-model denominator, matching the ql_topk_daat oracle).
+    stats = analyzed.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum(F.size("terms")).alias("sum_cf"),
+    )
+    tf = (
+        analyzed.select("docid", "dl", F.explode("terms").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("docid", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    termstats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    pairs = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(termstats), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    if run is not None:
+        pairs = pairs.join(
+            F.broadcast(run.select("qid", "docid").distinct()), ["qid", "docid"]
+        )
+    idf = F.greatest(
+        F.lit(0.0),
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    norm = k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    bm25_t = F.col("qtf") * idf * F.col("tf") / (F.col("tf") + norm)
+    p_c = F.col("cf") / F.col("sum_cf")
+    qld_t = F.col("qtf") * F.greatest(
+        F.lit(0.0),
+        F.log(1.0 + F.col("tf") / (mu * p_c)) + F.log(mu / (F.col("dl") + mu)),
+    )
+    scored = pairs.select(
+        "qid", "docid", "dl", "tf",
+        idf.alias("_idf"),
+        bm25_t.alias("_bm25_t"),
+        qld_t.alias("_qld_t"),
+        (F.col("tf") * idf).alias("_tfidf_t"),
+    )
+    feats = (
+        scored.groupBy("qid", "docid")
+        .agg(
+            F.sum("_bm25_t").alias("bm25"),
+            F.sum("_qld_t").alias("qld"),
+            F.sum("tf").alias("tf_sum"),
+            F.max("tf").alias("tf_max"),
+            F.sum("_idf").alias("idf_sum"),
+            F.max("_idf").alias("idf_max"),
+            F.sum("_tfidf_t").alias("tfidf_sum"),
+            F.count("*").alias("matched_terms"),
+            F.first("dl").alias("dl"),
+        )
+        .join(F.broadcast(qsizes), "qid")
+        .withColumn("coverage", F.col("matched_terms") / F.col("qsize"))
+        .select(
+            "qid", "docid", "bm25", "qld", "tf_sum", "tf_max", "idf_sum",
+            "idf_max", "tfidf_sum", "matched_terms", "coverage", "dl",
+        )
+    )
+    return feats

@@ -1,0 +1,63 @@
+"""LTR feature extraction: consistency with the gated searchers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.ltr import ltr_features
+
+
+def test_bm25_feature_matches_searcher_score(spark, synth_index):
+    """The bm25 feature column == the DAAT searcher's score for the same
+    (qid, docid) pair — same analyzer chain, same calibrated formula."""
+    idx, corpus = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    kw = idx.config.analyzer_kwargs()
+    feats = ltr_features(corpus.select("docid", "content"), topics, **kw)
+    run = BM25Searcher(idx, BM25Config(hits=25)).search(topics, hits=25)
+    joined = run.join(feats, ["qid", "docid"]).select("qid", "docid", "score", "bm25").collect()
+    assert joined, "searcher results must appear in the feature frame"
+    for r in joined:
+        assert r["bm25"] == pytest.approx(r["score"], abs=1e-6), (r["qid"], r["docid"])
+
+
+def test_run_restriction_bounds_pairs_without_changing_values(spark, synth_index):
+    idx, corpus = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    kw = idx.config.analyzer_kwargs()
+    c = corpus.select("docid", "content")
+    run = BM25Searcher(idx, BM25Config(hits=5)).search(topics, hits=5)
+    full = ltr_features(c, topics, **kw)
+    bounded = ltr_features(c, topics, run=run, **kw)
+    want = {
+        (r["qid"], r["docid"]): r
+        for r in full.join(run.select("qid", "docid"), ["qid", "docid"]).collect()
+    }
+    got = {(r["qid"], r["docid"]): r for r in bounded.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["bm25"] == pytest.approx(want[k]["bm25"], abs=1e-9)
+        assert got[k]["matched_terms"] == want[k]["matched_terms"]
+
+
+def test_feature_sanity(spark, synth_index):
+    idx, corpus = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    kw = idx.config.analyzer_kwargs()
+    rows = ltr_features(corpus.select("docid", "content"), topics, **kw).collect()
+    assert rows
+    for r in rows:
+        assert r["matched_terms"] >= 1
+        assert 0.0 < r["coverage"] <= 1.0
+        assert r["tf_max"] <= r["tf_sum"]
+        assert r["idf_max"] <= r["idf_sum"] + 1e-12
+        assert r["dl"] >= r["tf_sum"]  # dl counts pre-stop tokens
+
+
+def test_empty_topics_yield_empty_frame(spark, synth_index):
+    _, corpus = synth_index
+    out = ltr_features(corpus.select("docid", "content"), {})
+    assert out.count() == 0
+    assert "bm25" in out.columns and "coverage" in out.columns
