@@ -490,6 +490,57 @@ def main() -> None:
             )
         )
 
+        # 26. collapse search: NO side of the uncut-candidates ⋈ docmap
+        #     join carries an explicit broadcast hint — both sides are
+        #     unbounded in corpus size, so with auto-broadcast disabled
+        #     the plan must be pure sort-merge (AQE may still pick
+        #     broadcast at runtime when a side is genuinely tiny; that's
+        #     its call, not a hint we planted)
+        from capreolus_spark.search.collapse import CollapseSearcher
+
+        prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            cs = CollapseSearcher(
+                idx, BM25Config(hits=5), collapse_fn=lambda d: F.xxhash64(d["docid"]) % 3
+            )
+            crun = cs.search({"q1": "def return"}, hits=5)
+            crun.collect()
+            cplan = crun._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        results.append(
+            (
+                "collapse docmap join unhinted (sort-merge when nothing is tiny), python-free",
+                "SortMergeJoin" in cplan
+                and "BroadcastHashJoin" not in cplan
+                and "BatchEvalPython" not in cplan,
+            )
+        )
+
+        # 27. LTR features: query relation + term stats + corpus stats all
+        #     broadcast into the pair join; the only Python is the single
+        #     Arrow analysis pass (no BatchEvalPython); the per-pair
+        #     aggregation is map-side partial
+        from capreolus_spark.search.ltr import ltr_features
+
+        lf = ltr_features(
+            corpus.select("docid", "content"), {"q1": "def return", "q2": "sym0001"}
+        )
+        lf.collect()
+        lfplan = lf._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "ltr features broadcast query/stats, arrow-only python, partial agg",
+                lfplan.count("BroadcastHashJoin") >= 3
+                and "BatchEvalPython" not in lfplan
+                and "ArrowEvalPython" in lfplan
+                and "partial_sum" in lfplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
