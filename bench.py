@@ -293,6 +293,16 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
 
+        # LTR feature pass over the corpus for the same 25-topic batch
+        # (run=None: every matching pair — the feature-materialization
+        # worst case; production bounds it to a first-stage run)
+        from capreolus_spark.search.ltr import ltr_features
+
+        ltr_corpus = docs.select(
+            F.col("doc_id").cast("string").alias("docid"), F.col("text").alias("content")
+        )
+        timed("ltr_features", lambda: ltr_features(ltr_corpus, topics).count())
+
         timed("dedup_exact", lambda: exact_dup_groups(docs.select("doc_id", "text")).count())
         timed(
             "dedup_minhash_lsh",
