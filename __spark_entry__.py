@@ -287,6 +287,95 @@ FROM (
 ) WHERE rank <= {_BM25_HITS}
 """
 
+# Rocchio PRF is SQL-expressible end-to-end: pass-1 BM25 → top-fbDocs →
+# uniform-mean centroid of length-normalized doc vectors (tf/|d|_indexed)
+# → top-fbTerms (ties term asc) → q' = α·(qtf/|q|) + β·centroid → pass-2
+# BM25 with the Rocchio weight in the qtf slot.  Mirrors
+# capreolus_spark/search/rocchio.py (fb_terms=10, fb_docs=5, α=1, β=0.75,
+# γ=0 — the pyserini defaults at the gate's feedback depth).
+_ROC_FB_DOCS, _ROC_FB_TERMS, _ROC_ALPHA, _ROC_BETA = 5, 10, 1.0, 0.75
+
+_ROCCHIO_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), ftoks AS (
+  SELECT docid, list_filter(toks, t -> t NOT IN ({_STOPS_SQL})) AS itoks FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(itoks) AS term FROM ftoks
+  ) GROUP BY docid, term
+), ndl AS (
+  SELECT docid, len(itoks) AS n_indexed FROM ftoks
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), queries(qid, term, qtf) AS (
+  VALUES {{QUERY_ROWS}}
+), qw AS (
+  SELECT q.qid, q.term, q.qtf,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s
+), pass1 AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid HAVING score > 0
+), fb AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS r
+    FROM pass1
+  ) WHERE r <= {_ROC_FB_DOCS}
+), fbcnt AS (
+  SELECT qid, count(*)::DOUBLE AS cnt FROM fb GROUP BY qid
+), centroid AS (
+  SELECT fb.qid, tf.term, sum(tf.tf / ndl.n_indexed / c.cnt) AS w
+  FROM fb JOIN fbcnt c USING (qid)
+  JOIN tf ON fb.docid = tf.docid JOIN ndl ON tf.docid = ndl.docid
+  GROUP BY fb.qid, tf.term
+), topfb AS (
+  SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS r
+    FROM centroid
+  ) WHERE r <= {_ROC_FB_TERMS}
+), qlen AS (
+  SELECT qid, sum(qtf)::DOUBLE AS qlen FROM queries GROUP BY qid
+), qmodel AS (
+  SELECT q.qid, q.term, q.qtf / ql.qlen AS p FROM queries q JOIN qlen ql USING (qid)
+), combined AS (
+  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.term, b.term) AS term,
+         {_ROC_ALPHA} * coalesce(a.p, 0) + {_ROC_BETA} * coalesce(b.w, 0) AS qtfw
+  FROM qmodel a FULL OUTER JOIN topfb b ON a.qid = b.qid AND a.term = b.term
+), qw2 AS (
+  SELECT c.qid, c.term, c.qtfw,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM combined c JOIN dfx d USING (term) CROSS JOIN stats s
+  WHERE c.qtfw > 0
+), pass2 AS (
+  SELECT qw2.qid, tf.docid,
+         sum(qw2.qtfw * qw2.idf * tf.tf /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM qw2 JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  WHERE qw2.idf > 0
+  GROUP BY qw2.qid, tf.docid HAVING score > 0
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM pass2
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
 # BM25PRF (Robertson/Sparck-Jones probabilistic PRF) is SQL-expressible
 # end-to-end: pass-1 BM25 → top-fbDocs → candidate terms = indexed terms
 # of the feedback set, scored by the RSJ offer weight with +0.5 smoothing
@@ -3357,6 +3446,24 @@ def _q_bm25_rm3(spark, sf_dir):
     return _gate_rank(run)
 
 
+def _q_rocchio(spark, sf_dir):
+    """Rocchio PRF (``search/rocchio.py``): q' = α·q + β·centroid(top
+    fbDocs), uniform doc weights over length-normalized vectors, top
+    fbTerms expansion, second BM25 pass with the Rocchio weight in the
+    qtf slot (γ=0 — the pyserini default)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.rocchio import RocchioSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    s = RocchioSearcher(
+        idx, BM25Config(hits=_GATE_HITS), fb_terms=10, fb_docs=5, alpha=1.0, beta=0.75
+    )
+    return _gate_rank(s.search(_TOPICS))
+
+
 def _q_bm25_prf(spark, sf_dir):
     from capreolus_spark.config import BM25Config, IndexConfig
     from capreolus_spark.index import InvertedIndex
@@ -4260,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-pass / sampled searchers — ALL hash-gated too (their SQL
         # twins model the exact gate configs; see oracle_sql below)
         "bm25_rm3_topk": _q_bm25_rm3,
+        "rocchio_topk": _q_rocchio,
         "bm25_prf_topk": _q_bm25_prf,
         "axiomatic_topk": _q_axiomatic,
         "sdm_topk": _q_sdm,
@@ -4375,6 +4483,7 @@ def oracle_sql() -> dict[str, str]:
     indexed = f"list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))"
     bm25 = _BM25_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
     rm3 = _RM3_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
+    rocchio = _ROCCHIO_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql())
     sdm = _SDM_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()).replace(
         "{PAIR_ROWS}", _query_pair_rows_sql()
     )
@@ -4571,6 +4680,7 @@ def oracle_sql() -> dict[str, str]:
         "result_snippets": snippets,
         "notebook_scripts": _NB_ORACLE_SQL,
         "bm25_rm3_topk": rm3,
+        "rocchio_topk": rocchio,
         "bm25_prf_topk": prf,
         "sdm_topk": sdm,
         "axiomatic_topk": axiom,

@@ -500,6 +500,21 @@ def _make_rm3(index, **cfg):
     )
 
 
+def _make_rocchio(index, **cfg):
+    from .rocchio import RocchioSearcher
+
+    return RocchioSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        fb_terms=cfg.get("fbTerms", 10),
+        fb_docs=cfg.get("fbDocs", 10),
+        alpha=cfg.get("alpha", 1.0),
+        beta=cfg.get("beta", 0.75),
+        gamma=cfg.get("gamma", 0.0),
+        bottom_docs=cfg.get("bottomDocs", 0),
+    )
+
+
 def _make_bm25prf(index, **cfg):
     from .bm25prf import BM25PRFSearcher
 
@@ -660,6 +675,7 @@ SEARCHERS = {
     "BM25Plus": _make_bm25plus,  # beyond-reference: Lv & Zhai 2011 BM25+
     "BM25L": _make_bm25l,  # beyond-reference: Lv & Zhai 2011 BM25L
     "BM25RM3": _make_rm3,
+    "Rocchio": _make_rocchio,  # beyond-reference: pyserini --rocchio twin
     "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,
     "axiomatic": _make_axiomatic,

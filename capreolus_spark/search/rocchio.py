@@ -1,0 +1,153 @@
+"""BM25 + Rocchio pseudo-relevance feedback.
+
+Rocchio (1971) relevance feedback as Anserini/pyserini surface it
+(``--rocchio``): move the query vector toward the centroid of the
+feedback documents (and optionally away from a non-relevant centroid)::
+
+    q' = α·q  +  β·centroid(D_rel)  −  γ·centroid(D_nonrel)
+
+The reference reaches its feedback searchers through the same Anserini
+layer as BM25RM3 (``capreolus/searcher/anserini.py:203-229``); Rocchio
+is the third member of that family next to RM3 and the RSJ-weighted
+BM25PRF, and completes the pyserini feedback-searcher parity.
+
+Semantics pinned here (and gated by the DuckDB oracle):
+
+* first pass: BM25 top-``fb_docs`` per query form ``D_rel``; with
+  ``gamma > 0`` and ``bottom_docs > 0`` the first pass runs
+  ``fb_docs + bottom_docs`` deep and the BOTTOM ``bottom_docs`` of that
+  pool form ``D_nonrel`` (Anserini's bottom-of-pool convention).
+* document vectors are the engine's P(t|d) = tf/|d|_indexed
+  (length-normalized, the same vectors the RM3 twin uses) with
+  ``normalize_docs=False`` switching to Anserini's raw-tf vectors;
+  centroids weight every feedback doc uniformly (1/|D|) — Rocchio's
+  mean, NOT RM3's score-weighted mixture.
+* only the top-``fb_terms`` centroid terms (ties term asc) contribute
+  expansion mass; original query terms always keep their α·qtf/|q|.
+* combined weights clip at 0 (γ can drive a term negative; a negative
+  qtf slot would flip the scorer's sign) and zero-weight terms drop.
+* second pass: BM25 with the Rocchio weight in the DAAT kernel's qtf
+  slot — identical dataflow to the RM3 second pass.
+
+Distribution: the feedback-document term pass, the centroid aggregation
+and both BM25 passes are the SAME distributed frames the RM3 twin is
+plan-audited on (broadcast semi-join docstore scan, executor-side
+re-analysis, |topics|×fb_terms driver rows); only the tiny per-query
+combine runs on the driver.
+
+As with RM3, no committed reference golden pins Anserini's exact
+Rocchio runfile, so parity is algorithmic (published formula,
+deterministic output), tested against a driver-side brute-force
+recomputation and DuckDB end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from .rm3 import BM25RM3Searcher
+
+__all__ = ["RocchioSearcher"]
+
+
+class RocchioSearcher(BM25RM3Searcher):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        fb_terms: int = 10,
+        fb_docs: int = 10,
+        alpha: float = 1.0,
+        beta: float = 0.75,
+        gamma: float = 0.0,
+        bottom_docs: int = 0,
+        normalize_docs: bool = True,
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(
+            index, config, fb_terms=fb_terms, fb_docs=fb_docs, prune=prune, tag=tag
+        )
+        if gamma > 0 and bottom_docs <= 0:
+            raise ValueError("gamma > 0 needs bottom_docs > 0 (the non-relevant pool)")
+        self.alpha = alpha
+        self.beta = beta
+        self.gamma = gamma
+        self.bottom_docs = bottom_docs
+        self.normalize_docs = normalize_docs
+
+    # ------------------------------------------------------------ expansion
+
+    def _centroid_rows(self, fb_df: DataFrame) -> list:
+        """(qid, term, w) rows: the uniform-mean centroid of ``fb_df``'s
+        docs per query, cut to the top-``fb_terms`` terms (ties term asc).
+        ``fb_df`` carries (qid, docid); |result| ≤ |topics| × fb_terms."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        per_qid = Window.partitionBy("qid")
+        fb = fb_df.select("qid", "docid").withColumn(
+            "w_d", 1.0 / F.count("*").over(per_qid)
+        )
+        vec = F.col("tf").cast("double")
+        if self.normalize_docs:
+            vec = vec / F.col("n_terms").cast("double")
+        centroid = (
+            fb.join(self._fb_doc_terms(fb_df), "docid")
+            .groupBy("qid", "term")
+            .agg(F.sum(F.col("w_d") * vec).alias("w"))
+        )
+        top = centroid.withColumn(
+            "_rn", F.row_number().over(per_qid.orderBy(F.desc("w"), F.asc("term")))
+        ).filter(F.col("_rn") <= self.fb_terms)
+        return top.select("qid", "term", "w").collect()
+
+    def expand_queries(
+        self, topics: dict[str, str]
+    ) -> dict[str, list[tuple[str, float]]]:
+        """{qid: text} → {qid: [(term, rocchio_weight)]} (weights ≥ 0)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        analyzed = self.analyze_topics(topics)
+        depth = self.fb_docs + (self.bottom_docs if self.gamma > 0 else 0)
+        run_df = super(BM25RM3Searcher, self).search(topics, hits=depth).persist()
+        try:
+            rel = run_df.filter(F.col("rank") <= self.fb_docs)
+            rel_rows = self._centroid_rows(rel)
+            nonrel_rows = []
+            if self.gamma > 0:
+                per_qid = Window.partitionBy("qid")
+                nonrel = run_df.withColumn(
+                    "_deep", F.max("rank").over(per_qid)
+                ).filter(F.col("rank") > F.col("_deep") - self.bottom_docs)
+                nonrel_rows = self._centroid_rows(nonrel)
+        finally:
+            run_df.unpersist()
+
+        rel_by_qid: dict[str, dict[str, float]] = {}
+        for r in rel_rows:
+            rel_by_qid.setdefault(r["qid"], {})[r["term"]] = r["w"]
+        nonrel_by_qid: dict[str, dict[str, float]] = {}
+        for r in nonrel_rows:
+            nonrel_by_qid.setdefault(r["qid"], {})[r["term"]] = r["w"]
+
+        expanded: dict[str, list[tuple[str, float]]] = {}
+        for qid, terms in analyzed.items():
+            if not terms:
+                continue
+            combined: dict[str, float] = {
+                t: self.alpha * c / len(terms) for t, c in Counter(terms).items()
+            }
+            for t, w in rel_by_qid.get(qid, {}).items():
+                combined[t] = combined.get(t, 0.0) + self.beta * w
+            for t, w in nonrel_by_qid.get(qid, {}).items():
+                combined[t] = combined.get(t, 0.0) - self.gamma * w
+            kept = sorted((t, w) for t, w in combined.items() if w > 0)
+            if kept:
+                expanded[qid] = kept
+        return expanded

@@ -1,0 +1,110 @@
+"""Rocchio pseudo-relevance feedback (q' = α·q + β·centroid − γ·nonrel)."""
+
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.search import BM25Searcher, create_searcher
+from capreolus_spark.search.rocchio import RocchioSearcher
+
+
+@pytest.fixture(scope="module")
+def roc_index(spark, tmp_path_factory):
+    from capreolus_spark.index import IndexConfig, InvertedIndex
+
+    docs = [
+        ("d1", "spark distributed shuffle engine with columnar batches"),
+        ("d2", "spark shuffle partitions and distributed execution"),
+        ("d3", "spark catalyst optimizer distributed plans"),
+        ("d4", "database index btree pages"),
+        ("d5", "cooking recipes with garlic and onions"),
+        ("d6", "shuffle dance tutorial videos"),
+    ]
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    return InvertedIndex.create(
+        spark, corpus, str(tmp_path_factory.mktemp("rocchio")), IndexConfig()
+    )
+
+
+def test_rocchio_brute_force_weights(roc_index):
+    """Expansion weights match a direct driver-side recomputation of
+    α·q/|q| + β·uniform-mean(tf/|d|) over the top-fbDocs."""
+    from collections import Counter
+
+    from capreolus_spark.analysis import analyze_text
+
+    alpha, beta, fb_docs = 1.0, 0.75, 2
+    topics = {"q": "spark"}
+    s = RocchioSearcher(
+        roc_index, BM25Config(hits=10), fb_terms=50, fb_docs=fb_docs,
+        alpha=alpha, beta=beta,
+    )
+    fb_run = BM25Searcher(roc_index, BM25Config(hits=fb_docs)).search_collect(topics)["q"]
+    centroid: dict[str, float] = {}
+    for docid in fb_run:
+        toks = analyze_text(roc_index.get_doc(docid))
+        for t, c in Counter(toks).items():
+            centroid[t] = centroid.get(t, 0.0) + (c / len(toks)) / len(fb_run)
+    qterms = analyze_text(topics["q"])
+    expected: dict[str, float] = {
+        t: alpha * c / len(qterms) for t, c in Counter(qterms).items()
+    }
+    for t, w in centroid.items():
+        expected[t] = expected.get(t, 0.0) + beta * w
+    got = dict(s.expand_queries(topics)["q"])
+    assert set(got) == set(expected)
+    for t, w in expected.items():
+        assert got[t] == pytest.approx(w, abs=1e-12)
+
+
+def test_rocchio_beta_zero_reduces_to_bm25_ranks(roc_index):
+    """β=0 keeps only the α-scaled query model → plain BM25 ranking with
+    scores scaled by α/|q|."""
+    topics = {"q": "spark shuffle"}
+    roc = RocchioSearcher(
+        roc_index, BM25Config(hits=10), fb_terms=5, fb_docs=3, alpha=1.0, beta=0.0
+    ).search_collect(topics)
+    bm25 = BM25Searcher(roc_index, BM25Config(hits=10)).search_collect(topics)
+    assert list(roc["q"].keys()) == list(bm25["q"].keys())
+    for d in bm25["q"]:
+        assert roc["q"][d] == pytest.approx(bm25["q"][d] / 2.0, abs=1e-9)
+
+
+def test_rocchio_expands_recall(roc_index):
+    topics = {"q": "spark"}
+    bm25 = BM25Searcher(roc_index, BM25Config(hits=10)).search_collect(topics)
+    roc = RocchioSearcher(
+        roc_index, BM25Config(hits=10), fb_terms=8, fb_docs=3
+    ).search_collect(topics)
+    assert set(roc["q"]) >= set(bm25["q"])
+    assert "d6" in roc["q"]  # reached via the expansion term "shuffl" only
+    assert "d5" not in roc["q"]  # unrelated doc stays out
+
+
+def test_rocchio_gamma_penalizes_nonrelevant_terms(roc_index):
+    """With γ>0, terms of the bottom-of-pool docs lose weight vs γ=0 (and
+    can drop out entirely); original query terms survive."""
+    topics = {"q": "shuffle"}
+    base = dict(
+        RocchioSearcher(
+            roc_index, BM25Config(hits=10), fb_terms=50, fb_docs=2, beta=0.75
+        ).expand_queries(topics)["q"]
+    )
+    pen = dict(
+        RocchioSearcher(
+            roc_index, BM25Config(hits=10), fb_terms=50, fb_docs=2,
+            beta=0.75, gamma=0.5, bottom_docs=2,
+        ).expand_queries(topics)["q"]
+    )
+    assert "shuffl" in pen
+    assert set(pen) <= set(base)  # γ only removes/shrinks, never adds
+    assert all(pen[t] <= base[t] + 1e-12 for t in pen)
+    assert any(pen.get(t, 0.0) < base[t] - 1e-12 for t in base)
+
+
+def test_rocchio_registry_and_validation(roc_index):
+    s = create_searcher("Rocchio", roc_index, fbTerms=5, fbDocs=3, hits=10)
+    assert isinstance(s, RocchioSearcher)
+    run = s.search_collect({"q": "spark"})
+    assert run["q"]
+    with pytest.raises(ValueError, match="bottom_docs"):
+        RocchioSearcher(roc_index, gamma=0.5)
