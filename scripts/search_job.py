@@ -7,12 +7,14 @@
         [--param mu=1000 --param fbTerms=10 ...] [--tag capreolus_spark]
 
 ``--searcher`` accepts any registered name (BM25, DirichletQL, QLJM, INL2,
-SPL, F2Exp, F2Log, BM25RM3, BM25PRF, SDM, axiomatic, phrase, boolean,
-fuzzy, prefix, near, regexp, wildcard, termrange, dismax, mlt, lucene —
-the last being the classic QueryParser front door: topics may use
-`+must -not AND/OR/NOT "phrases" "sloppy"~N term~N wild*cards
-[lo TO hi] (groups)^boost`); extra scorer config goes through repeated
-``--param key=value`` flags.
+SPL, F2Exp, F2Log, TFIDF, BM25Plus, BM25L, BM25RM3, Rocchio, BM25PRF,
+SDM, axiomatic, phrase, boolean, fuzzy, prefix, near, regexp, wildcard,
+termrange, dismax, mlt, lucene — the last being the classic QueryParser
+front door: topics may use `+must -not AND/OR/NOT "phrases" "sloppy"~N
+term~N wild*cards [lo TO hi] (groups)^boost`); extra scorer config goes
+through repeated ``--param key=value`` flags (e.g. ``--param delta=0.5``
+for BM25Plus/BM25L, ``--param beta=0.75 --param fbDocs=10`` for
+Rocchio).
 """
 
 from __future__ import annotations
