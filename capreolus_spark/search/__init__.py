@@ -515,6 +515,31 @@ def _make_rocchio(index, **cfg):
     )
 
 
+def _make_collapse(index, **cfg):
+    """CLI-friendly collapse: ``key`` names a docmap column, or the
+    built-in ``repo`` derivation (the ``repo@commit:path`` docid
+    convention of ``make_docid_column``) when the docmap is slim."""
+    from .collapse import CollapseSearcher
+
+    key = str(cfg.get("key", "repo"))
+
+    def fn(d):
+        if key in d.columns:
+            return d[key]
+        if key == "repo":
+            return F.split(d["docid"], "@").getItem(0)
+        raise ValueError(
+            f"collapse key {key!r} is neither a docmap column nor the "
+            "built-in 'repo' docid derivation"
+        )
+
+    return CollapseSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        collapse_fn=fn,
+    )
+
+
 def _make_bm25prf(index, **cfg):
     from .bm25prf import BM25PRFSearcher
 
@@ -676,6 +701,7 @@ SEARCHERS = {
     "BM25L": _make_bm25l,  # beyond-reference: Lv & Zhai 2011 BM25L
     "BM25RM3": _make_rm3,
     "Rocchio": _make_rocchio,  # beyond-reference: pyserini --rocchio twin
+    "collapse": _make_collapse,  # beyond-reference: Lucene grouping / ES collapse
     "BM25PRF": _make_bm25prf,
     "SDM": _make_sdm,
     "axiomatic": _make_axiomatic,

@@ -14,7 +14,8 @@ front door: topics may use `+must -not AND/OR/NOT "phrases" "sloppy"~N
 term~N wild*cards [lo TO hi] (groups)^boost`); extra scorer config goes
 through repeated ``--param key=value`` flags (e.g. ``--param delta=0.5``
 for BM25Plus/BM25L, ``--param beta=0.75 --param fbDocs=10`` for
-Rocchio).
+Rocchio, ``--searcher collapse --param key=repo`` for one-best-hit-per-
+repository field collapsing).
 """
 
 from __future__ import annotations

@@ -78,3 +78,22 @@ def test_missing_collapse_fn_rejected(synth_index):
     idx, _ = synth_index
     with pytest.raises(ValueError, match="collapse_fn"):
         CollapseSearcher(idx)
+
+
+def test_registry_collapse_by_repo(spark, synth_index):
+    """create_searcher('collapse', key='repo') groups by the repo prefix
+    of the repo@commit:path docid convention: one result per repo."""
+    from capreolus_spark.search import create_searcher
+
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    run = create_searcher("collapse", idx, key="repo", hits=10).search(topics).collect()
+    assert run
+    seen = set()
+    for r in run:
+        key = (r["qid"], r["docid"].split("@")[0])
+        assert key not in seen, f"two results from the same repo {key}"
+        seen.add(key)
+    bad = create_searcher("collapse", idx, key="no_such_column", hits=10)
+    with pytest.raises(ValueError, match="no_such_column"):
+        bad.search(topics).collect()
