@@ -1016,6 +1016,21 @@ def _q_ltr_features(spark, sf_dir):
     )
 
 
+def _q_match_counts(spark, sf_dir):
+    """IndexSearcher.count / ES ``_count`` twin: docs matching ≥1 query
+    term per qid, one uncut kernel pass, map-side-combinable count
+    (``search/__init__.py match_counts``).  Integer output — no float
+    boundary exposure."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    return BM25Searcher(idx, BM25Config(hits=_GATE_HITS)).match_counts(_TOPICS)
+
+
 def _q_qrels_positive_filter(spark, sf_dir):
     qrels = _synth_qrels(spark, sf_dir)
     pos = qrels.groupBy("qid").agg(F.max("label").alias("mx")).filter(F.col("mx") >= 1)
@@ -4297,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
+        "match_counts": _q_match_counts,
         "boolean_topk": _q_boolean_search,
         "fuzzy_topk": _q_fuzzy_search,
         "prefix_topk": _q_prefix_search,
@@ -4730,6 +4746,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM boosted) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "match_counts": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}) "
+            "SELECT q.qid, count(DISTINCT tf.docid) AS n_matching "
+            "FROM queries q JOIN tf USING (term) GROUP BY q.qid"
         ),
         "ltr_features": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "

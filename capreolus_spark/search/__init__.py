@@ -253,6 +253,37 @@ class BM25Searcher:
             .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
         )
 
+    def search_page(
+        self, topics: dict[str, str], page: int, page_size: int = 10
+    ) -> DataFrame:
+        """Deep paging (Lucene TopDocs-offset / ES ``from+size`` twin):
+        page ``page`` (0-based) of the deterministic (score desc, docid
+        asc) ranking — rows with rank in (page·size, (page+1)·size].
+
+        Cost grows with depth exactly as Lucene's: the per-range kernel
+        heaps carry (page+1)·size candidates (``search``'s hits
+        threading), which is why every search engine caps paging depth;
+        a cursor that filters inside the kernel can't be exact, because
+        the cursor tie-break needs docids the kernel doesn't hold.
+        Works for every searcher subclass via its own ``search``."""
+        if page < 0 or page_size <= 0:
+            raise ValueError("page must be >= 0 and page_size > 0")
+        run = self.search(topics, hits=(page + 1) * page_size)
+        return run.filter(F.col("rank") > page * page_size)
+
+    def match_counts(self, topics: dict[str, str]) -> DataFrame:
+        """(qid, n_matching): how many documents match ≥1 query term — the
+        ``IndexSearcher.count`` / ES ``_count`` twin.  One UNCUT kernel
+        pass; each matching doc appears exactly once (one range owns it),
+        so the count is a plain map-side-combinable ``count(*)`` — no
+        distinct, no docid resolution, no top-k machinery."""
+        weights = self._query_weights(self.analyze_topics(topics))
+        spark = self.index.spark
+        if not weights:
+            return spark.createDataFrame([], "qid string, n_matching long")
+        cand = self._candidates(weights, hits=2**31 - 1)
+        return cand.groupBy("qid").agg(F.count("*").alias("n_matching"))
+
     def search_collect(
         self, topics: dict[str, str], hits: int | None = None, depth: int = 2
     ) -> dict[str, OrderedDict]:

@@ -1,0 +1,63 @@
+"""search_page (deep paging) and match_counts (IndexSearcher.count twin)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher, create_searcher
+
+
+def test_pages_partition_the_ranking(spark, synth_index):
+    """Pages 0..2 of size 5 are disjoint, ordered, and concatenate to the
+    top-15 of a plain search."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    s = BM25Searcher(idx, BM25Config(hits=1000))
+    want = run_df_to_dict(s.search(topics, hits=15))
+    got: dict[str, list] = {}
+    for page in range(3):
+        rows = s.search_page(topics, page=page, page_size=5).collect()
+        for r in rows:
+            assert page * 5 < r["rank"] <= (page + 1) * 5
+            got.setdefault(r["qid"], []).append((r["rank"], r["docid"], r["score"]))
+    for qid in want:
+        paged = [d for _, d, _ in sorted(got.get(qid, []))]
+        assert paged == list(want[qid]), qid
+
+
+def test_page_works_on_subclass_searchers(spark, synth_index):
+    """Paging rides the subclass's own search (here the TFIDF scorer)."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    s = create_searcher("TFIDF", idx, hits=1000)
+    full = run_df_to_dict(s.search(topics, hits=10))
+    page1 = s.search_page(topics, page=1, page_size=5).collect()
+    for r in page1:
+        assert list(full[r["qid"]])[r["rank"] - 1] == r["docid"]
+    with pytest.raises(ValueError, match="page"):
+        s.search_page(topics, page=-1)
+
+
+def test_match_counts_equal_bruteforce(spark, synth_index):
+    """n_matching == the distinct-docid count of an uncut search."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    s = BM25Searcher(idx, BM25Config(hits=10))
+    got = {r["qid"]: r["n_matching"] for r in s.match_counts(topics).collect()}
+    uncut = (
+        s.search(topics, hits=10**6)
+        .groupBy("qid")
+        .agg(F.countDistinct("docid").alias("n"))
+        .collect()
+    )
+    want = {r["qid"]: r["n"] for r in uncut}
+    assert got == want
+    assert all(v > 0 for v in got.values())
+
+
+def test_match_counts_empty_topics(spark, synth_index):
+    idx, _ = synth_index
+    out = BM25Searcher(idx, BM25Config(hits=10)).match_counts({"q": "zz_absent_zz"})
+    assert out.count() == 0
