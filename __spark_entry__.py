@@ -951,6 +951,35 @@ def _q_tfidf_daat(spark, sf_dir):
     return _gate_rank(run)
 
 
+def _q_pl2_daat(spark, sf_dir):
+    """DFR PL2 (Terrier's default model, c=1.0) over the same
+    index/kernel (``search/scoring.py PL2Scoring``) — non-monotone tf
+    normalization exercised through the sound loose block-max bound."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import create_searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = create_searcher("PL2", idx, c=1.0, hits=_GATE_HITS).search(_TOPICS)
+    return _gate_rank(run)
+
+
+def _q_dph_daat(spark, sf_dir):
+    """DFR DPH (parameter-free hypergeometric, Terrier DPH) over the
+    same index/kernel (``search/scoring.py DPHScoring``)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import create_searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    run = create_searcher("DPH", idx, hits=_GATE_HITS).search(_TOPICS)
+    return _gate_rank(run)
+
+
 def _q_function_score(spark, sf_dir):
     """Lucene FunctionScoreQuery twin: BM25 relevance × a per-doc static
     prior (here ``1 + 0.125·(doc_id % 7)`` — exact binary multipliers so
@@ -4309,6 +4338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_daat,
         "bm25plus_topk": _q_bm25plus_daat,
         "bm25l_topk": _q_bm25l_daat,
+        "pl2_topk": _q_pl2_daat,
+        "dph_topk": _q_dph_daat,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
@@ -4799,6 +4830,55 @@ def oracle_sql() -> dict[str, str]:
             f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl) + tf.tf) + 1.0)) AS score "
             "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s "
             "GROUP BY qw.qid, tf.docid) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "pl2_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "cfx AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, c.cf / s.n AS lam "
+            "FROM queries q JOIN cfx c USING (term) CROSS JOIN stats s WHERE c.cf > 0), "
+            "base AS (SELECT qw.qid, tf.docid, qw.qtf, qw.lam, "
+            "greatest(tf.tf * log2(1 + s.avgdl / dl.dl), 1e-12) AS tfn "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s), "
+            "scored AS (SELECT qid, docid, sum(qtf * greatest(0, "
+            "(tfn * log2(tfn / lam) + (lam - tfn) * log2(exp(1)) + 0.5 * log2(2 * pi() * tfn)) "
+            "/ (tfn + 1))) AS score FROM base GROUP BY qid, docid HAVING score > 0) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "dph_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "cfx AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, s.n / c.cf AS w "
+            "FROM queries q JOIN cfx c USING (term) CROSS JOIN stats s WHERE c.cf > 0), "
+            "base AS (SELECT qw.qid, tf.docid, qw.qtf, qw.w, tf.tf::DOUBLE AS tf, "
+            "dl.dl::DOUBLE AS dl, s.avgdl, least(tf.tf::DOUBLE / dl.dl, 1.0) AS f "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s), "
+            "scored AS (SELECT qid, docid, sum(qtf * greatest(0, "
+            "((1 - f) * (1 - f) / (tf + 1)) * (tf * log2(tf * (avgdl / dl) * w) "
+            "+ 0.5 * log2(greatest(2 * pi() * tf * (1 - f), 1e-300))))) AS score "
+            "FROM base GROUP BY qid, docid HAVING score > 0) "
             "SELECT qid, docid, rank, score FROM "
             "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
             "round(score, 4) AS score FROM "

@@ -519,6 +519,20 @@ def _make_bm25l(index, **cfg):
     )
 
 
+def _make_pl2(index, **cfg):
+    from .scoring import PL2Scoring
+
+    return ScoringSearcher(
+        index, PL2Scoring(c=cfg.get("c", 1.0)), hits=cfg.get("hits", 1000)
+    )
+
+
+def _make_dph(index, **cfg):
+    from .scoring import DPHScoring
+
+    return ScoringSearcher(index, DPHScoring(), hits=cfg.get("hits", 1000))
+
+
 def _make_rm3(index, **cfg):
     from .rm3 import BM25RM3Searcher
 
@@ -730,6 +744,8 @@ SEARCHERS = {
     "TFIDF": _make_tfidf,  # beyond-reference: Lucene ClassicSimilarity twin
     "BM25Plus": _make_bm25plus,  # beyond-reference: Lv & Zhai 2011 BM25+
     "BM25L": _make_bm25l,  # beyond-reference: Lv & Zhai 2011 BM25L
+    "PL2": _make_pl2,  # beyond-reference: Terrier's default DFR model
+    "DPH": _make_dph,  # beyond-reference: parameter-free DFR (Terrier DPH)
     "BM25RM3": _make_rm3,
     "Rocchio": _make_rocchio,  # beyond-reference: pyserini --rocchio twin
     "collapse": _make_collapse,  # beyond-reference: Lucene grouping / ES collapse

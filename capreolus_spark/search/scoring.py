@@ -289,3 +289,111 @@ class BM25LScoring:
     def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
         ctd = self._ctd(float(max_tf), float(max(min_dl, 1)), avgdl)
         return w * (self.k1 + 1.0) * (ctd + self.delta) / (self.k1 + ctd + self.delta)
+
+
+_LOG2E = 1.4426950408889634  # log2(e), Terrier's REC_LOG_2_OF_E
+
+
+@dataclass(frozen=True)
+class PL2Scoring:
+    """DFR PL2 (Amati & van Rijsbergen, TOIS 2002; Terrier's default
+    weighting model, published in Terrier's PL2.java): Poisson basic
+    model P, Laplace after-effect L, second normalization H2::
+
+        tfn   = tf · log2(1 + c·avgdl/dl)
+        λ     = cf / N                     (Poisson mean per document)
+        score = qtf/(tfn+1) · ( tfn·log2(tfn/λ)
+                                + (λ − tfn)·log2(e)
+                                + 0.5·log2(2π·tfn) )
+
+    Terrier's c=1.0 default.  Each matching term's contribution is
+    clamped at 0 — the same convention Lucene's SimilarityBase applies
+    to every DFR model (the raw P model can go negative for frequent
+    terms, which is why Lucene dropped BasicModelP; the clamp keeps the
+    DAAT kernel's score>0 emission rule exact).
+
+    The score is NOT monotone in tfn (the Laplace normalizer 1/(tfn+1)
+    fights the information gain), so the block-max bound maximizes each
+    additive component independently over tfn ∈ (0, tfn_max] and drops
+    the ≤1 normalizer — loose but sound, so MaxScore pruning stays
+    exact (pruned == unpruned, verified in tests)."""
+
+    c: float = 1.0
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        """w = λ = cf/N, the Poisson mean (contrib embeds it directly)."""
+        if cf <= 0 or n_docs <= 0:
+            return 0.0
+        return cf / float(n_docs)
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(dls.astype(np.float64), 1.0)
+        tfn = tf * np.log2(1.0 + self.c * avgdl / dl)
+        tfn = np.maximum(tfn, 1e-12)  # tf>=1 keeps tfn>0; guard log2 anyway
+        s = (
+            tfn * np.log2(tfn / w)
+            + (w - tfn) * _LOG2E
+            + 0.5 * np.log2(2.0 * np.pi * tfn)
+        ) / (tfn + 1.0)
+        return np.maximum(s, 0.0)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        if w <= 0.0:
+            return 0.0
+        tfn = max_tf * float(np.log2(1.0 + self.c * avgdl / max(min_dl, 1)))
+        if tfn <= 0.0:
+            return 0.0
+        # per-component maxima over tfn' ∈ (0, tfn]: t·log2(t/λ) peaks at
+        # the right edge when positive (≤0 otherwise), (λ−t)·log2e at t→0,
+        # 0.5·log2(2πt) at the right edge; 1/(tfn+1) ≤ 1 is dropped.
+        a = max(0.0, tfn * float(np.log2(tfn / w)))
+        b = w * _LOG2E
+        c = 0.5 * float(np.log2(2.0 * np.pi * tfn))
+        return max(0.0, a + b + c)
+
+
+@dataclass(frozen=True)
+class DPHScoring:
+    """DFR DPH (Amati's parameter-free hypergeometric divergence model,
+    published in Terrier's DPH.java; used by Anserini/ElasticSearch DFR
+    experiments)::
+
+        f     = tf / dl
+        norm  = (1 − f)² / (tf + 1)
+        score = qtf · norm · ( tf·log2( (tf·avgdl/dl) · (N/cf) )
+                               + 0.5·log2(2π·tf·(1 − f)) )
+
+    Parameter-free — no c/k1/b to tune.  Per-term contributions are
+    clamped at 0 (see :class:`PL2Scoring`).  ``weight`` carries N/cf.
+    At tf == dl the (1−f)² factor zeroes the score; the 2π·tf·(1−f)
+    log argument is floored at 1e-300 so the product stays 0·finite = 0
+    (the DuckDB oracle applies the identical ``greatest`` floor).
+
+    Non-monotone in (tf, dl), so the bound maximizes components
+    independently: norm ≤ 1/2 for tf ≥ 1, the information term at
+    (max_tf, min_dl) when positive, the Bernoulli correction at
+    max_tf — loose but sound."""
+
+    def weight(self, df: int, cf: int, n_docs: int, sum_cf: int) -> float:
+        """w = N/cf (contrib embeds it in the information gain)."""
+        if cf <= 0 or n_docs <= 0:
+            return 0.0
+        return float(n_docs) / float(cf)
+
+    def contrib(self, w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(dls.astype(np.float64), 1.0)
+        f = np.minimum(tf / dl, 1.0)
+        norm = (1.0 - f) * (1.0 - f) / (tf + 1.0)
+        info = tf * np.log2(tf * (avgdl / dl) * w)
+        bern = 0.5 * np.log2(np.maximum(2.0 * np.pi * tf * (1.0 - f), 1e-300))
+        return np.maximum(norm * (info + bern), 0.0)
+
+    def upper_bound(self, w: float, max_tf: int, min_dl: int, avgdl: float) -> float:
+        if w <= 0.0:
+            return 0.0
+        arg = max_tf * (avgdl / max(min_dl, 1)) * w
+        a = max(0.0, max_tf * float(np.log2(max(arg, 1.0))))
+        b = 0.5 * float(np.log2(max(2.0 * np.pi * max_tf, 1.0)))
+        return max(0.0, 0.5 * (a + b))

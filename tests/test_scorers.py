@@ -10,10 +10,12 @@ from capreolus_spark.search.scoring import (
     BM25LScoring,
     BM25PlusScoring,
     ClassicTFIDFScoring,
+    DPHScoring,
     F2ExpScoring,
     F2LogScoring,
     INL2Scoring,
     LMJelinekMercerScoring,
+    PL2Scoring,
     SPLScoring,
 )
 
@@ -26,6 +28,8 @@ SCORERS = {
     "TFIDF": ClassicTFIDFScoring(),
     "BM25Plus": BM25PlusScoring(k1=0.9, b=0.4),
     "BM25L": BM25LScoring(k1=0.9, b=0.4),
+    "PL2": PL2Scoring(c=1.0),
+    "DPH": DPHScoring(),
 }
 
 
@@ -58,10 +62,64 @@ def test_registry_bm25_golden(dummy_index):
     assert run["LA010189-0001"] == pytest.approx(0.13948959, abs=1e-6)
 
 
+@pytest.mark.parametrize("name", ["PL2", "DPH"])
+def test_nonmonotone_dfr_pruned_equals_unpruned(spark, synth_index, name):
+    """PL2/DPH scores are non-monotone in tfn, so their block-max bounds
+    are loose per-component maxima — this asserts the bounds are SOUND:
+    MaxScore pruning must not change a single (docid, score) pair."""
+    idx, _ = synth_index
+    topics = {k: v for k, v in list(synth_queries(10).items())[:6]}
+    pruned = run_df_to_dict(create_searcher(name, idx, hits=25).search(topics, hits=25))
+    from capreolus_spark.search import ScoringSearcher
+
+    unpruned = run_df_to_dict(
+        ScoringSearcher(idx, SCORERS[name], hits=25, prune=False).search(topics, hits=25)
+    )
+    assert pruned == unpruned
+
+
+def test_pl2_dph_hand_computed():
+    """Single-cell contributions against the published formulas, computed
+    by hand with independent math.log calls."""
+    import math
+
+    import numpy as np
+
+    # PL2: N=100, cf=12 -> lam=0.12; tf=2, dl=30, avgdl=25, c=1.0
+    s = PL2Scoring(c=1.0)
+    lam = s.weight(df=5, cf=12, n_docs=100, sum_cf=5000)
+    assert lam == pytest.approx(0.12)
+    tfn = 2.0 * math.log2(1.0 + 25.0 / 30.0)
+    want = (
+        tfn * math.log2(tfn / lam)
+        + (lam - tfn) * math.log2(math.e)
+        + 0.5 * math.log2(2.0 * math.pi * tfn)
+    ) / (tfn + 1.0)
+    got = s.contrib(lam, np.array([2]), np.array([30]), 25.0)[0]
+    assert got == pytest.approx(max(want, 0.0), abs=1e-12)
+
+    # DPH: N=100, cf=12 -> w=N/cf; tf=5, dl=10, avgdl=25
+    d = DPHScoring()
+    w = d.weight(df=5, cf=12, n_docs=100, sum_cf=5000)
+    assert w == pytest.approx(100.0 / 12.0)
+    f = 5.0 / 10.0
+    norm = (1.0 - f) ** 2 / 6.0
+    want = norm * (
+        5.0 * math.log2(5.0 * (25.0 / 10.0) * w)
+        + 0.5 * math.log2(2.0 * math.pi * 5.0 * (1.0 - f))
+    )
+    got = d.contrib(w, np.array([5]), np.array([10]), 25.0)[0]
+    assert got == pytest.approx(max(want, 0.0), abs=1e-12)
+
+    # tf == dl zeroes DPH via the (1-f)^2 factor, with no NaN leakage
+    got = d.contrib(w, np.array([10]), np.array([10]), 25.0)[0]
+    assert got == 0.0
+
+
 def test_all_flat_scorers_run_on_dummy(dummy_index):
     for name in (
         "DirichletQL", "QLJM", "INL2", "SPL", "F2Exp", "F2Log", "TFIDF",
-        "BM25Plus", "BM25L",
+        "BM25Plus", "BM25L", "PL2", "DPH",
     ):
         run = create_searcher(name, dummy_index, hits=10).search_collect({"301": "Dummy doc"})
         docs = list(run.get("301", {}).keys())
@@ -71,6 +129,11 @@ def test_all_flat_scorers_run_on_dummy(dummy_index):
         assert set(docs) <= {"LA010189-0001", "LA010189-0002"}, name
         if name == "SPL":
             assert docs == [], name  # df == N for every query term here
+        elif name in ("PL2", "DPH"):
+            # non-monotone in tf: on this 2-doc corpus λ=cf/N is huge, so
+            # the Laplace/hypergeometric normalizers legitimately rank the
+            # tf=1 doc first — just require both docs scored
+            assert set(docs) == {"LA010189-0001", "LA010189-0002"}, name
         else:
             # doc 1 has tf(dummi)=3 vs 1 → tf-monotone scorers rank it first
             assert docs and docs[0] == "LA010189-0001", name
