@@ -951,6 +951,35 @@ def _q_tfidf_daat(spark, sf_dir):
     return _gate_rank(run)
 
 
+# Synonym gate groups (query-time, analyzed-term space since the gate
+# index uses stemmer=none).  Edges: q2 holds BOTH members of the
+# merge|join group (qtf merge); q5's OOV 'nosuchterm' is rescued by its
+# 'scan' synonym; q4 stays stopword-only-empty.
+_SYN_GROUPS = [["merge", "join"], ["key", "hash"], ["batch", "group"],
+               ["nosuchterm", "scan"]]
+
+
+def _q_synonym(spark, sf_dir):
+    """Lucene SynonymQuery twin (``search/synonyms.py``): groups score as
+    ONE pseudo-term — summed member tf through the BM25 saturation, EXACT
+    union pseudo-df (computed distributedly; Lucene approximates with the
+    max member df — ``df_mode='max'`` reproduces that, pytest-covered)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.synonyms import SynonymSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = SynonymSearcher(
+        idx,
+        BM25Config(k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS),
+        synonyms=_SYN_GROUPS,
+        df_mode="union",
+    )
+    return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
+
+
 def _q_pl2_daat(spark, sf_dir):
     """DFR PL2 (Terrier's default model, c=1.0) over the same
     index/kernel (``search/scoring.py PL2Scoring``) — non-monotone tf
@@ -4340,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25l_topk": _q_bm25l_daat,
         "pl2_topk": _q_pl2_daat,
         "dph_topk": _q_dph_daat,
+        "synonym_topk": _q_synonym,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
@@ -4830,6 +4860,36 @@ def oracle_sql() -> dict[str, str]:
             f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl) + tf.tf) + 1.0)) AS score "
             "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s "
             "GROUP BY qw.qid, tf.docid) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "synonym_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "syn(term, gid) AS (VALUES ('merge','g:merge'), ('join','g:merge'), "
+            "('key','g:key'), ('hash','g:key'), ('batch','g:batch'), ('group','g:batch'), "
+            "('nosuchterm','g:scan'), ('scan','g:scan')), "
+            "utf AS (SELECT tf.docid, coalesce(s.gid, tf.term) AS unit, sum(tf.tf) AS tf "
+            "FROM tf LEFT JOIN syn s USING (term) GROUP BY tf.docid, unit), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "udf AS (SELECT unit, count(*)::DOUBLE AS df FROM utf GROUP BY unit), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qunits AS (SELECT q.qid, coalesce(s.gid, q.term) AS unit, sum(q.qtf) AS qtf "
+            "FROM queries q LEFT JOIN syn s USING (term) GROUP BY q.qid, unit), "
+            "qw AS (SELECT qu.qid, qu.unit, qu.qtf, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf "
+            "FROM qunits qu JOIN udf d USING (unit) CROSS JOIN stats s), "
+            "scored AS (SELECT qw.qid, utf.docid, "
+            f"sum(qw.qtf * qw.idf * utf.tf / (utf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score "
+            "FROM qw JOIN utf USING (unit) JOIN dl USING (docid) CROSS JOIN stats s "
+            "GROUP BY qw.qid, utf.docid HAVING score > 0) "
             "SELECT qid, docid, rank, score FROM "
             "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
             "round(score, 4) AS score FROM "

@@ -689,6 +689,17 @@ def _make_termrange(index, **cfg):
     )
 
 
+def _make_synonym(index, **cfg):
+    from .synonyms import SynonymSearcher
+
+    return SynonymSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        synonyms=cfg.get("synonyms") or [],
+        df_mode=cfg.get("df_mode", "union"),
+    )
+
+
 def _make_dismax(index, **cfg):
     from .dismax import DisMaxSearcher
 
@@ -761,6 +772,7 @@ SEARCHERS = {
     "wildcard": _make_wildcard,  # beyond-reference: Lucene WildcardQuery twin
     "termrange": _make_termrange,  # beyond-reference: Lucene TermRangeQuery twin
     "dismax": _make_dismax,  # beyond-reference: Lucene DisjunctionMaxQuery twin
+    "synonym": _make_synonym,  # beyond-reference: Lucene SynonymQuery twin
     "mlt": _make_mlt,  # beyond-reference: Lucene MoreLikeThis twin
     "lucene": _make_lucene,  # beyond-reference: classic QueryParser twin
 }

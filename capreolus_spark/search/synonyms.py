@@ -1,0 +1,328 @@
+"""Synonym-aware retrieval — a Lucene ``SynonymQuery`` twin.
+
+The reference reaches synonyms only through index-time analyzers (Anserini's
+Lucene analyzer chain can carry a SynonymGraphFilter), but every production
+fulltext engine exposes query-time synonym expansion: a query term that
+belongs to a synonym group matches any member, and the group scores as ONE
+pseudo-term so documents are not double-rewarded for containing several
+spellings of the same concept (Lucene's ``SynonymQuery`` contract, also the
+semantics of Elasticsearch's query-time ``synonym`` token filter).
+
+Semantics implemented here, per expansion unit (a synonym group, or a
+singleton for an ungrouped term):
+
+* per-document pseudo-tf = **sum** of the member terms' tfs (Lucene
+  SynonymQuery sums member frequencies per doc before the tf saturation);
+* pseudo-df: ``df_mode="union"`` (default) computes the EXACT number of
+  documents containing at least one member — the statistics Lucene's
+  SynonymQuery approximates with the **max** member docFreq because exact
+  union counts are too expensive on a posting-at-a-time engine.  This
+  engine gets the exact union in one distributed pass over the members'
+  (query-bounded, pushdown-filtered) postings, so exactness is the
+  default; ``df_mode="max"`` reproduces Lucene's approximation.
+* query-side: each analyzed query term maps to its unit; several query
+  terms mapping to the same unit (e.g. the query contains both "merge"
+  and "join" of one group) merge their qtfs — the unit scores once with
+  the summed qtf, exactly the sum of the per-occurrence SynonymQuery
+  scores.
+* scoring: the engine's calibrated BM25 (no (k1+1) numerator, SURVEY.md
+  §6.3) with the unit's idf from the pseudo-df and the summed pseudo-tf
+  through the tf saturation; score ≤ 0 rows drop (family convention).
+
+Scale shape: identical to the BM25 DAAT kernel — one cogroup over
+(postings-for-member-terms, range-dl) cells pinned to one task per docno
+range; the per-range member merge is a numpy unique+scatter-add over the
+members' decoded postings.  The exact-union df pass is a second
+query-bounded scan of the same pushdown-filtered postings (member terms
+only), combinable per range — each docno lives in exactly one range, so
+the global union count is the plain sum of per-range union counts; no
+doc-level shuffle, no driver-side set.  Evaluation is exhaustive per
+range (no MaxScore pruning): merged-cell bounds would need summed member
+max_tfs and synonym queries are short, so exactness-by-construction wins.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from ..index.codec import decode_int32_array, decode_postings
+from . import BM25Searcher
+from .daat import RESULT_SCHEMA, _empty_result, live_mask
+
+__all__ = ["SynonymSearcher"]
+
+
+class SynonymSearcher(BM25Searcher):
+    """BM25 top-k with query-time synonym groups scored as pseudo-terms.
+
+    ``synonyms`` is a list of groups, each a list of RAW words (analyzed
+    through the index's analyzer, so "Merging" and "merge" land in the
+    same group under a stemming index).  Groups must be disjoint after
+    analysis — a term in two groups raises.  ``df_mode``: "union" (exact
+    pseudo-df, default) or "max" (Lucene SynonymQuery's approximation).
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        synonyms: list[list[str]] | None = None,
+        df_mode: str = "union",
+        prune: bool = True,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, prune=prune, tag=tag)
+        if df_mode not in ("union", "max"):
+            raise ValueError(f"df_mode must be 'union' or 'max', got {df_mode!r}")
+        self.df_mode = df_mode
+        kw = index.config.analyzer_kwargs()
+        self._term2group: dict[str, tuple[str, ...]] = {}
+        for group in synonyms or []:
+            members = sorted({t for w in group for t in analyze_text(str(w), **kw)})
+            if len(members) < 2:
+                continue  # a singleton group is a no-op
+            unit = tuple(members)
+            for m in members:
+                prev = self._term2group.get(m)
+                if prev is not None and prev != unit:
+                    raise ValueError(f"term {m!r} appears in two synonym groups")
+                self._term2group[m] = unit
+
+    # ---------------------------------------------------------- analysis
+
+    def _union_dfs(self, units: list[tuple[str, ...]]) -> dict[tuple[str, ...], int]:
+        """Exact per-unit union doc counts in one distributed pass over the
+        members' postings.  Docnos partition by range, so the global union
+        count is the sum of per-range union sizes — one combinable agg."""
+        member_terms = sorted({m for u in units for m in u})
+        if not member_terms:
+            return {}
+        unit_ids = {u: i for i, u in enumerate(units)}
+        term2uid = {m: unit_ids[u] for u in units for m in u}
+        p = (
+            self.index.postings_df()
+            .filter(F.col("term").isin(member_terms))
+            .select("term", "range_id", "docnos", "tfs")
+        )
+
+        def count_union(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one call per range_id group: every member row of the range is
+            # HERE, so the per-uid union is complete (mapInPandas batches
+            # may split a range across calls and would double-count)
+            acc: dict[int, list[np.ndarray]] = {}
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                docnos, _ = decode_postings(row["docnos"], row["tfs"])
+                acc.setdefault(term2uid[row["term"]], []).append(docnos)
+            return pd.DataFrame(
+                {
+                    "uid": list(acc),
+                    "n": [
+                        int(np.unique(np.concatenate(v)).size)
+                        for v in acc.values()
+                    ],
+                }
+            )
+
+        counts = (
+            p.groupBy("range_id")
+            .applyInPandas(count_union, schema="uid int, n long")
+            .groupBy("uid")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        by_id = {r["uid"]: int(r["df"]) for r in counts}
+        return {u: by_id.get(i, 0) for u, i in unit_ids.items()}
+
+    def _analyze_synonym(
+        self, topics: dict[str, str]
+    ) -> dict[str, list[tuple[tuple[str, ...], float, float]]]:
+        """{qid: text} → {qid: [(unit_terms, weight, qtf)]} with pseudo-df
+        stats resolved (Counter-merged qtf for same-unit query terms)."""
+        kw = self.index.config.analyzer_kwargs()
+        per_q: dict[str, Counter] = {}
+        for qid, text in topics.items():
+            units = Counter(
+                self._term2group.get(t, (t,)) for t in analyze_text(text, **kw)
+            )
+            if units:
+                per_q[str(qid)] = units
+
+        all_units = sorted({u for c in per_q.values() for u in c})
+        groups = [u for u in all_units if len(u) > 1]
+        singles = sorted({m for u in all_units for m in u if len(u) == 1})
+        member_terms = sorted({m for u in groups for m in u})
+        stats = self.index.get_term_stats(sorted(set(singles) | set(member_terms)))
+
+        n_docs, sum_cf, scoring = self.index.numdocs, self.index.sum_cf, self.scoring
+        if self.df_mode == "union":
+            union_df = self._union_dfs(groups)
+        else:
+            union_df = {u: max(stats[m][0] for m in u) for u in groups}
+
+        weight: dict[tuple[str, ...], float] = {}
+        for u in all_units:
+            if len(u) == 1:
+                df, cf = stats[u[0]]
+            else:
+                df = union_df.get(u, 0)
+                cf = sum(stats[m][1] for m in u)
+            if df > 0:
+                w = scoring.weight(df, cf, n_docs, sum_cf)
+                if w > 0:
+                    weight[u] = w
+
+        out = {}
+        for qid, units in per_q.items():
+            weighted = sorted(
+                (u, weight[u], float(qtf)) for u, qtf in units.items() if u in weight
+            )
+            if weighted:
+                out[qid] = weighted
+        return out
+
+    # ------------------------------------------------------------ kernel
+
+    def _syn_candidates(self, queries: dict, hits: int) -> DataFrame:
+        """(qid, docno, score) per-range candidates: per unit, member
+        postings merge by summed tf, then the scoring object's contrib —
+        same shuffle/task shape as ``BM25Searcher._candidates``."""
+        terms = sorted({m for ts in queries.values() for (u, _, _) in ts for m in u})
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        n_ranges = self.index.num_ranges
+        if n_ranges:
+            n_parts = max(1, min(n_parts, n_ranges))
+        postings = postings.repartition(n_parts, "range_id")
+        ranges = ranges.repartition(n_parts, "range_id")
+
+        qlist = sorted(queries.items())
+        scoring, avgdl, limit = self.scoring, self.index.avgdl, hits
+        deleted = self._deleted_for_kernel()
+
+        def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            if len(p) == 0 or len(r) == 0:
+                return _empty_result()
+            rrow = r.iloc[0]
+            base = int(rrow["base_docno"])
+            dls = decode_int32_array(rrow["dls"])
+            del_mask = live_mask(deleted, base, int(rrow["n_slots"]))
+
+            rows_by_term = {p.iloc[i]["term"]: p.iloc[i] for i in range(len(p))}
+            cells: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+            def get_cell(t: str):
+                cell = cells.get(t)
+                if cell is None:
+                    prow = rows_by_term[t]
+                    docnos, tfs = decode_postings(prow["docnos"], prow["tfs"])
+                    slots = docnos - base
+                    if del_mask is not None:
+                        keep = ~del_mask[slots]
+                        slots, tfs = slots[keep], tfs[keep]
+                    cells[t] = cell = (slots, tfs)
+                return cell
+
+            unit_cells: dict[tuple[str, ...], tuple[np.ndarray, np.ndarray]] = {}
+
+            def get_unit(u: tuple[str, ...]):
+                cell = unit_cells.get(u)
+                if cell is None:
+                    present = [m for m in u if m in rows_by_term]
+                    if not present:
+                        cell = (
+                            np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.int64),
+                        )
+                    elif len(present) == 1:
+                        cell = get_cell(present[0])
+                    else:
+                        # merged pseudo-term: union slots, summed tfs
+                        parts = [get_cell(m) for m in present]
+                        slots = np.concatenate([s for s, _ in parts])
+                        tfs = np.concatenate([t for _, t in parts])
+                        uniq, inv = np.unique(slots, return_inverse=True)
+                        summed = np.zeros(uniq.size, dtype=np.int64)
+                        np.add.at(summed, inv, tfs)
+                        cell = (uniq, summed)
+                    unit_cells[u] = cell
+                return cell
+
+            out_qid: list[str] = []
+            out_docno: list[np.ndarray] = []
+            out_score: list[np.ndarray] = []
+            n_slots = int(rrow["n_slots"])
+            for qid, uterms in qlist:
+                scores = np.zeros(n_slots, dtype=np.float64)
+                touched: list[np.ndarray] = []
+                # fixed (sorted-unit) accumulation order: bit-reproducible
+                for u, w, qtf in uterms:
+                    slots, tfs = get_unit(u)
+                    if slots.size == 0:
+                        continue
+                    scores[slots] += qtf * scoring.contrib(w, tfs, dls[slots], avgdl)
+                    touched.append(slots)
+                if not touched:
+                    continue
+                cand = np.unique(np.concatenate(touched))
+                cscores = scores[cand]
+                pos = cscores > 0.0
+                cand, cscores = cand[pos], cscores[pos]
+                if cand.size > limit:
+                    kth = np.partition(cscores, cand.size - limit)[cand.size - limit]
+                    keep = cscores >= kth  # boundary ties for exact global cut
+                    cand, cscores = cand[keep], cscores[keep]
+                if cand.size:
+                    out_qid.append(qid)
+                    out_docno.append(cand + base)
+                    out_score.append(cscores.copy())
+
+            if not out_qid:
+                return _empty_result()
+            sizes = [len(a) for a in out_docno]
+            return pd.DataFrame(
+                {
+                    "qid": np.repeat(np.array(out_qid, dtype=object), sizes),
+                    "docno": np.concatenate(out_docno),
+                    "score": np.concatenate(out_score),
+                }
+            )
+
+        return (
+            postings.groupBy("range_id")
+            .cogroup(ranges.groupBy("range_id"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        )
+
+    # ------------------------------------------------------------ search
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        """topics = {qid: text} → (qid, docid, rank, score, tag), exact
+        global top-``hits`` with (score desc, docid asc) ordering."""
+        hits = hits or self.config.hits
+        queries = self._analyze_synonym(topics)
+        spark = self.index.spark
+        if not queries:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        cand = self._with_docids(
+            self._global_topk_cut(self._syn_candidates(queries, hits), hits)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )

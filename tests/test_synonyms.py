@@ -1,0 +1,171 @@
+"""Synonym retrieval (search/synonyms.py — Lucene SynonymQuery twin).
+
+Brute-force python twin over the synthetic corpus: same analyzer, units
+scored as pseudo-terms (summed member tf through BM25 saturation, exact
+union pseudo-df), rank- and score-identical to the kernel in both df
+modes, plus the edge semantics the gate pins (two query terms of one
+group merge qtf; an OOV term scores via its synonyms; no-synonym config
+degenerates to plain BM25).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.analysis import analyze_text, tokenize_text
+from capreolus_spark.config import BM25Config
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.synonyms import SynonymSearcher
+
+K1, B = 0.9, 0.4
+
+SYN = [["sym0001", "sym0002"], ["sym0010", "sym0030", "sym0050"],
+       ["zzznosuchterm", "sym0005"]]
+
+TOPICS = {
+    "t1": "sym0001 def",                 # plain expansion + ungrouped term
+    "t2": "sym0010 sym0030",             # two query terms of ONE group
+    "t3": "zzznosuchterm return",        # OOV term rescued by its synonym
+    "t4": "sym0002 sym0002 sym0007",     # qtf=2 on a grouped term
+    "t5": "the of and",                  # stopword-only -> empty
+}
+
+
+def _brute_force(corpus_rows, kw, topics, synonyms, hits, df_mode="union"):
+    docs, dls = {}, {}
+    for docid, content in corpus_rows:
+        dls[docid] = len(tokenize_text(content, tokenizer=kw.get("tokenizer", "word")))
+        docs[docid] = Counter(analyze_text(content, **kw))
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    df = Counter(t for tf in docs.values() for t in tf)
+
+    term2g = {}
+    for g in synonyms:
+        members = tuple(sorted({t for w in g for t in analyze_text(w, **kw)}))
+        for m in members:
+            term2g[m] = members
+
+    def unit_df(u):
+        if len(u) == 1:
+            return df[u[0]]
+        if df_mode == "max":
+            return max(df[m] for m in u)
+        return sum(1 for tf in docs.values() if any(tf[m] > 0 for m in u))
+
+    out = {}
+    for qid, text in topics.items():
+        units = Counter(term2g.get(t, (t,)) for t in analyze_text(text, **kw))
+        scored = []
+        for docid, tf in docs.items():
+            score = 0.0
+            for u, qtf in sorted(units.items()):
+                udf = unit_df(u)
+                if udf <= 0:
+                    continue
+                idf = max(0.0, math.log(1.0 + (n - udf + 0.5) / (udf + 0.5)))
+                utf = sum(tf[m] for m in u)
+                if utf > 0 and idf > 0:
+                    norm = K1 * (1 - B + B * dls[docid] / avgdl)
+                    score += qtf * idf * utf / (utf + norm)
+            if score > 0:
+                scored.append((docid, score))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        if scored:
+            out[qid] = dict(scored[:hits])
+    return out
+
+
+@pytest.mark.parametrize("df_mode", ["union", "max"])
+def test_synonym_kernel_matches_brute_force(spark, synth_index, df_mode):
+    idx, corpus = synth_index
+    rows = [(r["docid"], r["content"]) for r in corpus.select("docid", "content").collect()]
+    kw = idx.config.analyzer_kwargs()
+    searcher = SynonymSearcher(
+        idx, BM25Config(k1=K1, b=B, hits=20), synonyms=SYN, df_mode=df_mode
+    )
+    got = run_df_to_dict(searcher.search(TOPICS, hits=20))
+    want = _brute_force(rows, kw, TOPICS, SYN, hits=20, df_mode=df_mode)
+    assert set(got) == set(want)
+    assert "t5" not in got  # stopword-only stays empty
+    for qid in want:
+        assert list(got[qid]) == list(want[qid]), qid
+        for d in want[qid]:
+            assert got[qid][d] == pytest.approx(want[qid][d], abs=1e-9), (qid, d)
+
+
+def test_oov_term_scores_via_synonym(spark, synth_index):
+    """'zzznosuchterm' alone matches nothing plain, but matches its
+    synonym sym0005's docs through the group."""
+    idx, _ = synth_index
+    plain = run_df_to_dict(
+        BM25Searcher(idx, BM25Config(hits=10)).search({"q": "zzznosuchterm"}, hits=10)
+    )
+    assert plain == {}
+    syn = run_df_to_dict(
+        SynonymSearcher(
+            idx, BM25Config(hits=10), synonyms=[["zzznosuchterm", "sym0005"]]
+        ).search({"q": "zzznosuchterm"}, hits=10)
+    )
+    assert syn and len(syn["q"]) > 0
+
+
+def test_no_synonyms_equals_plain_bm25(spark, synth_index):
+    idx, _ = synth_index
+    topics = {"a": "sym0001 def return", "b": "sym0100 import"}
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=15)).search(topics, hits=15))
+    syn = run_df_to_dict(
+        SynonymSearcher(idx, BM25Config(hits=15), synonyms=[]).search(topics, hits=15)
+    )
+    # scores agree to accumulation-order ULPs (the plain kernel adds terms
+    # in descending-ub MaxScore order; this one in sorted-unit order)
+    assert set(plain) == set(syn)
+    for qid in plain:
+        assert list(plain[qid]) == list(syn[qid])
+        for d in plain[qid]:
+            assert syn[qid][d] == pytest.approx(plain[qid][d], abs=1e-9)
+
+
+def test_same_group_query_terms_merge_qtf(spark, synth_index):
+    """'sym0010 sym0030' (one group) must score exactly like the group
+    pseudo-term with qtf=2 — i.e. identical to 'sym0010 sym0010'."""
+    idx, _ = synth_index
+    s = SynonymSearcher(
+        idx, BM25Config(hits=15), synonyms=[["sym0010", "sym0030"]]
+    )
+    both = run_df_to_dict(s.search({"q": "sym0010 sym0030"}, hits=15))
+    twice = run_df_to_dict(s.search({"q": "sym0010 sym0010"}, hits=15))
+    assert both["q"] == twice["q"]
+
+
+def test_union_df_is_exact(spark, synth_index):
+    """The distributed union pseudo-df equals the brute-force union count."""
+    idx, corpus = synth_index
+    kw = idx.config.analyzer_kwargs()
+    members = ("sym0010", "sym0030", "sym0050")
+    docs = [
+        Counter(analyze_text(r["content"], **kw))
+        for r in corpus.select("content").collect()
+    ]
+    want = sum(1 for tf in docs if any(tf[m] > 0 for m in members))
+    s = SynonymSearcher(idx, BM25Config(hits=5), synonyms=[list(members)])
+    got = s._union_dfs([members])[members]
+    assert got == want > 0
+    # and the Lucene approximation is <= the exact union
+    df_max = max(idx.get_df(m) for m in members)
+    assert df_max <= want
+
+
+def test_overlapping_groups_raise(spark, synth_index):
+    idx, _ = synth_index
+    with pytest.raises(ValueError, match="two synonym groups"):
+        SynonymSearcher(
+            idx, BM25Config(hits=5),
+            synonyms=[["sym0001", "sym0002"], ["sym0002", "sym0003"]],
+        )
+    with pytest.raises(ValueError, match="df_mode"):
+        SynonymSearcher(idx, BM25Config(hits=5), synonyms=[], df_mode="bogus")
