@@ -980,6 +980,17 @@ def _q_synonym(spark, sf_dir):
     return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
 
 
+def _q_significant_terms(spark, sf_dir):
+    """ES ``significant_terms`` twin (``search/significant.py``): per-qid
+    top-10 foreground-vs-background significant terms, JLH heuristic,
+    min_doc_count=3 (ES defaults), foreground = the query's match set."""
+    from capreolus_spark.search.significant import significant_terms
+
+    return significant_terms(
+        _corpus(spark, sf_dir), _TOPICS, k=10, heuristic="jlh", min_doc_count=3
+    )
+
+
 def _q_pl2_daat(spark, sf_dir):
     """DFR PL2 (Terrier's default model, c=1.0) over the same
     index/kernel (``search/scoring.py PL2Scoring``) — non-monotone tf
@@ -4370,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_topk": _q_pl2_daat,
         "dph_topk": _q_dph_daat,
         "synonym_topk": _q_synonym,
+        "significant_terms": _q_significant_terms,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
@@ -4866,6 +4878,26 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "significant_terms": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "td AS (SELECT DISTINCT docid, term FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok)), "
+            "stats AS (SELECT count(*) AS n FROM tok), "
+            "bg AS (SELECT term, count(*) AS bg_df FROM td GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "fg_docs AS (SELECT DISTINCT q.qid, td.docid FROM queries q JOIN td USING (term)), "
+            "fs AS (SELECT qid, count(*) AS fg_size FROM fg_docs GROUP BY qid), "
+            "fgc AS (SELECT f.qid, td.term, count(*) AS fg_df "
+            "FROM fg_docs f JOIN td USING (docid) GROUP BY f.qid, td.term), "
+            "scored AS (SELECT c.qid, c.term, c.fg_df, b.bg_df, "
+            "((c.fg_df / s.fg_size) - (b.bg_df / st.n)) * ((c.fg_df / s.fg_size) / (b.bg_df / st.n)) AS score "
+            "FROM fgc c JOIN bg b USING (term) JOIN fs s USING (qid) CROSS JOIN stats st "
+            "WHERE c.fg_df >= 3 AND (c.fg_df / s.fg_size) > (b.bg_df / st.n)) "
+            "SELECT qid, term, fg_df, bg_df, round(score, 6) AS score, rank FROM "
+            "(SELECT qid, term, fg_df, bg_df, score, "
+            "cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, term ASC) AS int) AS rank "
+            "FROM scored) WHERE rank <= 10"
         ),
         "synonym_topk": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "

@@ -1,0 +1,122 @@
+"""Significant-terms aggregation — an Elasticsearch ``significant_terms`` twin.
+
+The reference never mines result sets, but this is the canonical fulltext
+"what is this result set ABOUT" aggregation (Elasticsearch's
+``significant_terms``): terms that appear in the docs matching a query
+(the *foreground*) markedly more often than in the corpus at large (the
+*background*).  Semantics implemented:
+
+* foreground per qid = documents containing ≥ 1 analyzed query term (the
+  match set — ES's query scope), or the caller's own (qid, docid) frame
+  (``fg_run``, e.g. a top-k run) for the bounded production variant;
+* per-term counts are DOCUMENT frequencies (distinct docs, like ES);
+* significance heuristics (ES's published formulas):
+  - ``jlh`` (ES default): ``(fg% − bg%) · (fg% / bg%)`` — absolute change
+    times relative change, where ``fg% = fg_df/fg_size`` and
+    ``bg% = bg_df/bg_size``;
+  - ``percentage``: ``fg_df / bg_df``;
+  only terms with ``fg% > bg%`` qualify (ES's positive-change rule), and
+  ``min_doc_count`` (ES default 3) floors the foreground count;
+* output: per qid the top-``k`` terms by (score desc, term asc).
+
+Scale shape: one vectorized analysis pass over the corpus (Arrow
+``analyzed_terms_df``, shared with the LTR/fielded operators); background
+document frequencies are one map-side-combinable groupBy over exploded
+distinct terms (the ``term_df_topk`` shape); the query relation is tiny
+and broadcast.  The foreground join ``fg_docs ⋈ term_doc`` is the real
+shuffle and is bounded by the match set times the average distinct terms
+per doc — the same cost ES pays reading term vectors for matching docs.
+For web-scale queries whose match set is itself huge, pass ``fg_run``
+(top-k run) exactly as ES recommends its ``sampler`` aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .fielded import _query_df
+from .oracle import analyzed_terms_df
+
+__all__ = ["significant_terms"]
+
+_EMPTY = (
+    "qid string, term string, fg_df bigint, bg_df bigint, "
+    "score double, rank int"
+)
+
+
+def significant_terms(
+    corpus: DataFrame,
+    topics: Mapping[str, str],
+    k: int = 10,
+    heuristic: str = "jlh",
+    min_doc_count: int = 3,
+    fg_run: DataFrame | None = None,
+    stemmer: str = "none",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """corpus(docid, content) × topics → (qid, term, fg_df, bg_df, score,
+    rank), the per-qid top-``k`` significant terms (score 6dp-rounded)."""
+    if heuristic not in ("jlh", "percentage"):
+        raise ValueError(f"heuristic must be 'jlh' or 'percentage', got {heuristic!r}")
+    spark = corpus.sparkSession
+    qdf = _query_df(spark, topics, stemmer, remove_stops, tokenizer)
+    if qdf is None:
+        return spark.createDataFrame([], _EMPTY)
+
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
+    term_doc = analyzed.select(
+        "docid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    # background = the whole corpus (ES: the index), empty docs included
+    stats = analyzed.agg(F.count("*").alias("n_docs"))
+    bg = term_doc.groupBy("term").agg(F.count("*").alias("bg_df"))
+
+    if fg_run is not None:
+        fg_docs = fg_run.select("qid", "docid").distinct()
+    else:
+        fg_docs = (
+            term_doc.join(
+                F.broadcast(qdf.select("qid", "term").distinct()), "term"
+            )
+            .select("qid", "docid")
+            .distinct()
+        )
+    fg_sizes = fg_docs.groupBy("qid").agg(F.count("*").alias("fg_size"))
+
+    fg_counts = (
+        fg_docs.join(term_doc, "docid")
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+
+    joined = (
+        fg_counts.join(bg, "term")
+        .join(F.broadcast(fg_sizes), "qid")
+        .crossJoin(F.broadcast(stats))
+    )
+    fg_pct = F.col("fg_df") / F.col("fg_size")
+    bg_pct = F.col("bg_df") / F.col("n_docs")
+    if heuristic == "jlh":
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    else:
+        score = F.col("fg_df") / F.col("bg_df")
+    scored = joined.filter(
+        (F.col("fg_df") >= min_doc_count) & (fg_pct > bg_pct)
+    ).select("qid", "term", "fg_df", "bg_df", score.alias("score"))
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "term", "fg_df", "bg_df",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )

@@ -1,0 +1,121 @@
+"""Significant-terms aggregation (search/significant.py — ES twin).
+
+Hand-crafted corpus where significance is meaningful (a 'python' cluster
+sharing jargon the rest of the corpus lacks), plus a brute-force python
+twin over the synthetic corpus for both heuristics.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.analysis import analyze_text
+from capreolus_spark.search.significant import significant_terms
+
+KW = dict(stemmer="none", remove_stops=True, tokenizer="word")
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(rows, "docid string, content string")
+
+
+def _brute(rows, topics, k, heuristic, min_doc_count, fg_pairs=None):
+    docs = {d: set(analyze_text(c, **KW)) for d, c in rows}
+    n = len(docs)
+    bg = Counter(t for ts in docs.values() for t in ts)
+    out = {}
+    for qid, text in topics.items():
+        qterms = set(analyze_text(text, **KW))
+        if fg_pairs is not None:
+            fg = {d for (q, d) in fg_pairs if q == qid}
+        else:
+            fg = {d for d, ts in docs.items() if ts & qterms}
+        if not fg:
+            continue
+        fs = len(fg)
+        fgc = Counter(t for d in fg for t in docs[d])
+        scored = []
+        for t, fd in fgc.items():
+            if fd < min_doc_count:
+                continue
+            fp, bp = fd / fs, bg[t] / n
+            if not fp > bp:
+                continue
+            s = (fp - bp) * (fp / bp) if heuristic == "jlh" else fd / bg[t]
+            scored.append((t, fd, bg[t], s))
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        out[qid] = [(t, fd, bd, round(s, 6)) for t, fd, bd, s in scored[:k]]
+    return out
+
+
+def test_jargon_cluster_surfaces(spark):
+    rows = [(f"py{i}", "python pandas numpy vectorize loop") for i in range(6)]
+    rows += [(f"js{i}", "javascript promise callback loop") for i in range(6)]
+    rows += [(f"misc{i}", f"filler{i} loop words here") for i in range(12)]
+    out = significant_terms(
+        _corpus_df(spark, rows), {"q": "pandas"}, k=4, min_doc_count=3
+    ).collect()
+    got = [(r["term"], r["rank"]) for r in out]
+    # the python-cluster jargon dominates; 'loop' (corpus-wide) must NOT
+    # qualify (fg% == bg% == 1.0 fails the positive-change rule)
+    terms = [t for t, _ in got]
+    assert set(terms) <= {"python", "pandas", "numpy", "vectorize"}
+    assert len(terms) == 4
+    assert "loop" not in terms
+
+
+@pytest.mark.parametrize("heuristic", ["jlh", "percentage"])
+def test_matches_brute_force(spark, heuristic):
+    rows = []
+    for i in range(40):
+        toks = [f"w{j}" for j in range(i % 7)] + ["common"]
+        if i % 5 == 0:
+            toks += ["special", "rare%d" % (i % 3)]
+        rows.append((f"d{i}", " ".join(toks)))
+    topics = {"a": "special", "b": "common", "c": "zzznothing"}
+    got_rows = significant_terms(
+        _corpus_df(spark, rows), topics, k=5, heuristic=heuristic, min_doc_count=2
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(
+            (r["term"], r["fg_df"], r["bg_df"], r["score"])
+        )
+    want = _brute(rows, topics, k=5, heuristic=heuristic, min_doc_count=2)
+    assert got == {q: v for q, v in want.items() if v}
+    assert "c" not in got  # absent term -> no foreground
+
+
+def test_fg_run_variant(spark):
+    rows = [("d1", "alpha beta"), ("d2", "alpha gamma"), ("d3", "beta gamma"),
+            ("d4", "delta"), ("d5", "delta beta")]
+    fg = spark.createDataFrame(
+        [("q", "d1"), ("q", "d2")], "qid string, docid string"
+    )
+    out = significant_terms(
+        _corpus_df(spark, rows), {"q": "ignored"}, k=5,
+        min_doc_count=1, fg_run=fg,
+    ).collect()
+    want = _brute(
+        rows, {"q": "ignored"}, k=5, heuristic="jlh", min_doc_count=1,
+        fg_pairs=[("q", "d1"), ("q", "d2")],
+    )
+    got = [
+        (r["term"], r["fg_df"], r["bg_df"], r["score"])
+        for r in sorted(out, key=lambda r: r["rank"])
+    ]
+    assert got == want["q"]
+    assert got[0][0] == "alpha"  # in both fg docs, 2/5 background
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="heuristic"):
+        significant_terms(
+            _corpus_df(spark, [("d", "x")]), {"q": "x"}, heuristic="bogus"
+        )
+    # stopword-only topics -> empty frame with the declared schema
+    out = significant_terms(_corpus_df(spark, [("d", "x")]), {"q": "the of"})
+    assert out.count() == 0
+    assert out.columns == ["qid", "term", "fg_df", "bg_df", "score", "rank"]
