@@ -980,6 +980,49 @@ def _q_synonym(spark, sf_dir):
     return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
 
 
+# Stored percolator queries (deterministic, corpus-vocabulary terms).
+# Edges: all-mode conjunction, any-mode with/without min_should_match,
+# repeated query terms collapse to one requirement, stopword-only query
+# registers nothing.
+_PERC_QUERIES = [
+    {"query_id": "p_all", "query": "key value table"},
+    {"query_id": "p_any", "query": "merge sort", "mode": "any"},
+    {"query_id": "p_msm", "query": "window agg batch row", "mode": "any",
+     "min_should_match": 3},
+    {"query_id": "p_rep", "query": "spark spark join"},
+    {"query_id": "p_stop", "query": "the of and"},
+]
+
+
+def _perc_rows_sql() -> str:
+    """VALUES clause of (query_id, term, n_terms, required) for the stored
+    percolator queries, analyzed exactly as the engine analyzes them."""
+    from capreolus_spark.analysis import analyze_text
+
+    rows = []
+    for q in _PERC_QUERIES:
+        terms = sorted(set(analyze_text(q["query"], stemmer="none")))
+        if not terms:
+            continue
+        required = (
+            len(terms)
+            if q.get("mode", "all") == "all"
+            else min(int(q.get("min_should_match", 1)), len(terms))
+        )
+        for t in terms:
+            rows.append(f"('{q['query_id']}', '{t}', {len(terms)}, {required})")
+    return ", ".join(rows)
+
+
+def _q_percolate(spark, sf_dir):
+    """ES percolate twin (``search/percolate.py``): the registered query
+    set matched against every document — broadcast query relation, the
+    corpus side never shuffles before the combinable match-count agg."""
+    from capreolus_spark.search.percolate import percolate
+
+    return percolate(_corpus(spark, sf_dir), _PERC_QUERIES)
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES ``significant_terms`` twin (``search/significant.py``): per-qid
     top-10 foreground-vs-background significant terms, JLH heuristic,
@@ -4382,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dph_topk": _q_dph_daat,
         "synonym_topk": _q_synonym,
         "significant_terms": _q_significant_terms,
+        "percolate_docs": _q_percolate,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
@@ -4878,6 +4922,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "percolate_docs": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "td AS (SELECT DISTINCT docid, term FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok)), "
+            f"q(query_id, term, n_terms, required) AS (VALUES {_perc_rows_sql()}) "
+            "SELECT td.docid, q.query_id, count(*) AS matched_terms, q.n_terms "
+            "FROM td JOIN q USING (term) "
+            "GROUP BY td.docid, q.query_id, q.n_terms, q.required "
+            "HAVING count(*) >= q.required"
         ),
         "significant_terms": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "

@@ -1,0 +1,105 @@
+"""Percolation — reverse search, an Elasticsearch ``percolate`` query twin.
+
+The reference only searches documents with queries; a percolator inverts
+that: a REGISTERED set of queries is matched against each incoming
+document (ES's percolator field type / Lucene's ``MemoryIndex`` loop —
+alerting, saved searches, routing).  This engine expresses it as one
+broadcast join, which is exactly the right shape at scale: the stored
+query set is small (thousands of queries × a few terms), the document
+stream is the big side and never shuffles by itself.
+
+Semantics (the term-query subset ES percolation is overwhelmingly used
+for, with the standard boolean knobs):
+
+* a stored query is ``(query_id, text, mode, min_should_match)``; its
+  text runs through the SAME analyzer as the documents;
+* ``mode="all"`` matches docs containing EVERY distinct analyzed query
+  term (Lucene BooleanQuery all-MUST); ``mode="any"`` matches docs
+  containing at least ``min_should_match`` (default 1) distinct query
+  terms (all-SHOULD with minimumShouldMatch);
+* a query whose analysis yields no terms (stopword-only) matches
+  nothing; term counts are DISTINCT-term counts (a repeated query term
+  is one requirement, like Lucene's term-set match);
+* output: ``(docid, query_id, matched_terms, n_terms)`` per match.
+
+Scale shape: one Arrow analysis pass over the docs (shared
+``analyzed_terms_df``), exploded to distinct (docid, term) pairs,
+inner-joined with the BROADCAST (query_id, term) relation — Catalyst
+keeps the corpus side shuffle-free — then one map-side-combinable
+``groupBy(docid, query_id)`` count against the per-query requirement.
+The intermediate is bounded by (doc distinct terms) × (queries sharing
+the term): the same per-doc cost ES pays walking the percolator's
+term-indexed query store.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import analyze_text
+from .oracle import analyzed_terms_df
+
+__all__ = ["percolate"]
+
+_EMPTY = "docid string, query_id string, matched_terms bigint, n_terms bigint"
+
+
+def percolate(
+    corpus: DataFrame,
+    queries: Sequence[Mapping],
+    stemmer: str = "none",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """corpus(docid, content) × stored queries → (docid, query_id,
+    matched_terms, n_terms), one row per (doc, query) match.
+
+    Each query mapping: ``query_id`` (str), ``query`` (text), optional
+    ``mode`` ("all" default | "any"), optional ``min_should_match``
+    (int ≥ 1, "any" only).
+    """
+    spark = corpus.sparkSession
+    qrows = []
+    for q in queries:
+        qid = str(q["query_id"])
+        mode = q.get("mode", "all")
+        if mode not in ("all", "any"):
+            raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+        terms = sorted(
+            set(
+                analyze_text(
+                    str(q["query"]),
+                    stemmer=stemmer,
+                    remove_stops=remove_stops,
+                    tokenizer=tokenizer,
+                )
+            )
+        )
+        if not terms:
+            continue  # stopword-only stored query matches nothing
+        msm = int(q.get("min_should_match", 1))
+        if msm < 1:
+            raise ValueError(f"min_should_match must be >= 1, got {msm}")
+        required = len(terms) if mode == "all" else min(msm, len(terms))
+        for t in terms:
+            qrows.append((qid, t, len(terms), required))
+    if not qrows:
+        return spark.createDataFrame([], _EMPTY)
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, term string, n_terms long, required long"
+    )
+
+    term_doc = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    ).select("docid", F.explode(F.array_distinct("terms")).alias("term"))
+
+    return (
+        term_doc.join(F.broadcast(qdf), "term")
+        .groupBy("docid", "query_id", "n_terms", "required")
+        .agg(F.count("*").alias("matched_terms"))
+        .filter(F.col("matched_terms") >= F.col("required"))
+        .select("docid", "query_id", "matched_terms", "n_terms")
+    )

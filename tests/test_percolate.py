@@ -1,0 +1,99 @@
+"""Percolation (search/percolate.py — ES percolate twin).
+
+Brute-force python twin plus the boolean-knob edges: all-vs-any,
+min_should_match, repeated query terms count once, stopword-only stored
+queries match nothing, validation errors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from capreolus_spark.analysis import analyze_text
+from capreolus_spark.search.percolate import percolate
+
+KW = dict(stemmer="none", remove_stops=True, tokenizer="word")
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(rows, "docid string, content string")
+
+
+def _brute(rows, queries):
+    docs = {d: set(analyze_text(c, **KW)) for d, c in rows}
+    out = set()
+    for q in queries:
+        terms = set(analyze_text(q["query"], **KW))
+        if not terms:
+            continue
+        required = (
+            len(terms)
+            if q.get("mode", "all") == "all"
+            else min(int(q.get("min_should_match", 1)), len(terms))
+        )
+        for d, ts in docs.items():
+            m = len(ts & terms)
+            if m >= required:
+                out.add((d, str(q["query_id"]), m, len(terms)))
+    return out
+
+
+ROWS = [
+    ("d1", "alpha beta gamma"),
+    ("d2", "alpha beta"),
+    ("d3", "beta gamma delta"),
+    ("d4", "epsilon"),
+    ("d5", "alpha alpha alpha"),
+]
+
+QUERIES = [
+    {"query_id": "all2", "query": "alpha beta"},                      # all (default)
+    {"query_id": "any1", "query": "gamma epsilon", "mode": "any"},
+    {"query_id": "msm2", "query": "alpha beta gamma", "mode": "any",
+     "min_should_match": 2},
+    {"query_id": "rep", "query": "alpha alpha beta"},                 # repeats = one req
+    {"query_id": "stop", "query": "the of and"},                      # matches nothing
+]
+
+
+def test_matches_brute_force(spark):
+    got = {
+        (r["docid"], r["query_id"], r["matched_terms"], r["n_terms"])
+        for r in percolate(_corpus_df(spark, ROWS), QUERIES).collect()
+    }
+    want = _brute(ROWS, QUERIES)
+    assert got == want
+    # spot-check the semantics the gate pins
+    pairs = {(d, q) for d, q, _, _ in got}
+    assert ("d1", "all2") in pairs and ("d2", "all2") in pairs
+    assert ("d5", "all2") not in pairs          # beta missing
+    assert ("d4", "any1") in pairs              # 1 of 2 suffices
+    assert ("d2", "msm2") in pairs and ("d4", "msm2") not in pairs
+    assert ("d5", "rep") not in pairs           # repeated 'alpha' is ONE term
+    assert ("d1", "rep") in pairs
+    assert all(q != "stop" for _, q in pairs)
+
+
+def test_validation_and_empty(spark):
+    c = _corpus_df(spark, ROWS)
+    with pytest.raises(ValueError, match="mode"):
+        percolate(c, [{"query_id": "x", "query": "a", "mode": "bogus"}]).collect()
+    with pytest.raises(ValueError, match="min_should_match"):
+        percolate(
+            c, [{"query_id": "x", "query": "a b", "mode": "any",
+                 "min_should_match": 0}]
+        ).collect()
+    out = percolate(c, [{"query_id": "s", "query": "the of"}])
+    assert out.count() == 0
+    assert out.columns == ["docid", "query_id", "matched_terms", "n_terms"]
+
+
+def test_broadcast_plan(spark):
+    """The stored-query side must broadcast — the doc side stays
+    shuffle-free up to the (docid, query_id) partial-agg."""
+    plan = (
+        percolate(_corpus_df(spark, ROWS), QUERIES[:2])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
