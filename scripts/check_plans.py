@@ -541,6 +541,50 @@ def main() -> None:
             )
         )
 
+        # 28. percolate: the stored-query relation broadcasts (the corpus
+        #     side must not shuffle into a sort-merge join), match count
+        #     is a map-side partial agg, analysis is Arrow-only
+        from capreolus_spark.search.percolate import percolate
+
+        pc = percolate(
+            corpus.select("docid", "content"),
+            [{"query_id": "a", "query": "def return"},
+             {"query_id": "b", "query": "sym0001 sym0002", "mode": "any"}],
+        )
+        pc.collect()
+        pcplan = pc._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "percolate broadcasts stored queries, no sort-merge, partial count",
+                "BroadcastHashJoin" in pcplan
+                and "SortMergeJoin" not in pcplan
+                and "BatchEvalPython" not in pcplan
+                and "partial_count" in pcplan,
+            )
+        )
+
+        # 29. significant_terms: query relation + fg sizes + corpus stats
+        #     broadcast; background df is a partial-agg groupBy; the only
+        #     Python is the Arrow analysis pass
+        from capreolus_spark.search.significant import significant_terms
+
+        st = significant_terms(
+            corpus.select("docid", "content"),
+            {"q1": "def return"},
+            k=5,
+            min_doc_count=1,
+        )
+        st.collect()
+        stplan = st._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "significant_terms broadcast query/sizes/stats, arrow-only python, partial agg",
+                stplan.count("BroadcastHashJoin") >= 2
+                and "BatchEvalPython" not in stplan
+                and "partial_count" in stplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
