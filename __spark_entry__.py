@@ -1912,6 +1912,54 @@ SELECT qid, facet, cnt, rank FROM (
 """
 
 
+_TOP_HITS_N = 2
+
+_TOP_HITS_ORACLE_SQL = f"""
+WITH run AS ({{SYNTH_RUN}}), top AS (
+  SELECT qid, docid, score FROM (
+    SELECT qid, docid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn
+    FROM run
+  ) WHERE rn <= {_FACET_RUN_TOPN}
+), joined AS (
+  SELECT t.qid, coalesce(d.lang, '(none)') AS facet, t.docid, t.score
+  FROM top t JOIN documents d ON cast(d.doc_id AS varchar) = t.docid
+)
+SELECT qid, facet, docid, round(score, 4) AS score, hit_rank FROM (
+  SELECT qid, facet, docid, score,
+         cast(row_number() OVER (
+           PARTITION BY qid, facet ORDER BY score DESC, docid ASC
+         ) AS int) AS hit_rank
+  FROM joined
+) WHERE hit_rank <= {_TOP_HITS_N}
+"""
+
+
+def _q_top_hits(spark, sf_dir):
+    """ES ``top_hits``-inside-``terms`` twin (search/facets.py top_hits):
+    the best {n} docs per (qid, lang bucket) of the synthetic run's
+    per-qid top-20 — broadcast-run ⋈ pruned corpus scan, per-bucket
+    (score desc, docid asc) window."""
+    from pyspark.sql import Window
+
+    from capreolus_spark.search.facets import top_hits
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    top = (
+        _synth_run(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FACET_RUN_TOPN)
+        .select("qid", "docid", "score")
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("docid"), "lang"
+    )
+    out = top_hits(top, docs, "lang", n=_TOP_HITS_N)
+    return out.select(
+        "qid", "facet", "docid", F.round("score", 4).alias("score"), "hit_rank"
+    )
+
+
 def _q_run_facets(spark, sf_dir):
     """Search facets (search/facets.py — Lucene FacetsCollector twin):
     lang-facet counts over the synthetic run's per-qid top-20,
@@ -4442,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "mlt_topk": _q_mlt_search,
         "run_facets": _q_run_facets,
+        "top_hits_facets": _q_top_hits,
         "score_explain": _q_score_explain,
         "index_checkindex": _q_index_checkindex,
         "dismax_topk": _q_dismax_search,
@@ -4650,6 +4699,7 @@ def oracle_sql() -> dict[str, str]:
     spell = _SPELL_ORACLE_SQL.replace("{TERM_ROWS}", _spell_term_rows_sql())
     mlt = _MLT_ORACLE_SQL.replace("{TOPIC_ROWS}", _mlt_topic_rows_sql())
     facets = _FACET_ORACLE_SQL.replace("{SYNTH_RUN}", _SYNTH_RUN_SQL)
+    tophits = _TOP_HITS_ORACLE_SQL.replace("{SYNTH_RUN}", _SYNTH_RUN_SQL)
     explain = _EXPLAIN_ORACLE_SQL.replace(
         "{QUERY_ROWS}", _explain_rows_sql()
     ).replace("{PAIR_ROWS}", _explain_pair_rows_sql())
@@ -4784,6 +4834,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": spell,
         "mlt_topk": mlt,
         "run_facets": facets,
+        "top_hits_facets": tophits,
         "score_explain": explain,
         "index_checkindex": checkidx,
         "dismax_topk": _DISMAX_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),

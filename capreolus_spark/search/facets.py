@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["facet_counts"]
+__all__ = ["facet_counts", "top_hits"]
 
 
 def facet_counts(
@@ -62,4 +62,35 @@ def facet_counts(
     return out.select(
         "qid", "facet", F.col("cnt").cast("bigint").alias("cnt"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def top_hits(
+    run: DataFrame,
+    corpus: DataFrame,
+    facet_col: str,
+    n: int = 3,
+    id_col: str = "docid",
+) -> DataFrame:
+    """Elasticsearch ``top_hits``-inside-``terms`` twin: per (qid, facet
+    bucket) the top-``n`` retrieved documents by (score desc, docid asc).
+
+    Unlike :func:`facet_counts` (how MANY hits per bucket) this returns
+    WHICH hits lead each bucket — the "best match per language / source"
+    serving pattern.  Same scale shape: the top-k-bounded run broadcasts
+    into a pruned (id, facet) corpus scan, and the per-bucket window runs
+    over ≤ run-size rows per qid.  Output: ``(qid, facet, docid, score,
+    hit_rank)``.
+    """
+    docs = corpus.select(
+        F.col(id_col).alias("docid"),
+        F.coalesce(F.col(facet_col).cast("string"), F.lit("(none)")).alias("facet"),
+    )
+    hits = run.select("qid", "docid", "score")
+    joined = docs.join(F.broadcast(hits), "docid")
+    w = Window.partitionBy("qid", "facet").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        joined.withColumn("hit_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("hit_rank") <= n)
+        .select("qid", "facet", "docid", "score", "hit_rank")
     )

@@ -74,6 +74,35 @@ def test_facet_null_bucket(spark, fcorpus):
     assert len(out) == 1 and out[0]["facet"] == "(none)"
 
 
+SCORED_RUN = [
+    # (qid, docid, score) — d1/d2 are py, d3/d4 go, d6 NULL-lang
+    ("q1", "d1", 3.0), ("q1", "d2", 2.0), ("q1", "d3", 2.5),
+    ("q1", "d4", 1.0), ("q1", "d6", 0.5),
+    ("q2", "d3", 1.0), ("q2", "d4", 1.0),  # tie -> docid asc breaks it
+]
+
+
+def test_top_hits_per_bucket(spark, fcorpus):
+    from capreolus_spark.search.facets import top_hits
+
+    run = spark.createDataFrame(SCORED_RUN, "qid string, docid string, score double")
+    out = top_hits(run, fcorpus, "lang", n=1).collect()
+    best = {(r["qid"], r["facet"]): (r["docid"], r["score"]) for r in out}
+    assert all(r["hit_rank"] == 1 for r in out)
+    assert best[("q1", "py")] == ("d1", 3.0)       # beats d2
+    assert best[("q1", "go")] == ("d3", 2.5)       # beats d4
+    assert best[("q1", "(none)")] == ("d6", 0.5)   # NULL lang bucket
+    assert best[("q2", "go")] == ("d3", 1.0)       # tie broken docid asc
+
+    # n=2 keeps the runner-up with hit_rank 2
+    out2 = top_hits(run, fcorpus, "lang", n=2).collect()
+    q1py = sorted(
+        [(r["hit_rank"], r["docid"]) for r in out2
+         if r["qid"] == "q1" and r["facet"] == "py"]
+    )
+    assert q1py == [(1, "d1"), (2, "d2")]
+
+
 @pytest.fixture(scope="module")
 def exp_index(spark, tmp_path_factory):
     corpus = spark.createDataFrame(
