@@ -1014,6 +1014,17 @@ def _perc_rows_sql() -> str:
     return ", ".join(rows)
 
 
+def _q_cardinality_kmv(spark, sf_dir):
+    """KMV cardinality sketch (``textproc/sketch.py``) in its provably
+    exact configuration: k = 2^20 exceeds every lang group's true
+    distinct-text count at all gate scales, so the sketch keeps every
+    hash and the estimate IS count(DISTINCT text) — the approximate
+    regime is pytest-bounded (5σ of the published 1/√(k−2) RSE)."""
+    from capreolus_spark.textproc.sketch import cardinality_kmv
+
+    return cardinality_kmv(_docs(spark, sf_dir), "text", k=1 << 20, by=["lang"])
+
+
 def _q_percolate(spark, sf_dir):
     """ES percolate twin (``search/percolate.py``): the registered query
     set matched against every document — broadcast query relation, the
@@ -4474,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym,
         "significant_terms": _q_significant_terms,
         "percolate_docs": _q_percolate,
+        "cardinality_kmv": _q_cardinality_kmv,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
@@ -4973,6 +4985,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "cardinality_kmv": (
+            "SELECT lang, count(DISTINCT text) AS n_kept, "
+            "cast(count(DISTINCT text) AS DOUBLE) AS estimate, true AS exact "
+            "FROM documents WHERE text IS NOT NULL GROUP BY lang"
         ),
         "percolate_docs": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "

@@ -1,0 +1,97 @@
+"""KMV cardinality sketch — a distributed distinct-count estimator.
+
+Elasticsearch's ``cardinality`` aggregation and every warehouse's
+``approx_count_distinct`` answer "how many distinct values" with a
+bounded-memory sketch.  This operator implements the K-Minimum-Values
+sketch (Bar-Yossef et al. 2002; unbiased estimator from Beyer et al.,
+SIGMOD 2007) with the engine's md5-portable hash convention
+(``textproc/hashing.py``), so — unlike HLL — a *provably exact
+configuration exists*: with ``k`` at least the true cardinality the
+sketch keeps every distinct hash and the answer IS the exact distinct
+count, which is what lets the external DuckDB gate hash-verify the
+operator end-to-end (the approximate regime is pytest-bounded instead).
+
+Math: hash every value to a uniform double in [0, 1) (md5-60, engine
+portable); keep the ``k`` smallest DISTINCT hashes per group.  If fewer
+than ``k`` survive, that count is exact.  Otherwise the k-th smallest
+hash ``h_(k)`` estimates density and ``(k-1)/h_(k)`` is the unbiased
+cardinality estimate, with relative standard error ≈ 1/√(k−2).
+
+Scale shape: one projection to (group, h) + a combinable DISTINCT
+(map-side partial dedup), then a NARROW per-partition pandas min-k cut
+(no shuffle; memory bounded by k × groups per partition) so the per-group
+window never sees more than partitions × k rows — the same two-stage
+top-k discipline as the searcher family's ``_global_topk_cut``; without
+it the window would sort the full distinct-hash set, i.e. the
+cardinality itself.  NULL values are ignored (SQL ``count(DISTINCT)``
+semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_hash60_unit
+
+__all__ = ["cardinality_kmv"]
+
+
+def cardinality_kmv(
+    df: DataFrame,
+    col: str,
+    k: int = 1024,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-``by``-group distinct-count estimate of ``col``.
+
+    Returns ``(*by, n_kept bigint, estimate double, exact boolean)`` —
+    ``exact`` is true when the group had fewer than ``k`` distinct
+    values (the estimate equals the true distinct count).  With no
+    ``by`` a single global row is returned (group columns omitted).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = list(by or [])
+    gcols = by or [F.lit(0).alias("_g")]
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(*gcols, md5_hash60_unit(F.col(col).cast("string")).alias("h"))
+        .distinct()
+    )
+    gnames = by or ["_g"]
+
+    def precut(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # narrow per-partition min-k: keep each group's k smallest hashes
+        # seen in THIS partition — the global k smallest survive by
+        # definition, everything else can never enter the sketch
+        acc: dict[tuple, pd.DataFrame] = {}
+        for pdf in it:
+            for key, grp in pdf.groupby(gnames, dropna=False, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                prev = acc.get(kt)
+                both = grp if prev is None else pd.concat((prev, grp))
+                acc[kt] = both.nsmallest(k, "h")
+        if acc:
+            yield pd.concat(list(acc.values()), ignore_index=True)
+
+    pre = hashed.mapInPandas(precut, schema=hashed.schema)
+    w = Window.partitionBy(*gnames).orderBy(F.asc("h"))
+    kept = pre.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    out = kept.groupBy(*gnames).agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / F.col("_hk"))
+    out = out.select(
+        *by,
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        est.alias("estimate"),
+        (F.col("n_kept") < k).alias("exact"),
+    )
+    return out

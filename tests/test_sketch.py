@@ -1,0 +1,91 @@
+"""KMV cardinality sketch (textproc/sketch.py).
+
+Exact regime (k > true cardinality) must equal count-distinct everywhere;
+approximate regime must land within the published KMV error bound; the
+narrow pre-cut must not change results vs a no-precut reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.sketch import cardinality_kmv
+
+
+def _df(spark, rows, schema="g string, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_exact_regime_equals_count_distinct(spark):
+    rows = [(f"g{i % 3}", f"v{i % 57}") for i in range(500)]
+    rows += [("g0", None)] * 5  # NULLs ignored
+    df = _df(spark, rows)
+    got = {
+        r["g"]: (r["n_kept"], r["estimate"], r["exact"])
+        for r in cardinality_kmv(df, "v", k=1024, by=["g"]).collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g, n in want.items():
+        assert got[g] == (n, float(n), True), g
+
+
+def test_approximate_regime_error_bound(spark):
+    n = 20000
+    df = _df(spark, [(0, f"value-{i}") for i in range(n)], "g int, v string")
+    k = 512
+    row = cardinality_kmv(df, "v", k=k, by=["g"]).collect()[0]
+    assert row["exact"] is False and row["n_kept"] == k
+    # KMV relative standard error ~ 1/sqrt(k-2); allow 5 sigma
+    rse = 1.0 / math.sqrt(k - 2)
+    assert abs(row["estimate"] - n) / n < 5 * rse
+
+
+def test_global_no_by(spark):
+    df = _df(spark, [("x", f"v{i % 9}") for i in range(40)])
+    rows = cardinality_kmv(df, "v", k=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_kept"] == 9 and rows[0]["estimate"] == 9.0 and rows[0]["exact"]
+    assert rows[0].asDict().keys() == {"n_kept", "estimate", "exact"}
+
+
+def test_precut_matches_windowed_reference(spark):
+    """The narrow per-partition min-k prune must be invisible: same kept
+    hash set as a plain global window (computed here via the exact-k
+    boundary: estimate depends on the k-th smallest hash only)."""
+    rows = [(f"g{i % 2}", f"u{i}") for i in range(3000)]
+    df = _df(spark, rows).repartition(13)  # many partitions -> precut active
+    k = 64
+    got = {
+        r["g"]: r["estimate"]
+        for r in cardinality_kmv(df, "v", k=k, by=["g"]).collect()
+    }
+    # reference: k-th smallest md5-60 unit hash per group, computed plainly
+    from capreolus_spark.textproc.hashing import md5_hash60_unit
+
+    ref = {}
+    for g in ("g0", "g1"):
+        hs = sorted(
+            r["h"]
+            for r in df.filter(F.col("g") == g)
+            .select(md5_hash60_unit(F.col("v").cast("string")).alias("h"))
+            .distinct()
+            .collect()
+        )
+        ref[g] = (k - 1) / hs[k - 1]
+    for g in ref:
+        assert got[g] == pytest.approx(ref[g], rel=1e-12), g
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        cardinality_kmv(_df(spark, [("g", "v")]), "v", k=1)
