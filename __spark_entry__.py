@@ -1014,6 +1014,32 @@ def _perc_rows_sql() -> str:
     return ", ".join(rows)
 
 
+_SUGGEST_PREFIXES = ["s", "b", "v", "zz"]  # multi-expansion seeks; 'zz' empty
+
+
+def _q_suggest_prefix(spark, sf_dir):
+    """Prefix autocomplete (search/spell.py suggest_prefix — Lucene
+    prefix TermsEnum / ES completion analogue): top-8 dictionary terms
+    per prefix by (df desc, term asc), pushed-down StartsWith scans."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.spell import suggest_prefix
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    return suggest_prefix(idx, _SUGGEST_PREFIXES, k=8)
+
+
+def _q_histogram_nchars(spark, sf_dir):
+    """ES ``histogram`` aggregation twin (search/facets.py
+    histogram_counts): 200-char n_chars buckets per lang, ES floor-key
+    rule, sparse buckets only."""
+    from capreolus_spark.search.facets import histogram_counts
+
+    return histogram_counts(_docs(spark, sf_dir), "n_chars", 200.0, by="lang")
+
+
 def _q_cardinality_kmv(spark, sf_dir):
     """KMV cardinality sketch (``textproc/sketch.py``) in its provably
     exact configuration: k = 2^20 exceeds every lang group's true
@@ -4486,6 +4512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "percolate_docs": _q_percolate,
         "cardinality_kmv": _q_cardinality_kmv,
+        "suggest_prefix": _q_suggest_prefix,
+        "histogram_nchars": _q_histogram_nchars,
         "function_score_topk": _q_function_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
@@ -4985,6 +5013,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM scored) "
             f"WHERE rf <= {_GATE_HITS}) "
             f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "suggest_prefix": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "td AS (SELECT DISTINCT docid, term FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok)), "
+            "dfx AS (SELECT term, count(*) AS df FROM td GROUP BY term), "
+            "p(prefix) AS (VALUES ('s'), ('b'), ('v'), ('zz')), "
+            "cand AS (SELECT p.prefix, d.term, d.df FROM p JOIN dfx d "
+            "ON d.term LIKE p.prefix || '%') "
+            "SELECT prefix, suggestion, df, rank FROM "
+            "(SELECT prefix, term AS suggestion, cast(df AS bigint) AS df, "
+            "cast(row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS int) AS rank "
+            "FROM cand) WHERE rank <= 8"
+        ),
+        "histogram_nchars": (
+            "SELECT lang, floor(n_chars / 200.0) * 200.0 AS bucket, "
+            "count(*) AS cnt FROM documents WHERE n_chars IS NOT NULL "
+            "GROUP BY lang, bucket HAVING count(*) >= 1"
         ),
         "cardinality_kmv": (
             "SELECT lang, count(DISTINCT text) AS n_kept, "

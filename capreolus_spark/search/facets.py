@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["facet_counts", "top_hits"]
+__all__ = ["facet_counts", "histogram_counts", "top_hits"]
 
 
 def facet_counts(
@@ -62,6 +62,43 @@ def facet_counts(
     return out.select(
         "qid", "facet", F.col("cnt").cast("bigint").alias("cnt"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def histogram_counts(
+    df: DataFrame,
+    col: str,
+    interval: float,
+    by: str | None = None,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Elasticsearch ``histogram`` aggregation twin: fixed-interval
+    numeric buckets, ``bucket = floor(value / interval) · interval``
+    (ES's exact key rule), counted per optional ``by`` group.
+
+    Returns ``(*by, bucket double, cnt bigint)`` for buckets with at
+    least ``min_doc_count`` docs (ES skips empty buckets unless asked —
+    the sparse convention here).  NULL values contribute nothing.
+    One projection + one map-side-combinable groupBy.
+    """
+    if interval <= 0:
+        raise ValueError(f"interval must be > 0, got {interval}")
+    bucket = (
+        F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).alias("bucket")
+    gcols = ([F.col(by)] if by else []) + [bucket]
+    out = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*gcols)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_doc_count)
+    )
+    names = ([by] if by else []) + ["bucket"]
+    return out.select(
+        *names[:-1],
+        F.col("bucket").cast("double").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
     )
 
 

@@ -34,9 +34,58 @@ from pyspark.sql import functions as F
 from ..analysis import analyze_text
 from ..index import InvertedIndex
 
-__all__ = ["SpellChecker"]
+__all__ = ["SpellChecker", "suggest_prefix"]
 
 _MODES = ("not_in_index", "more_popular", "always")
+
+
+def suggest_prefix(
+    index: InvertedIndex,
+    prefixes: list[str],
+    k: int = 8,
+    min_df: int = 1,
+) -> DataFrame:
+    """Prefix autocomplete — a Lucene prefix ``TermsEnum`` seek / ES
+    completion-suggester analogue over the term dictionary, weighted by
+    document frequency.
+
+    ``(prefix, suggestion, df, rank)`` — per input prefix the top-``k``
+    dictionary terms starting with it, ranked (df desc, term asc).
+    Prefixes are lowercased (the analyzer lowercases at index time) but
+    NOT stemmed — an autocomplete input is a surface fragment, stemming
+    a partial word would seek the wrong dictionary region.
+
+    Scale shape: one pushed-down ``StartsWith`` dictionary scan per
+    prefix (the dictionary is written term-sorted, so parquet min/max
+    row-group pruning makes each seek near-logical), unioned; the
+    per-prefix rank window sees only that prefix's dictionary slice.
+    """
+    spark = index.spark
+    schema = "prefix string, suggestion string, df bigint, rank int"
+    cleaned = [p.strip().lower() for p in prefixes if p and p.strip()]
+    if not cleaned:
+        return spark.createDataFrame([], schema)
+    d = index.dict_df().select("term", "df").filter(F.col("df") >= min_df)
+    parts = [
+        d.filter(F.col("term").startswith(p)).select(
+            F.lit(p).alias("prefix"), "term", "df"
+        )
+        for p in dict.fromkeys(cleaned)
+    ]
+    allp = parts[0]
+    for extra in parts[1:]:
+        allp = allp.unionByName(extra)
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        allp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "prefix",
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
 
 
 class SpellChecker:

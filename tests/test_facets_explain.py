@@ -74,6 +74,27 @@ def test_facet_null_bucket(spark, fcorpus):
     assert len(out) == 1 and out[0]["facet"] == "(none)"
 
 
+def test_histogram_counts(spark):
+    from capreolus_spark.search.facets import histogram_counts
+
+    rows = [("py", 10), ("py", 199), ("py", 200), ("go", 401), ("go", None)]
+    df = spark.createDataFrame(rows, "lang string, n int")
+    got = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in histogram_counts(df, "n", 200.0, by="lang").collect()
+    }
+    # ES floor-key rule: 10,199 -> 0.0; 200 -> 200.0; 401 -> 400.0; NULL dropped
+    assert got == {("py", 0.0): 2, ("py", 200.0): 1, ("go", 400.0): 1}
+    # global (no by), min_doc_count prunes sparse buckets
+    got2 = {
+        r["bucket"]: r["cnt"]
+        for r in histogram_counts(df, "n", 200.0, min_doc_count=2).collect()
+    }
+    assert got2 == {0.0: 2}
+    with pytest.raises(ValueError, match="interval"):
+        histogram_counts(df, "n", 0)
+
+
 SCORED_RUN = [
     # (qid, docid, score) — d1/d2 are py, d3/d4 go, d6 NULL-lang
     ("q1", "d1", 3.0), ("q1", "d2", 2.0), ("q1", "d3", 2.5),

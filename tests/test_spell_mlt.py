@@ -235,3 +235,29 @@ def test_factory_registration(small_index):
     assert isinstance(create_searcher("mlt", small_index), MoreLikeThisSearcher)
     assert isinstance(create_searcher("regexp", small_index), RegexpSearcher)
     assert isinstance(create_searcher("wildcard", small_index), WildcardSearcher)
+
+
+def test_suggest_prefix_autocomplete(small_index):
+    from capreolus_spark.search.spell import suggest_prefix
+
+    out = suggest_prefix(small_index, ["s", "TAB", "zz", "", "s"], k=2).collect()
+    by_prefix = {}
+    for r in sorted(out, key=lambda r: (r["prefix"], r["rank"])):
+        by_prefix.setdefault(r["prefix"], []).append((r["suggestion"], r["df"]))
+    # 's' -> scan (df 2) and stream (df 2), df-then-term order; 'probe'
+    # doesn't start with s; k=2 caps the list
+    assert by_prefix["s"] == [("scan", 2), ("stream", 2)]
+    # prefixes are lowercased; dup/empty inputs collapse
+    assert by_prefix["tab"][0] == ("table", 4)
+    assert "zz" not in by_prefix
+    assert set(by_prefix) == {"s", "tab"}
+
+
+def test_suggest_prefix_min_df_and_empty(small_index):
+    from capreolus_spark.search.spell import suggest_prefix
+
+    out = suggest_prefix(small_index, ["u"], k=5, min_df=2).collect()
+    assert out == []  # 'unrelated' has df 1
+    empty = suggest_prefix(small_index, ["  ", ""], k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["prefix", "suggestion", "df", "rank"]
