@@ -15,7 +15,12 @@ term~N wild*cards [lo TO hi] (groups)^boost`); extra scorer config goes
 through repeated ``--param key=value`` flags (e.g. ``--param delta=0.5``
 for BM25Plus/BM25L, ``--param beta=0.75 --param fbDocs=10`` for
 Rocchio, ``--searcher collapse --param key=repo`` for one-best-hit-per-
-repository field collapsing).
+repository field collapsing).  PL2 and DPH (DFR) are registered too
+(``--param c=1.0`` for PL2).  ``--searcher synonym`` reads its groups
+from ``--synonyms FILE`` in the Solr/Elasticsearch ``synonyms.txt``
+equivalence-class format: one comma-separated group per line,
+``#``-comments and blank lines ignored (explicit-mapping ``=>`` lines
+are rejected — this searcher implements equivalence classes).
 """
 
 from __future__ import annotations
@@ -37,6 +42,11 @@ def main() -> None:
         help="extra searcher config as key=value (repeatable)",
     )
     ap.add_argument("--tag", default="capreolus_spark")
+    ap.add_argument(
+        "--synonyms", default=None,
+        help="Solr/ES synonyms.txt (comma-separated equivalence classes) "
+        "for --searcher synonym",
+    )
     ap.add_argument(
         "--bench-reps", type=int, default=0,
         help="bench mode: after one untimed warm-up batch, run the full "
@@ -65,6 +75,22 @@ def main() -> None:
     for kv in args.param:
         k, _, v = kv.partition("=")
         cfg[k] = _coerce(v)
+    if args.synonyms:
+        groups = []
+        with open(args.synonyms) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if "=>" in line:
+                    raise SystemExit(
+                        "--synonyms: explicit-mapping '=>' lines are not "
+                        "supported (equivalence classes only)"
+                    )
+                group = [w.strip() for w in line.split(",") if w.strip()]
+                if len(group) >= 2:
+                    groups.append(group)
+        cfg["synonyms"] = groups
 
     spark = SparkSession.builder.appName("capreolus_spark_search").getOrCreate()
     idx = InvertedIndex(spark, args.index_dir)
