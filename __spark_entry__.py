@@ -2932,6 +2932,60 @@ def _q_event_props(spark, sf_dir):
     return props_stats(_events(spark, sf_dir), key="k")
 
 
+#: ES `range` agg gate buckets — half-open [lo, hi), `None` = unbounded;
+#: "100-*" deliberately overlaps "50-200" (ES ranges count independently).
+_AGG_RANGES = [
+    ("*-10", None, 10.0),
+    ("10-50", 10.0, 50.0),
+    ("50-200", 50.0, 200.0),
+    ("100-*", 100.0, None),
+]
+
+
+def _q_date_histogram(spark, sf_dir):
+    """ES ``date_histogram`` calendar_interval twin (search/facets.py
+    date_histogram_counts): per-event_type daily buckets via date_trunc
+    (calendar rule — weeks start Monday, months vary in span), sparse."""
+    from capreolus_spark.search.facets import date_histogram_counts
+
+    return date_histogram_counts(_events(spark, sf_dir), "ts", "day", by="event_type")
+
+
+def _q_range_counts(spark, sf_dir):
+    """ES ``range`` aggregation twin (search/facets.py range_counts):
+    explicit half-open value buckets incl. an overlapping one (shared
+    rows count in BOTH — the ES independence rule), zero-count buckets
+    emitted, per event_type."""
+    from capreolus_spark.search.facets import range_counts
+
+    return range_counts(_events(spark, sf_dir), "value", _AGG_RANGES, by="event_type")
+
+
+def _q_extended_stats(spark, sf_dir):
+    """ES ``extended_stats`` twin (search/facets.py extended_stats):
+    count/min/max/sum/avg/sum_sq + population AND sampling variance/std
+    per event_type.  Exact-decimal sums make every column deterministic
+    under any partitioning; floats are 6dp-rounded for the cross-engine
+    hash (both engines derive variance from identical exact sums via the
+    ES sum_sq/n − mean² identity, so 6dp is safe at every sf)."""
+    from capreolus_spark.search.facets import extended_stats
+
+    out = extended_stats(_events(spark, sf_dir), "value", by="event_type")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("sum_sq", 6).alias("sum_sq"),
+        F.round("var_pop", 6).alias("var_pop"),
+        F.round("std_pop", 6).alias("std_pop"),
+        F.round("var_samp", 6).alias("var_samp"),
+        F.round("std_samp", 6).alias("std_samp"),
+    )
+
+
 def _q_total_samples(spark, sf_dir):
     from capreolus_spark.sampler import sample_counts
 
@@ -4584,6 +4638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_triplets": _q_triplets,
         "sessionize_events": _q_sessionize,
         "event_props_stats": _q_event_props,
+        "date_histogram_day": _q_date_histogram,
+        "range_value_counts": _q_range_counts,
+        "extended_stats_value": _q_extended_stats,
         "ann_cosine_topk": _q_ann_cosine,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         # two-pass / sampled searchers — ALL hash-gated too (their SQL
@@ -5914,6 +5971,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, cast(count(*) AS bigint) AS n_events, "
             "cast(count(k) AS bigint) AS n_with_key, round(avg(k), 6) AS avg_key, "
             "round(avg(value), 6) AS avg_value FROM e GROUP BY event_type"
+        ),
+        "date_histogram_day": (
+            "SELECT event_type, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "cast(count(*) AS bigint) AS cnt FROM events WHERE ts IS NOT NULL "
+            "GROUP BY event_type, bucket HAVING count(*) >= 1"
+        ),
+        "range_value_counts": (
+            "WITH r(key, lo, hi) AS (VALUES "
+            + ", ".join(
+                "('{}', {}, {})".format(
+                    k,
+                    "cast(NULL AS DOUBLE)" if lo is None else float(lo),
+                    "cast(NULL AS DOUBLE)" if hi is None else float(hi),
+                )
+                for k, lo, hi in _AGG_RANGES
+            )
+            + "), g AS (SELECT DISTINCT event_type FROM events), "
+            "hit AS (SELECT e.event_type, r.key, count(*) AS cnt "
+            "FROM events e JOIN r ON e.value IS NOT NULL "
+            "AND (r.lo IS NULL OR e.value >= r.lo) "
+            "AND (r.hi IS NULL OR e.value < r.hi) GROUP BY 1, 2) "
+            "SELECT g.event_type, r.key, cast(coalesce(hit.cnt, 0) AS bigint) AS cnt "
+            "FROM g CROSS JOIN r LEFT JOIN hit "
+            "ON hit.event_type = g.event_type AND hit.key = r.key"
+        ),
+        # exact decimal(18,6) sums (associative => partition-order-free in
+        # Spark, single-threaded in DuckDB — identical values), variance
+        # derived from them via the ES sum_sq/n - mean^2 identity in double
+        # with the same clamp, so 6dp rounding is deterministic both sides.
+        "extended_stats_value": (
+            "WITH a AS (SELECT event_type, cast(count(value) AS bigint) AS n, "
+            "min(value) AS min_v, max(value) AS max_v, "
+            "cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS s, "
+            "cast(sum(cast(value AS DECIMAL(18,6)) * cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sq "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT event_type, n, round(min_v, 6) AS min_v, round(max_v, 6) AS max_v, "
+            "round(s, 6) AS sum_v, round(s / n, 6) AS avg_v, round(sq, 6) AS sum_sq, "
+            "round(greatest(0, sq / n - (s / n) * (s / n)), 6) AS var_pop, "
+            "round(sqrt(greatest(0, sq / n - (s / n) * (s / n))), 6) AS std_pop, "
+            "round(CASE WHEN n > 1 THEN greatest(0, (sq - s * s / n) / (n - 1)) END, 6) AS var_samp, "
+            "round(CASE WHEN n > 1 THEN sqrt(greatest(0, (sq - s * s / n) / (n - 1))) END, 6) AS std_samp "
+            "FROM a"
         ),
         "training_triplets": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

@@ -27,7 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["facet_counts", "histogram_counts", "top_hits"]
+__all__ = [
+    "facet_counts",
+    "histogram_counts",
+    "date_histogram_counts",
+    "range_counts",
+    "extended_stats",
+    "top_hits",
+]
+
+#: calendar units ES's ``calendar_interval`` accepts that Spark's
+#: ``date_trunc`` implements with identical boundaries (weeks start
+#: Monday in Spark, DuckDB, and ES alike).
+_CALENDAR_UNITS = frozenset(
+    {"hour", "day", "week", "month", "quarter", "year"}
+)
 
 
 def facet_counts(
@@ -99,6 +113,172 @@ def histogram_counts(
         *names[:-1],
         F.col("bucket").cast("double").alias("bucket"),
         F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+def date_histogram_counts(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    by: str | None = None,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Elasticsearch ``date_histogram`` (``calendar_interval``) twin:
+    calendar-aligned time buckets, ``bucket = date_trunc(interval, ts)``
+    — the variable-length calendar rule (months/quarters/years differ in
+    span; weeks start Monday), NOT a fixed epoch division, which is
+    exactly what distinguishes ES's ``calendar_interval`` from
+    ``fixed_interval``.  For fixed-width buckets use
+    :func:`histogram_counts` over ``unix_timestamp(ts)``.
+
+    Returns ``(*by, bucket string 'yyyy-MM-dd HH:mm:ss', cnt bigint)``
+    for buckets with at least ``min_doc_count`` events, sparse (present
+    buckets only — ES's dense zero-fill is a serving-side concern; at
+    corpus scale materializing empty buckets is the wrong default).
+    NULL timestamps contribute nothing.  One projection + one map-side-
+    combinable groupBy — the shuffle carries at most groups × buckets
+    rows regardless of input size.
+    """
+    if interval not in _CALENDAR_UNITS:
+        raise ValueError(
+            f"interval must be one of {sorted(_CALENDAR_UNITS)}, got {interval!r}"
+        )
+    bucket = F.date_format(
+        F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    ).alias("bucket")
+    gcols = ([F.col(by)] if by else []) + [bucket]
+    out = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_doc_count)
+    )
+    names = ([by] if by else []) + ["bucket"]
+    return out.select(*names, F.col("cnt").cast("bigint").alias("cnt"))
+
+
+def range_counts(
+    df: DataFrame,
+    col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``range`` aggregation twin: explicit half-open
+    buckets ``lo <= value < hi`` (the ES membership rule), each range
+    counted INDEPENDENTLY — overlapping ranges each count a shared row,
+    just like ES (a row can land in several buckets; bucket counts need
+    not sum to the row count).
+
+    ``ranges`` is ``[(key, lo, hi), ...]`` with ``None`` for an unbounded
+    edge (ES's missing ``from``/``to``).  Returns ``(*by, key, cnt)``
+    including zero-count ranges (ES range buckets are always emitted —
+    unlike histogram, the bucket list is caller-fixed, so density is
+    free).  NULL values contribute nothing.
+
+    One pass: rows fan out across a LITERAL range array (constant
+    ``len(ranges)`` factor, whole-stage codegen, no UDF), membership
+    filters, then a combinable groupBy; the zero-fill is a broadcast-size
+    cross of the observed ``by`` groups with the range list.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    keys = [k for k, _, _ in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"range keys must be unique, got {keys}")
+    rng = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.lit(float(lo) if lo is not None else None)
+                .cast("double")
+                .alias("lo"),
+                F.lit(float(hi) if hi is not None else None)
+                .cast("double")
+                .alias("hi"),
+            )
+            for k, lo, hi in ranges
+        ]
+    )
+    v = F.col(col).cast("double")
+    gcols = [by] if by else []
+    hit = (
+        df.filter(F.col(col).isNotNull())
+        .select(*gcols, v.alias("_v"), F.explode(rng).alias("r"))
+        .filter(
+            (F.col("r.lo").isNull() | (F.col("_v") >= F.col("r.lo")))
+            & (F.col("r.hi").isNull() | (F.col("_v") < F.col("r.hi")))
+        )
+        .groupBy(*gcols, F.col("r.key").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # zero-fill: every (observed group) x (range key) emits a bucket
+    groups = df.select(*gcols).distinct() if by else df.sparkSession.range(1).select()
+    shell = groups.crossJoin(
+        df.sparkSession.createDataFrame([(k,) for k in keys], "key string")
+    )
+    out = shell.join(hit, gcols + ["key"], "left").select(
+        *gcols, "key", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
+    return out
+
+
+def extended_stats(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``extended_stats`` aggregation twin: per optional
+    ``by`` group — count, min, max, sum, avg, sum_of_squares, population
+    variance/std (ES's ``variance_population``; its plain ``variance``
+    alias) and the sampling variants (``variance_sampling``; NULL when
+    n < 2).  NULL values contribute nothing (ES metric aggs skip missing
+    fields).
+
+    Determinism at scale: a plain double ``sum`` is partition-order
+    dependent (floating addition is not associative — AQE re-splits
+    change the last ulps, and a 100 TB sum drifts far beyond them), so
+    the moments are accumulated as EXACT decimals — the input is
+    taken at 6-decimal precision (``decimal(18,6)``; analytics-agg
+    semantics, documented contract) and the decimal sums are exact and
+    associative, hence bit-identical under any partitioning.  Variance
+    is then derived with ES's own ``sum_sq/n − mean²`` identity from
+    those exact sums (clamped at 0 — the identity's tiny-negative
+    artifact ES itself guards against), so every output column is a
+    deterministic function of the multiset of values.  All aggregates
+    are combinable — one map-side-partial groupBy, the shuffle carries
+    one row per group.
+    """
+    vd = F.col(col).cast("decimal(18,6)")
+    gcols = [by] if by else []
+    base = df.filter(F.col(col).isNotNull())
+    agg = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(
+        F.count(vd).cast("bigint").alias("n"),
+        F.min(F.col(col).cast("double")).alias("min_v"),
+        F.max(F.col(col).cast("double")).alias("max_v"),
+        F.sum(vd).alias("_sum_dec"),
+        F.sum(vd * vd).alias("_sumsq_dec"),
+    )
+    s = F.col("_sum_dec").cast("double")
+    sq = F.col("_sumsq_dec").cast("double")
+    n = F.col("n").cast("double")
+    mean = s / n
+    var_pop = F.greatest(F.lit(0.0), sq / n - mean * mean)
+    var_samp = F.when(
+        F.col("n") > 1,
+        F.greatest(F.lit(0.0), (sq - s * s / n) / (n - F.lit(1.0))),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "min_v",
+        "max_v",
+        s.alias("sum_v"),
+        mean.alias("avg_v"),
+        sq.alias("sum_sq"),
+        var_pop.alias("var_pop"),
+        F.sqrt(var_pop).alias("std_pop"),
+        var_samp.alias("var_samp"),
+        F.sqrt(var_samp).alias("std_samp"),
     )
 
 

@@ -1,0 +1,148 @@
+"""ES-aggregation twins (search/facets.py): date_histogram (calendar
+buckets), range (independent half-open buckets), extended_stats
+(population + sampling moments) — each checked against an independent
+pure-python twin plus ES-rule edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import statistics
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.search.facets import (
+    date_histogram_counts,
+    extended_stats,
+    range_counts,
+)
+
+EVENTS = [
+    # (etype, ts, value)
+    ("click", dt.datetime(2024, 1, 1, 0, 5), 3.0),
+    ("click", dt.datetime(2024, 1, 1, 23, 59), 12.0),
+    ("click", dt.datetime(2024, 1, 7, 12, 0), 50.0),   # Sunday
+    ("click", dt.datetime(2024, 1, 8, 0, 0), 50.0),    # Monday (new ISO week)
+    ("view", dt.datetime(2024, 2, 1, 9, 0), 0.0),
+    ("view", dt.datetime(2024, 2, 29, 9, 0), 200.0),   # leap-month bucket
+    ("view", None, 7.0),                               # NULL ts
+    ("buy", dt.datetime(2024, 3, 15, 6, 30), None),    # NULL value
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        EVENTS, "etype string, ts timestamp, value double"
+    )
+
+
+def _trunc(t: dt.datetime, unit: str) -> dt.datetime:
+    if unit == "day":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "week":  # ISO: Monday
+        d = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        return d - dt.timedelta(days=d.weekday())
+    if unit == "month":
+        return t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    raise AssertionError(unit)
+
+
+@pytest.mark.parametrize("unit", ["day", "week", "month"])
+def test_date_histogram_matches_twin(spark, events, unit):
+    got = {
+        (r["etype"], r["bucket"]): r["cnt"]
+        for r in date_histogram_counts(events, "ts", unit, by="etype").collect()
+    }
+    want = Counter(
+        (e, _trunc(t, unit).strftime("%Y-%m-%d %H:%M:%S"))
+        for e, t, _ in EVENTS
+        if t is not None
+    )
+    assert got == dict(want)
+    # calendar rule, not fixed-width: Jan 7 (Sun) and Jan 8 (Mon) split weeks
+    if unit == "week":
+        assert ("click", "2024-01-01 00:00:00") in got
+        assert ("click", "2024-01-08 00:00:00") in got
+
+
+def test_date_histogram_no_group_and_min_count(spark, events):
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in date_histogram_counts(events, "ts", "month", min_doc_count=2).collect()
+    }
+    # sparse: only months with >= 2 events survive (Mar has 1)
+    assert got == {"2024-01-01 00:00:00": 4, "2024-02-01 00:00:00": 2}
+    with pytest.raises(ValueError):
+        date_histogram_counts(events, "ts", "fortnight")
+
+
+RANGES = [
+    ("*-10", None, 10.0),
+    ("10-50", 10.0, 50.0),
+    ("50-200", 50.0, 200.0),
+    ("100-*", 100.0, None),  # overlaps 50-200: shared rows count in BOTH
+]
+
+
+def test_range_counts_matches_twin(spark, events):
+    got = {
+        (r["etype"], r["key"]): r["cnt"]
+        for r in range_counts(events, "value", RANGES, by="etype").collect()
+    }
+    want = {}
+    for e in {x[0] for x in EVENTS}:
+        for k, lo, hi in RANGES:
+            want[(e, k)] = sum(
+                1
+                for e2, _, v in EVENTS
+                if e2 == e
+                and v is not None
+                and (lo is None or v >= lo)
+                and (hi is None or v < hi)
+            )
+    assert got == want
+    # half-open membership: value == 50.0 is NOT in 10-50, IS in 50-200
+    assert got[("click", "10-50")] == 1  # only 12.0
+    assert got[("click", "50-200")] == 2  # the two 50.0s
+    # overlap: 200.0 counts in both 50-200's complement and 100-*
+    assert got[("view", "100-*")] == 1
+    # zero-count buckets are emitted (ES range buckets are always present)
+    assert got[("buy", "*-10")] == 0
+
+
+def test_range_counts_validation_and_ungrouped(spark, events):
+    with pytest.raises(ValueError):
+        range_counts(events, "value", [])
+    with pytest.raises(ValueError):
+        range_counts(events, "value", [("a", 0, 1), ("a", 1, 2)])
+    got = {r["key"]: r["cnt"] for r in range_counts(events, "value", RANGES).collect()}
+    vals = [v for _, _, v in EVENTS if v is not None]
+    assert got["*-10"] == sum(1 for v in vals if v < 10)
+    assert got["100-*"] == sum(1 for v in vals if v >= 100)
+
+
+def test_extended_stats_matches_statistics_module(spark, events):
+    rows = {r["etype"]: r for r in extended_stats(events, "value", by="etype").collect()}
+    for e in ["click", "view"]:
+        vals = [v for e2, _, v in EVENTS if e2 == e and v is not None]
+        r = rows[e]
+        assert r["n"] == len(vals)
+        assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
+        assert math.isclose(r["sum_v"], sum(vals))
+        assert math.isclose(r["avg_v"], statistics.fmean(vals))
+        assert math.isclose(r["sum_sq"], sum(v * v for v in vals))
+        assert math.isclose(r["var_pop"], statistics.pvariance(vals))
+        assert math.isclose(r["std_pop"], statistics.pstdev(vals))
+        assert math.isclose(r["var_samp"], statistics.variance(vals))
+    # all-NULL group: no values -> n == 0 row absent? ES emits count 0; we
+    # follow the groupBy convention: the group vanishes (nothing to merge).
+    assert "buy" not in rows
+    # ungrouped: one global row
+    g = extended_stats(events, "value").collect()
+    assert len(g) == 1 and g[0]["n"] == 7
+    # single-value group: sampling variance undefined -> NULL, population 0
+    one = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    r1 = extended_stats(one, "v", by="g").collect()[0]
+    assert r1["var_pop"] == 0.0 and r1["var_samp"] is None
