@@ -626,6 +626,26 @@ FROM (
 """
 
 
+# Cursor-paging oracle: reuse the BM25 scored CTE, then page 2 of the
+# 4dp-rounded ranking — rows 11..20 with page-relative rank, exactly what
+# search_after(score_round=4) returns for a cursor at the rounded rank-10
+# hit (the serialization-precision contract both engines share).
+_BM25_SCORED_PREFIX = _BM25_ORACLE_SQL.split(
+    "\nSELECT qid, docid, rank, score FROM ("
+)[0]
+_SEARCH_AFTER_ORACLE_SQL = (
+    _BM25_SCORED_PREFIX
+    + """
+SELECT qid, docid, cast(rank - 10 AS bigint) AS rank, score FROM (
+  SELECT qid, docid,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS rank,
+         round(score, 4) AS score
+  FROM scored
+) WHERE rank BETWEEN 11 AND 20
+"""
+)
+
+
 def _query_pair_rows_sql() -> str:
     """VALUES rows (qid, pair, t1, t2) — the adjacent-distinct query-term
     pairs SDM scores, generated with the same analyzer + pair logic as
@@ -890,6 +910,33 @@ def _q_bm25_daat(spark, sf_dir):
     )
     run = BM25Searcher(idx, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
     return _gate_rank(run)
+
+
+def _q_search_after(spark, sf_dir):
+    """Cursor paging (``search/__init__.py search_after`` — ES
+    ``search_after`` / Lucene ``searchAfter`` twin): page 2 of each
+    topic's ranking via a cursor at the engine's own 4dp rank-10 hit,
+    ``score_round=4`` (the runfile serialization precision — the
+    cross-engine-stable cursor contract).  One uncut kernel pass, the
+    fused cursor cut bounds the shuffle to size+ties rows per qid at any
+    depth.  The cursor collect is |topics| rows (driver-small)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    s = BM25Searcher(idx, BM25Config(hits=_GATE_HITS))
+    page1 = _gate_rank(s.search(_TOPICS), hits=10)
+    cursors = {
+        r["qid"]: (r["score"], r["docid"])
+        for r in page1.filter(F.col("rank") == 10).collect()
+    }
+    topics = {q: _TOPICS[q] for q in cursors}
+    return s.search_after(topics, cursors, size=10, score_round=4).select(
+        "qid", "docid", "rank", "score"
+    )
 
 
 def _q_ql_daat(spark, sf_dir):
@@ -4556,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_topk": _q_term_df_topk,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_daat": _q_bm25_daat,
+        "bm25_search_after": _q_search_after,
         "ql_topk_daat": _q_ql_daat,
         "tfidf_topk": _q_tfidf_daat,
         "bm25plus_topk": _q_bm25plus_daat,
@@ -4921,6 +4969,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
+        "bm25_search_after": _SEARCH_AFTER_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
         "boolean_topk": boolq,
         "fuzzy_topk": fuzzy,
         "prefix_topk": prefix,

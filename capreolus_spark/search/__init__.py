@@ -271,6 +271,173 @@ class BM25Searcher:
         run = self.search(topics, hits=(page + 1) * page_size)
         return run.filter(F.col("rank") > page * page_size)
 
+    def search_after(
+        self,
+        topics: dict[str, str],
+        cursors: dict[str, tuple[float, str]],
+        size: int = 10,
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Cursor paging — the ES ``search_after`` / Lucene
+        ``IndexSearcher.searchAfter`` twin: the next ``size`` hits
+        strictly after a per-qid cursor ``(score, docid)`` (the sort
+        values of the previous page's last hit) in the deterministic
+        (score desc, docid asc) order.
+
+        Why it exists next to :meth:`search_page`: ``from+size`` paging
+        carries ``(page+1)·size`` candidates through every per-range
+        heap — cost grows with DEPTH, which is why engines cap it.  A
+        cursor page instead runs one UNCUT kernel pass and cuts to
+        ``size`` right after the cursor filter, so the shuffled frame is
+        size-bounded at ANY depth — the narrow per-partition pandas cut
+        in ``_global_topk_cut`` bounds memory exactly as for page one.
+        The classic use is draining a full ranking at corpus scale
+        (exports, rescoring feeds) without deep heaps.
+
+        ``score_round``: ES cursors round-trip through the serialized
+        response; this engine's runfile sink prints 4 decimals (the TREC
+        convention).  Passing ``score_round=4`` makes every comparison,
+        the output ordering, and the reported score operate at that
+        serialization precision, so a cursor read back from a published
+        runfile pages EXACTLY — and the result is reproducible across
+        engines whose raw scores differ below 4dp (libm last-ulps).
+        ``None`` (default) compares full-precision scores, which is
+        exact for cursors taken from this engine's own output (scores
+        are bit-reproducible across partition layouts by the kernel's
+        fixed-order accumulation).
+
+        Returned ranks are page-relative (1..size — ES hit semantics; a
+        cursor's absolute depth is the caller's bookkeeping, and
+        computing it server-side would force a second full count pass).
+        Subclasses that override ``search`` (boolean, phrase,
+        the expansion family, the query parser) page via
+        :meth:`search_page`; their semantics don't flow through the
+        weights→kernel path this method prunes with.
+        """
+        if type(self).search is not BM25Searcher.search:
+            raise NotImplementedError(
+                f"{type(self).__name__} overrides search(); use search_page "
+                "(its own semantics can't be cursor-pruned in the base kernel)"
+            )
+        if size <= 0:
+            raise ValueError("size must be > 0")
+        missing = set(topics) - set(cursors)
+        if missing:
+            raise ValueError(f"every topic qid needs a cursor; missing {sorted(missing)}")
+        spark = self.index.spark
+        weights = self._query_weights(self.analyze_topics(topics))
+        empty = spark.createDataFrame(
+            [], "qid string, docid string, rank long, score double, tag string"
+        )
+        if not weights:
+            return empty
+
+        def _eff(c):
+            return F.round(c, score_round) if score_round is not None else c
+
+        cur = F.broadcast(
+            spark.createDataFrame(
+                [(q, float(s), str(d)) for q, (s, d) in cursors.items() if q in topics],
+                "qid string, cur_score double, cur_docid string",
+            ).select(
+                "qid", _eff(F.col("cur_score")).alias("cur_score"), "cur_docid"
+            )
+        )
+        # ONE uncut kernel pass; rows above the cursor score drop before
+        # anything else touches them.  The fused cut below keeps, per qid:
+        # ALL rows tied at the cursor score (the docid tie-break needs
+        # resolved docids — exact-score ties are a handful of rows by
+        # construction) + the top-``size`` strictly-below rows (boundary
+        # ties included) — a size-bounded frame at ANY cursor depth.
+        cand = (
+            self._candidates(weights, hits=2**31 - 1)
+            .select("qid", "docno", _eff(F.col("score")).alias("score"))
+            .join(cur, "qid")
+            .filter(F.col("score") <= F.col("cur_score"))
+        )
+        cut = self._cursor_cut(cand, size)
+        resolved = self._with_docids(cut.select("qid", "docno", "score")).join(
+            cur, "qid"
+        )
+        after = (F.col("score") < F.col("cur_score")) | (
+            (F.col("score") == F.col("cur_score"))
+            & (F.col("docid") > F.col("cur_docid"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            resolved.filter(after)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= size)
+            .select(
+                "qid",
+                "docid",
+                F.col("_r").cast("long").alias("rank"),
+                "score",
+                F.lit(self.tag).alias("tag"),
+            )
+        )
+
+    def _cursor_cut(self, cand: DataFrame, size: int) -> DataFrame:
+        """Per-qid cut of a cursor-filtered candidate frame (columns
+        qid, docno, score, cur_score, cur_docid; every row has
+        ``score <= cur_score``): keep all boundary rows
+        (``score == cur_score``) plus the top-``size`` strict rows with
+        boundary-score ties — the minimal superset whose resolved-docid
+        filter yields the exact next page.
+
+        Same two-stage shape as ``_global_topk_cut``: a NARROW
+        per-partition pandas prune bounds memory (no shuffle; ≤
+        boundary + size + ties rows per (partition, qid)), then one
+        window pass over the survivors applies the same rule globally —
+        for a qid's rows sorted by score desc, every boundary row ranks
+        first, so a strict row's strict-rank is ``rank() − n_boundary``.
+        """
+        import pandas as pd
+        from typing import Iterator
+
+        limit = size
+
+        def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            keep = []
+            for _, g in pdf.groupby("qid", sort=False):
+                bound = g["score"] == g["cur_score"]
+                strict = g[~bound]
+                r = strict["score"].rank(method="min", ascending=False)
+                keep.append(pd.concat([g[bound], strict[r <= limit]]))
+            return pd.concat(keep, ignore_index=True) if keep else pdf.iloc[:0]
+
+        def local_cut(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            acc = None
+            n_q = 1
+            for pdf in batches:
+                acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+                n_q = max(n_q, acc["qid"].nunique())
+                if len(acc) > 8 * limit * n_q:
+                    acc = prune(acc)
+            if acc is not None and len(acc):
+                yield prune(acc)
+
+        n_ranges = self.index.num_ranges
+        n_parts = int(
+            cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        partial = (
+            cand
+            if n_ranges is not None and n_ranges <= n_parts
+            else cand.mapInPandas(local_cut, schema=cand.schema)
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        is_bound = (F.col("score") == F.col("cur_score")).cast("int")
+        return (
+            partial.withColumn("_rank", F.rank().over(w))
+            .withColumn("_nb", F.sum(is_bound).over(Window.partitionBy("qid")))
+            .filter(
+                (F.col("score") == F.col("cur_score"))
+                | (F.col("_rank") - F.col("_nb") <= size)
+            )
+            .drop("_rank", "_nb")
+        )
+
     def match_counts(self, topics: dict[str, str]) -> DataFrame:
         """(qid, n_matching): how many documents match ≥1 query term — the
         ``IndexSearcher.count`` / ES ``_count`` twin.  One UNCUT kernel

@@ -61,3 +61,77 @@ def test_match_counts_empty_topics(spark, synth_index):
     idx, _ = synth_index
     out = BM25Searcher(idx, BM25Config(hits=10)).match_counts({"q": "zz_absent_zz"})
     assert out.count() == 0
+
+
+def test_search_after_continues_the_ranking(spark, synth_index):
+    """Cursor at the rank-k hit yields exactly ranks k+1..k+size of a
+    deep plain search — across several cursor depths."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    s = BM25Searcher(idx, BM25Config(hits=1000))
+    deep = s.search(topics, hits=30).collect()
+    by_qid: dict[str, list] = {}
+    for r in sorted(deep, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append(r)
+    for k in (3, 10):
+        cursors = {q: (rows[k - 1]["score"], rows[k - 1]["docid"]) for q, rows in by_qid.items() if len(rows) >= k}
+        t = {q: topics[q] for q in cursors}
+        got = s.search_after(t, cursors, size=5).collect()
+        pages: dict[str, list] = {}
+        for r in sorted(got, key=lambda r: (r["qid"], r["rank"])):
+            assert 1 <= r["rank"] <= 5
+            pages.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+        for q, rows in by_qid.items():
+            if q not in cursors:
+                continue
+            want = [(r["docid"], r["score"]) for r in rows[k : k + 5]]
+            assert pages.get(q, []) == want, (q, k)
+
+
+def test_search_after_tiebreak_and_rounding(spark, synth_index):
+    """Exact-score ties page by docid; score_round=4 compares at the
+    runfile's serialization precision."""
+    idx, _ = synth_index
+    all_topics = dict(list(synth_queries(10).items())[:4])
+    s = BM25Searcher(idx, BM25Config(hits=1000))
+    allrows = s.search(all_topics, hits=50).collect()
+    counts = {}
+    for r in allrows:
+        counts[r["qid"]] = counts.get(r["qid"], 0) + 1
+    qid = max(counts, key=counts.get)
+    assert counts[qid] >= 16, counts
+    topics = {qid: all_topics[qid]}
+    rows = sorted(
+        (r for r in allrows if r["qid"] == qid), key=lambda r: r["rank"]
+    )
+    # cursor strictly inside the ranking; rounded paging must equal paging
+    # the 4dp-rounded ranking
+    cur = rows[9]
+    rounded = sorted(
+        ((round(r["score"], 4), r["docid"]) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )
+    cpos = rounded.index((round(cur["score"], 4), cur["docid"]))
+    want = [d for _, d in rounded[cpos + 1 : cpos + 6]]
+    got = s.search_after(
+        topics, {qid: (round(cur["score"], 4), cur["docid"])}, size=5, score_round=4
+    ).collect()
+    assert [r["docid"] for r in sorted(got, key=lambda r: r["rank"])] == want
+    for r in got:
+        assert r["score"] == round(r["score"], 4)
+
+
+def test_search_after_validation_and_subclass_guard(spark, synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:1])
+    s = BM25Searcher(idx, BM25Config(hits=10))
+    qid = next(iter(topics))
+    with pytest.raises(ValueError, match="cursor"):
+        s.search_after(topics, {}, size=5)
+    with pytest.raises(ValueError, match="size"):
+        s.search_after(topics, {qid: (1.0, "d")}, size=0)
+    from capreolus_spark.search.boolean import BooleanSearcher
+
+    b = BooleanSearcher(idx, BM25Config(hits=10))
+    with pytest.raises(NotImplementedError, match="search_page"):
+        b.search_after(topics, {qid: (1.0, "d")})
