@@ -646,6 +646,42 @@ SELECT qid, docid, cast(rank - 10 AS bigint) AS rank, score FROM (
 )
 
 
+# Window-rescore oracle: base BM25 (k1=0.9,b=0.4) top-30 window, second
+# BM25 pass (k1=1.2,b=0.75) over the same queries, total-combine with
+# rescore_weight=0.5 (no-match rows keep 1.0*s1 — the ES rule), rounded
+# re-rank to 10.  Reuses the scored-CTE prefix; the second similarity is
+# one more CTE over the same tf/dl/stats/qw relations.
+_RESCORE_WINDOW, _RESCORE_RW = 30, 0.5
+_RESCORE_ORACLE_SQL = (
+    _BM25_SCORED_PREFIX
+    + f""", win AS (
+  SELECT qid, docid, score AS s1 FROM (
+    SELECT qid, docid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+    FROM scored
+  ) WHERE rf <= {_RESCORE_WINDOW}
+), resc AS (
+  SELECT qw.qid, tf.docid,
+         sum(qw.qtf * qw.idf * tf.tf /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS s2
+  FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  GROUP BY qw.qid, tf.docid
+), comb AS (
+  SELECT w.qid, w.docid,
+         CASE WHEN r.s2 IS NULL THEN w.s1
+              ELSE w.s1 + {_RESCORE_RW} * r.s2 END AS score
+  FROM win w LEFT JOIN resc r ON w.qid = r.qid AND w.docid = r.docid
+)
+SELECT qid, docid, rank, score FROM (
+  SELECT qid, docid,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+         round(score, 4) AS score
+  FROM comb
+) WHERE rank <= {_BM25_HITS}
+"""
+)
+
+
 def _query_pair_rows_sql() -> str:
     """VALUES rows (qid, pair, t1, t2) — the adjacent-distinct query-term
     pairs SDM scores, generated with the same analyzer + pair logic as
@@ -937,6 +973,30 @@ def _q_search_after(spark, sf_dir):
     return s.search_after(topics, cursors, size=10, score_round=4).select(
         "qid", "docid", "rank", "score"
     )
+
+
+def _q_rescore(spark, sf_dir):
+    """Window rescoring (``search/rescore.py`` — Lucene QueryRescorer /
+    ES rescore twin; the scoring-level analogue of the reference's
+    ``task/rerank.py:51`` two-stage flow): base BM25(0.9, 0.4) top-30
+    window re-ranked by ``1.0·s1 + 0.5·s2`` with a BM25(1.2, 0.75)
+    second pass, no-match rows keeping ``s1`` (ES rule), rounded top-10."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+    from capreolus_spark.search.rescore import rescore
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    base = BM25Searcher(idx, BM25Config(hits=_GATE_HITS))
+    resc = BM25Searcher(idx, BM25Config(hits=_GATE_HITS, k1=1.2, b=0.75))
+    out = rescore(
+        base, resc, _TOPICS,
+        window_size=_RESCORE_WINDOW, rescore_weight=_RESCORE_RW,
+        mode="total", hits=_RESCORE_WINDOW,
+    )
+    return _gate_rank(out, hits=_BM25_HITS)
 
 
 def _q_ql_daat(spark, sf_dir):
@@ -4604,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_daat": _q_bm25_daat,
         "bm25_search_after": _q_search_after,
+        "bm25_rescore_topk": _q_rescore,
         "ql_topk_daat": _q_ql_daat,
         "tfidf_topk": _q_tfidf_daat,
         "bm25plus_topk": _q_bm25plus_daat,
@@ -4970,6 +5031,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
         "bm25_search_after": _SEARCH_AFTER_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
+        "bm25_rescore_topk": _RESCORE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
         ),
         "boolean_topk": boolq,

@@ -1,0 +1,119 @@
+"""Second-pass window rescoring — the Lucene ``QueryRescorer`` / ES
+``rescore`` twin, and the scoring-level analogue of the reference's
+two-stage architecture (``task/rerank.py:51`` reranks the top-``topn``
+of RankTask's run; here the second stage is another lexical scorer
+instead of a trained neural model, so the whole thing stays inside the
+engine).
+
+Semantics (Lucene ``QueryRescorer.rescore``): take the top
+``window_size`` hits of the base query per topic, score them against a
+second query/scorer, combine ``query_weight · s1 (+|×|…)
+rescore_weight · s2``, and return the window re-sorted by the combined
+score.  A window doc the rescorer doesn't match keeps
+``query_weight · s1`` (the ES rule: only-original-query matches are
+unchanged apart from the weight).  Docs beyond the window are not
+returned — Lucene's ``TopDocs``-in/``TopDocs``-out contract (ES's
+interleave-with-tail variant is a serving concern layered above).
+
+Scale shape: the base pass is an ordinary pruned top-``window_size``
+search; the second pass is one uncut kernel run over the RESCORE
+query's postings only, immediately semi-joined (broadcast — the window
+is ``topics × window_size`` rows by construction) to the window's
+docnos, so nothing unbounded ever shuffles.  This mirrors SDM's
+two-pass rerank (``search/sdm.py``), which pins the same dataflow for
+positional features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import BM25Searcher
+
+__all__ = ["rescore"]
+
+_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def rescore(
+    base: BM25Searcher,
+    rescorer: BM25Searcher,
+    topics: dict[str, str],
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    mode: str = "total",
+    hits: int | None = None,
+    rescore_topics: dict[str, str] | None = None,
+) -> DataFrame:
+    """(qid, docid, rank, score, tag): the base searcher's top
+    ``window_size`` per qid, re-ranked by the combined base+rescorer
+    score, cut to ``hits`` (default: the window — Lucene returns the
+    whole rescored TopDocs).
+
+    ``rescore_topics`` defaults to ``topics`` (same text, different
+    similarity — the classic parameter-sweep rescore); pass different
+    text for query-rewrite rescoring.  Both searchers must be kernel
+    scorers over the SAME index (subclasses that override ``search``
+    have their own two-pass entry points).
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if window_size <= 0:
+        raise ValueError("window_size must be > 0")
+    if base.index.index_dir != rescorer.index.index_dir:
+        raise ValueError("base and rescorer must share one index")
+    if type(rescorer).search is not BM25Searcher.search:
+        raise NotImplementedError(
+            f"{type(rescorer).__name__} overrides search(); the rescore "
+            "pass needs the base weights→kernel path"
+        )
+    hits = hits or window_size
+    spark = base.index.spark
+
+    run = base.search(topics, hits=window_size)
+    # window docnos: broadcast the (small) run into the docmap scan —
+    # the _with_docids shape, inverted.
+    docs = base.index.docs_df().select("docno", "docid")
+    window = docs.join(
+        F.broadcast(run.select("qid", "docid", F.col("score").alias("s1"))),
+        "docid",
+    )
+
+    w2 = rescorer._query_weights(
+        rescorer.analyze_topics(rescore_topics or topics)
+    )
+    if w2:
+        cand2 = (
+            rescorer._candidates(w2, hits=2**31 - 1)
+            .withColumnRenamed("score", "s2")
+            .join(F.broadcast(window.select("qid", "docno")), ["qid", "docno"])
+        )
+        joined = window.join(cand2, ["qid", "docno"], "left")
+    else:
+        joined = window.withColumn("s2", F.lit(None).cast("double"))
+
+    qs = F.lit(float(query_weight)) * F.col("s1")
+    rs = F.lit(float(rescore_weight)) * F.col("s2")
+    combos = {
+        "total": qs + rs,
+        "multiply": qs * rs,
+        "avg": (qs + rs) / F.lit(2.0),
+        "max": F.greatest(qs, rs),
+        "min": F.least(qs, rs),
+    }
+    final = F.when(F.col("s2").isNull(), qs).otherwise(combos[mode])
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        joined.select("qid", "docid", final.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= hits)
+        .select(
+            "qid",
+            "docid",
+            "rank",
+            "score",
+            F.lit(f"{base.tag}+rescore").alias("tag"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Window rescoring (search/rescore.py — Lucene QueryRescorer / ES
+rescore twin) vs a brute-force python combine over the two runs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.rescore import rescore
+
+QW, RW = 1.0, 0.5
+
+
+def _twin(base_rows, resc_rows, window, mode, hits):
+    """Expected rescored pages from collected full runs."""
+    by_q: dict[str, list] = {}
+    for r in sorted(base_rows, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r)
+    s2 = {(r["qid"], r["docid"]): r["score"] for r in resc_rows}
+    out = {}
+    for qid, rows in by_q.items():
+        win = rows[:window]
+        combined = []
+        for r in win:
+            qs = QW * r["score"]
+            v = s2.get((qid, r["docid"]))
+            if v is None:
+                f = qs
+            elif mode == "total":
+                f = qs + RW * v
+            elif mode == "multiply":
+                f = qs * (RW * v)
+            elif mode == "max":
+                f = max(qs, RW * v)
+            else:
+                raise AssertionError(mode)
+            combined.append((f, r["docid"]))
+        combined.sort(key=lambda x: (-x[0], x[1]))
+        out[qid] = combined[:hits]
+    return out
+
+
+@pytest.mark.parametrize("mode", ["total", "multiply", "max"])
+def test_rescore_matches_twin(spark, synth_index, mode):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    base = BM25Searcher(idx, BM25Config(hits=1000))
+    resc = BM25Searcher(idx, BM25Config(hits=1000, k1=1.2, b=0.75))
+    window, hits = 15, 8
+    want = _twin(
+        base.search(topics, hits=window).collect(),
+        resc.search(topics, hits=10**6).collect(),
+        window,
+        mode,
+        hits,
+    )
+    got_rows = rescore(
+        base, resc, topics, window_size=window,
+        query_weight=QW, rescore_weight=RW, mode=mode, hits=hits,
+    ).collect()
+    got: dict[str, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["score"], r["docid"]))
+    assert set(got) == {q for q, rows in want.items() if rows}
+    for qid in got:
+        assert [d for _, d in got[qid]] == [d for _, d in want[qid]], qid
+        for (gs, _), (ws, _) in zip(got[qid], want[qid]):
+            assert math.isclose(gs, ws, rel_tol=1e-12), qid
+        assert r["tag"].endswith("+rescore")
+
+
+def test_rescore_only_base_match_keeps_weighted_score(spark, synth_index):
+    """A rescore query matching nothing leaves query_weight * s1 order."""
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:1])
+    base = BM25Searcher(idx, BM25Config(hits=1000))
+    resc = BM25Searcher(idx, BM25Config(hits=1000))
+    out = rescore(
+        base, resc, topics, window_size=5, query_weight=2.0,
+        rescore_topics={q: "zzzunknownterm" for q in topics},
+    ).collect()
+    bas = base.search(topics, hits=5).collect()
+    want = {(r["qid"], r["docid"]): 2.0 * r["score"] for r in bas}
+    assert {(r["qid"], r["docid"]): r["score"] for r in out} == pytest.approx(want)
+
+
+def test_rescore_validation(spark, synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:1])
+    s = BM25Searcher(idx, BM25Config(hits=10))
+    with pytest.raises(ValueError, match="mode"):
+        rescore(s, s, topics, mode="sum")
+    with pytest.raises(ValueError, match="window_size"):
+        rescore(s, s, topics, window_size=0)
+    from capreolus_spark.search.boolean import BooleanSearcher
+
+    b = BooleanSearcher(idx, BM25Config(hits=10))
+    with pytest.raises(NotImplementedError, match="kernel"):
+        rescore(s, b, topics)
