@@ -975,6 +975,23 @@ def _q_search_after(spark, sf_dir):
     )
 
 
+_TV_DOCIDS = ["1", "2", "3", "4", "5"]
+
+
+def _q_term_vectors(spark, sf_dir):
+    """Batch term vectors (``index/__init__.py term_vectors`` — the ES
+    ``_termvectors`` with ``term_statistics=true`` / Lucene TermVectors
+    twin): per-doc (term, tf) plus corpus df/cf for a fixed 5-doc batch,
+    recompute path (identical to the stored-docvector path by pytest)."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    return idx.term_vectors(_TV_DOCIDS)
+
+
 def _q_rescore(spark, sf_dir):
     """Window rescoring (``search/rescore.py`` — Lucene QueryRescorer /
     ES rescore twin; the scoring-level analogue of the reference's
@@ -4665,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_daat": _q_bm25_daat,
         "bm25_search_after": _q_search_after,
         "bm25_rescore_topk": _q_rescore,
+        "term_vectors_docs": _q_term_vectors,
         "ql_topk_daat": _q_ql_daat,
         "tfidf_topk": _q_tfidf_daat,
         "bm25plus_topk": _q_bm25plus_daat,
@@ -5035,6 +5053,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_rescore_topk": _RESCORE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
+        ),
+        "term_vectors_docs": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "itf AS (SELECT docid, term, count(*) AS tf FROM ("
+            f"SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok"
+            ") GROUP BY docid, term), "
+            "dct AS (SELECT term, cast(count(*) AS bigint) AS df, "
+            "cast(sum(tf) AS bigint) AS cf FROM itf GROUP BY term) "
+            "SELECT itf.docid, itf.term, cast(itf.tf AS int) AS tf, dct.df, dct.cf "
+            "FROM itf JOIN dct USING (term) WHERE itf.docid IN ("
+            + ", ".join(f"'{d}'" for d in _TV_DOCIDS)
+            + ")"
         ),
         "boolean_topk": boolq,
         "fuzzy_topk": fuzzy,

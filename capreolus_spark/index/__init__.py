@@ -372,6 +372,59 @@ class InvertedIndex:
             return {}
         return dict(Counter(analyze_text(content, **self.config.analyzer_kwargs())))
 
+    def term_vectors(
+        self, docids: list[str], term_statistics: bool = True
+    ) -> DataFrame:
+        """(docid, term, tf[, df, cf]) for a batch of documents — the ES
+        ``_termvectors`` (``term_statistics=true``) / Lucene TermVectors
+        API as one declarative dataflow.
+
+        Reads the materialized doc-vector store when the index was built
+        with ``store_docvectors=True`` (docno point filters prune to
+        single row groups — no tokenization at read time); otherwise
+        recomputes from stored contents with the index's own analyzer —
+        identical semantics, the equality the ``store_docvectors ==
+        recompute`` pytest pins.  ``term_statistics`` attaches corpus df
+        and cf by broadcasting the (batch-bounded) doc-term frame into
+        the dictionary scan, so the dictionary never shuffles.
+        """
+        ids = sorted(set(docids))
+        if not ids:
+            return self.spark.createDataFrame(
+                [],
+                "docid string, term string, tf int"
+                + (", df long, cf long" if term_statistics else ""),
+            )
+        sel = self.docs_df().filter(F.col("docid").isin(ids))
+        if self.config.store_docvectors:
+            tv = (
+                self.docvectors_df()
+                .join(F.broadcast(sel.select("docno")), "docno")
+                .select("docid", F.explode("terms").alias("term", "tf"))
+            )
+        else:
+            self._require_contents("term_vectors")
+            from ..search.oracle import analyzed_terms_df
+
+            analyzed = analyzed_terms_df(
+                sel.select("docid", "content"), **self.config.analyzer_kwargs()
+            )
+            tv = (
+                analyzed.select("docid", F.explode("terms").alias("term"))
+                .groupBy("docid", "term")
+                .agg(F.count("*").cast("int").alias("tf"))
+            )
+        if not term_statistics:
+            return tv.select("docid", "term", F.col("tf").cast("int").alias("tf"))
+        return (
+            self.dict_df()
+            .select("term", "df", "cf")
+            .join(F.broadcast(tv), "term")
+            .select(
+                "docid", "term", F.col("tf").cast("int").alias("tf"), "df", "cf"
+            )
+        )
+
     def export_trec_docs(self, out_path: str, max_docs: int | None = None) -> int:
         """Dump stored documents back to a TREC-SGML text file
         (reference ``utils/trec.py:164-205`` ``anserini_index_to_trec_docs``).

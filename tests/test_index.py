@@ -365,6 +365,29 @@ def test_store_docvectors_matches_recompute(spark, synth_index, tmp_path):
     for qid in exp_dv:
         assert dict(exp_dv[qid]) == pytest.approx(dict(exp_plain[qid]), abs=1e-12)
 
+    # batch term-vectors API (ES _termvectors twin): stored == recomputed,
+    # tf == the point-lookup vectors, df/cf == the dictionary
+    ids = [r["docid"] for r in some]
+    key = lambda r: (r["docid"], r["term"])
+    tv_stored = sorted(dv_idx.term_vectors(ids).collect(), key=key)
+    tv_rec = sorted(plain_idx.term_vectors(ids).collect(), key=key)
+    assert [tuple(r) for r in tv_stored] == [tuple(r) for r in tv_rec]
+    by_doc: dict = {}
+    for r in tv_rec:
+        by_doc.setdefault(r["docid"], {})[r["term"]] = r
+    for d in ids:
+        want = plain_idx.get_doc_vector(d)
+        assert {t: r["tf"] for t, r in by_doc.get(d, {}).items()} == want
+    terms = sorted({r["term"] for r in tv_rec})[:5]
+    dfs = plain_idx.get_dfs(terms)
+    for r in tv_rec:
+        if r["term"] in dfs:
+            assert r["df"] == dfs[r["term"]]
+    assert plain_idx.term_vectors([]).count() == 0
+    assert plain_idx.term_vectors(ids, term_statistics=False).columns == [
+        "docid", "term", "tf",
+    ]
+
 
 def test_docvectors_not_stored_raises(dummy_index):
     with pytest.raises(ValueError, match="store_docvectors=False"):
