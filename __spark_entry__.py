@@ -3066,6 +3066,20 @@ _AGG_RANGES = [
 ]
 
 
+def _q_composite(spark, sf_dir):
+    """ES ``composite`` aggregation twin (search/facets.py
+    composite_buckets): page 2 (size 4) of the (lang, source) bucket
+    space via the page-1 after-key — the keyset predicate applies BELOW
+    the aggregation, so skipped buckets' rows never enter the groupBy.
+    The page-1 collect is 4 rows (driver-tiny)."""
+    from capreolus_spark.search.facets import composite_buckets
+
+    docs = _docs(spark, sf_dir)
+    page1 = composite_buckets(docs, ["lang", "source"], size=4).collect()
+    after = (page1[-1]["lang"], page1[-1]["source"])
+    return composite_buckets(docs, ["lang", "source"], size=4, after=after)
+
+
 def _q_date_histogram(spark, sf_dir):
     """ES ``date_histogram`` calendar_interval twin (search/facets.py
     date_histogram_counts): per-event_type daily buckets via date_trunc
@@ -4766,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "event_props_stats": _q_event_props,
         "date_histogram_day": _q_date_histogram,
+        "composite_buckets_page": _q_composite,
         "range_value_counts": _q_range_counts,
         "extended_stats_value": _q_extended_stats,
         "ann_cosine_topk": _q_ann_cosine,
@@ -6116,6 +6131,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, cast(count(*) AS bigint) AS n_events, "
             "cast(count(k) AS bigint) AS n_with_key, round(avg(k), 6) AS avg_key, "
             "round(avg(value), 6) AS avg_value FROM e GROUP BY event_type"
+        ),
+        "composite_buckets_page": (
+            "SELECT lang, source, cnt FROM ("
+            "SELECT lang, source, cast(count(*) AS bigint) AS cnt, "
+            "row_number() OVER (ORDER BY lang ASC, source ASC) AS rn "
+            "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY lang, source) WHERE rn BETWEEN 5 AND 8"
         ),
         "date_histogram_day": (
             "SELECT event_type, "

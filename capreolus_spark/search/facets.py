@@ -33,6 +33,7 @@ __all__ = [
     "date_histogram_counts",
     "range_counts",
     "extended_stats",
+    "composite_buckets",
     "top_hits",
 ]
 
@@ -279,6 +280,57 @@ def extended_stats(
         F.sqrt(var_pop).alias("std_pop"),
         var_samp.alias("var_samp"),
         F.sqrt(var_samp).alias("std_samp"),
+    )
+
+
+def composite_buckets(
+    df: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """Elasticsearch ``composite`` aggregation twin: page through ALL
+    multi-source buckets in deterministic key order (each source
+    ascending — the ES default; rows with a NULL source value are
+    dropped, ES's no-``missing_bucket`` rule), ``size`` buckets per
+    page, ``after`` = the previous page's last bucket key tuple.
+
+    This is the agg-side companion of ``search_after``: ES built
+    ``composite`` precisely because ``terms`` aggregations can't paginate
+    unbounded cardinality.  The scale property that makes it work here:
+    the cursor is on the GROUP KEY, so the keyset predicate applies to
+    the raw rows BELOW the aggregation — rows belonging to buckets
+    at-or-before the cursor never enter the groupBy at all (predicate
+    pushdown into the scan), and the final ordered cut of the aggregated
+    frame is a bounded TakeOrdered, never a full sort.
+
+    Returns ``(*sources, cnt)`` — the next ``size`` buckets.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if size <= 0:
+        raise ValueError("size must be > 0")
+    if after is not None and len(after) != len(sources):
+        raise ValueError(
+            f"after must have one value per source ({len(sources)}), got {after!r}"
+        )
+    out = df
+    for s in sources:
+        out = out.filter(F.col(s).isNotNull())
+    if after is not None:
+        # lexicographic key-tuple > after: OR over prefix-equal branches
+        pred = F.lit(False)
+        for i in range(len(sources)):
+            branch = F.col(sources[i]) > F.lit(after[i])
+            for j in range(i):
+                branch = branch & (F.col(sources[j]) == F.lit(after[j]))
+            pred = pred | branch
+        out = out.filter(pred)
+    return (
+        out.groupBy(*sources)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(*[F.asc(s) for s in sources])
+        .limit(size)
     )
 
 

@@ -11,6 +11,7 @@ import statistics
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from capreolus_spark.search.facets import (
     date_histogram_counts,
@@ -146,3 +147,42 @@ def test_extended_stats_matches_statistics_module(spark, events):
     one = spark.createDataFrame([("a", 5.0)], "g string, v double")
     r1 = extended_stats(one, "v", by="g").collect()[0]
     assert r1["var_pop"] == 0.0 and r1["var_samp"] is None
+
+
+def test_composite_buckets_pagination(spark, events):
+    """Pages of the (etype, bucketed value) composite key space are
+    disjoint, ordered, and concatenate to the full distinct key list."""
+    from capreolus_spark.search.facets import composite_buckets
+
+    df = events.withColumn("vbin", (F.col("value") / 100).cast("int").cast("string"))
+    want = sorted(
+        {
+            (e, str(int(v // 100)))
+            for e, _, v in EVENTS
+            if v is not None
+        }
+    )
+    counts = {}
+    for e, _, v in EVENTS:
+        if v is not None:
+            k = (e, str(int(v // 100)))
+            counts[k] = counts.get(k, 0) + 1
+    got, after = [], None
+    for _ in range(10):
+        page = composite_buckets(df, ["etype", "vbin"], size=2, after=after).collect()
+        if not page:
+            break
+        keys = [(r["etype"], r["vbin"]) for r in page]
+        assert keys == sorted(keys)
+        for r in page:
+            assert counts[(r["etype"], r["vbin"])] == r["cnt"]
+        got.extend(keys)
+        after = keys[-1]
+    assert got == want
+    # validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sources"):
+        composite_buckets(df, [], size=2)
+    with _pt.raises(ValueError, match="after"):
+        composite_buckets(df, ["etype"], size=2, after=("a", "b"))
