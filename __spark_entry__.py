@@ -4131,12 +4131,55 @@ _IMPORT_PATS = [
 ]
 
 
-def _q_import_stats(spark, sf_dir):
-    """Import-graph extraction (codescan.import_edges/import_stats):
-    python import lines injected per doc (2 modules for doc_id%3==0, a
-    third for doc_id%6==0), then module popularity top-25."""
-    from capreolus_spark.textproc.codescan import import_edges, import_stats
+def _module_pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10) -> str:
+    """Unrolled power-iteration PageRank in pure SQL: the same injected
+    import extraction as the import_stats oracle, owner = mod{doc_id%29},
+    self-loops dropped, uniform dangling redistribution, one CTE per
+    iteration.  Float literals are cast to DOUBLE (DuckDB parses bare
+    numeric literals as DECIMAL, which would diverge from the engine's
+    IEEE ``1 - 0.85``)."""
+    d = f"cast({damping} AS DOUBLE)"
+    head = (
+        "WITH c AS MATERIALIZED (SELECT doc_id, coalesce(text, '') "
+        "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'import mod' || cast(doc_id % 29 AS varchar) "
+        "|| chr(10) || 'from pkg' || cast(doc_id % 7 AS varchar) || ' import util' ELSE '' END "
+        "|| CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'import mod' || cast((doc_id * 7) % 29 AS varchar) ELSE '' END "
+        "AS content FROM documents), "
+        "e0 AS MATERIALIZED (SELECT doc_id, unnest(list_concat("
+        f"regexp_extract_all(content, '{_IMPORT_PATS[0]}', 1), "
+        f"regexp_extract_all(content, '{_IMPORT_PATS[1]}', 1))) AS module FROM c), "
+        "adj AS MATERIALIZED (SELECT src, dst, cast(count(*) AS DOUBLE) AS w FROM ("
+        "SELECT 'mod' || cast(doc_id % 29 AS varchar) AS src, module AS dst FROM e0"
+        ") WHERE src <> dst GROUP BY src, dst), "
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM adj GROUP BY src), "
+        "trans AS MATERIALIZED (SELECT a.src, a.dst, a.w / o.ow AS p FROM adj a JOIN outw o USING (src)), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM adj UNION ALL SELECT dst AS node FROM adj)), "
+        "nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS MATERIALIZED (SELECT node, cast(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn)"
+    )
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f", r{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1 - {d}) / nn.n + {d} * (coalesce(c{i}.s, cast(0 AS DOUBLE)) + dm{i}.m / nn.n) AS pr "
+            "FROM nodes CROSS JOIN nn CROSS JOIN "
+            f"(SELECT coalesce(sum(pr), cast(0 AS DOUBLE)) AS m FROM r{i - 1} "
+            f"WHERE node NOT IN (SELECT src FROM outw)) dm{i} "
+            f"LEFT JOIN (SELECT t.dst AS node, sum(t.p * r.pr) AS s FROM trans t "
+            f"JOIN r{i - 1} r ON t.src = r.node GROUP BY t.dst) c{i} USING (node))"
+        )
+    return (
+        head
+        + "".join(its)
+        + f" SELECT node AS module, round(pr, 8) AS pr FROM r{iterations}"
+    )
 
+
+def _imports_corpus(spark, sf_dir):
+    """(doc_id, content) with the deterministic python import lines the
+    import-graph gates share: 2 modules for doc_id%3==0, a third for
+    doc_id%6==0 (matches the SQL twins' CASE injection verbatim)."""
     docs = _docs(spark, sf_dir)
     txt = F.coalesce(F.col("text"), F.lit(""))
     add3 = F.concat(
@@ -4152,14 +4195,42 @@ def _q_import_stats(spark, sf_dir):
         F.when(F.col("doc_id") % 3 == 0, add3).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 6 == 0, add6).otherwise(F.lit("")),
     )
-    edges = import_edges(
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), content.alias("content"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), content.alias("content")
     )
+
+
+def _q_import_stats(spark, sf_dir):
+    """Import-graph extraction (codescan.import_edges/import_stats):
+    python import lines injected per doc (2 modules for doc_id%3==0, a
+    third for doc_id%6==0), then module popularity top-25."""
+    from capreolus_spark.textproc.codescan import import_edges, import_stats
+
+    edges = import_edges(_imports_corpus(spark, sf_dir))
     return (
         import_stats(edges)
         .orderBy(F.desc("n_imports"), F.desc("n_docs"), F.asc("module"))
         .limit(25)
     )
+
+
+def _q_module_pagerank(spark, sf_dir):
+    """Dependency-graph PageRank (``textproc/graph.py pagerank`` over
+    ``codescan.import_edges`` output): each doc's owner module is
+    ``mod{doc_id%29}``; edges owner→imported-module (multiplicity =
+    weight, self-loops dropped, pkg* nodes dangling), 10 fixed power
+    iterations, damping 0.85, ranks 8dp-rounded (both engines derive
+    every rank from identical exact transition fractions; the residual
+    is summation-order last-ulps, far below 8dp after 10 iterations)."""
+    from capreolus_spark.textproc.codescan import import_edges
+    from capreolus_spark.textproc.graph import pagerank
+
+    edges = import_edges(_imports_corpus(spark, sf_dir)).select(
+        F.concat(F.lit("mod"), (F.col("doc_id") % 29).cast("string")).alias("src"),
+        F.col("module").alias("dst"),
+    )
+    pr = pagerank(edges, damping=0.85, iterations=10)
+    return pr.select(F.col("node").alias("module"), F.round("pr", 8).alias("pr"))
 
 
 def _q_comment_stats(spark, sf_dir):
@@ -4781,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props,
         "date_histogram_day": _q_date_histogram,
         "composite_buckets_page": _q_composite,
+        "module_pagerank": _q_module_pagerank,
         "range_value_counts": _q_range_counts,
         "extended_stats_value": _q_extended_stats,
         "ann_cosine_topk": _q_ann_cosine,
@@ -6132,6 +6204,7 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(k) AS bigint) AS n_with_key, round(avg(k), 6) AS avg_key, "
             "round(avg(value), 6) AS avg_value FROM e GROUP BY event_type"
         ),
+        "module_pagerank": _module_pagerank_oracle_sql(),
         "composite_buckets_page": (
             "SELECT lang, source, cnt FROM ("
             "SELECT lang, source, cast(count(*) AS bigint) AS cnt, "

@@ -1,0 +1,119 @@
+"""Distributed graph ranking — weighted PageRank over an edge frame.
+
+The code-search motivation: ranking source files / modules by import-
+graph centrality is the classic "importance" signal layered on lexical
+retrieval (Google's original formulation applied to the code-dependency
+graph — see also `codescan.import_edges`, which extracts exactly the
+edge frame this consumes).  The reference delegates ranking entirely to
+Lucene's lexical scores; a dependency-centrality column is the standard
+beyond-reference companion feature for code corpora.
+
+Scale design (the part that matters at 10^12 files):
+
+* The edge frame is aggregated ONCE to a weighted adjacency
+  ``(src, dst, w)`` + out-weight table — combinable groupBys, the raw
+  (possibly trillion-row) import scan never re-enters the loop.
+* Each iteration is one join of the rank frame with the transition
+  frame + one map-side-combinable groupBy — no driver-side per-node
+  state.  The only driver scalars per iteration are the dangling-rank
+  mass and (once) the node count.
+* A FIXED iteration count, not a convergence threshold: thresholds
+  compare floats whose low bits depend on partition order, so the
+  iteration count a run performs would be non-deterministic;  a fixed
+  horizon is reproducible, gateable, and how production systems
+  schedule the job anyway.
+* Per-iteration ``persist`` + count materializes each rank frame and
+  unpersists its predecessor — lineage stays one iteration deep
+  (re-computation after executor loss replays one join, not the whole
+  power series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, pr) — weighted PageRank with uniform dangling-mass
+    redistribution.
+
+    ``edges`` is a (possibly repeating) directed edge list; multiplicity
+    IS the weight (two identical import statements contribute twice to
+    the transition probability).  Self-loops are dropped (a module
+    importing itself carries no ranking information and would trap
+    rank).  Dangling nodes (no out-edges) spread their rank uniformly —
+    the standard stochastic-matrix completion.  Ranks sum to 1.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    adj = e.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    outw = adj.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = (
+        adj.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar, once
+    if n == 0:
+        trans.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "node string, pr double")
+    has_out = outw.select(F.col("src").alias("node"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).persist()
+    ranks.count()
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        # dangling mass: one tiny aggregate (anti-join side is the node
+        # frame — bounded by graph order, not corpus size)
+        dm = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("pr"),
+            )
+            .persist()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    trans.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -1,0 +1,67 @@
+"""Distributed PageRank (textproc/graph.py) vs an independent python
+power iteration with identical semantics (multiplicity weights,
+self-loops dropped, uniform dangling redistribution, fixed horizon)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from capreolus_spark.textproc.graph import pagerank
+
+# multigraph: a->b twice (weight 2), a->c once; b->c; c dangles; d->a
+EDGES = [
+    ("a", "b"), ("a", "b"), ("a", "c"),
+    ("b", "c"),
+    ("d", "a"),
+    ("c", "c"),  # self-loop: dropped, making c dangling
+]
+
+
+def _twin(edges, damping, iterations):
+    edges = [(s, d) for s, d in edges if s != d]
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    w: dict = {}
+    outw: dict = {}
+    for s, d in edges:
+        w[(s, d)] = w.get((s, d), 0) + 1
+        outw[s] = outw.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(pr[v] for v in nodes if v not in outw)
+        new = {}
+        for v in nodes:
+            s = sum(
+                (w[(u, v2)] / outw[u]) * pr[u]
+                for (u, v2) in w
+                if v2 == v
+            )
+            new[v] = (1 - damping) / n + damping * (s + dm / n)
+        pr = new
+    return pr
+
+
+@pytest.mark.parametrize("iters", [1, 5, 10])
+def test_pagerank_matches_power_iteration(spark, iters):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=iters).collect()}
+    want = _twin(EDGES, 0.85, iters)
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-12), (v, iters)
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+    # d has no in-edges: pure teleport + dangling share, the smallest rank
+    assert got["d"] == min(got.values())
+
+
+def test_pagerank_edge_cases(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+    # all-self-loop graph -> empty node set
+    loops = spark.createDataFrame([("x", "x")], "src string, dst string")
+    assert pagerank(loops).count() == 0
