@@ -585,6 +585,52 @@ def main() -> None:
             )
         )
 
+        # 33. composite agg: the after-key predicate sits BELOW the
+        #     aggregation (filter on raw rows, not on aggregated buckets)
+        #     and the page cut is a TakeOrdered, not a global Sort+collect
+        from capreolus_spark.search.facets import composite_buckets
+
+        comp = composite_buckets(
+            corpus.select(
+                F.substring("docid", 1, 2).alias("g1"),
+                F.substring("docid", 3, 1).alias("g2"),
+            ),
+            ["g1", "g2"],
+            size=3,
+            after=("aa", "z"),
+        )
+        comp.collect()
+        cplan = comp._jdf.queryExecution().executedPlan().toString()
+        agg_pos = cplan.find("HashAggregate")
+        filt_pos = cplan.rfind("Filter")
+        results.append(
+            (
+                "composite after-key filters below the agg, TakeOrdered page cut",
+                "TakeOrderedAndProject" in cplan
+                and agg_pos != -1
+                and filt_pos > agg_pos  # executed plans print top-down:
+                # the Filter appearing AFTER (deeper than) the aggregate
+                # node means it runs on raw rows, before aggregation
+                and "BatchEvalPython" not in cplan,
+            )
+        )
+
+        # 34. search_after: cursor relation + docid resolution both
+        #     broadcast; the only Python is the narrow Arrow cursor cut
+        page1 = searcher.search({"q1": "def return"}, hits=3).collect()
+        if page1:
+            cur = {"q1": (page1[-1]["score"], page1[-1]["docid"])}
+            sa = searcher.search_after({"q1": "def return"}, cur, size=3)
+            sa.collect()
+            saplan = sa._jdf.queryExecution().executedPlan().toString()
+            results.append(
+                (
+                    "search_after broadcast cursor + resolution, no row-python",
+                    saplan.count("BroadcastHashJoin") >= 2
+                    and "BatchEvalPython" not in saplan,
+                )
+            )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
