@@ -3080,6 +3080,30 @@ def _q_composite(spark, sf_dir):
     return composite_buckets(docs, ["lang", "source"], size=4, after=after)
 
 
+def _q_mad(spark, sf_dir):
+    """ES ``median_absolute_deviation`` twin (search/facets.py), EXACT
+    (ES sketches with TDigest; this computes what the sketch
+    approximates): median(|v − median(v)|) per event_type, per-group
+    medians broadcast back (one row per group)."""
+    from capreolus_spark.search.facets import median_absolute_deviation
+
+    out = median_absolute_deviation(_events(spark, sf_dir), "value", by="event_type")
+    return out.select("event_type", "n", F.round("mad", 6).alias("mad"))
+
+
+def _q_weighted_avg(spark, sf_dir):
+    """ES ``weighted_avg`` twin (search/facets.py): Σ(v·w)/Σw per
+    event_type with exact decimal sums (partition-order-free), weight =
+    deterministic event_id%7+1."""
+    from capreolus_spark.search.facets import weighted_avg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "w", ((F.col("event_id") % 7) + 1).cast("double")
+    )
+    out = weighted_avg(ev, "value", "w", by="event_type")
+    return out.select("event_type", "n", F.round("wavg", 6).alias("wavg"))
+
+
 def _q_date_histogram(spark, sf_dir):
     """ES ``date_histogram`` calendar_interval twin (search/facets.py
     date_histogram_counts): per-event_type daily buckets via date_trunc
@@ -4855,6 +4879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_pagerank": _q_module_pagerank,
         "range_value_counts": _q_range_counts,
         "extended_stats_value": _q_extended_stats,
+        "mad_value": _q_mad,
+        "weighted_avg_value": _q_weighted_avg,
         "ann_cosine_topk": _q_ann_cosine,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         # two-pass / sampled searchers — ALL hash-gated too (their SQL
@@ -6211,6 +6237,23 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY lang ASC, source ASC) AS rn "
             "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
             "GROUP BY lang, source) WHERE rn BETWEEN 5 AND 8"
+        ),
+        "mad_value": (
+            "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_type, cast(count(e.value) AS bigint) AS n, "
+            "round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad "
+            "FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL "
+            "GROUP BY e.event_type"
+        ),
+        "weighted_avg_value": (
+            "WITH e AS (SELECT event_type, value, "
+            "cast((event_id % 7) + 1 AS DOUBLE) AS w FROM events "
+            "WHERE value IS NOT NULL) "
+            "SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "round(cast(sum(cast(value AS DECIMAL(18,6)) * cast(w AS DECIMAL(18,6))) AS DOUBLE) "
+            "/ cast(sum(cast(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg "
+            "FROM e GROUP BY event_type"
         ),
         "date_histogram_day": (
             "SELECT event_type, "

@@ -34,6 +34,8 @@ __all__ = [
     "range_counts",
     "extended_stats",
     "composite_buckets",
+    "median_absolute_deviation",
+    "weighted_avg",
     "top_hits",
 ]
 
@@ -280,6 +282,72 @@ def extended_stats(
         F.sqrt(var_pop).alias("std_pop"),
         var_samp.alias("var_samp"),
         F.sqrt(var_samp).alias("std_samp"),
+    )
+
+
+def median_absolute_deviation(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``median_absolute_deviation`` aggregation twin —
+    EXACT, where ES computes it over a TDigest sketch (disclosed
+    difference; the exact value is what the sketch approximates):
+    ``median(|x − median(x)|)`` per group, both medians the exact
+    sort-based interpolated percentile (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the equality the length-percentiles gate
+    pins).  NULLs contribute nothing.
+
+    Two aggregation passes: per-group medians are ONE ROW PER GROUP, so
+    the second pass joins them back via broadcast — the raw frame
+    shuffles only for its two combinable aggs, never for the join.
+    """
+    v = F.col(col).cast("double")
+    base = df.filter(F.col(col).isNotNull())
+    gcols = [by] if by else []
+    med = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    if gcols:
+        joined = base.join(F.broadcast(med), gcols)
+    else:
+        joined = base.crossJoin(F.broadcast(med))
+    out = (joined.groupBy(*gcols) if gcols else joined.groupBy()).agg(
+        F.count(v).cast("bigint").alias("n"),
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("mad"),
+    )
+    return out.select(*gcols, "n", "mad")
+
+
+def weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``weighted_avg`` aggregation twin:
+    ``∑(value·weight) / ∑weight`` per group, rows where EITHER field is
+    NULL skipped (ES's default missing handling).
+
+    Both sums accumulate as exact decimals (6-decimal input precision,
+    products at 12 — associative, so the result is bit-identical under
+    any partitioning; see ``extended_stats`` for why a double sum is
+    not), and the final division is one double op on exact inputs.  One
+    map-side-combinable groupBy.
+    """
+    v = F.col(value_col).cast("decimal(18,6)")
+    w = F.col(weight_col).cast("decimal(18,6)")
+    base = df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+    gcols = [by] if by else []
+    agg = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v * w).alias("_vw"),
+        F.sum(w).alias("_w"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        (F.col("_vw").cast("double") / F.col("_w").cast("double")).alias("wavg"),
     )
 
 

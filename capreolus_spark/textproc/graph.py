@@ -42,6 +42,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    small_graph_nodes: int = 100_000,
 ) -> DataFrame:
     """(node, pr) — weighted PageRank with uniform dangling-mass
     redistribution.
@@ -80,6 +81,20 @@ def pagerank(
         trans.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], "node string, pr double")
+    if n <= small_graph_nodes:
+        # the AGGREGATED graph is often tiny even when the edge scan was
+        # not (imports collapse to module counts); iterating a 36-row
+        # frame across the full shuffle width is pure task-scheduling
+        # overhead, and the persist boundaries block AQE's own
+        # coalescing.  One partition per frame; results identical (the
+        # gate's rounding already absorbs summation-order ulps).
+        nodes_1 = nodes.coalesce(1).persist()
+        trans_1 = trans.coalesce(1).persist()
+        nodes_1.count()
+        trans_1.count()
+        nodes.unpersist()
+        trans.unpersist()
+        nodes, trans = nodes_1, trans_1
     has_out = outw.select(F.col("src").alias("node"))
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).persist()
@@ -99,18 +114,17 @@ def pagerank(
             .agg(F.sum(F.col("p") * F.col("pr")).alias("s"))
             .withColumnRenamed("dst", "node")
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
-                ).alias("pr"),
-            )
-            .persist()
+        new_ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("pr"),
         )
+        if n <= small_graph_nodes:
+            new_ranks = new_ranks.coalesce(1)
+        new_ranks = new_ranks.persist()
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks

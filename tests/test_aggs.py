@@ -186,3 +186,45 @@ def test_composite_buckets_pagination(spark, events):
         composite_buckets(df, [], size=2)
     with _pt.raises(ValueError, match="after"):
         composite_buckets(df, ["etype"], size=2, after=("a", "b"))
+
+
+def test_mad_matches_statistics(spark, events):
+    from capreolus_spark.search.facets import median_absolute_deviation
+
+    def _median(vs):
+        vs = sorted(vs)
+        n = len(vs)
+        mid = (n - 1) / 2
+        lo, hi = vs[int(mid)], vs[int(mid + 0.5)]
+        return (lo + hi) / 2
+
+    rows = {
+        r["etype"]: r
+        for r in median_absolute_deviation(events, "value", by="etype").collect()
+    }
+    for e in ["click", "view"]:
+        vals = [v for e2, _, v in EVENTS if e2 == e and v is not None]
+        m = _median(vals)
+        want = _median([abs(v - m) for v in vals])
+        assert rows[e]["n"] == len(vals)
+        assert math.isclose(rows[e]["mad"], want), e
+    assert "buy" not in rows  # all-NULL group vanishes
+    g = median_absolute_deviation(events, "value").collect()
+    vals = [v for _, _, v in EVENTS if v is not None]
+    m = _median(vals)
+    assert math.isclose(g[0]["mad"], _median([abs(v - m) for v in vals]))
+
+
+def test_weighted_avg_matches_twin(spark, events):
+    from capreolus_spark.search.facets import weighted_avg
+
+    df = events.withColumn("w", (F.col("value") % 3) + F.lit(1.0))
+    rows = {r["etype"]: r for r in weighted_avg(df, "value", "w", by="etype").collect()}
+    for e in ["click", "view"]:
+        pairs = [
+            (v, (v % 3) + 1.0) for e2, _, v in EVENTS if e2 == e and v is not None
+        ]
+        want = sum(v * w for v, w in pairs) / sum(w for _, w in pairs)
+        assert rows[e]["n"] == len(pairs)
+        assert math.isclose(rows[e]["wavg"], want, rel_tol=1e-9), e
+    assert "buy" not in rows  # NULL value rows skipped entirely
