@@ -22,10 +22,12 @@ Scale design (the part that matters at 10^12 files):
   iteration count a run performs would be non-deterministic;  a fixed
   horizon is reproducible, gateable, and how production systems
   schedule the job anyway.
-* Per-iteration ``persist`` + count materializes each rank frame and
-  unpersists its predecessor — lineage stays one iteration deep
-  (re-computation after executor loss replays one join, not the whole
-  power series).
+* Per-iteration ``localCheckpoint(eager=True)`` materializes each rank
+  frame AND TRUNCATES ITS PLAN.  ``persist`` alone is not enough for an
+  iterative job: cached frames short-circuit execution but the analyzer
+  still walks the full lineage, so the plan doubles every iteration and
+  planning time grows exponentially (measured: iteration 9 cost 12×
+  iteration 0 with persist; flat with checkpoint).
 """
 
 from __future__ import annotations
@@ -95,10 +97,14 @@ def pagerank(
         nodes.unpersist()
         trans.unpersist()
         nodes, trans = nodes_1, trans_1
-    has_out = outw.select(F.col("src").alias("node"))
+    # derive from the PERSISTED transition frame: going through outw
+    # would re-run the raw edge scan every iteration's dangling job
+    has_out = trans.select(F.col("src").alias("node")).distinct().persist()
+    has_out.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).persist()
-    ranks.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(
+        eager=True
+    )
     base = (1.0 - damping) / n
     for _ in range(iterations):
         # dangling mass: one tiny aggregate (anti-join side is the node
@@ -124,10 +130,8 @@ def pagerank(
         )
         if n <= small_graph_nodes:
             new_ranks = new_ranks.coalesce(1)
-        new_ranks = new_ranks.persist()
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        ranks = new_ranks.localCheckpoint(eager=True)
     trans.unpersist()
     nodes.unpersist()
+    has_out.unpersist()
     return ranks
