@@ -3066,6 +3066,25 @@ _AGG_RANGES = [
 ]
 
 
+def _q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations (search/facets.py pipeline_over_buckets):
+    cumulative_sum / derivative (first bucket NULL) / trailing 3-bucket
+    moving average over the daily date_histogram, per event_type —
+    window functions over the already-reduced bucket frame, exactly
+    where ES runs its pipeline aggs."""
+    from capreolus_spark.search.facets import (
+        date_histogram_counts,
+        pipeline_over_buckets,
+    )
+
+    buckets = date_histogram_counts(_events(spark, sf_dir), "ts", "day", by="event_type")
+    out = pipeline_over_buckets(buckets, "bucket", "cnt", by="event_type", moving_window=3)
+    return out.select(
+        "event_type", "bucket", "cnt", "cum_sum", "derivative",
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
 def _q_composite(spark, sf_dir):
     """ES ``composite`` aggregation twin (search/facets.py
     composite_buckets): page 2 (size 4) of the (lang, source) bucket
@@ -4876,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": _q_event_props,
         "date_histogram_day": _q_date_histogram,
         "composite_buckets_page": _q_composite,
+        "pipeline_daily_counts": _q_pipeline_aggs,
         "module_pagerank": _q_module_pagerank,
         "range_value_counts": _q_range_counts,
         "extended_stats_value": _q_extended_stats,
@@ -6237,6 +6257,20 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY lang ASC, source ASC) AS rn "
             "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
             "GROUP BY lang, source) WHERE rn BETWEEN 5 AND 8"
+        ),
+        "pipeline_daily_counts": (
+            "WITH b AS (SELECT event_type, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "cast(count(*) AS bigint) AS cnt FROM events WHERE ts IS NOT NULL "
+            "GROUP BY event_type, bucket) "
+            "SELECT event_type, bucket, cnt, "
+            "sum(cast(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY bucket ASC "
+            "ROWS UNBOUNDED PRECEDING) AS cum_sum, "
+            "cast(cnt AS DOUBLE) - lag(cast(cnt AS DOUBLE), 1) OVER "
+            "(PARTITION BY event_type ORDER BY bucket ASC) AS derivative, "
+            "round(avg(cast(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY bucket ASC "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg "
+            "FROM b"
         ),
         "mad_value": (
             "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "

@@ -36,6 +36,7 @@ __all__ = [
     "composite_buckets",
     "median_absolute_deviation",
     "weighted_avg",
+    "pipeline_over_buckets",
     "top_hits",
 ]
 
@@ -399,6 +400,45 @@ def composite_buckets(
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy(*[F.asc(s) for s in sources])
         .limit(size)
+    )
+
+
+def pipeline_over_buckets(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    by: str | None = None,
+    moving_window: int = 3,
+) -> DataFrame:
+    """Elasticsearch pipeline-aggregation twins over a bucketed frame
+    (the output of ``date_histogram_counts``/``histogram_counts``):
+    ``cumulative_sum``, ``derivative`` (first bucket NULL, the ES rule),
+    and a trailing ``moving_fn`` average over the last
+    ``moving_window`` buckets INCLUDING the current one (ES
+    ``MovingFunctions.unweightedAvg`` with the default window
+    semantics).
+
+    Buckets order by ``order_col`` within each ``by`` group.  All three
+    are window functions over the ALREADY-AGGREGATED bucket frame —
+    groups × buckets rows, bounded and tiny relative to the raw scan
+    that produced it, one shuffle on the group key.  ES computes these
+    exactly the same way: pipeline aggs run on the reduced buckets, not
+    the documents.
+    """
+    if moving_window < 1:
+        raise ValueError("moving_window must be >= 1")
+    gcols = [by] if by else []
+    w = Window.partitionBy(*gcols).orderBy(F.asc(order_col))
+    v = F.col(value_col).cast("double")
+    return df.select(
+        *gcols,
+        order_col,
+        value_col,
+        F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_sum"),
+        (v - F.lag(v, 1).over(w)).alias("derivative"),
+        F.avg(v)
+        .over(w.rowsBetween(-(moving_window - 1), 0))
+        .alias("moving_avg"),
     )
 
 

@@ -228,3 +228,46 @@ def test_weighted_avg_matches_twin(spark, events):
         assert rows[e]["n"] == len(pairs)
         assert math.isclose(rows[e]["wavg"], want, rel_tol=1e-9), e
     assert "buy" not in rows  # NULL value rows skipped entirely
+
+
+def test_pipeline_aggs_match_twin(spark, events):
+    """cumulative_sum / derivative / trailing moving average over daily
+    buckets equal a hand-rolled python pipeline (ES rules: first-bucket
+    derivative NULL, moving window trailing incl. current)."""
+    from capreolus_spark.search.facets import (
+        date_histogram_counts,
+        pipeline_over_buckets,
+    )
+
+    buckets = date_histogram_counts(events, "ts", "day", by="etype")
+    out = pipeline_over_buckets(buckets, "bucket", "cnt", by="etype", moving_window=2)
+    got = {}
+    for r in out.collect():
+        got[(r["etype"], r["bucket"])] = (r["cum_sum"], r["derivative"], r["moving_avg"])
+    # python twin
+    per: dict = {}
+    for e, t, _ in EVENTS:
+        if t is None:
+            continue
+        k = t.strftime("%Y-%m-%d 00:00:00")
+        per.setdefault(e, {})
+        per[e][k] = per[e].get(k, 0) + 1
+    for e, bk in per.items():
+        keys = sorted(bk)
+        cum = 0.0
+        prev = None
+        for i, k in enumerate(keys):
+            v = float(bk[k])
+            cum += v
+            window = [float(bk[kk]) for kk in keys[max(0, i - 1) : i + 1]]
+            want = (cum, None if prev is None else v - prev, sum(window) / len(window))
+            g = got[(e, k)]
+            assert g[0] == want[0] and g[2] == want[2], (e, k)
+            assert (g[1] is None) == (want[1] is None)
+            if want[1] is not None:
+                assert g[1] == want[1]
+            prev = v
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="moving_window"):
+        pipeline_over_buckets(buckets, "bucket", "cnt", moving_window=0)
