@@ -3085,6 +3085,24 @@ def _q_pipeline_aggs(spark, sf_dir):
     )
 
 
+_ADJ_TERMS = ["join", "spark", "window"]
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES ``adjacency_matrix`` twin (search/facets.py adjacency_matrix):
+    doc counts for three substring filters and their pairwise
+    intersections (sorted '&' keys, sparse), one JVM pass — every
+    predicate evaluates once per row, higher-order-function pair
+    fan-out, combinable groupBy."""
+    from capreolus_spark.search.facets import adjacency_matrix
+
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return adjacency_matrix(
+        docs, {t: txt.contains(t) for t in _ADJ_TERMS}
+    )
+
+
 def _q_composite(spark, sf_dir):
     """ES ``composite`` aggregation twin (search/facets.py
     composite_buckets): page 2 (size 4) of the (lang, source) bucket
@@ -4896,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_day": _q_date_histogram,
         "composite_buckets_page": _q_composite,
         "pipeline_daily_counts": _q_pipeline_aggs,
+        "adjacency_matrix_filters": _q_adjacency_matrix,
         "module_pagerank": _q_module_pagerank,
         "range_value_counts": _q_range_counts,
         "extended_stats_value": _q_extended_stats,
@@ -6257,6 +6276,22 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY lang ASC, source ASC) AS rn "
             "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
             "GROUP BY lang, source) WHERE rn BETWEEN 5 AND 8"
+        ),
+        "adjacency_matrix_filters": (
+            "WITH d AS (SELECT coalesce(text, '') AS t FROM documents), "
+            "u AS ("
+            + " UNION ALL ".join(
+                [
+                    f"SELECT '{t}' AS key, cast(count(*) FILTER (WHERE contains(t, '{t}')) AS bigint) AS cnt FROM d"
+                    for t in _ADJ_TERMS
+                ]
+                + [
+                    f"SELECT '{a}&{b}' AS key, cast(count(*) FILTER (WHERE contains(t, '{a}') AND contains(t, '{b}')) AS bigint) AS cnt FROM d"
+                    for i, a in enumerate(_ADJ_TERMS)
+                    for b in _ADJ_TERMS[i + 1 :]
+                ]
+            )
+            + ") SELECT key, cnt FROM u WHERE cnt > 0"
         ),
         "pipeline_daily_counts": (
             "WITH b AS (SELECT event_type, "

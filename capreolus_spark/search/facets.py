@@ -37,6 +37,7 @@ __all__ = [
     "median_absolute_deviation",
     "weighted_avg",
     "pipeline_over_buckets",
+    "adjacency_matrix",
     "top_hits",
 ]
 
@@ -439,6 +440,51 @@ def pipeline_over_buckets(
         F.avg(v)
         .over(w.rowsBetween(-(moving_window - 1), 0))
         .alias("moving_avg"),
+    )
+
+
+def adjacency_matrix(df: DataFrame, filters: dict) -> DataFrame:
+    """Elasticsearch ``adjacency_matrix`` aggregation twin: document
+    counts for each named filter and each pairwise intersection, bucket
+    keys ``name`` and ``nameA&nameB`` (names in sorted order, the ES
+    default ``&`` separator), zero-count buckets omitted (the ES sparse
+    rule).
+
+    ``filters`` maps bucket name → a BOOLEAN ``Column`` predicate over
+    ``df`` (the ES filters are arbitrary queries; a Column is the
+    DataFrame-native equivalent).  Names must not contain ``&``.
+
+    One pass, pure JVM: every predicate evaluates once per row into an
+    array of matched names (``array_compact``), singles and pairs fan
+    out via higher-order functions (``transform``/``slice``/
+    ``flatten`` — no UDF, stays in whole-stage codegen), then one
+    map-side-combinable groupBy.  The fan-out is bounded by
+    ``k + k(k-1)/2`` per row for k filters — caller-fixed, tiny.
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    names = sorted(filters)
+    if any("&" in n for n in names):
+        raise ValueError("filter names must not contain '&'")
+    matched = F.array_compact(
+        F.array(*[F.when(filters[n], F.lit(n)) for n in names])
+    )
+    # pairs: for element i, concat with every later element (sorted
+    # input array => sorted pair keys)
+    pairs = F.flatten(
+        F.transform(
+            matched,
+            lambda x, i: F.transform(
+                F.slice(matched, i + F.lit(2), F.size(matched)),
+                lambda y: F.concat(x, F.lit("&"), y),
+            ),
+        )
+    )
+    keys = F.concat(matched, pairs)
+    return (
+        df.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
 
 

@@ -271,3 +271,40 @@ def test_pipeline_aggs_match_twin(spark, events):
 
     with _pt.raises(ValueError, match="moving_window"):
         pipeline_over_buckets(buckets, "bucket", "cnt", moving_window=0)
+
+
+def test_adjacency_matrix_matches_twin(spark, events):
+    """Filter singles + pairwise intersections equal a python twin; keys
+    sorted with '&', zero buckets absent (ES rules)."""
+    from capreolus_spark.search.facets import adjacency_matrix
+
+    filters = {
+        "hi": F.col("value") >= 50,
+        "lo": F.col("value") < 50,
+        "click": F.col("etype") == "click",
+    }
+    got = {r["key"]: r["cnt"] for r in adjacency_matrix(events, filters).collect()}
+    import itertools
+
+    rows = [
+        {"hi": v is not None and v >= 50, "lo": v is not None and v < 50, "click": e == "click"}
+        for e, _, v in EVENTS
+    ]
+    want = {}
+    for n in ["click", "hi", "lo"]:
+        c = sum(1 for r in rows if r[n])
+        if c:
+            want[n] = c
+    for a, b in itertools.combinations(sorted(filters), 2):
+        c = sum(1 for r in rows if r[a] and r[b])
+        if c:
+            want[f"{a}&{b}"] = c
+    assert got == want
+    # hi & lo are disjoint: the pair bucket must be absent
+    assert "hi&lo" not in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="filters"):
+        adjacency_matrix(events, {})
+    with _pt.raises(ValueError, match="&"):
+        adjacency_matrix(events, {"a&b": F.lit(True)})
