@@ -992,6 +992,106 @@ def _q_term_vectors(spark, sf_dir):
     return idx.term_vectors(_TV_DOCIDS)
 
 
+#: phrase-suggester gate topics — deterministic typos with distance-1
+#: corpus-vocabulary corrections (tble->table, joit->join; sow->slow AND
+#: ->row — two candidates, exercising the LM ranking);
+#: s4 is stopword-only (no analyzed terms => absent from both engines).
+_PS_TOPICS = {
+    "s1": "fast tble scan",
+    "s2": "sow merge data",
+    "s3": "big joit query",
+    "s4": "the the",
+}
+
+
+def _phrase_suggest_oracle_sql() -> str:
+    """ES phrase-suggester oracle: same stop-filtered token stream, df-
+    ranked distance-1 candidate generation, single-substitution phrase
+    enumeration via an indexed list_transform, stupid-backoff LM scoring
+    over corpus unigram/bigram counts — the full suggest_phrases
+    pipeline in SQL (gate config: max_edits=1, gen_size=2, max_errors=1,
+    top_n=3, backoff=0.4)."""
+    from capreolus_spark.analysis import analyze_text
+
+    qrows, qlists = [], []
+    for qid, text in sorted(_PS_TOPICS.items()):
+        ts = analyze_text(text, stemmer="none")
+        if not ts:
+            continue
+        lst = "[" + ", ".join(f"'{t}'" for t in ts) + "]"
+        qlists.append(f"('{qid}', {lst})")
+        for i, t in enumerate(ts, start=1):
+            qrows.append(f"('{qid}', {i}, '{t}')")
+    zero = "cast(0 AS DOUBLE)"
+    bk = "cast(0.4 AS DOUBLE)"
+    return (
+        f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+        f"itoks AS (SELECT docid, list_filter(toks, t -> t NOT IN ({_STOPS_SQL})) AS ts FROM tok), "
+        "uni AS MATERIALIZED (SELECT term, cast(count(*) AS DOUBLE) AS c FROM "
+        "(SELECT unnest(ts) AS term FROM itoks) GROUP BY term), "
+        "dfx AS MATERIALIZED (SELECT term, count(DISTINCT docid) AS df FROM "
+        "(SELECT docid, unnest(ts) AS term FROM itoks) GROUP BY term), "
+        "tt AS (SELECT cast(sum(len(ts)) AS DOUBLE) AS tt FROM itoks), "
+        "big AS MATERIALIZED (SELECT p[1] AS w1, p[2] AS w2, cast(count(*) AS DOUBLE) AS c2 FROM "
+        "(SELECT unnest(list_zip(ts, ts[2:])) AS p FROM itoks) "
+        "WHERE p[2] IS NOT NULL GROUP BY w1, w2), "
+        f"queries(qid, pos, qterm) AS (VALUES {', '.join(qrows)}), "
+        f"qlist(qid, ts) AS (VALUES {', '.join(qlists)}), "
+        "cand AS (SELECT qid, pos, term FROM ("
+        "SELECT q.qid, q.pos, d.term, row_number() OVER ("
+        "PARTITION BY q.qid, q.pos ORDER BY d.df DESC, d.term ASC) AS r "
+        "FROM queries q JOIN dfx d ON abs(length(d.term) - length(q.qterm)) <= 1 "
+        "AND levenshtein(q.qterm, d.term) = 1) WHERE r <= 2), "
+        "phrases AS MATERIALIZED (SELECT DISTINCT c.qid, "
+        "array_to_string(list_transform(ql.ts, (t, i) -> CASE WHEN i = c.pos THEN c.term ELSE t END), ' ') AS suggestion, "
+        "list_transform(ql.ts, (t, i) -> CASE WHEN i = c.pos THEN c.term ELSE t END) AS new_ts "
+        "FROM cand c JOIN qlist ql USING (qid)), "
+        "trans AS (SELECT qid, suggestion, NULL AS u, new_ts[1] AS w FROM phrases "
+        "UNION ALL SELECT qid, suggestion, new_ts[i] AS u, new_ts[i + 1] AS w "
+        "FROM phrases, unnest(range(1, len(new_ts))) AS rr(i)), "
+        "pt AS (SELECT t.qid, t.suggestion, CASE "
+        f"WHEN t.u IS NULL THEN greatest(coalesce(uw.c, {zero}), cast(0.5 AS DOUBLE)) / tt.tt "
+        "WHEN b.c2 IS NOT NULL AND uu.c IS NOT NULL THEN b.c2 / uu.c "
+        f"ELSE {bk} * greatest(coalesce(uw.c, {zero}), cast(0.5 AS DOUBLE)) / tt.tt END AS p "
+        "FROM trans t LEFT JOIN uni uu ON t.u = uu.term "
+        "LEFT JOIN uni uw ON t.w = uw.term "
+        "LEFT JOIN big b ON t.u = b.w1 AND t.w = b.w2 CROSS JOIN tt) "
+        "SELECT qid, suggestion, score, rank FROM ("
+        "SELECT qid, suggestion, score, "
+        "cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, suggestion ASC) AS int) AS rank "
+        "FROM (SELECT qid, suggestion, round(sum(ln(p)), 6) AS score "
+        "FROM pt GROUP BY qid, suggestion)) WHERE rank <= 3"
+    )
+
+
+def _q_suggest_phrases(spark, sf_dir):
+    """Phrase suggester (``search/spell.py suggest_phrases`` — the ES
+    ``phrase`` suggester / Lucene PhraseSuggester twin, completing the
+    suggester family): df-ranked distance-1 candidates, ≤1 substituted
+    position, stupid-backoff LM over corpus bigrams, top-3 per qid."""
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.spell import suggest_phrases
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    from pyspark.sql import Window
+
+    # uncut (top_n covers every candidate phrase: <= positions x gen_size),
+    # then the gate's 6dp-rounded re-rank (the _gate_rank convention) so
+    # sub-6dp cross-engine log ulps can't flip near-tied ranks
+    out = suggest_phrases(
+        idx, _corpus(spark, sf_dir), _PS_TOPICS,
+        max_edits=1, gen_size=2, max_errors=1, top_n=10**6, backoff=0.4,
+    ).select("qid", "suggestion", F.round("score", 6).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("suggestion"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def _q_rescore(spark, sf_dir):
     """Window rescoring (``search/rescore.py`` — Lucene QueryRescorer /
     ES rescore twin; the scoring-level analogue of the reference's
@@ -4829,6 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": _q_search_after,
         "bm25_rescore_topk": _q_rescore,
         "term_vectors_docs": _q_term_vectors,
+        "phrase_suggest": _q_suggest_phrases,
         "ql_topk_daat": _q_ql_daat,
         "tfidf_topk": _q_tfidf_daat,
         "bm25plus_topk": _q_bm25plus_daat,
@@ -5206,6 +5307,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore_topk": _RESCORE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
         ),
+        "phrase_suggest": _phrase_suggest_oracle_sql(),
         "term_vectors_docs": (
             f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
             "itf AS (SELECT docid, term, count(*) AS tf FROM ("

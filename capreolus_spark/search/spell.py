@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..analysis import analyze_text
 from ..index import InvertedIndex
 
-__all__ = ["SpellChecker", "suggest_prefix"]
+__all__ = ["SpellChecker", "suggest_prefix", "suggest_phrases"]
 
 _MODES = ("not_in_index", "more_popular", "always")
 
@@ -167,3 +167,196 @@ class SpellChecker:
                 F.col("rank").cast("int").alias("rank"),
             )
         )
+
+
+def suggest_phrases(
+    index: InvertedIndex,
+    corpus: "DataFrame",
+    topics: dict[str, str],
+    max_edits: int = 1,
+    gen_size: int = 2,
+    max_errors: int = 1,
+    top_n: int = 3,
+    backoff: float = 0.4,
+    min_df: int = 1,
+    bigrams: "DataFrame | None" = None,
+) -> DataFrame:
+    """Phrase suggestion ("did you mean", whole queries) — the ES
+    ``phrase`` suggester / Lucene ``PhraseSuggester`` twin, completing
+    the suggester family (term: :class:`SpellChecker`; completion:
+    :func:`suggest_prefix`).
+
+    Pipeline (ES's architecture, DataFrame-native):
+
+    * **candidate generation** per analyzed query position: the original
+      term plus up to ``gen_size`` dictionary terms within
+      ``max_edits`` Levenshtein edits (ranked dist asc, df desc, term
+      asc — the DirectSpellChecker comparator), via one length-banded
+      dictionary scan; the candidate frame collects to the driver
+      (qids × positions × gen_size rows — RM3-collect-bounded);
+    * **phrase enumeration** driver-side: every phrase with at most
+      ``max_errors`` positions substituted (ES ``max_errors`` as a
+      count), the unchanged input excluded; bounded by
+      ``C(k, max_errors) · gen_size^max_errors`` per query;
+    * **LM scoring** distributed, stupid backoff (the ES default
+      smoothing, Brants et al. 2007):
+      ``P(w|u) = c(u,w)/c(u)`` when the bigram occurs, else
+      ``backoff · c(w)/|T|``; the first token scores ``c(w0)/|T|``;
+      zero-count unigrams take an additive floor ``0.5/|T|``
+      (disclosed — avoids log 0 while keeping OOV phrases ranked
+      last).  ``score = Σ ln P``.  Bigram counts come from ONE
+      adjacent-pair pass over the stop-filtered analyzed corpus
+      (``arrays_zip`` of the token array with its own tail — no UDF
+      beyond the shared Arrow analysis — immediately semi-joined to
+      the phrases' transition pairs, so only needed pairs aggregate);
+      pass a precomputed ``bigrams`` (w1, w2, c) frame to amortize it
+      across calls, ES's shingle-subfield trick.
+
+    Returns ``(qid, suggestion, score, rank)`` — ``top_n`` phrases per
+    qid by (score desc, suggestion asc).
+    """
+    from .oracle import analyzed_terms_df
+
+    if max_errors < 1:
+        raise ValueError("max_errors must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    spark = index.spark
+    kw = index.config.analyzer_kwargs()
+    qterms = {str(q): analyze_text(t, **kw) for q, t in sorted(topics.items())}
+    qterms = {q: ts for q, ts in qterms.items() if ts}
+    schema = "qid string, suggestion string, score double, rank int"
+    if not qterms:
+        return spark.createDataFrame([], schema)
+
+    # ---- candidate generation (one dictionary scan for all terms)
+    uniq = sorted({t for ts in qterms.values() for t in ts})
+    d = index.dict_df().select("term", "df")
+    qdf_ = spark.createDataFrame([(t,) for t in uniq], "qterm string")
+    cand = (
+        d.join(
+            F.broadcast(qdf_),
+            F.abs(F.length("term") - F.length("qterm")) <= max_edits,
+        )
+        .withColumn("dist", F.levenshtein("qterm", "term"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_edits))
+        .filter(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    cand_rows = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= gen_size)
+        .select("qterm", "term")
+        .collect()
+    )
+    alts: dict[str, list[str]] = {}
+    for r in cand_rows:
+        alts.setdefault(r["qterm"], []).append(r["term"])
+
+    # ---- phrase enumeration (driver, bounded)
+    from itertools import combinations, product
+
+    phrases: list[tuple[str, str, tuple[str, ...]]] = []  # (qid, key, terms)
+    seen = set()
+    for qid, ts in qterms.items():
+        k = len(ts)
+        for n_err in range(1, min(max_errors, k) + 1):
+            for pos in combinations(range(k), n_err):
+                pools = [
+                    [a for a in alts.get(ts[p], []) if a != ts[p]] for p in pos
+                ]
+                if any(not p for p in pools):
+                    continue
+                for combo in product(*pools):
+                    new = list(ts)
+                    for p, c in zip(pos, combo):
+                        new[p] = c
+                    tup = (qid, tuple(new))
+                    if tup in seen or tuple(new) == tuple(ts):
+                        continue
+                    seen.add(tup)
+                    phrases.append((qid, " ".join(new), tuple(new)))
+    if not phrases:
+        return spark.createDataFrame([], schema)
+
+    # ---- transition frame: (qid, suggestion, i, u, w); u NULL for i=0
+    trows = []
+    for qid, key, ts in phrases:
+        trows.append((qid, key, 0, None, ts[0]))
+        for i in range(1, len(ts)):
+            trows.append((qid, key, i, ts[i - 1], ts[i]))
+    tdf = spark.createDataFrame(
+        trows, "qid string, suggestion string, i int, u string, w string"
+    )
+
+    # ---- corpus statistics (distributed, bounded by the needed sets)
+    analyzed = analyzed_terms_df(corpus, **kw)
+    need_terms = sorted({r[3] for r in trows if r[3]} | {r[4] for r in trows})
+    uni = (
+        analyzed.select(F.explode("terms").alias("term"))
+        .filter(F.col("term").isin(need_terms))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = analyzed.agg(F.sum(F.size("terms")).cast("double").alias("tt"))
+    if bigrams is None:
+        z = F.arrays_zip(
+            F.slice("terms", 1, F.size("terms") - 1),
+            F.slice("terms", 2, F.size("terms") - 1),
+        )
+        bigrams = (
+            analyzed.filter(F.size("terms") >= 2)
+            .select(F.explode(z).alias("p"))
+            .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+            .join(
+                F.broadcast(
+                    tdf.filter(F.col("u").isNotNull())
+                    .select(F.col("u").alias("w1"), F.col("w").alias("w2"))
+                    .distinct()
+                ),
+                ["w1", "w2"],
+            )
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("double").alias("c2"))
+        )
+    else:
+        bigrams = bigrams.select("w1", "w2", F.col("c").cast("double").alias("c2"))
+
+    # ---- stupid-backoff scoring (all JVM expressions)
+    scored = (
+        tdf.join(
+            F.broadcast(uni.withColumnRenamed("term", "u").withColumnRenamed("c", "cu")),
+            "u",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("term", "w").withColumnRenamed("c", "cw")),
+            "w",
+            "left",
+        )
+        .join(
+            F.broadcast(bigrams),
+            (F.col("u") == F.col("w1")) & (F.col("w") == F.col("w2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p_uni = F.greatest(F.coalesce(F.col("cw"), F.lit(0.0)), F.lit(0.5)) / F.col("tt")
+    p = F.when(F.col("u").isNull(), p_uni).otherwise(
+        F.when(
+            F.col("c2").isNotNull() & F.col("cu").isNotNull(),
+            F.col("c2") / F.col("cu"),
+        ).otherwise(F.lit(float(backoff)) * p_uni)
+    )
+    out = (
+        scored.groupBy("qid", "suggestion")
+        .agg(F.sum(F.log(p)).alias("score"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("suggestion"))
+    return (
+        out.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= top_n)
+        .select("qid", "suggestion", "score", F.col("rank").cast("int").alias("rank"))
+    )

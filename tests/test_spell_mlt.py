@@ -261,3 +261,98 @@ def test_suggest_prefix_min_df_and_empty(small_index):
     empty = suggest_prefix(small_index, ["  ", ""], k=5)
     assert empty.count() == 0
     assert empty.columns == ["prefix", "suggestion", "df", "rank"]
+
+
+def test_suggest_phrases_matches_twin(spark, tmp_path):
+    """Phrase suggester (ES phrase suggester twin): stupid-backoff LM
+    scores over enumerated single-substitution phrases equal a
+    hand-rolled python model."""
+    import math
+    from itertools import combinations, product as iproduct
+
+    from capreolus_spark.config import IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.spell import suggest_phrases
+
+    docs = [
+        ("d1", "fast table scan"),
+        ("d2", "fast table scan"),
+        ("d3", "fast cable scan"),
+        ("d4", "vast table plan"),
+        ("d5", "fast table plan scan"),
+    ]
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "ps_idx"), IndexConfig(stemmer="none")
+    )
+    topics = {"q1": "fast tble scan"}
+    got = suggest_phrases(
+        idx, corpus, topics, max_edits=1, gen_size=3, max_errors=1, top_n=5
+    ).collect()
+
+    # ---- python twin
+    toks = [c.split() for _, c in docs]
+    uni = {}
+    big = {}
+    tt = 0
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+            tt += 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+
+    def lev1(a, b):
+        if a == b:
+            return False
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # distance exactly 1 via simple DP
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b)) == 1
+
+    q = "fast tble scan".split()
+    vocab = sorted(uni)
+    phrases = set()
+    for p_ in range(len(q)):
+        cands = sorted(
+            (t for t in vocab if lev1(q[p_], t)),
+            key=lambda t: (-uni[t], t),
+        )[:3]
+        for c in cands:
+            new = list(q)
+            new[p_] = c
+            if new != q:
+                phrases.add(tuple(new))
+
+    def score(ts):
+        s = math.log(max(uni.get(ts[0], 0), 0.5) / tt)
+        for a, b in zip(ts, ts[1:]):
+            if (a, b) in big and a in uni:
+                s += math.log(big[(a, b)] / uni[a])
+            else:
+                s += math.log(0.4 * max(uni.get(b, 0), 0.5) / tt)
+        return s
+
+    want = sorted(
+        ((" ".join(ts), score(ts)) for ts in phrases),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got_sorted = [(r["suggestion"], r["score"]) for r in sorted(got, key=lambda r: r["rank"])]
+    assert [s for s, _ in got_sorted] == [s for s, _ in want]
+    for (gs, gv), (ws, wv) in zip(got_sorted, want):
+        assert math.isclose(gv, wv, rel_tol=1e-12), (gs, gv, wv)
+    # the corrected phrase must win: "fast table scan" is the corpus-dominant trigram
+    assert got_sorted[0][0] == "fast table scan"
