@@ -626,6 +626,34 @@ FROM (
 """
 
 
+# terms_set / minimum_should_match oracle: the BM25 scored CTE restricted
+# to docs matching >= 2 DISTINCT query terms (the ES terms_set /
+# bool.minimum_should_match rule), then the standard rounded re-rank.
+_TERMS_SET_MSM = 2
+_TERMS_SET_ORACLE_SQL = (
+    _BM25_ORACLE_SQL.split("\nSELECT qid, docid, rank, score FROM (")[0]
+    + f""", mc AS (
+  SELECT qw.qid, tf.docid, count(DISTINCT qw.term) AS nm
+  FROM qw JOIN tf USING (term) GROUP BY qw.qid, tf.docid
+), filt AS (
+  SELECT s.qid, s.docid, s.score FROM scored s
+  JOIN mc ON s.qid = mc.qid AND s.docid = mc.docid
+  WHERE mc.nm >= {_TERMS_SET_MSM}
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM filt
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+)
+
+
 # Cursor-paging oracle: reuse the BM25 scored CTE, then page 2 of the
 # 4dp-rounded ranking — rows 11..20 with page-relative rank, exactly what
 # search_after(score_round=4) returns for a cursor at the rounded rank-10
@@ -946,6 +974,25 @@ def _q_bm25_daat(spark, sf_dir):
     )
     run = BM25Searcher(idx, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
     return _gate_rank(run)
+
+
+def _q_terms_set(spark, sf_dir):
+    """terms_set / bool.minimum_should_match (``search/boolean.py``
+    ``BooleanSearcher(min_should_match=2)``): docs matching ≥2 DISTINCT
+    query terms, scored as the boolean should-sum — the distinct-match
+    count evaluates INSIDE the per-range kernel on the postings arrays
+    (concat + unique-count), no extra pass or shuffle."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.boolean import BooleanSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    s = BooleanSearcher(
+        idx, BM25Config(hits=_GATE_HITS), min_should_match=_TERMS_SET_MSM
+    )
+    return _gate_rank(s.search(_TOPICS))
 
 
 def _q_search_after(spark, sf_dir):
@@ -4927,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_daat": _q_bm25_daat,
         "bm25_search_after": _q_search_after,
+        "terms_set_topk": _q_terms_set,
         "bm25_rescore_topk": _q_rescore,
         "term_vectors_docs": _q_term_vectors,
         "phrase_suggest": _q_suggest_phrases,
@@ -5302,6 +5350,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
         "bm25_search_after": _SEARCH_AFTER_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
+        "terms_set_topk": _TERMS_SET_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
         ),
         "bm25_rescore_topk": _RESCORE_ORACLE_SQL.replace(

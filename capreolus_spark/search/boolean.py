@@ -79,7 +79,18 @@ def parse_boolean_query(text: str) -> dict[str, list[str]]:
 class BooleanSearcher(BM25Searcher):
     """Rank documents by summed BM25 over matching positive clauses,
     restricted to the boolean filter (all MUST, no MUST_NOT, ≥1 SHOULD
-    when MUST is empty)."""
+    when MUST is empty).
+
+    ``min_should_match`` adds the ES ``bool.minimum_should_match`` /
+    ``terms_set``-query rule: a document must match at least that many
+    DISTINCT should terms (an int, or a Lucene-spec percentage string
+    like ``"75%"`` of the query's distinct analyzed should terms,
+    rounded down — the ES positive-percentage rule).  ``None`` (default)
+    keeps the classic semantics (≥1 should when no must, should
+    optional otherwise).  The count is evaluated inside the per-range
+    kernel on the postings arrays — no extra pass, no shuffle: each
+    term's range postings are already deduplicated per doc, so a
+    concat + unique-count IS the distinct-match count."""
 
     def __init__(
         self,
@@ -87,8 +98,28 @@ class BooleanSearcher(BM25Searcher):
         config: BM25Config | None = None,
         prune: bool = True,
         tag: str = DEFAULT_TAG,
+        min_should_match: int | str | None = None,
     ):
         super().__init__(index, config, prune=prune, tag=tag)
+        if isinstance(min_should_match, str):
+            if not min_should_match.endswith("%"):
+                raise ValueError(
+                    f"min_should_match string must be 'N%', got {min_should_match!r}"
+                )
+            pct = float(min_should_match[:-1])
+            if not 0 < pct <= 100:
+                raise ValueError("min_should_match percentage must be in (0, 100]")
+        elif min_should_match is not None and min_should_match < 1:
+            raise ValueError("min_should_match must be >= 1")
+        self.min_should_match = min_should_match
+
+    def _resolve_msm(self, n_should: int) -> int:
+        m = self.min_should_match
+        if m is None or n_should == 0:
+            return 0
+        if isinstance(m, str):
+            return max(1, int(float(m[:-1]) / 100.0 * n_should))
+        return int(m)
 
     # ---------------------------------------------------------- analysis
 
@@ -138,7 +169,20 @@ class BooleanSearcher(BM25Searcher):
             mset = sorted(set(must))
             if not mset and not score_terms:
                 continue  # nothing to match on
-            out[qid] = {"must": mset, "not": nset, "score": score_terms}
+            # msm percentage denominator: DISTINCT analyzed should terms
+            # (ES counts optional clauses, seen or not); only seen terms
+            # can ever match, so msm > |seen| matches nothing
+            sseen = sorted({t for t in should if t in weight})
+            msm = self._resolve_msm(len(set(should)))
+            if msm and len(sseen) < msm:
+                continue
+            out[qid] = {
+                "must": mset,
+                "not": nset,
+                "score": score_terms,
+                "should": sseen,
+                "msm": msm,
+            }
         return out
 
     # ------------------------------------------------------------ kernel
@@ -196,6 +240,7 @@ class BooleanSearcher(BM25Searcher):
             out_score: list[np.ndarray] = []
             for qid, q in qlist:
                 must, nots, sterms = q["must"], q["not"], q["score"]
+                msm, sshould = q.get("msm", 0), q.get("should", [])
                 # a MUST term absent from THIS range means no doc of the
                 # range contains it (postings are complete per range)
                 if any(m not in rows_by_term for m in must):
@@ -208,6 +253,16 @@ class BooleanSearcher(BM25Searcher):
                         )
                         if cand.size == 0:
                             break
+                elif msm:
+                    # distinct-should-match count: per-term range postings
+                    # hold each doc once, so concat + unique-count IS the
+                    # distinct matched-term count
+                    present = [t for t in sshould if t in rows_by_term]
+                    if len(present) < msm:
+                        continue
+                    allc = np.concatenate([get_cell(t)[0] for t in present])
+                    u, c = np.unique(allc, return_counts=True)
+                    cand = u[c >= msm]
                 else:
                     present = [t for (t, _, _) in sterms if t in rows_by_term]
                     if not present:
@@ -217,6 +272,17 @@ class BooleanSearcher(BM25Searcher):
                     )
                 if cand.size == 0:
                     continue
+                if msm and must:
+                    # should-count filter on top of the MUST intersection
+                    present = [t for t in sshould if t in rows_by_term]
+                    if len(present) < msm:
+                        continue
+                    cnt = np.zeros(cand.size, dtype=np.int64)
+                    for t in present:
+                        cnt += np.isin(cand, get_cell(t)[0], assume_unique=True)
+                    cand = cand[cnt >= msm]
+                    if cand.size == 0:
+                        continue
                 for nt in nots:
                     if nt in rows_by_term:
                         cand = cand[

@@ -141,3 +141,89 @@ def test_parse_boolean_query():
     }
     # bare prefixes are ignored
     assert parse_boolean_query("+ - x") == {"must": [], "not": [], "should": ["x"]}
+
+
+def _brute_force_msm(corpus_rows, kw, query: str, msm, hits: int):
+    """min_should_match twin: docs matching >= msm distinct should terms
+    (plus must/not as usual), scored like _brute_force."""
+    docs, dls = {}, {}
+    for docid, content in corpus_rows:
+        dls[docid] = len(tokenize_text(content, tokenizer=kw.get("tokenizer", "word")))
+        docs[docid] = Counter(analyze_text(content, **kw))
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    df = Counter(t for tf in docs.values() for t in tf)
+    clauses = parse_boolean_query(query)
+    terms = {
+        kind: [t for chunk in chunks for t in analyze_text(chunk, **kw)]
+        for kind, chunks in clauses.items()
+    }
+    must, nots, should = terms["must"], terms["not"], terms["should"]
+    if any(df[t] == 0 for t in must):
+        return []
+    distinct_should = set(should)
+    if isinstance(msm, str):
+        m = max(1, int(float(msm[:-1]) / 100.0 * len(distinct_should)))
+    else:
+        m = msm
+    positive = Counter(must) + Counter(should)
+
+    def idf(t):
+        return max(0.0, math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+
+    out = []
+    for docid, tf in docs.items():
+        if any(tf[m_] == 0 for m_ in must):
+            continue
+        if any(tf[x] > 0 for x in nots):
+            continue
+        if sum(1 for s in distinct_should if tf[s] > 0) < m:
+            continue
+        score = 0.0
+        for t in sorted(positive):
+            if tf[t] > 0 and idf(t) > 0:
+                norm = K1 * (1 - B + B * dls[docid] / avgdl)
+                score += positive[t] * idf(t) * tf[t] / (tf[t] + norm)
+        if score > 0:
+            out.append((docid, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:hits]
+
+
+@pytest.mark.parametrize(
+    "query,msm",
+    [
+        ("def return self", 2),          # terms_set: >= 2 of 3
+        ("def return self import", 3),   # >= 3 of 4
+        ("def return self", "67%"),      # percentage -> floor(2.01) = 2
+        ("+def return self", 2),         # must + should-count filter
+    ],
+)
+def test_min_should_match_matches_brute_force(bool_parts, query, msm):
+    idx, rows, kw = bool_parts
+    want = _brute_force_msm(rows, kw, query, msm, 50)
+    got = [
+        (r["docid"], r["score"])
+        for r in sorted(
+            BooleanSearcher(
+                idx, BM25Config(hits=50), min_should_match=msm
+            ).search({"q": query}).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], (query, msm)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-12), (query, gd)
+
+
+def test_min_should_match_validation_and_unsatisfiable(bool_parts):
+    idx, rows, kw = bool_parts
+    with pytest.raises(ValueError, match="min_should_match"):
+        BooleanSearcher(idx, min_should_match=0)
+    with pytest.raises(ValueError, match="percentage"):
+        BooleanSearcher(idx, min_should_match="150%")
+    with pytest.raises(ValueError, match="'N%'"):
+        BooleanSearcher(idx, min_should_match="two")
+    # msm exceeding the distinct should count matches nothing
+    s = BooleanSearcher(idx, BM25Config(hits=10), min_should_match=5)
+    assert s.search({"q": "def return self"}).count() == 0
