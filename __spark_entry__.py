@@ -976,6 +976,33 @@ def _q_bm25_daat(spark, sf_dir):
     return _gate_rank(run)
 
 
+_SPAN_FIRST_END = 5
+_SPAN_FIRST_TOPICS = {"f1": "spark", "f2": "merge", "f3": "window"}
+
+
+def _q_span_first(spark, sf_dir):
+    """SpanFirstQuery twin (``search/phrase.py SpanFirstSearcher``): the
+    term must occur within the first ``end`` original token positions
+    (stopword slots preserved — Lucene position increments); tf = the
+    within-window count (one binary search per posting), df = exact span
+    df, BM25 pseudo-term scoring.  Matches are corpus-sparse, so the
+    FULL match set is gated (hits above any span df)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.phrase import SpanFirstSearcher
+
+    idx = InvertedIndex.create(
+        spark,
+        _corpus(spark, sf_dir),
+        _index_dir("daat_pos", sf_dir),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    run = SpanFirstSearcher(
+        idx, BM25Config(hits=10_000_000), end=_SPAN_FIRST_END
+    ).search(_SPAN_FIRST_TOPICS)
+    return _gate_rank(run, hits=None)
+
+
 def _q_terms_set(spark, sf_dir):
     """terms_set / bool.minimum_should_match (``search/boolean.py``
     ``BooleanSearcher(min_should_match=2)``): docs matching ≥2 DISTINCT
@@ -4975,6 +5002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_daat": _q_bm25_daat,
         "bm25_search_after": _q_search_after,
         "terms_set_topk": _q_terms_set,
+        "span_first_topk": _q_span_first,
         "bm25_rescore_topk": _q_rescore,
         "term_vectors_docs": _q_term_vectors,
         "phrase_suggest": _q_suggest_phrases,
@@ -5354,6 +5382,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "terms_set_topk": _TERMS_SET_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
+        ),
+        "span_first_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM tok), "
+            "m AS ("
+            + " UNION ALL ".join(
+                f"SELECT '{qid}' AS qid, docid, "
+                f"len(list_filter(toks[1:{_SPAN_FIRST_END}], t -> t = '{term}')) AS cnt, "
+                "len(toks) AS dl FROM tok"
+                for qid, term in sorted(_SPAN_FIRST_TOPICS.items())
+            )
+            + "), mm AS (SELECT * FROM m WHERE cnt > 0), "
+            "dfx AS (SELECT qid, count(*)::DOUBLE AS df FROM mm GROUP BY qid), "
+            "scored AS (SELECT mm.qid, mm.docid, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) * mm.cnt / "
+            "(mm.cnt + 0.9 * (1 - 0.4 + 0.4 * mm.dl / s.avgdl)) AS score "
+            "FROM mm JOIN dfx d USING (qid) CROSS JOIN stats s) "
+            "SELECT qid, docid, "
+            "cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM scored"
         ),
         "bm25_rescore_topk": _RESCORE_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()

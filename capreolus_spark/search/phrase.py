@@ -180,6 +180,13 @@ class PhraseSearcher(BM25Searcher):
             )
 
         counts = self._phrase_counts_df(phrases).persist()
+        return self._search_from_counts(counts, hits)
+
+    def _search_from_counts(self, counts: DataFrame, hits: int) -> DataFrame:
+        """Pseudo-term BM25 over a persisted (qid, docno, cnt, dl) match
+        frame: exact df aggregation + scoring + the family-wide
+        cut-before-resolution tail.  Shared by the phrase and span
+        searchers (identical scoring convention)."""
         try:
             n_docs = float(self.index.numdocs)
             dfx = counts.groupBy("qid").agg(F.count("*").alias("df"))
@@ -217,3 +224,131 @@ class PhraseSearcher(BM25Searcher):
             return out
         finally:
             counts.unpersist()
+
+
+class SpanFirstSearcher(PhraseSearcher):
+    """Lucene ``SpanFirstQuery`` twin: a term matches only within the
+    first ``end`` positions of a document (0-based original token
+    offsets — the index's stored position space, so removed stopwords
+    still occupy slots exactly as in Lucene's position increments).
+
+    tf = the within-window occurrence count (Lucene's sloppyFreq for a
+    span), df = the EXACT count of matching documents — the
+    phrase-family convention here (Lucene shortcuts to the wrapped
+    term's corpus stats; the exact span df is the better-calibrated
+    choice and is disclosed).  Scoring and the cut-before-resolution
+    tail are shared with :class:`PhraseSearcher`.
+
+    The classic use: title/lead-paragraph matching on documents indexed
+    as one position stream ("the query term must appear in the first
+    ~50 tokens").
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        end: int = 50,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, tag=tag)
+        if end < 1:
+            raise ValueError("end must be >= 1")
+        self.end = end
+
+    def _span_terms(self, text: str) -> str | None:
+        kw = self.index.config.analyzer_kwargs()
+        toks = [
+            stem_token(t, kw["stemmer"])
+            for t in tokenize_text(text, tokenizer=kw.get("tokenizer", "word"))
+            if not (kw["remove_stops"] and t in LUCENE_STOP_WORDS)
+        ]
+        if len(toks) > 1:
+            raise ValueError(
+                f"SpanFirstQuery wraps one term; got {len(toks)} from {text!r}"
+            )
+        return toks[0] if toks else None
+
+    def _span_counts_df(self, spans: dict[str, str]) -> DataFrame:
+        terms = sorted(set(spans.values()))
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        qlist = sorted(spans.items())
+        deleted = self._deleted_for_kernel()
+        end = self.end
+
+        def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=object),
+                    "docno": pd.Series([], dtype=np.int64),
+                    "cnt": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.int64),
+                }
+            )
+            if len(p) == 0 or len(r) == 0:
+                return empty
+            rrow = r.iloc[0]
+            base = int(rrow["base_docno"])
+            dls = decode_int32_array(rrow["dls"])
+            del_mask = live_mask(deleted, base, int(rrow["n_slots"]))
+
+            cells: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+            for i in range(len(p)):
+                row = p.iloc[i]
+                if row["positions"] is None:
+                    continue
+                docnos, tfs = decode_postings(row["docnos"], row["tfs"])
+                plists = decode_position_lists(bytes(row["positions"]), tfs)
+                if del_mask is not None:
+                    keep = ~del_mask[docnos - base]
+                    docnos = docnos[keep]
+                    plists = [pl for pl, k in zip(plists, keep) if k]
+                cells[row["term"]] = (docnos, plists)
+
+            rows = {"qid": [], "docno": [], "cnt": [], "dl": []}
+            for qid, term in qlist:
+                cell = cells.get(term)
+                if cell is None:
+                    continue
+                docnos, plists = cell
+                for k in range(docnos.size):
+                    # position lists are sorted ascending: the count of
+                    # positions < end is one binary search
+                    cnt = int(np.searchsorted(plists[k], end, side="left"))
+                    if cnt:
+                        d = int(docnos[k])
+                        rows["qid"].append(qid)
+                        rows["docno"].append(d)
+                        rows["cnt"].append(cnt)
+                        rows["dl"].append(int(dls[d - base]))
+            return pd.DataFrame(rows) if rows["qid"] else empty
+
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        n_ranges = self.index.num_ranges
+        if n_ranges:
+            n_parts = max(1, min(n_parts, n_ranges))
+        return (
+            postings.repartition(n_parts, "range_id").groupBy("range_id")
+            .cogroup(ranges.repartition(n_parts, "range_id").groupBy("range_id"))
+            .applyInPandas(kernel, schema=_COUNT_SCHEMA)
+        )
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        """topics = {qid: single-term text} → (qid, docid, rank, score,
+        tag); score = BM25 over the span pseudo-term."""
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        spans = {
+            str(qid): t
+            for qid, text in topics.items()
+            if (t := self._span_terms(text)) is not None
+        }
+        if not spans:
+            return spark.createDataFrame(
+                [], "qid string, docid string, rank int, score double, tag string"
+            )
+        counts = self._span_counts_df(spans).persist()
+        return self._search_from_counts(counts, hits)

@@ -125,3 +125,55 @@ def test_phrase_occurrence_kernel():
     assert _phrase_occurrences([P(0), P(3)], [0, 3]) == 1
     assert _phrase_occurrences([P(0), P(2)], [0, 3]) == 0
     assert _phrase_occurrences([P(5)], [0]) == 1
+
+
+def test_span_first_matches_brute_force(spark, phrase_idx):
+    """SpanFirstSearcher (Lucene SpanFirstQuery twin): within-window tf
+    and exact span df equal a raw-token-position scan."""
+    from capreolus_spark.search.phrase import SpanFirstSearcher
+
+    end = 3
+    s = SpanFirstSearcher(phrase_idx, BM25Config(hits=50), end=end)
+    got = {
+        (r["qid"], r["docid"]): r["score"]
+        for r in s.search({"q1": "quick", "q2": "brown", "q3": "engines"}).collect()
+    }
+    # twin: tf' = occurrences at 0-based position < end over RAW tokens
+    texts = {f"r@{'0'*40}:{name}.txt": t for t, name in DOCS}
+    n = len(DOCS)
+    dls = {d: len(tokenize_text(t)) for d, t in texts.items()}
+    avgdl = sum(dls.values()) / n
+    for qid, term in [("q1", "quick"), ("q2", "brown"), ("q3", "engines")]:
+        matches = {
+            d: sum(1 for i, t in enumerate(tokenize_text(txt)) if i < end and t == term)
+            for d, txt in texts.items()
+        }
+        matches = {d: c for d, c in matches.items() if c}
+        df = len(matches)
+        idf = max(0.0, math.log(1 + (n - df + 0.5) / (df + 0.5)))
+        for d, c in matches.items():
+            norm = 0.9 * (1 - 0.4 + 0.4 * dls[d] / avgdl)
+            want = idf * c / (c + norm)
+            assert got[(qid, d)] == pytest.approx(want, abs=1e-12), (qid, d)
+    # no doc outside the twin's match set
+    twin_keys = set()
+    for qid, term in [("q1", "quick"), ("q2", "brown"), ("q3", "engines")]:
+        for d, txt in texts.items():
+            if any(i < end and t == term for i, t in enumerate(tokenize_text(txt))):
+                twin_keys.add((qid, d))
+    assert set(got) == twin_keys
+    # d4 has "quick" at positions 0, 2 -> tf' = 2 within end=3
+    d4 = next(d for d in texts if d.endswith("d4.txt"))
+    assert ("q1", d4) in got
+
+
+def test_span_first_validation(spark, phrase_idx):
+    from capreolus_spark.search.phrase import SpanFirstSearcher
+
+    with pytest.raises(ValueError, match="end"):
+        SpanFirstSearcher(phrase_idx, end=0)
+    s = SpanFirstSearcher(phrase_idx, BM25Config(hits=5), end=3)
+    with pytest.raises(ValueError, match="one term"):
+        s.search({"q": "quick brown"})
+    # stopword-only query drops out silently
+    assert s.search({"q": "the of"}).count() == 0
