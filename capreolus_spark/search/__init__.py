@@ -814,6 +814,26 @@ def _make_boolean(index, **cfg):
     )
 
 
+def _make_terms_set(index, **cfg):
+    from .boolean import BooleanSearcher
+
+    return BooleanSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        min_should_match=cfg.get("minimum_should_match", 1),
+    )
+
+
+def _make_span_first(index, **cfg):
+    from .phrase import SpanFirstSearcher
+
+    return SpanFirstSearcher(
+        index,
+        BM25Config(k1=cfg.get("k1", 0.9), b=cfg.get("b", 0.4), hits=cfg.get("hits", 1000)),
+        end=cfg.get("end", 50),
+    )
+
+
 def _make_fuzzy(index, **cfg):
     from .fuzzy import FuzzySearcher
 
@@ -932,6 +952,8 @@ SEARCHERS = {
     "axiomatic": _make_axiomatic,
     "phrase": _make_phrase,  # beyond-reference: Lucene PhraseQuery twin
     "boolean": _make_boolean,  # beyond-reference: Lucene BooleanQuery twin
+    "terms_set": _make_terms_set,  # beyond-reference: ES terms_set / bool msm twin
+    "span_first": _make_span_first,  # beyond-reference: Lucene SpanFirstQuery twin
     "fuzzy": _make_fuzzy,  # beyond-reference: Lucene FuzzyQuery twin
     "prefix": _make_prefix,  # beyond-reference: Lucene PrefixQuery twin
     "near": _make_near,  # beyond-reference: Lucene SpanNearQuery twin

@@ -16,7 +16,13 @@ through repeated ``--param key=value`` flags (e.g. ``--param delta=0.5``
 for BM25Plus/BM25L, ``--param beta=0.75 --param fbDocs=10`` for
 Rocchio, ``--searcher collapse --param key=repo`` for one-best-hit-per-
 repository field collapsing).  PL2 and DPH (DFR) are registered too
-(``--param c=1.0`` for PL2).  ``--searcher synonym`` reads its groups
+(``--param c=1.0`` for PL2).  ``--searcher terms_set --param
+minimum_should_match=2`` requires that many distinct query terms per
+document (ES terms_set / bool.minimum_should_match; percentages like
+``minimum_should_match=75%`` follow the Lucene spec); ``--searcher
+span_first --param end=50`` matches a single-term topic only within
+the first ``end`` token positions (Lucene SpanFirstQuery; needs a
+``--store-positions`` index).  ``--searcher synonym`` reads its groups
 from ``--synonyms FILE`` in the Solr/Elasticsearch ``synonyms.txt``
 equivalence-class format: one comma-separated group per line,
 ``#``-comments and blank lines ignored (explicit-mapping ``=>`` lines
