@@ -980,6 +980,36 @@ _SPAN_FIRST_END = 5
 _SPAN_FIRST_TOPICS = {"f1": "spark", "f2": "merge", "f3": "window"}
 
 
+def _q_bm25_restored(spark, sf_dir):
+    """Snapshot → restore → search (``index/snapshot.py`` — ES snapshot
+    API twin): the restored index must rank IDENTICALLY to the source,
+    so the gate reuses the plain BM25 oracle.  Every file hash verifies
+    during restore (corruption surfaces at restore, not query time)."""
+    import tempfile
+
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.index.snapshot import create_snapshot, restore_snapshot
+    from capreolus_spark.search import BM25Searcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    work = tempfile.mkdtemp(prefix="capreolus_spark_snap_")
+    snap = os.path.join(work, "snap")
+    restored = os.path.join(work, "restored")
+    create_snapshot(idx.index_dir, snap)
+    restore_snapshot(snap, restored)
+    ridx = InvertedIndex(spark, restored)
+    out = _gate_rank(
+        BM25Searcher(ridx, BM25Config(hits=_GATE_HITS)).search(_TOPICS)
+    ).localCheckpoint(eager=True)  # materialize BEFORE deleting the restore
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _q_span_first(spark, sf_dir):
     """SpanFirstQuery twin (``search/phrase.py SpanFirstSearcher``): the
     term must occur within the first ``end`` original token positions
@@ -5003,6 +5033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": _q_search_after,
         "terms_set_topk": _q_terms_set,
         "span_first_topk": _q_span_first,
+        "bm25_topk_restored": _q_bm25_restored,
         "bm25_rescore_topk": _q_rescore,
         "term_vectors_docs": _q_term_vectors,
         "phrase_suggest": _q_suggest_phrases,
@@ -5377,6 +5408,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_oracle": bm25,
         "bm25_topk_daat": bm25,
+        "bm25_topk_restored": bm25,  # restored snapshot must rank identically
         "bm25_search_after": _SEARCH_AFTER_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()
         ),

@@ -1,0 +1,124 @@
+"""Index snapshot / restore — the ES snapshot-repository API twin for
+the index lifecycle family (build → merge → delete → checkindex →
+**snapshot/restore**).
+
+A snapshot is a self-describing copy of a COMPLETE index: every
+committed stage directory (parquet part files copied byte-for-byte),
+``manifest.json`` / ``stats.json``, plus a ``snapshot.json`` envelope
+recording the source path, per-file sha256 + byte sizes, and the
+layout version.  Restore copies it back under a new index dir and
+re-verifies every file hash before declaring the index usable — the
+incremental-safety property ES snapshots document (a torn or bit-rotted
+copy is detected at restore, not at query time).
+
+Scale note: this module moves LOCAL/posix files (the sandbox's on-disk
+layout).  On an object store the same envelope applies, but the copy
+becomes a distributed ``spark.read → write`` per stage or a storage-
+native copy job — the verify step (hash per file) is already the
+per-file unit that parallelizes.  Deliberately driver-side here: a
+snapshot of a test-scale index is small, and the envelope format, not
+the copy transport, is the contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+__all__ = ["create_snapshot", "restore_snapshot", "verify_snapshot"]
+
+_ENVELOPE = "snapshot.json"
+
+
+def _file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _walk_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            out.append(os.path.relpath(p, root))
+    return sorted(out)
+
+
+def create_snapshot(index_dir: str, snapshot_dir: str) -> dict:
+    """Copy a complete index into ``snapshot_dir`` and write the
+    ``snapshot.json`` envelope (relpath → {sha256, bytes}).  Refuses an
+    index whose manifest is missing (nothing durable to snapshot) and a
+    non-empty target (snapshots are immutable — no silent overwrite)."""
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        raise ValueError(f"{index_dir} has no manifest.json — not a committed index")
+    if os.path.exists(snapshot_dir) and os.listdir(snapshot_dir):
+        raise ValueError(f"snapshot target {snapshot_dir} is not empty")
+    os.makedirs(snapshot_dir, exist_ok=True)
+    files = {}
+    for rel in _walk_files(index_dir):
+        src = os.path.join(index_dir, rel)
+        dst = os.path.join(snapshot_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        files[rel] = {"sha256": _file_sha256(dst), "bytes": os.path.getsize(dst)}
+    envelope = {
+        "source_index_dir": os.path.abspath(index_dir),
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_files": len(files),
+        "total_bytes": sum(f["bytes"] for f in files.values()),
+        "files": files,
+    }
+    tmp = os.path.join(snapshot_dir, _ENVELOPE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(envelope, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(snapshot_dir, _ENVELOPE))
+    return envelope
+
+
+def verify_snapshot(snapshot_dir: str) -> dict:
+    """Re-hash every file against the envelope.  Returns
+    ``{n_files, n_mismatched, mismatched: [relpaths]}`` — a non-empty
+    mismatch list means the snapshot is torn/corrupt."""
+    with open(os.path.join(snapshot_dir, _ENVELOPE)) as f:
+        envelope = json.load(f)
+    mismatched = []
+    for rel, meta in envelope["files"].items():
+        p = os.path.join(snapshot_dir, rel)
+        if not os.path.exists(p) or _file_sha256(p) != meta["sha256"]:
+            mismatched.append(rel)
+    return {
+        "n_files": len(envelope["files"]),
+        "n_mismatched": len(mismatched),
+        "mismatched": sorted(mismatched),
+    }
+
+
+def restore_snapshot(snapshot_dir: str, index_dir: str) -> dict:
+    """Copy a snapshot into a fresh ``index_dir``, verifying every file
+    hash DURING the restore (corruption surfaces here, not at query
+    time).  Refuses a non-empty target.  Returns the verify report."""
+    if os.path.exists(index_dir) and os.listdir(index_dir):
+        raise ValueError(f"restore target {index_dir} is not empty")
+    with open(os.path.join(snapshot_dir, _ENVELOPE)) as f:
+        envelope = json.load(f)
+    os.makedirs(index_dir, exist_ok=True)
+    mismatched = []
+    for rel, meta in envelope["files"].items():
+        src = os.path.join(snapshot_dir, rel)
+        dst = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        if _file_sha256(dst) != meta["sha256"]:
+            mismatched.append(rel)
+    if mismatched:
+        raise IOError(
+            f"restore verification failed for {len(mismatched)} file(s): "
+            f"{sorted(mismatched)[:5]}"
+        )
+    return {"n_files": len(envelope["files"]), "n_mismatched": 0, "mismatched": []}

@@ -1,0 +1,70 @@
+"""Index snapshot/restore (index/snapshot.py — ES snapshot API twin):
+roundtrip search equality, hash verification, corruption detection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.index import InvertedIndex
+from capreolus_spark.index.snapshot import (
+    create_snapshot,
+    restore_snapshot,
+    verify_snapshot,
+)
+from capreolus_spark.search import BM25Searcher
+
+
+def test_snapshot_restore_roundtrip(spark, synth_index, tmp_path):
+    idx, _ = synth_index
+    snap = str(tmp_path / "snap")
+    env = create_snapshot(idx.index_dir, snap)
+    assert env["n_files"] > 0 and env["total_bytes"] > 0
+    assert verify_snapshot(snap)["n_mismatched"] == 0
+
+    restored_dir = str(tmp_path / "restored")
+    report = restore_snapshot(snap, restored_dir)
+    assert report["n_mismatched"] == 0
+
+    topics = dict(list(synth_queries(10).items())[:2])
+    orig = BM25Searcher(idx, BM25Config(hits=20)).search(topics).collect()
+    ridx = InvertedIndex(spark, restored_dir)
+    rest = BM25Searcher(ridx, BM25Config(hits=20)).search(topics).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert [
+        (r["qid"], r["docid"], r["rank"], r["score"]) for r in sorted(orig, key=key)
+    ] == [(r["qid"], r["docid"], r["rank"], r["score"]) for r in sorted(rest, key=key)]
+
+
+def test_snapshot_corruption_detected(spark, synth_index, tmp_path):
+    idx, _ = synth_index
+    snap = str(tmp_path / "snap2")
+    env = create_snapshot(idx.index_dir, snap)
+    # flip one byte in some data file
+    victim = next(
+        rel for rel in env["files"] if rel.endswith(".parquet") or "part-" in rel
+    )
+    p = os.path.join(snap, victim)
+    data = bytearray(open(p, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+
+    rep = verify_snapshot(snap)
+    assert rep["n_mismatched"] == 1 and rep["mismatched"] == [victim]
+    with pytest.raises(IOError, match="restore verification failed"):
+        restore_snapshot(snap, str(tmp_path / "restored2"))
+
+
+def test_snapshot_guards(spark, synth_index, tmp_path):
+    idx, _ = synth_index
+    with pytest.raises(ValueError, match="manifest"):
+        create_snapshot(str(tmp_path / "not_an_index"), str(tmp_path / "s"))
+    snap = str(tmp_path / "snap3")
+    create_snapshot(idx.index_dir, snap)
+    with pytest.raises(ValueError, match="not empty"):
+        create_snapshot(idx.index_dir, snap)
+    with pytest.raises(ValueError, match="not empty"):
+        restore_snapshot(snap, idx.index_dir)
