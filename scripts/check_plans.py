@@ -615,6 +615,26 @@ def main() -> None:
             )
         )
 
+        # 34b. extended_stats: one map-side-partial groupBy (no second
+        #      exchange for the derived columns), decimal sums, no python
+        from capreolus_spark.search.facets import extended_stats
+
+        es = extended_stats(
+            corpus.select("docid", F.length("content").alias("v")), "v", by="docid"
+        )
+        es.collect()
+        esplan = es._jdf.queryExecution().executedPlan().toString()
+        # AQE prints final + initial plans; audit the FINAL one only
+        es_final = esplan.split("== Initial Plan ==")[0]
+        results.append(
+            (
+                "extended_stats single partial-agg exchange, python-free",
+                es_final.count("Exchange") <= 1
+                and "partial_count" in es_final
+                and "BatchEvalPython" not in es_final,
+            )
+        )
+
         # 34. search_after: cursor relation + docid resolution both
         #     broadcast; the only Python is the narrow Arrow cursor cut
         page1 = searcher.search({"q1": "def return"}, hits=3).collect()
