@@ -3036,6 +3036,16 @@ def _q_filter_keep_topn(spark, sf_dir):
     )
 
 
+def _q_eval_err(spark, sf_dir):
+    """ERR@10 (``evaluation/frames.py err_df`` — Chapelle 2009 / gdeval
+    twin): graded cascade metric over the synthetic run+qrels, g_max
+    observed from the qrels (gdeval convention)."""
+    from capreolus_spark.evaluation.frames import err_df
+
+    out = err_df(_synth_run(spark, sf_dir), _synth_qrels(spark, sf_dir), k=10)
+    return out.select("qid", F.round("err_at_10", 6).alias("err_at_10"))
+
+
 def _q_eval_metrics(spark, sf_dir):
     from capreolus_spark.evaluation.frames import eval_metrics_df
 
@@ -5090,6 +5100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_filter_remove": _q_filter_remove,
         "run_filter_keep_topn": _q_filter_keep_topn,
         "eval_metrics": _q_eval_metrics,
+        "eval_err": _q_eval_err,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
         "dedup_canonical_by_score": _q_dedup_canonical,
@@ -5873,6 +5884,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, docid, rank, round(score, 6) AS score FROM "
             "(SELECT qid, docid, score, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank FROM f) "
             "WHERE rank <= 3"
+        ),
+        "eval_err": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
+            "gmax AS (SELECT cast(max(label) AS DOUBLE) AS g FROM qrels), "
+            "lab AS (SELECT run.qid, run.docid, run.score, "
+            "cast(greatest(coalesce(qrels.label, 0), 0) AS DOUBLE) AS g "
+            "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
+            "ranked AS (SELECT lab.qid, lab.docid, "
+            "row_number() OVER (PARTITION BY lab.qid ORDER BY lab.score DESC, lab.docid DESC) AS rank, "
+            "(pow(cast(2 AS DOUBLE), lab.g) - 1) / pow(cast(2 AS DOUBLE), gmax.g) AS r "
+            "FROM lab CROSS JOIN gmax), "
+            "c AS (SELECT qid, rank, r, exp(coalesce(sum(ln(1 - r)) OVER ("
+            "PARTITION BY qid ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS pp "
+            "FROM ranked) "
+            "SELECT qid, round(sum(CASE WHEN rank <= 10 THEN r / rank * pp ELSE 0 END), 6) AS err_at_10 "
+            "FROM c GROUP BY qid"
         ),
         "eval_metrics": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

@@ -209,3 +209,49 @@ def eval_metrics_df(
         )
     )
     return per_q
+
+
+def err_df(
+    run: DataFrame, qrels: DataFrame, k: int = 10, max_grade: int | None = None
+) -> DataFrame:
+    """Expected Reciprocal Rank at ``k`` (Chapelle et al., CIKM 2009 —
+    the TREC Web track's graded cascade metric, gdeval's ``err``):
+    ``ERR@k = Σ_{r≤k} (1/r) · R_r · ∏_{i<r} (1 − R_i)`` with stop
+    probability ``R(g) = (2^g − 1) / 2^{g_max}``.
+
+    ``g_max`` defaults to the maximum grade observed in the qrels
+    (gdeval's convention — one tiny aggregate broadcast to every row);
+    pass it explicitly when the grade scale is fixed by the track.
+    Unjudged docs carry grade 0: they contribute nothing and do not
+    damp the cascade, the standard treatment.  ``R(g) < 1`` strictly
+    (``2^g − 1 < 2^{g_max}``), so the cascade product is
+    ``exp(Σ ln(1 − R))`` over the preceding ranks — one window pass,
+    one shuffle by qid, same (score desc, docid desc) trec_eval
+    tie-break as :func:`eval_metrics_df`.
+    """
+    joined = run.join(qrels, ["qid", "docid"], "left")
+    if max_grade is None:
+        gmax = qrels.agg(F.max("label").cast("double").alias("_gmax"))
+        joined = joined.crossJoin(F.broadcast(gmax))
+    else:
+        joined = joined.withColumn("_gmax", F.lit(float(max_grade)))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docid"))
+    g = F.greatest(F.coalesce(F.col("label"), F.lit(0)), F.lit(0)).cast("double")
+    r = (F.pow(F.lit(2.0), g) - F.lit(1.0)) / F.pow(F.lit(2.0), F.col("_gmax"))
+    ranked = joined.withColumn("rank", F.row_number().over(w)).withColumn("_r", r)
+    prod_prev = F.exp(
+        F.coalesce(
+            F.sum(F.log(F.lit(1.0) - F.col("_r"))).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        )
+    )
+    contrib = F.when(
+        F.col("rank") <= k, F.col("_r") / F.col("rank") * prod_prev
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.withColumn("_c", contrib)
+        .groupBy("qid")
+        .agg(F.sum("_c").alias(f"err_at_{k}"))
+    )

@@ -176,3 +176,49 @@ def test_comb_fusion_matches_hand_computation(spark):
     # hits cut: mnz top-2 keeps d2, d3 (score tie-broken deterministically)
     top = [(r["docid"]) for r in comb_fuse_df([r1, r2], method="mnz", hits=2).collect()]
     assert set(top) == {"d2", "d3"}
+
+
+def test_err_df_matches_python_twin(spark):
+    """ERR@k (Chapelle 2009 cascade) equals a literal-formula python
+    twin, incl. max-grade stop damping and unjudged-doc transparency."""
+    from capreolus_spark.evaluation.frames import err_df
+
+    run_rows = [
+        ("q1", "d1", 5.0), ("q1", "d2", 4.0), ("q1", "d3", 3.0), ("q1", "d4", 2.0),
+        ("q2", "d1", 9.0), ("q2", "d9", 8.0),
+        ("q3", "d7", 1.0),  # only unjudged docs -> ERR 0
+    ]
+    qrel_rows = [
+        ("q1", "d1", 2), ("q1", "d3", 1), ("q1", "d9", 2),
+        ("q2", "d9", 1), ("q2", "d1", 0),
+    ]
+    run = spark.createDataFrame(run_rows, "qid string, docid string, score double")
+    qrels = spark.createDataFrame(qrel_rows, "qid string, docid string, label int")
+    got = {r["qid"]: r["err_at_10"] for r in err_df(run, qrels, k=10).collect()}
+
+    import math
+
+    gmax = max(l for _, _, l in qrel_rows)
+    labels = {(q, d): l for q, d, l in qrel_rows}
+
+    def R(g):
+        return (2 ** g - 1) / 2 ** gmax
+
+    want = {}
+    for qid in {q for q, _, _ in run_rows}:
+        ranked = sorted(
+            [(d, s) for q, d, s in run_rows if q == qid],
+            key=lambda x: (-x[1], tuple(-ord(c) for c in x[0])),
+        )
+        err, prod = 0.0, 1.0
+        for i, (d, _) in enumerate(ranked[:10], start=1):
+            ri = R(max(labels.get((qid, d), 0), 0))
+            err += ri / i * prod
+            prod *= 1 - ri
+        want[qid] = err
+    for q in want:
+        assert got[q] == pytest.approx(want[q], abs=1e-12), q
+    assert got["q3"] == 0.0
+    # explicit max_grade overrides the observed one
+    g4 = {r["qid"]: r["err_at_10"] for r in err_df(run, qrels, k=10, max_grade=4).collect()}
+    assert g4["q1"] < got["q1"]  # larger normalizer -> smaller stop probs
