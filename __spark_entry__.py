@@ -3046,6 +3046,16 @@ def _q_eval_err(spark, sf_dir):
     return out.select("qid", F.round("err_at_10", 6).alias("err_at_10"))
 
 
+def _q_eval_ndcg_exp(spark, sf_dir):
+    """gdeval exponential-gain nDCG@10 (``evaluation/frames.py
+    ndcg_exp_df``) — the TREC-Web companion of eval_err, vs
+    eval_metrics' trec_eval linear ndcg_cut."""
+    from capreolus_spark.evaluation.frames import ndcg_exp_df
+
+    out = ndcg_exp_df(_synth_run(spark, sf_dir), _synth_qrels(spark, sf_dir), k=10)
+    return out.select("qid", F.round("ndcg_exp_at_10", 6).alias("ndcg_exp_at_10"))
+
+
 def _q_eval_metrics(spark, sf_dir):
     from capreolus_spark.evaluation.frames import eval_metrics_df
 
@@ -5101,6 +5111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_filter_keep_topn": _q_filter_keep_topn,
         "eval_metrics": _q_eval_metrics,
         "eval_err": _q_eval_err,
+        "eval_ndcg_exp": _q_eval_ndcg_exp,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
         "dedup_canonical_by_score": _q_dedup_canonical,
@@ -5900,6 +5911,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked) "
             "SELECT qid, round(sum(CASE WHEN rank <= 10 THEN r / rank * pp ELSE 0 END), 6) AS err_at_10 "
             "FROM c GROUP BY qid"
+        ),
+        "eval_ndcg_exp": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
+            "ranked AS (SELECT run.qid, run.docid, "
+            "cast(coalesce(qrels.label, 0) AS DOUBLE) AS g, "
+            "row_number() OVER (PARTITION BY run.qid ORDER BY run.score DESC, run.docid DESC) AS rank "
+            "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
+            "dcg AS (SELECT qid, sum((pow(cast(2 AS DOUBLE), g) - 1) / log2(rank + 1)) AS dcg "
+            "FROM ranked WHERE rank <= 10 GROUP BY qid), "
+            "idcg AS (SELECT qid, sum((pow(cast(2 AS DOUBLE), cast(label AS DOUBLE)) - 1) / log2(irank + 1)) AS idcg FROM "
+            "(SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY label DESC, docid DESC) AS irank "
+            "FROM qrels WHERE label > 0) WHERE irank <= 10 GROUP BY qid) "
+            "SELECT dcg.qid, round(CASE WHEN coalesce(idcg.idcg, 0) > 0 "
+            "THEN coalesce(dcg.dcg, 0) / idcg.idcg ELSE 0 END, 6) AS ndcg_exp_at_10 "
+            "FROM dcg LEFT JOIN idcg ON dcg.qid = idcg.qid"
         ),
         "eval_metrics": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

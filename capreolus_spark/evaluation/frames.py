@@ -255,3 +255,47 @@ def err_df(
         .groupBy("qid")
         .agg(F.sum("_c").alias(f"err_at_{k}"))
     )
+
+
+def ndcg_exp_df(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """nDCG@k with EXPONENTIAL gain ``(2^rel − 1) / log2(rank + 1)`` —
+    gdeval's formulation (the TREC Web track companion of
+    :func:`err_df`), vs ``eval_metrics_df``'s trec_eval linear-gain
+    ``ndcg_cut``.  The ideal ranking orders qrels by (label desc, docid
+    desc) — gdeval's tie-break.  Queries with no positive qrels score 0.
+
+    Same dataflow as the other metric frames: one window pass per side
+    (run DCG, qrels IDCG), one shuffle by qid each, join on qid.
+    """
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docid"))
+    gain = F.pow(F.lit(2.0), F.coalesce(F.col("label"), F.lit(0)).cast("double")) - F.lit(1.0)
+    dcg = (
+        run.join(qrels, ["qid", "docid"], "left")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("_g", gain / F.log2(F.col("rank") + F.lit(1.0)))
+        .groupBy("qid")
+        .agg(F.sum("_g").alias("dcg"))
+    )
+    wi = Window.partitionBy("qid").orderBy(F.desc("label"), F.desc("docid"))
+    idcg = (
+        qrels.filter(F.col("label") > 0)
+        .withColumn("irank", F.row_number().over(wi))
+        .filter(F.col("irank") <= k)
+        .withColumn(
+            "_g",
+            (F.pow(F.lit(2.0), F.col("label").cast("double")) - F.lit(1.0))
+            / F.log2(F.col("irank") + F.lit(1.0)),
+        )
+        .groupBy("qid")
+        .agg(F.sum("_g").alias("idcg"))
+    )
+    return dcg.join(idcg, "qid", "left").select(
+        "qid",
+        F.when(
+            F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"ndcg_exp_at_{k}"),
+    )

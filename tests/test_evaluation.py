@@ -222,3 +222,35 @@ def test_err_df_matches_python_twin(spark):
     # explicit max_grade overrides the observed one
     g4 = {r["qid"]: r["err_at_10"] for r in err_df(run, qrels, k=10, max_grade=4).collect()}
     assert g4["q1"] < got["q1"]  # larger normalizer -> smaller stop probs
+
+
+def test_ndcg_exp_matches_python_twin(spark):
+    """gdeval exponential-gain nDCG equals a literal-formula twin and
+    differs from trec_eval's linear form on graded labels."""
+    from capreolus_spark.evaluation.frames import ndcg_exp_df
+
+    run_rows = [
+        ("q1", "d1", 5.0), ("q1", "d2", 4.0), ("q1", "d3", 3.0),
+        ("q2", "d5", 2.0),  # no positive qrels -> 0
+    ]
+    qrel_rows = [("q1", "d1", 1), ("q1", "d3", 2), ("q1", "d8", 2)]
+    run = spark.createDataFrame(run_rows, "qid string, docid string, score double")
+    qrels = spark.createDataFrame(qrel_rows, "qid string, docid string, label int")
+    got = {r["qid"]: r["ndcg_exp_at_10"] for r in ndcg_exp_df(run, qrels, k=10).collect()}
+
+    import math
+
+    labels = {(q, d): l for q, d, l in qrel_rows}
+    ranked = ["d1", "d2", "d3"]
+    dcg = sum(
+        (2 ** labels.get(("q1", d), 0) - 1) / math.log2(i + 1)
+        for i, d in enumerate(ranked, start=1)
+    )
+    ideal = sorted(
+        (l for (q, _), l in labels.items() if q == "q1" and l > 0), reverse=True
+    )
+    idcg = sum((2 ** l - 1) / math.log2(i + 1) for i, l in enumerate(ideal, start=1))
+    assert got["q1"] == pytest.approx(dcg / idcg, abs=1e-12)
+    assert got["q2"] == 0.0
+    # exponential gain weights grade-2 docs 3x a grade-1 doc (2^2-1 vs 2^1-1)
+    assert 0 < got["q1"] < 1
