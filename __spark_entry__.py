@@ -1449,6 +1449,49 @@ def _q_function_score(spark, sf_dir):
     return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
 
 
+_BOOSTING_NEG = "batch row"  # negative query shared by every gate topic
+_BOOSTING_NB = 0.25          # exact binary multiplier (one IEEE op/engine)
+_CONST_SCORE_BOOST = 1.5
+
+
+def _q_boosting(spark, sf_dir):
+    """ES ``boosting`` query twin (Lucene BoostingQuery): positive BM25
+    run with every doc matching the negative query ('batch row', SHOULD
+    matching) demoted ×0.25 BEFORE the top-k cut
+    (``search/boosting.py``)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.boosting import BoostingSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = BoostingSearcher(
+        idx,
+        BM25Config(k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS),
+        negative_boost=_BOOSTING_NB,
+    )
+    topics = {qid: (text, _BOOSTING_NEG) for qid, text in _TOPICS.items()}
+    return _gate_rank(searcher.search(topics, hits=_GATE_HITS))
+
+
+def _q_constant_score(spark, sf_dir):
+    """Lucene ConstantScoreQuery / ES ``constant_score`` twin: every doc
+    containing ≥1 analyzed topic term scores exactly 1.5; ranking pinned
+    to docid ascending (``search/boosting.py``)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.boosting import ConstantScoreSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = ConstantScoreSearcher(
+        idx, BM25Config(hits=_BM25_HITS), boost=_CONST_SCORE_BOOST
+    )
+    return searcher.search(_TOPICS).select("qid", "docid", "rank", "score")
+
+
 def _q_collapse(spark, sf_dir):
     """Lucene grouping / ES ``collapse`` twin: BM25 top-k with at most
     one (best) doc per collapse-key value, collapse applied to every
@@ -5070,6 +5113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix": _q_suggest_prefix,
         "histogram_nchars": _q_histogram_nchars,
         "function_score_topk": _q_function_score,
+        "boosting_topk": _q_boosting,
+        "constant_score_topk": _q_constant_score,
         "collapse_topk": _q_collapse,
         "ltr_features": _q_ltr_features,
         "match_counts": _q_match_counts,
@@ -5562,6 +5607,47 @@ def oracle_sql() -> dict[str, str]:
             "round(score, 4) AS score FROM "
             "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM boosted) "
             f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "boosting_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "dl AS (SELECT docid, len(toks) AS dl FROM tok), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "qw AS (SELECT q.qid, q.term, q.qtf, "
+            "greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf "
+            "FROM queries q JOIN dfx d USING (term) CROSS JOIN stats s), "
+            "scored AS (SELECT qw.qid, tf.docid, "
+            f"sum(qw.qtf * qw.idf * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score "
+            "FROM qw JOIN tf USING (term) JOIN dl USING (docid) CROSS JOIN stats s "
+            "GROUP BY qw.qid, tf.docid), "
+            # negative query 'batch row' analyzed (stemmer none, stops
+            # removed) — SHOULD matching: >=1 negative term demotes
+            "negmatch AS (SELECT DISTINCT docid FROM tf WHERE term IN ('batch', 'row')), "
+            "demoted AS (SELECT s.qid, s.docid, "
+            f"s.score * (CASE WHEN n.docid IS NOT NULL THEN {_BOOSTING_NB} ELSE 1.0 END) AS score "
+            "FROM scored s LEFT JOIN negmatch n USING (docid)) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank, "
+            "round(score, 4) AS score FROM "
+            "(SELECT qid, docid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf FROM demoted WHERE score > 0) "
+            f"WHERE rf <= {_GATE_HITS}) "
+            f"WHERE rank <= {_BM25_HITS}"
+        ),
+        "constant_score_topk": (
+            f"WITH tok AS (SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents), "
+            "tf AS (SELECT docid, term, count(*) AS tf FROM "
+            f"(SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok) "
+            "GROUP BY docid, term), "
+            f"queries(qid, term, qtf) AS (VALUES {_query_rows_sql()}), "
+            "matches AS (SELECT DISTINCT q.qid, tf.docid FROM queries q JOIN tf USING (term)) "
+            "SELECT qid, docid, rank, score FROM "
+            "(SELECT qid, docid, cast(row_number() OVER (PARTITION BY qid ORDER BY docid ASC) AS int) AS rank, "
+            f"{_CONST_SCORE_BOOST}::DOUBLE AS score FROM matches) "
             f"WHERE rank <= {_BM25_HITS}"
         ),
         "match_counts": (

@@ -1,0 +1,220 @@
+"""Boosting and constant-score queries — Lucene/Elasticsearch twins.
+
+The reference reaches Lucene through Anserini (``capreolus/searcher/
+anserini.py:26-83``); two core Lucene query wrappers it therefore gets
+for free are reimplemented here on the engine's posting lists:
+
+* :class:`BoostingSearcher` — Lucene ``BoostingQuery`` / the ES
+  ``boosting`` query: documents are ranked by the POSITIVE query's BM25
+  score, but any document that ALSO matches the NEGATIVE query has its
+  score multiplied by ``negative_boost`` (ES pins it to [0, 1]).  Unlike
+  a MUST_NOT clause the negative matches stay in the result list — they
+  are demoted, not removed.  Matching the negative query means
+  containing at least ONE of its analyzed terms (Lucene's
+  BooleanQuery-SHOULD matching, the same rule
+  ``index/deletes.py delete_by_query(mode="any")`` pins).
+
+* :class:`ConstantScoreSearcher` — Lucene ``ConstantScoreQuery`` / the
+  ES ``constant_score`` query: every document matching the filter (≥ 1
+  analyzed topic term) scores exactly ``boost``; relevance is switched
+  off.  With all scores equal, ranking is pinned to docid ascending —
+  the engine's universal tie-break — so the result order is
+  deterministic and oracle-twinnable.
+
+Semantics pinned by the gate + pytest:
+
+* demotion happens BEFORE the top-k cut (a demoted doc can drop out of
+  the top k and an undemoted one can enter), so the positive kernel
+  pass runs UNCUT — the same ``hits=2**31-1`` idiom the function-score
+  and query-parser front doors use;
+* ``negative_boost=1`` is score-identical to plain BM25;
+  ``negative_boost=0`` zeroes demoted docs, which the searcher-family
+  score>0 convention then drops (Lucene keeps score-0 hits; ES ranks
+  them last — the drop is this engine's pinned, disclosed choice);
+* a negative query that analyzes to nothing (empty / stopword-only /
+  out-of-vocabulary) demotes nothing.
+
+Scale shape: the negative-match frame is built straight from the packed
+posting cells of the negative terms only (the same bounded shuffle the
+DAAT kernel's query-term filter makes), decoded in ``mapInPandas`` —
+never a corpus scan.  The demotion join is (qid, docno)-keyed BEFORE
+docid resolution, so the only docmap join remains the family's
+broadcast-after-cut.  For constant-score the match set of a high-df
+term is corpus-scale by definition, so the docid attach is a
+co-partitioned sort-merge join followed by the same narrow
+per-partition pre-cut + single window the base searcher uses for its
+global cut (ascending docid instead of descending score); no stage
+holds more than hits(+batch) rows per (partition, qid).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["BoostingSearcher", "ConstantScoreSearcher"]
+
+_UNCUT = 2**31 - 1
+
+_RUN_SCHEMA = "qid string, docid string, rank int, score double, tag string"
+
+
+def _matching_docnos(index: InvertedIndex, qid_terms: list[tuple[str, str]]) -> DataFrame:
+    """(qid, docno) rows for every live doc containing the qid's term.
+
+    ``qid_terms`` is a driver-small [(qid, analyzed_term)] list (bounded
+    by |topics| × query length, the RM3-collect contract).  The posting
+    cells of just those terms are decoded distributedly — the identical
+    dataflow ``index/deletes.py delete_by_query`` uses."""
+    from ..index.codec import decode_postings
+
+    spark = index.spark
+    if not qid_terms:
+        return spark.createDataFrame([], "qid string, docno long")
+    pairs = spark.createDataFrame(qid_terms, "qid string, term string").distinct()
+    terms = sorted({t for _, t in qid_terms})
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                docnos, _ = decode_postings(pdf["docnos"].iloc[i], pdf["tfs"].iloc[i])
+                yield pd.DataFrame(
+                    {"term": pdf["term"].iloc[i], "docno": docnos.astype(np.int64)}
+                )
+
+    cells = index.postings_df().filter(F.col("term").isin(terms)).select(
+        "term", "docnos", "tfs"
+    )
+    matches = (
+        cells.mapInPandas(expand, schema="term string, docno long")
+        .join(F.broadcast(pairs), "term")
+        .select("qid", "docno")
+        .distinct()
+    )
+    dead = index.deleted_docnos()
+    if dead.size:
+        dead_df = spark.createDataFrame([(int(d),) for d in dead], "docno long")
+        matches = matches.join(F.broadcast(dead_df), "docno", "left_anti")
+    return matches
+
+
+class BoostingSearcher(BM25Searcher):
+    """ES ``boosting`` query: positive BM25, negative matches demoted.
+
+    ``topics`` maps qid → ``(positive_text, negative_text)``.
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        negative_boost: float = 0.5,
+        tag: str = DEFAULT_TAG,
+    ):
+        if not (0.0 <= negative_boost <= 1.0):
+            raise ValueError(
+                f"negative_boost must be in [0, 1] (ES boosting-query rule), "
+                f"got {negative_boost!r}"
+            )
+        super().__init__(index, config, tag=tag)
+        self.negative_boost = float(negative_boost)
+
+    def search(
+        self, topics: dict[str, tuple[str, str]], hits: int | None = None
+    ) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        pos = {qid: p for qid, (p, _) in topics.items()}
+        weights = self._query_weights(self.analyze_topics(pos))
+        if not weights:
+            return spark.createDataFrame([], _RUN_SCHEMA)
+        neg_analyzed = self.analyze_topics({qid: n for qid, (_, n) in topics.items()})
+        qid_terms = [(qid, t) for qid, ts in neg_analyzed.items() for t in set(ts)]
+
+        cand = self._candidates(weights, hits=_UNCUT)
+        neg = _matching_docnos(self.index, qid_terms).withColumn(
+            "_demote", F.lit(True)
+        )
+        demoted = (
+            cand.join(neg, ["qid", "docno"], "left")
+            .withColumn(
+                "score",
+                F.when(F.col("_demote"), F.col("score") * F.lit(self.negative_boost))
+                .otherwise(F.col("score")),
+            )
+            .filter(F.col("score") > 0)
+            .select("qid", "docno", "score")
+        )
+        cut = self._with_docids(self._global_topk_cut(demoted, hits))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            cut.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )
+
+
+class ConstantScoreSearcher(BM25Searcher):
+    """Lucene ``ConstantScoreQuery`` twin: filter matches, fixed score."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        boost: float = 1.0,
+        tag: str = DEFAULT_TAG,
+    ):
+        if boost <= 0:
+            raise ValueError(f"boost must be positive, got {boost!r}")
+        super().__init__(index, config, tag=tag)
+        self.boost = float(boost)
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        analyzed = self.analyze_topics(topics)
+        qid_terms = [(qid, t) for qid, ts in analyzed.items() for t in set(ts)]
+        matches = _matching_docnos(self.index, qid_terms)
+        # Corpus-scale match set: co-partitioned sort-merge docid attach
+        # (NOT the post-cut broadcast), then the narrow ascending-docid
+        # pre-cut bounds what reaches the single rank window.
+        docs = self.index.docs_df().select("docno", "docid")
+        with_ids = matches.join(docs, "docno").select("qid", "docid")
+        limit = hits
+
+        def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+            r = pdf.groupby("qid")["docid"].rank(method="min", ascending=True)
+            return pdf[r <= limit]
+
+        def local_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = None
+            n_q = 1
+            for pdf in batches:
+                acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+                n_q = max(n_q, acc["qid"].nunique())
+                if len(acc) > 8 * limit * n_q:
+                    acc = prune(acc)
+            if acc is not None and len(acc):
+                yield prune(acc)
+
+        partial = with_ids.mapInPandas(local_cut, schema=with_ids.schema)
+        w = Window.partitionBy("qid").orderBy(F.asc("docid"))
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits)
+            .select(
+                "qid",
+                "docid",
+                "rank",
+                F.lit(self.boost).alias("score"),
+                F.lit(self.tag).alias("tag"),
+            )
+        )

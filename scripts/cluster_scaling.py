@@ -81,25 +81,28 @@ def _gen_corpus(path: str, n_docs: int, partitions: int) -> None:
     spark.stop()
 
 
-def _submit_build(cores: int, corpus: str, index_dir: str, partitions: int, executor_cores: int = 1) -> dict:
+def _submit_build(
+    cores: int, corpus: str, index_dir: str, partitions: int,
+    executor_cores: int = 1, store_contents: bool = True,
+) -> dict:
     env = dict(os.environ)
     env.setdefault("PYSPARK_PYTHON", sys.executable)
-    out = subprocess.run(
-        [
-            os.path.join(SPARK_HOME, "bin", "spark-submit"),
-            "--master", MASTER_URL,
-            "--total-executor-cores", str(cores),
-            "--executor-cores", str(executor_cores),
-            "--executor-memory", "2500m",
-            "--conf", "spark.ui.enabled=false",
-            "--py-files", os.path.join(REPO, "dist", "capreolus_spark.zip"),
-            os.path.join(REPO, "scripts", "build_job.py"),
-            "--corpus", corpus,
-            "--index-dir", index_dir,
-            "--partitions", str(partitions),
-        ],
-        capture_output=True, text=True, env=env, check=True,
-    )
+    cmd = [
+        os.path.join(SPARK_HOME, "bin", "spark-submit"),
+        "--master", MASTER_URL,
+        "--total-executor-cores", str(cores),
+        "--executor-cores", str(executor_cores),
+        "--executor-memory", "2500m",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", os.path.join(REPO, "dist", "capreolus_spark.zip"),
+        os.path.join(REPO, "scripts", "build_job.py"),
+        "--corpus", corpus,
+        "--index-dir", index_dir,
+        "--partitions", str(partitions),
+    ]
+    if not store_contents:
+        cmd.append("--no-store-contents")
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -198,6 +201,13 @@ def main() -> None:
     )
     ap.add_argument("--textproc-id-col", default="")
     ap.add_argument("--textproc-text-col", default="")
+    ap.add_argument(
+        "--no-store-contents", action="store_true",
+        help="build with the slim docmap (docid, docno, sha256 only): the "
+        "content column is neither shuffled nor written, which removes the "
+        "docstore-write disk bottleneck from the scaling measurement — the "
+        "production config when the source table itself serves doc fetches",
+    )
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
     # validate BEFORE packaging / cluster startup: the report below unpacks
@@ -242,7 +252,11 @@ def main() -> None:
                 for r in range(args.reps):
                     idx = tempfile.mkdtemp(prefix=f"capreolus_cluster_idx{cores}_")
                     shutil.rmtree(idx)
-                    rep = _submit_build(cores, corpus, idx, args.partitions, args.executor_cores)
+                    rep = _submit_build(
+                        cores, corpus, idx, args.partitions,
+                        args.executor_cores,
+                        store_contents=not args.no_store_contents,
+                    )
                     if r == args.reps - 1 and topics_tsv:
                         last_idx = idx  # keep for the query phase
                     else:
@@ -271,7 +285,8 @@ def main() -> None:
             lo, hi = levels
             fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
             report = {
-                "mode": f"standalone-cluster ({args.executor_cores}-core executor JVMs)",
+                "mode": f"standalone-cluster ({args.executor_cores}-core executor JVMs)"
+                + (" slim-docmap" if args.no_store_contents else ""),
                 "n_files": results[lo]["n_docs"],
                 f"files_per_sec_{lo}exec": fps_lo,
                 f"files_per_sec_{hi}exec": fps_hi,

@@ -1,0 +1,153 @@
+"""BoostingSearcher / ConstantScoreSearcher (search/boosting.py)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.data import synth_queries
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search import BM25Searcher
+from capreolus_spark.search.boosting import BoostingSearcher, ConstantScoreSearcher
+
+
+def _pairs(pos_topics, neg_text):
+    return {qid: (text, neg_text) for qid, text in pos_topics.items()}
+
+
+def test_demotion_matches_bruteforce_recut(spark, synth_index):
+    """Boosted top-10 == (uncut plain run, demote matches of the negative
+    term, re-cut) — demotion really happens pre-cut."""
+    idx, corpus = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    neg_term = "class"
+    nb = 0.25
+    got = run_df_to_dict(
+        BoostingSearcher(idx, BM25Config(hits=10), negative_boost=nb).search(
+            _pairs(topics, neg_term)
+        )
+    )
+
+    plain = BM25Searcher(idx, BM25Config(hits=100000)).search(topics, hits=100000)
+    neg_docs = {
+        r["docid"]
+        for r in corpus.filter(
+            F.array_contains(
+                F.expr("regexp_extract_all(lower(content), '[a-z0-9_]+', 0)"),
+                neg_term,
+            )
+        )
+        .select("docid")
+        .collect()
+    }
+    demoted = plain.withColumn(
+        "score",
+        F.when(F.col("docid").isin(sorted(neg_docs)), F.col("score") * nb).otherwise(
+            F.col("score")
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    want = run_df_to_dict(
+        demoted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    )
+    assert set(got) == set(want)
+    for qid in want:
+        assert list(got[qid]) == list(want[qid]), qid
+        for d in want[qid]:
+            assert got[qid][d] == pytest.approx(want[qid][d], abs=1e-9)
+
+
+def test_negative_boost_one_is_plain_bm25(spark, synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=10)).search(topics))
+    same = run_df_to_dict(
+        BoostingSearcher(idx, BM25Config(hits=10), negative_boost=1.0).search(
+            _pairs(topics, "class")
+        )
+    )
+    assert same == plain
+
+
+def test_negative_boost_zero_drops_matches(spark, synth_index):
+    """nb=0 zeroes demoted scores; the family score>0 convention drops them."""
+    idx, corpus = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    neg_term = "import"
+    run = BoostingSearcher(idx, BM25Config(hits=10), negative_boost=0.0).search(
+        _pairs(topics, neg_term)
+    )
+    neg_docs = {
+        r["docid"]
+        for r in corpus.filter(F.lower("content").contains(neg_term))
+        .select("docid")
+        .collect()
+    }
+    returned = {r["docid"] for r in run.collect()}
+    assert returned, "query should still match something"
+    assert not (returned & neg_docs)
+
+
+def test_empty_negative_demotes_nothing(spark, synth_index):
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=10)).search(topics))
+    for neg in ("", "zzznosuchterm"):
+        got = run_df_to_dict(
+            BoostingSearcher(idx, BM25Config(hits=10), negative_boost=0.1).search(
+                _pairs(topics, neg)
+            )
+        )
+        assert got == plain, neg
+
+
+def test_negative_boost_validation(spark, synth_index):
+    idx, _ = synth_index
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match="negative_boost"):
+            BoostingSearcher(idx, negative_boost=bad)
+
+
+def test_constant_score_matches_and_order(spark, synth_index):
+    """Every match scores exactly boost; ranking is docid ascending."""
+    idx, corpus = synth_index
+    topics = {"c1": "import class"}
+    hits = 15
+    run = ConstantScoreSearcher(idx, BM25Config(hits=hits), boost=2.5).search(topics)
+    rows = run.orderBy("rank").collect()
+    toks = F.expr("regexp_extract_all(lower(content), '[a-z0-9_]+', 0)")
+    want_docs = sorted(
+        r["docid"]
+        for r in corpus.filter(
+            F.array_contains(toks, "import") | F.array_contains(toks, "class")
+        )
+        .select("docid")
+        .collect()
+    )[:hits]
+    assert [r["docid"] for r in rows] == want_docs
+    assert all(r["score"] == 2.5 for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(want_docs) + 1))
+
+
+def test_constant_score_excludes_tombstones(spark, tmp_path):
+    from capreolus_spark.data import synth_corpus
+    from capreolus_spark.index import IndexConfig, InvertedIndex, make_docid_column
+
+    corpus = make_docid_column(synth_corpus(spark, 60))
+    idx = InvertedIndex.create(
+        spark, corpus, str(tmp_path / "cs_idx"), IndexConfig(num_doc_partitions=2)
+    )
+    topics = {"c1": "class"}
+    before = {r["docid"] for r in ConstantScoreSearcher(idx).search(topics).collect()}
+    assert before
+    victim = sorted(before)[0]
+    idx.delete_docs([victim])
+    after = {r["docid"] for r in ConstantScoreSearcher(idx).search(topics).collect()}
+    assert victim not in after
+    assert after == before - {victim}
+
+
+def test_constant_score_boost_validation(spark, synth_index):
+    idx, _ = synth_index
+    with pytest.raises(ValueError, match="boost"):
+        ConstantScoreSearcher(idx, boost=0.0)
