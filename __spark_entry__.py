@@ -3408,6 +3408,102 @@ def _q_weighted_avg(spark, sf_dir):
     return out.select("event_type", "n", F.round("wavg", 6).alias("wavg"))
 
 
+def _q_percentile_ranks(spark, sf_dir):
+    """ES ``percentile_ranks`` twin (search/facets.py), EXACT (ES
+    sketches with TDigest): % of values <= each threshold per
+    event_type, long format — one combinable groupBy, no sort."""
+    from capreolus_spark.search.facets import percentile_ranks
+
+    out = percentile_ranks(
+        _events(spark, sf_dir), "value", [5.0, 50.0, 150.0], by="event_type"
+    )
+    return out.select(
+        "event_type", "threshold", "n", F.round("pct_rank", 6).alias("pct_rank")
+    )
+
+
+def _q_t_test(spark, sf_dir):
+    """ES ``t_test`` (Welch / heteroscedastic, the ES default) twin
+    (search/facets.py): t-statistic + Welch dof between the click and
+    view populations' values; exact-decimal moments (partition-order-
+    free).  ES's reported p-value is a driver-side Student-t CDF of
+    exactly this (t, dof) pair — disclosed in the module docstring."""
+    from capreolus_spark.search.facets import t_test
+
+    out = t_test(_events(spark, sf_dir), "value", "event_type", "click", "view")
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 6).alias("dof"),
+    )
+
+
+def _q_string_stats(spark, sf_dir):
+    """ES ``string_stats`` twin (search/facets.py): per-lang value count,
+    min/max/avg length and Shannon entropy (bits) of the collated
+    character distribution; entropy is a fixed-order fold over the
+    sorted alphabet-sized histogram (deterministic under any
+    partitioning), the explode collapses map-side to <= |alphabet| rows
+    per partition before the one shuffle."""
+    from capreolus_spark.search.facets import string_stats
+
+    out = string_stats(_docs(spark, sf_dir), "text", by="lang")
+    return out.select(
+        "lang",
+        "n",
+        "min_len",
+        "max_len",
+        F.round("avg_len", 6).alias("avg_len"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES ``rare_terms`` twin (search/significant.py), EXACT (ES bounds
+    memory with a CuckooFilter and tolerates false positives): analyzed
+    terms with document frequency <= 2 and length >= 2, (df asc, term
+    asc) rank, k=100 — one combinable df aggregation, filter inside the
+    agg output, TakeOrderedAndProject cut.
+
+    The synthetic documents table reuses a ~31-term vocabulary (every
+    term df >= 25), so the gate appends one deterministic per-doc tag
+    token (``rtagN``) to give the rare bucket real members at every
+    scale — the oracle SQL appends the identical tag."""
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.concat(
+            F.col("text"), F.lit(" rtag"), F.col("doc_id").cast("string")
+        ).alias("content"),
+    )
+    from capreolus_spark.search.significant import rare_terms
+
+    return rare_terms(corpus, max_doc_count=2, k=100, min_len=2, remove_stops=True)
+
+
+def _q_doc_keywords(spark, sf_dir):
+    """Per-doc tf-idf keywords (textproc/lexstats.py): sklearn smooth-idf
+    weighting, top-5 per doc, round-then-rank (tfidf 6dp desc, term asc)
+    — the MoreLikeThis term-selection step materialized corpus-wide."""
+    from capreolus_spark.textproc.lexstats import doc_keywords_tfidf
+
+    return doc_keywords_tfidf(_corpus(spark, sf_dir), k=5, remove_stops=True)
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    """PMI collocations (textproc/ngrams.py; Church & Hanks 1990):
+    top-50 adjacent pairs by ln(c(xy)*T/(c(x)c(y))), min pair count 5,
+    round-then-rank with (pair_cnt, w1, w2) tie-breaks; counts are
+    occurrence counts over the standard analyzer tokens."""
+    from capreolus_spark.textproc.ngrams import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), k=50, min_count=5)
+
+
 def _q_date_histogram(spark, sf_dir):
     """ES ``date_histogram`` calendar_interval twin (search/facets.py
     date_histogram_counts): per-event_type daily buckets via date_trunc
@@ -5195,6 +5291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_stats_value": _q_extended_stats,
         "mad_value": _q_mad,
         "weighted_avg_value": _q_weighted_avg,
+        "percentile_ranks_value": _q_percentile_ranks,
+        "t_test_value": _q_t_test,
+        "string_stats_text": _q_string_stats,
+        "rare_terms": _q_rare_terms,
+        "doc_keywords_tfidf": _q_doc_keywords,
+        "pmi_bigrams": _q_pmi_bigrams,
         "ann_cosine_topk": _q_ann_cosine,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         # two-pass / sampled searchers — ALL hash-gated too (their SQL
@@ -6696,6 +6798,124 @@ def oracle_sql() -> dict[str, str]:
             "/ cast(sum(cast(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg "
             "FROM e GROUP BY event_type"
         ),
+        "percentile_ranks_value": (
+            "SELECT event_type, cast(threshold AS DOUBLE) AS threshold, "
+            "cast(count(value) AS bigint) AS n, "
+            "round(cast(sum(CASE WHEN value <= threshold THEN 1 ELSE 0 END) AS DOUBLE) "
+            "* 100.0 / cast(count(value) AS DOUBLE), 6) AS pct_rank "
+            "FROM events CROSS JOIN (VALUES (5.0), (50.0), (150.0)) t(threshold) "
+            "WHERE value IS NOT NULL GROUP BY event_type, threshold"
+        ),
+        "t_test_value": (
+            "WITH m AS (SELECT event_type, count(value) AS n, "
+            "sum(cast(value AS DECIMAL(18,6))) AS s, "
+            "sum(cast(value AS DECIMAL(18,6)) * cast(value AS DECIMAL(18,6))) AS sq "
+            "FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view') "
+            "GROUP BY event_type), "
+            "st AS (SELECT event_type, n, "
+            "cast(s AS DOUBLE) / cast(n AS DOUBLE) AS mean, "
+            "greatest(0.0, (cast(sq AS DOUBLE) - cast(s AS DOUBLE) * cast(s AS DOUBLE) "
+            "/ cast(n AS DOUBLE)) / (cast(n AS DOUBLE) - 1.0)) AS var_samp FROM m), "
+            "a AS (SELECT n AS n_a, mean AS mean_a, var_samp AS var_a FROM st "
+            "WHERE event_type = 'click'), "
+            "b AS (SELECT n AS n_b, mean AS mean_b, var_samp AS var_b FROM st "
+            "WHERE event_type = 'view'), "
+            "j AS (SELECT *, var_a / cast(n_a AS DOUBLE) AS sa, "
+            "var_b / cast(n_b AS DOUBLE) AS sb FROM a CROSS JOIN b) "
+            "SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b, "
+            "round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b, "
+            "round(var_a, 6) AS var_a, round(var_b, 6) AS var_b, "
+            "round((mean_a - mean_b) / sqrt(sa + sb), 6) AS t_stat, "
+            "round(((sa + sb) * (sa + sb)) / "
+            "(sa * sa / (cast(n_a AS DOUBLE) - 1) + sb * sb / (cast(n_b AS DOUBLE) - 1)), 6) "
+            "AS dof FROM j"
+        ),
+        "string_stats_text": (
+            "WITH base AS (SELECT lang, text FROM documents WHERE text IS NOT NULL), "
+            "lens AS (SELECT lang, cast(count(*) AS bigint) AS n, "
+            "cast(min(length(text)) AS bigint) AS min_len, "
+            "cast(max(length(text)) AS bigint) AS max_len, "
+            "cast(sum(length(text)) AS DOUBLE) / cast(count(*) AS DOUBLE) AS avg_len "
+            "FROM base GROUP BY lang), "
+            "chars AS (SELECT lang, c, count(*) AS cnt FROM "
+            "(SELECT lang, unnest(string_split(text, '')) AS c FROM base) "
+            "WHERE c <> '' GROUP BY lang, c), "
+            "tot AS (SELECT lang, cast(sum(cnt) AS DOUBLE) AS total FROM chars GROUP BY lang), "
+            "ent AS (SELECT c.lang, -sum((cast(c.cnt AS DOUBLE) / t.total) "
+            "* ln(cast(c.cnt AS DOUBLE) / t.total) / ln(2)) AS entropy "
+            "FROM chars c JOIN tot t USING (lang) GROUP BY c.lang) "
+            "SELECT l.lang, l.n, l.min_len, l.max_len, round(l.avg_len, 6) AS avg_len, "
+            "round(coalesce(e.entropy, 0.0), 6) AS entropy "
+            "FROM lens l LEFT JOIN ent e USING (lang)"
+        ),
+        "rare_terms": f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid,
+         regexp_extract_all(lower(text || ' rtag' || cast(doc_id AS varchar)),
+                            '[a-z0-9_]+') AS toks FROM documents
+), td AS (
+  SELECT DISTINCT docid, term FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  )
+), dfs AS (
+  SELECT term, cast(count(*) AS bigint) AS df FROM td
+  WHERE length(term) >= 2 GROUP BY term HAVING count(*) <= 2
+), top AS (
+  SELECT term, df, row_number() OVER (ORDER BY df ASC, term ASC) AS rank FROM dfs
+)
+SELECT term, df, cast(rank AS integer) AS rank FROM top WHERE rank <= 100
+""",
+        "doc_keywords_tfidf": f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents
+), per AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), dfs AS (
+  SELECT term, count(*) AS df FROM per GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT docid) AS n FROM per
+), scored AS (
+  SELECT p.docid, p.term, cast(p.tf AS bigint) AS tf, cast(d.df AS bigint) AS df,
+         round(cast(p.tf AS DOUBLE) * (ln((cast(n AS DOUBLE) + 1.0)
+               / (cast(d.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+  FROM per p JOIN dfs d USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY docid ORDER BY tfidf DESC, term ASC) AS krank
+  FROM scored
+)
+SELECT docid, term, tf, df, tfidf, cast(krank AS integer) AS krank
+FROM ranked WHERE krank <= 5
+""",
+        "pmi_bigrams": """
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(0, len(toks) - 1),
+                i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS p
+  FROM tok WHERE len(toks) >= 2
+), bi AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_cnt FROM pairs
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), uc AS (
+  SELECT w, count(*) AS cnt FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+), tot AS (
+  SELECT cast(sum(cnt) AS DOUBLE) AS t FROM uc
+), scored AS (
+  SELECT b.w1, b.w2, cast(b.pair_cnt AS bigint) AS pair_cnt,
+         cast(u1.cnt AS bigint) AS cnt_w1, cast(u2.cnt AS bigint) AS cnt_w2,
+         round(ln(cast(b.pair_cnt AS DOUBLE) * t
+               / (cast(u1.cnt AS DOUBLE) * cast(u2.cnt AS DOUBLE))), 6) AS pmi
+  FROM bi b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w CROSS JOIN tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, pair_cnt DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+)
+SELECT w1, w2, pair_cnt, cnt_w1, cnt_w2, pmi, cast(rank AS bigint) AS rank
+FROM ranked WHERE rank <= 50
+""",
         "date_histogram_day": (
             "SELECT event_type, "
             "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "

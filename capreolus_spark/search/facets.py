@@ -39,6 +39,9 @@ __all__ = [
     "pipeline_over_buckets",
     "adjacency_matrix",
     "top_hits",
+    "percentile_ranks",
+    "t_test",
+    "string_stats",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -516,4 +519,195 @@ def top_hits(
         joined.withColumn("hit_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("hit_rank") <= n)
         .select("qid", "facet", "docid", "score", "hit_rank")
+    )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    col: str,
+    thresholds: list[float],
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``percentile_ranks`` aggregation twin — EXACT, where
+    ES computes it over a TDigest sketch (disclosed difference; the exact
+    value is what the sketch approximates): for each threshold ``t``,
+    the percentage of non-NULL values ≤ ``t`` per optional ``by`` group.
+    Output is LONG format — one ``(group?, threshold, n, pct_rank)`` row
+    per threshold — so adding thresholds never changes the schema.
+
+    Scale shape: every threshold is a conditional count inside ONE
+    map-side-combinable groupBy (integer counts — exact, so the result
+    is bit-identical under any partitioning); the long-format unpivot
+    runs over one row per group.  No sort, no second pass over the data
+    — this is the inverse-percentile query without the sort a naive
+    ``percent_rank`` window would force.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    v = F.col(col).cast("double")
+    base = df.filter(F.col(col).isNotNull())
+    gcols = [by] if by else []
+    aggs = [F.count(v).cast("bigint").alias("n")] + [
+        F.sum(F.when(v <= F.lit(float(t)), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"_le_{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    agg = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                (
+                    F.col(f"_le_{i}").cast("double")
+                    * F.lit(100.0)
+                    / F.col("n").cast("double")
+                ).alias("pct_rank"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        agg.select(*gcols, "n", F.explode(pairs).alias("_p"))
+        .select(*gcols, F.col("_p.threshold").alias("threshold"), "n", F.col("_p.pct_rank").alias("pct_rank"))
+    )
+
+
+def t_test(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Elasticsearch ``t_test`` aggregation twin (``heteroscedastic`` =
+    Welch's unequal-variance t-test, the ES default): the t-statistic and
+    Welch–Satterthwaite degrees of freedom between the ``col`` values of
+    the two populations ``group_col == group_a`` vs ``group_b``.
+
+    ES reports the two-sided p-value; that is a driver-side scalar
+    transform (Student-t CDF) of exactly the ``(t_stat, dof)`` pair this
+    returns — the DISTRIBUTED part of the computation is the population
+    moments, which is what this frame gates (disclosed difference: the
+    CDF needs the incomplete beta function, not expressible in either
+    SQL engine; callers wanting the p-value apply ``scipy.stats`` /
+    a series expansion to the one output row).
+
+    Determinism at scale: moments accumulate as exact decimals (the
+    :func:`extended_stats` contract — 6-decimal input precision, exact
+    associative sums), sample variance via the ``(Σx² − (Σx)²/n)/(n−1)``
+    identity clamped at 0.  One map-side-combinable groupBy over the two
+    populations; everything after runs on two rows.
+    """
+    v = F.col(col).cast("decimal(18,6)")
+    base = df.filter(
+        F.col(col).isNotNull() & F.col(group_col).isin([group_a, group_b])
+    )
+    agg = base.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(v).cast("bigint").alias("n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_sq"),
+    )
+    s = F.col("_s").cast("double")
+    sq = F.col("_sq").cast("double")
+    n = F.col("n").cast("double")
+    var_samp = F.when(
+        F.col("n") > 1,
+        F.greatest(F.lit(0.0), (sq - s * s / n) / (n - F.lit(1.0))),
+    )
+    m = agg.select(
+        "_g", "n", (s / n).alias("mean"), var_samp.alias("var_samp")
+    )
+    a = m.filter(F.col("_g") == group_a).select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var_samp").alias("var_a"),
+    )
+    b = m.filter(F.col("_g") == group_b).select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var_samp").alias("var_b"),
+    )
+    j = a.crossJoin(b)
+    sa = F.col("var_a") / F.col("n_a").cast("double")
+    sb = F.col("var_b") / F.col("n_b").cast("double")
+    se2 = sa + sb
+    t_stat = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sa * sa / (F.col("n_a").cast("double") - 1)
+        + sb * sb / (F.col("n_b").cast("double") - 1)
+    )
+    return j.select(
+        "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        t_stat.alias("t_stat"), dof.alias("dof"),
+    )
+
+
+def string_stats(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``string_stats`` aggregation twin: per optional
+    ``by`` group — value count, min/max/avg length (characters), and the
+    Shannon entropy (bits) of the CHARACTER distribution collated across
+    every value in the group (ES's ``show_distribution`` basis).  NULL
+    values contribute nothing; empty strings count toward ``n`` and the
+    length stats but add no characters.
+
+    Scale shape: two branches over the pruned (group, col) projection —
+
+    * length stats are one map-side-combinable groupBy (exact integer
+      sums, bit-identical under any partitioning);
+    * the character histogram explodes characters but aggregates
+      IMMEDIATELY on (group, char): the partial aggregate collapses each
+      input partition to ≤ |alphabet| rows before the one shuffle, so
+      shuffle volume is alphabet-bounded (≤ a few thousand rows per
+      partition) no matter how many terabytes of text flow through the
+      narrow explode stage.
+
+    Entropy is then a FIXED-ORDER fold over the sorted per-char counts
+    (``sort_array`` + ``aggregate`` on an alphabet-sized array): unlike
+    a distributed double sum, the fold order is deterministic, so the
+    entropy is bit-identical across partitionings and engines.
+    """
+    gcols = [by] if by else []
+    base = df.filter(F.col(col).isNotNull())
+    lens = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min(F.length(col)).cast("bigint").alias("min_len"),
+        F.max(F.length(col)).cast("bigint").alias("max_len"),
+        (
+            F.sum(F.length(col)).cast("double") / F.count("*").cast("double")
+        ).alias("avg_len"),
+    )
+    chars = (
+        base.select(*gcols, F.explode(F.split(F.col(col), "")).alias("_ch"))
+        .filter(F.col("_ch") != "")
+        .groupBy(*gcols, "_ch")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    hist = (chars.groupBy(*gcols) if gcols else chars.groupBy()).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_ch"), F.col("_cnt")))
+        ).alias("_hist"),
+        F.sum("_cnt").cast("double").alias("_total"),
+    )
+    ln2 = 0.6931471805599453
+    ent = F.aggregate(
+        F.col("_hist"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        - (x["_cnt"].cast("double") / F.col("_total"))
+        * F.log(x["_cnt"].cast("double") / F.col("_total"))
+        / F.lit(ln2),
+    ).alias("entropy")
+    hist_e = hist.select(*gcols, ent)
+    if gcols:
+        out = lens.join(hist_e, gcols, "left")
+    else:
+        out = lens.crossJoin(hist_e)
+    return out.select(
+        *gcols, "n", "min_len", "max_len", "avg_len",
+        F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
     )

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .fielded import _query_df
 from .oracle import analyzed_terms_df
 
-__all__ = ["significant_terms"]
+__all__ = ["significant_terms", "rare_terms"]
 
 _EMPTY = (
     "qid string, term string, fg_df bigint, bg_df bigint, "
@@ -120,3 +120,56 @@ def significant_terms(
             F.round("score", 6).alias("score"), "rank",
         )
     )
+
+
+def rare_terms(
+    corpus: DataFrame,
+    max_doc_count: int = 1,
+    k: int | None = 100,
+    min_len: int = 1,
+    stemmer: str = "none",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """Elasticsearch ``rare_terms`` aggregation twin — EXACT, where ES
+    bounds memory with a CuckooFilter and documents a small false-positive
+    rate (disclosed difference: this computes the exact set the filter
+    approximates): the analyzed terms whose DOCUMENT frequency is at most
+    ``max_doc_count`` (ES default 1 — the long-tail / anomaly bucket ES's
+    ordinary ``terms`` agg cannot reach, because "ascending doc count" is
+    its documented unbounded-error ordering).
+
+    Output ``(term, df, rank)``, ranked (df asc, term asc) — ES's
+    ascending-count order made deterministic — cut to ``k`` rows
+    (``None`` = all; the exact long tail IS the answer at small scale,
+    but at corpus scale the tail is vocabulary-sized, so gates use the
+    bounded cut).  ``min_len`` drops 1-char tokens like ES's common
+    ``min_length`` companion filter (0 = keep all).
+
+    Scale shape: one vectorized analysis pass (shared
+    ``analyzed_terms_df`` machinery), per-doc DISTINCT terms exploded —
+    document frequency, like ES — then ONE map-side-combinable groupBy
+    on term; the ``df <= max_doc_count`` filter applies inside the
+    aggregation output before the alphabet-sized top-k
+    (``TakeOrderedAndProject``, never a global sort).
+    """
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
+    term_doc = analyzed.select(
+        F.explode(F.array_distinct("terms")).alias("term")
+    )
+    if min_len > 1:
+        term_doc = term_doc.filter(F.length("term") >= min_len)
+    df_counts = (
+        term_doc.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .filter(F.col("df") <= max_doc_count)
+    )
+    w = Window.orderBy(F.asc("df"), F.asc("term"))
+    out = df_counts.orderBy(F.asc("df"), F.asc("term"))
+    if k is not None:
+        out = out.limit(k)
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))

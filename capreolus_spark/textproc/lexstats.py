@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..search.oracle import analyzed_terms_df
 
-__all__ = ["lexical_stats", "stopword_candidates"]
+__all__ = ["lexical_stats", "stopword_candidates", "doc_keywords_tfidf"]
 
 
 def _term_totals(
@@ -114,4 +114,63 @@ def stopword_candidates(
             "df_frac", F.round(F.col("df") / F.lit(float(n_docs or 1)), 6)
         )
         .select("term", "df", "cf", "df_frac", "rank")
+    )
+
+
+def doc_keywords_tfidf(
+    corpus: DataFrame,
+    k: int = 5,
+    stemmer: str = "none",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """Per-document keyword extraction by tf–idf: the ``k`` terms that
+    best characterize each document against the corpus (the classic
+    corpus-exploration / weak-labeling step in training-data pipelines,
+    and what Lucene's ``MoreLikeThis`` computes per seed doc before it
+    queries — this materializes that term selection for EVERY doc in one
+    pass instead of per-request).
+
+    Weighting is sklearn's smooth convention (``TfidfTransformer``,
+    published): ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` with raw counts,
+    no normalization (ranking is per-doc, so the doc-length norm cancels).
+    Output ``(docid, term, tf, df, tfidf 6dp, krank)``, ranked per doc by
+    (rounded tfidf desc, term asc) — the round-then-rank convention keeps
+    cross-engine ordering stable where libm last-ulps differ.
+
+    Scale shape: one vectorized analysis pass; per-doc tf is map-side
+    combinable (a doc's tokens sit in one partition, so partials already
+    emit one row per (doc, term)); the dictionary ``(term, df)`` and the
+    scalar ``N`` derive from the same frame; the tf ⋈ df join is on the
+    term key (vocabulary-sized right side — AQE broadcasts it when it
+    fits, shuffle-hash otherwise); the final per-doc window re-shuffles
+    on docid once, top-``k`` rows kept per doc.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    ).select("docid", F.explode("terms").alias("term"))
+    tf = toks.groupBy("docid", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.countDistinct("docid").alias("_n"))
+    idf = (
+        F.log((F.col("_n").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0))
+        + F.lit(1.0)
+    )
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "docid",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("docid").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("krank", F.row_number().over(w).cast("int"))
+        .filter(F.col("krank") <= k)
     )

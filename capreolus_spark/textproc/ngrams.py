@@ -92,3 +92,95 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "ngram", "doc_freq", "total_tf", "rank"
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990, the standard corpus-linguistics collocation measure):
+    the ``k`` adjacent word pairs most strongly associated relative to
+    their unigram frequencies,
+
+        ``pmi = ln( c(xy) · T / (c(x) · c(y)) )``
+
+    with ``c`` occurrence counts over the whole corpus and ``T`` the
+    total token count.  ``min_count`` floors ``c(xy)`` (PMI's known
+    pathology is promoting rare pairs — the published remedy is a count
+    floor).  Output ``(w1, w2, pair_cnt, cnt_w1, cnt_w2, pmi 6dp,
+    rank)``, ranked (rounded pmi desc, pair_cnt desc, w1 asc, w2 asc) —
+    round-then-rank keeps cross-engine ordering stable at libm last-ulp
+    differences, the residual-count tie-break makes it total.
+
+    Scale shape: tokenize is the shared narrow pass; bigram and unigram
+    counts are each ONE map-side-combinable groupBy (the shuffles carry
+    distinct-n-gram volume, not occurrence volume); the ``min_count``
+    filter applies before any join, so the candidate frame is the
+    interesting-collocation set, not the vocabulary-squared tail; the
+    two dictionary joins are on term keys (vocabulary-sized —
+    AQE-broadcastable when small, shuffle-hash otherwise); ``T`` is a
+    one-row broadcast; top-``k`` is TakeOrderedAndProject, never a
+    global sort.
+    """
+    if k <= 0 or min_count < 1:
+        raise ValueError("k must be positive and min_count >= 1")
+    toked = _spread(df).select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )
+    t = F.col("_toks")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + F.lit(1)).alias("w1"),
+                F.element_at(t, i + F.lit(2)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        toked.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    uni = (
+        toked.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("double").alias("_t"))
+    scored = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cnt", "cnt_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cnt", "cnt_w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.col("cnt_w1").cast("bigint").alias("cnt_w1"),
+            F.col("cnt_w2").cast("bigint").alias("cnt_w2"),
+            F.round(
+                F.log(
+                    F.col("pair_cnt").cast("double")
+                    * F.col("_t")
+                    / (F.col("cnt_w1").cast("double") * F.col("cnt_w2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    order = [
+        F.col("pmi").desc(),
+        F.col("pair_cnt").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -308,3 +308,100 @@ def test_adjacency_matrix_matches_twin(spark, events):
         adjacency_matrix(events, {})
     with _pt.raises(ValueError, match="&"):
         adjacency_matrix(events, {"a&b": F.lit(True)})
+
+
+def test_percentile_ranks_matches_twin(spark, events):
+    from capreolus_spark.search.facets import percentile_ranks
+
+    out = {
+        (r["etype"], r["threshold"]): (r["n"], r["pct_rank"])
+        for r in percentile_ranks(
+            events, "value", [5.0, 50.0], by="etype"
+        ).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for etype, _, v in EVENTS:
+        if v is not None:
+            vals.setdefault(etype, []).append(v)
+    expect = {
+        (etype, t): (
+            len(vs),
+            100.0 * sum(1 for v in vs if v <= t) / len(vs),
+        )
+        for etype, vs in vals.items()
+        for t in (5.0, 50.0)
+    }
+    assert {k: (n, round(p, 9)) for k, (n, p) in out.items()} == {
+        k: (n, round(p, 9)) for k, (n, p) in expect.items()
+    }
+    # NULL-value rows contribute nothing; 'buy' has only NULLs -> no rows
+    assert not any(k[0] == "buy" for k in out)
+    with pytest.raises(ValueError):
+        percentile_ranks(events, "value", [])
+
+
+def test_percentile_ranks_ungrouped_boundaries(spark, events):
+    from capreolus_spark.search.facets import percentile_ranks
+
+    rows = percentile_ranks(events, "value", [-1.0, 1e9]).collect()
+    by_t = {r["threshold"]: r["pct_rank"] for r in rows}
+    assert by_t[-1.0] == 0.0  # below every value
+    assert by_t[1e9] == 100.0  # above every value (<= rule includes ties)
+
+
+def test_t_test_matches_statistics(spark, events):
+    from capreolus_spark.search.facets import t_test
+
+    row = t_test(events, "value", "etype", "click", "view").collect()[0]
+    a = [v for e, _, v in EVENTS if e == "click" and v is not None]
+    b = [v for e, _, v in EVENTS if e == "view" and v is not None]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["mean_a"] == pytest.approx(statistics.fmean(a), abs=1e-9)
+    assert row["var_a"] == pytest.approx(statistics.variance(a), abs=1e-9)
+    assert row["var_b"] == pytest.approx(statistics.variance(b), abs=1e-9)
+    sa, sb = statistics.variance(a) / len(a), statistics.variance(b) / len(b)
+    t_expect = (statistics.fmean(a) - statistics.fmean(b)) / math.sqrt(sa + sb)
+    dof_expect = (sa + sb) ** 2 / (
+        sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1)
+    )
+    assert row["t_stat"] == pytest.approx(t_expect, abs=1e-9)
+    assert row["dof"] == pytest.approx(dof_expect, abs=1e-9)
+
+
+def test_string_stats_matches_twin(spark):
+    from capreolus_spark.search.facets import string_stats
+
+    rows = [
+        ("en", "abab"),
+        ("en", "cd"),
+        ("en", ""),        # counts toward n/lengths, adds no chars
+        ("en", None),      # skipped entirely
+        ("de", "zzzz"),    # single-char alphabet -> entropy 0
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in string_stats(df, "text", by="lang").collect()}
+
+    en = out["en"]
+    assert (en["n"], en["min_len"], en["max_len"]) == (3, 0, 4)
+    assert en["avg_len"] == pytest.approx(6 / 3)
+    counts = Counter("abab" + "cd")
+    total = sum(counts.values())
+    ent = -sum(
+        (c / total) * math.log2(c / total) for c in counts.values()
+    )
+    assert en["entropy"] == pytest.approx(ent, abs=1e-9)
+
+    de = out["de"]
+    assert de["entropy"] == pytest.approx(0.0, abs=1e-12)
+    assert (de["min_len"], de["max_len"]) == (4, 4)
+
+
+def test_string_stats_ungrouped_all_empty(spark):
+    from capreolus_spark.search.facets import string_stats
+
+    df = spark.createDataFrame([("",), ("",)], "text string")
+    row = string_stats(df, "text").collect()[0]
+    # empty strings: counted, zero lengths, entropy coalesces to 0
+    assert (row["n"], row["min_len"], row["max_len"], row["entropy"]) == (
+        2, 0, 0, 0.0,
+    )

@@ -96,3 +96,130 @@ def test_stopword_candidates_df_not_cf_order(corpus):
     rows = stopword_candidates(corpus, top_n=10).collect()
     order = [r["term"] for r in rows]
     assert order.index("dog") < order.index("the")
+
+
+def test_doc_keywords_tfidf_matches_twin(spark, corpus):
+    from collections import Counter
+
+    from capreolus_spark.textproc.lexstats import doc_keywords_tfidf
+
+    out = doc_keywords_tfidf(corpus, k=2, remove_stops=False).collect()
+
+    # python twin: same smooth-idf weighting, same (tfidf desc, term asc)
+    per_doc = {d: Counter(t.split()) for d, t in DOCS}
+    df = Counter()
+    for c in per_doc.values():
+        df.update(c.keys())
+    n = len(DOCS)
+    expect = {}
+    for d, c in per_doc.items():
+        scored = [
+            (term, round(tf * (math.log((n + 1) / (df[term] + 1)) + 1), 6))
+            for term, tf in c.items()
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        expect[d] = scored[:2]
+    got = {}
+    for r in sorted(out, key=lambda r: (r["docid"], r["krank"])):
+        got.setdefault(r["docid"], []).append((r["term"], r["tfidf"]))
+        assert r["df"] == df[r["term"]]
+    assert got == expect
+
+    with pytest.raises(ValueError):
+        doc_keywords_tfidf(corpus, k=0)
+
+
+def test_doc_keywords_rarer_term_wins(spark):
+    from capreolus_spark.textproc.lexstats import doc_keywords_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "common rare"),
+            ("d2", "common"),
+            ("d3", "common"),
+        ],
+        "docid string, content string",
+    )
+    top = {
+        r["docid"]: r["term"]
+        for r in doc_keywords_tfidf(docs, k=1, remove_stops=False).collect()
+    }
+    # equal tf, but 'rare' has df=1 vs df=3 -> higher idf wins in d1
+    assert top["d1"] == "rare"
+
+
+def test_rare_terms_matches_twin(spark, corpus):
+    from collections import Counter
+
+    from capreolus_spark.search.significant import rare_terms
+
+    out = rare_terms(
+        corpus, max_doc_count=2, k=None, min_len=1, remove_stops=False
+    ).collect()
+    df = Counter()
+    for _, text in DOCS:
+        df.update(set(text.split()))
+    expect = sorted(
+        ((t, c) for t, c in df.items() if c <= 2), key=lambda kv: (kv[1], kv[0])
+    )
+    assert [(r["term"], r["df"]) for r in sorted(out, key=lambda r: r["rank"])] == expect
+    # ranks are 1..n dense
+    assert sorted(r["rank"] for r in out) == list(range(1, len(expect) + 1))
+
+
+def test_rare_terms_min_len_and_k_cut(spark, corpus):
+    from capreolus_spark.search.significant import rare_terms
+
+    all_rows = rare_terms(
+        corpus, max_doc_count=2, k=None, min_len=2, remove_stops=False
+    ).collect()
+    assert all(len(r["term"]) >= 2 for r in all_rows)  # 'a' dropped
+    cut = rare_terms(
+        corpus, max_doc_count=2, k=3, min_len=2, remove_stops=False
+    ).collect()
+    assert [r["term"] for r in sorted(cut, key=lambda r: r["rank"])] == [
+        r["term"] for r in sorted(all_rows, key=lambda r: r["rank"])[:3]
+    ]
+    with pytest.raises(ValueError):
+        rare_terms(corpus, max_doc_count=0)
+
+
+def test_pmi_bigrams_matches_twin(spark):
+    from collections import Counter
+
+    from capreolus_spark.textproc.ngrams import pmi_bigrams
+
+    docs = [
+        (1, "new york new york city"),
+        (2, "new york is a big city"),
+        (3, "the city of new york"),
+        (4, "big data big data big data"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_bigrams(df, k=100, min_count=2).collect()
+
+    uni, bi = Counter(), Counter()
+    for _, text in docs:
+        toks = text.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    expect = []
+    for (w1, w2), c in bi.items():
+        if c >= 2:
+            pmi = round(math.log(c * total / (uni[w1] * uni[w2])), 6)
+            expect.append((w1, w2, c, uni[w1], uni[w2], pmi))
+    expect.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
+
+    got = [
+        (r["w1"], r["w2"], r["pair_cnt"], r["cnt_w1"], r["cnt_w2"], r["pmi"])
+        for r in sorted(out, key=lambda r: r["rank"])
+    ]
+    assert got == expect
+    # sanity: the collocation 'new york' scores above the sentence glue
+    assert got[0][:2] in {("big", "data"), ("new", "york")}
+
+    with pytest.raises(ValueError):
+        pmi_bigrams(df, k=0)
+    with pytest.raises(ValueError):
+        pmi_bigrams(df, min_count=0)
