@@ -710,6 +710,77 @@ SELECT qid, docid, rank, score FROM (
 )
 
 
+# rank_feature oracle: BM25 scored CTE + ES saturation contribution
+# boost * x/(x+pivot) from the deterministic per-doc feature
+# x = docid % 97, added BEFORE the cut (bool.should semantics), then the
+# standard rounded re-rank.  Arithmetic mirrors the Spark column exactly
+# (one division, one multiply, one add per row).
+_RANK_FEATURE_PIVOT, _RANK_FEATURE_BOOST, _RANK_FEATURE_MOD = 8.0, 2.0, 97
+_RANK_FEATURE_ORACLE_SQL = (
+    _BM25_SCORED_PREFIX
+    + f""", boosted AS (
+  SELECT qid, docid,
+         score + {_RANK_FEATURE_BOOST} * (
+           cast(cast(docid AS bigint) % {_RANK_FEATURE_MOD} AS DOUBLE)
+           / (cast(cast(docid AS bigint) % {_RANK_FEATURE_MOD} AS DOUBLE) + {_RANK_FEATURE_PIVOT})
+         ) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM boosted
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+)
+
+
+# pinned oracle: pins rank first in caller order for EVERY topic qid
+# (q4's stopword-only organic query matches nothing, but its pins still
+# return — the ES rule), organic = scored minus pinned ids, over-fetched
+# at full precision then trimmed on the rounded combined rank.  The pin
+# score constant is NOT rounded (round() at 1.7e38 is lossy and differs
+# across engines) — both engines emit the literal.
+_PINNED_IDS = ["7", "13", "999999", "42"]  # 999999 absent at every sf -> skipped
+_PINNED_SQL_ROWS = "('7', 0), ('13', 1), ('42', 3)"
+_PINNED_ORACLE_SQL = (
+    _BM25_SCORED_PREFIX
+    + f""", pins(docid, pos) AS (
+  VALUES {_PINNED_SQL_ROWS}
+), qids(qid) AS (
+  VALUES ('q1'), ('q2'), ('q3'), ('q4'), ('q5')
+), pinrows AS (
+  SELECT q.qid, p.docid, 1.7014118e38 AS score, 0 AS tier, p.pos
+  FROM qids q CROSS JOIN pins p
+), organic AS (
+  SELECT s.qid, s.docid, s.score, 1 AS tier, 0 AS pos
+  FROM scored s ANTI JOIN pins p USING (docid)
+), org_cut AS (
+  SELECT qid, docid, score, tier, pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+    FROM organic
+  ) WHERE rf <= {_GATE_HITS}
+), comb AS (
+  SELECT * FROM pinrows UNION ALL SELECT * FROM org_cut
+)
+SELECT qid, docid, rank, score FROM (
+  SELECT qid, docid,
+         cast(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY tier ASC, pos ASC, round(score, 4) DESC, docid ASC
+         ) AS int) AS rank,
+         CASE WHEN tier = 0 THEN score ELSE round(score, 4) END AS score
+  FROM comb
+) WHERE rank <= {_BM25_HITS}
+"""
+)
+
+
 def _query_pair_rows_sql() -> str:
     """VALUES rows (qid, pair, t1, t2) — the adjacent-distinct query-term
     pairs SDM scores, generated with the same analyzer + pair logic as
@@ -1490,6 +1561,70 @@ def _q_constant_score(spark, sf_dir):
         idx, BM25Config(hits=_BM25_HITS), boost=_CONST_SCORE_BOOST
     )
     return searcher.search(_TOPICS).select("qid", "docid", "rank", "score")
+
+
+def _q_rank_feature(spark, sf_dir):
+    """ES ``rank_feature`` query twin (search/functionscore.py
+    RankFeatureSearcher): BM25 + saturation contribution
+    ``2·x/(x+8)`` from the deterministic per-doc feature
+    ``x = docid % 97``, added to every match BEFORE the top-k cut
+    (bool.should semantics; uncut kernel pass)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.functionscore import RankFeatureSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = RankFeatureSearcher(
+        idx,
+        BM25Config(k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS),
+        feature_fn=lambda d: (
+            d["docid"].cast("long") % _RANK_FEATURE_MOD
+        ).cast("double"),
+        function="saturation",
+        pivot=_RANK_FEATURE_PIVOT,
+        boost=_RANK_FEATURE_BOOST,
+    )
+    return _gate_rank(searcher.search(_TOPICS, hits=_GATE_HITS))
+
+
+def _q_pinned(spark, sf_dir):
+    """ES ``pinned`` query twin (search/pinned.py): docids 7, 13, 42
+    promoted in caller order for EVERY topic (q4's stopword-only organic
+    query returns its pins alone — the ES rule); one listed id is absent
+    from the corpus and skipped.  The gate re-ranks with the same
+    (tier, pin-position, 4dp score, docid) convention the oracle uses;
+    pin scores keep the unrounded Lucene constant (round() at 1.7e38 is
+    lossy and engine-dependent)."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.pinned import PinnedSearcher
+    from pyspark.sql import Window
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat", sf_dir), IndexConfig(stemmer="none")
+    )
+    searcher = PinnedSearcher(
+        idx, BM25Config(k1=_BM25_K1, b=_BM25_B, hits=_GATE_HITS), ids=_PINNED_IDS
+    )
+    out = searcher.search(_TOPICS, hits=_GATE_HITS)
+    is_pin = F.col("score") >= F.lit(1e38)
+    w = Window.partitionBy("qid").orderBy(
+        F.when(is_pin, 0).otherwise(1).asc(),
+        F.when(is_pin, F.col("rank")).otherwise(0).asc(),
+        F.round("score", 4).desc(),
+        F.col("docid").asc(),
+    )
+    return (
+        out.select(
+            "qid",
+            "docid",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.when(is_pin, F.col("score")).otherwise(F.round("score", 4)).alias("score"),
+        )
+        .filter(F.col("rank") <= _BM25_HITS)
+    )
 
 
 def _q_collapse(spark, sf_dir):
@@ -3349,6 +3484,35 @@ def _q_pipeline_aggs(spark, sf_dir):
     return out.select(
         "event_type", "bucket", "cnt", "cum_sum", "derivative",
         F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def _q_serial_diff(spark, sf_dir):
+    """ES ``serial_diff`` pipeline twin (search/facets.py): lag-7 bucket
+    difference (the docs' day-over-week seasonal form) over the daily
+    date_histogram per event_type; first 7 buckets NULL.  Operates on
+    bucket POSITIONS over present (sparse) buckets, like ES."""
+    from capreolus_spark.search.facets import date_histogram_counts, serial_diff
+
+    buckets = date_histogram_counts(_events(spark, sf_dir), "ts", "day", by="event_type")
+    return serial_diff(buckets, "bucket", "cnt", by="event_type", lag=7)
+
+
+def _q_bucket_sort(spark, sf_dir):
+    """ES ``bucket_sort`` pipeline twin (search/facets.py): per
+    event_type the 2nd-4th busiest days (from=1, size=3) of the daily
+    date_histogram, (cnt desc, bucket asc) with the bucket key as the
+    deterministic tie-break ES leaves undefined."""
+    from capreolus_spark.search.facets import bucket_sort, date_histogram_counts
+
+    buckets = date_histogram_counts(_events(spark, sf_dir), "ts", "day", by="event_type")
+    return bucket_sort(
+        buckets,
+        [("cnt", "desc")],
+        by="event_type",
+        size=3,
+        offset=1,
+        tiebreak_cols=["bucket"],
     )
 
 
@@ -5293,6 +5457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_value": _q_weighted_avg,
         "percentile_ranks_value": _q_percentile_ranks,
         "t_test_value": _q_t_test,
+        "serial_diff_weekly": _q_serial_diff,
+        "bucket_sort_topdays": _q_bucket_sort,
+        "rank_feature_topk": _q_rank_feature,
+        "pinned_topk": _q_pinned,
         "string_stats_text": _q_string_stats,
         "rare_terms": _q_rare_terms,
         "doc_keywords_tfidf": _q_doc_keywords,
@@ -6797,6 +6965,32 @@ def oracle_sql() -> dict[str, str]:
             "round(cast(sum(cast(value AS DECIMAL(18,6)) * cast(w AS DECIMAL(18,6))) AS DOUBLE) "
             "/ cast(sum(cast(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg "
             "FROM e GROUP BY event_type"
+        ),
+        "serial_diff_weekly": (
+            "WITH b AS (SELECT event_type, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "count(*) AS cnt FROM events WHERE ts IS NOT NULL "
+            "GROUP BY event_type, bucket) "
+            "SELECT event_type, bucket, cast(cnt AS bigint) AS cnt, "
+            "cast(cnt AS DOUBLE) - lag(cast(cnt AS DOUBLE), 7) OVER "
+            "(PARTITION BY event_type ORDER BY bucket ASC) AS serial_diff FROM b"
+        ),
+        "bucket_sort_topdays": (
+            "WITH b AS (SELECT event_type, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "count(*) AS cnt FROM events WHERE ts IS NOT NULL "
+            "GROUP BY event_type, bucket), "
+            "r AS (SELECT event_type, bucket, cast(cnt AS bigint) AS cnt, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY cnt DESC, bucket ASC) AS rn FROM b) "
+            "SELECT event_type, bucket, cnt, cast(rn - 1 AS integer) AS bucket_rank "
+            "FROM r WHERE rn > 1 AND rn <= 4"
+        ),
+        "rank_feature_topk": _RANK_FEATURE_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
+        ),
+        "pinned_topk": _PINNED_ORACLE_SQL.replace(
+            "{QUERY_ROWS}", _query_rows_sql()
         ),
         "percentile_ranks_value": (
             "SELECT event_type, cast(threshold AS DOUBLE) AS threshold, "

@@ -42,6 +42,8 @@ __all__ = [
     "percentile_ranks",
     "t_test",
     "string_stats",
+    "serial_diff",
+    "bucket_sort",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -711,3 +713,77 @@ def string_stats(
         *gcols, "n", "min_len", "max_len", "avg_len",
         F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
     )
+
+
+def serial_diff(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    by: str | None = None,
+    lag: int = 1,
+) -> DataFrame:
+    """Elasticsearch ``serial_diff`` pipeline-aggregation twin:
+    ``value − value[lag buckets earlier]`` per optional ``by`` group,
+    buckets ordered by ``order_col``; the first ``lag`` buckets are NULL
+    (ES emits no value until the lag is filled).  ``lag=1`` is the
+    ``derivative``; larger lags are the seasonal-difference form the ES
+    docs motivate (e.g. lag=7 for day-over-week).
+
+    Like every pipeline agg this runs over the ALREADY-REDUCED bucket
+    frame (groups × buckets rows) — one window per group, one shuffle on
+    the group key, regardless of how many raw rows built the buckets.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    gcols = [by] if by else []
+    w = Window.partitionBy(*gcols).orderBy(F.asc(order_col))
+    v = F.col(value_col).cast("double")
+    return df.select(
+        *gcols,
+        order_col,
+        value_col,
+        (v - F.lag(v, lag).over(w)).alias("serial_diff"),
+    )
+
+
+def bucket_sort(
+    df: DataFrame,
+    sort_cols: list[tuple[str, str]],
+    by: str | None = None,
+    size: int | None = None,
+    offset: int = 0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Elasticsearch ``bucket_sort`` pipeline-aggregation twin: order the
+    buckets of each parent group and apply ``from``/``size`` truncation
+    WITHIN the group (the "top-N buckets per parent" page ES cuts after
+    reduction).  ``sort_cols`` is ``[(col, 'asc'|'desc'), ...]``;
+    ``tiebreak_cols`` (ascending) make the ordering total when the sort
+    keys tie — ES leaves tied bucket order undefined, this twin pins it
+    for reproducibility.  Output adds ``bucket_rank`` (1-based within
+    the group, after the offset).
+
+    Runs over the reduced bucket frame: one per-group window, truncation
+    before anything downstream — never a global sort.
+    """
+    if not sort_cols:
+        raise ValueError("sort_cols must be non-empty")
+    if offset < 0 or (size is not None and size <= 0):
+        raise ValueError("offset must be >= 0 and size positive")
+    order = []
+    for col, direction in sort_cols:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
+        order.append(F.asc(col) if direction == "asc" else F.desc(col))
+    for col in tiebreak_cols or []:
+        order.append(F.asc(col))
+    gcols = [by] if by else []
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") > offset
+    )
+    if size is not None:
+        out = out.filter(F.col("_rn") <= offset + size)
+    return out.withColumn(
+        "bucket_rank", (F.col("_rn") - offset).cast("int")
+    ).drop("_rn")

@@ -44,7 +44,7 @@ from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from . import BM25Searcher
 
-__all__ = ["FunctionScoreSearcher"]
+__all__ = ["FunctionScoreSearcher", "RankFeatureSearcher"]
 
 _UNCUT = 2**31 - 1
 
@@ -97,4 +97,69 @@ class FunctionScoreSearcher(BM25Searcher):
             cut.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= hits)
             .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )
+
+
+class RankFeatureSearcher(FunctionScoreSearcher):
+    """Elasticsearch ``rank_feature`` query twin: BM25 relevance plus a
+    bounded contribution from a per-document numeric feature (repo
+    stars, PageRank, freshness), using ES's three published feature
+    functions::
+
+        saturation:  boost · x / (x + pivot)
+        log:         boost · ln(scaling_factor + x)
+        sigmoid:     boost · x^exp / (x^exp + pivot^exp)
+
+    This is the standard "bool.should += rank_feature" shape — the
+    feature adds to every document the text query matches, applied
+    BEFORE the top-k cut (a doc outside the unboosted top-k can enter
+    the boosted one), which is exactly
+    :class:`FunctionScoreSearcher` with ``boost_mode="sum"`` and the
+    feature function as the prior; all the scale properties (uncut
+    kernel pass, docno-keyed docmap join, bounded re-cut) are inherited.
+
+    ``feature_fn`` maps the docmap frame to the raw feature Column
+    (>= 0, the ES ``rank_feature`` field contract).  ``pivot`` must be
+    explicit and positive for saturation/sigmoid — ES defaults it to
+    the index-wide median feature value, a stats lookup the caller can
+    reproduce with one aggregate (disclosed difference).
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        feature_fn: Callable[[DataFrame], Column] | None = None,
+        function: str = "saturation",
+        pivot: float | None = None,
+        scaling_factor: float = 1.0,
+        exponent: float = 1.0,
+        boost: float = 1.0,
+        tag: str = DEFAULT_TAG,
+    ):
+        if function not in ("saturation", "log", "sigmoid"):
+            raise ValueError(
+                f"function must be 'saturation', 'log' or 'sigmoid', got {function!r}"
+            )
+        if function in ("saturation", "sigmoid"):
+            if pivot is None or pivot <= 0:
+                raise ValueError(f"{function} needs an explicit positive pivot")
+        if function == "sigmoid" and exponent <= 0:
+            raise ValueError("sigmoid needs a positive exponent")
+        if feature_fn is None:
+            raise ValueError("feature_fn is required (docmap frame -> Column)")
+
+        def _contribution(docs: DataFrame) -> Column:
+            x = feature_fn(docs).cast("double")
+            if function == "saturation":
+                f = x / (x + F.lit(float(pivot)))
+            elif function == "log":
+                f = F.log(F.lit(float(scaling_factor)) + x)
+            else:  # sigmoid
+                xe = F.pow(x, F.lit(float(exponent)))
+                f = xe / (xe + F.lit(float(pivot) ** float(exponent)))
+            return F.lit(float(boost)) * f
+
+        super().__init__(
+            index, config, boost_fn=_contribution, boost_mode="sum", tag=tag
         )

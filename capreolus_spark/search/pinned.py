@@ -1,0 +1,118 @@
+"""Pinned results — an Elasticsearch ``pinned`` query twin.
+
+ES's ``pinned`` query (backed by Lucene's capped-score combination)
+promotes an ordered list of document ids to the top of every result
+list — the "sponsored / editorial picks first" serving pattern — with
+the organic query ranking everything else below them.  Semantics pinned
+here (ES documented behavior):
+
+* pinned ids rank FIRST, in exactly the caller's order, whether or not
+  they match the organic query (ES fetches them by id);
+* pinned ids absent from the index are skipped silently (the ES rule);
+* organic hits follow, in their own (score desc, docid asc) order,
+  with any pinned id removed from the organic list (no duplicates);
+* pinned scores use Lucene's convention — a constant far above any
+  relevance score (``1.7014118e38``, float32-max based).  Lucene steps
+  the constant down by pin position, but at that magnitude the step is
+  far below one double ULP (the subtraction is a no-op), so ORDERING
+  here is explicit — a (tier, pin-position) sort key ranks pins first
+  in caller order, never the score magnitude — while the score column
+  keeps the recognizable constant;
+* the ``hits`` cut applies to the COMBINED list, so many pins can
+  crowd out organic results, exactly as in ES.
+
+Scale shape: the pin list is a tiny literal frame — validated against
+the docmap with one broadcast semi-join, removed from the organic run
+with one broadcast anti-join (the organic run is already top-k-bounded
+per qid); the union re-ranks with one per-qid window over
+``hits + |pins|`` rows.  The organic pass over-fetches by ``|pins|`` so
+removing pinned ids can never leave the page short.
+
+Reference: the capreolus searcher family surfaces Anserini/Lucene
+queries only (``capreolus/searcher/anserini.py:26-83``); pinned promotion
+is the ES-side companion every serving deployment adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Config, DEFAULT_TAG
+from ..index import InvertedIndex
+from . import BM25Searcher
+
+__all__ = ["PinnedSearcher"]
+
+#: Lucene's pinned-promotion base score (float32 max) — pin position i
+#: (0-based) scores ``_PIN_BASE - i``, keeping pins above any BM25 score
+#: and in caller order under a plain (score desc) sort.
+_PIN_BASE = 1.7014118e38
+
+
+class PinnedSearcher(BM25Searcher):
+    """BM25 organic ranking with an ordered pinned-ids prefix.
+
+    ``ids`` is the ordered list of docids to promote (the same list for
+    every query, like the ES query); duplicates in the list keep their
+    first position.
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        config: BM25Config | None = None,
+        ids: list[str] | None = None,
+        tag: str = DEFAULT_TAG,
+    ):
+        super().__init__(index, config, tag=tag)
+        seen: set[str] = set()
+        self.ids = [
+            d for d in (ids or []) if not (d in seen or seen.add(d))
+        ]
+
+    def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
+        hits = hits or self.config.hits
+        spark = self.index.spark
+        if not self.ids:
+            return super().search(topics, hits=hits)
+
+        organic = super().search(topics, hits=hits + len(self.ids))
+        pins = spark.createDataFrame(
+            [(d, i) for i, d in enumerate(self.ids)], "docid string, _pos int"
+        )
+        # ES skips pinned ids that don't resolve; one broadcast semi-join
+        # against the docmap validates them without moving the docmap.
+        valid = (
+            self.index.docs_df()
+            .select("docid")
+            .join(F.broadcast(pins), "docid")
+            .select("docid", "_pos")
+        )
+        qids = spark.createDataFrame([(q,) for q in topics], "qid string")
+        pinned_rows = qids.crossJoin(F.broadcast(valid)).select(
+            "qid",
+            "docid",
+            F.lit(_PIN_BASE).alias("score"),
+            F.lit(0).alias("_tier"),
+            F.col("_pos"),
+        )
+        organic_rows = organic.join(
+            F.broadcast(pins.select("docid")), "docid", "left_anti"
+        ).select(
+            "qid",
+            "docid",
+            "score",
+            F.lit(1).alias("_tier"),
+            F.lit(0).alias("_pos"),
+        )
+
+        combined = pinned_rows.unionByName(organic_rows)
+        w = Window.partitionBy("qid").orderBy(
+            F.asc("_tier"), F.asc("_pos"), F.desc("score"), F.asc("docid")
+        )
+        return (
+            combined.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= hits)
+            .select("qid", "docid", "rank", "score", F.lit(self.tag).alias("tag"))
+        )

@@ -405,3 +405,58 @@ def test_string_stats_ungrouped_all_empty(spark):
     assert (row["n"], row["min_len"], row["max_len"], row["entropy"]) == (
         2, 0, 0, 0.0,
     )
+
+
+def test_serial_diff_matches_twin(spark):
+    from capreolus_spark.search.facets import serial_diff
+
+    rows = [("a", i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2])] + [
+        ("b", 0, 10.0), ("b", 1, 7.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, b int, v double")
+    for lag in (1, 3):
+        out = {
+            (r["g"], r["b"]): r["serial_diff"]
+            for r in serial_diff(df, "b", "v", by="g", lag=lag).collect()
+        }
+        series = {"a": [3, 1, 4, 1, 5, 9, 2], "b": [10, 7]}
+        for g, vs in series.items():
+            for i, v in enumerate(vs):
+                want = float(v - vs[i - lag]) if i >= lag else None
+                assert out[(g, i)] == want, (g, i, lag)
+    with pytest.raises(ValueError):
+        serial_diff(df, "b", "v", lag=0)
+
+
+def test_bucket_sort_offset_size_and_ties(spark):
+    from capreolus_spark.search.facets import bucket_sort
+
+    rows = [
+        ("a", "d1", 5), ("a", "d2", 9), ("a", "d3", 9), ("a", "d4", 2),
+        ("b", "d1", 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, b string, cnt int")
+    out = bucket_sort(
+        df, [("cnt", "desc")], by="g", size=2, offset=1, tiebreak_cols=["b"]
+    ).collect()
+    got = {
+        r["g"]: []
+        for r in out
+    }
+    for r in sorted(out, key=lambda r: (r["g"], r["bucket_rank"])):
+        got[r["g"]].append((r["b"], r["bucket_rank"]))
+    # group a: full order d2(9) d3(9, tiebreak b asc) d1(5) d4(2);
+    # offset 1 size 2 -> d3, d1 with ranks 1, 2
+    assert got["a"] == [("d3", 1), ("d1", 2)]
+    # group b has 1 bucket, all consumed by the offset
+    assert "b" not in got or got["b"] == []
+    # ascending sort + no offset
+    asc = bucket_sort(df, [("cnt", "asc")], by="g", size=1, tiebreak_cols=["b"]).collect()
+    top = {r["g"]: r["b"] for r in asc}
+    assert top == {"a": "d4", "b": "d1"}
+    with pytest.raises(ValueError):
+        bucket_sort(df, [])
+    with pytest.raises(ValueError):
+        bucket_sort(df, [("cnt", "down")])
+    with pytest.raises(ValueError):
+        bucket_sort(df, [("cnt", "desc")], size=0)

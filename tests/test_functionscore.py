@@ -66,3 +66,132 @@ def test_invalid_boost_mode_rejected(synth_index):
     idx, _ = synth_index
     with pytest.raises(ValueError, match="boost_mode"):
         FunctionScoreSearcher(idx, boost_mode="max")
+
+
+def test_rank_feature_saturation_matches_bruteforce(spark, synth_index):
+    """RankFeature == plain uncut BM25 + boost·x/(x+pivot), re-cut."""
+    from capreolus_spark.search.functionscore import RankFeatureSearcher
+
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    rf = RankFeatureSearcher(
+        idx,
+        BM25Config(hits=10),
+        feature_fn=lambda d: (F.xxhash64(d["docid"]) % 50 + 49) % 50,
+        function="saturation",
+        pivot=10.0,
+        boost=3.0,
+    )
+    got = run_df_to_dict(rf.search(topics, hits=10))
+
+    plain = BM25Searcher(idx, BM25Config(hits=100000)).search(topics, hits=100000)
+    x = ((F.xxhash64("docid") % 50 + 49) % 50).cast("double")
+    boosted = plain.withColumn("score", F.col("score") + 3.0 * (x / (x + 10.0)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    want = run_df_to_dict(
+        boosted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    )
+    assert set(got) == set(want)
+    for qid in want:
+        assert list(got[qid]) == list(want[qid]), qid
+        for d in want[qid]:
+            assert got[qid][d] == pytest.approx(want[qid][d], abs=1e-9)
+
+
+def test_rank_feature_log_and_sigmoid_formulas(spark, synth_index):
+    import math
+
+    from capreolus_spark.search.functionscore import RankFeatureSearcher
+
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:1])
+    qid = next(iter(topics))
+    plain = run_df_to_dict(
+        BM25Searcher(idx, BM25Config(hits=5)).search(topics, hits=5)
+    )
+
+    # constant feature x=4: contribution is a constant shift, ordering and
+    # deltas are checkable in closed form for both remaining functions
+    for function, kwargs, expect_shift in [
+        ("log", dict(scaling_factor=1.0), 2.0 * math.log(5.0)),
+        ("sigmoid", dict(pivot=2.0, exponent=2.0), 2.0 * (16.0 / (16.0 + 4.0))),
+    ]:
+        rf = RankFeatureSearcher(
+            idx,
+            BM25Config(hits=5),
+            feature_fn=lambda d: F.lit(4.0),
+            function=function,
+            boost=2.0,
+            **kwargs,
+        )
+        got = run_df_to_dict(rf.search(topics, hits=5))
+        assert list(got[qid]) == list(plain[qid])
+        for d in plain[qid]:
+            assert got[qid][d] == pytest.approx(
+                plain[qid][d] + expect_shift, abs=1e-9
+            )
+
+
+def test_rank_feature_validation(spark, synth_index):
+    from capreolus_spark.search.functionscore import RankFeatureSearcher
+
+    idx, _ = synth_index
+    fn = lambda d: F.lit(1.0)  # noqa: E731
+    with pytest.raises(ValueError):
+        RankFeatureSearcher(idx, feature_fn=fn, function="nope", pivot=1.0)
+    with pytest.raises(ValueError):
+        RankFeatureSearcher(idx, feature_fn=fn, function="saturation")  # no pivot
+    with pytest.raises(ValueError):
+        RankFeatureSearcher(idx, feature_fn=fn, function="sigmoid", pivot=1.0, exponent=0)
+    with pytest.raises(ValueError):
+        RankFeatureSearcher(idx, function="log")  # no feature_fn
+
+
+def test_pinned_order_and_organic_tail(spark, synth_index):
+    from capreolus_spark.search.pinned import PinnedSearcher
+
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:2])
+    plain = BM25Searcher(idx, BM25Config(hits=10)).search(topics, hits=10)
+    by_qid = {}
+    for r in sorted(plain.collect(), key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append(r["docid"])
+    qid = sorted(q for q in by_qid if len(by_qid[q]) >= 10)[0]
+    # pin: one organic hit (demotes it to the top), one corpus doc outside
+    # the organic list, one missing id (skipped), duplicate kept once
+    organic_third = by_qid[qid][2]
+    outside = "D_NOT_IN_RUN"
+    all_ids = {r["docid"] for r in idx.docs_df().select("docid").collect()}
+    outside = sorted(all_ids - set(by_qid[qid]))[0]
+    pins = [organic_third, outside, "no_such_doc_xyz", organic_third]
+    ps = PinnedSearcher(idx, BM25Config(hits=10), ids=pins)
+    out = sorted(
+        ps.search(topics, hits=10).filter(F.col("qid") == qid).collect(),
+        key=lambda r: r["rank"],
+    )
+    got_ids = [r["docid"] for r in out]
+    # pins first, caller order, missing skipped, duplicate collapsed
+    assert got_ids[:2] == [organic_third, outside]
+    assert out[0]["score"] >= 1e38 and out[1]["score"] >= 1e38
+    # organic tail = plain run minus pinned ids, order preserved
+    want_tail = [d for d in by_qid[qid] if d not in {organic_third, outside}][:8]
+    assert got_ids[2:] == want_tail
+    assert len(got_ids) == len(set(got_ids)) == 10
+    # every topic gets the pinned prefix, even with no organic matches
+    other = sorted(q for q in by_qid if q != qid)[0]
+    rows2 = ps.search(topics, hits=10).filter(F.col("qid") == other).collect()
+    assert [r["docid"] for r in sorted(rows2, key=lambda r: r["rank"])][:2] == [
+        organic_third, outside,
+    ]
+
+
+def test_pinned_empty_ids_is_plain_bm25(spark, synth_index):
+    from capreolus_spark.search.pinned import PinnedSearcher
+
+    idx, _ = synth_index
+    topics = dict(list(synth_queries(10).items())[:1])
+    plain = run_df_to_dict(BM25Searcher(idx, BM25Config(hits=10)).search(topics))
+    pinned = run_df_to_dict(PinnedSearcher(idx, BM25Config(hits=10), ids=[]).search(topics))
+    assert pinned == plain
