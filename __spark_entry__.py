@@ -5235,6 +5235,128 @@ def _q_lucene_query(spark, sf_dir):
     return _gate_rank(run)
 
 
+_SIMPLE_TOPICS = {
+    "s1": "key + value | merge",      # (key AND value) OR merge
+    "s2": "spark -batch",             # spark, excluding batch docs
+    "s3": '"key value"',              # exact adjacent phrase
+    "s4": "tab* -nosuchterm",         # prefix expansion; absent-term NOT no-op
+    "s5": "merge + (key | value)",    # must merge AND >=1 of the group
+}
+
+
+# simple_query_string oracle: per-doc BM25 term contributions pivoted
+# once, then each topic's operator algebra as an explicit WHERE/score
+# expression — (key AND value) OR merge, NOT-exclusion, the exact
+# adjacent phrase pseudo-term (raw-position stream, pre-stop dl — the
+# phrase_search conventions), the df-ordered capped prefix expansion
+# (the prefix_topk conventions), and the must+group shape; standard
+# margin re-rank.
+_SIMPLE_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid, {_TOK} AS toks FROM documents
+), dl AS (
+  SELECT docid, len(toks) AS dl FROM tok
+), tf AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) GROUP BY docid, term
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfx AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), c AS (
+  SELECT tf.docid, tf.term,
+         greatest(0, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+           * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfx d USING (term) JOIN dl USING (docid) CROSS JOIN stats s
+  WHERE tf.term IN ('key', 'value', 'merge', 'spark', 'batch')
+), p AS (
+  SELECT docid,
+         max(CASE WHEN term = 'key' THEN sc END) AS sc_key,
+         max(CASE WHEN term = 'value' THEN sc END) AS sc_value,
+         max(CASE WHEN term = 'merge' THEN sc END) AS sc_merge,
+         max(CASE WHEN term = 'spark' THEN sc END) AS sc_spark,
+         max(CASE WHEN term = 'batch' THEN sc END) AS sc_batch
+  FROM c GROUP BY docid
+), s1 AS (
+  SELECT docid,
+         coalesce(CASE WHEN sc_key IS NOT NULL AND sc_value IS NOT NULL
+                       THEN sc_key + sc_value END, 0)
+         + coalesce(sc_merge, 0) AS score
+  FROM p
+  WHERE (sc_key IS NOT NULL AND sc_value IS NOT NULL) OR sc_merge IS NOT NULL
+), s2 AS (
+  SELECT docid, sc_spark AS score FROM p
+  WHERE sc_spark IS NOT NULL AND sc_batch IS NULL
+), m3 AS (
+  SELECT docid, len(list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'key' AND toks[i+1] = 'value')) AS cnt
+  FROM tok
+), mm3 AS (
+  SELECT * FROM m3 WHERE cnt > 0
+), df3 AS (
+  SELECT count(*)::DOUBLE AS df FROM mm3
+), s3 AS (
+  SELECT mm3.docid,
+         greatest(0, ln(1 + (s.n - d3.df + 0.5) / (d3.df + 0.5)))
+           * mm3.cnt / (mm3.cnt + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS score
+  FROM mm3 CROSS JOIN df3 d3 JOIN dl USING (docid) CROSS JOIN stats s
+), exp4 AS (
+  SELECT term, df FROM (
+    SELECT v.term, v.df,
+           row_number() OVER (ORDER BY v.df DESC, v.term ASC) AS rn
+    FROM dfx v WHERE v.term LIKE 'tab%'
+  ) WHERE rn <= 50
+), s4 AS (
+  SELECT tf.docid,
+         sum(greatest(0, ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5)))
+             * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM exp4 e JOIN tf ON tf.term = e.term JOIN dl ON dl.docid = tf.docid CROSS JOIN stats s
+  GROUP BY tf.docid
+), s5 AS (
+  SELECT docid, sc_merge + coalesce(sc_key, 0) + coalesce(sc_value, 0) AS score
+  FROM p
+  WHERE sc_merge IS NOT NULL AND (sc_key IS NOT NULL OR sc_value IS NOT NULL)
+), allq AS (
+  SELECT 's1' AS qid, docid, score FROM s1
+  UNION ALL SELECT 's2', docid, score FROM s2
+  UNION ALL SELECT 's3', docid, score FROM s3
+  UNION ALL SELECT 's4', docid, score FROM s4
+  UNION ALL SELECT 's5', docid, score FROM s5
+)
+SELECT qid, docid, rank, score FROM (
+SELECT qid, docid,
+       cast(row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, docid ASC) AS int) AS rank,
+       round(score, 4) AS score
+FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rf
+  FROM allq
+) WHERE rf <= {_GATE_HITS}
+) WHERE rank <= {_BM25_HITS}
+"""
+
+
+def _q_simple_query(spark, sf_dir):
+    """ES ``simple_query_string`` / Lucene SimpleQueryParser twin
+    (search/simpleparser.py): the lenient end-user grammar — | OR,
+    + AND (binds tighter), - NOT, "phrase", trailing-* prefix, ( )
+    precedence — compiled onto the classic-parser node model, one entry
+    covering the operator algebra across five query shapes."""
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search.simpleparser import SimpleQueryStringSearcher
+
+    idx = InvertedIndex.create(
+        spark, _corpus(spark, sf_dir), _index_dir("daat_pos", sf_dir),
+        IndexConfig(stemmer="none", store_positions=True),
+    )
+    run = SimpleQueryStringSearcher(
+        idx, BM25Config(hits=_GATE_HITS), max_expansions=_EXPANSION_CAP
+    ).search(_SIMPLE_TOPICS, hits=_GATE_HITS)
+    return _gate_rank(run)
+
+
 # ------------------------------------------------------- fielded retrieval
 
 # gate corpus: title := first 40 chars of text (deterministic, shares the
@@ -5399,6 +5521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_docs_bm25": _q_delete_docs_bm25,
         "expunge_bm25": _q_expunge_bm25,
         "lucene_query_topk": _q_lucene_query,
+        "simple_query_topk": _q_simple_query,
         "termrange_topk": _q_termrange_search,
         "merged_index_bm25": _q_merged_index_bm25,
         "lexical_stats": _q_lexical_stats,
@@ -5809,6 +5932,7 @@ def oracle_sql() -> dict[str, str]:
             "{QUERY_ROWS}", _query_rows_sql()
         ),
         "lucene_query_topk": _LUCENE_ORACLE_SQL,
+        "simple_query_topk": _SIMPLE_ORACLE_SQL,
         "bm25f_topk": _BM25F_ORACLE_SQL.replace("{QUERY_ROWS}", _query_rows_sql()),
         "multifield_topk": _MULTIFIELD_ORACLE_SQL.replace(
             "{QUERY_ROWS}", _query_rows_sql()

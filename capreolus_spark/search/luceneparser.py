@@ -306,6 +306,12 @@ class LuceneQuerySearcher(BooleanSearcher):
 
     # ---------------------------------------------------------- planning
 
+    def _parse(self, text: str) -> list:
+        """Query-string → node list; the grammar hook subclasses override
+        (SimpleQueryStringSearcher swaps in the lenient simple grammar —
+        same node model, same evaluator)."""
+        return parse_lucene_query(text)
+
     @staticmethod
     def _walk(nodes):
         for n in nodes:
@@ -321,7 +327,7 @@ class LuceneQuerySearcher(BooleanSearcher):
         scoring-boolean rewrite), so downstream only sees term/phrase
         leaves; a topic containing a range therefore routes through the
         recursive group evaluator."""
-        parsed = {qid: parse_lucene_query(text) for qid, text in topics.items()}
+        parsed = {qid: self._parse(text) for qid, text in topics.items()}
         parsed = self._rewrite_multiterm(parsed)
         out = {}
         for qid, nodes in parsed.items():
@@ -798,9 +804,15 @@ class LuceneQuerySearcher(BooleanSearcher):
         if node.ctype == "xterm":
             terms = [node.text] if node.text in ctx["known"] else []
         else:
-            terms = [
-                t for t in analyze_text(node.text, **ctx["kw"]) if t in ctx["known"]
-            ]
+            toks = analyze_text(node.text, **ctx["kw"])
+            if not toks:
+                # the analyzer consumed the whole clause (stopword-only):
+                # it VANISHES from the BooleanQuery — Lucene's parsers
+                # analyze at parse time, so "+a +the" is just "+a".  A
+                # clause with real tokens that are merely absent from the
+                # index stays (an unmatchable MUST matches nothing).
+                return None
+            terms = [t for t in toks if t in ctx["known"]]
         if not terms or ctx["termf"] is None:
             return ctx["empty"]
         u = None
@@ -814,8 +826,22 @@ class LuceneQuerySearcher(BooleanSearcher):
 
     def _eval_children(self, children, ctx: dict, state: dict, boost: float = 1.0) -> DataFrame:
         """BooleanQuery algebra over evaluated child frames: positive
-        union-sum, MUST semi-joins, MUST_NOT anti-joins, group boost."""
-        evaled = [(c.kind, self._eval_node(c, ctx, state)) for c in children]
+        union-sum, MUST semi-joins, MUST_NOT anti-joins, group boost.
+        Children that vanished at analysis time (None frames) drop out;
+        a group whose children ALL vanished vanishes itself.  A group
+        with NO children at all stays unmatchable instead: that shape is
+        the multiterm rewrite's empty expansion (e.g. a range matching
+        zero dictionary terms), where Lucene's rewritten BooleanQuery
+        really does match nothing."""
+        if not children:
+            return ctx["empty"]
+        evaled = []
+        for c in children:
+            f = self._eval_node(c, ctx, state)
+            if f is not None:
+                evaled.append((c.kind, f))
+        if not evaled:
+            return None
         pos = [f for k, f in evaled if k != "not"]
         if not pos:
             return ctx["empty"]  # purely negative group matches nothing
@@ -835,6 +861,8 @@ class LuceneQuerySearcher(BooleanSearcher):
     def _eval_grouped_topic(self, qid: str, nodes, ctx: dict):
         state = {"qid": qid, "pctr": 0}
         f = self._eval_children(nodes, ctx, state)
+        if f is None:  # every clause vanished at analysis time
+            f = ctx["empty"]
         return f.filter(F.col("score") > 0).select(
             F.lit(qid).alias("qid"), "docno", "score"
         )

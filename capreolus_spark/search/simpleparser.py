@@ -1,0 +1,247 @@
+"""simple_query_string — a Lucene ``SimpleQueryParser`` / Elasticsearch
+``simple_query_string`` twin.
+
+ES's end-user query language: a forgiving grammar that NEVER raises on
+malformed input (the property that distinguishes it from the classic
+parser, which throws ParseException — the reference feeds topics to
+Anserini's classic parser, ``searcher/anserini.py:26-83``; this is the
+public-search-box companion).  Grammar (Lucene ``SimpleQueryParser``,
+published)::
+
+    query  := alt ( '|' alt )*           # OR, lowest precedence
+    alt    := unit ( '+' unit )*         # AND, binds tighter than |
+    unit   := [-] ( term | term* | term~N | "phrase" [~N] | '(' query ')' )
+
+* whitespace between units applies the ``default_operator`` (OR unless
+  configured AND — the ES knob);
+* ``-`` negates the next unit; ``*`` at the END of a term is a prefix
+  query (embedded ``*`` is literal); ``~N`` is fuzziness on a term and
+  slop on a phrase; ``\\`` escapes the next character;
+* ``flags`` disable individual features (ES's ``flags`` parameter —
+  ``AND OR NOT PHRASE PREFIX FUZZY SLOP PRECEDENCE ESCAPE WHITESPACE``);
+  a disabled feature's special character is treated as plain text, which
+  the analyzer then handles like any punctuation;
+* malformed input degrades: an unbalanced quote takes the rest of the
+  string as the phrase, an unbalanced ``)`` is ignored, a trailing
+  operator is dropped — no error path exists.
+
+The parser emits the SAME ``Clause``/``Group`` node model as
+``parse_lucene_query``, so :class:`SimpleQueryStringSearcher` is the
+classic searcher with the grammar hook swapped — every execution
+property (gated boolean DAAT kernel for pure-term queries, positions
+kernel for phrases, multiterm rewrite for prefixes/fuzzies, global
+top-k cut before the docid broadcast) is inherited, not re-implemented.
+
+OR-of-ANDs shape: ``a + b | c`` parses to
+``[Group(should, (+a, +b)), Clause(should, c)]`` — the BooleanQuery rule
+(every MUST in a group, ≥1 SHOULD at a level with no MUST) evaluates it
+exactly as ES does.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .luceneparser import Clause, Group, LuceneQuerySearcher
+
+__all__ = ["ALL_FLAGS", "parse_simple_query_string", "SimpleQueryStringSearcher"]
+
+ALL_FLAGS = frozenset(
+    {"AND", "OR", "NOT", "PHRASE", "PREFIX", "FUZZY", "SLOP", "PRECEDENCE", "ESCAPE"}
+)
+
+_FUZZY_RE = re.compile(r"(.+?)~([0-9]*)$")
+_SLOP_RE = re.compile(r"~([0-9]+)")
+
+
+def _lex(text: str, flags: frozenset) -> list:
+    """('op','or'|'and'|'ws') / ('not',) / ('open',) / ('close',) /
+    ('term', body) / ('phrase', body, slop) stream."""
+    out: list = []
+    pos, n = 0, len(text)
+    buf: list[str] = []
+
+    def _flush() -> None:
+        if buf:
+            out.append(("term", "".join(buf)))
+            buf.clear()
+
+    while pos < n:
+        ch = text[pos]
+        if ch == "\\" and "ESCAPE" in flags and pos + 1 < n:
+            buf.append(text[pos + 1])
+            pos += 2
+            continue
+        if ch.isspace():
+            _flush()
+            if out and out[-1][0] not in ("op", "not", "open"):
+                out.append(("op", "ws"))
+            pos += 1
+            continue
+        if ch == "|" and "OR" in flags and not buf:
+            _flush()
+            while pos < n and text[pos] == "|":
+                pos += 1
+            if out and out[-1] == ("op", "ws"):
+                out.pop()
+            out.append(("op", "or"))
+            continue
+        if ch == "+" and "AND" in flags and not buf:
+            _flush()
+            while pos < n and text[pos] == "+":
+                pos += 1
+            if out and out[-1] == ("op", "ws"):
+                out.pop()
+            out.append(("op", "and"))
+            continue
+        if ch == "-" and "NOT" in flags and not buf:
+            out.append(("not",))
+            pos += 1
+            continue
+        if ch == "(" and "PRECEDENCE" in flags and not buf:
+            _flush()
+            out.append(("open",))
+            pos += 1
+            continue
+        if ch == ")" and "PRECEDENCE" in flags:
+            _flush()
+            out.append(("close",))
+            pos += 1
+            continue
+        if ch == '"' and "PHRASE" in flags and not buf:
+            end = text.find('"', pos + 1)
+            if end < 0:
+                body, pos = text[pos + 1 :], n  # unbalanced: rest of string
+            else:
+                body = text[pos + 1 : end]
+                pos = end + 1
+            slop = 0
+            m = _SLOP_RE.match(text, pos)
+            if m and "SLOP" in flags:
+                slop = int(m.group(1))
+                pos = m.end()
+            out.append(("phrase", body.strip(), slop))
+            continue
+        buf.append(ch)
+        pos += 1
+    _flush()
+    return out
+
+
+def _term_clause(kind: str, body: str, flags: frozenset) -> Clause | None:
+    if not body:
+        return None
+    m = _FUZZY_RE.fullmatch(body)
+    if m and "FUZZY" in flags:
+        dist = int(m.group(2)) if m.group(2) else 2
+        return Clause(kind, "fuzzy", m.group(1), 1.0, float(dist))
+    body = body.rstrip("~")  # fuzzy disabled / bare ~: literal-strip
+    if body.endswith("*"):
+        stem = body.rstrip("*")
+        if "PREFIX" in flags and stem:
+            return Clause(kind, "term", stem + "*", 1.0)
+        body = stem
+    if not body:
+        return None
+    return Clause(kind, "term", body, 1.0)
+
+
+def _build(tokens: list, i: int, flags: frozenset, default_and: bool, depth: int = 0):
+    """Recursive OR-of-ANDs builder.  Returns (nodes, next_i): nodes is
+    the top-of-level list — one SHOULD entry per OR alternative, AND
+    chains wrapped in Groups of MUST children."""
+    alts: list[list] = [[]]  # each alternative: list of (kind, node)
+    negate = False
+
+    def _add(node) -> None:
+        nonlocal negate
+        if node is not None:
+            alts[-1].append(("not" if negate else "pos", node))
+        negate = False
+
+    def _op(kind: str) -> None:
+        if kind == "ws":
+            kind = "and" if default_and else "or"
+        if kind == "or":
+            if alts[-1]:
+                alts.append([])
+        # "and": adjacency inside the current alternative — nothing to do
+
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
+        if tok[0] == "op":
+            _op(tok[1])
+        elif tok[0] == "not":
+            negate = True
+        elif tok[0] == "open":
+            children, i = _build(tokens, i, flags, default_and, depth + 1)
+            if children:
+                _add(("group", children))
+        elif tok[0] == "close":
+            if depth:
+                break
+            # stray ')' at top level: ignore leniently
+        elif tok[0] == "phrase":
+            ctype = "near" if tok[2] > 0 else "phrase"
+            # a body with no word characters analyzes to nothing — drop it
+            # here so a punctuation-only "phrase" can't demand a positions
+            # index (leniency covers the degenerate case end-to-end)
+            if tok[1] and re.search(r"[A-Za-z0-9_]", tok[1]):
+                _add(Clause("should", ctype, tok[1], 1.0, float(tok[2])))
+        else:  # term
+            _add(_term_clause("should", tok[1], flags))
+
+    def _rekind(entry, kind: str):
+        tag, node = entry
+        if tag == "not":
+            kind = "not"
+        if isinstance(node, tuple) and node[0] == "group":
+            return Group(kind, tuple(node[1]), 1.0)
+        return Clause(kind, node.ctype, node.text, node.boost, node.extra)
+
+    nodes: list = []
+    for alt in alts:
+        if not alt:
+            continue
+        if len(alt) == 1:
+            nodes.append(_rekind(alt[0], "should"))
+        else:
+            children = tuple(_rekind(e, "must") for e in alt)
+            nodes.append(Group("should", children, 1.0))
+    return nodes, i
+
+
+def parse_simple_query_string(
+    text: str,
+    default_operator: str = "or",
+    flags: frozenset | set = ALL_FLAGS,
+) -> list:
+    """simple_query_string → node list (same model as
+    ``parse_lucene_query``); never raises on query-string content."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(f"default_operator must be 'or' or 'and', got {default_operator!r}")
+    flags = frozenset(flags)
+    nodes, _ = _build(_lex(text, flags), 0, flags, default_operator == "and")
+    return nodes
+
+
+class SimpleQueryStringSearcher(LuceneQuerySearcher):
+    """Rank documents for simple_query_string topics: the classic-parser
+    searcher with the lenient grammar swapped in via the ``_parse``
+    hook — kernel, phrase positions path, multiterm rewrite, and the
+    top-k-before-broadcast scale guard are all inherited."""
+
+    def __init__(self, *args, default_operator: str = "or", flags=ALL_FLAGS, **kwargs):
+        super().__init__(*args, **kwargs)
+        if default_operator not in ("or", "and"):
+            raise ValueError(
+                f"default_operator must be 'or' or 'and', got {default_operator!r}"
+            )
+        self.default_operator = default_operator
+        self.flags = frozenset(flags)
+
+    def _parse(self, text: str) -> list:
+        return parse_simple_query_string(
+            text, default_operator=self.default_operator, flags=self.flags
+        )

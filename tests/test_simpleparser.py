@@ -1,0 +1,141 @@
+"""simple_query_string (search/simpleparser.py): grammar, leniency, and
+run-equivalence against the classic parser on structurally equal queries."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (fixture parity)
+
+from capreolus_spark.config import BM25Config
+from capreolus_spark.io.trec import run_df_to_dict
+from capreolus_spark.search.luceneparser import Clause, Group, LuceneQuerySearcher
+from capreolus_spark.search.simpleparser import (
+    ALL_FLAGS,
+    SimpleQueryStringSearcher,
+    parse_simple_query_string as parse,
+)
+
+
+def test_or_of_ands_shape():
+    nodes = parse("a + b | c")
+    assert nodes == [
+        Group("should", (Clause("must", "term", "a"), Clause("must", "term", "b"))),
+        Clause("should", "term", "c"),
+    ]
+
+
+def test_not_phrase_prefix_fuzzy_slop():
+    assert parse("-x") == [Clause("not", "term", "x")]
+    assert parse('"a b"') == [Clause("should", "phrase", "a b")]
+    assert parse('"a b"~3') == [Clause("should", "near", "a b", 1.0, 3.0)]
+    assert parse("ta*") == [Clause("should", "term", "ta*")]
+    assert parse("foo~1") == [Clause("should", "fuzzy", "foo", 1.0, 1.0)]
+    assert parse("foo~") == [Clause("should", "fuzzy", "foo", 1.0, 2.0)]
+
+
+def test_default_operator_and():
+    assert parse("a b", default_operator="and") == [
+        Group("should", (Clause("must", "term", "a"), Clause("must", "term", "b")))
+    ]
+    with pytest.raises(ValueError):
+        parse("a", default_operator="xor")
+
+
+def test_precedence_and_binds_tighter():
+    # a | b + c  ->  a OR (b AND c)
+    assert parse("a | b + c") == [
+        Clause("should", "term", "a"),
+        Group("should", (Clause("must", "term", "b"), Clause("must", "term", "c"))),
+    ]
+    # parens override
+    assert parse("(a | b) + c") == [
+        Group(
+            "should",
+            (
+                Group("must", (Clause("should", "term", "a"), Clause("should", "term", "b"))),
+                Clause("must", "term", "c"),
+            ),
+        )
+    ]
+
+
+def test_lenient_degradation_never_raises():
+    assert parse(") a | |") == [Clause("should", "term", "a")]
+    assert parse('"unbalanced rest') == [Clause("should", "phrase", "unbalanced rest")]
+    assert parse("- + | ( )") == []
+    assert parse("") == []
+    assert parse("***") == []
+    # escape keeps the char literal
+    assert parse(r"\+lit") == [Clause("should", "term", "+lit")]
+
+
+def test_flags_disable_features():
+    # PHRASE off: quotes become ordinary chars on the tokens
+    assert parse('"a b"', flags={"OR", "AND"}) == [
+        Clause("should", "term", '"a'),
+        Clause("should", "term", 'b"'),
+    ]
+    # NOT off: leading - stays in the token text
+    assert parse("-x", flags=ALL_FLAGS - {"NOT"}) == [Clause("should", "term", "-x")]
+    # FUZZY off: ~N stripped to the literal term
+    got = parse("foo~2", flags=ALL_FLAGS - {"FUZZY"})
+    assert got == [Clause("should", "term", "foo~2")] or got == [
+        Clause("should", "term", "foo")
+    ]
+    # PREFIX off: trailing * stripped
+    assert parse("ta*", flags=ALL_FLAGS - {"PREFIX"}) == [Clause("should", "term", "ta")]
+
+
+@pytest.mark.parametrize(
+    "simple,classic",
+    [
+        ("a9 | d4", "a9 d4"),
+        ("a9 + d4", "+a9 +d4"),
+        ("a9 -d4", "a9 -d4"),
+        ("a9 + (d4 | c2)", "+a9 +(d4 c2)"),
+    ],
+)
+def test_run_equivalence_vs_classic(spark, synth_index, simple, classic):
+    """Structurally equal simple/classic queries rank identically (same
+    evaluator underneath — this pins the grammar mapping)."""
+    idx, _ = synth_index
+    from capreolus_spark.data import synth_queries
+
+    # take real vocabulary from the synthetic corpus queries
+    vocab = sorted({t for q in synth_queries(10).values() for t in q.split()})[:4]
+    sub = dict(zip(["a9", "d4", "c2"], vocab))
+    s = simple
+    c = classic
+    for k, v in sub.items():
+        s = s.replace(k, v)
+        c = c.replace(k, v)
+    got = run_df_to_dict(
+        SimpleQueryStringSearcher(idx, BM25Config(hits=10)).search({"q": s})
+    )
+    want = run_df_to_dict(
+        LuceneQuerySearcher(idx, BM25Config(hits=10)).search({"q": c})
+    )
+    assert got == want, (s, c)
+
+
+def test_default_and_vs_classic_and(spark, synth_index):
+    idx, _ = synth_index
+    from capreolus_spark.data import synth_queries
+
+    t1, t2 = sorted({t for q in synth_queries(10).values() for t in q.split()})[:2]
+    got = run_df_to_dict(
+        SimpleQueryStringSearcher(
+            idx, BM25Config(hits=10), default_operator="and"
+        ).search({"q": f"{t1} {t2}"})
+    )
+    want = run_df_to_dict(
+        LuceneQuerySearcher(idx, BM25Config(hits=10)).search({"q": f"+{t1} +{t2}"})
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        SimpleQueryStringSearcher(idx, default_operator="nope")
+
+
+def test_garbage_query_returns_empty_not_error(spark, synth_index):
+    idx, _ = synth_index
+    s = SimpleQueryStringSearcher(idx, BM25Config(hits=10))
+    out = s.search({"q": ') | + - " ('})
+    assert out.count() == 0
