@@ -3240,6 +3240,15 @@ def _q_eval_metrics(spark, sf_dir):
     return eval_metrics_df(_synth_run(spark, sf_dir), _synth_qrels(spark, sf_dir), k=10)
 
 
+def _q_eval_bpref(spark, sf_dir):
+    """trec_eval bpref (Buckley & Voorhees 2004 m_bpref, incl. the N=0
+    guard) + R-precision over the synthetic run/qrels
+    (evaluation/frames.py bpref_rprec_df)."""
+    from capreolus_spark.evaluation.frames import bpref_rprec_df
+
+    return bpref_rprec_df(_synth_run(spark, sf_dir), _synth_qrels(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from capreolus_spark.textproc import exact_dup_groups
 
@@ -3647,6 +3656,22 @@ def _q_rare_terms(spark, sf_dir):
     from capreolus_spark.search.significant import rare_terms
 
     return rare_terms(corpus, max_doc_count=2, k=100, min_len=2, remove_stops=True)
+
+
+def _q_sharded_terms(spark, sf_dir):
+    """ES ``terms`` agg twin WITH its distributed-approximation semantics
+    (search/significant.py sharded_terms): 4 md5-content-hashed shards
+    each reporting only their top-5 terms, coordinator-combined counts
+    plus ES's published ``doc_count_error_upper_bound`` (sum of the
+    non-reporting shards' cut lines).  The hash sharding makes the
+    approximation itself deterministic, so this gate pins the ERROR
+    MACHINERY, not just an exact configuration."""
+    from capreolus_spark.search.significant import sharded_terms
+
+    return sharded_terms(
+        _corpus(spark, sf_dir), num_shards=4, size=10, shard_size=5,
+        min_len=2, remove_stops=True,
+    )
 
 
 def _q_doc_keywords(spark, sf_dir):
@@ -5539,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_filter_keep_topn": _q_filter_keep_topn,
         "eval_metrics": _q_eval_metrics,
         "eval_err": _q_eval_err,
+        "eval_bpref_rprec": _q_eval_bpref,
         "eval_ndcg_exp": _q_eval_ndcg_exp,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
@@ -5586,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_topk": _q_pinned,
         "string_stats_text": _q_string_stats,
         "rare_terms": _q_rare_terms,
+        "sharded_terms": _q_sharded_terms,
         "doc_keywords_tfidf": _q_doc_keywords,
         "pmi_bigrams": _q_pmi_bigrams,
         "ann_cosine_topk": _q_ann_cosine,
@@ -6375,6 +6402,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, docid, rank, round(score, 6) AS score FROM "
             "(SELECT qid, docid, score, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank FROM f) "
             "WHERE rank <= 3"
+        ),
+        "eval_bpref_rprec": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
+            "lab AS (SELECT run.qid, run.docid, run.score, "
+            "qrels.label IS NOT NULL AS judged, "
+            "CASE WHEN coalesce(qrels.label, 0) >= 1 THEN 1 ELSE 0 END AS rel "
+            "FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.docid = qrels.docid), "
+            "r AS (SELECT *, "
+            "row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid DESC) AS rank, "
+            "sum(CASE WHEN judged AND rel = 0 THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY qid ORDER BY score DESC, docid DESC ROWS UNBOUNDED PRECEDING"
+            ") AS cum_nonrel FROM lab), "
+            "counts AS (SELECT qid, "
+            "sum(CASE WHEN label >= 1 THEN 1 ELSE 0 END) AS n_rel, "
+            "sum(CASE WHEN label < 1 THEN 1 ELSE 0 END) AS n_nonrel "
+            "FROM qrels GROUP BY qid "
+            "HAVING sum(CASE WHEN label >= 1 THEN 1 ELSE 0 END) > 0), "
+            "j AS (SELECT r.*, c.n_rel, c.n_nonrel FROM r JOIN counts c USING (qid)), "
+            "agg AS (SELECT qid, "
+            "sum(CASE WHEN rel = 1 THEN (CASE WHEN cum_nonrel = 0 THEN 1.0 "
+            "ELSE 1.0 - cast(least(cum_nonrel, n_rel) AS DOUBLE) "
+            "/ cast(least(n_rel, n_nonrel) AS DOUBLE) END) ELSE 0 END) AS bp, "
+            "sum(CASE WHEN rank <= n_rel THEN rel ELSE 0 END) AS rel_at_r, "
+            "max(n_rel) AS n_rel, max(n_nonrel) AS n_nonrel FROM j GROUP BY qid) "
+            "SELECT qid, round(bp / cast(n_rel AS DOUBLE), 6) AS bpref, "
+            "round(cast(rel_at_r AS DOUBLE) / cast(n_rel AS DOUBLE), 6) AS rprec, "
+            "cast(n_rel AS bigint) AS n_rel, cast(n_nonrel AS bigint) AS n_nonrel "
+            "FROM agg"
         ),
         "eval_err": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "
@@ -7166,6 +7221,45 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(e.entropy, 0.0), 6) AS entropy "
             "FROM lens l LEFT JOIN ent e USING (lang)"
         ),
+        "sharded_terms": f"""
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents
+), td AS (
+  SELECT DISTINCT docid, term FROM (
+    SELECT docid, unnest(list_filter(toks, t -> t NOT IN ({_STOPS_SQL}))) AS term FROM tok
+  ) WHERE length(term) >= 2
+), ps AS (
+  SELECT TRY_CAST(concat('0x', substr(md5(docid), 1, 15)) AS BIGINT) % 4 AS shard,
+         term, count(*) AS cnt
+  FROM td GROUP BY 1, term
+), rep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS srank
+    FROM ps
+  ) WHERE srank <= 5
+), cuts0 AS (
+  SELECT shard, min(cnt) AS cut, count(*) AS n_reported FROM rep GROUP BY shard
+), vps AS (
+  SELECT shard, count(*) AS n_terms FROM ps GROUP BY shard
+), cuts AS (
+  SELECT c.shard, CASE WHEN c.n_reported < v.n_terms THEN c.cut ELSE 0 END AS cut
+  FROM cuts0 c JOIN vps v USING (shard)
+), tc AS (
+  SELECT coalesce(sum(cut), 0) AS total_cut FROM cuts
+), comb AS (
+  SELECT term, sum(cnt) AS doc_count, sum(cut) AS rep_cut
+  FROM rep JOIN cuts USING (shard) GROUP BY term
+), fin AS (
+  SELECT term, cast(doc_count AS bigint) AS doc_count,
+         cast(total_cut - rep_cut AS bigint) AS doc_count_error_upper_bound
+  FROM comb CROSS JOIN tc
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank FROM fin
+)
+SELECT term, doc_count, doc_count_error_upper_bound, cast(rank AS integer) AS rank
+FROM ranked WHERE rank <= 10
+""",
         "rare_terms": f"""
 WITH tok AS (
   SELECT cast(doc_id AS varchar) AS docid,

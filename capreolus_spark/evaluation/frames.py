@@ -299,3 +299,79 @@ def ndcg_exp_df(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias(f"ndcg_exp_at_{k}"),
     )
+
+
+def bpref_rprec_df(
+    run: DataFrame, qrels: DataFrame, relevance_level: int = 1
+) -> DataFrame:
+    """Per-qid **bpref** (Buckley & Voorhees 2004, trec_eval ``m_bpref``)
+    and **R-precision** (trec_eval ``Rprec``) — the two classic trec_eval
+    companions :func:`eval_metrics_df` doesn't carry:
+
+    * ``bpref = 1/R · Σ_{retrieved relevant r} (1 − min(nonrel_above_r, R)
+      / min(R, N))`` with R = judged-relevant count, N = judged-NONrelevant
+      count, ``nonrel_above_r`` counting only JUDGED nonrelevant docs
+      ranked above r.  When N = 0 every retrieved relevant contributes
+      1.0 (trec_eval's guard) — robust to incomplete judgments, which is
+      the metric's whole point;
+    * ``rprec = (relevant in the top R) / R``.
+
+    Same shape as the rest of the family: one qid-window pass over the
+    labeled run (trec_eval's (score desc, docid desc) tie-break), per-qid
+    R/N from one qrels aggregation, everything map-side combinable after
+    the single qid shuffle.  Only qids with at least one relevant qrel
+    are evaluable (the family convention).
+    """
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docid"))
+    labeled = (
+        run.join(qrels, ["qid", "docid"], "left")
+        .withColumn("judged", F.col("label").isNotNull())
+        .withColumn(
+            "rel",
+            (F.coalesce(F.col("label"), F.lit(0)) >= relevance_level).cast("int"),
+        )
+        .withColumn(
+            "nonrel", (F.col("judged") & (F.col("rel") == 0)).cast("int")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_rel", F.sum("rel").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "cum_nonrel",
+            F.sum("nonrel").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    counts = qrels.groupBy("qid").agg(
+        F.sum((F.col("label") >= relevance_level).cast("int")).alias("n_rel"),
+        F.sum((F.col("label") < relevance_level).cast("int")).alias("n_nonrel"),
+    ).filter(F.col("n_rel") > 0)
+    j = labeled.join(counts, "qid")
+    # a rel row's own nonrel indicator is 0, so the inclusive cum equals
+    # the strictly-above count trec_eval uses
+    denom = F.least(F.col("n_rel"), F.col("n_nonrel")).cast("double")
+    contrib = F.when(
+        F.col("rel") == 1,
+        F.when(F.col("cum_nonrel") == 0, F.lit(1.0)).otherwise(
+            1.0
+            - F.least(F.col("cum_nonrel"), F.col("n_rel")).cast("double") / denom
+        ),
+    ).otherwise(0.0)
+    return (
+        j.groupBy("qid")
+        .agg(
+            F.sum(contrib).alias("_bp"),
+            F.sum(
+                F.when(F.col("rank") <= F.col("n_rel"), F.col("rel")).otherwise(0)
+            ).alias("_rel_at_R"),
+            F.first("n_rel").alias("n_rel"),
+            F.first("n_nonrel").alias("n_nonrel"),
+        )
+        .select(
+            "qid",
+            F.round(F.col("_bp") / F.col("n_rel"), 6).alias("bpref"),
+            F.round(F.col("_rel_at_R") / F.col("n_rel"), 6).alias("rprec"),
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.col("n_nonrel").cast("bigint").alias("n_nonrel"),
+        )
+    )

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .fielded import _query_df
 from .oracle import analyzed_terms_df
 
-__all__ = ["significant_terms", "rare_terms"]
+__all__ = ["significant_terms", "rare_terms", "sharded_terms"]
 
 _EMPTY = (
     "qid string, term string, fg_df bigint, bg_df bigint, "
@@ -173,3 +173,105 @@ def rare_terms(
     if k is not None:
         out = out.limit(k)
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def sharded_terms(
+    corpus: DataFrame,
+    num_shards: int = 4,
+    size: int = 10,
+    shard_size: int | None = None,
+    min_len: int = 1,
+    stemmer: str = "none",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """Elasticsearch ``terms`` aggregation twin INCLUDING its distributed
+    approximation semantics — the part of ES that exists because shards
+    can't see each other:
+
+    * documents are assigned to ``num_shards`` deterministic shards
+      (portable md5 of the docid — bit-identical in any engine, so the
+      approximation itself is gateable);
+    * each shard reports only its top ``shard_size`` terms by DOCUMENT
+      count (ES default ``size·1.5+10``), ordered (count desc, term asc);
+    * the coordinator sums counts over REPORTING shards and bounds what
+      it may have missed: ``doc_count_error_upper_bound`` for a term is
+      the sum over NON-reporting shards of that shard's smallest reported
+      count — exactly ES's published bound (a term absent from a shard's
+      list can hide at most just-below that shard's cut);
+    * final buckets: top ``size`` by (summed count desc, term asc).
+
+    With ``shard_size`` >= the per-shard vocabulary the bound is 0 and
+    the counts are exact (the configuration the DuckDB gate pins); the
+    sub-vocabulary setting exercises the error machinery itself —
+    deterministically, because sharding is content-hashed rather than
+    placement-dependent.
+
+    Scale shape: one analysis pass; per-(shard, term) counts are one
+    map-side-combinable groupBy; the per-shard top-``shard_size`` is a
+    window over the reduced (shard, term) frame (num_shards × vocabulary
+    rows, never documents); everything after runs on num_shards ×
+    shard_size rows.
+    """
+    if num_shards < 1 or size < 1:
+        raise ValueError("num_shards and size must be >= 1")
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)  # the ES default
+    from ..textproc.hashing import md5_hash60
+
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
+    term_doc = analyzed.select(
+        "docid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    if min_len > 1:
+        term_doc = term_doc.filter(F.length("term") >= min_len)
+    per_shard = (
+        term_doc.withColumn(
+            "shard", (md5_hash60(F.col("docid")) % num_shards).cast("int")
+        )
+        .groupBy("shard", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    reported = per_shard.withColumn("srank", F.row_number().over(w)).filter(
+        F.col("srank") <= shard_size
+    )
+    # each shard's cut line: its smallest REPORTED count (0 when the
+    # shard reported its whole vocabulary — nothing can hide below it)
+    cuts = reported.groupBy("shard").agg(
+        F.min("cnt").alias("cut"),
+        F.count("*").alias("n_reported"),
+    )
+    vocab_per_shard = per_shard.groupBy("shard").agg(F.count("*").alias("n_terms"))
+    cuts = (
+        cuts.join(vocab_per_shard, "shard")
+        .select(
+            "shard",
+            F.when(F.col("n_reported") < F.col("n_terms"), F.col("cut"))
+            .otherwise(F.lit(0))
+            .alias("cut"),
+        )
+    )
+    total_cut = cuts.agg(F.coalesce(F.sum("cut"), F.lit(0)).alias("_total_cut"))
+    combined = (
+        reported.join(cuts, "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("cut").alias("_reporting_cut"),
+        )
+        .crossJoin(F.broadcast(total_cut))
+        .select(
+            "term",
+            F.col("doc_count").cast("bigint").alias("doc_count"),
+            (F.col("_total_cut") - F.col("_reporting_cut"))
+            .cast("bigint")
+            .alias("doc_count_error_upper_bound"),
+        )
+    )
+    order = [F.desc("doc_count"), F.asc("term")]
+    top = combined.orderBy(*order).limit(size)
+    wr = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))

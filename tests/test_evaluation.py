@@ -254,3 +254,69 @@ def test_ndcg_exp_matches_python_twin(spark):
     assert got["q2"] == 0.0
     # exponential gain weights grade-2 docs 3x a grade-1 doc (2^2-1 vs 2^1-1)
     assert 0 < got["q1"] < 1
+
+
+def _bpref_py(run, qrels, level=1):
+    """Literal trec_eval m_bpref transcription (incl. the N=0 guard)."""
+    out = {}
+    for qid, docs in run.items():
+        qrel = qrels.get(qid, {})
+        n_rel = sum(1 for v in qrel.values() if v >= level)
+        n_non = sum(1 for v in qrel.values() if v < level)
+        if n_rel == 0:
+            continue
+        # (score desc, docid desc) — trec_eval's tie-break
+        ranked = [
+            d
+            for d, _ in sorted(
+                docs.items(), key=lambda kv: (-kv[1], [-ord(c) for c in kv[0]])
+            )
+        ]
+        bp, nonrel_so_far, rel_at_r = 0.0, 0, 0
+        for i, d in enumerate(ranked):
+            lab = qrel.get(d)
+            if lab is not None and lab < level:
+                nonrel_so_far += 1
+            if lab is not None and lab >= level:
+                if i < n_rel:
+                    rel_at_r += 1
+                if nonrel_so_far == 0:
+                    bp += 1.0
+                else:
+                    bp += 1.0 - min(nonrel_so_far, n_rel) / min(n_rel, n_non)
+        out[qid] = (round(bp / n_rel, 6), round(rel_at_r / n_rel, 6), n_rel, n_non)
+    return out
+
+
+def test_bpref_rprec_matches_trec_eval_twin(spark):
+    from capreolus_spark.evaluation.frames import bpref_rprec_df
+
+    run = {
+        # nonrel above a rel, unjudged docs interleaved
+        "q1": {"d1": 9.0, "d2": 8.0, "d3": 7.0, "d4": 6.0, "d5": 5.0},
+        # no judged nonrelevant at all (N=0 guard: every rel counts 1.0)
+        "q2": {"d1": 3.0, "d2": 2.0},
+        # more judged nonrel than rel (denominator = min(R, N) = R)
+        "q3": {"d1": 5.0, "d2": 4.0, "d3": 3.0, "d4": 2.0, "d5": 1.0},
+        # no relevant qrels -> not evaluable, dropped
+        "q4": {"d1": 1.0},
+    }
+    qrels = {
+        "q1": {"d1": 0, "d2": 1, "d4": 1, "d5": 0, "dX": 1},
+        "q2": {"d1": 1, "dZ": 1},
+        "q3": {"d1": 0, "d2": 0, "d3": 0, "d5": 1},
+        "q4": {"d1": 0},
+    }
+    run_rows = [(q, d, s) for q, ds in run.items() for d, s in ds.items()]
+    qrel_rows = [(q, d, v) for q, ds in qrels.items() for d, v in ds.items()]
+    rdf = spark.createDataFrame(run_rows, "qid string, docid string, score double")
+    qdf = spark.createDataFrame(qrel_rows, "qid string, docid string, label long")
+    got = {
+        r["qid"]: (r["bpref"], r["rprec"], r["n_rel"], r["n_nonrel"])
+        for r in bpref_rprec_df(rdf, qdf).collect()
+    }
+    want = _bpref_py(run, qrels)
+    assert got == want
+    assert "q4" not in got
+    # hand-check q2: single retrieved rel, N=0 -> bpref = 1/2 (dZ unretrieved)
+    assert got["q2"][0] == 0.5

@@ -119,3 +119,66 @@ def test_validation(spark):
     out = significant_terms(_corpus_df(spark, [("d", "x")]), {"q": "the of"})
     assert out.count() == 0
     assert out.columns == ["qid", "term", "fg_df", "bg_df", "score", "rank"]
+
+
+def test_sharded_terms_exact_when_shard_size_covers_vocab(spark):
+    from collections import Counter
+
+    from capreolus_spark.search.significant import sharded_terms
+
+    docs = [
+        ("d1", "alpha beta gamma"),
+        ("d2", "alpha beta"),
+        ("d3", "alpha delta"),
+        ("d4", "beta epsilon alpha"),
+        ("d5", "gamma gamma delta"),
+    ]
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    out = sharded_terms(
+        corpus, num_shards=3, size=10, shard_size=1000, remove_stops=False
+    ).collect()
+    df = Counter()
+    for _, text in docs:
+        df.update(set(text.split()))
+    expect = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [(r["term"], r["doc_count"]) for r in got] == expect
+    # full-vocabulary shard lists -> nothing can hide -> bound 0 everywhere
+    assert all(r["doc_count_error_upper_bound"] == 0 for r in got)
+
+
+def test_sharded_terms_error_bound_is_sound(spark):
+    """The ES bound's guarantee: true_count <= doc_count + bound for every
+    reported term, under aggressive per-shard truncation."""
+    from collections import Counter
+
+    from capreolus_spark.search.significant import sharded_terms
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    docs = []
+    for i in range(200):
+        words = rng.sample(vocab, rng.randint(2, 8))
+        docs.append((f"d{i}", " ".join(words)))
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    true_df = Counter()
+    for _, text in docs:
+        true_df.update(set(text.split()))
+    out = sharded_terms(
+        corpus, num_shards=4, size=15, shard_size=3, remove_stops=False
+    ).collect()
+    assert out, "aggressive truncation still returns buckets"
+    for r in out:
+        assert r["doc_count"] <= true_df[r["term"]], r
+        assert true_df[r["term"]] <= r["doc_count"] + r["doc_count_error_upper_bound"], r
+    with pytest.raises(ValueError):
+        sharded_terms(corpus, num_shards=0)
+
+
+def test_rare_terms_empty_corpus(spark):
+    from capreolus_spark.search.significant import rare_terms
+
+    empty = spark.createDataFrame([], "docid string, content string")
+    assert rare_terms(empty, max_doc_count=2).count() == 0
