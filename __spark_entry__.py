@@ -3240,6 +3240,18 @@ def _q_eval_metrics(spark, sf_dir):
     return eval_metrics_df(_synth_run(spark, sf_dir), _synth_qrels(spark, sf_dir), k=10)
 
 
+def _q_clarity(spark, sf_dir):
+    """Clarity score (Cronen-Townsend et al. 2002; search/qpp.py
+    clarity_df): KL(RM1-of-top-10 || collection LM) in bits per qid over
+    the synthetic run — the model-based post-retrieval QPP completing
+    the pre-retrieval (qpp_pre) and NQC (run_score_stats) family."""
+    from capreolus_spark.search.qpp import clarity_df
+
+    return clarity_df(
+        _synth_run(spark, sf_dir), _corpus(spark, sf_dir), fb_docs=10
+    )
+
+
 def _q_eval_bpref(spark, sf_dir):
     """trec_eval bpref (Buckley & Voorhees 2004 m_bpref, incl. the N=0
     guard) + R-precision over the synthetic run/qrels
@@ -5565,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
+        "qpp_clarity": _q_clarity,
         "eval_ndcg_exp": _q_eval_ndcg_exp,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
@@ -6402,6 +6415,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, docid, rank, round(score, 6) AS score FROM "
             "(SELECT qid, docid, score, cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS int) AS rank FROM f) "
             "WHERE rank <= 3"
+        ),
+        "qpp_clarity": (
+            f"WITH runq AS ({_SYNTH_RUN_SQL}), "
+            "fb0 AS (SELECT qid, docid, score, "
+            "row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rn FROM runq), "
+            "fb1 AS (SELECT qid, docid, score FROM fb0 WHERE rn <= 10), "
+            "fb AS (SELECT qid, docid, score / tot AS w_d FROM "
+            "(SELECT *, sum(score) OVER (PARTITION BY qid) AS tot FROM fb1) WHERE tot > 0), "
+            "itok AS (SELECT cast(doc_id AS varchar) AS docid, "
+            "list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+            f"t -> t NOT IN ({_STOPS_SQL})) AS itoks FROM documents), "
+            "nt AS (SELECT docid, len(itoks) AS n_terms FROM itok), "
+            "dt AS (SELECT docid, term, count(*) AS tf FROM "
+            "(SELECT docid, unnest(itoks) AS term FROM itok) GROUP BY docid, term), "
+            "rm1 AS (SELECT f.qid, d.term, "
+            "sum(f.w_d * d.tf / cast(n.n_terms AS DOUBLE)) AS p_rm1 "
+            "FROM fb f JOIN dt d USING (docid) JOIN nt n ON n.docid = d.docid "
+            "GROUP BY f.qid, d.term), "
+            "coll AS (SELECT term, sum(tf) AS cf FROM dt GROUP BY term), "
+            "tot AS (SELECT cast(sum(cf) AS DOUBLE) AS total_cf FROM coll), "
+            "fbs AS (SELECT qid, cast(count(*) AS bigint) AS fb_used FROM fb GROUP BY qid), "
+            "cl AS (SELECT r.qid, "
+            "round(sum(r.p_rm1 * (ln(r.p_rm1 / (cast(c.cf AS DOUBLE) / t.total_cf)) / ln(2))), 6) AS clarity "
+            "FROM rm1 r JOIN coll c USING (term) CROSS JOIN tot t GROUP BY r.qid) "
+            "SELECT cl.qid, cl.clarity, fbs.fb_used FROM cl JOIN fbs USING (qid)"
         ),
         "eval_bpref_rprec": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

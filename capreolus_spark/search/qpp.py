@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..index import InvertedIndex
 
-__all__ = ["pre_retrieval_predictors", "run_score_stats"]
+__all__ = ["pre_retrieval_predictors", "run_score_stats", "clarity_df"]
 
 
 def pre_retrieval_predictors(
@@ -116,4 +116,92 @@ def run_score_stats(run: DataFrame, k: int = 100) -> DataFrame:
             ).alias("nqc"),
         )
         .orderBy("qid")
+    )
+
+
+def clarity_df(
+    run: DataFrame,
+    corpus: DataFrame,
+    fb_docs: int = 10,
+    stemmer: str = "none",
+    remove_stops: bool = True,
+    tokenizer: str = "word",
+) -> DataFrame:
+    """**Clarity score** (Cronen-Townsend, Zhou & Croft 2002) — the
+    original post-retrieval QPP: the KL divergence (bits) between the
+    relevance language model of a query's top results and the collection
+    language model,
+
+        ``clarity(q) = Σ_w P(w|R_q) · log2( P(w|R_q) / P(w|C) )``
+
+    with ``P(w|R_q) = Σ_{d ∈ top-fb_docs} w_d · tf_wd/|d|`` (RM1 — score-
+    normalized document weights ``w_d``, maximum-likelihood document
+    models over indexed terms) and ``P(w|C) = cf_w / total_tokens``.
+    A focused query's results speak a sharper language than the corpus
+    (high KL); an ambiguous query's results look like background (≈0).
+    Completes the QPP family: pre-retrieval (idf/SCQ) and NQC are the
+    cheap proxies, clarity is the model-based reference predictor.
+
+    Output ``(qid, clarity 6dp, fb_used)``; qids whose feedback scores
+    sum to 0 are dropped (no relevance model exists).
+
+    Scale shape: the feedback cut is one qid-window over the run
+    (top-k-bounded); document models come from the shared analysis pass,
+    joined to the feedback set on docid (broadcast — topics × fb_docs
+    rows); the collection model is one combinable aggregation reused
+    across every query; the per-qid KL sum runs over feedback-vocabulary
+    rows (fb_docs × per-doc vocabulary, thousands not millions).
+    """
+    from .oracle import analyzed_terms_df
+
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    per_qid = Window.partitionBy("qid")
+    fb = (
+        run.select("qid", "docid", "score")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= fb_docs)
+        .withColumn("_total", F.sum("score").over(per_qid))
+        .filter(F.col("_total") > 0)
+        .withColumn("w_d", F.col("score") / F.col("_total"))
+        .select("qid", "docid", "w_d")
+    )
+    analyzed = analyzed_terms_df(
+        corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
+    )
+    doc_terms = (
+        analyzed.select(
+            "docid", F.size("terms").alias("n_terms"), F.explode("terms").alias("term")
+        )
+        .groupBy("docid", "n_terms", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    rm1 = (
+        F.broadcast(fb)
+        .join(doc_terms, "docid")
+        .groupBy("qid", "term")
+        .agg(
+            F.sum(
+                F.col("w_d") * F.col("tf") / F.col("n_terms").cast("double")
+            ).alias("p_rm1")
+        )
+    )
+    coll = doc_terms.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = coll.agg(F.sum("cf").cast("double").alias("_total_cf"))
+    ln2 = 0.6931471805599453
+    contrib = F.col("p_rm1") * (
+        F.log(
+            F.col("p_rm1") / (F.col("cf").cast("double") / F.col("_total_cf"))
+        )
+        / F.lit(ln2)
+    )
+    fb_sizes = fb.groupBy("qid").agg(F.count("*").cast("bigint").alias("fb_used"))
+    return (
+        rm1.join(coll, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("qid")
+        .agg(F.round(F.sum(contrib), 6).alias("clarity"))
+        .join(F.broadcast(fb_sizes), "qid")
+        .select("qid", "clarity", "fb_used")
     )

@@ -101,3 +101,67 @@ def test_run_score_stats_tie_break_at_cut(spark):
     assert r["k_used"] == 3
     assert r["score_max"] == 9.0
     assert r["score_mean"] == pytest.approx(round((9.0 + 1.0 + 1.0) / 3, 6))
+
+
+def test_clarity_matches_python_twin(spark):
+    from collections import Counter
+
+    from capreolus_spark.search.qpp import clarity_df
+
+    docs = [
+        ("d1", "spark join merge join"),
+        ("d2", "spark window batch"),
+        ("d3", "cat dog mouse house"),
+        ("d4", "spark merge merge"),
+    ]
+    run = {
+        "q1": {"d1": 3.0, "d4": 2.0},          # focused: spark/merge language
+        "q2": {"d2": 1.0, "d3": 1.0},          # mixed
+        "q3": {"d1": 0.0, "d2": 0.0},          # zero mass -> dropped
+    }
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    run_rows = [(q, d, s) for q, ds in run.items() for d, s in ds.items()]
+    rdf = spark.createDataFrame(run_rows, "qid string, docid string, score double")
+    got = {r["qid"]: (r["clarity"], r["fb_used"]) for r in
+           clarity_df(rdf, corpus, fb_docs=10, remove_stops=False).collect()}
+
+    # python reference: RM1 over ML doc models, KL vs collection LM
+    doc_tf = {d: Counter(t.split()) for d, t in docs}
+    coll = Counter()
+    for c in doc_tf.values():
+        coll.update(c)
+    total = sum(coll.values())
+    want = {}
+    for qid, ds in run.items():
+        tot = sum(ds.values())
+        if tot <= 0:
+            continue
+        rm1 = Counter()
+        for d, s in ds.items():
+            n = sum(doc_tf[d].values())
+            for t, tf in doc_tf[d].items():
+                rm1[t] += (s / tot) * tf / n
+        kl = sum(p * math.log2(p / (coll[t] / total)) for t, p in rm1.items())
+        want[qid] = (round(kl, 6), len(ds))
+    assert got == want
+    assert "q3" not in got
+    # the focused query's result language diverges more from background
+    assert got["q1"][0] > got["q2"][0]
+    with pytest.raises(ValueError):
+        clarity_df(rdf, corpus, fb_docs=0)
+
+
+def test_clarity_fb_cut_uses_top_docs_only(spark):
+    from capreolus_spark.search.qpp import clarity_df
+
+    docs = [("d1", "alpha beta"), ("d2", "gamma delta"), ("d3", "alpha alpha")]
+    corpus = spark.createDataFrame(docs, "docid string, content string")
+    run = spark.createDataFrame(
+        [("q", "d1", 5.0), ("q", "d3", 4.0), ("q", "d2", 1.0)],
+        "qid string, docid string, score double",
+    )
+    full = clarity_df(run, corpus, fb_docs=3, remove_stops=False).collect()[0]
+    cut = clarity_df(run, corpus, fb_docs=2, remove_stops=False).collect()[0]
+    assert cut["fb_used"] == 2 and full["fb_used"] == 3
+    # dropping the background-y d2 sharpens the relevance model
+    assert cut["clarity"] > full["clarity"]
