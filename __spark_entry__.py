@@ -3508,6 +3508,51 @@ def _q_pipeline_aggs(spark, sf_dir):
     )
 
 
+def _q_filters_agg(spark, sf_dir):
+    """ES ``filters`` aggregation twin (search/facets.py filters_agg):
+    named-predicate doc counts over events plus the ``_other_`` bucket
+    (rows matching none); overlapping predicates count in each bucket,
+    zero-count named buckets emitted."""
+    from capreolus_spark.search.facets import filters_agg
+
+    ev = _events(spark, sf_dir)
+    return filters_agg(
+        ev,
+        {
+            "clicks": F.col("event_type") == "click",
+            "big": F.col("value") > 100.0,
+            "none_such": F.col("event_type") == "zzz_absent",
+        },
+    )
+
+
+def _q_top_metrics(spark, sf_dir):
+    """ES ``top_metrics`` aggregation twin (search/facets.py
+    top_metrics): per event_type the (value, user_id) carried by the 2
+    latest-timestamp events — the argmax select, (ts desc, event_id asc)
+    with the event_id tie-break ES leaves undefined."""
+    from capreolus_spark.search.facets import top_metrics
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_s", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    return top_metrics(
+        ev,
+        "ts_s",
+        ["value", "user_id"],
+        by="event_type",
+        descending=True,
+        size=2,
+        tiebreak_cols=["event_id"],
+    ).select(
+        "event_type",
+        "top_rank",
+        F.col("ts_s").alias("ts"),
+        "value",
+        F.col("user_id").cast("bigint").alias("user_id"),
+    )
+
+
 def _q_serial_diff(spark, sf_dir):
     """ES ``serial_diff`` pipeline twin (search/facets.py): lag-7 bucket
     difference (the docs' day-over-week seasonal form) over the daily
@@ -5620,6 +5665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks_value": _q_percentile_ranks,
         "t_test_value": _q_t_test,
         "serial_diff_weekly": _q_serial_diff,
+        "filters_agg_counts": _q_filters_agg,
+        "top_metrics_latest": _q_top_metrics,
         "bucket_sort_topdays": _q_bucket_sort,
         "rank_feature_topk": _q_rank_feature,
         "pinned_topk": _q_pinned,
@@ -7182,6 +7229,25 @@ def oracle_sql() -> dict[str, str]:
             "round(cast(sum(cast(value AS DECIMAL(18,6)) * cast(w AS DECIMAL(18,6))) AS DOUBLE) "
             "/ cast(sum(cast(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg "
             "FROM e GROUP BY event_type"
+        ),
+        "filters_agg_counts": (
+            "WITH m AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f_clicks, "
+            "CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS f_big, "
+            "CASE WHEN event_type = 'zzz_absent' THEN 1 ELSE 0 END AS f_none FROM events), "
+            "c AS (SELECT 'clicks' AS key, cast(sum(f_clicks) AS bigint) AS cnt FROM m "
+            "UNION ALL SELECT 'big', cast(sum(f_big) AS bigint) FROM m "
+            "UNION ALL SELECT 'none_such', cast(sum(f_none) AS bigint) FROM m "
+            "UNION ALL SELECT '_other_', cast(sum(CASE WHEN f_clicks = 0 AND f_big = 0 "
+            "AND f_none = 0 THEN 1 ELSE 0 END) AS bigint) FROM m) "
+            "SELECT key, cnt FROM c"
+        ),
+        "top_metrics_latest": (
+            "WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, "
+            "value, user_id, event_id FROM events WHERE ts IS NOT NULL), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY ts_s DESC, event_id ASC) AS top_rank FROM e) "
+            "SELECT event_type, cast(top_rank AS integer) AS top_rank, ts_s AS ts, "
+            "value, cast(user_id AS bigint) AS user_id FROM r WHERE top_rank <= 2"
         ),
         "serial_diff_weekly": (
             "WITH b AS (SELECT event_type, "

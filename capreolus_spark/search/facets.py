@@ -44,6 +44,8 @@ __all__ = [
     "string_stats",
     "serial_diff",
     "bucket_sort",
+    "filters_agg",
+    "top_metrics",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -787,3 +789,86 @@ def bucket_sort(
     return out.withColumn(
         "bucket_rank", (F.col("_rn") - offset).cast("int")
     ).drop("_rn")
+
+
+def filters_agg(
+    df: DataFrame,
+    filters: dict,
+    other_bucket: bool = True,
+    other_bucket_key: str = "_other_",
+) -> DataFrame:
+    """Elasticsearch ``filters`` aggregation twin: a document count per
+    NAMED predicate, plus ES's ``other_bucket`` — rows matching NONE of
+    the filters (``other_bucket_key``, ES default ``_other_``).  A row
+    matching several filters counts in each (ES rule: the buckets are
+    independent queries, not a partition); zero-count named buckets are
+    still emitted (the bucket list is caller-fixed, like ``range``).
+
+    One pass, pure JVM: every predicate evaluates once per row into a
+    matched-name array (``array_compact``), the empty array maps to the
+    other bucket, one explode + map-side-combinable groupBy; zero-fill
+    is a broadcast-size union with the literal name list.
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    names = sorted(filters)
+    if other_bucket and other_bucket_key in names:
+        raise ValueError(f"{other_bucket_key!r} collides with a filter name")
+    matched = F.array_compact(
+        F.array(*[F.when(filters[n], F.lit(n)) for n in names])
+    )
+    if other_bucket:
+        matched = F.when(F.size(matched) == 0, F.array(F.lit(other_bucket_key))).otherwise(matched)
+    counts = (
+        df.select(F.explode(matched).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    spark = df.sparkSession
+    all_keys = spark.createDataFrame(
+        [(n,) for n in names + ([other_bucket_key] if other_bucket else [])],
+        "key string",
+    )
+    return (
+        all_keys.join(counts, "key", "left")
+        .select("key", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+    )
+
+
+def top_metrics(
+    df: DataFrame,
+    sort_col: str,
+    metric_cols: list[str],
+    by: str | None = None,
+    descending: bool = True,
+    size: int = 1,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Elasticsearch ``top_metrics`` aggregation twin: per optional
+    ``by`` group, the metric column values taken from the top-``size``
+    rows by ``sort_col`` (ES sorts by one field and returns OTHER
+    fields from the winning document — the argmax/argmin select).
+    ``tiebreak_cols`` (ascending) pin the ordering ES leaves undefined
+    on sort-key ties.  NULL sort values are skipped (ES's missing
+    handling).  Output: group, ``top_rank`` (1-based), the sort value,
+    and each metric column.
+
+    One qid-window pass over a pruned projection — at scale the
+    ``size``-row-per-group cut is the same TakeOrdered shape as every
+    top-k in the engine; no full sort.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    order = [F.desc(sort_col) if descending else F.asc(sort_col)]
+    for c in tiebreak_cols or []:
+        order.append(F.asc(c))
+    gcols = [by] if by else []
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    keep = list(dict.fromkeys([*gcols, sort_col, *metric_cols, *(tiebreak_cols or [])]))
+    return (
+        df.filter(F.col(sort_col).isNotNull())
+        .select(*keep)
+        .withColumn("top_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("top_rank") <= size)
+        .select(*gcols, "top_rank", sort_col, *metric_cols)
+    )

@@ -460,3 +460,65 @@ def test_bucket_sort_offset_size_and_ties(spark):
         bucket_sort(df, [("cnt", "down")])
     with pytest.raises(ValueError):
         bucket_sort(df, [("cnt", "desc")], size=0)
+
+
+def test_filters_agg_matches_twin(spark, events):
+    from capreolus_spark.search.facets import filters_agg
+
+    out = {
+        r["key"]: r["cnt"]
+        for r in filters_agg(
+            events,
+            {
+                "clicks": F.col("etype") == "click",
+                "big": F.col("value") >= 50.0,
+                "ghost": F.col("etype") == "zzz",
+            },
+        ).collect()
+    }
+    n_clicks = sum(1 for e, _, _ in EVENTS if e == "click")
+    n_big = sum(1 for _, _, v in EVENTS if v is not None and v >= 50.0)
+    n_other = sum(
+        1
+        for e, _, v in EVENTS
+        if e != "click" and not (v is not None and v >= 50.0)
+    )
+    assert out == {"clicks": n_clicks, "big": n_big, "ghost": 0, "_other_": n_other}
+    # overlap counts in both buckets: totals exceed the row count
+    assert sum(out.values()) > len(EVENTS) - 1
+    with pytest.raises(ValueError):
+        filters_agg(events, {})
+    with pytest.raises(ValueError):
+        filters_agg(events, {"_other_": F.lit(True)})
+
+
+def test_filters_agg_no_other_bucket(spark, events):
+    from capreolus_spark.search.facets import filters_agg
+
+    out = filters_agg(
+        events, {"clicks": F.col("etype") == "click"}, other_bucket=False
+    ).collect()
+    assert [r["key"] for r in out] == ["clicks"]
+
+
+def test_top_metrics_argmax_select(spark, events):
+    from capreolus_spark.search.facets import top_metrics
+
+    rows = top_metrics(
+        events, "value", ["ts"], by="etype", descending=True, size=1,
+        tiebreak_cols=["ts"],
+    ).collect()
+    got = {r["etype"]: r["value"] for r in rows}
+    best = {}
+    for e, _, v in EVENTS:
+        if v is not None and (e not in best or v > best[e]):
+            best[e] = v
+    assert got == best  # NULL-value rows skipped; 'buy' (all NULL) absent
+    asc = top_metrics(
+        events, "value", ["ts"], by="etype", descending=False, size=1,
+        tiebreak_cols=["ts"],
+    ).collect()
+    worst = {r["etype"]: r["value"] for r in asc}
+    assert worst["click"] == 3.0 and worst["view"] == 0.0
+    with pytest.raises(ValueError):
+        top_metrics(events, "value", ["ts"], size=0)
