@@ -651,6 +651,73 @@ def main() -> None:
                 )
             )
 
+        # 35. PMI collocations: everything JVM (regexp tokenize, bigram
+        #     transform, dictionary joins), top-k via TakeOrdered — never
+        #     a global sort of the bigram frame
+        from capreolus_spark.textproc.ngrams import pmi_bigrams
+
+        pm = pmi_bigrams(docs_df, k=10, min_count=2)
+        pmplan = pm._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "pmi bigrams python-free, TakeOrdered top-k",
+                "BatchEvalPython" not in pmplan
+                and "ArrowEvalPython" not in pmplan
+                and "TakeOrderedAndProject" in pmplan,
+            )
+        )
+
+        # 36. sharded terms: the per-(shard, term) count is map-side
+        #     combinable and the whole error-bound dataflow stays JVM
+        from capreolus_spark.search.significant import sharded_terms
+
+        st = sharded_terms(
+            corpus, num_shards=4, size=5, shard_size=3, remove_stops=False
+        )
+        stplan = st._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "sharded terms combinable counts, python-free bound math",
+                "partial_count" in stplan
+                and "BatchEvalPython" not in stplan,
+            )
+        )
+
+        # 37. string_stats: the char histogram partial-aggregates
+        #     map-side (alphabet-bounded shuffle) and the entropy fold is
+        #     a JVM expression, no Python anywhere
+        from capreolus_spark.search.facets import string_stats
+
+        ss = string_stats(docs_df.withColumnRenamed("text", "content"), "content")
+        ssplan = ss._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "string_stats alphabet-bounded partial agg, python-free",
+                "partial_count" in ssplan
+                and "BatchEvalPython" not in ssplan
+                and "ArrowEvalPython" not in ssplan,
+            )
+        )
+
+        # 38. percentile_ranks: ONE aggregation, no sort anywhere (the
+        #     inverse-percentile query without the percent_rank window)
+        from capreolus_spark.search.facets import percentile_ranks
+
+        ev = docs_df.select(
+            (F.length("text") % 3).cast("string").alias("g"),
+            F.length("text").cast("double").alias("v"),
+        )
+        pr = percentile_ranks(ev, "v", [10.0, 100.0], by="g")
+        prplan = pr._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "percentile_ranks single agg, sort-free",
+                "partial_sum" in prplan
+                and "Sort " not in prplan
+                and "BatchEvalPython" not in prplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
