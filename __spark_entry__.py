@@ -3508,6 +3508,19 @@ def _q_pipeline_aggs(spark, sf_dir):
     )
 
 
+def _q_auto_date_histogram(spark, sf_dir):
+    """ES ``auto_date_histogram`` twin (search/facets.py): the finest
+    hour→year calendar unit with a GLOBAL bucket count <= 20 (events
+    span ~30 days: hour=~719, day=30, week=5 → week chosen), then the
+    ordinary per-event_type calendar histogram with the chosen interval
+    reported — the interval decision is ES's coordinator reduce step."""
+    from capreolus_spark.search.facets import auto_date_histogram
+
+    return auto_date_histogram(
+        _events(spark, sf_dir), "ts", buckets=20, by="event_type"
+    )
+
+
 def _q_filters_agg(spark, sf_dir):
     """ES ``filters`` aggregation twin (search/facets.py filters_agg):
     named-predicate doc counts over events plus the ``_other_`` bucket
@@ -5665,6 +5678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks_value": _q_percentile_ranks,
         "t_test_value": _q_t_test,
         "serial_diff_weekly": _q_serial_diff,
+        "auto_date_histogram": _q_auto_date_histogram,
         "filters_agg_counts": _q_filters_agg,
         "top_metrics_latest": _q_top_metrics,
         "bucket_sort_topdays": _q_bucket_sort,
@@ -7229,6 +7243,22 @@ def oracle_sql() -> dict[str, str]:
             "round(cast(sum(cast(value AS DECIMAL(18,6)) * cast(w AS DECIMAL(18,6))) AS DOUBLE) "
             "/ cast(sum(cast(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg "
             "FROM e GROUP BY event_type"
+        ),
+        "auto_date_histogram": (
+            "WITH src AS (SELECT event_type, ts FROM events WHERE ts IS NOT NULL), "
+            "c AS (SELECT count(DISTINCT date_trunc('hour', ts)) AS c_hour, "
+            "count(DISTINCT date_trunc('day', ts)) AS c_day, "
+            "count(DISTINCT date_trunc('week', ts)) AS c_week, "
+            "count(DISTINCT date_trunc('month', ts)) AS c_month, "
+            "count(DISTINCT date_trunc('quarter', ts)) AS c_quarter FROM src), "
+            "ch AS (SELECT CASE WHEN c_hour <= 20 THEN 'hour' "
+            "WHEN c_day <= 20 THEN 'day' WHEN c_week <= 20 THEN 'week' "
+            "WHEN c_month <= 20 THEN 'month' WHEN c_quarter <= 20 THEN 'quarter' "
+            "ELSE 'year' END AS u FROM c) "
+            "SELECT ch.u AS interval, event_type, "
+            "strftime(date_trunc(ch.u, ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "cast(count(*) AS bigint) AS cnt "
+            "FROM src CROSS JOIN ch GROUP BY 1, 2, 3"
         ),
         "filters_agg_counts": (
             "WITH m AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f_clicks, "

@@ -46,6 +46,7 @@ __all__ = [
     "bucket_sort",
     "filters_agg",
     "top_metrics",
+    "auto_date_histogram",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -872,3 +873,49 @@ def top_metrics(
         .filter(F.col("top_rank") <= size)
         .select(*gcols, "top_rank", sort_col, *metric_cols)
     )
+
+
+#: the auto_date_histogram unit ladder, finest first (ES rounds up
+#: through its own ladder the same way; restricted to the calendar units
+#: Spark and DuckDB truncate identically — see _CALENDAR_UNITS)
+_AUTO_LADDER = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    buckets: int = 20,
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``auto_date_histogram`` twin: pick the FINEST
+    calendar interval from the ladder hour → day → week → month →
+    quarter → year whose GLOBAL bucket count stays within ``buckets``
+    (ES chooses one interval for the whole aggregation at reduce time,
+    not per group), then bucket like :func:`date_histogram_counts`.
+    Falls to ``year`` when even that overflows.  Output adds the chosen
+    ``interval`` column (ES reports it in the response).
+
+    Scale shape: the interval DECISION is one combinable aggregation —
+    six ``count(distinct date_trunc(u, ts))`` in a single pass over the
+    pruned ts column — collected as ONE row to the driver (this is the
+    coordinator-side reduce step ES performs; it is a decision, not
+    data).  The histogram itself is the ordinary one-shuffle bucketed
+    count.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    src = df.filter(F.col(ts_col).isNotNull())
+    counts_row = src.agg(
+        *[
+            F.countDistinct(F.date_trunc(u, F.col(ts_col))).alias(u)
+            for u in _AUTO_LADDER
+        ]
+    ).collect()[0]
+    chosen = _AUTO_LADDER[-1]
+    for u in _AUTO_LADDER:
+        if counts_row[u] <= buckets:
+            chosen = u
+            break
+    out = date_histogram_counts(df, ts_col, chosen, by=by, min_doc_count=1)
+    names = ([by] if by else []) + ["bucket", "cnt"]
+    return out.select(F.lit(chosen).alias("interval"), *names)

@@ -522,3 +522,49 @@ def test_top_metrics_argmax_select(spark, events):
     assert worst["click"] == 3.0 and worst["view"] == 0.0
     with pytest.raises(ValueError):
         top_metrics(events, "value", ["ts"], size=0)
+
+
+def test_auto_date_histogram_picks_finest_fitting_unit(spark):
+    from capreolus_spark.search.facets import auto_date_histogram
+
+    # 30 hourly events across 30 days: hour count 30 > 4, day count 30 > 4,
+    # week count 5 > 4, month count 1 <= 4 -> month
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = auto_date_histogram(df, "ts", buckets=4, by="g").collect()
+    assert {r["interval"] for r in out} == {"month"}
+    assert sum(r["cnt"] for r in out) == 30
+
+    # generous budget -> finest unit (hour) wins
+    fine = auto_date_histogram(df, "ts", buckets=100, by="g").collect()
+    assert {r["interval"] for r in fine} == {"hour"}
+    assert len(fine) == 30 and all(r["cnt"] == 1 for r in fine)
+
+    # intermediate budget with sub-day spread: 60 distinct hours > 30,
+    # 30 days <= 30 -> day
+    spread = rows + [
+        ("a", dt.datetime(2024, 1, 1, 13) + dt.timedelta(days=i)) for i in range(30)
+    ]
+    df2 = spark.createDataFrame(spread, "g string, ts timestamp")
+    mid = auto_date_histogram(df2, "ts", buckets=30, by="g").collect()
+    assert {r["interval"] for r in mid} == {"day"}
+    assert all(r["cnt"] == 2 for r in mid)
+
+    with pytest.raises(ValueError):
+        auto_date_histogram(df, "ts", buckets=0)
+
+
+def test_auto_date_histogram_global_choice_across_groups(spark):
+    from capreolus_spark.search.facets import auto_date_histogram
+
+    # group 'b' alone would fit hourly, but the GLOBAL count drives the
+    # choice (the ES coordinator rule)
+    rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(50)]
+    rows += [("b", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = auto_date_histogram(df, "ts", buckets=10, by="g").collect()
+    assert {r["interval"] for r in out} == {"week"} or {r["interval"] for r in out} == {"day"}
+    # exact: 50 hourly points = 50 hours > 10; ~3 days <= 10 -> day
+    assert {r["interval"] for r in out} == {"day"}
