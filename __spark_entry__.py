@@ -3753,6 +3753,20 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords_tfidf(_corpus(spark, sf_dir), k=5, remove_stops=True)
 
 
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling twin (Xie et al. 2023;
+    textproc/dsir.py): hashed unigram+bigram LMs (md5-portable, 512
+    buckets), add-one-smoothed log ratios, per-doc importance weights,
+    deterministic Gumbel-top-k (uniform from md5(seed || doc_id)).
+    Target domain for the gate = the lang='de' slice of the corpus —
+    select raw docs that look like the target-language sample."""
+    from capreolus_spark.textproc.dsir import dsir_sample
+
+    src = _docs(spark, sf_dir).select("doc_id", "text")
+    tgt = _docs(spark, sf_dir).filter(F.col("lang") == "de").select("doc_id", "text")
+    return dsir_sample(src, tgt, k=100, dim=512, seed="r5")
+
+
 def _q_pmi_bigrams(spark, sf_dir):
     """PMI collocations (textproc/ngrams.py; Church & Hanks 1990):
     top-50 adjacent pairs by ln(c(xy)*T/(c(x)c(y))), min pair count 5,
@@ -5689,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_terms": _q_sharded_terms,
         "doc_keywords_tfidf": _q_doc_keywords,
         "pmi_bigrams": _q_pmi_bigrams,
+        "dsir_sample": _q_dsir_sample,
         "ann_cosine_topk": _q_ann_cosine,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         # two-pass / sampled searchers — ALL hash-gated too (their SQL
@@ -7434,6 +7449,58 @@ WITH tok AS (
 )
 SELECT docid, term, tf, df, tfidf, cast(krank AS integer) AS krank
 FROM ranked WHERE krank <= 5
+""",
+        "dsir_sample": """
+WITH tok_src AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents
+), tok_tgt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents WHERE lang = 'de'
+), grams_src AS (
+  SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 THEN
+    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS gram FROM tok_src
+), grams_tgt AS (
+  SELECT unnest(toks || CASE WHEN len(toks) >= 2 THEN
+    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS gram FROM tok_tgt
+), b_src AS (
+  SELECT TRY_CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt FROM grams_src GROUP BY 1
+), b_tgt AS (
+  SELECT TRY_CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt FROM grams_tgt GROUP BY 1
+), tt AS (SELECT coalesce(sum(cnt), 0) AS t FROM b_tgt),
+   st AS (SELECT coalesce(sum(cnt), 0) AS t FROM b_src),
+ratios AS (
+  SELECT coalesce(b_tgt.bucket, b_src.bucket) AS bucket,
+         ln(((coalesce(b_tgt.cnt, 0) + 1.0) / (cast(tt.t AS DOUBLE) + 512.0))
+            / ((coalesce(b_src.cnt, 0) + 1.0) / (cast(st.t AS DOUBLE) + 512.0))) AS log_ratio
+  FROM b_tgt FULL OUTER JOIN b_src ON b_tgt.bucket = b_src.bucket
+  CROSS JOIN tt CROSS JOIN st
+), doc_b AS (
+  SELECT doc_id,
+         TRY_CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt
+  FROM grams_src GROUP BY doc_id, 2
+), wts AS (
+  SELECT d.doc_id, sum(cast(d.cnt AS DOUBLE) * r.log_ratio) AS logw
+  FROM doc_b d JOIN ratios r USING (bucket) GROUP BY d.doc_id
+), alldocs AS (
+  SELECT DISTINCT doc_id FROM documents
+), weights AS (
+  SELECT a.doc_id, coalesce(w.logw, 0.0) AS logw
+  FROM alldocs a LEFT JOIN wts w USING (doc_id)
+), keyed AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, round(logw, 6) AS logw,
+         round(logw - ln(-ln(
+           (TRY_CAST(concat('0x', substr(md5(concat('r5', cast(doc_id AS varchar))), 1, 15)) AS BIGINT)
+            + 1.0) / (1152921504606846976.0 + 2.0))), 6) AS key
+  FROM weights
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank FROM keyed
+)
+SELECT doc_id, logw, key, cast(rank AS integer) AS rank FROM ranked WHERE rank <= 100
 """,
         "pmi_bigrams": """
 WITH tok AS (

@@ -1,0 +1,180 @@
+"""Data Selection via Importance Resampling — a DSIR twin
+(Xie, Santurkar, Ma & Liang 2023, "Data Selection for Language Models
+via Importance Resampling", published).
+
+The standard pretraining-corpus curation step this engine's cleaning
+family leads up to: given a large RAW corpus and a small TARGET-domain
+sample, select raw documents whose hashed n-gram distribution looks like
+the target.  Pipeline (the paper's, made deterministic end-to-end):
+
+1. **features** — word unigrams + bigrams hashed into ``dim`` buckets
+   (the paper's hashed n-gram representation); hashing here is the
+   repo's portable md5-60 convention, so both engines bucket
+   identically;
+2. **bag-of-ngrams LMs** — bucket distributions for the target (``p``)
+   and the raw source (``q``), add-one smoothed:
+   ``p_b = (cnt_b + 1) / (total + dim)``;
+3. **importance weight** — per raw document,
+   ``log w(d) = Σ_b cnt_b(d) · log(p_b / q_b)``;
+4. **Gumbel-top-k resampling** — the paper samples without replacement
+   via the Gumbel trick; the uniform is derived from a seeded md5 of
+   the doc id (portable, reproducible):
+   ``key(d) = log w(d) − ln(−ln(u_d))``, take the top ``k`` keys.
+
+Scale shape (designed for the 100 TB raw corpus the paper targets):
+
+* the target sample is SMALL by construction — its bucket distribution
+  is at most ``dim`` rows, broadcast;
+* the source distribution is one map-side-combinable aggregation over
+  exploded buckets (shuffle volume ≤ dim rows per partition);
+* per-doc weights are one explode + combinable groupBy on doc id (a
+  doc's n-grams sit in one input partition, so partials already emit
+  one row per (doc, bucket));
+* the log-ratio table (≤ dim rows) broadcasts into the weight join;
+* the top-k cut is TakeOrderedAndProject — never a global sort.
+
+SQL-expressible throughout — DuckDB-gated via ``__spark_entry__``
+(``dsir_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _spread, _tokens
+from .hashing import md5_hash60
+
+__all__ = ["dsir_bucket_log_ratios", "dsir_sample"]
+
+
+def _bucket_counts(df: DataFrame, text_col: str, dim: int) -> DataFrame:
+    """(bucket, cnt) — hashed unigram+bigram occurrence counts."""
+    t = F.col("_toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat(
+                F.element_at(t, i + F.lit(1)),
+                F.lit(" "),
+                F.element_at(t, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(t, bigrams)
+    return (
+        _spread(df)
+        .select(_tokens(text_col).alias("_toks"))
+        .select(F.explode(grams).alias("gram"))
+        .select((md5_hash60(F.col("gram")) % dim).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_bucket_log_ratios(
+    source: DataFrame,
+    target: DataFrame,
+    dim: int = 8192,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, log_ratio) for every bucket with mass in source OR
+    target: ``ln(p_target / q_source)`` under add-one smoothing (so
+    unseen buckets are defined on both sides).  At most ``dim`` rows —
+    the broadcastable heart of DSIR."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    tc = dsir_bucket_log_ratios  # noqa: F841  (doc anchor)
+    t_cnt = _bucket_counts(target, text_col, dim)
+    s_cnt = _bucket_counts(source, text_col, dim)
+    t_tot = t_cnt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tt"))
+    s_tot = s_cnt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_st"))
+    joined = (
+        t_cnt.withColumnRenamed("cnt", "t_cnt")
+        .join(s_cnt.withColumnRenamed("cnt", "s_cnt"), "bucket", "full")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(s_tot))
+    )
+    p = (F.coalesce(F.col("t_cnt"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("_tt").cast("double") + F.lit(float(dim))
+    )
+    q = (F.coalesce(F.col("s_cnt"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("_st").cast("double") + F.lit(float(dim))
+    )
+    return joined.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.log(p / q).alias("log_ratio"),
+    )
+
+
+def dsir_sample(
+    source: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    dim: int = 8192,
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` raw documents by Gumbel-perturbed DSIR importance weight
+    — the paper's importance-resampling-without-replacement, with the
+    uniform derived from ``md5(seed || doc_id)`` so the draw is
+    reproducible and bit-identical across engines.
+
+    Output ``(doc_id, logw 6dp, key 6dp, rank)`` ranked (key desc,
+    doc_id asc).  Documents with no in-vocabulary n-grams get
+    ``logw = 0`` (an empty product — neutral weight), keeping every raw
+    doc eligible, like the paper's resampling over the full corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ratios = dsir_bucket_log_ratios(source, target, dim=dim, text_col=text_col)
+    t = F.col("_toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat(
+                F.element_at(t, i + F.lit(1)),
+                F.lit(" "),
+                F.element_at(t, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(t, bigrams)
+    doc_buckets = (
+        _spread(source)
+        .select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", (md5_hash60(F.col("gram")) % dim).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weights = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt").cast("double") * F.col("log_ratio")).alias("logw"))
+    )
+    # every source doc is eligible; empty/no-vocab docs carry logw = 0
+    all_docs = source.select(F.col(id_col).alias("doc_id")).distinct()
+    weights = all_docs.join(weights, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")
+    )
+    from .hashing import HASH60_SPACE
+
+    u = (
+        md5_hash60(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(HASH60_SPACE) + 2.0)  # u in (0, 1) strictly
+    key = F.col("logw") - F.log(-F.log(u))
+    scored = weights.select(
+        "doc_id",
+        F.round("logw", 6).alias("logw"),
+        F.round(key, 6).alias("key"),
+    )
+    order = [F.desc("key"), F.asc("doc_id")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

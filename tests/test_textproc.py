@@ -1658,3 +1658,48 @@ def test_code_chunk_near_dup_pairs(spark):
     assert (1, 2) in pair_docs          # cross-file whitespace fork
     assert any(a == b == 3 for a, b in pair_docs)  # within-file near pair
     assert not any(5 in (a, b) for a, b in pair_docs)
+
+
+def test_dsir_sample_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023 twin): raw docs sharing the target domain's
+    n-gram distribution must outrank off-domain docs by logw."""
+    from capreolus_spark.textproc.dsir import dsir_bucket_log_ratios, dsir_sample
+
+    target = spark.createDataFrame(
+        [(f"t{i}", "der hund läuft schnell im park") for i in range(4)],
+        "doc_id string, text string",
+    )
+    source = spark.createDataFrame(
+        [
+            ("d1", "der hund läuft schnell im park heute"),
+            ("d2", "the cat sat on the mat near the door"),
+            ("d3", "der hund im park"),
+            ("d4", "completely unrelated financial report earnings"),
+            ("d5", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = dsir_sample(source, target, k=5, dim=64, seed="t").collect()
+    logw = {r["doc_id"]: r["logw"] for r in out}
+    # on-domain docs carry positive weight, off-domain negative, empty neutral
+    assert logw["d1"] > 0 and logw["d3"] > 0
+    assert logw["d2"] < 0 and logw["d4"] < 0
+    assert logw["d5"] == 0.0
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+    # log-ratio table is bounded by dim (broadcastable by construction)
+    assert dsir_bucket_log_ratios(source, target, dim=64).count() <= 64
+    # deterministic: same seed -> identical keys
+    again = dsir_sample(source, target, k=5, dim=64, seed="t").collect()
+    assert {r["doc_id"]: r["key"] for r in again} == {
+        r["doc_id"]: r["key"] for r in out
+    }
+
+
+def test_dsir_sample_validates_args(spark):
+    from capreolus_spark.textproc.dsir import dsir_bucket_log_ratios, dsir_sample
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        dsir_sample(df, df, k=0)
+    with pytest.raises(ValueError):
+        dsir_bucket_log_ratios(df, df, dim=1)
