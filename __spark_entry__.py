@@ -3117,6 +3117,29 @@ def _q_kmeans_assign(spark, sf_dir):
     )
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023; textproc/semdedup.py): k-means-blocked
+    embedding dedup — pairs compared only within a cluster, and of each
+    near-dup pair (rounded cosine >= 0.3) the member FARTHER from the
+    centroid survives (the paper's keep-the-edge rule, ties to the lower
+    vec_id).  Gate config: the vec_id < 2000 slice (bounds the in-cluster
+    pair scan at every sf), 8 lowest-id seed centroids (exact floats,
+    cross-engine reproducible), guard disabled (exact within-cluster =
+    the SQL-oracle-able config; the md5 sub-split guard is pytest-covered)."""
+    from capreolus_spark.textproc.cluster import seed_centroids
+    from capreolus_spark.textproc.semdedup import semdedup
+
+    emb = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+    )
+    out = semdedup(emb, seed_centroids(emb, 8), tau=0.3, max_cluster_size=None)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist2", "keep"
+    )
+
+
 def _q_hashed_embeddings(spark, sf_dir):
     """Model-free hashed TF-IDF embeddings (textproc/similarity.py),
     exploded to (doc_id, i, val) scalar rows for the gate (the dense
@@ -3649,6 +3672,75 @@ def _q_weighted_avg(spark, sf_dir):
     )
     out = weighted_avg(ev, "value", "w", by="event_type")
     return out.select("event_type", "n", F.round("wavg", 6).alias("wavg"))
+
+
+def _q_multi_terms(spark, sf_dir):
+    """ES ``multi_terms`` twin (search/facets.py): buckets on the
+    (event_type, user_id%4 cohort) tuple, top-12 by (doc_count desc,
+    key asc — ES's deterministic tie order), one combinable groupBy +
+    global TakeOrderedAndProject cut."""
+    from capreolus_spark.search.facets import multi_terms
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long")
+    )
+    return multi_terms(ev, ["event_type", "cohort"], k=12)
+
+
+def _q_matrix_stats_fields(spark, sf_dir):
+    """ES ``matrix_stats`` per-field moments twin (search/facets.py):
+    count/mean/variance/skewness/kurtosis over (value, user_id) with
+    listwise deletion; Σx,Σx² exact-decimal, Σx³/Σx⁴ per-term-rounded
+    decimal sums (partition-order-free, engine-replayable)."""
+    from capreolus_spark.search.facets import matrix_stats
+
+    out = matrix_stats(_events(spark, sf_dir), ["value", "user_id"])
+    return out.select(
+        "field",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+    )
+
+
+def _q_matrix_stats_pairs(spark, sf_dir):
+    """ES ``matrix_stats`` covariance/correlation matrix twin
+    (search/facets.py): one row per unordered field pair over
+    (value, user_id, event_id), population covariance + Pearson corr
+    from exact decimal cross-products."""
+    from capreolus_spark.search.facets import matrix_stats_pairs
+
+    out = matrix_stats_pairs(_events(spark, sf_dir), ["value", "user_id", "event_id"])
+    return out.select(
+        "field_x",
+        "field_y",
+        "n",
+        F.round("cov_pop", 6).alias("cov_pop"),
+        F.round("corr", 6).alias("corr"),
+    )
+
+
+def _q_boxplot(spark, sf_dir):
+    """ES ``boxplot`` twin (search/facets.py), EXACT (ES sketches with
+    TDigest): per-event_type min/max, exact R-7 quartiles, and Tukey
+    whiskers (extreme values inside the 1.5-IQR fences; fences
+    canonicalized at 6 decimals so membership replays cross-engine)."""
+    from capreolus_spark.search.facets import boxplot
+
+    out = boxplot(_events(spark, sf_dir), "value", by="event_type")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lower_whisker", 6).alias("lower_whisker"),
+        F.round("upper_whisker", 6).alias("upper_whisker"),
+    )
 
 
 def _q_percentile_ranks(spark, sf_dir):
@@ -5690,6 +5782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_value": _q_mad,
         "weighted_avg_value": _q_weighted_avg,
         "percentile_ranks_value": _q_percentile_ranks,
+        "multi_terms_topk": _q_multi_terms,
+        "matrix_stats_fields": _q_matrix_stats_fields,
+        "matrix_stats_pairs": _q_matrix_stats_pairs,
+        "boxplot_value": _q_boxplot,
         "t_test_value": _q_t_test,
         "serial_diff_weekly": _q_serial_diff,
         "auto_date_histogram": _q_auto_date_histogram,
@@ -5745,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "hashed_embeddings": _q_hashed_embeddings,
         "kmeans_assign": _q_kmeans_assign,
+        "semdedup_keep": _q_semdedup,
         "phrase_search": _q_phrase_search,
         "license_detect": _q_license_detect,
         "secret_scan": _q_secret_scan,
@@ -7328,6 +7425,98 @@ def oracle_sql() -> dict[str, str]:
             "FROM events CROSS JOIN (VALUES (5.0), (50.0), (150.0)) t(threshold) "
             "WHERE value IS NOT NULL GROUP BY event_type, threshold"
         ),
+        # ES multi_terms: composite-key buckets, (count desc, key asc)
+        # deterministic cut at k=12
+        "multi_terms_topk": (
+            "SELECT event_type, user_id % 4 AS cohort, "
+            "cast(count(*) AS bigint) AS doc_count "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY doc_count DESC, event_type ASC, cohort ASC LIMIT 12"
+        ),
+        # ES matrix_stats per-field moments: Σx/Σx² exact-decimal,
+        # Σx³/Σx⁴ per-term IEEE-double products rounded to 6dp then
+        # decimal-summed; expression trees mirror the Spark side token
+        # for token so the doubles agree bitwise
+        "matrix_stats_fields": (
+            "WITH base AS (SELECT CAST(value AS DOUBLE) AS fv, "
+            "CAST(user_id AS DOUBLE) AS fu, value AS rv, user_id AS ru "
+            "FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL), "
+            "w AS (SELECT cast(count(*) AS bigint) AS n, "
+            "CAST(sum(CAST(rv AS DECIMAL(18,6))) AS DOUBLE) AS s1v, "
+            "CAST(sum(CAST(rv AS DECIMAL(19,6)) * CAST(rv AS DECIMAL(19,6))) AS DOUBLE) AS s2v, "
+            "CAST(sum(CAST(round(fv*fv*fv, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s3v, "
+            "CAST(sum(CAST(round(fv*fv*fv*fv, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s4v, "
+            "CAST(sum(CAST(ru AS DECIMAL(18,6))) AS DOUBLE) AS s1u, "
+            "CAST(sum(CAST(ru AS DECIMAL(19,6)) * CAST(ru AS DECIMAL(19,6))) AS DOUBLE) AS s2u, "
+            "CAST(sum(CAST(round(fu*fu*fu, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s3u, "
+            "CAST(sum(CAST(round(fu*fu*fu*fu, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s4u "
+            "FROM base), "
+            "m AS (SELECT 'value' AS field, n, s1v AS s1, s2v AS s2, s3v AS s3, s4v AS s4 FROM w "
+            "UNION ALL SELECT 'user_id', n, s1u, s2u, s3u, s4u FROM w), "
+            "d AS (SELECT field, n, cast(n AS DOUBLE) AS nd, s1, s2, s3, s4, "
+            "s1 / cast(n AS DOUBLE) AS mean FROM m), "
+            "e AS (SELECT field, n, nd, mean, "
+            "greatest(0.0, s2/nd - mean*mean) AS vp, "
+            "s3/nd - 3*mean*s2/nd + 2*mean*mean*mean AS m3, "
+            "s4/nd - 4*mean*s3/nd + 6*mean*mean*s2/nd - 3*mean*mean*mean*mean AS m4 "
+            "FROM d), "
+            "f AS (SELECT field, n, mean, vp, sqrt(vp) AS sd, m3, m4 FROM e) "
+            "SELECT field, n, round(mean, 6) AS mean, round(vp, 6) AS variance, "
+            "round(CASE WHEN sd > 0 THEN m3/(sd*sd*sd) ELSE 0.0 END, 6) AS skewness, "
+            "round(CASE WHEN vp > 0 THEN m4/(vp*vp) ELSE 0.0 END, 6) AS kurtosis FROM f"
+        ),
+        # ES matrix_stats covariance/correlation matrix: exact decimal
+        # cross-products, population covariance, diagonal included
+        "matrix_stats_pairs": (
+            "WITH base AS (SELECT value, user_id, event_id FROM events "
+            "WHERE value IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL), "
+            "w AS (SELECT cast(count(*) AS bigint) AS n, "
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv, "
+            "CAST(sum(CAST(user_id AS DECIMAL(18,6))) AS DOUBLE) AS su, "
+            "CAST(sum(CAST(event_id AS DECIMAL(18,6))) AS DOUBLE) AS se, "
+            "CAST(sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS svv, "
+            "CAST(sum(CAST(value AS DECIMAL(19,6)) * CAST(user_id AS DECIMAL(19,6))) AS DOUBLE) AS svu, "
+            "CAST(sum(CAST(value AS DECIMAL(19,6)) * CAST(event_id AS DECIMAL(19,6))) AS DOUBLE) AS sve, "
+            "CAST(sum(CAST(user_id AS DECIMAL(19,6)) * CAST(user_id AS DECIMAL(19,6))) AS DOUBLE) AS suu, "
+            "CAST(sum(CAST(user_id AS DECIMAL(19,6)) * CAST(event_id AS DECIMAL(19,6))) AS DOUBLE) AS sue, "
+            "CAST(sum(CAST(event_id AS DECIMAL(19,6)) * CAST(event_id AS DECIMAL(19,6))) AS DOUBLE) AS see "
+            "FROM base), "
+            "p AS ("
+            "SELECT 'value' AS fx, 'value' AS fy, n, sv AS sx, sv AS sy, svv AS sxy, svv AS sxx, svv AS syy FROM w "
+            "UNION ALL SELECT 'user_id', 'value', n, sv, su, svu, svv, suu FROM w "
+            "UNION ALL SELECT 'event_id', 'value', n, sv, se, sve, svv, see FROM w "
+            "UNION ALL SELECT 'user_id', 'user_id', n, su, su, suu, suu, suu FROM w "
+            "UNION ALL SELECT 'event_id', 'user_id', n, su, se, sue, suu, see FROM w "
+            "UNION ALL SELECT 'event_id', 'event_id', n, se, se, see, see, see FROM w), "
+            "d AS (SELECT fx, fy, n, cast(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy FROM p), "
+            "e AS (SELECT fx, fy, n, "
+            "sxy/nd - (sx/nd)*(sy/nd) AS cov_pop, "
+            "greatest(0.0, sxx/nd - (sx/nd)*(sx/nd)) AS vx, "
+            "greatest(0.0, syy/nd - (sy/nd)*(sy/nd)) AS vy FROM d) "
+            "SELECT fx AS field_x, fy AS field_y, n, round(cov_pop, 6) AS cov_pop, "
+            "round(CASE WHEN vx > 0 AND vy > 0 THEN cov_pop/sqrt(vx*vy) END, 6) AS corr FROM e"
+        ),
+        # ES boxplot (exact twin of the TDigest agg): R-7 quantiles
+        # (quantile_cont == Spark percentile), Tukey whiskers against
+        # 6dp-canonicalized fences
+        "boxplot_value": (
+            "WITH base AS (SELECT event_type, CAST(value AS DOUBLE) AS v "
+            "FROM events WHERE value IS NOT NULL), "
+            "q AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "min(v) AS min_v, max(v) AS max_v, "
+            "quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2, "
+            "quantile_cont(v, 0.75) AS q3 FROM base GROUP BY event_type), "
+            "f AS (SELECT *, round(q1 - 1.5*(q3-q1), 6) AS lo, "
+            "round(q3 + 1.5*(q3-q1), 6) AS hi FROM q), "
+            "w AS (SELECT b.event_type, "
+            "min(CASE WHEN v >= lo THEN v END) AS lower_whisker, "
+            "max(CASE WHEN v <= hi THEN v END) AS upper_whisker "
+            "FROM base b JOIN f USING (event_type) GROUP BY b.event_type) "
+            "SELECT f.event_type, n, round(min_v, 6) AS min_v, round(max_v, 6) AS max_v, "
+            "round(q1, 6) AS q1, round(q2, 6) AS q2, round(q3, 6) AS q3, "
+            "round(lower_whisker, 6) AS lower_whisker, "
+            "round(upper_whisker, 6) AS upper_whisker FROM f JOIN w USING (event_type)"
+        ),
         "t_test_value": (
             "WITH m AS (SELECT event_type, count(value) AS n, "
             "sum(cast(value AS DECIMAL(18,6))) AS s, "
@@ -7901,6 +8090,29 @@ FROM ranked WHERE rank <= 50
             "(PARTITION BY vec_id ORDER BY dist2 ASC, cluster ASC) AS rn FROM d) "
             "SELECT vec_id, CAST(cluster AS INT) AS cluster, round(dist2, 6) AS dist2 "
             "FROM r WHERE rn = 1"
+        ),
+        # SemDedup: same seed-centroid assignment over the vec_id<2000
+        # slice, in-cluster pairs with rounded cosine >= 0.3, loser =
+        # nearer-to-centroid member (rounded dist2, ties -> higher id)
+        "semdedup_keep": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings WHERE vec_id < 2000), "
+            "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c "
+            "FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)), "
+            "d AS (SELECT e.vec_id, e.v, s.cluster, "
+            "list_sum(list_transform(range(1, len(e.v)+1), "
+            "i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))) AS dist2 FROM e CROSS JOIN seeds s), "
+            "a AS (SELECT vec_id, v, cluster, round(dist2, 6) AS dist2 FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cluster ASC) AS rn "
+            "FROM d) WHERE rn = 1), "
+            "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.dist2 AS da, y.dist2 AS db "
+            "FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id "
+            "WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3), "
+            "losers AS (SELECT DISTINCT CASE WHEN da < db THEN id_a "
+            "WHEN db < da THEN id_b ELSE greatest(id_a, id_b) END AS vec_id FROM p) "
+            "SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, a.dist2, "
+            "(losers.vec_id IS NULL) AS keep "
+            "FROM a LEFT JOIN losers ON a.vec_id = losers.vec_id"
         ),
         # phrase retrieval from raw text: occurrence count at exact relative
         # offsets (p4 keeps the removed stopword's gap: join@0, filter@2),

@@ -47,6 +47,10 @@ __all__ = [
     "filters_agg",
     "top_metrics",
     "auto_date_histogram",
+    "multi_terms",
+    "matrix_stats",
+    "matrix_stats_pairs",
+    "boxplot",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -919,3 +923,222 @@ def auto_date_histogram(
     out = date_histogram_counts(df, ts_col, chosen, by=by, min_doc_count=1)
     names = ([by] if by else []) + ["bucket", "cnt"]
     return out.select(F.lit(chosen).alias("interval"), *names)
+
+
+def multi_terms(
+    df: DataFrame,
+    fields: list[str],
+    k: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Elasticsearch ``multi_terms`` aggregation twin: bucket on the
+    TUPLE of ``fields`` (ES joins the per-field values into a composite
+    key), count documents per bucket, return the top ``k`` buckets by
+    (doc_count desc, key asc — ES's deterministic tie order).
+
+    Documents with a NULL in ANY keyed field are skipped (ES drops a
+    document from ``multi_terms`` when any source lacks a value).
+
+    Scale shape: one combinable groupBy (map-side partials; the shuffle
+    carries one row per live bucket) and a ``TakeOrderedAndProject``
+    global cut — no window, no per-group state.
+    """
+    if not fields or k < 1:
+        raise ValueError(f"need >= 1 field and k >= 1, got {fields!r}, k={k}")
+    cond = F.lit(True)
+    for f_ in fields:
+        cond = cond & F.col(f_).isNotNull()
+    out = (
+        df.filter(cond)
+        .groupBy(*fields)
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+    order = [F.desc("doc_count")] + [F.asc(f_) for f_ in fields]
+    return out.orderBy(*order).limit(k)
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Elasticsearch ``matrix_stats`` per-field moments twin: for each
+    numeric field — count, mean, population variance, skewness and
+    kurtosis (ES reports Pearson's moment coefficient with the
+    population convention; kurtosis NOT excess-adjusted, matching ES).
+    Rows missing ANY of the fields are excluded entirely (ES's
+    listwise deletion for this agg).
+
+    Determinism at scale: Σx and Σx² accumulate as EXACT decimals of
+    the 6-decimal input (the :func:`extended_stats` contract); Σx³/Σx⁴
+    would overflow any engine's decimal lattice, so each term is the
+    IEEE-754 double product (bit-identical in every engine) rounded to
+    6 decimals and then decimal-summed — per-term canonicalization
+    makes the sum associative, hence partition-order-free, and the same
+    expression replays exactly in an external SQL engine.  One
+    combinable groupBy; the shuffle carries one row total.
+    """
+    if len(fields) < 1:
+        raise ValueError("need >= 1 field")
+    cond = F.lit(True)
+    for f_ in fields:
+        cond = cond & F.col(f_).isNotNull()
+    base = df.filter(cond)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for f_ in fields:
+        vd = F.col(f_).cast("decimal(18,6)")
+        v = F.col(f_).cast("double")
+        aggs += [
+            F.sum(vd).alias(f"_s1_{f_}"),
+            F.sum(vd * vd).alias(f"_s2_{f_}"),
+            F.sum(F.round(v * v * v, 6).cast("decimal(38,6)")).alias(f"_s3_{f_}"),
+            F.sum(F.round(v * v * v * v, 6).cast("decimal(38,6)")).alias(f"_s4_{f_}"),
+        ]
+    wide = base.groupBy().agg(*aggs)
+    frames = []
+    for f_ in fields:
+        n = F.col("n").cast("double")
+        s1 = F.col(f"_s1_{f_}").cast("double")
+        s2 = F.col(f"_s2_{f_}").cast("double")
+        s3 = F.col(f"_s3_{f_}").cast("double")
+        s4 = F.col(f"_s4_{f_}").cast("double")
+        mean = s1 / n
+        var = F.greatest(F.lit(0.0), s2 / n - mean * mean)
+        std = F.sqrt(var)
+        # central moments from raw power sums (exact-decimal inputs)
+        m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+        m4 = (
+            s4 / n
+            - 4 * mean * s3 / n
+            + 6 * mean * mean * s2 / n
+            - 3 * mean * mean * mean * mean
+        )
+        frames.append(
+            wide.select(
+                F.lit(f_).alias("field"),
+                F.col("n"),
+                mean.alias("mean"),
+                var.alias("variance"),
+                F.when(std > 0, m3 / (std * std * std)).otherwise(F.lit(0.0)).alias("skewness"),
+                F.when(var > 0, m4 / (var * var)).otherwise(F.lit(0.0)).alias("kurtosis"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def matrix_stats_pairs(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Elasticsearch ``matrix_stats`` covariance/correlation matrix twin:
+    one row per unordered field pair (``field_x <= field_y`` by name,
+    diagonal included) with the population covariance and the Pearson
+    correlation (diagonal: variance and 1.0).  Listwise deletion and the
+    exact-decimal determinism contract of :func:`matrix_stats`.
+    """
+    if len(fields) < 2:
+        raise ValueError("need >= 2 fields for a pair matrix")
+    cond = F.lit(True)
+    for f_ in fields:
+        cond = cond & F.col(f_).isNotNull()
+    base = df.filter(cond)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for f_ in fields:
+        vd = F.col(f_).cast("decimal(18,6)")
+        aggs.append(F.sum(vd).alias(f"_s1_{f_}"))
+    for i, fx in enumerate(fields):
+        for fy in fields[i:]:
+            x = F.col(fx).cast("decimal(18,6)")
+            y = F.col(fy).cast("decimal(18,6)")
+            aggs.append(F.sum(x * y).cast("decimal(38,12)").alias(f"_sxy_{fx}_{fy}"))
+    wide = base.groupBy().agg(*aggs)
+    frames = []
+    for i, fx in enumerate(fields):
+        for fy in fields[i:]:
+            n = F.col("n").cast("double")
+            sx = F.col(f"_s1_{fx}").cast("double")
+            sy = F.col(f"_s1_{fy}").cast("double")
+            sxy = F.col(f"_sxy_{fx}_{fy}").cast("double")
+            sxx = F.col(f"_sxy_{fx}_{fx}").cast("double")
+            syy = F.col(f"_sxy_{fy}_{fy}").cast("double")
+            cov = sxy / n - (sx / n) * (sy / n)
+            vx = F.greatest(F.lit(0.0), sxx / n - (sx / n) * (sx / n))
+            vy = F.greatest(F.lit(0.0), syy / n - (sy / n) * (sy / n))
+            corr = F.when(
+                (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+            ).otherwise(F.lit(None).cast("double"))
+            lo, hi = sorted([fx, fy])
+            frames.append(
+                wide.select(
+                    F.lit(lo).alias("field_x"),
+                    F.lit(hi).alias("field_y"),
+                    F.col("n"),
+                    cov.alias("cov_pop"),
+                    corr.alias("corr"),
+                )
+            )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def boxplot(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+    whisker_iqr: float = 1.5,
+) -> DataFrame:
+    """Elasticsearch ``boxplot`` aggregation twin, EXACT (ES sketches
+    with TDigest): per optional ``by`` group — min, max, exact q1/q2/q3
+    (linear-interpolated continuous quantiles, the R-7 convention Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share) and the Tukey
+    whiskers ES reports: the extreme values still inside
+    ``q1 − w·IQR .. q3 + w·IQR``.
+
+    Scale shape: pass 1 is one combinable groupBy (``percentile`` holds
+    per-group sorted state — bounded by group cardinality × values per
+    group; at 100 TB use it on bounded groups, the sketching path is
+    ``percentile_approx`` with the same frame shape); pass 2 re-scans
+    with the per-group fence bounds joined back broadcast (one row per
+    group by construction).  NULLs are skipped (ES metric-agg rule).
+    """
+    gcols = [by] if by else []
+    base = df.filter(F.col(col).isNotNull())
+    v = F.col(col).cast("double")
+    q = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))").alias("_q"),
+    ).select(
+        *gcols,
+        "n",
+        "min_v",
+        "max_v",
+        F.col("_q")[0].alias("q1"),
+        F.col("_q")[1].alias("q2"),
+        F.col("_q")[2].alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = q.select(
+        *gcols,
+        "n",
+        "min_v",
+        "max_v",
+        "q1",
+        "q2",
+        "q3",
+        # fences canonicalized at 6 decimals (repo cross-engine float
+        # convention) so whisker MEMBERSHIP — an equality-sensitive
+        # comparison — is reproducible against an external engine
+        F.round(F.col("q1") - F.lit(float(whisker_iqr)) * iqr, 6).alias("_lo_fence"),
+        F.round(F.col("q3") + F.lit(float(whisker_iqr)) * iqr, 6).alias("_hi_fence"),
+    )
+    joined = base.join(F.broadcast(fenced), on=gcols) if gcols else base.crossJoin(
+        F.broadcast(fenced)
+    )
+    wh = (joined.groupBy(*gcols) if gcols else joined.groupBy()).agg(
+        F.min(F.when(v >= F.col("_lo_fence"), v)).alias("lower_whisker"),
+        F.max(F.when(v <= F.col("_hi_fence"), v)).alias("upper_whisker"),
+    )
+    return fenced.drop("_lo_fence", "_hi_fence").join(wh, on=gcols) if gcols else (
+        fenced.drop("_lo_fence", "_hi_fence").crossJoin(wh)
+    )

@@ -1,0 +1,157 @@
+"""SemDedup: semantic deduplication via cluster-partitioned cosine
+similarity (Abbas et al. 2023, "SemDedup: Data-efficient learning at
+web-scale through semantic deduplication").
+
+The published scale recipe for embedding near-dup at corpus scale:
+k-means the embeddings, then compare pairs ONLY within a cluster —
+candidate generation drops from O(n²) to O(Σ|c|²) with |c| bounded by
+the cluster count, and every cluster's pair scan is an independent
+task.  Within each duplicate pair the paper keeps the example with the
+LOWEST cosine similarity to its cluster centroid (the "edge" of the
+semantic region) — here expressed as exists-semantics on the squared
+centroid distance: ``x`` is dropped when some in-cluster neighbour
+``y`` with ``cos(x, y) >= tau`` sits farther from the centroid
+(``dist2_y > dist2_x``, ties to the lower ``vec_id`` surviving).
+
+Beyond-reference operator (the reference has no embedding pipeline);
+complements :func:`capreolus_spark.textproc.similarity.
+embedding_near_dup_pairs` (SRP-bucketed) with the clustering-blocked
+variant the paper validated at LAION scale.
+
+Scale design:
+
+* assignment is the deterministic :mod:`cluster` pass — k broadcast
+  literal centroids, zero shuffle, pure JVM expressions;
+* the pair join shuffles once on the block key (cluster id, plus a
+  deterministic md5 sub-split for clusters above
+  ``max_cluster_size`` — the same mega-bucket guard shape as
+  minhash LSH, trading recall only inside pathological clusters);
+* per-pair cosine reuses the per-vector norms computed BEFORE the
+  join (O(n·dim) not O(pairs·dim));
+* the drop decision is a semi/anti join on the loser set — no
+  connected components needed (the paper's rule is per-pair greedy).
+
+All comparisons happen on 6-decimal-rounded values (repo cross-engine
+float convention) so the keep/drop set is reproducible bit-for-bit
+against an external SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import assign_clusters
+from .similarity import _dot, _norm
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """In-cluster near-duplicate pairs: ``(id_a, id_b, cluster, cosine,
+    dist2_a, dist2_b)`` with ``id_a < id_b`` and rounded cosine >= tau.
+
+    ``max_cluster_size`` arms the oversize guard: a cluster with more
+    than this many members is deterministically sub-split (md5 of the
+    id) into ceil(n/max) blocks so no single task ever scans a
+    quadratic mega-cluster; pairs straddling a sub-split are missed
+    (disclosed recall trade — same shape as the LSH star-chain guard).
+    Pass ``None`` to disable (exact within-cluster, oracle config).
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    v = (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
+        .join(assigned, "vec_id")
+        .withColumn("_n", _norm(F.col("vv")))
+    )
+    if max_cluster_size is not None:
+        if max_cluster_size < 2:
+            raise ValueError(f"max_cluster_size must be >= 2, got {max_cluster_size}")
+        sizes = v.groupBy("cluster").agg(F.count("*").alias("_cn"))
+        # bounded by k rows — broadcast by construction; per-row modulus:
+        # ceil(n / max) sub-blocks for oversized clusters only
+        v = v.join(F.broadcast(sizes), "cluster").withColumn(
+            "_block",
+            F.when(
+                F.col("_cn") > max_cluster_size,
+                F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+                .cast("long")
+                % F.ceil(F.col("_cn") / F.lit(max_cluster_size)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).drop("_cn")
+    else:
+        v = v.withColumn("_block", F.lit(0).cast("long"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._block") == F.col("b._block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(
+                _dot(F.col("a.vv"), F.col("b.vv")) / (F.col("a._n") * F.col("b._n")), 6
+            ).alias("cosine"),
+            F.col("a.dist2").alias("dist2_a"),
+            F.col("b.dist2").alias("dist2_b"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """Full SemDedup decision frame: ``(vec_id, cluster, dist2, keep)``.
+
+    ``keep = false`` iff some in-cluster neighbour with cosine >= tau
+    lies strictly farther from the centroid (rounded dist2), or equally
+    far with a smaller id — i.e. the paper's keep-the-edge-example rule
+    made deterministic.  Survivors of every duplicate region plus all
+    singletons have ``keep = true``; downstream filters on it.
+    """
+    pairs = semdedup_pairs(
+        vectors, centroids, tau, id_col, vec_col, max_cluster_size
+    )
+    # from each pair, the LOSER is the member nearer the centroid
+    # (ties: the higher id loses so the lower id survives)
+    losers = pairs.select(
+        F.when(
+            F.col("dist2_a") < F.col("dist2_b"), F.col("id_a")
+        )
+        .when(F.col("dist2_b") < F.col("dist2_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("vec_id")
+    ).distinct()
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    return assigned.join(losers.withColumn("_drop", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "dist2",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )
+
+
+def semdedup_stats(decision: DataFrame) -> DataFrame:
+    """Per-cluster dedup summary: ``(cluster, n, kept, dropped)``."""
+    return decision.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("kept"),
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("dropped"),
+    )

@@ -568,3 +568,99 @@ def test_auto_date_histogram_global_choice_across_groups(spark):
     assert {r["interval"] for r in out} == {"week"} or {r["interval"] for r in out} == {"day"}
     # exact: 50 hourly points = 50 hours > 10; ~3 days <= 10 -> day
     assert {r["interval"] for r in out} == {"day"}
+
+
+def test_multi_terms_composite_buckets_and_cut(spark):
+    """ES multi_terms: tuple buckets, NULL-in-any-field rows skipped,
+    (count desc, key asc) deterministic cut."""
+    from capreolus_spark.search.facets import multi_terms
+
+    rows = [
+        ("a", 1), ("a", 1), ("a", 1),
+        ("a", 2), ("a", 2),
+        ("b", 1), ("b", 1),
+        ("b", 2),
+        (None, 1), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, c int")
+    out = multi_terms(df, ["g", "c"], k=3).collect()
+    assert [(r["g"], r["c"], r["doc_count"]) for r in out] == [
+        ("a", 1, 3),
+        ("a", 2, 2),
+        ("b", 1, 2),  # tie with (a,2) broken on key asc
+    ]
+    assert multi_terms(df, ["g", "c"], k=10, min_doc_count=3).count() == 1
+    with pytest.raises(ValueError):
+        multi_terms(df, [], k=3)
+
+
+def test_matrix_stats_moments_match_statistics(spark):
+    """matrix_stats vs pure-python population moments (values on the
+    6-decimal grid so the canonicalization is lossless)."""
+    from capreolus_spark.search.facets import matrix_stats, matrix_stats_pairs
+
+    xs = [1.5, 2.0, 2.5, 4.0, 8.0, 1.0, 3.5, 2.0]
+    ys = [10.0, 9.0, 8.5, 6.0, 1.0, 11.0, 7.0, 9.5]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = {r["field"]: r for r in matrix_stats(df, ["x", "y"]).collect()}
+    n = len(xs)
+    for f_, vals in (("x", xs), ("y", ys)):
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        m3 = sum((v - mean) ** 3 for v in vals) / n
+        m4 = sum((v - mean) ** 4 for v in vals) / n
+        r = out[f_]
+        assert r["n"] == n
+        assert math.isclose(r["mean"], mean, rel_tol=1e-9)
+        assert math.isclose(r["variance"], var, rel_tol=1e-9)
+        assert math.isclose(r["skewness"], m3 / var ** 1.5, rel_tol=1e-6)
+        assert math.isclose(r["kurtosis"], m4 / var ** 2, rel_tol=1e-6)
+
+    pairs = {(r["field_x"], r["field_y"]): r for r in
+             matrix_stats_pairs(df, ["x", "y"]).collect()}
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    vx = sum((a - mx) ** 2 for a in xs) / n
+    vy = sum((b - my) ** 2 for b in ys) / n
+    pr = pairs[("x", "y")]
+    assert math.isclose(pr["cov_pop"], cov, rel_tol=1e-9)
+    assert math.isclose(pr["corr"], cov / math.sqrt(vx * vy), rel_tol=1e-9)
+    assert pairs[("x", "x")]["corr"] == 1.0
+    assert math.isclose(pairs[("x", "x")]["cov_pop"], vx, rel_tol=1e-9)
+
+
+def test_matrix_stats_listwise_deletion_and_degenerate(spark):
+    from capreolus_spark.search.facets import matrix_stats, matrix_stats_pairs
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (None, 3.0), (3.0, 2.0)],
+        "x double, y double",
+    )
+    out = {r["field"]: r for r in matrix_stats(df, ["x", "y"]).collect()}
+    assert out["x"]["n"] == 2  # only fully-present rows
+    # constant field -> zero variance, skew/kurt defined as 0, corr NULL
+    pairs = {(r["field_x"], r["field_y"]): r for r in
+             matrix_stats_pairs(df, ["x", "y"]).collect()}
+    assert out["y"]["variance"] == 0.0 and out["y"]["skewness"] == 0.0
+    assert pairs[("x", "y")]["corr"] is None
+    with pytest.raises(ValueError):
+        matrix_stats_pairs(df, ["x"])
+
+
+def test_boxplot_quartiles_and_tukey_whiskers(spark):
+    """Exact R-7 quartiles + whiskers = extreme values inside 1.5 IQR
+    (the 100 outlier excluded, whisker lands on the nearest real value)."""
+    from capreolus_spark.search.facets import boxplot
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = boxplot(df, "v", by="g").collect()[0]
+    # R-7 on 8 points: q1 at idx 1.75 -> 2.75, q2 -> 4.5, q3 at 5.25 -> 6.25
+    assert r["q1"] == 2.75 and r["q2"] == 4.5 and r["q3"] == 6.25
+    # fences: 2.75 - 5.25 = -2.5, 6.25 + 5.25 = 11.5 -> 100 excluded
+    assert r["lower_whisker"] == 1.0 and r["upper_whisker"] == 7.0
+    assert r["min_v"] == 1.0 and r["max_v"] == 100.0 and r["n"] == 8
+    # ungrouped + NULL skip
+    df2 = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+    r2 = boxplot(df2, "v").collect()[0]
+    assert r2["n"] == 8 and r2["upper_whisker"] == 7.0

@@ -1703,3 +1703,88 @@ def test_dsir_sample_validates_args(spark):
         dsir_sample(df, df, k=0)
     with pytest.raises(ValueError):
         dsir_bucket_log_ratios(df, df, dim=1)
+
+
+def test_semdedup_keeps_edge_example(spark):
+    """SemDedup (Abbas et al. 2023 twin): of a near-dup pair the member
+    FARTHER from its cluster centroid survives; singletons always keep."""
+    from capreolus_spark.textproc.semdedup import semdedup, semdedup_stats
+
+    # centroid 0 at origin, centroid 1 far away on dim 2; a/b are near-dups
+    # in cluster 0 with b farther from the centroid; c is an off-direction
+    # singleton in cluster 0; d lives alone in cluster 1
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # a: near-dup, dist2 to origin = 1
+            (2, [2.0, 0.1, 0.0]),     # b: same direction, dist2 = 4.01 -> survives
+            (3, [0.0, 1.0, 0.0]),     # c: orthogonal, no near-dup
+            (4, [0.0, 0.0, 9.0]),     # d: cluster 1
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    cents = [[0.0, 0.0, 0.0], [0.0, 0.0, 10.0]]
+    out = {r["vec_id"]: r for r in semdedup(vecs, cents, tau=0.95).collect()}
+    assert not out[1]["keep"] and out[2]["keep"]          # paper keep-the-edge rule
+    assert out[3]["keep"] and out[4]["keep"]
+    assert out[4]["cluster"] == 1
+    stats = {r["cluster"]: r for r in semdedup_stats(
+        semdedup(vecs, cents, tau=0.95)).collect()}
+    assert stats[0]["n"] == 3 and stats[0]["dropped"] == 1
+    assert stats[1]["kept"] == 1
+
+
+def test_semdedup_tie_breaks_to_lower_id(spark):
+    """Equal rounded centroid distance: the LOWER vec_id survives."""
+    from capreolus_spark.textproc.semdedup import semdedup
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    # both at dist2=1 from the single centroid; cosine(a,b)=0 < tau keeps both
+    out = {r["vec_id"]: r["keep"] for r in semdedup(
+        vecs, [[0.0, 0.0]], tau=0.5).collect()}
+    assert out == {1: True, 2: True}
+    # identical vectors: cosine 1.0, equal dist2 -> id 2 dropped
+    vecs2 = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out2 = {r["vec_id"]: r["keep"] for r in semdedup(
+        vecs2, [[0.0, 0.0]], tau=0.95).collect()}
+    assert out2 == {1: True, 2: False}
+
+
+def test_semdedup_oversize_guard_blocks_quadratic_scan(spark):
+    """max_cluster_size sub-splits a mega-cluster deterministically: every
+    emitted pair stays inside one md5 sub-block (pair count can only
+    shrink vs the exact config), and the decision stays deterministic."""
+    from capreolus_spark.textproc.semdedup import semdedup_pairs
+
+    # 20 near-identical vectors -> one cluster, exact config = 190 pairs
+    vecs = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-4]) for i in range(20)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = [[1.0, 0.0]]
+    exact = semdedup_pairs(vecs, cents, tau=0.99, max_cluster_size=None).count()
+    assert exact == 190
+    guarded = semdedup_pairs(vecs, cents, tau=0.99, max_cluster_size=5)
+    n_guarded = guarded.count()
+    assert 0 < n_guarded < exact
+    again = semdedup_pairs(vecs, cents, tau=0.99, max_cluster_size=5).count()
+    assert n_guarded == again
+    # small clusters are untouched by the guard
+    assert (
+        semdedup_pairs(vecs, cents, tau=0.99, max_cluster_size=20).count() == exact
+    )
+
+
+def test_semdedup_validates_args(spark):
+    from capreolus_spark.textproc.semdedup import semdedup_pairs
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError):
+        semdedup_pairs(df, [[0.0]], tau=0.0)
+    with pytest.raises(ValueError):
+        semdedup_pairs(df, [[0.0]], tau=0.5, max_cluster_size=1)
