@@ -3743,6 +3743,43 @@ def _q_boxplot(spark, sf_dir):
     )
 
 
+def _q_cumulative_cardinality(spark, sf_dir):
+    """ES ``cumulative_cardinality`` pipeline-agg twin, EXACT
+    (search/facets.py; ES stacks HLL sketches): running distinct count
+    of the (event_type, floor(value)) compound key per day via the
+    first-seen trick — one key-level groupBy is the only raw-key
+    shuffle; the running sum runs over the tiny bucket frame."""
+    from capreolus_spark.search.facets import cumulative_cardinality
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ckey",
+        F.concat_ws(
+            "#", F.col("event_type"), F.floor("value").cast("long").cast("string")
+        ),
+    ).filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+    out = cumulative_cardinality(ev, "ts", "ckey", "day")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "new_keys",
+        "cum_cardinality",
+    )
+
+
+def _q_diversified_sampler(spark, sf_dir):
+    """ES ``diversified_sampler`` twin (search/facets.py): per qid walk
+    hits best-first (score desc, docid asc), keep at most 2 per lang,
+    cut survivors to the 8 best — two windows over the top-k-bounded
+    run frame, raw corpus untouched beyond the lang lookup."""
+    from capreolus_spark.search.facets import diversified_sampler
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("docid"), "lang"
+    )
+    r = _synth_run(spark, sf_dir).join(docs, "docid")
+    out = diversified_sampler(r, "lang", max_per_value=2, sample_size=8)
+    return out.select("qid", "docid", F.round("score", 6).alias("score"), "lang")
+
+
 def _q_percentile_ranks(spark, sf_dir):
     """ES ``percentile_ranks`` twin (search/facets.py), EXACT (ES
     sketches with TDigest): % of values <= each threshold per
@@ -5783,6 +5820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_value": _q_weighted_avg,
         "percentile_ranks_value": _q_percentile_ranks,
         "multi_terms_topk": _q_multi_terms,
+        "cumulative_cardinality_day": _q_cumulative_cardinality,
+        "diversified_sampler_topk": _q_diversified_sampler,
         "matrix_stats_fields": _q_matrix_stats_fields,
         "matrix_stats_pairs": _q_matrix_stats_pairs,
         "boxplot_value": _q_boxplot,
@@ -7432,6 +7471,35 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS doc_count "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY doc_count DESC, event_type ASC, cohort ASC LIMIT 12"
+        ),
+        # ES cumulative_cardinality (exact twin): first-seen-bucket trick,
+        # every observed day emitted, zero new-key days carry the total
+        "cumulative_cardinality_day": (
+            "WITH base AS (SELECT date_trunc('day', ts) AS bucket, "
+            "concat(event_type, '#', cast(cast(floor(value) AS BIGINT) AS varchar)) AS ckey "
+            "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), "
+            "b AS (SELECT DISTINCT bucket FROM base), "
+            "f AS (SELECT ckey, min(bucket) AS bucket FROM base GROUP BY ckey), "
+            "nk AS (SELECT bucket, cast(count(*) AS bigint) AS new_keys FROM f GROUP BY bucket), "
+            "j AS (SELECT b.bucket, coalesce(nk.new_keys, 0) AS new_keys "
+            "FROM b LEFT JOIN nk USING (bucket)) "
+            "SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "cast(new_keys AS bigint) AS new_keys, "
+            "cast(sum(new_keys) OVER (ORDER BY bucket ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_cardinality "
+            "FROM j"
+        ),
+        # ES diversified_sampler: best-first walk, <=2 per lang, cut to 8
+        "diversified_sampler_topk": (
+            f"WITH run AS ({_SYNTH_RUN_SQL}), "
+            "r AS (SELECT run.qid, run.docid, run.score, d.lang FROM run "
+            "JOIN (SELECT cast(doc_id AS varchar) AS docid, lang FROM documents) d "
+            "USING (docid)), "
+            "v AS (SELECT *, row_number() OVER (PARTITION BY qid, lang "
+            "ORDER BY score DESC, docid ASC) AS vr FROM r), "
+            "g AS (SELECT *, row_number() OVER (PARTITION BY qid "
+            "ORDER BY score DESC, docid ASC) AS gr FROM v WHERE vr <= 2) "
+            "SELECT qid, docid, round(score, 6) AS score, lang FROM g WHERE gr <= 8"
         ),
         # ES matrix_stats per-field moments: Σx/Σx² exact-decimal,
         # Σx³/Σx⁴ per-term IEEE-double products rounded to 6dp then

@@ -51,6 +51,8 @@ __all__ = [
     "matrix_stats",
     "matrix_stats_pairs",
     "boxplot",
+    "cumulative_cardinality",
+    "diversified_sampler",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -1141,4 +1143,83 @@ def boxplot(
     )
     return fenced.drop("_lo_fence", "_hi_fence").join(wh, on=gcols) if gcols else (
         fenced.drop("_lo_fence", "_hi_fence").crossJoin(wh)
+    )
+
+
+def cumulative_cardinality(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Elasticsearch ``cumulative_cardinality`` pipeline-agg twin,
+    EXACT (ES stacks per-bucket HyperLogLog sketches): per calendar
+    bucket — the number of keys first seen in that bucket
+    (``new_keys``) and the running distinct-key total
+    (``cum_cardinality``).
+
+    The exact computation at scale is the FIRST-SEEN trick: a running
+    count-distinct re-scanned per bucket would be quadratic, but
+    Σ new-per-bucket ≡ cumulative distinct, so one ``groupBy(key) →
+    min(bucket)`` (combinable, the only shuffle that sees raw keys)
+    plus one bucket-level count and a running sum over the tiny bucket
+    frame gives the identical number.  Buckets with no new keys emit 0
+    and carry the total forward (ES emits every histogram bucket).
+    """
+    if unit not in _CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {sorted(_CALENDAR_UNITS)}, got {unit!r}")
+    # histogram buckets come from every timestamped row (ES's histogram
+    # is over documents); only the cardinality key requires non-null
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    buckets = df.filter(F.col(ts_col).isNotNull()).select(bucket).distinct()
+    base = df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+    firsts = (
+        base.groupBy(key_col)
+        .agg(F.min(F.date_trunc(unit, F.col(ts_col))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_keys"))
+    )
+    w = Window.orderBy(F.asc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("new_keys"), F.lit(0)).cast("long").alias("new_keys"),
+        )
+        .withColumn("cum_cardinality", F.sum("new_keys").over(w).cast("long"))
+    )
+
+
+def diversified_sampler(
+    run: DataFrame,
+    field_col: str,
+    score_col: str = "score",
+    by: str = "qid",
+    id_col: str = "docid",
+    max_per_value: int = 1,
+    sample_size: int = 100,
+) -> DataFrame:
+    """Elasticsearch ``diversified_sampler`` aggregation twin (global
+    deterministic form of ES's shard-local pass): walk each ``by``
+    group's hits best-first (score desc, ``id_col`` asc — the
+    deterministic tie order) and keep a hit only while its
+    ``field_col`` value has appeared fewer than ``max_per_value``
+    times, then cut the survivors to the ``sample_size`` best.
+
+    NULL diversity values form their own bucket (ES treats missing as
+    a single value).  Two windows over the run frame — which is top-k
+    bounded per group by construction, so the sort state is small; the
+    raw corpus is never touched.
+    """
+    if max_per_value < 1 or sample_size < 1:
+        raise ValueError("max_per_value and sample_size must be >= 1")
+    order = [F.desc(score_col), F.asc(id_col)]
+    w_val = Window.partitionBy(by, field_col).orderBy(*order)
+    w_grp = Window.partitionBy(by).orderBy(*order)
+    return (
+        run.withColumn("_vrank", F.row_number().over(w_val))
+        .filter(F.col("_vrank") <= max_per_value)
+        .withColumn("_grank", F.row_number().over(w_grp))
+        .filter(F.col("_grank") <= sample_size)
+        .drop("_vrank", "_grank")
     )

@@ -664,3 +664,58 @@ def test_boxplot_quartiles_and_tukey_whiskers(spark):
     df2 = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
     r2 = boxplot(df2, "v").collect()[0]
     assert r2["n"] == 8 and r2["upper_whisker"] == 7.0
+
+
+def test_cumulative_cardinality_first_seen_identity(spark):
+    """Running distinct == Σ new-per-bucket; zero-new buckets emitted."""
+    from capreolus_spark.search.facets import cumulative_cardinality
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 5)),
+        ("u2", dt.datetime(2024, 1, 1, 9)),
+        ("u1", dt.datetime(2024, 1, 2, 1)),   # repeat -> no new key
+        ("u3", dt.datetime(2024, 1, 3, 1)),
+        ("u1", dt.datetime(2024, 1, 3, 2)),
+        (None, dt.datetime(2024, 1, 4, 1)),   # NULL key skipped...
+        ("u4", None),                          # ...and NULL ts skipped
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r["bucket"].day: (r["new_keys"], r["cum_cardinality"])
+           for r in cumulative_cardinality(df, "ts", "k", "day").collect()}
+    assert out == {1: (2, 2), 2: (0, 2), 3: (1, 3), 4: (0, 3)}
+    # cross-check against a brute-force running distinct
+    seen, cum = set(), {}
+    for k, ts in sorted([r for r in rows if r[0] and r[1]], key=lambda r: r[1]):
+        seen.add(k)
+        cum[ts.day] = len(seen)
+    assert {d: c for d, (_, c) in out.items() if d in cum} == cum
+    with pytest.raises(ValueError):
+        cumulative_cardinality(df, "ts", "k", "minute")
+
+
+def test_diversified_sampler_caps_per_value_then_cuts(spark):
+    from capreolus_spark.search.facets import diversified_sampler
+
+    run = spark.createDataFrame(
+        [
+            ("q1", "d1", 9.0, "py"),
+            ("q1", "d2", 8.0, "py"),
+            ("q1", "d3", 7.0, "py"),   # third py -> skipped at cap 2
+            ("q1", "d4", 6.0, "go"),
+            ("q1", "d5", 5.0, None),   # NULL = its own bucket (ES rule)
+            ("q1", "d6", 4.0, None),
+            ("q2", "d7", 1.0, "py"),   # independent group
+        ],
+        "qid string, docid string, score double, lang string",
+    )
+    out = diversified_sampler(run, "lang", max_per_value=2, sample_size=4)
+    got = sorted((r["qid"], r["docid"]) for r in out.collect())
+    assert got == [
+        ("q1", "d1"), ("q1", "d2"), ("q1", "d4"), ("q1", "d5"),
+        ("q2", "d7"),
+    ]
+    # sample_size cut respects the best-first order after the cap
+    tight = diversified_sampler(run, "lang", max_per_value=2, sample_size=2)
+    assert sorted(r["docid"] for r in tight.filter("qid = 'q1'").collect()) == ["d1", "d2"]
+    with pytest.raises(ValueError):
+        diversified_sampler(run, "lang", max_per_value=0)
