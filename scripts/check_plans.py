@@ -718,6 +718,90 @@ def main() -> None:
             )
         )
 
+        # session-15 additions --------------------------------------------
+        from capreolus_spark.search.facets import (
+            boxplot,
+            cumulative_cardinality,
+            matrix_stats,
+            multi_terms,
+        )
+        from capreolus_spark.textproc.semdedup import semdedup_pairs
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 3)]) for i in range(60)],
+            "vec_id int, embedding array<float>",
+        )
+        sp = semdedup_pairs(vecs, [[0.0, 0.0], [6.0, 2.0]], tau=0.5, max_cluster_size=16)
+        spplan = sp._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "semdedup python-free equi-join (no cartesian)",
+                "BatchEvalPython" not in spplan
+                and "CartesianProduct" not in spplan
+                and "BroadcastNestedLoopJoin" not in spplan,
+            )
+        )
+        results.append(
+            ("semdedup cluster-size frame broadcast", "BroadcastHashJoin" in spplan)
+        )
+
+        ev2 = docs_df.select(
+            F.length("text").cast("double").alias("a"),
+            (F.length("text") % 13).cast("double").alias("b"),
+        )
+        ms = matrix_stats(ev2, ["a", "b"])
+        msplan = ms._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "matrix_stats one combinable agg, python-free",
+                "partial" in msplan.lower()
+                and "BatchEvalPython" not in msplan
+                and "Sort " not in msplan,
+            )
+        )
+
+        ev3 = docs_df.select(
+            (F.length("text") % 3).cast("string").alias("g"),
+            F.length("text").cast("double").alias("v"),
+        )
+        bx = boxplot(ev3, "v", by="g")
+        bxplan = bx._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "boxplot fence frame broadcast, python-free",
+                "BroadcastHashJoin" in bxplan and "BatchEvalPython" not in bxplan,
+            )
+        )
+
+        evts = docs_df.select(
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+            ).alias("ts"),
+            (F.col("doc_id") % 40).cast("string").alias("k"),
+        )
+        cc = cumulative_cardinality(evts, "ts", "k", "day")
+        ccplan = cc._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "cumulative_cardinality combinable first-seen aggs, python-free",
+                "partial_min" in ccplan
+                and "BatchEvalPython" not in ccplan,
+            )
+        )
+
+        mt = multi_terms(
+            docs_df.select(
+                (F.col("doc_id") % 3).cast("string").alias("g"),
+                (F.col("doc_id") % 5).alias("c"),
+            ),
+            ["g", "c"],
+            k=5,
+        )
+        mtplan = mt._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            ("multi_terms global TakeOrdered cut", "TakeOrderedAndProject" in mtplan)
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")
