@@ -3355,6 +3355,18 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3;
+    textproc/quality.py ccnet_partition): per-lang perplexity terciles
+    over the bigram-LM scores, 6dp-rounded threshold comparisons,
+    explicit unscored bucket for <2-token docs."""
+    from capreolus_spark.textproc.quality import ccnet_partition
+
+    return ccnet_partition(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "perplexity", "bucket"
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     """Multinomial NB self-train/self-predict over ``documents`` with
     ``source`` as the label: a pure-aggregation classifier whose scores
@@ -3740,6 +3752,41 @@ def _q_boxplot(spark, sf_dir):
         F.round("q3", 6).alias("q3"),
         F.round("lower_whisker", 6).alias("lower_whisker"),
         F.round("upper_whisker", 6).alias("upper_whisker"),
+    )
+
+
+def _q_span_corruption(spark, sf_dir):
+    """T5 span corruption deterministic twin (Raffel et al. 2020;
+    textproc/corruption.py): fixed 20-token blocks (span 3 / rate 0.15),
+    one md5-offset span per complete block, sentinel serialization —
+    zero shuffles, one JVM higher-order-function projection."""
+    from capreolus_spark.textproc.corruption import span_corruption
+
+    return span_corruption(
+        _docs(spark, sf_dir), span_len=3, rate=0.15, seed="r5"
+    ).select("doc_id", "n_tokens", "n_masked", "input_text", "target_text")
+
+
+def _q_bucket_stats(spark, sf_dir):
+    """ES sibling pipeline aggs (min/max/avg/sum/stats_bucket twin;
+    search/facets.py bucket_stats): one summary row per event_type over
+    its daily date_histogram buckets incl. ALL tying min/max keys —
+    a coordinator-side pass over the reduced bucket frame."""
+    from capreolus_spark.search.facets import bucket_stats, date_histogram_counts
+
+    buckets = date_histogram_counts(
+        _events(spark, sf_dir), "ts", "day", by="event_type"
+    )
+    out = bucket_stats(buckets, "bucket", "cnt", by="event_type")
+    return out.select(
+        "event_type",
+        "n_buckets",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        "min_keys",
+        "max_keys",
     )
 
 
@@ -5789,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_ids": _q_wordpiece_ids,
         "sentence_split": _q_sentence_split,
         "lm_perplexity": _q_lm_perplexity,
+        "ccnet_buckets": _q_ccnet_buckets,
         "nb_classify": _q_nb_classify,
         "shard_export": _q_shard_export,
         "doc_fingerprint": _q_fingerprint,
@@ -5821,6 +5869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks_value": _q_percentile_ranks,
         "multi_terms_topk": _q_multi_terms,
         "cumulative_cardinality_day": _q_cumulative_cardinality,
+        "t5_span_corruption": _q_span_corruption,
+        "bucket_stats_daily": _q_bucket_stats,
         "diversified_sampler_topk": _q_diversified_sampler,
         "matrix_stats_fields": _q_matrix_stats_fields,
         "matrix_stats_pairs": _q_matrix_stats_pairs,
@@ -7246,6 +7296,30 @@ def oracle_sql() -> dict[str, str]:
             "round(sc.avg_nll, 6) AS avg_nll, round(exp(sc.avg_nll), 6) AS perplexity "
             "FROM tok LEFT JOIN sc ON tok.doc_id = sc.doc_id"
         ),
+        # CCNet terciles: the lm_perplexity pipeline + per-lang
+        # quantile_cont thirds (nearest-double literals shared with the
+        # Spark side), 6dp-rounded threshold comparisons
+        "ccnet_buckets": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+            "uni AS (SELECT t AS a, count(*) AS c_a FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t), "
+            "v AS (SELECT count(*) AS vs FROM uni), "
+            "bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b "
+            "FROM tok WHERE len(toks) >= 2), "
+            "big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b), "
+            "nll AS (SELECT bg.doc_id, -ln((coalesce(big.c_ab, 0) + 0.5) / "
+            "(coalesce(uni.c_a, 0) + 0.5 * v.vs)) AS nll "
+            "FROM bg LEFT JOIN big USING (a, b) LEFT JOIN uni USING (a) CROSS JOIN v), "
+            "sc AS (SELECT doc_id, avg(nll) AS avg_nll FROM nll GROUP BY doc_id), "
+            "sc2 AS (SELECT d.doc_id, d.lang, round(exp(sc.avg_nll), 6) AS p "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id), "
+            "th AS (SELECT lang, round(quantile_cont(p, 0.3333333333333333), 6) AS t1, "
+            "round(quantile_cont(p, 0.6666666666666666), 6) AS t2 "
+            "FROM sc2 WHERE p IS NOT NULL GROUP BY lang) "
+            "SELECT cast(sc2.doc_id AS bigint) AS doc_id, sc2.lang, sc2.p AS perplexity, "
+            "CASE WHEN p IS NULL THEN 'unscored' WHEN p <= t1 THEN 'head' "
+            "WHEN p <= t2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM sc2 LEFT JOIN th USING (lang)"
+        ),
         "nb_classify": (
             f"WITH tok AS (SELECT doc_id, source AS label, {_TOK} AS toks FROM documents), "
             "tr AS (SELECT label, t AS token, count(*) AS c_tc "
@@ -7471,6 +7545,61 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS doc_count "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY doc_count DESC, event_type ASC, cohort ASC LIMIT 12"
+        ),
+        # T5 span corruption deterministic twin: block=20 (span 3 /
+        # rate 0.15), md5 offset per (seed, doc, block), 1-based DuckDB
+        # list indexing mirrored against Spark's element_at/slice
+        "t5_span_corruption": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+            "b AS (SELECT doc_id, toks, len(toks) AS nt, "
+            "CAST(floor(len(toks) / 20) AS INT) AS nb FROM tok), "
+            "s AS (SELECT doc_id, toks, nt, nb, "
+            "CASE WHEN nb > 0 THEN list_transform(range(0, nb), i -> i * 20 + "
+            "TRY_CAST(concat('0x', substr(md5(concat_ws('|', 'r5', "
+            "cast(doc_id AS varchar), cast(i AS varchar))), 1, 15)) AS BIGINT) % 18) "
+            "ELSE [] END AS starts FROM b), "
+            "inp AS (SELECT doc_id, nt, nb, starts, toks, "
+            "list_filter(list_transform(range(0, nt), j -> "
+            "CASE WHEN CAST(floor(j / 20) AS INT) < nb "
+            "AND j >= starts[CAST(floor(j / 20) AS INT) + 1] "
+            "AND j < starts[CAST(floor(j / 20) AS INT) + 1] + 3 THEN "
+            "CASE WHEN j = starts[CAST(floor(j / 20) AS INT) + 1] THEN "
+            "concat('<extra_id_', cast(CAST(floor(j / 20) AS INT) AS varchar), '>') "
+            "ELSE NULL END ELSE toks[j + 1] END), x -> x IS NOT NULL) AS parts "
+            "FROM s), "
+            "tgt AS (SELECT doc_id, CASE WHEN nb > 0 THEN array_to_string("
+            "list_concat(flatten(list_transform(range(0, nb), i -> "
+            "list_concat([concat('<extra_id_', cast(i AS varchar), '>')], "
+            "list_slice(toks, starts[i + 1] + 1, starts[i + 1] + 3)))), "
+            "[concat('<extra_id_', cast(nb AS varchar), '>')]), ' ') "
+            "ELSE '' END AS target_text FROM s) "
+            "SELECT inp.doc_id, cast(nt AS bigint) AS n_tokens, "
+            "cast(nb * 3 AS bigint) AS n_masked, "
+            "array_to_string(parts, ' ') AS input_text, tgt.target_text "
+            "FROM inp JOIN tgt USING (doc_id)"
+        ),
+        # ES sibling pipeline aggs over the daily histogram buckets:
+        # exact-decimal sum, ALL tying min/max keys ascending-joined
+        "bucket_stats_daily": (
+            "WITH b AS (SELECT event_type, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "cast(count(*) AS bigint) AS cnt FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "a AS (SELECT event_type, cast(count(*) AS bigint) AS n_buckets, "
+            "min(cast(cnt AS DOUBLE)) AS min_v, max(cast(cnt AS DOUBLE)) AS max_v, "
+            "CAST(sum(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE) AS sum_v FROM b "
+            "GROUP BY event_type), "
+            "k AS (SELECT b.event_type, "
+            "array_to_string(list_sort(list(bucket) "
+            "FILTER (WHERE cast(b.cnt AS DOUBLE) = a.min_v)), ',') AS min_keys, "
+            "array_to_string(list_sort(list(bucket) "
+            "FILTER (WHERE cast(b.cnt AS DOUBLE) = a.max_v)), ',') AS max_keys "
+            "FROM b JOIN a USING (event_type) GROUP BY b.event_type) "
+            "SELECT a.event_type, n_buckets, round(min_v, 6) AS min_v, "
+            "round(max_v, 6) AS max_v, round(sum_v, 6) AS sum_v, "
+            "round(sum_v / cast(n_buckets AS DOUBLE), 6) AS avg_v, "
+            "min_keys, max_keys FROM a JOIN k USING (event_type)"
         ),
         # ES cumulative_cardinality (exact twin): first-seen-bucket trick,
         # every observed day emitted, zero new-key days carry the total

@@ -53,6 +53,7 @@ __all__ = [
     "boxplot",
     "cumulative_cardinality",
     "diversified_sampler",
+    "bucket_stats",
 ]
 
 #: calendar units ES's ``calendar_interval`` accepts that Spark's
@@ -1223,3 +1224,68 @@ def diversified_sampler(
         .filter(F.col("_grank") <= sample_size)
         .drop("_vrank", "_grank")
     )
+
+
+def bucket_stats(
+    buckets: DataFrame,
+    key_col: str,
+    value_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Elasticsearch sibling pipeline aggregations — ``min_bucket`` /
+    ``max_bucket`` / ``avg_bucket`` / ``sum_bucket`` / ``stats_bucket``
+    — in one frame: per optional ``by`` group over an ALREADY-BUCKETED
+    frame (a histogram/terms output), the bucket count, min/max/sum/avg
+    of the metric, and the keys attaining the min and max (ES's
+    ``keys`` array — ALL tying buckets, here ascending-joined into one
+    string so the frame stays flat).  NULL metrics are skipped (the ES
+    ``skip`` gap policy).
+
+    Like ES, this is a coordinator-side pass: it consumes the reduced
+    bucket frame (groups × buckets rows), never the raw documents —
+    one combinable agg plus one broadcast-scale self-join for the
+    tying keys.
+    """
+    gcols = [by] if by else []
+    base = buckets.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    agg = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum_dec"),
+    )
+    fenced = agg.select(
+        *gcols,
+        "n_buckets",
+        "min_v",
+        "max_v",
+        F.col("_sum_dec").cast("double").alias("sum_v"),
+        (F.col("_sum_dec").cast("double") / F.col("n_buckets").cast("double")).alias(
+            "avg_v"
+        ),
+    )
+    joined = (
+        base.join(F.broadcast(fenced), on=gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(fenced))
+    )
+    keys = (joined.groupBy(*gcols) if gcols else joined.groupBy()).agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(v == F.col("min_v"), F.col(key_col).cast("string"))
+                )
+            ),
+        ).alias("min_keys"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(v == F.col("max_v"), F.col(key_col).cast("string"))
+                )
+            ),
+        ).alias("max_keys"),
+    )
+    return fenced.join(keys, on=gcols) if gcols else fenced.crossJoin(keys)

@@ -1,0 +1,155 @@
+"""T5-style span corruption as a deterministic distributed dataflow
+(Raffel et al. 2020, "Exploring the Limits of Transfer Learning" —
+the span-corruption denoising objective; mean span 3, corruption rate
+15% are the published defaults).
+
+The reference has no pretraining-data pipeline; this is a
+beyond-reference LLM-pipeline operator in the packing/chunking family
+(`sampler.py`, `textproc/pipeline.py`).
+
+T5's sampler draws random span starts; a faithful-but-seeded twin of
+that sequential draw cannot be expressed as a per-row parallel
+computation (each accepted span constrains the next).  The
+deterministic twin used here keeps the published *statistics* and
+loses nothing the objective cares about: the token stream is cut into
+fixed blocks of ``B = round(span_len / rate)`` tokens, and every
+COMPLETE block masks exactly one ``span_len`` span at an offset drawn
+from the md5 of (seed, doc id, block index) — so the masked fraction
+is exactly ``span_len/B`` on complete blocks, spans never touch, the
+choice is reproducible at any partitioning, and the whole computation
+is one JVM higher-order-function projection (zero shuffles, zero
+Python) that an external SQL engine can replay row for row.
+
+Output follows the T5 serialization: the input swaps each span for
+``<extra_id_k>`` (k in block order), the target lists
+``<extra_id_k> span tokens ...`` and closes with the final sentinel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: analyzer convention shared with the other textproc gates
+_TOKEN_PATTERN = "[a-z0-9_]+"
+
+
+def _md5_mod(parts, n):
+    """Deterministic value in [0, n): md5 hex prefix of the joined
+    parts, mod n (the repo's portable seeded-hash convention)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
+        .cast("long")
+        % n
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 3,
+    rate: float = 0.15,
+    seed: str = "t5",
+) -> DataFrame:
+    """(id, n_tokens, n_masked, input_text, target_text) — the T5
+    denoising pair per document.
+
+    ``rate`` fixes the block size ``B = round(span_len/rate)``; every
+    complete block contributes one masked span, a trailing partial
+    block stays clean (documents shorter than one block pass through
+    unmasked with an empty target).
+    """
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    block = round(span_len / rate)
+    if block <= span_len:
+        raise ValueError(
+            f"rate={rate} with span_len={span_len} leaves no unmasked "
+            f"tokens per block (block={block})"
+        )
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_PATTERN), 0)
+    idc = F.col(id_col).cast("string")
+
+    base = df.select(
+        F.col(id_col),
+        idc.alias("_id"),
+        toks.alias("_toks"),
+    ).withColumn("_nb", (F.size("_toks") / block).cast("int"))
+
+    # per complete block: the span start (absolute token index)
+    starts = F.transform(
+        F.sequence(F.lit(0), F.col("_nb") - 1),
+        lambda i: i * block
+        + _md5_mod([F.lit(seed), F.col("_id"), i.cast("string")], block - span_len + 1),
+    )
+    base = base.withColumn(
+        "_starts", F.when(F.col("_nb") > 0, starts).otherwise(F.array().cast("array<long>"))
+    )
+
+    # token j is masked iff its block's start <= j < start + span_len;
+    # j's block index is floor(j / block), so one element_at per token
+    def _start_of(j):
+        # tokens in a trailing partial block index past _starts —
+        # try_element_at yields NULL there (ANSI-safe), which _masked
+        # reads as "not masked"
+        return F.try_element_at(F.col("_starts"), (j / block).cast("int") + 1)
+
+    def _masked(j):
+        s = _start_of(j)
+        return s.isNotNull() & (j >= s) & (j < s + span_len)
+
+    tok_idx = F.transform(
+        F.col("_toks"), lambda t, j: F.struct(t.alias("t"), j.cast("long").alias("j"))
+    )
+    input_parts = F.filter(
+        F.transform(
+            tok_idx,
+            lambda s: F.when(
+                _masked(s["j"]) & (s["j"] == _start_of(s["j"])),
+                F.concat(
+                    F.lit("<extra_id_"),
+                    (s["j"] / block).cast("int").cast("string"),
+                    F.lit(">"),
+                ),
+            )
+            .when(_masked(s["j"]), F.lit(None).cast("string"))
+            .otherwise(s["t"]),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    target_parts = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nb") - 1),
+            lambda i: F.concat(
+                F.array(
+                    F.concat(F.lit("<extra_id_"), i.cast("string"), F.lit(">"))
+                ),
+                F.slice(
+                    F.col("_toks"),
+                    (F.element_at(F.col("_starts"), i.cast("int") + 1) + 1).cast("int"),
+                    span_len,
+                ),
+            ),
+        )
+    )
+    target = F.when(
+        F.col("_nb") > 0,
+        F.concat_ws(
+            " ",
+            F.concat(
+                target_parts,
+                F.array(
+                    F.concat(F.lit("<extra_id_"), F.col("_nb").cast("string"), F.lit(">"))
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+    return base.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.col("_nb") * span_len).cast("long").alias("n_masked"),
+        F.concat_ws(" ", input_parts).alias("input_text"),
+        target.alias("target_text"),
+    )

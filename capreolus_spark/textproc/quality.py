@@ -406,3 +406,71 @@ def bigram_lm_scores(
             F.exp("avg_nll").alias("perplexity"),
         )
     )
+
+
+def ccnet_partition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    train_df: DataFrame | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    per LANGUAGE, documents are bucketed by LM perplexity terciles —
+    ``head`` = the lowest-perplexity (most fluent) third, then
+    ``middle`` and ``tail``; the paper trains on head+middle and drops
+    or down-weights tail.  Perplexities come from
+    :func:`bigram_lm_scores` (the dependency-free KenLM stand-in);
+    documents too short to score land in an explicit ``unscored``
+    bucket rather than vanishing.
+
+    Determinism: bucketing compares the 6dp-ROUNDED perplexity against
+    6dp-rounded exact tercile thresholds (R-7 interpolation — the
+    convention Spark ``percentile`` and DuckDB ``quantile_cont``
+    share), so the partition replays cross-engine.
+
+    Scale shape: scoring is the audited ``bigram_lm_scores`` dataflow;
+    the thresholds are ONE combinable per-lang aggregation whose
+    output is |langs| rows (broadcast back by construction).  Exact
+    ``percentile`` holds per-lang sorted state — at full corpus scale
+    swap ``percentile_approx`` into the same frame (CCNet itself
+    computes thresholds on a sample); the exact form is the gateable
+    twin.
+    """
+    scores = bigram_lm_scores(
+        df.select(F.col(id_col), F.col(text_col)), text_col, id_col, train_df, add_k
+    )
+    scored = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+        .join(scores.select("doc_id", "perplexity"), "doc_id")
+        .withColumn("_p", F.round("perplexity", 6))
+    )
+    # literal thirds spelled identically in the SQL twin (nearest-double)
+    th = (
+        scored.filter(F.col("_p").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile(_p, array(0.3333333333333333, 0.6666666666666666))"
+            ).alias("_q")
+        )
+        .select(
+            "lang",
+            F.round(F.col("_q")[0], 6).alias("_t1"),
+            F.round(F.col("_q")[1], 6).alias("_t2"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(th), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_p").alias("perplexity"),
+            F.when(F.col("_p").isNull(), F.lit("unscored"))
+            .when(F.col("_p") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("_p") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -802,6 +802,54 @@ def main() -> None:
             ("multi_terms global TakeOrdered cut", "TakeOrderedAndProject" in mtplan)
         )
 
+        from capreolus_spark.textproc.corruption import span_corruption
+
+        sc = span_corruption(
+            docs_df.select(F.col("doc_id"), F.col("text")), span_len=3, rate=0.15
+        )
+        scplan = sc._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "span_corruption shuffle-free python-free projection",
+                "Exchange" not in scplan and "BatchEvalPython" not in scplan,
+            )
+        )
+
+        from capreolus_spark.search.facets import bucket_stats
+
+        bs = bucket_stats(
+            docs_df.select(
+                (F.col("doc_id") % 3).cast("string").alias("g"),
+                F.col("doc_id").cast("string").alias("k"),
+                F.length("text").cast("double").alias("v"),
+            ),
+            "k",
+            "v",
+            by="g",
+        )
+        bsplan = bs._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "bucket_stats summary frame broadcast, python-free",
+                "BroadcastHashJoin" in bsplan and "BatchEvalPython" not in bsplan,
+            )
+        )
+
+        from capreolus_spark.textproc.quality import ccnet_partition
+
+        cn = ccnet_partition(
+            docs_df.select(
+                F.col("doc_id"), F.col("text"), (F.col("doc_id") % 2).cast("string").alias("lang")
+            )
+        )
+        cnplan = cn._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "ccnet per-lang threshold frame broadcast, python-free",
+                "BroadcastHashJoin" in cnplan and "BatchEvalPython" not in cnplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

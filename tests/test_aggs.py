@@ -719,3 +719,27 @@ def test_diversified_sampler_caps_per_value_then_cuts(spark):
     assert sorted(r["docid"] for r in tight.filter("qid = 'q1'").collect()) == ["d1", "d2"]
     with pytest.raises(ValueError):
         diversified_sampler(run, "lang", max_per_value=0)
+
+
+def test_bucket_stats_sibling_aggs(spark):
+    """min/max/avg/sum/stats_bucket in one frame; ALL tying keys listed
+    ascending; NULL metric buckets skipped (ES gap policy)."""
+    from capreolus_spark.search.facets import bucket_stats
+
+    b = spark.createDataFrame(
+        [
+            ("g1", "b1", 5.0), ("g1", "b2", 9.0), ("g1", "b3", 9.0),
+            ("g1", "b4", None),
+            ("g2", "b1", 1.0),
+        ],
+        "g string, k string, v double",
+    )
+    out = {r["g"]: r for r in bucket_stats(b, "k", "v", by="g").collect()}
+    r = out["g1"]
+    assert r["n_buckets"] == 3 and r["min_v"] == 5.0 and r["max_v"] == 9.0
+    assert r["sum_v"] == 23.0 and abs(r["avg_v"] - 23.0 / 3) < 1e-12
+    assert r["min_keys"] == "b1" and r["max_keys"] == "b2,b3"
+    assert out["g2"]["min_keys"] == out["g2"]["max_keys"] == "b1"
+    # ungrouped form
+    flat = bucket_stats(b.filter("g = 'g1'"), "k", "v").collect()[0]
+    assert flat["n_buckets"] == 3 and flat["max_keys"] == "b2,b3"

@@ -1788,3 +1788,81 @@ def test_semdedup_validates_args(spark):
         semdedup_pairs(df, [[0.0]], tau=0.0)
     with pytest.raises(ValueError):
         semdedup_pairs(df, [[0.0]], tau=0.5, max_cluster_size=1)
+
+
+def test_span_corruption_block_structure(spark):
+    """T5 twin: one span of span_len per complete block, sentinel
+    numbering in block order, target closes with the final sentinel,
+    short/empty docs pass through unmasked."""
+    from capreolus_spark.textproc.corruption import span_corruption
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(45))),  # 2 complete blocks + 5
+            (2, "short text only"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           span_corruption(docs, span_len=3, rate=0.15, seed="t5").collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 45 and r1["n_masked"] == 6
+    inp, tgt = r1["input_text"].split(), r1["target_text"].split()
+    assert inp.count("<extra_id_0>") == 1 and inp.count("<extra_id_1>") == 1
+    assert len(inp) == 45 - 6 + 2
+    # target = sentinel + 3 tokens, twice, plus the closing sentinel
+    assert tgt[0] == "<extra_id_0>" and tgt[4] == "<extra_id_1>" and tgt[-1] == "<extra_id_2>"
+    assert len(tgt) == 2 * (1 + 3) + 1
+    # reconstruction: replacing sentinels in input with their target spans
+    # restores the original token sequence
+    spans = {0: tgt[1:4], 1: tgt[5:8]}
+    rebuilt = []
+    for t in inp:
+        if t.startswith("<extra_id_"):
+            rebuilt.extend(spans[int(t[10:-1])])
+        else:
+            rebuilt.append(t)
+    assert rebuilt == [f"w{i}" for i in range(45)]
+    # masked tokens sit inside their own block
+    for k, span in spans.items():
+        idxs = [int(t[1:]) for t in span]
+        assert all(k * 20 <= i < (k + 1) * 20 for i in idxs)
+        assert idxs == list(range(idxs[0], idxs[0] + 3))
+    # short doc: no complete block -> untouched, empty target
+    assert out[2]["input_text"] == "short text only" and out[2]["target_text"] == ""
+    assert out[3]["n_tokens"] == 0 and out[3]["input_text"] == ""
+    # determinism
+    again = {r["doc_id"]: r["input_text"] for r in
+             span_corruption(docs, span_len=3, rate=0.15, seed="t5").collect()}
+    assert again == {k: v["input_text"] for k, v in out.items()}
+    with pytest.raises(ValueError):
+        span_corruption(docs, span_len=0)
+    with pytest.raises(ValueError):
+        span_corruption(docs, span_len=3, rate=0.9)
+
+
+def test_ccnet_partition_per_lang_terciles(spark):
+    """CCNet split: head/middle/tail are per-language perplexity thirds;
+    too-short docs land in 'unscored'; fluent repeated text beats noise."""
+    from capreolus_spark.textproc.quality import ccnet_partition
+
+    fluent = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, fluent, "en") for i in range(4)]
+    rows += [(10 + i, f"zz{i}q xj{i}k wq{i}v bn{i}m pl{i}t", "en") for i in range(4)]
+    rows += [(20, "tok", "en")]                       # 1 token -> unscored
+    rows += [(30, "der hund lief schnell davon heute", "de")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_partition(df).collect()}
+    assert out[20]["bucket"] == "unscored" and out[20]["perplexity"] is None
+    # the fluent duplicates share the lowest perplexity -> all 'head'
+    assert {out[i]["bucket"] for i in range(4)} == {"head"}
+    # the noise docs fill middle/tail (never head while fluent docs exist)
+    noise_buckets = [out[10 + i]["bucket"] for i in range(4)]
+    assert "head" not in noise_buckets
+    assert {"middle", "tail"} & set(noise_buckets)
+    # the lone 'de' doc is its own tercile population -> head by definition
+    assert out[30]["bucket"] == "head"
+    # deterministic
+    again = {r["doc_id"]: r["bucket"] for r in ccnet_partition(df).collect()}
+    assert again == {k: v["bucket"] for k, v in out.items()}
