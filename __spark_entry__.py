@@ -3367,6 +3367,32 @@ def _q_ccnet_buckets(spark, sf_dir):
     )
 
 
+def _q_gopher_stats(spark, sf_dir):
+    """Full Gopher quality rule set (Rae et al. 2021 App. A1.1;
+    textproc/quality.py gopher_stats): every published statistic —
+    whitespace-word counts, mean word length, #/ellipsis symbol ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, stop-word
+    presence — plus the composite keep.  Gate config relaxes min_words
+    to 20 and min_stopwords to 0 (the synthetic vocabulary lacks
+    Gopher's English stop list) so BOTH keep branches carry rows at
+    every sf; the published defaults are the function defaults."""
+    from capreolus_spark.textproc.quality import gopher_stats
+
+    return gopher_stats(
+        _docs(spark, sf_dir), min_words=20, min_stopwords=0
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_stopwords",
+        "keep",
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     """Multinomial NB self-train/self-predict over ``documents`` with
     ``source`` as the label: a pure-aggregation classifier whose scores
@@ -5837,6 +5863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentence_split,
         "lm_perplexity": _q_lm_perplexity,
         "ccnet_buckets": _q_ccnet_buckets,
+        "gopher_stats": _q_gopher_stats,
         "nb_classify": _q_nb_classify,
         "shard_export": _q_shard_export,
         "doc_fingerprint": _q_fingerprint,
@@ -7295,6 +7322,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok.doc_id, cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams, "
             "round(sc.avg_nll, 6) AS avg_nll, round(exp(sc.avg_nll), 6) AS perplexity "
             "FROM tok LEFT JOIN sc ON tok.doc_id = sc.doc_id"
+        ),
+        # Gopher rule set: whitespace words, per-rule statistics on the
+        # 6dp-rounded grid, keep computed FROM the rounded columns
+        "gopher_stats": (
+            "WITH base AS (SELECT doc_id, text, "
+            "regexp_extract_all(text, '\\S+') AS w, "
+            "list_filter(string_split(text, chr(10)), ln -> len(trim(ln)) > 0) AS l "
+            "FROM documents), "
+            "m AS (SELECT doc_id, cast(len(w) AS bigint) AS n_words, "
+            "round(CASE WHEN len(w) > 0 THEN "
+            "cast(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) "
+            "ELSE 0.0 END, 6) AS mean_word_len, "
+            "round(CASE WHEN len(w) > 0 THEN "
+            "cast(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(w) "
+            "ELSE 0.0 END, 6) AS symbol_word_ratio, "
+            "round(CASE WHEN len(l) > 0 THEN "
+            "cast(len(list_filter(l, ln -> regexp_matches(trim(ln), '^[•\\-\\*]'))) AS DOUBLE) / len(l) "
+            "ELSE 0.0 END, 6) AS bullet_line_frac, "
+            "round(CASE WHEN len(l) > 0 THEN "
+            "cast(len(list_filter(l, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(l) "
+            "ELSE 0.0 END, 6) AS ellipsis_line_frac, "
+            "round(CASE WHEN len(w) > 0 THEN "
+            "cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) "
+            "ELSE 0.0 END, 6) AS alpha_word_frac, "
+            "cast(len(list_intersect(list_transform(w, x -> lower(x)), "
+            "['the','be','to','of','and','that','have','with'])) AS bigint) AS n_stopwords "
+            "FROM base) "
+            "SELECT cast(doc_id AS bigint) AS doc_id, n_words, mean_word_len, "
+            "symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, "
+            "alpha_word_frac, n_stopwords, "
+            "(n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3.0 "
+            "AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 "
+            "AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
+            "AND alpha_word_frac >= 0.8 AND n_stopwords >= 0) AS keep FROM m"
         ),
         # CCNet terciles: the lm_perplexity pipeline + per-lang
         # quantile_cont thirds (nearest-double literals shared with the

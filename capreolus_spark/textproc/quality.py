@@ -474,3 +474,121 @@ def ccnet_partition(
             .alias("bucket"),
         )
     )
+
+
+#: Gopher's stop-word presence list (Rae et al. 2021, App. A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1 — the published web-corpus filter the later pipelines
+    inherit), one row per document with every rule's statistic and the
+    composite ``keep``:
+
+    * word count in [min_words, max_words] (words = whitespace runs,
+      the paper's convention — NOT analyzer tokens);
+    * mean word length in [3, 10];
+    * symbol-to-word ratio (``#`` or ``...``/``…``) <= 0.1;
+    * <= 90% of lines starting with a bullet (``•``/``-``/``*``);
+    * <= 30% of lines ending with an ellipsis;
+    * >= 80% of words containing an alphabetic character;
+    * >= 2 of the eight Gopher stop words present.
+
+    (The paper's repetition rules live in :func:`repetition_stats`;
+    compose both for the complete filter.)  Pure shuffle-free JVM
+    array expressions over one projection — every ratio is a counted
+    subset over the words/lines arrays, computed once per document.
+    """
+    words = F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    base = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        lines.alias("_l"),
+        F.col(text_col).alias("_txt"),
+    )
+    nw = F.size("_w").cast("double")
+    nl = F.size("_l").cast("double")
+    mean_len = F.when(
+        nw > 0,
+        F.aggregate(
+            F.transform(F.col("_w"), lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / nw,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.expr("regexp_extract_all(_txt, '#', 0)"))
+        + F.size(F.expr("regexp_extract_all(_txt, '\\\\.\\\\.\\\\.|…', 0)"))
+    ).cast("double")
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(
+                F.col("_l"),
+                lambda ln: F.trim(ln).rlike("^[•\\-\\*]"),
+            )
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(
+                F.col("_l"),
+                lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$"),
+            )
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0,
+        F.size(F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(F.col("_w"), lambda w: F.lower(w)), stop_arr
+        )
+    )
+    out = base.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(F.when(nw > 0, n_symbols / nw).otherwise(F.lit(0.0)), 6).alias(
+            "symbol_word_ratio"
+        ),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopwords") >= min_stopwords),
+    )

@@ -850,6 +850,17 @@ def main() -> None:
             )
         )
 
+        from capreolus_spark.textproc.quality import gopher_stats
+
+        gs = gopher_stats(docs_df.select(F.col("doc_id"), F.col("text")))
+        gsplan = gs._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "gopher_stats shuffle-free python-free projection",
+                "Exchange" not in gsplan and "BatchEvalPython" not in gsplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

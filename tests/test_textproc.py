@@ -1866,3 +1866,42 @@ def test_ccnet_partition_per_lang_terciles(spark):
     # deterministic
     again = {r["doc_id"]: r["bucket"] for r in ccnet_partition(df).collect()}
     assert again == {k: v["bucket"] for k, v in out.items()}
+
+
+def test_gopher_stats_published_rules(spark):
+    """Gopher A1.1 rules: each handcrafted doc trips exactly the rule it
+    was built for; the fluent doc passes everything."""
+    from capreolus_spark.textproc.quality import gopher_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and that dog have fun with everyone of them " * 10),
+            (2, "• item one\n• item two\n• item three"),       # bullets + short
+            (3, "#### #### #### " * 20),                        # symbols, no alpha
+            (4, "word word trailing off...\nanother line...\nand more..."),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_stats(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_stopwords"] >= 2
+    assert out[2]["bullet_line_frac"] == 1.0 and not out[2]["keep"]
+    assert out[3]["symbol_word_ratio"] > 0.1 and out[3]["alpha_word_frac"] == 0.0
+    assert not out[3]["keep"]
+    assert out[4]["ellipsis_line_frac"] == 1.0 and not out[4]["keep"]
+    assert out[5]["n_words"] == 0 and not out[5]["keep"]
+    # word-count band: the fluent doc shrunk below min_words fails
+    short = spark.createDataFrame(
+        [(9, "the dog and that fox have fun with all of it")],
+        "doc_id int, text string",
+    )
+    r9 = gopher_stats(short).collect()[0]
+    assert not r9["keep"]                      # 11 words < 50
+    assert gopher_stats(short, min_words=5).collect()[0]["keep"]
+    # mean word length upper bound
+    longw = spark.createDataFrame(
+        [(7, " ".join(["extraordinarily"] * 60) + " the of and that be to have with")],
+        "doc_id int, text string",
+    )
+    r7 = gopher_stats(longw).collect()[0]
+    assert r7["mean_word_len"] > 10 and not r7["keep"]
