@@ -3393,6 +3393,20 @@ def _q_gopher_stats(spark, sf_dir):
     )
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    """Gopher n-gram repetition signals (Rae et al. 2021 App. A1.1;
+    textproc/quality.py gopher_repetition): top-{2,3,4}-gram character
+    fractions (deterministic (cnt desc, gram asc) argmax) and
+    dup-{5..10}-gram TRUE interval-union character coverage, dense
+    (doc, kind, n) grid with zero-fill — one explode, one shuffle keyed
+    by (doc, n, gram)."""
+    from capreolus_spark.textproc.quality import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "kind", "n", "frac"
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     """Multinomial NB self-train/self-predict over ``documents`` with
     ``source`` as the label: a pure-aggregation classifier whose scores
@@ -5864,6 +5878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "ccnet_buckets": _q_ccnet_buckets,
         "gopher_stats": _q_gopher_stats,
+        "gopher_repetition": _q_gopher_repetition,
         "nb_classify": _q_nb_classify,
         "shard_export": _q_shard_export,
         "doc_fingerprint": _q_fingerprint,
@@ -7357,6 +7372,47 @@ def oracle_sql() -> dict[str, str]:
             "AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 "
             "AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
             "AND alpha_word_frac >= 0.8 AND n_stopwords >= 0) AS keep FROM m"
+        ),
+        # Gopher repetition: parallel-unnest zipped (pos, gram) per n,
+        # positions collected per gram, range() end-exclusive mirrors
+        # Spark's inclusive sequence(p, p+n-1)
+        "gopher_repetition": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+            "tc AS (SELECT doc_id, toks, "
+            "coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS total_chars FROM tok), "
+            "ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n), "
+            "pre AS (SELECT doc_id, n, "
+            "CASE WHEN len(toks) >= n THEN range(0, len(toks) - n + 1) ELSE [] END AS poslist, "
+            "CASE WHEN len(toks) >= n THEN list_transform(range(0, len(toks) - n + 1), "
+            "i -> array_to_string(list_slice(toks, i + 1, i + n), ' ')) ELSE [] END AS gramlist "
+            "FROM tc CROSS JOIN ns), "
+            "g AS (SELECT doc_id, n, unnest(poslist) AS pos, unnest(gramlist) AS gram FROM pre), "
+            "c AS (SELECT doc_id, n, gram, count(*) AS cnt, list(pos) AS positions, "
+            "len(gram) - (n - 1) AS gchars FROM g GROUP BY doc_id, n, gram), "
+            "t AS (SELECT doc_id, n, cnt, gchars, gram, "
+            "row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn "
+            "FROM c WHERE n IN (2,3,4)), "
+            "topf AS (SELECT t.doc_id, 'top' AS kind, t.n, "
+            "round(CASE WHEN total_chars > 0 THEN "
+            "(cnt * gchars) / CAST(total_chars AS DOUBLE) ELSE 0.0 END, 6) AS frac "
+            "FROM t JOIN tc USING (doc_id) WHERE rn = 1), "
+            "d AS (SELECT doc_id, n, "
+            "flatten(list_transform(positions, p -> range(p, p + n))) AS cov "
+            "FROM c WHERE n IN (5,6,7,8,9,10) AND cnt > 1), "
+            "d2 AS (SELECT doc_id, n, list_distinct(flatten(list(cov))) AS idx "
+            "FROM d GROUP BY doc_id, n), "
+            "dupf AS (SELECT d2.doc_id, 'dup' AS kind, d2.n, "
+            "round(CASE WHEN total_chars > 0 THEN "
+            "CAST(list_sum(list_transform(idx, i -> len(toks[CAST(i AS INT) + 1]))) AS DOUBLE) "
+            "/ total_chars ELSE 0.0 END, 6) AS frac FROM d2 JOIN tc USING (doc_id)), "
+            "grid AS (SELECT doc_id, kind, n FROM tc CROSS JOIN "
+            "(SELECT 'top' AS kind, unnest([2,3,4]) AS n "
+            "UNION ALL SELECT 'dup', unnest([5,6,7,8,9,10])) k) "
+            "SELECT cast(grid.doc_id AS bigint) AS doc_id, grid.kind, "
+            "CAST(grid.n AS INT) AS n, coalesce(f.frac, 0.0) AS frac FROM grid "
+            "LEFT JOIN (SELECT * FROM topf UNION ALL SELECT * FROM dupf) f "
+            "USING (doc_id, kind, n)"
         ),
         # CCNet terciles: the lm_perplexity pipeline + per-lang
         # quantile_cont thirds (nearest-double literals shared with the

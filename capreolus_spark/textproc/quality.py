@@ -592,3 +592,150 @@ def gopher_stats(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("n_stopwords") >= min_stopwords),
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher's full n-gram repetition signals (Rae et al. 2021 App.
+    A1.1, the rows :func:`repetition_stats` doesn't cover): per
+    document, long format ``(doc_id, kind, n, frac)`` —
+
+    * ``kind='top'`` (n in ``top_ns``): fraction of token characters
+      contained in occurrences of the MOST FREQUENT n-gram
+      (count · gram-chars / total token chars; ties broken gram-asc,
+      the deterministic convention);
+    * ``kind='dup'`` (n in ``dup_ns``): fraction of token characters
+      covered by n-grams occurring more than once — TRUE interval-union
+      coverage (each token counted once however many duplicated grams
+      overlap it), the reading that avoids >1 fractions.
+
+    Character counts are token characters (joining whitespace
+    excluded), so the fractions are tokenizer-stable.  The paper's
+    thresholds (0.20/0.18/0.16 for top 2/3/4; 0.15…0.10 for dup 5…10)
+    apply downstream as plain filters.
+
+    Scale shape: ONE explode produces (doc, n, pos, gram) for every n
+    — a single shuffle keyed by (doc, n, gram) whose width is bounded
+    by |n-values| × document tokens; the coverage union is per-(doc,n)
+    array algebra over collected position lists (driver never touched).
+    """
+    n_values = sorted(set(top_ns) | set(dup_ns))
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("_toks")
+    ).withColumn(
+        "_total_chars",
+        F.aggregate(
+            F.transform(F.col("_toks"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    exploded = (
+        toked.select(
+            "doc_id",
+            "_toks",
+            F.explode(F.array(*[F.lit(int(n)) for n in n_values])).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.posexplode(
+                F.when(
+                    F.size("_toks") >= F.col("n"),
+                    F.expr(
+                        "transform(sequence(0, size(_toks) - n), "
+                        "i -> array_join(slice(_toks, i + 1, n), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "gram"),
+        )
+    )
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.collect_list("pos").alias("_positions"),
+        # token chars of the gram = its length minus the n-1 join spaces
+        (F.length(F.first("gram")) - (F.col("n") - 1)).alias("_gchars"),
+    )
+
+    from pyspark.sql import Window as _W
+
+    top_rank = _W.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.filter(F.col("n").isin([int(n) for n in top_ns]))
+        .withColumn("_rn", F.row_number().over(top_rank))
+        .filter(F.col("_rn") == 1)
+        .join(toked.select("doc_id", "_total_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.lit("top").alias("kind"),
+            F.col("n").cast("int").alias("n"),
+            F.round(
+                F.when(
+                    F.col("_total_chars") > 0,
+                    (F.col("cnt") * F.col("_gchars"))
+                    / F.col("_total_chars").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("frac"),
+        )
+    )
+
+    dup_cov = (
+        counts.filter(
+            F.col("n").isin([int(n) for n in dup_ns]) & (F.col("cnt") > 1)
+        )
+        .withColumn(
+            "_covered",
+            F.flatten(
+                F.transform(
+                    F.col("_positions"),
+                    lambda p: F.sequence(p, p + F.col("n") - 1),
+                )
+            ),
+        )
+        .groupBy("doc_id", "n")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("_covered"))).alias("_idx")
+        )
+        .join(toked, "doc_id")
+        .select(
+            "doc_id",
+            F.lit("dup").alias("kind"),
+            F.col("n").cast("int").alias("n"),
+            F.round(
+                F.when(
+                    F.col("_total_chars") > 0,
+                    F.aggregate(
+                        F.col("_idx"),
+                        F.lit(0).cast("long"),
+                        lambda a, i: a
+                        + F.length(F.element_at(F.col("_toks"), i.cast("int") + 1)),
+                    )
+                    / F.col("_total_chars").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("frac"),
+        )
+    )
+
+    # dense grid: every (doc, kind, n) pair emitted, zero where no
+    # top gram exists (short docs) or nothing is duplicated
+    grid_rows = [("top", int(n)) for n in top_ns] + [("dup", int(n)) for n in dup_ns]
+    grid = toked.select("doc_id").crossJoin(
+        toked.sparkSession.createDataFrame(grid_rows, "kind string, n int")
+    )
+    out = (
+        grid.join(top.unionByName(dup_cov), ["doc_id", "kind", "n"], "left")
+        .select(
+            "doc_id",
+            "kind",
+            "n",
+            F.coalesce(F.col("frac"), F.lit(0.0)).alias("frac"),
+        )
+    )
+    return out

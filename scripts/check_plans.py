@@ -850,7 +850,16 @@ def main() -> None:
             )
         )
 
-        from capreolus_spark.textproc.quality import gopher_stats
+        from capreolus_spark.textproc.quality import gopher_repetition, gopher_stats
+
+        gr = gopher_repetition(docs_df.select(F.col("doc_id"), F.col("text")))
+        grplan = gr._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "gopher_repetition python-free, partial-agg gram counts",
+                "BatchEvalPython" not in grplan and "partial_count" in grplan,
+            )
+        )
 
         gs = gopher_stats(docs_df.select(F.col("doc_id"), F.col("text")))
         gsplan = gs._jdf.queryExecution().executedPlan().toString()

@@ -1905,3 +1905,42 @@ def test_gopher_stats_published_rules(spark):
     )
     r7 = gopher_stats(longw).collect()[0]
     assert r7["mean_word_len"] > 10 and not r7["keep"]
+
+
+def test_gopher_repetition_matches_brute_force(spark):
+    """top-n char fraction and TRUE union dup coverage vs a pure-python
+    twin, incl. overlap no-double-count and the dense zero grid."""
+    from collections import Counter
+
+    from capreolus_spark.textproc.quality import gopher_repetition
+
+    texts = {
+        1: "a b c d e a b c d e a b c d e",          # periodic: dup-5 covers all
+        2: "one two three four five six seven eight nine ten",  # no repetition
+        3: "x",                                       # shorter than every n
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    out = {(r["doc_id"], r["kind"], r["n"]): r["frac"]
+           for r in gopher_repetition(docs).collect()}
+    assert len(out) == 3 * 9                          # dense grid
+    for did, text in texts.items():
+        toks = text.split()
+        total = sum(len(t) for t in toks)
+        for n in (2, 3, 4):
+            c = Counter(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            if c and total:
+                g, cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                want = round(cnt * (len(g) - (n - 1)) / total, 6)
+            else:
+                want = 0.0
+            assert abs(out[(did, "top", n)] - want) < 1e-9, (did, n)
+        for n in (5, 6, 7, 8, 9, 10):
+            c = Counter(" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1)))
+            cov = set()
+            for i in range(max(0, len(toks) - n + 1)):
+                if c[" ".join(toks[i:i + n])] > 1:
+                    cov.update(range(i, i + n))
+            want = round(sum(len(toks[i]) for i in cov) / total, 6) if total else 0.0
+            assert abs(out[(did, "dup", n)] - want) < 1e-9, (did, n)
+    # overlapping duplicated grams never push coverage past 1
+    assert all(v <= 1.0 for v in out.values())
