@@ -3407,6 +3407,54 @@ def _q_gopher_repetition(spark, sf_dir):
     )
 
 
+def _q_fineweb_stats(spark, sf_dir):
+    """FineWeb line-level heuristics (Penedo et al. 2024;
+    textproc/quality.py fineweb_stats): short-line fraction,
+    terminal-punctuation line fraction, duplicated-line char fraction
+    (every copy counted), keep from the published defaults —
+    shuffle-free array expressions."""
+    from capreolus_spark.textproc.quality import fineweb_stats
+
+    return fineweb_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines",
+        "short_line_frac",
+        "punct_line_frac",
+        "dup_line_char_frac",
+        "keep",
+    )
+
+
+def _q_paragraph_dup_stats(spark, sf_dir):
+    """Corpus-wide paragraph exact-dup profile (Lee et al. 2022 / RETRO
+    granularity; textproc/dedup.py paragraph_dup_stats): blank-line
+    paragraphs >= 20 chars, normalized md5 counted corpus-wide, per-doc
+    dup counts + char fraction — one 16-byte-key shuffle."""
+    from capreolus_spark.textproc.dedup import paragraph_dup_stats
+
+    return paragraph_dup_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_paragraphs",
+        "n_dup_paragraphs",
+        "dup_para_char_frac",
+    )
+
+
+def _q_drop_dup_paragraphs(spark, sf_dir):
+    """Keep-one-copy paragraph dedup rewrite (textproc/dedup.py
+    drop_dup_paragraphs): canonical slot = least (doc_id, para_idx),
+    docs reassembled in order; gate pins the md5 of every rebuilt doc
+    (the drop_dup_functions convention)."""
+    from capreolus_spark.textproc.dedup import drop_dup_paragraphs
+
+    out = drop_dup_paragraphs(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        "n_dropped",
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     """Multinomial NB self-train/self-predict over ``documents`` with
     ``source`` as the label: a pure-aggregation classifier whose scores
@@ -5879,6 +5927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "gopher_stats": _q_gopher_stats,
         "gopher_repetition": _q_gopher_repetition,
+        "fineweb_stats": _q_fineweb_stats,
+        "paragraph_dup_stats": _q_paragraph_dup_stats,
+        "drop_dup_paragraphs": _q_drop_dup_paragraphs,
         "nb_classify": _q_nb_classify,
         "shard_export": _q_shard_export,
         "doc_fingerprint": _q_fingerprint,
@@ -7372,6 +7423,79 @@ def oracle_sql() -> dict[str, str]:
             "AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 "
             "AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
             "AND alpha_word_frac >= 0.8 AND n_stopwords >= 0) AS keep FROM m"
+        ),
+        # FineWeb line heuristics: nested-scan dup-line chars (every
+        # copy counts), trim-before-measure conventions mirrored
+        "fineweb_stats": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, chr(10)), ln -> len(trim(ln)) > 0) AS l "
+            "FROM documents), "
+            "m AS (SELECT doc_id, cast(len(l) AS bigint) AS n_lines, "
+            "round(CASE WHEN len(l) > 0 THEN "
+            "cast(len(list_filter(l, ln -> len(trim(ln)) < 30)) AS DOUBLE) / len(l) "
+            "ELSE 0.0 END, 6) AS short_line_frac, "
+            "round(CASE WHEN len(l) > 0 THEN "
+            "cast(len(list_filter(l, ln -> regexp_matches(trim(ln), '[.!?\"]$'))) AS DOUBLE) / len(l) "
+            "ELSE 0.0 END, 6) AS punct_line_frac, "
+            "list_transform(l, ln -> trim(ln)) AS t FROM base), "
+            "m2 AS (SELECT doc_id, n_lines, short_line_frac, punct_line_frac, "
+            "coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS total_chars, "
+            "coalesce(list_sum(list_transform("
+            "list_filter(t, x -> len(list_filter(t, o -> o = x)) > 1), "
+            "x -> len(x))), 0) AS dup_chars FROM m) "
+            "SELECT doc_id, n_lines, short_line_frac, punct_line_frac, "
+            "round(CASE WHEN total_chars > 0 THEN "
+            "cast(dup_chars AS DOUBLE) / total_chars ELSE 0.0 END, 6) AS dup_line_char_frac, "
+            "(short_line_frac <= 0.67 AND punct_line_frac >= 0.12 AND "
+            "round(CASE WHEN total_chars > 0 THEN cast(dup_chars AS DOUBLE) / total_chars "
+            "ELSE 0.0 END, 6) <= 0.2) AS keep FROM m2"
+        ),
+        # paragraph-level exact dedup: blank-line split, >=20-char
+        # paragraphs, whitespace/case-normalized md5, corpus-wide counts
+        "paragraph_dup_stats": (
+            "WITH prs AS (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps "
+            "FROM documents), "
+            "e AS (SELECT doc_id, unnest(range(0, len(ps))) AS para_idx, "
+            "unnest(list_transform(ps, x -> trim(x))) AS para FROM prs), "
+            "p AS (SELECT doc_id, para_idx, para, "
+            "md5(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS pmd5, "
+            "cast(len(para) AS bigint) AS n_chars FROM e WHERE len(para) >= 20), "
+            "c AS (SELECT pmd5, count(*) AS n FROM p GROUP BY pmd5) "
+            "SELECT cast(p.doc_id AS bigint) AS doc_id, "
+            "cast(count(*) AS bigint) AS n_paragraphs, "
+            "cast(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_paragraphs, "
+            "round(sum(CASE WHEN c.n > 1 THEN p.n_chars ELSE 0 END) "
+            "/ cast(sum(p.n_chars) AS DOUBLE), 6) AS dup_para_char_frac "
+            "FROM p JOIN c USING (pmd5) GROUP BY p.doc_id"
+        ),
+        # keep-one-copy paragraph rewrite: rn=1 over (doc asc, idx asc)
+        # == Spark's min-struct canonical; md5 of every rebuilt doc
+        "drop_dup_paragraphs": (
+            "WITH prs AS (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps "
+            "FROM documents), "
+            "e AS (SELECT doc_id, unnest(range(0, len(ps))) AS para_idx, "
+            "unnest(list_transform(ps, x -> trim(x))) AS para FROM prs), "
+            "p AS (SELECT doc_id, para_idx, para, "
+            "md5(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS pmd5 "
+            "FROM e WHERE len(para) >= 20), "
+            "dec AS (SELECT doc_id, para_idx, "
+            "row_number() OVER (PARTITION BY pmd5 "
+            "ORDER BY cast(doc_id AS varchar) ASC, para_idx ASC) AS rn, "
+            "count(*) OVER (PARTITION BY pmd5) AS n FROM p), "
+            "dropped AS (SELECT doc_id, para_idx FROM dec WHERE n > 1 AND rn > 1), "
+            "kept AS (SELECT a.doc_id, a.para_idx, a.para FROM e a "
+            "LEFT JOIN dropped d ON a.doc_id = d.doc_id AND a.para_idx = d.para_idx "
+            "WHERE d.doc_id IS NULL AND len(a.para) > 0), "
+            "reb AS (SELECT doc_id, array_to_string(list_transform("
+            "list_sort(list(struct_pack(i := para_idx, p := para))), s -> s.p), "
+            "chr(10) || chr(10)) AS text FROM kept GROUP BY doc_id), "
+            "nd AS (SELECT doc_id, cast(count(*) AS bigint) AS n_dropped "
+            "FROM dropped GROUP BY doc_id) "
+            "SELECT cast(d.doc_id AS bigint) AS doc_id, "
+            "md5(coalesce(reb.text, '')) AS text_md5, "
+            "coalesce(nd.n_dropped, 0) AS n_dropped FROM "
+            "(SELECT DISTINCT doc_id FROM documents) d "
+            "LEFT JOIN reb USING (doc_id) LEFT JOIN nd USING (doc_id)"
         ),
         # Gopher repetition: parallel-unnest zipped (pos, gram) per n,
         # positions collected per gram, range() end-exclusive mirrors

@@ -979,3 +979,125 @@ def code_chunk_near_dup_pairs(
         (F.col("id_b") % lim).cast("long").alias("chunk_b"),
         "jaccard",
     )
+
+
+def _paragraphs(df: DataFrame, text_col: str, id_col: str, min_chars: int):
+    """(doc_id, para_idx, para, norm_md5, n_chars) — blank-line-split
+    paragraphs with a whitespace-collapsed lowercase md5 key; paragraphs
+    shorter than ``min_chars`` (after trim) are dropped from dedup
+    consideration entirely (the Lee et al. tiny-fragment rule)."""
+    paras = F.split(F.col(text_col), "\n{2,}")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(paras).alias("para_idx", "para")
+    ).withColumn("para", F.trim("para"))
+    norm = F.regexp_replace(F.lower(F.col("para")), "\\s+", " ")
+    return (
+        exploded.filter(F.length("para") >= min_chars)
+        .select(
+            "doc_id",
+            "para_idx",
+            "para",
+            F.md5(norm).alias("pmd5"),
+            F.length("para").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def paragraph_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact-dup profile (the granularity
+    Lee et al. 2022 / RETRO's preprocessing dedup at: blank-line
+    paragraphs, whitespace/case-normalized): per document —
+    ``n_paragraphs`` (of dedupable size), ``n_dup_paragraphs`` (whose
+    normalized text occurs in more than one (doc, paragraph) slot
+    anywhere in the corpus), and ``dup_para_char_frac``.
+
+    One shuffle of 16-byte md5 keys for the corpus-wide counts
+    (paragraph bodies never move), one combinable per-doc rollup.
+    """
+    p = _paragraphs(df, text_col, id_col, min_chars)
+    counts = p.groupBy("pmd5").agg(F.count("*").alias("_n"))
+    joined = p.join(counts, "pmd5")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paragraphs"),
+            F.sum((F.col("_n") > 1).cast("long")).cast("long").alias("n_dup_paragraphs"),
+            F.round(
+                F.sum(F.when(F.col("_n") > 1, F.col("n_chars")).otherwise(F.lit(0)))
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("dup_para_char_frac"),
+        )
+    )
+
+
+def drop_dup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Keep-one-copy paragraph dedup rewrite: of every corpus-wide
+    normalized-duplicate paragraph group only the CANONICAL slot — the
+    lexicographically least (doc_id, para_idx) — survives; documents
+    are reassembled from their surviving paragraphs in original order
+    (blank-line joined).  Returns ``(doc_id, text, n_dropped)``;
+    documents whose every sizeable paragraph was dropped come back with
+    the empty string (preserved, like ``drop_dup_functions``), and
+    sub-``min_chars`` fragments always survive (they are below dedup
+    granularity).
+
+    The drop decision travels as a slim (doc_id, para_idx) frame —
+    paragraph BODIES move once, in the per-doc reassembly groupBy.
+    """
+    p = _paragraphs(df, text_col, id_col, min_chars)
+    canon = p.groupBy("pmd5").agg(
+        F.min(F.struct(F.col("doc_id").cast("string").alias("d"), "para_idx")).alias(
+            "_keep"
+        ),
+        F.count("*").alias("_n"),
+    )
+    decided = p.join(canon, "pmd5").withColumn(
+        "_drop",
+        (F.col("_n") > 1)
+        & ~(
+            (F.col("doc_id").cast("string") == F.col("_keep.d"))
+            & (F.col("para_idx") == F.col("_keep.para_idx"))
+        ),
+    )
+    # fragments below min_chars never entered p; recover them from a
+    # fresh posexplode so reassembly keeps them in place
+    allp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n{2,}")).alias("para_idx", "para"),
+    ).withColumn("para", F.trim("para"))
+    dropped = decided.filter(F.col("_drop")).select("doc_id", "para_idx")
+    kept = allp.join(dropped, ["doc_id", "para_idx"], "left_anti").filter(
+        F.length("para") > 0
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col)
+    )
+    n_dropped = dropped.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dropped"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(rebuilt, "doc_id", "left")
+        .join(n_dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

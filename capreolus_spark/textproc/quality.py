@@ -739,3 +739,87 @@ def gopher_repetition(
         )
     )
     return out
+
+
+def fineweb_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    min_punct_line_frac: float = 0.12,
+    max_dup_line_char_frac: float = 0.2,
+) -> DataFrame:
+    """FineWeb's additional line-level heuristics (Penedo et al. 2024
+    §3.2/C4-extensions — the rules they found removed the most bad mass
+    beyond Gopher/C4): per document,
+
+    * ``short_line_frac`` — fraction of non-empty lines shorter than
+      ``short_line_chars`` characters (listing/nav-bar detector);
+    * ``punct_line_frac`` — fraction of non-empty lines ENDING in
+      terminal punctuation (. ! ? ") — C4's rule generalized to a
+      document-level ratio;
+    * ``dup_line_char_frac`` — fraction of non-empty-line characters
+      belonging to lines that occur more than once in the document
+      (every copy counts, the FineWeb accounting);
+    * ``keep`` — all three inside their published-default bounds.
+
+    Pure shuffle-free array expressions; fractions on the 6dp grid.
+    (The dup-line count is a per-document nested array scan —
+    quadratic in a document's LINE count, which web docs keep small;
+    a pathological million-line file should go through the exploded
+    ``repetition_stats`` shuffle path instead.)
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    base = df.select(F.col(id_col), lines.alias("_l"))
+    nl = F.size("_l").cast("double")
+    short_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(F.col("_l"), lambda ln: F.length(F.trim(ln)) < short_line_chars)
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    punct_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(F.col("_l"), lambda ln: F.trim(ln).rlike("[.!?\"]$"))
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    trimmed = F.transform(F.col("_l"), lambda ln: F.trim(ln))
+    total_chars = F.aggregate(
+        F.transform(trimmed, lambda ln: F.length(ln).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # chars of every line whose trimmed text appears more than once:
+    # count per distinct line via the array itself (no shuffle)
+    dup_chars = F.aggregate(
+        F.filter(
+            trimmed,
+            lambda ln: F.size(F.filter(trimmed, lambda o: o == ln)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x),
+    )
+    out = base.select(
+        F.col(id_col),
+        F.size("_l").cast("long").alias("n_lines"),
+        F.round(short_frac, 6).alias("short_line_frac"),
+        F.round(punct_frac, 6).alias("punct_line_frac"),
+        F.round(
+            F.when(total_chars > 0, dup_chars / total_chars.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("short_line_frac") <= max_short_line_frac)
+        & (F.col("punct_line_frac") >= min_punct_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac),
+    )

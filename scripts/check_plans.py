@@ -861,6 +861,27 @@ def main() -> None:
             )
         )
 
+        from capreolus_spark.textproc.dedup import paragraph_dup_stats
+        from capreolus_spark.textproc.quality import fineweb_stats
+
+        pd_ = paragraph_dup_stats(docs_df.select(F.col("doc_id"), F.col("text")))
+        pdplan = pd_._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "paragraph dedup slim md5-key shuffle, python-free",
+                "BatchEvalPython" not in pdplan and "partial_count" in pdplan,
+            )
+        )
+
+        fw = fineweb_stats(docs_df.select(F.col("doc_id"), F.col("text")))
+        fwplan = fw._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "fineweb_stats shuffle-free python-free projection",
+                "Exchange" not in fwplan and "BatchEvalPython" not in fwplan,
+            )
+        )
+
         gs = gopher_stats(docs_df.select(F.col("doc_id"), F.col("text")))
         gsplan = gs._jdf.queryExecution().executedPlan().toString()
         results.append(

@@ -1944,3 +1944,65 @@ def test_gopher_repetition_matches_brute_force(spark):
             assert abs(out[(did, "dup", n)] - want) < 1e-9, (did, n)
     # overlapping duplicated grams never push coverage past 1
     assert all(v <= 1.0 for v in out.values())
+
+
+def test_paragraph_dedup_keeps_canonical_slot(spark):
+    """The least (doc_id, para_idx) copy of a repeated paragraph
+    survives; stats count every duplicated slot; reassembly preserves
+    paragraph order and sub-min_chars fragments."""
+    from capreolus_spark.textproc.dedup import (
+        drop_dup_paragraphs,
+        paragraph_dup_stats,
+    )
+
+    shared = "This paragraph is shared boilerplate text across documents."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared}\n\nUnique content of document one goes here today.\n\nok"),
+            (2, f"{shared}\n\nEntirely different second-document body text."),
+            (3, f"{shared}\n\n{shared}"),   # intra-doc repeat too
+            (4, "Only unique text in this one, nothing repeated at all."),
+        ],
+        "doc_id int, text string",
+    )
+    stats = {r["doc_id"]: r for r in paragraph_dup_stats(docs).collect()}
+    assert stats[1]["n_paragraphs"] == 2          # 'ok' below min_chars
+    assert stats[1]["n_dup_paragraphs"] == 1
+    assert stats[3]["n_dup_paragraphs"] == 2 and stats[3]["dup_para_char_frac"] == 1.0
+    assert stats[4]["n_dup_paragraphs"] == 0
+
+    out = {r["doc_id"]: r for r in drop_dup_paragraphs(docs).collect()}
+    assert out[1]["n_dropped"] == 0 and shared in out[1]["text"]
+    assert out[1]["text"].endswith("\n\nok")       # tiny fragment kept in place
+    assert out[2]["n_dropped"] == 1 and shared not in out[2]["text"]
+    assert out[3]["n_dropped"] == 2 and out[3]["text"] == ""
+    assert out[4]["n_dropped"] == 0
+    # normalization: case/whitespace variants collapse to one group
+    variant = spark.createDataFrame(
+        [(1, shared), (2, shared.upper().replace(" ", "  "))],
+        "doc_id int, text string",
+    )
+    vs = {r["doc_id"]: r["n_dup_paragraphs"]
+          for r in paragraph_dup_stats(variant).collect()}
+    assert vs == {1: 1, 2: 1}
+
+
+def test_fineweb_stats_line_rules(spark):
+    from capreolus_spark.textproc.quality import fineweb_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A proper sentence that is long enough to not be short at all.\n"
+                "Another full sentence, also comfortably past thirty characters!"),
+            (2, "nav\nhome\nabout\nnav\nhome\nabout"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in fineweb_stats(docs).collect()}
+    assert out[1]["keep"] and out[1]["punct_line_frac"] == 1.0
+    assert out[1]["short_line_frac"] == 0.0 and out[1]["dup_line_char_frac"] == 0.0
+    r2 = out[2]
+    assert r2["short_line_frac"] == 1.0 and r2["dup_line_char_frac"] == 1.0
+    assert not r2["keep"]
+    assert out[3]["n_lines"] == 0 and not out[3]["keep"]
