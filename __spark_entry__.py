@@ -1707,6 +1707,31 @@ def _q_minmax_norm(spark, sf_dir):
     )
 
 
+def _q_run_sig_test(spark, sf_dir):
+    """Paired significance tests between two runs (Smucker et al. 2007;
+    evaluation/frames.py paired_sig_test): per-qid AP of the two synth
+    runs, paired Student t + Fisher sign-flip randomization (B=1000,
+    md5-seeded) with EXACT-DECIMAL permutation sums so the boundary
+    ``>=`` — hit by the identity permutation by construction — is
+    engine-stable."""
+    from capreolus_spark.evaluation.frames import eval_metrics_df, paired_sig_test
+
+    qrels = _synth_qrels(spark, sf_dir)
+    run1 = _synth_run(spark, sf_dir)
+    run2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+    a = eval_metrics_df(run1, qrels).select("qid", "ap")
+    b = eval_metrics_df(run2, qrels).select("qid", "ap")
+    return paired_sig_test(a, b, metric_col="ap", n_perm=1000, seed="r5sig")
+
+
 def _q_run_interpolation(spark, sf_dir):
     from capreolus_spark.evaluation.frames import interpolate_runs_df
 
@@ -5911,6 +5936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_filter_remove": _q_filter_remove,
         "run_filter_keep_topn": _q_filter_keep_topn,
         "eval_metrics": _q_eval_metrics,
+        "run_sig_test": _q_run_sig_test,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -6823,6 +6849,53 @@ def oracle_sql() -> dict[str, str]:
             "round(cast(rel_at_r AS DOUBLE) / cast(n_rel AS DOUBLE), 6) AS rprec, "
             "cast(n_rel AS bigint) AS n_rel, cast(n_nonrel AS bigint) AS n_nonrel "
             "FROM agg"
+        ),
+        # paired t + Fisher randomization between the two synth runs'
+        # per-qid AP: decimal sign-sums make |S_b| >= |S_obs| exact
+        "run_sig_test": (
+            f"WITH run1 AS ({_SYNTH_RUN_SQL}), "
+            "run2 AS (SELECT cast(doc_id % 5 AS varchar) AS qid, "
+            "cast(doc_id AS varchar) AS docid, "
+            "((doc_id * 53) % 97) / 9.0 AS score FROM documents WHERE doc_id % 3 != 0), "
+            f"qrels AS ({_SYNTH_QRELS_SQL}), "
+            "nrel AS (SELECT qid, count(*) AS n_rel FROM qrels WHERE label >= 1 GROUP BY qid), "
+            "lab1 AS (SELECT run1.qid, run1.docid, run1.score, "
+            "CASE WHEN coalesce(qrels.label, 0) >= 1 THEN 1 ELSE 0 END AS rel "
+            "FROM run1 LEFT JOIN qrels ON run1.qid = qrels.qid AND run1.docid = qrels.docid), "
+            "r1 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid DESC) AS rank, "
+            "sum(rel) OVER (PARTITION BY qid ORDER BY score DESC, docid DESC ROWS UNBOUNDED PRECEDING) AS cum_rel FROM lab1), "
+            "a1 AS (SELECT qid, sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank ELSE 0 END) AS ap_num "
+            "FROM r1 GROUP BY qid), "
+            "ap1 AS (SELECT a1.qid, CAST(round(ap_num / n_rel, 6) AS DECIMAL(18,6)) AS m "
+            "FROM a1 JOIN nrel ON a1.qid = nrel.qid), "
+            "lab2 AS (SELECT run2.qid, run2.docid, run2.score, "
+            "CASE WHEN coalesce(qrels.label, 0) >= 1 THEN 1 ELSE 0 END AS rel "
+            "FROM run2 LEFT JOIN qrels ON run2.qid = qrels.qid AND run2.docid = qrels.docid), "
+            "r2 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid DESC) AS rank, "
+            "sum(rel) OVER (PARTITION BY qid ORDER BY score DESC, docid DESC ROWS UNBOUNDED PRECEDING) AS cum_rel FROM lab2), "
+            "a2 AS (SELECT qid, sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank ELSE 0 END) AS ap_num "
+            "FROM r2 GROUP BY qid), "
+            "ap2 AS (SELECT a2.qid, CAST(round(ap_num / n_rel, 6) AS DECIMAL(18,6)) AS m "
+            "FROM a2 JOIN nrel ON a2.qid = nrel.qid), "
+            "d AS (SELECT ap1.qid, ap1.m AS ma, ap2.m AS mb, ap1.m - ap2.m AS dd "
+            "FROM ap1 JOIN ap2 ON ap1.qid = ap2.qid), "
+            "s AS (SELECT cast(count(*) AS bigint) AS n, sum(ma) AS sa, sum(mb) AS sb, "
+            "sum(dd) AS sd, sum(dd * dd) AS sdd FROM d), "
+            "pg AS (SELECT b, sum(CASE WHEN "
+            "TRY_CAST(concat('0x', substr(md5(concat_ws('|', 'r5sig', cast(b AS varchar), qid)), 1, 15)) AS BIGINT) % 2 = 0 "
+            "THEN dd ELSE -dd END) AS sb_sum FROM d CROSS JOIN "
+            "(SELECT unnest(range(0, 1000)) AS b) GROUP BY b), "
+            "ex AS (SELECT cast(sum(CASE WHEN abs(pg.sb_sum) >= abs(s.sd) THEN 1 ELSE 0 END) AS bigint) AS ge "
+            "FROM pg CROSS JOIN s), "
+            "fin AS (SELECT n, cast(sa AS DOUBLE) AS sa, cast(sb AS DOUBLE) AS sb, "
+            "cast(sd AS DOUBLE) AS sd, cast(sdd AS DOUBLE) AS sdd, cast(n AS DOUBLE) AS nd FROM s), "
+            "v AS (SELECT *, CASE WHEN n > 1 THEN "
+            "greatest(0.0, (sdd - sd * sd / nd) / (nd - 1.0)) END AS vs FROM fin) "
+            "SELECT v.n, round(sa / nd, 6) AS mean_a, round(sb / nd, 6) AS mean_b, "
+            "round(sd / nd, 6) AS mean_diff, "
+            "round(CASE WHEN vs > 0 THEN (sd / nd) / sqrt(vs / nd) END, 6) AS t_stat, "
+            "CASE WHEN n > 1 THEN cast(n - 1 AS bigint) END AS dof, "
+            "round((1 + ex.ge) / 1001.0, 6) AS p_perm FROM v CROSS JOIN ex"
         ),
         "eval_err": (
             f"WITH run AS ({_SYNTH_RUN_SQL}), qrels AS ({_SYNTH_QRELS_SQL}), "

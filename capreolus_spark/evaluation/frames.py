@@ -375,3 +375,109 @@ def bpref_rprec_df(
             F.col("n_nonrel").cast("bigint").alias("n_nonrel"),
         )
     )
+
+
+def paired_sig_test(
+    per_q_a: DataFrame,
+    per_q_b: DataFrame,
+    metric_col: str = "ap",
+    n_perm: int = 1000,
+    seed: str = "sig",
+) -> DataFrame:
+    """Paired significance tests between two runs' per-query metric
+    frames (Smucker, Allan & Carterette 2007, "A comparison of
+    statistical significance tests for information retrieval" — the
+    paper's recommendation is exactly this pair): the paired Student
+    t-test and Fisher's randomization (sign-flip permutation) test.
+    Inputs are :func:`eval_metrics_df`-shaped frames ``(qid, metric)``;
+    only qids present in BOTH frames pair up (trec_eval convention).
+
+    Returns one row: ``n, mean_a, mean_b, mean_diff, t_stat, dof,
+    p_perm`` (``t_stat`` NULL when the diff variance is 0 or n < 2;
+    two-sided ``p_perm = (1 + #{b: |S_b| >= |S_obs|}) / (B + 1)``,
+    the add-one estimator).
+
+    Determinism: sign flips come from md5(seed|b|qid) parity —
+    reproducible at any parallelism AND replayable by an external
+    engine; the permutation statistic compares EXACT DECIMAL sign-sums
+    (the 6dp metric grid makes them integers up to scale), so the
+    ``>=`` at the boundary — which the identity permutation and every
+    symmetric flip pattern hit by construction — cannot be perturbed
+    by float summation order.  Scale shape: the diff frame is one row
+    per paired qid; the permutation grid is ``B × n`` SLIM rows
+    (b, sign·d) reduced by one combinable groupBy(b) — no per-row
+    Python anywhere.
+    """
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    a = per_q_a.select("qid", F.col(metric_col).cast("decimal(18,6)").alias("_ma"))
+    b = per_q_b.select("qid", F.col(metric_col).cast("decimal(18,6)").alias("_mb"))
+    diffs = a.join(b, "qid").select(
+        "qid", "_ma", "_mb", (F.col("_ma") - F.col("_mb")).alias("_d")
+    )
+    stats = diffs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_ma").alias("_sa"),
+        F.sum("_mb").alias("_sb"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+    )
+    perms = (
+        diffs.crossJoin(
+            F.broadcast(
+                diffs.sparkSession.range(n_perm).select(F.col("id").alias("_b"))
+            )
+        )
+        .select(
+            "_b",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(seed),
+                                F.col("_b").cast("string"),
+                                F.col("qid"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                F.col("_d"),
+            )
+            .otherwise(-F.col("_d"))
+            .alias("_sgn_d"),
+        )
+        .groupBy("_b")
+        .agg(F.sum("_sgn_d").alias("_s"))
+    )
+    exceed = perms.crossJoin(F.broadcast(stats.select(F.col("_sd").alias("_obs")))).agg(
+        F.sum((F.abs(F.col("_s")) >= F.abs(F.col("_obs"))).cast("long")).alias("_ge")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("_sd").cast("double")
+    sdd = F.col("_sdd").cast("double")
+    var_samp = F.when(
+        F.col("n") > 1,
+        F.greatest(F.lit(0.0), (sdd - sd * sd / nd) / (nd - F.lit(1.0))),
+    )
+    t = F.when(
+        var_samp > 0, (sd / nd) / F.sqrt(var_samp / nd)
+    )
+    return stats.crossJoin(F.broadcast(exceed)).select(
+        "n",
+        F.round(F.col("_sa").cast("double") / nd, 6).alias("mean_a"),
+        F.round(F.col("_sb").cast("double") / nd, 6).alias("mean_b"),
+        F.round(sd / nd, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(F.col("n") > 1, (F.col("n") - 1).cast("long")).alias("dof"),
+        F.round(
+            (F.lit(1) + F.col("_ge")) / F.lit(float(n_perm + 1)), 6
+        ).alias("p_perm"),
+    )

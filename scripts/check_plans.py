@@ -891,6 +891,26 @@ def main() -> None:
             )
         )
 
+        from capreolus_spark.evaluation.frames import paired_sig_test
+
+        pa = docs_df.select(
+            F.col("doc_id").cast("string").alias("qid"),
+            (F.col("doc_id") % 7 / 10.0).alias("ap"),
+        )
+        pb = docs_df.select(
+            F.col("doc_id").cast("string").alias("qid"),
+            (F.col("doc_id") % 5 / 10.0).alias("ap"),
+        )
+        st = paired_sig_test(pa, pb, n_perm=50)
+        stplan = st._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "sig_test broadcast permutation grid, python-free",
+                "BroadcastNestedLoopJoin" in stplan
+                and "BatchEvalPython" not in stplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

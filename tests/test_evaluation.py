@@ -320,3 +320,44 @@ def test_bpref_rprec_matches_trec_eval_twin(spark):
     assert "q4" not in got
     # hand-check q2: single retrieved rel, N=0 -> bpref = 1/2 (dZ unretrieved)
     assert got["q2"][0] == 0.5
+
+
+def test_paired_sig_test_matches_scipy_free_twin(spark):
+    """t-stat vs hand-computed paired t; permutation p bounds; identical
+    runs give p 1.0; determinism across calls."""
+    import math
+
+    from capreolus_spark.evaluation.frames import paired_sig_test
+
+    a_vals = [0.61, 0.52, 0.73, 0.44, 0.95, 0.36, 0.57, 0.68]
+    b_vals = [0.31, 0.42, 0.23, 0.44, 0.45, 0.26, 0.37, 0.28]
+    a = spark.createDataFrame(
+        [(f"q{i}", v) for i, v in enumerate(a_vals)], "qid string, ap double"
+    )
+    b = spark.createDataFrame(
+        [(f"q{i}", v) for i, v in enumerate(b_vals)], "qid string, ap double"
+    )
+    r = paired_sig_test(a, b, n_perm=500).collect()[0]
+    n = len(a_vals)
+    d = [x - y for x, y in zip(a_vals, b_vals)]
+    mean = sum(d) / n
+    var = sum((x - mean) ** 2 for x in d) / (n - 1)
+    t = mean / math.sqrt(var / n)
+    assert r["n"] == n and abs(r["mean_diff"] - round(mean, 6)) < 1e-9
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert r["dof"] == n - 1
+    # clearly-better run: p below 0.05; bounded by the add-one estimator
+    assert 1.0 / 501 <= r["p_perm"] < 0.05
+    # identical inputs: every sign-sum ties |S_obs| = 0 -> p = 1
+    same = paired_sig_test(a, a, n_perm=500).collect()[0]
+    assert same["p_perm"] == 1.0 and same["mean_diff"] == 0.0
+    # deterministic across invocations
+    again = paired_sig_test(a, b, n_perm=500).collect()[0]
+    assert again["p_perm"] == r["p_perm"] and again["t_stat"] == r["t_stat"]
+    # unpaired qids are dropped (trec_eval pairing)
+    extra = a.union(spark.createDataFrame([("qx", 0.9)], "qid string, ap double"))
+    assert paired_sig_test(extra, b, n_perm=10).collect()[0]["n"] == n
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        paired_sig_test(a, b, n_perm=0)
