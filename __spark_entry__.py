@@ -1707,6 +1707,59 @@ def _q_minmax_norm(spark, sf_dir):
     )
 
 
+def _rbo_consts(p: float = 0.9, k: int = 20):
+    """The rbo_df weight fold replicated once here so the SQL oracle
+    embeds the BIT-IDENTICAL floats the Spark expression uses."""
+    acc = 1.0
+    terms = [0.0] * (k + 1)
+    for d in range(1, k + 1):
+        acc = acc * p
+        terms[d] = acc / d
+    w = [0.0] * (k + 2)
+    for m in range(k, 0, -1):
+        w[m] = w[m + 1] + terms[m]
+    return [w[m] for m in range(1, k + 1)], acc, (1.0 - p) / p
+
+
+_RBO_W, _RBO_PK, _RBO_SCALE = _rbo_consts(0.9, 20)
+_RBO_ORACLE_SQL = (
+    f"WITH run1 AS ({_SYNTH_RUN_SQL}), "
+    "run2 AS (SELECT cast(doc_id % 5 AS varchar) AS qid, "
+    "cast(doc_id AS varchar) AS docid, "
+    "((doc_id * 53) % 97) / 9.0 AS score FROM documents WHERE doc_id % 3 != 0), "
+    "r1 AS (SELECT * FROM (SELECT qid, docid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS ra FROM run1) WHERE ra <= 20), "
+    "r2 AS (SELECT * FROM (SELECT qid, docid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS rb FROM run2) WHERE rb <= 20), "
+    "j AS (SELECT r1.qid, greatest(ra, rb) AS m FROM r1 JOIN r2 "
+    "ON r1.qid = r2.qid AND r1.docid = r2.docid), "
+    "per AS (SELECT qid, cast(count(*) AS bigint) AS overlap_at_k, "
+    f"sum(([{', '.join(repr(x) for x in _RBO_W)}])[m]) AS wsum FROM j GROUP BY qid) "
+    f"SELECT qid, overlap_at_k, round(wsum * {_RBO_SCALE!r}, 6) AS rbo_min, "
+    f"round(wsum * {_RBO_SCALE!r} + overlap_at_k / 20.0 * {_RBO_PK!r}, 6) AS rbo_ext FROM per"
+)
+
+
+def _q_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010; evaluation/frames.py
+    rbo_df): per-qid RBO_min/RBO_ext between the two synth runs at
+    p=0.9, k=20 — the depth sum collapsed to a per-doc weight lookup
+    (driver-precomputed literal), one join + one combinable groupBy."""
+    from capreolus_spark.evaluation.frames import rbo_df
+
+    run1 = _synth_run(spark, sf_dir)
+    run2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+    return rbo_df(run1, run2, p=0.9, k=20)
+
+
 def _q_run_sig_test(spark, sf_dir):
     """Paired significance tests between two runs (Smucker et al. 2007;
     evaluation/frames.py paired_sig_test): per-qid AP of the two synth
@@ -5937,6 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_filter_keep_topn": _q_filter_keep_topn,
         "eval_metrics": _q_eval_metrics,
         "run_sig_test": _q_run_sig_test,
+        "rbo_runs": _q_rbo,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -6850,6 +6904,9 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_rel AS bigint) AS n_rel, cast(n_nonrel AS bigint) AS n_nonrel "
             "FROM agg"
         ),
+        # RBO: per-doc weight lookup from the SAME python-fold floats
+        # the Spark literal uses (module-level _rbo_consts)
+        "rbo_runs": _RBO_ORACLE_SQL,
         # paired t + Fisher randomization between the two synth runs'
         # per-qid AP: decimal sign-sums make |S_b| >= |S_obs| exact
         "run_sig_test": (

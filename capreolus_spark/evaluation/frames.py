@@ -481,3 +481,65 @@ def paired_sig_test(
             (F.lit(1) + F.col("_ge")) / F.lit(float(n_perm + 1)), 6
         ).alias("p_perm"),
     )
+
+
+def rbo_df(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    p: float = 0.9,
+    k: int = 100,
+) -> DataFrame:
+    """Rank-biased overlap between two runs (Webber, Moffat & Zobel
+    2010, "A similarity measure for indefinite rankings"): per qid —
+    ``overlap_at_k`` (|A_k ∩ B_k|), ``rbo_min`` (the mass from the
+    observed prefix: (1−p)/p · Σ_{d=1..k} p^d·X_d/d) and ``rbo_ext``
+    (the paper's point extrapolation, + X_k/k · p^k).
+
+    The depth sum collapses per DOCUMENT: a doc first present in both
+    prefixes at depth ``m = max(rank_a, rank_b)`` contributes
+    Σ_{d=m..k} p^d/d — a weight depending only on m, PRECOMPUTED on
+    the driver as a k-entry literal (ascending-d float fold, so the
+    constant is bit-identical wherever the expression is built from
+    the same floats).  One inner join on (qid, docid) + one combinable
+    groupBy(qid); ranks are (score desc, docid asc) row_numbers — the
+    deterministic tie order.
+    """
+    if not 0.0 < p < 1.0 or k < 1:
+        raise ValueError(f"need 0 < p < 1 and k >= 1, got p={p}, k={k}")
+    # w[m] = sum_{d=m..k} p^d / d, ascending-d accumulation
+    pows = [0.0] * (k + 2)
+    acc = 1.0
+    terms = [0.0] * (k + 1)
+    for d in range(1, k + 1):
+        acc = acc * p
+        terms[d] = acc / d
+    p_k = acc
+    w = [0.0] * (k + 2)
+    for m in range(k, 0, -1):
+        w[m] = w[m + 1] + terms[m]
+    w_arr = F.array(*[F.lit(w[m]) for m in range(1, k + 1)])
+
+    def ranked(run, side):
+        win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            run.select("qid", "docid", "score")
+            .withColumn(side, F.row_number().over(win))
+            .filter(F.col(side) <= k)
+            .select("qid", "docid", side)
+        )
+
+    joined = ranked(run_a, "ra").join(ranked(run_b, "rb"), ["qid", "docid"])
+    m = F.greatest("ra", "rb")
+    per_q = joined.groupBy("qid").agg(
+        F.count("*").cast("long").alias("overlap_at_k"),
+        F.sum(F.element_at(w_arr, m)).alias("_wsum"),
+    )
+    scale = (1.0 - p) / p
+    base = F.col("_wsum") * F.lit(scale)
+    ext = base + F.col("overlap_at_k") / F.lit(float(k)) * F.lit(p_k)
+    return per_q.select(
+        "qid",
+        "overlap_at_k",
+        F.round(base, 6).alias("rbo_min"),
+        F.round(ext, 6).alias("rbo_ext"),
+    )

@@ -361,3 +361,38 @@ def test_paired_sig_test_matches_scipy_free_twin(spark):
 
     with _pt.raises(ValueError):
         paired_sig_test(a, b, n_perm=0)
+
+
+def test_rbo_matches_paper_definition(spark):
+    """rbo_min/rbo_ext vs the literal prefix-sum definition; identity
+    ranking extrapolates to 1.0; disjoint rankings give no rows."""
+    from capreolus_spark.evaluation.frames import rbo_df
+
+    rows = [("q1", f"d{i}", 100.0 - i) for i in range(10)]
+    a = spark.createDataFrame(rows, "qid string, docid string, score double")
+    same = rbo_df(a, a, p=0.9, k=10).collect()[0]
+    assert same["rbo_ext"] == 1.0 and same["overlap_at_k"] == 10
+
+    perm = [3, 1, 0, 2, 4, 6, 5, 8, 9, 7]
+    c = spark.createDataFrame(
+        [("q1", f"d{perm[i]}", 100.0 - i) for i in range(10)],
+        "qid string, docid string, score double",
+    )
+    r = rbo_df(a, c, p=0.9, k=10).collect()[0]
+    A = [f"d{i}" for i in range(10)]
+    B = [f"d{perm[i]}" for i in range(10)]
+    s = sum(0.9 ** d * len(set(A[:d]) & set(B[:d])) / d for d in range(1, 11))
+    base = (1 - 0.9) / 0.9 * s
+    ext = base + len(set(A) & set(B)) / 10 * 0.9 ** 10
+    assert abs(r["rbo_min"] - round(base, 6)) < 1e-9
+    assert abs(r["rbo_ext"] - round(ext, 6)) < 1e-9
+
+    disjoint = spark.createDataFrame(
+        [("q1", f"x{i}", 100.0 - i) for i in range(10)],
+        "qid string, docid string, score double",
+    )
+    assert rbo_df(a, disjoint, p=0.9, k=10).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rbo_df(a, a, p=1.0)
