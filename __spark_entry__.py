@@ -1760,6 +1760,25 @@ def _q_rbo(spark, sf_dir):
     return rbo_df(run1, run2, p=0.9, k=20)
 
 
+def _q_kendall_tau(spark, sf_dir):
+    """Kendall's τ between the two synth runs' top-20 orderings
+    (evaluation/frames.py kendall_tau_df): τ-a over shared docs,
+    pair enumeration bounded by k per qid."""
+    from capreolus_spark.evaluation.frames import kendall_tau_df
+
+    run1 = _synth_run(spark, sf_dir)
+    run2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+    return kendall_tau_df(run1, run2, k=20)
+
+
 def _q_run_sig_test(spark, sf_dir):
     """Paired significance tests between two runs (Smucker et al. 2007;
     evaluation/frames.py paired_sig_test): per-qid AP of the two synth
@@ -5991,6 +6010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "run_sig_test": _q_run_sig_test,
         "rbo_runs": _q_rbo,
+        "kendall_tau_runs": _q_kendall_tau,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -6903,6 +6923,31 @@ def oracle_sql() -> dict[str, str]:
             "round(cast(rel_at_r AS DOUBLE) / cast(n_rel AS DOUBLE), 6) AS rprec, "
             "cast(n_rel AS bigint) AS n_rel, cast(n_nonrel AS bigint) AS n_nonrel "
             "FROM agg"
+        ),
+        # Kendall tau-a over shared top-20 docs, k-bounded pair join
+        "kendall_tau_runs": (
+            f"WITH run1 AS ({_SYNTH_RUN_SQL}), "
+            "run2 AS (SELECT cast(doc_id % 5 AS varchar) AS qid, "
+            "cast(doc_id AS varchar) AS docid, "
+            "((doc_id * 53) % 97) / 9.0 AS score FROM documents WHERE doc_id % 3 != 0), "
+            "r1 AS (SELECT * FROM (SELECT qid, docid, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS ra FROM run1) WHERE ra <= 20), "
+            "r2 AS (SELECT * FROM (SELECT qid, docid, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, docid ASC) AS rb FROM run2) WHERE rb <= 20), "
+            "sh AS (SELECT r1.qid, r1.docid, ra, rb FROM r1 JOIN r2 "
+            "ON r1.qid = r2.qid AND r1.docid = r2.docid), "
+            "p AS (SELECT x.qid, ((x.ra < y.ra AND x.rb < y.rb) OR "
+            "(x.ra > y.ra AND x.rb > y.rb)) AS conc FROM sh x JOIN sh y "
+            "ON x.qid = y.qid AND x.docid < y.docid), "
+            "c AS (SELECT qid, cast(sum(CASE WHEN conc THEN 1 ELSE 0 END) AS bigint) AS concordant, "
+            "cast(sum(CASE WHEN conc THEN 0 ELSE 1 END) AS bigint) AS discordant FROM p GROUP BY qid), "
+            "sz AS (SELECT qid, cast(count(*) AS bigint) AS n_common FROM sh GROUP BY qid) "
+            "SELECT sz.qid, n_common, coalesce(concordant, 0) AS concordant, "
+            "coalesce(discordant, 0) AS discordant, "
+            "round(CASE WHEN n_common >= 2 THEN "
+            "(coalesce(concordant, 0) - coalesce(discordant, 0)) "
+            "/ cast(n_common * (n_common - 1) / 2 AS DOUBLE) END, 6) AS tau "
+            "FROM sz LEFT JOIN c ON sz.qid = c.qid"
         ),
         # RBO: per-doc weight lookup from the SAME python-fold floats
         # the Spark literal uses (module-level _rbo_consts)

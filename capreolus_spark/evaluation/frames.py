@@ -543,3 +543,70 @@ def rbo_df(
         F.round(base, 6).alias("rbo_min"),
         F.round(ext, 6).alias("rbo_ext"),
     )
+
+
+def kendall_tau_df(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 50,
+) -> DataFrame:
+    """Kendall's τ between two runs' top-``k`` orderings, per qid —
+    the standard system-comparison correlation (used throughout the
+    TREC literature to compare system rankings; τ-a over the SHARED
+    documents, no tie correction needed because row_number ranks are
+    strict): ``(qid, n_common, concordant, discordant, tau)``.
+
+    Pair enumeration is a within-qid self-join over the shared-doc
+    frame — bounded by k, so at most k(k−1)/2 pairs per qid regardless
+    of corpus size; qids with fewer than 2 shared docs emit NULL τ.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def ranked(run, side):
+        win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            run.select("qid", "docid", "score")
+            .withColumn(side, F.row_number().over(win))
+            .filter(F.col(side) <= k)
+            .select("qid", "docid", side)
+        )
+
+    shared = ranked(run_a, "ra").join(ranked(run_b, "rb"), ["qid", "docid"])
+    x, y = shared.alias("x"), shared.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.qid") == F.col("y.qid")) & (F.col("x.docid") < F.col("y.docid")),
+    ).select(
+        F.col("x.qid").alias("qid"),
+        (
+            ((F.col("x.ra") < F.col("y.ra")) & (F.col("x.rb") < F.col("y.rb")))
+            | ((F.col("x.ra") > F.col("y.ra")) & (F.col("x.rb") > F.col("y.rb")))
+        ).alias("_conc"),
+    )
+    counts = pairs.groupBy("qid").agg(
+        F.sum(F.col("_conc").cast("long")).alias("concordant"),
+        F.sum((~F.col("_conc")).cast("long")).alias("discordant"),
+    )
+    sizes = shared.groupBy("qid").agg(F.count("*").cast("long").alias("n_common"))
+    total = (F.col("n_common") * (F.col("n_common") - 1) / 2).cast("double")
+    return (
+        sizes.join(counts, "qid", "left")
+        .select(
+            "qid",
+            "n_common",
+            F.coalesce(F.col("concordant"), F.lit(0)).cast("long").alias("concordant"),
+            F.coalesce(F.col("discordant"), F.lit(0)).cast("long").alias("discordant"),
+            F.round(
+                F.when(
+                    F.col("n_common") >= 2,
+                    (
+                        F.coalesce(F.col("concordant"), F.lit(0))
+                        - F.coalesce(F.col("discordant"), F.lit(0))
+                    )
+                    / total,
+                ),
+                6,
+            ).alias("tau"),
+        )
+    )

@@ -396,3 +396,37 @@ def test_rbo_matches_paper_definition(spark):
 
     with _pt.raises(ValueError):
         rbo_df(a, a, p=1.0)
+
+
+def test_kendall_tau_extremes_and_scipy_free_twin(spark):
+    from capreolus_spark.evaluation.frames import kendall_tau_df
+
+    rows = [("q1", f"d{i}", 100.0 - i) for i in range(6)]
+    a = spark.createDataFrame(rows, "qid string, docid string, score double")
+    rev = spark.createDataFrame(
+        [("q1", f"d{i}", float(i)) for i in range(6)],
+        "qid string, docid string, score double",
+    )
+    assert kendall_tau_df(a, a, k=10).collect()[0]["tau"] == 1.0
+    assert kendall_tau_df(a, rev, k=10).collect()[0]["tau"] == -1.0
+    # partial permutation vs hand count
+    perm = {0: 1, 1: 0, 2: 2, 3: 4, 4: 3, 5: 5}
+    c = spark.createDataFrame(
+        [("q1", f"d{perm[i]}", 100.0 - i) for i in range(6)],
+        "qid string, docid string, score double",
+    )
+    r = kendall_tau_df(a, c, k=10).collect()[0]
+    ra = {f"d{i}": i for i in range(6)}
+    rb = {f"d{perm[i]}": i for i in range(6)}
+    docs = sorted(ra)
+    conc = disc = 0
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            s = (ra[docs[i]] - ra[docs[j]]) * (rb[docs[i]] - rb[docs[j]])
+            conc += s > 0
+            disc += s < 0
+    assert (r["concordant"], r["discordant"]) == (conc, disc)
+    assert r["tau"] == round((conc - disc) / 15.0, 6)
+    # single shared doc -> NULL tau
+    one = spark.createDataFrame([("q1", "d0", 1.0)], "qid string, docid string, score double")
+    assert kendall_tau_df(a, one, k=10).collect()[0]["tau"] is None
