@@ -1707,6 +1707,50 @@ def _q_minmax_norm(spark, sf_dir):
     )
 
 
+#: token-budget mix gate config — shares computed ONCE here so the SQL
+#: twin embeds the bit-identical doubles the Spark literals use
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+_MIX_BUDGET = 2000
+_MIX_SHARES = {
+    s: float(_MIX_BUDGET) * (float(w) / float(sum(_MIX_WEIGHTS.values())))
+    for s, w in _MIX_WEIGHTS.items()
+}
+_MIX_ORACLE_SQL = (
+    "WITH base AS (SELECT cast(doc_id AS bigint) AS doc_id, source, "
+    "cast(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS bigint) AS n_tokens "
+    "FROM documents WHERE source IN ("
+    + ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+    + ")), "
+    "tot AS (SELECT source, sum(n_tokens) AS tok_s FROM base GROUP BY source), "
+    "d AS (SELECT base.doc_id, base.source, base.n_tokens, tot.tok_s, CASE base.source "
+    + " ".join(f"WHEN '{s}' THEN {_MIX_SHARES[s]!r}" for s in sorted(_MIX_WEIGHTS))
+    + " END AS target FROM base JOIN tot USING (source)), "
+    "f AS (SELECT doc_id, source, n_tokens, "
+    "round(least(1.0, target / cast(tok_s AS DOUBLE)), 6) AS frac FROM d) "
+    "SELECT doc_id, source, n_tokens, frac, "
+    "(TRY_CAST(concat('0x', substr(md5(concat('r5mix', cast(doc_id AS varchar))), 1, 15)) "
+    "AS BIGINT) / 1152921504606846976.0 < frac) AS keep FROM f"
+)
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    """Token-budget domain mixing (Pile/DoReMi-style static sampler;
+    textproc/sampling.py token_budget_mix): per-source budget shares
+    from the weight dict, md5-threshold document sampling at the
+    deterministic_sample convention, full decision frame."""
+    from capreolus_spark.textproc.sampling import token_budget_mix
+
+    return token_budget_mix(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET, seed="r5mix"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_tokens",
+        "frac",
+        "keep",
+    )
+
+
 def _rbo_consts(p: float = 0.9, k: int = 20):
     """The rbo_df weight fold replicated once here so the SQL oracle
     embeds the BIT-IDENTICAL floats the Spark expression uses."""
@@ -6011,6 +6055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_sig_test": _q_run_sig_test,
         "rbo_runs": _q_rbo,
         "kendall_tau_runs": _q_kendall_tau,
+        "token_budget_mix": _q_token_budget_mix,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -6924,6 +6969,9 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_rel AS bigint) AS n_rel, cast(n_nonrel AS bigint) AS n_nonrel "
             "FROM agg"
         ),
+        # token-budget mix: shares from the SAME python dict as the
+        # Spark literals (_MIX_SHARES), deterministic_sample threshold
+        "token_budget_mix": _MIX_ORACLE_SQL,
         # Kendall tau-a over shared top-20 docs, k-bounded pair join
         "kendall_tau_runs": (
             f"WITH run1 AS ({_SYNTH_RUN_SQL}), "

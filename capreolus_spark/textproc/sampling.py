@@ -355,3 +355,70 @@ def code_chunks(
         (e - s).cast("long").alias("n_lines"),
         F.array_join(piece, "\n").alias("chunk_text"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Token-budget corpus mixing — the static domain-mixture sampler of
+    Pile/DoReMi-style pretraining recipes: the caller names per-source
+    mixture ``weights`` and a total ``token_budget``; each source
+    contributes (up to availability) its weight's share of the budget
+    via a deterministic md5-threshold document sample.
+
+    Per source s (weights normalized over the dict):
+    ``frac_s = min(1, budget·w̄_s / tokens_s)`` where ``tokens_s`` is
+    the source's analyzer-token total; a document keeps iff
+    ``hash(seed‖doc_id) < frac_s`` (the :func:`deterministic_sample`
+    convention — exact-membership reproducible at any parallelism, and
+    E[sampled tokens_s] = min(budget·w̄_s, tokens_s)).  Sources absent
+    from ``weights`` are excluded — the mixture is DEFINED by the dict.
+
+    Returns the full decision frame ``(doc_id, source, n_tokens, frac,
+    keep)`` so callers can audit realized vs requested mix before
+    filtering.  Scale shape: one combinable per-source token sum
+    (|sources| rows, broadcast back), then a pure projection — no
+    second pass over the text.
+    """
+    if token_budget < 1 or not weights:
+        raise ValueError("need token_budget >= 1 and non-empty weights")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    from .quality import _tokens_col
+
+    base = df.filter(
+        F.col(source_col).isin(list(weights))
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(_tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    totals = base.groupBy("source").agg(F.sum("n_tokens").alias("_tok_s"))
+    # per-source budget share as a python float, embedded literally so
+    # an external engine replays the identical double
+    target = F.lit(None).cast("double")
+    for s in sorted(weights):
+        share = float(token_budget) * (float(weights[s]) / wsum)
+        target = F.when(F.col("source") == s, F.lit(share)).otherwise(target)
+    decided = base.join(F.broadcast(totals), "source").withColumn(
+        "frac",
+        F.round(
+            F.least(F.lit(1.0), target / F.col("_tok_s").cast("double")), 6
+        ),
+    )
+    return decided.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "frac",
+        (
+            _key_hash_unit(_seeded_key("doc_id", seed)) < F.col("frac")
+        ).alias("keep"),
+    )

@@ -2006,3 +2006,38 @@ def test_fineweb_stats_line_rules(spark):
     assert r2["short_line_frac"] == 1.0 and r2["dup_line_char_frac"] == 1.0
     assert not r2["keep"]
     assert out[3]["n_lines"] == 0 and not out[3]["keep"]
+
+
+def test_token_budget_mix_hits_requested_shares(spark):
+    """Realized per-source token mass approaches min(budget·w̄, avail);
+    abundant sources sample down, scarce sources cap at frac 1.0;
+    unweighted sources are excluded; decisions are deterministic."""
+    from capreolus_spark.textproc.sampling import token_budget_mix
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "alpha", "tok " * 50))           # 10k tokens total
+    for i in range(200, 210):
+        rows.append((i, "beta", "tok " * 10))            # 100 tokens total
+    rows.append((999, "gamma", "excluded source text"))
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+    out = token_budget_mix(df, {"alpha": 0.5, "beta": 0.5}, 1000, seed="t")
+    rowsc = out.collect()
+    assert all(r["source"] != "gamma" for r in rowsc)
+    by = {}
+    for r in rowsc:
+        by.setdefault(r["source"], []).append(r)
+    # beta: 500-token share > 100 available -> frac 1.0, everything kept
+    assert all(r["frac"] == 1.0 and r["keep"] for r in by["beta"])
+    # alpha: 500 / 10000 -> frac 0.05; realized tokens near the share
+    assert all(abs(r["frac"] - 0.05) < 1e-9 for r in by["alpha"])
+    kept_tokens = sum(r["n_tokens"] for r in by["alpha"] if r["keep"])
+    assert 0 < kept_tokens < 2000                       # 0.05 of 10k ≈ 500
+    again = {r["doc_id"]: r["keep"]
+             for r in token_budget_mix(df, {"alpha": 0.5, "beta": 0.5}, 1000, seed="t").collect()}
+    assert again == {r["doc_id"]: r["keep"] for r in rowsc}
+    with pytest.raises(ValueError):
+        token_budget_mix(df, {}, 1000)
+    with pytest.raises(ValueError):
+        token_budget_mix(df, {"alpha": 1.0}, 0)
