@@ -1733,6 +1733,16 @@ _MIX_ORACLE_SQL = (
 )
 
 
+def _q_ngram_diversity(spark, sf_dir):
+    """Corpus n-gram diversity (Li et al. 2016 distinct-n + Shannon
+    entropy; textproc/lexstats.py ngram_diversity): one explode over
+    n=1..4, one (n, gram) shuffle, per-term-canonicalized decimal
+    Σc·ln c so the entropy replays cross-engine."""
+    from capreolus_spark.textproc.lexstats import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), ns=(1, 2, 3, 4))
+
+
 def _q_token_budget_mix(spark, sf_dir):
     """Token-budget domain mixing (Pile/DoReMi-style static sampler;
     textproc/sampling.py token_budget_mix): per-source budget shares
@@ -6056,6 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_runs": _q_rbo,
         "kendall_tau_runs": _q_kendall_tau,
         "token_budget_mix": _q_token_budget_mix,
+        "ngram_diversity": _q_ngram_diversity,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -6972,6 +6983,26 @@ def oracle_sql() -> dict[str, str]:
         # token-budget mix: shares from the SAME python dict as the
         # Spark literals (_MIX_SHARES), deterministic_sample threshold
         "token_budget_mix": _MIX_ORACLE_SQL,
+        # distinct-n + entropy: per-term-rounded c*ln(c) decimal sums
+        "ngram_diversity": (
+            "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "
+            "FROM documents), "
+            "ns AS (SELECT unnest([1,2,3,4]) AS n), "
+            "pre AS (SELECT n, CASE WHEN len(toks) >= n THEN "
+            "list_transform(range(0, len(toks) - n + 1), "
+            "i -> array_to_string(list_slice(toks, i + 1, i + n), ' ')) "
+            "ELSE [] END AS g FROM tok CROSS JOIN ns), "
+            "e AS (SELECT n, unnest(g) AS gram FROM pre), "
+            "c AS (SELECT n, gram, count(*) AS c FROM e GROUP BY n, gram), "
+            "p AS (SELECT n, cast(sum(c) AS bigint) AS total_grams, "
+            "cast(count(*) AS bigint) AS distinct_grams, "
+            "CAST(sum(CAST(round(cast(c AS DOUBLE) * ln(cast(c AS DOUBLE)), 6) "
+            "AS DECIMAL(38,6))) AS DOUBLE) AS clnc FROM c GROUP BY n) "
+            "SELECT CAST(n AS INT) AS n, total_grams, distinct_grams, "
+            "round(distinct_grams / cast(total_grams AS DOUBLE), 6) AS distinct_frac, "
+            "round((ln(cast(total_grams AS DOUBLE)) - clnc / cast(total_grams AS DOUBLE)) "
+            "/ 0.6931471805599453, 6) AS entropy_bits FROM p"
+        ),
         # Kendall tau-a over shared top-20 docs, k-bounded pair join
         "kendall_tau_runs": (
             f"WITH run1 AS ({_SYNTH_RUN_SQL}), "

@@ -174,3 +174,69 @@ def doc_keywords_tfidf(
         scored.withColumn("krank", F.row_number().over(w).cast("int"))
         .filter(F.col("krank") <= k)
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    ns: tuple = (1, 2, 3, 4),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram diversity — the *distinct-n* metric (Li et al.
+    2016, "A Diversity-Promoting Objective Function for Neural
+    Conversation Models"; the scalable stand-in for quadratic
+    Self-BLEU) plus the Shannon entropy of each n-gram distribution:
+    one row per n — ``total_grams``, ``distinct_grams``,
+    ``distinct_frac`` (= distinct/total), and ``entropy_bits``
+    (H = (ln T − Σc·ln c / T) / ln 2 over the gram counts).
+
+    Determinism: Σ c·ln c accumulates PER-TERM 6dp-rounded doubles
+    decimal-summed (the :func:`~capreolus_spark.search.facets.
+    matrix_stats` convention — associative, partition-order-free,
+    replayable in an external engine).  Scale shape: ONE explode over
+    all n (the :func:`~capreolus_spark.textproc.quality.
+    gopher_repetition` shape), one shuffle keyed by (n, gram) with
+    map-side combine, then a |ns|-row rollup.
+    """
+    ns = tuple(sorted(set(int(n) for n in ns)))
+    if not ns or ns[0] < 1:
+        raise ValueError(f"ns must be >= 1, got {ns!r}")
+    from .quality import _tokens_col
+
+    toked = df.select(_tokens_col(text_col).alias("_toks"))
+    exploded = (
+        toked.select(
+            "_toks", F.explode(F.array(*[F.lit(n) for n in ns])).alias("n")
+        )
+        .select(
+            "n",
+            F.explode(
+                F.when(
+                    F.size("_toks") >= F.col("n"),
+                    F.expr(
+                        "transform(sequence(0, size(_toks) - n), "
+                        "i -> array_join(slice(_toks, i + 1, n), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    counts = exploded.groupBy("n", "gram").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy("n").agg(
+        F.sum("c").cast("long").alias("total_grams"),
+        F.count("*").cast("long").alias("distinct_grams"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6)
+            .cast("decimal(38,6)")
+        ).alias("_clnc"),
+    )
+    t = F.col("total_grams").cast("double")
+    return per_n.select(
+        F.col("n").cast("int").alias("n"),
+        "total_grams",
+        "distinct_grams",
+        F.round(F.col("distinct_grams") / t, 6).alias("distinct_frac"),
+        F.round(
+            (F.log(t) - F.col("_clnc").cast("double") / t) / F.lit(0.6931471805599453),
+            6,
+        ).alias("entropy_bits"),
+    )

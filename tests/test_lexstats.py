@@ -223,3 +223,38 @@ def test_pmi_bigrams_matches_twin(spark):
         pmi_bigrams(df, k=0)
     with pytest.raises(ValueError):
         pmi_bigrams(df, min_count=0)
+
+
+def test_ngram_diversity_matches_counter_twin(spark):
+    """distinct-n and entropy vs a Counter brute force; degenerate
+    single-token corpus has zero entropy; validation."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from capreolus_spark.textproc.lexstats import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d e f g h")], "doc_id int, text string"
+    )
+    out = {r["n"]: r for r in ngram_diversity(docs, ns=(1, 2)).collect()}
+    toks = [["a", "b", "a", "b", "a", "b"], ["c", "d", "e", "f", "g", "h"]]
+    for n in (1, 2):
+        c = Counter(
+            " ".join(t[i : i + n])
+            for t in toks
+            for i in range(len(t) - n + 1)
+        )
+        total = sum(c.values())
+        s = sum(round(v * math.log(v), 6) for v in c.values())
+        r = out[n]
+        assert r["total_grams"] == total and r["distinct_grams"] == len(c)
+        assert r["distinct_frac"] == round(len(c) / total, 6)
+        assert r["entropy_bits"] == round(
+            (math.log(total) - s / total) / math.log(2), 6
+        )
+    mono = spark.createDataFrame([(1, "x x x x")], "doc_id int, text string")
+    assert ngram_diversity(mono, ns=(1,)).collect()[0]["entropy_bits"] == 0.0
+    with pytest.raises(ValueError):
+        ngram_diversity(docs, ns=(0,))
