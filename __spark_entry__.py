@@ -162,6 +162,22 @@ _SYNTH_RUN_SQL = (
 )
 
 
+def _synth_run2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second synthetic run (53/97 score family) shared by the
+    run-comparison gates — ONE definition so a change cannot silently
+    diverge between operators and their SQL oracles."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            (F.col("doc_id") % 5).cast("string").alias("qid"),
+            F.col("doc_id").cast("string").alias("docid"),
+            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
+        )
+    )
+
+
+
 def _synth_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -1726,7 +1742,8 @@ _MIX_ORACLE_SQL = (
     + " ".join(f"WHEN '{s}' THEN {_MIX_SHARES[s]!r}" for s in sorted(_MIX_WEIGHTS))
     + " END AS target FROM base JOIN tot USING (source)), "
     "f AS (SELECT doc_id, source, n_tokens, "
-    "round(least(1.0, target / cast(tok_s AS DOUBLE)), 6) AS frac FROM d) "
+    "round(CASE WHEN tok_s > 0 THEN least(1.0, target / cast(tok_s AS DOUBLE)) "
+    "ELSE 0.0 END, 6) AS frac FROM d) "
     "SELECT doc_id, source, n_tokens, frac, "
     "(TRY_CAST(concat('0x', substr(md5(concat('r5mix', cast(doc_id AS varchar))), 1, 15)) "
     "AS BIGINT) / 1152921504606846976.0 < frac) AS keep FROM f"
@@ -1802,15 +1819,7 @@ def _q_rbo(spark, sf_dir):
     from capreolus_spark.evaluation.frames import rbo_df
 
     run1 = _synth_run(spark, sf_dir)
-    run2 = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select(
-            (F.col("doc_id") % 5).cast("string").alias("qid"),
-            F.col("doc_id").cast("string").alias("docid"),
-            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
-        )
-    )
+    run2 = _synth_run2(spark, sf_dir)
     return rbo_df(run1, run2, p=0.9, k=20)
 
 
@@ -1821,15 +1830,7 @@ def _q_kendall_tau(spark, sf_dir):
     from capreolus_spark.evaluation.frames import kendall_tau_df
 
     run1 = _synth_run(spark, sf_dir)
-    run2 = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select(
-            (F.col("doc_id") % 5).cast("string").alias("qid"),
-            F.col("doc_id").cast("string").alias("docid"),
-            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
-        )
-    )
+    run2 = _synth_run2(spark, sf_dir)
     return kendall_tau_df(run1, run2, k=20)
 
 
@@ -1844,15 +1845,7 @@ def _q_run_sig_test(spark, sf_dir):
 
     qrels = _synth_qrels(spark, sf_dir)
     run1 = _synth_run(spark, sf_dir)
-    run2 = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select(
-            (F.col("doc_id") % 5).cast("string").alias("qid"),
-            F.col("doc_id").cast("string").alias("docid"),
-            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
-        )
-    )
+    run2 = _synth_run2(spark, sf_dir)
     a = eval_metrics_df(run1, qrels).select("qid", "ap")
     b = eval_metrics_df(run2, qrels).select("qid", "ap")
     return paired_sig_test(a, b, metric_col="ap", n_perm=1000, seed="r5sig")
@@ -1862,15 +1855,7 @@ def _q_run_interpolation(spark, sf_dir):
     from capreolus_spark.evaluation.frames import interpolate_runs_df
 
     run1 = _synth_run(spark, sf_dir)
-    run2 = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select(
-            (F.col("doc_id") % 5).cast("string").alias("qid"),
-            F.col("doc_id").cast("string").alias("docid"),
-            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
-        )
-    )
+    run2 = _synth_run2(spark, sf_dir)
     return interpolate_runs_df(run1, run2, alpha=0.3).select(
         "qid", "docid", F.round("score", 6).alias("score")
     )
@@ -1885,15 +1870,7 @@ def _q_rrf_fusion(spark, sf_dir):
     from capreolus_spark.evaluation.frames import rrf_fuse_df
 
     run1 = _synth_run(spark, sf_dir)
-    run2 = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select(
-            (F.col("doc_id") % 5).cast("string").alias("qid"),
-            F.col("doc_id").cast("string").alias("docid"),
-            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
-        )
-    )
+    run2 = _synth_run2(spark, sf_dir)
     return rrf_fuse_df([run1, run2], k=60, hits=20)
 
 
@@ -3331,15 +3308,7 @@ def _q_comb_mnz(spark, sf_dir):
     from capreolus_spark.evaluation.frames import comb_fuse_df
 
     run1 = _synth_run(spark, sf_dir)
-    run2 = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select(
-            (F.col("doc_id") % 5).cast("string").alias("qid"),
-            F.col("doc_id").cast("string").alias("docid"),
-            (((F.col("doc_id") * 53) % 97) / F.lit(9.0)).alias("score"),
-        )
-    )
+    run2 = _synth_run2(spark, sf_dir)
     return comb_fuse_df([run1, run2], method="mnz", hits=20)
 
 
@@ -6998,10 +6967,13 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS distinct_grams, "
             "CAST(sum(CAST(round(cast(c AS DOUBLE) * ln(cast(c AS DOUBLE)), 6) "
             "AS DECIMAL(38,6))) AS DOUBLE) AS clnc FROM c GROUP BY n) "
-            "SELECT CAST(n AS INT) AS n, total_grams, distinct_grams, "
+            "SELECT CAST(ns.n AS INT) AS n, "
+            "coalesce(total_grams, 0) AS total_grams, "
+            "coalesce(distinct_grams, 0) AS distinct_grams, "
             "round(distinct_grams / cast(total_grams AS DOUBLE), 6) AS distinct_frac, "
             "round((ln(cast(total_grams AS DOUBLE)) - clnc / cast(total_grams AS DOUBLE)) "
-            "/ 0.6931471805599453, 6) AS entropy_bits FROM p"
+            "/ 0.6931471805599453, 6) AS entropy_bits "
+            "FROM ns LEFT JOIN p USING (n)"
         ),
         # Kendall tau-a over shared top-20 docs, k-bounded pair join
         "kendall_tau_runs": (
@@ -8800,7 +8772,9 @@ FROM ranked WHERE rank <= 50
             "FROM d) WHERE rn = 1), "
             "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.dist2 AS da, y.dist2 AS db "
             "FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id "
-            "WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3), "
+            "WHERE list_sum(list_transform(x.v, e -> e*e)) > 0 "
+            "AND list_sum(list_transform(y.v, e -> e*e)) > 0 "
+            "AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.3), "
             "losers AS (SELECT DISTINCT CASE WHEN da < db THEN id_a "
             "WHEN db < da THEN id_b ELSE greatest(id_a, id_b) END AS vec_id FROM p) "
             "SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, a.dist2, "

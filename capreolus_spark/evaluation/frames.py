@@ -412,8 +412,12 @@ def paired_sig_test(
         raise ValueError(f"n_perm must be >= 1, got {n_perm}")
     a = per_q_a.select("qid", F.col(metric_col).cast("decimal(18,6)").alias("_ma"))
     b = per_q_b.select("qid", F.col(metric_col).cast("decimal(18,6)").alias("_mb"))
-    diffs = a.join(b, "qid").select(
-        "qid", "_ma", "_mb", (F.col("_ma") - F.col("_mb")).alias("_d")
+    # a qid with a NULL metric on either side is unpaired — drop it, so
+    # n, the means and the permutation population all agree
+    diffs = (
+        a.join(b, "qid")
+        .filter(F.col("_ma").isNotNull() & F.col("_mb").isNotNull())
+        .select("qid", "_ma", "_mb", (F.col("_ma") - F.col("_mb")).alias("_d"))
     )
     stats = diffs.agg(
         F.count("*").cast("long").alias("n"),
@@ -483,6 +487,18 @@ def paired_sig_test(
     )
 
 
+def _ranked_topk(run: DataFrame, side: str, k: int) -> DataFrame:
+    """(qid, docid, <side> rank) — top-k by (score desc, docid asc),
+    the run-similarity operators' shared deterministic tie order."""
+    win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        run.select("qid", "docid", "score")
+        .withColumn(side, F.row_number().over(win))
+        .filter(F.col(side) <= k)
+        .select("qid", "docid", side)
+    )
+
+
 def rbo_df(
     run_a: DataFrame,
     run_b: DataFrame,
@@ -507,7 +523,6 @@ def rbo_df(
     if not 0.0 < p < 1.0 or k < 1:
         raise ValueError(f"need 0 < p < 1 and k >= 1, got p={p}, k={k}")
     # w[m] = sum_{d=m..k} p^d / d, ascending-d accumulation
-    pows = [0.0] * (k + 2)
     acc = 1.0
     terms = [0.0] * (k + 1)
     for d in range(1, k + 1):
@@ -518,17 +533,9 @@ def rbo_df(
     for m in range(k, 0, -1):
         w[m] = w[m + 1] + terms[m]
     w_arr = F.array(*[F.lit(w[m]) for m in range(1, k + 1)])
-
-    def ranked(run, side):
-        win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            run.select("qid", "docid", "score")
-            .withColumn(side, F.row_number().over(win))
-            .filter(F.col(side) <= k)
-            .select("qid", "docid", side)
-        )
-
-    joined = ranked(run_a, "ra").join(ranked(run_b, "rb"), ["qid", "docid"])
+    joined = _ranked_topk(run_a, "ra", k).join(
+        _ranked_topk(run_b, "rb", k), ["qid", "docid"]
+    )
     m = F.greatest("ra", "rb")
     per_q = joined.groupBy("qid").agg(
         F.count("*").cast("long").alias("overlap_at_k"),
@@ -562,17 +569,9 @@ def kendall_tau_df(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-
-    def ranked(run, side):
-        win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            run.select("qid", "docid", "score")
-            .withColumn(side, F.row_number().over(win))
-            .filter(F.col(side) <= k)
-            .select("qid", "docid", side)
-        )
-
-    shared = ranked(run_a, "ra").join(ranked(run_b, "rb"), ["qid", "docid"])
+    shared = _ranked_topk(run_a, "ra", k).join(
+        _ranked_topk(run_b, "rb", k), ["qid", "docid"]
+    )
     x, y = shared.alias("x"), shared.alias("y")
     pairs = x.join(
         y,

@@ -1046,21 +1046,25 @@ def matrix_stats_pairs(df: DataFrame, fields: list[str]) -> DataFrame:
     for f_ in fields:
         vd = F.col(f_).cast("decimal(18,6)")
         aggs.append(F.sum(vd).alias(f"_s1_{f_}"))
+    # index-based aliases — field NAMES can contain underscores, so a
+    # name-concatenation scheme can collide ((a, b_c) vs (a_b, c))
     for i, fx in enumerate(fields):
-        for fy in fields[i:]:
+        for j in range(i, len(fields)):
+            fy = fields[j]
             x = F.col(fx).cast("decimal(18,6)")
             y = F.col(fy).cast("decimal(18,6)")
-            aggs.append(F.sum(x * y).cast("decimal(38,12)").alias(f"_sxy_{fx}_{fy}"))
+            aggs.append(F.sum(x * y).cast("decimal(38,12)").alias(f"_sxy_{i}_{j}"))
     wide = base.groupBy().agg(*aggs)
     frames = []
     for i, fx in enumerate(fields):
-        for fy in fields[i:]:
+        for j in range(i, len(fields)):
+            fy = fields[j]
             n = F.col("n").cast("double")
             sx = F.col(f"_s1_{fx}").cast("double")
             sy = F.col(f"_s1_{fy}").cast("double")
-            sxy = F.col(f"_sxy_{fx}_{fy}").cast("double")
-            sxx = F.col(f"_sxy_{fx}_{fx}").cast("double")
-            syy = F.col(f"_sxy_{fy}_{fy}").cast("double")
+            sxy = F.col(f"_sxy_{i}_{j}").cast("double")
+            sxx = F.col(f"_sxy_{i}_{i}").cast("double")
+            syy = F.col(f"_sxy_{j}_{j}").cast("double")
             cov = sxy / n - (sx / n) * (sy / n)
             vx = F.greatest(F.lit(0.0), sxx / n - (sx / n) * (sx / n))
             vy = F.greatest(F.lit(0.0), syy / n - (sy / n) * (sy / n))

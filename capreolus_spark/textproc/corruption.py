@@ -62,6 +62,8 @@ def span_corruption(
     """
     if span_len < 1:
         raise ValueError(f"span_len must be >= 1, got {span_len}")
+    if not 0.0 < rate < 1.0:
+        raise ValueError(f"rate must be in (0, 1), got {rate}")
     block = round(span_len / rate)
     if block <= span_len:
         raise ValueError(

@@ -229,14 +229,24 @@ def ngram_diversity(
             .cast("decimal(38,6)")
         ).alias("_clnc"),
     )
+    # dense one-row-per-n contract: an n no document reaches still gets
+    # a row (total 0, NULL ratios) — zero-diversity must stay
+    # distinguishable from not-computed
+    grid = df.sparkSession.createDataFrame([(int(n),) for n in ns], "n int")
     t = F.col("total_grams").cast("double")
-    return per_n.select(
-        F.col("n").cast("int").alias("n"),
-        "total_grams",
-        "distinct_grams",
-        F.round(F.col("distinct_grams") / t, 6).alias("distinct_frac"),
-        F.round(
-            (F.log(t) - F.col("_clnc").cast("double") / t) / F.lit(0.6931471805599453),
-            6,
-        ).alias("entropy_bits"),
+    return (
+        grid.join(per_n, "n", "left")
+        .select(
+            F.col("n").cast("int").alias("n"),
+            F.coalesce(F.col("total_grams"), F.lit(0)).cast("long").alias("total_grams"),
+            F.coalesce(F.col("distinct_grams"), F.lit(0))
+            .cast("long")
+            .alias("distinct_grams"),
+            F.round(F.col("distinct_grams") / t, 6).alias("distinct_frac"),
+            F.round(
+                (F.log(t) - F.col("_clnc").cast("double") / t)
+                / F.lit(0.6931471805599453),
+                6,
+            ).alias("entropy_bits"),
+        )
     )

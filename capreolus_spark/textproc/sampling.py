@@ -407,10 +407,16 @@ def token_budget_mix(
     for s in sorted(weights):
         share = float(token_budget) * (float(weights[s]) / wsum)
         target = F.when(F.col("source") == s, F.lit(share)).otherwise(target)
+    # a weighted source whose docs all tokenize empty has _tok_s = 0 —
+    # nothing to sample, frac 0 (and no ANSI divide-by-zero)
     decided = base.join(F.broadcast(totals), "source").withColumn(
         "frac",
         F.round(
-            F.least(F.lit(1.0), target / F.col("_tok_s").cast("double")), 6
+            F.when(
+                F.col("_tok_s") > 0,
+                F.least(F.lit(1.0), target / F.col("_tok_s").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
         ),
     )
     return decided.select(

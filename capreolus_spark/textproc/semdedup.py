@@ -66,10 +66,29 @@ def semdedup_pairs(
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    return _pairs_from_assigned(
+        vectors, assigned, tau, id_col, vec_col, max_cluster_size
+    )
+
+
+def _pairs_from_assigned(
+    vectors: DataFrame,
+    assigned: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """Pair scan over a PRECOMPUTED assignment frame (shared by
+    :func:`semdedup` so the centroid-distance projection runs once)."""
     v = (
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
         .join(assigned, "vec_id")
         .withColumn("_n", _norm(F.col("vv")))
+        # a zero-norm vector has no cosine to anything — excluding it
+        # here both defines the semantics (it can never be a near-dup)
+        # and avoids the ANSI divide-by-zero in the pair projection
+        .filter(F.col("_n") > 0)
     )
     if max_cluster_size is not None:
         if max_cluster_size < 2:
@@ -126,8 +145,11 @@ def semdedup(
     made deterministic.  Survivors of every duplicate region plus all
     singletons have ``keep = true``; downstream filters on it.
     """
-    pairs = semdedup_pairs(
-        vectors, centroids, tau, id_col, vec_col, max_cluster_size
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    pairs = _pairs_from_assigned(
+        vectors, assigned, tau, id_col, vec_col, max_cluster_size
     )
     # from each pair, the LOSER is the member nearer the centroid
     # (ties: the higher id loses so the lower id survives)
@@ -139,7 +161,6 @@ def semdedup(
         .otherwise(F.greatest("id_a", "id_b"))
         .alias("vec_id")
     ).distinct()
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
     return assigned.join(losers.withColumn("_drop", F.lit(True)), "vec_id", "left").select(
         "vec_id",
         "cluster",

@@ -743,3 +743,18 @@ def test_bucket_stats_sibling_aggs(spark):
     # ungrouped form
     flat = bucket_stats(b.filter("g = 'g1'"), "k", "v").collect()[0]
     assert flat["n_buckets"] == 3 and flat["max_keys"] == "b2,b3"
+
+
+def test_matrix_stats_pairs_underscored_field_names(spark):
+    """Index-based cross-product aliases: names like (a, b_c) vs (a_b, c)
+    must not collide (review regression)."""
+    from capreolus_spark.search.facets import matrix_stats_pairs
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (2.0, 1.0, 5.0, 3.0)],
+        "a double, b_c double, a_b double, c double",
+    )
+    out = matrix_stats_pairs(df, ["a", "b_c", "a_b", "c"]).collect()
+    assert len(out) == 10                      # 4 diag + 6 off-diag
+    diag = {r["field_x"] for r in out if r["field_x"] == r["field_y"]}
+    assert diag == {"a", "b_c", "a_b", "c"}

@@ -430,3 +430,16 @@ def test_kendall_tau_extremes_and_scipy_free_twin(spark):
     # single shared doc -> NULL tau
     one = spark.createDataFrame([("q1", "d0", 1.0)], "qid string, docid string, score double")
     assert kendall_tau_df(a, one, k=10).collect()[0]["tau"] is None
+
+
+def test_paired_sig_test_drops_null_metric_pairs(spark):
+    """A qid with a NULL metric on either side is fully unpaired — n,
+    the means and the permutation population agree (review regression)."""
+    from capreolus_spark.evaluation.frames import paired_sig_test
+
+    a = spark.createDataFrame([("q1", 0.5), ("q2", None)], "qid string, ap double")
+    b = spark.createDataFrame([("q1", 0.3), ("q2", 0.2)], "qid string, ap double")
+    r = paired_sig_test(a, b, n_perm=10).collect()[0]
+    assert r["n"] == 1
+    assert abs(r["mean_a"] - 0.5) < 1e-9 and abs(r["mean_b"] - 0.3) < 1e-9
+    assert abs(r["mean_diff"] - 0.2) < 1e-9 and r["dof"] is None

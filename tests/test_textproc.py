@@ -2041,3 +2041,40 @@ def test_token_budget_mix_hits_requested_shares(spark):
         token_budget_mix(df, {}, 1000)
     with pytest.raises(ValueError):
         token_budget_mix(df, {"alpha": 1.0}, 0)
+
+
+def test_review_fixes_zero_token_and_zero_norm(spark):
+    """Session-15 review regressions: zero-token weighted sources get
+    frac 0 (no ANSI divide-by-zero); zero-norm embeddings are excluded
+    from semdedup pairing but keep their decision row."""
+    from capreolus_spark.textproc.sampling import token_budget_mix
+    from capreolus_spark.textproc.semdedup import semdedup, semdedup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "s", "!!!"), (2, "s", "???")], "doc_id int, source string, text string"
+    )
+    out = token_budget_mix(df, {"s": 1.0}, 100).collect()
+    assert len(out) == 2 and all(r["frac"] == 0.0 and not r["keep"] for r in out)
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = semdedup_pairs(vecs, [[0.0, 0.0]], tau=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(2, 3)]
+    dec = {r["vec_id"]: r["keep"] for r in semdedup(vecs, [[0.0, 0.0]], tau=0.9).collect()}
+    assert dec == {1: True, 2: True, 3: False}
+
+
+def test_review_fixes_rate_validation_and_dense_grid(spark):
+    from capreolus_spark.textproc.corruption import span_corruption
+    from capreolus_spark.textproc.lexstats import ngram_diversity
+
+    short = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    for bad in (0.0, -0.1, 1.0):
+        with pytest.raises(ValueError):
+            span_corruption(short, rate=bad)
+    rows = {r["n"]: r for r in ngram_diversity(short, ns=(1, 5)).collect()}
+    assert rows[5]["total_grams"] == 0 and rows[5]["distinct_grams"] == 0
+    assert rows[5]["entropy_bits"] is None and rows[5]["distinct_frac"] is None
+    assert rows[1]["total_grams"] == 2
