@@ -1778,6 +1778,61 @@ def _q_token_budget_mix(spark, sf_dir):
     )
 
 
+_BLOOM_M, _BLOOM_K = 1 << 16, 5
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    """The k md5 probe positions as a DuckDB list literal — generated
+    from the same (j, m) parameters the Spark expression uses."""
+    return (
+        "["
+        + ", ".join(
+            f"TRY_CAST(concat('0x', substr(md5(concat('{j}|', {key_expr})), 1, 15)) "
+            f"AS BIGINT) % {_BLOOM_M}"
+            for j in range(_BLOOM_K)
+        )
+        + "]"
+    )
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Distributed Bloom filter (textproc/bloom.py): build the sparse
+    (word, bits) frame from the positive-qrels docids with ONE bit_or
+    rollup, probe every distinct run docid — maybe=true iff all k
+    md5-derived bits are set; true members can never report false
+    (superset property), false positives at the configured (m, k, n)
+    rate and fully deterministic."""
+    from capreolus_spark.textproc.bloom import bloom_build, bloom_maybe_contains
+
+    members = (
+        _synth_qrels(spark, sf_dir)
+        .filter(F.col("label") >= 1)
+        .select(F.col("docid").alias("key"))
+        .distinct()
+    )
+    filt = bloom_build(members, m=_BLOOM_M, k=_BLOOM_K)
+    cands = _synth_run(spark, sf_dir).select(F.col("docid").alias("key"))
+    return bloom_maybe_contains(cands, filt, m=_BLOOM_M, k=_BLOOM_K).select(
+        "key", "maybe"
+    )
+
+
+_BLOOM_ORACLE_SQL = (
+    f"WITH qrels AS ({{QRELS}}), run AS ({{RUN}}), "
+    "keys AS (SELECT DISTINCT docid AS key FROM qrels WHERE label >= 1), "
+    f"pos AS (SELECT unnest({_bloom_pos_sql('key')}) AS p FROM keys), "
+    "bw AS (SELECT CAST(floor(p / 32) AS BIGINT) AS word, "
+    "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits FROM pos GROUP BY 1), "
+    "cand AS (SELECT DISTINCT docid AS key FROM run), "
+    f"cpos AS (SELECT key, unnest({_bloom_pos_sql('key')}) AS p FROM cand), "
+    "cw AS (SELECT key, CAST(floor(p / 32) AS BIGINT) AS word, "
+    "(1::BIGINT << CAST(p % 32 AS INT)) AS bit FROM cpos), "
+    "j AS (SELECT cw.key, CASE WHEN (coalesce(bw.bits, 0) & cw.bit) != 0 "
+    "THEN 1 ELSE 0 END AS hit FROM cw LEFT JOIN bw USING (word)) "
+    "SELECT key, (min(hit) = 1) AS maybe FROM j GROUP BY key"
+)
+
+
 def _rbo_consts(p: float = 0.9, k: int = 20):
     """The rbo_df weight fold replicated once here so the SQL oracle
     embeds the BIT-IDENTICAL floats the Spark expression uses."""
@@ -6036,6 +6091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_runs": _q_kendall_tau,
         "token_budget_mix": _q_token_budget_mix,
         "ngram_diversity": _q_ngram_diversity,
+        "bloom_membership": _q_bloom_membership,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -6952,6 +7008,11 @@ def oracle_sql() -> dict[str, str]:
         # token-budget mix: shares from the SAME python dict as the
         # Spark literals (_MIX_SHARES), deterministic_sample threshold
         "token_budget_mix": _MIX_ORACLE_SQL,
+        # bloom filter: positions/words/bit_or generated from the SAME
+        # (m, k) parameters as the Spark expressions
+        "bloom_membership": _BLOOM_ORACLE_SQL.replace(
+            "{QRELS}", _SYNTH_QRELS_SQL
+        ).replace("{RUN}", _SYNTH_RUN_SQL),
         # distinct-n + entropy: per-term-rounded c*ln(c) decimal sums
         "ngram_diversity": (
             "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "

@@ -1,0 +1,114 @@
+"""Distributed Bloom filter as plain DataFrames — the membership
+primitive web-scale decontamination/dedup pipelines put in front of
+their expensive joins (Bloom 1970; the same structure Spark exposes
+opaquely as ``bloom_filter_agg`` and DataFusion/Iceberg use for scan
+pruning).  This twin is fully relational and DETERMINISTIC, so the
+filter an external engine builds from the same keys is bit-identical —
+which is what lets membership be oracle-gated.
+
+Representation: ``m`` bits as ``ceil(m/32)`` little-endian words
+(32 bits per 64-bit word so no engine hits the signed shift-63 edge) —
+a DataFrame ``(word long, bits long)`` holding only NON-ZERO words
+(sparse; the dense width is a constant of the config).  Hashing:
+``k`` md5-derived positions per key (``md5(j | key) mod m`` for probe
+``j``) — the repo's portable seeded-hash convention, replayable in any
+engine with md5.
+
+Scale shape:
+
+* **build** — one projection fans each key into ``k`` (word, bit)
+  rows, then ONE map-side-combinable ``groupBy(word)`` with a
+  ``bit_or`` rollup; the shuffle carries at most ``k·|keys|`` slim
+  rows in and ``m/32`` rows out.  No driver-side bitset ever exists.
+* **probe** — candidates fan into their ``k`` words, join the filter
+  frame on ``word`` (the filter is ``m/32`` rows — broadcast by
+  construction for any practical ``m``), and a key is *maybe present*
+  iff ALL ``k`` probed bits are set (``bit_and``-style conjunction via
+  ``min``).  False positives at the textbook rate for (m, k, n);
+  false negatives impossible — verified by the superset property in
+  the gate (every true member reports maybe=true).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key_col, m: int, k: int):
+    """Array of k bit positions in [0, m) for a key (md5-portable)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), key_col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    m: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Build the sparse word frame ``(word, bits)`` from a key column.
+
+    ``m`` is the bit width (power of two not required), ``k`` the
+    probes per key.  NULL keys are skipped.
+    """
+    if m < 32 or k < 1:
+        raise ValueError(f"need m >= 32 and k >= 1, got m={m}, k={k}")
+    pos = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_positions(F.col(key_col), m, k)).alias("_p"))
+        .select(
+            (F.col("_p") / 32).cast("long").alias("word"),
+            # shiftleft() the builtin needs a literal shift; the SQL
+            # form takes a column expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").alias("_bit"),
+        )
+    )
+    return pos.groupBy("word").agg(F.bit_or("_bit").alias("bits"))
+
+
+def bloom_maybe_contains(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    m: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """``(key, maybe)`` per DISTINCT candidate key: ``maybe = true``
+    iff every probed bit is set (never false for a key the filter was
+    built from; false positives at the configured rate).  ``m``/``k``
+    MUST match the build configuration.
+    """
+    if m < 32 or k < 1:
+        raise ValueError(f"need m >= 32 and k >= 1, got m={m}, k={k}")
+    probes = (
+        candidates.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .select("key", F.posexplode(_positions(F.col("key"), m, k)).alias("_j", "_p"))
+        .select(
+            "key",
+            (F.col("_p") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").alias("_bit"),
+        )
+    )
+    joined = probes.join(F.broadcast(bloom), "word", "left").select(
+        "key",
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bit")) != 0
+        ).cast("int").alias("_hit"),
+    )
+    return joined.groupBy("key").agg(
+        (F.min("_hit") == 1).alias("maybe")
+    )

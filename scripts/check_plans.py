@@ -911,6 +911,29 @@ def main() -> None:
             )
         )
 
+        # Bloom filter: build must partial-aggregate the bit_or map-side
+        # (shuffle carries combined words, not k rows per key) and the
+        # probe must broadcast the m/32-row filter frame; python-free.
+        from capreolus_spark.textproc.bloom import bloom_build, bloom_maybe_contains
+
+        keys = docs_df.select(F.col("doc_id").cast("string").alias("key"))
+        bf = bloom_build(keys, m=1 << 14, k=5)
+        bfplan = bf._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "bloom build map-side-combined bit_or, python-free",
+                "partial_bit_or" in bfplan and "BatchEvalPython" not in bfplan,
+            )
+        )
+        mc = bloom_maybe_contains(keys, bf, m=1 << 14, k=5)
+        mcplan = mc._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "bloom probe broadcasts filter words, python-free",
+                "BroadcastHashJoin" in mcplan and "BatchEvalPython" not in mcplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,88 @@
+"""Distributed Bloom filter (textproc/bloom.py).
+
+The load-bearing property is the superset guarantee: a key the filter
+was built from can NEVER report maybe=false.  False positives are
+allowed (and expected at tiny m); the word frame must stay sparse
+(only non-zero words) and a python twin of the md5 probe must agree
+bit-for-bit with the Spark expression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.bloom import bloom_build, bloom_maybe_contains
+
+
+def _keys(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def _probe_positions(key: str, m: int, k: int):
+    return [
+        int(hashlib.md5(f"{j}|{key}".encode()).hexdigest()[:15], 16) % m
+        for j in range(k)
+    ]
+
+
+def test_no_false_negatives(spark):
+    members = [f"doc{i}" for i in range(200)]
+    filt = bloom_build(_keys(spark, members), m=4096, k=5)
+    got = {
+        r["key"]: r["maybe"]
+        for r in bloom_maybe_contains(_keys(spark, members), filt, m=4096, k=5).collect()
+    }
+    assert len(got) == 200 and all(got.values())
+
+
+def test_non_members_mostly_rejected_and_fp_possible_at_tiny_m(spark):
+    members = [f"doc{i}" for i in range(100)]
+    others = [f"other{i}" for i in range(300)]
+    filt = bloom_build(_keys(spark, members), m=1 << 14, k=5).cache()
+    got = {
+        r["key"]: r["maybe"]
+        for r in bloom_maybe_contains(_keys(spark, others), filt, m=1 << 14, k=5).collect()
+    }
+    # (m, k, n) = (16384, 5, 100): fp rate ~ (1-e^{-kn/m})^k ~ 1e-8 —
+    # 300 probes should all miss
+    assert not any(got.values())
+    # tiny m: everything collides into maybe=true (saturated filter)
+    sat = bloom_build(_keys(spark, members), m=32, k=1)
+    got_sat = {
+        r["key"]: r["maybe"]
+        for r in bloom_maybe_contains(_keys(spark, others[:20]), sat, m=32, k=1).collect()
+    }
+    assert sum(got_sat.values()) > 0  # false positives exist; never negatives
+
+
+def test_word_frame_sparse_and_probe_matches_python_twin(spark):
+    members = ["a", "b", "c"]
+    m, k = 1024, 3
+    words = {r["word"]: r["bits"] for r in bloom_build(_keys(spark, members), m=m, k=k).collect()}
+    # python twin: same md5-derived positions, 32-bit packing
+    want = {}
+    for key in members:
+        for p in _probe_positions(key, m, k):
+            want[p // 32] = want.get(p // 32, 0) | (1 << (p % 32))
+    assert words == want
+    assert all(bits != 0 for bits in words.values())  # sparse: no zero words
+
+
+def test_null_keys_skipped_and_duplicates_idempotent(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "key string")
+    once = {r["word"]: r["bits"] for r in bloom_build(df, m=512, k=4).collect()}
+    dedup = {
+        r["word"]: r["bits"]
+        for r in bloom_build(_keys(spark, ["a", "b"]), m=512, k=4).collect()
+    }
+    assert once == dedup
+
+
+def test_config_guard():
+    with pytest.raises(ValueError):
+        bloom_build(None, m=16, k=1)
+    with pytest.raises(ValueError):
+        bloom_maybe_contains(None, None, m=1024, k=0)
