@@ -1833,6 +1833,54 @@ _BLOOM_ORACLE_SQL = (
 )
 
 
+_CMS_W, _CMS_D = 16, 3
+
+
+def _q_cms_term_counts(spark, sf_dir):
+    """Count-Min sketch term frequencies (textproc/sketch.py): build the
+    depth×width counter frame over every token occurrence with ONE
+    map-side-combinable (row, col) sum, then estimate every distinct
+    term as the min over its depth probed counters.  width=16 (vs the corpus's 31-term vocabulary) forces
+    real collisions by pigeonhole so the min actually prunes over-counts; the CM
+    guarantee (est >= true always) travels in the output next to the
+    exact count."""
+    from capreolus_spark.textproc.sketch import count_min_build, count_min_estimate
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+        ).alias("key")
+    )
+    sk = count_min_build(toks, "key", width=_CMS_W, depth=_CMS_D)
+    est = count_min_estimate(toks, sk, width=_CMS_W, depth=_CMS_D)
+    true = toks.groupBy("key").agg(F.count("*").alias("true_cnt"))
+    return est.join(true, "key").select("key", "est", "true_cnt")
+
+
+def _cms_col_sql(key_expr: str, j: str) -> str:
+    return (
+        f"TRY_CAST(concat('0x', substr(md5(concat({j}, '|', {key_expr})), 1, 15)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_ORACLE_SQL = (
+    "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) "
+    "AS key FROM documents), "
+    f"js AS (SELECT unnest(range(0, {_CMS_D})) AS j), "
+    f"cells AS (SELECT j, {_cms_col_sql('key', 'j')} AS col FROM tok CROSS JOIN js), "
+    "cnt AS (SELECT j AS row, col, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM cells GROUP BY 1, 2), "
+    "keys AS (SELECT DISTINCT key FROM tok), "
+    f"kc AS (SELECT key, j AS row, {_cms_col_sql('key', 'j')} AS col "
+    "FROM keys CROSS JOIN js), "
+    "est AS (SELECT key, min(coalesce(cnt, 0)) AS est FROM kc "
+    "LEFT JOIN cnt USING (row, col) GROUP BY key), "
+    "tc AS (SELECT key, CAST(count(*) AS BIGINT) AS true_cnt FROM tok GROUP BY key) "
+    "SELECT key, est, true_cnt FROM est JOIN tc USING (key)"
+)
+
+
 def _rbo_consts(p: float = 0.9, k: int = 20):
     """The rbo_df weight fold replicated once here so the SQL oracle
     embeds the BIT-IDENTICAL floats the Spark expression uses."""
@@ -6092,6 +6140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "ngram_diversity": _q_ngram_diversity,
         "bloom_membership": _q_bloom_membership,
+        "cms_term_counts": _q_cms_term_counts,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7013,6 +7062,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _BLOOM_ORACLE_SQL.replace(
             "{QRELS}", _SYNTH_QRELS_SQL
         ).replace("{RUN}", _SYNTH_RUN_SQL),
+        # count-min sketch: counters/probes generated from the SAME
+        # (width, depth) parameters as the Spark expressions
+        "cms_term_counts": _CMS_ORACLE_SQL,
         # distinct-n + entropy: per-term-rounded c*ln(c) decimal sums
         "ngram_diversity": (
             "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "

@@ -35,9 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import md5_hash60_unit
+from .hashing import md5_hash60, md5_hash60_unit
 
-__all__ = ["cardinality_kmv"]
+__all__ = [
+    "cardinality_kmv",
+    "count_min_build",
+    "count_min_estimate",
+    "count_min_merge",
+]
 
 
 def cardinality_kmv(
@@ -95,3 +100,93 @@ def cardinality_kmv(
         (F.col("n_kept") < k).alias("exact"),
     )
     return out
+
+
+def _cms_cols(key_col, width: int, depth: int):
+    """Array of ``depth`` counter columns for a key — row ``j`` probes
+    column ``md5(j|key) mod width`` (the engine's seeded-md5 convention,
+    shared with ``textproc/bloom.py`` so both replay in any engine)."""
+    return F.array(
+        *[
+            md5_hash60(F.concat(F.lit(f"{j}|"), key_col.cast("string"))) % width
+            for j in range(depth)
+        ]
+    )
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key column's
+    frequency distribution, as the sparse counter frame
+    ``(row int, col bigint, cnt bigint)`` — only NON-ZERO counters are
+    materialized; the dense size is the constant ``depth × width``.
+
+    This is the mergeable bounded-memory frequency summary engines ship
+    opaquely (Spark's ``count_min_sketch`` agg, druid/ES equivalents),
+    rebuilt relationally and DETERMINISTICALLY: each occurrence fans into
+    ``depth`` (row, col) cells and ONE map-side-combinable
+    ``groupBy(row, col).sum()`` collapses them — the shuffle carries at
+    most ``depth × width`` combined rows per map partition, never the
+    corpus.  ``weight_col`` (default 1 per row) must be non-negative for
+    the CM guarantees to hold.  NULL keys are skipped.
+
+    Guarantees (with N = total weight): every estimate is ≥ the true
+    count, and ≤ true + e·N/width with probability 1 − (1/e)^depth.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"need width >= 1 and depth >= 1, got {width}x{depth}")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.posexplode(_cms_cols(F.col(key_col), width, depth)).alias("row", "col"),
+            w.alias("_w"),
+        )
+    )
+    return cells.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
+
+
+def count_min_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    key_col: str = "key",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """``(key, est)`` per DISTINCT candidate key: the minimum over the
+    ``depth`` probed counters (missing counter ⇒ 0).  ``width``/``depth``
+    MUST match the build configuration.  The sketch frame joins on
+    (row, col) — at most ``depth × width`` rows, broadcastable by
+    construction for any practical configuration.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"need width >= 1 and depth >= 1, got {width}x{depth}")
+    probes = (
+        candidates.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.posexplode(_cms_cols(F.col("key"), width, depth)).alias("row", "col"),
+        )
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("_c")
+    )
+    return joined.groupBy("key").agg(F.min("_c").alias("est"))
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge same-config sketches (cellwise sum) — the property that
+    lets per-corpus / per-day sketches roll up without re-reading data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))

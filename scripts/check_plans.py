@@ -934,6 +934,28 @@ def main() -> None:
             )
         )
 
+        # Count-Min sketch: build must partial-aggregate the cell sums
+        # map-side (shuffle bounded by depth*width combined rows per map
+        # partition) and the estimate must broadcast the counter frame.
+        from capreolus_spark.textproc.sketch import count_min_build, count_min_estimate
+
+        cs = count_min_build(keys, "key", width=64, depth=3)
+        csplan = cs._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "cms build map-side-combined cell sums, python-free",
+                "partial_sum" in csplan and "BatchEvalPython" not in csplan,
+            )
+        )
+        ce = count_min_estimate(keys, cs, width=64, depth=3)
+        ceplan = ce._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "cms estimate broadcasts counter frame, python-free",
+                "BroadcastHashJoin" in ceplan and "BatchEvalPython" not in ceplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,100 @@
+"""Count-Min sketch (textproc/sketch.py count_min_*).
+
+The load-bearing guarantees: estimates NEVER undercount (min over d
+independent rows of an overcounting array), the collision-free regime
+is exact, weights sum rather than count, and merging per-corpus
+sketches equals building one sketch over the union.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from capreolus_spark.textproc.sketch import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
+
+
+def _df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def _est(spark, keys, width, depth, sketch=None):
+    sk = sketch if sketch is not None else count_min_build(
+        _df(spark, keys), "key", width=width, depth=depth
+    )
+    return {
+        r["key"]: r["est"]
+        for r in count_min_estimate(
+            _df(spark, sorted(set(keys))), sk, width=width, depth=depth
+        ).collect()
+    }
+
+
+def test_never_undercounts_and_tiny_width_collides(spark):
+    keys = [f"t{i % 37}" for i in range(500)]
+    true = Counter(keys)
+    got = _est(spark, keys, width=8, depth=3)
+    assert set(got) == set(true)
+    assert all(got[k] >= true[k] for k in true)
+    # 37 keys into 8 columns: some estimate MUST exceed its true count
+    assert any(got[k] > true[k] for k in true)
+
+
+def test_collision_free_regime_exact(spark):
+    keys = [f"t{i % 10}" for i in range(200)]
+    true = Counter(keys)
+    got = _est(spark, keys, width=4096, depth=4)
+    assert got == dict(true)
+
+
+def test_weight_column_sums(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 4), ("b", 10), (None, 99)], "key string, w int"
+    )
+    sk = count_min_build(df, "key", weight_col="w", width=1024, depth=3)
+    got = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(_df(spark, ["a", "b"]), sk, width=1024, depth=3).collect()
+    }
+    assert got == {"a": 7, "b": 10}  # NULL key skipped
+
+
+def test_merge_equals_union_build(spark):
+    part1 = [f"t{i % 5}" for i in range(100)]
+    part2 = [f"t{i % 7}" for i in range(80)]
+    w, d = 16, 3
+    merged = count_min_merge(
+        count_min_build(_df(spark, part1), "key", width=w, depth=d),
+        count_min_build(_df(spark, part2), "key", width=w, depth=d),
+    )
+    whole = count_min_build(_df(spark, part1 + part2), "key", width=w, depth=d)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    # estimates through the merged sketch match the union build too
+    assert _est(spark, part1 + part2, w, d, sketch=merged) == _est(
+        spark, part1 + part2, w, d
+    )
+
+
+def test_unseen_key_estimates_from_collisions_only(spark):
+    keys = ["x"] * 50
+    got = _est(spark, keys + [], width=4096, depth=4)
+    sk = count_min_build(_df(spark, keys), "key", width=4096, depth=4)
+    unseen = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(_df(spark, ["never-seen"]), sk, width=4096, depth=4).collect()
+    }
+    assert got["x"] == 50 and unseen["never-seen"] == 0
+
+
+def test_config_guard():
+    with pytest.raises(ValueError):
+        count_min_build(None, "key", width=0, depth=3)
+    with pytest.raises(ValueError):
+        count_min_estimate(None, None, width=16, depth=0)
+    with pytest.raises(ValueError):
+        count_min_merge()
