@@ -1857,6 +1857,56 @@ def _q_cms_term_counts(spark, sf_dir):
     return est.join(true, "key").select("key", "est", "true_cnt")
 
 
+_HLL_P = 4  # m = 16 registers: approximation regime live at 500 docs
+
+
+def _q_cardinality_hll(spark, sf_dir):
+    """HyperLogLog per-source distinct doc_id estimate
+    (textproc/sketch.py cardinality_hll): seeded-md5 register/rank
+    streams, integer-exact harmonic denominator (decimal Σ2^(61−rho)),
+    doubles only in the final division / small-range correction,
+    6dp-rounded.  p=4 keeps the approximate regime live; the exact
+    count rides along for comparison."""
+    from capreolus_spark.textproc.sketch import cardinality_hll
+
+    docs = _docs(spark, sf_dir)
+    hll = cardinality_hll(docs, "doc_id", p=_HLL_P, by=["source"])
+    exact = docs.filter(F.col("doc_id").isNotNull()).groupBy("source").agg(
+        F.count_distinct("doc_id").alias("exact_count")
+    )
+    return hll.join(exact, "source").select(
+        "source", "nonzero_registers", "estimate", "exact_count"
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from capreolus_spark.textproc.sketch import _hll_alpha
+
+    m = 1 << _HLL_P
+    num = repr(_hll_alpha(m) * m * m * 2.0**61)
+    h60 = "TRY_CAST(concat('0x', substr(md5(concat('{seed}|', v)), 1, 15)) AS BIGINT)"
+    return (
+        "WITH vals AS (SELECT source, CAST(doc_id AS VARCHAR) AS v FROM documents "
+        "WHERE doc_id IS NOT NULL), "
+        f"h AS (SELECT source, {h60.format(seed='reg')} % {m} AS reg, "
+        f"{h60.format(seed='rho')} AS w FROM vals), "
+        "r AS (SELECT source, reg, max(CASE WHEN w = 0 THEN 61 "
+        "ELSE 61 - length(bin(w)) END) AS rho FROM h GROUP BY 1, 2), "
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS nonzero_registers, "
+        "sum(1::BIGINT << CAST(61 - rho AS INT)) AS sz FROM r GROUP BY 1), "
+        f"e AS (SELECT source, nonzero_registers, CAST(sz + "
+        f"({m} - nonzero_registers)::HUGEINT * (1::BIGINT << 61) AS DOUBLE) AS z, "
+        f"({m} - nonzero_registers) AS zeros FROM a), "
+        f"est AS (SELECT source, nonzero_registers, CASE WHEN ({num} / z) <= {2.5 * m!r} "
+        f"AND zeros > 0 THEN {float(m)!r} * ln({float(m)!r} / zeros) "
+        f"ELSE {num} / z END AS est0 FROM e), "
+        "x AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_count "
+        "FROM documents WHERE doc_id IS NOT NULL GROUP BY 1) "
+        "SELECT source, nonzero_registers, round(est0, 6) AS estimate, exact_count "
+        "FROM est JOIN x USING (source)"
+    )
+
+
 def _cms_col_sql(key_expr: str, j: str) -> str:
     return (
         f"TRY_CAST(concat('0x', substr(md5(concat({j}, '|', {key_expr})), 1, 15)) "
@@ -6141,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "bloom_membership": _q_bloom_membership,
         "cms_term_counts": _q_cms_term_counts,
+        "cardinality_hll": _q_cardinality_hll,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7065,6 +7116,9 @@ def oracle_sql() -> dict[str, str]:
         # count-min sketch: counters/probes generated from the SAME
         # (width, depth) parameters as the Spark expressions
         "cms_term_counts": _CMS_ORACLE_SQL,
+        # HLL: register/rank/denominator replicated with the SAME p and
+        # the SAME embedded alpha*m^2*2^61 double literal
+        "cardinality_hll": _hll_oracle_sql(),
         # distinct-n + entropy: per-term-rounded c*ln(c) decimal sums
         "ngram_diversity": (
             "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "

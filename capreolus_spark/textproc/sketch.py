@@ -39,6 +39,7 @@ from .hashing import md5_hash60, md5_hash60_unit
 
 __all__ = [
     "cardinality_kmv",
+    "cardinality_hll",
     "count_min_build",
     "count_min_estimate",
     "count_min_merge",
@@ -100,6 +101,84 @@ def cardinality_kmv(
         (F.col("n_kept") < k).alias("exact"),
     )
     return out
+
+
+def _hll_alpha(m: int) -> float:
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def cardinality_hll(
+    df: DataFrame,
+    col: str,
+    p: int = 11,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007) —
+    the relational, engine-portable twin of ``approx_count_distinct``.
+
+    Two independent seeded md5-60 streams assign each value a register
+    (``md5('reg|'·v) mod m``, ``m = 2^p``) and a rank ``rho`` = leading
+    zeros of ``md5('rho|'·v)`` in 60 bits, plus one — so the whole
+    sketch replays bit-identically in any engine with md5, which is what
+    lets the DuckDB gate hash-verify estimates (KMV carries the
+    exact-regime gate; HLL's estimate itself is deterministic here).
+
+    Exactness discipline: the harmonic denominator is accumulated as the
+    INTEGER ``Z·2^61 = Σ 2^(61−rho_j)`` (each term a power of two ≤ 2^60
+    since rho ≥ 1, summed in decimal(38,0) — no float-order sensitivity),
+    and only the final ``alpha·m²·2^61 / Z`` division and the
+    small-range ``m·ln(m/zeros)`` correction touch doubles, 6dp-rounded.
+
+    Scale shape: ONE map-side-combinable ``groupBy(register).max(rho)``
+    (shuffle bounded by ``m`` combined rows per map partition) and an
+    ``m``-row rollup per group.  NULLs ignored.  Returns
+    ``(*by, nonzero_registers bigint, estimate double)`` — relative
+    standard error ≈ 1.04/√m.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    numerator = _hll_alpha(m) * m * m * 2.0**61
+    by = list(by or [])
+    gcols = by or [F.lit(0).alias("_g")]
+    gnames = by or ["_g"]
+    v = F.col(col).cast("string")
+    w = md5_hash60(F.concat(F.lit("rho|"), v))
+    rho = F.when(w == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(w)))
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *gcols,
+            (md5_hash60(F.concat(F.lit("reg|"), v)) % m).alias("_reg"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*gnames, "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    per = regs.select(
+        *gnames,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(61 - _rho AS INT))")
+        .cast("decimal(38,0)")
+        .alias("_z"),
+    )
+    agg = per.groupBy(*gnames).agg(
+        F.count("*").alias("nonzero_registers"), F.sum("_z").alias("_sz")
+    )
+    two61 = F.lit(1 << 61).cast("decimal(38,0)")
+    zint = (
+        F.col("_sz") + (F.lit(m) - F.col("nonzero_registers")).cast("decimal(38,0)") * two61
+    )
+    zeros = F.lit(m) - F.col("nonzero_registers")
+    est_raw = F.lit(numerator) / zint.cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        *by,
+        F.col("nonzero_registers").cast("bigint").alias("nonzero_registers"),
+        F.round(est, 6).alias("estimate"),
+    )
 
 
 def _cms_cols(key_col, width: int, depth: int):

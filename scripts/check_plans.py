@@ -956,6 +956,20 @@ def main() -> None:
             )
         )
 
+        # HLL: the register rollup must partial-aggregate the max(rho)
+        # map-side (shuffle bounded by m combined rows per map partition)
+        # and the whole estimate math stays JVM.
+        from capreolus_spark.textproc.sketch import cardinality_hll
+
+        hl = cardinality_hll(keys, "key", p=6)
+        hlplan = hl._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "hll register rollup map-side-combined max, python-free",
+                "partial_max" in hlplan and "BatchEvalPython" not in hlplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,71 @@
+"""HyperLogLog cardinality (textproc/sketch.py cardinality_hll).
+
+The estimate must land within the published relative-standard-error
+band (~1.04/sqrt(m)), the small-range linear-counting branch must keep
+tiny cardinalities near-exact, and the sketch must be deterministic and
+NULL-ignoring like count(DISTINCT).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.sketch import cardinality_hll
+
+
+def _vals(spark, vals, group=None):
+    if group is None:
+        return spark.createDataFrame([(v,) for v in vals], "v string")
+    return spark.createDataFrame([(g, v) for g, v in vals], "g string, v string")
+
+
+def test_estimate_within_error_band(spark):
+    n = 5000
+    df = _vals(spark, [f"val-{i}" for i in range(n)] * 2)  # dups don't matter
+    p = 8  # m=256, rse ~ 6.5%
+    row = cardinality_hll(df, "v", p=p).collect()[0]
+    rse = 1.04 / math.sqrt(1 << p)
+    assert abs(row["estimate"] - n) / n < 5 * rse
+    assert 0 < row["nonzero_registers"] <= 1 << p
+
+
+def test_small_range_linear_counting_near_exact(spark):
+    df = _vals(spark, [f"x{i}" for i in range(8)])
+    row = cardinality_hll(df, "v", p=8).collect()[0]
+    # zeros > 0 and E <= 2.5m: linear counting, near-exact at 8/256 load
+    assert abs(row["estimate"] - 8) < 1.5
+    # register collisions possible (birthday) but bounded
+    nz = row["nonzero_registers"]
+    assert 1 <= nz <= 8
+    # and the estimate IS the linear-counting formula for the observed load
+    m = 256
+    assert abs(row["estimate"] - m * math.log(m / (m - nz))) < 1e-5
+
+
+def test_grouped_and_nulls(spark):
+    rows = [("a", f"v{i}") for i in range(20)] + [("b", "only")] + [("b", None)]
+    df = _vals(spark, rows, group=True)
+    got = {r["g"]: r for r in cardinality_hll(df, "v", p=6, by=["g"]).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(got["b"]["estimate"] - 1) < 0.1  # NULL ignored
+    assert abs(got["a"]["estimate"] - 20) < 6
+
+
+def test_deterministic(spark):
+    df = _vals(spark, [f"v{i}" for i in range(100)]).repartition(7)
+    a = cardinality_hll(df, "v", p=6).collect()[0]
+    b = cardinality_hll(df.repartition(3), "v", p=6).collect()[0]
+    assert (a["estimate"], a["nonzero_registers"]) == (
+        b["estimate"],
+        b["nonzero_registers"],
+    )
+
+
+def test_p_guard():
+    with pytest.raises(ValueError):
+        cardinality_hll(None, "v", p=3)
+    with pytest.raises(ValueError):
+        cardinality_hll(None, "v", p=19)
