@@ -469,6 +469,29 @@ def main() -> None:
                 docs.select("doc_id", F.col("text").alias("content")), max_lines=50
             ).count(),
         )
+
+        # ---- sketch family (bloom / count-min / HLL relational twins) ----
+        from capreolus_spark.textproc.bloom import bloom_build, bloom_maybe_contains
+        from capreolus_spark.textproc.sketch import (
+            cardinality_hll,
+            count_min_build,
+            count_min_estimate,
+        )
+
+        def _sketches_once() -> None:
+            keys = docs.select(F.col("doc_id").cast("string").alias("key"))
+            filt = bloom_build(keys, m=1 << 18, k=5)
+            bloom_maybe_contains(keys, filt, m=1 << 18, k=5).filter("maybe").count()
+            toks = docs.select(
+                F.explode(
+                    F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+                ).alias("key")
+            )
+            sk = count_min_build(toks, "key", width=1024, depth=4)
+            count_min_estimate(toks, sk, width=1024, depth=4).count()
+            cardinality_hll(docs, "doc_id", p=11, by=["source"]).count()
+
+        timed("sketch_suite", _sketches_once)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()

@@ -35,21 +35,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _position(key_col, m: int, j: int):
+    """Bit position in [0, m) for probe ``j`` of a key (md5-portable)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), key_col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
 def _positions(key_col, m: int, k: int):
     """Array of k bit positions in [0, m) for a key (md5-portable)."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}|"), key_col.cast("string"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m
-            for j in range(k)
-        ]
-    )
+    return F.array(*[_position(key_col, m, j) for j in range(k)])
 
 
 def bloom_build(
@@ -112,3 +114,47 @@ def bloom_maybe_contains(
     return joined.groupBy("key").agg(
         (F.min("_hit") == 1).alias("maybe")
     )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Keep only rows whose ``col`` is MAYBE in the filter — the sound
+    prefilter a pipeline puts in front of an expensive shuffle join
+    (superset property: a row whose key the filter was built from is
+    never dropped; false positives merely pass through to the exact
+    stage).  Unlike :func:`bloom_maybe_contains` this neither dedups nor
+    aggregates: each probe is one broadcast join against the m/32-row
+    word frame plus a bit test, so the whole prefilter is MAP-SIDE —
+    zero shuffles — and rows failing an early probe skip the rest.
+    NULL keys are dropped (they cannot have been inserted).
+    """
+    if m < 32 or k < 1:
+        raise ValueError(f"need m >= 32 and k >= 1, got m={m}, k={k}")
+    out = df.filter(F.col(col).isNotNull())
+    for j in range(k):
+        p = _position(F.col(col), m, j)
+        out = (
+            out.withColumn("_bf_pos", p)
+            .withColumn("_bf_word", (F.col("_bf_pos") / 32).cast("long"))
+            .withColumn(
+                "_bf_bit",
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bf_pos % 32 AS INT))"),
+            )
+        )
+        out = (
+            out.join(
+                F.broadcast(bloom.withColumnRenamed("word", "_bf_word")),
+                "_bf_word",
+                "left",
+            )
+            .filter(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bf_bit")) != 0
+            )
+            .drop("_bf_word", "_bf_pos", "_bf_bit", "bits")
+        )
+    return out

@@ -84,12 +84,27 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+    bloom_bits: int = 1 << 24,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """Drop documents sharing ANY word ``n``-gram with the evaluation set
     (the published 13-gram decontamination rule).  Shingle both sides,
     anti-join documents whose shingle set intersects the (much smaller)
-    eval shingle set — shuffle is keyed by shingle, the eval side is
-    broadcastable by construction.  Returns the surviving documents."""
+    eval shingle set.  Returns the surviving documents.
+
+    ``broadcast_eval=True`` (default): the eval shingle set — benchmark
+    suites are megabytes — broadcasts and the semi-join is map-side.
+
+    ``broadcast_eval=False``: for an eval side too big to broadcast, the
+    semi-join becomes a shuffle — but the corpus shingle stream first
+    passes a Bloom prefilter of the eval set
+    (:func:`~capreolus_spark.textproc.bloom.bloom_prefilter`; the
+    ``m/32``-word frame broadcasts even when the shingles don't), so the
+    shuffle carries only true hits plus the configured false-positive
+    rate instead of every corpus n-gram.  The superset property makes
+    the prefilter SOUND: results are identical to the exact join.
+    """
     eval_shingles = (
         shingle_postings(
             eval_texts.select(F.lit(0).alias("doc_id"), F.col(eval_text_col).alias("text")),
@@ -104,11 +119,21 @@ def decontaminate(
         text_col="text",
         n=n,
     )
-    contaminated = (
-        doc_shingles.join(F.broadcast(eval_shingles), "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    if broadcast_eval:
+        hits = doc_shingles.join(F.broadcast(eval_shingles), "shingle", "left_semi")
+    else:
+        from .bloom import bloom_build, bloom_prefilter
+
+        filt = bloom_build(
+            eval_shingles.select(F.col("shingle").alias("key")),
+            m=bloom_bits,
+            k=bloom_k,
+        )
+        maybe = bloom_prefilter(
+            doc_shingles, "shingle", filt, m=bloom_bits, k=bloom_k
+        )
+        hits = maybe.join(eval_shingles, "shingle", "left_semi")
+    contaminated = hits.select("doc_id").distinct()
     return docs.join(
         contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )

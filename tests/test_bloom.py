@@ -14,7 +14,11 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
-from capreolus_spark.textproc.bloom import bloom_build, bloom_maybe_contains
+from capreolus_spark.textproc.bloom import (
+    bloom_build,
+    bloom_maybe_contains,
+    bloom_prefilter,
+)
 
 
 def _keys(spark, keys):
@@ -86,3 +90,57 @@ def test_config_guard():
         bloom_build(None, m=16, k=1)
     with pytest.raises(ValueError):
         bloom_maybe_contains(None, None, m=1024, k=0)
+    with pytest.raises(ValueError):
+        bloom_prefilter(None, "key", None, m=1024, k=0)
+
+
+def test_prefilter_sound_and_shuffle_free(spark):
+    members = [f"m{i}" for i in range(50)]
+    filt = bloom_build(_keys(spark, members), m=1 << 14, k=5)
+    mixed = spark.createDataFrame(
+        [(f"m{i}", i) for i in range(50)]
+        + [(f"x{i}", i) for i in range(200)]
+        + [(None, -1)],
+        "key string, payload int",
+    )
+    out = bloom_prefilter(mixed, "key", filt, m=1 << 14, k=5)
+    rows = out.collect()
+    kept = {r["key"] for r in rows}
+    # sound: every true member survives, payload column intact
+    assert set(members) <= kept
+    assert {r["payload"] for r in rows if r["key"] == "m7"} == {7}
+    # selective at this (m, k, n): the 200 non-members essentially all drop
+    assert len(kept - set(members)) <= 2
+    # map-side probe: k broadcast joins; the FINAL executed plan builds
+    # the filter once (its bit_or groupBy is the only hash Exchange) and
+    # reuses that broadcast for the other probes
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("ReusedExchange") == 4
+    assert final.count("BroadcastHashJoin") == 5
+
+
+def test_decontaminate_bloom_path_identical_to_broadcast(spark):
+    from capreolus_spark.textproc.scrub import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "totally unrelated content goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [("one two three four five six seven eight",)], "text string"
+    )
+    a = sorted(r["doc_id"] for r in decontaminate(docs, evals, n=5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs, evals, n=5, broadcast_eval=False, bloom_bits=1 << 12
+        ).collect()
+    )
+    assert a == b == [1, 3]
