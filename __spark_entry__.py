@@ -1833,6 +1833,37 @@ _BLOOM_ORACLE_SQL = (
 )
 
 
+def _q_priority_sample(spark, sf_dir):
+    """Priority sampling (textproc/sampling.py priority_sample): keep
+    the 5 largest w·2^60/h priorities per source, n_chars-weighted —
+    IEEE mul/div only, so the ordering (and the sampled row set)
+    replays bit-identically in the SQL twin."""
+    from capreolus_spark.textproc.sampling import priority_sample
+
+    return priority_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        k=5,
+        weight_col="n_chars",
+        key_col="doc_id",
+        by=["source"],
+        seed="ps16",
+    ).select("doc_id", "source", "n_chars")
+
+
+_PRIORITY_ORACLE_SQL = (
+    "WITH h AS (SELECT doc_id, source, n_chars, "
+    "TRY_CAST(concat('0x', substr(md5(concat('ps16', CAST(doc_id AS VARCHAR))), "
+    "1, 15)) AS BIGINT) AS hh FROM documents "
+    "WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL), "
+    "q AS (SELECT doc_id, source, n_chars, CASE WHEN hh = 0 THEN 1e308 * 10 "
+    "ELSE (CAST(n_chars AS DOUBLE) * 1152921504606846976.0) / CAST(hh AS DOUBLE) "
+    "END AS prio FROM h), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+    "ORDER BY prio DESC, doc_id ASC) AS rn FROM q) "
+    "SELECT doc_id, source, n_chars FROM r WHERE rn <= 5"
+)
+
+
 _CMS_W, _CMS_D = 16, 3
 
 
@@ -6192,6 +6223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "cms_term_counts": _q_cms_term_counts,
         "cardinality_hll": _q_cardinality_hll,
+        "priority_sample": _q_priority_sample,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7119,6 +7151,9 @@ def oracle_sql() -> dict[str, str]:
         # HLL: register/rank/denominator replicated with the SAME p and
         # the SAME embedded alpha*m^2*2^61 double literal
         "cardinality_hll": _hll_oracle_sql(),
+        # priority sampling: w*2^60/h priorities in pure IEEE mul/div,
+        # identical (desc, doc_id asc) rank in both engines
+        "priority_sample": _PRIORITY_ORACLE_SQL,
         # distinct-n + entropy: per-term-rounded c*ln(c) decimal sums
         "ngram_diversity": (
             "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "

@@ -47,6 +47,7 @@ from .sampling import (  # noqa: F401
     code_chunks,
     deterministic_sample,
     group_quota_sample,
+    priority_sample,
     pack_sequences,
     split_by_group,
     stratified_sample,

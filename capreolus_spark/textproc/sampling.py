@@ -126,6 +126,56 @@ def group_quota_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    by: "list[str] | None" = None,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Ohlsson's sequential Poisson, 1998; Duffield, Lund & Thorup, JACM
+    2007): each row gets priority ``q = w / u`` with ``u`` the
+    deterministic md5-60 unit hash of ``seed || key``, and the ``k``
+    largest priorities per ``by``-group are kept — inclusion probability
+    ≈ min(1, w/τ) with τ the (k+1)-th priority, the estimator the
+    priority-sampling literature builds on.  Heavier rows win
+    proportionally more often; re-runs and runs at any parallelism keep
+    the IDENTICAL row set.
+
+    Exactness discipline: the E-S ``u^(1/w)`` key needs transcendental
+    math that is not bit-portable across engines; ``q = w·2^60 / h``
+    uses only IEEE multiply/divide (correctly rounded everywhere), so
+    the ordering — and therefore the sample — replays bit-identically
+    in the DuckDB gate.  ``h = 0`` (P = 2^-60) maps to +inf (u → 0⁺).
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    inclusion mass; a negative weight is a data bug, not a sample
+    candidate).  Scale shape: one window shuffle on ``by`` — the same
+    per-group global-order discipline (and the same mega-group spill
+    note) as :func:`group_quota_sample`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    by = list(by or [])
+    h = md5_hash60(_seeded_key(key_col, seed))
+    prio = F.when(h == F.lit(0), F.lit(float("inf"))).otherwise(
+        F.col(weight_col).cast("double") * F.lit(float(1 << 60)) / h.cast("double")
+    )
+    pcols = by or [F.lit(0)]
+    w = Window.partitionBy(*pcols).orderBy(
+        F.desc("_prio"), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_prio", prio)
+        .withColumn("_prank", F.row_number().over(w))
+        .filter(F.col("_prank") <= int(k))
+        .drop("_prio", "_prank")
+    )
+
+
 def split_by_group(
     df: DataFrame,
     splits: "list[tuple[str, float]]",

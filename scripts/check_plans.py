@@ -970,6 +970,32 @@ def main() -> None:
             )
         )
 
+        # Priority sampling: one window shuffle on the group key, the
+        # priority math a pure JVM projection (IEEE mul/div only).
+        from capreolus_spark.textproc.sampling import priority_sample
+
+        ps = priority_sample(
+            docs_df.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                (F.length("text") % 3).cast("string").alias("g"),
+                F.length("text").alias("w"),
+            ),
+            k=3,
+            weight_col="w",
+            by=["g"],
+        )
+        psplan = ps._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        results.append(
+            (
+                "priority_sample one window shuffle, python-free",
+                psplan.count("Exchange hashpartitioning") == 1
+                and "BatchEvalPython" not in psplan
+                and "Window" in psplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

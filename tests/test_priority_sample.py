@@ -1,0 +1,96 @@
+"""Priority sampling (textproc/sampling.py priority_sample).
+
+Load-bearing properties: the sample is the exact top-k of the
+w*2^60/h priority order (python-twin verified), identical at any
+parallelism, heavier rows are selected more often across independent
+seeds, and zero/negative/NULL weights never enter the sample.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from capreolus_spark.textproc.sampling import priority_sample
+
+
+def _h60(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def _twin(rows, k, seed):
+    # rows: (key, weight); replicate q = w*2^60/h, (q desc, key asc)
+    scored = []
+    for key, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = _h60(f"{seed}{key}")
+        q = float("inf") if h == 0 else (float(w) * float(1 << 60)) / float(h)
+        scored.append((-q, key))
+    scored.sort()
+    return [key for _, key in scored[:k]]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, w long")
+
+
+def test_exact_topk_of_priority_order_and_parallelism_invariant(spark):
+    rows = [(f"d{i}", (i % 17) + 1) for i in range(200)]
+    want = set(_twin(rows, 10, "s1"))
+    got = {
+        r["doc_id"]
+        for r in priority_sample(
+            _df(spark, rows), k=10, weight_col="w", key_col="doc_id", seed="s1"
+        ).collect()
+    }
+    assert got == want
+    got3 = {
+        r["doc_id"]
+        for r in priority_sample(
+            _df(spark, rows).repartition(7), k=10, weight_col="w", key_col="doc_id", seed="s1"
+        ).collect()
+    }
+    assert got3 == want
+
+
+def test_heavier_rows_selected_more_often(spark):
+    # one heavy row vs 50 light rows; over 30 seeds the heavy row should
+    # appear in the k=5 sample far more often than any single light row
+    rows = [("heavy", 1000)] + [(f"light{i}", 1) for i in range(50)]
+    df = _df(spark, rows)
+    heavy_hits = 0
+    for s in range(30):
+        sel = {
+            r["doc_id"]
+            for r in priority_sample(df, k=5, weight_col="w", seed=f"seed{s}").collect()
+        }
+        heavy_hits += "heavy" in sel
+    assert heavy_hits >= 27  # P(miss) per seed is tiny with w-ratio 1000
+
+
+def test_grouped_and_invalid_weights(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "g1", 5),
+            ("b", "g1", 5),
+            ("c", "g1", 5),
+            ("d", "g2", 7),
+            ("zero", "g2", 0),
+            ("neg", "g2", -3),
+            ("nul", "g2", None),
+        ],
+        "doc_id string, g string, w long",
+    )
+    out = priority_sample(df, k=2, weight_col="w", by=["g"], seed="x").collect()
+    per_g = {}
+    for r in out:
+        per_g.setdefault(r["g"], set()).add(r["doc_id"])
+    assert len(per_g["g1"]) == 2
+    assert per_g["g2"] == {"d"}  # zero/negative/NULL weights excluded
+
+
+def test_k_guard():
+    with pytest.raises(ValueError):
+        priority_sample(None, k=0, weight_col="w")
