@@ -1833,6 +1833,67 @@ _BLOOM_ORACLE_SQL = (
 )
 
 
+def _q_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap CI for mean P@10 (evaluation/frames.py
+    bootstrap_ci_df; Sakai SIGIR 2006 practice): md5-seeded resample
+    grid, DECIMAL-exact per-resample means, order-statistic bounds —
+    the whole frame replays bit-identically in the SQL twin."""
+    from pyspark.sql import Window
+
+    from capreolus_spark.evaluation.frames import bootstrap_ci_df
+
+    run = _synth_run(spark, sf_dir)
+    pos = (
+        _synth_qrels(spark, sf_dir)
+        .filter(F.col("label") >= 1)
+        .select("qid", "docid")
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    top10 = run.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 10)
+    hits = (
+        top10.join(pos, ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg((F.count("*") / 10.0).alias("p10"))
+    )
+    perq = (
+        run.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select("qid", F.coalesce(F.col("p10"), F.lit(0.0)).alias("p10"))
+    )
+    return bootstrap_ci_df(perq, "p10", b=200, alpha=0.05, seed="bs16")
+
+
+_BOOTSTRAP_ORACLE_SQL = (
+    "WITH run AS ({RUN}), qrels AS ({QRELS}), "
+    "pos AS (SELECT DISTINCT qid, docid FROM qrels WHERE label >= 1), "
+    "t AS (SELECT qid, docid, row_number() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, docid ASC) AS r FROM run), "
+    "hh AS (SELECT t.qid, CAST(count(*) AS DOUBLE) / 10.0 AS p10 FROM t "
+    "JOIN pos ON t.qid = pos.qid AND t.docid = pos.docid WHERE t.r <= 10 "
+    "GROUP BY t.qid), "
+    "p AS (SELECT rq.qid, coalesce(hh.p10, 0.0) AS p10 FROM "
+    "(SELECT DISTINCT qid FROM run) rq LEFT JOIN hh USING (qid)), "
+    "idx AS (SELECT row_number() OVER (ORDER BY qid ASC) - 1 AS idx, "
+    "CAST(round(p10, 6) AS DECIMAL(18,6)) AS m FROM p), "
+    "c AS (SELECT CAST(count(*) AS BIGINT) AS q, sum(m) AS msum FROM idx), "
+    "d AS (SELECT rb, TRY_CAST(concat('0x', substr(md5(concat('bs16', '|', "
+    "CAST(rb AS VARCHAR), '|', CAST(slot AS VARCHAR))), 1, 15)) AS BIGINT) "
+    "% q AS pick FROM range(0, 200) r(rb) "
+    "CROSS JOIN (SELECT idx AS slot FROM idx) s CROSS JOIN c), "
+    "mb AS (SELECT rb, CAST(sum(i.m) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+    "AS mean_b FROM d JOIN idx i ON d.pick = i.idx GROUP BY rb), "
+    "rk AS (SELECT rb, mean_b, row_number() OVER (ORDER BY mean_b ASC, rb ASC) "
+    "AS r FROM mb), "
+    "bd AS (SELECT max(CASE WHEN r = 5 THEN mean_b END) AS ci_lo, "
+    "max(CASE WHEN r = 195 THEN mean_b END) AS ci_hi FROM rk) "
+    "SELECT c.q AS n_queries, CAST(200 AS BIGINT) AS b, "
+    "CAST(c.msum AS DOUBLE) / CAST(c.q AS DOUBLE) AS mean, ci_lo, ci_hi "
+    "FROM c CROSS JOIN bd"
+)
+
+
 def _q_priority_sample(spark, sf_dir):
     """Priority sampling (textproc/sampling.py priority_sample): keep
     the 5 largest w·2^60/h priorities per source, n_chars-weighted —
@@ -6224,6 +6285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": _q_cms_term_counts,
         "cardinality_hll": _q_cardinality_hll,
         "priority_sample": _q_priority_sample,
+        "bootstrap_ci_p10": _q_bootstrap_ci,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7154,6 +7216,11 @@ def oracle_sql() -> dict[str, str]:
         # priority sampling: w*2^60/h priorities in pure IEEE mul/div,
         # identical (desc, doc_id asc) rank in both engines
         "priority_sample": _PRIORITY_ORACLE_SQL,
+        # bootstrap CI: resample picks, decimal means, order-statistic
+        # bounds all replicated with the SAME seed/b/rank constants
+        "bootstrap_ci_p10": _BOOTSTRAP_ORACLE_SQL.replace(
+            "{QRELS}", _SYNTH_QRELS_SQL
+        ).replace("{RUN}", _SYNTH_RUN_SQL),
         # distinct-n + entropy: per-term-rounded c*ln(c) decimal sums
         "ngram_diversity": (
             "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "

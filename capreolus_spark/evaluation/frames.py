@@ -8,6 +8,8 @@ qrels shape: DataFrame(qid string, docid string, label int).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -608,4 +610,89 @@ def kendall_tau_df(
                 6,
             ).alias("tau"),
         )
+    )
+
+
+def bootstrap_ci_df(
+    per_query: DataFrame,
+    metric_col: str = "ap",
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: str = "",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of a
+    per-query metric (the IR-evaluation practice of Sakai, SIGIR 2006:
+    resample topics with replacement, report the alpha/2 and 1-alpha/2
+    order statistics of the B resample means).
+
+    Deterministic and engine-portable by construction: resample ``b``
+    draws query slots via the md5-60 convention (``pmod(h(seed|b|slot),
+    Q)``), per-resample means accumulate the 6dp-rounded metric as
+    DECIMAL (order-independent exact sums — no float-accumulation
+    drift), and the CI bounds are ORDER STATISTICS (row_number ranks,
+    no interpolation), so the whole frame hash-replays in the DuckDB
+    gate.  Returns one row: ``(n_queries, b, mean, ci_lo, ci_hi)``.
+
+    Scale shape: the only non-combinable step is a row_number over the
+    per-query frame (|topics| rows — evaluation topic sets are
+    thousands, not corpus-sized) and over the ``b`` resample means; the
+    B×Q resample grid joins the indexed metric frame on the sampled
+    slot (AQE-broadcastable: the metric frame IS the topic set).
+    """
+    from ..textproc.hashing import md5_hash60
+
+    if b < 2:
+        raise ValueError(f"b must be >= 2, got {b}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    spark = per_query.sparkSession
+    idx = per_query.select(
+        (F.row_number().over(Window.orderBy(F.col("qid").asc())) - 1).alias("idx"),
+        F.round(F.col(metric_col), 6).cast("decimal(18,6)").alias("_m"),
+    )
+    cnt = idx.agg(
+        F.count("*").alias("_q"), F.sum("_m").alias("_msum")
+    )
+    draws = (
+        spark.range(0, b)
+        .select(F.col("id").alias("rb"))
+        .crossJoin(F.broadcast(idx.select(F.col("idx").alias("slot"))))
+        .crossJoin(F.broadcast(cnt.select("_q")))
+        .select(
+            "rb",
+            F.pmod(
+                md5_hash60(
+                    F.concat_ws("|", F.lit(seed), F.col("rb"), F.col("slot"))
+                ),
+                F.col("_q"),
+            ).alias("pick"),
+        )
+    )
+    means = (
+        draws.join(F.broadcast(idx), draws["pick"] == idx["idx"])
+        .groupBy("rb")
+        .agg(F.sum("_m").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "rb", (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("mean_b")
+        )
+    )
+    lo_rank = max(1, math.ceil(alpha / 2 * b))
+    hi_rank = math.ceil((1 - alpha / 2) * b)
+    ranked = means.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_b").asc(), F.col("rb").asc()))
+        .alias("_r"),
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("_r") == lo_rank, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("_r") == hi_rank, F.col("mean_b"))).alias("ci_hi"),
+    )
+    overall = cnt.select(
+        F.col("_q").cast("bigint").alias("n_queries"),
+        F.lit(b).cast("bigint").alias("b"),
+        (F.col("_msum").cast("double") / F.col("_q").cast("double")).alias("mean"),
+    )
+    return overall.crossJoin(bounds).select(
+        "n_queries", "b", "mean", "ci_lo", "ci_hi"
     )

@@ -996,6 +996,26 @@ def main() -> None:
             )
         )
 
+        # Bootstrap CI: the resample grid joins the broadcast indexed
+        # metric frame (hash join on the pick), the topic-count frame
+        # broadcasts via nested-loop, and everything stays JVM.
+        from capreolus_spark.evaluation.frames import bootstrap_ci_df
+
+        pq = docs_df.select(
+            F.col("doc_id").cast("string").alias("qid"),
+            (F.col("doc_id") % 5 / 10.0).alias("ap"),
+        ).limit(40)
+        bc = bootstrap_ci_df(pq, "ap", b=30, seed="audit")
+        bcplan = bc._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "bootstrap_ci broadcast resample grid, python-free",
+                "BroadcastHashJoin" in bcplan
+                and "BroadcastNestedLoopJoin" in bcplan
+                and "BatchEvalPython" not in bcplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

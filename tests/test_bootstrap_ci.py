@@ -1,0 +1,70 @@
+"""Percentile-bootstrap CI (evaluation/frames.py bootstrap_ci_df).
+
+The whole pipeline — md5 resample picks, decimal-exact resample means,
+order-statistic bounds — must match a brute-force python twin exactly,
+be invariant to input partitioning, and validate its configuration.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import Decimal
+
+import pytest
+
+from capreolus_spark.evaluation.frames import bootstrap_ci_df
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _twin(metrics, b, alpha, seed):
+    # metrics: dict qid -> value; replicate the frame exactly
+    qids = sorted(metrics)
+    m = [Decimal(str(round(metrics[q], 6))) for q in qids]
+    qn = len(qids)
+    means = []
+    for rb in range(b):
+        picks = [_h60(f"{seed}|{rb}|{slot}") % qn for slot in range(qn)]
+        s = sum(m[p] for p in picks)
+        means.append((float(s) / qn, rb))
+    means.sort()
+    lo = means[max(1, math.ceil(alpha / 2 * b)) - 1][0]
+    hi = means[math.ceil((1 - alpha / 2) * b) - 1][0]
+    mean = float(sum(m)) / qn
+    return qn, mean, lo, hi
+
+
+def _df(spark, metrics):
+    return spark.createDataFrame(
+        [(q, v) for q, v in metrics.items()], "qid string, ap double"
+    )
+
+
+def test_matches_python_twin_exactly(spark):
+    metrics = {f"q{i:02d}": (i % 7) / 10.0 for i in range(20)}
+    row = bootstrap_ci_df(_df(spark, metrics), "ap", b=50, alpha=0.1, seed="t").collect()[0]
+    qn, mean, lo, hi = _twin(metrics, 50, 0.1, "t")
+    assert row["n_queries"] == qn and row["b"] == 50
+    assert row["mean"] == mean
+    assert (row["ci_lo"], row["ci_hi"]) == (lo, hi)
+    assert row["ci_lo"] <= row["ci_hi"]
+
+
+def test_partitioning_invariant_and_degenerate(spark):
+    metrics = {f"q{i}": 0.25 for i in range(10)}  # constant metric
+    df = _df(spark, metrics)
+    a = bootstrap_ci_df(df, "ap", b=40, seed="z").collect()[0]
+    b_ = bootstrap_ci_df(df.repartition(5), "ap", b=40, seed="z").collect()[0]
+    assert a == b_
+    # constant metric: every resample mean equals the mean, CI collapses
+    assert a["ci_lo"] == a["ci_hi"] == a["mean"] == 0.25
+
+
+def test_config_guard():
+    with pytest.raises(ValueError):
+        bootstrap_ci_df(None, "ap", b=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci_df(None, "ap", alpha=1.5)
