@@ -1971,6 +1971,35 @@ def _q_cardinality_hll(spark, sf_dir):
     )
 
 
+def _q_hll_merge(spark, sf_dir):
+    """HLL shard-merge losslessness (textproc/sketch.py hll_merge):
+    Spark sketches the even- and odd-docid halves separately, merges
+    the register frames (registerwise max), and estimates — the oracle
+    computes the HLL directly on the WHOLE corpus, so the hash match
+    proves merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly."""
+    from capreolus_spark.textproc.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    regs = hll_merge(
+        hll_registers(even, "doc_id", p=_HLL_P, by=["source"]),
+        hll_registers(odd, "doc_id", p=_HLL_P, by=["source"]),
+        by=["source"],
+    )
+    est = hll_estimate(regs, p=_HLL_P, by=["source"])
+    exact = docs.filter(F.col("doc_id").isNotNull()).groupBy("source").agg(
+        F.count_distinct("doc_id").alias("exact_count")
+    )
+    return est.join(exact, "source").select(
+        "source", "nonzero_registers", "estimate", "exact_count"
+    )
+
+
 def _hll_oracle_sql() -> str:
     from capreolus_spark.textproc.sketch import _hll_alpha
 
@@ -6286,6 +6315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_hll": _q_cardinality_hll,
         "priority_sample": _q_priority_sample,
         "bootstrap_ci_p10": _q_bootstrap_ci,
+        "hll_merge_estimate": _q_hll_merge,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7213,6 +7243,9 @@ def oracle_sql() -> dict[str, str]:
         # HLL: register/rank/denominator replicated with the SAME p and
         # the SAME embedded alpha*m^2*2^61 double literal
         "cardinality_hll": _hll_oracle_sql(),
+        # merge losslessness: Spark = split + merge, oracle = direct on
+        # the whole corpus — hash match proves the union property
+        "hll_merge_estimate": _hll_oracle_sql(),
         # priority sampling: w*2^60/h priorities in pure IEEE mul/div,
         # identical (desc, doc_id asc) rank in both engines
         "priority_sample": _PRIORITY_ORACLE_SQL,

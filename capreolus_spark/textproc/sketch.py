@@ -40,6 +40,9 @@ from .hashing import md5_hash60, md5_hash60_unit
 __all__ = [
     "cardinality_kmv",
     "cardinality_hll",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
     "count_min_build",
     "count_min_estimate",
     "count_min_merge",
@@ -137,15 +140,30 @@ def cardinality_hll(
     """
     if not 4 <= p <= 18:
         raise ValueError(f"p must be in [4, 18], got {p}")
+    regs = hll_registers(df, col, p=p, by=by)
+    return hll_estimate(regs, p=p, by=by)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 11,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """The HLL register frame ``(*by, _reg, _rho)`` — max rank per
+    register, only NON-EMPTY registers materialized.  Exposed so
+    per-corpus / per-day sketches can be stored slim and merged with
+    :func:`hll_merge` without re-reading data."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
     m = 1 << p
-    numerator = _hll_alpha(m) * m * m * 2.0**61
     by = list(by or [])
     gcols = by or [F.lit(0).alias("_g")]
     gnames = by or ["_g"]
     v = F.col(col).cast("string")
     w = md5_hash60(F.concat(F.lit("rho|"), v))
     rho = F.when(w == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(w)))
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select(
             *gcols,
@@ -155,6 +173,37 @@ def cardinality_hll(
         .groupBy(*gnames, "_reg")
         .agg(F.max("_rho").alias("_rho"))
     )
+
+
+def hll_merge(
+    *registers: DataFrame,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Merge same-``p`` register frames (registerwise max) — the HLL
+    property that lets per-shard sketches union losslessly: merging
+    sketches of A and B yields EXACTLY the sketch of A ∪ B."""
+    if not registers:
+        raise ValueError("need at least one register frame")
+    gnames = list(by or []) or ["_g"]
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*gnames, "_reg").agg(F.max("_rho").alias("_rho"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    p: int = 11,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Estimate from a register frame (see :func:`cardinality_hll` for
+    the exactness discipline)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    numerator = _hll_alpha(m) * m * m * 2.0**61
+    by = list(by or [])
+    gnames = by or ["_g"]
     per = regs.select(
         *gnames,
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(61 - _rho AS INT))")

@@ -64,6 +64,29 @@ def test_deterministic(spark):
     )
 
 
+def test_merge_lossless_and_estimate_from_registers(spark):
+    from capreolus_spark.textproc.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = _vals(spark, [f"v{i}" for i in range(60)])
+    b = _vals(spark, [f"v{i}" for i in range(30, 120)])  # overlaps a
+    whole = _vals(spark, [f"v{i}" for i in range(120)])
+    merged = hll_merge(
+        hll_registers(a, "v", p=6), hll_registers(b, "v", p=6)
+    )
+    direct = hll_registers(whole, "v", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    em = hll_estimate(merged, p=6).collect()[0]
+    ed = cardinality_hll(whole, "v", p=6).collect()[0]
+    assert (em["estimate"], em["nonzero_registers"]) == (
+        ed["estimate"],
+        ed["nonzero_registers"],
+    )
+
+
 def test_p_guard():
     with pytest.raises(ValueError):
         cardinality_hll(None, "v", p=3)
