@@ -1819,11 +1819,12 @@ def _q_bloom_membership(spark, sf_dir):
 
 _BLOOM_ORACLE_SQL = (
     f"WITH qrels AS ({{QRELS}}), run AS ({{RUN}}), "
-    "keys AS (SELECT DISTINCT docid AS key FROM qrels WHERE label >= 1), "
+    "keys AS (SELECT DISTINCT docid AS key FROM qrels "
+    "WHERE label >= 1 AND docid IS NOT NULL), "
     f"pos AS (SELECT unnest({_bloom_pos_sql('key')}) AS p FROM keys), "
     "bw AS (SELECT CAST(floor(p / 32) AS BIGINT) AS word, "
     "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits FROM pos GROUP BY 1), "
-    "cand AS (SELECT DISTINCT docid AS key FROM run), "
+    "cand AS (SELECT DISTINCT docid AS key FROM run WHERE docid IS NOT NULL), "
     f"cpos AS (SELECT key, unnest({_bloom_pos_sql('key')}) AS p FROM cand), "
     "cw AS (SELECT key, CAST(floor(p / 32) AS BIGINT) AS word, "
     "(1::BIGINT << CAST(p % 32 AS INT)) AS bit FROM cpos), "
@@ -1902,7 +1903,11 @@ def _q_priority_sample(spark, sf_dir):
     from capreolus_spark.textproc.sampling import priority_sample
 
     return priority_sample(
-        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        # null docids excluded on BOTH sides: the library sentinel-hashes
+        # them, the oracle filters them — align the gate on the filter
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source", "n_chars"),
         k=5,
         weight_col="n_chars",
         key_col="doc_id",

@@ -34,19 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_hash60
+
 
 def _position(key_col, m: int, j: int):
-    """Bit position in [0, m) for probe ``j`` of a key (md5-portable)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}|"), key_col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m
-    )
+    """Bit position in [0, m) for probe ``j`` of a key (md5-portable;
+    the shared ``hashing.py`` convention so Spark and the SQL twins
+    cannot silently diverge)."""
+    return md5_hash60(F.concat(F.lit(f"{j}|"), key_col.cast("string"))) % m
 
 
 def _positions(key_col, m: int, k: int):
@@ -98,7 +93,7 @@ def bloom_maybe_contains(
         candidates.filter(F.col(key_col).isNotNull())
         .select(F.col(key_col).alias("key"))
         .distinct()
-        .select("key", F.posexplode(_positions(F.col("key"), m, k)).alias("_j", "_p"))
+        .select("key", F.explode(_positions(F.col("key"), m, k)).alias("_p"))
         .select(
             "key",
             (F.col("_p") / 32).cast("long").alias("word"),
@@ -135,6 +130,13 @@ def bloom_prefilter(
     """
     if m < 32 or k < 1:
         raise ValueError(f"need m >= 32 and k >= 1, got m={m}, k={k}")
+    reserved = {"_bf_pos", "_bf_word", "_bf_bit", "_bf_bits"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with prefilter internals: {sorted(clash)}")
+    filt = bloom.select(
+        F.col("word").alias("_bf_word"), F.col("bits").alias("_bf_bits")
+    )
     out = df.filter(F.col(col).isNotNull())
     for j in range(k):
         p = _position(F.col(col), m, j)
@@ -147,14 +149,11 @@ def bloom_prefilter(
             )
         )
         out = (
-            out.join(
-                F.broadcast(bloom.withColumnRenamed("word", "_bf_word")),
-                "_bf_word",
-                "left",
-            )
+            out.join(F.broadcast(filt), "_bf_word", "left")
             .filter(
-                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bf_bit")) != 0
+                F.coalesce(F.col("_bf_bits"), F.lit(0)).bitwiseAND(F.col("_bf_bit"))
+                != 0
             )
-            .drop("_bf_word", "_bf_pos", "_bf_bit", "bits")
+            .drop("_bf_word", "_bf_pos", "_bf_bit", "_bf_bits")
         )
     return out

@@ -268,6 +268,15 @@ def count_min_build(
     """
     if width < 1 or depth < 1:
         raise ValueError(f"need width >= 1 and depth >= 1, got {width}x{depth}")
+    if weight_col is not None:
+        # a fractional weight would silently truncate through the long
+        # cast and break the est >= true guarantee — reject it up front
+        dt = df.schema[weight_col].dataType.typeName()
+        if dt not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"weight_col must be an integral type for exact CM counters, "
+                f"got {weight_col}: {dt}"
+            )
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = (
         df.filter(F.col(key_col).isNotNull())

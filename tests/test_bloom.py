@@ -122,6 +122,18 @@ def test_prefilter_sound_and_shuffle_free(spark):
     assert final.count("BroadcastHashJoin") == 5
 
 
+def test_prefilter_tolerates_bits_column_and_rejects_reserved(spark):
+    members = ["a", "b"]
+    filt = bloom_build(_keys(spark, members), m=1024, k=3)
+    # a user column named 'bits' must not collide with the filter frame
+    df = spark.createDataFrame([("a", 7), ("zz", 9)], "key string, bits int")
+    rows = bloom_prefilter(df, "key", filt, m=1024, k=3).collect()
+    assert {(r["key"], r["bits"]) for r in rows} == {("a", 7)}
+    bad = spark.createDataFrame([("a", 1)], "key string, _bf_pos int")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_prefilter(bad, "key", filt, m=1024, k=3)
+
+
 def test_decontaminate_bloom_path_identical_to_broadcast(spark):
     from capreolus_spark.textproc.scrub import decontaminate
 

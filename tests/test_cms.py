@@ -91,6 +91,12 @@ def test_unseen_key_estimates_from_collisions_only(spark):
     assert got["x"] == 50 and unseen["never-seen"] == 0
 
 
+def test_fractional_weight_rejected(spark):
+    df = spark.createDataFrame([("a", 0.5)], "key string, w double")
+    with pytest.raises(ValueError, match="integral"):
+        count_min_build(df, "key", weight_col="w", width=64, depth=2)
+
+
 def test_config_guard():
     with pytest.raises(ValueError):
         count_min_build(None, "key", width=0, depth=3)
