@@ -1,5 +1,6 @@
 from .incremental import IncrementalIndexer  # noqa: F401
 from .dedup import (  # noqa: F401
+    bloom_dedup_stream,
     dedup_stream,
     near_dup_stream,
     session_stats_stream,

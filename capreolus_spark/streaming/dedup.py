@@ -308,3 +308,81 @@ def near_dup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bloom_dedup_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_per_shard: int = 1 << 18,
+    k: int = 4,
+    shards: int = 16,
+) -> DataFrame:
+    """Cross-batch dedup with FIXED-SIZE state: each of ``shards`` state
+    groups holds one ``m_per_shard``-bit Bloom filter of the fingerprints
+    it has admitted, so total state is exactly ``shards · m/8`` bytes
+    FOREVER — the state-store answer for unbounded ingest, where
+    :func:`dedup_stream`'s one-boolean-per-distinct-fingerprint state
+    grows with the corpus.
+
+    Trade-off (the standard one for Bloom dedup state): a false positive
+    DROPS a novel document at the textbook (m, k, n) rate — tune
+    ``m_per_shard``/``shards`` to the expected distinct count per
+    retention period.  False negatives are impossible, so every true
+    duplicate is suppressed, within and across micro-batches.  Rows
+    route to shard ``md5-60(fingerprint) mod shards`` and are processed
+    in ``doc_id`` order inside a batch, so replay is deterministic.
+
+    The per-row md5 probes run inside the Arrow state operator (the same
+    cost class as the stateful MinHash near-dup operator); the filter
+    words live in one ``binary`` state column updated per batch.
+    """
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    nbytes = m_per_shard // 8
+
+    def probe(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (blob,) = state.get
+            words = np.frombuffer(blob, dtype=np.uint8).copy()
+        else:
+            words = np.zeros(nbytes, dtype=np.uint8)
+        kept = []
+        for pdf in pdfs:
+            for row in pdf.sort_values("doc_id").itertuples(index=False):
+                pos = [
+                    int(
+                        _hashlib.md5(f"{j}|{row.fingerprint}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % m_per_shard
+                    for j in range(k)
+                ]
+                if all(words[p >> 3] & (1 << (p & 7)) for p in pos):
+                    continue  # maybe seen before: suppress
+                for p in pos:
+                    words[p >> 3] |= 1 << (p & 7)
+                kept.append((row.doc_id, row.text, row.fingerprint))
+        state.update((words.tobytes(),))
+        if kept:
+            yield pd.DataFrame(kept, columns=["doc_id", "text", "fingerprint"])
+
+    fp = _fingerprinted(stream, id_col, text_col)
+    sharded = fp.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(F.col("fingerprint")), 1, 15), 16, 10).cast("long")
+            % shards
+        ).cast("int"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        probe,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -387,3 +387,45 @@ def test_near_dup_stream_across_batches(spark, tmp_path):
     run_once()
     pairs = {(r["id_new"], r["id_seen"]) for r in seen}
     assert ("a3", "a1") in pairs or ("a3", "a2") in pairs
+
+
+def test_bloom_dedup_stream_fixed_state(spark, tmp_path):
+    """Bloom-state streaming dedup: duplicates suppressed within and
+    across micro-batches with constant-size per-shard state; at a sane
+    (m, k, n) no novel doc is falsely dropped."""
+    from capreolus_spark.streaming import bloom_dedup_stream
+
+    input_dir = str(tmp_path / "in_bloom")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "ck_bloom")
+    seen = []
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id string, text string").parquet(input_dir)
+        q = (
+            bloom_dedup_stream(stream, m_per_shard=1 << 14, k=4, shards=4)
+            .writeStream.foreachBatch(lambda df, _e: seen.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            ("a1", "same exact words here"),
+            ("a2", "same exact words here"),
+            ("b1", "other content"),
+        ],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    assert {r["doc_id"] for r in seen} == {"a1", "b1"}  # a2 deduped in-batch
+
+    spark.createDataFrame(
+        [("a3", "same exact words here"), ("c1", "brand new third doc")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    # a3 suppressed by the bloom state from batch 1; c1 novel -> admitted
+    assert {r["doc_id"] for r in seen} == {"a1", "b1", "c1"}
