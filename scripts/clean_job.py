@@ -118,6 +118,11 @@ def main() -> None:
     )
     ap.add_argument("--decontaminate", default="", help="eval-set parquet path")
     ap.add_argument(
+        "--decontam-no-broadcast", action="store_true",
+        help="eval side too big to broadcast: shuffle semi-join behind the "
+        "sound Bloom prefilter (textproc/bloom.py) instead of a broadcast",
+    )
+    ap.add_argument(
         "--boilerplate-min-docs", type=int, default=0,
         help="strip lines shared by >= N docs first (0 = off)",
     )
@@ -298,7 +303,11 @@ def main() -> None:
             F.col(args.text_col).alias("text")
         )
         survivors = staged(
-            decontaminate(survivors, eval_df), "after_decontamination"
+            decontaminate(
+                survivors, eval_df,
+                broadcast_eval=not args.decontam_no_broadcast,
+            ),
+            "after_decontamination",
         )
 
     if args.max_per_group > 0:
