@@ -1933,6 +1933,41 @@ _PRIORITY_ORACLE_SQL = (
 _CMS_W, _CMS_D = 16, 3
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Corpus version diff (textproc/snapshot.py corpus_diff): current =
+    documents minus doc_id%11==0 (those become `removed`), prior =
+    documents minus doc_id%7==0 (those become `added`) with text
+    mutated for doc_id%5==0 (those become `changed`); everything else
+    `unchanged`.  Slim sha-only full-outer join — bodies never move."""
+    from capreolus_spark.textproc.snapshot import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    current = docs.filter(F.col("doc_id") % 11 != 0)
+    prior = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("~v1"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(current, prior)
+
+
+_CORPUS_DIFF_ORACLE_SQL = (
+    "WITH cur AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "sha256(coalesce(text, '')) AS sc FROM documents WHERE doc_id % 11 != 0), "
+    "pri AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "sha256(coalesce(CASE WHEN doc_id % 5 = 0 THEN concat(text, '~v1') "
+    "ELSE text END, '')) AS sp FROM documents WHERE doc_id % 7 != 0) "
+    "SELECT coalesce(cur.doc_id, pri.doc_id) AS doc_id, "
+    "CASE WHEN pri.doc_id IS NULL THEN 'added' "
+    "WHEN cur.doc_id IS NULL THEN 'removed' "
+    "WHEN sc != sp THEN 'changed' ELSE 'unchanged' END AS status "
+    "FROM cur FULL OUTER JOIN pri ON cur.doc_id = pri.doc_id"
+)
+
+
 def _q_cms_term_counts(spark, sf_dir):
     """Count-Min sketch term frequencies (textproc/sketch.py): build the
     depth×width counter frame over every token occurrence with ONE
@@ -6321,6 +6356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "bootstrap_ci_p10": _q_bootstrap_ci,
         "hll_merge_estimate": _q_hll_merge,
+        "corpus_diff": _q_corpus_diff,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7251,6 +7287,8 @@ def oracle_sql() -> dict[str, str]:
         # merge losslessness: Spark = split + merge, oracle = direct on
         # the whole corpus — hash match proves the union property
         "hll_merge_estimate": _hll_oracle_sql(),
+        # corpus diff: same %11/%7/%5 derivation and sha256 comparison
+        "corpus_diff": _CORPUS_DIFF_ORACLE_SQL,
         # priority sampling: w*2^60/h priorities in pure IEEE mul/div,
         # identical (desc, doc_id asc) rank in both engines
         "priority_sample": _PRIORITY_ORACLE_SQL,

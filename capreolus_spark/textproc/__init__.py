@@ -62,6 +62,7 @@ from .scrub import (  # noqa: F401
 )
 from .ngrams import top_ngrams  # noqa: F401
 from .snapshot import (  # noqa: F401
+    corpus_diff,
     dedup_against_snapshot,
     near_dedup_against_snapshot,
 )

@@ -150,3 +150,41 @@ def near_dedup_against_snapshot(
         .distinct()
     )
     return docs.join(hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
+def corpus_diff(
+    current: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document change report between two corpus versions — the
+    ingestion-audit complement of :func:`dedup_against_snapshot`:
+    ``(doc_id, status)`` with status ``added`` (id only in current),
+    ``removed`` (only in prior), ``changed`` (both sides, different
+    content sha256) or ``unchanged``.
+
+    Scale shape: both sides project to ``(id, sha256)`` BEFORE the
+    full-outer join, so 32-byte digests shuffle and document bodies
+    never move; the one shuffle keys on the id (AQE broadcasts a small
+    prior).  NULL text hashes as the empty string so a null-bodied doc
+    diffs deterministically rather than vanishing.
+    """
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.sha2(F.coalesce(F.col(text_col).cast("string"), F.lit("")), 256).alias(
+                alias
+            ),
+        )
+
+    j = side(current, "_sha_cur").join(
+        side(prior, "_sha_pri"), "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("_sha_pri").isNull(), F.lit("added"))
+        .when(F.col("_sha_cur").isNull(), F.lit("removed"))
+        .when(F.col("_sha_cur") != F.col("_sha_pri"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"))

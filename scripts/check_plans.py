@@ -1016,6 +1016,27 @@ def main() -> None:
             )
         )
 
+        # Corpus diff: the full-outer join must consume sha-only
+        # projections (bodies pruned before the exchange), python-free.
+        from capreolus_spark.textproc.snapshot import corpus_diff
+
+        cd = corpus_diff(docs_df, docs_df.limit(50))
+        cd.collect()
+        cdplan = cd._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        join_sub = cdplan.split("Join FullOuter", 1)[-1]
+        results.append(
+            (
+                "corpus_diff sha-only join (bodies pruned), python-free",
+                "BatchEvalPython" not in cdplan
+                # the join consumes digests, and no raw text column
+                # survives below it — bodies are pruned pre-exchange
+                and "_sha_cur" in join_sub
+                and "text#" not in join_sub.split("sha2")[0],
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,55 @@
+"""Corpus version diff (textproc/snapshot.py corpus_diff).
+
+All four statuses must classify correctly (including NULL-text docs,
+which hash as empty rather than vanishing), and the join must move only
+(id, sha) rows — never document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.snapshot import corpus_diff
+
+
+def test_all_statuses(spark):
+    current = spark.createDataFrame(
+        [
+            ("1", "same text"),
+            ("2", "new version"),
+            ("3", "fresh doc"),
+            ("5", None),
+        ],
+        "doc_id string, text string",
+    )
+    prior = spark.createDataFrame(
+        [
+            ("1", "same text"),
+            ("2", "old version"),
+            ("4", "deleted doc"),
+            ("5", None),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(current, prior).collect()}
+    assert got == {
+        "1": "unchanged",
+        "2": "changed",
+        "3": "added",
+        "4": "removed",
+        "5": "unchanged",  # NULL text hashes as '' on both sides
+    }
+
+
+def test_null_vs_empty_text_unchanged_and_plan_slim(spark):
+    cur = spark.createDataFrame([("1", None)], "doc_id string, text string")
+    pri = spark.createDataFrame([("1", "")], "doc_id string, text string")
+    out = corpus_diff(cur, pri)
+    assert out.collect()[0]["status"] == "unchanged"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # bodies never move: the join consumes digests; text appears only
+    # inside the sha2 projections below it, never in the join output
+    join_sub = plan.split("Join FullOuter", 1)[-1]
+    assert "_sha_cur" in join_sub
+    assert "text#" not in join_sub.split("sha2")[0]
+    assert "BatchEvalPython" not in plan
