@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""spark-submit entry point: diff two corpus versions and print a
+one-line JSON change report (textproc/snapshot.py corpus_diff).
+
+    spark-submit --py-files dist/capreolus_spark.zip scripts/diff_job.py \\
+        --current <documents parquet> --prior <documents parquet> \\
+        [--id-col doc_id] [--text-col text] [--output <parquet>]
+
+Emits per-status counts (added / removed / changed / unchanged) on
+stdout; with --output also writes the full (doc_id, status) frame.
+The join moves only (id, sha256) projections — document bodies never
+shuffle — so the report is cheap even when both sides are full-corpus
+snapshots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--current", required=True)
+    ap.add_argument("--prior", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--output", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc.snapshot import corpus_diff
+
+    spark = SparkSession.builder.appName("diff_job").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    diff = corpus_diff(
+        spark.read.parquet(args.current),
+        spark.read.parquet(args.prior),
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    if args.output:
+        diff.write.mode("overwrite").parquet(args.output)
+        diff = spark.read.parquet(args.output)
+    counts = {r["status"]: r["n"] for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    report = {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "unchanged": counts.get("unchanged", 0),
+        "diff_sec": round(time.monotonic() - t0, 2),
+    }
+    if args.output:
+        report["output"] = args.output
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
