@@ -1933,6 +1933,93 @@ _PRIORITY_ORACLE_SQL = (
 _CMS_W, _CMS_D = 16, 3
 
 
+# gate config: m=4/ksub=8 keeps the literal-centroid expression tree
+# cheap to analyze (the library defaults stay 8x16); every stage of
+# the machinery is identical
+_PQ_M, _PQ_KSUB, _PQ_DIM = 4, 8, 64
+
+
+def _pq_seed_books(spark, sf_dir):
+    from capreolus_spark.textproc.pq import pq_seed_codebooks
+
+    return pq_seed_codebooks(
+        _embeddings(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB
+    )
+
+
+def _q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (textproc/pq.py, Jégou et al. 2011):
+    per-subspace argmin over 6dp-rounded squared distances to the
+    SQL-replayable seed codebooks (centroids = subvector slices of the
+    ksub lowest-id vectors) — one shuffle-free projection, 64-dim
+    float32 vectors collapse to 8 codes."""
+    from capreolus_spark.textproc.pq import pq_encode
+
+    return pq_encode(_embeddings(spark, sf_dir), _pq_seed_books(spark, sf_dir))
+
+
+def _q_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-10 (textproc/pq.py pq_adc_topk): the
+    3 lowest-id vectors query the code frame; adc = decimal-exact sum
+    of 6dp-rounded query-to-centroid subspace terms, ranked (adc asc,
+    vec_id asc)."""
+    from capreolus_spark.textproc.pq import pq_adc_topk, pq_encode
+
+    emb = _embeddings(spark, sf_dir)
+    books = _pq_seed_books(spark, sf_dir)
+    enc = pq_encode(emb, books)
+    queries = emb.orderBy(F.asc("vec_id")).limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(enc, books, queries, k=10)
+
+
+def _pq_sql_parts() -> tuple[str, str]:
+    d = _PQ_DIM // _PQ_M
+    dist = (
+        f"round(list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> (v[CAST(s * {d} + i AS INT)] - sv[CAST(s * {d} + i AS INT)]) ^ 2)), 6)"
+    )
+    base = (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, "
+        "v AS sv FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})), "
+        f"ss AS (SELECT CAST(unnest(range(0, {_PQ_M})) AS INT) AS s), "
+        f"dist AS (SELECT e.vec_id, ss.s, seeds.c, {dist} AS d2 "
+        "FROM e CROSS JOIN ss CROSS JOIN seeds), "
+        "pick AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s "
+        "ORDER BY d2 ASC, c ASC) AS rn FROM dist), "
+        "enc AS (SELECT vec_id, s, c FROM pick WHERE rn = 1)"
+    )
+    qdist = (
+        f"round(list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> (qv[CAST(enc.s * {d} + i AS INT)] - seeds.sv[CAST(enc.s * {d} + i AS INT)]) ^ 2)), 6)"
+    )
+    return base, qdist
+
+
+_PQ_ENCODE_ORACLE_SQL = (
+    "WITH " + _pq_sql_parts()[0] + " "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, list(c ORDER BY s) AS codes "
+    "FROM enc GROUP BY vec_id"
+)
+
+_PQ_ADC_ORACLE_SQL = (
+    "WITH " + _pq_sql_parts()[0] + ", "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 3), "
+    "terms AS (SELECT q.query_id, enc.vec_id, "
+    f"CAST({_pq_sql_parts()[1]} AS DECIMAL(18,6)) AS t "
+    "FROM enc JOIN seeds ON seeds.c = enc.c CROSS JOIN q), "
+    "adc AS (SELECT query_id, vec_id, CAST(sum(t) AS DOUBLE) AS adc "
+    "FROM terms GROUP BY 1, 2), "
+    "r AS (SELECT query_id, vec_id, adc, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM adc) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id, "
+    "adc, rank FROM r WHERE rank <= 10"
+)
+
+
 def _q_corpus_diff(spark, sf_dir):
     """Corpus version diff (textproc/snapshot.py corpus_diff): current =
     documents minus doc_id%11==0 (those become `removed`), prior =
@@ -6357,6 +6444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_p10": _q_bootstrap_ci,
         "hll_merge_estimate": _q_hll_merge,
         "corpus_diff": _q_corpus_diff,
+        "pq_encode": _q_pq_encode,
+        "pq_adc_topk": _q_pq_adc,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7289,6 +7378,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge_estimate": _hll_oracle_sql(),
         # corpus diff: same %11/%7/%5 derivation and sha256 comparison
         "corpus_diff": _CORPUS_DIFF_ORACLE_SQL,
+        # PQ: seed codebooks (slices of the ksub lowest-id vectors) are
+        # replayed literally; encode + ADC share the round-then-rank and
+        # decimal-sum conventions with the Spark expressions
+        "pq_encode": _PQ_ENCODE_ORACLE_SQL,
+        "pq_adc_topk": _PQ_ADC_ORACLE_SQL,
         # priority sampling: w*2^60/h priorities in pure IEEE mul/div,
         # identical (desc, doc_id asc) rank in both engines
         "priority_sample": _PRIORITY_ORACLE_SQL,

@@ -1,0 +1,176 @@
+"""Product quantization for embedding columns (Jégou, Douze & Schmid,
+TPAMI 2011) — the IVF-PQ building block every planet-scale ANN system
+(faiss, ScaNN, Lucene HNSW-PQ) uses to fit billions of vectors in
+memory: split each vector into ``m`` subvectors, vector-quantize each
+subspace against its own ``ksub``-centroid codebook, and score with
+asymmetric distance (ADC): the query stays exact, each document
+collapses to ``m`` small codes (``m`` bytes at ksub ≤ 256 — a 64-dim
+float32 vector becomes 8 bytes, 32× smaller).
+
+Everything is expressed relationally and DETERMINISTICALLY:
+
+* **train** — per-subspace codebooks via the deterministic Lloyd twin
+  (``cluster.kmeans_fit``: first-k-by-id seeding, lowest-index ties),
+  driver state = the m×ksub×d codebook matrix only.
+* **encode** — one narrow JVM projection: per subspace the argmin over
+  the ``ksub`` literal centroids of the 6dp-ROUNDED squared distance
+  (round-then-rank, ties to the lowest code — the engine's cross-float
+  convention), no shuffle, no Python.
+* **ADC top-k** — document codes cross-join the broadcast query set;
+  the distance is the sum over subspaces of the 6dp-rounded
+  query-to-centroid term (each term identical in any engine that adds
+  the same doubles in the same order), ranked (adc asc, vec_id asc).
+
+The encode and ADC stages are DuckDB-gated end-to-end with the
+seed-codebook configuration (centroids = subvector slices of the ksub
+lowest-id vectors — exactly replayable in SQL without running Lloyd);
+Lloyd training quality is pytest-bounded (reconstruction error must not
+increase with iterations, trained-ADC recall vs exact search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cluster import _dist2, kmeans_fit, seed_centroids
+
+__all__ = ["pq_train", "pq_seed_codebooks", "pq_encode", "pq_adc_topk"]
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} must split evenly into m={m} subspaces")
+    return dim // m
+
+
+def pq_seed_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Codebooks WITHOUT Lloyd refinement: subspace ``s``'s centroids are
+    the ``s``-th slices of the ``ksub`` lowest-id vectors — the
+    SQL-replayable configuration the oracle gate uses."""
+    d = _check_geometry(dim, m)
+    seeds = seed_centroids(vectors, ksub, id_col=id_col, vec_col=vec_col)
+    return [[list(sv[s * d : (s + 1) * d]) for sv in seeds] for s in range(m)]
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace deterministic Lloyd training; returns
+    ``codebooks[s][c]`` (m × ksub × dim/m)."""
+    d = _check_geometry(dim, m)
+    books = []
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * d + 1, d).alias("sub"),
+        )
+        books.append(
+            kmeans_fit(sub, ksub, max_iter=max_iter, id_col="vec_id", vec_col="sub")
+        )
+    return books
+
+
+def _sub_code(vec_col, codebook: list[list[float]], s: int, d: int):
+    """Argmin code for subspace ``s`` over 6dp-rounded distances."""
+    sub = F.slice(vec_col, s * d + 1, d)
+    dists = [F.round(_dist2(sub, c), 6) for c in codebook]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    code = F.lit(None).cast("int")
+    for i in reversed(range(len(dists))):
+        code = F.when(dists[i] == best, F.lit(i)).otherwise(code)
+    return code
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes array<int>)`` — one shuffle-free projection."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("empty codebooks")
+    d = len(codebooks[0][0])
+    codes = [
+        _sub_code(F.col(vec_col), cb, s, d) for s, cb in enumerate(codebooks)
+    ]
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-``k`` per query over PQ codes:
+    ``(query_id, vec_id, adc, rank)`` with adc = Σ_s round(dist²(q_s,
+    centroid[s][code_s]), 6), ranked (adc asc, vec_id asc).  The query
+    set broadcasts; each document contributes its ``m`` codes only —
+    the scan never touches raw document vectors."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = len(codebooks[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+    pairs = encoded.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("_qv"),
+            )
+        )
+    ).withColumn("_cb", cb_lit)
+    adc = None
+    for s in range(len(codebooks)):
+        centroid = F.element_at(
+            F.element_at(F.col("_cb"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        qsub = F.slice(F.col("_qv"), s * d + 1, d)
+        term = F.round(
+            F.aggregate(
+                F.zip_with(
+                    qsub,
+                    centroid,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        # decimal accumulation: the adc is an ORDER-INDEPENDENT exact sum
+        # of the 6dp-rounded subspace terms, so it replays cross-engine
+        adc = term if adc is None else adc + term
+    scored = pairs.select(
+        "query_id", "vec_id", adc.cast("double").alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    )

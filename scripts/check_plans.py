@@ -1037,6 +1037,40 @@ def main() -> None:
             )
         )
 
+        # PQ: encode is a shuffle-free JVM projection over literal
+        # codebooks; ADC broadcasts the query set and never rescans raw
+        # document vectors (it consumes the slim code frame).
+        from capreolus_spark.textproc.pq import (
+            pq_adc_topk,
+            pq_encode,
+            pq_seed_codebooks,
+        )
+
+        vex = docs_df.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[(F.length("text") % (i + 7)).cast("float") for i in range(8)]).alias(
+                "embedding"
+            ),
+        )
+        books = pq_seed_codebooks(vex, dim=8, m=2, ksub=4)
+        pe = pq_encode(vex, books)
+        peplan = pe._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "pq encode shuffle-free python-free projection",
+                "Exchange" not in peplan and "BatchEvalPython" not in peplan,
+            )
+        )
+        pa = pq_adc_topk(pe, books, vex.limit(2).selectExpr("vec_id AS query_id", "embedding"))
+        paplan = pa._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "pq adc broadcast queries, python-free",
+                "BroadcastNestedLoopJoin" in paplan
+                and "BatchEvalPython" not in paplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -1,0 +1,112 @@
+"""Product quantization (textproc/pq.py).
+
+Encode must match a brute-force python twin under the round-then-rank
+convention; Lloyd training must not worsen reconstruction error vs the
+seed codebooks; ADC over trained codes must retrieve the exact
+nearest neighbor's neighborhood with decent recall; geometry and
+config must validate.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from capreolus_spark.textproc.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_seed_codebooks,
+    pq_train,
+)
+
+
+def _vecs(spark, n=60, dim=8, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _twin_codes(rows, books):
+    d = len(books[0][0])
+    out = {}
+    for vid, emb in rows:
+        codes = []
+        for s, cb in enumerate(books):
+            sub = emb[s * d : (s + 1) * d]
+            dists = [
+                round(sum((float(x) - y) ** 2 for x, y in zip(sub, c)), 6) for c in cb
+            ]
+            codes.append(dists.index(min(dists)))
+        out[vid] = codes
+    return out
+
+
+def _recon_err(rows, books, codes):
+    d = len(books[0][0])
+    tot = 0.0
+    for vid, emb in rows:
+        for s in range(len(books)):
+            c = books[s][codes[vid][s]]
+            tot += sum((float(x) - y) ** 2 for x, y in zip(emb[s * d : (s + 1) * d], c))
+    return tot
+
+
+def test_encode_matches_python_twin(spark):
+    rows, df = _vecs(spark)
+    # float32 storage: twin must see the same float32-rounded values
+    stored = [(r["vec_id"], list(r["embedding"])) for r in df.collect()]
+    books = pq_seed_codebooks(df, dim=8, m=2, ksub=4)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert got == _twin_codes(stored, books)
+    assert all(0 <= c < 4 for codes in got.values() for c in codes)
+
+
+def test_training_reduces_reconstruction_error(spark):
+    rows, df = _vecs(spark, n=80)
+    stored = [(r["vec_id"], list(r["embedding"])) for r in df.collect()]
+    seed_books = pq_seed_codebooks(df, dim=8, m=2, ksub=4)
+    trained = pq_train(df, dim=8, m=2, ksub=4, max_iter=8)
+    seed_codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, seed_books).collect()}
+    trained_codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, trained).collect()}
+    assert _recon_err(stored, trained, trained_codes) <= _recon_err(
+        stored, seed_books, seed_codes
+    )
+
+
+def test_adc_recall_vs_exact(spark):
+    rows, df = _vecs(spark, n=100, dim=8, seed=3)
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    books = pq_train(df, dim=8, m=4, ksub=8, max_iter=8)
+    enc = pq_encode(df, books)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_adc_topk(enc, books, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    hits = 0
+    for qid, cand in by_q.items():
+        q = stored[qid]
+        exact = sorted(
+            stored, key=lambda v: (sum((a - b) ** 2 for a, b in zip(stored[v], q)), v)
+        )[:10]
+        hits += len(set(cand) & set(exact))
+    # 4x8 PQ on 8-dim data: coarse, but recall@10 should clear 50%
+    assert hits / (10 * len(by_q)) >= 0.5
+    # the query itself (distance 0 to its own codes' centroids region)
+    # must always be retrieved
+    assert all(q in c for q, c in by_q.items())
+
+
+def test_geometry_and_config_guards(spark):
+    _, df = _vecs(spark, dim=8)
+    with pytest.raises(ValueError, match="evenly"):
+        pq_seed_codebooks(df, dim=8, m=3)
+    with pytest.raises(ValueError):
+        pq_encode(df, [])
+    with pytest.raises(ValueError):
+        pq_adc_topk(None, [[[0.0]]], None, k=0)
