@@ -2020,6 +2020,99 @@ _PQ_ADC_ORACLE_SQL = (
 )
 
 
+_IVFPQ_CELLS, _IVFPQ_M, _IVFPQ_KSUB = 4, 4, 8
+
+
+def _ivfpq_config(spark, sf_dir):
+    from capreolus_spark.textproc.cluster import seed_centroids
+    from capreolus_spark.textproc.pq import ivf_pq_seed_books
+
+    emb = _embeddings(spark, sf_dir)
+    coarse = seed_centroids(emb, _IVFPQ_CELLS)
+    books = ivf_pq_seed_books(
+        emb, coarse, dim=_PQ_DIM, m=_IVFPQ_M, ksub=_IVFPQ_KSUB
+    )
+    return emb, coarse, books
+
+
+def _q_ivfpq_encode(spark, sf_dir):
+    """IVF-PQ index rows (textproc/pq.py ivf_pq_encode; Jégou et al.
+    2011 §IV): nearest coarse cell by round-then-rank, residual
+    PQ-encoded against the SQL-replayable seed codebooks — one
+    shuffle-free projection to (vec_id, cell, codes)."""
+    from capreolus_spark.textproc.pq import ivf_pq_encode
+
+    emb, coarse, books = _ivfpq_config(spark, sf_dir)
+    return ivf_pq_encode(emb, coarse, books)
+
+
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ residual-ADC top-10 (textproc/pq.py ivf_pq_topk), full
+    probe (the exhaustive gate config): adc = decimal-exact sum of
+    6dp-rounded ‖(q−c_cell)_s − centroid‖² terms."""
+    from capreolus_spark.textproc.pq import ivf_pq_encode, ivf_pq_topk
+
+    emb, coarse, books = _ivfpq_config(spark, sf_dir)
+    enc = ivf_pq_encode(emb, coarse, books)
+    queries = emb.orderBy(F.asc("vec_id")).limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(enc, coarse, books, queries, k=10, probes=None)
+
+
+def _ivfpq_base_sql() -> str:
+    dim, m, d = _PQ_DIM, _IVFPQ_M, _PQ_DIM // _IVFPQ_M
+    return (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "co AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, "
+        "v AS cv FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings ORDER BY vec_id LIMIT {_IVFPQ_CELLS})), "
+        f"ad AS (SELECT e.vec_id, co.cell, round(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (v[CAST(i AS INT)] - cv[CAST(i AS INT)]) ^ 2)), 6) AS d2, v "
+        "FROM e CROSS JOIN co), "
+        "asg AS (SELECT vec_id, cell, v FROM (SELECT vec_id, cell, v, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn "
+        "FROM ad) WHERE rn = 1), "
+        f"res AS (SELECT asg.vec_id, asg.cell, list_transform(range(1, {dim + 1}), "
+        "i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r FROM asg JOIN co USING (cell)), "
+        "rs AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, "
+        f"r AS rv FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT {_IVFPQ_KSUB})), "
+        f"ss AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS s), "
+        f"rd AS (SELECT res.vec_id, ss.s, rs.c, round(list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> (r[CAST(s * {d} + i AS INT)] - rv[CAST(s * {d} + i AS INT)]) ^ 2)), 6) AS d2 "
+        "FROM res CROSS JOIN ss CROSS JOIN rs), "
+        "enc AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER ("
+        "PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn FROM rd) WHERE rn = 1)"
+    )
+
+
+_IVFPQ_ENCODE_ORACLE_SQL = (
+    "WITH " + _ivfpq_base_sql() + " "
+    "SELECT CAST(res.vec_id AS BIGINT) AS vec_id, CAST(res.cell AS INT) AS cell, "
+    "list(enc.c ORDER BY enc.s) AS codes FROM res JOIN enc ON res.vec_id = enc.vec_id "
+    "GROUP BY 1, 2"
+)
+
+_IVFPQ_TOPK_ORACLE_SQL = (
+    "WITH " + _ivfpq_base_sql() + ", "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 3), "
+    "terms AS (SELECT q.query_id, enc.vec_id, CAST(round(list_sum(list_transform("
+    f"range(1, {_PQ_DIM // _IVFPQ_M + 1}), "
+    f"i -> (qv[CAST(enc.s * {_PQ_DIM // _IVFPQ_M} + i AS INT)] "
+    f"- cv[CAST(enc.s * {_PQ_DIM // _IVFPQ_M} + i AS INT)] "
+    f"- rv[CAST(enc.s * {_PQ_DIM // _IVFPQ_M} + i AS INT)]) ^ 2)), 6) "
+    "AS DECIMAL(18,6)) AS t "
+    "FROM enc JOIN asg ON asg.vec_id = enc.vec_id JOIN co ON co.cell = asg.cell "
+    "JOIN rs ON rs.c = enc.c CROSS JOIN q), "
+    "adc AS (SELECT query_id, vec_id, CAST(sum(t) AS DOUBLE) AS adc "
+    "FROM terms GROUP BY 1, 2), "
+    "r AS (SELECT query_id, vec_id, adc, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM adc) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id, "
+    "adc, rank FROM r WHERE rank <= 10"
+)
+
+
 def _q_corpus_diff(spark, sf_dir):
     """Corpus version diff (textproc/snapshot.py corpus_diff): current =
     documents minus doc_id%11==0 (those become `removed`), prior =
@@ -6446,6 +6539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "pq_encode": _q_pq_encode,
         "pq_adc_topk": _q_pq_adc,
+        "ivfpq_encode": _q_ivfpq_encode,
+        "ivfpq_topk": _q_ivfpq_topk,
         "eval_err": _q_eval_err,
         "eval_bpref_rprec": _q_eval_bpref,
         "qpp_clarity": _q_clarity,
@@ -7383,6 +7478,10 @@ def oracle_sql() -> dict[str, str]:
         # decimal-sum conventions with the Spark expressions
         "pq_encode": _PQ_ENCODE_ORACLE_SQL,
         "pq_adc_topk": _PQ_ADC_ORACLE_SQL,
+        # IVF-PQ: coarse seeds + residual seeds replayed literally;
+        # full probe so every doc scores through its own cell's residual
+        "ivfpq_encode": _IVFPQ_ENCODE_ORACLE_SQL,
+        "ivfpq_topk": _IVFPQ_TOPK_ORACLE_SQL,
         # priority sampling: w*2^60/h priorities in pure IEEE mul/div,
         # identical (desc, doc_id asc) rank in both engines
         "priority_sample": _PRIORITY_ORACLE_SQL,

@@ -35,7 +35,15 @@ from pyspark.sql import functions as F
 
 from .cluster import _dist2, kmeans_fit, seed_centroids
 
-__all__ = ["pq_train", "pq_seed_codebooks", "pq_encode", "pq_adc_topk"]
+__all__ = [
+    "pq_train",
+    "pq_seed_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivf_pq_seed_books",
+    "ivf_pq_encode",
+    "ivf_pq_topk",
+]
 
 
 def _check_geometry(dim: int, m: int) -> int:
@@ -168,6 +176,134 @@ def pq_adc_topk(
     scored = pairs.select(
         "query_id", "vec_id", adc.cast("double").alias("adc")
     )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    )
+
+
+def _coarse_lit(coarse: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+
+
+def _residual(vec_col, coarse: list[list[float]], cell_col):
+    """vector − its cell's coarse centroid (exact double subtraction)."""
+    centroid = F.element_at(_coarse_lit(coarse), cell_col + 1)
+    return F.zip_with(vec_col, centroid, lambda x, y: x.cast("double") - y)
+
+
+def ivf_pq_seed_books(
+    vectors: DataFrame,
+    coarse: list[list[float]],
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Seed PQ codebooks over the RESIDUAL frame (vector − coarse
+    centroid) — the SQL-replayable IVF-PQ gate configuration."""
+    cell = _sub_code(F.col(vec_col), coarse, 0, len(coarse[0]))
+    res = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _residual(F.col(vec_col), coarse, cell).alias("res"),
+    )
+    return pq_seed_codebooks(res, dim=dim, m=m, ksub=ksub, id_col="vec_id", vec_col="res")
+
+
+def ivf_pq_encode(
+    vectors: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cell, codes)`` — the IVF-PQ index rows (Jégou et al.
+    2011 §IV): assign the nearest coarse cell (6dp round-then-rank,
+    lowest-cell ties), PQ-encode the RESIDUAL against the shared
+    residual codebooks.  One shuffle-free projection; a 64-dim float32
+    vector becomes one int cell + m small codes."""
+    if not coarse or not codebooks or not codebooks[0]:
+        raise ValueError("empty coarse centroids or codebooks")
+    d = len(codebooks[0][0])
+    cell = _sub_code(F.col(vec_col), coarse, 0, len(coarse[0]))
+    out = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        cell.cast("int").alias("cell"),
+        F.col(vec_col).alias("_v"),
+    ).withColumn("_res", _residual(F.col("_v"), coarse, F.col("cell")))
+    codes = [_sub_code(F.col("_res"), cb, s, d) for s, cb in enumerate(codebooks)]
+    return out.select("vec_id", "cell", F.array(*codes).alias("codes"))
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    probes: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-ADC top-``k`` per query over the IVF-PQ index:
+    candidates come from each query's ``probes`` nearest coarse cells
+    (``None`` = all cells, the exhaustive gate configuration), and the
+    distance is Σ_s round(‖(q − c_cell)_s − codebook[s][code_s]‖², 6)
+    accumulated as decimals.  The scan touches only the slim
+    (cell, codes) rows of probed cells — at scale the cell is the
+    partition key, so unprobed partitions are pruned entirely."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_cells = len(coarse)
+    probes = n_cells if probes is None else min(probes, n_cells)
+    d = len(codebooks[0][0])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    )
+    # per-query probed cells: rank the literal coarse distances
+    cell_d = [F.round(_dist2(F.col("_qv"), c), 6) for c in coarse]
+    qcells = q.select(
+        "query_id",
+        "_qv",
+        F.posexplode(F.array(*cell_d)).alias("cell", "_cd"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("_cd"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= probes)
+        .select("query_id", "_qv", F.col("cell").cast("int").alias("cell"))
+    )
+    pairs = encoded.join(F.broadcast(probed), "cell")
+    qres = _residual(F.col("_qv"), coarse, F.col("cell"))
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+    pairs = pairs.withColumn("_qres", qres).withColumn("_cb", cb_lit)
+    adc = None
+    for s in range(len(codebooks)):
+        centroid = F.element_at(
+            F.element_at(F.col("_cb"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        sub = F.slice(F.col("_qres"), s * d + 1, d)
+        term = F.round(
+            F.aggregate(
+                F.zip_with(sub, centroid, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        adc = term if adc is None else adc + term
+    scored = pairs.select("query_id", "vec_id", adc.cast("double").alias("adc"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1071,6 +1071,39 @@ def main() -> None:
             )
         )
 
+        # IVF-PQ: encode stays a shuffle-free projection; the probed
+        # search joins candidates on the CELL key (broadcast probe set)
+        # so unprobed cells never produce rows.
+        from capreolus_spark.textproc.pq import (
+            ivf_pq_encode,
+            ivf_pq_seed_books,
+            ivf_pq_topk,
+        )
+        from capreolus_spark.textproc.cluster import seed_centroids
+
+        coarse = seed_centroids(vex, 4)
+        ibooks = ivf_pq_seed_books(vex, coarse, dim=8, m=2, ksub=4)
+        ie = ivf_pq_encode(vex, coarse, ibooks)
+        ieplan = ie._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "ivfpq encode shuffle-free python-free projection",
+                "Exchange" not in ieplan and "BatchEvalPython" not in ieplan,
+            )
+        )
+        it = ivf_pq_topk(
+            ie, coarse, ibooks,
+            vex.limit(2).selectExpr("vec_id AS query_id", "embedding"),
+            probes=2,
+        )
+        itplan = it._jdf.queryExecution().executedPlan().toString()
+        results.append(
+            (
+                "ivfpq search joins on cell key (broadcast probes), python-free",
+                "BroadcastHashJoin" in itplan and "BatchEvalPython" not in itplan,
+            )
+        )
+
     failed = [n for n, ok in results if not ok]
     for n, ok in results:
         print(f"{'PASS' if ok else 'FAIL'}  {n}")

@@ -110,3 +110,53 @@ def test_geometry_and_config_guards(spark):
         pq_encode(df, [])
     with pytest.raises(ValueError):
         pq_adc_topk(None, [[[0.0]]], None, k=0)
+
+
+def test_ivfpq_partial_probe_prunes_and_full_probe_exhaustive(spark):
+    from capreolus_spark.textproc.cluster import seed_centroids
+    from capreolus_spark.textproc.pq import (
+        ivf_pq_encode,
+        ivf_pq_seed_books,
+        ivf_pq_topk,
+    )
+
+    rows, df = _vecs(spark, n=120, dim=8, seed=11)
+    coarse = seed_centroids(df, 4)
+    books = ivf_pq_seed_books(df, coarse, dim=8, m=2, ksub=4)
+    enc = ivf_pq_encode(df, coarse, books)
+    cells = {r["vec_id"]: r["cell"] for r in enc.collect()}
+    assert set(cells.values()) <= {0, 1, 2, 3}
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivf_pq_topk(enc, coarse, books, queries, k=10, probes=None).collect()
+    one = ivf_pq_topk(enc, coarse, books, queries, k=10, probes=1).collect()
+    by_q_full = {}
+    for r in full:
+        by_q_full.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_one = {}
+    for r in one:
+        by_q_one.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # probes=1: every candidate comes from the query's own nearest cell
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    for qid, cand in by_q_one.items():
+        q = stored[qid]
+        dists = [
+            round(sum((float(a) - b) ** 2 for a, b in zip(q, c)), 6) for c in coarse
+        ]
+        qcell = dists.index(min(dists))
+        assert all(cells[v] == qcell for v in cand)
+        # the query itself lives in its nearest cell, so it's retrieved
+        assert qid in cand
+    # full probe considers every doc: at least as many rows per query
+    assert all(len(by_q_full[q]) >= len(by_q_one[q]) for q in by_q_one)
+
+
+def test_ivfpq_guards(spark):
+    from capreolus_spark.textproc.pq import ivf_pq_encode, ivf_pq_topk
+
+    _, df = _vecs(spark, dim=8)
+    with pytest.raises(ValueError):
+        ivf_pq_encode(df, [], [[[0.0]]])
+    with pytest.raises(ValueError):
+        ivf_pq_topk(None, [[0.0] * 8], [[[0.0]]], None, k=0)
