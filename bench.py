@@ -257,7 +257,10 @@ def main() -> None:
         # the row should match bm25_batch_warm within noise.
         del_dir = os.path.join(workdir, "index_del")
         if not os.path.exists(del_dir):
-            shutil.copytree(os.path.join(workdir, "index1"), del_dir)
+            # index1 exists only at reps >= 2; a single-rep run copies
+            # index0 (still a COPY — the original stays deletion-free)
+            src = "index1" if REPS > 1 else "index0"
+            shutil.copytree(os.path.join(workdir, src), del_dir)
         del_idx = InvertedIndex(spark, del_dir)
         victims = del_idx.docs_df().filter(F.col("docno") % 7 == 0).select("docid")
         del_idx.delete_docs(victims)
@@ -492,6 +495,28 @@ def main() -> None:
             cardinality_hll(docs, "doc_id", p=11, by=["source"]).count()
 
         timed("sketch_suite", _sketches_once)
+
+        # ---- IVF-PQ (coarse cells + residual codes + probed ADC) ---------
+        from capreolus_spark.textproc.cluster import seed_centroids
+        from capreolus_spark.textproc.pq import (
+            ivf_pq_encode,
+            ivf_pq_seed_books,
+            ivf_pq_topk,
+        )
+
+        emb_pq = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        # small literal codebooks: Catalyst analysis of the centroid
+        # expression tree is a constant — keep the stage about the scan,
+        # join, and pruning physics
+        coarse = seed_centroids(emb_pq, 4)
+        books = ivf_pq_seed_books(emb_pq, coarse, dim=64, m=4, ksub=8)
+        pq_queries = emb_pq.limit(8).selectExpr("vec_id AS query_id", "embedding")
+
+        def _ivfpq_once() -> None:
+            enc = ivf_pq_encode(emb_pq, coarse, books)
+            ivf_pq_topk(enc, coarse, books, pq_queries, k=10, probes=2).count()
+
+        timed("ivfpq_search", _ivfpq_once)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
