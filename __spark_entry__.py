@@ -2125,8 +2125,11 @@ def _q_corpus_diff(spark, sf_dir):
     current = docs.filter(F.col("doc_id") % 11 != 0)
     prior = docs.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
+        # concat over coalesce on BOTH sides: DuckDB concat skips NULLs
+        # while Spark's returns NULL, so a null-bodied doc would diverge
         F.when(
-            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("~v1"))
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("~v1")),
         )
         .otherwise(F.col("text"))
         .alias("text"),
@@ -2138,7 +2141,7 @@ _CORPUS_DIFF_ORACLE_SQL = (
     "WITH cur AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
     "sha256(coalesce(text, '')) AS sc FROM documents WHERE doc_id % 11 != 0), "
     "pri AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
-    "sha256(coalesce(CASE WHEN doc_id % 5 = 0 THEN concat(text, '~v1') "
+    "sha256(coalesce(CASE WHEN doc_id % 5 = 0 THEN concat(coalesce(text, ''), '~v1') "
     "ELSE text END, '')) AS sp FROM documents WHERE doc_id % 7 != 0) "
     "SELECT coalesce(cur.doc_id, pri.doc_id) AS doc_id, "
     "CASE WHEN pri.doc_id IS NULL THEN 'added' "

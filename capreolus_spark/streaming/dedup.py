@@ -333,9 +333,11 @@ def bloom_dedup_stream(
     route to shard ``md5-60(fingerprint) mod shards`` and are processed
     in ``doc_id`` order inside a batch, so replay is deterministic.
 
-    The per-row md5 probes run inside the Arrow state operator (the same
-    cost class as the stateful MinHash near-dup operator); the filter
-    words live in one ``binary`` state column updated per batch.
+    One md5 digest per row inside the Arrow state operator: the ``k``
+    positions derive from its two 64-bit halves via the
+    Kirsch-Mitzenmacher construction ``(h1 + j·h2) mod m`` (same
+    false-positive bound as k independent hashes); the filter words
+    live in one ``binary`` state column updated per batch.
     """
     import hashlib as _hashlib
 
@@ -352,16 +354,17 @@ def bloom_dedup_stream(
         else:
             words = np.zeros(nbytes, dtype=np.uint8)
         kept = []
-        for pdf in pdfs:
-            for row in pdf.sort_values("doc_id").itertuples(index=False):
-                pos = [
-                    int(
-                        _hashlib.md5(f"{j}|{row.fingerprint}".encode()).hexdigest()[:15],
-                        16,
-                    )
-                    % m_per_shard
-                    for j in range(k)
-                ]
+        # a shard's batch may arrive as several Arrow chunks whose
+        # composition is nondeterministic: concatenate BEFORE sorting so
+        # the doc_id processing order (and replay) is batch-global
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            for row in whole.itertuples(index=False):
+                dig = _hashlib.md5(row.fingerprint.encode()).digest()
+                h1 = int.from_bytes(dig[:8], "big")
+                h2 = int.from_bytes(dig[8:], "big") | 1
+                pos = [(h1 + j * h2) % m_per_shard for j in range(k)]
                 if all(words[p >> 3] & (1 << (p & 7)) for p in pos):
                     continue  # maybe seen before: suppress
                 for p in pos:

@@ -121,6 +121,52 @@ def pq_encode(
     )
 
 
+
+def _cb_lit(codebooks: list[list[list[float]]]):
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+
+
+def _adc_rank(pairs: DataFrame, codebooks: list[list[list[float]]], qv_col: str, k: int) -> DataFrame:
+    """Shared ADC tail for both top-k paths: per-subspace 6dp-rounded
+    squared distance from the query column's slices to the coded
+    centroids, accumulated as decimals (order-independent exact), then
+    (adc asc, vec_id asc) rank cut to ``k``."""
+    d = len(codebooks[0][0])
+    pairs = pairs.withColumn("_cb", _cb_lit(codebooks))
+    adc = None
+    for s in range(len(codebooks)):
+        centroid = F.element_at(
+            F.element_at(F.col("_cb"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        sub = F.slice(F.col(qv_col), s * d + 1, d)
+        term = F.round(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    centroid,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        adc = term if adc is None else adc + term
+    scored = pairs.select("query_id", "vec_id", adc.cast("double").alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],
@@ -131,18 +177,14 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance top-``k`` per query over PQ codes:
     ``(query_id, vec_id, adc, rank)`` with adc = Σ_s round(dist²(q_s,
-    centroid[s][code_s]), 6), ranked (adc asc, vec_id asc).  The query
-    set broadcasts; each document contributes its ``m`` codes only —
-    the scan never touches raw document vectors."""
+    centroid[s][code_s]), 6) accumulated as decimals, ranked
+    (adc asc, vec_id asc).  The query set broadcasts; each document
+    contributes its ``m`` codes only — the scan never touches raw
+    document vectors."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    d = len(codebooks[0][0])
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
-            for cb in codebooks
-        ]
-    )
+    if not codebooks or not codebooks[0]:
+        raise ValueError("empty codebooks")
     pairs = encoded.crossJoin(
         F.broadcast(
             queries.select(
@@ -150,38 +192,8 @@ def pq_adc_topk(
                 F.col(query_vec_col).alias("_qv"),
             )
         )
-    ).withColumn("_cb", cb_lit)
-    adc = None
-    for s in range(len(codebooks)):
-        centroid = F.element_at(
-            F.element_at(F.col("_cb"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        )
-        qsub = F.slice(F.col("_qv"), s * d + 1, d)
-        term = F.round(
-            F.aggregate(
-                F.zip_with(
-                    qsub,
-                    centroid,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ).cast("decimal(18,6)")
-        # decimal accumulation: the adc is an ORDER-INDEPENDENT exact sum
-        # of the 6dp-rounded subspace terms, so it replays cross-engine
-        adc = term if adc is None else adc + term
-    scored = pairs.select(
-        "query_id", "vec_id", adc.cast("double").alias("adc")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc", "rank")
-    )
+    return _adc_rank(pairs, codebooks, "_qv", k)
 
 
 def _coarse_lit(coarse: list[list[float]]):
@@ -259,9 +271,12 @@ def ivf_pq_topk(
     partition key, so unprobed partitions are pruned entirely."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not coarse or not codebooks or not codebooks[0]:
+        raise ValueError("empty coarse centroids or codebooks")
     n_cells = len(coarse)
+    if probes is not None and probes < 1:
+        raise ValueError(f"probes must be >= 1 (or None for all cells), got {probes}")
     probes = n_cells if probes is None else min(probes, n_cells)
-    d = len(codebooks[0][0])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
     )
@@ -280,33 +295,5 @@ def ivf_pq_topk(
     )
     pairs = encoded.join(F.broadcast(probed), "cell")
     qres = _residual(F.col("_qv"), coarse, F.col("cell"))
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
-            for cb in codebooks
-        ]
-    )
-    pairs = pairs.withColumn("_qres", qres).withColumn("_cb", cb_lit)
-    adc = None
-    for s in range(len(codebooks)):
-        centroid = F.element_at(
-            F.element_at(F.col("_cb"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        )
-        sub = F.slice(F.col("_qres"), s * d + 1, d)
-        term = F.round(
-            F.aggregate(
-                F.zip_with(sub, centroid, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ).cast("decimal(18,6)")
-        adc = term if adc is None else adc + term
-    scored = pairs.select("query_id", "vec_id", adc.cast("double").alias("adc"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc", "rank")
-    )
+    pairs = pairs.withColumn("_qres", qres)
+    return _adc_rank(pairs, codebooks, "_qres", k)

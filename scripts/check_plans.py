@@ -1025,7 +1025,7 @@ def main() -> None:
         cdplan = cd._jdf.queryExecution().executedPlan().toString().split(
             "== Initial Plan =="
         )[0]
-        join_sub = cdplan.split("Join FullOuter", 1)[-1]
+        join_sub = cdplan.split(", FullOuter", 1)[-1]
         results.append(
             (
                 "corpus_diff sha-only join (bodies pruned), python-free",

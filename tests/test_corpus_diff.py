@@ -49,7 +49,7 @@ def test_null_vs_empty_text_unchanged_and_plan_slim(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # bodies never move: the join consumes digests; text appears only
     # inside the sha2 projections below it, never in the join output
-    join_sub = plan.split("Join FullOuter", 1)[-1]
+    join_sub = plan.split(", FullOuter", 1)[-1]
     assert "_sha_cur" in join_sub
     assert "text#" not in join_sub.split("sha2")[0]
     assert "BatchEvalPython" not in plan

@@ -160,3 +160,9 @@ def test_ivfpq_guards(spark):
         ivf_pq_encode(df, [], [[[0.0]]])
     with pytest.raises(ValueError):
         ivf_pq_topk(None, [[0.0] * 8], [[[0.0]]], None, k=0)
+    with pytest.raises(ValueError, match="probes"):
+        ivf_pq_topk(None, [[0.0] * 8], [[[0.0]]], None, k=1, probes=0)
+    with pytest.raises(ValueError, match="empty"):
+        ivf_pq_topk(None, [], [[[0.0]]], None, k=1)
+    with pytest.raises(ValueError, match="empty"):
+        pq_adc_topk(None, [], None, k=1)
