@@ -6458,7 +6458,41 @@ def _q_multifield(spark, sf_dir):
     return _gate_rank(run)
 
 
+# Driver-gate coverage rotation (r5 verdict item 1): the driver's
+# committed CORRECTNESS artifact samples the FIRST 50 keys of queries(),
+# and 107 registry entries had no green driver row across r1-r5.  The
+# first 50 slots this round are ltr_features (r5's one red row — must
+# re-gate green after the exact-decimal fix in search/ltr.py) plus the
+# first 49 never-driver-gated entries in source order.  Ordering is the
+# ONLY thing this changes — every entry keeps its builder and oracle SQL.
+_GATE_PRIORITY = [
+    "ltr_features", "lucene_query_topk", "simple_query_topk",
+    "termrange_topk", "merged_index_bm25", "lexical_stats",
+    "stopword_candidates", "qpp_pre", "run_score_stats", "mmr_rerank",
+    "rrf_fusion", "run_sig_test", "rbo_runs", "kendall_tau_runs",
+    "token_budget_mix", "ngram_diversity", "bloom_membership",
+    "cms_term_counts", "cardinality_hll", "priority_sample",
+    "bootstrap_ci_p10", "hll_merge_estimate", "corpus_diff", "pq_encode",
+    "pq_adc_topk", "ivfpq_encode", "ivfpq_topk", "eval_err",
+    "eval_bpref_rprec", "qpp_clarity", "eval_ndcg_exp",
+    "dedup_canonical_by_score", "ccnet_buckets", "gopher_stats",
+    "gopher_repetition", "fineweb_stats", "paragraph_dup_stats",
+    "drop_dup_paragraphs", "nb_classify", "shard_export",
+    "contamination_report", "decontaminate_fuzzy", "top_ngrams",
+    "dedup_snapshot_exact", "dedup_snapshot_near", "date_histogram_day",
+    "composite_buckets_page", "pipeline_daily_counts",
+    "adjacency_matrix_filters", "module_pagerank",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _queries_in_source_order()
+    pri = {k: q[k] for k in _GATE_PRIORITY}
+    pri.update((k, v) for k, v in q.items() if k not in pri)
+    return pri
+
+
+def _queries_in_source_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
         "collection_stats": _q_collection_stats,

@@ -1,0 +1,352 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness: per-operator isolation with the noop sink
+(guide §1.4) and finer sub-stage timings.  NOT the driver bench — bench.py
+is frozen; numbers here are cited in OPTIMIZATION_r06.md only.
+
+Usage: python bench_extra.py <probe> [reps]
+Probes: build_serial, minhash, winnow, nb, ivfpq, sdm, bm25, bpe,
+        trigram, substring, snapshot, ltr, embnd, sketch
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _session():
+    import bench
+
+    return bench._session(CPUS)
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(label, fn, reps=3):
+    vals = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        vals.append(round(time.monotonic() - t0, 3))
+    print(f"{label:32s} {sorted(vals)}", flush=True)
+    return min(vals)
+
+
+def probe_build_serial(spark, reps):
+    """Run each build stage serially (no thread pool) for true per-stage cost."""
+    import shutil
+    import tempfile
+
+    from bench import _bench_docs, _sf_value
+    from capreolus_spark.data.synth import synth_corpus_distributed
+    from capreolus_spark.index import IndexConfig, InvertedIndex, make_docid_column
+    from capreolus_spark.index import build as B
+
+    parts = 64
+    n_docs = _bench_docs(_sf_value(SF_DIR))
+    corpus = make_docid_column(
+        synth_corpus_distributed(spark, n_docs, avg_tokens=120, partitions=parts)
+    ).persist()
+    corpus.count()
+    cfg = IndexConfig(stemmer="porter", num_doc_partitions=parts, postings_partitions=parts)
+    for r in range(reps):
+        workdir = tempfile.mkdtemp(prefix="r06_build_")
+        idx_dir = os.path.join(workdir, "index")
+        os.makedirs(idx_dir)
+        t0 = time.monotonic()
+        InvertedIndex.create(spark, corpus, idx_dir, cfg)
+        total = time.monotonic() - t0
+        with open(os.path.join(idx_dir, "manifest.json")) as f:
+            stages = json.load(f)["stages"]
+        walls = {s: round(v.get("wall_ms", 0) / 1000, 2) for s, v in stages.items()}
+        print(f"rep{r}: total={total:.2f} stages={walls}", flush=True)
+        shutil.rmtree(workdir, ignore_errors=True)
+    corpus.unpersist()
+
+
+def _docs(spark):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def probe_minhash(spark, reps):
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc import minhash_lsh_pairs
+    from capreolus_spark.textproc.dedup import (
+        minhash_signatures,
+        shingle_postings,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    spark.sparkContext.setJobDescription("minhash: full")
+    timed("minhash full", lambda: minhash_lsh_pairs(docs, n=3, threshold=0.8).count(), reps)
+    spark.sparkContext.setJobDescription("minhash: postings only")
+    timed("shingle_postings noop", lambda: noop(shingle_postings(docs, "text", "doc_id", 3)), reps)
+    spark.sparkContext.setJobDescription("minhash: sigs only")
+    timed(
+        "signatures noop",
+        lambda: noop(minhash_signatures(docs, "text", "doc_id", 3, 128, with_set_size=True, with_hashes=True)),
+        reps,
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def probe_winnow(spark, reps):
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc.dedup import MinhashCacheRegistry
+    from capreolus_spark.textproc.winnow import clone_pairs, winnow_fingerprints
+
+    docs = _docs(spark).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    timed(
+        "winnow_fingerprints noop",
+        lambda: noop(winnow_fingerprints(docs, content_col="text")),
+        reps,
+    )
+
+    def full():
+        with MinhashCacheRegistry() as reg:
+            clone_pairs(docs, content_col="text", caches=reg).count()
+            reg.release(blocking=True)
+
+    timed("clone_pairs full", full, reps)
+
+
+def probe_nb(spark, reps):
+    from capreolus_spark.textproc.classify import nb_classify, nb_train
+
+    docs = _docs(spark).select("doc_id", "text", "source")
+    timed("nb_classify full", lambda: nb_classify(docs, docs, label_col="source").count(), reps)
+
+    def train_only():
+        m = nb_train(docs, label_col="source")
+        noop(m["cond"])
+        m["release"]()
+
+    timed("nb_train only", train_only, reps)
+
+
+def probe_ivfpq(spark, reps):
+    from capreolus_spark.textproc.cluster import seed_centroids
+    from capreolus_spark.textproc.pq import ivf_pq_encode, ivf_pq_seed_books, ivf_pq_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    coarse = seed_centroids(emb, 4)
+    books = ivf_pq_seed_books(emb, coarse, dim=64, m=4, ksub=8)
+    q = emb.limit(8).selectExpr("vec_id AS query_id", "embedding")
+
+    t0 = time.monotonic()
+    enc_plan = ivf_pq_encode(emb, coarse, books)
+    print(f"encode plan construction: {time.monotonic()-t0:.3f}s", flush=True)
+    timed("encode noop", lambda: noop(ivf_pq_encode(emb, coarse, books)), reps)
+
+    def full():
+        enc = ivf_pq_encode(emb, coarse, books)
+        ivf_pq_topk(enc, coarse, books, q, k=10, probes=2).count()
+
+    timed("ivfpq full", full, reps)
+    t0 = time.monotonic()
+    p = ivf_pq_topk(ivf_pq_encode(emb, coarse, books), coarse, books, q, k=10, probes=2)
+    print(f"full plan construction: {time.monotonic()-t0:.3f}s", flush=True)
+
+
+def probe_bm25(spark, reps):
+    import shutil
+    import tempfile
+
+    from bench import _bench_docs, _sf_value, build_stage
+    from capreolus_spark.config import BM25Config
+    from capreolus_spark.data import synth_queries
+    from capreolus_spark.index import InvertedIndex
+    from capreolus_spark.search import BM25Searcher
+
+    workdir = tempfile.mkdtemp(prefix="r06_bm25_")
+    try:
+        build_stage(spark, _bench_docs(_sf_value(SF_DIR)), os.path.join(workdir, "index"))
+        topics = synth_queries(25)
+        idx = InvertedIndex(spark, os.path.join(workdir, "index"))
+        searcher = BM25Searcher(idx, BM25Config(hits=1000))
+        searcher.search(topics).count()
+        timed("bm25 warm batch", lambda: searcher.search(topics).count(), reps)
+
+        # sub-steps
+        weights = searcher._query_weights(searcher.analyze_topics(topics))
+        timed("query_weights (stats lookup)", lambda: searcher._query_weights(searcher.analyze_topics(topics)), reps)
+        timed("candidates noop", lambda: noop(searcher._candidates(weights, hits=1000)), reps)
+        timed(
+            "cut noop",
+            lambda: noop(searcher._global_topk_cut(searcher._candidates(weights, hits=1000), 1000)),
+            reps,
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def probe_sdm(spark, reps):
+    import shutil
+    import tempfile
+
+    from bench import _bench_docs, _sf_value
+    from capreolus_spark.config import BM25Config, IndexConfig
+    from capreolus_spark.data import synth_queries
+    from capreolus_spark.data.synth import synth_corpus_distributed
+    from capreolus_spark.index import InvertedIndex, make_docid_column
+    from capreolus_spark.search.sdm import SDMSearcher
+
+    parts = 64
+    workdir = tempfile.mkdtemp(prefix="r06_sdm_")
+    try:
+        n_docs = _bench_docs(_sf_value(SF_DIR))
+        pos_corpus = make_docid_column(
+            synth_corpus_distributed(spark, n_docs, avg_tokens=120, partitions=parts)
+        )
+        pos_dir = os.path.join(workdir, "index_pos")
+        InvertedIndex.create(
+            spark,
+            pos_corpus,
+            pos_dir,
+            IndexConfig(stemmer="porter", store_positions=True, num_doc_partitions=parts, postings_partitions=parts),
+        )
+        topics = synth_queries(25)
+        sdm = SDMSearcher(InvertedIndex(spark, pos_dir), BM25Config(hits=1000))
+        sdm.search(topics).count()
+        timed("sdm warm batch", lambda: sdm.search(topics).count(), reps)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def probe_bpe(spark, reps):
+    from capreolus_spark.textproc.bpe import learn_bpe, word_counts
+
+    docs = _docs(spark)
+    timed("word_counts noop", lambda: noop(word_counts(docs)), reps)
+    timed("bpe_learn15", lambda: len(learn_bpe(word_counts(docs), 15)), reps)
+
+
+def probe_trigram(spark, reps):
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.search.trigram import TrigramIndex
+
+    docs = _docs(spark).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    needles = {"s1": "table scan", "s2": "batch stream", "s3": "ery row", "s4": "partition", "s5": "merge part"}
+    timed(
+        "trigram full",
+        lambda: TrigramIndex(docs, content_col="text").search_literal(needles).count(),
+        reps,
+    )
+
+
+def probe_substring(spark, reps):
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc import remove_duplicated_spans
+
+    docs = _docs(spark).select("doc_id", "text")
+    timed(
+        "substring full",
+        lambda: remove_duplicated_spans(docs, span_tokens=20).agg(F.sum("n_removed_tokens")).collect(),
+        reps,
+    )
+
+
+def probe_snapshot(spark, reps):
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc import near_dedup_against_snapshot
+
+    docs = _docs(spark).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    snap = docs.filter(F.col("doc_id") % 4 == 0)
+    timed(
+        "snapshot full",
+        lambda: near_dedup_against_snapshot(batch, snap, max_hamming=3).count(),
+        reps,
+    )
+
+
+def probe_ltr(spark, reps):
+    from pyspark.sql import functions as F
+
+    from bench import _bench_docs
+    from capreolus_spark.data import synth_queries
+    from capreolus_spark.search.ltr import ltr_features
+
+    docs = _docs(spark)
+    topics = synth_queries(25)
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("docid"), F.col("text").alias("content")
+    )
+    timed("ltr full", lambda: ltr_features(corpus, topics).count(), reps)
+
+
+def probe_embnd(spark, reps):
+    from capreolus_spark.textproc import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    timed(
+        "embedding_near_dup",
+        lambda: embedding_near_dup_pairs(emb, dim=64, threshold=0.4, num_planes=12).count(),
+        reps,
+    )
+
+
+def probe_sketch(spark, reps):
+    from pyspark.sql import functions as F
+
+    from capreolus_spark.textproc.bloom import bloom_build, bloom_maybe_contains
+    from capreolus_spark.textproc.sketch import cardinality_hll, count_min_build, count_min_estimate
+
+    docs = _docs(spark)
+
+    def once():
+        keys = docs.select(F.col("doc_id").cast("string").alias("key"))
+        filt = bloom_build(keys, m=1 << 18, k=5)
+        bloom_maybe_contains(keys, filt, m=1 << 18, k=5).filter("maybe").count()
+        toks = docs.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).alias("key")
+        )
+        sk = count_min_build(toks, "key", width=1024, depth=4)
+        count_min_estimate(toks, sk, width=1024, depth=4).count()
+        cardinality_hll(docs, "doc_id", p=11, by=["source"]).count()
+
+    timed("sketch_suite", once, reps)
+
+
+PROBES = {
+    name[len("probe_"):]: fn
+    for name, fn in list(globals().items())
+    if name.startswith("probe_")
+}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else None
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if which not in PROBES:
+        print(f"probes: {sorted(PROBES)}")
+        sys.exit(1)
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        PROBES[which](spark, reps)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..analysis import LUCENE_STOP_WORDS, stem_token, tokenize_series
 from ..config import IndexConfig
-from .codec import encode_int32_array, encode_position_lists, encode_postings
+from .codec import encode_int32_array, encode_position_lists, encode_varint_stream
 
 # Max docs one input partition may hold; multiple of every legal range_size.
 PARTITION_CAPACITY = 1 << 34
@@ -402,39 +402,55 @@ def _encode_cells(pdf: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
     """Pack a block of (term, range_id, docno, tf[, positions]) rows —
     already sorted by (term, range_id, docno) — into one encoded posting
     run per cell.  Cell boundaries come from change-point detection on the
-    presorted keys (no hash-groupby pass over the object column)."""
+    presorted keys (no hash-groupby pass over the object column).
+
+    The whole block is varint-encoded in ONE vectorized pass (delta within
+    each cell, absolute at cell starts) and per-cell runs are byte-slices
+    of that stream — LEB128 is a per-value code, so the slices are
+    bit-identical to per-cell :func:`encode_postings` output (the previous
+    formulation, ~300 µs of numpy-call overhead per cell: at r6 bench
+    scale the 257k cells cost the postings stage ~2.4 s of its 5 s wall).
+    Per-cell stats come from ``np.add/maximum.reduceat``."""
     cols = ("term", "range_id", "df_range", "cf_range", "max_tf", "docnos", "tfs", "positions")
-    out = {k: [] for k in cols}
     n = len(pdf)
     if n == 0:
-        return pd.DataFrame(out)
+        return pd.DataFrame({k: [] for k in cols})
     terms = pdf["term"].to_numpy(dtype=object)
     rids = pdf["range_id"].to_numpy(dtype=np.int64)
     all_docnos = pdf["docno"].to_numpy(dtype=np.int64)
     all_tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    pos_col = pdf["positions"].to_numpy(dtype=object) if with_positions else None
     change = np.flatnonzero((terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])) + 1
-    bounds = np.concatenate([[0], change, [n]])
-    for i in range(len(bounds) - 1):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        docnos = all_docnos[lo:hi]
-        tfs = all_tfs[lo:hi]
-        dbuf, tbuf = encode_postings(docnos, tfs)
-        out["term"].append(terms[lo])
-        out["range_id"].append(int(rids[lo]))
-        out["df_range"].append(hi - lo)
-        out["cf_range"].append(int(tfs.sum()))
-        out["max_tf"].append(int(tfs.max()))
-        out["docnos"].append(dbuf)
-        out["tfs"].append(tbuf)
-        if with_positions:
-            out["positions"].append(
-                encode_position_lists(
-                    [np.asarray(x, dtype=np.int64) for x in pos_col[lo:hi]]
-                )
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [n]]).astype(np.int64)
+
+    deltas = all_docnos.copy()
+    deltas[1:] -= all_docnos[:-1]
+    deltas[starts] = all_docnos[starts]  # first value of a run is absolute
+    interior = np.ones(n, dtype=bool)
+    interior[starts] = False
+    if interior.any() and int(deltas[interior].min()) <= 0:
+        raise ValueError("docnos must be strictly increasing")
+    dbytes, doff = encode_varint_stream(deltas.astype(np.uint64))
+    tbytes, toff = encode_varint_stream((all_tfs - 1).astype(np.uint64))
+    out = {
+        "term": terms[starts],
+        "range_id": rids[starts],
+        "df_range": ends - starts,
+        "cf_range": np.add.reduceat(all_tfs, starts),
+        "max_tf": np.maximum.reduceat(all_tfs, starts),
+        "docnos": [dbytes[doff[s] : doff[e]] for s, e in zip(starts, ends)],
+        "tfs": [tbytes[toff[s] : toff[e]] for s, e in zip(starts, ends)],
+    }
+    if with_positions:
+        pos_col = pdf["positions"].to_numpy(dtype=object)
+        out["positions"] = [
+            encode_position_lists(
+                [np.asarray(x, dtype=np.int64) for x in pos_col[lo:hi]]
             )
-        else:
-            out["positions"].append(None)
+            for lo, hi in zip(starts, ends)
+        ]
+    else:
+        out["positions"] = None
     return pd.DataFrame(out)
 
 
@@ -621,24 +637,38 @@ def build_index(
         _write_postings_layout(packed, n_post_parts, out)
 
     def write_dict(out: str) -> None:
-        # dict derives from the tokens table directly (kind=tok has one
-        # row per (docno, term) with its tf): df = row count, cf = Σtf,
-        # max_tf = max tf — identical to aggregating the packed postings
-        # but with NO dependency on the postings stage, so dict runs as a
-        # third concurrent job instead of a serial tail (-15% build wall)
-        tokens = read_stage(spark, paths["tokens"]).filter(F.col("kind") == "tok")
-        (
-            tokens.groupBy("term")
-            .agg(
-                F.count("*").alias("df"),
-                F.sum("tf").alias("cf"),
-                F.max("tf").cast("int").alias("max_tf"),
-            )
-            .repartitionByRange(max(1, n_post_parts // 4), "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(out)
+        # dict derives from the committed postings' METADATA columns
+        # (term, df_range, cf_range, max_tf): df = Σ df_range, cf =
+        # Σ cf_range, max_tf = max over cells — identical values to
+        # aggregating the raw tokens (ranges partition the docno space),
+        # but the scan reads four tiny columns of the packed cells
+        # (parquet column pruning skips the posting blobs) instead of a
+        # second full pass over the token checkpoint.  Serial tail after
+        # postings, ~free: the r6 measurement had the tokens-based dict
+        # burning 5-7 s of CPU concurrently with (and slowing) the
+        # postings stage; this form is <0.5 s and the postings stage
+        # keeps the cores.
+        cells = read_stage(spark, paths["postings"]).select(
+            "term", "df_range", "cf_range", "max_tf"
         )
+        agg = cells.groupBy("term").agg(
+            F.sum("df_range").alias("df"),
+            F.sum("cf_range").alias("cf"),
+            F.max("max_tf").cast("int").alias("max_tf"),
+        )
+        # repartitionByRange runs a range-boundary sampling job over its
+        # child; persisting the (vocab-sized) aggregate keeps that from
+        # recomputing the scan+groupBy a second time
+        agg = agg.persist()
+        try:
+            (
+                agg.repartitionByRange(max(1, n_post_parts // 4), "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        finally:
+            agg.unpersist()
 
     def write_docvectors(out: str) -> None:
         # Anserini -storeDocvectors (reference index/anserini.py:52-57):
@@ -688,24 +718,27 @@ def build_index(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
     try:
         run_stage("tokens", write_tokens)
-        # ranges, postings and dict are all independent consumers of the
-        # committed tokens table: submit them as concurrent Spark jobs so
-        # none leaves cores idle (FIFO-scheduled within one SparkContext;
-        # each commits separately)
+        # ranges and postings are independent consumers of the committed
+        # tokens table: submit them as concurrent Spark jobs so neither
+        # leaves cores idle (FIFO-scheduled within one SparkContext; each
+        # commits separately).  dict aggregates the committed postings'
+        # metadata columns, so it chains after postings on the same
+        # thread (a cheap tail — see write_dict).
         from concurrent.futures import ThreadPoolExecutor
 
-        writers = {"ranges": write_ranges, "postings": write_postings, "dict": write_dict}
+        def postings_then_dict() -> None:
+            run_stage("postings", write_postings)
+            run_stage("dict", write_dict)
+
+        chains = [postings_then_dict, lambda: run_stage("ranges", write_ranges)]
         if config.store_docvectors:
-            writers["docvectors"] = write_docvectors
-        todo = [s for s in writers if not manifest.stage_done(s)]
-        if len(todo) > 1:
-            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
-                futures = [pool.submit(run_stage, s, writers[s]) for s in todo]
-                for f in futures:
-                    f.result()
-        else:
-            for s in todo:
-                run_stage(s, writers[s])
+            chains.append(lambda: run_stage("docvectors", write_docvectors))
+        # run_stage itself no-ops on committed stages, so resume keeps
+        # working whatever subset is already done
+        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            futures = [pool.submit(c) for c in chains]
+            for f in futures:
+                f.result()
     finally:
         if restore_mpb is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", restore_mpb)

@@ -22,16 +22,23 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array → bytes."""
+def encode_varint_stream(values: np.ndarray) -> "tuple[bytes, np.ndarray]":
+    """LEB128-encode a uint64 array → (bytes, per-value end offsets).
+
+    ``offsets`` has ``len(values) + 1`` entries; value ``i`` occupies
+    ``bytes[offsets[i]:offsets[i+1]]``.  Because LEB128 is a per-value
+    code, slicing the stream at value boundaries yields exactly the bytes
+    :func:`encode_varint` would produce for that sub-array — which is what
+    lets the posting-build pack thousands of cells with ONE vectorized
+    encode instead of one numpy call pair per cell."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
     if v.size == 0:
-        return b""
+        return b"", offsets
     # nbytes[i] = number of 7-bit groups needed (>=1)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
         nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
     for j in range(_MAX_VARINT_BYTES):
@@ -42,7 +49,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         payload = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[pos] = payload.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array → bytes."""
+    return encode_varint_stream(values)[0]
 
 
 def decode_varint(buf: bytes) -> np.ndarray:

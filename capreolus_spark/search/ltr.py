@@ -128,16 +128,24 @@ def ltr_features(
         qld_t.alias("_qld_t"),
         (F.col("tf") * idf).alias("_tfidf_t"),
     )
+    def _exact_sum(col: str):
+        # exact-decimal accumulation (the extended_stats/matrix_stats
+        # convention): float64 partial sums are partition-order dependent
+        # at the one-ULP level, which can flip a 4dp-rounded boundary row
+        # between runs/engines (the r5 driver's ltr_features hash flake);
+        # summing 18dp decimals is order-independent and deterministic
+        return F.sum(F.col(col).cast("decimal(38,18)")).cast("double")
+
     feats = (
         scored.groupBy("qid", "docid")
         .agg(
-            F.sum("_bm25_t").alias("bm25"),
-            F.sum("_qld_t").alias("qld"),
+            _exact_sum("_bm25_t").alias("bm25"),
+            _exact_sum("_qld_t").alias("qld"),
             F.sum("tf").alias("tf_sum"),
             F.max("tf").alias("tf_max"),
-            F.sum("_idf").alias("idf_sum"),
+            _exact_sum("_idf").alias("idf_sum"),
             F.max("_idf").alias("idf_max"),
-            F.sum("_tfidf_t").alias("tfidf_sum"),
+            _exact_sum("_tfidf_t").alias("tfidf_sum"),
             F.count("*").alias("matched_terms"),
             F.first("dl").alias("dl"),
         )

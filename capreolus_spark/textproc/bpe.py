@@ -70,15 +70,19 @@ def _initial_syms_col(word_col="word", end_of_word: str = END_OF_WORD):
 def adjacent_pair_counts(vocab: DataFrame, syms_col: str = "syms") -> DataFrame:
     """(.., count, syms) → (a, b, pair_count): combinable aggregation over
     the exploded adjacent symbol pairs, weighted by word count."""
+    # bind the split ONCE per row via a single-element transform (the
+    # let-binding trick): `split(syms)[i]` inside the lambda would re-split
+    # the string once per pair position.  The empty-pair case (single
+    # symbol) yields an empty array here instead of a pre-filter — note
+    # sequence(0, -1) DESCENDS in Spark, hence the explicit CASE.
     pairs = F.expr(
-        f"transform(sequence(0, size(split({syms_col}, ' ')) - 2), "
-        f"i -> struct(split({syms_col}, ' ')[i] AS a, split({syms_col}, ' ')[i+1] AS b))"
+        f"element_at(transform(array(split({syms_col}, ' ')), s -> "
+        "CASE WHEN size(s) < 2 THEN cast(array() as array<struct<a:string,b:string>>) ELSE "
+        "transform(sequence(0, size(s) - 2), "
+        "i -> struct(s[i] AS a, s[i+1] AS b)) END), 1)"
     )
     return (
-        # single-symbol words contribute no pairs — and must be excluded
-        # BEFORE the transform: sequence(0, -1) DESCENDS in Spark
-        vocab.where(F.size(F.split(F.col(syms_col), " ")) >= 2)
-        .select("count", F.explode(pairs).alias("p"))
+        vocab.select("count", F.explode(pairs).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.sum("count").cast("long").alias("pair_count"))
     )
@@ -116,9 +120,14 @@ def learn_bpe(
     iteration, which blows up superlinearly (observed: driver OOM in
     ``explainString`` after ~20 merges).  Checkpointing resets the plan
     to a leaf scan of the (vocab-sized, distributed) state."""
+    # LAZY checkpoints (eager=False): each iteration's best-pair job
+    # materializes the rewritten state's blocks as a side effect, so the
+    # plan still resets to a leaf every round but there is ONE Spark job
+    # per merge instead of two — and the final rewrite (whose state no
+    # iteration ever reads) is never computed at all.
     state = vocab.select(
         "count", _initial_syms_col(end_of_word=end_of_word).alias("syms")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -134,7 +143,7 @@ def learn_bpe(
         merges.append((a, b))
         state = state.select(
             "count", merge_pair_expr(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -151,63 +151,90 @@ def nb_predict(
     see module docstring).  Documents whose tokens all fall outside the
     training vocabulary score on priors alone.
     """
-    spark = df.sparkSession
     tf = _doc_tf(df, text_col, id_col, [])
 
-    # class constants as a tiny frame (C rows) — crossed with per-doc tf
-    cls = spark.createDataFrame(
-        [(c["label"], float(c["log_prior"]), float(c["log_unseen"])) for c in model["classes"]],
-        "label string, log_prior double, log_unseen double",
-    )
+    # The classes are a driver-known constant list (collected at train
+    # time), so the whole per-class dimension runs as COLUMNS instead of
+    # rows: the model joins in once as a per-token dense array of C
+    # log-likelihoods (missing (token, class) pairs pre-filled with the
+    # class's unseen constant — the same coalesce the row form applied),
+    # the per-doc aggregation is C combinable sums keyed by doc alone,
+    # and the argmax is a least() over C (−score, label) structs.  Versus
+    # the previous row-per-(doc, token, class) form this removes the
+    # vocab-distinct shuffle, the C× row explosion ahead of the score
+    # shuffle (guide §2.3: aggregate before you shuffle / shuffle fewer
+    # rows), and the per-(doc,label) + argmax double aggregation — scores
+    # are identical: same parts, same 6dp round before the same
+    # (score desc, label asc) tie-break.
+    classes = model["classes"]  # sorted by label asc (train contract)
+    labels = [c["label"] for c in classes]
 
-    # keep only in-vocabulary tokens (sklearn convention), then score every
-    # (doc, token, class) with coalesce to the class's unseen constant
-    vocab = model["cond"].select("token").distinct()
-    contrib = (
-        tf.join(vocab, "token")  # drop out-of-vocab tokens
-        .crossJoin(F.broadcast(cls.select("label")))
-        .join(model["cond"], ["token", "label"], "left")
-        .join(F.broadcast(cls), "label")
+    # token → dense array of per-class logp (|V| rows; AQE broadcasts it
+    # under the join when small, keyed shuffle join otherwise — no forced
+    # hint, the bm25prf lesson)
+    cond_arr = (
+        model["cond"]
+        .groupBy("token")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("label"), F.col("logp")))
+            ).alias("_m")
+        )
         .select(
-            id_col,
-            "label",
-            (F.col("tf") * F.coalesce(F.col("logp"), F.col("log_unseen"))).alias("part"),
+            "token",
+            F.array(
+                *[
+                    F.coalesce(
+                        F.col("_m").getItem(c["label"]),
+                        F.lit(float(c["log_unseen"])),
+                    )
+                    for c in classes
+                ]
+            ).alias("_lp"),
         )
     )
-    scores = (
-        contrib.groupBy(id_col, "label")
-        .agg(F.sum("part").alias("ll"))
-        .join(F.broadcast(cls.select("label", "log_prior")), "label")
-        .select(id_col, "label", (F.col("ll") + F.col("log_prior")).alias("score"))
-    )
 
-    # docs with zero in-vocab tokens: prior-only rows for every class
-    all_docs = df.select(id_col).distinct()
-    prior_only = (
-        all_docs.join(scores.select(id_col).distinct(), id_col, "left_anti")
-        .crossJoin(F.broadcast(cls.select("label", F.col("log_prior").alias("score"))))
-        .select(id_col, "label", "score")
-    )
-    scores = scores.unionByName(prior_only)
-
-    rounded = scores.select(
-        id_col, "label", F.round("score", round_dp).alias("score")
-    )
-    # argmax with label-asc tie-break: max_by over (score, reversed-label)
-    # is awkward for strings, so use the struct-ordering trick: max of
-    # struct(score, neg-ordering) — instead do a window-free combinable
-    # max_by on a struct with score desc then label asc via min over
-    # struct(-score, label).
-    best = (
-        rounded.groupBy(id_col)
-        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("label").alias("l"))).alias("b"))
-        .select(
-            id_col,
-            F.col("b.l").alias("pred_label"),
-            (-F.col("b.ns")).alias("score"),
+    # inner join drops out-of-vocab tokens (sklearn convention: cond_arr
+    # has exactly the training vocabulary); one combinable aggregation
+    # keyed by doc computes every class's log-likelihood sum
+    sums = (
+        tf.join(cond_arr, "token")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.element_at("_lp", i + 1)).alias(f"_s{i}")
+                for i in range(len(classes))
+            ]
         )
     )
-    return best
+
+    def _argmax(score_cols):
+        """(pred_label, score) via min over (−score, label) structs —
+        the same comparator the row-form aggregation used."""
+        structs = [
+            F.struct((-sc).alias("ns"), F.lit(lbl).alias("l"))
+            for sc, lbl in zip(score_cols, labels)
+        ]
+        return F.least(*structs) if len(structs) > 1 else structs[0]
+
+    # docs with zero in-vocab tokens have no ``sums`` row; a LEFT join
+    # with the sums coalesced to 0.0 gives them score = 0.0 + prior ==
+    # prior EXACTLY (adding 0.0 is an fp identity for finite doubles), so
+    # the prior-only branch needs no anti-join/union of its own
+    merged = df.select(id_col).distinct().join(sums, id_col, "left")
+    return merged.select(
+        id_col,
+        _argmax(
+            [
+                F.round(
+                    F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+                    + F.lit(float(c["log_prior"])),
+                    round_dp,
+                )
+                for i, c in enumerate(classes)
+            ]
+        ).alias("b"),
+    ).select(id_col, F.col("b.l").alias("pred_label"), (-F.col("b.ns")).alias("score"))
 
 
 def nb_classify(

@@ -444,10 +444,19 @@ def _capped_bucket_pairs(
     ``carry`` columns (e.g. simhash) are propagated to ``<col>_a``/``<col>_b``.
     """
     carry = carry or []
-    counts = bucketed.groupBy(*bucket_keys).agg(F.count("*").alias("_n"))
-    big_keys = counts.filter(F.col("_n") > max_bucket_size).select(*bucket_keys)
-    small = bucketed.join(F.broadcast(big_keys), bucket_keys, "left_anti")
-    big = bucketed.join(F.broadcast(big_keys), bucket_keys, "left_semi")
+    # one combinable aggregation yields both the bucket sizes AND each
+    # oversized bucket's representative (min doc_id [+ carry]) — the
+    # star-chain side then needs no second groupBy over the big rows, and
+    # the single broadcast of the (tiny, skew-keys-only) rep table serves
+    # the anti-join, the star join, and the rep lookup at once
+    rep_aggs = [F.count("*").alias("_n"), F.min("doc_id").alias("_rep")]
+    rep_aggs += [F.min_by(c, "doc_id").alias(f"_rep_{c}") for c in carry]
+    counts = bucketed.groupBy(*bucket_keys).agg(*rep_aggs)
+    big_keys = counts.filter(F.col("_n") > max_bucket_size).drop("_n")
+    small = bucketed.join(
+        F.broadcast(big_keys.select(*bucket_keys)), bucket_keys, "left_anti"
+    )
+    big = bucketed.join(F.broadcast(big_keys), bucket_keys)
 
     member = F.struct(
         F.col("doc_id").alias("doc_id"), *[F.col(c).alias(c) for c in carry]
@@ -478,17 +487,10 @@ def _capped_bucket_pairs(
         .select(*sel)
     )
 
-    rep_aggs = [F.min("doc_id").alias("_rep")]
-    rep_aggs += [F.min_by(c, "doc_id").alias(f"_rep_{c}") for c in carry]
-    rep = big.groupBy(*bucket_keys).agg(*rep_aggs)
     star_sel = [F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")]
     star_sel += [F.col(f"_rep_{c}").alias(f"{c}_a") for c in carry]
     star_sel += [F.col(c).alias(f"{c}_b") for c in carry]
-    star = (
-        big.join(F.broadcast(rep), bucket_keys)
-        .filter(F.col("doc_id") != F.col("_rep"))
-        .select(*star_sel)
-    )
+    star = big.filter(F.col("doc_id") != F.col("_rep")).select(*star_sel)
     return pairs.unionByName(star).distinct()
 
 

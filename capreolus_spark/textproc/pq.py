@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cluster import _dist2, kmeans_fit, seed_centroids
+from .cluster import kmeans_fit, seed_centroids
 
 __all__ = [
     "pq_train",
@@ -50,6 +50,57 @@ def _check_geometry(dim: int, m: int) -> int:
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} must split evenly into m={m} subspaces")
     return dim // m
+
+
+# --------------------------------------------------------------- SQL text
+# Every per-row expression below is generated as ONE SQL string and parsed
+# JVM-side with F.expr.  The per-Column construction it replaces made
+# thousands of py4j round trips per call (m × ksub × dim literal nodes):
+# ~2 s of serial DRIVER time per encode/top-k plan at m=4, ksub=8, dim=64
+# — the same plan-construction floor the minhash banding rewrite removed
+# (dedup.py band_structs).  The parsed trees are semantically identical:
+# double literals use repr() round-trip text with a D suffix, and the
+# argmin/round/decimal arithmetic matches the old Column chain node for
+# node (asserted by the unchanged DuckDB gates and pq pytest twins).
+
+
+def _fsql(x: float) -> str:
+    """Round-trip SQL double literal (repr is shortest exact text)."""
+    return repr(float(x)) + "D"
+
+
+def _arr_sql(c) -> str:
+    return "array(" + ",".join(_fsql(x) for x in c) + ")"
+
+
+def _arr2_sql(cb) -> str:
+    return "array(" + ",".join(_arr_sql(c) for c in cb) + ")"
+
+
+def _dist2_sql(vec_sql: str, centroid) -> str:
+    """Squared euclidean distance to a literal centroid (pure JVM) —
+    the SQL twin of ``cluster._dist2``."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(centroid)}, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _argmin_sql(dists: list[str]) -> str:
+    """First index attaining the minimum of ``dists`` (6dp round-then-rank
+    happens in the caller's dist text).  The candidate distances are bound
+    ONCE via a single-element transform (the winnow let-binding trick), so
+    each distance expression evaluates once per row; CASE first-match-wins
+    reproduces the old reversed when-chain's lowest-index tie-break."""
+    ds = ",".join(dists)
+    whens = " ".join(
+        f"WHEN ds[{i}] = array_min(ds) THEN {i}" for i in range(len(dists))
+    )
+    return (
+        f"element_at(transform(array(array({ds})), "
+        f"ds -> CASE {whens} ELSE cast(null as int) END), 1)"
+    )
 
 
 def pq_seed_codebooks(
@@ -92,15 +143,18 @@ def pq_train(
     return books
 
 
-def _sub_code(vec_col, codebook: list[list[float]], s: int, d: int):
-    """Argmin code for subspace ``s`` over 6dp-rounded distances."""
-    sub = F.slice(vec_col, s * d + 1, d)
-    dists = [F.round(_dist2(sub, c), 6) for c in codebook]
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    code = F.lit(None).cast("int")
-    for i in reversed(range(len(dists))):
-        code = F.when(dists[i] == best, F.lit(i)).otherwise(code)
-    return code
+def _sub_code_sql(vec_sql: str, codebook: list[list[float]], s: int, d: int) -> str:
+    """Argmin code for subspace ``s`` over 6dp-rounded distances (SQL text)."""
+    sub = f"slice({vec_sql}, {s * d + 1}, {d})"
+    dists = [f"round({_dist2_sql(sub, c)}, 6)" for c in codebook]
+    return _argmin_sql(dists)
+
+
+def _sub_code(vec_sql: str, codebook: list[list[float]], s: int, d: int):
+    """Argmin code for subspace ``s`` over 6dp-rounded distances.
+    ``vec_sql`` is the vector column's SQL text (a column name or
+    expression), not a Column — see the SQL-text note above."""
+    return F.expr(_sub_code_sql(vec_sql, codebook, s, d))
 
 
 def pq_encode(
@@ -114,7 +168,7 @@ def pq_encode(
         raise ValueError("empty codebooks")
     d = len(codebooks[0][0])
     codes = [
-        _sub_code(F.col(vec_col), cb, s, d) for s, cb in enumerate(codebooks)
+        _sub_code(f"`{vec_col}`", cb, s, d) for s, cb in enumerate(codebooks)
     ]
     return vectors.select(
         F.col(id_col).alias("vec_id"), F.array(*codes).alias("codes")
@@ -122,43 +176,27 @@ def pq_encode(
 
 
 
-def _cb_lit(codebooks: list[list[list[float]]]):
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
-            for cb in codebooks
-        ]
-    )
-
-
 def _adc_rank(pairs: DataFrame, codebooks: list[list[list[float]]], qv_col: str, k: int) -> DataFrame:
     """Shared ADC tail for both top-k paths: per-subspace 6dp-rounded
     squared distance from the query column's slices to the coded
     centroids, accumulated as decimals (order-independent exact), then
-    (adc asc, vec_id asc) rank cut to ``k``."""
+    (adc asc, vec_id asc) rank cut to ``k``.  The whole distance is ONE
+    parsed SQL expression (see the SQL-text note above); each subspace's
+    codebook is inlined as a literal array indexed by the row's code."""
     d = len(codebooks[0][0])
-    pairs = pairs.withColumn("_cb", _cb_lit(codebooks))
-    adc = None
+    terms = []
     for s in range(len(codebooks)):
-        centroid = F.element_at(
-            F.element_at(F.col("_cb"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
+        centroid = (
+            f"element_at({_arr2_sql(codebooks[s])}, element_at(codes, {s + 1}) + 1)"
         )
-        sub = F.slice(F.col(qv_col), s * d + 1, d)
-        term = F.round(
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    centroid,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ).cast("decimal(18,6)")
-        adc = term if adc is None else adc + term
-    scored = pairs.select("query_id", "vec_id", adc.cast("double").alias("adc"))
+        sub = f"slice(`{qv_col}`, {s * d + 1}, {d})"
+        terms.append(
+            f"cast(round(aggregate(zip_with({sub}, {centroid}, "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "0.0D, (acc, v) -> acc + v), 6) as decimal(18,6))"
+        )
+    adc = F.expr("cast(" + " + ".join(terms) + " as double)")
+    scored = pairs.select("query_id", "vec_id", adc.alias("adc"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -196,16 +234,13 @@ def pq_adc_topk(
     return _adc_rank(pairs, codebooks, "_qv", k)
 
 
-def _coarse_lit(coarse: list[list[float]]):
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+def _residual(vec_sql: str, coarse: list[list[float]], cell_sql: str):
+    """vector − its cell's coarse centroid (exact double subtraction).
+    ``vec_sql`` / ``cell_sql`` are SQL column/expression text."""
+    centroid = f"element_at({_arr2_sql(coarse)}, ({cell_sql}) + 1)"
+    return F.expr(
+        f"zip_with({vec_sql}, {centroid}, (x, y) -> cast(x as double) - y)"
     )
-
-
-def _residual(vec_col, coarse: list[list[float]], cell_col):
-    """vector − its cell's coarse centroid (exact double subtraction)."""
-    centroid = F.element_at(_coarse_lit(coarse), cell_col + 1)
-    return F.zip_with(vec_col, centroid, lambda x, y: x.cast("double") - y)
 
 
 def ivf_pq_seed_books(
@@ -219,10 +254,10 @@ def ivf_pq_seed_books(
 ) -> list[list[list[float]]]:
     """Seed PQ codebooks over the RESIDUAL frame (vector − coarse
     centroid) — the SQL-replayable IVF-PQ gate configuration."""
-    cell = _sub_code(F.col(vec_col), coarse, 0, len(coarse[0]))
+    cell = _sub_code_sql(f"`{vec_col}`", coarse, 0, len(coarse[0]))
     res = vectors.select(
         F.col(id_col).alias("vec_id"),
-        _residual(F.col(vec_col), coarse, cell).alias("res"),
+        _residual(f"`{vec_col}`", coarse, cell).alias("res"),
     )
     return pq_seed_codebooks(res, dim=dim, m=m, ksub=ksub, id_col="vec_id", vec_col="res")
 
@@ -242,13 +277,13 @@ def ivf_pq_encode(
     if not coarse or not codebooks or not codebooks[0]:
         raise ValueError("empty coarse centroids or codebooks")
     d = len(codebooks[0][0])
-    cell = _sub_code(F.col(vec_col), coarse, 0, len(coarse[0]))
+    cell = _sub_code(f"`{vec_col}`", coarse, 0, len(coarse[0]))
     out = vectors.select(
         F.col(id_col).alias("vec_id"),
         cell.cast("int").alias("cell"),
         F.col(vec_col).alias("_v"),
-    ).withColumn("_res", _residual(F.col("_v"), coarse, F.col("cell")))
-    codes = [_sub_code(F.col("_res"), cb, s, d) for s, cb in enumerate(codebooks)]
+    ).withColumn("_res", _residual("_v", coarse, "cell"))
+    codes = [_sub_code("_res", cb, s, d) for s, cb in enumerate(codebooks)]
     return out.select("vec_id", "cell", F.array(*codes).alias("codes"))
 
 
@@ -281,11 +316,11 @@ def ivf_pq_topk(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
     )
     # per-query probed cells: rank the literal coarse distances
-    cell_d = [F.round(_dist2(F.col("_qv"), c), 6) for c in coarse]
+    cell_d = ",".join(f"round({_dist2_sql('_qv', c)}, 6)" for c in coarse)
     qcells = q.select(
         "query_id",
         "_qv",
-        F.posexplode(F.array(*cell_d)).alias("cell", "_cd"),
+        F.posexplode(F.expr(f"array({cell_d})")).alias("cell", "_cd"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("_cd"), F.asc("cell"))
     probed = (
@@ -294,6 +329,5 @@ def ivf_pq_topk(
         .select("query_id", "_qv", F.col("cell").cast("int").alias("cell"))
     )
     pairs = encoded.join(F.broadcast(probed), "cell")
-    qres = _residual(F.col("_qv"), coarse, F.col("cell"))
-    pairs = pairs.withColumn("_qres", qres)
+    pairs = pairs.withColumn("_qres", _residual("_qv", coarse, "cell"))
     return _adc_rank(pairs, codebooks, "_qres", k)

@@ -140,10 +140,16 @@ def clone_pairs(
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
         caches.add(e)
 
-    counts = e.groupBy("f").agg(F.count("*").alias("_n"))
-    big_keys = counts.filter(F.col("_n") > max_bucket_size).select("f")
-    small = e.join(F.broadcast(big_keys), "f", "left_anti")
-    big = e.join(F.broadcast(big_keys), "f", "left_semi")
+    # one combinable aggregation yields the bucket sizes AND each
+    # oversized bucket's representative; the single broadcast of the
+    # (tiny, skew-keys-only) rep table serves the anti-join and the star
+    # join — no second groupBy over the big rows
+    counts = e.groupBy("f").agg(
+        F.count("*").alias("_n"), F.min("doc_id").alias("_rep")
+    )
+    big_keys = counts.filter(F.col("_n") > max_bucket_size).drop("_n")
+    small = e.join(F.broadcast(big_keys.select("f")), "f", "left_anti")
+    big = e.join(F.broadcast(big_keys), "f")
 
     grp = small.groupBy("f").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     pair_arr = F.flatten(
@@ -164,11 +170,8 @@ def clone_pairs(
         .select("p.id_a", "p.id_b")
     )
 
-    rep = big.groupBy("f").agg(F.min("doc_id").alias("_rep"))
-    star = (
-        big.join(F.broadcast(rep), "f")
-        .filter(F.col("doc_id") != F.col("_rep"))
-        .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    star = big.filter(F.col("doc_id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
     )
 
     return (

@@ -44,9 +44,16 @@ def main():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CHECK_CPUS', '8')}]"
+        )
         .appName("oracle_check")
-        .config("spark.sql.shuffle.partitions", "16")
+        # overridable so float-sum hash stability can be swept across
+        # partitionings (r5 verdict item 4)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CHECK_PARTS", "16"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
         .getOrCreate()

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Dump .explain('formatted') for a named registry query to stdout.
+
+Usage: python scripts/dump_plan.py <query_name> [sf_dir]
+Used by the r06 optimization round to commit plans/r06/<q>_{before,after}.txt.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def main():
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("dump_plan")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = entrymod.queries()[name](spark, sf_dir)
+    print(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,3 +61,34 @@ def test_empty_topics_yield_empty_frame(spark, synth_index):
     out = ltr_features(corpus.select("docid", "content"), {})
     assert out.count() == 0
     assert "bm25" in out.columns and "coverage" in out.columns
+
+
+def test_float_features_partition_order_stable(spark, synth_index):
+    """The r5 driver flagged a hash flake on ltr_features: plain float64
+    sums flip a 4dp-rounded boundary digit with partition order.  The
+    exact-decimal sums must yield IDENTICAL 4dp-rounded features under
+    different shuffle widths (the driver-gate canonicalization)."""
+    idx, corpus = synth_index
+    topics = dict(list(synth_queries(10).items())[:3])
+    kw = idx.config.analyzer_kwargs()
+    c = corpus.select("docid", "content")
+
+    def rounded_rows():
+        rows = ltr_features(c, topics, **kw).select(
+            "qid", "docid",
+            F.round("bm25", 4).alias("bm25"),
+            F.round("qld", 4).alias("qld"),
+            F.round("idf_sum", 4).alias("idf_sum"),
+            F.round("tfidf_sum", 4).alias("tfidf_sum"),
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = rounded_rows()
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        high = rounded_rows()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high
