@@ -48,10 +48,17 @@ from pyspark.sql import functions as F
 from ..config import BM25Config, DEFAULT_TAG
 from ..index import InvertedIndex
 from ..index.codec import decode_int32_array, decode_position_lists, decode_postings
-from .daat import live_mask
+from .daat import _score_one_query, live_mask
 from . import BM25Searcher
 
 WINDOW_SCHEMA = "qid string, pair string, docno long, o_cnt long, u_cnt long, dl long"
+
+# fused kernel output: unigram rows (kind='u': docno, score) and pair
+# window rows (kind='p': pair, docno, o_cnt, u_cnt, dl) from ONE pass
+FUSED_SCHEMA = (
+    "qid string, kind string, pair string, docno long, "
+    "o_cnt long, u_cnt long, dl long, score double"
+)
 
 
 def _window_counts(p1: np.ndarray, p2: np.ndarray, ordered: int, unordered: int) -> tuple[int, int]:
@@ -202,6 +209,175 @@ class SDMSearcher(BM25Searcher):
             .applyInPandas(kernel, schema=WINDOW_SCHEMA)
         )
 
+    def _fused_df(
+        self,
+        weights: dict[str, list[tuple[str, float, float]]],
+        pairs: dict[str, list[tuple[str, str]]],
+        hits: int,
+    ) -> DataFrame:
+        """ONE cogrouped pass per docno-range computing BOTH the pruned
+        unigram scores (kind='u') and the pair window counts (kind='p').
+
+        The two passes the previous shape ran separately each shuffled the
+        query-term postings and decoded every posting run independently;
+        fusing them halves the kernel jobs and decodes each (term, range)
+        cell once (positions only for pair terms, lazily).  Per-row
+        results are produced by the SAME kernels (``daat._score_one_query``
+        / ``_window_counts``) on the same decoded inputs, so scores and
+        counts are bit-identical to the two-pass formulation."""
+        terms = sorted(
+            {t for ts in weights.values() for (t, _, _) in ts}
+            | {t for ps in pairs.values() for p in ps for t in p}
+        )
+        postings = self.index.postings_df().filter(F.col("term").isin(terms))
+        ranges = self.index.ranges_df()
+        qlist = [
+            (qid, sorted(ts, key=lambda x: x[0]))
+            for qid, ts in sorted(weights.items())
+        ]
+        qpairs = [(qid, t1, t2) for qid, ps in sorted(pairs.items()) for (t1, t2) in ps]
+        ow, uw = self.ordered_window, self.unordered_window
+        scoring = self.scoring
+        avgdl = float(self.index.avgdl)
+        prune = self.prune
+        deleted = self._deleted_for_kernel()
+
+        def kernel(p: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=object),
+                    "kind": pd.Series([], dtype=object),
+                    "pair": pd.Series([], dtype=object),
+                    "docno": pd.Series([], dtype=np.int64),
+                    "o_cnt": pd.Series([], dtype=np.int64),
+                    "u_cnt": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+            if len(p) == 0 or len(r) == 0:
+                return empty
+            rrow = r.iloc[0]
+            base = int(rrow["base_docno"])
+            n_slots = int(rrow["n_slots"])
+            dls = decode_int32_array(rrow["dls"])
+            min_dl = max(int(rrow["min_dl"]), 1)
+            del_mask = live_mask(deleted, base, n_slots)
+
+            rows_by_term = {}
+            meta_max_tf = {}
+            for i in range(len(p)):
+                prow = p.iloc[i]
+                rows_by_term[prow["term"]] = prow
+                meta_max_tf[prow["term"]] = int(prow["max_tf"])
+
+            raw: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+            def get_raw(t):
+                cell = raw.get(t)
+                if cell is None:
+                    prow = rows_by_term[t]
+                    raw[t] = cell = decode_postings(prow["docnos"], prow["tfs"])
+                return cell
+
+            cells: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+            def get_cell(t):
+                cell = cells.get(t)
+                if cell is None:
+                    docnos, tfs = get_raw(t)
+                    slots = docnos - base
+                    if del_mask is not None:
+                        keep = ~del_mask[slots]
+                        slots, tfs = slots[keep], tfs[keep]
+                    cells[t] = cell = (slots, tfs)
+                return cell
+
+            pos_cells: dict[str, tuple[np.ndarray, list]] = {}
+
+            def get_pos(t):
+                cell = pos_cells.get(t)
+                if cell is None:
+                    prow = rows_by_term[t]
+                    if prow["positions"] is None:
+                        pos_cells[t] = cell = None
+                        return None
+                    docnos, tfs = get_raw(t)
+                    poss = decode_position_lists(bytes(prow["positions"]), tfs)
+                    if del_mask is not None:
+                        keep = ~del_mask[docnos - base]
+                        docnos = docnos[keep]
+                        poss = [pl for pl, k in zip(poss, keep) if k]
+                    pos_cells[t] = cell = (docnos, poss)
+                return cell
+
+            out_rows = {
+                "qid": [], "kind": [], "pair": [], "docno": [],
+                "o_cnt": [], "u_cnt": [], "dl": [], "score": [],
+            }
+
+            # ---- unigram scoring (same orchestration as daat kernel)
+            scores = np.zeros(n_slots, dtype=np.float64)
+            for qid, qterms in qlist:
+                present = [x for x in qterms if x[0] in rows_by_term]
+                if not present:
+                    continue
+                slots, cscores = _score_one_query(
+                    present, get_cell, dls, scores, meta_max_tf, min_dl,
+                    scoring, avgdl, hits, prune,
+                )
+                for t, _, _ in present:
+                    cell = cells.get(t)
+                    if cell is not None:
+                        scores[cell[0]] = 0.0
+                if slots.size:
+                    n = slots.size
+                    out_rows["qid"].extend([qid] * n)
+                    out_rows["kind"].extend(["u"] * n)
+                    out_rows["pair"].extend([None] * n)
+                    out_rows["docno"].extend((slots + base).tolist())
+                    out_rows["o_cnt"].extend([0] * n)
+                    out_rows["u_cnt"].extend([0] * n)
+                    out_rows["dl"].extend([0] * n)
+                    out_rows["score"].extend(cscores.tolist())
+
+            # ---- pair window counts (same kernel as _pair_counts_df)
+            for qid, t1, t2 in qpairs:
+                if t1 not in rows_by_term or t2 not in rows_by_term:
+                    continue
+                c1, c2 = get_pos(t1), get_pos(t2)
+                if c1 is None or c2 is None:
+                    continue
+                common, i1, i2 = np.intersect1d(
+                    c1[0], c2[0], assume_unique=True, return_indices=True
+                )
+                for k in range(common.size):
+                    o, u = _window_counts(c1[1][i1[k]], c2[1][i2[k]], ow, uw)
+                    if o or u:
+                        d = int(common[k])
+                        out_rows["qid"].append(qid)
+                        out_rows["kind"].append("p")
+                        out_rows["pair"].append(f"{t1} {t2}")
+                        out_rows["docno"].append(d)
+                        out_rows["o_cnt"].append(o)
+                        out_rows["u_cnt"].append(u)
+                        out_rows["dl"].append(int(dls[d - base]))
+                        out_rows["score"].append(0.0)
+
+            return pd.DataFrame(out_rows) if out_rows["qid"] else empty
+
+        n_parts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        n_ranges = self.index.num_ranges
+        if n_ranges:
+            n_parts = max(1, min(n_parts, n_ranges))
+        return (
+            postings.repartition(n_parts, "range_id").groupBy("range_id")
+            .cogroup(ranges.repartition(n_parts, "range_id").groupBy("range_id"))
+            .applyInPandas(kernel, schema=FUSED_SCHEMA)
+        )
+
     # ------------------------------------------------------------ search
 
     def search(self, topics: dict[str, str], hits: int | None = None) -> DataFrame:
@@ -218,31 +394,41 @@ class SDMSearcher(BM25Searcher):
         # top-C per query (score ties at the boundary kept) is the only set
         # of documents whose window features are computed
         depth = max(hits, self.rerank_factor * hits)
-        uni = self._global_topk_cut(
-            self._candidates(weights, hits=depth), depth
-        ).withColumnRenamed("score", "score_t")
 
         pairs = self._query_pairs(analyzed)
         if pairs:
-            # uni is consumed twice in one plan (window-feature semi-join
-            # + final combine join); persist the bounded (≤ depth×queries
-            # rows) frame so the expensive pruned DAAT pass-1 scan runs
-            # once per action instead of twice
             self._release_caches()
-            uni = uni.persist()
-            self._prev_caches.append(uni)
-            # counts feeds BOTH the exact-df aggregation and the candidate
-            # semi-join in one plan; without a persist the cogrouped
-            # positions-decode kernel (the expensive pass) executes twice
-            # per action.  MEMORY_AND_DISK: a stopword pair's co-occurrence
-            # frame can exceed executor memory at corpus scale — spilling
-            # beats recomputing the kernel.
+            # ONE fused kernel pass computes unigram scores AND pair
+            # window counts (see _fused_df); it is PERSISTED because the
+            # unigram cut, the exact-df aggregation and the candidate
+            # semi-join all read it in one plan.  MEMORY_AND_DISK: a
+            # stopword pair's co-occurrence frame can exceed executor
+            # memory at corpus scale — spilling beats recomputing the
+            # kernel.
             from pyspark import StorageLevel
 
-            counts = self._pair_counts_df(pairs).persist(
+            fused = self._fused_df(weights, pairs, hits=depth).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            self._prev_caches.append(counts)
+            self._prev_caches.append(fused)
+            # uni is consumed twice in one plan (window-feature semi-join
+            # + final combine join); persist the bounded (≤ depth×queries
+            # rows) frame so the cut window over the fused cache runs
+            # once per action instead of twice
+            uni = (
+                self._global_topk_cut(
+                    fused.filter(F.col("kind") == "u").select(
+                        "qid", "docno", "score"
+                    ),
+                    depth,
+                )
+                .withColumnRenamed("score", "score_t")
+                .persist()
+            )
+            self._prev_caches.append(uni)
+            counts = fused.filter(F.col("kind") == "p").select(
+                "qid", "pair", "docno", "o_cnt", "u_cnt", "dl"
+            )
             # exact global df per (qid, pair, feature) for the idf — a
             # map-side-combining groupBy over every co-occurring doc (the
             # linear pass), idf computed in-plan so nothing collects
@@ -302,6 +488,9 @@ class SDMSearcher(BM25Searcher):
                 .select("qid", "docno", "score")
             )
         else:
+            uni = self._global_topk_cut(
+                self._candidates(weights, hits=depth), depth
+            ).withColumnRenamed("score", "score_t")
             combined = uni.withColumn(
                 "score", F.lit(self.lambda_t) * F.col("score_t")
             ).select("qid", "docno", "score")

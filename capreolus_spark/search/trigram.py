@@ -213,17 +213,26 @@ class TrigramIndex:
     # ------------------------------------------------------------ planning
 
     def _df_for(self, trigrams: set[str]) -> dict[str, int]:
-        """df per trigram for a bounded query-derived set (driver-side)."""
+        """df per trigram for a bounded query-derived set (driver-side).
+
+        Postings are per-doc DISTINCT trigrams, so df(t) is exactly the
+        number of documents whose content contains ``t`` — computed as
+        one narrow contains-aggregate over the docs (|trigrams| combinable
+        sums, bounded by the query batch) instead of materializing the
+        full exploded trigram stream a second time just to count a
+        handful of keys.  A prebuilt trigram index would serve this from
+        its dict stats; this is the ephemeral-path equivalent."""
         if not trigrams:
             return {}
-        rows = (
-            self.postings.filter(F.col("trigram").isin(*trigrams))
-            .groupBy("trigram")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        )
-        got = {r["trigram"]: int(r["df"]) for r in rows}
-        return {t: got.get(t, 0) for t in trigrams}
+        ts = sorted(trigrams)
+        content = F.coalesce(F.col(self.content_col), F.lit(""))
+        row = self.docs.agg(
+            *[
+                F.sum((F.locate(t, content) > 0).cast("long")).alias(f"_t{i}")
+                for i, t in enumerate(ts)
+            ]
+        ).collect()[0]
+        return {t: int(row[i] or 0) for i, t in enumerate(ts)}
 
     def _candidates(self, probes: dict[str, list[str]]) -> DataFrame:
         """(qid, doc_id) containing ALL probed trigrams of each query."""

@@ -99,12 +99,23 @@ def add_srp_bucket(
 ) -> DataFrame:
     """Add a signed-random-projection bucket id (int, one bit per plane)."""
     planes = _hyperplanes(dim, num_planes, seed)
-    bucket = F.lit(0).cast("long")
+    # ONE parsed SQL expression: the per-plane Column construction built
+    # num_planes × dim literal nodes through py4j (~0.2 s of serial driver
+    # time per call at 12×64) — same tree, same dot/threshold arithmetic,
+    # so bucket values are bit-identical (oracle-gated).
+    def _lit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    terms = []
     for p in range(num_planes):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
-        dp = _dot(coeffs, F.col(vec_col))
-        bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return vectors.withColumn("srp_bucket", bucket)
+        coeffs = "array(" + ",".join(_lit(c) for c in planes[p]) + ")"
+        dp = (
+            f"aggregate(zip_with({coeffs}, `{vec_col}`, "
+            "(x, y) -> x * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(case when {dp} > 0.0D then {1 << p}L else 0L end)")
+    expr = "cast(0 as bigint)" + "".join(" + " + t for t in terms)
+    return vectors.withColumn("srp_bucket", F.expr(expr))
 
 
 def lsh_cosine_topk(

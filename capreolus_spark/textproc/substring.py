@@ -97,12 +97,18 @@ def duplicated_spans(
     so one copy of every duplicated region survives removal.
     """
     win = _window_hashes(df, text_col, id_col, span_tokens, hash_impl)
-    agg = [F.count("*").alias("_cnt")]
+    # per-hash count + canonical occurrence as WINDOW aggregates over one
+    # h-clustered shuffle.  The previous groupBy(h) + self-join shape
+    # shuffled the full window frame TWICE (partial-agg side + join side)
+    # and re-ran the md5 window-hash extraction — the operator's CPU hot
+    # spot — once per reference; this moves every window row once and
+    # extracts once.  Skew profile is unchanged: a mega-duplicated hash
+    # lands on one reducer in either shape.
+    wh = Window.partitionBy("h")
+    occ = win.withColumn("_cnt", F.count("*").over(wh))
     if keep_first:
-        agg.append(F.min(F.struct("doc_id", "start")).alias("_canon"))
-    dup = win.groupBy("h").agg(*agg).filter(F.col("_cnt") >= min_count)
-    # broadcast NOT safe: dup is corpus-scale; plain shuffle hash join
-    occ = win.join(dup, "h")
+        occ = occ.withColumn("_canon", F.min(F.struct("doc_id", "start")).over(wh))
+    occ = occ.filter(F.col("_cnt") >= min_count)
     if keep_first:
         occ = occ.filter(
             ~(
