@@ -4,15 +4,22 @@ import pytest
 
 from capreolus_spark.benchmark import Benchmark, BenchmarkValidationError
 
-TOPICS = {"301": "Dummy doc"}
-QRELS = {"301": {"LA010189-0001": 1, "LA010189-0002": 0}}
-FOLDS = {"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}}
+# disjoint train/dev/test (r5 verdict item 7): a warning-free fixture —
+# the overlap-warning path is exercised explicitly below
+TOPICS = {"301": "Dummy doc", "302": "Dummy doc two", "303": "Dummy doc three"}
+QRELS = {
+    "301": {"LA010189-0001": 1, "LA010189-0002": 0},
+    "302": {"LA010189-0001": 1},
+    "303": {"LA010189-0002": 1},
+}
+FOLDS = {"s1": {"train_qids": ["301"], "predict": {"dev": ["302"], "test": ["303"]}}}
 
 
 def test_dummy_benchmark_valid():
     b = Benchmark(topics=dict(TOPICS), qrels=dict(QRELS), folds=json.loads(json.dumps(FOLDS)))
-    assert b.fold_topics("s1", "test") == {"301": "Dummy doc"}
+    assert b.fold_topics("s1", "test") == {"303": "Dummy doc three"}
     assert b.relevance_level == 1
+    assert not b.warnings_  # disjoint, aligned fixture stays warning-free
 
 
 def test_fold_schema_enforced():
@@ -23,9 +30,12 @@ def test_fold_schema_enforced():
 
 
 def test_fold_qid_missing_from_topics_raises():
-    folds = {"s1": {"train_qids": ["999"], "predict": {"dev": ["301"], "test": ["301"]}}}
-    with pytest.raises(BenchmarkValidationError, match="cannot be found"):
-        Benchmark(TOPICS, QRELS, folds)
+    folds = {"s1": {"train_qids": ["999"], "predict": {"dev": ["301"], "test": ["302"]}}}
+    # the unknown qid also misaligns the fold, so the validator warns
+    # before raising — capture both so the suite stays warning-free
+    with pytest.warns(UserWarning, match="not aligned"):
+        with pytest.raises(BenchmarkValidationError, match="cannot be found"):
+            Benchmark(TOPICS, QRELS, folds)
 
 
 def test_misalignment_warns_not_raises():
@@ -37,28 +47,30 @@ def test_misalignment_warns_not_raises():
 
 def test_from_files_duplicate_and_conflict(tmp_path):
     topics = tmp_path / "topics.tsv"
-    topics.write_text("301\tDummy doc\n")
+    topics.write_text("301\tDummy doc\n302\tDummy doc two\n303\tDummy doc three\n")
     folds = tmp_path / "folds.json"
     folds.write_text(json.dumps(FOLDS))
 
     qrels = tmp_path / "qrels.txt"
-    qrels.write_text("301 0 d1 1\n301 0 d1 1\n301 0 d2 0\n")  # exact dup
+    qrels.write_text(
+        "301 0 d1 1\n301 0 d1 1\n301 0 d2 0\n302 0 d1 1\n303 0 d2 1\n"
+    )  # one exact dup
     b = Benchmark.from_files(str(topics), str(qrels), str(folds))
     assert b.duplicate_qrels_dropped == 1
     assert b.qrels["301"] == {"d1": 1, "d2": 0}
 
-    qrels.write_text("301 0 d1 1\n301 0 d1 2\n")  # conflicting labels
+    qrels.write_text("301 0 d1 1\n301 0 d1 2\n302 0 d1 1\n303 0 d2 1\n")
     with pytest.raises(BenchmarkValidationError, match="conflicting label"):
         Benchmark.from_files(str(topics), str(qrels), str(folds))
 
 
 def test_from_files_drops_no_positive_qids(tmp_path):
     topics = tmp_path / "topics.tsv"
-    topics.write_text("301\tDummy doc\n302\tother\n")
+    topics.write_text("301\tDummy doc\n302\tother\n303\tDummy doc three\n")
     folds = tmp_path / "folds.json"
     folds.write_text(json.dumps(FOLDS))
     qrels = tmp_path / "qrels.txt"
-    qrels.write_text("301 0 d1 1\n302 0 d9 0\n")
+    qrels.write_text("301 0 d1 1\n302 0 d9 0\n303 0 d2 1\n")
     with pytest.warns(UserWarning):  # 302 in topics but dropped from qrels
         b = Benchmark.from_files(str(topics), str(qrels), str(folds))
-    assert set(b.qrels) == {"301"}
+    assert set(b.qrels) == {"301", "303"}

@@ -24,13 +24,17 @@ def test_rank_searcheval_cli(spark, tmp_path, capsys):
     docid1 = "dummy/collection@" + "0" * 40 + ":docs/LA010189-0001.txt"
     docid2 = "dummy/collection@" + "0" * 40 + ":docs/LA010189-0002.txt"
 
+    # disjoint train/dev/test (warning-free fixture, r5 verdict item 7);
+    # same query text per qid, so scores match the golden runfile
     topics = tmp_path / "topics.tsv"
-    topics.write_text("301\tDummy doc\n")
+    topics.write_text("301\tDummy doc\n302\tDummy doc\n303\tDummy doc\n")
     qrels = tmp_path / "qrels.txt"
-    qrels.write_text(f"301 0 {docid1} 1\n301 0 {docid2} 0\n")
+    qrels.write_text(
+        "".join(f"{q} 0 {docid1} 1\n{q} 0 {docid2} 0\n" for q in ("301", "302", "303"))
+    )
     folds = tmp_path / "folds.json"
     folds.write_text(
-        json.dumps({"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}})
+        json.dumps({"s1": {"train_qids": ["301"], "predict": {"dev": ["302"], "test": ["303"]}}})
     )
     out = tmp_path / "out"
 

@@ -11,10 +11,17 @@ from capreolus_spark.task import RankTask
 
 
 def test_searcheval_end_to_end(spark, dummy_index, tmp_path):
+    # disjoint train/dev/test (warning-free fixture, r5 verdict item 7);
+    # every qid asks the same query, so the relevant doc ranks first in
+    # every fold set
     bench = Benchmark(
-        topics={"301": "Dummy doc"},
-        qrels={"301": {"LA010189-0001": 1, "LA010189-0002": 0}},
-        folds={"s1": {"train_qids": ["301"], "predict": {"dev": ["301"], "test": ["301"]}}},
+        topics={"301": "Dummy doc", "302": "Dummy doc", "303": "Dummy doc"},
+        qrels={
+            "301": {"LA010189-0001": 1, "LA010189-0002": 0},
+            "302": {"LA010189-0001": 1, "LA010189-0002": 0},
+            "303": {"LA010189-0001": 1, "LA010189-0002": 0},
+        },
+        folds={"s1": {"train_qids": ["301"], "predict": {"dev": ["302"], "test": ["303"]}}},
     )
     task = RankTask(dummy_index, bench, str(tmp_path / "out"), hits=10)
     result = task.searcheval(k1s=[0.9], bs=[0.4, 0.8], primary_metric="map")
@@ -31,7 +38,7 @@ def test_searcheval_end_to_end(spark, dummy_index, tmp_path):
     assert metrics["score"]["P_1"] == pytest.approx(1.0)
 
     run = load_trec_run(str(tmp_path / "out" / "best_test_run"))
-    assert list(run["301"].keys())[0] == "LA010189-0001"
+    assert list(run["303"].keys())[0] == "LA010189-0001"
 
 
 def test_get_doc_vector(dummy_index):
