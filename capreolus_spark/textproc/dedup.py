@@ -382,13 +382,32 @@ def minhash_signatures(
     import pandas as pd
 
     if posts is None:
-        posts = shingle_postings(df, text_col, id_col, n)
-    base = posts.withColumn("h64", F.xxhash64(F.col("shingle"), F.lit(42)))
+        # SHUFFLE-FREE signature path: the per-doc distinct shingle set is
+        # already an array column before any explode, so the raw 64-bit
+        # shingle hashes are a narrow `transform` over it — no exploded
+        # postings frame, no corpus-wide groupBy shuffle to reassemble
+        # what the projection already had (guide §2.4).  Values are
+        # identical to the explode+collect_list form: same per-doc
+        # distinct shingles, same xxhash64(shingle, 42), and every
+        # downstream consumer (min-signature, size, array_intersect) is
+        # order-independent.
+        toked = _spread(df).select(
+            F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+        )
+        grouped = toked.select(
+            "doc_id",
+            F.transform(
+                _shingles_from_tokens(F.col("_toks"), n),
+                lambda s: F.xxhash64(s, F.lit(42)),
+            ).alias("hs"),
+        )
+    else:
+        base = posts.withColumn("h64", F.xxhash64(F.col("shingle"), F.lit(42)))
+        grouped = base.groupBy("doc_id").agg(F.collect_list("h64").alias("hs"))
     # one array of raw shingle hashes per doc; the 31-bit reduction
     # abs(h64) % p moves into the numpy pass (identical values — numpy and
     # the JVM agree on abs-then-mod for every input except the single
     # 2^-64-probability value INT64_MIN, whose remainder sign differs)
-    grouped = base.groupBy("doc_id").agg(F.collect_list("h64").alias("hs"))
 
     a, b = minhash_coefficients(num_hashes)
 
