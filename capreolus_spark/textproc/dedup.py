@@ -713,18 +713,28 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(doc_id, simhash): the weighted per-bit-vote SimHash fingerprint.
 
-    One narrow tokenize pass, a (doc, token) count aggregation (map-side
-    combinable), then the per-bit weighted votes packed into a single
-    long — all JVM column expressions.  ``hash_fn``: ``xxhash64``
-    (default, fastest JVM path) or ``md5_60`` (60 bits from the md5 hex
-    prefix; bit-identical to a portable SQL recompute, use
-    ``num_bits<=60``).  Shared by :func:`simhash_pairs` (self-corpus
-    near-dups) and the cross-corpus snapshot dedup
+    One narrow tokenize pass, then the per-bit votes aggregated straight
+    off the exploded token occurrences and packed into a single long —
+    all JVM column expressions.  ``hash_fn``: ``xxhash64`` (default,
+    fastest JVM path) or ``md5_60`` (60 bits from the md5 hex prefix;
+    bit-identical to a portable SQL recompute, use ``num_bits<=60``).
+    Shared by :func:`simhash_pairs` (self-corpus near-dups) and the
+    cross-corpus snapshot dedup
     (:mod:`capreolus_spark.textproc.snapshot`).
     """
+    # ONE shuffle, keyed by doc alone: the per-(doc, token) count
+    # pre-aggregation the original pipeline ran is mathematically
+    # redundant for the vote — sum over DISTINCT tokens of ±w (w = the
+    # token's occurrence count) equals sum over RAW occurrences of ±1,
+    # because every occurrence of a token contributes the same sign.
+    # Dropping it removes a full string-keyed Exchange + HashAggregate
+    # (guide §2.4); the remaining groupBy(doc_id) partial-aggregates to
+    # one 64-sum row per doc map-side (a doc's exploded tokens are never
+    # split across input partitions), so the surviving shuffle carries
+    # one narrow row per document.  Vote integers are identical.
     toks = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
-    ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    )
     if hash_fn == "md5_60":
         if num_bits > 60:
             raise ValueError("md5_60 provides 60 bits; pass num_bits<=60")
@@ -735,19 +745,19 @@ def simhash_fingerprints(
         h_expr = F.xxhash64(F.col("tok"), F.lit(7))
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    toks = toks.withColumn("h", h_expr)
+    toks = toks.select("doc_id", h_expr.alias("h"))
 
-    # per-bit weighted vote: sum_w(+1 if bit set else -1) > 0 → bit = 1.
+    # per-bit weighted vote: sum(+1 if bit set else -1) > 0 → bit = 1.
     # The num_bits vote sums and the bit packing are ONE SQL statement
     # parsed JVM-side in a single call (DataFrame passed as a spark.sql
     # parameter): the previous per-bit Column construction made thousands
     # of py4j round trips (~4.5 s of DRIVER time per call at 64 bits — a
     # serial floor that capped measured N→4N scaling of every simhash
-    # consumer; the executors never saw it).  The plan is unchanged — the
-    # sums stay independent aggregate columns, so Spark still runs a
-    # partially-aggregated whole-stage-codegen HashAggregate (a
-    # struct-of-sums variant was tried and rejected: it fell out of the
-    # fast hash-aggregate path and ~2.5×'d the executor time).
+    # consumer; the executors never saw it).  The sums stay independent
+    # aggregate columns, so Spark still runs a partially-aggregated
+    # whole-stage-codegen HashAggregate (a struct-of-sums variant was
+    # tried and rejected: it fell out of the fast hash-aggregate path
+    # and ~2.5×'d the executor time).
     #
     # bit 63 is the sign bit: 1<<63 doesn't fit a JVM long, so add its
     # two's-complement value instead; the packed simhash is the same 64
@@ -756,7 +766,7 @@ def simhash_fingerprints(
         return "(-9223372036854775807L - 1L)" if i == 63 else f"{1 << i}L"
 
     sums = ",".join(
-        f"sum(case when shiftright(h, {i}) & 1 = 1 then w else -w end) as b{i}"
+        f"sum(case when shiftright(h, {i}) & 1 = 1 then 1L else -1L end) as b{i}"
         for i in range(num_bits)
     )
     pack = " + ".join(
