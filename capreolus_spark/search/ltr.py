@@ -43,15 +43,25 @@ dl              pre-stop-filter document length (SURVEY §6.3)
 
 from __future__ import annotations
 
+import threading
 from typing import Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .fielded import _query_df
 from .oracle import analyzed_terms_df
 
 __all__ = ["ltr_features"]
+
+# One live analyzed-corpus frame at a time (the minhash-registry
+# convention): each ltr_features call releases the previous call's cache
+# and registers its own under a single lock hold, so the returned lazy
+# plan can be consumed after the function returns without the cache
+# being pulled out from under it.
+_LTR_FRAMES: list[DataFrame] = []
+_LTR_LOCK = threading.Lock()
 
 
 def ltr_features(
@@ -85,13 +95,33 @@ def ltr_features(
     analyzed = analyzed_terms_df(
         corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
     )
+    # The Arrow analysis pass is the operator's dominant cost and is
+    # needed by BOTH the corpus-stats row and the tf relation; left as
+    # two lazy subtrees it executes twice per action (Catalyst reuses
+    # exchanges, not arbitrary Python-stage subtrees).  Persist it once
+    # (MEMORY_AND_DISK — the same must-spill contract as the minhash
+    # signature frame) and take the one-row stats EAGERLY; the collect
+    # materializes the cache that the tf relation then reads, so one
+    # analysis pass serves everything (guide §1.2 "don't compute things
+    # twice", §5 persist-on-reuse).
+    with _LTR_LOCK:
+        while _LTR_FRAMES:
+            _LTR_FRAMES.pop().unpersist()
+        analyzed = analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+        _LTR_FRAMES.append(analyzed)
     # One row of corpus stats; total token count C is post-stop (the QL
     # collection-model denominator, matching the ql_topk_daat oracle).
-    stats = analyzed.agg(
+    # Inlined as literals: bigints stay bigints (sum_cf) and the avg
+    # collects as the exact float64 Spark computed, so every downstream
+    # expression sees bit-identical operands to the broadcast-join form.
+    srow = analyzed.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum(F.size("terms")).alias("sum_cf"),
-    )
+    ).collect()[0]
+    n_docs = int(srow["n_docs"])
+    avgdl = float(srow["avgdl"]) if srow["avgdl"] is not None else 0.0
+    sum_cf = int(srow["sum_cf"]) if srow["sum_cf"] is not None else 0
     tf = (
         analyzed.select("docid", "dl", F.explode("terms").alias("term"))
         .filter(F.col("term").isin(qterms))
@@ -104,7 +134,9 @@ def ltr_features(
     pairs = (
         tf.join(F.broadcast(qdf), "term")
         .join(F.broadcast(termstats), "term")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn("sum_cf", F.lit(sum_cf))
     )
     if run is not None:
         pairs = pairs.join(
