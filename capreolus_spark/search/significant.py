@@ -32,15 +32,24 @@ For web-scale queries whose match set is itself huge, pass ``fg_run``
 
 from __future__ import annotations
 
+import threading
 from typing import Mapping
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .fielded import _query_df
 from .oracle import analyzed_terms_df
 
 __all__ = ["significant_terms", "rare_terms", "sharded_terms"]
+
+# One live (docid, term) frame at a time (the minhash/ltr registry
+# convention): each significant_terms call releases the previous call's
+# cache and registers its own, so the returned lazy plan stays valid
+# after the function returns.
+_SIG_FRAMES: list[DataFrame] = []
+_SIG_LOCK = threading.Lock()
 
 _EMPTY = (
     "qid string, term string, fg_df bigint, bg_df bigint, "
@@ -74,8 +83,21 @@ def significant_terms(
     term_doc = analyzed.select(
         "docid", F.explode(F.array_distinct("terms")).alias("term")
     )
+    # The Arrow analysis pass fed FOUR lazy subtrees (corpus-size stats,
+    # background dfs, foreground doc match, foreground counts) — one
+    # action executed the full-corpus Python analysis once per subtree
+    # (Catalyst reuses exchanges, not Python-stage subtrees).  Persist
+    # the exploded (docid, term) frame once and take the one-row corpus
+    # count eagerly off the raw corpus (n_docs counts ALL docs, empty
+    # ones included, so it needs no analysis at all); a single analysis
+    # pass now serves every consumer (guide §1.2, §5).
+    with _SIG_LOCK:
+        while _SIG_FRAMES:
+            _SIG_FRAMES.pop().unpersist()
+        term_doc = term_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        _SIG_FRAMES.append(term_doc)
     # background = the whole corpus (ES: the index), empty docs included
-    stats = analyzed.agg(F.count("*").alias("n_docs"))
+    n_docs = corpus.count()
     bg = term_doc.groupBy("term").agg(F.count("*").alias("bg_df"))
 
     if fg_run is not None:
@@ -99,7 +121,7 @@ def significant_terms(
     joined = (
         fg_counts.join(bg, "term")
         .join(F.broadcast(fg_sizes), "qid")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(n_docs))
     )
     fg_pct = F.col("fg_df") / F.col("fg_size")
     bg_pct = F.col("bg_df") / F.col("n_docs")
