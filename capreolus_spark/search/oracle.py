@@ -49,6 +49,17 @@ def analyzed_terms_df(
         )
         return pd.DataFrame({"terms": terms, "dl": dl})
 
+    # The analyzer is pure, but marked non-deterministic as an optimizer
+    # fence (guide §4.4): when a consumer filters on the UDF's output
+    # (explode's implicit non-empty check, spell's size(terms) filter),
+    # Catalyst pushes the predicate below the projection and re-evaluates
+    # the UDF once for the filter and once for the project — two stacked
+    # ArrowEvalPython nodes running the full corpus analysis twice.  The
+    # fence forbids that duplication; filters born BELOW the analysis
+    # (docid pruning etc.) are applied by callers before this function
+    # and keep their scan pushdown.
+    analyze_udf = analyze_udf.asNondeterministic()
+
     return corpus.select(
         "docid", analyze_udf(F.col("content")).alias("a")
     ).select("docid", F.col("a.terms").alias("terms"), F.col("a.dl").alias("dl"))

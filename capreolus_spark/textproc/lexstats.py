@@ -30,12 +30,22 @@ here leaves whole-stage codegen except the Arrow tokenizer.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..search.oracle import analyzed_terms_df
 
 __all__ = ["lexical_stats", "stopword_candidates", "doc_keywords_tfidf"]
+
+# One live per-doc tf frame at a time (the minhash/ltr registry
+# convention): each doc_keywords_tfidf call releases the previous call's
+# cache and registers its own, so the returned lazy plan stays valid
+# after the function returns.
+_KW_FRAMES: list[DataFrame] = []
+_KW_LOCK = threading.Lock()
 
 
 def _term_totals(
@@ -152,6 +162,19 @@ def doc_keywords_tfidf(
         corpus, stemmer=stemmer, remove_stops=remove_stops, tokenizer=tokenizer
     ).select("docid", F.explode("terms").alias("term"))
     tf = toks.groupBy("docid", "term").agg(F.count("*").alias("tf"))
+    # tf feeds THREE subtrees (dictionary dfs, the N scalar, the scored
+    # join) and the executed plan duplicated the whole
+    # analysis+explode+groupBy pipeline under each — six Arrow analysis
+    # executions per action (Catalyst reuses exchanges, not Python-stage
+    # subtrees, and AQE re-plans defeat static exchange reuse here).
+    # Persist the reduced (docid, term, tf) frame once; a single
+    # analysis pass populates it and every consumer reads the cache
+    # (guide §1.2, §5).
+    with _KW_LOCK:
+        while _KW_FRAMES:
+            _KW_FRAMES.pop().unpersist()
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        _KW_FRAMES.append(tf)
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = tf.select(F.countDistinct("docid").alias("_n"))
     idf = (
