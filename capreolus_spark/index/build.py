@@ -209,23 +209,35 @@ def _assign_docnos(
     part = (
         pre.repartition(num_partitions, F.col("docid"))
         .sortWithinPartitions("docid")
-        .withColumn("_pid", F.spark_partition_id())
     )
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            base = int(pdf["_pid"].iloc[0]) * PARTITION_CAPACITY
-            if local + n > PARTITION_CAPACITY:
-                raise ValueError("partition exceeds PARTITION_CAPACITY")
-            pdf = pdf.assign(docno=base + np.arange(local, local + n, dtype=np.int64))
-            local += n
-            yield pdf[cols]
-
-    return part.mapInPandas(assign, schema=schema)
+    # docno = pid * PARTITION_CAPACITY + row-index-within-partition, as a
+    # pure JVM projection: `monotonically_increasing_id()` encodes exactly
+    # (partition index << 33) | row index, assigned in the same physical
+    # (docid-sorted) order the previous mapInPandas counter walked, so
+    # the values are bit-identical — without shipping every content byte
+    # JVM→Arrow→Python→Arrow→JVM just to attach a counter (guide §4: the
+    # boundary crossing was the only reason Python appeared in this
+    # stage).  Being non-deterministic, the id expression cannot be
+    # reordered below the sort.  The id's row-index field is 33 bits; a
+    # partition with more rows would silently bleed into the partition
+    # bits, so the projection routes docno through a row-level check that
+    # the id's partition field still equals `spark_partition_id()` —
+    # a raise replaces the Python path's capacity ValueError (which
+    # tripped at 2^34; one Spark task holding > 2^33 = 8.6 B rows is the
+    # same practical impossibility, but it must fail loudly, not wrap).
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftrightunsigned(mid, 33)
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    docno = F.when(
+        pid == F.spark_partition_id().cast("long"),
+        (pid * F.lit(PARTITION_CAPACITY) + local).cast("long"),
+    ).otherwise(
+        F.raise_error("partition exceeds monotonic-id row capacity (2^33)")
+    )
+    return part.select(
+        *[docno.alias("docno") if c == "docno" else F.col(c) for c in cols]
+    )
 
 
 def _tokenize_stage(docmap: DataFrame, config: IndexConfig) -> DataFrame:
