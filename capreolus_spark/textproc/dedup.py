@@ -279,6 +279,14 @@ class JaccardScaleError(RuntimeError):
     """Exact Jaccard join input exceeds ``max_docs``."""
 
 
+# One live shingle-postings frame at a time for the exact-Jaccard path
+# (the minhash registry convention): each ngram_jaccard_pairs call
+# releases the previous call's cache and registers its own, so the
+# returned lazy plan stays valid after the function returns.
+_JACCARD_FRAMES: list[DataFrame] = []
+_JACCARD_LOCK = threading.Lock()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -321,6 +329,17 @@ def ngram_jaccard_pairs(
             else:
                 raise JaccardScaleError(msg)
     posts = shingle_postings(df, text_col, id_col, n)
+    # posts feeds THREE subtrees (both sides of the self-join + the set
+    # sizes); left lazy, the tokenize+shingle explode — the operator's
+    # CPU hot spot — executes once per subtree (the join's two sides may
+    # share an exchange, the doc-keyed sizes aggregation never does).
+    # Persist once; one extraction pass serves all consumers (guide
+    # §1.2, §5 — same one-slot contract as the minhash registry).
+    with _JACCARD_LOCK:
+        while _JACCARD_FRAMES:
+            _JACCARD_FRAMES.pop().unpersist()
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        _JACCARD_FRAMES.append(posts)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = posts.alias("a")
     b = posts.alias("b")
