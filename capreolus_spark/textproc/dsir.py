@@ -39,13 +39,22 @@ SQL-expressible throughout — DuckDB-gated via ``__spark_entry__``
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .dedup import _spread, _tokens
 from .hashing import md5_hash60
 
 __all__ = ["dsir_bucket_log_ratios", "dsir_sample"]
+
+# One live pair of bucket-count frames at a time (the minhash registry
+# convention): each dsir_bucket_log_ratios call releases the previous
+# call's caches and registers its own.
+_DSIR_FRAMES: list[DataFrame] = []
+_DSIR_LOCK = threading.Lock()
 
 
 def _bucket_counts(df: DataFrame, text_col: str, dim: int) -> DataFrame:
@@ -88,6 +97,17 @@ def dsir_bucket_log_ratios(
     tc = dsir_bucket_log_ratios  # noqa: F841  (doc anchor)
     t_cnt = _bucket_counts(target, text_col, dim)
     s_cnt = _bucket_counts(source, text_col, dim)
+    # each count frame (<= dim rows) feeds its total aggregation AND the
+    # full-outer join; left lazy, every consumer re-ran the whole
+    # tokenize + n-gram + bucket-count pass over its corpus — 2 source
+    # passes + 2 target passes per action.  Persist both tiny frames
+    # (guide §1.2, §5): each corpus is now bucket-counted exactly once.
+    with _DSIR_LOCK:
+        while _DSIR_FRAMES:
+            _DSIR_FRAMES.pop().unpersist()
+        t_cnt = t_cnt.persist(StorageLevel.MEMORY_AND_DISK)
+        s_cnt = s_cnt.persist(StorageLevel.MEMORY_AND_DISK)
+        _DSIR_FRAMES.extend([t_cnt, s_cnt])
     t_tot = t_cnt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tt"))
     s_tot = s_cnt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_st"))
     joined = (

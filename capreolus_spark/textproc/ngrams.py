@@ -26,8 +26,16 @@ SQL-expressible — DuckDB-gated via ``__spark_entry__``.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# One live unigram-count frame at a time for the PMI collocation scan
+# (the minhash registry convention).
+_PMI_FRAMES: list[DataFrame] = []
+_PMI_LOCK = threading.Lock()
 
 from .dedup import _spread, _tokens
 
@@ -154,6 +162,16 @@ def pmi_bigrams(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+    # uni feeds THREE subtrees (the total-token scalar and both
+    # dictionary joins); left lazy, each re-ran the corpus tokenize +
+    # explode + count.  Persist the vocabulary-sized frame once — the
+    # corpus is now tokenized twice per action (bigram pass + unigram
+    # pass), not four times (guide §1.2, §5).
+    with _PMI_LOCK:
+        while _PMI_FRAMES:
+            _PMI_FRAMES.pop().unpersist()
+        uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+        _PMI_FRAMES.append(uni)
     total = uni.agg(F.sum("cnt").cast("double").alias("_t"))
     scored = (
         bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cnt", "cnt_w1"), "w1")
